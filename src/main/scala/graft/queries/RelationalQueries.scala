@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.Tables
+
+/** SURVEY §2.5 aggregation + §2.9 relational surface, batch-checkable.
+  *
+  * Money columns are summed as DECIMAL(18,2) and emitted as DOUBLE: decimal
+  * aggregation is exact and order-independent, so the result is bit-stable
+  * across Spark task orderings and matches DuckDB exactly — a plain
+  * double-sum would differ in the last ulp between engines/runs.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, Q] = Map(
+    // W1-analog keyed reduce over the whole table: pricing summary.
+    // Partial (map-side) aggregation + final hash agg — scales linearly;
+    // the groupBy key cardinality is tiny so the shuffle is negligible.
+    "q1_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount)) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
+}
