@@ -6,7 +6,11 @@ import graft.queries._
 /** Registry of all driver-checkable queries, merged from per-domain packs. */
 object Queries {
   private def packs: Seq[QueryPack] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    PipelineQueries,
+    WindowQueries,
+    AggQueries,
+    FunctionQueries
   )
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.Tables
+
+/** Aggregate-function surface (SURVEY §2.5 "canonical aggregate functions"
+  * + §2.9 rollup/cube/approx-distinct). The reference ships no built-in
+  * aggregates (all UDF-provided); our engine exposes Spark's aggregate
+  * library, partial+final hash aggregation included. */
+object AggQueries extends QueryPack {
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  val queries: Map[String, Q] = Map(
+
+    // count/min/max/sum/count-distinct in one pass.
+    "agg_stats" -> { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          sum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+    },
+
+    // avg computed as exact decimal sum / count (bit-stable, see pack doc).
+    "agg_avg" -> { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_linestatus"))
+        .agg((sum(dec("l_extendedprice")).cast("double") / count(lit(1)))
+          .as("avg_price"))
+    },
+
+    // hierarchical rollup (nation would be the real axis; flags stand in).
+    "agg_rollup" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec("l_extendedprice")).cast("double").as("sum_price"))
+    },
+
+    // full cube over the two flags.
+    "agg_cube" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // min_by/max_by (deterministic first/last analog).
+    "agg_minby" -> { (s, dir) =>
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(
+          min_by(col("event_type"), col("ts")).as("first_type"),
+          max_by(col("event_type"), col("ts")).as("last_type"))
+    },
+
+    // collect_set, canonicalized by sorting for a stable compare.
+    "agg_collect" -> { (s, dir) =>
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    },
+
+    // HLL sketch — approximate, no SQL oracle (driver rows-only check).
+    "agg_hll" -> { (s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_avg" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_minby" ->
+      """SELECT user_id,
+        |  arg_min(event_type, ts) AS first_type,
+        |  arg_max(event_type, ts) AS last_type
+        |FROM events GROUP BY user_id""".stripMargin,
+    "agg_collect" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

