@@ -10,7 +10,8 @@ object Queries {
     PipelineQueries,
     WindowQueries,
     AggQueries,
-    FunctionQueries
+    FunctionQueries,
+    JoinQueries
   )
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.{Relational, Tables}
+
+/** SURVEY §2.9: joins, analytic window functions, sort/limit/top-k,
+  * distinct — the relational surface declared for engine parity.
+  *
+  * Scale notes baked into the plans: dimension joins broadcast (nation/
+  * region/supplier are tiny at any SF); fact-fact joins shuffle on the
+  * join key; the range join pre-filters both sides before the shuffle;
+  * top-k never globally sorts (TakeOrderedAndProject). */
+object JoinQueries extends QueryPack {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, Q] = Map(
+
+    // shuffle (sort-merge/hash) fact-fact equi-join + aggregation.
+    "join_inner" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount")))
+            .cast("double").as("revenue"))
+    },
+
+    // broadcast dim chain: lineitem ⋈ supplier ⋈ nation ⋈ region.
+    "join_broadcast" -> { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+
+    // left outer: every customer, order count (0 for orderless customers).
+    "join_left" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    },
+
+    // left-semi / left-anti (EXISTS / NOT EXISTS).
+    "join_semi" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).where(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    "join_anti" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // theta join (broadcast nested loop on a tiny side): nation pairs
+    // within a region.
+    "join_theta" -> { (s, dir) =>
+      val n1 = Tables.nation(s, dir).select(col("n_name").as("a"), col("n_regionkey").as("rk1"))
+      val n2 = Tables.nation(s, dir).select(col("n_name").as("b"), col("n_regionkey").as("rk2"))
+      n1.join(n2, col("rk1") === col("rk2") && col("a") < col("b"))
+        .select(col("a"), col("b"))
+    },
+
+    // time-bounded range join (the batch analog of a stream-stream
+    // interval join): clicks within 1h after a purchase by the same user.
+    "join_range" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), col("ts").as("p_ts"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("u2"), col("ts").as("c_ts"))
+      p.join(c, col("u") === col("u2") &&
+          col("c_ts") >= col("p_ts") && col("c_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("u").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // as-of join: each click gets the most recent prior purchase value.
+    "join_asof" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Relational.asOfJoin(clicks, purchases, Seq("user_id"), "ts",
+        "value", "last_purchase")
+        .select("event_id", "user_id", "last_purchase")
+    },
+
+    // ranking window functions (deterministic via event_id tiebreak).
+    "wf_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .where(col("rn") <= 3)
+    },
+
+    // lag/lead over event time.
+    "wf_lag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_id"), 1).over(w))
+        .drop("ts")
+    },
+
+    // running (cumulative) sum — exact via decimal, ROWS frame.
+    "wf_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("running", sum(dec(col("value"))).over(w).cast("double"))
+        .drop("ts")
+    },
+
+    // top-k without a global sort (TakeOrderedAndProject).
+    "topk_orders" -> { (s, dir) =>
+      Relational.topK(Tables.orders(s, dir), 10,
+        col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // distinct (dropDuplicates = groupBy all cols).
+    "distinct_pairs" -> { (s, dir) =>
+      Tables.events(s, dir).select("user_id", "event_type").dropDuplicates()
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount)) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_theta" ->
+      """SELECT n1.n_name AS a, n2.n_name AS b
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name""".stripMargin,
+    "join_range" ->
+      """SELECT p.user_id, count(*) AS n_pairs FROM
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+        |GROUP BY p.user_id""".stripMargin,
+    "join_asof" ->
+      """SELECT c.event_id, c.user_id, p.value AS last_purchase
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "wf_rank" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER w AS rn, rank() OVER w AS rk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC))
+        |WHERE rn <= 3""".stripMargin,
+    "wf_lag" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(event_id, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+    "wf_running" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "distinct_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
+  )
+}
