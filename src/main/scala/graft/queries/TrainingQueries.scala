@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, Tables, TextAnalysis}
+
+/** Training-data pipeline operators (beyond the reference surface, built
+  * for 100 TB corpora): dedup, similarity search, text analysis, and
+  * multimodal plumbing — each oracle-checked where the computation is
+  * deterministic and SQL-expressible, rows-only otherwise. */
+object TrainingQueries extends QueryPack {
+
+  private val stop = TextAnalysis.stopwords
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- text analysis -------------------------------------------------
+    "text_langid" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+    },
+
+    "text_quality" -> { (s, dir) =>
+      TextAnalysis.qualityFeatures(
+        Tables.documents(s, dir).select("doc_id", "text"), "text")
+        .select("doc_id", "n_tokens", "mean_token_len", "stopword_ratio")
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+
+    // ---- dedup ---------------------------------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        numPerm = 12, rowsPerBand = 3)
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    "dedup_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.5)
+    },
+
+    // ---- similarity search ----------------------------------------------
+    "sim_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    },
+
+    // approximate ANN (SRP-LSH buckets) — deterministic but the bucketing
+    // is not reasonably SQL-expressible; driver does a rows-only check.
+    "sim_ann_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nBits = 4)
+    },
+
+    // embedding near-dup pairs on a deterministic subset (exact cosine).
+    "emb_neardup" -> { (s, dir) =>
+      val sub = Tables.embeddings(s, dir).where(col("vec_id") % 10 === 0)
+      val v = sub.select(col("vec_id").as("a"),
+        transform(col("embedding"), _.cast("double")).as("va"))
+      val w = sub.select(col("vec_id").as("b"),
+        transform(col("embedding"), _.cast("double")).as("vb"))
+      v.crossJoin(w).where(col("a") < col("b"))
+        .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+        .where(col("sim") >= 0.2)
+        .select("a", "b", "sim")
+    },
+
+    // ---- multimodal plumbing --------------------------------------------
+    "mm_meta" -> { (s, dir) =>
+      Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")
+        .select("id", "mime", "source", "n_bytes")
+    },
+
+    "mm_features" -> { (s, dir) =>
+      implicit val spark = s
+      Multimodal.decodeFeatures(
+        Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")).toDF()
+    },
+
+    "mm_frames" -> { (s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.pack(Tables.documents(s, dir), "doc_id", "text"), n = 4)
+    }
+  )
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(text,' '), w -> list_contains([${words.map(w => s"'$w'").mkString(",")}], w)))"
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> {
+      val entries = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
+        s"{'hits': CAST(${hitsSql(words)} AS BIGINT), 'lang': '$lang'}"
+      }
+      s"""SELECT doc_id, (list_max([${entries.mkString(", ")}])).lang AS lang_guess
+         |FROM documents""".stripMargin
+    },
+    "text_quality" -> {
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS mean_token_len,
+         |  CAST(${hitsSql(stop("en"))} AS DOUBLE)
+         |    / len(string_split(text,' ')) AS stopword_ratio
+         |FROM documents""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
+        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || '|' || shingle)) AS minhash
+        |       FROM sh, (SELECT unnest(range(12)) AS seed) s
+        |       GROUP BY doc_id, s.seed),
+        |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+        |             string_agg(minhash, '' ORDER BY seed) AS bucket
+        |           FROM mh GROUP BY doc_id, band)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+        |WHERE l.doc_id < r.doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, w, count(*) AS cnt,
+        |    CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY doc_id, w),
+        |bits AS (
+        |  SELECT doc_id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+        |  FROM words, (SELECT unnest(range(32)) AS bit) b
+        |  GROUP BY doc_id, b.bit)
+        |SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS c
+        |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
+        |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin,
+    "sim_topk" ->
+      """SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+    "emb_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id AS id, 'text/plain' AS mime, source,
+        |  CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "mm_features" ->
+      """WITH s AS (
+        |  SELECT doc_id, sum(ord(substr(text, i+1, 1))) AS bsum
+        |  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |  [CAST(length(d.text) AS FLOAT), CAST(ord(substr(d.text,1,1)) AS FLOAT),
+        |   CAST(ord(substr(d.text,length(d.text),1)) AS FLOAT),
+        |   CAST(s.bsum % 1009 AS FLOAT)] AS features
+        |FROM documents d JOIN s ON s.doc_id = d.doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id AS id, text,
+        |    CAST(length(text) // 4 AS INT) AS chunk FROM documents)
+        |SELECT id, CAST(u.i AS INT) AS frame_idx,
+        |  encode(substr(text, CAST(u.i * chunk + 1 AS INT), greatest(chunk, 1))) AS frame_bytes
+        |FROM m, (SELECT unnest(range(4)) AS i) u""".stripMargin
+  )
+}
