@@ -1,0 +1,109 @@
+package graft.streaming
+
+import scala.collection.mutable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.Pipeline._
+import graft.ops.Routing
+
+/** Compiles a PipelineSpec DAG into DataFrame plans.
+  *
+  * The reference runs each vertex as pods connected by JetStream buffers
+  * (numaflow `pkg/reconciler`, SURVEY §3.1); here the whole DAG becomes ONE
+  * lazy plan per sink: vertex boundaries are plan-operator boundaries, the
+  * ISB hop is a shuffle (or nothing — Catalyst may fuse map vertices into
+  * a single WholeStageCodegen span), and watermark plumbing is the
+  * engine's. Works identically for batch DataFrames (tests/oracles) and
+  * streaming ones (readStream/MemoryStream): the same spec compiles to
+  * both, which is how pipeline semantics get oracle-checked in batch and
+  * replayed in streaming.
+  *
+  * Fan-out: conditional edges become filtered children of the shared
+  * vertex output (Catalyst reuses the subplan; for single-pass multi-sink
+  * writes use Sinks.routerForeachBatch instead of N queries).
+  * Fan-in: union with min-watermark semantics (Spark's
+  * multipleWatermarkPolicy=min default, matching wm_fetcher.rs).
+  */
+object Compiler {
+
+  /** Duration arithmetic for W6: watermark delay = maxDelay +
+    * allowedLateness (Spark folds both into one withWatermark). */
+  private[graft] def addDurations(a: String, b: String): String = {
+    def ms(s: String): Long = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s)) match {
+      case i => i.days * 86400000L + i.microseconds / 1000L +
+        i.months * 2592000000L // months ~30d; specs here use s/m/h only
+    }
+    s"${ms(a) + ms(b)} milliseconds"
+  }
+
+  /** Compile the spec; returns the DataFrame feeding each sink vertex. */
+  def compile(spec: PipelineSpec, streaming: Boolean = true): Map[String, DataFrame] = {
+    val cache = mutable.Map[String, DataFrame]()
+
+    def vertexOutput(name: String): DataFrame = cache.getOrElseUpdate(name, {
+      val v = spec.byName(name)
+      v match {
+        case SourceV(_, input, _, transformer) =>
+          transformer.fold(input)(t => t(input))
+        case _ =>
+          val in = inputOf(name)
+          v match {
+            case MapV(_, fn) => fn(in)
+            case ReduceV(_, gb) => reduce(in, gb, sourceTs(name), streaming)
+            case SinkV(_) => in
+            case _: SourceV => in // unreachable
+          }
+      }
+    })
+
+    /** Union of all incoming edges, each filtered by its condition. */
+    def inputOf(name: String): DataFrame = {
+      val ins = spec.incoming(name).map { e =>
+        val parent = vertexOutput(e.from)
+        e.condition.fold(parent)(c => parent.where(Routing.matches(col("tags"), c)))
+      }
+      require(ins.nonEmpty, s"vertex $name has no incoming edge")
+      Routing.fanIn(ins)
+    }
+
+    /** Event-time column: taken from the (unique) upstream source. */
+    def sourceTs(name: String): String = {
+      def walk(n: String): Set[String] = spec.byName(n) match {
+        case s: SourceV => Set(s.tsCol)
+        case _ => spec.incoming(n).map(_.from).toSet.flatMap(walk)
+      }
+      val ts = walk(name)
+      require(ts.size == 1, s"reduce $name needs exactly one event-time column, got $ts")
+      ts.head
+    }
+
+    def reduce(in: DataFrame, gb: GroupBySpec, tsCol: String, streaming: Boolean): DataFrame = {
+      val maxDelay = spec.watermark.maxDelay
+      val delayed =
+        if (streaming) in.withWatermark(tsCol, addDurations(maxDelay, gb.allowedLateness))
+        else in
+      gb.window match {
+        case Fixed(len, _) =>
+          graft.ops.Windows.fixed(delayed, tsCol, len, gb.keys, gb.aggs)
+        case Sliding(len, slide, _) =>
+          graft.ops.Windows.sliding(delayed, tsCol, len, slide, gb.keys, gb.aggs)
+        case Session(timeout) =>
+          graft.ops.Windows.session(delayed, tsCol, timeout, gb.keys, gb.aggs)
+        case Accumulator(_) =>
+          throw new IllegalArgumentException(
+            "Accumulator windows compile via streaming.AccumulatorWindow.sorted (typed API)")
+      }
+    }
+
+    spec.vertices.collect { case SinkV(n) => n -> vertexOutput(n) }.toMap
+  }
+
+  /** Output mode for a reduce vertex: streaming:true windows fire early
+    * (update), others emit once on close (append) — SURVEY W7. */
+  def outputMode(gb: GroupBySpec): String = gb.window match {
+    case Fixed(_, s)      => if (s) "update" else "append"
+    case Sliding(_, _, s) => if (s) "update" else "append"
+    case _                => "append"
+  }
+}

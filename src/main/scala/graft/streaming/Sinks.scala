@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import graft.ops.Routing
+import graft.ops.Routing.TagCondition
+
+/** Sink-side semantics (SURVEY §2.7): retry with exponential backoff,
+  * fallback (DLQ) sink, onSuccess sink, and the single-pass multi-edge
+  * router.
+  *
+  * The reference's per-message sink responses (Success/Failure/Fallback/
+  * OnSuccess — `rust/numaflow-core/src/sinker/sink.rs:18,844-869`) become
+  * per-batch semantics here: a writer either commits a micro-batch or
+  * throws; retry/fallback/onSuccess policies wrap writers. Exactly-once
+  * across multiple sinks relies on batchId-idempotent writers (the
+  * checkpoint replays a failed batch with the same batchId).
+  */
+object Sinks {
+
+  /** A micro-batch writer: (batch, batchId) => effect (may throw). */
+  type Writer = (DataFrame, Long) => Unit
+
+  /** Exponential backoff retry (sink.retryStrategy defaults: interval 1ms,
+    * unbounded steps, factor/cap — numaflow const.go:218-233; bounded here
+    * because unbounded retry in a test harness hangs forever). */
+  final case class RetryPolicy(intervalMs: Long = 1, steps: Int = 5,
+      factor: Double = 2.0, capMs: Long = 10000)
+
+  sealed trait OnFailure
+  case object FailureRetryThenThrow extends OnFailure
+  /** Route the failed batch to a fallback writer (DLQ) — sink.go:26-29. */
+  final case class FailureFallback(fallback: Writer) extends OnFailure
+  /** Drop the failed batch (load-shed) — onFailure: drop. */
+  case object FailureDrop extends OnFailure
+
+  /** Wrap a writer with retry + failure policy. */
+  def withRetry(primary: Writer, policy: RetryPolicy = RetryPolicy(),
+                onFailure: OnFailure = FailureRetryThenThrow): Writer = {
+    (df, id) =>
+      var attempt = 0
+      var delay = policy.intervalMs
+      var done = false
+      var lastErr: Throwable = null
+      while (!done && attempt <= policy.steps) {
+        try { primary(df, id); done = true }
+        catch {
+          case e: Throwable =>
+            lastErr = e
+            attempt += 1
+            if (attempt <= policy.steps) {
+              Thread.sleep(delay)
+              delay = math.min((delay * policy.factor).toLong, policy.capMs)
+            }
+        }
+      }
+      if (!done) onFailure match {
+        case FailureRetryThenThrow  => throw lastErr
+        case FailureFallback(fb)    => fb(df, id)
+        case FailureDrop            => ()
+      }
+  }
+
+  /** onSuccess sink (sink.go:30-34): secondary fires only after the
+    * primary committed; the secondary may transform the batch. */
+  def withOnSuccess(primary: Writer, onSuccess: Writer): Writer =
+    (df, id) => { primary(df, id); onSuccess(df, id) }
+
+  /** Single-pass fan-out router for foreachBatch: evaluates every
+    * conditional edge once per micro-batch over a persisted batch, so the
+    * source is read once regardless of edge count (the reference's ISB
+    * writer loop, `pipeline/isb/writer.rs:286-338`). Unconditional edges
+    * receive everything; DROP-tagged rows are discarded first. */
+  def routerForeachBatch(edges: Seq[(Option[TagCondition], Writer)],
+                         tagsCol: String = "tags"): Writer = {
+    (batch, id) =>
+      val live = Routing.dropTagged(batch, tagsCol).persist()
+      try {
+        edges.foreach { case (cond, writer) =>
+          val slice = cond.fold(live)(c => live.where(Routing.matches(col(tagsCol), c)))
+          writer(slice, id)
+        }
+      } finally { live.unpersist() }
+  }
+}

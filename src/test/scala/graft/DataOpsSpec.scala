@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.streaming.Generator
+
+/** Unit coverage for the training-data operators and generator source
+  * (tier-1 style: construct rows, assert operator output). */
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical normalized text") {
+    val docs = Seq(
+      (1L, "hello  world"), (2L, "Hello world"), (3L, "unrelated text here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L)) // 1 and 2 collapse
+  }
+
+  test("minhash-LSH finds the planted near-dup, jaccard confirms") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7", "tokenX")
+    val other = (100 to 140).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+
+    val cands = Dedup.minhashLshPairs(docs, "doc_id", "text", numPerm = 12, rowsPerBand = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(jac === Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts hash equal, disjoint texts differ") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val h = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+  }
+
+  test("cosine: self=1, orthogonal=0") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0))
+    ).toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(sims(0) === 1.0 +- 1e-12)
+    assert(sims(1) === 0.0 +- 1e-12)
+  }
+
+  test("brute-force topK ranks by similarity") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val nn = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(nn.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("language id picks the profile with most stopword hits") {
+    val docs = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "el gato y la casa de que")
+    ).toDF("doc_id", "text")
+    val langs = docs.select(col("doc_id"), TextAnalysis.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(langs(1L) === "en")
+    assert(langs(2L) === "es")
+  }
+
+  test("as-of join picks most recent prior value per key") {
+    val left = Seq(("k", ts("2024-01-01 00:01:00"), 1L), ("k", ts("2024-01-01 00:03:00"), 2L))
+      .toDF("key", "ts", "id")
+    val right = Seq(
+      ("k", ts("2024-01-01 00:00:30"), 10.0),
+      ("k", ts("2024-01-01 00:02:00"), 20.0),
+      ("k", ts("2024-01-01 00:09:00"), 90.0))
+      .toDF("key", "ts", "value")
+    val out = Relational.asOfJoin(left, right, Seq("key"), "ts", "value", "asof")
+      .select("id", "asof").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 10.0, 2L -> 20.0))
+  }
+
+  test("generator batch: round-robin keys and JSON payload") {
+    val g = Generator.batch(spark, rows = 100, keyCount = 5)
+    assert(g.select("key").distinct().count() === 5)
+    val payload = g.select(get_json_object(col("payload"), "$.value")).as[String].head()
+    assert(payload === "0")
+  }
+
+  // ScalaTest's +- for doubles
+  private implicit class DoubleOps(d: Double) {
+    def +-(eps: Double): org.scalactic.TripleEqualsSupport.Spread[Double] =
+      org.scalactic.TripleEqualsSupport.Spread(d, eps)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.mutable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Routing.TagCondition
+import graft.streaming.Sinks
+import graft.streaming.Sinks._
+
+/** Sink semantics (SURVEY §2.7): retry backoff, fallback DLQ, onSuccess,
+  * and the single-pass router — mirroring functional_test.go:177,305,322,339. */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch: DataFrame = Seq(
+    (1L, "even", Seq("even")), (2L, "odd", Seq("odd")),
+    (3L, "drop", Seq(graft.model.Tags.Drop))
+  ).toDF("id", "label", "tags")
+
+  test("retry succeeds after transient failures") {
+    val attempts = new AtomicInteger(0)
+    val flaky: Writer = (_, _) =>
+      if (attempts.incrementAndGet() < 3) throw new RuntimeException("transient")
+    Sinks.withRetry(flaky, RetryPolicy(intervalMs = 1, steps = 5))(batch, 0L)
+    assert(attempts.get() === 3)
+  }
+
+  test("fallback sink receives the batch after retries exhaust") {
+    var fellBack = false
+    val failing: Writer = (_, _) => throw new RuntimeException("down")
+    val fb: Writer = (df, _) => { fellBack = true; assert(df.count() === 3) }
+    Sinks.withRetry(failing, RetryPolicy(intervalMs = 1, steps = 2),
+      FailureFallback(fb))(batch, 0L)
+    assert(fellBack)
+  }
+
+  test("onFailure=drop sheds the batch silently") {
+    val failing: Writer = (_, _) => throw new RuntimeException("down")
+    Sinks.withRetry(failing, RetryPolicy(intervalMs = 1, steps = 1),
+      FailureDrop)(batch, 0L) // must not throw
+  }
+
+  test("onSuccess fires only after primary commits") {
+    val order = mutable.Buffer[String]()
+    val primary: Writer = (_, _) => order += "primary"
+    val secondary: Writer = (_, _) => order += "secondary"
+    Sinks.withOnSuccess(primary, secondary)(batch, 0L)
+    assert(order.toSeq === Seq("primary", "secondary"))
+
+    val failing: Writer = (_, _) => { order += "fail"; throw new RuntimeException() }
+    intercept[RuntimeException] {
+      Sinks.withOnSuccess(failing, secondary)(batch, 1L)
+    }
+    assert(order.toSeq === Seq("primary", "secondary", "fail")) // no 2nd secondary
+  }
+
+  test("router fans out once per edge, drops DROP-tagged rows") {
+    val seen = mutable.Map[String, Seq[Long]]()
+    def collectTo(name: String): Writer = (df, _) =>
+      seen(name) = df.select("id").as[Long].collect().toSeq.sorted
+    val router = Sinks.routerForeachBatch(Seq(
+      Some(TagCondition(Seq("even"))) -> collectTo("even_sink"),
+      Some(TagCondition(Seq("odd"))) -> collectTo("odd_sink"),
+      None -> collectTo("all_sink")))
+    router(batch, 42L)
+    assert(seen("even_sink") === Seq(1L))
+    assert(seen("odd_sink") === Seq(2L))
+    assert(seen("all_sink") === Seq(1L, 2L)) // DROP row never reaches sinks
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming window semantics on MemoryStream, mirroring the reference's
+  * reduce-one-e2e scenarios: watermark-driven window close (append mode)
+  * and late-data handling (SURVEY W1/W6, aligned/reducer.rs:609,652). */
+class StreamingReduceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixed window closes when watermark passes; late rows dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val agg = in.toDF().toDF("ts", "key", "value")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "60 seconds"), col("key"))
+      .agg(sum("value").as("total"))
+      .select(col("window.start").as("w_start"), col("key"), col("total"))
+
+    val q = agg.writeStream.format("memory").queryName("fixed_out")
+      .outputMode("append").start()
+
+    // batch 1: window [00:00, 01:00) gets 1+2+3
+    in.addData(
+      (ts("2024-01-01 00:00:10"), "k", 1L),
+      (ts("2024-01-01 00:00:20"), "k", 2L),
+      (ts("2024-01-01 00:00:30"), "k", 3L))
+    q.processAllAvailable()
+    // batch 2: event far ahead advances WM past 01:00 -> window closes
+    in.addData((ts("2024-01-01 00:02:00"), "k", 100L))
+    q.processAllAvailable()
+    // batch 3: a LATE row for the closed window must be dropped,
+    // plus another ahead event to flush
+    in.addData((ts("2024-01-01 00:00:40"), "k", 999L))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:05:00"), "k", 7L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("fixed_out")
+      .as[(Timestamp, String, Long)].collect().map { case (k, _, v) => k -> v }.toMap
+    assert(rows(ts("2024-01-01 00:00:00")) === 6L) // 999 dropped, not 1005
+    assert(rows(ts("2024-01-01 00:02:00")) === 100L)
+  }
+
+  test("session windows merge per key (streaming)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val agg = in.toDF().toDF("ts", "key", "value")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"), col("key"), col("n"))
+
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+
+    // burst of 3 events gaps<30s -> ONE session; then a 2nd session later
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "k", 1L),
+      (ts("2024-01-01 00:00:20"), "k", 1L),
+      (ts("2024-01-01 00:00:35"), "k", 1L),
+      (ts("2024-01-01 00:02:00"), "k", 1L))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:10:00"), "k", 1L)) // advance WM, close both
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:20:00"), "k", 1L))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sess_out")
+      .as[(Timestamp, String, Long)].collect().map { case (s, _, n) => s -> n }.toMap
+    assert(sessions(ts("2024-01-01 00:00:00")) === 3L) // merged burst
+    assert(sessions(ts("2024-01-01 00:02:00")) === 1L)
+  }
+
+  test("idle-source heartbeats advance the watermark without polluting results") {
+    // batch-shape check of the helper's schema handling (streaming rate
+    // source behavior needs wall-clock time; here we verify the contract:
+    // heartbeat rows are tagged and dropped, data rows survive).
+    val data = Seq((ts("2024-01-01 00:00:10"), "k", 1L)).toDF("ts", "key", "value")
+    val withHb = data.withColumn("__hb", lit(false))
+    val dropped = graft.streaming.IdleSource.dropHeartbeats(withHb)
+    assert(dropped.columns.toSeq === Seq("ts", "key", "value"))
+    assert(dropped.count() === 1)
+  }
+}
