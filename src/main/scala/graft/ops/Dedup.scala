@@ -41,15 +41,35 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: numPerm permutations simulated as
-    * min(md5(seed || shingle)) — deterministic and portable.
-    * Returns (id, seed, minhash). */
-  def minhash(sh: DataFrame, idCol: String, numPerm: Int): DataFrame =
-    sh.select(col(idCol), explode(sequence(lit(0), lit(numPerm - 1))).as("seed"),
-        col("shingle"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(to_binary(concat(col("seed").cast("string"), lit("|"), col("shingle")),
-        lit("utf-8")))).as("minhash"))
+  /** Mersenne prime 2^31-1 and fixed odd 31-bit affine constants for the
+    * minhash permutation family h_i(x) = (A(i)·x + B(i)) mod P. One md5
+    * per shingle (not per shingle×perm) keeps the hash cost linear; the
+    * affine mix is exact 64-bit integer math, so any SQL engine reproduces
+    * it bit-for-bit (max A·x + B = (2^31-1)(2^32-1) + 2^31 < 2^63). */
+  val MinhashP = 2147483647L
+  val MinhashA: Array[Long] = Array(
+    0x4F1BBCDCL, 0x2545F491L, 0x5851F42DL, 0x14057B7EL, 0x685215A5L, 0x5DEECE66L,
+    0x0BB38435L, 0x3C6EF372L, 0x1F83D9ABL, 0x5BE0CD19L, 0x6A09E667L, 0x3243F6A8L,
+    0x13198A2EL, 0x03707344L, 0x243F6A88L, 0x082EFA98L).map(a => (a % MinhashP) | 1L)
+  val MinhashB: Array[Long] = Array(
+    0x299F31D0L, 0x085A308DL, 0x38D01377L, 0x452821E6L, 0x243F6A89L, 0x13198A2FL,
+    0x5A827999L, 0x6ED9EBA1L, 0x70E44324L, 0x359C34A5L, 0x1B873593L, 0x61C88647L,
+    0x2C1B3C6DL, 0x297A2D39L, 0x9E3779B1L, 0x85EBCA6BL).map(_ % MinhashP)
+
+  /** MinHash signatures: per doc, min over shingles of h_seed(base) where
+    * base = first-8-hex of md5(shingle). Returns (id, seed, minhash). */
+  def minhash(sh: DataFrame, idCol: String, numPerm: Int): DataFrame = {
+    require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
+    val base = conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))), 1, 8), 16, 10)
+      .cast("long")
+    val perms = (0 until numPerm).map { i =>
+      struct(lit(i).as("seed"),
+        pmod(lit(MinhashA(i)) * base + lit(MinhashB(i)), lit(MinhashP)).as("h"))
+    }
+    sh.select(col(idCol), explode(array(perms: _*)).as("p"))
+      .groupBy(col(idCol), col("p.seed").as("seed"))
+      .agg(min(col("p.h")).as("minhash"))
+  }
 
   /** LSH banding: group numPerm minhashes into bands of `rowsPerBand`,
     * bucket = concatenated band signature; docs sharing any (band, bucket)
