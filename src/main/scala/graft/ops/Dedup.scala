@@ -73,7 +73,10 @@ object Dedup {
 
   /** LSH banding: group numPerm minhashes into bands of `rowsPerBand`,
     * bucket = concatenated band signature; docs sharing any (band, bucket)
-    * are candidate pairs. Returns distinct (a, b) with a < b. */
+    * are candidate pairs. Returns distinct (a, b) with a < b.
+    * Bucket components are "|"-separated: variable-width decimal minhash
+    * values concatenated bare would alias distinct signatures (e.g. [1,23]
+    * vs [12,3]) into one bucket and fabricate candidate pairs. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numPerm: Int = 12, rowsPerBand: Int = 3, shingleW: Int = 3): DataFrame = {
     val sig = minhash(shingles(docs, idCol, textCol, shingleW), idCol, numPerm)
@@ -81,7 +84,7 @@ object Dedup {
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       // sort_array over (seed, minhash) structs fixes concat order.
       .groupBy(col(idCol), col("band"))
-      .agg(concat_ws("", sort_array(collect_list(struct(col("seed"), col("minhash"))))
+      .agg(concat_ws("|", sort_array(collect_list(struct(col("seed"), col("minhash"))))
         .getField("minhash")).as("bucket"))
     val l = banded.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("b"), col("band"), col("bucket"))
@@ -113,10 +116,23 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
-    * Returns (a, b, jaccard) for jaccard >= threshold, a < b. */
+    * Returns (a, b, jaccard) for jaccard >= threshold, a < b.
+    *
+    * Hot-shingle cap (`maxDocFreq`): a shingle present in N docs yields
+    * N^2/2 candidate rows from the self-join — one stop-phrase shingle is
+    * a quadratic skew bomb at 100 TB. Shingles with doc-frequency >
+    * maxDocFreq carry ~zero Jaccard signal (they'd need to dominate BOTH
+    * docs to matter at any useful threshold) and are dropped from the
+    * universe before sizing and joining, so the bound applies to both the
+    * numerator and denominators consistently. The hot set is tiny →
+    * broadcast anti-join, no extra shuffle on the big side. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, w: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, w).withColumnRenamed(idCol, "id")
+                        threshold: Double, w: Int = 3, maxDocFreq: Int = 100): DataFrame = {
+    val all = shingles(docs, idCol, textCol, w).withColumnRenamed(idCol, "id")
+    val hot = all.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).where(col("df") > maxDocFreq)
+      .select(col("shingle"))
+    val sh = all.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("id").as("a"), col("shingle"))
       .join(sh.select(col("id").as("b"), col("shingle")), "shingle")

@@ -45,16 +45,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** Sign-random-projection LSH bucket id (`nBits` hyperplanes). The
-    * hyperplane components are md5-derived pseudo-randoms in [-0.5, 0.5] —
-    * deterministic, engine-portable, no driver-side state to broadcast. */
-  def srpBucket(vec: Column, nBits: Int): Column = {
+  /** Hyperplane component b,i = u(md5("b|i")) - 0.5: md5-derived
+    * pseudo-randoms in [-0.5, 0.5] — deterministic and engine-portable.
+    * Computed ONCE driver-side (nBits × dim doubles) and embedded as plan
+    * literals: the per-row cost is a plain dot product, not d×nBits md5
+    * calls per vector as a column-expression formulation would pay. */
+  def srpPlanes(nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$b|$i".getBytes("UTF-8"))
+        .take(3).map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0 - 0.5
+    }
+
+  /** Sign-random-projection LSH bucket id (`nBits` hyperplanes over
+    * `dim`-dimensional vectors). */
+  def srpBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    val planes = srpPlanes(nBits, dim)
     val bits = (0 until nBits).map { b =>
-      // dot(vec, plane_b) where plane_b[i] = u(md5(b|i)) - 0.5
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x * (conv(substring(md5(to_binary(concat(lit(b.toString), lit("|"), i.cast("string")),
-            lit("utf-8"))), 1, 6), 16, 10).cast("double") / lit(16777216.0) - lit(0.5))),
+      val plane = array(planes(b).map(lit): _*)
+      val dot = aggregate(zip_with(vec, plane, (x, p) => x * p),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
@@ -65,11 +75,11 @@ object Similarity {
     * hyperplane signs; top-k computed within matching buckets only.
     * Candidate volume ~ |corpus| × |queries| / 2^nBits per bucket family. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+              vecCol: String, k: Int, nBits: Int = 8, dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", srpBucket(col("cv"), nBits))
+      .withColumn("bucket", srpBucket(col("cv"), nBits, dim))
     val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", srpBucket(col("qv"), nBits)))
+      .withColumn("bucket", srpBucket(col("qv"), nBits, dim)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(q, "bucket")
@@ -83,9 +93,9 @@ object Similarity {
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold,
     * bucketed by SRP-LSH so the pair space never materializes fully. */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, nBits: Int = 6): DataFrame = {
+                            threshold: Double, nBits: Int = 6, dim: Int = 64): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", srpBucket(col("v"), nBits))
+      .withColumn("bucket", srpBucket(col("v"), nBits, dim))
     val l = v.select(col("id").as("a"), col("v").as("va"), col("bucket"))
     val r = v.select(col("id").as("b"), col("v").as("vb"), col("bucket"))
     l.join(r, "bucket").where(col("a") < col("b"))

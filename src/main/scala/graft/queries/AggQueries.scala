@@ -54,10 +54,11 @@ object AggQueries extends QueryPack {
           max_by(col("event_type"), col("ts")).as("last_type"))
     },
 
-    // collect_set, canonicalized by sorting for a stable compare.
+    // collect_set, canonicalized by sorting then serialized to a csv
+    // scalar (the driver's compare cannot sort/hash array columns).
     "agg_collect" -> { (s, dir) =>
       Tables.events(s, dir).groupBy(col("user_id"))
-        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
     },
 
     // HLL sketch — approximate, no SQL oracle (driver rows-only check).
@@ -91,7 +92,7 @@ object AggQueries extends QueryPack {
         |  arg_max(event_type, ts) AS last_type
         |FROM events GROUP BY user_id""".stripMargin,
     "agg_collect" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
         |FROM events GROUP BY user_id""".stripMargin
   )
 }

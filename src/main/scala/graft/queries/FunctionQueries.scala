@@ -49,11 +49,14 @@ object FunctionQueries extends QueryPack {
         array_contains(split(col("text"), " "), "spark").as("has_spark"))
     },
 
+    // map key/value surface, serialized to sorted-csv scalars (driver
+    // compare cannot hash array columns).
     "f_map" -> { (s, dir) =>
+      val m = from_json(col("props"), lit("map<string,string>"))
       Tables.events(s, dir).select(
         col("event_id"),
-        map_keys(from_json(col("props"), lit("map<string,string>"))).as("ks"),
-        map_values(from_json(col("props"), lit("map<string,string>"))).as("vs"))
+        concat_ws(",", sort_array(map_keys(m))).as("ks"),
+        concat_ws(",", sort_array(map_values(m))).as("vs"))
     },
 
     "f_json" -> { (s, dir) =>
@@ -86,8 +89,10 @@ object FunctionQueries extends QueryPack {
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark
         |FROM documents""".stripMargin,
     "f_map" ->
-      """SELECT event_id, json_keys(props) AS ks,
-        |  [json_extract_string(props, '$.k')] AS vs
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
+        |  array_to_string(list_sort([json_extract_string(props, '$.' || k)
+        |    FOR k IN json_keys(props)]), ',') AS vs
         |FROM events""".stripMargin,
     "f_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,

@@ -83,15 +83,23 @@ object TrainingQueries extends QueryPack {
         .select("id", "mime", "source", "n_bytes")
     },
 
+    // features serialized to a csv-of-ints scalar: the driver's pandas
+    // compare cannot sort/hash array columns (CORRECTNESS_r01), and the
+    // stub features are integer-valued by construction.
     "mm_features" -> { (s, dir) =>
       implicit val spark = s
       Multimodal.decodeFeatures(
         Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")).toDF()
+        .withColumn("features",
+          concat_ws(",", transform(col("features"), f => f.cast("int").cast("string"))))
     },
 
+    // frame payloads surfaced as strings (media here is utf-8 text): the
+    // driver cannot hash binary columns.
     "mm_frames" -> { (s, dir) =>
       Multimodal.frameSample(
         Multimodal.pack(Tables.documents(s, dir), "doc_id", "text"), n = 4)
+        .withColumn("frame_bytes", col("frame_bytes").cast("string"))
     }
   )
 
@@ -122,19 +130,28 @@ object TrainingQueries extends QueryPack {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
-        |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
-        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || '|' || shingle)) AS minhash
-        |       FROM sh, (SELECT unnest(range(12)) AS seed) s
-        |       GROUP BY doc_id, s.seed),
-        |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-        |             string_agg(minhash, '' ORDER BY seed) AS bucket
-        |           FROM mh GROUP BY doc_id, band)
-        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
-        |WHERE l.doc_id < r.doc_id""".stripMargin,
+    // Oracle computes the IDENTICAL affine-mod-P minhash family as
+    // Dedup.minhash (constants injected from the same Scala arrays), so
+    // candidate-pair sets agree on any dataset — not just when no
+    // borderline pairs exist. Bucket components '|'-separated on both
+    // sides (variable-width decimals would alias otherwise).
+    "dedup_minhash" -> {
+      val seedRows = (0 until 12).map(i =>
+        s"(${i}, ${Dedup.MinhashA(i)}, ${Dedup.MinhashB(i)})").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
+         |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
+         |base AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle),1,8)) AS BIGINT) AS x FROM sh),
+         |seeds(seed, a, b) AS (VALUES ${seedRows}),
+         |mh AS (SELECT doc_id, seed, min((a * x + b) % ${Dedup.MinhashP}) AS minhash
+         |       FROM base, seeds GROUP BY doc_id, seed),
+         |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+         |             string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS bucket
+         |           FROM mh GROUP BY doc_id, band)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |WHERE l.doc_id < r.doc_id""".stripMargin
+    },
     "dedup_simhash" ->
       """WITH words AS (
         |  SELECT doc_id, w, count(*) AS cnt,
@@ -145,12 +162,18 @@ object TrainingQueries extends QueryPack {
         |  SELECT doc_id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
         |  FROM words, (SELECT unnest(range(32)) AS bit) b
         |  GROUP BY doc_id, b.bit)
-        |SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    // Mirrors the hot-shingle cap (doc-frequency <= 100) of
+    // Dedup.ngramJaccardPairs: the filtered shingle universe feeds both
+    // sizes and the common counts.
     "dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
+        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
         |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |common AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS c
         |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
@@ -184,15 +207,15 @@ object TrainingQueries extends QueryPack {
         |  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents)
         |  GROUP BY doc_id)
         |SELECT d.doc_id AS id, CAST(length(d.text) AS BIGINT) AS n_bytes,
-        |  [CAST(length(d.text) AS FLOAT), CAST(ord(substr(d.text,1,1)) AS FLOAT),
-        |   CAST(ord(substr(d.text,length(d.text),1)) AS FLOAT),
-        |   CAST(s.bsum % 1009 AS FLOAT)] AS features
+        |  array_to_string([CAST(length(d.text) AS INT), CAST(ord(substr(d.text,1,1)) AS INT),
+        |   CAST(ord(substr(d.text,length(d.text),1)) AS INT),
+        |   CAST(s.bsum % 1009 AS INT)], ',') AS features
         |FROM documents d JOIN s ON s.doc_id = d.doc_id""".stripMargin,
     "mm_frames" ->
       """WITH m AS (SELECT doc_id AS id, text,
         |    CAST(length(text) // 4 AS INT) AS chunk FROM documents)
         |SELECT id, CAST(u.i AS INT) AS frame_idx,
-        |  encode(substr(text, CAST(u.i * chunk + 1 AS INT), greatest(chunk, 1))) AS frame_bytes
+        |  substr(text, CAST(u.i * chunk + 1 AS INT), greatest(chunk, 1)) AS frame_bytes
         |FROM m, (SELECT unnest(range(4)) AS i) u""".stripMargin
   )
 }

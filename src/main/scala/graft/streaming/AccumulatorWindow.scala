@@ -31,13 +31,23 @@ object AccumulatorWindow {
   final case class Acc[T](ts: Long, value: T)
 
   /** Sort a keyed stream by event time, releasing rows as the watermark
-    * passes them (flushing everything when the key idles out).
+    * passes them. A timeout wakeup is a RELEASE opportunity, not a flush:
+    * only rows at-or-below the current watermark are emitted, preserving
+    * the operator's event-time-ordering contract even for keys that idle
+    * across micro-batches. A full flush (the reference's accumulator
+    * `timeout` close, udf.go:150-154) happens only once the watermark has
+    * passed max-buffered-event-time + idleTimeout — at which point every
+    * buffered row is below the watermark anyway, so ordering still holds
+    * and the key's state is dropped.
     *
-    * @param ds      input keyed dataset
-    * @param key     grouping key extractor
-    * @param eventTs event-time extractor (must be the watermark column)
+    * @param ds          input keyed dataset
+    * @param key         grouping key extractor
+    * @param eventTs     event-time extractor (must be the watermark column)
+    * @param idleTimeout close-after-idle duration in millis (0 = sorter
+    *                    only: state closes when the buffer drains)
     */
-  def sorted[T, K](ds: Dataset[T], key: T => K, eventTs: T => Timestamp)(
+  def sorted[T, K](ds: Dataset[T], key: T => K, eventTs: T => Timestamp,
+                   idleTimeout: Long = 0L)(
       implicit kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
     implicit val bufEnc: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
     ds.groupByKey(key)
@@ -46,13 +56,22 @@ object AccumulatorWindow {
         (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
           val buf = state.getOption.getOrElse(Seq.empty) ++ rows
           val wm = state.getCurrentWatermarkMs()
+          val maxTs = if (buf.nonEmpty) buf.map(eventTs(_).getTime).max else Long.MinValue
+          val idleClosed = state.hasTimedOut && idleTimeout > 0 &&
+            wm >= maxTs + idleTimeout
           val (release, keep) =
-            if (state.hasTimedOut) (buf, Seq.empty[T])
+            if (idleClosed) (buf, Seq.empty[T])
             else buf.partition(t => eventTs(t).getTime <= wm)
           if (keep.nonEmpty) {
             state.update(keep)
-            // wake when the earliest buffered row could become releasable
-            state.setTimeoutTimestamp(keep.map(eventTs(_).getTime).min + 1)
+            // wake when the earliest buffered row could become releasable,
+            // or at the idle-close deadline, whichever is sooner (the
+            // timestamp must sit above the current watermark to be legal).
+            val releaseWake = keep.map(eventTs(_).getTime).min + 1
+            val wake =
+              if (idleTimeout > 0) math.min(releaseWake, maxTs + idleTimeout)
+              else releaseWake
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
           } else {
             state.remove()
           }

@@ -23,22 +23,39 @@ object IdleSource {
 
   val HeartbeatCol = "__hb"
 
-  /** Union `data` with heartbeat rows emitted every `stepInterval`
-    * seconds. All data columns are null on heartbeat rows; the event-time
-    * column carries the heartbeat's wall-clock timestamp. */
+  /** Union `data` with heartbeat rows emitted every `stepIntervalSecs`
+    * seconds (one rate-source row per step — the reference's
+    * `stepInterval`). All data columns are null on heartbeat rows; the
+    * event-time column carries the heartbeat's wall-clock timestamp minus
+    * `lagSecs` (the reference's idle-advance never outruns real time
+    * either; the lag bounds how far heartbeats may run ahead of delayed
+    * live data).
+    *
+    * RESTRICTION — live data only: heartbeat time is wall-clock-derived,
+    * so replaying a historical stream through this union would advance the
+    * watermark to ~now and drop all real data as late. For replays, drop
+    * the heartbeat union entirely (replays are never idle: the watermark
+    * advances with the replayed data itself). This mirrors the reference,
+    * whose idle-source config is a live-ingest feature
+    * (pipeline_types.go:626-665). */
   def withHeartbeats(spark: SparkSession, data: DataFrame, tsCol: String,
-                     stepIntervalSecs: Int = 1): DataFrame = {
+                     stepIntervalSecs: Int = 1, lagSecs: Int = 0): DataFrame = {
     val hbRate = spark.readStream.format("rate")
       .option("rowsPerSecond", 1)
       .option("rampUpTime", "0s")
       .load()
     val dataCols = data.schema.fields.map(_.name)
-    val hb = hbRate.select(
-      dataCols.map {
-        case c if c == tsCol => col("timestamp").cast(data.schema(tsCol).dataType).as(c)
-        case c => lit(null).cast(data.schema(c).dataType).as(c)
-      }: _*)
-      .where(pmod(col(tsCol).cast("long"), lit(stepIntervalSecs)) >= 0) // keep all; step kept for API parity
+    // rate-source `value` increments once per second at rowsPerSecond=1,
+    // so value % step == 0 keeps exactly one heartbeat per step interval.
+    val hb = hbRate
+      .where(pmod(col("value"), lit(stepIntervalSecs.toLong)) === 0)
+      .select(
+        dataCols.map {
+          case c if c == tsCol =>
+            (col("timestamp") - expr(s"INTERVAL $lagSecs SECONDS"))
+              .cast(data.schema(tsCol).dataType).as(c)
+          case c => lit(null).cast(data.schema(c).dataType).as(c)
+        }: _*)
       .withColumn(HeartbeatCol, lit(true))
     data.withColumn(HeartbeatCol, lit(false)).unionByName(hb)
   }
