@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Kafka source (SURVEY S3) and sink (K3) — the reference's most-used real
+  * connector (numaflow `rust/extns/numaflow-kafka/src/source.rs`,
+  * `sink.rs`; specs `kafka_source.go` / `kafka_sink.go`; e2e
+  * `test/kafka-e2e/`).
+  *
+  * Spark ships a first-class Kafka connector (`format("kafka")`), so the
+  * engine's job is exactly the reference's spec surface: map the source /
+  * sink configs onto connector options, and decode/encode between Kafka's
+  * wire frame (key/value bytes + topic/partition/offset/timestamp/headers)
+  * and the engine's message columns. The decode/encode projections are
+  * pure column expressions, so the same code path is exercised in tests by
+  * a MemoryStream carrying Kafka-shaped rows — no broker needed; offsets,
+  * consumer-group balancing, and exactly-once-to-Kafka come from the
+  * connector + checkpoint.
+  *
+  * NOTE: the connector jar (spark-sql-kafka) is not on this sandbox's
+  * classpath; `source`/`sink` are the one-line format wiring and are
+  * exercised by plan-construction tests up to provider resolution.
+  */
+object Kafka {
+
+  /** Source spec (kafka_source.go: brokers, topic, consumerGroup +
+    * tuning). `maxOffsetsPerTrigger` is the engine's readBatchSize analog
+    * (reference default 500/read — const.go:185). */
+  final case class SourceConf(
+      brokers: String,
+      topics: String,
+      consumerGroup: Option[String] = None,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      includeHeaders: Boolean = true,
+      failOnDataLoss: Boolean = false)
+
+  /** Sink spec (kafka_sink.go: brokers, topic). */
+  final case class SinkConf(
+      brokers: String,
+      topic: String,
+      checkpointLocation: String)
+
+  /** Spec → connector options (the reconciler's decorate step, done as a
+    * pure function so it is unit-testable without a broker). */
+  def sourceOptions(c: SourceConf): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> c.brokers,
+      "subscribe" -> c.topics,
+      "startingOffsets" -> c.startingOffsets,
+      "includeHeaders" -> c.includeHeaders.toString,
+      "failOnDataLoss" -> c.failOnDataLoss.toString) ++
+      c.consumerGroup.map("kafka.group.id" -> _) ++
+      c.maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+
+  def sinkOptions(c: SinkConf): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> c.brokers,
+      "topic" -> c.topic,
+      "checkpointLocation" -> c.checkpointLocation)
+
+  /** Kafka frame → engine message columns: keys = [utf8(key)] (numaflow
+    * uses the Kafka key as the message key — source.rs), value stays
+    * opaque bytes, eventTime = broker timestamp (a source transformer
+    * reassigns it when the payload carries the real event time — T1),
+    * headers to map<string,string>, (partition, offset) retained as the
+    * ack/dedup identity. */
+  def decode(raw: DataFrame): DataFrame =
+    raw.select(
+      when(col("key").isNull, array().cast("array<string>"))
+        .otherwise(array(col("key").cast("string"))).as("keys"),
+      col("value"),
+      col("timestamp").as("eventTime"),
+      coalesce(
+        map_from_entries(transform(col("headers"),
+          h => struct(h.getField("key"), h.getField("value").cast("string")))),
+        map().cast("map<string,string>")).as("headers"),
+      col("topic"), col("partition"), col("offset"))
+
+  /** Engine columns → Kafka producer frame (key/value binary). */
+  def encode(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").cast("binary").as("key"),
+      col(valueCol).cast("binary").as("value"))
+
+  /** Streaming read wired through the connector (requires the
+    * spark-sql-kafka jar on the classpath at runtime). */
+  def source(spark: SparkSession, c: SourceConf): DataFrame =
+    decode(spark.readStream.format("kafka").options(sourceOptions(c)).load())
+
+  /** Streaming write wired through the connector. */
+  def sink(df: DataFrame, c: SinkConf, keyCol: String, valueCol: String): DataStreamWriter[Row] =
+    encode(df, keyCol, valueCol).writeStream.format("kafka").options(sinkOptions(c))
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.sql.Timestamp
+import java.util.UUID
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap, TimeUnit, TimeoutException}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.functions.col
+import graft.streaming.UdSource.MemoryGraftSource
+
+/** ServingPipeline (SURVEY §2.10): request/response query mode — the
+  * reference's HTTP `/sync` + `/async` endpoints feed a serving source,
+  * the DAG processes, and a serve sink stores the result for the
+  * originating request id (numaflow `rust/serving/src/lib.rs:1-60`,
+  * `serving_pipeline_types.go:58-109`, serve sink `sinker/sink/serve.rs`).
+  *
+  * Spark mapping: requests append to a [[MemoryGraftSource]] (the serving
+  * source, S8) with the request id as the message key; the user's compiled
+  * streaming DAG consumes it via [[UdSource.readStream]]; the terminal
+  * foreachBatch uses [[serveSink]] (K10) to complete the per-request
+  * future the HTTP layer awaits. The result store is driver-local, the
+  * same locality as the reference's serving store; at-least-once delivery
+  * means a replayed batch simply completes an already-completed future
+  * (idempotent).
+  *
+  * Endpoints: `POST /v1/process/sync` (blocks until the DAG answers, 504
+  * on timeout), `POST /v1/process/async` (returns the id immediately),
+  * `GET /v1/fetch?id=` (poll an async result).
+  */
+final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000) extends AutoCloseable {
+
+  /** The serving source: requests enter the DAG here (keys = [requestId]). */
+  val source = new MemoryGraftSource(1)
+  val sourceName: String = s"serving-${UUID.randomUUID()}"
+  UdSource.register(sourceName, source)
+
+  private val results = new ConcurrentHashMap[String, CompletableFuture[Array[Byte]]]()
+
+  private def futureFor(id: String): CompletableFuture[Array[Byte]] =
+    results.computeIfAbsent(id, _ => new CompletableFuture[Array[Byte]]())
+
+  /** Called by the serve sink when the DAG produces the response row. */
+  def complete(id: String, payload: Array[Byte]): Unit =
+    futureFor(id).complete(payload)
+
+  /** K10 serve sink: batch rows (idCol: string, resultCol: binary or
+    * string) complete their request futures. Driver-side by design — the
+    * result set per micro-batch is bounded by in-flight HTTP requests. */
+  def serveSink(idCol: String, resultCol: String): Sinks.Writer = (batch, _) =>
+    batch.select(col(idCol).cast("string"), col(resultCol).cast("binary"))
+      .collect()
+      .foreach(r => complete(r.getString(0), r.getAs[Array[Byte]](1)))
+
+  private def enqueue(id: String, body: Array[Byte]): Unit =
+    source.append(Seq(id), body, new Timestamp(System.currentTimeMillis()))
+
+  private val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    s.createContext("/v1/process/sync", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val id = reqId(ex)
+        val fut = futureFor(id) // register BEFORE enqueue: no lost-wakeup
+        enqueue(id, ex.getRequestBody.readAllBytes())
+        try respond(ex, 200, fut.get(syncTimeoutMs, TimeUnit.MILLISECONDS))
+        catch { case _: TimeoutException => respond(ex, 504, s"timeout for $id".getBytes) }
+      }
+    })
+    s.createContext("/v1/process/async", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val id = reqId(ex)
+        futureFor(id)
+        enqueue(id, ex.getRequestBody.readAllBytes())
+        respond(ex, 200, s"""{"id":"$id"}""".getBytes)
+      }
+    })
+    s.createContext("/v1/fetch", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val id = Option(ex.getRequestURI.getQuery).collect {
+          case q if q.startsWith("id=") => q.stripPrefix("id=")
+        }.orNull
+        val fut = if (id == null) null else results.get(id)
+        if (fut == null) respond(ex, 404, "unknown id".getBytes)
+        else if (!fut.isDone) respond(ex, 404, "in progress".getBytes)
+        else respond(ex, 200, fut.get())
+      }
+    })
+    s.start()
+    s
+  }
+
+  private def reqId(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst("X-Numaflow-Id"))
+      .getOrElse(UUID.randomUUID().toString)
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    ex.sendResponseHeaders(code, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  override def close(): Unit = {
+    server.stop(0)
+    UdSource.unregister(sourceName)
+  }
+}

@@ -1,0 +1,184 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.streaming.{HttpSource, Kafka, ServingEndpoint, UdSource}
+import graft.streaming.UdSource.MemoryGraftSource
+
+/** Connector ring (SURVEY §2.1/§2.7): Kafka spec→option mapping and
+  * frame decode/encode (no broker in the sandbox — the format("kafka")
+  * wiring is one line; everything else is exercised here on Kafka-shaped
+  * rows), the UD-source SPI end-to-end through DSv2 (read/ack/pending/
+  * partitions), and the HTTP source's header contract over a real local
+  * server — mirroring the reference's udsource-e2e / kafka-e2e suites. */
+class ConnectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Kafka -------------------------------------------------------------
+
+  test("kafka source conf maps to connector options") {
+    val opts = Kafka.sourceOptions(Kafka.SourceConf(
+      brokers = "b1:9092,b2:9092", topics = "events",
+      consumerGroup = Some("graft-cg"), maxOffsetsPerTrigger = Some(500)))
+    assert(opts("kafka.bootstrap.servers") === "b1:9092,b2:9092")
+    assert(opts("subscribe") === "events")
+    assert(opts("kafka.group.id") === "graft-cg")
+    assert(opts("maxOffsetsPerTrigger") === "500")
+    assert(opts("startingOffsets") === "earliest")
+  }
+
+  test("kafka frame decode/encode on kafka-shaped rows") {
+    // kafka-shaped frame: headers is array<struct<key:string,value:binary>>
+    val raw = Seq(
+      ("k1", "v1", "t", 0, 7L, ts("2024-01-01 00:00:01"), true),
+      (null.asInstanceOf[String], "v2", "t", 1, 8L, ts("2024-01-01 00:00:02"), false)
+    ).toDF("key0", "value0", "topic", "partition", "offset", "timestamp", "hasH")
+      .select(
+        col("key0").cast("binary").as("key"),
+        col("value0").cast("binary").as("value"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"),
+        when(col("hasH"),
+          array(struct(lit("h1").as("key"), lit("x").cast("binary").as("value"))))
+          .as("headers"))
+
+    val dec = Kafka.decode(raw).orderBy("offset").collect()
+    assert(dec(0).getAs[Seq[String]]("keys") === Seq("k1"))
+    assert(new String(dec(0).getAs[Array[Byte]]("value")) === "v1")
+    assert(dec(0).getAs[Map[String, String]]("headers") === Map("h1" -> "x"))
+    assert(dec(1).getAs[Seq[String]]("keys") === Seq.empty)
+    assert(dec(1).getAs[Map[String, String]]("headers") === Map.empty)
+
+    val enc = Kafka.encode(
+      Seq(("rid", "payload")).toDF("rid", "body"), "rid", "body").collect().head
+    assert(new String(enc.getAs[Array[Byte]]("key")) === "rid")
+    assert(new String(enc.getAs[Array[Byte]]("value")) === "payload")
+  }
+
+  // ---- UD-source SPI ------------------------------------------------------
+
+  test("udsource: read/ack/pending through DSv2 micro-batches") {
+    val src = UdSource.register("spec-mem", new MemoryGraftSource(numPartitions = 2))
+    src.append(Seq("a"), "m0".getBytes, ts("2024-01-01 00:00:01"), partition = 0)
+    src.append(Seq("b"), "m1".getBytes, ts("2024-01-01 00:00:02"), partition = 1,
+      headers = Map("h" -> "1"))
+    assert(src.pending === 2)
+
+    val q = UdSource.readStream(spark, "spec-mem")
+      .writeStream.format("memory").queryName("ud_out")
+      .option("checkpointLocation", Files.createTempDirectory("udsrc").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // second wave: offsets continue from the checkpoint
+      src.append(Seq("a"), "m2".getBytes, ts("2024-01-01 00:00:03"), partition = 0)
+      q.processAllAvailable()
+      // third wave: forces another micro-batch so the engine commits the
+      // second one (source.commit fires on the NEXT batch's construction —
+      // the last in-flight batch stays unacked until then: at-least-once).
+      src.append(Seq("a"), "m3".getBytes, ts("2024-01-01 00:00:04"), partition = 0)
+      q.processAllAvailable()
+
+      val rows = spark.table("ud_out")
+        .select(col("keys")(0).as("k"), col("value").cast("string"),
+          col("partition"), col("offset"), col("headers"))
+        .as[(String, String, Int, Long, Map[String, String])]
+        .collect().sortBy(_._2)
+      assert(rows.map(_._2).toSeq === Seq("m0", "m1", "m2", "m3"))
+      assert(rows.map(r => (r._1, r._3, r._4)).toSeq ===
+        Seq(("a", 0, 0L), ("b", 1, 0L), ("a", 0, 1L), ("a", 0, 2L)))
+      assert(rows(1)._5 === Map("h" -> "1"))
+
+      // every batch except (possibly) the last in-flight one is acked
+      val deadline = System.currentTimeMillis() + 10000
+      while (src.pending > 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(src.pending <= 1)
+      assert(src.ackedUpTo(0) >= 2L && src.ackedUpTo(1) === 1L)
+    } finally {
+      q.stop()
+      UdSource.unregister("spec-mem")
+    }
+  }
+
+  // ---- HTTP source --------------------------------------------------------
+
+  test("http source: header contract + id dedup, e2e through the SPI") {
+    val http = new HttpSource(port = 0)
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: String, hs: (String, String)*): Int = {
+        val b = HttpRequest.newBuilder(URI.create(http.url))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        hs.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+
+      assert(post("p1", "X-Numaflow-Id" -> "id-1",
+        "X-Numaflow-Event-Time" -> "1704067201000",
+        "X-Numaflow-Keys" -> "k1,k2") === 200)
+      assert(post("p1-dup", "X-Numaflow-Id" -> "id-1") === 202) // dedup'd
+      assert(post("p2") === 200)                                // defaults
+      assert(http.pending === 2)
+
+      val name = "spec-http"
+      UdSource.register(name, http)
+      val q = UdSource.readStream(spark, name)
+        .writeStream.format("memory").queryName("http_out")
+        .option("checkpointLocation", Files.createTempDirectory("httpsrc").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("http_out")
+          .select(col("value").cast("string").as("v"), col("keys"), col("eventTime"))
+          .orderBy("offset").collect()
+        assert(rows.map(_.getString(0)).toSeq === Seq("p1", "p2"))
+        assert(rows(0).getAs[Seq[String]]("keys") === Seq("k1", "k2"))
+        assert(rows(0).getAs[java.sql.Timestamp]("eventTime").getTime === 1704067201000L)
+      } finally { q.stop(); UdSource.unregister(name) }
+    } finally http.close()
+  }
+
+  // ---- ServingPipeline ----------------------------------------------------
+
+  test("serving: sync POST -> DAG -> keyed response; async fetch") {
+    val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000)
+    // DAG: uppercase the payload, answer to the request id (keys[0]).
+    val q = UdSource.readStream(spark, serving.sourceName)
+      .select(col("keys")(0).as("rid"), upper(col("value").cast("string")).as("resp"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("serving").toString)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        serving.serveSink("rid", "resp")(batch.toDF(), id))
+      .start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val sync = client.send(
+        HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/process/sync"))
+          .POST(HttpRequest.BodyPublishers.ofString("hello graft")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(sync.statusCode() === 200)
+      assert(sync.body() === "HELLO GRAFT")
+
+      val async = client.send(
+        HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/process/async"))
+          .header("X-Numaflow-Id", "req-42")
+          .POST(HttpRequest.BodyPublishers.ofString("later")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(async.statusCode() === 200 && async.body().contains("req-42"))
+      val deadline = System.currentTimeMillis() + 30000
+      var fetched: HttpResponse[String] = null
+      while ({
+        fetched = client.send(
+          HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/fetch?id=req-42"))
+            .GET().build(), HttpResponse.BodyHandlers.ofString())
+        fetched.statusCode() != 200 && System.currentTimeMillis() < deadline
+      }) Thread.sleep(100)
+      assert(fetched.statusCode() === 200)
+      assert(fetched.body() === "LATER")
+    } finally { q.stop(); serving.close() }
+  }
+}
