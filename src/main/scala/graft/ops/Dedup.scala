@@ -41,6 +41,17 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Effectively-once by message id (SURVEY X2): the reference dedups ISB
+    * writes by `MessageID` within a dedup window (numaflow
+    * `rust/numaflow-core/src/pipeline/isb/jetstream/js_writer.rs:167-195`).
+    * Streaming: `dropDuplicatesWithinWatermark` — state is bounded by the
+    * watermark delay, the exact analog of JetStream's windowed dedup, so
+    * it holds at 100 TB/day ingest (state ∝ ids per window, not stream).
+    * Batch: plain `dropDuplicates` (the oracle-checkable twin). */
+  def byId(df: DataFrame, idCols: Seq[String]): DataFrame =
+    if (df.isStreaming) df.dropDuplicatesWithinWatermark(idCols)
+    else df.dropDuplicates(idCols)
+
   /** Mersenne prime 2^31-1 and fixed odd 31-bit affine constants for the
     * minhash permutation family h_i(x) = (A(i)·x + B(i)) mod P. One md5
     * per shingle (not per shingle×perm) keeps the hash cost linear; the

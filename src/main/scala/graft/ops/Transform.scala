@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Source transformer (SURVEY §2.2, T1/T2).
   *
@@ -27,4 +28,38 @@ object Transform {
     * expansion stays inside whole-stage codegen. */
   def flatMapAtSource(df: DataFrame, cols: Seq[Column]): DataFrame =
     df.select(cols: _*)
+
+  /** T2 late-data marking: the reference sets `is_late=true` at the source
+    * when a message's event time is below the CURRENT source watermark =
+    * max observed event time − maxDelay (numaflow `source.rs:726-729`); the
+    * message still flows, the reducer decides. Spark has no in-plan
+    * "current watermark" expression, so the marker runs per micro-batch in
+    * foreachBatch: the watermark is carried across batches driver-side (the
+    * same place the reference's source tracks it). Costs one extra max()
+    * scan of each (source-sized, pre-fanout) batch. */
+  final class LateMarker(tsCol: String, maxDelayMs: Long) extends Serializable {
+    @volatile private var maxSeenMs: Long = Long.MinValue
+
+    /** Flag `batch` against the watermark of PRIOR batches, then fold this
+      * batch's max event time into the tracked state. */
+    def mark(batch: DataFrame): DataFrame = {
+      val wm = if (maxSeenMs == Long.MinValue) Long.MinValue else maxSeenMs - maxDelayMs
+      val flagged = batch.withColumn("is_late",
+        unix_millis(col(tsCol)) < lit(wm))
+      val batchMax = batch.agg(max(unix_millis(col(tsCol)))).collect().head
+      if (!batchMax.isNullAt(0)) maxSeenMs = math.max(maxSeenMs, batchMax.getLong(0))
+      flagged
+    }
+  }
+
+  /** X3 ordered processing: FIFO per partition in ARRIVAL order (not event
+    * time) — numaflow `docs/user-guide/reference/ordered-processing.md:
+    * 10-47`: fixed partition count, keys pinned to partitions. Spark rows
+    * are ordered within a partition already; this makes the contract
+    * explicit: hash-pin keys to `n` partitions, then sort by the arrival
+    * index (e.g. the source offset). One shuffle, then in-partition sort —
+    * no global sort, so it scales like any keyed exchange. */
+  def ordered(df: DataFrame, keyCols: Seq[Column], arrivalCol: Column,
+              numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, keyCols: _*).sortWithinPartitions(arrivalCol)
 }

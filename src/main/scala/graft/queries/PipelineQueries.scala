@@ -72,6 +72,14 @@ object PipelineQueries extends QueryPack {
       Routing.fanIn(Seq(branches("even"), branches("odd")))
     },
 
+    // X2: effectively-once by message id — batch twin of
+    // dropDuplicatesWithinWatermark (duplicates injected by self-union,
+    // mirroring an ISB redelivery).
+    "x2_dedup" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select("event_id", "user_id", "event_type")
+      graft.ops.Dedup.byId(e.unionAll(e), Seq("event_id"))
+    },
+
     // R6: set ops declared for engine parity (absent in the reference).
     "r6_intersect" -> { (s, dir) =>
       val e = Tables.events(s, dir)
@@ -121,6 +129,10 @@ object PipelineQueries extends QueryPack {
       """SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
         |UNION ALL
         |SELECT event_id, event_type, value FROM events WHERE event_id % 2 <> 0""".stripMargin,
+    "x2_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  UNION ALL SELECT event_id, user_id, event_type FROM events)""".stripMargin,
     "r6_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT

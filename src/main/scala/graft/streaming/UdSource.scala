@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,10 +70,15 @@ object UdSource {
     StructField("partition", IntegerType),
     StructField("offset", LongType)))
 
-  /** Open a streaming DataFrame over a registered source. */
-  def readStream(spark: SparkSession, sourceName: String): DataFrame =
-    spark.readStream.format(classOf[UdSourceProvider].getName)
-      .option("source", sourceName).load()
+  /** Open a streaming DataFrame over a registered source; `limiter`
+    * optionally names a registered [[RateLimit.RampUpLimiter]] (X5). */
+  def readStream(spark: SparkSession, sourceName: String,
+                 limiter: Option[String] = None): DataFrame = {
+    val r = spark.readStream.format(classOf[UdSourceProvider].getName)
+      .option("source", sourceName)
+    limiter.foreach(r.option("limiter", _))
+    r.load()
+  }
 
   // -------- registry ------------------------------------------------------
 
@@ -137,12 +142,35 @@ object UdSource {
   private final case class UdInputPartition(sourceName: String, partition: Int,
       from: Long, until: Long) extends InputPartition
 
-  private[streaming] class UdMicroBatchStream(sourceName: String) extends MicroBatchStream {
+  private[streaming] class UdMicroBatchStream(sourceName: String,
+      limiterName: Option[String] = None)
+      extends MicroBatchStream with SupportsAdmissionControl {
     private def src = get(sourceName)
+    private def limiter = limiterName.flatMap(RateLimit.get)
     override def initialOffset(): Offset =
       UdOffset(src.partitions.map(_ -> 0L).toMap)
     override def latestOffset(): Offset =
       UdOffset(src.partitions.map(p => p -> src.latestOffset(p)).toMap)
+    /** Admission control (X5): the per-trigger allowance comes from the
+      * ramp-up limiter and caps offsets at the true admission point —
+      * partitions consume the shared allowance in partition order. */
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val startParts = start.asInstanceOf[UdOffset].parts
+      val latest = src.partitions.map(p => p -> src.latestOffset(p)).toMap
+      limiter match {
+        case None => UdOffset(latest)
+        case Some(l) =>
+          var allowance = l.cap
+          UdOffset(latest.toSeq.sorted.map { case (p, lat) =>
+            val from = startParts.getOrElse(p, 0L)
+            val take = math.min(lat - from, allowance)
+            allowance -= math.max(take, 0L)
+            p -> math.max(from, from + take)
+          }.toMap)
+      }
+    }
+    override def reportLatestOffset(): Offset = latestOffset()
     override def deserializeOffset(json: String): Offset = UdOffset.fromJson(json)
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
       val s = start.asInstanceOf[UdOffset].parts
@@ -153,9 +181,12 @@ object UdSource {
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = new UdReaderFactory
-    /** Micro-batch committed (checkpointed) → ack back to the source. */
-    override def commit(end: Offset): Unit =
+    /** Micro-batch committed (checkpointed) → ack back to the source, and
+      * the limiter climbs its ramp. */
+    override def commit(end: Offset): Unit = {
       end.asInstanceOf[UdOffset].parts.foreach { case (p, o) => src.ack(p, o) }
+      limiter.foreach(_.onSuccess())
+    }
     override def stop(): Unit = ()
   }
 
@@ -186,10 +217,11 @@ class UdSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = UdSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new UdSourceTable(properties.get("source"))
+    new UdSourceTable(properties.get("source"), Option(properties.get("limiter")))
 }
 
-private class UdSourceTable(sourceName: String) extends Table with SupportsRead {
+private class UdSourceTable(sourceName: String, limiterName: Option[String] = None)
+    extends Table with SupportsRead {
   require(sourceName != null, "udsource requires option 'source' (registry name)")
   override def name(): String = s"udsource($sourceName)"
   override def schema(): StructType = UdSource.schema
@@ -200,7 +232,7 @@ private class UdSourceTable(sourceName: String) extends Table with SupportsRead 
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = UdSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new UdSource.UdMicroBatchStream(sourceName)
+          new UdSource.UdMicroBatchStream(sourceName, limiterName)
       }
     }
 }

@@ -1,0 +1,199 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.Pipeline.{Fixed, GroupBySpec}
+import graft.ops.{Cycles, Dedup, Transform}
+import graft.streaming.{Compiler, RateLimit, SideInputs, StatusApi, UdSource}
+import graft.streaming.UdSource.MemoryGraftSource
+
+/** Cross-cutting data-plane semantics (SURVEY §2.8 + W7 + T2 + R4),
+  * mirroring the reference's functional e2e scenarios: streaming dedup,
+  * early-firing reduce, side-input refresh, late marking, ordered mode,
+  * ramp-up rate limiting, the daemon status API, and bounded cycles. */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("X2: streaming dedup by id within the watermark (replayed duplicate)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val deduped = Dedup.byId(
+      in.toDF().toDF("ts", "id", "value").withWatermark("ts", "10 seconds"),
+      Seq("id"))
+
+    val q = deduped.writeStream.format("memory").queryName("x2_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:01"), "a", 1L), (ts("2024-01-01 00:00:02"), "b", 2L))
+      q.processAllAvailable()
+      // ISB redelivery analog: same id arrives again in a later batch
+      in.addData((ts("2024-01-01 00:00:01"), "a", 1L), (ts("2024-01-01 00:00:03"), "c", 3L))
+      q.processAllAvailable()
+      val ids = spark.table("x2_out").select("id").as[String].collect().sorted
+      assert(ids.toSeq === Seq("a", "b", "c")) // duplicate "a" suppressed
+    } finally q.stop()
+  }
+
+  test("W7: streaming:true fires early partials (update mode before close)") {
+    implicit val ctx = spark.sqlContext
+    val gb = GroupBySpec(Fixed("60 seconds", streaming = true), Seq("key"),
+      Seq(sum(col("value")).as("total")))
+    assert(Compiler.outputMode(gb) === "update")
+    assert(Compiler.outputMode(gb.copy(window = Fixed("60 seconds"))) === "append")
+
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val agg = in.toDF().toDF("ts", "key", "value")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "60 seconds"), col("key"))
+      .agg(sum("value").as("total"))
+      .select(col("window.start").as("w_start"), col("key"), col("total"))
+
+    val q = agg.writeStream.format("memory").queryName("w7_out")
+      .outputMode(Compiler.outputMode(gb)).start()
+    try {
+      in.addData((ts("2024-01-01 00:00:10"), "k", 1L), (ts("2024-01-01 00:00:20"), "k", 2L))
+      q.processAllAvailable()
+      // the window [00:00,01:00) is NOT closed (wm ~ 00:00:10) yet the
+      // partial total=3 must already be emitted — the early-firing contract
+      val partial = spark.table("w7_out").select("total").as[Long].collect()
+      assert(partial.contains(3L))
+
+      in.addData((ts("2024-01-01 00:00:30"), "k", 4L))
+      q.processAllAvailable()
+      val updated = spark.table("w7_out").select("total").as[Long].collect()
+      assert(updated.contains(7L)) // second partial for the same window
+    } finally q.stop()
+  }
+
+  test("X4: side input refreshes between micro-batches and reaches the batch body") {
+    @volatile var lookup = Map("k" -> "v1")
+    val si = new SideInputs.SideInput[Map[String, String]](() => lookup)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    val writer = SideInputs.withSideInput(si) { (batch, _, value) =>
+      val k = batch.select("key").as[String].collect().head
+      seen += value(k)
+    }
+    writer(Seq("k").toDF("key"), 0L)
+    lookup = Map("k" -> "v2") // the "cron" recompute
+    writer(Seq("k").toDF("key"), 1L)
+
+    assert(seen.toSeq === Seq("v1", "v2"))
+    assert(si.refreshCount === 2)
+  }
+
+  test("T2: late marker flags rows below max-seen-event-time minus delay") {
+    val marker = new Transform.LateMarker("ts", maxDelayMs = 10000)
+    val b1 = Seq((ts("2024-01-01 00:01:00"), "x")).toDF("ts", "v")
+    // first batch: no watermark yet, nothing late
+    assert(marker.mark(b1).where(col("is_late")).count() === 0)
+
+    // second batch: wm = 00:01:00 - 10s = 00:00:50; one row below it
+    val b2 = Seq(
+      (ts("2024-01-01 00:00:40"), "late"),
+      (ts("2024-01-01 00:00:55"), "in-grace"),
+      (ts("2024-01-01 00:02:00"), "fresh")).toDF("ts", "v")
+    val flagged = marker.mark(b2).select("v", "is_late").as[(String, Boolean)].collect().toMap
+    assert(flagged === Map("late" -> true, "in-grace" -> false, "fresh" -> false))
+  }
+
+  test("X3: ordered mode pins keys to partitions in arrival order") {
+    val df = Seq(
+      ("k1", 2L, "b"), ("k2", 1L, "x"), ("k1", 1L, "a"),
+      ("k2", 2L, "y"), ("k1", 3L, "c"))
+      .toDF("key", "arrival", "v")
+    val ordered = Transform.ordered(df, Seq(col("key")), col("arrival"), numPartitions = 4)
+
+    // within every physical partition, arrival order must be monotonic and
+    // each key must live in exactly one partition
+    val perPart = ordered.select("key", "arrival")
+      .as[(String, Long)]
+      .mapPartitions(it => Iterator(it.toSeq)).collect().filter(_.nonEmpty)
+    perPart.foreach { rows =>
+      assert(rows.map(_._2) === rows.map(_._2).sorted)
+    }
+    val partsPerKey = perPart.zipWithIndex
+      .flatMap { case (rows, i) => rows.map(r => (r._1, i)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    assert(partsPerKey.values.forall(_ == 1))
+  }
+
+  test("X5: ramp-up limiter caps admission per trigger, climbing to max") {
+    val src = UdSource.register("x5-mem", new MemoryGraftSource(1))
+    (0 until 12).foreach(i =>
+      src.append(Seq("k"), s"m$i".getBytes, ts(s"2024-01-01 00:00:0${i % 10}")))
+    val lim = RateLimit.register("x5-lim",
+      new RateLimit.RampUpLimiter(min = 2, max = 8, rampUpBatches = 2))
+    assert(lim.cap === 2)
+
+    val q = UdSource.readStream(spark, "x5-mem", limiter = Some("x5-lim"))
+      .writeStream.format("memory").queryName("x5_out")
+      .option("checkpointLocation", Files.createTempDirectory("x5").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // admission: batch1 <= 2 rows, then 5 (cap (2+8)/2), then 8 → all 12
+      assert(spark.table("x5_out").count() === 12)
+      assert(lim.cap === 8) // ramp completed
+      // GoBackN: a failure re-ramps from the floor
+      lim.onFailure()
+      assert(lim.cap === 2)
+    } finally { q.stop(); UdSource.unregister("x5-mem"); RateLimit.unregister("x5-lim") }
+  }
+
+  test("X9: status endpoint serves query progress, watermarks, pending") {
+    implicit val ctx = spark.sqlContext
+    val api = new StatusApi(port = 0)
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = api.track("p1", in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "60 seconds")).agg(sum("v").as("s"))
+      .writeStream.format("memory").queryName("x9_out").outputMode("update").start())
+    val src = new MemoryGraftSource(1)
+    src.append(Seq("k"), "m".getBytes, ts("2024-01-01 00:00:00"))
+    api.trackSource("src1", src)
+    try {
+      in.addData((ts("2024-01-01 00:01:00"), 5L))
+      q.processAllAvailable()
+      val client = HttpClient.newHttpClient()
+      def getJson(path: String): String =
+        client.send(HttpRequest.newBuilder(URI.create(s"${api.url}$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+
+      val status = getJson("/status")
+      assert(status.contains("\"name\":\"p1\"") && status.contains("\"active\":true"))
+      assert(status.contains("numInputRows")) // full lastProgress embedded
+      // watermark propagates on the no-data follow-up batch — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      var wms = getJson("/watermarks")
+      while (!wms.contains("2024-01-01T00:00:50") &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); wms = getJson("/watermarks")
+      }
+      assert(wms.contains("\"p1\":\"2024-01-01T00:00:50")) // 00:01:00 - 10s
+      assert(getJson("/pending") === "{\"src1\":1}")
+    } finally { q.stop(); api.close() }
+  }
+
+  test("R4: bounded cycle drains a retry loop and caps iterations") {
+    // each pass doubles v; rows leave the cycle once v >= 10
+    val init = Seq(1L, 3L, 64L).toDF("v")
+    def step(df: org.apache.spark.sql.DataFrame) =
+      (df.where(col("v") * 2 >= 10).withColumn("v", col("v") * 2),
+        df.where(col("v") * 2 < 10).withColumn("v", col("v") * 2))
+
+    val (done, leftover) = Cycles.boundedLoop(init, step, maxIterations = 10)
+    assert(done.select("v").as[Long].collect().sorted.toSeq === Seq(12L, 16L, 128L))
+    assert(leftover.isEmpty)
+
+    // bound enforcement: 1 iteration leaves the small rows unresolved
+    val (d1, l1) = Cycles.boundedLoop(init, step, maxIterations = 1)
+    assert(d1.select("v").as[Long].collect().toSeq === Seq(128L))
+    assert(l1.select("v").as[Long].collect().sorted.toSeq === Seq(2L, 6L))
+  }
+}
