@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word w-shingles per doc: (id, shingle). */
+  /** Word w-shingles per doc: (id, shingle), WITH duplicates — both
+    * consumers are duplicate-insensitive (min-aggregation; collect_set),
+    * so no distinct here: it would cost a full (id, shingle) shuffle that
+    * the downstream aggregate absorbs for free. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
     val toks = split(col(textCol), " ")
     // shingle i = tokens[i..i+w) joined; sequence stays inside codegen.
@@ -30,8 +33,7 @@ object Dedup {
     val idxs = when(size(toks) >= w, sequence(lit(0), size(toks) - w))
       .otherwise(array().cast("array<int>"))
     docs.select(col(idCol),
-        explode(transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(w))))).as("shingle"))
-      .distinct()
+      explode(transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(w))))).as("shingle"))
   }
 
   /** Exact dedup: group identical normalized texts, keep the smallest id.
@@ -68,18 +70,26 @@ object Dedup {
     0x2C1B3C6DL, 0x297A2D39L, 0x9E3779B1L, 0x85EBCA6BL).map(_ % MinhashP)
 
   /** MinHash signatures: per doc, min over shingles of h_seed(base) where
-    * base = first-8-hex of md5(shingle). Returns (id, seed, minhash). */
+    * base = first-8-hex of md5(shingle). Returns (id, seed, minhash).
+    *
+    * All numPerm minimums are computed as parallel aggregates of ONE
+    * groupBy(id) — no seed explosion before the shuffle (numPerm× fewer
+    * shuffled rows), and map-side partial aggregation reduces each
+    * partition to one signature row per doc before anything moves. The
+    * (id, seed, minhash) long form is unpivoted AFTER the aggregate. */
   def minhash(sh: DataFrame, idCol: String, numPerm: Int): DataFrame = {
     require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
     val base = conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))), 1, 8), 16, 10)
       .cast("long")
-    val perms = (0 until numPerm).map { i =>
-      struct(lit(i).as("seed"),
-        pmod(lit(MinhashA(i)) * base + lit(MinhashB(i)), lit(MinhashP)).as("h"))
+    val aggs = (0 until numPerm).map { i =>
+      min(pmod(lit(MinhashA(i)) * base + lit(MinhashB(i)), lit(MinhashP))).as(s"h$i")
     }
-    sh.select(col(idCol), explode(array(perms: _*)).as("p"))
-      .groupBy(col(idCol), col("p.seed").as("seed"))
-      .agg(min(col("p.h")).as("minhash"))
+    sh.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        posexplode(array((0 until numPerm).map(i => col(s"h$i")): _*)))
+      .withColumnRenamed("pos", "seed")
+      .withColumnRenamed("col", "minhash")
   }
 
   /** LSH banding: group numPerm minhashes into bands of `rowsPerBand`,
@@ -112,18 +122,17 @@ object Dedup {
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", conv(substring(md5(to_binary(col("word"), lit("utf-8"))), 1, 8), 16, 10)
         .cast("long"))
-    words
-      .select(col(idCol), explode(sequence(lit(0), lit(31))).as("bit"),
-        col("cnt"), col("h"))
-      .withColumn("vote",
-        when(expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(1) === 1, col("cnt"))
-          .otherwise(-col("cnt")))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("v") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(0L))
-        .as("simhash"))
+    // all 32 bit-votes as parallel aggregates of one groupBy(id) — no 32×
+    // bit explosion before the shuffle; the bit pack happens post-agg.
+    val votes = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$b")
+    }
+    words.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
@@ -139,16 +148,24 @@ object Dedup {
     * broadcast anti-join, no extra shuffle on the big side. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, w: Int = 3, maxDocFreq: Int = 100): DataFrame = {
-    val all = shingles(docs, idCol, textCol, w).withColumnRenamed(idCol, "id")
-    val hot = all.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df")).where(col("df") > maxDocFreq)
-      .select(col("shingle"))
-    val sh = all.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.select(col("id").as("a"), col("shingle"))
-      .join(sh.select(col("id").as("b"), col("shingle")), "shingle")
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    val sh = shingles(docs, idCol, textCol, w).withColumnRenamed(idCol, "id")
+    // ONE shuffle builds the posting list per shingle; the cap drops hot
+    // lists wholesale; candidate (a,b) pairs expand map-side from each
+    // (bounded) list — no shingle self-join, no second pass over the corpus.
+    // collect_set dedups repeated (id, shingle) occurrences — set
+    // semantics land here instead of a separate distinct shuffle.
+    val posting = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) <= maxDocFreq)
+    val sizes = posting.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // ids sorted ascending → every emitted pair already has a < b.
+    val pairs = posting.select(explode(flatten(transform(col("ids"), (a, i) =>
+      transform(
+        slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - 1, lit(0))),
+        b => struct(a.as("a"), b.as("b")))))).as("p"))
+    val common = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select(col("id").as("a"), col("n_sh").as("na")), "a")
       .join(sizes.select(col("id").as("b"), col("n_sh").as("nb")), "b")
