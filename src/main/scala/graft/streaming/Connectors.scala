@@ -1,0 +1,168 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import scala.collection.mutable.ArrayBuffer
+
+import graft.streaming.UdSource.{GraftSource, SourceRecord}
+
+/** Messaging connectors (SURVEY S4-S7 sources, K4-K5 sinks) as thin
+  * adapters over the UD-source SPI, exactly the economics the SPI was
+  * built for: each adapter encodes its broker's DELIVERY SEMANTICS —
+  * offsets, ack shape, replay behavior — while the network client is an
+  * injected interface (no broker client libraries ship in this engine;
+  * production binds the real SDK, tests bind a fake, and the semantics
+  * under test are identical).
+  *
+  * Semantics per the reference:
+  *  - SQS (`rust/extns/numaflow-sqs/src/source.rs`): receive → in-flight
+  *    by receipt handle → DELETE on ack; un-deleted messages reappear
+  *    after the visibility timeout (redelivery).
+  *  - NATS core (`rust/extns/numaflow-nats/src/nats.rs`): plain subject
+  *    subscription, at-most-once — no ack, no replay.
+  *  - NATS JetStream (`jetstream.rs`): durable consumer, integer stream
+  *    sequences as offsets, replayable from the last acked floor.
+  *  - Pulsar (`rust/extns/numaflow-pulsar/src/source.rs`): subscription
+  *    with CUMULATIVE ack up to a message id.
+  */
+object Connectors {
+
+  private def now() = new Timestamp(System.currentTimeMillis())
+
+  // ---- SQS (S7 source, K5 sink) -----------------------------------------
+
+  /** Injected transport: the AWS SDK surface the adapter needs. */
+  trait SqsClient {
+    /** (receiptHandle, messageId, body, attributes). */
+    def receive(max: Int): Seq[(String, String, Array[Byte], Map[String, String])]
+    def delete(receiptHandles: Seq[String]): Unit
+    def send(bodies: Seq[Array[Byte]]): Unit
+  }
+
+  /** SQS source: local monotonically-increasing offsets over received
+    * messages; receipt handles held until the offset is acked, then
+    * DELETED — the queue's at-least-once contract (unacked messages
+    * reappear via visibility timeout on the queue side). */
+  final class SqsSource(client: SqsClient, pollBatch: Int = 10) extends GraftSource {
+    private val buf = ArrayBuffer.empty[(SourceRecord, String)] // record + receipt
+    private var deleted = 0L
+
+    def partitions: Seq[Int] = Seq(0)
+    def latestOffset(p: Int): Long = synchronized {
+      client.receive(pollBatch).foreach { case (receipt, msgId, body, attrs) =>
+        buf += ((SourceRecord(deleted + buf.length, 0, Seq(msgId), body, now(),
+          attrs + ("sqs-message-id" -> msgId)), receipt))
+      }
+      deleted + buf.length
+    }
+    def read(p: Int, from: Long, until: Long): Iterator[SourceRecord] =
+      synchronized(buf.map(_._1).filter(r => r.offset >= from && r.offset < until).toList).iterator
+    def ack(p: Int, upTo: Long): Unit = synchronized {
+      val (done, keep) = buf.partition(_._1.offset < upTo)
+      if (done.nonEmpty) {
+        client.delete(done.map(_._2).toSeq) // delete-on-ack
+        deleted += done.length
+        buf.clear(); buf ++= keep
+      }
+    }
+    def pending: Long = synchronized(buf.length.toLong)
+  }
+
+  /** SQS sink (K5): SendMessageBatch caps at 10 entries per call. */
+  def sqsSink(client: SqsClient, valueCol: String): Sinks.Writer = (batch, _) =>
+    batch.select(org.apache.spark.sql.functions.col(valueCol).cast("binary"))
+      .collect().map(_.getAs[Array[Byte]](0))
+      .grouped(10).foreach(g => client.send(g.toSeq))
+
+  // ---- NATS core (S4) ----------------------------------------------------
+
+  /** Injected transport: a subscription the adapter drains. */
+  trait NatsSubscription {
+    def drain(): Seq[Array[Byte]]
+  }
+
+  /** NATS core source: at-most-once — messages buffer as they arrive,
+    * ack is a no-op (core NATS has none), nothing replays after restart.
+    * The checkpoint still makes delivery into the DAG exactly-once from
+    * what the adapter buffered. */
+  final class NatsSource(sub: NatsSubscription, subject: String) extends GraftSource {
+    private val buf = ArrayBuffer.empty[SourceRecord]
+    def partitions: Seq[Int] = Seq(0)
+    def latestOffset(p: Int): Long = synchronized {
+      sub.drain().foreach { body =>
+        buf += SourceRecord(buf.length.toLong, 0, Seq(subject), body, now())
+      }
+      buf.length.toLong
+    }
+    def read(p: Int, from: Long, until: Long): Iterator[SourceRecord] =
+      synchronized(buf.slice(from.toInt, until.toInt).toList).iterator
+    def ack(p: Int, upTo: Long): Unit = () // core NATS: nothing to ack
+    def pending: Long = synchronized(buf.length.toLong)
+  }
+
+  // ---- NATS JetStream (S5) ----------------------------------------------
+
+  /** Injected transport: a durable consumer addressed by stream sequence. */
+  trait JetStreamConsumer {
+    /** Messages with `from <= seq < until` (server-side replayable). */
+    def fetch(from: Long, until: Long): Seq[(Long, Array[Byte])]
+    def lastSequence: Long
+    def ackUpTo(seq: Long): Unit
+  }
+
+  /** JetStream source: the broker's integer sequences ARE the offsets —
+    * no adapter-side buffering at all; replay after restart is served by
+    * the stream itself, which is why the reference builds its ISB on it. */
+  final class JetStreamSource(consumer: JetStreamConsumer, subject: String) extends GraftSource {
+    @volatile private var ackedTo = 0L
+    def partitions: Seq[Int] = Seq(0)
+    def latestOffset(p: Int): Long = consumer.lastSequence
+    def read(p: Int, from: Long, until: Long): Iterator[SourceRecord] =
+      consumer.fetch(from, until).map { case (seq, body) =>
+        SourceRecord(seq, 0, Seq(subject), body, now())
+      }.iterator
+    def ack(p: Int, upTo: Long): Unit = { ackedTo = upTo; consumer.ackUpTo(upTo) }
+    def pending: Long = math.max(consumer.lastSequence - ackedTo, 0L)
+  }
+
+  // ---- Pulsar (S6 source, K4 sink) --------------------------------------
+
+  /** Injected transport: subscription with cumulative ack. */
+  trait PulsarConsumer {
+    /** (messageId, key, body) newly arrived since the last poll. */
+    def poll(): Seq[(Long, String, Array[Byte])]
+    def ackCumulative(messageId: Long): Unit
+  }
+
+  /** Pulsar source: adapter assigns local offsets in arrival order and
+    * maps commit-acks onto CUMULATIVE ack of the highest contained
+    * message id (Pulsar's contract: everything ≤ id is acked). */
+  final class PulsarSource(consumer: PulsarConsumer, topic: String) extends GraftSource {
+    private val buf = ArrayBuffer.empty[(SourceRecord, Long)] // record + pulsar id
+    private var ackedOffset = 0L
+    def partitions: Seq[Int] = Seq(0)
+    def latestOffset(p: Int): Long = synchronized {
+      consumer.poll().foreach { case (mid, key, body) =>
+        buf += ((SourceRecord(buf.length.toLong, 0,
+          if (key == null) Seq.empty else Seq(key), body, now(),
+          Map("pulsar-message-id" -> mid.toString)), mid))
+      }
+      buf.length.toLong
+    }
+    def read(p: Int, from: Long, until: Long): Iterator[SourceRecord] =
+      synchronized(buf.map(_._1).slice(from.toInt, until.toInt).toList).iterator
+    def ack(p: Int, upTo: Long): Unit = synchronized {
+      val covered = buf.filter(_._1.offset < upTo)
+      if (covered.nonEmpty) consumer.ackCumulative(covered.map(_._2).max)
+      ackedOffset = math.max(ackedOffset, upTo)
+    }
+    def pending: Long = synchronized(buf.length - ackedOffset)
+  }
+
+  /** Pulsar sink (K4): keyed produce via an injected producer. */
+  def pulsarSink(produce: (String, Array[Byte]) => Unit,
+                 keyCol: String, valueCol: String): Sinks.Writer = (batch, _) => {
+    import org.apache.spark.sql.functions.col
+    batch.select(col(keyCol).cast("string"), col(valueCol).cast("binary"))
+      .collect().foreach(r => produce(r.getString(0), r.getAs[Array[Byte]](1)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.Tags
+import graft.streaming.UdSource.MemoryGraftSource
+
+/** Per-message NACK (SURVEY M5): a UDF tags a message `__NACK__` with
+  * `NackOptions{delay, max_deliveries}` and the platform redelivers it
+  * later instead of acking (numaflow `message.rs:94,417-422,526-536`,
+  * docs `user-guide/reference/per-message-nack.md`).
+  *
+  * Spark has no per-row nack — acknowledgment is the micro-batch
+  * checkpoint — so redelivery is a LOOPBACK: the sink-side writer splits
+  * NACK-tagged rows out of the batch and re-appends them to the source
+  * buffer (the same cycle-to-self shape as R4), with the delivery count
+  * carried in the message headers. Rows exceeding `maxDeliveries` route to
+  * the DLQ writer (the reference NACKs them to the source until the source
+  * gives up; a bound must exist somewhere — here it is explicit).
+  *
+  * Expected columns: keys array<string>, value binary, eventTime
+  * timestamp, headers map<string,string>, tags array<string>.
+  */
+object Nack {
+
+  /** Header carrying the delivery count across redeliveries. */
+  val DeliveryHeader = "x-delivery-count"
+
+  /** message.rs:526-536 NackOptions. */
+  final case class NackOptions(delayMs: Long = 0, maxDeliveries: Int = 3)
+
+  private lazy val timer = new java.util.Timer("graft-nack-redelivery", true)
+
+  /** Wrap `deliver`: NACK-tagged rows loop back to `loopback` after
+    * `opts.delayMs` (deliveries counted), exhausted rows go to `dlq`,
+    * everything else is delivered. */
+  def redeliveryWriter(loopback: MemoryGraftSource, opts: NackOptions,
+                       deliver: Sinks.Writer, dlq: Sinks.Writer): Sinks.Writer =
+    (batch, id) => {
+      val tagged = batch.persist()
+      try {
+        val nack = tagged.where(array_contains(col("tags"), Tags.Nack))
+        val rows = nack
+          .select(col("keys"), col("value"), col("eventTime"), col("headers"))
+          .collect() // bounded: only the failing rows of one micro-batch
+        // Row.getAs hands back mutable ArraySeq/Map views — normalize.
+        def keysOf(r: org.apache.spark.sql.Row): Seq[String] =
+          r.getAs[scala.collection.Seq[String]]("keys").toSeq
+        def headersOf(r: org.apache.spark.sql.Row): Map[String, String] =
+          r.getAs[scala.collection.Map[String, String]]("headers").toMap
+        val (retry, exhausted) = rows.partition { r =>
+          headersOf(r).getOrElse(DeliveryHeader, "1").toInt < opts.maxDeliveries
+        }
+        retry.foreach { r =>
+          val hs = headersOf(r)
+          val n = hs.getOrElse(DeliveryHeader, "1").toInt + 1
+          def append(): Unit = loopback.append(
+            keysOf(r), r.getAs[Array[Byte]]("value"),
+            r.getAs[Timestamp]("eventTime"), headers = hs + (DeliveryHeader -> n.toString))
+          if (opts.delayMs <= 0) append()
+          else timer.schedule(new java.util.TimerTask { def run(): Unit = append() },
+            opts.delayMs)
+        }
+        if (exhausted.nonEmpty)
+          dlq(dlqFrame(nack, exhausted.map(keysOf)), id)
+        deliver(tagged.where(!array_contains(col("tags"), Tags.Nack)), id)
+      } finally tagged.unpersist()
+    }
+
+  /** The exhausted subset of the nack frame, selected by keys. */
+  private def dlqFrame(nack: DataFrame, keys: Seq[Seq[String]]): DataFrame = {
+    val keyLits = keys.map(k => array(k.map(lit): _*))
+    if (keyLits.isEmpty) nack.limit(0)
+    else nack.where(keyLits.map(col("keys") === _).reduce(_ || _))
+  }
+}

@@ -100,18 +100,42 @@ object UdSource {
 
   // -------- memory implementation (MemoryStream analog) -------------------
 
+  /** Buffer-full policy (SURVEY R5): per-edge `onFull` — numaflow
+    * `edge_types.go:27-33,127-133`, WriteOutcome::Dropped in writer.rs,
+    * e2e functional_test.go:177 TestDropOnFull. */
+  sealed trait OnFull
+  /** Reject the append (caller backs off and retries — backpressure). */
+  case object RetryUntilSuccess extends OnFull
+  /** Load-shed: silently drop the newest message, count it. */
+  case object DiscardLatest extends OnFull
+  final class BufferFullException(p: Int)
+    extends RuntimeException(s"buffer partition $p full")
+
   /** In-memory GraftSource for tests and loopback pipelines: append
-    * records, read them by offset, track acks. */
-  final class MemoryGraftSource(numPartitions: Int = 1) extends GraftSource {
+    * records, read them by offset, track acks. `maxLength` bounds UNACKED
+    * messages per partition (the ISB buffer bound, default 30k msgs —
+    * const.go:183), with [[OnFull]] semantics on overflow. */
+  final class MemoryGraftSource(numPartitions: Int = 1,
+      maxLength: Int = Int.MaxValue, onFull: OnFull = RetryUntilSuccess)
+      extends GraftSource {
     private val bufs = Array.fill(numPartitions)(ArrayBuffer.empty[SourceRecord])
     private val acked = Array.fill(numPartitions)(0L)
+    @volatile private var dropped = 0L
 
     def append(keys: Seq[String], value: Array[Byte], eventTime: Timestamp,
                partition: Int = 0, headers: Map[String, String] = Map.empty): Unit =
       synchronized {
         val buf = bufs(partition)
-        buf += SourceRecord(buf.length.toLong, partition, keys, value, eventTime, headers)
+        if (buf.length - acked(partition) >= maxLength) onFull match {
+          case DiscardLatest      => dropped += 1
+          case RetryUntilSuccess  => throw new BufferFullException(partition)
+        } else {
+          buf += SourceRecord(buf.length.toLong, partition, keys, value, eventTime, headers)
+        }
       }
+
+    /** Messages shed by DiscardLatest (the reference's drop metric). */
+    def droppedCount: Long = dropped
 
     def partitions: Seq[Int] = 0 until numPartitions
     def latestOffset(p: Int): Long = synchronized(bufs(p).length.toLong)
