@@ -41,7 +41,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces for the driver: the same line at a well-known path,
+    // immune to any build-tool log prefixing of stdout.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json)
     spark.stop()
   }
 }

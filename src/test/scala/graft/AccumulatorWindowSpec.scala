@@ -39,4 +39,48 @@ class AccumulatorWindowSpec extends SparkSpec {
     val seqs = out.filter(_.seq <= 3).map(_.seq)
     assert(seqs.toSeq === Seq(1L, 2L, 3L), s"expected in-order release, got ${out.toSeq}")
   }
+
+  test("idle key releases only below-watermark rows on timeout (no early flush)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // 2-minute delay keeps k's far row ABOVE the watermark while the
+    // timeout fires — the scenario where the pre-fix code flushed early.
+    val sorted = AccumulatorWindow.sorted(
+      in.toDS().withWatermark("ts", "2 minutes"),
+      (e: Ev) => e.key, (e: Ev) => e.ts)
+
+    val q = sorted.writeStream.format("memory").queryName("idle_out")
+      .outputMode("append").start()
+
+    def emitted(): Seq[Long] =
+      spark.table("idle_out").as[Ev].collect().filter(_.key == "k").map(_.seq).toSeq
+
+    // key k buffers a near row and a far row, then goes idle
+    in.addData(
+      Ev("k", ts("2024-01-01 00:00:10"), 1),
+      Ev("k", ts("2024-01-01 00:05:00"), 9))
+    q.processAllAvailable()
+    // wm rises to 00:03:00 (= 00:05:00 - 2min); k idle, its timeout fires:
+    // seq 1 (00:00:10 <= wm) may release, seq 9 (00:05:00 > wm) MUST stay
+    // (the pre-fix behavior flushed the whole buffer here)
+    in.addData(Ev("x", ts("2024-01-01 00:06:00"), 100))
+    q.processAllAvailable()
+    in.addData(Ev("x", ts("2024-01-01 00:06:30"), 101)) // wm -> 00:04:00
+    q.processAllAvailable()
+    assert(emitted() === Seq(1L), s"far-future row must not flush early")
+
+    // a later k row between wm (00:04:30 by now) and seq 9 must still
+    // come out BEFORE 9
+    in.addData(Ev("k", ts("2024-01-01 00:04:45"), 2))
+    q.processAllAvailable()
+    in.addData(Ev("x", ts("2024-01-01 00:12:00"), 102)) // wm -> 00:04:30
+    q.processAllAvailable()
+    in.addData(Ev("x", ts("2024-01-01 00:13:00"), 103)) // wm -> 00:10:00: drain
+    q.processAllAvailable()
+    in.addData(Ev("x", ts("2024-01-01 00:14:00"), 104)) // extra tick
+    q.processAllAvailable()
+    q.stop()
+
+    assert(emitted() === Seq(1L, 2L, 9L), "event-time order must hold across idle periods")
+  }
 }
