@@ -56,8 +56,9 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", k = 5)
     },
 
-    // approximate ANN (SRP-LSH buckets) — deterministic but the bucketing
-    // is not reasonably SQL-expressible; driver does a rows-only check.
+    // approximate ANN (SRP-LSH buckets): deterministic md5-derived
+    // hyperplanes are plan literals, so the oracle can reproduce the exact
+    // bucketing (constants injected below) — fully hash-checked.
     "sim_ann_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
@@ -181,6 +182,26 @@ object TrainingQueries extends QueryPack {
         |SELECT a, b, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
         |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin,
+    // Identical SRP bucketing as Similarity.lshTopK: same plane constants
+    // (from srpPlanes), same index-ordered double dot product.
+    "sim_ann_lsh" -> {
+      val planes = graft.ops.Similarity.srpPlanes(nBits = 4, dim = 64)
+      def planeLit(b: Int) =
+        planes(b).mkString("[", ",", "]") + "::DOUBLE[]"
+      val bucket = (0 until 4).map(b =>
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(b)}) >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH bucketed AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |WHERE rank <= 5""".stripMargin
+    },
     "sim_topk" ->
       """SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

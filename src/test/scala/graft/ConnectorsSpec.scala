@@ -58,6 +58,48 @@ class ConnectorsSpec extends SparkSpec {
     assert(new String(enc.getAs[Array[Byte]]("value")) === "payload")
   }
 
+  test("kafka-shaped stream drives a compiled pipeline end-to-end") {
+    import graft.model.Pipeline._
+    implicit val ctx = spark.sqlContext
+    // MemoryStream carrying the exact Kafka frame → the SAME decode path
+    // the kafka format would feed (no broker in the sandbox).
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, java.sql.Timestamp)]
+    val raw = in.toDF().toDF("key0", "value0", "ts0").select(
+      col("key0").cast("binary").as("key"),
+      col("value0").cast("binary").as("value"),
+      lit("t").as("topic"), lit(0).as("partition"), lit(0L).as("offset"),
+      col("ts0").as("timestamp"),
+      lit(null).cast("array<struct<key:string,value:binary>>").as("headers"))
+
+    val spec = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", Kafka.decode(raw), "eventTime"),
+        MapV("parse", df => df.select(col("eventTime"),
+          col("keys")(0).as("key"), col("value").cast("string").cast("long").as("v"))),
+        ReduceV("win", GroupBySpec(Fixed("60 seconds"), Seq("key"),
+          Seq(sum(col("v")).as("total")))),
+        SinkV("out")),
+      edges = Seq(Edge("in", "parse"), Edge("parse", "win"), Edge("win", "out")),
+      watermark = WatermarkSpec("10 seconds"))
+
+    val q = graft.streaming.Compiler.compile(spec, streaming = true)("out")
+      .writeStream.format("memory").queryName("kafka_pipe")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ("a", "1", ts("2024-01-01 00:00:10")),
+        ("a", "2", ts("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      in.addData(("a", "9", ts("2024-01-01 00:05:00"))) // advance wm, close window
+      q.processAllAvailable()
+      in.addData(("a", "1", ts("2024-01-01 00:09:00")))
+      q.processAllAvailable()
+      val totals = spark.table("kafka_pipe")
+        .select(col("key"), col("total")).as[(String, Long)].collect()
+      assert(totals.contains(("a", 3L))) // window [00:00,01:00) summed 1+2
+    } finally q.stop()
+  }
+
   // ---- UD-source SPI ------------------------------------------------------
 
   test("udsource: read/ack/pending through DSv2 micro-batches") {
