@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale tooling for 100 TB operation: co-located (bucketed) joins and
+  * skew-salted joins. The reference has no relational joins at all
+  * (SURVEY §2.9); these are the engine-parity operators' scale path.
+  *
+  *  - Bucketing: writing both join sides bucketed by the join key lets a
+  *    later sort-merge join read co-located buckets with NO exchange on
+  *    either side — the "pre-shuffled ISB partitioning" of a warehouse.
+  *    At 100 TB, re-joining the same fact table across many queries
+  *    amortizes one write-time shuffle over every subsequent join.
+  *  - Salting: a hot key (stop-word grouping, null-heavy FK) makes one
+  *    reducer the straggler. Salting splits the hot side's rows across
+  *    `saltFactor` sub-keys and replicates the other side to match —
+  *    bounded replication for an even spread. AQE's skew-join handles
+  *    moderate skew at runtime (enabled in Bench); explicit salting is
+  *    for the pathological keys AQE cannot split (single-key hash joins).
+  */
+object Scale {
+
+  /** Persist `df` as a bucketed table (bucketBy requires saveAsTable). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keyCols: Seq[String], sortCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Join two bucketed tables on their bucket keys: with matching bucket
+    * counts Catalyst plans a SortMergeJoin over co-located buckets and
+    * inserts NO Exchange (assert with .explain — see ScaleSpec). */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   keys: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), keys, joinType)
+
+  /** Skew-salted equi-join: `big` (skewed) gets a random salt in
+    * [0, saltFactor); `small` is replicated across every salt value; the
+    * join key becomes (key, salt). Row multiplication is saltFactor ×
+    * |small| — bounded and chosen by the caller. Result set is identical
+    * to the unsalted join (salt is dropped). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt",
+      (rand(42) * saltFactor).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Decide broadcast vs shuffle explicitly: Spark auto-broadcasts below
+    * `spark.sql.autoBroadcastJoinThreshold`; this forces the choice when
+    * the caller knows a side is a dimension regardless of stats. */
+  def dimJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+              joinType: String = "inner"): DataFrame =
+    fact.join(broadcast(dim), keys, joinType)
+}

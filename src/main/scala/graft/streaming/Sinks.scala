@@ -66,6 +66,15 @@ object Sinks {
   def withOnSuccess(primary: Writer, onSuccess: Writer): Writer =
     (df, id) => { primary(df, id); onSuccess(df, id) }
 
+  /** Exactly-once parquet sink: each micro-batch writes (overwrite) its
+    * own `batchId=` partition directory, so a checkpoint replay of batch N
+    * rewrites N's directory instead of appending duplicates — the
+    * batchId-idempotent pattern that upgrades at-least-once replays to
+    * exactly-once file output. Read the base path back as one partitioned
+    * dataset. */
+  def idempotentParquetSink(basePath: String): Writer = (df, batchId) =>
+    df.write.mode("overwrite").parquet(s"$basePath/batchId=$batchId")
+
   /** Single-pass fan-out router for foreachBatch: evaluates every
     * conditional edge once per micro-batch over a persisted batch, so the
     * source is read once regardless of edge count (the reference's ISB

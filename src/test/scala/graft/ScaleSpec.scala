@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.Scale
+import graft.streaming.Sinks
+
+/** Scale tooling: co-located bucketed joins (no exchange), skew salting
+  * (same result, spread keys), stream-stream interval joins (SURVEY §2.9
+  * streaming analog), and batchId-idempotent file output. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join plans with no shuffle exchange on either side") {
+    // default warehouse dir (spark-warehouse/, gitignored); fresh tables —
+    // drop catalog entries AND stale locations from previous JVMs
+    def rmdir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmdir)
+      f.delete(); ()
+    }
+    Seq("b_orders", "b_items").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmdir(new java.io.File(s"spark-warehouse/$t"))
+    }
+    val orders = (1L to 100L).map(i => (i, s"o$i")).toDF("id", "o")
+    val items = (1L to 300L).map(i => (i % 100 + 1, s"i$i")).toDF("id", "i")
+    Scale.writeBucketed(orders, "b_orders", buckets = 4, keyCols = Seq("id"),
+      sortCols = Seq("id"))
+    Scale.writeBucketed(items, "b_items", buckets = 4, keyCols = Seq("id"),
+      sortCols = Seq("id"))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "b_orders", "b_items", Seq("id"))
+      assert(joined.count() === 300)
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(physical.contains("SortMergeJoin"))
+      assert(!physical.contains("ShuffleExchange") &&
+        !physical.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$physical")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the unsalted result") {
+    // heavy skew: 90% of big rows share one key
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))
+      .toDF("key", "v")
+    val small = Seq(("HOT", "h"), ("k10", "a"), ("k20", "b")).toDF("key", "w")
+
+    val plain = big.join(small, Seq("key")).select("key", "v", "w")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = Scale.saltedJoin(big, small, "key", saltFactor = 8)
+      .select("key", "v", "w").collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq === plain.toSeq)
+    assert(plain.length === 900 + 2) // 900 HOT matches + k10 + k20
+  }
+
+  test("stream-stream interval join matches only within the time bound") {
+    implicit val ctx = spark.sqlContext
+    val imp = MemoryStream[(String, Timestamp)]
+    val clk = MemoryStream[(String, Timestamp)]
+    val joined = imp.toDF().toDF("ad", "impTs").withWatermark("impTs", "10 seconds")
+      .join(
+        clk.toDF().toDF("ad2", "clkTs").withWatermark("clkTs", "10 seconds"),
+        expr("ad = ad2 AND clkTs BETWEEN impTs AND impTs + interval 1 minute"))
+      .select("ad", "impTs", "clkTs")
+
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      imp.addData(("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-01-01 00:00:05")))
+      clk.addData(
+        ("a", ts("2024-01-01 00:00:30")),  // within 1 min of a's impression
+        ("b", ts("2024-01-01 00:02:00")))  // outside b's bound -> no match
+      q.processAllAvailable()
+      imp.addData(("z", ts("2024-01-01 00:10:00"))) // advance watermarks
+      clk.addData(("z", ts("2024-01-01 00:12:00")))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select("ad").as[String].collect()
+      assert(got.toSeq === Seq("a"))
+    } finally q.stop()
+  }
+
+  test("idempotent parquet sink collapses a replayed batch") {
+    val base = Files.createTempDirectory("idemsink").toString
+    val sink = Sinks.idempotentParquetSink(base)
+    val batch = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    sink(batch, 0L)
+    sink(batch, 0L) // checkpoint replay of the SAME batch id
+    sink(Seq((3L, "z")).toDF("id", "v"), 1L)
+    val out = spark.read.parquet(base)
+    assert(out.count() === 3) // not 5: replay overwrote its own partition
+    assert(out.select("batchId").distinct().as[Long].collect().sorted.toSeq === Seq(0L, 1L))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based window semantics (SURVEY §5 — coverage the reference's
+  * test suite lacks): window-assignment laws checked against an
+  * independent model over randomized event sets, plus dedup invariants. */
+class WindowPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseMs = ts("2024-01-01 00:00:00").getTime
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  /** 150 events in a 1h span across 4 keys. */
+  private val evGen: Gen[List[(Int, Int, Long)]] =
+    Gen.listOfN(150, for {
+      s <- Gen.choose(0, 3600); k <- Gen.choose(0, 3); v <- Gen.choose(0L, 100L)
+    } yield (s, k, v))
+
+  private def toDf(evs: List[(Int, Int, Long)]) =
+    evs.map { case (s, k, v) => (new Timestamp(baseMs + s * 1000L), s"k$k", v) }
+      .toDF("ts", "key", "value")
+
+  test("fixed windows: each event lands in exactly the window truncate(ts, L)") {
+    check(Prop.forAll(evGen) { evs =>
+      {
+        val rows = toDf(evs)
+          .select(window(col("ts"), "60 seconds").as("w"), col("ts"))
+          .select(col("w.start"), col("w.end"), col("ts"))
+          .as[(Timestamp, Timestamp, Timestamp)].collect()
+        rows.length == evs.length && rows.forall { case (s, e, t) =>
+          s.getTime <= t.getTime && t.getTime < e.getTime &&
+            e.getTime - s.getTime == 60000L &&
+            s.getTime == t.getTime - (t.getTime - baseMs) % 60000L
+        }
+      }
+    })
+  }
+
+  test("sliding windows: each event appears in exactly L/S windows, all containing it") {
+    check(Prop.forAll(evGen) { evs =>
+      {
+        val rows = toDf(evs)
+          .select(window(col("ts"), "60 seconds", "20 seconds").as("w"), col("ts"))
+          .select(col("w.start"), col("ts"))
+          .as[(Timestamp, Timestamp)].collect()
+        // ceil(60/20) = 3 assignments per event, each window covering ts
+        rows.length == evs.length * 3 &&
+          rows.forall { case (s, t) =>
+            s.getTime <= t.getTime && t.getTime < s.getTime + 60000L } &&
+          rows.groupBy(_._2).values.forall(_.map(_._1).distinct.length == 3)
+      }
+    })
+  }
+
+  test("session windows: session count per key = 1 + gaps beyond the timeout") {
+    check(Prop.forAll(evGen) { evs =>
+      {
+        val gapMs = 120000L
+        val model = evs
+          .map { case (s, k, v) => (s"k$k", baseMs + s * 1000L) }
+          .groupBy(_._1).map { case (k, ts0) =>
+            val sorted = ts0.map(_._2).distinct.sorted
+            k -> (1 + sorted.zip(sorted.tail).count { case (a, b) => b - a > gapMs })
+          }
+        val got = toDf(evs)
+          .groupBy(session_window(col("ts"), "120 seconds"), col("key"))
+          .agg(count(lit(1)))
+          .groupBy(col("key")).agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect().toMap
+        model.forall { case (k, n) => got(k) == n.toLong }
+      }
+    })
+  }
+
+  test("minhash LSH: an exact duplicate is always a candidate pair") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(6, docGen)) { docs =>
+      {
+        // doc 0 duplicated under a fresh id — its pair MUST surface
+        val rows = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) } :+
+          (docs.length.toLong, docs.head)
+        val pairs = graft.ops.Dedup.minhashLshPairs(
+          rows.toDF("doc_id", "text"), "doc_id", "text",
+          numPerm = 12, rowsPerBand = 3)
+          .as[(Long, Long)].collect().toSet
+        pairs.contains((0L, docs.length.toLong))
+      }
+    })
+  }
+
+  test("exact dedup: n_copies sums to corpus size and keep_id is a member") {
+    check(Prop.forAll(Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "a  b c "))) { texts =>
+      {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val groups = graft.ops.Dedup.exact(df, "doc_id", "text")
+          .as[(String, Long, Long)].collect()
+        groups.map(_._3).sum == texts.length.toLong &&
+          groups.forall(_._2 >= 0) &&
+          // normalization: "a  b c " collapses into the "a b c" group
+          groups.length <= 3
+      }
+    })
+  }
+}
