@@ -19,8 +19,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two double-array columns (index-ordered sums, so
-    * results are bit-deterministic). */
-  def cosine(a: Column, b: Column): Column = {
+    * results are bit-deterministic). Native Catalyst expression with
+    * codegen — one fused loop per row; see
+    * [[graft.functions.CosineSimilarity]]. */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity(a, b)
+
+  /** Composable (higher-order-function) formulation — interpreted lambdas,
+    * kept as the differential-testing twin of the native expression. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))

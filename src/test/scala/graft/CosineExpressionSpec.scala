@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.Similarity
+
+/** Native cosine expression: differential-tested against the
+  * higher-order-function formulation (bit-identical index-ordered sums),
+  * null semantics, and codegen participation. */
+class CosineExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine is bit-identical to the HOF formulation (property)") {
+    val vecGen = Gen.listOfN(20,
+      Gen.listOfN(16, Gen.choose(-10.0, 10.0)).map(_.toArray))
+    val prop = Prop.forAll(vecGen) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val pairs = df.select(col("id").as("a"), col("v").as("va"))
+        .crossJoin(df.select(col("id").as("b"), col("v").as("vb")))
+        .where(col("a") < col("b"))
+      val rows = pairs.select(
+        Similarity.cosine(col("va"), col("vb")).as("native"),
+        Similarity.cosineHof(col("va"), col("vb")).as("hof"))
+        .as[(Double, Double)].collect()
+      rows.forall { case (n, h) => n == h } // EXACT equality, not approx
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("null input yields null; type mismatch is rejected at analysis") {
+    val df = Seq(
+      (Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0))),
+      (None, Some(Array(1.0, 0.0))))
+      .toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq === Seq(Some(1.0), None))
+
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "y")).toDF("a", "b")
+        .select(Similarity.cosine(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("cosine scan stays inside whole-stage codegen") {
+    // range-backed plan with codegen-friendly array() construction (a
+    // local Seq would fold to LocalTableScan; transform() lambdas are
+    // CodegenFallback and would break the project out of codegen — the
+    // very tax the native expression exists to avoid)
+    val df = spark.range(100).select(
+        array((0 until 8).map(i => (col("id") + i + 1).cast("double")): _*).as("a"),
+        array((0 until 8).map(i => (col("id") * 2 + i + 1).cast("double")): _*).as("b"))
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    // executedPlan renders WholeStageCodegen membership as a "*(n)" prefix
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.as[Double].collect().forall(c => c > 0.8 && c <= 1.0))
+  }
+}
