@@ -135,6 +135,29 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming.
+    *
+    * Scale shape: the 32-bit simhash splits into four 8-bit chunks; by
+    * pigeonhole, any pair within Hamming distance 3 agrees on at least
+    * one chunk, so candidates come from FOUR exact-match probes
+    * (join on (band, chunk)) — never an all-pairs scan — and the cheap
+    * bit_count(xor) verification runs per candidate only. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val bands = sh.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val l = bands.select(col("id").as("a"), col("simhash").as("ha"), col("band"), col("chunk"))
+    val r = bands.select(col("id").as("b"), col("simhash").as("hb"), col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
     * Returns (a, b, jaccard) for jaccard >= threshold, a < b.
     *

@@ -64,6 +64,24 @@ object FunctionQueries extends QueryPack {
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("long").as("k_int"))
+    },
+
+    "f_regex" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"),
+        col("text").rlike("data").as("has_data"))
+    },
+
+    "f_cond" -> { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("value") > 100, "hi").when(col("value") > 10, "mid")
+          .otherwise("lo").as("bucket"),
+        coalesce(nullif(col("event_type"), lit("view")), lit("other")).as("kind"),
+        greatest(col("value"), lit(50.0)).as("g"),
+        least(col("value"), lit(50.0)).as("l"))
     }
   )
 
@@ -97,6 +115,19 @@ object FunctionQueries extends QueryPack {
     "f_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        |FROM events""".stripMargin,
+    "f_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_matches(text, 'data') AS has_data
+        |FROM documents""".stripMargin,
+    "f_cond" ->
+      """SELECT event_id,
+        |  CASE WHEN value > 100 THEN 'hi' WHEN value > 10 THEN 'mid'
+        |    ELSE 'lo' END AS bucket,
+        |  coalesce(nullif(event_type, 'view'), 'other') AS kind,
+        |  greatest(value, 50.0) AS g, least(value, 50.0) AS l
         |FROM events""".stripMargin
   )
 }

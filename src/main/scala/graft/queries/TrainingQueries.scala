@@ -49,6 +49,11 @@ object TrainingQueries extends QueryPack {
         threshold = 0.5)
     },
 
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)
+    },
+
     // ---- similarity search ----------------------------------------------
     "sim_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -166,6 +171,28 @@ object TrainingQueries extends QueryPack {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, w, count(*) AS cnt,
+        |    CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY doc_id, w),
+        |bits AS (
+        |  SELECT doc_id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+        |  FROM words, (SELECT unnest(range(32)) AS bit) b
+        |  GROUP BY doc_id, b.bit),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, b.band, (simhash >> CAST(b.band*8 AS INT)) & 255 AS chunk
+        |  FROM sh, (SELECT unnest(range(4)) AS band) b)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+        |FROM bands l JOIN bands r ON l.band = r.band AND l.chunk = r.chunk
+        |WHERE l.doc_id < r.doc_id
+        |  AND bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin,
     // Mirrors the hot-shingle cap (doc-frequency <= 100) of
     // Dedup.ngramJaccardPairs: the filtered shingle universe feeds both
     // sizes and the common counts.

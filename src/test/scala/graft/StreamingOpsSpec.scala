@@ -180,6 +180,24 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); api.close() }
   }
 
+  test("X6: autoscaling formulas track pending/rate and buffer usage") {
+    import graft.streaming.Autoscale._
+    // drain 2000 pending in 20s at 10 rows/s/replica → needs 10, step-capped
+    assert(desiredSourceReplicas(replicas = 8, pending = 2000, ratePerReplica = 10) === 10)
+    // caught up → scale down one step at a time
+    assert(desiredSourceReplicas(replicas = 8, pending = 0, ratePerReplica = 10) === 6)
+    // scale-to-zero only when truly idle
+    assert(desiredSourceReplicas(replicas = 1, pending = 0, ratePerReplica = 0) === 0)
+    // backlogged with zero throughput → step up
+    assert(desiredSourceReplicas(replicas = 2, pending = 500, ratePerReplica = 0) === 4)
+    // buffer half-used at target availability 0.5 → steady state
+    assert(desiredVertexReplicas(replicas = 4, bufferUsage = 0.5) === 4)
+    // buffer filling → scale up (step-capped)
+    assert(desiredVertexReplicas(replicas = 4, bufferUsage = 0.9) === 6)
+    // buffer draining → scale down
+    assert(desiredVertexReplicas(replicas = 4, bufferUsage = 0.1) === 2)
+  }
+
   test("R4: bounded cycle drains a retry loop and caps iterations") {
     // each pass doubles v; rows leave the cycle once v >= 10
     val init = Seq(1L, 3L, 64L).toDF("v")
