@@ -51,4 +51,41 @@ object Relational {
     * pass a total order (tie-broken) for deterministic results. */
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** One scored element of a per-key top-k buffer. */
+  final case class Scored(score: Double, id: Long)
+
+  /** Bounded top-k Aggregator: the buffer never exceeds k elements and
+    * `merge` makes it a partial aggregate — each executor reduces its rows
+    * to k before the shuffle. Ties break by ascending id (total order). */
+  def topKAgg(k: Int): org.apache.spark.sql.expressions.Aggregator[Scored, Seq[Scored], Seq[Scored]] =
+    new org.apache.spark.sql.expressions.Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+      private def trim(s: Seq[Scored]): Seq[Scored] =
+        s.sortBy(x => (-x.score, x.id)).take(k)
+      def zero: Seq[Scored] = Seq.empty
+      def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = trim(b :+ a)
+      def merge(l: Seq[Scored], r: Seq[Scored]): Seq[Scored] = trim(l ++ r)
+      def finish(b: Seq[Scored]): Seq[Scored] = b
+      def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Scored]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+      def outputEncoder: org.apache.spark.sql.Encoder[Seq[Scored]] = bufferEncoder
+    }
+
+  /** Grouped top-k: k best (scoreCol desc, idCol asc) rows PER KEY.
+    *
+    * The window-function formulation (`row_number over partitionBy`)
+    * shuffles and sorts EVERY row; this aggregate keeps only k rows per
+    * key per partition before the exchange (map-side partial top-k), so
+    * shuffle volume is k × keys, independent of input size — the shape
+    * that survives 100 TB. Returns (keyCols..., rank, id, score). */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+                 idCol: String, k: Int): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      topKAgg(k), org.apache.spark.sql.Encoders.product[Scored])
+    df.groupBy(keyCols.map(col): _*)
+      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long")).as("topk"))
+      .select(keyCols.map(col) :+ posexplode(col("topk")): _*)
+      .select(keyCols.map(col) ++ Seq((col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(idCol), col("col.score").as(scoreCol)): _*)
+  }
 }

@@ -29,6 +29,13 @@ object RelationalQueries extends QueryPack {
           sum(dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount")))
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+    },
+
+    // Grouped top-k via the bounded aggregator (map-side partial top-k:
+    // shuffle volume k×keys, not the row count — unlike window+rank).
+    "topk_per_cust" -> { (s, dir) =>
+      graft.ops.Relational.topKPerKey(
+        Tables.orders(s, dir), Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
     }
   )
 
@@ -41,6 +48,13 @@ object RelationalQueries extends QueryPack {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "topk_per_cust" ->
+      """SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3""".stripMargin
   )
 }

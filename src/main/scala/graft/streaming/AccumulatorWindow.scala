@@ -1,7 +1,8 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Accumulator window (SURVEY W4): per-key global window whose UDF sees the
@@ -77,5 +78,20 @@ object AccumulatorWindow {
           }
           release.sortBy(eventTs(_).getTime).iterator
       }
+  }
+
+  /** Untyped (DataFrame) form of [[sorted]] so the pipeline compiler can
+    * build an accumulator vertex from a spec: key = the GroupBy key
+    * columns' values, event time = `tsCol`. */
+  def sortedRows(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 idleTimeout: Long = 0L): DataFrame = {
+    val schema = df.schema
+    val tsIdx = schema.fieldIndex(tsCol)
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(schema)
+    implicit val keyEnc: Encoder[Seq[String]] = Encoders.kryo[Seq[String]]
+    sorted[Row, Seq[String]](
+      df, r => keyIdx.map(i => String.valueOf(r.get(i))),
+      r => r.getTimestamp(tsIdx), idleTimeout)
   }
 }

@@ -26,16 +26,17 @@ import graft.ops.Routing
   */
 object Compiler {
 
+  private[graft] def durationMs(s: String): Long = {
+    val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    i.days * 86400000L + i.microseconds / 1000L +
+      i.months * 2592000000L // months ~30d; specs here use s/m/h only
+  }
+
   /** Duration arithmetic for W6: watermark delay = maxDelay +
     * allowedLateness (Spark folds both into one withWatermark). */
-  private[graft] def addDurations(a: String, b: String): String = {
-    def ms(s: String): Long = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s)) match {
-      case i => i.days * 86400000L + i.microseconds / 1000L +
-        i.months * 2592000000L // months ~30d; specs here use s/m/h only
-    }
-    s"${ms(a) + ms(b)} milliseconds"
-  }
+  private[graft] def addDurations(a: String, b: String): String =
+    s"${durationMs(a) + durationMs(b)} milliseconds"
 
   /** Compile the spec; returns the DataFrame feeding each sink vertex. */
   def compile(spec: PipelineSpec, streaming: Boolean = true): Map[String, DataFrame] = {
@@ -90,9 +91,12 @@ object Compiler {
           graft.ops.Windows.sliding(delayed, tsCol, len, slide, gb.keys, gb.aggs)
         case Session(timeout) =>
           graft.ops.Windows.session(delayed, tsCol, timeout, gb.keys, gb.aggs)
-        case Accumulator(_) =>
-          throw new IllegalArgumentException(
-            "Accumulator windows compile via streaming.AccumulatorWindow.sorted (typed API)")
+        case Accumulator(timeout) =>
+          // W4: per-key global window, event-time-ordered release (the
+          // stream-sorter contract); aggs don't apply — the raw ordered
+          // stream IS the output (udf.go:150-154).
+          AccumulatorWindow.sortedRows(delayed, gb.keys, tsCol,
+            idleTimeout = durationMs(timeout))
       }
     }
 

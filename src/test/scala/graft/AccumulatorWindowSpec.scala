@@ -83,4 +83,32 @@ class AccumulatorWindowSpec extends SparkSpec {
 
     assert(emitted() === Seq(1L, 2L, 9L), "event-time order must hold across idle periods")
   }
+
+  test("DSL accumulator vertex compiles to the stream sorter") {
+    import graft.model.Pipeline._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val spec = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", in.toDF(), "ts"),
+        ReduceV("sorter", GroupBySpec(Accumulator("1 minute"), Seq("key"), Seq.empty)),
+        SinkV("out")),
+      edges = Seq(Edge("in", "sorter"), Edge("sorter", "out")))
+    val q = graft.streaming.Compiler.compile(spec)("out")
+      .writeStream.format("memory").queryName("dsl_sorter")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev("k", ts("2024-01-01 00:00:30"), 3),
+        Ev("k", ts("2024-01-01 00:00:10"), 1))
+      q.processAllAvailable()
+      in.addData(Ev("k", ts("2024-01-01 00:02:00"), 4)) // advance wm
+      q.processAllAvailable()
+      in.addData(Ev("k", ts("2024-01-01 00:05:00"), 5))
+      q.processAllAvailable()
+      val seqs = spark.table("dsl_sorter").select("seq")
+        .as[Long].collect().filter(_ <= 3)
+      assert(seqs.toSeq === Seq(1L, 3L)) // event-time order, via the DSL
+    } finally q.stop()
+  }
 }
