@@ -61,6 +61,15 @@ object AggQueries extends QueryPack {
         .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
     },
 
+    // exact interpolated percentiles (rounded: the linear interpolation
+    // arithmetic differs from DuckDB's in the last ulp).
+    "agg_percentile" -> { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+    },
+
     // HLL sketch — approximate, no SQL oracle (driver rows-only check).
     "agg_hll" -> { (s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
@@ -93,6 +102,11 @@ object AggQueries extends QueryPack {
         |FROM events GROUP BY user_id""".stripMargin,
     "agg_collect" ->
       """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

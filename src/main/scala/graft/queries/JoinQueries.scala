@@ -134,6 +134,29 @@ object JoinQueries extends QueryPack {
         .drop("ts")
     },
 
+    // distribution window functions: ntile/percent_rank/cume_dist.
+    "wf_dist" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+    },
+
+    // frame-bounded first/last over a sliding ROWS frame.
+    "wf_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("win_min", min(col("value")).over(w))
+        .withColumn("win_max", max(col("value")).over(w))
+        .drop("ts")
+    },
+
     // top-k without a global sort (TakeOrderedAndProject).
     "topk_orders" -> { (s, dir) =>
       Relational.topK(Tables.orders(s, dir), 10,
@@ -208,6 +231,19 @@ object JoinQueries extends QueryPack {
         |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
         |FROM events""".stripMargin,
+    "wf_dist" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)""".stripMargin,
+    "wf_frame" ->
+      """SELECT event_id, user_id, value,
+        |  min(value) OVER w AS win_min, max(value) OVER w AS win_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

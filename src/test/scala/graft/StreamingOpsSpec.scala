@@ -180,6 +180,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); api.close() }
   }
 
+  test("X8: header/metadata columns propagate through routing and map stages") {
+    import graft.ops.Routing
+    // NumaMessage-shaped frame: headers ride alongside payload columns
+    val df = Seq(
+      (Seq("k1"), Seq("even"), 10L, Map("src" -> "http", "x-delivery-count" -> "2")),
+      (Seq("k2"), Seq("odd"), 11L, Map("src" -> "kafka")))
+      .toDF("keys", "tags", "value", "headers")
+    val routed = Routing.route(df, Map(
+      "even" -> Some(Routing.TagCondition(Seq("even"))),
+      "odd" -> Some(Routing.TagCondition(Seq("odd")))))
+    // a map stage transforms the payload; metadata columns pass through
+    val out = routed("even").withColumn("value", col("value") * 2)
+    val row = out.select("headers", "value")
+      .as[(Map[String, String], Long)].collect().head
+    assert(row._2 === 20L)
+    assert(row._1 === Map("src" -> "http", "x-delivery-count" -> "2"))
+    // the reference's sink retry_count exposure = the delivery-count header
+    assert(row._1("x-delivery-count") === "2")
+  }
+
   test("X6: autoscaling formulas track pending/rate and buffer usage") {
     import graft.streaming.Autoscale._
     // drain 2000 pending in 20s at 10 rows/s/replica → needs 10, step-capped
