@@ -158,6 +158,27 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** The production two-stage near-dup pipeline: MinHash-LSH generates
+    * candidates (bounded by band collisions), exact shingle-set Jaccard
+    * verifies ONLY those candidates — the per-pair cost never touches the
+    * corpus-wide pair space. This is the shape to run at 100 TB;
+    * [[ngramJaccardPairs]] is the exhaustive (capped) reference. */
+  def lshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, numPerm: Int = 12, rowsPerBand: Int = 3,
+                       shingleW: Int = 3): DataFrame = {
+    val cands = minhashLshPairs(docs, idCol, textCol, numPerm, rowsPerBand, shingleW)
+    val sets = shingles(docs, idCol, textCol, shingleW)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
+    cands
+      .join(sets.select(col(idCol).as("a"), col("sh").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("sh").as("sb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
     * Returns (a, b, jaccard) for jaccard >= threshold, a < b.
     *

@@ -23,6 +23,13 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Subword token count over a BPE-ish alternation (letter runs, digit
+    * runs, single punctuation) — RE2-compatible (no lookarounds), so the
+    * exact same pattern runs in any engine for verification. */
+  def tokenCountSubword(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
   /** Tiny per-language stopword profiles for the n-gram/stopword-ratio
     * language heuristic. Real pipelines would ship larger profiles; the
     * mechanism (score per language, argmax) is what matters. */

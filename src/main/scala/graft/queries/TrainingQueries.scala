@@ -30,6 +30,13 @@ object TrainingQueries extends QueryPack {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     },
 
+    "text_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountSubword(col("text")).as("n_bpe"))
+    },
+
     // ---- dedup ---------------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
@@ -46,6 +53,12 @@ object TrainingQueries extends QueryPack {
 
     "dedup_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.5)
+    },
+
+    // the production two-stage shape: LSH candidates → exact verify.
+    "dedup_lsh_verified" -> { (s, dir) =>
+      Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
         threshold = 0.5)
     },
 
@@ -112,6 +125,23 @@ object TrainingQueries extends QueryPack {
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), w -> list_contains([${words.map(w => s"'$w'").mkString(",")}], w)))"
 
+  /** Shared minhash-LSH CTE prefix (identical affine family as
+    * Dedup.minhash — constants injected from the same arrays). */
+  private lazy val minhashCtes: String = {
+    val seedRows = (0 until 12).map(i =>
+      s"(${i}, ${Dedup.MinhashA(i)}, ${Dedup.MinhashB(i)})").mkString(", ")
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
+       |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
+       |base AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle),1,8)) AS BIGINT) AS x FROM sh),
+       |seeds(seed, a, b) AS (VALUES ${seedRows}),
+       |mh AS (SELECT doc_id, seed, min((a * x + b) % ${Dedup.MinhashP}) AS minhash
+       |       FROM base, seeds GROUP BY doc_id, seed),
+       |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+       |             string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS bucket
+       |           FROM mh GROUP BY doc_id, band)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "text_langid" -> {
       val entries = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
@@ -132,6 +162,11 @@ object TrainingQueries extends QueryPack {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
@@ -141,23 +176,24 @@ object TrainingQueries extends QueryPack {
     // candidate-pair sets agree on any dataset — not just when no
     // borderline pairs exist. Bucket components '|'-separated on both
     // sides (variable-width decimals would alias otherwise).
-    "dedup_minhash" -> {
-      val seedRows = (0 until 12).map(i =>
-        s"(${i}, ${Dedup.MinhashA(i)}, ${Dedup.MinhashB(i)})").mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
-         |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
-         |base AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle),1,8)) AS BIGINT) AS x FROM sh),
-         |seeds(seed, a, b) AS (VALUES ${seedRows}),
-         |mh AS (SELECT doc_id, seed, min((a * x + b) % ${Dedup.MinhashP}) AS minhash
-         |       FROM base, seeds GROUP BY doc_id, seed),
-         |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-         |             string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS bucket
-         |           FROM mh GROUP BY doc_id, band)
+    "dedup_minhash" ->
+      s"""WITH $minhashCtes
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
-         |WHERE l.doc_id < r.doc_id""".stripMargin
-    },
+         |WHERE l.doc_id < r.doc_id""".stripMargin,
+    "dedup_lsh_verified" ->
+      s"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.a, c.b, count(*) AS cnt FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.a
+         |  JOIN sh s2 ON s2.doc_id = c.b AND s1.shingle = s2.shingle
+         |  GROUP BY c.a, c.b)
+         |SELECT m.a, m.b, CAST(m.cnt AS DOUBLE)/(sa.n + sb.n - m.cnt) AS jaccard
+         |FROM common m JOIN sizes sa ON sa.doc_id = m.a JOIN sizes sb ON sb.doc_id = m.b
+         |WHERE CAST(m.cnt AS DOUBLE)/(sa.n + sb.n - m.cnt) >= 0.5""".stripMargin,
     "dedup_simhash" ->
       """WITH words AS (
         |  SELECT doc_id, w, count(*) AS cnt,
