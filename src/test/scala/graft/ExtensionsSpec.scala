@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Pipeline._
+import graft.ops.Routing.TagCondition
+import graft.streaming.{Compiler, Sinks}
+
+/** SQL-function registration for native expressions, and the streaming
+  * end-to-end of the compiled even-odd pipeline through the single-pass
+  * router sink (the streaming twin of PipelineCompilerSpec). */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_similarity registers as a SQL function") {
+    val (id, info, builder) = GraftExtensions.cosineSimilarity
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val sim = spark.sql(
+      """SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s"""
+    ).as[Double].collect().head
+    assert(sim === 1.0)
+    // analysis error surface: wrong arity is rejected
+    intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1.0d))").collect()
+    }
+  }
+
+  test("streaming even-odd pipeline routes through the foreachBatch router") {
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    val spec = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", in.toDF().toDF("ts", "key", "value"), "ts"),
+        MapV("tagger", df => df.withColumn("tags",
+          array(when(col("value") % 2 === 0, "even").otherwise("odd")))),
+        SinkV("out")),
+      edges = Seq(Edge("in", "tagger"), Edge("tagger", "out")))
+
+    val evens = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val odds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val router = Sinks.routerForeachBatch(Seq(
+      Some(TagCondition(Seq("even"))) ->
+        ((df, _: Long) => evens ++= df.select("value").as[Long].collect()),
+      Some(TagCondition(Seq("odd"))) ->
+        ((df, _: Long) => odds ++= df.select("value").as[Long].collect())))
+
+    val q = Compiler.compile(spec)("out")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("router").toString)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => router(b.toDF(), id))
+      .start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:01"), "k", 1L),
+        (ts("2024-01-01 00:00:02"), "k", 2L),
+        (ts("2024-01-01 00:00:03"), "k", 3L),
+        (ts("2024-01-01 00:00:04"), "k", 4L))
+      q.processAllAvailable()
+      assert(evens.sorted.toSeq === Seq(2L, 4L))
+      assert(odds.sorted.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+}
