@@ -146,6 +146,35 @@ class ConnectorsSpec extends SparkSpec {
     }
   }
 
+  test("udsource: pause/resume from checkpoint replays nothing (X7/W9)") {
+    val src = UdSource.register("spec-ckpt", new MemoryGraftSource(1))
+    val ckpt = Files.createTempDirectory("udckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def startQuery() = UdSource.readStream(spark, "spec-ckpt")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        seen ++= b.select(col("value").cast("string")).as[String].collect(); ()
+      }
+      .start()
+
+    try {
+      src.append(Seq("k"), "c0".getBytes, ts("2024-01-01 00:00:01"))
+      src.append(Seq("k"), "c1".getBytes, ts("2024-01-01 00:00:02"))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop() // pause (X7): offsets live in the checkpoint (W9 WAL role)
+
+      src.append(Seq("k"), "c2".getBytes, ts("2024-01-01 00:00:03"))
+      val q2 = startQuery() // resume: deserializeOffset restores position
+      try {
+        q2.processAllAvailable()
+        // c0/c1 must NOT replay; c2 must arrive exactly once
+        assert(seen.sorted.toSeq === Seq("c0", "c1", "c2"))
+      } finally q2.stop()
+    } finally UdSource.unregister("spec-ckpt")
+  }
+
   // ---- HTTP source --------------------------------------------------------
 
   test("http source: header contract + id dedup, e2e through the SPI") {
