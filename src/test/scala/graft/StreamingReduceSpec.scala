@@ -76,6 +76,69 @@ class StreamingReduceSpec extends SparkSpec {
     assert(sessions(ts("2024-01-01 00:02:00")) === 1L)
   }
 
+  test("DSL session reduce compiles and merges in streaming mode") {
+    import graft.model.Pipeline._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val spec = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", in.toDF().toDF("ts", "key", "value"), "ts"),
+        ReduceV("sess", GroupBySpec(Session("30 seconds"), Seq("key"),
+          Seq(count(lit(1)).as("n")))),
+        SinkV("out")),
+      edges = Seq(Edge("in", "sess"), Edge("sess", "out")),
+      watermark = WatermarkSpec("5 seconds"))
+    val q = graft.streaming.Compiler.compile(spec)("out")
+      .writeStream.format("memory").queryName("dsl_sess")
+      .outputMode(graft.streaming.Compiler.outputMode(
+        spec.byName("sess").asInstanceOf[ReduceV].groupBy)).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), "k", 1L),
+        (ts("2024-01-01 00:00:20"), "k", 1L),
+        (ts("2024-01-01 00:00:35"), "k", 1L), // gaps < 30s -> one session
+        (ts("2024-01-01 00:02:00"), "k", 1L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:10:00"), "k", 1L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:20:00"), "k", 1L))
+      q.processAllAvailable()
+      val sessions = spark.table("dsl_sess")
+        .select("session_start", "n").as[(Timestamp, Long)].collect().toMap
+      assert(sessions(ts("2024-01-01 00:00:00")) === 3L)
+      assert(sessions(ts("2024-01-01 00:02:00")) === 1L)
+    } finally q.stop()
+  }
+
+  test("DSL sliding reduce emits every overlapping window in streaming mode") {
+    import graft.model.Pipeline._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val spec = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", in.toDF().toDF("ts", "key", "value"), "ts"),
+        ReduceV("slide", GroupBySpec(Sliding("60 seconds", "30 seconds"),
+          Seq("key"), Seq(sum(col("value")).as("total")))),
+        SinkV("out")),
+      edges = Seq(Edge("in", "slide"), Edge("slide", "out")),
+      watermark = WatermarkSpec("10 seconds"))
+    val q = graft.streaming.Compiler.compile(spec)("out")
+      .writeStream.format("memory").queryName("dsl_slide")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:40"), "k", 5L)) // windows [23:30,00:30)? no: [00:00,01:00) and [00:30,01:30)
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:10:00"), "k", 1L)) // close both
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:20:00"), "k", 1L))
+      q.processAllAvailable()
+      val wins = spark.table("dsl_slide")
+        .select("w_start", "total").as[(Timestamp, Long)].collect()
+        .filter(_._2 == 5L).map(_._1).sorted
+      assert(wins.toSeq === Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:30")))
+    } finally q.stop()
+  }
+
   test("idle-source heartbeats advance the watermark without polluting results") {
     // batch-shape check of the helper's schema handling (streaming rate
     // source behavior needs wall-clock time; here we verify the contract:

@@ -95,6 +95,34 @@ class WindowPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("as-of join matches an independent model (property)") {
+    val leftGen = Gen.listOfN(40, for {
+      u <- Gen.choose(0, 3); s <- Gen.choose(0, 1000)
+    } yield (s"u$u", s))
+    val rightGen = Gen.listOfN(30, for {
+      u <- Gen.choose(0, 3); s <- Gen.choose(0, 1000); v <- Gen.choose(1L, 999L)
+    } yield (s"u$u", s, v))
+    check(Prop.forAll(leftGen, rightGen) { (ls, rs0) =>
+      // distinct right (u, ts): equal-ts right rows would make the
+      // "most recent" value ambiguous on both sides of the comparison
+      val rs = rs0.groupBy(r => (r._1, r._2)).values.map(_.head).toList
+      val left = ls.zipWithIndex
+        .map { case ((u, s), i) => (i.toLong, u, new Timestamp(baseMs + s * 1000L)) }
+        .toDF("id", "u", "ts")
+      val right = rs
+        .map { case (u, s, v) => (u, new Timestamp(baseMs + s * 1000L), v) }
+        .toDF("u", "ts", "v")
+      val got = graft.ops.Relational
+        .asOfJoin(left, right, Seq("u"), "ts", "v", "asof")
+        .select("id", "asof").as[(Long, Option[Long])].collect().toMap
+      val model = ls.zipWithIndex.map { case ((u, s), i) =>
+        i.toLong -> rs.filter(r => r._1 == u && r._2 <= s)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      got == model
+    })
+  }
+
   test("exact dedup: n_copies sums to corpus size and keep_id is a member") {
     check(Prop.forAll(Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "a  b c "))) { texts =>
       {
