@@ -215,6 +215,34 @@ class ConnectorsSpec extends SparkSpec {
 
   // ---- ServingPipeline ----------------------------------------------------
 
+  test("serving pipeline composed through the DSL compiler") {
+    import graft.model.Pipeline._
+    val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000)
+    // ServingPipeline = Pipeline + serving layer: the serving source and
+    // serve sink wrap an ORDINARY compiled DAG (reference §2.10 shape).
+    val spec = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", UdSource.readStream(spark, serving.sourceName), "eventTime"),
+        MapV("shout", df => df.select(col("keys")(0).as("rid"),
+          concat(upper(col("value").cast("string")), lit("!")).as("resp"))),
+        SinkV("out")),
+      edges = Seq(Edge("in", "shout"), Edge("shout", "out")))
+    val q = graft.streaming.Compiler.compile(spec)("out")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("servdsl").toString)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        serving.serveSink("rid", "resp")(b.toDF(), id))
+      .start()
+    try {
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/process/sync"))
+          .POST(HttpRequest.BodyPublishers.ofString("via dsl")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      assert(resp.body() === "VIA DSL!")
+    } finally { q.stop(); serving.close() }
+  }
+
   test("serving: sync POST -> DAG -> keyed response; async fetch") {
     val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000)
     // DAG: uppercase the payload, answer to the request id (keys[0]).
