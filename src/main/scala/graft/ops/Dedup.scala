@@ -97,7 +97,12 @@ object Dedup {
     * are candidate pairs. Returns distinct (a, b) with a < b.
     * Bucket components are "|"-separated: variable-width decimal minhash
     * values concatenated bare would alias distinct signatures (e.g. [1,23]
-    * vs [12,3]) into one bucket and fabricate candidate pairs. */
+    * vs [12,3]) into one bucket and fabricate candidate pairs.
+    *
+    * Candidates come from per-bucket posting lists (groupBy + map-side
+    * pair expansion), NOT a banded self-join: Catalyst does not reuse the
+    * signature subplan across a self-join's two sides, so the join shape
+    * computed every minhash TWICE — the dominant cost at any scale. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numPerm: Int = 12, rowsPerBand: Int = 3, shingleW: Int = 3): DataFrame = {
     val sig = minhash(shingles(docs, idCol, textCol, shingleW), idCol, numPerm)
@@ -107,10 +112,15 @@ object Dedup {
       .groupBy(col(idCol), col("band"))
       .agg(concat_ws("|", sort_array(collect_list(struct(col("seed"), col("minhash"))))
         .getField("minhash")).as("bucket"))
-    val l = banded.select(col(idCol).as("a"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("b"), col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      // ids sorted ascending → every emitted pair already has a < b.
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(
+          slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - 1, lit(0))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
   }
 
   /** SimHash (32-bit, md5-derived): per doc, bit i of the hash of each
