@@ -97,16 +97,23 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold,
-    * bucketed by SRP-LSH so the pair space never materializes fully. */
+    * bucketed by SRP-LSH so the pair space never materializes fully.
+    * Pairs expand from per-bucket posting lists (a self-join would compute
+    * every bucket id twice — Catalyst does not reuse the subplan). */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nBits: Int = 6, dim: Int = 64): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", srpBucket(col("v"), nBits, dim))
-    val l = v.select(col("id").as("a"), col("v").as("va"), col("bucket"))
-    val r = v.select(col("id").as("b"), col("v").as("vb"), col("bucket"))
-    l.join(r, "bucket").where(col("a") < col("b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+    v.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("items"))
+      .where(size(col("items")) >= 2)
+      // struct ordering sorts by id first → every pair has a < b.
+      .select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(
+          slice(col("items"), i + lit(2), greatest(size(col("items")) - i - 1, lit(0))),
+          b => struct(a.getField("id").as("a"), b.getField("id").as("b"),
+            cosine(a.getField("v"), b.getField("v")).as("sim")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.sim").as("sim"))
       .where(col("sim") >= threshold)
-      .select(col("a"), col("b"), col("sim"))
   }
 }

@@ -96,6 +96,14 @@ object TrainingQueries extends QueryPack {
         .select("a", "b", "sim")
     },
 
+    // LSH-bucketed near-dup over the FULL embedding table — the scale
+    // variant of emb_neardup (recall limited to same-bucket pairs; the
+    // oracle reproduces the identical bucketing from the plane literals).
+    "emb_neardup_lsh" -> { (s, dir) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.2, nBits = 6, dim = 64)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     "mm_meta" -> { (s, dir) =>
       Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")
@@ -275,6 +283,20 @@ object TrainingQueries extends QueryPack {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    "emb_neardup_lsh" -> {
+      val planes = graft.ops.Similarity.srpPlanes(nBits = 6, dim = 64)
+      def planeLit(b: Int) = planes(b).mkString("[", ",", "]") + "::DOUBLE[]"
+      val bucket = (0 until 6).map(b =>
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(b)}) >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH bucketed AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT a, b, sim FROM (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |    list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS sim
+         |  FROM bucketed l JOIN bucketed r
+         |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |WHERE sim >= 0.2""".stripMargin
+    },
     "emb_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
