@@ -75,4 +75,18 @@ object TextAnalysis {
     * collapsed whitespace) — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
+
+  /** Rolling polynomial fingerprint: fold (acc·31 + byte) mod (1e9+7)
+    * over the document's characters — the incremental-hash family used
+    * for chunk-level fingerprinting. Expression-only (aggregate HOF) and
+    * reproducible in any engine with a list fold. */
+  def rollingHash(text: Column): Column =
+    aggregate(transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => pmod(acc * 31L + x, lit(1000000007L)))
+
+  /** Repetition score: 1 − distinct-token ratio; near-1 = highly
+    * repetitive boilerplate, a standard corpus-quality filter. */
+  def repetitionScore(text: Column): Column =
+    lit(1.0) - size(array_distinct(tokens(text))).cast("double") /
+      size(tokens(text)).cast("double")
 }

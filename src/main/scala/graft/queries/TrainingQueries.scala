@@ -37,6 +37,13 @@ object TrainingQueries extends QueryPack {
         TextAnalysis.tokenCountSubword(col("text")).as("n_bpe"))
     },
 
+    "text_rollhash" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("rh"),
+        TextAnalysis.repetitionScore(col("text")).as("rep"))
+    },
+
     // ---- dedup ---------------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
@@ -174,6 +181,15 @@ object TrainingQueries extends QueryPack {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "text_rollhash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ord(c) AS BIGINT) FOR c IN string_split(text, '')]),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rh,
+        |  1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS rep
         |FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
