@@ -62,6 +62,28 @@ object Multimodal {
       (sum % 1009).toFloat)
   }
 
+  /** One resized record: id + fixed-length resampled payload. */
+  final case class Resized(id: Long, resized: Array[Byte])
+
+  /** Resize/resample stage: nearest-neighbor byte resampling to a fixed
+    * `outLen` (index i ← byte ⌊i·len/outLen⌋). STUB for a real image
+    * resize — a codec-backed implementation replaces the sampling body and
+    * keeps the per-partition batching (decoder handles init once per
+    * partition, same seam as decodeFeatures). */
+  def resample(media: Dataset[Row], outLen: Int)(implicit spark: SparkSession): Dataset[Resized] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // real resize library init would go here, once per partition
+      it.map { rec =>
+        val len = rec.media.length
+        val out =
+          if (len == 0) Array.empty[Byte]
+          else Array.tabulate(outLen)(i => rec.media((i.toLong * len / outLen).toInt))
+        Resized(rec.id, out)
+      }
+    }
+  }
+
   /** Frame sampling: slice the payload into `n` fixed-offset chunks
     * (expression-only stand-in for video frame extraction; `substring`
     * works on binary). Returns (id, frame_idx, frame_bytes). */

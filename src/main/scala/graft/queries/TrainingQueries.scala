@@ -134,6 +134,13 @@ object TrainingQueries extends QueryPack {
       Multimodal.frameSample(
         Multimodal.pack(Tables.documents(s, dir), "doc_id", "text"), n = 4)
         .withColumn("frame_bytes", col("frame_bytes").cast("string"))
+    },
+
+    "mm_resize" -> { (s, dir) =>
+      implicit val spark = s
+      Multimodal.resample(
+        Multimodal.pack(Tables.documents(s, dir), "doc_id", "text"), outLen = 16)
+        .toDF().withColumn("resized", col("resized").cast("string"))
     }
   )
 
@@ -338,6 +345,11 @@ object TrainingQueries extends QueryPack {
         |    CAST(length(text) // 4 AS INT) AS chunk FROM documents)
         |SELECT id, CAST(u.i AS INT) AS frame_idx,
         |  substr(text, CAST(u.i * chunk + 1 AS INT), greatest(chunk, 1)) AS frame_bytes
-        |FROM m, (SELECT unnest(range(4)) AS i) u""".stripMargin
+        |FROM m, (SELECT unnest(range(4)) AS i) u""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id AS id,
+        |  array_to_string([substr(text, CAST(i * length(text) // 16 AS INT) + 1, 1)
+        |    FOR i IN range(16)], '') AS resized
+        |FROM documents""".stripMargin
   )
 }
