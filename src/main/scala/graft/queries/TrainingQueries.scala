@@ -90,6 +90,15 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", k = 5, nBits = 4)
     },
 
+    // IVF ANN (k-means coarse quantizer, nProbe cells per query) — the
+    // trained centers are engine-specific, so the driver records a
+    // rows-only check; the spec asserts full-probe ≡ brute force.
+    "sim_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+    },
+
     // embedding near-dup pairs on a deterministic subset (exact cosine).
     "emb_neardup" -> { (s, dir) =>
       val sub = Tables.embeddings(s, dir).where(col("vec_id") % 10 === 0)

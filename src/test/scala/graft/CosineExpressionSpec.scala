@@ -44,6 +44,26 @@ class CosineExpressionSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: probing every cell reproduces brute force exactly") {
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5))
+    val full = pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 8)) // probe ALL cells → must equal brute force
+    assert(full === exact)
+
+    val partial = pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 2))
+    assert(partial.size === 50) // 10 queries × k — cells are never empty here
+    val recall = (partial.map(p => (p._1, p._2)) intersect
+      exact.map(p => (p._1, p._2))).size / 50.0
+    assert(recall >= 0.2, s"suspiciously low IVF recall: $recall")
+  }
+
   test("cosine scan stays inside whole-stage codegen") {
     // range-backed plan with codegen-friendly array() construction (a
     // local Seq would fold to LocalTableScan; transform() lambdas are
