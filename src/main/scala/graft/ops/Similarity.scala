@@ -115,7 +115,10 @@ object Similarity {
     val feat = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
       .withColumn("features", array_to_vector(col("cv")))
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+    // a COARSE quantizer only needs rough cells: random init + few Lloyd
+    // iterations beats k-means|| here (init cost ≈ several full passes).
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
       .fit(feat.select("features"))
     val centers = model.clusterCenters.map(_.toArray)
 
