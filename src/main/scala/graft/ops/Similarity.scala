@@ -108,7 +108,8 @@ object Similarity {
     * K-means centers are engine-specific → no SQL oracle (rows-only);
     * the spec checks recall against brute force instead. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+              vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+              trainFraction: Double = 0.5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -116,10 +117,18 @@ object Similarity {
       asDouble(col(vecCol)).as("cv"))
       .withColumn("features", array_to_vector(col("cv")))
     // a COARSE quantizer only needs rough cells: random init + few Lloyd
-    // iterations beats k-means|| here (init cost ≈ several full passes).
+    // iterations beats k-means|| here (init cost ≈ several full passes),
+    // and training on a deterministic sample — the standard IVF recipe;
+    // at 100 TB nobody clusters the full corpus — cuts every Lloyd pass
+    // proportionally. Probing is unaffected: cells only steer candidate
+    // selection, and full-probe still scans every posting (the spec's
+    // recall invariant).
+    val train = if (trainFraction < 1.0)
+      feat.select("features").sample(withReplacement = false, trainFraction, seed = 7L)
+    else feat.select("features")
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
-      .fit(feat.select("features"))
+      .fit(train)
     val centers = model.clusterCenters.map(_.toArray)
 
     // distance-to-centroid as a plain expression over the broadcast
