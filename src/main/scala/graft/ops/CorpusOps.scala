@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * splits, stratified sampling, context chunking, and sequence packing.
+  *
+  * Everything keyed on data, nothing on randomness: the "random" number
+  * for a row is a unit-interval hash of its id (first 8 md5 hex digits /
+  * 2^32) — reproducible across runs, engines, and cluster sizes, and
+  * stable under repartitioning, unlike rand(seed) whose draw depends on
+  * partition layout. That property is what makes a 100 TB split
+  * RESUMABLE: re-running assigns every doc the same way, so downstream
+  * shards can be rebuilt incrementally.
+  */
+object CorpusOps {
+
+  /** u(id) ∈ [0, 1): md5-derived, engine-portable unit hash. */
+  def unitHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("double") / 4294967296.0
+
+  /** Deterministic train/val/test assignment by cumulative weight over
+    * the id hash. Weights need not sum to 1 — they are normalized. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive split weights")
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val u = unitHash(col(idCol))
+    val expr = splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), rest) => when(u < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Stratified downsample: at most ~`perStratum` rows per stratum,
+    * selected by id-hash threshold rate = min(1, perStratum / n_stratum).
+    * Two passes (stratum counts, then the filter) but the counts table is
+    * one row per stratum — broadcast, never a shuffle of the corpus. The
+    * kept subset is a deterministic function of the data. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       perStratum: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_stratum"))
+    df.join(broadcast(counts), stratumCol)
+      .where(unitHash(col(idCol)) < least(lit(1.0), lit(perStratum.toDouble) / col("n_stratum")))
+      .drop("n_stratum")
+  }
+
+  /** Context-window chunking: split each doc's token stream into
+    * consecutive chunks of `chunkTokens` (last chunk ragged). Pure
+    * map-side explode — no shuffle; output rows carry (id, chunk_idx,
+    * n_tokens, chunk_text). This is the prep step before packing/
+    * tokenization in an LLM data pipeline. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    df.select(col(idCol), toks.as("t"),
+        explode(sequence(lit(0), greatest(nChunks - 1, lit(0)))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        least(size(col("t")) - col("chunk_idx") * chunkTokens, lit(chunkTokens))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("t"), col("chunk_idx") * chunkTokens + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  case class PackedDoc(id: Long, n_tokens: Long)
+  case class PackedBin(bin_key: Long, bin_idx: Int, ids: Seq[Long], total_tokens: Long)
+
+  /** Greedy sequence packing: assign docs to bins of at most `binTokens`
+    * tokens (first-fit in deterministic id order), the step that turns
+    * chunked docs into fixed-budget training sequences.
+    *
+    * Distribution contract: packing is per PARTITION KEY (`pmod(id, numBins)`
+    * shards), each shard packed independently in sorted-id order inside one
+    * task via mapPartitions — embarrassingly parallel, deterministic, no
+    * global sort. Cross-shard bin fill is slightly less tight than a global
+    * greedy pass, which cannot exist at 100 TB anyway (it is inherently
+    * sequential); per-shard waste is bounded by one doc per bin.
+    * Docs longer than `binTokens` get a bin of their own (they would be
+    * chunked upstream by [[chunk]]).
+    */
+  def packGreedy(docs: Dataset[PackedDoc], binTokens: Long,
+                 numShards: Int = 32): Dataset[PackedBin] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => math.floorMod(d.id, numShards.toLong))
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toArray.sortBy(_.id)
+        val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, List[Long])]
+        // first-fit over open bins; docs arrive in id order so the result
+        // is a pure function of the shard's contents.
+        sorted.foreach { d =>
+          bins.indexWhere(_._1 + d.n_tokens <= binTokens) match {
+            case -1 => bins += ((d.n_tokens, List(d.id)))
+            case i  => val (tot, ids) = bins(i); bins(i) = (tot + d.n_tokens, d.id :: ids)
+          }
+        }
+        bins.iterator.zipWithIndex.map { case ((tot, ids), i) =>
+          PackedBin(shard, i, ids.sorted, tot)
+        }
+      }
+  }
+}

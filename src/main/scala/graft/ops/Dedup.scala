@@ -208,6 +208,59 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph: every doc gets
+    * cluster_id = the smallest doc id it can reach — the canonical
+    * representative — so "keep one per dup cluster" is `WHERE id =
+    * cluster_id`. Pairwise dedup alone under-deletes: A~B and B~C leaves
+    * both B and C without the transitive closure.
+    *
+    * Iterative min-label propagation (the standard distributed CC): each
+    * round, label(x) := min(label(x), min label among x's neighbors); a
+    * round is one shuffle (groupBy dst) + one join, and the loop stops
+    * when no label changed. Rounds needed = graph diameter, and dup
+    * clusters are near-cliques, so 2-3 rounds in practice — at 100 TB
+    * each round is a bounded edge-sized shuffle, never an all-pairs
+    * blowup. `localCheckpoint` truncates the growing lineage each round
+    * (on a cluster you would checkpoint to durable storage instead).
+    *
+    * The convergence test is one count() per round — a driver-side
+    * SCALAR, not collected data, same as GraphX's Pregel loop. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // best label reachable in one hop: neighbor labels, min per node.
+      val fromNeighbors = sym
+        .join(labels.select(col("id").as("src"), col("cluster_id").as("nl")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("nl")).as("nbest"))
+      val next = labels
+        .join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbest"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .where(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Duplicate clusters from MinHash-LSH candidate pairs: (doc_id,
+    * cluster_id) for EVERY doc — singletons are their own cluster. */
+  def dupClusters(docs: DataFrame, idCol: String, textCol: String,
+                  numPerm: Int = 12, rowsPerBand: Int = 3, shingleW: Int = 3): DataFrame = {
+    val edges = minhashLshPairs(docs, idCol, textCol, numPerm, rowsPerBand, shingleW)
+    connectedComponents(docs.select(col(idCol).as("id")), edges)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
     * Returns (a, b, jaccard) for jaccard >= threshold, a < b.
     *

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, Tables, TextAnalysis}
+import graft.ops.{CorpusOps, Dedup, Multimodal, Similarity, Tables, TextAnalysis}
 
 /** Training-data pipeline operators (beyond the reference surface, built
   * for 100 TB corpora): dedup, similarity search, text analysis, and
@@ -72,6 +72,44 @@ object TrainingQueries extends QueryPack {
     "dedup_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)
+    },
+
+    // transitive closure of the near-dup graph: every doc labeled with
+    // the smallest doc id it can reach (singletons label themselves).
+    "dedup_clusters" -> { (s, dir) =>
+      Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // ---- corpus assembly -------------------------------------------------
+    "split_assign" -> { (s, dir) =>
+      CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    },
+
+    "sample_stratified" -> { (s, dir) =>
+      CorpusOps.stratifiedSample(Tables.documents(s, dir), "doc_id", "source",
+        perStratum = 10)
+        .select("doc_id", "source")
+    },
+
+    "pack_chunks" -> { (s, dir) =>
+      CorpusOps.chunk(Tables.documents(s, dir), "doc_id", "text", chunkTokens = 32)
+    },
+
+    // greedy per-shard sequence packing — imperative typed op, not
+    // SQL-expressible; driver records a rows-only check (bin composition
+    // is deterministic: sorted-id first-fit inside pmod shards). Spec
+    // asserts the bin-capacity and completeness laws.
+    "pack_bins" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .as[CorpusOps.PackedDoc]
+      CorpusOps.packGreedy(toks, binTokens = 256, numShards = 8).toDF()
+        .select(col("bin_key"), col("bin_idx"),
+          concat_ws(",", col("ids")).as("ids"), col("total_tokens"))
     },
 
     // ---- similarity search ----------------------------------------------
@@ -285,6 +323,38 @@ object TrainingQueries extends QueryPack {
         |SELECT a, b, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
         |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin,
+    // Transitive closure via recursive CTE — DuckDB walks the same
+    // candidate-edge graph the Spark label propagation converges on.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+        |    / 4294967296.0 AS u FROM documents)""".stripMargin,
+    "sample_stratified" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+        |SELECT doc_id, source FROM documents JOIN c USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+        |    / 4294967296.0 < least(1.0, 10.0 / n)""".stripMargin,
+    "pack_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(least(len(t) - i*32, 32) AS BIGINT) AS n_tokens,
+        |  array_to_string(t[CAST(i*32+1 AS INT):CAST(i*32+32 AS INT)], ' ') AS chunk_text
+        |FROM (SELECT doc_id, t,
+        |  unnest(range(greatest(CAST(ceil(len(t)/32.0) AS BIGINT), 1))) AS i FROM toks)""".stripMargin,
     // Identical SRP bucketing as Similarity.lshTopK: same plane constants
     // (from srpPlanes), same index-ordered double dot product.
     "sim_ann_lsh" -> {

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusOps, Dedup}
+
+/** Laws for the corpus-assembly operators: split totality/determinism,
+  * stratified-cap enforcement, chunk reassembly, packing capacity/
+  * completeness, and connected-component transitivity. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: total, deterministic, roughly proportional") {
+    val df = (1L to 2000L).toDF("id")
+    val s = CorpusOps.hashSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 2000L)                      // total: every row assigned
+    assert(counts("train") > 1500 && counts("train") < 1700) // ~1600
+    assert(counts("val") > 130 && counts("val") < 270)
+    // deterministic: same assignment on a re-run and under repartitioning.
+    val again = CorpusOps.hashSplit(df.repartition(7), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s.except(again).count() === 0 && again.except(s).count() === 0)
+  }
+
+  test("stratifiedSample caps each stratum and keeps a deterministic subset") {
+    val df = (1L to 900L).map(i => (i, s"src${i % 3}")).toDF("id", "stratum")
+    val kept = CorpusOps.stratifiedSample(df, "id", "stratum", perStratum = 50)
+    val per = kept.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // expectation is 50 of 300 per stratum; hash noise stays well inside 2x.
+    per.values.foreach(n => assert(n > 20 && n < 100, s"stratum kept $n"))
+    val again = CorpusOps.stratifiedSample(df.repartition(5), "id", "stratum", 50)
+    assert(kept.except(again).count() === 0 && again.except(kept).count() === 0)
+  }
+
+  test("chunk: concatenating chunks in order reproduces the token stream") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens -> 4 chunks of 32/32/32/4
+      (2L, "just three tokens"),
+      (3L, (1 to 32).map(i => s"u$i").mkString(" "))   // exact multiple: single full chunk
+    ).toDF("doc_id", "text")
+    val ch = CorpusOps.chunk(docs, "doc_id", "text", chunkTokens = 32)
+    val back = ch.orderBy("doc_id", "chunk_idx")
+      .groupBy("doc_id").agg(concat_ws(" ", collect_list("chunk_text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    val orig = docs.as[(Long, String)].collect().toMap
+    assert(back === orig)
+    val n = ch.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(n === Map(1L -> 4L, 2L -> 1L, 3L -> 1L))
+    // per-chunk token counts sum to the doc's token count.
+    val sums = ch.groupBy("doc_id").agg(sum("n_tokens")).as[(Long, Long)].collect().toMap
+    assert(sums === Map(1L -> 100L, 2L -> 3L, 3L -> 32L))
+  }
+
+  test("packGreedy: bins respect capacity, cover every doc exactly once") {
+    val docs = (1L to 200L).map(i => CorpusOps.PackedDoc(i, 10 + i % 90)).toDS()
+    val bins = CorpusOps.packGreedy(docs, binTokens = 256, numShards = 4).collect()
+    bins.foreach { b =>
+      assert(b.total_tokens <= 256, s"bin over capacity: $b")
+      assert(b.ids.nonEmpty)
+    }
+    val packed = bins.flatMap(_.ids).sorted
+    assert(packed.toSeq === (1L to 200L))                    // complete, no duplicates
+    // oversized doc still gets its own bin.
+    val big = Seq(CorpusOps.PackedDoc(1L, 999L)).toDS()
+    val bb = CorpusOps.packGreedy(big, binTokens = 256, numShards = 4).collect()
+    assert(bb.length === 1 && bb.head.ids === Seq(1L))
+  }
+
+  test("connectedComponents: chains close transitively, singletons stay put") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // 1-2, 2-3 chain; 5-6 pair; 4 isolated.
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents: long path needs multiple propagation rounds") {
+    val n = 12L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === (1L to n).map(_ -> 1L).toMap)
+  }
+}
