@@ -64,4 +64,119 @@ object IdleSource {
     * aggregation. */
   def dropHeartbeats(df: DataFrame): DataFrame =
     df.where(!col(HeartbeatCol)).drop(HeartbeatCol)
+
+  /** Remove heartbeat RECORDS injected by [[IdleHeartbeatSource]] from a
+    * UdSource stream (same placement rule: after withWatermark). */
+  def dropHeartbeatRecords(df: DataFrame): DataFrame =
+    df.where(coalesce(col("headers").getItem(HeartbeatCol), lit("")) =!= "true")
+
+  /** Replay-safe idle watermark advancement, done where the reference does
+    * it — AT THE SOURCE (`pipeline_types.go:626-665`: threshold /
+    * stepInterval / incrementBy). Wraps any [[UdSource.GraftSource]]; when
+    * a partition has served no new data for `thresholdMs`, the decorator
+    * injects one heartbeat record every `stepIntervalMs` whose event time
+    * is max(observed data event time) + incrementByMs — DATA-derived, so
+    * replaying a historical stream advances the watermark from the
+    * replayed times, never to wall-clock now (the flaw of the rate-source
+    * union above, which remains the option for plain built-in sources).
+    * Heartbeats carry header `__hb=true` and empty payload; filter with
+    * [[dropHeartbeatRecords]] after watermark assignment.
+    *
+    * A partition that has never produced data emits no heartbeats (there
+    * is no event-time to advance from — matches the reference, which
+    * publishes no idle WM before the first watermark exists).
+    *
+    * Outer offsets are segment-mapped over inner offsets: data segments
+    * pass through (offsets rewritten to the outer space), heartbeat
+    * segments occupy one outer offset and never reach the inner source's
+    * ack — checkpoint/replay reproduces the exact interleaving because
+    * segments only ever append. `clock` is injectable for deterministic
+    * tests. */
+  final class IdleHeartbeatSource(inner: UdSource.GraftSource,
+      thresholdMs: Long, stepIntervalMs: Long, incrementByMs: Long,
+      clock: () => Long = System.currentTimeMillis)
+      extends UdSource.GraftSource {
+    import java.sql.Timestamp
+    import scala.collection.mutable
+    import UdSource.SourceRecord
+
+    private sealed trait Seg { def len: Long }
+    private final case class DataSeg(innerFrom: Long, innerUntil: Long) extends Seg {
+      def len: Long = innerUntil - innerFrom
+    }
+    private final case class HbSeg(rec: SourceRecord) extends Seg { def len: Long = 1L }
+
+    private val segs = mutable.Map.empty[Int, mutable.ArrayBuffer[Seg]]
+    private val lastData = mutable.Map.empty[Int, Long] // wall ms of last data advance
+    private val lastHb = mutable.Map.empty[Int, Long]   // wall ms of last heartbeat
+    private val maxSeen = mutable.Map.empty[Int, Long]  // max event-time ms served
+
+    override def partitions: Seq[Int] = inner.partitions
+
+    override def latestOffset(p: Int): Long = synchronized {
+      val ss = segs.getOrElseUpdate(p, mutable.ArrayBuffer.empty)
+      val covered = ss.collect { case d: DataSeg => d.innerUntil }.lastOption.getOrElse(0L)
+      val innerLat = inner.latestOffset(p)
+      val now = clock()
+      if (innerLat > covered) {
+        ss += DataSeg(covered, innerLat)
+        lastData(p) = now
+      } else if (maxSeen.contains(p) &&
+          now - lastData.getOrElse(p, now) >= thresholdMs &&
+          now - lastHb.getOrElse(p, 0L) >= stepIntervalMs) {
+        val t = maxSeen(p) + incrementByMs
+        maxSeen(p) = t // consecutive heartbeats keep the watermark flowing
+        val outerOff = ss.map(_.len).sum
+        ss += HbSeg(SourceRecord(outerOff, p, keys = Seq.empty,
+          value = Array.emptyByteArray, eventTime = new Timestamp(t),
+          headers = Map(HeartbeatCol -> "true")))
+        lastHb(p) = now
+      }
+      ss.map(_.len).sum
+    }
+
+    override def read(p: Int, from: Long, until: Long): Iterator[SourceRecord] =
+      synchronized {
+        val ss = segs.getOrElse(p, mutable.ArrayBuffer.empty)
+        var outer = 0L
+        val out = mutable.ArrayBuffer.empty[SourceRecord]
+        ss.foreach { s =>
+          val lo = math.max(from, outer)
+          val hi = math.min(until, outer + s.len)
+          if (hi > lo) s match {
+            case DataSeg(f, _) =>
+              inner.read(p, f + (lo - outer), f + (hi - outer)).foreach { r =>
+                maxSeen(p) = math.max(maxSeen.getOrElse(p, Long.MinValue),
+                  r.eventTime.getTime)
+                out += r.copy(offset = outer + (r.offset - f))
+              }
+            case HbSeg(rec) => out += rec
+          }
+          outer += s.len
+        }
+        out.iterator
+      }
+
+    override def ack(p: Int, upTo: Long): Unit = {
+      val innerAck = synchronized {
+        val ss = segs.getOrElse(p, mutable.ArrayBuffer.empty)
+        var outer = 0L
+        var acked = 0L
+        ss.foreach { s =>
+          s match {
+            case DataSeg(f, u) =>
+              if (upTo >= outer + s.len) acked = u
+              else if (upTo > outer) acked = f + (upTo - outer)
+            case _ => ()
+          }
+          outer += s.len
+        }
+        acked
+      }
+      inner.ack(p, innerAck)
+    }
+
+    /** Heartbeats are not backlog. */
+    override def pending: Long = inner.pending
+  }
 }
