@@ -80,6 +80,23 @@ object PipelineQueries extends QueryPack {
       graft.ops.Dedup.byId(e.unionAll(e), Seq("event_id"))
     },
 
+    // W4 batch twin: the accumulator vertex compiled with streaming=false
+    // degenerates to per-key event-time ordering (end-of-input watermark
+    // releases everything) — rows pass through unchanged, which is what
+    // the oracle checks; ordering itself is asserted in
+    // AccumulatorWindowSpec (the driver's compare is order-insensitive).
+    "w4_accumulator" -> { (s, dir) =>
+      import graft.model.Pipeline._
+      val src = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val spec = PipelineSpec(
+        vertices = Seq(
+          SourceV("in", src, "ts"),
+          ReduceV("sorter", GroupBySpec(Accumulator("1 minute"), Seq("user_id"), Seq.empty)),
+          SinkV("out")),
+        edges = Seq(Edge("in", "sorter"), Edge("sorter", "out")))
+      graft.streaming.Compiler.compile(spec, streaming = false)("out")
+    },
+
     // R6: set ops declared for engine parity (absent in the reference).
     "r6_intersect" -> { (s, dir) =>
       val e = Tables.events(s, dir)
@@ -133,6 +150,8 @@ object PipelineQueries extends QueryPack {
       """SELECT DISTINCT event_id, user_id, event_type FROM (
         |  SELECT event_id, user_id, event_type FROM events
         |  UNION ALL SELECT event_id, user_id, event_type FROM events)""".stripMargin,
+    "w4_accumulator" ->
+      "SELECT event_id, user_id, ts FROM events",
     "r6_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT

@@ -95,8 +95,20 @@ object Compiler {
           // W4: per-key global window, event-time-ordered release (the
           // stream-sorter contract); aggs don't apply — the raw ordered
           // stream IS the output (udf.go:150-154).
-          AccumulatorWindow.sortedRows(delayed, gb.keys, tsCol,
-            idleTimeout = durationMs(timeout))
+          if (streaming)
+            AccumulatorWindow.sortedRows(delayed, gb.keys, tsCol,
+              idleTimeout = durationMs(timeout))
+          else if (gb.keys.nonEmpty)
+            // batch analog: the end-of-input watermark releases every row,
+            // so the operator degenerates to per-key event-time order —
+            // one hash shuffle + in-partition sort, no state store.
+            delayed.repartition(gb.keys.map(col): _*)
+              .sortWithinPartitions((gb.keys :+ tsCol).map(col): _*)
+          else
+            // non-keyed accumulator forces a single partition, exactly the
+            // reference's partitions=1 rule for non-keyed reduce
+            // (edge_types.go:69-72).
+            delayed.coalesce(1).sortWithinPartitions(col(tsCol))
       }
     }
 

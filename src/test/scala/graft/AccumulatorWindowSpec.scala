@@ -111,4 +111,33 @@ class AccumulatorWindowSpec extends SparkSpec {
       assert(seqs.toSeq === Seq(1L, 3L)) // event-time order, via the DSL
     } finally q.stop()
   }
+
+  test("DSL accumulator vertex compiles in batch to per-key event-time order") {
+    import graft.model.Pipeline._
+    val df = Seq(
+      Ev("a", ts("2024-01-01 00:00:30"), 3),
+      Ev("a", ts("2024-01-01 00:00:10"), 1),
+      Ev("b", ts("2024-01-01 00:00:20"), 2),
+      Ev("a", ts("2024-01-01 00:00:20"), 2),
+      Ev("b", ts("2024-01-01 00:00:10"), 1)).toDF()
+    val spec = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", df, "ts"),
+        ReduceV("sorter", GroupBySpec(Accumulator("1 minute"), Seq("key"), Seq.empty)),
+        SinkV("out")),
+      edges = Seq(Edge("in", "sorter"), Edge("sorter", "out")))
+    // batch compile no longer throws: end-of-input watermark releases all
+    // rows, so the operator becomes repartition-by-key + in-partition sort.
+    val out = graft.streaming.Compiler.compile(spec, streaming = false)("out")
+    val perPartition = out.select("key", "seq").rdd
+      .mapPartitions(it => Iterator.single(
+        it.map(r => (r.getString(0), r.getLong(1))).toSeq))
+      .collect()
+    perPartition.foreach { rows =>
+      rows.groupBy(_._1).values.foreach { ks =>
+        assert(ks.map(_._2) === ks.map(_._2).sorted, "per-key event order")
+      }
+    }
+    assert(perPartition.map(_.length).sum === 5) // nothing lost
+  }
 }
