@@ -65,6 +65,27 @@ object CorpusOps {
           .as("chunk_text"))
   }
 
+  /** Domain-mixing weights: per-stratum resampling weight that reshapes
+    * the corpus toward `targets` (target share of the final mix). weight =
+    * target_share · total / n_stratum — the multiplier a sampler applies
+    * to each doc of that stratum; strata absent from `targets` weigh 0.
+    * All arithmetic happens on the one-row-per-stratum counts table; the
+    * corpus itself is never reshuffled. */
+  def mixWeights(df: DataFrame, stratumCol: String,
+                 targets: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    // window over the unpartitioned counts table: one row per stratum,
+    // so the single-partition window is a few dozen rows, not the corpus.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("weight",
+        coalesce(element_at(typedLit(targets), col(stratumCol)), lit(0.0))
+          * col("total") / col("n"))
+      .select(col(stratumCol), col("n"), col("weight"))
+  }
+
   case class PackedDoc(id: Long, n_tokens: Long)
   case class PackedBin(bin_key: Long, bin_idx: Int, ids: Seq[Long], total_tokens: Long)
 

@@ -89,4 +89,27 @@ object TextAnalysis {
   def repetitionScore(text: Column): Column =
     lit(1.0) - size(array_distinct(tokens(text))).cast("double") /
       size(tokens(text)).cast("double")
+
+  /** PII patterns for redaction — RE2-safe (no backrefs/lookaround), so
+    * the same regex means the same thing in Spark, DuckDB, and Go/Rust
+    * engines. Order matters: emails contain digit runs, so email fires
+    * before phone. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+"                                -> "<URL>",
+    "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"                 -> "<PHONE>")
+
+  /** Redact emails, URLs, and phone-shaped digit runs. Pure
+    * regexp_replace chain: codegen'd, scan-shaped, no UDF — the form a
+    * 100 TB scrub pass must take (one pass over the text column,
+    * pipelined with whatever else the scan computes). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Count of PII hits per doc (audit/reporting side of the scrub). */
+  def piiHits(text: Column): Column =
+    PiiPatterns.map { case (re, _) => size(regexp_extract_all(text, lit(re), lit(0))) }
+      .reduce(_ + _).cast("long")
 }

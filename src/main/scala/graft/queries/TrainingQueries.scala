@@ -44,6 +44,23 @@ object TrainingQueries extends QueryPack {
         TextAnalysis.repetitionScore(col("text")).as("rep"))
     },
 
+    // PII scrub: the corpus text is synthetic (no PII), so the query
+    // plants a deterministic email/URL/phone per doc — built identically
+    // by the oracle — and the redaction+audit must strip/count them.
+    "text_redact" -> { (s, dir) =>
+      val aug = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id"), lit("@example.com via https://ex.com/d/"),
+        col("doc_id"), lit(" or call +1 555-000-"), col("doc_id"), lit(" now"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.redactPii(aug).as("clean"),
+        TextAnalysis.piiHits(aug).as("n_pii"))
+    },
+
+    // domain-mixing weights toward a non-uniform target distribution.
+    "mix_weights" -> { (s, dir) =>
+      CorpusOps.mixWeights(Tables.documents(s, dir), "source", MixTargets)
+    },
+
     // ---- dedup ---------------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
@@ -191,6 +208,12 @@ object TrainingQueries extends QueryPack {
     }
   )
 
+  /** Mixing target: upweight src0/src1, spread the rest uniformly. The
+    * SAME map feeds the Spark query and (interpolated) the oracle SQL. */
+  private val MixTargets: Map[String, Double] =
+    Map("src0" -> 0.2, "src1" -> 0.1) ++
+      (2 until 20).map(i => s"src$i" -> 0.7 / 18).toMap
+
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), w -> list_contains([${words.map(w => s"'$w'").mkString(",")}], w)))"
 
@@ -245,6 +268,31 @@ object TrainingQueries extends QueryPack {
         |  1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |      / len(string_split(text, ' ')) AS rep
         |FROM documents""".stripMargin,
+    "text_redact" -> {
+      // identical regexes, interpolated from the same PiiPatterns list;
+      // DuckDB needs the 'g' flag (Spark replaces all matches by default).
+      val aug = """substr(text,1,40) || ' contact user' || doc_id ||
+                  |'@example.com via https://ex.com/d/' || doc_id ||
+                  |' or call +1 555-000-' || doc_id || ' now'""".stripMargin
+      val clean = TextAnalysis.PiiPatterns.foldLeft(s"($aug)") {
+        case (c, (re, tag)) => s"regexp_replace($c, '$re', '$tag', 'g')"
+      }
+      val hits = TextAnalysis.PiiPatterns.map { case (re, _) =>
+        s"len(regexp_extract_all(($aug), '$re'))"
+      }.mkString(" + ")
+      s"""SELECT doc_id, $clean AS clean, CAST($hits AS BIGINT) AS n_pii
+         |FROM documents""".stripMargin
+    },
+    "mix_weights" -> {
+      val rows = MixTargets.toSeq.sortBy(_._1)
+        .map { case (s, v) => s"('$s', ${v}::DOUBLE)" }.mkString(", ")
+      s"""WITH t(source, share) AS (VALUES $rows),
+         |c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         |SELECT c.source, CAST(c.n AS BIGINT) AS n,
+         |  coalesce(t.share, 0.0) * (SELECT total FROM tot) / c.n AS weight
+         |FROM c LEFT JOIN t USING (source)""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
