@@ -165,7 +165,17 @@ object Dedup {
     * bit_count(xor) verification runs per candidate only. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
+    // The signature table is persisted so the word-explode aggregation
+    // runs ONCE across the self-join's two sides (Catalyst has no
+    // cross-side subplan reuse); it is tiny — two longs per doc.
+    //
+    // Unlike minhash, pairing stays a SELF-JOIN here: 8-bit chunks have
+    // ≤256 values per band, so per-(band, chunk) posting lists are
+    // collision-heavy and skewed (one bucket can hold a large corpus
+    // fraction) — a measured posting-list variant was ~70% slower than
+    // the codegen'd streaming join. Minhash bands are high-entropy, which
+    // is why the opposite tradeoff wins there.
+    val sh = simhash(docs, idCol, textCol).persist()
     val bands = sh.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*)))
