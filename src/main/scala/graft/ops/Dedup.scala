@@ -240,7 +240,12 @@ object Dedup {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+    // Only edge-touched nodes can ever change label: the loop runs over
+    // the dup GRAPH (≈ 2·|pairs| nodes), not the corpus — at 100 TB the
+    // dup graph is orders of magnitude smaller than the doc count, and
+    // isolated docs join back as their own singleton cluster at the end.
+    val active = sym.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = active.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -259,7 +264,10 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
+    val singletons = nodes.select(col("id"))
+      .join(active, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.unionByName(singletons)
   }
 
   /** Duplicate clusters from MinHash-LSH candidate pairs: (doc_id,
