@@ -107,14 +107,21 @@ object Dedup {
     * Posting lists, NOT a banded self-join: Catalyst does not reuse the
     * signature subplan across a self-join's two sides, so the join shape
     * would compute every minhash TWICE — the dominant cost at any scale. */
-  def bandedPairs(sig: DataFrame, idCol: String,
-                  numPerm: Int, rowsPerBand: Int): DataFrame = {
+  /** (id, band, bucket) rows from a wide signature frame — banding is a
+    * map-side projection (the signature row already holds every h_i). */
+  def bandedBuckets(sig: DataFrame, idCol: String,
+                    numPerm: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numPerm / rowsPerBand
     val buckets = (0 until nBands).map { j =>
       concat_ws("|", (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
     }
     sig.select(col(idCol), posexplode(array(buckets: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  def bandedPairs(sig: DataFrame, idCol: String,
+                  numPerm: Int, rowsPerBand: Int): DataFrame = {
+    bandedBuckets(sig, idCol, numPerm, rowsPerBand)
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .where(size(col("ids")) >= 2)
@@ -187,6 +194,30 @@ object Dedup {
         expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental dedup — the production recurring-crawl shape: candidate
+    * collisions between an INCOMING batch and the EXISTING corpus only
+    * (new×new pairs come from [[minhashLshPairs]] on the increment alone;
+    * old×old was settled in previous runs). Returns distinct
+    * (new_id, old_id).
+    *
+    * At 100 TB the existing side is a persisted signature table keyed by
+    * (band, bucket) — bucketed storage makes this a co-located join with
+    * NO shuffle of the corpus; only the (small) increment's buckets move.
+    * Each side's signature aggregation runs once; the join output is
+    * bounded by band collisions, same as the symmetric case. */
+  def incrementalDupPairs(existing: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          numPerm: Int = 12, rowsPerBand: Int = 3,
+                          shingleW: Int = 3): DataFrame = {
+    def buckets(df: DataFrame) = bandedBuckets(
+      minhashSignature(shingles(df, idCol, textCol, shingleW), idCol, numPerm),
+      idCol, numPerm, rowsPerBand)
+    buckets(incoming).withColumnRenamed(idCol, "new_id")
+      .join(buckets(existing).withColumnRenamed(idCol, "old_id"),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id")).distinct()
   }
 
   /** The production two-stage near-dup pipeline: MinHash-LSH generates

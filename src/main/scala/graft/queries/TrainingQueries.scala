@@ -91,6 +91,15 @@ object TrainingQueries extends QueryPack {
         maxHamming = 3)
     },
 
+    // incremental crawl dedup: docs with id < 250 play the settled
+    // corpus; the rest arrive as the new batch and collide against it.
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalDupPairs(
+        docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
+        "doc_id", "text", numPerm = 12, rowsPerBand = 3)
+    },
+
     // transitive closure of the near-dup graph: every doc labeled with
     // the smallest doc id it can reach (singletons label themselves).
     "dedup_clusters" -> { (s, dir) =>
@@ -371,6 +380,12 @@ object TrainingQueries extends QueryPack {
         |SELECT a, b, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
         |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $minhashCtes
+         |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |FROM banded n JOIN banded o
+         |  ON n.band = o.band AND n.bucket = o.bucket
+         |WHERE n.doc_id >= 250 AND o.doc_id < 250""".stripMargin,
     // Transitive closure via recursive CTE — DuckDB walks the same
     // candidate-edge graph the Spark label propagation converges on.
     "dedup_clusters" ->
