@@ -106,6 +106,37 @@ object TrainingQueries extends QueryPack {
       Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // canonical-doc selection: within each dup cluster keep the "best"
+    // doc (longest, then smallest id) — the policy layer over clustering;
+    // clusters of one keep their only member.
+    "dedup_keep_best" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dupClusters(docs, "doc_id", "text")
+      val scored = docs
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .join(clusters, "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_tokens"))
+    },
+
+    // eval-contamination check: near-dup collisions between the TEST
+    // split and the TRAIN split (exact-dup contamination is empty by
+    // construction in this corpus; near-dup is the interesting case).
+    "contamination" -> { (s, dir) =>
+      val split = CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Dedup.incrementalDupPairs(
+        split.where(col("split") === "train"),
+        split.where(col("split") === "test"),
+        "doc_id", "text", numPerm = 12, rowsPerBand = 3)
+        .withColumnRenamed("new_id", "test_id")
+        .withColumnRenamed("old_id", "train_id")
+    },
+
     // ---- corpus assembly -------------------------------------------------
     "split_assign" -> { (s, dir) =>
       CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id",
@@ -400,6 +431,36 @@ object TrainingQueries extends QueryPack {
          |  UNION
          |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |scored AS (SELECT d.doc_id, cl.cluster_id,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY len(string_split(d.text, ' ')) DESC, d.doc_id ASC) AS rn
+         |  FROM documents d JOIN cl ON cl.doc_id = d.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id, n_tokens
+         |FROM scored WHERE rn = 1""".stripMargin,
+    "contamination" ->
+      s"""WITH $minhashCtes,
+         |u AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+         |    / 4294967296.0 AS u FROM documents)
+         |SELECT DISTINCT t.doc_id AS test_id, tr.doc_id AS train_id
+         |FROM banded t
+         |JOIN u ut ON ut.doc_id = t.doc_id
+         |JOIN banded tr ON t.band = tr.band AND t.bucket = tr.bucket
+         |JOIN u utr ON utr.doc_id = tr.doc_id
+         |WHERE ut.u >= 0.9 AND utr.u < 0.8""".stripMargin,
     "split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
