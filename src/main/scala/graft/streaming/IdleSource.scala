@@ -66,9 +66,23 @@ object IdleSource {
     df.where(!col(HeartbeatCol)).drop(HeartbeatCol)
 
   /** Remove heartbeat RECORDS injected by [[IdleHeartbeatSource]] from a
-    * UdSource stream (same placement rule: after withWatermark). */
-  def dropHeartbeatRecords(df: DataFrame): DataFrame =
-    df.where(coalesce(col("headers").getItem(HeartbeatCol), lit("")) =!= "true")
+    * UdSource stream (same placement rule: after withWatermark).
+    *
+    * PUSHDOWN TRAP: a plain `headers['__hb'] != 'true'` predicate does not
+    * reference the event-time column, so PushPredicateThroughNonJoin moves
+    * it BELOW the EventTimeWatermark node — heartbeats then die before the
+    * watermark collects their event-time stats and the watermark never
+    * advances (silently defeating the whole mechanism). The predicate must
+    * therefore (a) reference `tsCol` and (b) resist simplification: a
+    * plain `ts IS NOT NULL` conjunct gets folded away because
+    * InferFiltersFromConstraints already proves it, re-freeing the
+    * heartbeat conjunct to push. The epoch lower bound below is
+    * unprovable to the optimizer, vacuously true for any real event time
+    * (heartbeat times derive from data times), and keeps the whole
+    * disjunction pinned above the watermark. */
+  def dropHeartbeatRecords(df: DataFrame, tsCol: String = "eventTime"): DataFrame =
+    df.where(!(coalesce(col("headers").getItem(HeartbeatCol), lit("")) === "true"
+      && col(tsCol) >= lit("1900-01-01").cast("timestamp")))
 
   /** Replay-safe idle watermark advancement, done where the reference does
     * it — AT THE SOURCE (`pipeline_types.go:626-665`: threshold /

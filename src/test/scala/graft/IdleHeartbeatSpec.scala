@@ -88,6 +88,45 @@ class IdleHeartbeatSpec extends SparkSpec {
     assert(idle.pending === 0L)          // heartbeats are not backlog
   }
 
+  test("e2e: heartbeats alone close an event-time window (no new data)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+
+    val inner = new MemoryGraftSource()
+    // idle immediately, one heartbeat per 50ms poll, +30s event time each.
+    val idle = new IdleHeartbeatSource(inner, thresholdMs = 0,
+      stepIntervalMs = 50, incrementByMs = 30000)
+    UdSource.register("idle-e2e", idle)
+    inner.append(Seq("k"), "a".getBytes, ts("2024-01-01 00:00:10"))
+    inner.append(Seq("k"), "b".getBytes, ts("2024-01-01 00:00:20"))
+
+    val stream = UdSource.readStream(spark, "idle-e2e")
+      .withWatermark("eventTime", "0 seconds")
+    val agg = graft.streaming.IdleSource.dropHeartbeatRecords(stream)
+      .groupBy(window(col("eventTime"), "1 minute")).count()
+    val q = agg.writeStream.format("memory").queryName("idle_win")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("idlee2e").toString)
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      // append mode emits [00:00, 00:01) only once the watermark passes
+      // 00:01:00 — which, with no further data, only heartbeats can do.
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = Seq.empty[(java.sql.Timestamp, Long)]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        rows = spark.table("idle_win")
+          .select(col("window.start"), col("count"))
+          .as[(java.sql.Timestamp, Long)].collect().toSeq
+      }
+      assert(rows === Seq((ts("2024-01-01 00:00:00"), 2L)),
+        "window must close from heartbeat watermark advancement alone")
+    } finally { q.stop(); UdSource.unregister("idle-e2e") }
+  }
+
   test("re-read of a committed range replays the identical interleaving") {
     var now = 0L
     val inner = new MemoryGraftSource()
