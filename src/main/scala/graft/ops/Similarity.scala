@@ -161,6 +161,21 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Per-vector int8 scalar quantization: codes = round((x − min) /
+    * scale) ∈ [0, 255], scale = (max − min)/255 — 4× memory cut for ANN
+    * posting lists, the standard compression step before IVF/PQ storage.
+    * Map-side only (no shuffle); dequantization error ≤ scale/2 per
+    * component. Codes serialize to csv (driver cannot hash arrays). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val lo = array_min(v)
+    val scale = when(array_max(v) === array_min(v), lit(1.0))
+      .otherwise((array_max(v) - array_min(v)) / 255.0)
+    df.select(col(idCol),
+      concat_ws(",", transform(v, x => round((x - lo) / scale).cast("int"))).as("codes"),
+      lo.as("zero_point"), scale.as("qscale"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold,
     * bucketed by SRP-LSH so the pair space never materializes fully.
     * Pairs expand from per-bucket posting lists (a self-join would compute

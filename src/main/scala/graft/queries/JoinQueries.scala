@@ -19,13 +19,17 @@ object JoinQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
 
     // shuffle (sort-merge/hash) fact-fact equi-join + aggregation.
+    // Revenue products stay DECIMAL end to end: a decimal×DOUBLE product
+    // demotes the sum to floats, whose value depends on accumulation
+    // order — caught as a last-ulp mismatch at sf0.1 (invisible at
+    // sf0.01). Decimal sums are exact and order-independent.
     "join_inner" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       val l = Tables.lineitem(s, dir)
       o.join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount")))
+          sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
             .cast("double").as("revenue"))
     },
 
@@ -39,7 +43,7 @@ object JoinQueries extends QueryPack {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount")))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
           .cast("double").as("revenue"))
     },
 
@@ -173,12 +177,12 @@ object JoinQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "join_inner" ->
       """SELECT o_orderkey, count(*) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount)) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey""".stripMargin,
     "join_broadcast" ->
       """SELECT r_name, n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount)) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey

@@ -26,7 +26,7 @@ object RelationalQueries extends QueryPack {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount")))
+          sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
@@ -44,7 +44,7 @@ object RelationalQueries extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

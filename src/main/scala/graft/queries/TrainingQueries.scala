@@ -215,6 +215,11 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", threshold = 0.2, nBits = 6, dim = 64)
     },
 
+    // int8 scalar quantization of the embedding table (map-side only).
+    "emb_quantize" -> { (s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     "mm_meta" -> { (s, dir) =>
       Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")
@@ -529,6 +534,15 @@ object TrainingQueries extends QueryPack {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2""".stripMargin,
+    "emb_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (SELECT vec_id, e, list_min(e) AS lo,
+        |  CASE WHEN list_max(e) = list_min(e) THEN 1.0
+        |       ELSE (list_max(e) - list_min(e)) / 255.0 END AS qscale FROM v)
+        |SELECT vec_id,
+        |  array_to_string([CAST(round((x - lo) / qscale) AS INT) FOR x IN e], ',') AS codes,
+        |  lo AS zero_point, qscale
+        |FROM p""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS id, 'text/plain' AS mime, source,
         |  CAST(length(text) AS BIGINT) AS n_bytes

@@ -65,6 +65,24 @@ class DataOpsSpec extends SparkSpec {
     assert(nn.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("int8 quantization: codes in range, dequantization error <= scale/2") {
+    val vecs = Seq(
+      (0L, Seq(0.5f, -1.25f, 3.75f, 0.0f)),
+      (1L, Seq(2.0f, 2.0f, 2.0f, 2.0f)) // constant vector: scale guard
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .as[(Long, String, Double, Double)].collect().sortBy(_._1)
+    val orig = vecs.as[(Long, Seq[Float])].collect().sortBy(_._1).toMap
+    q.foreach { case (id, csv, zero, scale) =>
+      val codes = csv.split(",").map(_.toInt)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      codes.zip(orig(id)).foreach { case (c, x) =>
+        assert(math.abs((zero + c * scale) - x) <= scale / 2 + 1e-9)
+      }
+    }
+    assert(q(1)._4 === 1.0) // constant vector falls back to unit scale
+  }
+
   test("language id picks the profile with most stopword hits") {
     val docs = Seq(
       (1L, "the cat and the dog of a house"),
