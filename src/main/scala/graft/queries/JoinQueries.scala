@@ -161,6 +161,22 @@ object JoinQueries extends QueryPack {
         .drop("ts")
     },
 
+    // sessionization: assign session sequence numbers by inactivity gap
+    // (> 30 min) — the analytic-batch twin of the W3 session window, and
+    // the standard event-log preprocessing step. One shuffle on user_id;
+    // the gap flag and running sum share the same window sort.
+    "wf_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gap = unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(w)) > 1800
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("session_seq",
+          sum(when(coalesce(gap, lit(false)), 1L).otherwise(0L)).over(w))
+        .drop("ts")
+    },
+
     // top-k without a global sort (TakeOrderedAndProject).
     "topk_orders" -> { (s, dir) =>
       Relational.topK(Tables.orders(s, dir), 10,
@@ -248,6 +264,15 @@ object JoinQueries extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "wf_sessionize" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |       AS BIGINT) AS session_seq
+        |FROM (SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts, 1) OVER
+        |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

@@ -66,6 +66,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bb.length === 1 && bb.head.ids === Seq(1L))
   }
 
+  test("packGreedy properties: random sizes — capacity, completeness, determinism") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docsGen = Gen.listOfN(80, Gen.choose(1L, 300L))
+    val p = Prop.forAll(docsGen) { sizes =>
+      val ds = sizes.zipWithIndex
+        .map { case (n, i) => CorpusOps.PackedDoc(i.toLong, n) }.toDS()
+      val bins = CorpusOps.packGreedy(ds, binTokens = 256, numShards = 4).collect()
+      val capOk = bins.forall(b => b.total_tokens <= 256 || b.ids.length == 1)
+      val coverOk = bins.flatMap(_.ids).sorted.toSeq == sizes.indices.map(_.toLong)
+      val sumOk = bins.forall(b =>
+        b.total_tokens == b.ids.map(id => sizes(id.toInt)).sum)
+      capOk && coverOk && sumOk
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("connectedComponents: chains close transitively, singletons stay put") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     // 1-2, 2-3 chain; 5-6 pair; 4 isolated.
