@@ -90,6 +90,32 @@ object TextAnalysis {
     lit(1.0) - size(array_distinct(tokens(text))).cast("double") /
       size(tokens(text)).cast("double")
 
+  /** Corpus-level bigram language-model score per doc: mean ln p(bigram)
+    * under the corpus unigram-of-bigrams model — the classic cheap
+    * perplexity proxy for quality filtering (docs of improbable bigrams
+    * score low). Two aggregations over the bigram stream (count model,
+    * then per-doc mean); the model table shuffles once and the doc join
+    * is on the bigram key — at 100 TB you persist the count table and
+    * score incrementally, exactly like the dedup signature table. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = Dedup.shingles(docs, idCol, textCol, w = 2)
+    val counts = bg.groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    bg.join(counts, "shingle")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("n").cast("double") / col("total"))), 4).as("lm_score"))
+  }
+
+  /** Top-k vocabulary by frequency (ties broken lexicographically) — the
+    * first step of tokenizer/vocab induction. TakeOrderedAndProject: the
+    * word counts aggregate map-side, only k rows reach the driver-side
+    * ordering. */
+  def vocabTop(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(k)
+
   /** PII patterns for redaction — RE2-safe (no backrefs/lookaround), so
     * the same regex means the same thing in Spark, DuckDB, and Go/Rust
     * engines. Order matters: emails contain digit runs, so email fires

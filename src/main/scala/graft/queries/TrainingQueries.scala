@@ -44,6 +44,14 @@ object TrainingQueries extends QueryPack {
         TextAnalysis.repetitionScore(col("text")).as("rep"))
     },
 
+    "text_bigram_lm" -> { (s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    "vocab_top" -> { (s, dir) =>
+      TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
+    },
+
     // PII scrub: the corpus text is synthetic (no PII), so the query
     // plants a deterministic email/URL/phone per doc — built identically
     // by the oracle — and the redaction+audit must strip/count them.
@@ -313,6 +321,20 @@ object TrainingQueries extends QueryPack {
         |  1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |      / len(string_split(text, ' ')) AS rep
         |FROM documents""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(t[i+1:i+2],' ') AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-1,0))) AS i FROM toks)),
+        |counts AS (SELECT shingle, count(*) AS n FROM bg GROUP BY shingle),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+        |SELECT doc_id,
+        |  round(avg(ln(CAST(n AS DOUBLE) / total)), 4) AS lm_score
+        |FROM bg JOIN counts USING (shingle), tot
+        |GROUP BY doc_id""".stripMargin,
+    "vocab_top" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
     "text_redact" -> {
       // identical regexes, interpolated from the same PiiPatterns list;
       // DuckDB needs the 'g' flag (Spark replaces all matches by default).
