@@ -218,6 +218,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(desiredVertexReplicas(replicas = 4, bufferUsage = 0.1) === 2)
   }
 
+  test("W9: windowed-reduce state survives a restart (no loss, no double count)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val ckpt = Files.createTempDirectory("w9ckpt").toString
+    val outDir = Files.createTempDirectory("w9out").toString
+    // memory sink cannot recover from a checkpoint; the file sink can —
+    // and is what a real pipeline restart uses.
+    def startQuery() = in.toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "60 seconds"), col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("seq")).as("s"))
+      .select(col("window.start").as("ws"), col("key"), col("n"), col("s"))
+      .writeStream.format("parquet").option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    // phase 1: two rows land in window [00:00, 00:01); state buffers them.
+    val q1 = startQuery()
+    in.addData(Ev("k", ts("2024-01-01 00:00:10"), 1), Ev("k", ts("2024-01-01 00:00:40"), 2))
+    q1.processAllAvailable()
+    q1.stop() // crash point: window still open, counts only in the state store
+
+    // phase 2: restart from the checkpoint; one more row joins the open
+    // window, then a later row pushes the watermark past its end.
+    val q2 = startQuery()
+    in.addData(Ev("k", ts("2024-01-01 00:00:50"), 4))
+    q2.processAllAvailable()
+    in.addData(Ev("k", ts("2024-01-01 00:02:30"), 8))
+    q2.processAllAvailable()
+    in.addData(Ev("k", ts("2024-01-01 00:03:30"), 16)) // commit the wm advance
+    q2.processAllAvailable()
+    try {
+      val out = spark.read.parquet(outDir)
+        .select("ws", "key", "n", "s").as[(Timestamp, String, Long, Long)]
+        .collect().toSet
+      // pre-crash rows count exactly once, merged with the post-restart row.
+      assert(out.contains((ts("2024-01-01 00:00:00"), "k", 3L, 7L)),
+        s"restored window wrong: $out")
+    } finally q2.stop()
+  }
+
   test("R4: bounded cycle drains a retry loop and caps iterations") {
     // each pass doubles v; rows leave the cycle once v >= 10
     val init = Seq(1L, 3L, 64L).toDF("v")
