@@ -196,20 +196,25 @@ object UdSource {
     }
     override def reportLatestOffset(): Offset = latestOffset()
     override def deserializeOffset(json: String): Offset = UdOffset.fromJson(json)
+    @volatile private var lastPlannedRows = 0L
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
       val s = start.asInstanceOf[UdOffset].parts
       val e = end.asInstanceOf[UdOffset].parts
-      e.toSeq.sorted.flatMap { case (p, until) =>
+      val parts = e.toSeq.sorted.flatMap { case (p, until) =>
         val from = s.getOrElse(p, 0L)
         if (until > from) Some(UdInputPartition(sourceName, p, from, until)) else None
       }.toArray
+      lastPlannedRows = parts.map(ip =>
+        ip.asInstanceOf[UdInputPartition].until - ip.asInstanceOf[UdInputPartition].from).sum
+      parts.asInstanceOf[Array[InputPartition]]
     }
     override def createReaderFactory(): PartitionReaderFactory = new UdReaderFactory
     /** Micro-batch committed (checkpointed) → ack back to the source, and
-      * the limiter climbs its ramp. */
+      * the limiter climbs its ramp (OnlyIfUsed mode sees the rows the
+      * batch actually admitted). */
     override def commit(end: Offset): Unit = {
       end.asInstanceOf[UdOffset].parts.foreach { case (p, o) => src.ack(p, o) }
-      limiter.foreach(_.onSuccess())
+      limiter.foreach(_.onSuccess(lastPlannedRows))
     }
     override def stop(): Unit = ()
   }

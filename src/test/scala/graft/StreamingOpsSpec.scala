@@ -146,6 +146,21 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); UdSource.unregister("x5-mem"); RateLimit.unregister("x5-lim") }
   }
 
+  test("X5 modes: Scheduled climbs through failures; OnlyIfUsed needs demand") {
+    import RateLimit._
+    // Scheduled: wall-schedule ramp — failures advance it too.
+    val sched = new RampUpLimiter(2, 8, rampUpBatches = 2, mode = Scheduled)
+    sched.onFailure(); assert(sched.cap === 5)
+    sched.onFailure(); assert(sched.cap === 8)
+    // OnlyIfUsed: an idle trigger (nothing admitted) earns no headroom.
+    val used = new RampUpLimiter(2, 8, rampUpBatches = 2, mode = OnlyIfUsed)
+    used.onSuccess(used = 0); assert(used.cap === 2)   // idle: no climb
+    used.onSuccess(used = 2); assert(used.cap === 5)   // full consumption
+    used.onSuccess(used = 3); assert(used.cap === 5)   // partial: no climb
+    used.onSuccess(used = 5); assert(used.cap === 8)
+    used.onFailure(); assert(used.cap === 8)           // no fall-back in this mode
+  }
+
   test("X9: status endpoint serves query progress, watermarks, pending") {
     implicit val ctx = spark.sqlContext
     val api = new StatusApi(port = 0)
