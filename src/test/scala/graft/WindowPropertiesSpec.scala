@@ -95,6 +95,30 @@ class WindowPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("two-stage LSH dedup agrees with exhaustive jaccard (property)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+      "iota", "kappa", "lambda", "mu")
+    val docGen = Gen.listOfN(20, Gen.oneOf(vocab)).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(8, docGen)) { docs =>
+      {
+        val rows = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+          .toDF("doc_id", "text")
+        val exhaustive = graft.ops.Dedup
+          .ngramJaccardPairs(rows, "doc_id", "text", threshold = 0.5)
+          .as[(Long, Long, Double)].collect()
+          .map { case (a, b, j) => (a, b) -> j }.toMap
+        val verified = graft.ops.Dedup
+          .lshVerifiedPairs(rows, "doc_id", "text", threshold = 0.5)
+          .as[(Long, Long, Double)].collect()
+        // every LSH-verified pair exists in the exhaustive result with the
+        // IDENTICAL jaccard value — the verifier never invents or inflates.
+        verified.forall { case (a, b, j) =>
+          exhaustive.get((a, b)).contains(j)
+        }
+      }
+    })
+  }
+
   test("as-of join matches an independent model (property)") {
     val leftGen = Gen.listOfN(40, for {
       u <- Gen.choose(0, 3); s <- Gen.choose(0, 1000)
