@@ -106,6 +106,14 @@ object IdleSource {
     * ack — checkpoint/replay reproduces the exact interleaving because
     * segments only ever append. `clock` is injectable for deterministic
     * tests. */
+  private sealed trait Seg { def len: Long }
+  private final case class DataSeg(innerFrom: Long, innerUntil: Long) extends Seg {
+    def len: Long = innerUntil - innerFrom
+  }
+  private final case class HbSeg(rec: UdSource.SourceRecord) extends Seg {
+    def len: Long = 1L
+  }
+
   final class IdleHeartbeatSource(inner: UdSource.GraftSource,
       thresholdMs: Long, stepIntervalMs: Long, incrementByMs: Long,
       clock: () => Long = System.currentTimeMillis)
@@ -113,12 +121,6 @@ object IdleSource {
     import java.sql.Timestamp
     import scala.collection.mutable
     import UdSource.SourceRecord
-
-    private sealed trait Seg { def len: Long }
-    private final case class DataSeg(innerFrom: Long, innerUntil: Long) extends Seg {
-      def len: Long = innerUntil - innerFrom
-    }
-    private final case class HbSeg(rec: SourceRecord) extends Seg { def len: Long = 1L }
 
     private val segs = mutable.Map.empty[Int, mutable.ArrayBuffer[Seg]]
     private val lastData = mutable.Map.empty[Int, Long] // wall ms of last data advance
