@@ -1,0 +1,63 @@
+package graft
+
+/** Physical-plan regression guards: the scale design (pushdown, pruning,
+  * broadcast choices, shuffle-free map stages, top-k without global sort)
+  * asserted as tests, so a refactor that silently degrades a plan shape
+  * fails here rather than at 100 TB. Uses the declared queries at
+  * sf0.001 — plan SHAPE, not timing. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def countOf(s: String, token: String): Int =
+    s.sliding(token.length).count(_ == token)
+
+  test("map-only queries plan with zero exchanges") {
+    for (q <- Seq("split_assign", "pack_chunks", "mm_meta", "emb_quantize",
+        "text_fingerprint", "m1_flatmap")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
+    }
+  }
+
+  test("stratified sample broadcasts the counts table, never the corpus") {
+    val p = plan("sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not sort-merge:\n$p")
+  }
+
+  test("dimension join chain is all broadcast, no sort-merge") {
+    val p = plan("join_broadcast")
+    assert(countOf(p, "BroadcastHashJoin") >= 3, p) // supplier, nation, region
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("projection+filter reach the parquet scan (pushdown + pruning)") {
+    val p = plan("m1_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // pruned scan: revenue needs 4 columns, the table has 16.
+    assert(p.contains("l_extendedprice") && !p.contains("l_comment"), p)
+  }
+
+  test("q1 aggregation is partial+final hash agg") {
+    val p = plan("q1_agg")
+    assert(countOf(p, "HashAggregate") >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("lineage-sensitive aggs keep map-side partial aggregation") {
+    // minhash signature: one shuffle for the groupBy(doc_id), with
+    // map-side partial minimums before it.
+    val p = plan("dedup_minhash")
+    assert(p.contains("partial_min") || p.contains("partial_"), p)
+  }
+}
