@@ -26,9 +26,16 @@ import graft.streaming.UdSource.MemoryGraftSource
   *
   * Endpoints: `POST /v1/process/sync` (blocks until the DAG answers, 504
   * on timeout), `POST /v1/process/async` (returns the id immediately),
-  * `GET /v1/fetch?id=` (poll an async result).
+  * `GET /v1/fetch?id=` (poll an async result), `POST /v1/process/sse`
+  * (server-sent events: every result row for the request streams out as
+  * a `data:` event as the DAG produces it — a 1→N request sees N events).
+  * The reference closes an SSE stream when its callback tracker proves
+  * the request has drained every DAG path (`MessageGraph`); this engine
+  * has no per-message path tracker, so the stream closes after
+  * `sseIdleMs` without new results — same contract, time-bounded.
   */
-final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000) extends AutoCloseable {
+final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
+                            sseIdleMs: Long = 2000) extends AutoCloseable {
 
   /** The serving source: requests enter the DAG here (keys = [requestId]). */
   val source = new MemoryGraftSource(1)
@@ -36,13 +43,19 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000) extends Auto
   UdSource.register(sourceName, source)
 
   private val results = new ConcurrentHashMap[String, CompletableFuture[Array[Byte]]]()
+  // SSE subscriptions: every result row for the id is offered as an event.
+  private val streams =
+    new ConcurrentHashMap[String, java.util.concurrent.BlockingQueue[Array[Byte]]]()
 
   private def futureFor(id: String): CompletableFuture[Array[Byte]] =
     results.computeIfAbsent(id, _ => new CompletableFuture[Array[Byte]]())
 
-  /** Called by the serve sink when the DAG produces the response row. */
-  def complete(id: String, payload: Array[Byte]): Unit =
-    futureFor(id).complete(payload)
+  /** Called by the serve sink when the DAG produces a response row. */
+  def complete(id: String, payload: Array[Byte]): Unit = {
+    futureFor(id).complete(payload) // sync/async see the FIRST result
+    val q = streams.get(id)
+    if (q != null) q.offer(payload) // SSE sees every result
+  }
 
   /** K10 serve sink: batch rows (idCol: string, resultCol: binary or
     * string) complete their request futures. Driver-side by design — the
@@ -72,6 +85,25 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000) extends Auto
         futureFor(id)
         enqueue(id, ex.getRequestBody.readAllBytes())
         respond(ex, 200, s"""{"id":"$id"}""".getBytes)
+      }
+    })
+    s.createContext("/v1/process/sse", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val id = reqId(ex)
+        val q = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
+        streams.put(id, q)
+        try {
+          enqueue(id, ex.getRequestBody.readAllBytes())
+          ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+          ex.sendResponseHeaders(200, 0) // chunked
+          val out = ex.getResponseBody
+          var row = q.poll(syncTimeoutMs, TimeUnit.MILLISECONDS) // first result
+          while (row != null) {
+            out.write(s"data: ${new String(row)}\n\n".getBytes)
+            out.flush()
+            row = q.poll(sseIdleMs, TimeUnit.MILLISECONDS) // further results
+          }
+        } finally { streams.remove(id); ex.close() }
       }
     })
     s.createContext("/v1/fetch", new HttpHandler {

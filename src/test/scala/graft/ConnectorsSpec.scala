@@ -243,6 +243,31 @@ class ConnectorsSpec extends SparkSpec {
     } finally { q.stop(); serving.close() }
   }
 
+  test("serving: SSE streams every result row for a 1->N request") {
+    val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000, sseIdleMs = 1500)
+    // DAG: flat-map the payload into one result row PER WORD — SSE must
+    // deliver each as its own event.
+    val q = UdSource.readStream(spark, serving.sourceName)
+      .select(col("keys")(0).as("rid"),
+        explode(split(col("value").cast("string"), " ")).as("resp"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("sse").toString)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        serving.serveSink("rid", "resp")(batch.toDF(), id))
+      .start()
+    try {
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/process/sse"))
+          .POST(HttpRequest.BodyPublishers.ofString("alpha beta gamma")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("") === "text/event-stream")
+      val events = resp.body().split("\n\n").filter(_.nonEmpty)
+        .map(_.stripPrefix("data: ")).toSet
+      assert(events === Set("alpha", "beta", "gamma"), s"got: ${resp.body()}")
+    } finally { q.stop(); serving.close() }
+  }
+
   test("serving: sync POST -> DAG -> keyed response; async fetch") {
     val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000)
     // DAG: uppercase the payload, answer to the request id (keys[0]).
