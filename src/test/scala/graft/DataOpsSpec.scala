@@ -83,6 +83,24 @@ class DataOpsSpec extends SparkSpec {
     assert(q(1)._4 === 1.0) // constant vector falls back to unit scale
   }
 
+  test("HLL sketch: approx distinct within the configured error bound") {
+    val df = (1L to 20000L).map(i => (i % 500, i)).toDF("uid", "x")
+    val approx = df.agg(approx_count_distinct(col("uid"), rsd = 0.05))
+      .as[Long].head()
+    // 500 true distinct; 3 standard deviations of rsd=5%.
+    assert(math.abs(approx - 500L) <= (500 * 0.15).toLong,
+      s"approx=$approx outside HLL bound")
+  }
+
+  test("X1: parquet writes honor the compression codec end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("codec").toString
+    val df = (1L to 1000L).toDF("v")
+    df.write.mode("overwrite").option("compression", "zstd").parquet(dir)
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), files.mkString(","))
+    assert(spark.read.parquet(dir).count() === 1000L)
+  }
+
   test("language id picks the profile with most stopword hits") {
     val docs = Seq(
       (1L, "the cat and the dog of a house"),
