@@ -74,16 +74,56 @@ object Dedup {
   private def minhashBase: Column =
     conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))), 1, 8), 16, 10).cast("long")
 
-  /** Wide MinHash signature: (id, h0..h{numPerm-1}) from ONE groupBy(id) —
-    * all numPerm minimums are parallel aggregates of the same shuffle (no
-    * seed explosion before it), and map-side partial aggregation reduces
-    * each partition to one signature row per doc before anything moves. */
+  /** Wide MinHash signature: (id, h0..h{numPerm-1}) from ONE groupBy(id)
+    * over an exploded shingle frame — all numPerm minimums are parallel
+    * aggregates of the same shuffle, with map-side partial aggregation.
+    * Prefer [[minhashSignatureExpr]] when you hold the docs frame: it
+    * computes the same signature with NO shuffle at all. */
   def minhashSignature(sh: DataFrame, idCol: String, numPerm: Int): DataFrame = {
     require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
     val aggs = (0 until numPerm).map { i =>
       min(pmod(lit(MinhashA(i)) * minhashBase + lit(MinhashB(i)), lit(MinhashP))).as(s"h$i")
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shingle array per doc as a pure expression (no explode): the w-gram
+    * windows of the token array. Empty for docs shorter than w tokens. */
+  def shingleArray(textCol: Column, w: Int): Column = {
+    val toks = split(textCol, " ")
+    val idxs = when(size(toks) >= w, sequence(lit(0), size(toks) - w))
+      .otherwise(array().cast("array<int>"))
+    transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+  }
+
+  /** EXPRESSION-ONLY MinHash signature: identical values to
+    * [[minhashSignature]] (min over a multiset equals min over its set),
+    * but computed as a per-row projection — array_min over the hashed
+    * shingle array — so signatures cost ZERO shuffle. At 100 TB this
+    * deletes the largest shuffle of the dedup pipeline; the only
+    * remaining exchange in candidate generation is the (band, bucket)
+    * posting aggregation, which moves one row per doc-band.
+    *
+    * The md5-derived base array is hoisted into its own projection: the
+    * numPerm minimums each rescan it, and inlining would re-run one md5
+    * PER PERMUTATION per shingle (the transform-lambda re-evaluation
+    * trap). Docs with no shingles are dropped, matching the grouped
+    * form (they produce no shingle rows there). Streaming-safe: a plain
+    * projection works in any output mode with no state. */
+  def minhashSignatureExpr(docs: DataFrame, idCol: String, textCol: String,
+                           numPerm: Int, shingleW: Int): DataFrame = {
+    require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
+    val base = transform(shingleArray(col(textCol), shingleW), s =>
+      conv(substring(md5(to_binary(s, lit("utf-8"))), 1, 8), 16, 10).cast("long"))
+    docs
+      // cheap guard FIRST (token count), so the pushed-down filter never
+      // re-evaluates the md5 transform just to test emptiness.
+      .where(size(split(col(textCol), " ")) >= shingleW)
+      .select(col(idCol), base.as("__mh_base"))
+      .select(col(idCol) +: (0 until numPerm).map { i =>
+        array_min(transform(col("__mh_base"), x =>
+          pmod(lit(MinhashA(i)) * x + lit(MinhashB(i)), lit(MinhashP)))).as(s"h$i")
+      }: _*)
   }
 
   /** Long-form signatures (id, seed, minhash) — the wide row unpivoted. */
@@ -133,12 +173,12 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
   }
 
-  /** MinHash-LSH candidate pairs: shingle → wide signature → banded
-    * posting lists. Two shuffles end to end (signature agg, bucket agg)
+  /** MinHash-LSH candidate pairs: expression-only signature (no shuffle)
+    * → banded posting lists. ONE shuffle end to end (the bucket agg)
     * plus the final distinct. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numPerm: Int = 12, rowsPerBand: Int = 3, shingleW: Int = 3): DataFrame =
-    bandedPairs(minhashSignature(shingles(docs, idCol, textCol, shingleW), idCol, numPerm),
+    bandedPairs(minhashSignatureExpr(docs, idCol, textCol, numPerm, shingleW),
       idCol, numPerm, rowsPerBand)
 
   /** SimHash (32-bit, md5-derived): per doc, bit i of the hash of each
@@ -212,7 +252,7 @@ object Dedup {
                           numPerm: Int = 12, rowsPerBand: Int = 3,
                           shingleW: Int = 3): DataFrame = {
     def buckets(df: DataFrame) = bandedBuckets(
-      minhashSignature(shingles(df, idCol, textCol, shingleW), idCol, numPerm),
+      minhashSignatureExpr(df, idCol, textCol, numPerm, shingleW),
       idCol, numPerm, rowsPerBand)
     buckets(incoming).withColumnRenamed(idCol, "new_id")
       .join(buckets(existing).withColumnRenamed(idCol, "old_id"),
@@ -228,17 +268,15 @@ object Dedup {
   def lshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, numPerm: Int = 12, rowsPerBand: Int = 3,
                        shingleW: Int = 3): DataFrame = {
-    // Candidates and verifier are separate passes over the shingle stream
-    // on purpose: a measured single-pass variant (signature + collect_set
-    // in one groupBy, persisted for the three consuming branches) was ~60%
-    // SLOWER — caching per-doc shingle-set arrays costs more than simply
-    // re-exploding the source, and only the signature pass pays for md5.
-    // (On a real cluster the signature table would be checkpointed anyway
-    // for incremental dedup against the next crawl — that, not caching,
-    // is the 100 TB reuse story.)
+    // Candidate generation and verification are both expression-first:
+    // signatures cost no shuffle, and the per-doc shingle SET is a plain
+    // array_distinct projection (no explode + collect_set aggregation).
+    // The verify joins hash-shuffle on the candidate ids; candidate
+    // volume is bounded by band collisions, so AQE broadcasts that side
+    // and the corpus never reshuffles.
     val cands = minhashLshPairs(docs, idCol, textCol, numPerm, rowsPerBand, shingleW)
-    val sets = shingles(docs, idCol, textCol, shingleW)
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
+    val sets = docs.select(col(idCol),
+      array_distinct(shingleArray(col(textCol), shingleW)).as("sh"))
     cands
       .join(sets.select(col(idCol).as("a"), col("sh").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("sh").as("sb")), "b")
