@@ -111,6 +111,13 @@ object Dedup {
     * form (they produce no shingle rows there). Streaming-safe: a plain
     * projection works in any output mode with no state. */
   def minhashSignatureExpr(docs: DataFrame, idCol: String, textCol: String,
+                           numPerm: Int, shingleW: Int): DataFrame =
+    withMinhashSignature(docs.select(col(idCol), col(textCol)),
+      textCol, numPerm, shingleW).drop(textCol)
+
+  /** [[minhashSignatureExpr]] keeping every input column (h0..hN appended)
+    * — the form streaming operators use to carry event time through. */
+  def withMinhashSignature(docs: DataFrame, textCol: String,
                            numPerm: Int, shingleW: Int): DataFrame = {
     require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
     val base = transform(shingleArray(col(textCol), shingleW), s =>
@@ -119,8 +126,8 @@ object Dedup {
       // cheap guard FIRST (token count), so the pushed-down filter never
       // re-evaluates the md5 transform just to test emptiness.
       .where(size(split(col(textCol), " ")) >= shingleW)
-      .select(col(idCol), base.as("__mh_base"))
-      .select(col(idCol) +: (0 until numPerm).map { i =>
+      .withColumn("__mh_base", base)
+      .select(docs.columns.map(col) ++ (0 until numPerm).map { i =>
         array_min(transform(col("__mh_base"), x =>
           pmod(lit(MinhashA(i)) * x + lit(MinhashB(i)), lit(MinhashP)))).as(s"h$i")
       }: _*)

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.Dedup
+
+/** Streaming MinHash-LSH near-duplicate detection: the batch dedup
+  * pipeline's semantics at INGEST time. Each arriving doc's band buckets
+  * probe the state of previously admitted docs in the same bucket; a
+  * collision emits a (a, b) candidate pair while the doc flows on.
+  * Extends the reference's exact-id ISB dedup (X2, js_writer.rs windowed
+  * `MessageID` dedup) to near-duplicates, which only became streamable
+  * once the signature turned into a pure projection
+  * ([[Dedup.minhashSignatureExpr]] — no aggregation, any output mode).
+  *
+  * State per (band, bucket) is the posting list of (doc id, event-time),
+  * truncated by `retention` against the watermark each visit — the exact
+  * analog of the reference's time-bounded dedup window, so state is
+  * O(docs per retention window / 2^bandBits), not O(stream).
+  *
+  * Pairs surface once per colliding band; the final
+  * `dropDuplicatesWithinWatermark` collapses cross-band repeats of the
+  * same pair inside the watermark horizon.
+  */
+object StreamingNearDup {
+
+  /** (posting-list entry) id + event-time millis. */
+  private type Entry = (Long, Long)
+
+  final case class NearDupPair(a: Long, b: Long, ts: Timestamp)
+
+  /** @param docs      streaming frame with (idCol: long, textCol, tsCol);
+    *                  MUST already carry `withWatermark(tsCol, …)`
+    * @param retention how long an admitted doc keeps matching (ms) */
+  def pairs(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+            retentionMs: Long, numPerm: Int = 12, rowsPerBand: Int = 3,
+            shingleW: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    implicit val stateEnc: Encoder[List[Entry]] = Encoders.kryo[List[Entry]]
+
+    val nBands = numPerm / rowsPerBand
+    val sig = Dedup.withMinhashSignature(
+      docs.select(col(idCol), col(textCol), col(tsCol)),
+      textCol, numPerm, shingleW)
+    val buckets = (0 until nBands).map { j =>
+      concat_ws("|", lit(j) +:
+        (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+    }
+    val banded = sig
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        explode(array(buckets: _*)).as("bucket"))
+      .as[(Long, Timestamp, String)]
+
+    banded
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[List[Entry], NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, Timestamp, String)],
+         state: GroupState[List[Entry]]) =>
+          val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+          // Eviction clock = the group's own max event time, NOT the
+          // global watermark: the downstream pair-dedup stage re-assigns
+          // a watermark whose node starts at zero, and the min policy
+          // would hold getCurrentWatermarkMs at 0 until output flows —
+          // retention would silently never trigger. Group-local event
+          // time is monotone per bucket and needs no cross-stage plumbing.
+          val clock = batch.map(_._2.getTime).max
+          var posting = state.getOption.getOrElse(Nil)
+            .filter(_._2 >= clock - retentionMs) // reference's dedup window
+          val out = List.newBuilder[NearDupPair]
+          batch.foreach { case (id, ts, _) =>
+            posting.foreach { case (oid, _) =>
+              if (oid != id)
+                out += NearDupPair(math.min(oid, id), math.max(oid, id), ts)
+            }
+            posting = (id, ts.getTime) :: posting
+          }
+          if (posting.nonEmpty) state.update(posting) else state.remove()
+          out.result().iterator
+      }
+      .toDF()
+      // one pair per colliding band → collapse repeats, bounded state.
+      .withWatermark("ts", s"$retentionMs milliseconds")
+      .dropDuplicatesWithinWatermark("a", "b")
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingNearDup
+
+case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+
+/** Streaming MinHash-LSH near-dup detection: collisions across
+  * micro-batches, no self/cross-noise, retention-bounded state. */
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 40).map(i => s"token$i").mkString(" ")
+  private val nearDup = base.replace("token7", "tokenX")
+  private val other = (100 to 140).map(i => s"other$i").mkString(" ")
+
+  test("near-dup arriving in a later batch collides with the earlier doc") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val pairs = StreamingNearDup.pairs(
+      in.toDF().withWatermark("ts", "0 seconds"),
+      "doc_id", "text", "ts", retentionMs = 3600 * 1000L)
+    val q = pairs.writeStream.format("memory").queryName("snd_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamDoc(1L, base, ts("2024-01-01 00:00:10")),
+        StreamDoc(2L, other, ts("2024-01-01 00:00:11")))
+      q.processAllAvailable()
+      in.addData(StreamDoc(3L, nearDup, ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // advance watermarks; genuinely unrelated text (a near-dup of doc 2
+      // here would rightly pair with it).
+      in.addData(StreamDoc(4L, (200 to 240).map(i => s"late$i").mkString(" "),
+        ts("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+      in.addData(StreamDoc(5L, "unrelated words entirely here now", ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("snd_out").select("a", "b")
+        .as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 3L)), s"missed the cross-batch near-dup: $got")
+      assert(!got.exists(p => p._1 == 2L || p._2 == 2L), s"false positive: $got")
+    } finally q.stop()
+  }
+
+  test("retention: state older than the window no longer matches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val pairs = StreamingNearDup.pairs(
+      in.toDF().withWatermark("ts", "0 seconds"),
+      "doc_id", "text", "ts", retentionMs = 60 * 1000L) // 1 minute
+    val q = pairs.writeStream.format("memory").queryName("snd_ret")
+      .outputMode("append").start()
+    try {
+      in.addData(StreamDoc(1L, base, ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      // advance the watermark far past retention before the dup arrives.
+      in.addData(StreamDoc(2L, other, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      in.addData(StreamDoc(3L, nearDup, ts("2024-01-01 01:00:30")))
+      q.processAllAvailable()
+      in.addData(StreamDoc(4L, (300 to 340).map(i => s"tail$i").mkString(" "),
+        ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("snd_ret").select("a", "b")
+        .as[(Long, Long)].collect().toSet
+      assert(!got.contains((1L, 3L)),
+        s"doc 1 should have aged out of the dedup window: $got")
+    } finally q.stop()
+  }
+
+  test("batch analog agrees: streaming pairs ⊆ batch candidate pairs") {
+    val docs = Seq((1L, base), (2L, other), (3L, nearDup))
+      .toDF("doc_id", "text")
+    val batchPairs = graft.ops.Dedup
+      .minhashLshPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs.contains((1L, 3L)))
+  }
+}
