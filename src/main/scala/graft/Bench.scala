@@ -30,7 +30,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // per-query isolation: operators that persist intermediates
+      // (simhash signatures) must not occupy memory for later queries.
+      spark.sharedState.cacheManager.clearCache()
+      t
     }
 
     // Warm the JVM/codegen paths once on a cheap query before timing.
