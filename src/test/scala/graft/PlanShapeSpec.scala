@@ -54,6 +54,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("rank-filter windows get WindowGroupLimit (map-side top-k pruning)") {
+    // rn <= k over a window must trigger Spark's group-limit rewrite:
+    // per-partition limits run BEFORE the shuffle, so only k·keys rows
+    // move — the declarative twin of Relational.topKPerKey's aggregator.
+    val p = plan("wf_rank")
+    assert(countOf(p, "WindowGroupLimit") >= 2, p) // partial + final
+  }
+
   test("lineage-sensitive aggs keep map-side partial aggregation") {
     // minhash signature: one shuffle for the groupBy(doc_id), with
     // map-side partial minimums before it.
