@@ -74,11 +74,11 @@ object Dedup {
   private def minhashBase: Column =
     conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))), 1, 8), 16, 10).cast("long")
 
-  /** Wide MinHash signature: (id, h0..h{numPerm-1}) from ONE groupBy(id)
-    * over an exploded shingle frame — all numPerm minimums are parallel
-    * aggregates of the same shuffle, with map-side partial aggregation.
-    * Prefer [[minhashSignatureExpr]] when you hold the docs frame: it
-    * computes the same signature with NO shuffle at all. */
+  /** Wide MinHash signature from ONE groupBy(id) over an exploded shingle
+    * frame — parallel min aggregates with map-side partial aggregation.
+    * Every pipeline uses [[minhashSignatureExpr]] (same values, zero
+    * shuffle); this grouped form is its differential-testing twin — the
+    * equivalence is asserted over random corpora in WindowPropertiesSpec. */
   def minhashSignature(sh: DataFrame, idCol: String, numPerm: Int): DataFrame = {
     require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
     val aggs = (0 until numPerm).map { i =>
@@ -132,14 +132,6 @@ object Dedup {
           pmod(lit(MinhashA(i)) * x + lit(MinhashB(i)), lit(MinhashP)))).as(s"h$i")
       }: _*)
   }
-
-  /** Long-form signatures (id, seed, minhash) — the wide row unpivoted. */
-  def minhash(sh: DataFrame, idCol: String, numPerm: Int): DataFrame =
-    minhashSignature(sh, idCol, numPerm)
-      .select(col(idCol),
-        posexplode(array((0 until numPerm).map(i => col(s"h$i")): _*)))
-      .withColumnRenamed("pos", "seed")
-      .withColumnRenamed("col", "minhash")
 
   /** Candidate pairs from a wide signature frame: band buckets are a
     * map-side projection over the h_i columns (banding costs NO shuffle —

@@ -95,6 +95,26 @@ class WindowPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("expression minhash signature ≡ grouped aggregation (property)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(8, docGen)) { docs =>
+      {
+        val rows = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+          .toDF("doc_id", "text")
+        val viaExpr = graft.ops.Dedup
+          .minhashSignatureExpr(rows, "doc_id", "text", numPerm = 12, shingleW = 3)
+          .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+        val viaAgg = graft.ops.Dedup
+          .minhashSignature(graft.ops.Dedup.shingles(rows, "doc_id", "text", 3),
+            "doc_id", numPerm = 12)
+          .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+        viaExpr == viaAgg // identical doc sets AND identical h0..h11 values
+      }
+    })
+  }
+
   test("two-stage LSH dedup agrees with exhaustive jaccard (property)") {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
       "iota", "kappa", "lambda", "mu")
