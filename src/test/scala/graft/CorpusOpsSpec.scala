@@ -83,6 +83,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("null robustness: null text/ids flow through without crashing") {
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, "alpha beta gamma delta"),
+      (2L, null),                       // null text
+      (null, "some text here okay"),    // null id
+      (4L, ""))                         // empty text
+      .toDF("doc_id", "text")
+    // dedup family: null/short texts simply produce no shingles.
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text").count() === 0)
+    assert(Dedup.exact(docs, "doc_id", "text").count() === 4) // null hash is its own group
+    // text analysis: null text yields null features, no exceptions.
+    val q = graft.ops.TextAnalysis.qualityFeatures(docs, "text").collect()
+    assert(q.length === 4)
+    // splits: null ids get a deterministic bucket (the ELSE arm).
+    val s = CorpusOps.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s.where(col("doc_id").isNull).select("split").as[String].head() === "test")
+    // chunking: null text yields zero chunks rather than a crash.
+    assert(CorpusOps.chunk(docs, "doc_id", "text", 8)
+      .where(col("doc_id") === 2L).count() === 0)
+  }
+
   test("connectedComponents: chains close transitively, singletons stay put") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     // 1-2, 2-3 chain; 5-6 pair; 4 isolated.
