@@ -56,8 +56,12 @@ object CorpusOps {
             chunkTokens: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
-    df.select(col(idCol), toks.as("t"),
-        explode(sequence(lit(0), greatest(nChunks - 1, lit(0)))).as("chunk_idx"))
+    // null text → null nChunks → empty index array (greatest() would turn
+    // the null into one junk chunk; sequence with a negative bound counts
+    // DOWN — both traps dodged by the explicit guard).
+    val idxs = when(nChunks >= 1, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), toks.as("t"), explode(idxs).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),
         least(size(col("t")) - col("chunk_idx") * chunkTokens, lit(chunkTokens))
           .cast("long").as("n_tokens"),
