@@ -13,10 +13,14 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarity)
+    GraftExtensions.composites.foreach(ext.injectFunction)
   }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftcompat.ColumnCompat
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, null, name,
       usage, "", "", "", "", "", "", "built-in")
@@ -28,5 +32,35 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "cosine_similarity takes exactly 2 arguments")
       CosineSimilarity(exprs.head, exprs(1))
+    })
+
+  /** Scalar training-data functions exposed to SQL: each is a composition
+    * of built-in (codegen'd) expressions, registered by wrapping the
+    * Column-level operator — `SELECT lang_id(text) FROM docs` works for
+    * pure-SQL users with no DataFrame code. */
+  private def composite(name: String, usage: String)(fn: Seq[Column] => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage),
+      (exprs: Seq[Expression]) =>
+        ColumnCompat.resolvedExpression(fn(exprs.map(ColumnCompat.column))))
+
+  val composites: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    composite("lang_id", "_FUNC_(text) - stopword-profile language guess") {
+      case Seq(t) => graft.ops.TextAnalysis.langId(t)
+    },
+    composite("unit_hash", "_FUNC_(id) - deterministic md5 unit-interval hash") {
+      case Seq(id) => graft.ops.CorpusOps.unitHash(id)
+    },
+    composite("token_count", "_FUNC_(text) - whitespace token count") {
+      case Seq(t) => graft.ops.TextAnalysis.tokenCount(t)
+    },
+    composite("redact_pii", "_FUNC_(text) - email/URL/phone redaction") {
+      case Seq(t) => graft.ops.TextAnalysis.redactPii(t)
+    },
+    composite("repetition_score", "_FUNC_(text) - 1 - distinct-token ratio") {
+      case Seq(t) => graft.ops.TextAnalysis.repetitionScore(t)
+    },
+    composite("rolling_hash", "_FUNC_(text) - polynomial fingerprint mod 1e9+7") {
+      case Seq(t) => graft.ops.TextAnalysis.rollingHash(t)
     })
 }

@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnCompat {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly converts the Column's node tree into ordinary Catalyst
+    * expressions (UnresolvedFunction etc. — things the analyzer resolves
+    * in place). `ExpressionUtils.expression` instead wraps the tree in a
+    * lazy ColumnNodeExpression bridge, which function-registry builders
+    * cannot return: the analyzer never looks inside it and codegen dies
+    * on the unresolved wrapper. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

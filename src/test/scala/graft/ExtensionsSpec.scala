@@ -24,6 +24,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("scalar training functions register for pure-SQL users") {
+    GraftExtensions.composites.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val row = spark.sql(
+      """SELECT lang_id('the cat and the dog of a house') AS lang,
+        |  token_count('a b c') AS n,
+        |  redact_pii('mail me at x@y.com now') AS clean,
+        |  repetition_score('a a a b') AS rep,
+        |  unit_hash('42') AS u,
+        |  rolling_hash('ab') AS rh""".stripMargin).collect().head
+    assert(row.getString(0) === "en")
+    assert(row.getLong(1) === 3L)
+    assert(row.getString(2) === "mail me at <EMAIL> now")
+    assert(row.getDouble(3) === 0.5)
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(4) < 1.0)
+    assert(row.getLong(5) === (97L * 31 + 98) % 1000000007)
+  }
+
   test("streaming even-odd pipeline routes through the foreachBatch router") {
     implicit val ctx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime
