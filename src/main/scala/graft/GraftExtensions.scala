@@ -13,6 +13,7 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarity)
+    ext.injectFunction(GraftExtensions.sortedJaccard)
     GraftExtensions.composites.foreach(ext.injectFunction)
   }
 }
@@ -32,6 +33,15 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "cosine_similarity takes exactly 2 arguments")
       CosineSimilarity(exprs.head, exprs(1))
+    })
+
+  val sortedJaccard: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_jaccard"),
+    info("sorted_jaccard",
+      "_FUNC_(a, b) - jaccard of two sorted distinct array<bigint> sets (codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "sorted_jaccard takes exactly 2 arguments")
+      graft.functions.SortedJaccard(exprs.head, exprs(1))
     })
 
   /** Scalar training-data functions exposed to SQL: each is a composition

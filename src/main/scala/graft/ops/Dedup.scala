@@ -269,19 +269,21 @@ object Dedup {
                        shingleW: Int = 3): DataFrame = {
     // Candidate generation and verification are both expression-first:
     // signatures cost no shuffle, and the per-doc shingle SET is a plain
-    // array_distinct projection (no explode + collect_set aggregation).
-    // The verify joins hash-shuffle on the candidate ids; candidate
-    // volume is bounded by band collisions, so AQE broadcasts that side
-    // and the corpus never reshuffles.
+    // projection (no explode + collect_set aggregation) of sorted distinct
+    // xxhash64 values — set identity, not text. The verify joins
+    // hash-shuffle on the candidate ids; candidate volume is bounded by
+    // band collisions, so AQE broadcasts that side and the corpus never
+    // reshuffles. Per-pair scoring is the native fused two-pointer merge
+    // ([[graft.functions.SortedJaccard]]) — one codegen pass, no
+    // intermediate arrays, vs array_intersect + array_union's two.
     val cands = minhashLshPairs(docs, idCol, textCol, numPerm, rowsPerBand, shingleW)
     val sets = docs.select(col(idCol),
-      array_distinct(shingleArray(col(textCol), shingleW)).as("sh"))
+      sort_array(array_distinct(
+        transform(shingleArray(col(textCol), shingleW), s => xxhash64(s)))).as("sh"))
     cands
       .join(sets.select(col(idCol).as("a"), col("sh").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("sh").as("sb")), "b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jaccard", graft.functions.SortedJaccard(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
