@@ -15,6 +15,9 @@ run / fork := true
 // driver parses the JSON line from stdout, and sbt's default LoggedOutput
 // would wrap it as "[info] {...}", breaking json parsing.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and suppress sbt's trailing "[success] Total time: ..." line, which
+// lands AFTER the JSON and broke the driver's parse (BENCH_r02 parsed:null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

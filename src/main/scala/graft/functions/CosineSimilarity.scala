@@ -18,17 +18,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (one pass: dot, |a|², |b|²), keeping the scan inside codegen.
   *
   * Summation is index-ordered exactly like the higher-order-function
-  * version, so results are bit-identical — the DuckDB oracle comparisons
-  * hold unchanged. Null inputs yield null (standard binary-expression
-  * semantics); mismatched lengths score over the shorter prefix, matching
-  * zip_with's null-padding (which previously produced null sums — the
-  * native form instead defines the value; inputs here are fixed-dim
+  * version, so results are bit-identical on dense nonzero vectors — the
+  * DuckDB oracle comparisons hold unchanged. Null inputs yield null
+  * (standard binary-expression semantics); a zero-norm side or a null
+  * array element also yields null — never NaN, which would sort above
+  * every real similarity and pass `sim >= threshold` filters. Mismatched
+  * lengths score over the shorter prefix (inputs here are fixed-dim
   * embeddings, so lengths always agree in practice).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // Null out on zero-norm / null-element inputs even when both children
+  // are non-nullable columns.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -48,28 +53,38 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
+      val nb = ctx.freshName("nb"); val denom = ctx.freshName("denom")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double $x = $a.getDouble($i);
          |  double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($bad || $denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / $denom;
+         |}
        """.stripMargin
     })
 

@@ -303,8 +303,13 @@ object Dedup {
     * blowup. `localCheckpoint` truncates the growing lineage each round
     * (on a cluster you would checkpoint to durable storage instead).
     *
-    * The convergence test is one count() per round — a driver-side
-    * SCALAR, not collected data, same as GraphX's Pregel loop. */
+    * One Spark job per round: the first propagation hop folds into label
+    * initialization (label₀ = min(id, min neighbor)), the checkpoint is
+    * lazy, and convergence reads a single DECIMAL sum — labels only ever
+    * decrease, so Σlabels is strictly decreasing exactly while the
+    * labeling still changes (a driver-side scalar per round, same role
+    * as GraphX's Pregel active-set count, at half the jobs of a
+    * join-and-count diff). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
@@ -314,11 +319,16 @@ object Dedup {
     // the dup GRAPH (≈ 2·|pairs| nodes), not the corpus — at 100 TB the
     // dup graph is orders of magnitude smaller than the doc count, and
     // isolated docs join back as their own singleton cluster at the end.
-    val active = sym.select(col("src").as("id")).distinct().localCheckpoint()
-    var labels = active.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbest"))
+      .select(col("src").as("id"), least(col("src"), col("nbest")).as("cluster_id"))
+      .localCheckpoint(eager = false)
+    var lastSum = labelSum(labels) // materializes the lazy checkpoint too
+    var iter = 1 // init already propagated one hop
+    var changed = true
+    while (changed && iter < maxIter) {
       // best label reachable in one hop: neighbor labels, min per node.
       val fromNeighbors = sym
         .join(labels.select(col("id").as("src"), col("cluster_id").as("nl")), "src")
@@ -328,14 +338,15 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbest"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .where(col("cluster_id") =!= col("prev")).count()
+        .localCheckpoint(eager = false)
+      val newSum = labelSum(next)
+      changed = newSum != lastSum && newSum != null
+      lastSum = newSum
       labels = next
       iter += 1
     }
     val singletons = nodes.select(col("id"))
-      .join(active, Seq("id"), "left_anti")
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
     labels.unionByName(singletons)
   }

@@ -25,12 +25,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity(a, b)
 
   /** Composable (higher-order-function) formulation — interpreted lambdas,
-    * kept as the differential-testing twin of the native expression. */
+    * kept as the differential-testing twin of the native expression.
+    * try_divide, not `/`: ANSI mode (Spark 4 default) throws on a zero
+    * divisor; both formulations define zero-norm similarity as NULL. */
   def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
+    try_divide(dot, na * nb)
   }
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
@@ -65,7 +67,13 @@ object Similarity {
     }
 
   /** Sign-random-projection LSH bucket id (`nBits` hyperplanes over
-    * `dim`-dimensional vectors). */
+    * `dim`-dimensional vectors).
+    *
+    * A vector whose length differs from `dim` fails loudly: zip_with pads
+    * the shorter side with nulls, every dot product goes null, every bit
+    * reads 0 — all vectors silently collapse into bucket 0 and the LSH
+    * degenerates into one quadratic mega-bucket. The guard is one cheap
+    * `size` comparison per row. */
   def srpBucket(vec: Column, nBits: Int, dim: Int): Column = {
     val planes = srpPlanes(nBits, dim)
     val bits = (0 until nBits).map { b =>
@@ -74,7 +82,9 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
-    bits.reduce(_ + _)
+    when(size(vec) === dim, bits.reduce(_ + _)).otherwise(raise_error(concat(
+      lit(s"srpBucket: vector length "), size(vec).cast("string"),
+      lit(s" does not match plane dim $dim"))))
   }
 
   /** Approximate NN via SRP-LSH: corpus and queries bucketed by `nBits`

@@ -81,22 +81,34 @@ object Connectors {
   }
 
   /** NATS core source: at-most-once — messages buffer as they arrive,
-    * ack is a no-op (core NATS has none), nothing replays after restart.
-    * The checkpoint still makes delivery into the DAG exactly-once from
-    * what the adapter buffered. */
+    * there is no BROKER ack (core NATS has none), nothing replays after
+    * restart. The checkpoint still makes delivery into the DAG
+    * exactly-once from what the adapter buffered.
+    *
+    * The ENGINE-side ack still matters: it releases the adapter buffer
+    * (else memory grows with everything ever received) and anchors the
+    * pending metric — `pending` must be un-acked depth, not total intake,
+    * or Autoscale sees a monotonically growing backlog and scales up
+    * forever. */
   final class NatsSource(sub: NatsSubscription, subject: String) extends GraftSource {
     private val buf = ArrayBuffer.empty[SourceRecord]
+    private var base = 0L // offsets below `base` are acked and trimmed
     def partitions: Seq[Int] = Seq(0)
     def latestOffset(p: Int): Long = synchronized {
       sub.drain().foreach { body =>
-        buf += SourceRecord(buf.length.toLong, 0, Seq(subject), body, now())
+        buf += SourceRecord(base + buf.length, 0, Seq(subject), body, now())
       }
-      buf.length.toLong
+      base + buf.length
     }
     def read(p: Int, from: Long, until: Long): Iterator[SourceRecord] =
-      synchronized(buf.slice(from.toInt, until.toInt).toList).iterator
-    def ack(p: Int, upTo: Long): Unit = () // core NATS: nothing to ack
-    def pending: Long = synchronized(buf.length.toLong)
+      synchronized(buf.filter(r => r.offset >= from && r.offset < until).toList).iterator
+    def ack(p: Int, upTo: Long): Unit = synchronized {
+      // nothing to tell the broker — trim the local buffer only
+      val keep = buf.dropWhile(_.offset < upTo) // buffer is offset-ordered
+      base = math.max(base, math.min(upTo, base + buf.length))
+      buf.clear(); buf ++= keep
+    }
+    def pending: Long = synchronized(buf.length.toLong) // un-acked depth
   }
 
   // ---- NATS JetStream (S5) ----------------------------------------------

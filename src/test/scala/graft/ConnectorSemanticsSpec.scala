@@ -136,6 +136,55 @@ class ConnectorSemanticsSpec extends SparkSpec {
     } finally { q.stop(); UdSource.unregister("nack-loop") }
   }
 
+  test("nats core trims its buffer on engine ack; pending is un-acked depth") {
+    val inbox = ArrayBuffer("a", "b", "c", "d")
+    val nats = new Connectors.NatsSource(new Connectors.NatsSubscription {
+      def drain() = { val out = inbox.map(_.getBytes).toSeq; inbox.clear(); out }
+    }, subject = "sub")
+    assert(nats.latestOffset(0) === 4 && nats.pending === 4)
+    nats.ack(0, 2) // engine-side only — releases buffer, anchors pending
+    assert(nats.pending === 2, "pending must drop to un-acked depth")
+    // un-acked records still readable at their original offsets post-trim
+    assert(nats.read(0, 2, 4).map(r => new String(r.value)).toSeq === Seq("c", "d"))
+    inbox ++= Seq("e")
+    assert(nats.latestOffset(0) === 5) // offsets continue past the trim
+    assert(nats.read(0, 4, 5).map(r => new String(r.value)).toSeq === Seq("e"))
+    nats.ack(0, 5)
+    assert(nats.pending === 0)
+  }
+
+  test("M5: a delayed redelivery that fails parks and reaches the DLQ next batch") {
+    // bounded loopback that is already full → the delayed append throws
+    // BufferFullException inside the scheduler task; with a raw
+    // java.util.Timer that exception would kill the timer thread for the
+    // whole JVM. Here the row parks and the NEXT writer invocation routes
+    // it to the DLQ.
+    val full = new MemoryGraftSource(1, maxLength = 1)
+    full.append(Seq("occupant"), "x".getBytes, t0)
+
+    val deadLettered = ArrayBuffer.empty[String]
+    val writer = Nack.redeliveryWriter(
+      loopback = full, opts = Nack.NackOptions(delayMs = 50, maxDeliveries = 5),
+      deliver = (_, _) => (),
+      dlq = (df, _) => deadLettered ++=
+        df.select(col("keys")(0)).as[String].collect())
+
+    val nacked = Seq((Seq("k1"), "v1".getBytes, t0,
+      Map.empty[String, String], Seq(Tags.Nack)))
+      .toDF("keys", "value", "eventTime", "headers", "tags")
+    writer(nacked, 0L)
+    Thread.sleep(500) // let the scheduled append fire and fail
+    assert(deadLettered.isEmpty) // parked, not yet dead-lettered
+    writer(nacked.limit(0), 1L) // next batch drains the parked rows
+    assert(deadLettered.toSeq === Seq("k1"))
+
+    // and the scheduler survived: a later delayed redelivery still works
+    full.ack(0, 1) // free capacity
+    writer(nacked, 2L)
+    Thread.sleep(500)
+    assert(full.pending >= 1, "scheduler thread must survive the earlier failure")
+  }
+
   // ---- R5 buffer-full policies -------------------------------------------
 
   test("R5: discardLatest sheds, retryUntilSuccess backpressures") {

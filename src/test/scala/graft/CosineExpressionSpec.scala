@@ -44,6 +44,45 @@ class CosineExpressionSpec extends SparkSpec {
     }
   }
 
+  test("zero-norm vectors and null elements yield null, never NaN") {
+    // NaN would sort ABOVE every real similarity and pass >= filters —
+    // a zero vector must not take rank 1 in a top-k or leak through a
+    // threshold. Interpreted + codegen paths both guarded.
+    val df = Seq(
+      (Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0)), // zero left norm
+      (Array(1.0, 2.0, 3.0), Array(0.0, 0.0, 0.0)), // zero right norm
+      (Array(1.0, 2.0, 3.0), Array(2.0, 4.0, 6.0))  // healthy
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out(0) === None && out(1) === None)
+    assert(out(2).exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(!out.flatten.exists(_.isNaN))
+
+    val withNullElem = Seq(
+      (Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(withNullElem.collect().head.isNullAt(0))
+
+    // and the HOF twin agrees on the degenerate cases (both null)
+    val both = df.select(
+      Similarity.cosine(col("a"), col("b")).as("n"),
+      Similarity.cosineHof(col("a"), col("b")).as("h")).collect()
+    assert(both.forall(r => r.isNullAt(0) == r.isNullAt(1)))
+  }
+
+  test("srpBucket rejects vectors whose length disagrees with dim") {
+    val ok = Seq((1L, Array(1.0, 2.0, 3.0, 4.0))).toDF("id", "v")
+      .select(Similarity.srpBucket(col("v"), nBits = 4, dim = 4).as("b"))
+    assert(ok.collect().head.getLong(0) >= 0L)
+    val bad = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+      .select(Similarity.srpBucket(col("v"), nBits = 4, dim = 4).as("b"))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("srpBucket") ||
+      Option(e.getCause).exists(_.getMessage.contains("srpBucket")))
+  }
+
   test("IVF ANN: probing every cell reproduces brute force exactly") {
     val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
     val q = emb.where(col("vec_id") < 10)

@@ -74,6 +74,41 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dormant buckets GC once the pair watermark advances (state shrinks)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val pairs = StreamingNearDup.pairs(
+      in.toDF().withWatermark("ts", "0 seconds"),
+      "doc_id", "text", "ts", retentionMs = 60 * 60 * 1000L) // 1 hour
+    val q = pairs.writeStream.format("memory").queryName("snd_gc")
+      .outputMode("append").start()
+    try {
+      def epoch(n: Int) = (1 to 40).map(i => s"ep${n}tok$i").mkString(" ")
+      def near(s: String) = s.replace("tok7", "tokX")
+      // each epoch emits a pair, so the downstream pair-dedup watermark
+      // keeps advancing and dormant epoch-1 buckets pass their timeout.
+      in.addData(StreamDoc(1L, epoch(1), ts("2024-01-01 00:00:10")),
+        StreamDoc(2L, near(epoch(1)), ts("2024-01-01 00:00:11")))
+      q.processAllAvailable()
+      in.addData(StreamDoc(3L, epoch(2), ts("2024-01-01 10:00:00")),
+        StreamDoc(4L, near(epoch(2)), ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      in.addData(StreamDoc(5L, epoch(3), ts("2024-01-01 20:00:00")),
+        StreamDoc(6L, near(epoch(3)), ts("2024-01-01 20:00:01")))
+      q.processAllAvailable()
+      in.addData(StreamDoc(7L, "lone straggler doc here", ts("2024-01-02 06:00:00")))
+      q.processAllAvailable()
+
+      val totals = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .filter(_.operatorName.contains("flatMapGroupsWithState"))
+        .map(_.numRowsTotal)
+      assert(totals.nonEmpty)
+      assert(totals.last < totals.max,
+        s"dormant bucket state never shrank: $totals")
+    } finally q.stop()
+  }
+
   test("batch analog agrees: streaming pairs ⊆ batch candidate pairs") {
     val docs = Seq((1L, base), (2L, other), (3L, nearDup))
       .toDF("doc_id", "text")
