@@ -387,6 +387,11 @@ object Dedup {
     // (bounded) list — no shingle self-join, no second pass over the corpus.
     // collect_set dedups repeated (id, shingle) occurrences — set
     // semantics land here instead of a separate distinct shuffle.
+    // NOT persisted: sizes and the pair expansion both read posting, but
+    // ReuseExchange shares the shuffle files between them and re-running
+    // the collect_set agg off shared shuffle data measures FASTER than a
+    // memory-cached copy at every tested scale (persist forces a
+    // serialize/deserialize of the array column both ways).
     val posting = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) <= maxDocFreq)

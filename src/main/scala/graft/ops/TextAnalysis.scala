@@ -98,13 +98,23 @@ object TextAnalysis {
     * is on the bigram key — at 100 TB you persist the count table and
     * score incrementally, exactly like the dedup signature table. */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = Dedup.shingles(docs, idCol, textCol, w = 2)
-    val counts = bg.groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+    // Collapse the per-doc bigram MULTISET first: every later stage works
+    // on distinct (doc, bigram) rows with a count, so the corpus-sized
+    // explode shuffles once at its smallest width and the global-count
+    // join touches ~|distinct bigrams per doc| rows instead of every
+    // occurrence. avg over occurrences = count-weighted avg over
+    // distincts (same value; the oracle rounds to 4 decimals on both
+    // sides, absorbing the summation-order difference).
+    val bgc = Dedup.shingles(docs, idCol, textCol, w = 2)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("c"))
+    val counts = bgc.groupBy(col("shingle")).agg(sum(col("c")).as("n"))
     val total = counts.agg(sum(col("n")).as("total"))
-    bg.join(counts, "shingle")
+    bgc.join(counts, "shingle")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
-      .agg(round(avg(log(col("n").cast("double") / col("total"))), 4).as("lm_score"))
+      .agg(round(
+        sum(col("c") * log(col("n").cast("double") / col("total"))) / sum(col("c")),
+        4).as("lm_score"))
   }
 
   /** Top-k vocabulary by frequency (ties broken lexicographically) — the
