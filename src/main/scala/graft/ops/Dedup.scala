@@ -360,6 +360,25 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Cross-document duplicated token spans: every w-token window that
+    * appears verbatim in >= 2 distinct docs — the detection half of
+    * substring-level dedup (long shared spans are boilerplate/quotation
+    * contamination that document-level near-dup scoring dilutes away).
+    * Returns (span_id = md5 of the span, n_docs, first_doc, last_doc).
+    *
+    * Scale shape: one explode + one hash-aggregate on the span text;
+    * map-side partial aggregation collapses within-partition repeats, so
+    * the shuffle carries ~distinct spans. The md5 is computed AFTER the
+    * aggregate (once per distinct span, not once per occurrence). */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, w: Int = 15): DataFrame =
+    shingles(docs, idCol, textCol, w)
+      .groupBy(col("shingle"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+      .where(col("n_docs") >= 2)
+      .select(md5(to_binary(col("shingle"), lit("utf-8"))).as("span_id"),
+        col("n_docs"), col("first_doc"), col("last_doc"))
+
   /** Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
     * Returns (a, b, jaccard) for jaccard >= threshold, a < b.
     *

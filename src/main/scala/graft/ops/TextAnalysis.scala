@@ -117,6 +117,59 @@ object TextAnalysis {
         4).as("lm_score"))
   }
 
+  /** Top-k TF-IDF keywords per doc — the classic doc-summarization /
+    * feature-extraction pass. Two aggregations over one tokenize-explode:
+    * term frequency per (doc, word), document frequency per word (both
+    * with map-side partial agg); idf joins back on the word — AQE
+    * broadcasts it (|vocab| rows) so the corpus-sized side never
+    * reshuffles after the tf agg. Ranking runs per doc (high-cardinality
+    * partition key, no skew), top-k bounded by WindowGroupLimit.
+    * Score is rounded to 4 decimals BEFORE ranking so Spark and the
+    * verifying engine rank identical values (ties break on the word). */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("word"), col("score"), col("rank"))
+  }
+
+  /** BM25 relevance of every doc against a fixed query-term set (k1/b are
+    * the standard Robertson defaults). Corpus statistics (N, avgdl,
+    * per-term df) come from ONE tiny aggregate broadcast to the scan;
+    * per-doc term frequencies are array expressions over the token array
+    * — the whole scoring pass is scan-shaped: no shuffle of the corpus,
+    * no UDF, deterministic index-ordered term summation (engine-portable
+    * to the bit before the final 4-decimal round). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val aggs = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("toks"), t), 1.0).otherwise(0.0)).as(s"df_$i")
+      }
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), round(termScores.reduce(_ + _), 4).as("bm25"))
+  }
+
   /** Top-k vocabulary by frequency (ties broken lexicographically) — the
     * first step of tokenizer/vocab induction. TakeOrderedAndProject: the
     * word counts aggregate map-side, only k rows reach the driver-side

@@ -70,6 +70,20 @@ object AggQueries extends QueryPack {
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
     },
 
+    // pivot (wide aggregation): Catalyst rewrites the explicit-value
+    // pivot into ONE grouped pass with filtered partial aggregates — no
+    // per-column scans; revenue stays decimal until the final cast.
+    "agg_pivot" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(dec("o_totalprice")))
+        .select(col("yr"),
+          col("O").cast("double").as("rev_o"),
+          col("F").cast("double").as("rev_f"),
+          col("P").cast("double").as("rev_p"))
+    },
+
     // HLL sketch — approximate, no SQL oracle (driver rows-only check).
     "agg_hll" -> { (s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
@@ -107,6 +121,15 @@ object AggQueries extends QueryPack {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }

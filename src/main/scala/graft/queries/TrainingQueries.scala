@@ -11,6 +11,10 @@ object TrainingQueries extends QueryPack {
 
   private val stop = TextAnalysis.stopwords
 
+  /** Query terms for the BM25 demo scoring pass (drawn from the synthetic
+    * corpus vocabulary; order matters — summation is index-ordered). */
+  private val Bm25Terms = Seq("spark", "window", "query")
+
   val queries: Map[String, Q] = Map(
 
     // ---- text analysis -------------------------------------------------
@@ -46,6 +50,24 @@ object TrainingQueries extends QueryPack {
 
     "text_bigram_lm" -> { (s, dir) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // top-3 TF-IDF keywords per doc (rounded score ranks identically in
+    // any engine; ties break on the word).
+    "text_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)
+    },
+
+    // BM25 relevance of every doc against a fixed query — the retrieval
+    // scoring pass of a data-curation search index.
+    "text_bm25" -> { (s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text", Bm25Terms)
+    },
+
+    // verbatim w-token spans shared across docs — substring-level dup
+    // (boilerplate/quotation) detection that document-level scores dilute.
+    "dedup_spans" -> { (s, dir) =>
+      Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", w = 15)
     },
 
     "vocab_top" -> { (s, dir) =>
@@ -335,6 +357,46 @@ object TrainingQueries extends QueryPack {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+        |  GROUP BY doc_id, word),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, word,
+        |    round(tf * ln(n_docs / df), 4) AS score
+        |  FROM tf JOIN df USING (word), n)
+        |SELECT doc_id, word, score, CAST(rnk AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rnk
+        |  FROM scored) WHERE rnk <= 3""".stripMargin,
+    "text_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val dfAggs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1.0 ELSE 0.0 END) AS df_$i"
+      }.mkString(",\n        |  ")
+      val termSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+           | * (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * (${k1} + 1.0))
+           | / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+           |    + ${k1} * (1.0 - ${b} + ${b} * dl / avgdl)))""".stripMargin
+      }.mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |    CAST(len(string_split(text,' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |  $dfAggs
+        |  FROM base)
+        |SELECT doc_id, round($termSql, 4) AS bm25 FROM base, stats""".stripMargin
+    },
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(t[i+1:i+15],' ') AS shingle
+        |       FROM (SELECT doc_id, t,
+        |             unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks)),
+        |g AS (SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |      FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT md5(shingle) AS span_id, n_docs, first_doc, last_doc FROM g""".stripMargin,
     "text_redact" -> {
       // identical regexes, interpolated from the same PiiPatterns list;
       // DuckDB needs the 'g' flag (Spark replaces all matches by default).
