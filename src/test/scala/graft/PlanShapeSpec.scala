@@ -68,4 +68,33 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("dedup_minhash")
     assert(p.contains("partial_min") || p.contains("partial_"), p)
   }
+
+  test("BM25 scoring is scan-shaped: stats broadcast, corpus never shuffles") {
+    val p = plan("text_bm25")
+    // the only join is the broadcast of the 1-row stats aggregate
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    // corpus side reaches the join without an exchange: the only
+    // exchanges feed the singleton stats aggregate
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+  }
+
+  test("TF-IDF joins idf back broadcast and prunes top-k map-side") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(countOf(p, "WindowGroupLimit") >= 2, s"rank<=k must prune:\n$p")
+  }
+
+  test("dup-fraction explodes the corpus once (window, not agg+self-join)") {
+    val p = plan("dedup_dupfrac")
+    // one Generate for the span explode + one for the position explode —
+    // an agg+join formulation would run the span explode twice.
+    assert(countOf(p, "Generate explode") + countOf(p, "Generate posexplode") == 2, p)
+  }
+
+  test("pivot compiles to one grouped pass, not per-column scans") {
+    val p = plan("agg_pivot")
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "HashAggregate") >= 2, p) // partial + final
+  }
 }
