@@ -12,7 +12,8 @@ object Queries {
     AggQueries,
     FunctionQueries,
     JoinQueries,
-    TrainingQueries
+    TrainingQueries,
+    EventQueries
   )
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =
