@@ -192,6 +192,59 @@ object Similarity {
         col("zero_point"), col("qscale"))
   }
 
+  /** PQ sub-centroid c(m)(k)(j) in [-1, 1]: md5-derived pseudo-randoms —
+    * deterministic and engine-portable, computed once driver-side and
+    * embedded as plan literals (the srpPlanes recipe). Production would
+    * train these per-subspace with k-means on a corpus sample; the
+    * assignment/encoding math below is identical either way. */
+  def pqCentroids(m: Int, k: Int, subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, k, subDim) { (mi, ki, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pq|$mi|$ki|$j".getBytes("UTF-8"))
+        .take(3).map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 8388608.0 - 1.0
+    }
+
+  /** Product-quantization encoding: the vector splits into `m` subspaces;
+    * each sub-vector is replaced by the index of its nearest of `k`
+    * sub-centroids — dim×4 bytes shrink to m codes (the storage format of
+    * IVF-PQ ANN indexes). Returns (id, codes csv, recon_err = summed
+    * squared distance to the chosen centroids, the quantization loss).
+    *
+    * Map-only: every distance is a fixed-order expression over plan
+    * literals, so encoding pipelines with the scan — no shuffle, no UDF,
+    * bit-reproducible in any engine (ties pick the lowest centroid index
+    * via struct sort). */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "dim must divide into m subspaces")
+    val sub = dim / m
+    val cents = pqCentroids(m, k, sub)
+    // cast SINGLE elements, never element_at over an asDouble(transform)
+    // alias: a transform lambda re-evaluates per reference (the measured
+    // O(d²) emb_quantize trap — here it would be ×(m·k·sub) per row).
+    def at(i: Int): Column = element_at(col(vecCol), i).cast("double")
+    // fixed-order sum of squared diffs — ((t0+t1)+t2)... matches the SQL
+    // oracle's left-associative chain bit for bit.
+    def dist(mi: Int, ki: Int): Column =
+      (0 until sub).map { j =>
+        val x = at(mi * sub + j + 1) - lit(cents(mi)(ki)(j))
+        x * x
+      }.reduce(_ + _)
+    def best(mi: Int): Column = {
+      val scored = (0 until k).map(ki => struct(dist(mi, ki).as("d"), lit(ki).as("k")))
+      array_sort(array(scored: _*))(0)
+    }
+    // best-of-subspace structs hoisted into their own projection: codes
+    // and recon_err both read them, and the 16-way struct sort is
+    // non-cheap, so CollapseProject keeps the split (no re-evaluation).
+    df.select(col(idCol) +: (0 until m).map(mi => best(mi).as(s"b$mi")): _*)
+      .select(col(idCol),
+        concat_ws(",", (0 until m).map(mi => col(s"b$mi").getField("k")): _*).as("codes"),
+        round((0 until m).map(mi => col(s"b$mi").getField("d")).reduce(_ + _), 4)
+          .as("recon_err"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold,
     * bucketed by SRP-LSH so the pair space never materializes fully.
     * Pairs expand from per-bucket posting lists (a self-join would compute

@@ -230,6 +230,12 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
     },
 
+    // product-quantization codes (m=8 subspaces, k=16 centroids each):
+    // the IVF-PQ storage format — 64 floats -> 8 code bytes + loss.
+    "emb_pq" -> { (s, dir) =>
+      Similarity.pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding")
+    },
+
     // embedding near-dup pairs on a deterministic subset (exact cosine).
     "emb_neardup" -> { (s, dir) =>
       val sub = Tables.embeddings(s, dir).where(col("vec_id") % 10 === 0)
@@ -610,6 +616,34 @@ object TrainingQueries extends QueryPack {
          |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
          |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
          |WHERE rank <= 5""".stripMargin
+    },
+    "emb_pq" -> {
+      // literal sub-centroids from the SAME generator the Spark plan
+      // embeds; distances are left-associative squared-diff chains, so
+      // both engines compute identical doubles before the tie-safe
+      // struct-sort argmin (DuckDB struct comparison is field-order
+      // lexicographic, same as Spark's).
+      val (m, k, sub) = (8, 16, 8)
+      val cents = graft.ops.Similarity.pqCentroids(m, k, sub)
+      def distSql(mi: Int, ki: Int): String =
+        (0 until sub).map { j =>
+          val c = cents(mi)(ki)(j)
+          s"((CAST(embedding[${mi * sub + j + 1}] AS DOUBLE) - ($c)) * " +
+            s"(CAST(embedding[${mi * sub + j + 1}] AS DOUBLE) - ($c)))"
+        }.mkString("(", " + ", ")")
+      val bests = (0 until m).map { mi =>
+        val structs = (0 until k).map(ki =>
+          s"{'d': ${distSql(mi, ki)}, 'k': $ki}").mkString("[", ", ", "]")
+        s"list_sort($structs)[1] AS b$mi"
+      }.mkString(",\n        |  ")
+      val codes = (0 until m).map(mi => s"b$mi.k").mkString(", ")
+      val err = (0 until m).map(mi => s"b$mi.d").mkString(" + ")
+      s"""WITH best AS (SELECT vec_id,
+        |  $bests
+        |  FROM embeddings)
+        |SELECT vec_id, concat_ws(',', $codes) AS codes,
+        |  round($err, 4) AS recon_err
+        |FROM best""".stripMargin
     },
     "sim_topk" ->
       """SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
