@@ -231,17 +231,24 @@ object Similarity {
         val x = at(mi * sub + j + 1) - lit(cents(mi)(ki)(j))
         x * x
       }.reduce(_ + _)
-    def best(mi: Int): Column = {
-      val scored = (0 until k).map(ki => struct(dist(mi, ki).as("d"), lit(ki).as("k")))
-      array_sort(array(scored: _*))(0)
-    }
-    // best-of-subspace structs hoisted into their own projection: codes
-    // and recon_err both read them, and the 16-way struct sort is
-    // non-cheap, so CollapseProject keeps the split (no re-evaluation).
-    df.select(col(idCol) +: (0 until m).map(mi => best(mi).as(s"b$mi")): _*)
+    // argmin via least() + a first-match CASE chain (== lowest index on
+    // ties, the same tie-break as a struct sort) — array_sort over
+    // structs is an interpreted higher-order function and would fall out
+    // of whole-stage codegen. Distances hoist into their own projection
+    // so the CASE comparisons and least() share one evaluation.
+    df.select(col(idCol) +: (for (mi <- 0 until m; ki <- 0 until k)
+        yield dist(mi, ki).as(s"d_${mi}_$ki")): _*)
+      .select(col(idCol) +: (0 until m).flatMap { mi =>
+        val dmin = least((0 until k).map(ki => col(s"d_${mi}_$ki")): _*)
+        val code = (1 until k).foldLeft(
+          when(col(s"d_${mi}_0") === dmin, lit(0))) { (acc, ki) =>
+          acc.when(col(s"d_${mi}_$ki") === dmin, lit(ki))
+        }
+        Seq(code.as(s"c$mi"), dmin.as(s"dm$mi"))
+      }: _*)
       .select(col(idCol),
-        concat_ws(",", (0 until m).map(mi => col(s"b$mi").getField("k")): _*).as("codes"),
-        round((0 until m).map(mi => col(s"b$mi").getField("d")).reduce(_ + _), 4)
+        concat_ws(",", (0 until m).map(mi => col(s"c$mi")): _*).as("codes"),
+        round((0 until m).map(mi => col(s"dm$mi")).reduce(_ + _), 4)
           .as("recon_err"))
   }
 

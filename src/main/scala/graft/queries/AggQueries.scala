@@ -84,6 +84,17 @@ object AggQueries extends QueryPack {
           col("P").cast("double").as("rev_p"))
     },
 
+    // explicit GROUPING SETS through the engine's SQL surface (rollup and
+    // cube are the derived forms; this is the general one).
+    "agg_gsets" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+               |  count(*) AS n, sum(l_quantity) AS sum_qty
+               |FROM lineitem_gs
+               |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               |""".stripMargin)
+    },
+
     // HLL sketch — approximate, no SQL oracle (driver rows-only check).
     "agg_hll" -> { (s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
@@ -122,6 +133,11 @@ object AggQueries extends QueryPack {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "agg_pivot" ->
       """SELECT year(o_orderdate) AS yr,
         |  CAST(sum(CASE WHEN o_orderstatus = 'O'
