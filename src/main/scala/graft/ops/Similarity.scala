@@ -252,6 +252,75 @@ object Similarity {
           .as("recon_err"))
   }
 
+  /** Full-dim coarse centroid c(ki)(j) in [-1, 1]: md5-derived plan
+    * literals (the srpPlanes/pqCentroids recipe) — deterministic and
+    * engine-portable. Production trains these with k-means on a corpus
+    * sample; every downstream expression is identical either way. */
+  def semCentroids(k: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(k, dim) { (ki, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"sem|$ki|$j".getBytes("UTF-8"))
+        .take(3).map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 8388608.0 - 1.0
+    }
+
+  /** SemDeDup (semantic dedup over embedding clusters, after Abbas et al.
+    * 2023, arXiv:2303.09540): a coarse quantizer partitions the corpus
+    * into k cells; within each cell, pairs with cosine >= threshold are
+    * semantic duplicates, and each such pair DROPS the member closer to
+    * its centroid (the farther one is the more "extreme"/informative
+    * exemplar the paper keeps; ties drop the larger id). Returns every
+    * vector: (id, cell, dist = rounded squared distance to centroid,
+    * keep).
+    *
+    * Scale shape: cell assignment is a map-side projection over literal
+    * centroids (one fused codegen pass, same as [[pqCodes]]); pair
+    * formation is per-cell posting lists — candidate volume is bounded by
+    * cell occupancy, never corpus², and cells from a real quantizer are
+    * balanced by construction. The keep-policy is one distinct + one
+    * left join on the (small) drop set. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, k: Int = 8, dim: Int = 64): DataFrame = {
+    val cents = semCentroids(k, dim)
+    // fixed-order sum of squared diffs — left-associative chain matches
+    // the SQL oracle bit for bit (the pqCodes discipline).
+    def dist(ki: Int): Column =
+      (0 until dim).map { j =>
+        val x = element_at(col("v"), j + 1) - lit(cents(ki)(j))
+        x * x
+      }.reduce(_ + _)
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id") +: col("v") +:
+        (0 until k).map(ki => dist(ki).as(s"d_$ki")): _*)
+    // argmin via least() + first-match CASE (lowest index on ties) — stays
+    // in whole-stage codegen, unlike a struct array_sort.
+    val dmin = least((0 until k).map(ki => col(s"d_$ki")): _*)
+    val cell = (1 until k).foldLeft(when(col("d_0") === dmin, lit(0))) {
+      (acc, ki) => acc.when(col(s"d_$ki") === dmin, lit(ki))
+    }
+    val assigned = base.select(col("id"), col("v"), cell.as("cell"), dmin.as("dist"))
+    // within-cell pairs from posting lists (struct sort on id → a < b);
+    // each qualifying pair emits its LOSER (nearer to centroid).
+    val drops = assigned.groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("id"), col("dist"), col("v")))).as("items"))
+      .where(size(col("items")) >= 2)
+      .select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(
+          slice(col("items"), i + lit(2), greatest(size(col("items")) - i - 1, lit(0))),
+          b => struct(a.getField("id").as("a"), a.getField("dist").as("da"),
+            b.getField("id").as("b"), b.getField("dist").as("db"),
+            cosine(a.getField("v"), b.getField("v")).as("sim")))))).as("p"))
+      .where(col("p.sim") >= threshold)
+      .select(when(col("p.da") < col("p.db"), col("p.a"))
+        .when(col("p.db") < col("p.da"), col("p.b"))
+        .otherwise(greatest(col("p.a"), col("p.b"))).as("id"))
+      .distinct()
+    assigned
+      .join(drops.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        round(col("dist"), 4).as("dist"), col("__dropped").isNull.as("keep"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold,
     * bucketed by SRP-LSH so the pair space never materializes fully.
     * Pairs expand from per-bucket posting lists (a self-join would compute

@@ -179,6 +179,80 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc).limit(k)
 
+  /** Hashed-feature linear classifier dimensionality and md5-derived
+    * weights in [-1, 1] — plan literals (a trained fastText-style model
+    * would ship real weights; the scoring math is identical). */
+  val ClfDim = 64
+  val ClfBias = -0.05
+  lazy val clfWeights: Array[Double] = Array.tabulate(ClfDim) { j =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"clf|$j".getBytes("UTF-8"))
+      .take(3).map(x => f"${x & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 8388608.0 - 1.0
+  }
+
+  /** Quality classifier, fastText-style: logistic regression over hashed
+    * bag-of-words features with mean pooling — score = σ(bias +
+    * mean_t w[h(t) mod D]). The standard learned quality filter of
+    * curation pipelines (CCNet/fastText linear models), expressed as ONE
+    * scan-shaped projection: token hashing, weight lookup, and the
+    * ordered fold all run inside codegen over a literal weight array —
+    * no shuffle, no UDF, no model server on the 100 TB scan path.
+    * Returns (id, score rounded to 4, label = sign of the logit). */
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wArr = array(clfWeights.map(lit): _*)
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10).cast("long"),
+        lit(ClfDim.toLong))
+    // ordered left fold (aggregate HOF) == the oracle's list_reduce chain,
+    // so the double sum is bit-identical before the final round.
+    val zExpr = lit(ClfBias) +
+      aggregate(transform(tokens(col(textCol)),
+        t => element_at(wArr, bucket(t).cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x) / tokenCount(col(textCol)).cast("double")
+    docs.select(col(idCol), zExpr.as("z"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
+        (col("z") > 0).as("keep"))
+  }
+
+  /** DSIR-style importance weight (after Xie et al. 2023,
+    * arXiv:2302.03169): per doc, the mean log-likelihood RATIO of its
+    * bigrams under a TARGET-domain bigram model vs the general corpus
+    * model, add-one smoothed — docs that look like the target domain get
+    * positive weights and are upsampled when assembling the mixture.
+    *
+    * Scale shape: both count models aggregate once over the (collapsed)
+    * bigram stream — the target model is built from the filtered subset,
+    * the general model from everything; V and the totals are one tiny
+    * broadcast stats row; the scoring join is on the bigram key with the
+    * doc side collapsed to distinct (doc, bigram, count) rows first
+    * (the [[bigramLogProb]] discipline). At 100 TB both models persist
+    * and rescore increments, like the dedup signature table. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val bgc = Dedup.shingles(docs, idCol, textCol, w = 2)
+    val bgcT = Dedup.shingles(docs.where(isTarget), idCol, textCol, w = 2)
+    val perDoc = bgc.groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("c"))
+    val general = perDoc.groupBy(col("shingle")).agg(sum(col("c")).as("ng"))
+    val target = bgcT.groupBy(col("shingle")).agg(count(lit(1)).as("nt"))
+    val stats = general.agg(
+      sum(col("ng")).as("tg"), count(lit(1)).as("v"))
+      .crossJoin(target.agg(sum(col("nt")).as("tt")))
+    perDoc
+      .join(general, "shingle")
+      .join(target, Seq("shingle"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(col("c") * (
+          log((coalesce(col("nt"), lit(0L)) + 1L).cast("double") /
+            (col("tt") + col("v")).cast("double")) -
+          log((col("ng") + 1L).cast("double") /
+            (col("tg") + col("v")).cast("double")))) / sum(col("c")),
+        4).as("log_ratio"))
+  }
+
   /** PII patterns for redaction — RE2-safe (no backrefs/lookaround), so
     * the same regex means the same thing in Spark, DuckDB, and Go/Rust
     * engines. Order matters: emails contain digit runs, so email fires

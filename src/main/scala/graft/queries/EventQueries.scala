@@ -35,6 +35,36 @@ object EventQueries extends QueryPack {
             + when(col("t3").isNotNull, 1L).otherwise(0L)).as("steps"))
     },
 
+    // last-touch attribution: each purchase credits the user's most
+    // recent click at-or-before it, but only within a 1-hour window —
+    // the as-of union+last() shape (one shuffle on user_id, no join).
+    // The window ORDER tie-breaks on (ts, side, click_id): clicks sort
+    // before a same-instant purchase (inclusive as-of), and equal-ts
+    // clicks resolve to the largest id deterministically.
+    "ev_attribution" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("side").asc, col("click_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ok = col("lc.cts").isNotNull &&
+        col("lc.cts") >= col("ts") - expr("INTERVAL 1 HOUR")
+      clicks.unionByName(purchases)
+        .withColumn("lc", last(when(col("side") === 0,
+          struct(col("ts").as("cts"), col("click_id").as("cid"))),
+          ignoreNulls = true).over(w))
+        .where(col("side") === 1)
+        .select(col("purchase_id"), col("user_id"), col("ts"),
+          when(ok, col("lc.cid")).as("click_id"),
+          when(ok, col("lc.cts")).as("click_ts"))
+    },
+
     // weekly cohort retention: users bucketed by first-seen week; count
     // distinct active users per (cohort week, week offset).
     "ev_cohort" -> { (s, dir) =>
@@ -65,6 +95,26 @@ object EventQueries extends QueryPack {
         |    AS steps
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "ev_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id AS click_id,
+        |    CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN side = 0 THEN {'cts': ts, 'cid': click_id} END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, side, click_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+        |  FROM u)
+        |SELECT purchase_id, user_id, ts,
+        |  CASE WHEN lc.cts IS NOT NULL AND lc.cts >= ts - INTERVAL 1 HOUR
+        |       THEN lc.cid END AS click_id,
+        |  CASE WHEN lc.cts IS NOT NULL AND lc.cts >= ts - INTERVAL 1 HOUR
+        |       THEN lc.cts END AS click_ts
+        |FROM w WHERE side = 1""".stripMargin,
     "ev_cohort" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
         |           FROM events GROUP BY user_id),

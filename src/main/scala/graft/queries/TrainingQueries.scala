@@ -80,6 +80,19 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
     },
 
+    // fastText-style hashed-logistic quality classifier — one scan-shaped
+    // projection (hash, weight lookup, ordered fold all inside codegen).
+    "text_classify" -> { (s, dir) =>
+      TextAnalysis.classifierScore(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // DSIR-style importance weights toward the src0 target domain: mean
+    // bigram log-likelihood ratio (target model vs general model).
+    "mix_dsir" -> { (s, dir) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0")
+    },
+
     // PII scrub: the corpus text is synthetic (no PII), so the query
     // plants a deterministic email/URL/phone per doc — built identically
     // by the oracle — and the redaction+audit must strip/count them.
@@ -262,6 +275,13 @@ object TrainingQueries extends QueryPack {
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
     },
 
+    // SemDeDup: coarse cells (literal centroids) + within-cell cosine;
+    // each near-dup pair drops the member closer to its centroid.
+    "emb_semdedup" -> { (s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.2, k = 8, dim = 64)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     "mm_meta" -> { (s, dir) =>
       Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")
@@ -426,6 +446,71 @@ object TrainingQueries extends QueryPack {
         |        min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |      FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2)
         |SELECT md5(shingle) AS span_id, n_docs, first_doc, last_doc FROM g""".stripMargin,
+    // literal weight vector from the SAME array the Spark plan embeds;
+    // list_reduce's left fold matches Spark's ordered aggregate() fold, so
+    // the logit is bit-identical before the 4-decimal round.
+    "text_classify" -> {
+      val wl = TextAnalysis.clfWeights.mkString("[", ",", "]") + "::DOUBLE[]"
+      s"""SELECT doc_id, round(1.0/(1.0 + exp(-z)), 4) AS score, z > 0 AS keep
+         |FROM (SELECT doc_id, ${TextAnalysis.ClfBias} + list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      [wl[CAST(CAST(('0x'||substr(md5(t),1,8)) AS BIGINT)
+         |            % ${TextAnalysis.ClfDim} AS INT) + 1]
+         |       FOR t IN string_split(text,' ')]),
+         |    (a, x) -> a + x) / CAST(len(string_split(text,' ')) AS DOUBLE) AS z
+         |  FROM documents, (SELECT $wl AS wl))""".stripMargin
+    },
+    "mix_dsir" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, source, array_to_string(t[i+1:i+2],' ') AS shingle
+        |       FROM (SELECT doc_id, source, t,
+        |             unnest(range(0, greatest(len(t)-1,0))) AS i FROM toks)),
+        |perdoc AS (SELECT doc_id, shingle, count(*) AS c FROM bg GROUP BY 1, 2),
+        |general AS (SELECT shingle, CAST(sum(c) AS BIGINT) AS ng FROM perdoc GROUP BY 1),
+        |target AS (SELECT shingle, count(*) AS nt FROM bg WHERE source = 'src0' GROUP BY 1),
+        |stats AS (SELECT
+        |  (SELECT CAST(sum(ng) AS BIGINT) FROM general) AS tg,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM general) AS v,
+        |  (SELECT CAST(sum(nt) AS BIGINT) FROM target) AS tt)
+        |SELECT doc_id,
+        |  round(sum(c * (ln(CAST(coalesce(nt, 0) + 1 AS DOUBLE) / (tt + v))
+        |               - ln(CAST(ng + 1 AS DOUBLE) / (tg + v)))) / sum(c), 4)
+        |    AS log_ratio
+        |FROM perdoc JOIN general USING (shingle)
+        |  LEFT JOIN target USING (shingle), stats
+        |GROUP BY doc_id""".stripMargin,
+    "emb_semdedup" -> {
+      // literal centroids from the SAME generator the Spark plan embeds;
+      // distances are left-associative squared-diff chains (the emb_pq
+      // discipline) and the argmin CASE picks the lowest index on ties.
+      val (k, dim, thr) = (8, 64, 0.2)
+      val cents = graft.ops.Similarity.semCentroids(k, dim)
+      def distSql(ki: Int): String =
+        (0 until dim).map { j =>
+          val c = cents(ki)(j)
+          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
+            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
+        }.mkString("(", " + ", ")")
+      val dCols = (0 until k).map(ki => s"${distSql(ki)} AS d_$ki").mkString(",\n  ")
+      val leastAll = (0 until k).map(ki => s"d_$ki").mkString("least(", ", ", ")")
+      val cellCase = (0 until k).map(ki => s"WHEN d_$ki = dist THEN $ki")
+        .mkString("CASE ", " ", "END")
+      s"""WITH d AS (SELECT vec_id, embedding,
+         |  $dCols
+         |  FROM embeddings),
+         |m AS (SELECT *, $leastAll AS dist FROM d),
+         |a AS (SELECT vec_id, embedding, dist, $cellCase AS cell FROM m),
+         |drops AS (SELECT DISTINCT
+         |    CASE WHEN l.dist < r.dist THEN l.vec_id
+         |         WHEN r.dist < l.dist THEN r.vec_id
+         |         ELSE greatest(l.vec_id, r.vec_id) END AS vec_id
+         |  FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  WHERE list_cosine_similarity(l.embedding::DOUBLE[],
+         |                               r.embedding::DOUBLE[]) >= $thr)
+         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+         |  round(a.dist, 4) AS dist, (dr.vec_id IS NULL) AS keep
+         |FROM a LEFT JOIN drops dr ON a.vec_id = dr.vec_id""".stripMargin
+    },
     "text_redact" -> {
       // identical regexes, interpolated from the same PiiPatterns list;
       // DuckDB needs the 'g' flag (Spark replaces all matches by default).

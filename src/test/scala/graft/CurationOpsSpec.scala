@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.{Similarity, TextAnalysis}
+
+/** Laws for the round-3 curation operators: SemDeDup, the hashed-logistic
+  * quality classifier, DSIR importance weights, and last-touch
+  * attribution. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("semDedup partitions the corpus and keeps no near-dup pair") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.2, k = 8, dim = 64).cache()
+    assert(out.count() === emb.count(), "every vector labeled exactly once")
+    assert(out.select("vec_id").distinct().count() === emb.count())
+
+    // Invariant: within a cell, no two KEPT vectors are near-dups — every
+    // qualifying pair dropped its loser, so at most the winner survives.
+    val kept = out.where(col("keep"))
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("cell"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val l = kept.select(col("vec_id").as("a"), col("cell"), col("v").as("va"))
+    val r = kept.select(col("vec_id").as("b"), col("cell"), col("v").as("vb"))
+    val survivors = l.join(r, "cell").where(col("a") < col("b"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= 0.2)
+    assert(survivors.count() === 0, "no same-cell near-dup pair both kept")
+
+    // at this threshold the synthetic table must actually drop something
+    // (emb_neardup_lsh finds hundreds of pairs at sf0.01).
+    assert(out.where(!col("keep")).count() > 0)
+    out.unpersist()
+  }
+
+  test("semDedup is deterministic under repartitioning") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val a = Similarity.semDedup(emb, "vec_id", "embedding", 0.2)
+      .orderBy("vec_id").collect()
+    val b = Similarity.semDedup(emb.repartition(7), "vec_id", "embedding", 0.2)
+      .orderBy("vec_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("classifierScore matches a hand-rolled scalar reimplementation") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .limit(50).cache()
+    val got = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).take(4)
+        .map(x => f"${x & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % TextAnalysis.ClfDim).toInt
+    }
+    docs.select("doc_id", "text").collect().foreach { case Row(id: Long, text: String) =>
+      val toks = text.split(" ", -1)
+      var s = 0.0
+      toks.foreach(t => s += TextAnalysis.clfWeights(bucket(t)))
+      val z = TextAnalysis.ClfBias + s / toks.length
+      val score = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gs, gk) = got(id)
+      assert(math.abs(gs - score) < 1e-9, s"doc $id score")
+      assert(gk === (z > 0), s"doc $id label")
+    }
+    docs.unpersist()
+  }
+
+  test("dsirWeights upweights docs that look like the target domain") {
+    import spark.implicits._
+    // target domain speaks "alpha beta"; general noise speaks "gamma delta".
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha", "tgt"),
+      (2L, "alpha beta alpha", "tgt"),
+      (3L, "gamma delta gamma delta gamma", "other"),
+      (4L, "alpha beta gamma", "other"), // mixed: target-ish bigrams
+      (5L, "delta gamma delta", "other")
+    ).toDF("doc_id", "text", "source")
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      col("source") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // docs of target bigrams score strictly higher than pure-noise docs,
+    // and the mixed doc lands in between.
+    assert(w(1L) > w(4L) && w(4L) > w(3L))
+    assert(w(2L) > w(5L))
+    // target-bigram docs get POSITIVE log-ratios, noise negative.
+    assert(w(1L) > 0 && w(3L) < 0)
+  }
+
+  test("ev_attribution credits the latest in-window click only") {
+    val out = graft.queries.EventQueries.queries("ev_attribution")(
+      spark, sf("sf0.001")).cache()
+    val ev = graft.ops.Tables.events(spark, sf("sf0.001")).cache()
+    val purchases = ev.where(col("event_type") === "purchase")
+    assert(out.count() === purchases.count(), "one row per purchase")
+
+    val attributed = out.where(col("click_id").isNotNull)
+    assert(attributed.count() > 0, "some purchases attribute")
+    // the credited click is a real click of the same user, at-or-before
+    // the purchase, within the hour.
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("real_ts"))
+    val joined = attributed.join(clicks, Seq("click_id", "user_id"))
+    assert(joined.count() === attributed.count(), "click belongs to the user")
+    assert(joined.where(col("real_ts") =!= col("click_ts")).count() === 0)
+    assert(attributed.where(col("click_ts") > col("ts")).count() === 0)
+    assert(attributed.where(
+      col("click_ts") < col("ts") - expr("INTERVAL 1 HOUR")).count() === 0)
+    // no SKIPPED later click: none strictly between credited click and
+    // purchase (inclusive-at-purchase ordering → ties at purchase ts OK).
+    val skipped = attributed.join(
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts2")), "user_id")
+      .where(col("cts2") > col("click_ts") && col("cts2") <= col("ts"))
+    assert(skipped.count() === 0, "always the LATEST in-window click")
+    out.unpersist(); ev.unpersist()
+  }
+}
