@@ -72,5 +72,12 @@ object GraftExtensions {
     },
     composite("rolling_hash", "_FUNC_(text) - polynomial fingerprint mod 1e9+7") {
       case Seq(t) => graft.ops.TextAnalysis.rollingHash(t)
+    },
+    composite("quality_score",
+      "_FUNC_(text) - hashed-logistic quality classifier score in (0,1)") {
+      case Seq(t) =>
+        import org.apache.spark.sql.functions.{exp, lit}
+        val z = graft.ops.TextAnalysis.classifierLogit(t)
+        lit(1.0) / (lit(1.0) + exp(-z))
     })
 }

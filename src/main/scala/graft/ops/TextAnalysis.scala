@@ -199,22 +199,23 @@ object TextAnalysis {
     * ordered fold all run inside codegen over a literal weight array —
     * no shuffle, no UDF, no model server on the 100 TB scan path.
     * Returns (id, score rounded to 4, label = sign of the logit). */
-  def classifierScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def classifierLogit(text: Column): Column = {
     val wArr = array(clfWeights.map(lit): _*)
     def bucket(t: Column): Column =
       pmod(conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10).cast("long"),
         lit(ClfDim.toLong))
     // ordered left fold (aggregate HOF) == the oracle's list_reduce chain,
     // so the double sum is bit-identical before the final round.
-    val zExpr = lit(ClfBias) +
-      aggregate(transform(tokens(col(textCol)),
-        t => element_at(wArr, bucket(t).cast("int") + 1)),
-        lit(0.0), (acc, x) => acc + x) / tokenCount(col(textCol)).cast("double")
-    docs.select(col(idCol), zExpr.as("z"))
+    lit(ClfBias) +
+      aggregate(transform(tokens(text), t => element_at(wArr, bucket(t).cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x) / tokenCount(text).cast("double")
+  }
+
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), classifierLogit(col(textCol)).as("z"))
       .select(col(idCol),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
         (col("z") > 0).as("keep"))
-  }
 
   /** DSIR-style importance weight (after Xie et al. 2023,
     * arXiv:2302.03169): per doc, the mean log-likelihood RATIO of its

@@ -34,13 +34,15 @@ class ExtensionsSpec extends SparkSpec {
         |  redact_pii('mail me at x@y.com now') AS clean,
         |  repetition_score('a a a b') AS rep,
         |  unit_hash('42') AS u,
-        |  rolling_hash('ab') AS rh""".stripMargin).collect().head
+        |  rolling_hash('ab') AS rh,
+        |  quality_score('some plain words here') AS q""".stripMargin).collect().head
     assert(row.getString(0) === "en")
     assert(row.getLong(1) === 3L)
     assert(row.getString(2) === "mail me at <EMAIL> now")
     assert(row.getDouble(3) === 0.5)
     assert(row.getDouble(4) >= 0.0 && row.getDouble(4) < 1.0)
     assert(row.getLong(5) === (97L * 31 + 98) % 1000000007)
+    assert(row.getDouble(6) > 0.0 && row.getDouble(6) < 1.0)
   }
 
   test("streaming even-odd pipeline routes through the foreachBatch router") {
