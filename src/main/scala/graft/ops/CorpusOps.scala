@@ -69,6 +69,51 @@ object CorpusOps {
           .as("chunk_text"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync boundary rule lifted to
+    * token streams): a chunk boundary falls after token i whenever the
+    * md5 hash of the w-gram ENDING at i is ≡ 0 (mod `modulus`) — so
+    * boundaries depend only on local content, and inserting or deleting
+    * text reshifts at most the chunks it touches (fixed-size chunking
+    * shifts every later chunk — the property that makes CDC the dedup-
+    * storage and incremental-sync primitive). Expected chunk length ≈
+    * `modulus` tokens. Returns (id, chunk_idx, start_tok, n_tokens,
+    * chunk_hash).
+    *
+    * Pure map-side explode, no shuffle: boundary detection, chunk spans,
+    * and chunk hashing are all array expressions over the token array —
+    * the same scan shape as [[chunk]]. Chunk hashes feed chunk-level
+    * dedup exactly like document fingerprints feed [[Dedup.exact]]. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 3, modulus: Int = 32): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // boundary i ∈ [w, n]: md5 of tokens[i-w+1 .. i] ≡ 0 (mod modulus)
+    val bIdx = when(n >= w,
+      filter(sequence(lit(w), n), i =>
+        pmod(conv(substring(md5(to_binary(
+          concat_ws(" ", slice(toks, i - (w - 1), lit(w))), lit("utf-8"))), 1, 8),
+          16, 10), lit(modulus.toLong)) === 0))
+      .otherwise(array().cast("array<int>"))
+    // chunk starts: position 1 plus every boundary+1 that still lands
+    // inside the doc (a boundary at the last token closes the final
+    // chunk, it does not open an empty one). get() is 0-based and
+    // null-safe out of bounds (ANSI element_at would throw).
+    val starts = filter(
+      concat(array(lit(1)), transform(bIdx, _ + 1)), s => s <= n)
+    df.select(col(idCol), toks.as("t"), n.as("n"), starts.as("starts"))
+      .select(col(idCol), col("t"), col("n"),
+        explode(transform(col("starts"), (s, j) => struct(
+          j.as("chunk_idx"), s.as("start"),
+          (coalesce(get(col("starts"), j + 1), col("n") + 1) - 1).as("end"))))
+          .as("b"))
+      .select(col(idCol), col("b.chunk_idx").as("chunk_idx"),
+        col("b.start").cast("long").as("start_tok"),
+        (col("b.end") - col("b.start") + 1).cast("long").as("n_tokens"),
+        md5(to_binary(concat_ws(" ",
+          slice(col("t"), col("b.start"), col("b.end") - col("b.start") + 1)),
+          lit("utf-8"))).as("chunk_hash"))
+  }
+
   /** Domain-mixing weights: per-stratum resampling weight that reshapes
     * the corpus toward `targets` (target share of the final mix). weight =
     * target_share · total / n_stratum — the multiplier a sampler applies

@@ -203,6 +203,13 @@ object TrainingQueries extends QueryPack {
       CorpusOps.chunk(Tables.documents(s, dir), "doc_id", "text", chunkTokens = 32)
     },
 
+    // content-defined chunking: boundaries from local w-gram hashes, so
+    // edits only reshift the chunks they touch (the dedup-storage rule).
+    "pack_cdc" -> { (s, dir) =>
+      CorpusOps.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
+        w = 3, modulus = 32)
+    },
+
     // greedy per-shard sequence packing — imperative typed op, not
     // SQL-expressible; driver records a rows-only check (bin composition
     // is deterministic: sorted-id first-fit inside pmod shards). Spec
@@ -682,6 +689,26 @@ object TrainingQueries extends QueryPack {
         |  array_to_string(t[CAST(i*32+1 AS INT):CAST(i*32+32 AS INT)], ' ') AS chunk_text
         |FROM (SELECT doc_id, t,
         |  unnest(range(greatest(CAST(ceil(len(t)/32.0) AS BIGINT), 1))) AS i FROM toks)""".stripMargin,
+    "pack_cdc" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |b AS (SELECT doc_id, t, len(t) AS n,
+        |  list_filter(range(3, len(t)+1), i ->
+        |    CAST(('0x'||substr(md5(array_to_string(t[CAST(i-2 AS INT):CAST(i AS INT)],' ')),1,8)) AS BIGINT)
+        |      % 32 = 0) AS bs
+        |  FROM toks),
+        |s AS (SELECT doc_id, t, n,
+        |  list_filter(list_prepend(CAST(1 AS BIGINT), [i+1 FOR i IN bs]),
+        |              x -> x <= n) AS starts
+        |  FROM b),
+        |c AS (SELECT doc_id, t, n, starts, unnest(range(len(starts))) AS j FROM s)
+        |SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+        |  CAST(starts[CAST(j+1 AS INT)] AS BIGINT) AS start_tok,
+        |  CAST(coalesce(starts[CAST(j+2 AS INT)], n+1) - starts[CAST(j+1 AS INT)] AS BIGINT)
+        |    AS n_tokens,
+        |  md5(array_to_string(
+        |    t[CAST(starts[CAST(j+1 AS INT)] AS INT):
+        |      CAST(coalesce(starts[CAST(j+2 AS INT)], n+1) - 1 AS INT)], ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
     // Identical SRP bucketing as Similarity.lshTopK: same plane constants
     // (from srpPlanes), same index-ordered double dot product.
     "sim_ann_lsh" -> {

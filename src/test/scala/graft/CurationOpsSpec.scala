@@ -90,6 +90,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(w(1L) > 0 && w(3L) < 0)
   }
 
+  test("cdcChunks covers every token exactly once, contiguously") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val out = graft.ops.CorpusOps.cdcChunks(docs, "doc_id", "text").cache()
+    val perDoc = out.groupBy("doc_id")
+      .agg(sum("n_tokens").as("covered"), min("start_tok").as("first"),
+        max(col("start_tok") + col("n_tokens")).as("past_end"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), "doc_id")
+    assert(perDoc.where(col("covered") =!= col("n_tok")).count() === 0)
+    assert(perDoc.where(col("first") =!= 1).count() === 0)
+    assert(perDoc.where(col("past_end") =!= col("n_tok") + 1).count() === 0)
+    // the boundary rule actually fires (docs are ~100+ tokens, mean chunk ~32)
+    assert(perDoc.where(col("n_chunks") >= 2).count() > 0)
+    out.unpersist()
+  }
+
+  test("cdcChunks boundaries are stable under a mid-doc edit") {
+    import spark.implicits._
+    // 400 deterministic pseudo-random tokens; insert one token at pos 200.
+    val rnd = new scala.util.Random(7)
+    val toks = Seq.fill(400)("tok" + rnd.nextInt(50))
+    val edited = toks.take(200) ++ Seq("INSERTED") ++ toks.drop(200)
+    val df = Seq((1L, toks.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.ops.CorpusOps.cdcChunks(df, "doc_id", "text")
+      .select("doc_id", "chunk_hash").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSeq }
+    val (a, b) = (chunks(1L), chunks(2L))
+    val shared = a.intersect(b).size
+    // all chunks except the edited one (and at most its successor, while
+    // the boundary stream re-synchronizes) survive the insertion.
+    assert(a.size - shared <= 2, s"only the touched chunks change (${a.size - shared})")
+    assert(shared >= a.size - 2 && a.size >= 5)
+  }
+
   test("ev_attribution credits the latest in-window click only") {
     val out = graft.queries.EventQueries.queries("ev_attribution")(
       spark, sf("sf0.001")).cache()
