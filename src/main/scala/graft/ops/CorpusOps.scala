@@ -100,18 +100,21 @@ object CorpusOps {
     // null-safe out of bounds (ANSI element_at would throw).
     val starts = filter(
       concat(array(lit(1)), transform(bIdx, _ + 1)), s => s <= n)
-    df.select(col(idCol), toks.as("t"), n.as("n"), starts.as("starts"))
-      .select(col(idCol), col("t"), col("n"),
-        explode(transform(col("starts"), (s, j) => struct(
+    // every input column except the text survives (event time included),
+    // so the operator drops straight into a streaming DAG.
+    val keep = df.columns.filterNot(_ == textCol).map(col)
+    df.withColumn("__t", toks).withColumn("__n", n).withColumn("__starts", starts)
+      .select(keep ++ Seq(col("__t"), col("__n"),
+        explode(transform(col("__starts"), (s, j) => struct(
           j.as("chunk_idx"), s.as("start"),
-          (coalesce(get(col("starts"), j + 1), col("n") + 1) - 1).as("end"))))
-          .as("b"))
-      .select(col(idCol), col("b.chunk_idx").as("chunk_idx"),
+          (coalesce(get(col("__starts"), j + 1), col("__n") + 1) - 1).as("end"))))
+          .as("b")): _*)
+      .select(keep ++ Seq(col("b.chunk_idx").as("chunk_idx"),
         col("b.start").cast("long").as("start_tok"),
         (col("b.end") - col("b.start") + 1).cast("long").as("n_tokens"),
         md5(to_binary(concat_ws(" ",
-          slice(col("t"), col("b.start"), col("b.end") - col("b.start") + 1)),
-          lit("utf-8"))).as("chunk_hash"))
+          slice(col("__t"), col("b.start"), col("b.end") - col("b.start") + 1)),
+          lit("utf-8"))).as("chunk_hash")): _*)
   }
 
   /** Domain-mixing weights: per-stratum resampling weight that reshapes

@@ -206,8 +206,8 @@ object TrainingQueries extends QueryPack {
     // content-defined chunking: boundaries from local w-gram hashes, so
     // edits only reshift the chunks they touch (the dedup-storage rule).
     "pack_cdc" -> { (s, dir) =>
-      CorpusOps.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
-        w = 3, modulus = 32)
+      CorpusOps.cdcChunks(Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", w = 3, modulus = 32)
     },
 
     // greedy per-shard sequence packing — imperative typed op, not

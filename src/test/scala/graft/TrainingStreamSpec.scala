@@ -48,4 +48,39 @@ class TrainingStreamSpec extends SparkSpec {
         "short doc filtered, redelivered doc deduped, features attached")
     } finally q.stop()
   }
+
+  test("streaming CDC ingest dedups shared content at the chunk level") {
+    implicit val ctx = spark.sqlContext
+    // three ~150-token "paragraphs"; docs A = p1+p2 and B = p3+p2 share p2,
+    // so CDC chunks interior to p2 hash identically across the two docs.
+    val rnd = new scala.util.Random(11)
+    def para() = Seq.fill(150)("w" + rnd.nextInt(40)).mkString(" ")
+    val (p1, p2, p3) = (para(), para(), para())
+    val in = MemoryStream[DocEv]
+    val spec = PipelineSpec(
+      vertices = Seq(
+        SourceV("docs", in.toDF(), "ts"),
+        MapV("cdc", df => graft.ops.CorpusOps.cdcChunks(df, "doc_id", "text")),
+        MapV("dedup", df =>
+          Dedup.byId(df.withWatermark("ts", "10 seconds"), Seq("chunk_hash"))),
+        SinkV("out")),
+      edges = Seq(Edge("docs", "cdc"), Edge("cdc", "dedup"), Edge("dedup", "out")))
+    val q = graft.streaming.Compiler.compile(spec)("out")
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        DocEv(1L, s"$p1 $p2", ts("2024-01-01 00:00:01")),
+        DocEv(2L, s"$p3 $p2", ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      val emitted = spark.table("cdc_out")
+      val total = graft.ops.CorpusOps.cdcChunks(
+        Seq((1L, s"$p1 $p2"), (2L, s"$p3 $p2")).toDF("doc_id", "text"),
+        "doc_id", "text").count()
+      val n = emitted.count()
+      assert(n < total, s"shared-paragraph chunks dedup in flight ($n < $total)")
+      assert(emitted.select("chunk_hash").distinct().count() === n,
+        "each surviving chunk hash emitted once")
+    } finally q.stop()
+  }
 }
