@@ -97,4 +97,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "Scan parquet") == 1, p)
     assert(countOf(p, "HashAggregate") >= 2, p) // partial + final
   }
+
+  test("classifier and CDC chunking are scan-shaped: zero exchanges") {
+    for (q <- Seq("text_classify", "pack_cdc")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
+      assert(countOf(p, "Scan parquet") == 1, s"$q reads the corpus once:\n$p")
+    }
+  }
+
+  test("attribution is one shuffle on user_id, no join") {
+    val p = plan("ev_attribution")
+    // union + window: a single hashpartitioning exchange on user_id moves
+    // clicks+purchases once; there is no join operator at all.
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), s"as-of via window, not join:\n$p")
+  }
+
+  test("semdedup pair stage joins the persisted assignment, corpus scans once per side") {
+    val p = plan("emb_semdedup")
+    // the assignment table is cached: both pair sides and the final
+    // labeling read InMemoryTableScan, never re-running the distance
+    // projection over the parquet scan. (The plan TEXT repeats the cached
+    // relation's build plan under every InMemoryTableScan, so the scan
+    // count cannot be asserted from the string — the cache reads are the
+    // guarantee.)
+    assert(countOf(p, "InMemoryTableScan") >= 3, p)
+  }
 }
