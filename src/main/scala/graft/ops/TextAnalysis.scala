@@ -117,6 +117,45 @@ object TextAnalysis {
         4).as("lm_score"))
   }
 
+  /** Interpolated conditional bigram LM score per doc (the KenLM-style
+    * backoff shape real quality filters use, with fixed-λ interpolation
+    * in place of Kneser-Ney): mean over the doc's bigrams of
+    * ln(λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/T) — the conditional bigram
+    * probability backed off to the unigram distribution, so unseen
+    * continuations never zero out.
+    *
+    * Scale shape follows [[bigramLogProb]]: the per-doc bigram multiset
+    * collapses first; the bigram-count model shuffles once; the
+    * first-token totals derive FROM the bigram model (c(w1·) = Σ counts
+    * of bigrams starting w1 — no second corpus pass); the unigram model
+    * is vocabulary-sized and broadcast. */
+  def interpolatedBigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                                lambda: Double = 0.7): DataFrame = {
+    val bgc = Dedup.shingles(docs, idCol, textCol, w = 2)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("c"))
+    val bgCounts = bgc.groupBy(col("shingle")).agg(sum(col("c")).as("n_bg"))
+    // first-token totals from the bigram model itself (tiny — vocab-sized)
+    val w1Counts = bgCounts
+      .groupBy(substring_index(col("shingle"), " ", 1).as("w1"))
+      .agg(sum(col("n_bg")).as("n_w1"))
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_u"))
+    val total = uni.agg(sum(col("n_u")).as("t_tok"))
+    bgc
+      .join(bgCounts, "shingle")
+      .withColumn("w1", substring_index(col("shingle"), " ", 1))
+      .withColumn("w2", substring_index(col("shingle"), " ", -1))
+      .join(broadcast(w1Counts), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(col("c") * log(
+          lit(lambda) * col("n_bg").cast("double") / col("n_w1").cast("double") +
+          lit(1.0 - lambda) * col("n_u").cast("double") / col("t_tok").cast("double")))
+          / sum(col("c")), 4).as("lm_score"))
+  }
+
   /** Top-k TF-IDF keywords per doc — the classic doc-summarization /
     * feature-extraction pass. Two aggregations over one tokenize-explode:
     * term frequency per (doc, word), document frequency per word (both
@@ -237,9 +276,12 @@ object TextAnalysis {
     val perDoc = bgc.groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("c"))
     val general = perDoc.groupBy(col("shingle")).agg(sum(col("c")).as("ng"))
     val target = bgcT.groupBy(col("shingle")).agg(count(lit(1)).as("nt"))
+    // coalesce: an EMPTY target selection must yield tt=0 (add-one
+    // smoothing then scores every bigram under the uniform 1/(0+V) model),
+    // not a null that silently nulls every score.
     val stats = general.agg(
       sum(col("ng")).as("tg"), count(lit(1)).as("v"))
-      .crossJoin(target.agg(sum(col("nt")).as("tt")))
+      .crossJoin(target.agg(coalesce(sum(col("nt")), lit(0L)).as("tt")))
     perDoc
       .join(general, "shingle")
       .join(target, Seq("shingle"), "left")

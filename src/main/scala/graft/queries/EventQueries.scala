@@ -65,6 +65,28 @@ object EventQueries extends QueryPack {
           when(ok, col("lc.cts")).as("click_ts"))
     },
 
+    // trailing-window anomaly scores: hourly event counts per type,
+    // z-scored against the previous 6 hours (frame excludes the current
+    // row — the standard monitoring baseline). One shuffle for the
+    // hourly rollup, one for the per-type ordering; the window key
+    // (event_type) is low-cardinality but the frame runs over the tiny
+    // AGGREGATED series, never the raw events.
+    "ev_anomaly" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-6, -1)
+      hourly
+        .withColumn("mean_n", avg(col("n")).over(w))
+        .withColumn("sd_n", stddev_samp(col("n")).over(w))
+        .select(col("event_type"), col("hour"), col("n"),
+          round(col("mean_n"), 4).as("mean_n"),
+          round((col("n") - col("mean_n")) / nullif(col("sd_n"), lit(0.0)), 4)
+            .as("z"))
+    },
+
     // weekly cohort retention: users bucketed by first-seen week; count
     // distinct active users per (cohort week, week offset).
     "ev_cohort" -> { (s, dir) =>
@@ -115,6 +137,16 @@ object EventQueries extends QueryPack {
         |  CASE WHEN lc.cts IS NOT NULL AND lc.cts >= ts - INTERVAL 1 HOUR
         |       THEN lc.cts END AS click_ts
         |FROM w WHERE side = 1""".stripMargin,
+    "ev_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |            CAST(count(*) AS BIGINT) AS n
+        |          FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour, n,
+        |  round(avg(n) OVER w, 4) AS mean_n,
+        |  round((n - avg(n) OVER w) / nullif(stddev_samp(n) OVER w, 0), 4) AS z
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin,
     "ev_cohort" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
         |           FROM events GROUP BY user_id),

@@ -52,6 +52,13 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // interpolated CONDITIONAL bigram LM (KenLM-style backoff shape):
+    // p(w2|w1) backed off to the unigram distribution, fixed λ.
+    "text_lm_interp" -> { (s, dir) =>
+      TextAnalysis.interpolatedBigramLogProb(Tables.documents(s, dir),
+        "doc_id", "text")
+    },
+
     // top-3 TF-IDF keywords per doc (rounded score ranks identically in
     // any engine; ties break on the word).
     "text_tfidf" -> { (s, dir) =>
@@ -391,6 +398,27 @@ object TrainingQueries extends QueryPack {
         |SELECT doc_id,
         |  round(avg(ln(CAST(n AS DOUBLE) / total)), 4) AS lm_score
         |FROM bg JOIN counts USING (shingle), tot
+        |GROUP BY doc_id""".stripMargin,
+    "text_lm_interp" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(t[i+1:i+2],' ') AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-1,0))) AS i FROM toks)),
+        |perdoc AS (SELECT doc_id, shingle, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bgc AS (SELECT shingle, CAST(sum(c) AS BIGINT) AS n_bg FROM perdoc GROUP BY 1),
+        |w1c AS (SELECT split_part(shingle, ' ', 1) AS w1,
+        |          CAST(sum(n_bg) AS BIGINT) AS n_w1 FROM bgc GROUP BY 1),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_u
+        |        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |        GROUP BY w),
+        |tot AS (SELECT CAST(sum(n_u) AS BIGINT) AS t_tok FROM uni)
+        |SELECT doc_id,
+        |  round(sum(c * ln(0.7 * CAST(n_bg AS DOUBLE) / CAST(n_w1 AS DOUBLE)
+        |    + 0.3 * CAST(n_u AS DOUBLE) / CAST(t_tok AS DOUBLE))) / sum(c), 4)
+        |    AS lm_score
+        |FROM perdoc
+        |JOIN bgc USING (shingle)
+        |JOIN w1c ON w1c.w1 = split_part(shingle, ' ', 1)
+        |JOIN uni ON uni.w = split_part(shingle, ' ', 2), tot
         |GROUP BY doc_id""".stripMargin,
     "vocab_top" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS n

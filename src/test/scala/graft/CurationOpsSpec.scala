@@ -126,6 +126,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(shared >= a.size - 2 && a.size >= 5)
   }
 
+  test("degenerate inputs: empty/null text, zero vectors, empty target") {
+    import spark.implicits._
+    // classifier: empty text scores finite (one "" token); null text
+    // propagates null, never throws.
+    val docs = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val clf = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!clf(1L).isNullAt(1) && clf(1L).getDouble(1) > 0 && clf(1L).getDouble(1) < 1)
+    assert(clf(2L).isNullAt(1) && clf(2L).isNullAt(2))
+    // CDC: null text yields no chunks (not a null chunk), short text one chunk.
+    val cdc = graft.ops.CorpusOps.cdcChunks(docs, "doc_id", "text")
+    assert(cdc.where(col("doc_id") === 2L).count() === 0)
+    assert(cdc.where(col("doc_id") === 3L).count() === 1)
+    // semDedup: a zero vector's cosine is NULL (never NaN) -> it can't
+    // near-dup anything; it stays, labeled, kept.
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.0f)),
+      (2L, Array.tabulate(64)(_.toFloat)),
+      (3L, Array.tabulate(64)(i => i * 1.001f)) // near-identical to 2:
+      // same cell (argmin distances differ negligibly), cosine ~1
+    ).toDF("vec_id", "embedding")
+    val sd = Similarity.semDedup(vecs, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(sd.size === 3 && sd(1L), "zero vector present and kept")
+    assert(Seq(sd(2L), sd(3L)).count(identity) === 1,
+      "near-identical pair drops exactly one member")
+    // DSIR: empty target selection -> uniform-model scores, all finite.
+    val w = TextAnalysis.dsirWeights(
+      Seq((1L, "a b c", "x")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", col("source") === "nope").collect()
+    assert(w.length === 1 && !w.head.isNullAt(1))
+  }
+
   test("ev_attribution credits the latest in-window click only") {
     val out = graft.queries.EventQueries.queries("ev_attribution")(
       spark, sf("sf0.001")).cache()
