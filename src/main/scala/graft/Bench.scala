@@ -33,6 +33,10 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       // per-query isolation: operators that persist intermediates
       // (simhash signatures) must not occupy memory for later queries.
+      // NO explicit System.gc() here: a forced full GC evicts the
+      // soft-referenced codegen class cache, and re-compiling generated
+      // code made the heaviest queries ~7x slower (measured) — far worse
+      // than the 2-7x GC-timing noise it was meant to remove.
       spark.sharedState.cacheManager.clearCache()
       t
     }
