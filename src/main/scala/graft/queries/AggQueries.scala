@@ -99,6 +99,16 @@ object AggQueries extends QueryPack {
     "agg_hll" -> { (s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+    },
+
+    // KMV distinct sketch (custom TypedImperativeAggregate): md5-hashed,
+    // so — unlike HLL — the approximate estimate itself is engine-
+    // portable and fully hash-checked against the oracle.
+    "agg_kmv" -> { (s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(graft.functions.KmvDistinct.onMd5(col("user_id"), 128)
+            .as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
     }
   )
 
@@ -146,6 +156,26 @@ object AggQueries extends QueryPack {
         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P'
         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    // KMV estimator over DISTINCT 32-bit md5 hashes: kth-smallest hash
+    // (rank by hv, not user_id — a 32-bit collision merges in BOTH
+    // engines), est = (k-1)/(kth/2^32), exact below k distinct.
+    "agg_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY event_type)
+        |SELECT r.event_type,
+        |  CAST(CASE WHEN max(nd) < 128 THEN max(nd)
+        |    ELSE round(127.0 / (max(CASE WHEN rn = 128 THEN hv END) / 4294967296.0))
+        |    END AS BIGINT) AS approx_users,
+        |  CAST(max(ex.exact_users) AS BIGINT) AS exact_users
+        |FROM r JOIN ex ON ex.event_type = r.event_type
+        |GROUP BY r.event_type""".stripMargin
   )
 }

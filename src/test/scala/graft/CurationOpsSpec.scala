@@ -126,6 +126,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(shared >= a.size - 2 && a.size >= 5)
   }
 
+  test("KMV sketch: exact below k, bounded error above, merge-invariant") {
+    import spark.implicits._
+    import graft.functions.KmvDistinct
+    // below k distinct -> exact
+    val small = (1 to 50).map(i => ("g", i.toLong)).toDF("g", "id")
+    val ex = small.groupBy("g").agg(KmvDistinct.onMd5(col("id"), 128).as("d"))
+      .collect().head.getLong(1)
+    assert(ex === 50L, "sketch is exact below k")
+    // above k: relative error within 4 standard errors (rse ~ 1/sqrt(k-2))
+    val big = (1 to 20000).map(i => ("g", i.toLong)).toDF("g", "id")
+    val est = big.groupBy("g").agg(KmvDistinct.onMd5(col("id"), 128).as("d"))
+      .collect().head.getLong(1)
+    val relErr = math.abs(est - 20000.0) / 20000.0
+    assert(relErr < 4.0 / math.sqrt(126.0), s"relative error $relErr (est $est)")
+    // partition layout must not change the estimate (merge = set union)
+    val est7 = big.repartition(7).groupBy("g")
+      .agg(KmvDistinct.onMd5(col("id"), 128).as("d")).collect().head.getLong(1)
+    assert(est7 === est, "merge-order invariant")
+    // duplicates don't inflate: the sketch sees the distinct set
+    val dup = big.union(big).groupBy("g")
+      .agg(KmvDistinct.onMd5(col("id"), 128).as("d")).collect().head.getLong(1)
+    assert(dup === est, "duplicate-insensitive")
+  }
+
   test("degenerate inputs: empty/null text, zero vectors, empty target") {
     import spark.implicits._
     // classifier: empty text scores finite (one "" token); null text
