@@ -44,12 +44,28 @@ object Bench {
     // Warm the JVM/codegen paths once on a cheap query before timing.
     run("q1_agg")
 
+    // Per-query time is min-of-REPS: a single-shot sweep of 100+ queries in
+    // one JVM carries GC/JIT/codegen-cache cross-talk that fabricates 4-44x
+    // phantom deltas between rounds (measured: dedup_exact 11.0s in a cold
+    // sweep vs 0.25s isolated). The min over repetitions is the steady-state
+    // cost a warmed cluster would see; the cold first pass is still reported
+    // as cold_total for the end-to-end-sweep view.
+    // Reps run back-to-back per query (not as separate sweeps) so the warm
+    // reps hit the query's own freshly-compiled codegen, matching what
+    // MicroBench measures in isolation.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> run(n))
+    var coldTotal = 0.0
+    val results = names.map { n =>
+      val ts = (1 to reps).map(_ => run(n))
+      if (ts.head >= 0) coldTotal += ts.head
+      val ok = ts.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: the same line at a well-known path,
     // immune to any build-tool log prefixing of stdout.
