@@ -259,6 +259,38 @@ object Dedup {
       .select(col("new_id"), col("old_id")).distinct()
   }
 
+  /** Persist the banded minhash signature table BUCKETED by its join key
+    * (band, bucket) — the settled side of incremental dedup as a reusable
+    * artifact. One write-time shuffle, amortized over every later
+    * increment: subsequent [[incrementalDupPairsFromTable]] joins read the
+    * settled corpus co-located, with NO exchange on that side
+    * (plan-asserted in ScaleSpec). */
+  def writeSignatureTable(docs: DataFrame, idCol: String, textCol: String,
+                          table: String, buckets: Int,
+                          numPerm: Int = 12, rowsPerBand: Int = 3,
+                          shingleW: Int = 3): Unit =
+    Scale.writeBucketed(
+      bandedBuckets(minhashSignatureExpr(docs, idCol, textCol, numPerm, shingleW),
+        idCol, numPerm, rowsPerBand),
+      table, buckets, keyCols = Seq("band", "bucket"))
+
+  /** [[incrementalDupPairs]] with the existing side served from a
+    * persisted [[writeSignatureTable]] table: only the increment computes
+    * signatures and shuffles into the bucket layout; the settled corpus
+    * never moves. The parameters must match the table's write-time
+    * values or buckets will not align. */
+  def incrementalDupPairsFromTable(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, incoming: DataFrame,
+                                   idCol: String, textCol: String,
+                                   numPerm: Int = 12, rowsPerBand: Int = 3,
+                                   shingleW: Int = 3): DataFrame =
+    bandedBuckets(minhashSignatureExpr(incoming, idCol, textCol, numPerm, shingleW),
+      idCol, numPerm, rowsPerBand)
+      .withColumnRenamed(idCol, "new_id")
+      .join(spark.table(table).withColumnRenamed(idCol, "old_id"),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id")).distinct()
+
   /** The production two-stage near-dup pipeline: MinHash-LSH generates
     * candidates (bounded by band collisions), exact shingle-set Jaccard
     * verifies ONLY those candidates — the per-pair cost never touches the

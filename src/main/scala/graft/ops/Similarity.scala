@@ -171,6 +171,84 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Frozen IVF coarse centroid c(ki)(j) in [-1, 1]: md5-derived plan
+    * literals (the srpPlanes/pqCentroids/semCentroids recipe) —
+    * deterministic and engine-portable. Production trains the quantizer
+    * once with k-means on a corpus sample (see [[ivfTopK]]) and then
+    * freezes the centers exactly like this; every probing expression
+    * downstream is identical either way. */
+  def ivfCentroids(nLists: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nLists, dim) { (ki, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ivf|$ki|$j".getBytes("UTF-8"))
+        .take(3).map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 8388608.0 - 1.0
+    }
+
+  /** IVF probing over FROZEN plan-literal centroids — the production
+    * shape of [[ivfTopK]] once the quantizer is trained and persisted
+    * (at 100 TB nobody re-clusters per query batch; the centers are an
+    * artifact, reused across runs, broadcast as plan literals).
+    *
+    * Because the centers are deterministic, the whole query is
+    * reproducible in any engine: corpus cell assignment is an argmin over
+    * left-associative squared-diff chains (the [[semDedup]]/[[pqCodes]]
+    * discipline, whole-stage codegen), query probing takes the `nProbe`
+    * nearest cells via a tie-safe struct sort, and scoring is the fused
+    * [[cosine]] expression — fully hash-checkable against a SQL oracle. */
+  def ivfTopKFrozen(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+                    dim: Int = 64): DataFrame = {
+    val cents = ivfCentroids(nLists, dim)
+    // fixed-order sum of squared diffs — left-associative chain matches
+    // the SQL oracle bit for bit.
+    def dist(ki: Int, v: Column): Column =
+      (0 until dim).map { j =>
+        val x = element_at(v, j + 1) - lit(cents(ki)(j))
+        x * x
+      }.reduce(_ + _)
+
+    // corpus side: nearest cell via least() + first-match CASE (lowest
+    // index on ties) — stays in whole-stage codegen; one map-only pass.
+    val cbase = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id") +: col("cv") +:
+        (0 until nLists).map(ki => dist(ki, col("cv")).as(s"d_$ki")): _*)
+    val dmin = least((0 until nLists).map(ki => col(s"d_$ki")): _*)
+    val cellOf = (1 until nLists).foldLeft(when(col("d_0") === dmin, lit(0))) {
+      (acc, ki) => acc.when(col(s"d_$ki") === dmin, lit(ki))
+    }
+    // PERSIST both probe artifacts (the semDedup recipe): the literal-
+    // centroid distance chains are ~nLists×dim expression nodes, and left
+    // inline they send the join optimizer's constraint propagation into a
+    // multi-minute walk over the tree. The cache boundary cuts the plan —
+    // and it is exactly the artifact shape of production IVF: assignment
+    // and probe tables are computed once, checkpointed, reused per query
+    // batch.
+    val assigned = cbase
+      .select(col("neighbor_id"), col("cv"), cellOf.as("cell")).persist()
+
+    // query side: nProbe nearest cells via tie-safe struct sort (queries
+    // are few; the sorted array never leaves the projection). Broadcast:
+    // the probed query set is tiny next to the corpus postings.
+    val qbase = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = (0 until nLists).map(ki =>
+      struct(dist(ki, col("qv")).as("d"), lit(ki).as("cell")))
+    val probed = broadcast(qbase.withColumn("cell",
+      explode(slice(array_sort(array(scored: _*)), 1, nProbe).getField("cell")))
+      .persist())
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(probed, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Per-vector int8 scalar quantization: codes = round((x − min) /
     * scale) ∈ [0, 255], scale = (max − min)/255 — 4× memory cut for ANN
     * posting lists, the standard compression step before IVF/PQ storage.

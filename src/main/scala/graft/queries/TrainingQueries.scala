@@ -248,12 +248,14 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", k = 5, nBits = 4)
     },
 
-    // IVF ANN (k-means coarse quantizer, nProbe cells per query) — the
-    // trained centers are engine-specific, so the driver records a
-    // rows-only check; the spec asserts full-probe ≡ brute force.
+    // IVF ANN with a FROZEN quantizer (plan-literal centers, nProbe cells
+    // per query): the production shape — train once, persist the centers,
+    // probe forever — and fully hash-checkable because the oracle rebuilds
+    // the identical centers. The k-means-TRAINED path (Similarity.ivfTopK)
+    // stays covered by the recall spec (full-probe ≡ brute force).
     "sim_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+      Similarity.ivfTopKFrozen(emb, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
     },
 
@@ -756,6 +758,47 @@ object TrainingQueries extends QueryPack {
          |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
          |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
          |WHERE rank <= 5""".stripMargin
+    },
+    "sim_ann_ivf" -> {
+      // literal IVF centers from the SAME generator the Spark plan embeds;
+      // distances are left-associative squared-diff chains (the emb_pq
+      // discipline). Corpus cells use the first-match CASE argmin (lowest
+      // index on ties); query probes take the nProbe nearest cells via the
+      // same tie-safe struct sort as emb_pq (DuckDB struct comparison is
+      // field-order lexicographic, matching Spark's array_sort).
+      val (nLists, nProbe, k, dim) = (16, 4, 5, 64)
+      val cents = graft.ops.Similarity.ivfCentroids(nLists, dim)
+      def distSql(ki: Int): String =
+        (0 until dim).map { j =>
+          val c = cents(ki)(j)
+          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
+            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
+        }.mkString("(", " + ", ")")
+      val dCols = (0 until nLists).map(ki => s"${distSql(ki)} AS d_$ki")
+        .mkString(",\n        |  ")
+      val leastAll = (0 until nLists).map(ki => s"d_$ki")
+        .mkString("least(", ", ", ")")
+      val cellCase = (0 until nLists).map(ki => s"WHEN d_$ki = dist THEN $ki")
+        .mkString("CASE ", " ", "END")
+      val structs = (0 until nLists).map(ki => s"{'d': d_$ki, 'cell': $ki}")
+        .mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT vec_id, embedding,
+         |  $dCols
+         |  FROM embeddings),
+         |a AS (SELECT vec_id AS neighbor_id, embedding AS cv, $cellCase AS cell
+         |  FROM (SELECT *, $leastAll AS dist FROM d)),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    unnest([s.cell FOR s IN list_sort($structs)[1:$nProbe]]) AS cell
+         |  FROM d WHERE vec_id < 10)
+         |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT q.query_id, a.neighbor_id,
+         |    list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) AS sim,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) DESC,
+         |               a.neighbor_id ASC) AS rank
+         |  FROM a JOIN q ON a.cell = q.cell
+         |  WHERE q.query_id <> a.neighbor_id)
+         |WHERE rank <= $k""".stripMargin
     },
     "emb_pq" -> {
       // literal sub-centroids from the SAME generator the Spark plan

@@ -28,6 +28,25 @@ object Connectors {
 
   private def now() = new Timestamp(System.currentTimeMillis())
 
+  /** Per-executor-JVM client registry for PRODUCE paths. Broker clients
+    * are sockets — they cannot ride a serialized closure to an executor —
+    * so a sink closure captures only its registry NAME and each executor
+    * JVM binds its own client instance (the standard per-JVM connection
+    * pattern; on a cluster the binding runs in executor startup, in
+    * local[n] and tests the driver's register call covers everything).
+    * This keeps produce work on executors: the driver never collects a
+    * micro-batch to fan it out itself. */
+  object SinkClients {
+    private val reg = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    def register(name: String, client: AnyRef): String = { reg.put(name, client); name }
+    def get[T](name: String): T = {
+      val c = reg.get(name)
+      require(c != null, s"sink client '$name' is not bound in this executor JVM")
+      c.asInstanceOf[T]
+    }
+    def unregister(name: String): Unit = reg.remove(name)
+  }
+
   // ---- SQS (S7 source, K5 sink) -----------------------------------------
 
   /** Injected transport: the AWS SDK surface the adapter needs. */
@@ -67,11 +86,21 @@ object Connectors {
     def pending: Long = synchronized(buf.length.toLong)
   }
 
-  /** SQS sink (K5): SendMessageBatch caps at 10 entries per call. */
-  def sqsSink(client: SqsClient, valueCol: String): Sinks.Writer = (batch, _) =>
-    batch.select(org.apache.spark.sql.functions.col(valueCol).cast("binary"))
-      .collect().map(_.getAs[Array[Byte]](0))
-      .grouped(10).foreach(g => client.send(g.toSeq))
+  /** SQS sink (K5): SendMessageBatch caps at 10 entries per call.
+    * Produce runs on EXECUTORS via foreachPartition — each partition
+    * batches its own rows up to the cap (parallel producers each hold the
+    * 10-entry contract; the cap is per API call, not per micro-batch) —
+    * so the driver never materializes the batch. */
+  def sqsSink(client: SqsClient, valueCol: String): Sinks.Writer = {
+    val name = SinkClients.register(
+      s"sqs-sink-${java.util.UUID.randomUUID()}", client)
+    (batch, _) =>
+      batch.select(org.apache.spark.sql.functions.col(valueCol).cast("binary"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val c = SinkClients.get[SqsClient](name)
+          it.map(_.getAs[Array[Byte]](0)).grouped(10).foreach(g => c.send(g.toSeq))
+        }
+  }
 
   // ---- NATS core (S4) ----------------------------------------------------
 
@@ -170,11 +199,20 @@ object Connectors {
     def pending: Long = synchronized(buf.length - ackedOffset)
   }
 
-  /** Pulsar sink (K4): keyed produce via an injected producer. */
+  /** Pulsar sink (K4): keyed produce via an injected producer. Same
+    * executor-side shape as [[sqsSink]]: the closure carries only the
+    * registry name; each partition produces its own rows. */
   def pulsarSink(produce: (String, Array[Byte]) => Unit,
-                 keyCol: String, valueCol: String): Sinks.Writer = (batch, _) => {
-    import org.apache.spark.sql.functions.col
-    batch.select(col(keyCol).cast("string"), col(valueCol).cast("binary"))
-      .collect().foreach(r => produce(r.getString(0), r.getAs[Array[Byte]](1)))
+                 keyCol: String, valueCol: String): Sinks.Writer = {
+    val name = SinkClients.register(
+      s"pulsar-sink-${java.util.UUID.randomUUID()}", produce)
+    (batch, _) => {
+      import org.apache.spark.sql.functions.col
+      batch.select(col(keyCol).cast("string"), col(valueCol).cast("binary"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val p = SinkClients.get[(String, Array[Byte]) => Unit](name)
+          it.foreach(r => p(r.getString(0), r.getAs[Array[Byte]](1)))
+        }
+    }
   }
 }

@@ -29,13 +29,22 @@ import graft.streaming.UdSource.MemoryGraftSource
   * `GET /v1/fetch?id=` (poll an async result), `POST /v1/process/sse`
   * (server-sent events: every result row for the request streams out as
   * a `data:` event as the DAG produces it — a 1→N request sees N events).
-  * The reference closes an SSE stream when its callback tracker proves
-  * the request has drained every DAG path (`MessageGraph`); this engine
-  * has no per-message path tracker, so the stream closes after
-  * `sseIdleMs` without new results — same contract, time-bounded.
+  *
+  * SSE close: the reference closes a stream when its callback tracker
+  * proves the request has drained every DAG path (`MessageGraph`,
+  * `rust/serving/src/app/tracker.rs`). The analog here is `paths`: the
+  * names of the DAG's terminal serving branches. Branch sinks report per
+  * request via [[completePath]] (result produced) / [[coverPath]] (branch
+  * processed the request's batch without a result — the reference's
+  * "dropped on this path" callback); the stream closes only when EVERY
+  * declared path has reported (or `syncTimeoutMs` elapses) — a slow
+  * branch's result is never cut off by a fast branch going idle. With no
+  * `paths` declared there is nothing to track and the stream falls back
+  * to closing after `sseIdleMs` without results, time-bounded as before.
   */
 final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
-                            sseIdleMs: Long = 2000) extends AutoCloseable {
+                            sseIdleMs: Long = 2000,
+                            paths: Set[String] = Set.empty) extends AutoCloseable {
 
   /** The serving source: requests enter the DAG here (keys = [requestId]). */
   val source = new MemoryGraftSource(1)
@@ -50,12 +59,67 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
   private def futureFor(id: String): CompletableFuture[Array[Byte]] =
     results.computeIfAbsent(id, _ => new CompletableFuture[Array[Byte]]())
 
+  // Per-request path coverage (the MessageGraph analog): which declared
+  // branches have reported for the id. An SSE stream closes when
+  // coverage reaches `paths`.
+  private val coveredPaths =
+    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean]]()
+
+  private def coverageFor(id: String) =
+    coveredPaths.computeIfAbsent(id, _ => ConcurrentHashMap.newKeySet[String]())
+
+  /** All declared DAG paths have reported for this request. */
+  def pathsDone(id: String): Boolean =
+    paths.nonEmpty && paths.forall(coverageFor(id).contains)
+
   /** Called by the serve sink when the DAG produces a response row. */
   def complete(id: String, payload: Array[Byte]): Unit = {
     futureFor(id).complete(payload) // sync/async see the FIRST result
     val q = streams.get(id)
     if (q != null) q.offer(payload) // SSE sees every result
   }
+
+  /** Branch `path` produced a response row for the request. */
+  def completePath(id: String, path: String, payload: Array[Byte]): Unit = {
+    complete(id, payload)
+    coverPath(id, path)
+  }
+
+  /** Branch `path` fully processed the micro-batch containing the request
+    * without producing a row for it — the reference's dropped-on-this-path
+    * callback. Idempotent; at-least-once redelivery just re-covers. */
+  def coverPath(id: String, path: String): Unit = {
+    coverageFor(id).add(path)
+    if (pathsDone(id)) {
+      val q = streams.get(id)
+      if (q != null) q.offer(SseEnd) // wake the SSE loop to close
+    }
+  }
+
+  /** Sentinel waking the SSE poll loop on coverage completion. */
+  private val SseEnd = Array.empty[Byte]
+
+  /** K10 serve sink for one DAG branch: completes request futures AND
+    * reports path coverage for EVERY request id in the incoming batch —
+    * ids the branch filtered out are thereby proven dropped on this path
+    * (tracker.rs semantics), so SSE close never waits on a request this
+    * branch will never answer. `branch` maps the full batch (NumaMessage
+    * columns, keys(0) = request id) to this branch's response rows. */
+  def pathServeSink(path: String, branch: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame, idCol: String, resultCol: String): Sinks.Writer =
+    (batch, _) => {
+      val cached = batch.persist()
+      try {
+        val ids = cached.select(org.apache.spark.sql.functions
+          .element_at(col("keys"), 1).cast("string"))
+          .collect().map(_.getString(0)) // bounded: in-flight HTTP requests
+        branch(cached)
+          .select(col(idCol).cast("string"), col(resultCol).cast("binary"))
+          .collect()
+          .foreach(r => completePath(r.getString(0), path, r.getAs[Array[Byte]](1)))
+        ids.foreach(id => coverPath(id, path))
+      } finally cached.unpersist()
+    }
 
   /** K10 serve sink: batch rows (idCol: string, resultCol: binary or
     * string) complete their request futures. Driver-side by design — the
@@ -97,11 +161,35 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
           ex.getResponseHeaders.set("Content-Type", "text/event-stream")
           ex.sendResponseHeaders(200, 0) // chunked
           val out = ex.getResponseBody
-          var row = q.poll(syncTimeoutMs, TimeUnit.MILLISECONDS) // first result
-          while (row != null) {
+          def emit(row: Array[Byte]): Unit = {
             out.write(s"data: ${new String(row)}\n\n".getBytes)
             out.flush()
-            row = q.poll(sseIdleMs, TimeUnit.MILLISECONDS) // further results
+          }
+          val deadline = System.currentTimeMillis() + syncTimeoutMs
+          var first = true
+          var open = true
+          while (open) {
+            val waitMs =
+              if (paths.nonEmpty)
+                math.max(1L, math.min(deadline - System.currentTimeMillis(), sseIdleMs))
+              else if (first) syncTimeoutMs
+              else sseIdleMs
+            val row = q.poll(waitMs, TimeUnit.MILLISECONDS)
+            if (row == null)
+              // tracked: a quiet queue is NOT completion — keep waiting for
+              // the slow path until coverage or the deadline. Untracked:
+              // the legacy idle close.
+              open = paths.nonEmpty && !pathsDone(id) &&
+                System.currentTimeMillis() < deadline
+            else if (row eq SseEnd) {
+              // coverage complete: drain results already queued, then close.
+              var r = q.poll()
+              while (r != null) { if (!(r eq SseEnd)) emit(r); r = q.poll() }
+              open = false
+            } else {
+              emit(row); first = false
+              if (paths.nonEmpty && pathsDone(id) && q.peek() == null) open = false
+            }
           }
         } finally { streams.remove(id); ex.close() }
       }

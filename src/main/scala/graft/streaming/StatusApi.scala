@@ -14,15 +14,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Routes: `GET /status` → one entry per registered query (name, id,
   * active, full lastProgress); `GET /watermarks` → name → event-time
   * watermark; `GET /pending` → name → registered GraftSource backlog
-  * (the reference's pending/lag metric, S10).
+  * (the reference's pending/lag metric, S10); `GET /buffers` → per-source
+  * BufferInfo (pendingCount, bufferLength, bufferUsage, isFull —
+  * daemon.proto ListBuffers); `GET /errors` → per-vertex error records
+  * (tracked queries' terminal exceptions + reported errors —
+  * daemon.proto GetVertexErrors / ContainerError).
   */
 final class StatusApi(port: Int) extends AutoCloseable {
 
   private val queries = new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
   private val sources = new java.util.concurrent.ConcurrentHashMap[String, UdSource.GraftSource]()
+  /** (vertex, epochMs, code, message) — reported processing errors. */
+  private val errors =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String, String)]()
 
   def track(name: String, q: StreamingQuery): StreamingQuery = { queries.put(name, q); q }
   def trackSource(name: String, s: UdSource.GraftSource): Unit = sources.put(name, s)
+  /** Report a vertex error (the reference persists ContainerErrors from
+    * runtime crash files; here operators/sinks report directly). */
+  def reportError(vertex: String, code: String, message: String): Unit =
+    errors.add((vertex, System.currentTimeMillis(), code, message))
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -54,6 +65,33 @@ final class StatusApi(port: Int) extends AutoCloseable {
     }.mkString("{", ",", "}")
   }
 
+  private def buffersJson: String = {
+    import scala.jdk.CollectionConverters._
+    sources.asScala.toSeq.sortBy(_._1).map { case (name, s) =>
+      val cap = s.capacity
+      val unbounded = cap == Long.MaxValue
+      val usage =
+        if (unbounded || cap == 0) 0.0 else s.pending.toDouble / cap
+      s"""{"bufferName":${jstr(name)},"pendingCount":${s.pending},""" +
+        s""""bufferLength":${if (unbounded) "null" else cap.toString},""" +
+        s""""bufferUsage":$usage,"isFull":${!unbounded && s.pending >= cap}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  private def errorsJson: String = {
+    import scala.jdk.CollectionConverters._
+    // terminal query failures (StreamingQuery.exception) + reported errors
+    val fromQueries = queries.asScala.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      q.exception.map(e =>
+        (name, System.currentTimeMillis(), "StreamingQueryException",
+          Option(e.getMessage).getOrElse("")))
+    }
+    (fromQueries ++ errors.asScala.toSeq).map { case (vertex, ts, code, msg) =>
+      s"""{"vertex":${jstr(vertex)},"timestampMs":$ts,""" +
+        s""""code":${jstr(code)},"message":${jstr(msg)}}"""
+    }.mkString("[", ",", "]")
+  }
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     def route(path: String)(body: () => String): Unit =
@@ -69,6 +107,8 @@ final class StatusApi(port: Int) extends AutoCloseable {
     route("/status")(() => statusJson)
     route("/watermarks")(() => watermarksJson)
     route("/pending")(() => pendingJson)
+    route("/buffers")(() => buffersJson)
+    route("/errors")(() => errorsJson)
     s.start()
     s
   }

@@ -59,6 +59,9 @@ object UdSource {
     def ack(partition: Int, upTo: Long): Unit
     /** Backlog count — feeds lag metrics / autoscaling (S10, LagReader). */
     def pending: Long
+    /** Buffer capacity (daemon BufferInfo.bufferLength); MaxValue when
+      * unbounded. Serves the /buffers usage + isFull fields. */
+    def capacity: Long = Long.MaxValue
   }
 
   /** Row schema every GraftSource produces (the NumaMessage column set). */
@@ -146,6 +149,9 @@ object UdSource {
     def ackedUpTo(p: Int): Long = synchronized(acked(p))
     def pending: Long =
       synchronized(partitions.map(p => bufs(p).length - acked(p)).sum)
+    override def capacity: Long =
+      if (maxLength == Int.MaxValue) Long.MaxValue
+      else maxLength.toLong * numPartitions
   }
 
   // -------- DSv2 plumbing -------------------------------------------------

@@ -33,7 +33,9 @@ class ConnectorSemanticsSpec extends SparkSpec {
         out
       }
       def delete(handles: Seq[String]): Unit = deletedReceipts ++= handles
-      def send(bodies: Seq[Array[Byte]]): Unit = sent += bodies
+      // send runs on executor threads (foreachPartition) — synchronize.
+      def send(bodies: Seq[Array[Byte]]): Unit =
+        sent.synchronized { sent += bodies }
     }
 
     val src = new Connectors.SqsSource(client, pollBatch = 2)
@@ -47,9 +49,19 @@ class ConnectorSemanticsSpec extends SparkSpec {
     src.ack(0, 3)
     assert(deletedReceipts.toSeq === Seq("r1", "r2", "r3") && src.pending === 0)
 
+    // Produce is executor-side (one batching run per partition): a single
+    // partition exercises the exact SendMessageBatch grouping...
     Connectors.sqsSink(client, "v")(
-      (1 to 25).map(i => s"b$i").toDF("v"), 0L)
+      (1 to 25).map(i => s"b$i").toDF("v").coalesce(1), 0L)
     assert(sent.map(_.size).toSeq === Seq(10, 10, 5)) // SendMessageBatch cap
+    // ...and a multi-partition batch still honors the ≤10 cap per API call
+    // with nothing lost (parallel producers batch independently).
+    sent.clear()
+    Connectors.sqsSink(client, "v")(
+      (1 to 25).map(i => s"b$i").toDF("v").repartition(4), 0L)
+    assert(sent.forall(_.size <= 10))
+    assert(sent.flatMap(_.map(new String(_))).sorted.toSeq ===
+      (1 to 25).map(i => s"b$i").sorted)
   }
 
   // ---- NATS core vs JetStream --------------------------------------------
@@ -95,7 +107,10 @@ class ConnectorSemanticsSpec extends SparkSpec {
     assert(cumAck === 102L) // cumulative: highest contained message id
 
     val produced = ArrayBuffer.empty[(String, String)]
-    Connectors.pulsarSink((k, v) => produced += ((k, new String(v))), "k", "v")(
+    // produce runs on executor threads (foreachPartition) — synchronize.
+    Connectors.pulsarSink(
+      (k, v) => produced.synchronized { produced += ((k, new String(v))) },
+      "k", "v")(
       Seq(("a", "x"), ("b", "y")).toDF("k", "v"), 0L)
     assert(produced.sorted.toSeq === Seq(("a", "x"), ("b", "y")))
   }

@@ -268,6 +268,46 @@ class ConnectorsSpec extends SparkSpec {
     } finally { q.stop(); serving.close() }
   }
 
+  test("serving: tracked SSE waits for the slow DAG path (MessageGraph analog)") {
+    // Two declared paths; the slow branch answers ~5 idle windows after
+    // the fast one. Close-on-idle would cut the stream after sseIdleMs of
+    // quiet; the path tracker must keep it open until BOTH branches
+    // report, then close promptly (well before syncTimeout).
+    val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000,
+      sseIdleMs = 500, paths = Set("fast", "slow"))
+    val fastSink = serving.pathServeSink("fast",
+      b => b.select(col("keys")(0).as("rid"),
+        concat(lit("fast:"), col("value").cast("string")).as("resp")),
+      "rid", "resp")
+    val slowSink = serving.pathServeSink("slow",
+      b => {
+        Thread.sleep(2500) // the slow path: answers long after fast idles
+        b.select(col("keys")(0).as("rid"),
+          concat(lit("slow:"), col("value").cast("string")).as("resp"))
+      },
+      "rid", "resp")
+    val q = UdSource.readStream(spark, serving.sourceName)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ssetrack").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val df = batch.toDF(); fastSink(df, id); slowSink(df, id)
+      }
+      .start()
+    try {
+      val t0 = System.currentTimeMillis()
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/process/sse"))
+          .POST(HttpRequest.BodyPublishers.ofString("ping")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val elapsed = System.currentTimeMillis() - t0
+      assert(resp.statusCode() === 200)
+      val events = resp.body().split("\n\n").filter(_.nonEmpty)
+        .map(_.stripPrefix("data: ")).toSet
+      assert(events === Set("fast:ping", "slow:ping"), s"got: ${resp.body()}")
+      assert(elapsed < 15000, s"stream should close on coverage, took ${elapsed}ms")
+    } finally { q.stop(); serving.close() }
+  }
+
   test("serving: sync POST -> DAG -> keyed response; async fetch") {
     val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000)
     // DAG: uppercase the payload, answer to the request id (keys[0]).

@@ -45,6 +45,53 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental dedup against a bucketed signature table: settled side never shuffles") {
+    import graft.ops.Dedup
+    def rmdir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmdir)
+      f.delete(); ()
+    }
+    spark.sql("DROP TABLE IF EXISTS b_sigs")
+    rmdir(new java.io.File("spark-warehouse/b_sigs"))
+
+    // settled corpus: clusters of identical docs so increments collide
+    val existing = (1 to 60)
+      .map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta ${i % 7}"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureTable(existing, "doc_id", "text", "b_sigs", buckets = 4)
+
+    val incoming = (1 to 3)
+      .map(i => (1000L + i, s"alpha beta gamma delta epsilon zeta $i"))
+      .toDF("doc_id", "text")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fromTable = Dedup.incrementalDupPairsFromTable(
+        spark, "b_sigs", incoming, "doc_id", "text")
+      // semantics identical to the recompute-both-sides form
+      val direct = Dedup.incrementalDupPairs(existing, incoming, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = fromTable.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === direct)
+      assert(got.nonEmpty) // the colliding clusters actually matched
+      // plan shape: recomputing both sides shuffles twice before the join
+      // (+1 for distinct); the bucketed settled side eliminates exactly
+      // one of those exchanges — only the increment and distinct move.
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count()
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      }
+      val bucketed = exchanges(Dedup.incrementalDupPairsFromTable(
+        spark, "b_sigs", incoming, "doc_id", "text"))
+      val recompute = exchanges(
+        Dedup.incrementalDupPairs(existing, incoming, "doc_id", "text"))
+      assert(bucketed === recompute - 1,
+        s"settled side must read co-located: bucketed=$bucketed recompute=$recompute")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join returns exactly the unsalted result") {
     // heavy skew: 90% of big rows share one key
     val big = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))

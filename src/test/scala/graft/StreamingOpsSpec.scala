@@ -192,6 +192,23 @@ class StreamingOpsSpec extends SparkSpec {
       }
       assert(wms.contains("\"p1\":\"2024-01-01T00:00:50")) // 00:01:00 - 10s
       assert(getJson("/pending") === "{\"src1\":1}")
+      // daemon parity: /buffers (BufferInfo) and /errors (ContainerError)
+      val bounded = new MemoryGraftSource(1, maxLength = 4)
+      bounded.append(Seq("k"), "m".getBytes, ts("2024-01-01 00:00:00"))
+      api.trackSource("src2", bounded)
+      val bufs = getJson("/buffers")
+      assert(bufs.contains("\"bufferName\":\"src1\"") &&
+        bufs.contains("\"bufferLength\":null")) // unbounded source
+      assert(bufs.contains("\"bufferName\":\"src2\"") &&
+        bufs.contains("\"bufferLength\":4") &&
+        bufs.contains("\"bufferUsage\":0.25") &&
+        bufs.contains("\"isFull\":false"))
+      assert(getJson("/errors") === "[]")
+      api.reportError("udf-vertex", "UDF_ERROR", "boom at row 7")
+      val errs = getJson("/errors")
+      assert(errs.contains("\"vertex\":\"udf-vertex\"") &&
+        errs.contains("\"code\":\"UDF_ERROR\"") &&
+        errs.contains("\"message\":\"boom at row 7\""))
     } finally { q.stop(); api.close() }
   }
 

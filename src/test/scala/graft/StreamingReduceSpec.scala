@@ -139,6 +139,67 @@ class StreamingReduceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W6: per-edge allowedLateness — two reducers off one source diverge") {
+    import graft.model.Pipeline._
+    implicit val ctx = spark.sqlContext
+    // ONE source, TWO reduce edges with different allowedLateness: the
+    // compiler must give each branch its own withWatermark (maxDelay +
+    // that edge's lateness), not fold both into one shared delay — a late
+    // row lands inside the lenient branch's window while the strict
+    // branch has already closed it.
+    val in = MemoryStream[(Timestamp, String, Long)]
+    def spec(input: org.apache.spark.sql.DataFrame) = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", input, "ts"),
+        ReduceV("strict", GroupBySpec(Fixed("60 seconds"), Seq("key"),
+          Seq(sum(col("value")).as("total")), allowedLateness = "0 seconds")),
+        ReduceV("lenient", GroupBySpec(Fixed("60 seconds"), Seq("key"),
+          Seq(sum(col("value")).as("total")), allowedLateness = "60 seconds")),
+        SinkV("out_strict"), SinkV("out_lenient")),
+      edges = Seq(Edge("in", "strict"), Edge("in", "lenient"),
+        Edge("strict", "out_strict"), Edge("lenient", "out_lenient")),
+      watermark = WatermarkSpec("10 seconds"))
+
+    val sinks = graft.streaming.Compiler.compile(spec(in.toDF().toDF("ts", "key", "value")))
+    val qs = sinks("out_strict").writeStream.format("memory")
+      .queryName("lat_strict").outputMode("append").start()
+    val ql = sinks("out_lenient").writeStream.format("memory")
+      .queryName("lat_lenient").outputMode("append").start()
+    try {
+      def sync(): Unit = { qs.processAllAvailable(); ql.processAllAvailable() }
+      in.addData((ts("2024-01-01 00:00:10"), "k", 1L),
+                 (ts("2024-01-01 00:00:20"), "k", 2L))
+      sync()
+      // WM(strict) = 01:50 -> [00:00,01:00) CLOSED; WM(lenient) = 00:50 -> open
+      in.addData((ts("2024-01-01 00:02:00"), "k", 100L))
+      sync()
+      // late row for [00:00,01:00): dropped by strict, absorbed by lenient
+      in.addData((ts("2024-01-01 00:00:40"), "k", 4L))
+      sync()
+      in.addData((ts("2024-01-01 00:10:00"), "k", 5L)) // flush everything
+      sync()
+      def totals(t: String) = spark.table(t).select("w_start", "total")
+        .as[(Timestamp, Long)].collect().toMap
+      val strict = totals("lat_strict"); val lenient = totals("lat_lenient")
+      assert(strict(ts("2024-01-01 00:00:00")) === 3L)  // late row dropped
+      assert(lenient(ts("2024-01-01 00:00:00")) === 7L) // late row within lateness
+      // the lenient branch matches its batch twin (batch sees every row)
+      val batch = graft.streaming.Compiler.compile(
+        spec(Seq((ts("2024-01-01 00:00:10"), "k", 1L),
+                 (ts("2024-01-01 00:00:20"), "k", 2L),
+                 (ts("2024-01-01 00:02:00"), "k", 100L),
+                 (ts("2024-01-01 00:00:40"), "k", 4L),
+                 (ts("2024-01-01 00:10:00"), "k", 5L)).toDF("ts", "key", "value")),
+        streaming = false)("out_lenient")
+        .select("w_start", "total").as[(Timestamp, Long)].collect().toMap
+      assert(batch(ts("2024-01-01 00:00:00")) === 7L)
+      // every window the stream closed matches its batch value (the final
+      // [00:10) flush window only exists in batch — nothing advanced the
+      // stream's watermark past it)
+      assert(lenient === batch.view.filterKeys(lenient.contains).toMap)
+    } finally { qs.stop(); ql.stop() }
+  }
+
   test("idle-source heartbeats advance the watermark without polluting results") {
     // batch-shape check of the helper's schema handling (streaming rate
     // source behavior needs wall-clock time; here we verify the contract:

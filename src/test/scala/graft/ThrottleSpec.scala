@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{RateLimit, Throttle}
+import graft.streaming.Throttle.{InMemoryStore, PooledRateLimiter}
+
+/** Distributed rate-limiter pool (X5): share division, ramp-up slope,
+  * GoBackN re-ramp, OnlyIfUsed gating, TTL rebalancing, deposit-back —
+  * per numaflow rust/numaflow-throttling/src/{lib.rs,state.rs}. */
+class ThrottleSpec extends AnyFunSuite {
+
+  test("pool members split the global allowance; a graceful exit rebalances") {
+    val store = new InMemoryStore()
+    val a = new PooledRateLimiter(store, "a", min = 100, max = 100, rampUpEpochs = 0)
+    val b = new PooledRateLimiter(store, "b", min = 100, max = 100, rampUpEpochs = 0)
+    // epoch 0: two members -> 50 each; the pool never over-grants.
+    assert(a.acquire(1000, nowMs = 0) === 50)
+    assert(b.acquire(1000, nowMs = 0) === 50)
+    assert(a.acquire(1, nowMs = 500) === 0) // share exhausted within epoch
+    b.shutdown()
+    // next epoch: survivor takes the full allowance.
+    assert(a.acquire(1000, nowMs = 1000) === 100)
+  }
+
+  test("global allowance ramps min->max linearly over rampUpEpochs") {
+    val store = new InMemoryStore()
+    val l = new PooledRateLimiter(store, "p", min = 10, max = 20, rampUpEpochs = 5)
+    // slope = 2/epoch: 10, 12, 14, 16, 18, 20, then clamps at max.
+    assert((0 to 6).map(e => l.acquire(1000, e * 1000L)) ===
+      Seq(10, 12, 14, 16, 18, 20, 20))
+  }
+
+  test("fractional slope accumulates (ramp 10->20 over 60 epochs)") {
+    val store = new InMemoryStore()
+    val l = new PooledRateLimiter(store, "p", min = 10, max = 20, rampUpEpochs = 60)
+    // slope = 1/6 token/epoch: the integer floor first moves at epoch 6
+    // (10 + 6·(1/6) = 11) — fractional climb never strands whole tokens.
+    assert((0 to 6).map(e => l.acquire(1000, e * 1000L)) ===
+      Seq(10, 10, 10, 10, 10, 10, 11))
+  }
+
+  test("GoBackN re-ramps from the floor on failure; Relaxed holds") {
+    val store = new InMemoryStore()
+    val g = new PooledRateLimiter(store, "g", min = 10, max = 20, rampUpEpochs = 5,
+      mode = RateLimit.GoBackN)
+    (0 to 3).foreach(e => g.acquire(1000, e * 1000L))
+    assert(g.globalAllowance === 16.0)
+    g.onFailure()
+    assert(g.acquire(1000, 4000) === 12) // re-ramped: floor 10 + one climb
+
+    val r = new PooledRateLimiter(store, "r", min = 10, max = 20, rampUpEpochs = 5,
+      mode = RateLimit.Relaxed, joinedAtMs = 99000)
+    (99 to 102).foreach(e => r.acquire(1000, e * 1000L))
+    val before = r.globalAllowance
+    r.onFailure() // Relaxed: failure holds, no reset
+    assert(r.globalAllowance === before)
+  }
+
+  test("OnlyIfUsed climbs only when the previous grant was fully drawn") {
+    val store = new InMemoryStore()
+    val l = new PooledRateLimiter(store, "p", min = 10, max = 20, rampUpEpochs = 5,
+      mode = RateLimit.OnlyIfUsed)
+    assert(l.acquire(3, 0) === 3)        // leaves 7 of the 10 undrawn
+    assert(l.acquire(1000, 1000) === 10) // no climb: last epoch under-used
+    assert(l.acquire(1000, 2000) === 12) // climb: full share was drawn
+  }
+
+  test("a member that stops heartbeating ages out; survivor's share grows") {
+    val store = new InMemoryStore(ttlMs = 3000)
+    val a = new PooledRateLimiter(store, "a", min = 100, max = 100, rampUpEpochs = 0)
+    new PooledRateLimiter(store, "dead", min = 100, max = 100, rampUpEpochs = 0)
+    assert(a.acquire(1000, 0) === 50)      // both alive
+    assert(a.acquire(1000, 2000) === 50)   // dead still within TTL
+    assert(a.acquire(1000, 4000) === 100)  // dead aged out -> full share
+  }
+
+  test("deposited tokens return to the member within the epoch") {
+    val store = new InMemoryStore()
+    val l = new PooledRateLimiter(store, "p", min = 10, max = 10, rampUpEpochs = 0)
+    assert(l.acquire(10, 0) === 10)
+    assert(l.acquire(1, 10) === 0)
+    l.depositUnused(4)
+    assert(l.acquire(10, 20) === 4) // only the returned tokens re-issue
+  }
+}
