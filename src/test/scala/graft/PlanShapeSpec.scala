@@ -114,6 +114,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"as-of via window, not join:\n$p")
   }
 
+  test("frozen IVF probes join broadcast over cached artifacts — corpus never re-shuffles") {
+    val p = plan("sim_ann_ivf")
+    // the tiny probed query set broadcasts onto the corpus postings
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    // both probe artifacts read from the cache boundary (the persisted
+    // assignment/probe tables — the production checkpoint shape)
+    assert(p.contains("InMemoryTableScan"), p)
+    // the only exchange is the top-k window's partition by query_id
+    assert(countOf(p, "Exchange hashpartitioning") <= 1, p)
+  }
+
   test("semdedup pair stage joins the persisted assignment, corpus scans once per side") {
     val p = plan("emb_semdedup")
     // the assignment table is cached: both pair sides and the final
