@@ -175,4 +175,34 @@ object CorpusOps {
         }
       }
   }
+
+  /** NEXT-fit sequence packing: like [[packGreedy]] but only the latest
+    * bin stays open — a doc that does not fit CLOSES it and opens bin
+    * idx+1. Slightly looser fill than first-fit, but the bin assignment
+    * is a prefix fold over (shard, id-order, n_tokens) alone, so the
+    * whole packing is expressible as a sequential recurrence — the
+    * variant an external SQL engine can replay row for row, which makes
+    * it hash-checkable end to end (first-fit's open-bin list is not).
+    * Same distribution contract: independent per-shard folds, one task
+    * each, no global sort. */
+  def packNextFit(docs: Dataset[PackedDoc], binTokens: Long,
+                  numShards: Int = 32): Dataset[PackedBin] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => math.floorMod(d.id, numShards.toLong))
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toArray.sortBy(_.id)
+        val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, List[Long])]
+        sorted.foreach { d =>
+          bins.lastOption match {
+            case Some((tot, ids)) if tot + d.n_tokens <= binTokens =>
+              bins(bins.length - 1) = (tot + d.n_tokens, d.id :: ids)
+            case _ => bins += ((d.n_tokens, List(d.id)))
+          }
+        }
+        bins.iterator.zipWithIndex.map { case ((tot, ids), i) =>
+          PackedBin(shard, i, ids.sorted, tot)
+        }
+      }
+  }
 }

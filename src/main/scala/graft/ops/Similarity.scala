@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.SquaredDistances
 
 /** Similarity search over an embedding column (Array[Float]).
   *
@@ -200,44 +201,34 @@ object Similarity {
                     vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
                     dim: Int = 64): DataFrame = {
     val cents = ivfCentroids(nLists, dim)
-    // fixed-order sum of squared diffs — left-associative chain matches
-    // the SQL oracle bit for bit.
-    def dist(ki: Int, v: Column): Column =
-      (0 until dim).map { j =>
-        val x = element_at(v, j + 1) - lit(cents(ki)(j))
-        x * x
-      }.reduce(_ + _)
+    // distance kernel: the native SquaredDistances loop (bit-identical to
+    // the oracle's left-associative chains — see the expression's
+    // contract). Unrolled literal chains here used to blow Janino's
+    // method limit (whole stage dropped to interpreted mode) AND sent
+    // the join optimizer's constraint propagation into a multi-minute
+    // walk, which forced persist() workarounds; the compact expression
+    // removes both.
+    def argminCell(arr: Column): Column =
+      (array_position(arr, array_min(arr)) - 1).cast("int")
 
-    // corpus side: nearest cell via least() + first-match CASE (lowest
-    // index on ties) — stays in whole-stage codegen; one map-only pass.
-    val cbase = corpus
+    // corpus side: nearest cell (first index on ties, matching the
+    // oracle's first-match CASE) — one map-only codegen pass.
+    val assigned = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .select(col("neighbor_id") +: col("cv") +:
-        (0 until nLists).map(ki => dist(ki, col("cv")).as(s"d_$ki")): _*)
-    val dmin = least((0 until nLists).map(ki => col(s"d_$ki")): _*)
-    val cellOf = (1 until nLists).foldLeft(when(col("d_0") === dmin, lit(0))) {
-      (acc, ki) => acc.when(col(s"d_$ki") === dmin, lit(ki))
-    }
-    // PERSIST both probe artifacts (the semDedup recipe): the literal-
-    // centroid distance chains are ~nLists×dim expression nodes, and left
-    // inline they send the join optimizer's constraint propagation into a
-    // multi-minute walk over the tree. The cache boundary cuts the plan —
-    // and it is exactly the artifact shape of production IVF: assignment
-    // and probe tables are computed once, checkpointed, reused per query
-    // batch.
-    val assigned = cbase
-      .select(col("neighbor_id"), col("cv"), cellOf.as("cell")).persist()
+      .withColumn("cell",
+        argminCell(SquaredDistances(col("cv"), cents)))
 
     // query side: nProbe nearest cells via tie-safe struct sort (queries
     // are few; the sorted array never leaves the projection). Broadcast:
     // the probed query set is tiny next to the corpus postings.
-    val qbase = queries
+    val probeStructs = transform(sequence(lit(0), lit(nLists - 1)), ki =>
+      struct(element_at(col("gd"), ki + 1).as("d"), ki.as("cell")))
+    val probed = broadcast(queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val scored = (0 until nLists).map(ki =>
-      struct(dist(ki, col("qv")).as("d"), lit(ki).as("cell")))
-    val probed = broadcast(qbase.withColumn("cell",
-      explode(slice(array_sort(array(scored: _*)), 1, nProbe).getField("cell")))
-      .persist())
+      .withColumn("gd", SquaredDistances(col("qv"), cents))
+      .withColumn("cell",
+        explode(slice(array_sort(probeStructs), 1, nProbe).getField("cell")))
+      .drop("gd"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -298,36 +289,97 @@ object Similarity {
     require(dim % m == 0, "dim must divide into m subspaces")
     val sub = dim / m
     val cents = pqCentroids(m, k, sub)
-    // cast SINGLE elements, never element_at over an asDouble(transform)
-    // alias: a transform lambda re-evaluates per reference (the measured
-    // O(d²) emb_quantize trap — here it would be ×(m·k·sub) per row).
-    def at(i: Int): Column = element_at(col(vecCol), i).cast("double")
-    // fixed-order sum of squared diffs — ((t0+t1)+t2)... matches the SQL
-    // oracle's left-associative chain bit for bit.
-    def dist(mi: Int, ki: Int): Column =
-      (0 until sub).map { j =>
-        val x = at(mi * sub + j + 1) - lit(cents(mi)(ki)(j))
-        x * x
-      }.reduce(_ + _)
-    // argmin via least() + a first-match CASE chain (== lowest index on
-    // ties, the same tie-break as a struct sort) — array_sort over
-    // structs is an interpreted higher-order function and would fall out
-    // of whole-stage codegen. Distances hoist into their own projection
-    // so the CASE comparisons and least() share one evaluation.
-    df.select(col(idCol) +: (for (mi <- 0 until m; ki <- 0 until k)
-        yield dist(mi, ki).as(s"d_${mi}_$ki")): _*)
-      .select(col(idCol) +: (0 until m).flatMap { mi =>
-        val dmin = least((0 until k).map(ki => col(s"d_${mi}_$ki")): _*)
-        val code = (1 until k).foldLeft(
-          when(col(s"d_${mi}_0") === dmin, lit(0))) { (acc, ki) =>
-          acc.when(col(s"d_${mi}_$ki") === dmin, lit(ki))
-        }
-        Seq(code.as(s"c$mi"), dmin.as(s"dm$mi"))
-      }: _*)
+    // per-subspace distance arrays via the native SquaredDistances loop
+    // (bit-identical to the oracle's left-associative chains — see the
+    // expression's contract); argmin = first index of the array min, the
+    // same lowest-index tie-break as the oracle's struct sort. Distance
+    // arrays hoist into their own projection so the argmin and the
+    // reconstruction error share one evaluation.
+    df.select(col(idCol) +: (0 until m).map(mi =>
+        SquaredDistances(slice(col(vecCol), mi * sub + 1, sub), cents(mi))
+          .as(s"sd$mi")): _*)
       .select(col(idCol),
-        concat_ws(",", (0 until m).map(mi => col(s"c$mi")): _*).as("codes"),
-        round((0 until m).map(mi => col(s"dm$mi")).reduce(_ + _), 4)
-          .as("recon_err"))
+        concat_ws(",", (0 until m).map(mi =>
+          (array_position(col(s"sd$mi"), array_min(col(s"sd$mi"))) - 1)
+            .cast("int")): _*).as("codes"),
+        round((0 until m).map(mi => array_min(col(s"sd$mi")))
+          .reduce(_ + _), 4).as("recon_err"))
+  }
+
+  /** IVF-PQ ANN search — the production index shape at 100 TB (Jégou,
+    * Douze & Schmid, TPAMI 2011: "Product Quantization for Nearest
+    * Neighbor Search"): a coarse quantizer ([[ivfCentroids]]) prunes the
+    * corpus to `nProbe` inverted lists per query, and scoring inside the
+    * probed lists reads ONLY the m-byte PQ codes via an asymmetric
+    * distance computation (ADC) — the query builds an m×k lookup table of
+    * sub-distances once, and every candidate's approximate distance is m
+    * table lookups, never a d-dimensional scan of the raw vector.
+    *
+    * Scale shape: the corpus side materializes (id, cell, codes) — the
+    * IVF-PQ index artifact, dim×4 bytes → m bytes per vector, computed in
+    * one map-only codegen pass and persisted/bucketed by cell in
+    * production. The query side is tiny and broadcast: nProbe cell probes
+    * plus m ADC arrays of k doubles. The join touches only probed cells;
+    * candidate volume is bounded by cell occupancy. Everything is a
+    * fixed-order expression over plan literals — no UDFs, hash-
+    * reproducible in any engine (this variant encodes the raw vector,
+    * not the cell residual; residual encoding changes only the encode/ADC
+    * inputs, not the plumbing).
+    *
+    * Returns (query_id, neighbor_id, adist = rounded ADC distance, rank):
+    * top-k per query by (adist asc, neighbor_id asc). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, pqK: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "dim must divide into m subspaces")
+    val sub = dim / m
+    val coarse = ivfCentroids(nLists, dim)
+    val cents = pqCentroids(m, pqK, sub)
+    // all quantizer math goes through the native SquaredDistances kernel
+    // (a codegen LOOP over the referenced centroid matrix): one array of
+    // nLists coarse distances, and per subspace one array of pqK sub-
+    // distances — which on the query side IS the ADC lookup table.
+    // Unrolled literal chains here blow Janino's method limit and drop
+    // the scan to interpreted mode (measured 10 s vs 0.9 s at sf0.1).
+    def argmin(arr: Column): Column =
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+
+    // corpus → (neighbor_id, cell, c0..c{m-1}): the index artifact —
+    // ONE map-only codegen pass, no shuffle; in production it persists
+    // bucketed by cell, exactly like the dedup signature table.
+    val assigned = corpus
+      .withColumn("gd", SquaredDistances(col(vecCol), coarse))
+      .select(col(idCol).as("neighbor_id") +: argmin(col("gd")).as("cell") +:
+        (0 until m).map(mi =>
+          argmin(SquaredDistances(slice(col(vecCol), mi * sub + 1, sub),
+            cents(mi))).as(s"c$mi")): _*)
+
+    // query → nProbe probed cells (tie-safe struct sort over the coarse
+    // distance array) + the m ADC lookup arrays; tiny and broadcast.
+    val qbase = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("gd", SquaredDistances(col("qv"), coarse))
+    val probeStructs = transform(sequence(lit(0), lit(nLists - 1)), ki =>
+      struct(element_at(col("gd"), ki + 1).as("d"), ki.as("cell")))
+    val probed = broadcast(qbase
+      .select(col("query_id") +: col("gd") +:
+        (0 until m).map(mi =>
+          SquaredDistances(slice(col("qv"), mi * sub + 1, sub), cents(mi))
+            .as(s"adc_$mi")): _*)
+      .withColumn("cell",
+        explode(slice(array_sort(probeStructs), 1, nProbe).getField("cell")))
+      .drop("gd"))
+
+    val adist = (0 until m).map(mi =>
+      element_at(col(s"adc_$mi"), col(s"c$mi") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    assigned.join(probed, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adist, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
   }
 
   /** Full-dim coarse centroid c(ki)(j) in [-1, 1]: md5-derived plan
@@ -360,22 +412,15 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                threshold: Double, k: Int = 8, dim: Int = 64): DataFrame = {
     val cents = semCentroids(k, dim)
-    // fixed-order sum of squared diffs — left-associative chain matches
-    // the SQL oracle bit for bit (the pqCodes discipline).
-    def dist(ki: Int): Column =
-      (0 until dim).map { j =>
-        val x = element_at(col("v"), j + 1) - lit(cents(ki)(j))
-        x * x
-      }.reduce(_ + _)
+    // distance kernel: the native SquaredDistances loop — bit-identical
+    // to the oracle's left-associative chains (see the expression's
+    // contract), constant generated-code size, stays in codegen.
     val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .select(col("id") +: col("v") +:
-        (0 until k).map(ki => dist(ki).as(s"d_$ki")): _*)
-    // argmin via least() + first-match CASE (lowest index on ties) — stays
-    // in whole-stage codegen, unlike a struct array_sort.
-    val dmin = least((0 until k).map(ki => col(s"d_$ki")): _*)
-    val cell = (1 until k).foldLeft(when(col("d_0") === dmin, lit(0))) {
-      (acc, ki) => acc.when(col(s"d_$ki") === dmin, lit(ki))
-    }
+      .withColumn("gd", SquaredDistances(col("v"), cents))
+    // argmin: first index of the array min (lowest index on ties, the
+    // oracle's first-match CASE semantics).
+    val dmin = array_min(col("gd"))
+    val cell = (array_position(col("gd"), dmin) - 1).cast("int")
     // The assignment table is persisted: it feeds both the pair stage and
     // the final labeling join, and re-deriving it would run the k×dim
     // distance chains twice. It is tiny — (id, cell, dist) plus the vector

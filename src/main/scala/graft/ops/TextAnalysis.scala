@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -89,6 +90,102 @@ object TextAnalysis {
   def repetitionScore(text: Column): Column =
     lit(1.0) - size(array_distinct(tokens(text))).cast("double") /
       size(tokens(text)).cast("double")
+
+  /** Gopher-style WITHIN-doc repetition signals (Rae et al. 2021 §A1.1):
+    * per doc, the fraction of n-gram slots occupied by the single most
+    * frequent n-gram (n = 2, 3) and the fraction of token positions
+    * covered by n-grams that repeat within the doc (w = dupW) —
+    * overlapping occurrences count each position once. The standard
+    * filter thresholds these to drop templated/boilerplate docs.
+    *
+    * Shape at 100 TB: one explode per n plus hash-aggregations whose keys
+    * all start with the doc id, so every shuffle is doc-local and AQE can
+    * coalesce; no joins except the final per-doc assembly (co-partitioned
+    * on the id). The duplicated-coverage branch uses a window count over
+    * (doc, shingle) instead of a self-join — one shuffle, no skew beyond
+    * a single doc's n-grams. */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
+                       dupW: Int = 5): DataFrame = {
+    val id = col(idCol)
+    def topFrac(n: Int, out: String): DataFrame =
+      Dedup.shingles(docs.select(id, col(textCol)), idCol, textCol, w = n)
+        .groupBy(id, col("shingle")).agg(count(lit(1)).as("c"))
+        .groupBy(id).agg(
+          (max(col("c")).cast("double") / sum(col("c"))).as(out))
+    // duplicated w-gram coverage: positions of shingles whose within-doc
+    // count ≥ 2, expanded to the token positions they cover, distinct.
+    val toks = split(col(textCol), " ")
+    val idxs = when(size(toks) >= dupW, sequence(lit(0), size(toks) - dupW))
+      .otherwise(array().cast("array<int>"))
+    val posShingle = docs.select(id, size(toks).cast("long").as("n_tokens"),
+      explode(transform(idxs, i =>
+        struct(i.as("pos"), concat_ws(" ", slice(toks, i + 1, lit(dupW)))
+          .as("shingle")))).as("ps"))
+      .select(id, col("n_tokens"), col("ps.pos").as("pos"),
+        col("ps.shingle").as("shingle"))
+    val winCount = Window.partitionBy(id, col("shingle"))
+    val covered = posShingle
+      .withColumn("c", count(lit(1)).over(winCount))
+      .where(col("c") >= 2)
+      .select(id, col("n_tokens"),
+        explode(sequence(col("pos"), col("pos") + (dupW - 1))).as("p"))
+      .groupBy(id, col("n_tokens"))
+      .agg(count_distinct(col("p")).as("n_dup_pos"))
+      .select(id, (col("n_dup_pos").cast("double") /
+        col("n_tokens").cast("double")).as("dup_ngram_frac"))
+    val base = docs.select(id)
+    base
+      .join(topFrac(2, "top_bigram_frac"), Seq(idCol), "left")
+      .join(topFrac(3, "top_trigram_frac"), Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .select(id,
+        round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac"),
+        round(coalesce(col("top_trigram_frac"), lit(0.0)), 6).as("top_trigram_frac"),
+        round(coalesce(col("dup_ngram_frac"), lit(0.0)), 6).as("dup_ngram_frac"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    * md5 each k-token shingle, slide a w-shingle window, and select the
+    * window's minimal hash — rightmost occurrence on ties, the paper's
+    * density guarantee. Distinct (position, hash) selections per doc are
+    * the doc's fingerprint set; any doc pair sharing a fingerprint shares
+    * a verbatim k-gram, so the settled-corpus fingerprint table is the
+    * contamination/near-dup candidate index at substring granularity.
+    *
+    * Engine-portable tie-break without arg-min: the window minimum is
+    * taken over the STRING `hash ++ '|' ++ zeroPadded(maxPos − pos)` —
+    * lexicographic min = (min hash, then max pos). Both Spark and any
+    * SQL oracle compute the identical selection; no min_by tie ambiguity.
+    * One sort-within-doc window pass (doc-local shuffle), then a
+    * distinct — no joins, no UDFs. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 4, w: Int = 4): DataFrame = {
+    val id = col(idCol)
+    val toks = split(col(textCol), " ")
+    val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+      .otherwise(array().cast("array<int>"))
+    val hashed = docs.select(id,
+      explode(transform(idxs, i =>
+        struct(i.as("pos"), md5(to_binary(
+          concat_ws(" ", slice(toks, i + 1, lit(k))), lit("utf-8"))).as("h"))))
+        .as("ph"))
+      .select(id, col("ph.pos").as("pos"),
+        concat(col("ph.h"), lit("|"),
+          lpad((lit(9999999) - col("ph.pos")).cast("string"), 7, "0"))
+          .as("sortkey"))
+    val frame = Window.partitionBy(id).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val nShingles = Window.partitionBy(id)
+    hashed
+      .withColumn("sel", min(col("sortkey")).over(frame))
+      .withColumn("n_sh", count(lit(1)).over(nShingles))
+      // only full-width windows select (window start ≤ n_shingles − w)
+      .where(col("pos") <= col("n_sh") - w)
+      .select(id,
+        (lit(9999999) - substring(col("sel"), 34, 7).cast("int")).as("sel_pos"),
+        substring(col("sel"), 1, 32).as("fp"))
+      .distinct()
+  }
 
   /** Corpus-level bigram language-model score per doc: mean ln p(bigram)
     * under the corpus unigram-of-bigrams model — the classic cheap

@@ -87,6 +87,19 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
     },
 
+    // Gopher-style WITHIN-doc repetition (top-bigram/trigram fraction,
+    // duplicated-5gram position coverage) — the boilerplate filter family.
+    "text_gopher" -> { (s, dir) =>
+      TextAnalysis.gopherRepetition(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // winnowing fingerprints (SIGMOD 2003): per-window minimal k-gram
+    // hashes, rightmost on ties — substring-granular contamination index.
+    "text_winnow" -> { (s, dir) =>
+      TextAnalysis.winnow(Tables.documents(s, dir), "doc_id", "text",
+        k = 4, w = 4)
+    },
+
     // fastText-style hashed-logistic quality classifier — one scan-shaped
     // projection (hash, weight lookup, ordered fold all inside codegen).
     "text_classify" -> { (s, dir) =>
@@ -115,6 +128,35 @@ object TrainingQueries extends QueryPack {
     // domain-mixing weights toward a non-uniform target distribution.
     "mix_weights" -> { (s, dir) =>
       CorpusOps.mixWeights(Tables.documents(s, dir), "source", MixTargets)
+    },
+
+    // temperature-scaled mixture weights (multilingual-LM sampling, α<1
+    // upweights small domains): w(src) ∝ tokens(src)^α, normalized.
+    "mix_temperature" -> { (s, dir) =>
+      val alpha = 0.3
+      val perSrc = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("w_raw", pow(col("n_tokens").cast("double"), alpha))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      perSrc
+        .withColumn("weight", round(col("w_raw") / sum(col("w_raw")).over(w), 6))
+        .select(col("source"), col("n_tokens"), col("weight"))
+    },
+
+    // NEXT-fit packing — the hash-checkable packing variant (prefix fold
+    // per shard, replayed row-for-row by the oracle's recursive CTE);
+    // first-fit pack_bins keeps its law spec.
+    "pack_bins_nf" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .as[CorpusOps.PackedDoc]
+      CorpusOps.packNextFit(toks, binTokens = 256, numShards = 8).toDF()
+        .select(col("bin_key"), col("bin_idx"),
+          concat_ws(",", col("ids")).as("ids"), col("total_tokens"))
     },
 
     // ---- dedup ---------------------------------------------------------
@@ -256,6 +298,16 @@ object TrainingQueries extends QueryPack {
     "sim_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopKFrozen(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+    },
+
+    // IVF-PQ with asymmetric-distance scoring (Jégou et al. 2011): the
+    // probed lists are scored from the m-byte PQ codes alone via the
+    // query's ADC lookup table — the full production ANN index shape,
+    // hash-checked (frozen coarse + sub-centroid literals on both sides).
+    "sim_ann_ivfpq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
     },
 
@@ -426,6 +478,54 @@ object TrainingQueries extends QueryPack {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+    // within-doc repetition: same n-gram enumeration (list-comprehension
+    // slices), window count for the dup-coverage branch, distinct covered
+    // positions; left joins + coalesce mirror the short-doc guards.
+    "text_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[CAST(i AS INT):CAST(i+1 AS INT)], ' ')
+        |      FOR i IN range(1, CAST(len(toks) AS BIGINT))]) AS g FROM t)
+        |  GROUP BY doc_id, g),
+        |bf AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS f2 FROM b GROUP BY doc_id),
+        |tr AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ')
+        |      FOR i IN range(1, CAST(len(toks) AS BIGINT) - 1)]) AS g FROM t)
+        |  GROUP BY doc_id, g),
+        |tf3 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS f3 FROM tr GROUP BY doc_id),
+        |ps AS (SELECT doc_id, n, i, array_to_string(toks[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS g
+        |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, toks,
+        |          unnest(range(1, CAST(len(toks) AS BIGINT) - 3)) AS i FROM t)),
+        |d1 AS (SELECT doc_id, n, i, count(*) OVER (PARTITION BY doc_id, g) AS c FROM ps),
+        |d2 AS (SELECT doc_id, n, unnest(range(i, i + 5)) AS p FROM d1 WHERE c >= 2),
+        |dup AS (SELECT doc_id, max(n) AS n, count(DISTINCT p) AS ndup FROM d2 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(coalesce(bf.f2, 0), 6) AS top_bigram_frac,
+        |  round(coalesce(tf3.f3, 0), 6) AS top_trigram_frac,
+        |  round(coalesce(CAST(dup.ndup AS DOUBLE) / dup.n, 0), 6) AS dup_ngram_frac
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN bf USING (doc_id) LEFT JOIN tf3 USING (doc_id)
+        |LEFT JOIN dup USING (doc_id)""".stripMargin,
+    // winnowing: identical md5-per-shingle hashes; the rightmost-min
+    // tie-break rides inside the string min (hash || '|' || reversed
+    // zero-padded position), so no min_by ambiguity in either engine.
+    "text_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i+3 AS INT)], ' ')) AS h
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, CAST(len(toks) AS BIGINT) - 2)) AS i FROM t)),
+        |sk AS (SELECT doc_id, pos,
+        |    h || '|' || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS sortkey FROM sh),
+        |w AS (SELECT doc_id, pos,
+        |    min(sortkey) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_sh
+        |  FROM sk)
+        |SELECT DISTINCT doc_id,
+        |  9999999 - CAST(substring(sel, 34, 7) AS INT) AS sel_pos,
+        |  substring(sel, 1, 32) AS fp
+        |FROM w WHERE pos <= n_sh - 4""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
@@ -573,6 +673,34 @@ object TrainingQueries extends QueryPack {
          |  coalesce(t.share, 0.0) * (SELECT total FROM tot) / c.n AS weight
          |FROM c LEFT JOIN t USING (source)""".stripMargin
     },
+    "mix_temperature" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_tokens,
+        |  round(pow(CAST(n_tokens AS DOUBLE), 0.3) /
+        |    sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) OVER (), 6) AS weight
+        |FROM s""".stripMargin,
+    // next-fit packing replayed row-for-row: the recursive CTE walks each
+    // shard's id-ordered docs carrying (bin_idx, load) — the exact prefix
+    // fold CorpusOps.packNextFit performs inside one task per shard.
+    "pack_bins_nf" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id AS id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |step AS (
+        |  SELECT shard, rn, id, n, 0 AS bin_idx, n AS load FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.id, d.n,
+        |    CASE WHEN s.load + d.n <= 256 THEN s.bin_idx ELSE s.bin_idx + 1 END,
+        |    CASE WHEN s.load + d.n <= 256 THEN s.load + d.n ELSE d.n END
+        |  FROM step s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1)
+        |SELECT CAST(shard AS BIGINT) AS bin_key, bin_idx,
+        |  string_agg(id, ',' ORDER BY id) AS ids,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM step GROUP BY shard, bin_idx""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
@@ -799,6 +927,75 @@ object TrainingQueries extends QueryPack {
          |  FROM a JOIN q ON a.cell = q.cell
          |  WHERE q.query_id <> a.neighbor_id)
          |WHERE rank <= $k""".stripMargin
+    },
+    "sim_ann_ivfpq" -> {
+      // IVF-PQ ADC replayed literal-for-literal: coarse cells and PQ
+      // codes via the first-match CASE argmin over hoisted least()
+      // minima, query probes via the tie-safe struct sort, and the ADC
+      // lookup as 1-based list indexing into per-subspace distance
+      // arrays. Every distance is the same left-associative chain the
+      // Spark plan embeds, so ranks (ordered by the ROUNDED adist, then
+      // neighbor id) hash-match.
+      val (nLists, nProbe, k, dim, m, pqK) = (16, 4, 5, 64, 8, 16)
+      val sub = dim / m
+      val coarse = graft.ops.Similarity.ivfCentroids(nLists, dim)
+      val cents = graft.ops.Similarity.pqCentroids(m, pqK, sub)
+      def cDistSql(ki: Int): String =
+        (0 until dim).map { j =>
+          val c = coarse(ki)(j)
+          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
+            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
+        }.mkString("(", " + ", ")")
+      def sDistSql(mi: Int, ki: Int): String =
+        (0 until sub).map { j =>
+          val c = cents(mi)(ki)(j)
+          s"((CAST(embedding[${mi * sub + j + 1}] AS DOUBLE) - ($c)) * " +
+            s"(CAST(embedding[${mi * sub + j + 1}] AS DOUBLE) - ($c)))"
+        }.mkString("(", " + ", ")")
+      val gCols = (0 until nLists).map(ki => s"${cDistSql(ki)} AS g_$ki")
+        .mkString(",\n        |  ")
+      val sCols = (for (mi <- 0 until m; ki <- 0 until pqK)
+        yield s"${sDistSql(mi, ki)} AS d_${mi}_$ki").mkString(",\n        |  ")
+      val leastG = (0 until nLists).map(ki => s"g_$ki")
+        .mkString("least(", ", ", ")")
+      val dmCols = (0 until m).map { mi =>
+        (0 until pqK).map(ki => s"d_${mi}_$ki")
+          .mkString("least(", ", ", ")") + s" AS dm_$mi"
+      }.mkString(", ")
+      val cellCase = (0 until nLists).map(ki => s"WHEN g_$ki = gmin THEN $ki")
+        .mkString("CASE ", " ", "END")
+      val codeCols = (0 until m).map { mi =>
+        (0 until pqK).map(ki => s"WHEN d_${mi}_$ki = dm_$mi THEN $ki")
+          .mkString("CASE ", " ", "END") + s" AS c$mi"
+      }.mkString(",\n        |  ")
+      val probeStructs = (0 until nLists).map(ki =>
+        s"{'d': g_$ki, 'cell': $ki}").mkString("[", ", ", "]")
+      val adcCols = (0 until m).map { mi =>
+        (0 until pqK).map(ki => s"d_${mi}_$ki")
+          .mkString("[", ", ", "]") + s" AS adc_$mi"
+      }.mkString(",\n        |    ")
+      val adcSum = (0 until m).map(mi => s"q.adc_$mi[a.c$mi + 1]")
+        .mkString(" + ")
+      s"""WITH dall AS (SELECT vec_id, embedding,
+        |  $gCols,
+        |  $sCols
+        |  FROM embeddings),
+        |a AS (SELECT vec_id AS neighbor_id, $cellCase AS cell,
+        |  $codeCols
+        |  FROM (SELECT *, $leastG AS gmin, $dmCols FROM dall)),
+        |q AS (SELECT vec_id AS query_id,
+        |    $adcCols,
+        |    unnest([s.cell FOR s IN list_sort($probeStructs)[1:$nProbe]]) AS cell
+        |  FROM dall WHERE vec_id < 10)
+        |SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+        |  FROM (SELECT q.query_id, a.neighbor_id,
+        |          round($adcSum, 6) AS adist
+        |        FROM a JOIN q ON a.cell = q.cell
+        |        WHERE q.query_id <> a.neighbor_id))
+        |WHERE rank <= $k""".stripMargin
     },
     "emb_pq" -> {
       // literal sub-centroids from the SAME generator the Spark plan

@@ -66,6 +66,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bb.length === 1 && bb.head.ids === Seq(1L))
   }
 
+  test("packNextFit: capacity/completeness laws + sequential-fold equivalence") {
+    val docs = (1L to 200L).map(i => CorpusOps.PackedDoc(i, 10 + i % 90)).toDS()
+    val bins = CorpusOps.packNextFit(docs, binTokens = 256, numShards = 4).collect()
+    bins.foreach { b =>
+      assert(b.total_tokens <= 256 || b.ids.length == 1, s"bin over capacity: $b")
+      assert(b.ids.nonEmpty)
+    }
+    assert(bins.flatMap(_.ids).sorted.toSeq === (1L to 200L))
+    // next-fit is a pure prefix fold: replay it per shard and compare the
+    // exact (bin_idx → ids) assignment, not just aggregate laws.
+    val byShard = (1L to 200L).groupBy(i => math.floorMod(i, 4L))
+    byShard.foreach { case (shard, ids) =>
+      var idx = 0; var load = 0L
+      val expect = scala.collection.mutable.Map.empty[Int, List[Long]]
+      ids.sorted.foreach { i =>
+        val n = 10 + i % 90
+        if (expect.contains(idx) && load + n > 256) { idx += 1; load = 0L }
+        load += n; expect(idx) = i :: expect.getOrElse(idx, Nil)
+      }
+      val got = bins.filter(_.bin_key == shard)
+        .map(b => b.bin_idx -> b.ids.toList).toMap
+      assert(got === expect.map { case (k, v) => k -> v.reverse.sorted }.toMap,
+        s"shard $shard assignment diverged")
+    }
+  }
   test("packGreedy properties: random sizes — capacity, completeness, determinism") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val docsGen = Gen.listOfN(80, Gen.choose(1L, 300L))

@@ -114,16 +114,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"as-of via window, not join:\n$p")
   }
 
-  test("frozen IVF probes join broadcast over cached artifacts — corpus never re-shuffles") {
-    val p = plan("sim_ann_ivf")
-    // the tiny probed query set broadcasts onto the corpus postings
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
-    // both probe artifacts read from the cache boundary (the persisted
-    // assignment/probe tables — the production checkpoint shape)
-    assert(p.contains("InMemoryTableScan"), p)
-    // the only exchange is the top-k window's partition by query_id
-    assert(countOf(p, "Exchange hashpartitioning") <= 1, p)
+  test("frozen IVF probes join broadcast — corpus never re-shuffles") {
+    // since the native SquaredDistances kernel replaced the unrolled
+    // literal chains, no persist workaround is needed: the corpus side is
+    // scan → project → broadcast-join, one straight codegen pipeline.
+    for (q <- Seq("sim_ann_ivf", "sim_ann_ivfpq")) {
+      val p = plan(q)
+      // the tiny probed query set broadcasts onto the corpus postings
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q corpus must not sort-merge:\n$p")
+      // the only exchange is the top-k window's partition by query_id
+      assert(countOf(p, "Exchange hashpartitioning") <= 1, s"$q:\n$p")
+    }
   }
 
   test("semdedup pair stage joins the persisted assignment, corpus scans once per side") {
