@@ -93,6 +93,29 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.gopherRepetition(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // the composed curation pass: every scan-shaped quality signal
+    // (language ID, token stats, stopword ratio, repetition, learned
+    // classifier) plus the keep verdict in ONE zero-shuffle projection —
+    // at 100 TB this is the single read that decides a doc's fate, so it
+    // must pipeline with the scan, not fan out into per-signal jobs.
+    "curate_filter" -> { (s, dir) =>
+      val t = col("text")
+      val nTok = TextAnalysis.tokenCount(t)
+      val rep = TextAnalysis.repetitionScore(t)
+      val z = TextAnalysis.classifierLogit(t)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(t).as("lang_guess"),
+        nTok.as("n_tokens"),
+        ((length(t) - (nTok - 1)).cast("double") / nTok.cast("double"))
+          .as("mean_token_len"),
+        (TextAnalysis.stopwordHits(t, TextAnalysis.stopwords("en")).cast("double")
+          / nTok.cast("double")).as("stopword_ratio"),
+        rep.as("rep"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("clf_score"),
+        (nTok >= 30 && rep < 0.6 && z > 0).as("keep"))
+    },
+
     // winnowing fingerprints (SIGMOD 2003): per-window minimal k-gram
     // hashes, rightmost on ties — substring-granular contamination index.
     "text_winnow" -> { (s, dir) =>
@@ -506,6 +529,37 @@ object TrainingQueries extends QueryPack {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN bf USING (doc_id) LEFT JOIN tf3 USING (doc_id)
         |LEFT JOIN dup USING (doc_id)""".stripMargin,
+    // composed curation pass: each signal reuses its standalone oracle's
+    // formulation verbatim (langid list_max, quality ratios, distinct-
+    // token repetition, classifier fold), so agreement here certifies the
+    // COMPOSITION, not new math.
+    "curate_filter" -> {
+      val entries = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
+        s"{'hits': CAST(${hitsSql(words)} AS BIGINT), 'lang': '$lang'}"
+      }
+      val wl = TextAnalysis.clfWeights.mkString("[", ",", "]") + "::DOUBLE[]"
+      s"""SELECT doc_id,
+         |  (list_max([${entries.mkString(", ")}])).lang AS lang_guess,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS mean_token_len,
+         |  CAST(${hitsSql(stop("en"))} AS DOUBLE)
+         |    / len(string_split(text,' ')) AS stopword_ratio,
+         |  1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS rep,
+         |  round(1.0/(1.0 + exp(-z)), 4) AS clf_score,
+         |  len(string_split(text,' ')) >= 30
+         |    AND (1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |           / len(string_split(text,' '))) < 0.6
+         |    AND z > 0 AS keep
+         |FROM (SELECT doc_id, text, ${TextAnalysis.ClfBias} + list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      [wl[CAST(CAST(('0x'||substr(md5(t),1,8)) AS BIGINT)
+         |            % ${TextAnalysis.ClfDim} AS INT) + 1]
+         |       FOR t IN string_split(text,' ')]),
+         |    (a, x) -> a + x) / CAST(len(string_split(text,' ')) AS DOUBLE) AS z
+         |  FROM documents, (SELECT $wl AS wl))""".stripMargin
+    },
     // winnowing: identical md5-per-shingle hashes; the rightmost-min
     // tie-break rides inside the string min (hash || '|' || reversed
     // zero-padded position), so no min_by ambiguity in either engine.
