@@ -382,6 +382,93 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
   }
 
+  /** ANN quality certification: recall@k of an approximate result
+    * against the brute-force ground truth — the metric every ANN
+    * deployment tracks (probe/band geometry is tuned against it).
+    * Inputs are (query_id, neighbor_id, …, rank ≤ k) frames; output is
+    * one row per query: hits and recall = |approx ∩ exact| / k.
+    *
+    * Scale shape: both sides are already top-k-bounded (k·|queries|
+    * rows), so the semi join and count are tiny regardless of corpus
+    * size; ground truth over a SAMPLE of queries is how recall is
+    * measured at 100 TB (brute force over the sample, approx over all). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 4)
+          .as("recall"))
+  }
+
+  /** RESIDUAL-encoded IVF-PQ — the exact FAISS `IndexIVFPQ` semantics:
+    * PQ encodes `v − centroid[cell]` rather than the raw vector, so the
+    * sub-quantizers only carry within-cell variation (substantially
+    * better recall at the same code budget), and the query's ADC tables
+    * are built per PROBED CELL from `q − centroid[cell]`.
+    *
+    * Same scale shape as [[ivfPqTopK]]: the index build is one map-only
+    * codegen pass (coarse distances via the native [[SquaredDistances]]
+    * kernel; the residual is a zip_with over the broadcast-literal
+    * centroid row for the assigned cell), the query side is nProbe rows
+    * per query each carrying its cell's ADC arrays, and the join moves
+    * only probed cells. Every value is reproducible from the frozen
+    * literals — hash-checked end to end. */
+  def ivfPqTopKResidual(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nLists: Int = 16,
+                        nProbe: Int = 4, m: Int = 8, pqK: Int = 16,
+                        dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "dim must divide into m subspaces")
+    val sub = dim / m
+    val coarse = ivfCentroids(nLists, dim)
+    val cents = pqCentroids(m, pqK, sub)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    def argmin(arr: Column): Column =
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(coarseLit, cell + 1), (x, c) => x - c)
+
+    // corpus → (neighbor_id, cell, residual PQ codes): one map pass.
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", argmin(SquaredDistances(col("cv"), coarse)))
+      .withColumn("rv", residual(col("cv"), col("cell")))
+      .select(col("neighbor_id") +: col("cell") +:
+        (0 until m).map(mi =>
+          argmin(SquaredDistances(slice(col("rv"), mi * sub + 1, sub),
+            cents(mi))).as(s"c$mi")): _*)
+
+    // query → nProbe (query, cell) rows; the residual (and so the ADC
+    // arrays) is PER CELL, computed after the probe explode.
+    val probeStructs = transform(sequence(lit(0), lit(nLists - 1)), ki =>
+      struct(element_at(col("gd"), ki + 1).as("d"), ki.as("cell")))
+    val probed = broadcast(queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("gd", SquaredDistances(col("qv"), coarse))
+      .withColumn("cell",
+        explode(slice(array_sort(probeStructs), 1, nProbe).getField("cell")))
+      .withColumn("rq", residual(col("qv"), col("cell")))
+      .select(col("query_id") +: col("cell") +:
+        (0 until m).map(mi =>
+          SquaredDistances(slice(col("rq"), mi * sub + 1, sub), cents(mi))
+            .as(s"adc_$mi")): _*))
+
+    val adist = (0 until m).map(mi =>
+      element_at(col(s"adc_$mi"), col(s"c$mi") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    assigned.join(probed, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adist, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+  }
+
   /** Full-dim coarse centroid c(ki)(j) in [-1, 1]: md5-derived plan
     * literals (the srpPlanes/pqCentroids recipe) — deterministic and
     * engine-portable. Production trains these with k-means on a corpus

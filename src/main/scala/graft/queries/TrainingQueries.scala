@@ -334,6 +334,26 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
     },
 
+    // RESIDUAL-encoded IVF-PQ (FAISS IndexIVFPQ semantics): PQ codes
+    // carry v − centroid[cell]; ADC tables build per probed cell.
+    "sim_ann_ivfpq_res" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKResidual(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+    },
+
+    // ANN recall@5 of the frozen-IVF probe against brute-force ground
+    // truth — the quality dial every ANN geometry is tuned against.
+    "sim_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.ivfTopKFrozen(emb, q, "vec_id", "embedding", k = 5,
+          nLists = 16, nProbe = 4),
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+        k = 5)
+    },
+
     // product-quantization codes (m=8 subspaces, k=16 centroids each):
     // the IVF-PQ storage format — 64 floats -> 8 code bytes + loss.
     "emb_pq" -> { (s, dir) =>
@@ -414,6 +434,62 @@ object TrainingQueries extends QueryPack {
 
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), w -> list_contains([${words.map(w => s"'$w'").mkString(",")}], w)))"
+
+  /** Brute-force cosine top-k ground truth — shared by sim_topk and the
+    * sim_recall certification (which CTEs it against the IVF probe). */
+  private lazy val simTopkSql: String =
+    """SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |               c.vec_id ASC) AS rank
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |WHERE rank <= 5""".stripMargin
+
+  /** Frozen-IVF probe — shared by sim_ann_ivf and sim_recall.
+    * Literal IVF centers from the SAME generator the Spark plan embeds;
+    * distances are left-associative squared-diff chains (the emb_pq
+    * discipline). Corpus cells use the first-match CASE argmin (lowest
+    * index on ties); query probes take the nProbe nearest cells via the
+    * same tie-safe struct sort as emb_pq (DuckDB struct comparison is
+    * field-order lexicographic, matching Spark's array_sort). */
+  private lazy val simAnnIvfSql: String = {
+    val (nLists, nProbe, k, dim) = (16, 4, 5, 64)
+    val cents = graft.ops.Similarity.ivfCentroids(nLists, dim)
+    def distSql(ki: Int): String =
+      (0 until dim).map { j =>
+        val c = cents(ki)(j)
+        s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
+          s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
+      }.mkString("(", " + ", ")")
+    val dCols = (0 until nLists).map(ki => s"${distSql(ki)} AS d_$ki")
+      .mkString(",\n      |  ")
+    val leastAll = (0 until nLists).map(ki => s"d_$ki")
+      .mkString("least(", ", ", ")")
+    val cellCase = (0 until nLists).map(ki => s"WHEN d_$ki = dist THEN $ki")
+      .mkString("CASE ", " ", "END")
+    val structs = (0 until nLists).map(ki => s"{'d': d_$ki, 'cell': $ki}")
+      .mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT vec_id, embedding,
+       |  $dCols
+       |  FROM embeddings),
+       |a AS (SELECT vec_id AS neighbor_id, embedding AS cv, $cellCase AS cell
+       |  FROM (SELECT *, $leastAll AS dist FROM d)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv,
+       |    unnest([s.cell FOR s IN list_sort($structs)[1:$nProbe]]) AS cell
+       |  FROM d WHERE vec_id < 10)
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT q.query_id, a.neighbor_id,
+       |    list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) AS sim,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) DESC,
+       |               a.neighbor_id ASC) AS rank
+       |  FROM a JOIN q ON a.cell = q.cell
+       |  WHERE q.query_id <> a.neighbor_id)
+       |WHERE rank <= $k""".stripMargin
+  }
 
   /** Shared minhash-LSH CTE prefix (identical affine family as
     * Dedup.minhash — constants injected from the same arrays). */
@@ -941,47 +1017,20 @@ object TrainingQueries extends QueryPack {
          |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
          |WHERE rank <= 5""".stripMargin
     },
-    "sim_ann_ivf" -> {
-      // literal IVF centers from the SAME generator the Spark plan embeds;
-      // distances are left-associative squared-diff chains (the emb_pq
-      // discipline). Corpus cells use the first-match CASE argmin (lowest
-      // index on ties); query probes take the nProbe nearest cells via the
-      // same tie-safe struct sort as emb_pq (DuckDB struct comparison is
-      // field-order lexicographic, matching Spark's array_sort).
-      val (nLists, nProbe, k, dim) = (16, 4, 5, 64)
-      val cents = graft.ops.Similarity.ivfCentroids(nLists, dim)
-      def distSql(ki: Int): String =
-        (0 until dim).map { j =>
-          val c = cents(ki)(j)
-          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
-            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
-        }.mkString("(", " + ", ")")
-      val dCols = (0 until nLists).map(ki => s"${distSql(ki)} AS d_$ki")
-        .mkString(",\n        |  ")
-      val leastAll = (0 until nLists).map(ki => s"d_$ki")
-        .mkString("least(", ", ", ")")
-      val cellCase = (0 until nLists).map(ki => s"WHEN d_$ki = dist THEN $ki")
-        .mkString("CASE ", " ", "END")
-      val structs = (0 until nLists).map(ki => s"{'d': d_$ki, 'cell': $ki}")
-        .mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT vec_id, embedding,
-         |  $dCols
-         |  FROM embeddings),
-         |a AS (SELECT vec_id AS neighbor_id, embedding AS cv, $cellCase AS cell
-         |  FROM (SELECT *, $leastAll AS dist FROM d)),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv,
-         |    unnest([s.cell FOR s IN list_sort($structs)[1:$nProbe]]) AS cell
-         |  FROM d WHERE vec_id < 10)
-         |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
-         |  SELECT q.query_id, a.neighbor_id,
-         |    list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) AS sim,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) DESC,
-         |               a.neighbor_id ASC) AS rank
-         |  FROM a JOIN q ON a.cell = q.cell
-         |  WHERE q.query_id <> a.neighbor_id)
-         |WHERE rank <= $k""".stripMargin
-    },
+    "sim_ann_ivf" -> simAnnIvfSql,
+    // recall@5: hits per query between the IVF probe and the brute-force
+    // CTEs above; queries the probe misses entirely still report 0.
+    "sim_recall" ->
+      s"""WITH ex AS ($simTopkSql),
+         |ap AS ($simAnnIvfSql),
+         |h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM ex JOIN ap ON ex.query_id = ap.query_id
+         |    AND ex.neighbor_id = ap.neighbor_id
+         |  GROUP BY ex.query_id)
+         |SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5, 4) AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) q
+         |LEFT JOIN h USING (query_id)""".stripMargin,
     "sim_ann_ivfpq" -> {
       // IVF-PQ ADC replayed literal-for-literal: coarse cells and PQ
       // codes via the first-match CASE argmin over hoisted least()
@@ -1051,6 +1100,85 @@ object TrainingQueries extends QueryPack {
         |        WHERE q.query_id <> a.neighbor_id))
         |WHERE rank <= $k""".stripMargin
     },
+    "sim_ann_ivfpq_res" -> {
+      // residual IVF-PQ replay: same coarse cells/probes as sim_ann_ivfpq,
+      // but PQ distances run over rv = embedding − coarse[cell] (built as
+      // a list comprehension against the 2-D centroid literal, matching
+      // Spark's zip_with elementwise subtraction bit for bit).
+      val (nLists, nProbe, k, dim, m, pqK) = (16, 4, 5, 64, 8, 16)
+      val sub = dim / m
+      val coarse = graft.ops.Similarity.ivfCentroids(nLists, dim)
+      val cents = graft.ops.Similarity.pqCentroids(m, pqK, sub)
+      def cDistSql(ki: Int): String =
+        (0 until dim).map { j =>
+          val c = coarse(ki)(j)
+          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
+            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
+        }.mkString("(", " + ", ")")
+      def rDistSql(mi: Int, ki: Int): String =
+        (0 until sub).map { j =>
+          val c = cents(mi)(ki)(j); val idx = mi * sub + j + 1
+          s"((rv[$idx] - ($c)) * (rv[$idx] - ($c)))"
+        }.mkString("(", " + ", ")")
+      val gCols = (0 until nLists).map(ki => s"${cDistSql(ki)} AS g_$ki")
+        .mkString(",\n        |  ")
+      val leastG = (0 until nLists).map(ki => s"g_$ki")
+        .mkString("least(", ", ", ")")
+      val cellCase = (0 until nLists).map(ki => s"WHEN g_$ki = gmin THEN $ki")
+        .mkString("CASE ", " ", "END")
+      val probeStructs = (0 until nLists).map(ki =>
+        s"{'d': g_$ki, 'cell': $ki}").mkString("[", ", ", "]")
+      val cmLit = coarse.map(_.mkString("[", ",", "]"))
+        .mkString("[", ", ", "]") + "::DOUBLE[][]"
+      val rvSql = s"[CAST(embedding[CAST(j AS INT)] AS DOUBLE) - " +
+        s"cm[cell + 1][CAST(j AS INT)] FOR j IN range(1, ${dim + 1})]"
+      val rCols = (for (mi <- 0 until m; ki <- 0 until pqK)
+        yield s"${rDistSql(mi, ki)} AS d_${mi}_$ki").mkString(",\n        |  ")
+      val dmCols = (0 until m).map { mi =>
+        (0 until pqK).map(ki => s"d_${mi}_$ki")
+          .mkString("least(", ", ", ")") + s" AS dm_$mi"
+      }.mkString(", ")
+      val codeCols = (0 until m).map { mi =>
+        (0 until pqK).map(ki => s"WHEN d_${mi}_$ki = dm_$mi THEN $ki")
+          .mkString("CASE ", " ", "END") + s" AS c$mi"
+      }.mkString(",\n        |  ")
+      val adcCols = (0 until m).map { mi =>
+        (0 until pqK).map(ki => rDistSql(mi, ki))
+          .mkString("[", ", ", "]") + s" AS adc_$mi"
+      }.mkString(",\n        |    ")
+      val adcSum = (0 until m).map(mi => s"q.adc_$mi[a.c$mi + 1]")
+        .mkString(" + ")
+      s"""WITH dall AS (SELECT vec_id, embedding,
+        |  $gCols
+        |  FROM embeddings),
+        |cellsq AS (SELECT vec_id, embedding, $cellCase AS cell
+        |  FROM (SELECT *, $leastG AS gmin FROM dall)),
+        |rres AS (SELECT vec_id, cell, $rvSql AS rv
+        |  FROM cellsq, (SELECT $cmLit AS cm)),
+        |rd AS (SELECT vec_id, cell,
+        |  $rCols
+        |  FROM rres),
+        |a AS (SELECT vec_id AS neighbor_id, cell,
+        |  $codeCols
+        |  FROM (SELECT *, $dmCols FROM rd)),
+        |q0 AS (SELECT vec_id AS query_id, embedding,
+        |    unnest([s.cell FOR s IN list_sort($probeStructs)[1:$nProbe]]) AS cell
+        |  FROM dall WHERE vec_id < 10),
+        |qr AS (SELECT query_id, cell, $rvSql AS rv
+        |  FROM q0, (SELECT $cmLit AS cm)),
+        |q AS (SELECT query_id, cell,
+        |    $adcCols
+        |  FROM qr)
+        |SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+        |  FROM (SELECT q.query_id, a.neighbor_id,
+        |          round($adcSum, 6) AS adist
+        |        FROM a JOIN q ON a.cell = q.cell
+        |        WHERE q.query_id <> a.neighbor_id))
+        |WHERE rank <= $k""".stripMargin
+    },
     "emb_pq" -> {
       // literal sub-centroids from the SAME generator the Spark plan
       // embeds; distances are left-associative squared-diff chains, so
@@ -1079,16 +1207,7 @@ object TrainingQueries extends QueryPack {
         |  round($err, 4) AS recon_err
         |FROM best""".stripMargin
     },
-    "sim_topk" ->
-      """SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |               c.vec_id ASC) AS rank
-        |  FROM embeddings q, embeddings c
-        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |WHERE rank <= 5""".stripMargin,
+    "sim_topk" -> simTopkSql,
     "emb_neardup_lsh" -> {
       val planes = graft.ops.Similarity.srpPlanes(nBits = 6, dim = 64)
       def planeLit(b: Int) = planes(b).mkString("[", ",", "]") + "::DOUBLE[]"
