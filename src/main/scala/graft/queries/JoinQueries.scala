@@ -18,6 +18,52 @@ object JoinQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
+    // orders ⋈ lineitem, revenue per urgent order, top 10. The optimizer
+    // showcase — customer filters THEN broadcasts onto orders, lineitem's
+    // date filter pushes to the scan, and the top-10 never global-sorts
+    // (TakeOrderedAndProject). Revenue stays DECIMAL until the final
+    // cast (order-independent sums).
+    "q3_shipping" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") < lit("1998-06-15").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > lit("1998-06-15").cast("timestamp"))
+      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape (local supplier volume): 6-table join where the
+    // customer and the supplier must share the nation — revenue per
+    // nation inside one region-year slice. nation/region broadcast; the
+    // local-supplier predicate rides the join condition, not a
+    // post-filter.
+    "q5_region" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+
     // shuffle (sort-merge/hash) fact-fact equi-join + aggregation.
     // Revenue products stay DECIMAL end to end: a decimal×DOUBLE product
     // demotes the sum to floats, whose value depends on accumulation
@@ -191,6 +237,27 @@ object JoinQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_region" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
     "join_inner" ->
       """SELECT o_orderkey, count(*) AS n_lines,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue

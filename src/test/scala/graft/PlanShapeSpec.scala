@@ -41,6 +41,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("TPC-H Q3/Q5 shapes: filtered dims broadcast, dates push down, no global sort") {
+    val p3 = plan("q3_shipping")
+    assert(p3.contains("TakeOrderedAndProject"), p3)  // top-10, never a full sort
+    assert(p3.contains("BroadcastHashJoin"), p3)      // filtered customer side
+    assert(p3.contains("PushedFilters"), p3)
+    assert(p3.contains("1998-06-15"), s"date filter must reach a scan:\n$p3")
+    val p5 = plan("q5_region")
+    assert(countOf(p5, "BroadcastHashJoin") >= 3, p5) // supplier, nation, region
+    assert(!p5.contains("CartesianProduct"), p5)
+  }
+
   test("projection+filter reach the parquet scan (pushdown + pruning)") {
     val p = plan("m1_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)

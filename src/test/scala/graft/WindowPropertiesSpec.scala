@@ -167,6 +167,46 @@ class WindowPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("winnowing guarantee: every w-window selects ≥1 fingerprint; matches a model (property)") {
+    // the SIGMOD 2003 density/coverage contract: for every window of w
+    // consecutive k-gram positions, at least one selected fingerprint
+    // falls inside it — this is what makes winnowed fingerprint tables a
+    // SOUND substring-match index (no k-gram run of length w can escape).
+    // Checked against an independent rightmost-min model.
+    val (k, w) = (3, 4)
+    val docGen = Gen.listOfN(8,
+      Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val p = Prop.forAll(docGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sel = graft.ops.TextAnalysis.winnow(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      // model: md5 per k-gram, rightmost minimal hash per window
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val model = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split(" ")
+        val hs = (0 to toks.length - k)
+          .map(p0 => p0 -> md5hex(toks.slice(p0, p0 + k).mkString(" ")))
+        (0 to hs.length - w).map { s0 =>
+          val win = hs.slice(s0, s0 + w)
+          val mn = win.map(_._2).min
+          win.filter(_._2 == mn).last // rightmost on ties
+        }.distinct.map { case (p0, h) => (i.toLong, p0, h) }
+      }.toSet
+      val selSet = sel.toSet
+      val coverage = texts.zipWithIndex.forall { case (t, i) =>
+        val nSh = t.split(" ").length - k + 1
+        (0 to nSh - w).forall { s0 =>
+          sel.exists { case (d, p0, _) => d == i && p0 >= s0 && p0 < s0 + w }
+        }
+      }
+      selSet == model && coverage
+    }
+    check(p)
+  }
+
   test("exact dedup: n_copies sums to corpus size and keep_id is a member") {
     check(Prop.forAll(Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "a  b c "))) { texts =>
       {
