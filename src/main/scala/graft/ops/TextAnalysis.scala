@@ -144,48 +144,68 @@ object TextAnalysis {
         round(coalesce(col("dup_ngram_frac"), lit(0.0)), 6).as("dup_ngram_frac"))
   }
 
-  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
-    * md5 each k-token shingle, slide a w-shingle window, and select the
-    * window's minimal hash — rightmost occurrence on ties, the paper's
-    * density guarantee. Distinct (position, hash) selections per doc are
-    * the doc's fingerprint set; any doc pair sharing a fingerprint shares
-    * a verbatim k-gram, so the settled-corpus fingerprint table is the
-    * contamination/near-dup candidate index at substring granularity.
+  /** Winnowing fingerprint set (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003) as a PURE EXPRESSION: md5 each k-token shingle, slide a
+    * w-shingle window, select each window's minimal hash — rightmost
+    * occurrence on ties, the paper's density guarantee — and distinct
+    * the selections. Returns array<struct<sel_pos:int, fp:string>>.
     *
     * Engine-portable tie-break without arg-min: the window minimum is
     * taken over the STRING `hash ++ '|' ++ zeroPadded(maxPos − pos)` —
-    * lexicographic min = (min hash, then max pos). Both Spark and any
-    * SQL oracle compute the identical selection; no min_by tie ambiguity.
-    * One sort-within-doc window pass (doc-local shuffle), then a
-    * distinct — no joins, no UDFs. */
-  def winnow(docs: DataFrame, idCol: String, textCol: String,
-             k: Int = 4, w: Int = 4): DataFrame = {
-    val id = col(idCol)
-    val toks = split(col(textCol), " ")
+    * lexicographic min = (min hash, then max pos); no min_by ambiguity.
+    *
+    * Because winnowing is strictly per document, the whole selection is
+    * row-local — a scan-pipelined projection, NOT a doc-local window
+    * sort (which is how [[winnow]] was first built: an explode + sort
+    * shuffle that this formulation deletes). Row-local also makes it
+    * directly usable on a STREAM (see the decontamination test): winnow
+    * each arriving doc, then stream-static join the fingerprints. */
+  /** Per-shingle winnowing sortkeys: md5 of each k-token shingle with
+    * the reversed zero-padded position appended. MUST be hoisted into
+    * its own projection before [[winnowSelections]] — referenced inside
+    * that function's per-window lambda, an inline alias would re-inline
+    * the md5-per-shingle work once PER WINDOW (measured 50× slower, the
+    * emb_quantize lesson). */
+  def winnowKeys(text: Column, k: Int = 4): Column = {
+    val toks = split(text, " ")
     val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
       .otherwise(array().cast("array<int>"))
-    val hashed = docs.select(id,
-      explode(transform(idxs, i =>
-        struct(i.as("pos"), md5(to_binary(
-          concat_ws(" ", slice(toks, i + 1, lit(k))), lit("utf-8"))).as("h"))))
-        .as("ph"))
-      .select(id, col("ph.pos").as("pos"),
-        concat(col("ph.h"), lit("|"),
-          lpad((lit(9999999) - col("ph.pos")).cast("string"), 7, "0"))
-          .as("sortkey"))
-    val frame = Window.partitionBy(id).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val nShingles = Window.partitionBy(id)
-    hashed
-      .withColumn("sel", min(col("sortkey")).over(frame))
-      .withColumn("n_sh", count(lit(1)).over(nShingles))
-      // only full-width windows select (window start ≤ n_shingles − w)
-      .where(col("pos") <= col("n_sh") - w)
-      .select(id,
-        (lit(9999999) - substring(col("sel"), 34, 7).cast("int")).as("sel_pos"),
-        substring(col("sel"), 1, 32).as("fp"))
-      .distinct()
+    transform(idxs, i =>
+      concat(md5(to_binary(concat_ws(" ", slice(toks, i + 1, lit(k))),
+          lit("utf-8"))),
+        lit("|"), lpad((lit(9999999) - i).cast("string"), 7, "0")))
   }
+
+  /** Distinct winnowing selections from a (hoisted) sortkey COLUMN:
+    * each full-width window's minimal sortkey — lexicographic min =
+    * (min hash, then rightmost position), the SIGMOD 2003 tie-break —
+    * decoded to array<struct<sel_pos:int, fp:string>>. Row-local, so it
+    * runs identically over a batch scan or a stream projection. */
+  def winnowSelections(keys: Column, w: Int = 4): Column = {
+    val starts = when(size(keys) >= w, sequence(lit(0), size(keys) - w))
+      .otherwise(array().cast("array<int>"))
+    val sels = transform(starts, s => array_min(slice(keys, s + 1, lit(w))))
+    array_distinct(transform(sels, sk => struct(
+      (lit(9999999) - substring(sk, 34, 7).cast("int")).as("sel_pos"),
+      substring(sk, 1, 32).as("fp"))))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+    * as (id, sel_pos, fp) rows — the fingerprint table. Zero shuffle:
+    * scan → project(keys) → project(selections) → explode
+    * (plan-guarded; winnowing is strictly per document, so no doc-local
+    * window sort is needed). The settled-corpus table is the
+    * contamination/near-dup candidate index at substring granularity
+    * (any doc pair sharing a fingerprint shares a verbatim k-gram), and
+    * the same two projections winnow a STREAM of arriving docs (see the
+    * streaming decontamination test). */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 4, w: Int = 4): DataFrame =
+    docs.select(col(idCol), winnowKeys(col(textCol), k).as("wkeys"))
+      .select(col(idCol),
+        explode(winnowSelections(col("wkeys"), w)).as("sel"))
+      .select(col(idCol), col("sel.sel_pos").as("sel_pos"),
+        col("sel.fp").as("fp"))
 
   /** Corpus-level bigram language-model score per doc: mean ln p(bigram)
     * under the corpus unigram-of-bigrams model — the classic cheap

@@ -83,4 +83,50 @@ class TrainingStreamSpec extends SparkSpec {
         "each surviving chunk hash emitted once")
     } finally q.stop()
   }
+
+  test("streaming decontamination: arriving docs winnow row-locally and " +
+      "semi-join the settled fingerprint table") {
+    implicit val ctx = spark.sqlContext
+    // settled corpus (e.g. an eval benchmark) → static fingerprint table;
+    // the stream flags any arriving doc sharing a verbatim k-gram run.
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different benchmark text with its own unique phrases"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(bench, "doc_id", "text", k = 4, w = 4)
+      .select(col("fp")).distinct()
+
+    val in = MemoryStream[DocEv]
+    // same two hoisted projections as the batch op — stateless, so they
+    // pipeline with the stream source; the join is stream-static.
+    val winnowed = in.toDF()
+      .withWatermark("ts", "10 seconds")
+      .select(col("doc_id"), col("ts"),
+        TextAnalysis.winnowKeys(col("text"), k = 4).as("wkeys"))
+      .select(col("doc_id"), col("ts"),
+        explode(TextAnalysis.winnowSelections(col("wkeys"), w = 4)).as("sel"))
+      .select(col("doc_id"), col("ts"), col("sel.fp").as("fp"))
+    val contaminated = winnowed
+      .join(fps, Seq("fp"), "left_semi")
+      // one flag per doc, state bounded by the watermark (a doc's
+      // fingerprints all carry its event time)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select("doc_id")
+
+    val q = contaminated.writeStream.format("memory")
+      .queryName("contam_out").outputMode("append").start()
+    try {
+      in.addData(
+        // doc 1 quotes a 7-token run of bench doc 100 → must flag
+        DocEv(1L, "intro words then the quick brown fox jumps over the lazy tail",
+          ts("2024-01-01 00:00:01")),
+        // doc 2 shares nothing 4-gram-long → must pass
+        DocEv(2L, "totally novel writing nothing shared with any benchmark corpus",
+          ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      val flagged = spark.table("contam_out").as[Long].collect().toSet
+      assert(flagged === Set(1L),
+        s"quoting doc flagged, novel doc clean (got $flagged)")
+    } finally q.stop()
+  }
 }
