@@ -107,41 +107,64 @@ object TextAnalysis {
   def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
                        dupW: Int = 5): DataFrame = {
     val id = col(idCol)
-    def topFrac(n: Int, out: String): DataFrame =
-      Dedup.shingles(docs.select(id, col(textCol)), idCol, textCol, w = n)
-        .groupBy(id, col("shingle")).agg(count(lit(1)).as("c"))
-        .groupBy(id).agg(
-          (max(col("c")).cast("double") / sum(col("c"))).as(out))
-    // duplicated w-gram coverage: positions of shingles whose within-doc
-    // count ≥ 2, expanded to the token positions they cover, distinct.
-    val toks = split(col(textCol), " ")
-    val idxs = when(size(toks) >= dupW, sequence(lit(0), size(toks) - dupW))
+    // Every Gopher signal is strictly WITHIN-doc, so the whole op is
+    // row-local — a projection chain, zero shuffles (first built as
+    // three explode+aggregate passes; this shape deletes all three
+    // exchanges, the same insight as [[winnow]]). The token array and
+    // the sorted n-gram arrays hoist into their own projections so
+    // later lambdas reference cheap attributes, never re-inline work.
+    def sortedGrams(w: Int): Column = {
+      val idxs = when(size(col("toks")) >= w,
+          sequence(lit(0), size(col("toks")) - w))
+        .otherwise(array().cast("array<int>"))
+      array_sort(transform(idxs, i =>
+        concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))
+    }
+    // most-frequent n-gram fraction = longest equal run in the sorted
+    // gram array (one ordered fold) / total grams.
+    def topRunFrac(arr: Column): Column = {
+      val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+      val best = aggregate(arr, zero, (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      }, acc => acc.getField("best"))
+      when(size(arr) > 0, best.cast("double") / size(arr).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    // duplicated-gram coverage: in the sorted (gram, pos) array an
+    // occurrence is duplicated iff it equals a sorted neighbor; covered
+    // token positions = distinct union of [p, p+w) over those.
+    val idxs5 = when(size(col("toks")) >= dupW,
+        sequence(lit(0), size(col("toks")) - dupW))
       .otherwise(array().cast("array<int>"))
-    val posShingle = docs.select(id, size(toks).cast("long").as("n_tokens"),
-      explode(transform(idxs, i =>
-        struct(i.as("pos"), concat_ws(" ", slice(toks, i + 1, lit(dupW)))
-          .as("shingle")))).as("ps"))
-      .select(id, col("n_tokens"), col("ps.pos").as("pos"),
-        col("ps.shingle").as("shingle"))
-    val winCount = Window.partitionBy(id, col("shingle"))
-    val covered = posShingle
-      .withColumn("c", count(lit(1)).over(winCount))
-      .where(col("c") >= 2)
-      .select(id, col("n_tokens"),
-        explode(sequence(col("pos"), col("pos") + (dupW - 1))).as("p"))
-      .groupBy(id, col("n_tokens"))
-      .agg(count_distinct(col("p")).as("n_dup_pos"))
-      .select(id, (col("n_dup_pos").cast("double") /
-        col("n_tokens").cast("double")).as("dup_ngram_frac"))
-    val base = docs.select(id)
-    base
-      .join(topFrac(2, "top_bigram_frac"), Seq(idCol), "left")
-      .join(topFrac(3, "top_trigram_frac"), Seq(idCol), "left")
-      .join(covered, Seq(idCol), "left")
+    val sps = array_sort(transform(idxs5, i => struct(
+      concat_ws(" ", slice(col("toks"), i + 1, lit(dupW))).as("g"),
+      i.as("p"))))
+    val m = size(col("sps"))
+    def gAt(j: Column) = element_at(col("sps"), j).getField("g")
+    def pAt(j: Column) = element_at(col("sps"), j).getField("p")
+    // when-guards keep element_at strictly in bounds (no OOB evaluation)
+    val dupPos = filter(transform(
+      when(m >= 1, sequence(lit(1), m)).otherwise(array().cast("array<int>")),
+      j => {
+        val prevEq = when(j > 1, gAt(j) === gAt(j - 1)).otherwise(lit(false))
+        val nextEq = when(j < m, gAt(j) === gAt(j + 1)).otherwise(lit(false))
+        when(prevEq || nextEq, pAt(j))
+      }), x => x.isNotNull)
+    val covered = size(array_distinct(flatten(
+      transform(col("dp"), p => sequence(p, p + (dupW - 1))))))
+    docs
+      .select(id, split(col(textCol), " ").as("toks"))
+      .select(id, size(col("toks")).cast("long").as("n_tokens"),
+        sortedGrams(2).as("g2"), sortedGrams(3).as("g3"), sps.as("sps"))
+      .select(id, col("n_tokens"), col("g2"), col("g3"), dupPos.as("dp"))
       .select(id,
-        round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac"),
-        round(coalesce(col("top_trigram_frac"), lit(0.0)), 6).as("top_trigram_frac"),
-        round(coalesce(col("dup_ngram_frac"), lit(0.0)), 6).as("dup_ngram_frac"))
+        round(topRunFrac(col("g2")), 6).as("top_bigram_frac"),
+        round(topRunFrac(col("g3")), 6).as("top_trigram_frac"),
+        round(covered.cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_ngram_frac"))
   }
 
   /** Winnowing fingerprint set (Schleimer, Wilkerson & Aiken, SIGMOD
