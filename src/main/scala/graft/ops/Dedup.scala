@@ -448,6 +448,39 @@ object Dedup {
           col("n_tokens"), 4).as("dup_frac"))
   }
 
+  /** Substring-level dedup, the REMOVAL half (RefinedWeb-style exact
+    * substring cleanup): rebuild each doc's text with every token that
+    * any cross-document duplicated w-token span covers EXCISED — the
+    * transformation [[dupFraction]] only scores. Returns (id,
+    * clean_text, n_removed); docs sharing nothing pass through verbatim.
+    *
+    * Scale shape: identical span-universe pass as [[dupFraction]] (one
+    * explode, one window over the shingle key), then covered positions
+    * COLLECT per doc — the set is bounded by the doc's own token count,
+    * never corpus-sized — and one broadcastable join back onto the
+    * corpus; the excision itself is a row-local indexed filter. */
+  def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs.select(col(idCol), posexplode(shingleArray(col(textCol), w)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "shingle")
+    val win = Window.partitionBy(col("shingle"))
+    val covered = occ
+      .withColumn("mn", min(col(idCol)).over(win))
+      .withColumn("mx", max(col(idCol)).over(win))
+      .where(col("mn") =!= col("mx"))
+      .select(col(idCol), explode(sequence(col("p"), col("p") + lit(w - 1))).as("tokpos"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("tokpos")).as("cov"))
+    docs.join(covered, Seq(idCol), "left")
+      .select(col(idCol), split(col(textCol), " ").as("toks"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col(idCol),
+        concat_ws(" ", filter(col("toks"),
+          (_, i) => !array_contains(col("cov"), i))).as("clean_text"),
+        size(col("cov")).as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
     * Returns (a, b, jaccard) for jaccard >= threshold, a < b.
     *

@@ -83,6 +83,12 @@ object TrainingQueries extends QueryPack {
       Dedup.dupFraction(Tables.documents(s, dir), "doc_id", "text", w = 15)
     },
 
+    // the REMOVAL half: excise every token covered by a cross-doc
+    // duplicated span, rebuilding the cleaned text.
+    "dedup_span_removal" -> { (s, dir) =>
+      Dedup.removeSharedSpans(Tables.documents(s, dir), "doc_id", "text", w = 15)
+    },
+
     "vocab_top" -> { (s, dir) =>
       TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
     },
@@ -704,6 +710,24 @@ object TrainingQueries extends QueryPack {
         |  round(CAST(coalesce(cov.n_dup_tokens, 0) AS DOUBLE)
         |    / len(string_split(d.text,' ')), 4) AS dup_frac
         |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id""".stripMargin,
+    // removal half: same span universe as dedup_dupfrac; the cleaned
+    // text is an indexed comprehension skipping covered positions.
+    "dedup_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |occ AS (SELECT doc_id, i AS p, array_to_string(t[i+1:i+15],' ') AS shingle
+        |        FROM (SELECT doc_id, t,
+        |              unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks)),
+        |dup AS (SELECT shingle FROM occ GROUP BY shingle
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT doc_id, list(DISTINCT tokpos) AS cov
+        |        FROM (SELECT doc_id, unnest(range(p, p+15)) AS tokpos
+        |              FROM occ JOIN dup USING (shingle))
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(array_to_string([d.t[CAST(i+1 AS INT)] FOR i IN range(0, len(d.t))
+        |    IF NOT list_contains(coalesce(cov.cov, []), i)], ' '), '') AS clean_text,
+        |  CAST(coalesce(len(cov.cov), 0) AS INT) AS n_removed
+        |FROM toks d LEFT JOIN cov USING (doc_id)""".stripMargin,
     "dedup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT doc_id, array_to_string(t[i+1:i+15],' ') AS shingle

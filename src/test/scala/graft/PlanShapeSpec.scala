@@ -130,7 +130,7 @@ class PlanShapeSpec extends SparkSpec {
     // since the native SquaredDistances kernel replaced the unrolled
     // literal chains, no persist workaround is needed: the corpus side is
     // scan → project → broadcast-join, one straight codegen pipeline.
-    for (q <- Seq("sim_ann_ivf", "sim_ann_ivfpq")) {
+    for (q <- Seq("sim_ann_ivf", "sim_ann_ivfpq", "sim_ann_ivfpq_res")) {
       val p = plan(q)
       // the tiny probed query set broadcasts onto the corpus postings
       assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
