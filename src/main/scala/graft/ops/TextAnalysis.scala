@@ -396,6 +396,49 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
         (col("z") > 0).as("keep"))
 
+  /** Kneser-Ney smoothed bigram LM score per doc (Kneser & Ney 1995;
+    * the standard n-gram smoothing): absolute discounting of the bigram
+    * MLE plus a continuation-probability backoff — P(w2|w1) =
+    * max(c(w1w2)−d, 0)/c(w1·) + d·fanout(w1)/c(w1·) · cont(w2)/types.
+    * The continuation term scores how many CONTEXTS a word completes,
+    * not how often it occurs — the distinction that separates KN from
+    * the plain interpolation of [[interpolatedBigramLogProb]].
+    *
+    * Scale shape: all model tables derive from the distinct-bigram count
+    * table (vocab-sized, broadcast); the corpus-sized stream is the
+    * collapsed per-doc bigram multiset, shuffled once — identical to the
+    * other LM scorers, so the same persist-and-rescore incremental story
+    * applies. */
+  def knBigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    val bgc = Dedup.shingles(docs, idCol, textCol, w = 2)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("c"))
+    val bgCounts = bgc.groupBy(col("shingle")).agg(sum(col("c")).as("n_bg"))
+    val w1stats = bgCounts
+      .groupBy(substring_index(col("shingle"), " ", 1).as("w1"))
+      .agg(sum(col("n_bg")).as("n_w1"), count(lit(1)).as("fanout"))
+    val cont = bgCounts
+      .groupBy(substring_index(col("shingle"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n_cont"))
+    val types = bgCounts.agg(count(lit(1)).as("n_types"))
+    bgc
+      .join(bgCounts, "shingle")
+      .withColumn("w1", substring_index(col("shingle"), " ", 1))
+      .withColumn("w2", substring_index(col("shingle"), " ", -1))
+      .join(broadcast(w1stats), "w1")
+      .join(broadcast(cont), "w2")
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(col("c") * log(
+          greatest(col("n_bg").cast("double") - discount, lit(0.0)) /
+            col("n_w1").cast("double") +
+          lit(discount) * col("fanout").cast("double") /
+            col("n_w1").cast("double") * col("n_cont").cast("double") /
+            col("n_types").cast("double")))
+          / sum(col("c")), 4).as("kn_score"))
+  }
+
   /** DSIR-style importance weight (after Xie et al. 2023,
     * arXiv:2302.03169): per doc, the mean log-likelihood RATIO of its
     * bigrams under a TARGET-domain bigram model vs the general corpus

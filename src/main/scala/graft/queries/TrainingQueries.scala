@@ -59,6 +59,11 @@ object TrainingQueries extends QueryPack {
         "doc_id", "text")
     },
 
+    // Kneser-Ney smoothing: absolute discount + continuation backoff.
+    "text_lm_kn" -> { (s, dir) =>
+      TextAnalysis.knBigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // top-3 TF-IDF keywords per doc (rounded score ranks identically in
     // any engine; ties break on the word).
     "text_tfidf" -> { (s, dir) =>
@@ -611,6 +616,32 @@ object TrainingQueries extends QueryPack {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN bf USING (doc_id) LEFT JOIN tf3 USING (doc_id)
         |LEFT JOIN dup USING (doc_id)""".stripMargin,
+    // Kneser-Ney: model tables all derive from the distinct-bigram count
+    // CTE; the scoring expression mirrors the Spark operand order
+    // term for term (the sum order difference is absorbed by round 4).
+    "text_lm_kn" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(t[i+1:i+2],' ') AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-1,0))) AS i FROM toks)),
+        |perdoc AS (SELECT doc_id, shingle, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bgc AS (SELECT shingle, CAST(sum(c) AS BIGINT) AS n_bg FROM perdoc GROUP BY 1),
+        |w1s AS (SELECT split_part(shingle, ' ', 1) AS w1,
+        |          CAST(sum(n_bg) AS BIGINT) AS n_w1,
+        |          CAST(count(*) AS BIGINT) AS fanout FROM bgc GROUP BY 1),
+        |contc AS (SELECT split_part(shingle, ' ', -1) AS w2,
+        |          CAST(count(*) AS BIGINT) AS n_cont FROM bgc GROUP BY 1),
+        |typ AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bgc)
+        |SELECT doc_id,
+        |  round(sum(c * ln(
+        |    greatest(CAST(n_bg AS DOUBLE) - 0.75, 0.0) / CAST(n_w1 AS DOUBLE)
+        |    + 0.75 * CAST(fanout AS DOUBLE) / CAST(n_w1 AS DOUBLE)
+        |      * CAST(n_cont AS DOUBLE) / CAST(n_types AS DOUBLE)))
+        |    / sum(c), 4) AS kn_score
+        |FROM perdoc
+        |JOIN bgc USING (shingle)
+        |JOIN w1s ON w1s.w1 = split_part(shingle, ' ', 1)
+        |JOIN contc ON contc.w2 = split_part(shingle, ' ', -1), typ
+        |GROUP BY doc_id""".stripMargin,
     // composed curation pass: each signal reuses its standalone oracle's
     // formulation verbatim (langid list_max, quality ratios, distinct-
     // token repetition, classifier fold), so agreement here certifies the
