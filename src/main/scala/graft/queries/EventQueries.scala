@@ -14,6 +14,24 @@ object EventQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
 
+    // Markov next-event transition matrix: P(next_type | type) over each
+    // user's (ts, event_id)-ordered stream — the behavioral model behind
+    // next-action prediction and anomaly scoring. One shuffle on user_id
+    // for the lead(), then a tiny (|types|²) aggregate.
+    "ev_transitions" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n").cast("double") / sum(col("n")).over(wType), 4))
+    },
+
     // 3-step ordered funnel view -> click -> purchase: each step's
     // timestamp must follow the previous step's FIRST occurrence.
     // Output: one row per user who entered the funnel, with the number
@@ -104,6 +122,17 @@ object EventQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_transitions" ->
+      """WITH nxt AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |cnt AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY event_type), 4) AS p
+        |FROM cnt""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
