@@ -179,6 +179,28 @@ object TrainingQueries extends QueryPack {
         .select(col("source"), col("n_tokens"), col("weight"))
     },
 
+    // deterministic training ORDER: global rank by md5(doc_id) — the
+    // reproducible corpus shuffle every training run needs (stable under
+    // repartitioning and re-runs, unlike rand(seed)). A global total
+    // order IS a global sort, so this op legitimately pays ONE range
+    // exchange — but never a single-partition window (the row_number()-
+    // over-empty-window trap): positions come from zipWithIndex over the
+    // range-sorted partitions, the canonical Spark shape (range pid
+    // order == key order regardless of boundary sampling, so the result
+    // is deterministic).
+    "corpus_order" -> { (s, dir) =>
+      import s.implicits._
+      val sorted = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(to_binary(col("doc_id").cast("string"), lit("utf-8")))
+            .as("shuffle_key"))
+        .repartitionByRange(col("shuffle_key"), col("doc_id"))
+        .sortWithinPartitions("shuffle_key", "doc_id")
+      sorted.rdd.map(r => (r.getLong(0), r.getString(1)))
+        .zipWithIndex.map { case ((id, k), i) => (id, k, i + 1L) }
+        .toDF("doc_id", "shuffle_key", "position")
+    },
+
     // NEXT-fit packing — the hash-checkable packing variant (prefix fold
     // per shard, replayed row-for-row by the oracle's recursive CTE);
     // first-fit pack_bins keeps its law spec.
@@ -858,6 +880,11 @@ object TrainingQueries extends QueryPack {
          |  coalesce(t.share, 0.0) * (SELECT total FROM tot) / c.n AS weight
          |FROM c LEFT JOIN t USING (source)""".stripMargin
     },
+    "corpus_order" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |    doc_id) AS BIGINT) AS position
+        |FROM documents""".stripMargin,
     "mix_temperature" ->
       """WITH s AS (SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
