@@ -396,6 +396,31 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
         (col("z") > 0).as("keep"))
 
+  /** Persist the winnowed fingerprint table BUCKETED by fp — the
+    * settled-corpus contamination index as a reusable artifact, exactly
+    * like the minhash signature table ([[Dedup.writeSignatureTable]]):
+    * write once, and every future crawl batch joins co-located. */
+  def writeFingerprintTable(docs: DataFrame, idCol: String, textCol: String,
+                            table: String, buckets: Int,
+                            k: Int = 4, w: Int = 4): Unit =
+    Scale.writeBucketed(winnow(docs, idCol, textCol, k, w),
+      table, buckets, keyCols = Seq("fp"))
+
+  /** Contamination pairs for an incoming batch against a persisted
+    * [[writeFingerprintTable]] table: only the increment winnows and
+    * shuffles into the bucket layout; the settled fingerprints never
+    * move. Returns distinct (new_id, bench_id). The k/w parameters must
+    * match the table's write-time values or fingerprints cannot align. */
+  def contaminatedFromTable(spark: org.apache.spark.sql.SparkSession,
+                            table: String, incoming: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 4, w: Int = 4): DataFrame =
+    winnow(incoming, idCol, textCol, k, w)
+      .select(col(idCol).as("new_id"), col("fp"))
+      .join(spark.table(table).select(col(idCol).as("bench_id"), col("fp")),
+        Seq("fp"))
+      .select(col("new_id"), col("bench_id")).distinct()
+
   /** Kneser-Ney smoothed bigram LM score per doc (Kneser & Ney 1995;
     * the standard n-gram smoothing): absolute discounting of the bigram
     * MLE plus a continuation-probability backoff — P(w2|w1) =

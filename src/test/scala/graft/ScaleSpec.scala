@@ -92,6 +92,63 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("contamination against a bucketed fingerprint table: settled side never shuffles") {
+    import graft.ops.TextAnalysis
+    def rmdir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmdir)
+      f.delete(); ()
+    }
+    spark.sql("DROP TABLE IF EXISTS b_fps")
+    rmdir(new java.io.File("spark-warehouse/b_fps"))
+
+    // settled benchmark corpus; incoming docs quote 4-token runs of it
+    val bench = (1 to 30)
+      .map(i => (i.toLong, s"alpha$i beta$i gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeFingerprintTable(bench, "doc_id", "text", "b_fps",
+      buckets = 4)
+
+    // detection is guaranteed for shared runs >= k + w - 1 = 7 tokens,
+    // so the quoting doc embeds a full 8-token bench doc.
+    val incoming = Seq(
+      (1001L, "intro alpha5 beta5 gamma delta epsilon zeta eta theta outro"),
+      (1002L, "entirely novel content nothing shared with anything"))
+      .toDF("doc_id", "text")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fromTable = TextAnalysis.contaminatedFromTable(
+        spark, "b_fps", incoming, "doc_id", "text")
+      // semantics identical to recomputing both sides
+      val direct = TextAnalysis.winnow(incoming, "doc_id", "text")
+        .select(col("doc_id").as("new_id"), col("fp"))
+        .join(TextAnalysis.winnow(bench, "doc_id", "text")
+          .select(col("doc_id").as("bench_id"), col("fp")), Seq("fp"))
+        .select("new_id", "bench_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = fromTable.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === direct)
+      assert(got.nonEmpty && got.forall(_._1 == 1001L),
+        s"quoting doc flags, novel doc clean: $got")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count()
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      }
+      val bucketed = exchanges(TextAnalysis.contaminatedFromTable(
+        spark, "b_fps", incoming, "doc_id", "text"))
+      val recompute = exchanges(
+        TextAnalysis.winnow(incoming, "doc_id", "text")
+          .select(col("doc_id").as("new_id"), col("fp"))
+          .join(TextAnalysis.winnow(bench, "doc_id", "text")
+            .select(col("doc_id").as("bench_id"), col("fp")), Seq("fp"))
+          .select("new_id", "bench_id").distinct())
+      assert(bucketed === recompute - 1,
+        s"settled side must read co-located: bucketed=$bucketed recompute=$recompute")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join returns exactly the unsalted result") {
     // heavy skew: 90% of big rows share one key
     val big = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))
