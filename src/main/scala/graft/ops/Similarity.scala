@@ -38,6 +38,47 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** First index of the array minimum (lowest index on ties — the
+    * oracles' first-match CASE semantics), shared by every quantizer. */
+  private def argminIdx(arr: Column): Column =
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+
+  /** Probed (query_id, qv, cell) rows: each query's `nProbe` nearest
+    * coarse cells via the tie-safe struct sort over its
+    * [[SquaredDistances]] array — the shared probe idiom of the three
+    * frozen-quantizer searches. qv rides along (double-cast); callers
+    * drop or consume it. */
+  private def probeCells(queries: DataFrame, idCol: String,
+                         vecCol: String, coarse: Array[Array[Double]],
+                         nProbe: Int): DataFrame = {
+    val nLists = coarse.length
+    val probeStructs = transform(sequence(lit(0), lit(nLists - 1)), ki =>
+      struct(element_at(col("gd"), ki + 1).as("d"), ki.as("cell")))
+    queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("gd", SquaredDistances(col("qv"), coarse))
+      .withColumn("cell",
+        explode(slice(array_sort(probeStructs), 1, nProbe).getField("cell")))
+      .drop("gd")
+  }
+
+  /** Shared IVF-PQ tail: join the code table with the probed ADC rows on
+    * the cell, score candidates as the m-lookup ADC sum, and keep each
+    * query's top k by (rounded adist asc, neighbor asc). */
+  private def adcTopK(assigned: DataFrame, probed: DataFrame,
+                      m: Int, k: Int): DataFrame = {
+    val adist = (0 until m).map(mi =>
+      element_at(col(s"adc_$mi"), col(s"c$mi") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    assigned.join(probed, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adist, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+  }
+
   /** Exact top-k neighbors for each query vector (brute force).
     * Returns (query_id, neighbor_id, sim, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -208,27 +249,15 @@ object Similarity {
     // the join optimizer's constraint propagation into a multi-minute
     // walk, which forced persist() workarounds; the compact expression
     // removes both.
-    def argminCell(arr: Column): Column =
-      (array_position(arr, array_min(arr)) - 1).cast("int")
 
     // corpus side: nearest cell (first index on ties, matching the
     // oracle's first-match CASE) — one map-only codegen pass.
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cell",
-        argminCell(SquaredDistances(col("cv"), cents)))
+      .withColumn("cell", argminIdx(SquaredDistances(col("cv"), cents)))
 
-    // query side: nProbe nearest cells via tie-safe struct sort (queries
-    // are few; the sorted array never leaves the projection). Broadcast:
-    // the probed query set is tiny next to the corpus postings.
-    val probeStructs = transform(sequence(lit(0), lit(nLists - 1)), ki =>
-      struct(element_at(col("gd"), ki + 1).as("d"), ki.as("cell")))
-    val probed = broadcast(queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("gd", SquaredDistances(col("qv"), cents))
-      .withColumn("cell",
-        explode(slice(array_sort(probeStructs), 1, nProbe).getField("cell")))
-      .drop("gd"))
+    // probed query set: tiny next to the corpus postings → broadcast.
+    val probed = broadcast(probeCells(queries, idCol, vecCol, cents, nProbe))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -300,8 +329,7 @@ object Similarity {
           .as(s"sd$mi")): _*)
       .select(col(idCol),
         concat_ws(",", (0 until m).map(mi =>
-          (array_position(col(s"sd$mi"), array_min(col(s"sd$mi"))) - 1)
-            .cast("int")): _*).as("codes"),
+          argminIdx(col(s"sd$mi"))): _*).as("codes"),
         round((0 until m).map(mi => array_min(col(s"sd$mi")))
           .reduce(_ + _), 4).as("recon_err"))
   }
@@ -341,45 +369,27 @@ object Similarity {
     // distances — which on the query side IS the ADC lookup table.
     // Unrolled literal chains here blow Janino's method limit and drop
     // the scan to interpreted mode (measured 10 s vs 0.9 s at sf0.1).
-    def argmin(arr: Column): Column =
-      (array_position(arr, array_min(arr)) - 1).cast("int")
 
     // corpus → (neighbor_id, cell, c0..c{m-1}): the index artifact —
     // ONE map-only codegen pass, no shuffle; in production it persists
     // bucketed by cell, exactly like the dedup signature table.
     val assigned = corpus
       .withColumn("gd", SquaredDistances(col(vecCol), coarse))
-      .select(col(idCol).as("neighbor_id") +: argmin(col("gd")).as("cell") +:
+      .select(col(idCol).as("neighbor_id") +:
+        argminIdx(col("gd")).as("cell") +:
         (0 until m).map(mi =>
-          argmin(SquaredDistances(slice(col(vecCol), mi * sub + 1, sub),
+          argminIdx(SquaredDistances(slice(col(vecCol), mi * sub + 1, sub),
             cents(mi))).as(s"c$mi")): _*)
 
-    // query → nProbe probed cells (tie-safe struct sort over the coarse
-    // distance array) + the m ADC lookup arrays; tiny and broadcast.
-    val qbase = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("gd", SquaredDistances(col("qv"), coarse))
-    val probeStructs = transform(sequence(lit(0), lit(nLists - 1)), ki =>
-      struct(element_at(col("gd"), ki + 1).as("d"), ki.as("cell")))
-    val probed = broadcast(qbase
-      .select(col("query_id") +: col("gd") +:
+    // probed (query, cell) rows + the m ADC lookup arrays per row;
+    // tiny (|queries|·nProbe) and broadcast.
+    val probed = broadcast(probeCells(queries, idCol, vecCol, coarse, nProbe)
+      .select(col("query_id") +: col("cell") +:
         (0 until m).map(mi =>
           SquaredDistances(slice(col("qv"), mi * sub + 1, sub), cents(mi))
-            .as(s"adc_$mi")): _*)
-      .withColumn("cell",
-        explode(slice(array_sort(probeStructs), 1, nProbe).getField("cell")))
-      .drop("gd"))
+            .as(s"adc_$mi")): _*))
 
-    val adist = (0 until m).map(mi =>
-      element_at(col(s"adc_$mi"), col(s"c$mi") + 1)).reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    assigned.join(probed, "cell")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(adist, 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+    adcTopK(assigned, probed, m, k)
   }
 
   /** ANN quality certification: recall@k of an approximate result
@@ -427,46 +437,29 @@ object Similarity {
     val coarse = ivfCentroids(nLists, dim)
     val cents = pqCentroids(m, pqK, sub)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
-    def argmin(arr: Column): Column =
-      (array_position(arr, array_min(arr)) - 1).cast("int")
     def residual(v: Column, cell: Column): Column =
       zip_with(v, element_at(coarseLit, cell + 1), (x, c) => x - c)
 
     // corpus → (neighbor_id, cell, residual PQ codes): one map pass.
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cell", argmin(SquaredDistances(col("cv"), coarse)))
+      .withColumn("cell", argminIdx(SquaredDistances(col("cv"), coarse)))
       .withColumn("rv", residual(col("cv"), col("cell")))
       .select(col("neighbor_id") +: col("cell") +:
         (0 until m).map(mi =>
-          argmin(SquaredDistances(slice(col("rv"), mi * sub + 1, sub),
+          argminIdx(SquaredDistances(slice(col("rv"), mi * sub + 1, sub),
             cents(mi))).as(s"c$mi")): _*)
 
-    // query → nProbe (query, cell) rows; the residual (and so the ADC
-    // arrays) is PER CELL, computed after the probe explode.
-    val probeStructs = transform(sequence(lit(0), lit(nLists - 1)), ki =>
-      struct(element_at(col("gd"), ki + 1).as("d"), ki.as("cell")))
-    val probed = broadcast(queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("gd", SquaredDistances(col("qv"), coarse))
-      .withColumn("cell",
-        explode(slice(array_sort(probeStructs), 1, nProbe).getField("cell")))
+    // probed (query, cell) rows; the residual (and so the ADC arrays)
+    // is PER CELL, computed after the probe explode.
+    val probed = broadcast(probeCells(queries, idCol, vecCol, coarse, nProbe)
       .withColumn("rq", residual(col("qv"), col("cell")))
       .select(col("query_id") +: col("cell") +:
         (0 until m).map(mi =>
           SquaredDistances(slice(col("rq"), mi * sub + 1, sub), cents(mi))
             .as(s"adc_$mi")): _*))
 
-    val adist = (0 until m).map(mi =>
-      element_at(col(s"adc_$mi"), col(s"c$mi") + 1)).reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    assigned.join(probed, "cell")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(adist, 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+    adcTopK(assigned, probed, m, k)
   }
 
   /** Full-dim coarse centroid c(ki)(j) in [-1, 1]: md5-derived plan

@@ -98,12 +98,12 @@ object TextAnalysis {
     * overlapping occurrences count each position once. The standard
     * filter thresholds these to drop templated/boilerplate docs.
     *
-    * Shape at 100 TB: one explode per n plus hash-aggregations whose keys
-    * all start with the doc id, so every shuffle is doc-local and AQE can
-    * coalesce; no joins except the final per-doc assembly (co-partitioned
-    * on the id). The duplicated-coverage branch uses a window count over
-    * (doc, shingle) instead of a self-join — one shuffle, no skew beyond
-    * a single doc's n-grams. */
+    * Shape at 100 TB: every signal is strictly within-doc, so the whole
+    * op is ROW-LOCAL — a zero-shuffle projection chain that pipelines
+    * with the scan (plan-guarded): the top-n-gram fraction is a
+    * longest-equal-run fold over the sorted gram array, and duplicated
+    * coverage falls out of sorted-neighbor equality flags. No explodes,
+    * no aggregations, no joins. */
   def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
                        dupW: Int = 5): DataFrame = {
     val id = col(idCol)
@@ -183,14 +183,15 @@ object TextAnalysis {
     * shuffle that this formulation deletes). Row-local also makes it
     * directly usable on a STREAM (see the decontamination test): winnow
     * each arriving doc, then stream-static join the fingerprints. */
-  /** Per-shingle winnowing sortkeys: md5 of each k-token shingle with
-    * the reversed zero-padded position appended. MUST be hoisted into
-    * its own projection before [[winnowSelections]] — referenced inside
-    * that function's per-window lambda, an inline alias would re-inline
-    * the md5-per-shingle work once PER WINDOW (measured 50× slower, the
-    * emb_quantize lesson). */
-  def winnowKeys(text: Column, k: Int = 4): Column = {
-    val toks = split(text, " ")
+  /** Per-shingle winnowing sortkeys from a (hoisted) TOKEN-ARRAY column:
+    * md5 of each k-token shingle with the reversed zero-padded position
+    * appended. Takes tokens, not text, so callers hoist `split` into its
+    * own projection and the lambda's `slice` reads a cheap attribute —
+    * an inline `split(text)` here would re-tokenize the whole doc once
+    * PER SHINGLE (O(d²)), and the keys array itself must likewise be
+    * hoisted before [[winnowSelections]] or the per-window lambda
+    * re-inlines the md5 work (measured 50×, the emb_quantize lesson). */
+  def winnowKeys(toks: Column, k: Int = 4): Column = {
     val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
       .otherwise(array().cast("array<int>"))
     transform(idxs, i =>
@@ -224,7 +225,8 @@ object TextAnalysis {
     * streaming decontamination test). */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
              k: Int = 4, w: Int = 4): DataFrame =
-    docs.select(col(idCol), winnowKeys(col(textCol), k).as("wkeys"))
+    docs.select(col(idCol), split(col(textCol), " ").as("wtoks"))
+      .select(col(idCol), winnowKeys(col("wtoks"), k).as("wkeys"))
       .select(col(idCol),
         explode(winnowSelections(col("wkeys"), w)).as("sel"))
       .select(col(idCol), col("sel.sel_pos").as("sel_pos"),
@@ -403,22 +405,27 @@ object TextAnalysis {
   def writeFingerprintTable(docs: DataFrame, idCol: String, textCol: String,
                             table: String, buckets: Int,
                             k: Int = 4, w: Int = 4): Unit =
-    Scale.writeBucketed(winnow(docs, idCol, textCol, k, w),
+    Scale.writeBucketed(
+      // fixed schema (bench_id, sel_pos, fp): readers must not depend on
+      // the writer's id column name.
+      winnow(docs, idCol, textCol, k, w)
+        .select(col(idCol).as("bench_id"), col("sel_pos"), col("fp")),
       table, buckets, keyCols = Seq("fp"))
 
   /** Contamination pairs for an incoming batch against a persisted
     * [[writeFingerprintTable]] table: only the increment winnows and
     * shuffles into the bucket layout; the settled fingerprints never
     * move. Returns distinct (new_id, bench_id). The k/w parameters must
-    * match the table's write-time values or fingerprints cannot align. */
+    * match the table's write-time values or fingerprints cannot align
+    * (the table's id column is always `bench_id`, regardless of the
+    * writer's idCol). */
   def contaminatedFromTable(spark: org.apache.spark.sql.SparkSession,
                             table: String, incoming: DataFrame,
                             idCol: String, textCol: String,
                             k: Int = 4, w: Int = 4): DataFrame =
     winnow(incoming, idCol, textCol, k, w)
       .select(col(idCol).as("new_id"), col("fp"))
-      .join(spark.table(table).select(col(idCol).as("bench_id"), col("fp")),
-        Seq("fp"))
+      .join(spark.table(table).select(col("bench_id"), col("fp")), Seq("fp"))
       .select(col("new_id"), col("bench_id")).distinct()
 
   /** Kneser-Ney smoothed bigram LM score per doc (Kneser & Ney 1995;

@@ -481,6 +481,73 @@ object TrainingQueries extends QueryPack {
       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
       |WHERE rank <= 5""".stripMargin
 
+  /** Shared SQL builders for the IVF-PQ oracle pair (raw and residual):
+    * one source of truth for the coarse-cell selection, probe structs,
+    * per-subspace distance chains (parameterized on the element
+    * expression — `CAST(embedding[i] AS DOUBLE)` or `rv[i]`), argmin
+    * CASEs, ADC arrays, and the ADC lookup sum, so a tie-break or
+    * rounding change cannot silently diverge the two oracles. */
+  private object IvfPqSql {
+    val (nLists, nProbe, k, dim, m, pqK) = (16, 4, 5, 64, 8, 16)
+    val sub: Int = dim / m
+    val coarse: Array[Array[Double]] =
+      graft.ops.Similarity.ivfCentroids(nLists, dim)
+    val cents: Array[Array[Array[Double]]] =
+      graft.ops.Similarity.pqCentroids(m, pqK, sub)
+    def cDistSql(ki: Int): String =
+      (0 until dim).map { j =>
+        val c = coarse(ki)(j)
+        s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
+          s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
+      }.mkString("(", " + ", ")")
+    def subDistSql(elem: Int => String)(mi: Int, ki: Int): String =
+      (0 until sub).map { j =>
+        val c = cents(mi)(ki)(j); val e = elem(mi * sub + j + 1)
+        s"(($e - ($c)) * ($e - ($c)))"
+      }.mkString("(", " + ", ")")
+    val gCols: String = (0 until nLists).map(ki => s"${cDistSql(ki)} AS g_$ki")
+      .mkString(",\n        |  ")
+    val leastG: String = (0 until nLists).map(ki => s"g_$ki")
+      .mkString("least(", ", ", ")")
+    val cellCase: String =
+      (0 until nLists).map(ki => s"WHEN g_$ki = gmin THEN $ki")
+        .mkString("CASE ", " ", "END")
+    val probeStructs: String = (0 until nLists).map(ki =>
+      s"{'d': g_$ki, 'cell': $ki}").mkString("[", ", ", "]")
+    def dCols(elem: Int => String): String =
+      (for (mi <- 0 until m; ki <- 0 until pqK)
+        yield s"${subDistSql(elem)(mi, ki)} AS d_${mi}_$ki")
+        .mkString(",\n        |  ")
+    val dmCols: String = (0 until m).map { mi =>
+      (0 until pqK).map(ki => s"d_${mi}_$ki")
+        .mkString("least(", ", ", ")") + s" AS dm_$mi"
+    }.mkString(", ")
+    val codeCols: String = (0 until m).map { mi =>
+      (0 until pqK).map(ki => s"WHEN d_${mi}_$ki = dm_$mi THEN $ki")
+        .mkString("CASE ", " ", "END") + s" AS c$mi"
+    }.mkString(",\n        |  ")
+    def adcCols(elem: Int => String, indent: String): String =
+      (0 until m).map { mi =>
+        (0 until pqK).map(ki => subDistSql(elem)(mi, ki))
+          .mkString("[", ", ", "]") + s" AS adc_$mi"
+      }.mkString(",\n        |" + indent)
+    val adcSum: String = (0 until m).map(mi => s"q.adc_$mi[a.c$mi + 1]")
+      .mkString(" + ")
+    val rawElem: Int => String = i => s"CAST(embedding[$i] AS DOUBLE)"
+    val resElem: Int => String = i => s"rv[$i]"
+    /** rank over the ROUNDED adist + top-k filter — the common tail. */
+    def tail(fromA: String, fromQ: String): String =
+      s"""SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank FROM (
+         |  SELECT query_id, neighbor_id, adist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |  FROM (SELECT q.query_id, a.neighbor_id,
+         |          round($adcSum, 6) AS adist
+         |        FROM $fromA a JOIN $fromQ q ON a.cell = q.cell
+         |        WHERE q.query_id <> a.neighbor_id))
+         |WHERE rank <= $k""".stripMargin
+  }
+
   /** Frozen-IVF probe — shared by sim_ann_ivf and sim_recall.
     * Literal IVF centers from the SAME generator the Spark plan embeds;
     * distances are left-associative squared-diff chains (the emb_pq
@@ -1114,122 +1181,42 @@ object TrainingQueries extends QueryPack {
          |FROM (SELECT DISTINCT query_id FROM ex) q
          |LEFT JOIN h USING (query_id)""".stripMargin,
     "sim_ann_ivfpq" -> {
-      // IVF-PQ ADC replayed literal-for-literal: coarse cells and PQ
-      // codes via the first-match CASE argmin over hoisted least()
-      // minima, query probes via the tie-safe struct sort, and the ADC
-      // lookup as 1-based list indexing into per-subspace distance
-      // arrays. Every distance is the same left-associative chain the
-      // Spark plan embeds, so ranks (ordered by the ROUNDED adist, then
-      // neighbor id) hash-match.
-      val (nLists, nProbe, k, dim, m, pqK) = (16, 4, 5, 64, 8, 16)
-      val sub = dim / m
-      val coarse = graft.ops.Similarity.ivfCentroids(nLists, dim)
-      val cents = graft.ops.Similarity.pqCentroids(m, pqK, sub)
-      def cDistSql(ki: Int): String =
-        (0 until dim).map { j =>
-          val c = coarse(ki)(j)
-          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
-            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
-        }.mkString("(", " + ", ")")
-      def sDistSql(mi: Int, ki: Int): String =
-        (0 until sub).map { j =>
-          val c = cents(mi)(ki)(j)
-          s"((CAST(embedding[${mi * sub + j + 1}] AS DOUBLE) - ($c)) * " +
-            s"(CAST(embedding[${mi * sub + j + 1}] AS DOUBLE) - ($c)))"
-        }.mkString("(", " + ", ")")
-      val gCols = (0 until nLists).map(ki => s"${cDistSql(ki)} AS g_$ki")
-        .mkString(",\n        |  ")
-      val sCols = (for (mi <- 0 until m; ki <- 0 until pqK)
-        yield s"${sDistSql(mi, ki)} AS d_${mi}_$ki").mkString(",\n        |  ")
-      val leastG = (0 until nLists).map(ki => s"g_$ki")
-        .mkString("least(", ", ", ")")
-      val dmCols = (0 until m).map { mi =>
-        (0 until pqK).map(ki => s"d_${mi}_$ki")
-          .mkString("least(", ", ", ")") + s" AS dm_$mi"
-      }.mkString(", ")
-      val cellCase = (0 until nLists).map(ki => s"WHEN g_$ki = gmin THEN $ki")
-        .mkString("CASE ", " ", "END")
-      val codeCols = (0 until m).map { mi =>
-        (0 until pqK).map(ki => s"WHEN d_${mi}_$ki = dm_$mi THEN $ki")
-          .mkString("CASE ", " ", "END") + s" AS c$mi"
-      }.mkString(",\n        |  ")
-      val probeStructs = (0 until nLists).map(ki =>
-        s"{'d': g_$ki, 'cell': $ki}").mkString("[", ", ", "]")
-      val adcCols = (0 until m).map { mi =>
+      // IVF-PQ ADC replayed literal-for-literal from the shared
+      // IvfPqSql parts: coarse cells and PQ codes via the first-match
+      // CASE argmin over hoisted least() minima, query probes via the
+      // tie-safe struct sort, and the ADC lookup as 1-based list
+      // indexing. Here the per-subspace distance arrays double as the
+      // ADC tables, so d_* columns hoist into the shared CTE and the q
+      // side just re-groups them.
+      import IvfPqSql._
+      val adc = (0 until m).map { mi =>
         (0 until pqK).map(ki => s"d_${mi}_$ki")
           .mkString("[", ", ", "]") + s" AS adc_$mi"
       }.mkString(",\n        |    ")
-      val adcSum = (0 until m).map(mi => s"q.adc_$mi[a.c$mi + 1]")
-        .mkString(" + ")
       s"""WITH dall AS (SELECT vec_id, embedding,
         |  $gCols,
-        |  $sCols
+        |  ${dCols(rawElem)}
         |  FROM embeddings),
         |a AS (SELECT vec_id AS neighbor_id, $cellCase AS cell,
         |  $codeCols
         |  FROM (SELECT *, $leastG AS gmin, $dmCols FROM dall)),
         |q AS (SELECT vec_id AS query_id,
-        |    $adcCols,
+        |    $adc,
         |    unnest([s.cell FOR s IN list_sort($probeStructs)[1:$nProbe]]) AS cell
         |  FROM dall WHERE vec_id < 10)
-        |SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank FROM (
-        |  SELECT query_id, neighbor_id, adist,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adist ASC, neighbor_id ASC) AS rank
-        |  FROM (SELECT q.query_id, a.neighbor_id,
-        |          round($adcSum, 6) AS adist
-        |        FROM a JOIN q ON a.cell = q.cell
-        |        WHERE q.query_id <> a.neighbor_id))
-        |WHERE rank <= $k""".stripMargin
+        |${tail("a", "q")}""".stripMargin
     },
     "sim_ann_ivfpq_res" -> {
-      // residual IVF-PQ replay: same coarse cells/probes as sim_ann_ivfpq,
-      // but PQ distances run over rv = embedding − coarse[cell] (built as
-      // a list comprehension against the 2-D centroid literal, matching
+      // residual IVF-PQ replay from the SAME IvfPqSql parts as
+      // sim_ann_ivfpq — only the element expression differs: PQ
+      // distances run over rv = embedding − coarse[cell] (built as a
+      // list comprehension against the 2-D centroid literal, matching
       // Spark's zip_with elementwise subtraction bit for bit).
-      val (nLists, nProbe, k, dim, m, pqK) = (16, 4, 5, 64, 8, 16)
-      val sub = dim / m
-      val coarse = graft.ops.Similarity.ivfCentroids(nLists, dim)
-      val cents = graft.ops.Similarity.pqCentroids(m, pqK, sub)
-      def cDistSql(ki: Int): String =
-        (0 until dim).map { j =>
-          val c = coarse(ki)(j)
-          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
-            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
-        }.mkString("(", " + ", ")")
-      def rDistSql(mi: Int, ki: Int): String =
-        (0 until sub).map { j =>
-          val c = cents(mi)(ki)(j); val idx = mi * sub + j + 1
-          s"((rv[$idx] - ($c)) * (rv[$idx] - ($c)))"
-        }.mkString("(", " + ", ")")
-      val gCols = (0 until nLists).map(ki => s"${cDistSql(ki)} AS g_$ki")
-        .mkString(",\n        |  ")
-      val leastG = (0 until nLists).map(ki => s"g_$ki")
-        .mkString("least(", ", ", ")")
-      val cellCase = (0 until nLists).map(ki => s"WHEN g_$ki = gmin THEN $ki")
-        .mkString("CASE ", " ", "END")
-      val probeStructs = (0 until nLists).map(ki =>
-        s"{'d': g_$ki, 'cell': $ki}").mkString("[", ", ", "]")
+      import IvfPqSql._
       val cmLit = coarse.map(_.mkString("[", ",", "]"))
         .mkString("[", ", ", "]") + "::DOUBLE[][]"
       val rvSql = s"[CAST(embedding[CAST(j AS INT)] AS DOUBLE) - " +
         s"cm[cell + 1][CAST(j AS INT)] FOR j IN range(1, ${dim + 1})]"
-      val rCols = (for (mi <- 0 until m; ki <- 0 until pqK)
-        yield s"${rDistSql(mi, ki)} AS d_${mi}_$ki").mkString(",\n        |  ")
-      val dmCols = (0 until m).map { mi =>
-        (0 until pqK).map(ki => s"d_${mi}_$ki")
-          .mkString("least(", ", ", ")") + s" AS dm_$mi"
-      }.mkString(", ")
-      val codeCols = (0 until m).map { mi =>
-        (0 until pqK).map(ki => s"WHEN d_${mi}_$ki = dm_$mi THEN $ki")
-          .mkString("CASE ", " ", "END") + s" AS c$mi"
-      }.mkString(",\n        |  ")
-      val adcCols = (0 until m).map { mi =>
-        (0 until pqK).map(ki => rDistSql(mi, ki))
-          .mkString("[", ", ", "]") + s" AS adc_$mi"
-      }.mkString(",\n        |    ")
-      val adcSum = (0 until m).map(mi => s"q.adc_$mi[a.c$mi + 1]")
-        .mkString(" + ")
       s"""WITH dall AS (SELECT vec_id, embedding,
         |  $gCols
         |  FROM embeddings),
@@ -1238,7 +1225,7 @@ object TrainingQueries extends QueryPack {
         |rres AS (SELECT vec_id, cell, $rvSql AS rv
         |  FROM cellsq, (SELECT $cmLit AS cm)),
         |rd AS (SELECT vec_id, cell,
-        |  $rCols
+        |  ${dCols(resElem)}
         |  FROM rres),
         |a AS (SELECT vec_id AS neighbor_id, cell,
         |  $codeCols
@@ -1249,17 +1236,9 @@ object TrainingQueries extends QueryPack {
         |qr AS (SELECT query_id, cell, $rvSql AS rv
         |  FROM q0, (SELECT $cmLit AS cm)),
         |q AS (SELECT query_id, cell,
-        |    $adcCols
+        |    ${adcCols(resElem, "    ")}
         |  FROM qr)
-        |SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank FROM (
-        |  SELECT query_id, neighbor_id, adist,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adist ASC, neighbor_id ASC) AS rank
-        |  FROM (SELECT q.query_id, a.neighbor_id,
-        |          round($adcSum, 6) AS adist
-        |        FROM a JOIN q ON a.cell = q.cell
-        |        WHERE q.query_id <> a.neighbor_id))
-        |WHERE rank <= $k""".stripMargin
+        |${tail("a", "q")}""".stripMargin
     },
     "emb_pq" -> {
       // literal sub-centroids from the SAME generator the Spark plan

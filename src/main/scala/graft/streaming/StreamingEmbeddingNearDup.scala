@@ -74,18 +74,25 @@ object StreamingEmbeddingNearDup {
             // monotone per bucket, needs no cross-stage watermark plumbing.
             val clock = batch.map(_._3.getTime).max
             var posting = state.getOption.getOrElse(Nil)
-              .filter(_._3 >= clock - retentionMs)
             val out = List.newBuilder[EmbNearDupPair]
             batch.foreach { case (id, v, ts, _) =>
-              posting.foreach { case (oid, ov, _) =>
-                if (oid != id) cosine(v, ov).foreach { s =>
-                  if (s >= threshold)
-                    out += EmbNearDupPair(math.min(oid, id),
-                      math.max(oid, id), s, ts)
-                }
+              // retention is enforced PER PAIR against the probing row's
+              // own event time — not once per batch against the batch
+              // max, which would let same-batch rows pair regardless of
+              // their event-time distance and evict entries still valid
+              // for early-in-batch rows.
+              posting.foreach { case (oid, ov, ots) =>
+                if (oid != id && ots >= ts.getTime - retentionMs)
+                  cosine(v, ov).foreach { s =>
+                    if (s >= threshold)
+                      out += EmbNearDupPair(math.min(oid, id),
+                        math.max(oid, id), s, ts)
+                  }
               }
               posting = (id, v, ts.getTime) :: posting
             }
+            // evict AFTER the batch probes, by the batch-max clock.
+            posting = posting.filter(_._3 >= clock - retentionMs)
             if (posting.nonEmpty) {
               state.update(posting)
               state.setTimeoutTimestamp(

@@ -94,15 +94,21 @@ object StreamingNearDup {
           // time is monotone per bucket and needs no cross-stage plumbing.
           val clock = batch.map(_._2.getTime).max
           var posting = state.getOption.getOrElse(Nil)
-            .filter(_._2 >= clock - retentionMs) // reference's dedup window
           val out = List.newBuilder[NearDupPair]
           batch.foreach { case (id, ts, _) =>
-            posting.foreach { case (oid, _) =>
-              if (oid != id)
+            // retention checked PER PAIR against the probing row's own
+            // event time (the reference's dedup window): a batch-max
+            // pre-filter would both admit same-batch pairs farther apart
+            // than retention and evict entries still valid for
+            // early-in-batch rows.
+            posting.foreach { case (oid, ots) =>
+              if (oid != id && ots >= ts.getTime - retentionMs)
                 out += NearDupPair(math.min(oid, id), math.max(oid, id), ts)
             }
             posting = (id, ts.getTime) :: posting
           }
+          // evict AFTER the batch probes, by the batch-max clock.
+          posting = posting.filter(_._2 >= clock - retentionMs)
           if (posting.nonEmpty) {
             state.update(posting)
             // re-armed every visit; must exceed the current watermark

@@ -101,8 +101,9 @@ class TrainingStreamSpec extends SparkSpec {
     // pipeline with the stream source; the join is stream-static.
     val winnowed = in.toDF()
       .withWatermark("ts", "10 seconds")
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("wtoks"))
       .select(col("doc_id"), col("ts"),
-        TextAnalysis.winnowKeys(col("text"), k = 4).as("wkeys"))
+        TextAnalysis.winnowKeys(col("wtoks"), k = 4).as("wkeys"))
       .select(col("doc_id"), col("ts"),
         explode(TextAnalysis.winnowSelections(col("wkeys"), w = 4)).as("sel"))
       .select(col("doc_id"), col("ts"), col("sel.fp").as("fp"))
