@@ -73,6 +73,31 @@ class StreamingEmbeddingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("same-batch rows farther apart than retention do not pair") {
+    // retention is per PAIR against the probing row's event time — a
+    // catch-up batch delivering a stale row and a fresh near-dup
+    // together must not pair them just because they share a micro-batch.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamVec]
+    val pairs = StreamingEmbeddingNearDup.pairs(
+      in.toDF().withWatermark("ts", "0 seconds"),
+      "vec_id", "embedding", "ts",
+      retentionMs = 60 * 1000L, threshold = 0.95, nBits = 6, dim = dim)
+    val q = pairs.writeStream.format("memory").queryName("send_batch")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamVec(1L, vec(6), ts("2024-01-01 00:00:00")),
+        StreamVec(2L, jitter(vec(6), 1e-4), ts("2024-01-01 02:00:00")), // 2h later
+        StreamVec(3L, jitter(vec(6), 2e-4), ts("2024-01-01 02:00:30"))) // in-window of 2
+      q.processAllAvailable()
+      val got = spark.table("send_batch").select("a", "b")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((2L, 3L)),
+        s"only the in-window pair may surface: $got")
+    } finally q.stop()
+  }
+
   test("zero-norm vectors never pair (cosine undefined, not NaN-greedy)") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[StreamVec]

@@ -74,6 +74,28 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("same-batch docs farther apart than retention do not pair") {
+    // retention is per PAIR against the probing row's event time, not
+    // once per batch against the batch max.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val pairs = StreamingNearDup.pairs(
+      in.toDF().withWatermark("ts", "0 seconds"),
+      "doc_id", "text", "ts", retentionMs = 60 * 1000L) // 1 minute
+    val q = pairs.writeStream.format("memory").queryName("snd_batch")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamDoc(1L, base, ts("2024-01-01 00:00:00")),
+        StreamDoc(2L, nearDup, ts("2024-01-01 02:00:00")), // 2h later, same batch
+        StreamDoc(3L, base, ts("2024-01-01 02:00:30")))    // in-window of 2
+      q.processAllAvailable()
+      val got = spark.table("snd_batch").select("a", "b")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((2L, 3L)), s"only the in-window pair may surface: $got")
+    } finally q.stop()
+  }
+
   test("dormant buckets GC once the pair watermark advances (state shrinks)") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[StreamDoc]
