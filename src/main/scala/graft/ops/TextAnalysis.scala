@@ -398,6 +398,59 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
         (col("z") > 0).as("keep"))
 
+  /** WITHIN-doc repetition removal: excise every token covered by a
+    * NON-FIRST occurrence of a repeated w-gram, unless the FIRST
+    * occurrence of a repeated gram also covers it — the cleanup for
+    * boilerplate/generated repetition inside a single document (the
+    * transformation [[gopherRepetition]]'s dup-coverage signal scores).
+    * Unique grams participate in neither set: their overlap with a
+    * repeat must not shield it (a doc is mostly covered by unique-gram
+    * windows, so counting them would make the op a no-op). Returns
+    * (id, clean_text, n_removed); repeat-free docs pass verbatim.
+    *
+    * Row-local like the other within-doc ops — zero shuffle: sorted
+    * (gram, pos) occurrence array, run-head flags from sorted
+    * neighbors, covered-position set algebra (array_except), and an
+    * indexed token filter, all in one projection chain. */
+  def dedupInline(docs: DataFrame, idCol: String, textCol: String,
+                  w: Int = 3): DataFrame = {
+    val id = col(idCol)
+    val idxs = when(size(col("toks")) >= w,
+        sequence(lit(0), size(col("toks")) - w))
+      .otherwise(array().cast("array<int>"))
+    val sps = array_sort(transform(idxs, i => struct(
+      concat_ws(" ", slice(col("toks"), i + 1, lit(w))).as("g"),
+      i.as("p"))))
+    val m = size(col("sps"))
+    def gAt(j: Column) = element_at(col("sps"), j).getField("g")
+    def pAt(j: Column) = element_at(col("sps"), j).getField("p")
+    // sort is (g, p) asc, so a run head holds its gram's smallest
+    // position. Head of a MULTI-occurrence run = first-of-repeated;
+    // non-head = repeat; single-occurrence runs match neither.
+    def coverOf(firstWanted: Boolean) = {
+      val seq = when(m >= 1, sequence(lit(1), m))
+        .otherwise(array().cast("array<int>"))
+      val prevEq = (j: Column) =>
+        when(j > 1, gAt(j) === gAt(j - 1)).otherwise(lit(false))
+      val nextEq = (j: Column) =>
+        when(j < m, gAt(j) === gAt(j + 1)).otherwise(lit(false))
+      val wanted = (j: Column) =>
+        if (firstWanted) !prevEq(j) && nextEq(j) else prevEq(j)
+      array_distinct(flatten(filter(transform(seq, j =>
+        when(wanted(j), sequence(pAt(j), pAt(j) + (w - 1)))),
+        x => x.isNotNull)))
+    }
+    docs
+      .select(id, split(col(textCol), " ").as("toks"))
+      .select(id, col("toks"), sps.as("sps"))
+      .select(id, col("toks"),
+        array_except(coverOf(false), coverOf(true)).as("rset"))
+      .select(id,
+        concat_ws(" ", filter(col("toks"),
+          (_, i) => !array_contains(col("rset"), i))).as("clean_text"),
+        size(col("rset")).as("n_removed"))
+  }
+
   /** Persist the winnowed fingerprint table BUCKETED by fp — the
     * settled-corpus contamination index as a reusable artifact, exactly
     * like the minhash signature table ([[Dedup.writeSignatureTable]]):

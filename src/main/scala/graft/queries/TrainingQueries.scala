@@ -94,6 +94,12 @@ object TrainingQueries extends QueryPack {
       Dedup.removeSharedSpans(Tables.documents(s, dir), "doc_id", "text", w = 15)
     },
 
+    // WITHIN-doc repetition removal (row-local): non-first occurrences
+    // of repeated trigrams lose their exclusive token coverage.
+    "text_derep" -> { (s, dir) =>
+      TextAnalysis.dedupInline(Tables.documents(s, dir), "doc_id", "text", w = 3)
+    },
+
     "vocab_top" -> { (s, dir) =>
       TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
     },
@@ -830,6 +836,27 @@ object TrainingQueries extends QueryPack {
         |  round(CAST(coalesce(cov.n_dup_tokens, 0) AS DOUBLE)
         |    / len(string_split(d.text,' ')), 4) AS dup_frac
         |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id""".stripMargin,
+    // within-doc repetition removal: first occurrence per (doc, gram)
+    // via a window min; remove-cover EXCEPT keep-cover, then the same
+    // indexed-comprehension rebuild as dedup_span_removal.
+    "text_derep" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |occ AS (SELECT doc_id, i AS p, array_to_string(t[i+1:i+3],' ') AS g
+        |        FROM (SELECT doc_id, t,
+        |              unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
+        |f AS (SELECT doc_id, p, g,
+        |        min(p) OVER (PARTITION BY doc_id, g) AS firstp,
+        |        count(*) OVER (PARTITION BY doc_id, g) AS cnt FROM occ),
+        |rm AS (SELECT doc_id, unnest(range(p, p+3)) AS q FROM f WHERE p > firstp),
+        |kp AS (SELECT doc_id, unnest(range(p, p+3)) AS q FROM f
+        |       WHERE p = firstp AND cnt >= 2),
+        |rs AS (SELECT doc_id, q FROM rm EXCEPT SELECT doc_id, q FROM kp),
+        |cov AS (SELECT doc_id, list(DISTINCT q) AS rset FROM rs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(array_to_string([d.t[CAST(i+1 AS INT)] FOR i IN range(0, len(d.t))
+        |    IF NOT list_contains(coalesce(cov.rset, []), i)], ' '), '') AS clean_text,
+        |  CAST(coalesce(len(cov.rset), 0) AS INT) AS n_removed
+        |FROM toks d LEFT JOIN cov USING (doc_id)""".stripMargin,
     // removal half: same span universe as dedup_dupfrac; the cleaned
     // text is an indexed comprehension skipping covered positions.
     "dedup_span_removal" ->

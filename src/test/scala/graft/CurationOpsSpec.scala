@@ -43,6 +43,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("dedupInline removes repeated-trigram spans, keeps the first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c x a b c"),        // trigram "a b c" repeats at pos 4
+      (2L, "p q r s t u v"),        // repeat-free → verbatim
+      (3L, "m n o m n o m n o"))    // two repeats of "m n o"
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupInline(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("a b c x", 3)), out(1L))
+    assert(out(2L) === (("p q r s t u v", 0)), out(2L))
+    // "m n o"@0 keeps 0-2, but the interior repeated trigrams "n o m"@1
+    // and "o m n"@2 are ALSO first-of-repeated and keep 3 and 4 — the
+    // position-algebra semantics protect one overlap beyond the first
+    // occurrence; everything past it (5..8) is repeat-only coverage.
+    assert(out(3L) === (("m n o m n", 4)), out(3L))
+  }
+
   test("classifierScore matches a hand-rolled scalar reimplementation") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
       .limit(50).cache()
