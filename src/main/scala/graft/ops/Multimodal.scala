@@ -1,19 +1,23 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, plus decode / feature-extract / frame-
-  * sample stages.
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
   *
-  * The Spark-side shape is real and tested — schema, partitioning, batch
-  * iteration — but the actual media decoding is STUBBED (no codec
-  * libraries in this container): `decodeFeatures` derives a deterministic
-  * fake feature vector from the bytes. Swapping in a real decoder changes
-  * only the function body marked below; the pipeline plumbing (binary
-  * column in, fixed-width float vector out, per-partition batching to
-  * amortize decoder init) is exactly what a real decoder needs.
+  * Image decoding is REAL: JDK `javax.imageio.ImageIO` (PNG/BMP/GIF/JPEG
+  * readers ship with the JDK — zero extra dependencies). Payloads no
+  * registered reader recognizes (plain text, exotic codecs) fall back to
+  * deterministic byte-derived features, so the operator is total over
+  * arbitrary binary columns. The per-partition `mapPartitions` seam
+  * initializes decoder state once per partition (ImageIO's disk cache is
+  * disabled there — decode stays in-memory on executors).
   */
 object Multimodal {
 
@@ -34,26 +38,53 @@ object Multimodal {
       col("source"),
       length(col(payloadCol)).cast("long").as("n_bytes"))
 
+  /** Real ImageIO decode; `None` when no registered reader recognizes the
+    * bytes (magic-byte sniffing) or the payload is a truncated/corrupt
+    * image. Total: never throws. */
+  private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** Decode + feature-extract over partition-batched records.
     *
-    * STUB DECODER: features = [n_bytes, first_byte, last_byte, byte_sum %
-    * 1009] — deterministic so tests and oracles can verify the plumbing.
-    * A real implementation replaces `fakeDecode` with the codec call and
-    * keeps everything else (this is also where a per-partition decoder
-    * handle would be initialized once and reused).
+    * Decodable images (real ImageIO decode) → `[width, height, meanR,
+    * meanG, meanB]`; undecodable payloads → deterministic byte-derived
+    * fallback `[n_bytes, first_byte, last_byte, byte_sum % 1009]` so the
+    * operator is total over opaque binary columns (the reference likewise
+    * treats `value` as opaque bytes, message.rs:107).
     */
   def decodeFeatures(media: Dataset[Row])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // real decoder init would go here, once per partition
+      ImageIO.setUseCache(false) // once per partition: in-memory decode on executors
       it.map { rec =>
-        MediaFeatures(rec.id, rec.n_bytes, fakeDecode(rec.media))
+        val feats = tryDecode(rec.media) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toFloat
+            Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n)
+          case None => byteFeatures(rec.media)
+        }
+        MediaFeatures(rec.id, rec.n_bytes, feats)
       }
     }
   }
 
-  /** STUB for the codec: deterministic features from raw bytes. */
-  private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+  /** Fallback features for payloads ImageIO cannot decode: deterministic
+    * byte stats, so tests and oracles can verify the plumbing on any
+    * binary column. */
+  private def byteFeatures(bytes: Array[Byte]): Array[Float] = {
     val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
     Array(
       bytes.length.toFloat,
@@ -62,14 +93,109 @@ object Multimodal {
       (sum % 1009).toFloat)
   }
 
+  /** Exact per-image decode stats: integer channel sums (oracle-friendly —
+    * no float rounding) plus dimensions; `decoded=false` rows carry -1s. */
+  final case class DecodeStats(id: Long, decoded: Boolean, width: Int, height: Int,
+                               sum_r: Long, sum_g: Long, sum_b: Long)
+
+  def decodeStats(media: Dataset[Row])(implicit spark: SparkSession): Dataset[DecodeStats] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { rec =>
+        tryDecode(rec.media) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            DecodeStats(rec.id, decoded = true, w, h, sr, sg, sb)
+          case None => DecodeStats(rec.id, decoded = false, -1, -1, -1L, -1L, -1L)
+        }
+      }
+    }
+  }
+
+  /** Deterministic 24-bit BMP (BITMAPINFOHEADER, bottom-up rows, BGR,
+    * 4-byte row alignment) wrapping raw pixel bytes: payload byte j is
+    * pixel-data byte j (row padding excluded); short payloads pad with
+    * `pad`. Gives tests and oracle queries a REAL image container whose
+    * decoded pixels are an exact, SQL-computable function of the input
+    * bytes. */
+  def bmpFromBytes(payload: Array[Byte], w: Int, h: Int, pad: Byte = 'A'): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'; le32(2, 54 + dataSize); le32(10, 54); le32(14, 40)
+    le32(18, w); le32(22, h); out(26) = 1; out(28) = 24; le32(34, dataSize)
+    le32(38, 2835); le32(42, 2835)
+    var row = 0
+    while (row < h) {
+      var j = 0
+      while (j < w * 3) {
+        val src = row * w * 3 + j
+        out(54 + row * rowSize + j) = if (src < payload.length) payload(src) else pad
+        j += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** One resized image: dimensions + exact integer channel sums over the
+    * nearest-neighbor-sampled pixels. */
+  final case class ResizeStats(id: Long, width: Int, height: Int,
+                               sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Real image resize: ImageIO decode + nearest-neighbor sampling
+    * (dst(x,y) ← src(⌊x·sw/dw⌋, ⌊y·sh/dh⌋) — deterministic, no
+    * platform-dependent interpolation). Undecodable payloads → -1 row. */
+  def resizeImage(media: Dataset[Row], outW: Int, outH: Int)
+                 (implicit spark: SparkSession): Dataset[ResizeStats] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { rec =>
+        tryDecode(rec.media) match {
+          case Some(img) =>
+            val (sw, sh) = (img.getWidth, img.getHeight)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < outH) {
+              var x = 0
+              while (x < outW) {
+                val p = img.getRGB(x * sw / outW, y * sh / outH)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ResizeStats(rec.id, outW, outH, sr, sg, sb)
+          case None => ResizeStats(rec.id, -1, -1, -1L, -1L, -1L)
+        }
+      }
+    }
+  }
+
   /** One resized record: id + fixed-length resampled payload. */
   final case class Resized(id: Long, resized: Array[Byte])
 
-  /** Resize/resample stage: nearest-neighbor byte resampling to a fixed
-    * `outLen` (index i ← byte ⌊i·len/outLen⌋). STUB for a real image
-    * resize — a codec-backed implementation replaces the sampling body and
-    * keeps the per-partition batching (decoder handles init once per
-    * partition, same seam as decodeFeatures). */
+  /** Byte-level resample stage: nearest-neighbor byte resampling to a
+    * fixed `outLen` (index i ← byte ⌊i·len/outLen⌋). For opaque non-image
+    * payloads (audio PCM, arbitrary binary); REAL image resize with pixel
+    * semantics is `resizeImage` above. */
   def resample(media: Dataset[Row], outLen: Int)(implicit spark: SparkSession): Dataset[Resized] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>

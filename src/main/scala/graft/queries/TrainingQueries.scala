@@ -462,8 +462,38 @@ object TrainingQueries extends QueryPack {
       Multimodal.resample(
         Multimodal.pack(Tables.documents(s, dir), "doc_id", "text"), outLen = 16)
         .toDF().withColumn("resized", col("resized").cast("string"))
+    },
+
+    // REAL ImageIO decode, oracle-checked end to end: each doc's first 48
+    // text bytes become the BGR pixel payload of a 4x4 24-bit BMP, ImageIO
+    // decodes it for real, and the integer channel sums are an exact
+    // SQL-computable function of the text (byte j of the pixel area is
+    // char j; channel = j mod 3; sums are row-order-independent).
+    "mm_decode" -> { (s, dir) =>
+      implicit val spark = s
+      Multimodal.decodeStats(bmpMedia(s, dir)).toDF()
+    },
+
+    // REAL image resize (decode + nearest-neighbor): 4x4 → 2x2 samples
+    // source pixels (0,0),(2,0),(0,2),(2,2); with bottom-up BMP rows their
+    // payload offsets are fixed, so the oracle reads the exact chars.
+    "mm_resize_px" -> { (s, dir) =>
+      implicit val spark = s
+      Multimodal.resizeImage(bmpMedia(s, dir), outW = 2, outH = 2).toDF()
     }
   )
+
+  /** documents → 4x4 BMP media records (payload = first 48 text chars,
+    * 'A'-padded; text is ASCII by construction so char == byte). */
+  private def bmpMedia(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.take(48).padTo(48, 'A').map(c => (c & 0xff).toByte).toArray
+        (id, Multimodal.bmpFromBytes(payload, 4, 4), "image/bmp", "synthetic",
+          (54 + 48).toLong)
+      }.toDF("id", "media", "mime", "source", "n_bytes")
+  }
 
   /** Mixing target: upweight src0/src1, spread the rest uniformly. The
     * SAME map feeds the Spark query and (interpolated) the oracle SQL. */
