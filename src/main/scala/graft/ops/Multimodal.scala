@@ -38,40 +38,81 @@ object Multimodal {
       col("source"),
       length(col(payloadCol)).cast("long").as("n_bytes"))
 
+  /** Pixel-count cap for decode. Headers declaring more pixels than this
+    * (decompression bombs — a 60-byte BMP can declare 2^30×2^30) are
+    * rejected BEFORE the full-image allocation, so a crafted header cannot
+    * OOM an executor. 64M px ≈ 256 MB ARGB, comfortably within an executor
+    * task's headroom. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Real ImageIO decode; `None` when no registered reader recognizes the
-    * bytes (magic-byte sniffing) or the payload is a truncated/corrupt
-    * image. Total: never throws. */
+    * bytes (magic-byte sniffing), the header declares more than
+    * [[MaxDecodePixels]], or the payload is truncated/corrupt. Dimensions
+    * are read from the stream header via the reader BEFORE the pixel
+    * decode, so the bomb guard costs no allocation. Total: never throws. */
   private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case scala.util.control.NonFatal(_) => None }
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      if (iis == null) None
+      else try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Exact integer channel sums over the whole image, via bulk per-row
+    * `getRGB` (one color-model conversion per row fetch instead of one per
+    * pixel — the per-pixel overload is the slow path on large images). */
+  private def channelSums(img: BufferedImage): (Long, Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val row = new Array[Int](w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
 
   /** Decode + feature-extract over partition-batched records.
     *
-    * Decodable images (real ImageIO decode) → `[width, height, meanR,
-    * meanG, meanB]`; undecodable payloads → deterministic byte-derived
-    * fallback `[n_bytes, first_byte, last_byte, byte_sum % 1009]` so the
-    * operator is total over opaque binary columns (the reference likewise
-    * treats `value` as opaque bytes, message.rs:107).
-    */
+    * Records whose declared `mime` starts with `image/` AND decode (real ImageIO)
+    * → `[width, height, meanR, meanG, meanB]`; everything else →
+    * deterministic byte-derived fallback `[n_bytes, first_byte, last_byte,
+    * byte_sum % 1009]` so the operator is total over opaque binary columns
+    * (the reference likewise treats `value` as opaque bytes,
+    * message.rs:107). Gating on the mime column (not payload sniffing)
+    * keeps non-image records — e.g. a text document whose bytes happen to
+    * parse as an image — on the stable 4-wide contract. */
   def decodeFeatures(media: Dataset[Row])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       ImageIO.setUseCache(false) // once per partition: in-memory decode on executors
       it.map { rec =>
-        val feats = tryDecode(rec.media) match {
+        val decoded =
+          if (rec.mime != null && rec.mime.startsWith("image/")) tryDecode(rec.media)
+          else None
+        val feats = decoded match {
           case Some(img) =>
             val (w, h) = (img.getWidth, img.getHeight)
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
-              }
-              y += 1
-            }
+            val (sr, sg, sb) = channelSums(img)
             val n = (w.toLong * h).toFloat
             Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n)
           case None => byteFeatures(rec.media)
@@ -105,19 +146,8 @@ object Multimodal {
       it.map { rec =>
         tryDecode(rec.media) match {
           case Some(img) =>
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
-              }
-              y += 1
-            }
-            DecodeStats(rec.id, decoded = true, w, h, sr, sg, sb)
+            val (sr, sg, sb) = channelSums(img)
+            DecodeStats(rec.id, decoded = true, img.getWidth, img.getHeight, sr, sg, sb)
           case None => DecodeStats(rec.id, decoded = false, -1, -1, -1L, -1L, -1L)
         }
       }
@@ -171,12 +201,14 @@ object Multimodal {
         tryDecode(rec.media) match {
           case Some(img) =>
             val (sw, sh) = (img.getWidth, img.getHeight)
+            val srcRow = new Array[Int](sw)
             var sr = 0L; var sg = 0L; var sb = 0L
             var y = 0
             while (y < outH) {
+              img.getRGB(0, y * sh / outH, sw, 1, srcRow, 0, sw) // one bulk row fetch per output row
               var x = 0
               while (x < outW) {
-                val p = img.getRGB(x * sw / outW, y * sh / outH)
+                val p = srcRow(x * sw / outW)
                 sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
                 x += 1
               }

@@ -1379,6 +1379,41 @@ object TrainingQueries extends QueryPack {
       """SELECT doc_id AS id,
         |  array_to_string([substr(text, CAST(i * length(text) // 16 AS INT) + 1, 1)
         |    FOR i IN range(16)], '') AS resized
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // Exact replay of the ImageIO decode of bmpMedia's 4x4 BMP: pixel-data
+    // byte j is text char j ('A'=65 padded to 48); channel = j mod 3 in BGR
+    // order; channel sums are row-order-independent, so bottom-up storage
+    // doesn't matter here.
+    "mm_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i < length(text)
+        |         THEN ord(substr(text, CAST(i + 1 AS INT), 1)) ELSE 65 END AS v,
+        |    i % 3 AS ch
+        |  FROM documents, (SELECT unnest(range(48)) AS i))
+        |SELECT doc_id AS id, TRUE AS decoded,
+        |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
+    // Nearest-neighbor 4x4 -> 2x2 samples image pixels (0,0),(2,0),(0,2),
+    // (2,2); BMP rows are stored bottom-up (image row y = file row 3-y,
+    // rowSize 12), so those pixels sit at payload offsets 36,42,12,18 with
+    // BGR channels at +0,+1,+2 — i.e. the twelve fixed offsets below.
+    "mm_resize_px" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i < length(text)
+        |         THEN ord(substr(text, CAST(i + 1 AS INT), 1)) ELSE 65 END AS v,
+        |    i % 3 AS ch
+        |  FROM documents,
+        |    (SELECT unnest([12,13,14,18,19,20,36,37,38,42,43,44]) AS i))
+        |SELECT doc_id AS id,
+        |  CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+        |  CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin
   )
 }
