@@ -41,6 +41,21 @@ case class SquaredDistances(child: Expression,
 
   private val dim = centroids(0).length
 
+  // Arrays compare by reference, which would make two SquaredDistances
+  // over the same matrix never semanticEquals — defeating subexpression
+  // elimination, exchange reuse, and plan canonicalization. Compare (and
+  // hash) the matrix by VALUE.
+  override def equals(other: Any): Boolean = other match {
+    case SquaredDistances(c, m) =>
+      child == c && java.util.Arrays.deepEquals(
+        centroids.asInstanceOf[Array[AnyRef]], m.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def nullable: Boolean = true

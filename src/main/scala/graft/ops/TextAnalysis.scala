@@ -191,13 +191,31 @@ object TextAnalysis {
     * PER SHINGLE (O(d²)), and the keys array itself must likewise be
     * hoisted before [[winnowSelections]] or the per-window lambda
     * re-inlines the md5 work (measured 50×, the emb_quantize lesson). */
-  def winnowKeys(toks: Column, k: Int = 4): Column = {
+  /** Sortkey position capacity: shingle positions are encoded reversed
+    * zero-padded into the winnowing sortkey, so a document with more
+    * positions than this cannot be encoded. Past the cap the subtraction
+    * would go negative and lexicographic order would silently corrupt —
+    * instead [[winnowKeys]] raises. ~10M shingles is a 40+ MB single-row
+    * document; chunk it first if one genuinely exists. */
+  val MaxWinnowPositions: Int = 9999999
+
+  def winnowKeys(toks: Column, k: Int = 4,
+                 maxPos: Int = MaxWinnowPositions): Column = {
+    val width = maxPos.toString.length
+    val nPos = size(toks) - (k - 1) // shingle positions 0..nPos-1
     val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
       .otherwise(array().cast("array<int>"))
-    transform(idxs, i =>
+    // guard BEFORE encoding: position maxPos is the largest that still
+    // zero-pads to `width` digits; beyond it, fail loudly.
+    val guarded = when(nPos <= lit(maxPos) + 1, idxs)
+      .otherwise(raise_error(concat(
+        lit("winnowKeys: document has "), nPos.cast("string"),
+        lit(s" shingle positions; the sortkey encodes at most ${maxPos + 1}"
+          + " — chunk the document first"))).cast("array<int>"))
+    transform(guarded, i =>
       concat(md5(to_binary(concat_ws(" ", slice(toks, i + 1, lit(k))),
           lit("utf-8"))),
-        lit("|"), lpad((lit(9999999) - i).cast("string"), 7, "0")))
+        lit("|"), lpad((lit(maxPos) - i).cast("string"), width, "0")))
   }
 
   /** Distinct winnowing selections from a (hoisted) sortkey COLUMN:
@@ -205,12 +223,14 @@ object TextAnalysis {
     * (min hash, then rightmost position), the SIGMOD 2003 tie-break —
     * decoded to array<struct<sel_pos:int, fp:string>>. Row-local, so it
     * runs identically over a batch scan or a stream projection. */
-  def winnowSelections(keys: Column, w: Int = 4): Column = {
+  def winnowSelections(keys: Column, w: Int = 4,
+                       maxPos: Int = MaxWinnowPositions): Column = {
+    val width = maxPos.toString.length
     val starts = when(size(keys) >= w, sequence(lit(0), size(keys) - w))
       .otherwise(array().cast("array<int>"))
     val sels = transform(starts, s => array_min(slice(keys, s + 1, lit(w))))
     array_distinct(transform(sels, sk => struct(
-      (lit(9999999) - substring(sk, 34, 7).cast("int")).as("sel_pos"),
+      (lit(maxPos) - substring(sk, 34, width).cast("int")).as("sel_pos"),
       substring(sk, 1, 32).as("fp"))))
   }
 

@@ -80,9 +80,12 @@ object StreamingEmbeddingNearDup {
               // own event time — not once per batch against the batch
               // max, which would let same-batch rows pair regardless of
               // their event-time distance and evict entries still valid
-              // for early-in-batch rows.
+              // for early-in-batch rows. SYMMETRIC window: a late row
+              // must not pair with posting entries farther than
+              // retention in the FUTURE either, else out-of-order
+              // arrival changes which pairs exist.
               posting.foreach { case (oid, ov, ots) =>
-                if (oid != id && ots >= ts.getTime - retentionMs)
+                if (oid != id && math.abs(ots - ts.getTime) <= retentionMs)
                   cosine(v, ov).foreach { s =>
                     if (s >= threshold)
                       out += EmbNearDupPair(math.min(oid, id),

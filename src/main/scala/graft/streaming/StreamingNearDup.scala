@@ -100,9 +100,12 @@ object StreamingNearDup {
             // event time (the reference's dedup window): a batch-max
             // pre-filter would both admit same-batch pairs farther apart
             // than retention and evict entries still valid for
-            // early-in-batch rows.
+            // early-in-batch rows. SYMMETRIC window: a late row must not
+            // pair with posting entries farther than retention in the
+            // FUTURE either, else out-of-order arrival changes which
+            // pairs exist.
             posting.foreach { case (oid, ots) =>
-              if (oid != id && ots >= ts.getTime - retentionMs)
+              if (oid != id && math.abs(ots - ts.getTime) <= retentionMs)
                 out += NearDupPair(math.min(oid, id), math.max(oid, id), ts)
             }
             posting = (id, ts.getTime) :: posting

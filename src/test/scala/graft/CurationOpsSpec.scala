@@ -231,4 +231,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(skipped.count() === 0, "always the LATEST in-window click")
     out.unpersist(); ev.unpersist()
   }
+
+  test("winnow position cap: over-cap document raises, at-cap encodes correctly") {
+    import spark.implicits._
+    // maxPos=99 (2-digit sortkeys) makes the guard testable without a
+    // 10M-token row; the production default is MaxWinnowPositions.
+    val atCap = (1 to 103).map(i => s"t$i").mkString(" ")   // 100 positions (k=4)
+    val overCap = (1 to 104).map(i => s"t$i").mkString(" ") // 101 positions
+    def run(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+      .select(TextAnalysis.winnowKeys(split(col("text"), " "), k = 4, maxPos = 99).as("wkeys"))
+      .select(explode(TextAnalysis.winnowSelections(col("wkeys"), w = 4, maxPos = 99)).as("sel"))
+      .select(col("sel.sel_pos")).as[Int].collect()
+
+    val pos = run(atCap)
+    assert(pos.nonEmpty && pos.forall(p => p >= 0 && p <= 99))
+    // positions decode in order (no lexicographic corruption at the edge):
+    // selection at the final window must be the max position selected.
+    assert(pos.max <= 99)
+
+    val e = intercept[Exception] { run(overCap) }
+    assert(e.getMessage != null && e.getMessage.contains("chunk the document"),
+      s"expected the winnow cap error, got: ${e.getMessage}")
+
+    // the default cap leaves ordinary documents untouched.
+    val normal = TextAnalysis.winnow(
+      Seq((1L, (1 to 50).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(normal.count() > 0)
+  }
 }

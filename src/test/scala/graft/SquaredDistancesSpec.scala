@@ -80,4 +80,22 @@ class SquaredDistancesSpec extends SparkSpec {
         .select(SquaredDistances(col("v"), cents)).collect()
     }
   }
+
+  test("value equality over the centroid matrix: semanticEquals and CSE hold") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // two structurally-equal but reference-distinct matrices — array
+    // reference equality would make these expressions never equal,
+    // defeating subexpression elimination and exchange reuse.
+    def mat() = Array.tabulate(4, 8)((i, j) => i * 0.5 + j * 0.25)
+    val v = AttributeReference("v", ArrayType(DoubleType))()
+    val e1 = graft.functions.SquaredDistances(v, mat())
+    val e2 = graft.functions.SquaredDistances(v, mat())
+    assert(e1 == e2, "deep value equality over the matrix")
+    assert(e1.hashCode() == e2.hashCode())
+    assert(e1.semanticEquals(e2), "semanticEquals must see through the matrix")
+    val other = graft.functions.SquaredDistances(
+      v, Array.tabulate(4, 8)((i, j) => i * 0.5 + j * 0.25 + 1))
+    assert(!(e1 == other), "different matrices must not compare equal")
+  }
 }

@@ -98,6 +98,33 @@ class StreamingEmbeddingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late vector does not pair with posting entries beyond retention in the FUTURE") {
+    // regression: symmetric retention. A late row probing with its own
+    // (old) event time must not match posting entries written hours
+    // ahead of it.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamVec]
+    val pairs = StreamingEmbeddingNearDup.pairs(
+      in.toDF().withWatermark("ts", "6 hours"), // generous lateness so the late row reaches the operator
+      "vec_id", "embedding", "ts",
+      retentionMs = 60 * 1000L, threshold = 0.95, nBits = 6, dim = dim)
+    val q = pairs.writeStream.format("memory").queryName("send_late")
+      .outputMode("append").start()
+    try {
+      in.addData(StreamVec(1L, vec(7), ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      in.addData(StreamVec(2L, jitter(vec(7), 1e-4), ts("2024-01-01 00:00:20"))) // 2h late
+      q.processAllAvailable()
+      in.addData(StreamVec(3L, jitter(vec(7), 2e-4), ts("2024-01-01 01:59:30"))) // in-window late
+      q.processAllAvailable()
+      val got = spark.table("send_late").select("a", "b")
+        .as[(Long, Long)].collect().toSet
+      assert(!got.contains((1L, 2L)),
+        s"late vector paired with an entry 2h in its future: $got")
+      assert(got.contains((1L, 3L)), s"in-window late pair missed: $got")
+    } finally q.stop()
+  }
+
   test("zero-norm vectors never pair (cosine undefined, not NaN-greedy)") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[StreamVec]

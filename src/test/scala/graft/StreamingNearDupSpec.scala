@@ -131,6 +131,35 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late row does not pair with posting entries beyond retention in the FUTURE") {
+    // regression: retention must be symmetric. A late-arriving row probes
+    // with its own (old) event time; posting entries written hours AHEAD
+    // of it are outside the dedup window just as entries hours behind are.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val pairs = StreamingNearDup.pairs(
+      in.toDF().withWatermark("ts", "6 hours"), // generous lateness so the late row reaches the operator
+      "doc_id", "text", "ts", retentionMs = 60 * 1000L) // 1 minute
+    val q = pairs.writeStream.format("memory").queryName("snd_late")
+      .outputMode("append").start()
+    try {
+      in.addData(StreamDoc(1L, base, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      // a LATE near-dup ~2h BEHIND the posting entry: must NOT pair.
+      in.addData(StreamDoc(2L, nearDup, ts("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      // a late row within retention of the posting entry still pairs.
+      in.addData(StreamDoc(3L, nearDup, ts("2024-01-01 01:59:30")))
+      q.processAllAvailable()
+
+      val got = spark.table("snd_late").select("a", "b")
+        .as[(Long, Long)].collect().toSet
+      assert(!got.contains((1L, 2L)),
+        s"late row paired with a posting entry ${"2h"} in its future: $got")
+      assert(got.contains((1L, 3L)), s"in-window late pair missed: $got")
+    } finally q.stop()
+  }
+
   test("batch analog agrees: streaming pairs ⊆ batch candidate pairs") {
     val docs = Seq((1L, base), (2L, other), (3L, nearDup))
       .toDF("doc_id", "text")
