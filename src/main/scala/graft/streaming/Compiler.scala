@@ -122,4 +122,33 @@ object Compiler {
     case Sliding(_, _, s) => if (s) "update" else "append"
     case _                => "append"
   }
+
+  /** MessageGraph analog (reference `rust/serving/src/app/tracker.rs`):
+    * the set of sink vertices a request entering at `source` can reach —
+    * the per-request path set an SSE stream must await. Derived from the
+    * spec's edges, so callers no longer declare `paths` by hand.
+    *
+    * An edge whose condition can ONLY be satisfied by DROP-tagged
+    * messages is unreachable: DROP-tagged messages are discarded before
+    * forwarding (forward.rs:9-28, message.rs:411-415), so no message ever
+    * matches such a condition on a live edge. Sinks reachable only
+    * through one are excluded — an SSE stream must not wait on a branch
+    * the DAG can never route to. */
+  def servingPaths(spec: PipelineSpec, source: String): Set[String] = {
+    def forwardable(e: Edge): Boolean = e.condition.forall { c =>
+      c.operator match {
+        // and: requiring the DROP tag means only discarded messages match.
+        case "and" => !c.values.contains(graft.model.Tags.Drop)
+        // or: dead only if EVERY alternative is the DROP tag.
+        case "or"  => !(c.values.nonEmpty && c.values.forall(_ == graft.model.Tags.Drop))
+        // not: matches untagged messages; always live.
+        case _     => true
+      }
+    }
+    val seen = mutable.Set[String]()
+    def walk(n: String): Unit = if (seen.add(n))
+      spec.outgoing(n).filter(forwardable).foreach(e => walk(e.to))
+    walk(source)
+    spec.vertices.collect { case SinkV(n) if seen(n) => n }.toSet
+  }
 }

@@ -44,7 +44,24 @@ import graft.streaming.UdSource.MemoryGraftSource
   */
 final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
                             sseIdleMs: Long = 2000,
-                            paths: Set[String] = Set.empty) extends AutoCloseable {
+                            declaredPaths: Set[String] = Set.empty) extends AutoCloseable {
+
+  /** Tracked DAG paths. Caller-declared via the constructor, or — the
+    * reference's MessageGraph shape — DERIVED from the pipeline spec via
+    * [[track]]. Volatile: set once at wiring time, read by HTTP threads. */
+  @volatile private var paths: Set[String] = declaredPaths
+
+  /** Derive the tracked path set from the pipeline spec (tracker.rs
+    * analog): every sink vertex reachable from `sourceVertex`, excluding
+    * branches only reachable through DROP-only edge conditions. Call
+    * after building the spec, before serving traffic. */
+  def track(spec: graft.model.Pipeline.PipelineSpec, sourceVertex: String): this.type = {
+    paths = Compiler.servingPaths(spec, sourceVertex)
+    this
+  }
+
+  /** The tracked path set (for assertions/ops introspection). */
+  def trackedPaths: Set[String] = paths
 
   /** The serving source: requests enter the DAG here (keys = [requestId]). */
   val source = new MemoryGraftSource(1)

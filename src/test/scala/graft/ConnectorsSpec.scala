@@ -290,12 +290,30 @@ class ConnectorsSpec extends SparkSpec {
   }
 
   test("serving: tracked SSE waits for the slow DAG path (MessageGraph analog)") {
-    // Two declared paths; the slow branch answers ~5 idle windows after
-    // the fast one. Close-on-idle would cut the stream after sseIdleMs of
-    // quiet; the path tracker must keep it open until BOTH branches
-    // report, then close promptly (well before syncTimeout).
+    // Paths are DERIVED from the pipeline spec (tracker.rs), not declared:
+    // the slow branch answers ~5 idle windows after the fast one.
+    // Close-on-idle would cut the stream after sseIdleMs of quiet; the
+    // path tracker must keep it open until BOTH live branches report,
+    // then close promptly (well before syncTimeout) — and must NOT await
+    // the DROP-routed audit branch, which no message can ever reach.
+    import graft.model.Pipeline._
+    import graft.ops.Routing.TagCondition
     val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000,
-      sseIdleMs = 500, paths = Set("fast", "slow"))
+      sseIdleMs = 500) // note: no caller-declared paths
+    val spec = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", UdSource.readStream(spark, serving.sourceName), "eventTime"),
+        MapV("router", df => df),
+        SinkV("fast"), SinkV("slow"), SinkV("audit")),
+      edges = Seq(
+        Edge("in", "router"),
+        Edge("router", "fast"), Edge("router", "slow"),
+        // DROP-only condition: messages carrying the DROP tag are
+        // discarded before forwarding, so this branch is dead.
+        Edge("router", "audit", Some(TagCondition(Seq(graft.model.Tags.Drop))))))
+    serving.track(spec, "in")
+    assert(serving.trackedPaths === Set("fast", "slow"),
+      "audit must be excluded or the SSE close would hang to the deadline")
     val fastSink = serving.pathServeSink("fast",
       b => b.select(col("keys")(0).as("rid"),
         concat(lit("fast:"), col("value").cast("string")).as("resp")),

@@ -66,4 +66,31 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(Compiler.addDurations("30 seconds", "10 seconds") === "40000 milliseconds")
     assert(Compiler.addDurations("1 minute", "0 seconds") === "60000 milliseconds")
   }
+
+  test("servingPaths derives reachable sinks, excluding DROP-only branches") {
+    import graft.model.Tags
+    // in -> router -> {fast, slow via hop, audit (DROP-only: dead),
+    //                  maybe (or(DROP, x): live), inverted (not(DROP): live)}
+    // plus an orphan sink with no path from the source.
+    val g = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", eventsDf, "ts"),
+        MapV("router", df => df), MapV("hop", df => df),
+        SinkV("fast"), SinkV("slow"), SinkV("audit"), SinkV("maybe"),
+        SinkV("inverted"), SinkV("orphan")),
+      edges = Seq(
+        Edge("in", "router"),
+        Edge("router", "fast"),
+        Edge("router", "hop"), Edge("hop", "slow"),
+        Edge("router", "audit", Some(TagCondition(Seq(Tags.Drop)))), // or(DROP): dead
+        Edge("router", "maybe", Some(TagCondition(Seq(Tags.Drop, "x")))), // or(DROP,x): live
+        Edge("router", "inverted", Some(TagCondition(Seq(Tags.Drop), "not"))))) // live
+    assert(Compiler.servingPaths(g, "in") ===
+      Set("fast", "slow", "maybe", "inverted"))
+    // and(DROP, x) requires the discarded tag -> dead.
+    val andDead = g.copy(edges = g.edges.map(e =>
+      if (e.to == "maybe") e.copy(condition = Some(TagCondition(Seq(Tags.Drop, "x"), "and")))
+      else e))
+    assert(Compiler.servingPaths(andDead, "in") === Set("fast", "slow", "inverted"))
+  }
 }
