@@ -321,10 +321,10 @@ object TrainingQueries extends QueryPack {
         "doc_id", "text", w = 3, modulus = 32)
     },
 
-    // greedy per-shard sequence packing — imperative typed op, not
-    // SQL-expressible; driver records a rows-only check (bin composition
-    // is deterministic: sorted-id first-fit inside pmod shards). Spec
-    // asserts the bin-capacity and completeness laws.
+    // greedy per-shard FIRST-fit sequence packing — the oracle replays the
+    // fold with a recursive CTE carrying the open-bin load list, so the
+    // query is hash-checked end to end; the spec additionally asserts the
+    // bin-capacity and completeness laws.
     "pack_bins" -> { (s, dir) =>
       import s.implicits._
       val toks = Tables.documents(s, dir)
@@ -1032,6 +1032,34 @@ object TrainingQueries extends QueryPack {
         |  SELECT d.shard, d.rn, d.id, d.n,
         |    CASE WHEN s.load + d.n <= 256 THEN s.bin_idx ELSE s.bin_idx + 1 END,
         |    CASE WHEN s.load + d.n <= 256 THEN s.load + d.n ELSE d.n END
+        |  FROM step s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1)
+        |SELECT CAST(shard AS BIGINT) AS bin_key, bin_idx,
+        |  string_agg(id, ',' ORDER BY id) AS ids,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM step GROUP BY shard, bin_idx""".stripMargin,
+    // FIRST-fit replayed row-for-row: the recursive CTE carries the whole
+    // open-bin load LIST through the per-shard fold; each doc goes to the
+    // first bin it fits (list_position over loads+n<=cap, 1-based; DuckDB
+    // returns 0 for not-found) or appends a new bin — exactly
+    // CorpusOps.packGreedy's indexWhere/append inside one task per shard.
+    "pack_bins" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id AS id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |step AS (
+        |  SELECT shard, rn, id, n, 0 AS bin_idx, [n] AS loads FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.id, d.n,
+        |    CAST(coalesce(nullif(list_position(list_transform(s.loads, l -> l + d.n <= 256), true), 0),
+        |                  len(s.loads) + 1) - 1 AS INT) AS bin_idx,
+        |    CASE WHEN coalesce(list_position(list_transform(s.loads, l -> l + d.n <= 256), true), 0) = 0
+        |         THEN list_append(s.loads, d.n)
+        |         ELSE s.loads[1:list_position(list_transform(s.loads, l -> l + d.n <= 256), true)-1]
+        |              || [s.loads[list_position(list_transform(s.loads, l -> l + d.n <= 256), true)] + d.n]
+        |              || s.loads[list_position(list_transform(s.loads, l -> l + d.n <= 256), true)+1:]
+        |    END AS loads
         |  FROM step s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1)
         |SELECT CAST(shard AS BIGINT) AS bin_key, bin_idx,
         |  string_agg(id, ',' ORDER BY id) AS ids,
