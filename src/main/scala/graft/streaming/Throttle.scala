@@ -41,6 +41,49 @@ object Throttle {
     def activeProcessors(nowMs: Long): Seq[String]
   }
 
+  /** File-backed shared store: the DURABLE out-of-process analog of the
+    * reference's Redis store (`rust/numaflow-throttling/src/state.rs`)
+    * for environments with a shared filesystem (NFS/EFS/object-store
+    * mount — the standard shared surface a Spark cluster already has for
+    * checkpoints). One file per member under `dir`, content = last
+    * heartbeat millis. Writes go through temp-file + ATOMIC_MOVE, so
+    * concurrent members in different JVMs never observe torn state;
+    * reads that race a deregister are treated as dead members. Membership
+    * survives process restart — a rejoining member overwrites its own
+    * file and resumes, exactly the Redis-key-with-TTL lifecycle. */
+  final class FileStore(dir: java.nio.file.Path, ttlMs: Long = 5000) extends SharedStore {
+    import java.nio.file.{Files, StandardCopyOption}
+    Files.createDirectories(dir)
+    // member id -> filename, filesystem-safe
+    private def f(id: String) =
+      dir.resolve(java.net.URLEncoder.encode(id, "UTF-8") + ".beat")
+    private def write(id: String, nowMs: Long): Unit = {
+      val tmp = Files.createTempFile(dir, ".w", ".tmp")
+      Files.writeString(tmp, nowMs.toString)
+      Files.move(tmp, f(id), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    def register(id: String, nowMs: Long): Unit = write(id, nowMs)
+    def heartbeat(id: String, nowMs: Long): Unit = write(id, nowMs)
+    def deregister(id: String): Unit = Files.deleteIfExists(f(id))
+    def activeProcessors(nowMs: Long): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".beat"))
+        .flatMap { p =>
+          try {
+            val beat = Files.readString(p).trim.toLong
+            if (nowMs - beat <= ttlMs)
+              Some(java.net.URLDecoder.decode(
+                p.getFileName.toString.stripSuffix(".beat"), "UTF-8"))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None } // raced a deregister
+        }.toSeq.sorted
+      finally s.close()
+    }
+  }
+
   /** In-memory store fake: single-JVM stand-in for the Redis store, with
     * real TTL aging so partition/death rebalancing is testable. */
   final class InMemoryStore(ttlMs: Long = 5000) extends SharedStore {

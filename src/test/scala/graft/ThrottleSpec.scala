@@ -82,4 +82,55 @@ class ThrottleSpec extends AnyFunSuite {
     l.depositUnused(4)
     assert(l.acquire(10, 20) === 4) // only the returned tokens re-issue
   }
+
+  // ---- durable FileStore: same consensus semantics, out-of-process ------
+
+  private def tmpStoreDir() =
+    java.nio.file.Files.createTempDirectory("throttle-store")
+
+  test("FileStore: two members with SEPARATE store instances reach consensus") {
+    // each member binds its OWN FileStore over the shared directory —
+    // the two-process shape (no shared JVM state, only the filesystem).
+    val dir = tmpStoreDir()
+    val a = new PooledRateLimiter(new Throttle.FileStore(dir), "a",
+      min = 100, max = 100, rampUpEpochs = 0)
+    val b = new PooledRateLimiter(new Throttle.FileStore(dir), "b",
+      min = 100, max = 100, rampUpEpochs = 0)
+    assert(a.acquire(1000, 0) === 50)
+    assert(b.acquire(1000, 0) === 50)
+    assert(a.acquire(1, 500) === 0) // share exhausted within epoch
+    b.shutdown()
+    assert(a.acquire(1000, 1000) === 100) // survivor takes the whole pool
+  }
+
+  test("FileStore: GoBackN re-ramp with a two-member pool across instances") {
+    val dir = tmpStoreDir()
+    val g = new PooledRateLimiter(new Throttle.FileStore(dir), "g",
+      min = 10, max = 20, rampUpEpochs = 5, mode = RateLimit.GoBackN)
+    val h = new PooledRateLimiter(new Throttle.FileStore(dir), "h",
+      min = 10, max = 20, rampUpEpochs = 5, mode = RateLimit.GoBackN)
+    (0 to 3).foreach { e => g.acquire(1000, e * 1000L); h.acquire(1000, e * 1000L) }
+    assert(g.globalAllowance === 16.0)
+    g.onFailure() // g re-ramps ITS view from the floor
+    assert(g.acquire(1000, 4000) === 6)  // (10 + one climb of 2) / 2 members
+    assert(h.acquire(1000, 4000) === 9)  // h unaffected: 18 / 2
+  }
+
+  test("FileStore: TTL aging and restart survival") {
+    val dir = tmpStoreDir()
+    val a = new PooledRateLimiter(new Throttle.FileStore(dir, ttlMs = 3000), "a",
+      min = 100, max = 100, rampUpEpochs = 0)
+    new PooledRateLimiter(new Throttle.FileStore(dir, ttlMs = 3000), "dead",
+      min = 100, max = 100, rampUpEpochs = 0)
+    assert(a.acquire(1000, 0) === 50)     // both alive
+    assert(a.acquire(1000, 4000) === 100) // dead aged out
+
+    // restart: a NEW store instance over the same directory still sees
+    // the membership a's heartbeats persisted (Redis-key durability).
+    val restarted = new Throttle.FileStore(dir, ttlMs = 3000)
+    assert(restarted.activeProcessors(4000) === Seq("a"))
+    // ids needing filename-escaping round-trip unscathed
+    restarted.register("weird/id:1", 4000)
+    assert(restarted.activeProcessors(4000) === Seq("a", "weird/id:1"))
+  }
 }
