@@ -37,15 +37,23 @@ object Scale {
                    keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(left).join(spark.table(right), keys, joinType)
 
-  /** Skew-salted equi-join: `big` (skewed) gets a random salt in
-    * [0, saltFactor); `small` is replicated across every salt value; the
-    * join key becomes (key, salt). Row multiplication is saltFactor ×
-    * |small| — bounded and chosen by the caller. Result set is identical
-    * to the unsalted join (salt is dropped). */
+  /** Skew-salted equi-join: `big` (skewed) gets a salt in [0, saltFactor);
+    * `small` is replicated across every salt value; the join key becomes
+    * (key, salt). Row multiplication is saltFactor × |small| — bounded and
+    * chosen by the caller. Result set is identical to the unsalted join
+    * (salt is dropped).
+    *
+    * The salt is DETERMINISTIC — xxhash64 over the big side's columns —
+    * so a rerun, a task retry, or a differently-partitioned input
+    * produces the identical salt assignment (rand(seed) is seeded PER
+    * PARTITION and changes with layout). Within a hot key the hash
+    * varies with the remaining columns, splitting the key across
+    * saltFactor reducers; fully identical rows share a salt, which can
+    * only affect balance, never correctness. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     val salted = big.withColumn("__salt",
-      (rand(42) * saltFactor).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

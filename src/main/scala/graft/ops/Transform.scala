@@ -35,20 +35,40 @@ object Transform {
     * message still flows, the reducer decides. Spark has no in-plan
     * "current watermark" expression, so the marker runs per micro-batch in
     * foreachBatch: the watermark is carried across batches driver-side (the
-    * same place the reference's source tracks it). Costs one extra max()
-    * scan of each (source-sized, pre-fanout) batch. */
+    * same place the reference's source tracks it).
+    *
+    * The batch's max event time rides along as a `Dataset.observe` metric
+    * on the caller's OWN write pass — no separate agg().collect() job, so
+    * marking adds zero extra scans. Protocol per batch: `mark(batch)` →
+    * run the terminal action on the returned frame → `commit()`. */
   final class LateMarker(tsCol: String, maxDelayMs: Long) extends Serializable {
     @volatile private var maxSeenMs: Long = Long.MinValue
+    private var pending: Option[org.apache.spark.sql.Observation] = None
+    private var seq = 0L
 
-    /** Flag `batch` against the watermark of PRIOR batches, then fold this
-      * batch's max event time into the tracked state. */
+    /** Flag `batch` against the watermark of PRIOR batches and attach the
+      * batch-max observation. Call [[commit]] after the action. */
     def mark(batch: DataFrame): DataFrame = {
       val wm = if (maxSeenMs == Long.MinValue) Long.MinValue else maxSeenMs - maxDelayMs
-      val flagged = batch.withColumn("is_late",
-        unix_millis(col(tsCol)) < lit(wm))
-      val batchMax = batch.agg(max(unix_millis(col(tsCol)))).collect().head
-      if (!batchMax.isNullAt(0)) maxSeenMs = math.max(maxSeenMs, batchMax.getLong(0))
-      flagged
+      seq += 1
+      val obs = org.apache.spark.sql.Observation(s"late-marker-$seq")
+      pending = Some(obs)
+      batch.observe(obs, max(unix_millis(col(tsCol))).as("max_ts"))
+        .withColumn("is_late", unix_millis(col(tsCol)) < lit(wm))
+    }
+
+    /** Fold the batch max observed during the caller's action into the
+      * cross-batch watermark state. Blocks until the action that consumed
+      * [[mark]]'s result has completed (Observation.get semantics) — call
+      * it right after the write, exactly once per mark. */
+    def commit(): Unit = {
+      pending.foreach { obs =>
+        obs.get.get("max_ts") match {
+          case Some(m: Long) => maxSeenMs = math.max(maxSeenMs, m)
+          case _ => // empty batch: no event time observed
+        }
+      }
+      pending = None
     }
   }
 

@@ -78,6 +78,31 @@ final class StatusApi(port: Int) extends AutoCloseable {
     }.mkString("[", ",", "]")
   }
 
+  /** Per-vertex processing rates over trailing lookback windows — the
+    * daemon rater (reference `pkg/daemon/server/service/rater/rater.go`:
+    * timestamped count store, rate = Σ counts in window / window seconds).
+    * Here the count store is the engine's own retained
+    * StreamingQueryProgress history (`recentProgress`, ~100 batches), so
+    * no extra bookkeeping thread is needed. */
+  private def ratesJson: String = {
+    import scala.jdk.CollectionConverters._
+    val nowMs = System.currentTimeMillis()
+    def rate(q: StreamingQuery, windowMs: Long): Double = {
+      val cutoff = nowMs - windowMs
+      val rows = q.recentProgress.toSeq.flatMap { p =>
+        try {
+          if (java.time.Instant.parse(p.timestamp).toEpochMilli >= cutoff)
+            Some(p.numInputRows)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.sum
+      rows.toDouble / (windowMs / 1000.0)
+    }
+    queries.asScala.toSeq.sortBy(_._1).map { case (name, q) =>
+      s"""${jstr(name)}:{"1m":${rate(q, 60000L)},"5m":${rate(q, 300000L)}}"""
+    }.mkString("{", ",", "}")
+  }
+
   private def errorsJson: String = {
     import scala.jdk.CollectionConverters._
     // terminal query failures (StreamingQuery.exception) + reported errors
@@ -108,6 +133,7 @@ final class StatusApi(port: Int) extends AutoCloseable {
     route("/watermarks")(() => watermarksJson)
     route("/pending")(() => pendingJson)
     route("/buffers")(() => buffersJson)
+    route("/rates")(() => ratesJson)
     route("/errors")(() => errorsJson)
     s.start()
     s

@@ -161,6 +161,29 @@ class ScaleSpec extends SparkSpec {
       .select("key", "v", "w").collect().map(_.toSeq).sortBy(_.toString)
     assert(salted.toSeq === plain.toSeq)
     assert(plain.length === 900 + 2) // 900 HOT matches + k10 + k20
+
+    // the salt splits the hot key across buckets (it actually de-skews)
+    val saltSpread = big.withColumn("__salt",
+        pmod(xxhash64(big.columns.map(col): _*), lit(8)).cast("int"))
+      .where(col("key") === "HOT").select("__salt").distinct().count()
+    assert(saltSpread > 4, s"hot key only reached $saltSpread of 8 salt buckets")
+  }
+
+  test("salted join is deterministic across different input partition layouts") {
+    // rand(seed) is seeded per PARTITION: the same row salts differently
+    // when the input is repartitioned, breaking resumable-run determinism.
+    // The xxhash64 salt is a pure row function — layout-independent.
+    val rows = (1 to 400).map(i => (if (i % 4 == 0) s"k$i" else "HOT", i))
+    val small = Seq(("HOT", "h"), ("k4", "a")).toDF("key", "w")
+    def saltsOf(parts: Int) = Scale
+      .saltedJoin(rows.toDF("key", "v").repartition(parts), small, "key", saltFactor = 8)
+      .select("key", "v", "w").collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(saltsOf(2) === saltsOf(13))
+    // and the salt assignment itself is identical, not just the result set
+    def saltAssignment(parts: Int) = rows.toDF("key", "v").repartition(parts)
+      .withColumn("__salt", pmod(xxhash64(col("key"), col("v")), lit(8)).cast("int"))
+      .select("v", "__salt").as[(Int, Int)].collect().toMap
+    assert(saltAssignment(2) === saltAssignment(13))
   }
 
   test("stream-stream interval join matches only within the time bound") {

@@ -88,10 +88,13 @@ class StreamingOpsSpec extends SparkSpec {
   }
 
   test("T2: late marker flags rows below max-seen-event-time minus delay") {
+    // mark → action → commit: the batch max rides the action's own pass
+    // as an observation (no separate agg().collect() job).
     val marker = new Transform.LateMarker("ts", maxDelayMs = 10000)
     val b1 = Seq((ts("2024-01-01 00:01:00"), "x")).toDF("ts", "v")
     // first batch: no watermark yet, nothing late
     assert(marker.mark(b1).where(col("is_late")).count() === 0)
+    marker.commit()
 
     // second batch: wm = 00:01:00 - 10s = 00:00:50; one row below it
     val b2 = Seq(
@@ -99,7 +102,19 @@ class StreamingOpsSpec extends SparkSpec {
       (ts("2024-01-01 00:00:55"), "in-grace"),
       (ts("2024-01-01 00:02:00"), "fresh")).toDF("ts", "v")
     val flagged = marker.mark(b2).select("v", "is_late").as[(String, Boolean)].collect().toMap
+    marker.commit()
     assert(flagged === Map("late" -> true, "in-grace" -> false, "fresh" -> false))
+
+    // an empty batch commits without advancing (or hanging on) the state
+    val b3 = spark.emptyDataFrame
+      .withColumn("ts", lit(null).cast("timestamp")).withColumn("v", lit(""))
+      .where(lit(false))
+    assert(marker.mark(b3.select("ts", "v")).count() === 0)
+    marker.commit()
+    val b4 = Seq((ts("2024-01-01 00:00:40"), "still-late")).toDF("ts", "v")
+    val f4 = marker.mark(b4).select("is_late").as[Boolean].collect()
+    marker.commit()
+    assert(f4 === Array(true), "watermark survived the empty batch")
   }
 
   test("X3: ordered mode pins keys to partitions in arrival order") {
@@ -209,6 +224,15 @@ class StreamingOpsSpec extends SparkSpec {
       assert(errs.contains("\"vertex\":\"udf-vertex\"") &&
         errs.contains("\"code\":\"UDF_ERROR\"") &&
         errs.contains("\"message\":\"boom at row 7\""))
+      // daemon rater parity: /rates computes 1m/5m rates from the
+      // retained progress history; the row just processed is in-window.
+      val rates = getJson("/rates")
+      assert(rates.contains("\"p1\":{\"1m\":"), rates)
+      val r1m = "\"1m\":([0-9.E-]+)".r.findFirstMatchIn(rates).get.group(1).toDouble
+      val r5m = "\"5m\":([0-9.E-]+)".r.findFirstMatchIn(rates).get.group(1).toDouble
+      assert(r1m > 0.0, s"1m rate must see the processed row: $rates")
+      assert(math.abs(r1m - 5 * r5m) < 1e-9,
+        s"same in-window rows over 5x the window: $rates")
     } finally { q.stop(); api.close() }
   }
 
