@@ -109,8 +109,50 @@ object AggQueries extends QueryPack {
         .agg(graft.functions.KmvDistinct.onMd5(col("user_id"), 128)
             .as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+    },
+
+    // Engine-portable HyperLogLog (Flajolet 2007), hash-checked end to
+    // end — the deterministic twin of agg_hll's native sketch. Registers
+    // are md5-derived (bucket = first 8 hash bits, rank = 53 − bit-length
+    // of the next 52 bits), the harmonic sum is EXACT integer arithmetic
+    // (Σ 2^(52−Mj) scaled by 2^52, ≤ 2^60 so BIGINT-safe), and the only
+    // float ops are one division by an injected literal numerator and a
+    // small-range lookup into an injected ln-table — no libm divergence
+    // between engines, so the approximate estimate itself hashes equal.
+    // Scale shape: one partial+final hash-agg to ≤256 registers per
+    // group, then a group-sized fold — the same two-level shape the
+    // native HLL uses.
+    "agg_hll_md5" -> { (s, dir) =>
+      val h = md5(col("user_id").cast("string"))
+      val regs = Tables.events(s, dir)
+        .select(col("event_type"),
+          conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
+          (lit(53) - length(conv(substring(h, 3, 13), 16, 2))).as("rank"))
+        .groupBy("event_type", "bucket")
+        .agg(max("rank").as("mj"))
+      val lnTable = array(HllLnTable.map(lit): _*)
+      val agg = regs.groupBy("event_type")
+        .agg((sum(expr("shiftleft(1L, 52 - mj)")) +
+            (lit(256L) - count(lit(1))) * lit(1L << 52)).as("vscaled"),
+          (lit(256) - count(lit(1))).cast("int").as("n_empty"))
+      val rawE = lit(HllNumerator) / col("vscaled").cast("double")
+      agg.select(col("event_type"),
+        when(col("n_empty") > 0 && rawE <= 640.0,
+          element_at(lnTable, col("n_empty"))).otherwise(rawE)
+          .as("approx_users"),
+        col("n_empty"))
     }
   )
+
+  /** HLL constants, injected IDENTICALLY into the Spark plan and the
+    * DuckDB oracle so both engines run the same literal arithmetic:
+    * numerator = α₂₅₆ · m² · 2⁵² (one double division per group), and the
+    * small-range table 256·ln(256/z) for z empty buckets (indexes the
+    * branch E ≤ 2.5m, avoiding cross-engine libm ln differences). */
+  private[queries] val HllNumerator: Double =
+    0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0 * 4503599627370496.0
+  private[queries] val HllLnTable: IndexedSeq[Double] =
+    (1 to 256).map(z => 256.0 * math.log(256.0 / z))
 
   val oracles: Map[String, String] = Map(
     "agg_stats" ->
@@ -176,6 +218,25 @@ object AggQueries extends QueryPack {
         |    END AS BIGINT) AS approx_users,
         |  CAST(max(ex.exact_users) AS BIGINT) AS exact_users
         |FROM r JOIN ex ON ex.event_type = r.event_type
-        |GROUP BY r.event_type""".stripMargin
+        |GROUP BY r.event_type""".stripMargin,
+    // HLL replay with the SAME injected constants as the Spark plan:
+    // identical md5 registers, identical scaled-integer harmonic sum,
+    // identical literal numerator and ln-table — estimate hashes equal.
+    "agg_hll_md5" ->
+      s"""WITH h AS (SELECT event_type,
+         |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,2)) AS INT) AS bucket,
+         |    53 - length(bin(CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),3,13)) AS BIGINT))) AS rank
+         |  FROM events),
+         |regs AS (SELECT event_type, bucket, max(rank) AS mj FROM h GROUP BY 1, 2),
+         |agg AS (SELECT event_type,
+         |    sum((1::BIGINT) << (52 - mj)) + (256 - count(*)) * ((1::BIGINT) << 52) AS vscaled,
+         |    CAST(256 - count(*) AS INT) AS n_empty
+         |  FROM regs GROUP BY event_type)
+         |SELECT event_type,
+         |  CASE WHEN n_empty > 0 AND $HllNumerator / CAST(vscaled AS DOUBLE) <= 640.0
+         |       THEN ([${HllLnTable.mkString(", ")}])[n_empty]
+         |       ELSE $HllNumerator / CAST(vscaled AS DOUBLE) END AS approx_users,
+         |  n_empty
+         |FROM agg""".stripMargin
   )
 }
