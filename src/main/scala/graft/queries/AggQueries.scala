@@ -62,12 +62,17 @@ object AggQueries extends QueryPack {
     },
 
     // exact interpolated percentiles (rounded: the linear interpolation
-    // arithmetic differs from DuckDB's in the last ulp).
+    // arithmetic differs from DuckDB's in the last ulp). One percentile()
+    // call with an ARRAY of quantiles: exact percentile is a
+    // TypedImperativeAggregate holding every (value, count) in its buffer
+    // — two separate calls would build and serialize that buffer twice
+    // (measured ~1.9x slower at sf0.1).
     "agg_percentile" -> { (s, dir) =>
       Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"))
     },
 
     // pivot (wide aggregation): Catalyst rewrites the explicit-value
