@@ -270,17 +270,21 @@ object TrainingQueries extends QueryPack {
     // doc (longest, then smallest id) — the policy layer over clustering;
     // clusters of one keep their only member.
     "dedup_keep_best" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val clusters = Dedup.dupClusters(docs, "doc_id", "text")
       val scored = docs
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .join(clusters, "doc_id")
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("n_tokens").desc, col("doc_id").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_tokens"))
+      // arg-max as ONE hash aggregate over a lexicographic sort-key
+      // struct (longest, then smallest id), not a rank-1 window: the
+      // window sorts every cluster's rows; the aggregate keeps one
+      // constant-size partial per cluster — the shape that survives
+      // clusters with millions of members.
+      scored.groupBy("cluster_id")
+        .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"),
+          col("doc_id").as("kid"))).as("best"))
+        .select(col("cluster_id"), col("best.kid").as("keep_id"),
+          col("best.n_tokens").as("n_tokens"))
     },
 
     // eval-contamination check: near-dup collisions between the TEST
