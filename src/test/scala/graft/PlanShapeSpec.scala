@@ -140,6 +140,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("keep-best is a partial-agg arg-max, never a per-cluster sort window") {
+    // struct-max buffers aren't hash-aggregable so Spark plans
+    // SortAggregate — fine: what matters at scale is that PARTIAL
+    // aggregation collapses each partition to one row per cluster
+    // BEFORE the exchange (a rank-1 window shuffles every row instead).
+    val p = plan("dedup_keep_best")
+    assert(!p.contains("Window"), s"arg-max must stay an aggregate:\n$p")
+    assert(p.contains("partial_max"), s"map-side partial must run pre-shuffle:\n$p")
+  }
+
   test("semdedup pair stage joins the persisted assignment, corpus scans once per side") {
     val p = plan("emb_semdedup")
     // the assignment table is cached: both pair sides and the final
