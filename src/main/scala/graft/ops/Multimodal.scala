@@ -221,6 +221,39 @@ object Multimodal {
     }
   }
 
+  /** Integer-exact PCM stats for one audio payload (all stats are exact
+    * integers, so the operator is oracle-checkable end to end). */
+  final case class PcmStats(id: Long, n_samples: Long, min_s: Int, max_s: Int,
+                            sum_s: Long, sum_abs: Long)
+
+  /** Audio half of the multimodal family: interpret the payload as
+    * little-endian signed 16-bit PCM samples (the WAV/raw-PCM wire
+    * format; a trailing odd byte is ignored, an empty payload yields the
+    * zero row) and fold exact integer sample stats — count, min, max,
+    * sum, sum of absolute values. Same per-partition typed seam as the
+    * image decoders; row-local, zero shuffle, streamable. */
+  def pcmStats(media: Dataset[Row])(implicit spark: SparkSession): Dataset[PcmStats] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val b = rec.media
+        val n = b.length / 2
+        var i = 0
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var sum = 0L; var sabs = 0L
+        while (i < n) {
+          val s = ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toInt
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          sum += s; sabs += math.abs(s)
+          i += 1
+        }
+        if (n == 0) PcmStats(rec.id, 0L, 0, 0, 0L, 0L)
+        else PcmStats(rec.id, n.toLong, mn, mx, sum, sabs)
+      }
+    }
+  }
+
   /** One resized record: id + fixed-length resampled payload. */
   final case class Resized(id: Long, resized: Array[Byte])
 

@@ -484,6 +484,16 @@ object TrainingQueries extends QueryPack {
     "mm_resize_px" -> { (s, dir) =>
       implicit val spark = s
       Multimodal.resizeImage(bmpMedia(s, dir), outW = 2, outH = 2).toDF()
+    },
+
+    // audio half of the multimodal family: payload bytes as little-endian
+    // signed 16-bit PCM, exact integer sample stats — the oracle replays
+    // the byte pairing from the text chars (ASCII, so char == byte).
+    "mm_audio_pcm" -> { (s, dir) =>
+      implicit val spark = s
+      Multimodal.pcmStats(
+        Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("mime", lit("audio/pcm"))).toDF()
     }
   )
 
@@ -1446,6 +1456,26 @@ object TrainingQueries extends QueryPack {
         |  CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
         |  CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
         |  CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b
-        |FROM px GROUP BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id""".stripMargin,
+    // Little-endian int16 pairing replayed from the chars: sample i =
+    // ord(char 2i+1) + 256*ord(char 2i+2), two's complement above 32767;
+    // trailing odd byte ignored; docs under 2 bytes get the zero row.
+    "mm_audio_pcm" ->
+      """WITH sm AS (
+        |  SELECT doc_id, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+        |  FROM (SELECT doc_id, ord(substr(text, CAST(2*i+1 AS INT), 1))
+        |          + 256 * ord(substr(text, CAST(2*i+2 AS INT), 1)) AS v
+        |        FROM (SELECT doc_id, text,
+        |                unnest(range(length(text) // 2)) AS i FROM documents))),
+        |agg AS (SELECT doc_id, count(*) AS n_samples, min(sv) AS mn,
+        |    max(sv) AS mx, sum(sv) AS sm, sum(abs(sv)) AS sa
+        |  FROM sm GROUP BY doc_id)
+        |SELECT d.doc_id AS id,
+        |  CAST(coalesce(a.n_samples, 0) AS BIGINT) AS n_samples,
+        |  CAST(coalesce(a.mn, 0) AS INT) AS min_s,
+        |  CAST(coalesce(a.mx, 0) AS INT) AS max_s,
+        |  CAST(coalesce(a.sm, 0) AS BIGINT) AS sum_s,
+        |  CAST(coalesce(a.sa, 0) AS BIGINT) AS sum_abs
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
   )
 }

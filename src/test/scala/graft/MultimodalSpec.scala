@@ -103,6 +103,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out.sum_b === rgb.map(_._3).sum.toLong)
   }
 
+  test("pcmStats: little-endian signed int16, odd tail ignored, empty is the zero row") {
+    // samples: [0x0001]=1, [0xFF7F]=32767, [0x0080]=-32768, [0xFFFF]=-1;
+    // a 9th byte (odd tail) must be ignored.
+    val payload = Array[Byte](0x01, 0x00, 0xff.toByte, 0x7f, 0x00, 0x80.toByte,
+      0xff.toByte, 0xff.toByte, 0x42)
+    val rows = Multimodal.pcmStats(mediaDF(
+        (1L, payload, "audio/pcm"), (2L, Array.empty[Byte], "audio/pcm")))
+      .collect().map(r => r.id -> r).toMap
+    val p = rows(1L)
+    assert(p.n_samples === 4L)
+    assert(p.min_s === -32768 && p.max_s === 32767)
+    assert(p.sum_s === (1L + 32767L - 32768L - 1L))
+    assert(p.sum_abs === (1L + 32767L + 32768L + 1L))
+    val z = rows(2L)
+    assert(z.n_samples === 0L && z.min_s === 0 && z.max_s === 0 &&
+      z.sum_s === 0L && z.sum_abs === 0L)
+  }
+
   test("decodeFeatures is mime-gated: image/* decodes, text keeps the 4-wide byte contract") {
     val bmp = Multimodal.bmpFromBytes((0 until 48).map(_.toByte).toArray, 4, 4)
     val feats = Multimodal.decodeFeatures(mediaDF(
