@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketches as reusable library operators.
+  *
+  * [[hllMd5]] is an engine-portable HyperLogLog (Flajolet et al. 2007)
+  * built entirely from Catalyst expressions: registers derive from md5
+  * (bucket = first 8 hash bits, rank = 53 − bit-length of the next 52
+  * bits), the harmonic sum stays in EXACT scaled-integer arithmetic
+  * (Σ 2^(52−Mj) ≤ 2^60, BIGINT-safe), and the only float operations are
+  * one division by a precomputed literal numerator plus a small-range
+  * lookup into a precomputed 256·ln(256/z) table — so the approximate
+  * estimate itself is bit-reproducible across engines and runs (the
+  * DuckDB oracle replays it literally; Spark's native
+  * `approx_count_distinct` HLL++ is not portable that way).
+  *
+  * Scale shape: partial+final hash aggregation whose state is the SKETCH
+  * (≤256 registers per group), never the value set — register partials
+  * combine with plain `max` per bucket, so the shuffle carries
+  * sketch-sized rows regardless of input cardinality. Being
+  * expression-only it also runs inside streaming windowed aggregations.
+  *
+  * KMV (bottom-k) lives in `graft.functions.KmvDistinct` as a
+  * TypedImperativeAggregate; this file hosts the expression-level
+  * sketches.
+  */
+object Sketches {
+
+  /** m = 256 buckets (b = 8): standard error ≈ 1.04/√256 ≈ 6.5%. */
+  val HllBuckets = 256
+
+  /** α₂₅₆ · m² · 2⁵² — the raw-estimate numerator, computed once so the
+    * identical double literal lands in the Spark plan and any replaying
+    * oracle SQL. */
+  val HllNumerator: Double =
+    0.7213 / (1 + 1.079 / HllBuckets) * HllBuckets.toDouble * HllBuckets *
+      4503599627370496.0 // 2^52
+
+  /** Small-range correction table m·ln(m/z) for z ∈ [1, m] empty buckets,
+    * precomputed so both engines index the same literals instead of
+    * calling their own libm `ln`. */
+  val HllLnTable: IndexedSeq[Double] =
+    (1 to HllBuckets).map(z => HllBuckets * math.log(HllBuckets.toDouble / z))
+
+  /** HLL register columns for one value expression: (bucket, rank). */
+  def hllRegister(value: Column): (Column, Column) = {
+    val h = md5(value.cast("string"))
+    (conv(substring(h, 1, 2), 16, 10).cast("int"),
+      lit(53) - length(conv(substring(h, 3, 13), 16, 2)))
+  }
+
+  /** Approximate distinct count of `value` per `groupCols`:
+    * (groupCols..., approx_users = estimate, n_empty = empty buckets).
+    * Deterministic: identical input multiset → identical estimate, on
+    * any engine implementing the same literal arithmetic. */
+  def hllMd5(df: DataFrame, groupCols: Seq[String], value: Column,
+             estimateCol: String = "approx_users"): DataFrame = {
+    val (bucket, rank) = hllRegister(value)
+    val regs = df
+      .select(groupCols.map(col) :+ bucket.as("bucket") :+ rank.as("rank"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rank").as("mj"))
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg((sum(expr("shiftleft(1L, 52 - mj)")) +
+          (lit(HllBuckets.toLong) - count(lit(1))) * lit(1L << 52)).as("vscaled"),
+        (lit(HllBuckets) - count(lit(1))).cast("int").as("n_empty"))
+    val rawE = lit(HllNumerator) / col("vscaled").cast("double")
+    agg.select(groupCols.map(col) :+
+      when(col("n_empty") > 0 && rawE <= lit(2.5 * HllBuckets),
+        element_at(array(HllLnTable.map(lit): _*), col("n_empty")))
+        .otherwise(rawE).as(estimateCol) :+
+      col("n_empty"): _*)
+  }
+}

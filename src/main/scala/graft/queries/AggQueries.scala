@@ -116,48 +116,16 @@ object AggQueries extends QueryPack {
           countDistinct(col("user_id")).as("exact_users"))
     },
 
-    // Engine-portable HyperLogLog (Flajolet 2007), hash-checked end to
-    // end — the deterministic twin of agg_hll's native sketch. Registers
-    // are md5-derived (bucket = first 8 hash bits, rank = 53 − bit-length
-    // of the next 52 bits), the harmonic sum is EXACT integer arithmetic
-    // (Σ 2^(52−Mj) scaled by 2^52, ≤ 2^60 so BIGINT-safe), and the only
-    // float ops are one division by an injected literal numerator and a
-    // small-range lookup into an injected ln-table — no libm divergence
-    // between engines, so the approximate estimate itself hashes equal.
-    // Scale shape: one partial+final hash-agg to ≤256 registers per
-    // group, then a group-sized fold — the same two-level shape the
-    // native HLL uses.
+    // Engine-portable HyperLogLog (graft.ops.Sketches.hllMd5),
+    // hash-checked end to end — the deterministic twin of agg_hll's
+    // native sketch: the DuckDB oracle replays the identical injected
+    // constants (Sketches.HllNumerator / HllLnTable), so the approximate
+    // estimate itself hashes equal.
     "agg_hll_md5" -> { (s, dir) =>
-      val h = md5(col("user_id").cast("string"))
-      val regs = Tables.events(s, dir)
-        .select(col("event_type"),
-          conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
-          (lit(53) - length(conv(substring(h, 3, 13), 16, 2))).as("rank"))
-        .groupBy("event_type", "bucket")
-        .agg(max("rank").as("mj"))
-      val lnTable = array(HllLnTable.map(lit): _*)
-      val agg = regs.groupBy("event_type")
-        .agg((sum(expr("shiftleft(1L, 52 - mj)")) +
-            (lit(256L) - count(lit(1))) * lit(1L << 52)).as("vscaled"),
-          (lit(256) - count(lit(1))).cast("int").as("n_empty"))
-      val rawE = lit(HllNumerator) / col("vscaled").cast("double")
-      agg.select(col("event_type"),
-        when(col("n_empty") > 0 && rawE <= 640.0,
-          element_at(lnTable, col("n_empty"))).otherwise(rawE)
-          .as("approx_users"),
-        col("n_empty"))
+      graft.ops.Sketches.hllMd5(Tables.events(s, dir),
+        Seq("event_type"), col("user_id"))
     }
   )
-
-  /** HLL constants, injected IDENTICALLY into the Spark plan and the
-    * DuckDB oracle so both engines run the same literal arithmetic:
-    * numerator = α₂₅₆ · m² · 2⁵² (one double division per group), and the
-    * small-range table 256·ln(256/z) for z empty buckets (indexes the
-    * branch E ≤ 2.5m, avoiding cross-engine libm ln differences). */
-  private[queries] val HllNumerator: Double =
-    0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0 * 4503599627370496.0
-  private[queries] val HllLnTable: IndexedSeq[Double] =
-    (1 to 256).map(z => 256.0 * math.log(256.0 / z))
 
   val oracles: Map[String, String] = Map(
     "agg_stats" ->
@@ -238,9 +206,9 @@ object AggQueries extends QueryPack {
          |    CAST(256 - count(*) AS INT) AS n_empty
          |  FROM regs GROUP BY event_type)
          |SELECT event_type,
-         |  CASE WHEN n_empty > 0 AND $HllNumerator / CAST(vscaled AS DOUBLE) <= 640.0
-         |       THEN ([${HllLnTable.mkString(", ")}])[n_empty]
-         |       ELSE $HllNumerator / CAST(vscaled AS DOUBLE) END AS approx_users,
+         |  CASE WHEN n_empty > 0 AND ${graft.ops.Sketches.HllNumerator} / CAST(vscaled AS DOUBLE) <= 640.0
+         |       THEN ([${graft.ops.Sketches.HllLnTable.mkString(", ")}])[n_empty]
+         |       ELSE ${graft.ops.Sketches.HllNumerator} / CAST(vscaled AS DOUBLE) END AS approx_users,
          |  n_empty
          |FROM agg""".stripMargin
   )
