@@ -200,6 +200,54 @@ class StreamingReduceSpec extends SparkSpec {
     } finally { qs.stop(); ql.stop() }
   }
 
+  test("windowed approximate distinct on a stream: chained HLL aggs match batch") {
+    // registers → estimate is TWO stateful aggregations chained on the
+    // window column — the Spark 4 multiple-stateful-operator pattern.
+    // Being expression-only, Sketches.hllMd5's math runs unchanged.
+    import graft.ops.Sketches
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val (bucket, rank) = Sketches.hllRegister(col("user_id"))
+    val regs = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "60 seconds"), bucket.as("bucket"))
+      .agg(max(rank).as("mj"))
+    val rawE = lit(Sketches.HllNumerator) / col("vscaled").cast("double")
+    val est = regs.groupBy(col("window"))
+      .agg((sum(expr("shiftleft(1L, 52 - mj)")) +
+          (lit(Sketches.HllBuckets.toLong) - count(lit(1))) * lit(1L << 52)).as("vscaled"),
+        (lit(Sketches.HllBuckets) - count(lit(1))).cast("int").as("n_empty"))
+      .select(col("window.start").as("w_start"),
+        when(col("n_empty") > 0 && rawE <= lit(2.5 * Sketches.HllBuckets),
+          element_at(array(Sketches.HllLnTable.map(lit): _*), col("n_empty")))
+          .otherwise(rawE).as("approx_users"))
+    val q = est.writeStream.format("memory").queryName("hll_win")
+      .outputMode("append").start()
+    try {
+      // window 1: users 1..40; window 2: users 100..129
+      in.addData((1 to 40).map(u => (ts("2024-01-01 00:00:30"), u.toLong)): _*)
+      in.addData((100 to 129).map(u => (ts("2024-01-01 00:01:30"), u.toLong)): _*)
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:10:00"), 999L)) // advance watermark, close both
+      q.processAllAvailable()
+
+      val got = spark.table("hll_win")
+        .as[(Timestamp, Double)].collect().toMap
+      assert(got.contains(ts("2024-01-01 00:00:00")) &&
+        got.contains(ts("2024-01-01 00:01:00")), s"windows must close: $got")
+
+      // the streamed estimate equals the BATCH hllMd5 on the same slices
+      val batch = Sketches.hllMd5(
+        ((1 to 40).map(u => ("w1", u.toLong)) ++ (100 to 129).map(u => ("w2", u.toLong)))
+          .toDF("w", "user_id"), Seq("w"), col("user_id"))
+        .select(col("w"), col("approx_users")).as[(String, Double)].collect().toMap
+      assert(got(ts("2024-01-01 00:00:00")) === batch("w1"))
+      assert(got(ts("2024-01-01 00:01:00")) === batch("w2"))
+      // and it is a sane estimate of the exact cardinality
+      assert(math.abs(got(ts("2024-01-01 00:00:00")) - 40) / 40.0 < 0.35)
+    } finally q.stop()
+  }
+
   test("idle-source heartbeats advance the watermark without polluting results") {
     // batch-shape check of the helper's schema handling (streaming rate
     // source behavior needs wall-clock time; here we verify the contract:
