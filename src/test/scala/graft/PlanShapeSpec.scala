@@ -18,7 +18,7 @@ class PlanShapeSpec extends SparkSpec {
   test("map-only queries plan with zero exchanges") {
     for (q <- Seq("split_assign", "pack_chunks", "mm_meta", "emb_quantize",
         "text_fingerprint", "m1_flatmap", "curate_filter", "text_winnow",
-        "text_gopher", "text_derep")) {
+        "text_gopher", "text_derep", "mm_audio_pcm")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
     }
