@@ -58,11 +58,19 @@ object Compiler {
       }
     })
 
-    /** Union of all incoming edges, each filtered by its condition. */
+    /** Union of all incoming edges, each filtered by its condition.
+      * DROP-tagged messages are discarded BEFORE any forwarding —
+      * conditional or not (forward.rs:9-28, message.rs:411-415); without
+      * this an unconditional edge would leak dropped messages downstream.
+      * Applied only when the vertex output carries a tags column;
+      * Catalyst collapses the repeated filter across sibling edges. */
     def inputOf(name: String): DataFrame = {
       val ins = spec.incoming(name).map { e =>
         val parent = vertexOutput(e.from)
-        e.condition.fold(parent)(c => parent.where(Routing.matches(col("tags"), c)))
+        val live =
+          if (parent.columns.contains("tags")) Routing.dropTagged(parent)
+          else parent
+        e.condition.fold(live)(c => live.where(Routing.matches(col("tags"), c)))
       }
       require(ins.nonEmpty, s"vertex $name has no incoming edge")
       Routing.fanIn(ins)

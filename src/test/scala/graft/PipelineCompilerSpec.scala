@@ -67,6 +67,23 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(Compiler.addDurations("1 minute", "0 seconds") === "60000 milliseconds")
   }
 
+  test("DROP-tagged messages never forward, even on unconditional edges") {
+    import graft.model.Tags
+    // a map vertex tags even values DROP; the unconditional edge to the
+    // sink must not leak them (forward.rs discards before forwarding).
+    val g = PipelineSpec(
+      vertices = Seq(
+        SourceV("in", eventsDf, "ts"),
+        MapV("tagger", df => df.withColumn("tags",
+          when(col("value") % 2 === 0, array(lit(Tags.Drop)))
+            .otherwise(array().cast("array<string>")))),
+        SinkV("out")),
+      edges = Seq(Edge("in", "tagger"), Edge("tagger", "out")))
+    val vals = Compiler.compile(g, streaming = false)("out")
+      .select("value").as[Long].collect().sorted
+    assert(vals === Array(1L, 3L, 5L), s"even values must be dropped: ${vals.toSeq}")
+  }
+
   test("servingPaths derives reachable sinks, excluding DROP-only branches") {
     import graft.model.Tags
     // in -> router -> {fast, slow via hop, audit (DROP-only: dead),
