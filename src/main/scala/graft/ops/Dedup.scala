@@ -172,6 +172,26 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
   }
 
+  /** Star edges per (band, bucket): (min id → each other id). For
+    * CONNECTIVITY consumers (connected components) this is equivalent to
+    * the full pair expansion — every bucket member reaches the bucket's
+    * min, so the transitive closure is identical — but the emitted edge
+    * count is LINEAR in bucket size where [[bandedPairs]] is quadratic.
+    * This is the giant-cluster kill-switch at 100 TB: one million
+    * near-identical docs landing in a single band bucket emit ~10^6 star
+    * edges instead of ~5·10^11 pairs. NOT a substitute where actual
+    * candidate PAIRS are the product (verification, pair reports) —
+    * those paths genuinely enumerate pairs and use [[bandedPairs]]. */
+  def bandedStarEdges(sig: DataFrame, idCol: String,
+                      numPerm: Int, rowsPerBand: Int): DataFrame =
+    bandedBuckets(sig, idCol, numPerm, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(col("ids")(0).as("a"),
+        explode(slice(col("ids"), 2, size(col("ids")) - 1)).as("b"))
+      .distinct()
+
   /** MinHash-LSH candidate pairs: expression-only signature (no shuffle)
     * → banded posting lists. ONE shuffle end to end (the bucket agg)
     * plus the final distinct. */
@@ -387,7 +407,12 @@ object Dedup {
     * cluster_id) for EVERY doc — singletons are their own cluster. */
   def dupClusters(docs: DataFrame, idCol: String, textCol: String,
                   numPerm: Int = 12, rowsPerBand: Int = 3, shingleW: Int = 3): DataFrame = {
-    val edges = minhashLshPairs(docs, idCol, textCol, numPerm, rowsPerBand, shingleW)
+    // CC only needs connectivity, so the edge set is the per-bucket STAR
+    // ([[bandedStarEdges]]): identical clusters, linear (not quadratic)
+    // edge volume when a giant dup cluster floods one bucket.
+    val edges = bandedStarEdges(
+      minhashSignatureExpr(docs, idCol, textCol, numPerm, shingleW),
+      idCol, numPerm, rowsPerBand)
     connectedComponents(docs.select(col(idCol).as("id")), edges)
       .withColumnRenamed("id", idCol)
   }

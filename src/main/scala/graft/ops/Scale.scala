@@ -43,20 +43,41 @@ object Scale {
     * chosen by the caller. Result set is identical to the unsalted join
     * (salt is dropped).
     *
-    * The salt is DETERMINISTIC — xxhash64 over the big side's columns —
-    * so a rerun, a task retry, or a differently-partitioned input
-    * produces the identical salt assignment (rand(seed) is seeded PER
-    * PARTITION and changes with layout). Within a hot key the hash
-    * varies with the remaining columns, splitting the key across
-    * saltFactor reducers; fully identical rows share a salt, which can
-    * only affect balance, never correctness. */
+    * The salt is DETERMINISTIC — xxhash64 over the join key plus a
+    * disambiguator column set — so a rerun, a task retry, or a
+    * differently-partitioned input produces the identical salt assignment
+    * (rand(seed) is seeded PER PARTITION and changes with layout). The
+    * disambiguators must vary WITHIN a hot key to spread it across
+    * saltFactor reducers; if the caller names none, every hashable big-side
+    * column is used (MapType and map-bearing nested types are excluded —
+    * xxhash64 rejects them at analysis). Fully identical rows share a
+    * salt, which can only affect balance, never correctness. The salt
+    * column name is chosen fresh, so a pre-existing `__salt` on either
+    * side cannot collide. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
-    val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
-    val replicated = small.withColumn("__salt",
+                 saltFactor: Int, joinType: String = "inner",
+                 disambiguators: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => hashable(et)
+      case st: StructType => st.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val saltSrc: Seq[Column] =
+      if (disambiguators.nonEmpty) (key +: disambiguators).distinct.map(col)
+      else {
+        val hs = big.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
+        if (hs.nonEmpty) hs else Seq(col(key))
+      }
+    val taken = (big.columns ++ small.columns).toSet
+    val salt = Iterator.from(0).map(i => if (i == 0) "__salt" else s"__salt$i")
+      .find(n => !taken.contains(n)).get
+    val salted = big.withColumn(salt,
+      pmod(xxhash64(saltSrc: _*), lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn(salt,
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    salted.join(replicated, Seq(key, salt), joinType).drop(salt)
   }
 
   /** Decide broadcast vs shuffle explicitly: Spark auto-broadcasts below

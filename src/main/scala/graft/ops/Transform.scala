@@ -41,7 +41,8 @@ object Transform {
     * on the caller's OWN write pass — no separate agg().collect() job, so
     * marking adds zero extra scans. Protocol per batch: `mark(batch)` →
     * run the terminal action on the returned frame → `commit()`. */
-  final class LateMarker(tsCol: String, maxDelayMs: Long) extends Serializable {
+  final class LateMarker(tsCol: String, maxDelayMs: Long,
+                         commitTimeoutMs: Long = 30000L) extends Serializable {
     @volatile private var maxSeenMs: Long = Long.MinValue
     private var pending: Option[org.apache.spark.sql.Observation] = None
     private var seq = 0L
@@ -58,17 +59,41 @@ object Transform {
     }
 
     /** Fold the batch max observed during the caller's action into the
-      * cross-batch watermark state. Blocks until the action that consumed
-      * [[mark]]'s result has completed (Observation.get semantics) — call
-      * it right after the write, exactly once per mark. */
-    def commit(): Unit = {
-      pending.foreach { obs =>
-        obs.get.get("max_ts") match {
-          case Some(m: Long) => maxSeenMs = math.max(maxSeenMs, m)
-          case _ => // empty batch: no event time observed
+      * cross-batch watermark state. Call it right after the write, exactly
+      * once per mark. Waits at most `commitTimeoutMs` for the metric: if the
+      * action on the marked frame never ran (an `if (!batch.isEmpty)` guard
+      * skipped the write, or an exception was swallowed before it), the
+      * observation never fires — an unbounded `Observation.get` here would
+      * hang the streaming driver thread forever. On timeout the watermark is
+      * left unchanged (conservative: subsequent rows mark no MORE late than
+      * they should) and `commit()` returns false. */
+    def commit(): Boolean = {
+      val done = pending.forall { obs =>
+        val deadline = System.nanoTime() + commitTimeoutMs * 1000000L
+        // Probe Observation.getRowOrEmpty: None = the observation has not
+        // fired yet; Some(row) = fired (max_ts is NULL for an empty
+        // batch). The method is Scala private[spark] (bytecode-public),
+        // reached reflectively — the only public alternative,
+        // Observation.get, blocks with no timeout, which is exactly the
+        // hang this commit path avoids.
+        def probe(): Option[org.apache.spark.sql.Row] =
+          obs.getClass.getMethod("getRowOrEmpty").invoke(obs)
+            .asInstanceOf[Option[org.apache.spark.sql.Row]]
+        var m = probe()
+        while (m.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          m = probe()
+        }
+        m match {
+          case Some(r) =>
+            val i = r.schema.fieldIndex("max_ts")
+            if (!r.isNullAt(i)) maxSeenMs = math.max(maxSeenMs, r.getLong(i))
+            true
+          case None => false // action never executed: leave maxSeenMs as-is
         }
       }
       pending = None
+      done
     }
   }
 

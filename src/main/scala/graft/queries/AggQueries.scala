@@ -100,11 +100,12 @@ object AggQueries extends QueryPack {
                |""".stripMargin)
     },
 
-    // HLL sketch — approximate, no SQL oracle (driver rows-only check).
-    "agg_hll" -> { (s, dir) =>
-      Tables.events(s, dir).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-    },
+    // NOTE: the native approx_count_distinct (HLL++) query lives in
+    // AggSketchSpec as a spec-only error-bound test — its sketch constants
+    // are Spark-internal, so no engine-portable oracle exists, and keeping
+    // it in `queries` would forever pin CORRECTNESS below 100%. Its two
+    // portable twins below (agg_kmv, agg_hll_md5) hash-check their
+    // approximate estimates end to end.
 
     // KMV distinct sketch (custom TypedImperativeAggregate): md5-hashed,
     // so — unlike HLL — the approximate estimate itself is engine-

@@ -105,6 +105,33 @@ object Nack {
       } finally tagged.unpersist()
     }
 
+  /** Header marking a message re-driven from the DLQ. */
+  val RedriveHeader = "x-redriven"
+
+  /** Redrive (reference `test/redrive-e2e`): re-inject rows a DLQ writer
+    * captured back into the pipeline's source AFTER the failure cause is
+    * fixed. The delivery count resets — a redrive is a fresh attempt, not
+    * delivery N+1 of the old one — and the rows are stamped
+    * [[RedriveHeader]] for provenance. `dlqBatch` is any frame with the
+    * NumaMessage columns (keys, value, eventTime, headers), e.g. what the
+    * DLQ writer persisted. Driver-side collect is bounded by the DLQ's
+    * own size — redrive is an operator action on parked failures, not a
+    * data-path hop. */
+  def redrive(dlqBatch: DataFrame, source: MemoryGraftSource): Long = {
+    val rows = dlqBatch
+      .select(col("keys"), col("value"), col("eventTime"), col("headers"))
+      .collect()
+    rows.foreach { r =>
+      val hs = r.getAs[scala.collection.Map[String, String]]("headers").toMap
+      source.append(
+        r.getAs[scala.collection.Seq[String]]("keys").toSeq,
+        r.getAs[Array[Byte]]("value"),
+        r.getAs[Timestamp]("eventTime"),
+        headers = hs - DeliveryHeader + (RedriveHeader -> "true"))
+    }
+    rows.length.toLong
+  }
+
   /** The exhausted subset of the nack frame, selected by keys. */
   private def dlqFrame(nack: DataFrame, keys: Seq[Seq[String]]): DataFrame = {
     val keyLits = keys.map(k => array(k.map(lit): _*))

@@ -44,7 +44,35 @@ import graft.streaming.UdSource.MemoryGraftSource
   */
 final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
                             sseIdleMs: Long = 2000,
-                            declaredPaths: Set[String] = Set.empty) extends AutoCloseable {
+                            declaredPaths: Set[String] = Set.empty,
+                            maxInFlight: Int = 1024) extends AutoCloseable {
+
+  /** Admission control (the reference's buffer-full backpressure at the
+    * serving edge — `edge_types.go:127-133` onFull semantics): at most
+    * `maxInFlight` requests may be between enqueue and completion at
+    * once. Over-limit requests are shed with 429 BEFORE touching the
+    * source, so the driver-side result collects in [[serveSink]] /
+    * [[pathServeSink]] are bounded by configuration, not by client
+    * behavior. A slot is released when the request's future settles; a
+    * request the DAG drops entirely settles via the `orTimeout` backstop
+    * (2× syncTimeoutMs), so leaked slots age out. */
+  private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Current in-flight request count (ops/spec introspection). */
+  def inFlightCount: Int = inFlight.get()
+
+  /** Try to take an in-flight slot for `id`; false → shed (429). */
+  private def admit(id: String): Boolean = {
+    if (inFlight.incrementAndGet() > maxInFlight) {
+      inFlight.decrementAndGet()
+      false
+    } else {
+      val fut = futureFor(id)
+      fut.orTimeout(syncTimeoutMs * 2, TimeUnit.MILLISECONDS)
+      fut.whenComplete((_, _) => { inFlight.decrementAndGet(); () })
+      true
+    }
+  }
 
   /** Tracked DAG paths. Caller-declared via the constructor, or — the
     * reference's MessageGraph shape — DERIVED from the pipeline spec via
@@ -154,6 +182,7 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
     s.createContext("/v1/process/sync", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val id = reqId(ex)
+        if (!admit(id)) { shed(ex, id); return }
         val fut = futureFor(id) // register BEFORE enqueue: no lost-wakeup
         enqueue(id, ex.getRequestBody.readAllBytes())
         try respond(ex, 200, fut.get(syncTimeoutMs, TimeUnit.MILLISECONDS))
@@ -163,7 +192,7 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
     s.createContext("/v1/process/async", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val id = reqId(ex)
-        futureFor(id)
+        if (!admit(id)) { shed(ex, id); return }
         enqueue(id, ex.getRequestBody.readAllBytes())
         respond(ex, 200, s"""{"id":"$id"}""".getBytes)
       }
@@ -171,6 +200,7 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
     s.createContext("/v1/process/sse", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val id = reqId(ex)
+        if (!admit(id)) { shed(ex, id); return }
         val q = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
         streams.put(id, q)
         try {
@@ -219,12 +249,17 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
         val fut = if (id == null) null else results.get(id)
         if (fut == null) respond(ex, 404, "unknown id".getBytes)
         else if (!fut.isDone) respond(ex, 404, "in progress".getBytes)
+        else if (fut.isCompletedExceptionally)
+          respond(ex, 404, "expired (no result within TTL)".getBytes)
         else respond(ex, 200, fut.get())
       }
     })
     s.start()
     s
   }
+
+  private def shed(ex: HttpExchange, id: String): Unit =
+    respond(ex, 429, s"""{"error":"in-flight limit $maxInFlight reached","id":"$id"}""".getBytes)
 
   private def reqId(ex: HttpExchange): String =
     Option(ex.getRequestHeaders.getFirst("X-Numaflow-Id"))

@@ -88,19 +88,33 @@ final class StatusApi(port: Int) extends AutoCloseable {
     import scala.jdk.CollectionConverters._
     val nowMs = System.currentTimeMillis()
     def rate(q: StreamingQuery, windowMs: Long): Double = {
-      val cutoff = nowMs - windowMs
-      val rows = q.recentProgress.toSeq.flatMap { p =>
-        try {
-          if (java.time.Instant.parse(p.timestamp).toEpochMilli >= cutoff)
-            Some(p.numInputRows)
-          else None
-        } catch { case scala.util.control.NonFatal(_) => None }
-      }.sum
-      rows.toDouble / (windowMs / 1000.0)
+      val stamped = q.recentProgress.toSeq.flatMap { p =>
+        try Some((java.time.Instant.parse(p.timestamp).toEpochMilli, p.numInputRows))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      if (stamped.isEmpty) 0.0
+      else {
+        val cutoff = nowMs - windowMs
+        val rows = stamped.collect { case (t, n) if t >= cutoff => n }.sum
+        // Denominator clamped to the span the retained history actually
+        // covers: a query younger than the window — or whose
+        // ~numRecentProgressUpdates-capped history no longer reaches back
+        // that far — would otherwise understate its rate (rows / full
+        // window instead of rows / lifetime). Floor at 1s so a single
+        // fresh progress entry can't divide by ~0.
+        val oldest = stamped.iterator.map(_._1).min
+        val coveredMs = math.max(1000L, math.min(windowMs, nowMs - oldest))
+        rows.toDouble / (coveredMs / 1000.0)
+      }
     }
-    queries.asScala.toSeq.sortBy(_._1).map { case (name, q) =>
+    val perQuery = queries.asScala.toSeq.sortBy(_._1).map { case (name, q) =>
       s"""${jstr(name)}:{"1m":${rate(q, 60000L)},"5m":${rate(q, 300000L)}}"""
     }.mkString("{", ",", "}")
+    // History cap surfaced in the payload: rates are computed from the
+    // engine's retained progress ring (spark.sql.streaming.
+    // numRecentProgressUpdates, ~100 entries), so long windows with fast
+    // triggers are effectively bounded by that retention.
+    s"""{"historyCap":"spark.sql.streaming.numRecentProgressUpdates (~100 retained progress entries); window denominators clamped to the covered span","rates":$perQuery}"""
   }
 
   private def errorsJson: String = {

@@ -84,6 +84,73 @@ object Throttle {
     }
   }
 
+  /** Network-shared store server: the Redis analog for pools WITHOUT a
+    * shared filesystem (reference
+    * `rust/numaflow-throttling/src/state/store/redis_store` — one store
+    * process, members on any host reach it over the wire). One JVM (the
+    * driver or a sidecar) hosts this tiny HTTP KV; members talk to it
+    * through [[NetworkStore]] clients. State is the same
+    * membership-with-TTL keyspace as every other [[SharedStore]].
+    *
+    * Protocol (query-string params, URL-encoded ids):
+    * `POST /register?id&now` · `POST /heartbeat?id&now` ·
+    * `POST /deregister?id` · `GET /active?now` → newline-separated ids. */
+  final class NetworkStoreServer(port: Int, ttlMs: Long = 5000) extends AutoCloseable {
+    private val inner = new InMemoryStore(ttlMs)
+    private val server = com.sun.net.httpserver.HttpServer
+      .create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+    private def params(ex: com.sun.net.httpserver.HttpExchange): Map[String, String] =
+      Option(ex.getRequestURI.getQuery).getOrElse("").split("&").toSeq
+        .filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+    private def route(path: String)(body: Map[String, String] => String): Unit =
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        val resp = (try body(params(ex)) catch {
+          case scala.util.control.NonFatal(e) => s"err:${e.getMessage}"
+        }).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      })
+    route("/register") { p => inner.register(p("id"), p("now").toLong); "ok" }
+    route("/heartbeat") { p => inner.heartbeat(p("id"), p("now").toLong); "ok" }
+    route("/deregister") { p => inner.deregister(p("id")); "ok" }
+    route("/active") { p => inner.activeProcessors(p("now").toLong).mkString("\n") }
+    server.start()
+
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    override def close(): Unit = server.stop(0)
+  }
+
+  /** Client half of the network store: a [[SharedStore]] whose state
+    * lives behind a socket in the [[NetworkStoreServer]] process — pool
+    * members in DIFFERENT JVMs/hosts share membership through it. No
+    * Spark dependency: usable from executors and sidecar processes. */
+  final class NetworkStore(serverUrl: String) extends SharedStore {
+    private val client = java.net.http.HttpClient.newHttpClient()
+    private def call(path: String, post: Boolean): String = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(serverUrl + path))
+      val req = (if (post) b.POST(java.net.http.HttpRequest.BodyPublishers.noBody()) else b.GET()).build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      if (resp.startsWith("err:")) throw new java.io.IOException(resp)
+      resp
+    }
+    private def enc(id: String) = java.net.URLEncoder.encode(id, "UTF-8")
+    def register(id: String, nowMs: Long): Unit =
+      call(s"/register?id=${enc(id)}&now=$nowMs", post = true)
+    def heartbeat(id: String, nowMs: Long): Unit =
+      call(s"/heartbeat?id=${enc(id)}&now=$nowMs", post = true)
+    def deregister(id: String): Unit =
+      call(s"/deregister?id=${enc(id)}", post = true)
+    def activeProcessors(nowMs: Long): Seq[String] = {
+      val body = call(s"/active?now=$nowMs", post = false)
+      if (body.isEmpty) Seq.empty else body.split("\n").toSeq
+    }
+  }
+
   /** In-memory store fake: single-JVM stand-in for the Redis store, with
     * real TTL aging so partition/death rebalancing is testable. */
   final class InMemoryStore(ttlMs: Long = 5000) extends SharedStore {

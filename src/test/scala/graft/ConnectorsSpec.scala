@@ -347,6 +347,38 @@ class ConnectorsSpec extends SparkSpec {
     } finally { q.stop(); serving.close() }
   }
 
+  test("serving: in-flight cap sheds over-limit requests with 429") {
+    // Reference analog: buffer-full onFull semantics at the serving edge
+    // (edge_types.go:127-133) — shed BEFORE the source, so the serve
+    // sink's driver-side collects stay bounded by config, not clients.
+    val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000, maxInFlight = 2)
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(route: String, id: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/process/$route"))
+          .header("X-Numaflow-Id", id)
+          .POST(HttpRequest.BodyPublishers.ofString("x")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post("async", "a").statusCode() === 200)
+      assert(post("async", "b").statusCode() === 200)
+      assert(serving.inFlightCount === 2)
+      val shed = post("async", "c")
+      assert(shed.statusCode() === 429, shed.body())
+      assert(shed.body().contains("in-flight limit"))
+      assert(serving.inFlightCount === 2, "a shed request must not hold a slot")
+      // sync and sse draw from the same pool: both shed while saturated
+      assert(post("sync", "c2").statusCode() === 429)
+      assert(post("sse", "c3").statusCode() === 429)
+      // completion releases the slot; the next request is admitted
+      serving.complete("a", "done".getBytes)
+      val deadline = System.currentTimeMillis() + 5000
+      while (serving.inFlightCount > 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(serving.inFlightCount === 1)
+      assert(post("async", "d").statusCode() === 200)
+    } finally serving.close()
+  }
+
   test("serving: sync POST -> DAG -> keyed response; async fetch") {
     val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000)
     // DAG: uppercase the payload, answer to the request id (keys[0]).

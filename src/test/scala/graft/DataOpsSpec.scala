@@ -92,6 +92,25 @@ class DataOpsSpec extends SparkSpec {
       s"approx=$approx outside HLL bound")
   }
 
+  test("native HLL++ per-group estimates track exact distincts (ex-agg_hll)") {
+    // The former `agg_hll` correctness query, kept as a spec-only
+    // error-bound check: Spark's native approx_count_distinct sketch is
+    // not engine-portable, so it has no DuckDB oracle by design — its
+    // portable twins agg_kmv/agg_hll_md5 stay hash-checked in the gate.
+    val ev = graft.ops.Tables.events(spark, sf())
+    val rows = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.length > 0)
+    rows.foreach { case (et, approx, exact) =>
+      // default rsd = 5%; allow 3 sigma + small-cardinality slack
+      val tol = math.max(3L, (exact * 0.15).toLong)
+      assert(math.abs(approx - exact) <= tol,
+        s"$et: approx=$approx exact=$exact outside HLL++ bound")
+    }
+  }
+
   test("X1: parquet writes honor the compression codec end to end") {
     val dir = java.nio.file.Files.createTempDirectory("codec").toString
     val df = (1L to 1000L).toDF("v")

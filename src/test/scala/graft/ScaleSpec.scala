@@ -169,6 +169,29 @@ class ScaleSpec extends SparkSpec {
     assert(saltSpread > 4, s"hot key only reached $saltSpread of 8 salt buckets")
   }
 
+  test("salted join tolerates map columns and a pre-existing __salt column") {
+    // xxhash64 raises AnalysisException on MapType — the salt hash must
+    // skip unhashable columns, and a caller-owned __salt must not collide
+    // with the internal salt column.
+    val big = (1 to 200)
+      .map(i => (if (i % 5 == 0) s"k$i" else "HOT", i, Map("m" -> i), i % 3))
+      .toDF("key", "v", "attrs", "__salt")
+    val small = Seq(("HOT", "h"), ("k5", "a")).toDF("key", "w")
+    val plain = big.join(small, Seq("key")).select("key", "v", "w", "__salt")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = Scale.saltedJoin(big, small, "key", saltFactor = 8)
+      .select("key", "v", "w", "__salt").collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq === plain.toSeq)
+    // caller's __salt column passes through untouched
+    assert(salted.map(_.last.asInstanceOf[Int]).forall(s => s >= 0 && s < 3))
+
+    // explicit disambiguators: only the named columns feed the hash
+    val byDis = Scale.saltedJoin(big, small, "key", saltFactor = 8,
+      disambiguators = Seq("v"))
+      .select("key", "v", "w").collect().map(_.toSeq).sortBy(_.toString)
+    assert(byDis.toSeq === plain.map(_.take(3)).toSeq)
+  }
+
   test("salted join is deterministic across different input partition layouts") {
     // rand(seed) is seeded per PARTITION: the same row salts differently
     // when the input is repartitioned, breaking resumable-run determinism.

@@ -117,6 +117,21 @@ class StreamingOpsSpec extends SparkSpec {
     assert(f4 === Array(true), "watermark survived the empty batch")
   }
 
+  test("T2: commit() is bounded when the marked frame's action never ran") {
+    val marker = new Transform.LateMarker("ts", maxDelayMs = 10000, commitTimeoutMs = 300)
+    val b1 = Seq((ts("2024-01-01 00:01:00"), "x")).toDF("ts", "v")
+    marker.mark(b1) // mark, but skip the action (the `if (!batch.isEmpty)` trap)
+    val t0 = System.nanoTime()
+    assert(!marker.commit(), "no action ran, so the observation never fired")
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    assert(waitedMs < 5000, s"commit() must time out promptly, waited ${waitedMs}ms")
+
+    // state unchanged: the next batch still sees no watermark → nothing late
+    val b2 = Seq((ts("2023-01-01 00:00:00"), "ancient")).toDF("ts", "v")
+    assert(marker.mark(b2).where(col("is_late")).count() === 0)
+    marker.commit()
+  }
+
   test("X3: ordered mode pins keys to partitions in arrival order") {
     val df = Seq(
       ("k1", 2L, "b"), ("k2", 1L, "x"), ("k1", 1L, "a"),
@@ -226,13 +241,17 @@ class StreamingOpsSpec extends SparkSpec {
         errs.contains("\"message\":\"boom at row 7\""))
       // daemon rater parity: /rates computes 1m/5m rates from the
       // retained progress history; the row just processed is in-window.
+      // This query is seconds old, so BOTH window denominators clamp to
+      // the covered history span: the 5m rate must equal the 1m rate, not
+      // be 5x smaller (the un-clamped form understates young queries).
       val rates = getJson("/rates")
+      assert(rates.contains("\"historyCap\":"), rates)
       assert(rates.contains("\"p1\":{\"1m\":"), rates)
       val r1m = "\"1m\":([0-9.E-]+)".r.findFirstMatchIn(rates).get.group(1).toDouble
       val r5m = "\"5m\":([0-9.E-]+)".r.findFirstMatchIn(rates).get.group(1).toDouble
       assert(r1m > 0.0, s"1m rate must see the processed row: $rates")
-      assert(math.abs(r1m - 5 * r5m) < 1e-9,
-        s"same in-window rows over 5x the window: $rates")
+      assert(math.abs(r1m - r5m) < 1e-9,
+        s"query younger than both windows: clamped rates must agree: $rates")
     } finally { q.stop(); api.close() }
   }
 

@@ -116,6 +116,81 @@ class ThrottleSpec extends AnyFunSuite {
     assert(h.acquire(1000, 4000) === 9)  // h unaffected: 18 / 2
   }
 
+  // ---- network store: the Redis analog, members in SEPARATE JVMs -------
+
+  /** A throttle member running in its own child JVM, driven over stdin
+    * (see [[graft.streaming.ThrottleMemberMain]]). Shares NOTHING with
+    * this JVM but the network store's socket. */
+  private final class RemoteMember(url: String, id: String) extends AutoCloseable {
+    private val scalaLib = {
+      val jars = new java.io.File("/opt/spark/jars").listFiles()
+      jars.find(_.getName.startsWith("scala-library-")).get.getAbsolutePath
+    }
+    private val proc = new ProcessBuilder(
+      "java", "-cp", s"target/scala-2.13/classes:$scalaLib",
+      "graft.streaming.ThrottleMemberMain", url, id)
+      .redirectErrorStream(false)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+      .start()
+    private val toChild = new java.io.PrintWriter(proc.getOutputStream, true)
+    private val fromChild = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+
+    def cmd(line: String): String = {
+      toChild.println(line)
+      val resp = fromChild.readLine()
+      assert(resp != null, s"child died answering: $line")
+      assert(!resp.startsWith("err:"), s"child error for '$line': $resp")
+      resp
+    }
+    override def close(): Unit = {
+      try { toChild.println("exit"); toChild.flush() } finally {
+        if (!proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
+          proc.destroyForcibly()
+      }
+    }
+  }
+
+  test("NetworkStore: consensus between two JVM-separate members") {
+    val server = new Throttle.NetworkStoreServer(port = 0)
+    try {
+      val remote = new RemoteMember(server.url, "b")
+      try {
+        // remote member joins the pool from its own process first
+        assert(remote.cmd("limiter 100 100 0 relaxed 1000 0") === "ok")
+        // local member sees it through the socket: 100 splits 50/50
+        val a = new PooledRateLimiter(new Throttle.NetworkStore(server.url), "a",
+          min = 100, max = 100, rampUpEpochs = 0)
+        assert(a.acquire(1000, 0) === 50)
+        assert(remote.cmd("acquire 1000 0") === "50")
+        assert(a.acquire(1, 500) === 0) // pool never over-grants across JVMs
+        // graceful remote exit rebalances the survivor to the full pool
+        assert(remote.cmd("shutdown") === "ok")
+        assert(a.acquire(1000, 1000) === 100)
+      } finally remote.close()
+    } finally server.close()
+  }
+
+  test("NetworkStore: GoBackN re-ramp with members in separate JVMs") {
+    val server = new Throttle.NetworkStoreServer(port = 0)
+    try {
+      val remote = new RemoteMember(server.url, "h")
+      try {
+        assert(remote.cmd("limiter 10 20 5 gobackn 1000 0") === "ok")
+        val g = new PooledRateLimiter(new Throttle.NetworkStore(server.url), "g",
+          min = 10, max = 20, rampUpEpochs = 5, mode = RateLimit.GoBackN)
+        (0 to 3).foreach { e =>
+          g.acquire(1000, e * 1000L)
+          remote.cmd(s"acquire 1000 ${e * 1000L}")
+        }
+        assert(g.globalAllowance === 16.0)
+        g.onFailure() // local member re-ramps ITS view from the floor
+        assert(g.acquire(1000, 4000) === 6)  // (10 + one climb of 2) / 2
+        assert(remote.cmd("acquire 1000 4000") === "9") // remote holds: 18/2
+      } finally remote.close()
+    } finally server.close()
+  }
+
   test("FileStore: TTL aging and restart survival") {
     val dir = tmpStoreDir()
     val a = new PooledRateLimiter(new Throttle.FileStore(dir, ttlMs = 3000), "a",
