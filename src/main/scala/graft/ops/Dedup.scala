@@ -189,7 +189,7 @@ object Dedup {
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .where(size(col("ids")) >= 2)
       .select(col("ids")(0).as("a"),
-        explode(slice(col("ids"), 2, size(col("ids")) - 1)).as("b"))
+        explode(slice(col("ids"), lit(2), size(col("ids")) - 1)).as("b"))
       .distinct()
 
   /** MinHash-LSH candidate pairs: expression-only signature (no shuffle)
