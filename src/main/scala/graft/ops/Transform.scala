@@ -70,15 +70,14 @@ object Transform {
     def commit(): Boolean = {
       val done = pending.forall { obs =>
         val deadline = System.nanoTime() + commitTimeoutMs * 1000000L
-        // Probe Observation.getRowOrEmpty: None = the observation has not
-        // fired yet; Some(row) = fired (max_ts is NULL for an empty
-        // batch). The method is Scala private[spark] (bytecode-public),
-        // reached reflectively — the only public alternative,
-        // Observation.get, blocks with no timeout, which is exactly the
-        // hang this commit path avoids.
+        // Non-blocking probe via the compiled graftcompat accessor
+        // (None = not fired yet; Some(row) = fired, max_ts NULL for an
+        // empty batch). The only public alternative, Observation.get,
+        // blocks with no timeout — exactly the hang this commit path
+        // avoids — and a compiled shim fails loudly at build time if a
+        // Spark upgrade renames the internal, unlike reflection.
         def probe(): Option[org.apache.spark.sql.Row] =
-          obs.getClass.getMethod("getRowOrEmpty").invoke(obs)
-            .asInstanceOf[Option[org.apache.spark.sql.Row]]
+          org.apache.spark.sql.graftcompat.ObservationCompat.rowOption(obs)
         var m = probe()
         while (m.isEmpty && System.nanoTime() < deadline) {
           Thread.sleep(50)

@@ -266,6 +266,17 @@ object TrainingQueries extends QueryPack {
       Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // the star-edge set feeding connected components, hash-checked
+    // directly: per (band, bucket) the min id fans out to every other
+    // member — LINEAR edge volume per bucket where the pair enumeration
+    // is quadratic (the giant-cluster kill-switch at 100 TB).
+    "dedup_star_cc" -> { (s, dir) =>
+      Dedup.bandedStarEdges(
+        Dedup.minhashSignatureExpr(Tables.documents(s, dir), "doc_id", "text",
+          numPerm = 12, shingleW = 3),
+        "doc_id", numPerm = 12, rowsPerBand = 3)
+    },
+
     // canonical-doc selection: within each dup cluster keep the "best"
     // doc (longest, then smallest id) — the policy layer over clustering;
     // clusters of one keep their only member.
@@ -403,9 +414,15 @@ object TrainingQueries extends QueryPack {
       Similarity.pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding")
     },
 
-    // embedding near-dup pairs on a deterministic subset (exact cosine).
+    // Embedding near-dup pairs on a deterministic subset (exact cosine).
+    // The subset is bounded ABSOLUTELY (vec_id < 500), not fractionally:
+    // a `% 10` filter keeps O((N/10)^2) pairs — quadratic in corpus size —
+    // while an absolute cap keeps the crossJoin at a constant <=500x500
+    // whatever the table grows to. The scale path over the FULL table is
+    // emb_neardup_lsh (bucketed, linear-ish); this query is the exact
+    // small-subset reference. EmbNearDupPlanSpec guards the bound.
     "emb_neardup" -> { (s, dir) =>
-      val sub = Tables.embeddings(s, dir).where(col("vec_id") % 10 === 0)
+      val sub = Tables.embeddings(s, dir).where(col("vec_id") < 500)
       val v = sub.select(col("vec_id").as("a"),
         transform(col("embedding"), _.cast("double")).as("va"))
       val w = sub.select(col("vec_id").as("b"),
@@ -1177,6 +1194,16 @@ object TrainingQueries extends QueryPack {
          |  UNION
          |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    // Star edges per (band, bucket): min member -> every other member,
+    // deduped. Mirrors Dedup.bandedStarEdges exactly.
+    "dedup_star_cc" ->
+      s"""WITH $minhashCtes,
+         |g AS (SELECT band, bucket, min(doc_id) AS a
+         |      FROM banded GROUP BY band, bucket
+         |      HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT DISTINCT g.a, m.doc_id AS b
+         |FROM g JOIN banded m
+         |  ON m.band = g.band AND m.bucket = g.bucket AND m.doc_id > g.a""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $minhashCtes,
          |edges AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -1386,7 +1413,7 @@ object TrainingQueries extends QueryPack {
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
         |FROM embeddings a, embeddings b
-        |WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+        |WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2""".stripMargin,
     "emb_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

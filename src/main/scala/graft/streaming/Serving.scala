@@ -45,7 +45,8 @@ import graft.streaming.UdSource.MemoryGraftSource
 final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
                             sseIdleMs: Long = 2000,
                             declaredPaths: Set[String] = Set.empty,
-                            maxInFlight: Int = 1024) extends AutoCloseable {
+                            maxInFlight: Int = 1024,
+                            resultTtlMs: Long = 0) extends AutoCloseable {
 
   /** Admission control (the reference's buffer-full backpressure at the
     * serving edge — `edge_types.go:127-133` onFull semantics): at most
@@ -53,24 +54,54 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
     * once. Over-limit requests are shed with 429 BEFORE touching the
     * source, so the driver-side result collects in [[serveSink]] /
     * [[pathServeSink]] are bounded by configuration, not by client
-    * behavior. A slot is released when the request's future settles; a
-    * request the DAG drops entirely settles via the `orTimeout` backstop
-    * (2× syncTimeoutMs), so leaked slots age out. */
+    * behavior.
+    *
+    * Slots are tracked PER EXCHANGE, not per result future: each admitted
+    * request gets its own release token, released exactly once —
+    * sync/SSE in a `finally` when their exchange finishes (an SSE slot
+    * spans the whole stream, not just the first event), async when the
+    * DAG answers its (fresh, per-request) future or when the 2×
+    * syncTimeoutMs backstop fires for a request the DAG dropped. The
+    * backstop is a separate scheduled release — it does NOT complete the
+    * result future exceptionally, so a late DAG answer still lands.
+    * Replaying an id that is in flight or already answered cannot free
+    * someone else's slot: duplicate ids are rejected with 409 at
+    * admission (the reference's serving store likewise requires unique
+    * request ids).
+    *
+    * `resultTtlMs > 0` additionally expires UNANSWERED async results
+    * after the TTL (future completed exceptionally → `/v1/fetch` answers
+    * 404 "expired"). Independent of the slot backstop: the default 0
+    * keeps results until `close()`, so async batches may legitimately
+    * take longer than any sync timeout. */
   private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val timer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    (r: Runnable) => { val t = new Thread(r, "serving-slot-timer"); t.setDaemon(true); t })
 
   /** Current in-flight request count (ops/spec introspection). */
   def inFlightCount: Int = inFlight.get()
 
-  /** Try to take an in-flight slot for `id`; false → shed (429). */
-  private def admit(id: String): Boolean = {
-    if (inFlight.incrementAndGet() > maxInFlight) {
+  /** One admitted exchange's slot; release() is idempotent. */
+  private final class Slot {
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (released.compareAndSet(false, true)) { inFlight.decrementAndGet(); () }
+  }
+
+  /** Take an in-flight slot for a FRESH id. Returns the slot, or null →
+    * the caller already responded (429 shed / 409 duplicate). */
+  private def admit(ex: HttpExchange, id: String): Slot = {
+    if (results.containsKey(id)) {
+      respond(ex, 409, s"""{"error":"duplicate request id","id":"$id"}""".getBytes)
+      null
+    } else if (inFlight.incrementAndGet() > maxInFlight) {
       inFlight.decrementAndGet()
-      false
+      shed(ex, id)
+      null
     } else {
-      val fut = futureFor(id)
-      fut.orTimeout(syncTimeoutMs * 2, TimeUnit.MILLISECONDS)
-      fut.whenComplete((_, _) => { inFlight.decrementAndGet(); () })
-      true
+      futureFor(id) // register BEFORE enqueue: no lost-wakeup, dup detection
+      new Slot
     }
   }
 
@@ -182,17 +213,32 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
     s.createContext("/v1/process/sync", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val id = reqId(ex)
-        if (!admit(id)) { shed(ex, id); return }
-        val fut = futureFor(id) // register BEFORE enqueue: no lost-wakeup
-        enqueue(id, ex.getRequestBody.readAllBytes())
-        try respond(ex, 200, fut.get(syncTimeoutMs, TimeUnit.MILLISECONDS))
-        catch { case _: TimeoutException => respond(ex, 504, s"timeout for $id".getBytes) }
+        val slot = admit(ex, id)
+        if (slot == null) return
+        try {
+          val fut = futureFor(id)
+          enqueue(id, ex.getRequestBody.readAllBytes())
+          try respond(ex, 200, fut.get(syncTimeoutMs, TimeUnit.MILLISECONDS))
+          catch { case _: TimeoutException => respond(ex, 504, s"timeout for $id".getBytes) }
+        } finally slot.release() // per-exchange: the sync request is done serving
       }
     })
     s.createContext("/v1/process/async", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val id = reqId(ex)
-        if (!admit(id)) { shed(ex, id); return }
+        val slot = admit(ex, id)
+        if (slot == null) return
+        val fut = futureFor(id)
+        // Fresh id (409 otherwise) → this future settles at most once,
+        // by the DAG; the backstop release is a separate timer, so a
+        // late answer is stored, not poisoned.
+        fut.whenComplete((_, _) => slot.release())
+        timer.schedule(new Runnable { def run(): Unit = slot.release() },
+          syncTimeoutMs * 2, TimeUnit.MILLISECONDS)
+        if (resultTtlMs > 0)
+          timer.schedule(new Runnable { def run(): Unit = {
+            fut.completeExceptionally(new TimeoutException(s"result TTL for $id")); ()
+          } }, resultTtlMs, TimeUnit.MILLISECONDS)
         enqueue(id, ex.getRequestBody.readAllBytes())
         respond(ex, 200, s"""{"id":"$id"}""".getBytes)
       }
@@ -200,7 +246,8 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
     s.createContext("/v1/process/sse", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val id = reqId(ex)
-        if (!admit(id)) { shed(ex, id); return }
+        val slot = admit(ex, id)
+        if (slot == null) return
         val q = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
         streams.put(id, q)
         try {
@@ -238,7 +285,10 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
               if (paths.nonEmpty && pathsDone(id) && q.peek() == null) open = false
             }
           }
-        } finally { streams.remove(id); ex.close() }
+        } finally {
+          streams.remove(id); ex.close()
+          slot.release() // per-exchange: spans the WHOLE stream, not event #1
+        }
       }
     })
     s.createContext("/v1/fetch", new HttpHandler {
@@ -275,6 +325,7 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
 
   override def close(): Unit = {
     server.stop(0)
+    timer.shutdownNow()
     UdSource.unregister(sourceName)
   }
 }

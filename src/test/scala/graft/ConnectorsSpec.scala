@@ -416,4 +416,109 @@ class ConnectorsSpec extends SparkSpec {
       assert(fetched.body() === "LATER")
     } finally { q.stop(); serving.close() }
   }
+
+  test("serving: duplicate request ids are 409 and cannot free other slots") {
+    val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000, maxInFlight = 2)
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(id: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/process/async"))
+          .header("X-Numaflow-Id", id)
+          .POST(HttpRequest.BodyPublishers.ofString("x")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post("a").statusCode() === 200)
+      serving.complete("a", "done".getBytes)
+      val deadline = System.currentTimeMillis() + 5000
+      while (serving.inFlightCount > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(post("b").statusCode() === 200)
+      assert(serving.inFlightCount === 1)
+      // Replaying the COMPLETED id must be rejected — under a per-id-future
+      // slot design its whenComplete fired synchronously and freed a slot
+      // that was never taken, silently widening maxInFlight.
+      assert(post("a").statusCode() === 409)
+      assert(serving.inFlightCount === 1)
+      // Replaying an IN-FLIGHT id is likewise rejected, not double-counted.
+      assert(post("b").statusCode() === 409)
+      assert(serving.inFlightCount === 1)
+    } finally serving.close()
+  }
+
+  test("serving: sse slot spans the whole stream, not just the first event") {
+    val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000,
+      sseIdleMs = 1500, maxInFlight = 4)
+    try {
+      val client = HttpClient.newHttpClient()
+      val resp = client.sendAsync(
+        HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/process/sse"))
+          .header("X-Numaflow-Id", "stream-1")
+          .POST(HttpRequest.BodyPublishers.ofString("x")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      var deadline = System.currentTimeMillis() + 5000
+      while (serving.inFlightCount < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(serving.inFlightCount === 1)
+      serving.complete("stream-1", "evt".getBytes) // first (and only) event
+      Thread.sleep(300)
+      // Stream is still open (idle close is 1500ms away): the slot must
+      // still be held — the old design released it on future completion.
+      assert(serving.inFlightCount === 1,
+        "sse slot must be held until the stream closes")
+      assert(resp.get(30, java.util.concurrent.TimeUnit.SECONDS)
+        .body().contains("evt"))
+      deadline = System.currentTimeMillis() + 5000
+      while (serving.inFlightCount > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(serving.inFlightCount === 0)
+    } finally serving.close()
+  }
+
+  test("serving: slot backstop does not poison late async results; TTL is opt-in") {
+    // Default (no TTL): a request the DAG hasn't answered ages out of its
+    // SLOT after 2x syncTimeoutMs, but the result future stays usable — a
+    // late answer lands and /v1/fetch serves it (async batches may run
+    // far longer than any sync timeout).
+    val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 200, maxInFlight = 2)
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(id: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/process/async"))
+          .header("X-Numaflow-Id", id)
+          .POST(HttpRequest.BodyPublishers.ofString("x")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def fetch(id: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/fetch?id=$id"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(post("slow").statusCode() === 200)
+      val deadline = System.currentTimeMillis() + 5000
+      while (serving.inFlightCount > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20) // backstop (400ms) frees the slot...
+      assert(serving.inFlightCount === 0)
+      serving.complete("slow", "late-but-fine".getBytes) // ...without poisoning
+      assert(fetch("slow").statusCode() === 200)
+      assert(fetch("slow").body() === "late-but-fine")
+    } finally serving.close()
+
+    // Opt-in TTL: an unanswered async result expires and fetch says so.
+    val ttld = new ServingEndpoint(port = 0, syncTimeoutMs = 30000,
+      maxInFlight = 2, resultTtlMs = 300)
+    try {
+      val client = HttpClient.newHttpClient()
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"${ttld.url}/v1/process/async"))
+          .header("X-Numaflow-Id", "gone")
+          .POST(HttpRequest.BodyPublishers.ofString("x")).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() === 200)
+      val deadline = System.currentTimeMillis() + 5000
+      var resp: HttpResponse[String] = null
+      while ({
+        resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"${ttld.url}/v1/fetch?id=gone"))
+            .GET().build(), HttpResponse.BodyHandlers.ofString())
+        !resp.body().contains("expired") && System.currentTimeMillis() < deadline
+      }) Thread.sleep(50)
+      assert(resp.statusCode() === 404)
+      assert(resp.body().contains("expired"))
+    } finally ttld.close()
+  }
 }

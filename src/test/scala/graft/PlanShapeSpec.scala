@@ -160,4 +160,16 @@ class PlanShapeSpec extends SparkSpec {
     // guarantee.)
     assert(countOf(p, "InMemoryTableScan") >= 3, p)
   }
+
+  test("emb_neardup crossJoin is absolutely bounded — cap pushed to both scans") {
+    // The exact-cosine pair scan may crossJoin ONLY because both sides are
+    // capped at a constant (vec_id < 500): a fractional subset (% 10)
+    // keeps the join O((N/10)^2) — quadratic in corpus size. Guard that
+    // the absolute cap reaches BOTH parquet scans as a pushed filter, so
+    // a refactor back to an unbounded or fractional side fails here.
+    val p = plan("emb_neardup")
+    assert(countOf(p, "LessThan(vec_id,500)") >= 2,
+      s"both crossJoin sides must scan with the absolute cap pushed down:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"capped sides must broadcast:\n$p")
+  }
 }
