@@ -18,6 +18,10 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ... and suppress sbt's trailing "[success] Total time: ..." line, which
 // lands AFTER the JSON and broke the driver's parse (BENCH_r02 parsed:null).
 Global / showSuccess := false
+// The showSuccess setting itself trips sbt's unused-key lint, which prints
+// a multi-line [warn] block on STDOUT before the bench JSON — one more
+// thing a line-oriented parser can trip over. Exclude it from the lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -57,10 +57,39 @@ object Pipeline {
     * out-of-orderness bound. */
   final case class WatermarkSpec(maxDelay: String = "0 seconds")
 
+  /** Per-pipeline ISB payload compression (reference
+    * `pipeline/isb/compression.rs:11-113`: a pipeline-level field that
+    * compresses every message payload crossing the ISB). Spark's ISB
+    * analog is shuffle blocks + the streaming state store, so the field
+    * maps onto the engine codecs that cover exactly those payloads:
+    *
+    *  - `spark.io.compression.codec` — shuffle/broadcast blocks. A core
+    *    SparkConf: it binds at session BUILD, which matches the
+    *    reference's granularity (one pipeline = one deployed app; the
+    *    field is part of the pipeline's deployment, not mutable
+    *    mid-stream).
+    *  - `spark.sql.streaming.stateStore.compression.codec` — state rows;
+    *    a runtime SQL conf, applied by `Compiler.applyCompression`.
+    *
+    * `Default` leaves both at engine defaults (the reference's `none`
+    * means no EXTRA payload compression there too — Spark's own defaults
+    * already compress shuffle). */
+  sealed abstract class Compression(val codec: Option[String]) {
+    /** The conf map for SparkSession.builder (full coverage). */
+    def conf: Map[String, String] = codec.fold(Map.empty[String, String])(c => Map(
+      "spark.io.compression.codec" -> c,
+      "spark.sql.streaming.stateStore.compression.codec" -> c))
+  }
+  case object Default extends Compression(None)
+  case object Lz4 extends Compression(Some("lz4"))
+  case object Snappy extends Compression(Some("snappy"))
+  case object Zstd extends Compression(Some("zstd"))
+
   final case class PipelineSpec(
       vertices: Seq[Vertex],
       edges: Seq[Edge],
-      watermark: WatermarkSpec = WatermarkSpec()) {
+      watermark: WatermarkSpec = WatermarkSpec(),
+      compression: Compression = Default) {
     require(vertices.map(_.name).distinct.size == vertices.size, "duplicate vertex names")
     val byName: Map[String, Vertex] = vertices.map(v => v.name -> v).toMap
     def incoming(name: String): Seq[Edge] = edges.filter(_.to == name)

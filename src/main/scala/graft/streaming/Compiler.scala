@@ -38,6 +38,26 @@ object Compiler {
   private[graft] def addDurations(a: String, b: String): String =
     s"${durationMs(a) + durationMs(b)} milliseconds"
 
+  /** Apply the pipeline's compression field (compression.rs analog) to a
+    * live session: the state-store codec is a runtime SQL conf and takes
+    * effect for queries started after this call. The shuffle codec
+    * (`spark.io.compression.codec`) is core SparkConf — it must go into
+    * the session BUILDER via `spec.compression.conf` (one pipeline = one
+    * deployed app, the reference's own granularity); if the running
+    * session already disagrees, that is surfaced, not silently ignored.
+    * Returns the confs now in force for the spec. */
+  def applyCompression(spark: org.apache.spark.sql.SparkSession,
+                       spec: PipelineSpec): Map[String, String] =
+    spec.compression.codec.fold(Map.empty[String, String]) { c =>
+      spark.conf.set("spark.sql.streaming.stateStore.compression.codec", c)
+      val io = spark.sparkContext.getConf.get("spark.io.compression.codec", c)
+      if (io != c)
+        System.err.println(s"[graft] pipeline requests shuffle codec '$c' but the " +
+          s"session was built with '$io' — pass spec.compression.conf to the builder")
+      Map("spark.sql.streaming.stateStore.compression.codec" -> c,
+        "spark.io.compression.codec" -> io)
+    }
+
   /** Compile the spec; returns the DataFrame feeding each sink vertex. */
   def compile(spec: PipelineSpec, streaming: Boolean = true): Map[String, DataFrame] = {
     val cache = mutable.Map[String, DataFrame]()

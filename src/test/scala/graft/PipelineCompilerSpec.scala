@@ -110,4 +110,30 @@ class PipelineCompilerSpec extends SparkSpec {
       else e))
     assert(Compiler.servingPaths(andDead, "in") === Set("fast", "slow", "inverted"))
   }
+
+  test("per-pipeline compression field maps to engine codecs (compression.rs analog)") {
+    // builder-time map covers shuffle AND state store
+    val zspec = spec.copy(compression = Zstd)
+    assert(zspec.compression.conf === Map(
+      "spark.io.compression.codec" -> "zstd",
+      "spark.sql.streaming.stateStore.compression.codec" -> "zstd"))
+    assert(Default.conf.isEmpty, "Default leaves engine codecs alone")
+    // runtime application: the SQL conf takes effect on the live session
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.compression.codec")
+    try {
+      val applied = Compiler.applyCompression(spark, zspec)
+      assert(spark.conf.get("spark.sql.streaming.stateStore.compression.codec") === "zstd")
+      assert(applied.contains("spark.io.compression.codec"))
+      // the compiled plans are unaffected by the codec choice
+      val sinks = Compiler.compile(zspec, streaming = false)
+      assert(sinks("out_even").count() > 0)
+      // Default is a no-op application
+      assert(Compiler.applyCompression(spark, spec).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.compression.codec", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.compression.codec")
+      }
+    }
+  }
 }
