@@ -1,0 +1,224 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALECURVE: measured evidence that the heavy operators scale
+  * near-linearly, not just argued plan shapes. Generates deterministic
+  * k× scale-ups of `documents`/`embeddings` from a base sf directory,
+  * times the heaviest queries at 1×/5×/25×, and reports seconds plus the
+  * growth ratio vs a perfectly linear scale-up.
+  *
+  * Scale-up model — same DISTRIBUTION, bigger corpus:
+  *  - documents: replica r of the base corpus suffixes every token with
+  *    `_r<r>` (replica 0 is verbatim). Shingles therefore never collide
+  *    ACROSS replicas, so dup density (pairs per doc, cluster size
+  *    distribution, shingle frequency shape) is exactly the base
+  *    corpus's — total dup volume grows k×, the right null model for "the
+  *    same pipeline, 25× the data". Distinct-token vocabulary also grows
+  *    k×, which is the conservative direction for LM/posting-list ops.
+  *  - embeddings: replica r rotates each vector left by r positions —
+  *    norm- and distribution-preserving, but decorrelated across
+  *    replicas, so ANN bucket occupancy scales k× without fabricating
+  *    cross-replica near-dups.
+  *  - ids offset by r·(max base id + 1): replica strata never collide.
+  *
+  * Pass criterion (reported, asserted by ScaleCurveSpec on the 5× tier):
+  * time(k×)/time(1×) ≤ k · SLACK for every query — anything superlinear
+  * is a scale bug (a driver bottleneck, an uncapped quadratic, a plan
+  * that changed shape under size). Quasilinear terms (the log factor in
+  * sort-based exchanges, CC's diameter rounds) live inside SLACK.
+  *
+  * Usage: runMain graft.ScaleCurve [baseSfDir] [workDir] [k,k,...] [q,q,...]
+  * (trailing query list restricts the sweep — builder-local iteration).
+  * Writes <workDir>/SCALECURVE.json and prints the same JSON line.
+  */
+object ScaleCurve {
+
+  /** The measured set: the heaviest driver queries (r8 judge bench) plus
+    * the capped-crossJoin query, whose time should stay FLAT (the cap is
+    * the point), and the star-edge/CC pair. All read only documents /
+    * embeddings, which is what the generator scales. */
+  val HeavyQueries: Seq[String] = Seq(
+    "dedup_jaccard", "dedup_keep_best", "dedup_clusters", "dedup_star_cc",
+    "dedup_minhash", "dedup_simhash", "text_lm_kn", "mix_dsir",
+    "text_winnow", "pack_cdc", "emb_neardup_lsh", "emb_semdedup",
+    "emb_neardup")
+
+  def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val n = base.agg(max("doc_id")).head.getLong(0) + 1
+    val replicas = (0 until k).map { r =>
+      if (r == 0) base
+      else base
+        .withColumn("doc_id", col("doc_id") + lit(r * n))
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"_r$r"))), " "))
+        .withColumn("n_chars", length(col("text")))
+    }
+    replicas.reduce(_ unionByName _)
+  }
+
+  def scaleEmbeddings(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val n = base.agg(max("vec_id")).head.getLong(0) + 1
+    val dim = base.select(size(col("embedding"))).head.getInt(0)
+    val replicas = (0 until k).map { r =>
+      val rot = r % dim
+      if (rot == 0 && r == 0) base
+      else base
+        .withColumn("vec_id", col("vec_id") + lit(r * n))
+        .withColumn("embedding",
+          if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), 1, rot)))
+    }
+    replicas.reduce(_ unionByName _)
+  }
+
+  /** Materialize the k× directory (documents + embeddings scaled; the
+    * other tables copied verbatim so any query can run). Idempotent via
+    * a DONE marker. */
+  def materialize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
+    val done = Paths.get(outDir, "_DONE")
+    if (Files.exists(done)) return
+    Files.createDirectories(Paths.get(outDir))
+    scaleDocuments(spark, baseDir, k)
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    scaleEmbeddings(spark, baseDir, k)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // Other tables ride along verbatim (raw byte copy — a Spark
+    // round-trip would need the per-table reader configs, e.g. events'
+    // nanosecond timestamps, and there is nothing to scale).
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")) {
+      val src = Paths.get(s"$baseDir/$t.parquet")
+      if (Files.isRegularFile(src))
+        Files.copy(src, Paths.get(s"$outDir/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.writeString(done, "ok"); ()
+  }
+
+  /** Capacity-knob scaling for occupancy-sensitive operators: the
+    * registered queries pin k/nBits as plan literals for oracle
+    * determinism, but a real deployment grows INDEX CAPACITY with the
+    * corpus — SemDeDup's cluster count ∝ N (constant cell occupancy; the
+    * operator's own scaladoc: "k grows with the corpus") and SRP bits ∝
+    * log₂ N (constant bucket occupancy). Running the 1×-pinned knobs at
+    * 25× measures a mis-deployment: cell occupancy ×25 → per-cell
+    * self-join ×625 (measured 498× on emb_semdedup — the first
+    * SCALECURVE run's headline catch). These overrides measure the
+    * DOCUMENTED deployment; SCALING.md reports both curves. */
+  def scaledOverrides(mult: Int): Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // k ∝ √N (assignment costs N·k, per-cell pairs k·(N/k)² — √N
+    // balances both at N^1.5; k ∝ N was measured 247× at 25×: the
+    // assignment itself turns quadratic) PLUS the hot-cell cap: md5
+    // "centroids" leave real cells skewed, and the largest cell alone
+    // kept the uncapped √N variant at ~134× (≈ the N^1.5 law on paper,
+    // but one straggler task in practice). semDedupCapped bounds every
+    // cell's pair work at maxCell² and spreads hot cells across tasks.
+    "emb_semdedup" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Similarity.semDedupCapped(
+        graft.ops.Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.2, k = (8 * math.sqrt(mult.toDouble)).round.toInt,
+        maxCell = 256, maxSubBits = 8)),
+    "emb_neardup_lsh" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Similarity.embeddingNearDupPairs(
+        graft.ops.Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.2,
+        nBits = 6 + (math.log(mult.toDouble) / math.log(2.0)).ceil.toInt)))
+
+  def timeQuery(spark: SparkSession, name: String, dir: String, reps: Int,
+                mult: Int = 1, scaleKnobs: Boolean = false): Double = {
+    val fn =
+      if (scaleKnobs) scaledOverrides(mult).getOrElse(name, SparkEntry.queries(name))
+      else SparkEntry.queries(name)
+    val ts = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      try fn(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[scalecurve] $name failed at $dir: ${e.getMessage}")
+        return -1.0
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      t
+    }
+    ts.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val workDir = if (args.length > 1) args(1) else "/tmp/scalecurve"
+    val ks = (if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
+              else Seq(5, 25))
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tiers: Seq[(Int, String)] =
+      (1, baseDir) +: ks.map(k => k -> s"$workDir/x$k")
+    ks.foreach(k => materialize(spark, baseDir, s"$workDir/x$k", k))
+
+    // Warm codegen/JIT once before any timed pass.
+    timeQuery(spark, "dedup_minhash", baseDir, 1)
+
+    // reps shrink as tiers grow: at 25× each query runs tens of seconds,
+    // where cold-start noise is a small fraction; at 1× it is not.
+    // Occupancy-sensitive operators run BOTH ways: pinned 1× knobs (what
+    // the oracle query declares) and capacity-scaled knobs (what a
+    // deployment at that corpus size uses) — reported as "<q>" and
+    // "<q>@scaled".
+    val results: Seq[(String, Map[Int, Double])] = HeavyQueries
+      .filter(q => only.isEmpty || only(q)).flatMap { q =>
+      val pinned = q -> tiers.map { case (k, dir) =>
+        k -> timeQuery(spark, q, dir, reps = if (k >= 25) 1 else 2)
+      }.toMap
+      if (!scaledOverrides(2).contains(q)) Seq(pinned)
+      else Seq(pinned, s"$q@scaled" -> tiers.map { case (k, dir) =>
+        k -> timeQuery(spark, q, dir, reps = if (k >= 25) 1 else 2,
+          mult = k, scaleKnobs = true)
+      }.toMap)
+    }
+
+    def fmt(d: Double) = f"$d%.2f"
+    val rows = results.map { case (q, byK) =>
+      val t1 = byK(1)
+      val ratios = ks.map { k =>
+        val r = if (t1 > 0 && byK(k) > 0) byK(k) / t1 else -1.0
+        s""""x$k":${fmt(byK(k))},"x${k}_ratio":${fmt(r)}"""
+      }.mkString(",")
+      s""""$q":{"x1":${fmt(t1)},$ratios}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"scalecurve","unit":"sec","base":"$baseDir","tiers":${ks.mkString("[", ",", "]")},"queries":$rows}"""
+    println(json)
+    Files.writeString(Paths.get(workDir, "SCALECURVE.json"), json)
+
+    // Human-readable table for SCALING.md.
+    val md = new StringBuilder
+    md ++= "| query | 1x (s) | " + ks.map(k => s"${k}x (s) | ${k}x/1x |").mkString(" ") + "\n"
+    md ++= "|---|---|" + ks.map(_ => "---|---|").mkString + "\n"
+    results.foreach { case (q, byK) =>
+      val t1 = byK(1)
+      md ++= s"| $q | ${fmt(t1)} | " + ks.map { k =>
+        val r = if (t1 > 0 && byK(k) > 0) byK(k) / t1 else -1.0
+        s"${fmt(byK(k))} | ${fmt(r)} |"
+      }.mkString(" ") + "\n"
+    }
+    Files.writeString(Paths.get(workDir, "SCALECURVE.md"), md.toString)
+    spark.stop()
+  }
+}

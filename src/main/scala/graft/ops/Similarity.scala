@@ -535,6 +535,64 @@ object Similarity {
         round(col("dist"), 4).as("dist"), col("__dropped").isNull.as("keep"))
   }
 
+  /** [[semDedup]] with a HOT-CELL kill-switch: cells whose occupancy
+    * exceeds `maxCell` are sub-partitioned by SRP-LSH bits before pair
+    * formation — ADAPTIVELY, each cell splitting just enough
+    * (`subBits = ceil(log2(ceil(n_cell / maxCell)))`, capped at
+    * `maxSubBits`) that its pair work stays ~`maxCell²`-bounded.
+    *
+    * Why: a real corpus never lands balanced on a fixed quantizer — the
+    * SCALECURVE run measured the plain per-cell self-join at 25× data
+    * going 250-500× slower because the LARGEST cell is quadratic and
+    * single-task. Cells at or under the cap are untouched (subBits = 0 →
+    * every member in sub-bucket 0), so semantics degrade — same-cell
+    * pairs split across sub-buckets go uncompared — ONLY where the exact
+    * scan is computationally impossible, the same contract as
+    * [[graft.ops.Dedup.bandedStarEdges]] for the dup graph and the SRP
+    * bucketing in [[embeddingNearDupPairs]]. Pair work per cell is
+    * bounded regardless of skew; the sub-bucket key also spreads the hot
+    * cell across `2^subBits` shuffle tasks instead of one straggler.
+    *
+    * The split arithmetic is INTEGER-exact (ceil-div + binary length,
+    * never a float log2) so an oracle on another engine reproduces the
+    * bucketing bit-for-bit at power-of-two boundaries. */
+  def semDedupCapped(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, k: Int = 8, dim: Int = 64,
+                     maxCell: Int = 1024, maxSubBits: Int = 8): DataFrame = {
+    val cents = semCentroids(k, dim)
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("gd", SquaredDistances(col("v"), cents))
+    val dmin = array_min(col("gd"))
+    val cell = (array_position(col("gd"), dmin) - 1).cast("int")
+    // persisted BEFORE the size join: sizes + the sub-bucketed frame both
+    // derive from it, and the k×dim distance chain must run once.
+    val assigned = base.select(col("id"), col("v"), cell.as("cell"), dmin.as("dist"))
+      .persist()
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    // q = ceil(n_cell / maxCell); subBits = bits(q-1) = ceil(log2 q).
+    val q = floor((col("n_cell") + lit(maxCell - 1)) / lit(maxCell)).cast("long")
+    val subBits = when(q <= 1, lit(0))
+      .otherwise(least(lit(maxSubBits), length(conv(q - 1, 10, 2))))
+    val sub = pmod(srpBucket(col("v"), maxSubBits, dim),
+      pow(lit(2.0), subBits).cast("long"))
+    val keyed = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("sub", sub)
+    val l = keyed.select(col("id").as("a"), col("cell"), col("sub"),
+      col("dist").as("da"), col("v").as("va"))
+    val r = keyed.select(col("id").as("b"), col("cell"), col("sub"),
+      col("dist").as("db"), col("v").as("vb"))
+    val drops = l.join(r, Seq("cell", "sub")).where(col("a") < col("b"))
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select(when(col("da") < col("db"), col("a"))
+        .when(col("db") < col("da"), col("b"))
+        .otherwise(greatest(col("a"), col("b"))).as("id"))
+      .distinct()
+    assigned
+      .join(drops.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        round(col("dist"), 4).as("dist"), col("__dropped").isNull.as("keep"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold,
     * bucketed by SRP-LSH so the pair space never materializes fully.
     * Pairs expand from per-bucket posting lists (a self-join would compute

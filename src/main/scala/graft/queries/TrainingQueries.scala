@@ -453,6 +453,15 @@ object TrainingQueries extends QueryPack {
         threshold = 0.2, k = 8, dim = 64)
     },
 
+    // the skew-proof production variant: hot cells adaptively split by
+    // SRP bits so pair work per cell is capped whatever the quantizer's
+    // balance (maxCell here is small enough that sf cells actually split
+    // — the sub-bucket path is what the oracle hash-checks).
+    "emb_semdedup_capped" -> { (s, dir) =>
+      Similarity.semDedupCapped(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.2, k = 8, dim = 64, maxCell = 32, maxSubBits = 4)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     "mm_meta" -> { (s, dir) =>
       Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")
@@ -1004,6 +1013,54 @@ object TrainingQueries extends QueryPack {
          |         WHEN r.dist < l.dist THEN r.vec_id
          |         ELSE greatest(l.vec_id, r.vec_id) END AS vec_id
          |  FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  WHERE list_cosine_similarity(l.embedding::DOUBLE[],
+         |                               r.embedding::DOUBLE[]) >= $thr)
+         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+         |  round(a.dist, 4) AS dist, (dr.vec_id IS NULL) AS keep
+         |FROM a LEFT JOIN drops dr ON a.vec_id = dr.vec_id""".stripMargin
+    },
+    "emb_semdedup_capped" -> {
+      // same centroid/distance/argmin recipe as emb_semdedup, plus the
+      // adaptive sub-bucket: q = ceil-div(n_cell, maxCell), subBits =
+      // len(bin(q-1)) capped — integer-exact on both engines — and the
+      // SRP bucket from the SAME srpPlanes literals as emb_neardup_lsh.
+      val (k, dim, thr, maxCell, maxSubBits) = (8, 64, 0.2, 32, 4)
+      val cents = graft.ops.Similarity.semCentroids(k, dim)
+      def distSql(ki: Int): String =
+        (0 until dim).map { j =>
+          val c = cents(ki)(j)
+          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
+            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
+        }.mkString("(", " + ", ")")
+      val dCols = (0 until k).map(ki => s"${distSql(ki)} AS d_$ki").mkString(",\n  ")
+      val leastAll = (0 until k).map(ki => s"d_$ki").mkString("least(", ", ", ")")
+      val cellCase = (0 until k).map(ki => s"WHEN d_$ki = dist THEN $ki")
+        .mkString("CASE ", " ", "END")
+      val planes = graft.ops.Similarity.srpPlanes(maxSubBits, dim)
+      def planeLit(b: Int) = planes(b).mkString("[", ",", "]") + "::DOUBLE[]"
+      val bucket = (0 until maxSubBits).map(b =>
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(b)}) >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT vec_id, embedding,
+         |  $dCols
+         |  FROM embeddings),
+         |m AS (SELECT *, $leastAll AS dist FROM d),
+         |a AS (SELECT vec_id, embedding, dist, $cellCase AS cell,
+         |        $bucket AS bucket FROM m),
+         |cz AS (SELECT cell, count(*) AS n_cell FROM a GROUP BY cell),
+         |sb AS (SELECT cell,
+         |        CASE WHEN (n_cell + ${maxCell - 1}) // $maxCell <= 1 THEN 0
+         |             ELSE least($maxSubBits,
+         |               length(bin((n_cell + ${maxCell - 1}) // $maxCell - 1))) END
+         |          AS sub_bits FROM cz),
+         |s AS (SELECT a.*, a.bucket % ((1::BIGINT) << sb.sub_bits) AS sub
+         |      FROM a JOIN sb USING (cell)),
+         |drops AS (SELECT DISTINCT
+         |    CASE WHEN l.dist < r.dist THEN l.vec_id
+         |         WHEN r.dist < l.dist THEN r.vec_id
+         |         ELSE greatest(l.vec_id, r.vec_id) END AS vec_id
+         |  FROM s l JOIN s r ON l.cell = r.cell AND l.sub = r.sub
+         |    AND l.vec_id < r.vec_id
          |  WHERE list_cosine_similarity(l.embedding::DOUBLE[],
          |                               r.embedding::DOUBLE[]) >= $thr)
          |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,

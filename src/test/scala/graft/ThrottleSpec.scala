@@ -122,12 +122,19 @@ class ThrottleSpec extends AnyFunSuite {
     * (see [[graft.streaming.ThrottleMemberMain]]). Shares NOTHING with
     * this JVM but the network store's socket. */
   private final class RemoteMember(url: String, id: String) extends AutoCloseable {
-    private val scalaLib = {
-      val jars = new java.io.File("/opt/spark/jars").listFiles()
-      jars.find(_.getName.startsWith("scala-library-")).get.getAbsolutePath
-    }
+    // Child classpath derived from THIS JVM, not image paths: the compiled
+    // classes dir comes from where ThrottleMemberMain itself was loaded,
+    // the scala-library jar from where Predef lives — portable across
+    // build layouts and jar directories.
+    private def locationOf(c: Class[_]): String =
+      new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
+        .getAbsolutePath
+    private val childCp = Seq(
+      locationOf(graft.streaming.ThrottleMemberMain.getClass),
+      locationOf(scala.Predef.getClass)
+    ).distinct.mkString(java.io.File.pathSeparator)
     private val proc = new ProcessBuilder(
-      "java", "-cp", s"target/scala-2.13/classes:$scalaLib",
+      "java", "-cp", childCp,
       "graft.streaming.ThrottleMemberMain", url, id)
       .redirectErrorStream(false)
       .redirectError(ProcessBuilder.Redirect.INHERIT)
