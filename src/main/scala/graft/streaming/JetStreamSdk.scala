@@ -201,3 +201,64 @@ object JetStreamSdk {
     new Bound(api, conn, stream, subject, durable, fetchWaitMs)
   }
 }
+
+/** Real-SDK binding for CORE NATS (S4, at-most-once, no broker ack —
+  * `rust/extns/numaflow-nats/src/nats.rs`): a plain subject subscription
+  * drained non-blockingly. Same jar and gate as [[JetStreamSdk]]
+  * (`io.nats:jnats`); implements the engine's injected
+  * [[Connectors.NatsSubscription]] transport. */
+object NatsCoreSdk {
+
+  def isAvailable: Boolean = JetStreamSdk.isAvailable
+
+  final class Bound private[NatsCoreSdk] (conn: AnyRef, sub: AnyRef,
+                                          next: MethodHandle, data: MethodHandle,
+                                          closeConn: MethodHandle, pollWaitMs: Long)
+      extends Connectors.NatsSubscription with AutoCloseable {
+    def drain(): Seq[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var more = true
+      while (more) {
+        val m = next.invoke(sub, Duration.ofMillis(pollWaitMs))
+        if (m == null) more = false
+        else out += data.invoke(m).asInstanceOf[Array[Byte]]
+      }
+      out.toSeq
+    }
+    def close(): Unit = { closeConn.invoke(conn); () }
+  }
+
+  def bind(url: String, subject: String, pollWaitMs: Long = 50L): Bound = {
+    val lookup = MethodHandles.publicLookup()
+    def cls(n: String): Class[_] =
+      try Class.forName(n)
+      catch { case e: ClassNotFoundException =>
+        throw new IllegalStateException(
+          s"NATS core binding requires io.nats:jnats on the runtime " +
+          s"classpath (class $n not found) — add the client jar, or use " +
+          s"the injected-transport NatsSource for tests", e)
+      }
+    def mh(c: Class[_], name: String, ret: Class[_], args: Class[_]*): MethodHandle =
+      try lookup.findVirtual(c, name, MethodType.methodType(ret, args.toArray))
+      catch { case e: ReflectiveOperationException =>
+        throw new IllegalStateException(s"jnats API mismatch: ${c.getName}.$name", e)
+      }
+    def smh(c: Class[_], name: String, ret: Class[_], args: Class[_]*): MethodHandle =
+      try lookup.findStatic(c, name, MethodType.methodType(ret, args.toArray))
+      catch { case e: ReflectiveOperationException =>
+        throw new IllegalStateException(s"jnats API mismatch: ${c.getName}.$name (static)", e)
+      }
+    val natsC = cls("io.nats.client.Nats")
+    val connC = cls("io.nats.client.Connection")
+    val subC = cls("io.nats.client.Subscription")
+    val msgC = cls("io.nats.client.Message")
+    val connect = smh(natsC, "connect", connC, classOf[String])
+    val subscribe = mh(connC, "subscribe", subC, classOf[String])
+    val next = mh(subC, "nextMessage", msgC, classOf[Duration])
+    val data = mh(msgC, "getData", classOf[Array[Byte]])
+    val closeConn = mh(connC, "close", classOf[Unit])
+    val conn = connect.invoke(url).asInstanceOf[AnyRef]
+    new Bound(conn, subscribe.invoke(conn, subject).asInstanceOf[AnyRef],
+      next, data, closeConn, pollWaitMs)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** The SCALECURVE generator's null model, asserted: a k× scale-up must
+  * hold the base corpus's DISTRIBUTION fixed while volume grows k× —
+  * otherwise the measured curve conflates data growth with workload
+  * drift. Timing itself lives in `graft.ScaleCurve` runs (SCALING.md);
+  * these properties are what make those timings interpretable. */
+class ScaleCurveSpec extends SparkSpec {
+
+  private val base = "/root/testdata/sf0.001"
+
+  test("documents: ids disjoint, volume k×, dup structure replicated not inflated") {
+    val k = 3
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val scaled = ScaleCurve.scaleDocuments(spark, base, k).persist()
+    val n = docs.count()
+    assert(scaled.count() === k * n)
+    assert(scaled.select("doc_id").distinct().count() === k * n, "ids stay unique")
+    // dup PAIR volume grows exactly k×: replicas never collide (token
+    // suffixing), so the candidate graph is k disjoint copies of base.
+    def pairCount(df: org.apache.spark.sql.DataFrame): Long =
+      Dedup.minhashLshPairs(df, "doc_id", "text", numPerm = 12, rowsPerBand = 3).count()
+    val basePairs = pairCount(docs)
+    assert(basePairs > 0, "base corpus must actually contain near-dups")
+    assert(pairCount(scaled.toDF()) === k * basePairs,
+      "k disjoint replicas -> exactly k x the dup pairs")
+    // no cross-replica pair: every pair stays within one replica stratum
+    val strat = Dedup.minhashLshPairs(scaled.toDF(), "doc_id", "text",
+        numPerm = 12, rowsPerBand = 3)
+      .where(floor(col("a") / n) =!= floor(col("b") / n))
+    assert(strat.count() === 0, "replicas must not near-dup against each other")
+    scaled.unpersist(); ()
+  }
+
+  test("embeddings: rotation preserves norms, ids offset per replica") {
+    val k = 3
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val scaled = ScaleCurve.scaleEmbeddings(spark, base, k).persist()
+    val n = emb.count()
+    assert(scaled.count() === k * n)
+    assert(scaled.select("vec_id").distinct().count() === k * n)
+    def norms(df: org.apache.spark.sql.DataFrame) = df.select(
+      round(aggregate(transform(col("embedding"), x => x.cast("double") * x),
+        lit(0.0), (a, x) => a + x), 4).as("nrm"))
+      .groupBy("nrm").count().orderBy("nrm").collect().toSeq
+    // the multiset of vector norms is invariant per replica (rotation)
+    assert(norms(scaled.toDF()).map(r => (r.getDouble(0), r.getLong(1))) ===
+      norms(emb).map(r => (r.getDouble(0), r.getLong(1) * k)).sortBy(_._1))
+    scaled.unpersist(); ()
+  }
+}
