@@ -269,6 +269,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Persist the frozen-IVF index as a BUCKETED table keyed by cell —
+    * the "train once, persist the centers, probe forever" production
+    * shape made literal, the ANN analog of [[graft.ops.Dedup]]'s bucketed
+    * signature table. The k×dim assignment pass runs ONCE at build time;
+    * every later query workload reads postings that are already
+    * cell-partitioned on disk. */
+  def writeIvfIndexTable(corpus: DataFrame, idCol: String, vecCol: String,
+                         table: String, nLists: Int = 16, dim: Int = 64,
+                         buckets: Int = 8): Unit = {
+    val cents = ivfCentroids(nLists, dim)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", argminIdx(SquaredDistances(col("cv"), cents)))
+    graft.ops.Scale.writeBucketed(assigned, table, buckets,
+      keyCols = Seq("cell"), sortCols = Seq("cell"))
+  }
+
+  /** Probe a persisted IVF index: identical results to [[ivfTopKFrozen]]
+    * (same centroid literals on the query side), but the corpus is never
+    * re-assigned and never re-shuffled. With a small query batch the
+    * probe set broadcasts (corpus side untouched); at query volumes past
+    * broadcast, the cell equi-join shuffles ONLY the queries — the index
+    * table is pre-bucketed on the join key, so Catalyst plans its side
+    * exchange-free (IvfIndexTableSpec asserts this with broadcast off).
+    * Only the per-query top-k window moves data keyed by query_id — the
+    * tiny side by construction. */
+  def ivfTopKFromTable(spark: org.apache.spark.sql.SparkSession, table: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nLists: Int = 16, nProbe: Int = 4,
+                       dim: Int = 64, broadcastProbe: Boolean = true): DataFrame = {
+    val cents = ivfCentroids(nLists, dim)
+    val probedRaw = probeCells(queries, idCol, vecCol, cents, nProbe)
+    val probed = if (broadcastProbe) broadcast(probedRaw) else probedRaw
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    spark.table(table).join(probed, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Per-vector int8 scalar quantization: codes = round((x − min) /
     * scale) ∈ [0, 255], scale = (max − min)/255 — 4× memory cut for ANN
     * posting lists, the standard compression step before IVF/PQ storage.

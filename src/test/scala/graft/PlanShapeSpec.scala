@@ -161,6 +161,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "InMemoryTableScan") >= 3, p)
   }
 
+  test("semdedup capped variant: assignment cached, sizes broadcast, keyed pair join") {
+    val p = plan("emb_semdedup_capped")
+    // the k×dim distance chain runs once: sizes, both pair sides, and the
+    // final labeling all read the persisted assignment
+    assert(countOf(p, "InMemoryTableScan") >= 3, p)
+    // the k-row cell-size table rides a broadcast, never a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    // pair formation is an equi-join on (cell, sub) — a keyed exchange
+    // that spreads hot cells across tasks, never a product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("emb_neardup crossJoin is absolutely bounded — cap pushed to both scans") {
     // The exact-cosine pair scan may crossJoin ONLY because both sides are
     // capped at a constant (vec_id < 500): a fractional subset (% 10)
