@@ -277,8 +277,13 @@ object Similarity {
     * cell-partitioned on disk. */
   def writeIvfIndexTable(corpus: DataFrame, idCol: String, vecCol: String,
                          table: String, nLists: Int = 16, dim: Int = 64,
-                         buckets: Int = 8): Unit = {
-    val cents = ivfCentroids(nLists, dim)
+                         buckets: Int = 8,
+                         centroids: Array[Array[Double]] = null): Unit = {
+    // default: the frozen IVF quantizer; pass semCentroids(k, dim) to
+    // build the SAME table shape for SemDeDup increments — the schema
+    // (neighbor_id, cv, cell) and bucket layout serve both workloads,
+    // but the prober's centroids must match the build's.
+    val cents = if (centroids != null) centroids else ivfCentroids(nLists, dim)
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cell", argminIdx(SquaredDistances(col("cv"), cents)))
@@ -310,6 +315,52 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Incremental SemDeDup (the crawl-grows-the-corpus path, mirroring
+    * [[graft.ops.Dedup.incrementalDupPairs]]): semantic near-dup pairs
+    * BETWEEN a settled corpus and an incoming batch — (old_id, new_id,
+    * sim) for every cross pair in the same cell with cosine ≥ threshold.
+    * Both sides assign cells against the same frozen centroids; the
+    * candidate space is per-cell cross products (settled × increment,
+    * never settled²). Downstream policy decides the verdict — typically
+    * "drop the incoming member" (settled exemplars are canonical). */
+  def semDedupCrossPairs(settled: DataFrame, incoming: DataFrame,
+                         idCol: String, vecCol: String, threshold: Double,
+                         k: Int = 8, dim: Int = 64): DataFrame = {
+    val cents = semCentroids(k, dim)
+    def assign(df: DataFrame, as: String, vas: String) = df
+      .select(col(idCol).as(as), asDouble(col(vecCol)).as(vas))
+      .withColumn("cell", argminIdx(SquaredDistances(col(vas), cents)))
+    assign(incoming, "new_id", "nv")
+      .join(assign(settled, "old_id", "ov"), Seq("cell"))
+      .withColumn("sim", cosine(col("ov"), col("nv")))
+      .where(col("sim") >= threshold)
+      .select(col("old_id"), col("new_id"), col("sim"))
+  }
+
+  /** [[semDedupCrossPairs]] with the settled side served from a persisted
+    * assignment table — built by [[writeIvfIndexTable]] with
+    * `centroids = semCentroids(k, dim)` so the cells match this prober
+    * (same table SHAPE as the ANN index: (neighbor_id, cv, cell),
+    * cell-bucketed). Only the increment runs the k×dim assignment and
+    * shuffles into the cell layout; the settled corpus never moves
+    * (bucketed-join shape asserted in ScaleSpec/IvfIndexTableSpec). */
+  def semDedupCrossPairsFromTable(spark: org.apache.spark.sql.SparkSession,
+                                  table: String, incoming: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double, k: Int = 8,
+                                  dim: Int = 64): DataFrame = {
+    val cents = semCentroids(k, dim)
+    val inc = incoming
+      .select(col(idCol).as("new_id"), asDouble(col(vecCol)).as("nv"))
+      .withColumn("cell", argminIdx(SquaredDistances(col("nv"), cents)))
+    inc.join(spark.table(table)
+        .select(col("neighbor_id").as("old_id"), col("cv").as("ov"), col("cell")),
+        Seq("cell"))
+      .withColumn("sim", cosine(col("ov"), col("nv")))
+      .where(col("sim") >= threshold)
+      .select(col("old_id"), col("new_id"), col("sim"))
   }
 
   /** Per-vector int8 scalar quantization: codes = round((x − min) /

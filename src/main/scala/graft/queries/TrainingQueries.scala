@@ -462,6 +462,17 @@ object TrainingQueries extends QueryPack {
         threshold = 0.2, k = 8, dim = 64, maxCell = 32, maxSubBits = 4)
     },
 
+    // incremental semantic dedup: settled corpus (vec_id < 250) vs the
+    // incoming batch — per-cell CROSS pairs only (settled² never forms);
+    // the table-backed twin (settled side bucketed, zero-shuffle) is
+    // spec-asserted equivalent in SemDedupIncrementSpec.
+    "emb_semdedup_incr" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semDedupCrossPairs(
+        emb.where(col("vec_id") < 250), emb.where(col("vec_id") >= 250),
+        "vec_id", "embedding", threshold = 0.2, k = 8, dim = 64)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     "mm_meta" -> { (s, dir) =>
       Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")
@@ -1066,6 +1077,32 @@ object TrainingQueries extends QueryPack {
          |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
          |  round(a.dist, 4) AS dist, (dr.vec_id IS NULL) AS keep
          |FROM a LEFT JOIN drops dr ON a.vec_id = dr.vec_id""".stripMargin
+    },
+    "emb_semdedup_incr" -> {
+      val (k, dim, thr) = (8, 64, 0.2)
+      val cents = graft.ops.Similarity.semCentroids(k, dim)
+      def distSql(ki: Int): String =
+        (0 until dim).map { j =>
+          val c = cents(ki)(j)
+          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
+            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
+        }.mkString("(", " + ", ")")
+      val dCols = (0 until k).map(ki => s"${distSql(ki)} AS d_$ki").mkString(",\n  ")
+      val leastAll = (0 until k).map(ki => s"d_$ki").mkString("least(", ", ", ")")
+      val cellCase = (0 until k).map(ki => s"WHEN d_$ki = dist THEN $ki")
+        .mkString("CASE ", " ", "END")
+      s"""WITH d AS (SELECT vec_id, embedding,
+         |  $dCols
+         |  FROM embeddings),
+         |m AS (SELECT *, $leastAll AS dist FROM d),
+         |a AS (SELECT vec_id, embedding, $cellCase AS cell FROM m)
+         |SELECT o.vec_id AS old_id, n.vec_id AS new_id,
+         |  list_cosine_similarity(o.embedding::DOUBLE[],
+         |                         n.embedding::DOUBLE[]) AS sim
+         |FROM a o JOIN a n ON o.cell = n.cell
+         |WHERE o.vec_id < 250 AND n.vec_id >= 250
+         |  AND list_cosine_similarity(o.embedding::DOUBLE[],
+         |                             n.embedding::DOUBLE[]) >= $thr""".stripMargin
     },
     "text_redact" -> {
       // identical regexes, interpolated from the same PiiPatterns list;
