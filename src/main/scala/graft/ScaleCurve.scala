@@ -71,7 +71,7 @@ object ScaleCurve {
     val dim = base.select(size(col("embedding"))).head.getInt(0)
     val replicas = (0 until k).map { r =>
       val rot = r % dim
-      if (rot == 0 && r == 0) base
+      if (r == 0) base
       else base
         .withColumn("vec_id", col("vec_id") + lit(r * n))
         .withColumn("embedding",
@@ -142,15 +142,16 @@ object ScaleCurve {
       else SparkEntry.queries(name)
     val ts = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      try fn(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      // clearCache in finally: a failed rep must not leak its persisted
+      // intermediates into every later timed run of the sweep. The stamp
+      // is taken inside the try so the cleanup stays untimed.
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[scalecurve] $name failed at $dir: ${e.getMessage}")
         return -1.0
-      }
-      val t = (System.nanoTime() - t0) / 1e9
-      spark.sharedState.cacheManager.clearCache()
-      t
+      } finally spark.sharedState.cacheManager.clearCache()
     }
     ts.min
   }

@@ -52,8 +52,13 @@ final class AutoscaleController(
     * gate on the direction's cooldown, actuate on change. Returns the
     * replica count in force after the tick. */
   def decide(): Int = synchronized {
-    if (samples.isEmpty) return current
     val now = clock()
+    // Prune HERE too, not only in observe(): if micro-batches stall (no
+    // observe() calls) the tick must not keep acting on pre-stall samples
+    // forever — an empty window means "no recent signal, hold".
+    val floor = now - conf.lookbackSeconds * 1000L
+    while (samples.nonEmpty && samples.head._1 < floor) samples.removeHead()
+    if (samples.isEmpty) return current
     val avgPending = math.round(samples.map(_._2.toDouble).sum / samples.size)
     val avgRate = samples.map(_._3).sum / samples.size
     val desired = Autoscale.desiredSourceReplicas(

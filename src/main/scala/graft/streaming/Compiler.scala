@@ -50,7 +50,10 @@ object Compiler {
                        spec: PipelineSpec): Map[String, String] =
     spec.compression.codec.fold(Map.empty[String, String]) { c =>
       spark.conf.set("spark.sql.streaming.stateStore.compression.codec", c)
-      val io = spark.sparkContext.getConf.get("spark.io.compression.codec", c)
+      // Default to Spark's ACTUAL default (lz4), not the requested codec:
+      // an unset session really shuffles with lz4, and using `c` as the
+      // fallback would mask exactly the mismatch this check exists for.
+      val io = spark.sparkContext.getConf.get("spark.io.compression.codec", "lz4")
       if (io != c)
         System.err.println(s"[graft] pipeline requests shuffle codec '$c' but the " +
           s"session was built with '$io' — pass spec.compression.conf to the builder")

@@ -96,6 +96,7 @@ object JetStreamSdk {
     val msgData: MethodHandle = mh(msgC, "getData", classOf[Array[Byte]])
     val msgMeta: MethodHandle = mh(msgC, "metaData", metaC)
     val msgAck: MethodHandle = mh(msgC, "ack", classOf[Unit])
+    val msgNak: MethodHandle = mh(msgC, "nak", classOf[Unit])
     val streamSeq: MethodHandle = mh(metaC, "streamSequence", classOf[Long])
 
     val psoBuilder: MethodHandle = smh(psoC, "builder", psoBC)
@@ -171,6 +172,11 @@ object JetStreamSdk {
     def ackUpTo(seq: Long): Unit = {
       // AckAll: acking the highest delivered message <= seq acks the
       // whole prefix. Drain the durable sub up to seq and ack the last.
+      // Messages the fetch over-delivered (seq' > seq) are NAK'd so the
+      // broker redelivers them immediately — abandoning them unacked
+      // would stall the ack floor behind ack_wait on every commit and
+      // make the NEXT ackUpTo see an empty fetch for the outstanding
+      // range.
       var last: AnyRef = null
       var exhausted = false
       while (!exhausted) {
@@ -179,10 +185,10 @@ object JetStreamSdk {
         if (batch.isEmpty) exhausted = true
         else {
           val it = batch.iterator()
-          while (it.hasNext && !exhausted) {
+          while (it.hasNext) {
             val m = it.next()
             if (api.streamSeq.invoke(api.msgMeta.invoke(m)).asInstanceOf[Long] <= seq) last = m
-            else exhausted = true
+            else { exhausted = true; api.msgNak.invoke(m) }
           }
         }
       }

@@ -65,15 +65,20 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
     * backstop is a separate scheduled release — it does NOT complete the
     * result future exceptionally, so a late DAG answer still lands.
     * Replaying an id that is in flight or already answered cannot free
-    * someone else's slot: duplicate ids are rejected with 409 at
-    * admission (the reference's serving store likewise requires unique
-    * request ids).
+    * someone else's slot: duplicate LIVE ids are rejected with 409 at
+    * admission, atomically (`putIfAbsent` — concurrent same-id requests
+    * cannot both slip through). Per-id state is EVICTED when its
+    * lifecycle ends — sync at exchange end (a retry after 504 is a fresh
+    * request), SSE at stream close (reconnects re-admit), async at the
+    * result TTL — so uniqueness is scoped to live requests and the
+    * result map cannot grow without bound under TTL.
     *
-    * `resultTtlMs > 0` additionally expires UNANSWERED async results
-    * after the TTL (future completed exceptionally → `/v1/fetch` answers
-    * 404 "expired"). Independent of the slot backstop: the default 0
-    * keeps results until `close()`, so async batches may legitimately
-    * take longer than any sync timeout. */
+    * `resultTtlMs > 0` expires async results after the TTL: the entry is
+    * evicted (the id becomes admissible again) and `/v1/fetch` answers
+    * 404 "expired" via a bounded LRU record of expired ids. Independent
+    * of the slot backstop: the default 0 keeps results until `close()`,
+    * so async batches may legitimately take longer than any sync
+    * timeout. */
   private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val timer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
@@ -90,17 +95,30 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
   }
 
   /** Take an in-flight slot for a FRESH id. Returns the slot, or null →
-    * the caller already responded (429 shed / 409 duplicate). */
+    * the caller already responded (429 shed / 409 duplicate).
+    *
+    * Registration IS the admission gate: `putIfAbsent` makes the
+    * duplicate check atomic (two concurrent requests with the same fresh
+    * id cannot both pass a check-then-act window), and the entry exists
+    * BEFORE enqueue so a DAG answer can never race past an unregistered
+    * future. An id is unique among LIVE entries — sync/SSE entries live
+    * for their exchange/stream (evicted in their `finally`, so a retry
+    * after 504 or an SSE reconnect is admitted as a fresh request), async
+    * entries until the result TTL (if configured) or `close()`. A shed
+    * (429) deregisters: the request never entered the DAG, so its id
+    * stays free. */
   private def admit(ex: HttpExchange, id: String): Slot = {
-    if (results.containsKey(id)) {
+    val fresh = new CompletableFuture[Array[Byte]]()
+    if (results.putIfAbsent(id, fresh) != null) {
       respond(ex, 409, s"""{"error":"duplicate request id","id":"$id"}""".getBytes)
       null
     } else if (inFlight.incrementAndGet() > maxInFlight) {
       inFlight.decrementAndGet()
+      results.remove(id, fresh)
       shed(ex, id)
       null
     } else {
-      futureFor(id) // register BEFORE enqueue: no lost-wakeup, dup detection
+      expiredIds.synchronized { expiredIds.remove(id); () }
       new Slot
     }
   }
@@ -132,6 +150,21 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
   private val streams =
     new ConcurrentHashMap[String, java.util.concurrent.BlockingQueue[Array[Byte]]]()
 
+  // Ids whose async result aged out of `resultTtlMs` — kept (bounded, LRU)
+  // only so /v1/fetch can answer "expired" instead of "unknown"; the live
+  // entry itself is evicted at expiry so re-submission is admitted.
+  private val expiredIds = new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+      size() > 4096
+  }
+
+  /** Drop all per-id state; the id becomes admissible again. */
+  private def evict(id: String): Unit = {
+    results.remove(id)
+    coveredPaths.remove(id)
+    ()
+  }
+
   private def futureFor(id: String): CompletableFuture[Array[Byte]] =
     results.computeIfAbsent(id, _ => new CompletableFuture[Array[Byte]]())
 
@@ -148,11 +181,16 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
   def pathsDone(id: String): Boolean =
     paths.nonEmpty && paths.forall(coverageFor(id).contains)
 
-  /** Called by the serve sink when the DAG produces a response row. */
+  /** Called by the serve sink when the DAG produces a response row. Only
+    * LIVE ids complete: admission registered the future before enqueue,
+    * so a null here means the exchange already ended (sync 504 + evict,
+    * SSE closed, TTL expiry) — the answer is dropped rather than
+    * resurrecting per-id state that nothing would ever clean up. */
   def complete(id: String, payload: Array[Byte]): Unit = {
-    futureFor(id).complete(payload) // sync/async see the FIRST result
+    val f = results.get(id)
+    if (f != null) { f.complete(payload); () } // sync/async see the FIRST result
     val q = streams.get(id)
-    if (q != null) q.offer(payload) // SSE sees every result
+    if (q != null) { q.offer(payload); () } // SSE sees every result
   }
 
   /** Branch `path` produced a response row for the request. */
@@ -165,10 +203,12 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
     * without producing a row for it — the reference's dropped-on-this-path
     * callback. Idempotent; at-least-once redelivery just re-covers. */
   def coverPath(id: String, path: String): Unit = {
-    coverageFor(id).add(path)
+    if (!results.containsKey(id)) return // exchange already over: don't
+    coverageFor(id).add(path)            // resurrect evicted per-id state
+    if (!results.containsKey(id)) { coveredPaths.remove(id); return }
     if (pathsDone(id)) {
       val q = streams.get(id)
-      if (q != null) q.offer(SseEnd) // wake the SSE loop to close
+      if (q != null) { q.offer(SseEnd); () } // wake the SSE loop to close
     }
   }
 
@@ -220,7 +260,10 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
           enqueue(id, ex.getRequestBody.readAllBytes())
           try respond(ex, 200, fut.get(syncTimeoutMs, TimeUnit.MILLISECONDS))
           catch { case _: TimeoutException => respond(ex, 504, s"timeout for $id".getBytes) }
-        } finally slot.release() // per-exchange: the sync request is done serving
+        } finally {
+          slot.release() // per-exchange: the sync request is done serving
+          evict(id)      // sync ids live one exchange: a 504 retry re-admits
+        }
       }
     })
     s.createContext("/v1/process/async", new HttpHandler {
@@ -237,7 +280,14 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
           syncTimeoutMs * 2, TimeUnit.MILLISECONDS)
         if (resultTtlMs > 0)
           timer.schedule(new Runnable { def run(): Unit = {
-            fut.completeExceptionally(new TimeoutException(s"result TTL for $id")); ()
+            // Expiry EVICTS — answered or not (the map stays bounded and
+            // the id becomes admissible again). Waiters blocked on the
+            // future see the exception; later fetches see "expired" via
+            // the bounded LRU record instead of a leaked entry.
+            fut.completeExceptionally(new TimeoutException(s"result TTL for $id"))
+            results.remove(id, fut)
+            coveredPaths.remove(id)
+            expiredIds.synchronized { expiredIds.put(id, java.lang.Boolean.TRUE); () }
           } }, resultTtlMs, TimeUnit.MILLISECONDS)
         enqueue(id, ex.getRequestBody.readAllBytes())
         respond(ex, 200, s"""{"id":"$id"}""".getBytes)
@@ -288,6 +338,7 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
         } finally {
           streams.remove(id); ex.close()
           slot.release() // per-exchange: spans the WHOLE stream, not event #1
+          evict(id)      // stream over: an SSE reconnect re-admits the id
         }
       }
     })
@@ -297,7 +348,12 @@ final class ServingEndpoint(port: Int, syncTimeoutMs: Long = 30000,
           case q if q.startsWith("id=") => q.stripPrefix("id=")
         }.orNull
         val fut = if (id == null) null else results.get(id)
-        if (fut == null) respond(ex, 404, "unknown id".getBytes)
+        if (fut == null) {
+          val wasExpired = id != null &&
+            expiredIds.synchronized(expiredIds.containsKey(id))
+          if (wasExpired) respond(ex, 404, "expired (no result within TTL)".getBytes)
+          else respond(ex, 404, "unknown id".getBytes)
+        }
         else if (!fut.isDone) respond(ex, 404, "in progress".getBytes)
         else if (fut.isCompletedExceptionally)
           respond(ex, 404, "expired (no result within TTL)".getBytes)

@@ -417,6 +417,53 @@ class ConnectorsSpec extends SparkSpec {
     } finally { q.stop(); serving.close() }
   }
 
+  test("serving: evicted ids are re-admissible — 504 retry and post-TTL resubmit") {
+    // Sync: the id lives one exchange. A request the DAG never answers
+    // 504s, and the RETRY of the same id is admitted (not 409) and can
+    // succeed — the reference's client-retry path.
+    val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 300, maxInFlight = 2)
+    try {
+      val client = HttpClient.newHttpClient()
+      def syncReq = HttpRequest.newBuilder(URI.create(s"${serving.url}/v1/process/sync"))
+        .header("X-Numaflow-Id", "retry-1")
+        .POST(HttpRequest.BodyPublishers.ofString("x")).build()
+      assert(client.send(syncReq, HttpResponse.BodyHandlers.ofString()).statusCode() === 504)
+      val second = client.sendAsync(syncReq, HttpResponse.BodyHandlers.ofString())
+      val deadline = System.currentTimeMillis() + 5000
+      while (serving.inFlightCount < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      serving.complete("retry-1", "ok-on-retry".getBytes)
+      val resp = second.get(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(resp.statusCode() === 200 && resp.body() === "ok-on-retry")
+      // A late DAG answer for the 504'd FIRST exchange was dropped, not
+      // stored: nothing to fetch under the evicted id once retry ends.
+    } finally serving.close()
+
+    // Async: TTL expiry evicts — the same id resubmits cleanly (200, not
+    // the permanent 409 a never-evicted result map would give).
+    val ttld = new ServingEndpoint(port = 0, syncTimeoutMs = 30000,
+      maxInFlight = 2, resultTtlMs = 200)
+    try {
+      val client = HttpClient.newHttpClient()
+      def post() = client.send(
+        HttpRequest.newBuilder(URI.create(s"${ttld.url}/v1/process/async"))
+          .header("X-Numaflow-Id", "resub-1")
+          .POST(HttpRequest.BodyPublishers.ofString("x")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def fetch() = client.send(
+        HttpRequest.newBuilder(URI.create(s"${ttld.url}/v1/fetch?id=resub-1"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(post().statusCode() === 200)
+      val deadline = System.currentTimeMillis() + 5000
+      while (!fetch().body().contains("expired") && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(fetch().body().contains("expired"))
+      assert(post().statusCode() === 200, "post-TTL resubmit must be admitted")
+      ttld.complete("resub-1", "second-life".getBytes)
+      assert(fetch().statusCode() === 200 && fetch().body() === "second-life")
+    } finally ttld.close()
+  }
+
   test("serving: duplicate request ids are 409 and cannot free other slots") {
     val serving = new ServingEndpoint(port = 0, syncTimeoutMs = 30000, maxInFlight = 2)
     try {

@@ -27,10 +27,13 @@ class ScaleCurveSpec extends SparkSpec {
     assert(basePairs > 0, "base corpus must actually contain near-dups")
     assert(pairCount(scaled.toDF()) === k * basePairs,
       "k disjoint replicas -> exactly k x the dup pairs")
-    // no cross-replica pair: every pair stays within one replica stratum
+    // no cross-replica pair: every pair stays within one replica stratum.
+    // The stratum stride is the GENERATOR's stride, max(doc_id)+1 — not
+    // the row count, which diverges from it whenever base ids have gaps.
+    val stride = docs.agg(max("doc_id")).head.getLong(0) + 1
     val strat = Dedup.minhashLshPairs(scaled.toDF(), "doc_id", "text",
         numPerm = 12, rowsPerBand = 3)
-      .where(floor(col("a") / n) =!= floor(col("b") / n))
+      .where(floor(col("a") / stride) =!= floor(col("b") / stride))
     assert(strat.count() === 0, "replicas must not near-dup against each other")
     scaled.unpersist(); ()
   }
