@@ -205,4 +205,53 @@ object CorpusOps {
         }
       }
   }
+
+  /** Token-budget shard assignment: docs fill shards in `idCol` order
+    * (ids must be unique), doc d landing in shard
+    * floor(tokens_before_d / budget) — the GLOBAL running token total.
+    * Returns (idCol, n_tokens, shard). This is the output-sharding step
+    * of corpus assembly: contiguous id ranges per shard, every shard
+    * within one document of the budget.
+    *
+    * Scale shape — a distributed prefix sum, NOT a global window (a
+    * `sum over (order by id)` with no partition key moves the whole
+    * corpus onto ONE task): range-repartition + sort on id (the ONLY
+    * wide shuffle), a P-row partial-total aggregate collected driver-side
+    * (P = partitions — bounded by cluster size, not data), offsets
+    * broadcast back, and a per-partition running fold. The fold is
+    * `mapPartitions` by design: prefix sum is genuinely order-dependent
+    * imperative logic, and the declarative alternative (a window keyed on
+    * the partition id) costs a SECOND full-corpus shuffle because Spark
+    * cannot see that rows are already co-located by that key. The input
+    * is cached so both passes see identical partition ids. */
+  def shardByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                         budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, "positive token budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    val toks = docs
+      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(p, col(idCol))
+      .sortWithinPartitions(idCol)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val partials = toks.groupBy("pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = { // offset(pid) = total tokens in all partitions before it
+      var acc = 0L
+      partials.map { case (pid, t) => val o = (pid, acc); acc += t; o }.toMap
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    toks.as[(Long, Long, Int)].mapPartitions { it =>
+      var acc = -1L // offset of the first row's partition, lazily resolved
+      it.map { case (id, n, pid) =>
+        if (acc < 0) acc = bcOff.value(pid)
+        val shard = acc / budget
+        acc += n
+        (id, n, shard)
+      }
+    }.toDF(idCol, "n_tokens", "shard")
+  }
 }

@@ -417,6 +417,43 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Bloom-prefiltered incremental span dedup — the recurring-crawl
+    * contamination check with a MAP-SIDE kill-switch: build a Bloom
+    * filter over the settled corpus's w-token span hashes, broadcast it,
+    * and drop every incoming span the filter rejects BEFORE any shuffle.
+    * A Bloom filter has no false negatives, so the prefilter keeps every
+    * true collision; the exact verify join on the span text then removes
+    * its false positives — the final (new_id, old_id) pair set is EXACT,
+    * identical to a full span join (oracle-checked as dedup_bloom_incr).
+    *
+    * Scale shape: at 100 TB/crawl the dominant cost of incremental span
+    * dedup is shuffling the increment's span universe into the join; the
+    * bloom cuts that to `collisions + fpp * spans` rows — at fpp = 1%
+    * a 99%-clean crawl shuffles ~2% of its spans instead of all of them.
+    * The filter itself is `numBits(expectedSpans, fpp)` bits (~1.2 MB per
+    * 10^6 spans at 1%) built with one `treeAggregate` pass and shipped
+    * once per executor via broadcast. The settled side would be a
+    * persisted span table in production (cf. [[writeSignatureTable]]);
+    * here it is recomputed per call, which also keeps the two passes'
+    * span definitions trivially in sync. */
+  def bloomIncrementalSpans(existing: DataFrame, incoming: DataFrame,
+                            idCol: String, textCol: String, w: Int = 15,
+                            expectedSpans: Long = 4L << 20,
+                            fpp: Double = 0.01): DataFrame = {
+    val settled = shingles(existing, idCol, textCol, w)
+      .select(col(idCol).as("old_id"), col("shingle"))
+    val bloom = settled.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", expectedSpans, fpp)
+    val bc = existing.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((h: Long) => bc.value.mightContainLong(h)).withName("bloom_might_contain")
+    shingles(incoming, idCol, textCol, w)
+      .withColumnRenamed(idCol, "new_id")
+      .where(mightContain(xxhash64(col("shingle")))) // map-side: pre-shuffle
+      .join(settled, "shingle")                      // exact verify on text
+      .select(col("new_id"), col("old_id")).distinct()
+  }
+
   /** Cross-document duplicated token spans: every w-token window that
     * appears verbatim in >= 2 distinct docs — the detection half of
     * substring-level dedup (long shared spans are boilerplate/quotation

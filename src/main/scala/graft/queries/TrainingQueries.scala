@@ -312,11 +312,30 @@ object TrainingQueries extends QueryPack {
         .withColumnRenamed("old_id", "train_id")
     },
 
+    // bloom-prefiltered incremental span dedup: the settled corpus
+    // (doc_id < 250) publishes a broadcast Bloom of its span hashes; the
+    // new crawl is prefiltered MAP-SIDE and only survivors join. No
+    // false negatives + exact verify ⇒ the result is exact.
+    "dedup_bloom_incr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomIncrementalSpans(
+        docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
+        "doc_id", "text", w = 15)
+    },
+
     // ---- corpus assembly -------------------------------------------------
     "split_assign" -> { (s, dir) =>
       CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")
+    },
+
+    // token-budget output sharding: global running token total in id
+    // order, computed as a distributed prefix sum (range partition +
+    // per-partition window + offset broadcast) — never a one-task window.
+    "shard_tokens" -> { (s, dir) =>
+      CorpusOps.shardByTokenBudget(Tables.documents(s, dir), "doc_id", "text",
+        budget = 10000L)
     },
 
     "sample_stratified" -> { (s, dir) =>
@@ -1274,6 +1293,17 @@ object TrainingQueries extends QueryPack {
          |FROM banded n JOIN banded o
          |  ON n.band = o.band AND n.bucket = o.bucket
          |WHERE n.doc_id >= 250 AND o.doc_id < 250""".stripMargin,
+    // The bloom prefilter is exact end-to-end (no false negatives; the
+    // verify join removes false positives), so the oracle is the PLAIN
+    // cross-split span join — no bloom modeling needed.
+    "dedup_bloom_incr" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(t[i+1:i+15],' ') AS shingle
+        |       FROM (SELECT doc_id, t,
+        |             unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks))
+        |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |FROM sh n JOIN sh o USING (shingle)
+        |WHERE n.doc_id >= 250 AND o.doc_id < 250""".stripMargin,
     // Transitive closure via recursive CTE — DuckDB walks the same
     // candidate-edge graph the Spark label propagation converges on.
     "dedup_clusters" ->
@@ -1334,6 +1364,16 @@ object TrainingQueries extends QueryPack {
         |FROM (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
         |    / 4294967296.0 AS u FROM documents)""".stripMargin,
+    // Oracle states the SPEC (one global ordered cumsum); the Spark side
+    // computes the same total via the distributed prefix-sum decomposition.
+    "shard_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 10000.0)
+        |    AS BIGINT) AS shard
+        |FROM t""".stripMargin,
     "sample_stratified" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
         |SELECT doc_id, source FROM documents JOIN c USING (source)

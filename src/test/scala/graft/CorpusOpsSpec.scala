@@ -147,4 +147,55 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cc === (1L to n).map(_ -> 1L).toMap)
   }
+
+  test("shardByTokenBudget: distributed prefix sum equals the global-window spec") {
+    import org.apache.spark.sql.expressions.Window
+    // Gapped, shuffled ids with varied doc lengths across many partitions.
+    val docs = (1L to 600L).filter(_ % 7 != 0)
+      .map(i => (i * 3, Seq.fill((i % 17 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(16)
+    val got = CorpusOps.shardByTokenBudget(docs, "doc_id", "text", budget = 100L)
+    // Reference: the one-task global window (fine at test size only).
+    val ref = docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("before") / 100.0).as("shard"))
+    assert(got.except(ref).count() === 0 && ref.except(got).count() === 0)
+    // Laws: shards are contiguous in id order and within budget + one doc.
+    val byShard = got.groupBy("shard").agg(
+        sum("n_tokens").as("tot"), max("n_tokens").as("mx"),
+        min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("shard").collect()
+    byShard.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) < b.getLong(3), "contiguous ranges")
+      case _ =>
+    }
+    byShard.foreach(r => assert(r.getLong(1) <= 100L + r.getLong(2),
+      s"shard ${r.getLong(0)} holds ${r.getLong(1)} tokens"))
+  }
+
+  test("bloomIncrementalSpans: exact vs the unfiltered span join") {
+    // Settled corpus and an increment sharing some 15-token spans.
+    val span = (tag: String) => (1 to 15).map(i => s"tok$i$tag").mkString(" ")
+    val settled = Seq(
+      (1L, span("A") + " " + span("B")),
+      (2L, span("C"))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, span("A") + " fresh tail here"),   // collides with doc 1
+      (11L, span("Z")),                        // clean
+      (12L, span("C") + " " + span("A"))       // collides with 1 and 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.bloomIncrementalSpans(settled, incoming, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val ref = Dedup.shingles(incoming, "doc_id", "text", 15)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(Dedup.shingles(settled, "doc_id", "text", 15)
+        .withColumnRenamed("doc_id", "old_id"), "shingle")
+      .select("new_id", "old_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got === ref)
+    assert(got === Set((10L, 1L), (12L, 1L), (12L, 2L)))
+  }
 }

@@ -184,4 +184,30 @@ class PlanShapeSpec extends SparkSpec {
       s"both crossJoin sides must scan with the absolute cap pushed down:\n$p")
     assert(!p.contains("SortMergeJoin"), s"capped sides must broadcast:\n$p")
   }
+
+  test("shard_tokens: prefix sum is partition-parallel, never a one-task window") {
+    val p = plan("shard_tokens")
+    // The decomposition's whole point: no global-window collapse onto one
+    // task, and no second full-corpus shuffle keyed on the partition id —
+    // the fold consumes the range-sorted partitions in place.
+    assert(!p.contains("Exchange SinglePartition"),
+      s"prefix sum must not serialize onto one task:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fold must reuse the range layout, not re-shuffle:\n$p")
+    assert(p.contains("MapPartitions"), p)
+  }
+
+  test("bloom incremental dedup filters the increment BELOW its exchange") {
+    val p = plan("dedup_bloom_incr")
+    // The bloom membership probe must run map-side: in the physical tree
+    // the UDF filter appears in the increment's scan stage, before any
+    // Exchange — at scale this is what keeps a clean crawl from shuffling
+    // its whole span universe.
+    val udfAt = p.indexOf("bloom_might_contain")
+    assert(udfAt >= 0, s"bloom probe missing from plan:\n$p")
+    val stageEnd = p.indexOf("Exchange", udfAt)
+    val gen = p.indexOf("Generate", udfAt) // the explode feeding the filter
+    assert(gen >= 0 && (stageEnd < 0 || gen < stageEnd),
+      s"bloom filter must sit on the scan side of the shuffle:\n$p")
+  }
 }
