@@ -440,8 +440,11 @@ object Dedup {
                             idCol: String, textCol: String, w: Int = 15,
                             expectedSpans: Long = 4L << 20,
                             fpp: Double = 0.01): DataFrame = {
+    // One explode of the settled corpus serves both passes: the bloom
+    // build (an action — it materializes the cache) and the verify join.
     val settled = shingles(existing, idCol, textCol, w)
       .select(col(idCol).as("old_id"), col("shingle"))
+      .persist()
     val bloom = settled.select(xxhash64(col("shingle")).as("h"))
       .stat.bloomFilter("h", expectedSpans, fpp)
     val bc = existing.sparkSession.sparkContext.broadcast(bloom)
