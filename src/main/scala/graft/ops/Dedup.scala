@@ -448,11 +448,11 @@ object Dedup {
     val bloom = settled.select(xxhash64(col("shingle")).as("h"))
       .stat.bloomFilter("h", expectedSpans, fpp)
     val bc = existing.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((h: Long) => bc.value.mightContainLong(h)).withName("bloom_might_contain")
     shingles(incoming, idCol, textCol, w)
       .withColumnRenamed(idCol, "new_id")
-      .where(mightContain(xxhash64(col("shingle")))) // map-side: pre-shuffle
+      // map-side, pre-shuffle, and INSIDE whole-stage codegen: a native
+      // probe expression, not a UDF boundary (functions/BloomProbe.scala)
+      .where(graft.functions.BloomProbe(xxhash64(col("shingle")), bc))
       .join(settled, "shingle")                      // exact verify on text
       .select(col("new_id"), col("old_id")).distinct()
   }
