@@ -457,6 +457,50 @@ object Dedup {
       .select(col("new_id"), col("old_id")).distinct()
   }
 
+  /** Persist the settled corpus's spans as a table BUCKETED by the join
+    * key (shingle) plus a Bloom SIDECAR of the span hashes — the two
+    * artifacts [[bloomIncrementalSpansFromTable]] probes on every
+    * recurring crawl. One write-time shuffle + one bloom-build scan of
+    * the persisted table, amortized over every later increment. The bloom
+    * is built from the table AS WRITTEN, so filter and table can never
+    * disagree about the span definition. */
+  def writeSpanTable(docs: DataFrame, idCol: String, textCol: String,
+                     table: String, buckets: Int, bloomPath: String,
+                     w: Int = 15, expectedSpans: Long = 4L << 20,
+                     fpp: Double = 0.01): Unit = {
+    Scale.writeBucketed(
+      shingles(docs, idCol, textCol, w)
+        .select(col(idCol).as("old_id"), col("shingle")),
+      table, buckets, keyCols = Seq("shingle"))
+    val bloom = docs.sparkSession.table(table)
+      .select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", expectedSpans, fpp)
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(bloomPath))
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  /** [[bloomIncrementalSpans]] against persisted artifacts: the bloom
+    * sidecar loads once and broadcasts; only increment spans that probe
+    * positive shuffle into the settled table's bucket layout — the
+    * settled corpus itself NEVER moves (bucketed scan, no exchange;
+    * plan-asserted in ScaleSpec). This is the production recurring-crawl
+    * loop: write the table once, probe every crawl against it. */
+  def bloomIncrementalSpansFromTable(spark: org.apache.spark.sql.SparkSession,
+                                     table: String, bloomPath: String,
+                                     incoming: DataFrame, idCol: String,
+                                     textCol: String, w: Int = 15): DataFrame = {
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(bloomPath))
+    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                finally in.close()
+    val bc = spark.sparkContext.broadcast(bloom)
+    shingles(incoming, idCol, textCol, w)
+      .withColumnRenamed(idCol, "new_id")
+      .where(graft.functions.BloomProbe(xxhash64(col("shingle")), bc))
+      .join(spark.table(table), "shingle")
+      .select(col("new_id"), col("old_id")).distinct()
+  }
+
   /** Cross-document duplicated token spans: every w-token window that
     * appears verbatim in >= 2 distinct docs — the detection half of
     * substring-level dedup (long shared spans are boilerplate/quotation

@@ -149,6 +149,54 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bloom incremental against a bucketed span table + sidecar: settled side never shuffles") {
+    import graft.ops.Dedup
+    def rmdir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmdir)
+      f.delete(); ()
+    }
+    spark.sql("DROP TABLE IF EXISTS b_spans")
+    rmdir(new java.io.File("spark-warehouse/b_spans"))
+    val bloomPath = java.nio.file.Files
+      .createTempFile("b_spans_bloom", ".bin").toString
+
+    val mk = (tag: String) => (1 to 15).map(i => s"w$i$tag").mkString(" ")
+    val existing = (1 to 40)
+      .map(i => (i.toLong, mk(s"c${i % 5}") + s" tail$i"))
+      .toDF("doc_id", "text")
+    Dedup.writeSpanTable(existing, "doc_id", "text", "b_spans",
+      buckets = 4, bloomPath = bloomPath)
+
+    val incoming = Seq(
+      (1001L, mk("c1") + " novel continuation"), // collides with cluster 1
+      (1002L, mk("zz"))                          // clean
+    ).toDF("doc_id", "text")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fromTable = Dedup.bloomIncrementalSpansFromTable(
+        spark, "b_spans", bloomPath, incoming, "doc_id", "text")
+      val direct = Dedup.bloomIncrementalSpans(existing, incoming, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = fromTable.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === direct)
+      assert(got.nonEmpty && got.forall(_._1 == 1001L),
+        s"colliding doc flags, clean doc passes: $got")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count()
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      }
+      val bucketed = exchanges(Dedup.bloomIncrementalSpansFromTable(
+        spark, "b_spans", bloomPath, incoming, "doc_id", "text"))
+      val recompute = exchanges(
+        Dedup.bloomIncrementalSpans(existing, incoming, "doc_id", "text"))
+      assert(bucketed === recompute - 1,
+        s"settled side must read co-located: bucketed=$bucketed recompute=$recompute")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join returns exactly the unsalted result") {
     // heavy skew: 90% of big rows share one key
     val big = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))
