@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Ingest-time contamination guard: every ARRIVING doc is checked for
+  * verbatim w-token span overlap against the settled corpus's persisted
+  * artifacts ([[graft.ops.Dedup.writeSpanTable]]) — the streaming twin of
+  * `Dedup.bloomIncrementalSpansFromTable`, extending the reference's
+  * ingest-time exact-id dedup (X2, windowed `MessageID` dedup at the ISB
+  * write) to substring-level contamination.
+  *
+  * Same scale posture as the batch form: the bloom sidecar loads once
+  * and broadcasts; the probe runs map-side inside codegen on each
+  * micro-batch, so a clean stream never shuffles its span universe; the
+  * settled table joins stream-static with no exchange on the settled
+  * side. Cross-batch repeats of a pair collapse via
+  * `dropDuplicatesWithinWatermark` — state is bounded by the watermark
+  * horizon, exactly the X2 contract.
+  */
+object SpanGuard {
+
+  /** @param stream streaming frame with (idCol: long, textCol, tsCol);
+    *               MUST already carry `withWatermark(tsCol, …)`
+    * @return streaming (new_id, old_id) collision pairs, append mode */
+  def collisions(stream: DataFrame, table: String, bloomPath: String,
+                 idCol: String, textCol: String, tsCol: String,
+                 w: Int = 15): DataFrame = {
+    val spark = stream.sparkSession
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(bloomPath))
+    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                finally in.close()
+    val bc = spark.sparkContext.broadcast(bloom)
+    stream
+      .select(col(idCol).as("new_id"), col(tsCol),
+        explode(Dedup.shingleArray(col(textCol), w)).as("shingle"))
+      .where(graft.functions.BloomProbe(xxhash64(col("shingle")), bc))
+      .join(spark.table(table), "shingle") // stream-static: settled never moves
+      .select(col("new_id"), col("old_id"), col(tsCol))
+      .dropDuplicatesWithinWatermark("new_id", "old_id")
+      .select("new_id", "old_id")
+  }
+}
