@@ -501,6 +501,47 @@ object Dedup {
       .select(col("new_id"), col("old_id")).distinct()
   }
 
+  /** Per-doc contamination fraction of an incoming crawl against a
+    * settled corpus — the POLICY layer over incremental span dedup: the
+    * share of each new doc's tokens covered by at least one w-token span
+    * the settled side already contains, plus the keep/drop verdict at
+    * `maxFrac` (the benchmark-decontamination rule: drop training docs
+    * that overlap the eval set beyond a threshold; overlapping spans
+    * count each token once via distinct positions, as [[dupFraction]]).
+    *
+    * Scale shape: the settled side reduces to its DISTINCT span set
+    * (one hash-agg); the incoming side explodes once, bloom-prefilters
+    * map-side (same no-false-negative argument as
+    * [[bloomIncrementalSpans]] — the semi-join removes bloom false
+    * positives, so the fraction is exact), and aggregates per doc id —
+    * high-cardinality key, no skew. */
+  def contaminationFraction(existing: DataFrame, incoming: DataFrame,
+                            idCol: String, textCol: String, w: Int = 15,
+                            maxFrac: Double = 0.2,
+                            expectedSpans: Long = 4L << 20,
+                            fpp: Double = 0.01): DataFrame = {
+    val settled = shingles(existing, idCol, textCol, w)
+      .select(col("shingle")).distinct().persist()
+    val bloom = settled.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", expectedSpans, fpp)
+    val bc = existing.sparkSession.sparkContext.broadcast(bloom)
+    val covered = incoming
+      .select(col(idCol), posexplode(shingleArray(col(textCol), w)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "shingle")
+      .where(graft.functions.BloomProbe(xxhash64(col("shingle")), bc))
+      .join(settled, Seq("shingle"), "leftsemi")
+      .select(col(idCol), explode(sequence(col("p"), col("p") + lit(w - 1))).as("tokpos"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("tokpos")).as("n_contam_tokens"))
+    incoming.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_contam_tokens"), lit(0L)).as("n_contam_tokens"),
+        round(coalesce(col("n_contam_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("contam_frac"))
+      .withColumn("keep", col("contam_frac") < lit(maxFrac))
+  }
+
   /** Cross-document duplicated token spans: every w-token window that
     * appears verbatim in >= 2 distinct docs — the detection half of
     * substring-level dedup (long shared spans are boilerplate/quotation

@@ -323,6 +323,15 @@ object TrainingQueries extends QueryPack {
         "doc_id", "text", w = 15)
     },
 
+    // decontamination policy: per new-crawl doc, the token fraction
+    // covered by spans the settled corpus already holds + keep verdict.
+    "contam_frac" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationFraction(
+        docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
+        "doc_id", "text", w = 15, maxFrac = 0.2)
+    },
+
     // ---- corpus assembly -------------------------------------------------
     "split_assign" -> { (s, dir) =>
       CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id",
@@ -1364,6 +1373,27 @@ object TrainingQueries extends QueryPack {
         |FROM (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
         |    / 4294967296.0 AS u FROM documents)""".stripMargin,
+    // Oracle has no bloom to model: the prefilter is exact end-to-end
+    // (no false negatives; the semi-join removes false positives).
+    "contam_frac" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |occ AS (SELECT doc_id, i AS p, array_to_string(t[i+1:i+15],' ') AS shingle
+        |        FROM (SELECT doc_id, t,
+        |              unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks)),
+        |settled AS (SELECT DISTINCT shingle FROM occ WHERE doc_id < 250),
+        |cov AS (SELECT doc_id, CAST(count(DISTINCT tokpos) AS BIGINT) AS n_contam_tokens
+        |        FROM (SELECT doc_id, unnest(range(p, p+15)) AS tokpos
+        |              FROM occ JOIN settled USING (shingle) WHERE doc_id >= 250)
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+        |  coalesce(cov.n_contam_tokens, 0) AS n_contam_tokens,
+        |  round(CAST(coalesce(cov.n_contam_tokens, 0) AS DOUBLE)
+        |    / len(string_split(d.text,' ')), 4) AS contam_frac,
+        |  round(CAST(coalesce(cov.n_contam_tokens, 0) AS DOUBLE)
+        |    / len(string_split(d.text,' ')), 4) < 0.2 AS keep
+        |FROM documents d LEFT JOIN cov USING (doc_id)
+        |WHERE d.doc_id >= 250""".stripMargin,
     // Oracle states the SPEC (one global ordered cumsum); the Spark side
     // computes the same total via the distributed prefix-sum decomposition.
     "shard_tokens" ->

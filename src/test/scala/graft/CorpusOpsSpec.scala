@@ -198,4 +198,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === ref)
     assert(got === Set((10L, 1L), (12L, 1L), (12L, 2L)))
   }
+
+  test("contaminationFraction: planted overlap scored exactly, clean docs keep") {
+    val span = (tag: String) => (1 to 15).map(i => s"tok$i$tag").mkString(" ")
+    val settled = Seq((1L, span("A")), (2L, span("B"))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, span("A") + " x y z a b"),        // 15 of 20 tokens covered
+      (11L, span("Z") + " q r s t u"),        // clean
+      (12L, span("A") + " " + span("B"))      // fully covered
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(settled, incoming, "doc_id", "text",
+        maxFrac = 0.8)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(10L) === ((20L, 15L, 0.75, true)))
+    assert(got(11L) === ((20L, 0L, 0.0, true)))
+    assert(got(12L) === ((30L, 30L, 1.0, false)))
+  }
 }
