@@ -339,6 +339,31 @@ object TrainingQueries extends QueryPack {
         .select("doc_id", "split")
     },
 
+    // the capstone compose: exact-dedup canonical -> quality gate ->
+    // deterministic split -> token-budget shards for the train split.
+    // Every stage is an operator with its own oracle; this query proves
+    // they CHAIN (one plan, no materialization between stages).
+    "curate_pipeline" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val nTok = TextAnalysis.tokenCount(col("text"))
+      val mtl = (length(col("text")) - (nTok - 1)).cast("double") / nTok.cast("double")
+      val norm = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        nTok.as("n_tokens"), mtl.as("mtl"))
+      val canon = norm.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val kept = norm.join(canon, norm("doc_id") === canon("keep_id"))
+        .where(col("n_tokens") >= 20 && col("mtl").between(3.0, 12.0))
+        .select(norm("doc_id"), col("text"))
+      val split = CorpusOps.hashSplit(kept, "doc_id",
+        Seq("train" -> 0.9, "holdout" -> 0.1))
+      val sharded = CorpusOps.shardByTokenBudget(
+          split.where(col("split") === "train"), "doc_id", "text", budget = 5000L)
+        .select(col("doc_id"), col("shard"))
+      split.select("doc_id", "split").join(sharded, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("shard"), lit(-1L)).as("shard"))
+    },
+
     // token-budget output sharding: global running token total in id
     // order, computed as a distributed prefix sum (range partition +
     // per-partition window + offset broadcast) — never a one-task window.
@@ -1394,6 +1419,31 @@ object TrainingQueries extends QueryPack {
         |    / len(string_split(d.text,' ')), 4) < 0.2 AS keep
         |FROM documents d LEFT JOIN cov USING (doc_id)
         |WHERE d.doc_id >= 250""".stripMargin,
+    // The composed pipeline restated as one SQL chain; the train-shard
+    // stage is again the global-window SPEC of the distributed prefix sum.
+    "curate_pipeline" ->
+      """WITH norm AS (SELECT doc_id, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text,' ')) AS mtl
+        |  FROM documents),
+        |canon AS (SELECT fp, min(doc_id) AS keep_id FROM norm GROUP BY fp),
+        |kept AS (SELECT n.doc_id, n.n_tokens FROM norm n
+        |         JOIN canon c ON n.doc_id = c.keep_id
+        |         WHERE n.n_tokens >= 20 AND n.mtl BETWEEN 3.0 AND 12.0),
+        |spl AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN u < 0.9 THEN 'train' ELSE 'holdout' END AS split
+        |  FROM (SELECT doc_id, n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+        |      / 4294967296.0 AS u FROM kept)),
+        |tsh AS (SELECT doc_id,
+        |    CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000.0)
+        |      AS BIGINT) AS shard
+        |  FROM spl WHERE split = 'train')
+        |SELECT s.doc_id, s.split, coalesce(t.shard, -1) AS shard
+        |FROM spl s LEFT JOIN tsh t USING (doc_id)""".stripMargin,
     // Oracle states the SPEC (one global ordered cumsum); the Spark side
     // computes the same total via the distributed prefix-sum decomposition.
     "shard_tokens" ->
