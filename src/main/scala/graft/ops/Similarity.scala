@@ -384,6 +384,37 @@ object Similarity {
         col("zero_point"), col("qscale"))
   }
 
+  /** Per-DIMENSION corpus statistics over an embedding column — the
+    * calibration input for quantizer design (per-dim ranges for scalar
+    * quantization, variance for PQ subspace allocation, means for
+    * centering). Returns (dim, n, mean, variance, vmin, vmax).
+    *
+    * Scale shape: one posexplode + one hash-aggregate keyed on dim —
+    * map-side partials collapse to `dim` rows per partition, the shuffle
+    * carries partitions × dims tiny rows, never the corpus.
+    *
+    * Float determinism: double sums are order-dependent across engines,
+    * so the aggregate runs on FIXED-POINT values (round(x·2²⁰) as
+    * BIGINT — exact, order-free integer sums) and converts to floating
+    * point once at the end with a fixed operation order. Any engine
+    * reproduces the result bit for bit (the agg_hll_md5 pattern). */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val scale = (1L << 20).toDouble
+    df.select(posexplode(asDouble(col(vecCol))))
+      .select(col("pos").as("dim"), round(col("col") * scale).cast("long").as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("q"),
+        min("v").as("mn"), max("v").as("mx"))
+      .select(col("dim"), col("n"),
+        (col("s").cast("double") / col("n").cast("double") / scale).as("mean"),
+        ((col("q").cast("double") / col("n").cast("double") -
+          (col("s").cast("double") / col("n").cast("double")) *
+          (col("s").cast("double") / col("n").cast("double"))) / (scale * scale))
+          .as("variance"),
+        (col("mn").cast("double") / scale).as("vmin"),
+        (col("mx").cast("double") / scale).as("vmax"))
+  }
+
   /** PQ sub-centroid c(m)(k)(j) in [-1, 1]: md5-derived pseudo-randoms —
     * deterministic and engine-portable, computed once driver-side and
     * embedded as plan literals (the srpPlanes recipe). Production would

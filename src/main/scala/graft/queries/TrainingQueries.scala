@@ -499,6 +499,14 @@ object TrainingQueries extends QueryPack {
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
     },
 
+    // quantizer calibration: per-dimension corpus stats, computed in
+    // fixed point so the float results are engine-exact.
+    "emb_dim_stats" -> { (s, dir) =>
+      Similarity.dimStats(Tables.embeddings(s, dir), "embedding")
+        .select(col("dim").cast("long").as("dim"), col("n"), col("mean"),
+          col("variance"), col("vmin"), col("vmax"))
+    },
+
     // SemDeDup: coarse cells (literal centroids) + within-cell cosine;
     // each near-dup pair drops the member closer to its centroid.
     "emb_semdedup" -> { (s, dir) =>
@@ -1638,6 +1646,25 @@ object TrainingQueries extends QueryPack {
         |  array_to_string([CAST(round((x - lo) / qscale) AS INT) FOR x IN e], ',') AS codes,
         |  lo AS zero_point, qscale
         |FROM p""".stripMargin,
+    // fixed-point aggregation (round(x*2^20) as BIGINT) makes the sums
+    // order-free and exact; the single final float conversion uses the
+    // same operation order as the Spark plan, so hashes match bit-exact.
+    "emb_dim_stats" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS a FROM embeddings),
+        |x AS (SELECT i AS dim,
+        |        CAST(round(a[CAST(i+1 AS INT)] * 1048576.0) AS BIGINT) AS v
+        |      FROM (SELECT a, unnest(range(0, len(a))) AS i FROM e)),
+        |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+        |        sum(v*v) AS q, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim)
+        |SELECT dim, n,
+        |  CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/1048576.0 AS mean,
+        |  (CAST(q AS DOUBLE)/CAST(n AS DOUBLE)
+        |    - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+        |      *(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)))
+        |    /(1048576.0*1048576.0) AS variance,
+        |  CAST(mn AS DOUBLE)/1048576.0 AS vmin,
+        |  CAST(mx AS DOUBLE)/1048576.0 AS vmax
+        |FROM g""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS id, 'text/plain' AS mime, source,
         |  CAST(length(text) AS BIGINT) AS n_bytes
