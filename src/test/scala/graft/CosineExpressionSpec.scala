@@ -103,6 +103,19 @@ class CosineExpressionSpec extends SparkSpec {
     assert(recall >= 0.2, s"suspiciously low IVF recall: $recall")
   }
 
+  test("int8 retrieval ranks close to float retrieval (quantization recall)") {
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5))
+    val quant = pairs(Similarity.int8TopK(emb, q, "vec_id", "embedding", k = 5))
+    assert(quant.size === 50)
+    val recall = (quant intersect exact).size / 50.0
+    assert(recall >= 0.8, s"int8 quantization degraded recall to $recall")
+  }
+
   test("cosine scan stays inside whole-stage codegen") {
     // range-backed plan with codegen-friendly array() construction (a
     // local Seq would fold to LocalTableScan; transform() lambdas are
