@@ -501,6 +501,49 @@ object Dedup {
       .select(col("new_id"), col("old_id")).distinct()
   }
 
+  /** One turn of the recurring-crawl ADMISSION loop over the persisted
+    * artifacts: detect the batch's collisions against the settled corpus
+    * ([[bloomIncrementalSpansFromTable]]), then EXTEND the corpus with
+    * the clean docs — their spans append into the bucketed table (same
+    * bucket spec, so co-location holds for every later crawl) and their
+    * span hashes merge into the bloom sidecar (same numBits/hash count ⇒
+    * `mergeInPlace` is exact). Returns the collision pairs; the NEXT
+    * batch collides against everything admitted so far, not just the
+    * original corpus.
+    *
+    * `expectedSpans`/`fpp` MUST match the sidecar's creation parameters
+    * (merge requires compatible filters). The bloom saturates as the
+    * corpus outgrows expectedSpans — fpp rises, which costs verify-join
+    * work but never correctness (no false negatives ever); production
+    * rebuilds the sidecar from the table on a rollover cadence. */
+  def admitCrawl(spark: org.apache.spark.sql.SparkSession,
+                 table: String, bloomPath: String, batch: DataFrame,
+                 idCol: String, textCol: String, w: Int = 15,
+                 expectedSpans: Long = 4L << 20,
+                 fpp: Double = 0.01): DataFrame = {
+    val collisions = bloomIncrementalSpansFromTable(
+      spark, table, bloomPath, batch, idCol, textCol, w).persist()
+    val clean = batch.join(
+      collisions.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    val newSpans = shingles(clean, idCol, textCol, w)
+      .select(col(idCol).as("old_id"), col("shingle")).persist()
+    val buckets = spark.sql(s"DESCRIBE EXTENDED $table")
+      .where(col("col_name") === "Num Buckets")
+      .select("data_type").head().getString(0).trim.toInt
+    newSpans.write.mode("append")
+      .bucketBy(buckets, "shingle").format("parquet").saveAsTable(table)
+    val add = newSpans.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", expectedSpans, fpp)
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(bloomPath))
+    val merged = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                 finally in.close()
+    merged.mergeInPlace(add)
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(bloomPath))
+    try merged.writeTo(out) finally out.close()
+    newSpans.unpersist()
+    collisions
+  }
+
   /** Per-doc contamination fraction of an incoming crawl against a
     * settled corpus — the POLICY layer over incremental span dedup: the
     * share of each new doc's tokens covered by at least one w-token span

@@ -197,6 +197,43 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("crawl admission extends the settled artifacts batch over batch") {
+    import graft.ops.Dedup
+    def rmdir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmdir)
+      f.delete(); ()
+    }
+    spark.sql("DROP TABLE IF EXISTS a_spans")
+    rmdir(new java.io.File("spark-warehouse/a_spans"))
+    val bloomPath = java.nio.file.Files
+      .createTempFile("a_spans_bloom", ".bin").toString
+
+    val mk = (tag: String) => (1 to 15).map(i => s"w$i$tag").mkString(" ")
+    val settled = (1 to 10)
+      .map(i => (i.toLong, mk("orig") + s" tail$i")).toDF("doc_id", "text")
+    Dedup.writeSpanTable(settled, "doc_id", "text", "a_spans",
+      buckets = 4, bloomPath = bloomPath)
+
+    // batch 1: one doc collides with the original corpus, one is novel.
+    val b1 = Seq(
+      (2001L, mk("novel") + " first appearance"),
+      (2002L, mk("orig") + " replica")).toDF("doc_id", "text")
+    val c1 = Dedup.admitCrawl(spark, "a_spans", bloomPath, b1, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(c1.nonEmpty && c1.forall(_._1 == 2002L), s"batch1: $c1")
+
+    // batch 2: collides with the doc ADMITTED in batch 1 — the artifacts
+    // grew; and the replica of the batch-1 duplicate still collides with
+    // the originals only (2002 was rejected, never admitted).
+    val b2 = Seq(
+      (3001L, mk("novel") + " second sighting"),
+      (3002L, mk("fresh"))).toDF("doc_id", "text")
+    val c2 = Dedup.admitCrawl(spark, "a_spans", bloomPath, b2, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(c2 === Set((3001L, 2001L)),
+      s"batch2 must collide with the batch-1 admission: $c2")
+  }
+
   test("salted join returns exactly the unsalted result") {
     // heavy skew: 90% of big rows share one key
     val big = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))
