@@ -277,6 +277,18 @@ object TrainingQueries extends QueryPack {
         "doc_id", numPerm = 12, rowsPerBand = 3)
     },
 
+    // deletion propagation: purge a SEED id set plus its entire near-dup
+    // closure — the takedown/right-to-be-forgotten path (removing only
+    // the named doc leaves its near-copies in the corpus). Seeds here:
+    // every 97th id, a deterministic stand-in for the request list.
+    "purge_closure" -> { (s, dir) =>
+      val clusters = Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text")
+      val seedClusters = clusters.where(col("doc_id") % 97 === 0)
+        .select(col("cluster_id")).distinct()
+      clusters.join(broadcast(seedClusters), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"))
+    },
+
     // canonical-doc selection: within each dup cluster keep the "best"
     // doc (longest, then smallest id) — the policy layer over clustering;
     // clusters of one keep their only member.
@@ -1368,6 +1380,22 @@ object TrainingQueries extends QueryPack {
          |  UNION
          |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    // Same transitive closure; the purge set is every cluster touching a
+    // seed id (doc_id % 97 = 0).
+    "purge_closure" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |purge_roots AS (SELECT DISTINCT cluster_id FROM cl WHERE doc_id % 97 = 0)
+         |SELECT c.doc_id, c.cluster_id FROM cl c JOIN purge_roots USING (cluster_id)""".stripMargin,
     // Star edges per (band, bucket): min member -> every other member,
     // deduped. Mirrors Dedup.bandedStarEdges exactly.
     "dedup_star_cc" ->
