@@ -527,19 +527,23 @@ object Dedup {
       collisions.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
     val newSpans = shingles(clean, idCol, textCol, w)
       .select(col(idCol).as("old_id"), col("shingle")).persist()
-    val buckets = spark.sql(s"DESCRIBE EXTENDED $table")
-      .where(col("col_name") === "Num Buckets")
-      .select("data_type").head().getString(0).trim.toInt
-    newSpans.write.mode("append")
-      .bucketBy(buckets, "shingle").format("parquet").saveAsTable(table)
-    val add = newSpans.select(xxhash64(col("shingle")).as("h"))
-      .stat.bloomFilter("h", expectedSpans, fpp)
-    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(bloomPath))
-    val merged = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                 finally in.close()
-    merged.mergeInPlace(add)
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(bloomPath))
-    try merged.writeTo(out) finally out.close()
+    // A fully-rejected batch extends nothing (and stat.bloomFilter NPEs
+    // on an empty frame — its aggregate returns a null buffer).
+    if (!newSpans.isEmpty) {
+      val buckets = spark.sql(s"DESCRIBE EXTENDED $table")
+        .where(col("col_name") === "Num Buckets")
+        .select("data_type").head().getString(0).trim.toInt
+      newSpans.write.mode("append")
+        .bucketBy(buckets, "shingle").format("parquet").saveAsTable(table)
+      val add = newSpans.select(xxhash64(col("shingle")).as("h"))
+        .stat.bloomFilter("h", expectedSpans, fpp)
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(bloomPath))
+      val merged = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                   finally in.close()
+      merged.mergeInPlace(add)
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(bloomPath))
+      try merged.writeTo(out) finally out.close()
+    }
     newSpans.unpersist()
     collisions
   }

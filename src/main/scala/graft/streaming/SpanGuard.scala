@@ -42,4 +42,21 @@ object SpanGuard {
       .dropDuplicatesWithinWatermark("new_id", "old_id")
       .select("new_id", "old_id")
   }
+
+  /** `foreachBatch` sink running the full admission loop per micro-batch
+    * ([[graft.ops.Dedup.admitCrawl]]): detect collisions against the
+    * artifacts, hand them to `onCollisions` (DLQ, metrics, a delta of
+    * rejected ids — caller's choice), and extend table + sidecar with the
+    * clean docs so the NEXT micro-batch collides against them too. The
+    * streaming form of the recurring-crawl production loop. */
+  def admitSink(table: String, bloomPath: String, idCol: String,
+                textCol: String, w: Int = 15,
+                expectedSpans: Long = 4L << 20, fpp: Double = 0.01,
+                onCollisions: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = (batch, _) => {
+    val collisions = Dedup.admitCrawl(batch.sparkSession, table, bloomPath,
+      batch, idCol, textCol, w, expectedSpans, fpp)
+    try onCollisions(collisions) finally collisions.unpersist()
+    ()
+  }
 }

@@ -185,6 +185,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"capped sides must broadcast:\n$p")
   }
 
+  test("emb_dim_stats aggregates map-side: shuffle carries dims, not the corpus") {
+    val p = plan("emb_dim_stats")
+    // partial HashAggregate below the exchange collapses every partition
+    // to <= 64 dim rows before anything moves.
+    assert(p.contains("HashAggregate"), p)
+    val firstAgg = p.indexOf("HashAggregate")
+    val exch = p.indexOf("Exchange hashpartitioning")
+    assert(exch > firstAgg, s"final agg must sit above the exchange:\n$p")
+    assert(p.indexOf("HashAggregate", exch) > 0,
+      s"partial agg must sit below the exchange:\n$p")
+  }
+
+  test("purge_closure broadcasts the seed clusters, never the corpus") {
+    val p = plan("purge_closure")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("int8 retrieval: calibration and queries broadcast, corpus scans once") {
+    val p = plan("sim_topk_int8")
+    // two broadcasts (1-row calibration onto each side, quantized queries
+    // onto the corpus scan); the corpus itself must not sort-merge.
+    assert(countOf(p, "BroadcastNestedLoopJoin") + countOf(p, "BroadcastExchange") >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("shard_tokens: prefix sum is partition-parallel, never a one-task window") {
     val p = plan("shard_tokens")
     // The decomposition's whole point: no global-window collapse onto one

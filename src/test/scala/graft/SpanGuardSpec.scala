@@ -60,4 +60,38 @@ class SpanGuardSpec extends SparkSpec {
       assert(!got.exists(_._1 == 1002L), s"clean doc flagged: $got")
     } finally q.stop()
   }
+
+  test("admitSink: streamed admission extends the artifacts micro-batch over micro-batch") {
+    def rmdir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmdir)
+      f.delete(); ()
+    }
+    spark.sql("DROP TABLE IF EXISTS s_spans")
+    rmdir(new java.io.File("spark-warehouse/s_spans"))
+    val bloomPath = java.nio.file.Files
+      .createTempFile("s_spans_bloom", ".bin").toString
+
+    val settled = (1 to 10)
+      .map(i => (i.toLong, mk("base") + s" tail$i")).toDF("doc_id", "text")
+    graft.ops.Dedup.writeSpanTable(settled, "doc_id", "text", "s_spans",
+      buckets = 4, bloomPath = bloomPath)
+
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val q = in.toDF().select("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch(SpanGuard.admitSink("s_spans", bloomPath, "doc_id", "text",
+        onCollisions = c => { seen ++= c.as[(Long, Long)].collect(); () }))
+      .start()
+    try {
+      in.addData(StreamDoc(2001L, mk("novel") + " first", ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      assert(seen.isEmpty, s"novel doc must admit cleanly: $seen")
+      in.addData(StreamDoc(3001L, mk("novel") + " again", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      assert(seen.toSet === Set((3001L, 2001L)),
+        s"batch 2 must collide with the batch-1 admission: $seen")
+    } finally q.stop()
+  }
 }
