@@ -88,4 +88,26 @@ object Relational {
       .select(keyCols.map(col) ++ Seq((col("pos") + 1).cast("int").as("rank"),
         col("col.id").as(idCol), col("col.score").as(scoreCol)): _*)
   }
+
+  /** Data-quality profile: per column, row count, null count, PORTABLE
+    * KMV distinct estimate, and min/max (as strings, for a uniform
+    * schema). One scan-and-aggregate pass per column — independent
+    * columns profile as independent jobs (how warehouses actually run
+    * profiling; at 100 TB they parallelize across the cluster and each
+    * pass is a map-side-partial hash agg, never an EXPAND multiplying
+    * the scan by the column count). The distinct estimate is
+    * [[graft.functions.KmvDistinct]] on the md5 unit-hash family —
+    * engine-exact, so the whole profile is hash-checkable, unlike
+    * approx_count_distinct whose HLL is implementation-defined. */
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 128): DataFrame =
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        graft.functions.KmvDistinct.onMd5(col(c), k).as("distinct_est"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n"), col("n_null"),
+          col("distinct_est"), col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _)
 }

@@ -36,8 +36,36 @@ object RelationalQueries extends QueryPack {
     "topk_per_cust" -> { (s, dir) =>
       graft.ops.Relational.topKPerKey(
         Tables.orders(s, dir), Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+    },
+
+    // data-quality profiling with the portable KMV distinct estimate —
+    // engine-exact, so even the approximation hash-matches the oracle.
+    "profile_lineitem" -> { (s, dir) =>
+      graft.ops.Relational.profile(Tables.lineitem(s, dir), ProfileCols)
     }
   )
+
+  private val ProfileCols =
+    Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
+
+  /** One UNION ALL block per profiled column, replaying the KMV recipe
+    * (`agg_kmv` oracle) plus count/nulls/min/max with string casts. */
+  private def profileOracle(cols: Seq[String], k: Int): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT count(*) FROM lineitem) AS n,
+         |  (SELECT count(*) FROM lineitem WHERE $c IS NULL) AS n_null,
+         |  (SELECT CAST(CASE WHEN max(nd) < $k THEN max(nd)
+         |     ELSE round(${k - 1}.0 / (max(CASE WHEN rn = $k THEN hv END) / 4294967296.0))
+         |     END AS BIGINT)
+         |   FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |           count(*) OVER () AS nd
+         |         FROM (SELECT DISTINCT
+         |             CAST(('0x'||substr(md5(CAST($c AS VARCHAR)),1,8)) AS BIGINT) AS hv
+         |           FROM lineitem))) AS distinct_est,
+         |  (SELECT CAST(min($c) AS VARCHAR) FROM lineitem) AS min_s,
+         |  (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_s""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -55,6 +83,7 @@ object RelationalQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
         |  FROM orders)
-        |WHERE rank <= 3""".stripMargin
+        |WHERE rank <= 3""".stripMargin,
+    "profile_lineitem" -> profileOracle(ProfileCols, 128)
   )
 }
