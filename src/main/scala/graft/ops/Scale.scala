@@ -21,6 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Morton (Z-order) value: interleave the low `bits` bits of two
+    * non-negative ints — a space-filling curve mapping 2-D locality to
+    * 1-D locality. Pure bit arithmetic (shift/and/or), fully inside
+    * codegen, and trivially replayable in any engine — the oracle builds
+    * the same expression. */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Write `df` Z-ORDERED on two int columns: range-partition + sort by
+    * the interleaved Morton value, so each output file covers a compact
+    * RECTANGLE in (a, b) space rather than a stripe — per-file min/max
+    * stats then prune range predicates on EITHER column (the multi-dim
+    * file-skipping layout; sorting by `a` alone leaves `b` unsorted in
+    * every file and prunes only one dimension). One range shuffle; the
+    * z column is dropped from the files. */
+  def writeZOrdered(df: DataFrame, path: String, aCol: String, bCol: String,
+                    bits: Int, files: Int): Unit =
+    df.withColumn("__z", zValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Persist `df` as a bucketed table (bucketBy requires saveAsTable). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     keyCols: Seq[String], sortCols: Seq[String] = Seq.empty): Unit = {

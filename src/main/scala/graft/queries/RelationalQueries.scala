@@ -42,6 +42,14 @@ object RelationalQueries extends QueryPack {
     // engine-exact, so even the approximation hash-matches the oracle.
     "profile_lineitem" -> { (s, dir) =>
       graft.ops.Relational.profile(Tables.lineitem(s, dir), ProfileCols)
+    },
+
+    // Morton (Z-order) clustering value — the multi-dim file-skipping
+    // layout key (see Scale.writeZOrdered); pure bit arithmetic, codegen.
+    "layout_zvalue" -> { (s, dir) =>
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Scale.zValue(pmod(col("l_partkey"), lit(256L)),
+          pmod(col("l_suppkey"), lit(256L)), 8).as("zval"))
     }
   )
 
@@ -84,6 +92,12 @@ object RelationalQueries extends QueryPack {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
         |  FROM orders)
         |WHERE rank <= 3""".stripMargin,
-    "profile_lineitem" -> profileOracle(ProfileCols, 128)
+    "profile_lineitem" -> profileOracle(ProfileCols, 128),
+    "layout_zvalue" -> {
+      val z = (0 until 8).flatMap(i => Seq(
+        s"(((l_partkey % 256) >> $i & 1) << ${2 * i})",
+        s"(((l_suppkey % 256) >> $i & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS zval FROM lineitem"
+    }
   )
 }

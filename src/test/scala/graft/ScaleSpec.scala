@@ -234,6 +234,34 @@ class ScaleSpec extends SparkSpec {
       s"batch2 must collide with the batch-1 admission: $c2")
   }
 
+  test("z-order layout: every file bounds BOTH dimensions, not one stripe axis") {
+    import graft.ops.Scale
+    // full 64x64 grid — a clean null model (TPC-H part/supp keys are
+    // correlated, which already bounds b under an a-stripe layout)
+    val li = spark.range(64L * 64L)
+      .select(pmod(col("id"), lit(64L)).as("a"),
+        (col("id") / 64L).cast("long").as("b"))
+    def avgSpanB(path: String): Double = {
+      val files = new java.io.File(path).listFiles
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(min("b"), max("b")).head
+        (r.getLong(1) - r.getLong(0) + 1).toDouble
+      }
+      spans.sum / spans.length
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val sDir = java.nio.file.Files.createTempDirectory("astripe").toString
+    Scale.writeZOrdered(li, zDir, "a", "b", bits = 6, files = 8)
+    li.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(sDir) // single-dim layout baseline
+    // sorting by `a` leaves every file spanning all of b (no pruning on
+    // b); the z-curve bounds both dimensions per file.
+    val zB = avgSpanB(zDir); val sB = avgSpanB(sDir)
+    assert(sB > 48.0, s"baseline stripe should span ~all of b, got $sB")
+    assert(zB < sB / 1.5, s"z-order must bound b per file: z=$zB stripe=$sB")
+  }
+
   test("salted join returns exactly the unsalted result") {
     // heavy skew: 90% of big rows share one key
     val big = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))
