@@ -47,6 +47,29 @@ object Scale {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Compact a parquet directory toward `targetBytes` per file — the
+    * small-files remediation every long-lived ingest pipeline needs
+    * (streaming sinks and fine-grained admission write many tiny files;
+    * at 100 TB, file-open overhead and driver-side listing dominate scan
+    * time long before bytes do). File count = ceil(current bytes /
+    * target), rows distributed round-robin (repartition(n) without keys
+    * — a full balance, intentionally: compaction IS the rebalance).
+    * Writes to `outPath` then returns (files_before, files_after); the
+    * caller swaps directories atomically (rename) on its own commit
+    * protocol. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long): (Int, Int) = {
+    val files = new java.io.File(inPath).listFiles.toSeq
+      .filter(_.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.length).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    val after = new java.io.File(outPath).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    (files.size, after)
+  }
+
   /** Persist `df` as a bucketed table (bucketBy requires saveAsTable). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     keyCols: Seq[String], sortCols: Seq[String] = Seq.empty): Unit = {

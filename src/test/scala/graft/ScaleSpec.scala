@@ -262,6 +262,22 @@ class ScaleSpec extends SparkSpec {
     assert(zB < sB / 1.5, s"z-order must bound b per file: z=$zB stripe=$sB")
   }
 
+  test("compaction collapses a many-file directory, preserving every row") {
+    import graft.ops.Scale
+    val tiny = java.nio.file.Files.createTempDirectory("tinyfiles").toString
+    val out = java.nio.file.Files.createTempDirectory("compacted").toString
+    // simulate a fine-grained streaming sink: 64 single-row-group files
+    spark.range(10000).repartition(64).write.mode("overwrite").parquet(tiny)
+    val before = spark.read.parquet(tiny)
+    val (nBefore, nAfter) = Scale.compact(spark, tiny, out,
+      targetBytes = 512 * 1024)
+    assert(nBefore === 64)
+    assert(nAfter < 8, s"expected a handful of files, got $nAfter")
+    val after = spark.read.parquet(out)
+    assert(after.count() === 10000)
+    assert(before.except(after).count() === 0 && after.except(before).count() === 0)
+  }
+
   test("salted join returns exactly the unsalted result") {
     // heavy skew: 90% of big rows share one key
     val big = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))
