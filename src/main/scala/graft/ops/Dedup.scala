@@ -475,9 +475,22 @@ object Dedup {
     val bloom = docs.sparkSession.table(table)
       .select(xxhash64(col("shingle")).as("h"))
       .stat.bloomFilter("h", expectedSpans, fpp)
-    val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(bloomPath))
-    try bloom.writeTo(out) finally out.close()
+    writeBloom(bloomPath, bloom)
+  }
+
+  /** Bloom-sidecar (de)serialization — ONE definition of the on-disk
+    * format for every artifact producer/consumer (local filesystem by
+    * contract: the sidecar lives next to the driver, ships via
+    * broadcast). */
+  private[graft] def readBloom(path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(path))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  private[graft] def writeBloom(path: String,
+                                bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try bf.writeTo(out) finally out.close()
   }
 
   /** [[bloomIncrementalSpans]] against persisted artifacts: the bloom
@@ -490,10 +503,7 @@ object Dedup {
                                      table: String, bloomPath: String,
                                      incoming: DataFrame, idCol: String,
                                      textCol: String, w: Int = 15): DataFrame = {
-    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(bloomPath))
-    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                finally in.close()
-    val bc = spark.sparkContext.broadcast(bloom)
+    val bc = spark.sparkContext.broadcast(readBloom(bloomPath))
     shingles(incoming, idCol, textCol, w)
       .withColumnRenamed(idCol, "new_id")
       .where(graft.functions.BloomProbe(xxhash64(col("shingle")), bc))
@@ -511,6 +521,15 @@ object Dedup {
     * batch collides against everything admitted so far, not just the
     * original corpus.
     *
+    * Collisions are checked BOTH ways: against the settled corpus and
+    * WITHIN the batch (per shared span, the smallest clean id is
+    * admitted; the rest are rejected as pairs against it) — a crawler
+    * re-emitting the same page twice inside one batch must not settle
+    * it twice. Self-pairs (new_id = old_id) are filtered: they can only
+    * arise when a crash-replayed batch re-probes spans its first attempt
+    * already admitted, and rejecting a doc against itself would turn an
+    * at-least-once replay into data loss.
+    *
     * `expectedSpans`/`fpp` MUST match the sidecar's creation parameters
     * (merge requires compatible filters). The bloom saturates as the
     * corpus outgrows expectedSpans — fpp rises, which costs verify-join
@@ -521,10 +540,25 @@ object Dedup {
                  idCol: String, textCol: String, w: Int = 15,
                  expectedSpans: Long = 4L << 20,
                  fpp: Double = 0.01): DataFrame = {
-    val collisions = bloomIncrementalSpansFromTable(
-      spark, table, bloomPath, batch, idCol, textCol, w).persist()
-    val clean = batch.join(
-      collisions.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    val settledC = bloomIncrementalSpansFromTable(
+      spark, table, bloomPath, batch, idCol, textCol, w)
+      .where(col("new_id") =!= col("old_id")) // replay self-match, not a dup
+      .persist()
+    val cleanVsSettled = batch.join(
+      settledC.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    // within-batch: per shared span the smallest id wins, others pair
+    // against it (the star shape — linear in members, like bandedStarEdges)
+    val intra = shingles(cleanVsSettled, idCol, textCol, w)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(slice(col("ids"), lit(2), size(col("ids")) - 1)).as("new_id"),
+        element_at(col("ids"), 1).as("old_id"))
+      .distinct().persist()
+    val clean = cleanVsSettled.join(
+      intra.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    val collisions = settledC.unionByName(intra).persist()
+    collisions.count() // materialize the result before the parts release
     val newSpans = shingles(clean, idCol, textCol, w)
       .select(col(idCol).as("old_id"), col("shingle")).persist()
     // A fully-rejected batch extends nothing (and stat.bloomFilter NPEs
@@ -537,15 +571,12 @@ object Dedup {
         .bucketBy(buckets, "shingle").format("parquet").saveAsTable(table)
       val add = newSpans.select(xxhash64(col("shingle")).as("h"))
         .stat.bloomFilter("h", expectedSpans, fpp)
-      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(bloomPath))
-      val merged = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                   finally in.close()
+      val merged = readBloom(bloomPath)
       merged.mergeInPlace(add)
-      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(bloomPath))
-      try merged.writeTo(out) finally out.close()
+      writeBloom(bloomPath, merged)
     }
-    newSpans.unpersist()
-    collisions
+    newSpans.unpersist(); settledC.unpersist(); intra.unpersist()
+    collisions // persisted; the caller releases (admitSink does)
   }
 
   /** Per-doc contamination fraction of an incoming crawl against a

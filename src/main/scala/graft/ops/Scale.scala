@@ -59,8 +59,14 @@ object Scale {
     * protocol. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long): (Int, Int) = {
-    val files = new java.io.File(inPath).listFiles.toSeq
+    // listFiles is null for a missing/unreadable path (compaction jobs
+    // race with sink dirs by design) — fail with the path, not an NPE;
+    // an empty dir compacts to nothing rather than a schema-infer error.
+    val files = Option(new java.io.File(inPath).listFiles)
+      .getOrElse(throw new IllegalArgumentException(
+        s"compact: cannot list $inPath")).toSeq
       .filter(_.getName.endsWith(".parquet"))
+    if (files.isEmpty) return (0, 0)
     val totalBytes = files.map(_.length).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).repartition(n)

@@ -398,12 +398,27 @@ object Similarity {
     * BIGINT — exact, order-free integer sums) and converts to floating
     * point once at the end with a fixed operation order. Any engine
     * reproduces the result bit for bit (the agg_hll_md5 pattern). */
-  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
-    val scale = (1L << 20).toDouble
+  /** Fixed-point per-dim values: (dim, v = round(x·2²⁰) as long). */
+  private def scaledDims(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(asDouble(col(vecCol))))
-      .select(col("pos").as("dim"), round(col("col") * scale).cast("long").as("v"))
+      .select(col("pos").as("dim"),
+        round(col("col") * FixedPointScale).cast("long").as("v"))
+
+  private val FixedPointScale = (1L << 20).toDouble
+
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val scale = FixedPointScale
+    // Sums accumulate as DECIMAL(38,0): still exact integer arithmetic,
+    // but the sum-of-squares no longer wraps LongType past ~8M rows per
+    // dim (v² ≤ 2⁴⁶; a bigint sum silently overflows at corpus scale —
+    // the oracle's HUGEINT sum never did, so the overflow would read as
+    // a hash mismatch at exactly the scale nobody re-verifies).
+    scaledDims(df, vecCol)
       .groupBy("dim")
-      .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("q"),
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+        sum((col("v") * col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("q"),
         min("v").as("mn"), max("v").as("mx"))
       .select(col("dim"), col("n"),
         (col("s").cast("double") / col("n").cast("double") / scale).as("mean"),
@@ -429,10 +444,15 @@ object Similarity {
     * bit for bit, ties broken (sim DESC, neighbor_id ASC). */
   def int8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int): DataFrame = {
-    val cal = dimStats(corpus, vecCol)
-      .select(col("dim"), col("vmin"),
-        when(col("vmax") === col("vmin"), lit(1.0))
-          .otherwise(col("vmax") - col("vmin")).as("vrange"))
+    // min/max-only calibration (what the ranges actually need): the
+    // mean/variance aggregates of [[dimStats]] would ride along unused.
+    val cal = scaledDims(corpus, vecCol)
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .select(col("dim"),
+        (col("mn").cast("double") / FixedPointScale).as("vmin"),
+        when(col("mx") === col("mn"), lit(1.0))
+          .otherwise(col("mx").cast("double") / FixedPointScale -
+            col("mn").cast("double") / FixedPointScale).as("vrange"))
       .agg(sort_array(collect_list(struct(col("dim"), col("vmin")))).as("lo0"),
         sort_array(collect_list(struct(col("dim"), col("vrange")))).as("r0"))
       .select(transform(col("lo0"), s => s.getField("vmin")).as("lo"),

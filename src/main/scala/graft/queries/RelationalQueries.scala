@@ -70,7 +70,8 @@ object RelationalQueries extends QueryPack {
          |           count(*) OVER () AS nd
          |         FROM (SELECT DISTINCT
          |             CAST(('0x'||substr(md5(CAST($c AS VARCHAR)),1,8)) AS BIGINT) AS hv
-         |           FROM lineitem))) AS distinct_est,
+         |           FROM lineitem
+         |           WHERE $c IS NOT NULL))) AS distinct_est,
          |  (SELECT CAST(min($c) AS VARCHAR) FROM lineitem) AS min_s,
          |  (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_s""".stripMargin
     }.mkString("\nUNION ALL\n")

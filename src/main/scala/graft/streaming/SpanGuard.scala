@@ -28,11 +28,7 @@ object SpanGuard {
                  idCol: String, textCol: String, tsCol: String,
                  w: Int = 15): DataFrame = {
     val spark = stream.sparkSession
-    val in = new java.io.BufferedInputStream(
-      new java.io.FileInputStream(bloomPath))
-    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                finally in.close()
-    val bc = spark.sparkContext.broadcast(bloom)
+    val bc = spark.sparkContext.broadcast(Dedup.readBloom(bloomPath))
     stream
       .select(col(idCol).as("new_id"), col(tsCol),
         explode(Dedup.shingleArray(col(textCol), w)).as("shingle"))
@@ -53,10 +49,23 @@ object SpanGuard {
                 textCol: String, w: Int = 15,
                 expectedSpans: Long = 4L << 20, fpp: Double = 0.01,
                 onCollisions: DataFrame => Unit = _ => ())
-      : (DataFrame, Long) => Unit = (batch, _) => {
-    val collisions = Dedup.admitCrawl(batch.sparkSession, table, bloomPath,
-      batch, idCol, textCol, w, expectedSpans, fpp)
-    try onCollisions(collisions) finally collisions.unpersist()
-    ()
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    // foreachBatch is at-least-once: a marker next to the sidecar skips
+    // batches the artifacts already absorbed, so a checkpoint-replayed
+    // batch is not re-reported (and not re-admitted). A crash BETWEEN
+    // extension and marker write replays once into admitCrawl, whose
+    // self-pair filter keeps the replay benign (duplicate span rows,
+    // never a false rejection).
+    val marker = new java.io.File(bloomPath + ".batchid")
+    val last =
+      if (marker.exists) java.nio.file.Files.readString(marker.toPath).trim.toLong
+      else -1L
+    if (batchId > last) {
+      val collisions = Dedup.admitCrawl(batch.sparkSession, table, bloomPath,
+        batch, idCol, textCol, w, expectedSpans, fpp)
+      try onCollisions(collisions) finally collisions.unpersist()
+      java.nio.file.Files.writeString(marker.toPath, batchId.toString)
+      ()
+    }
   }
 }

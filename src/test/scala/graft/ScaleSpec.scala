@@ -17,14 +17,7 @@ class ScaleSpec extends SparkSpec {
   test("bucketed join plans with no shuffle exchange on either side") {
     // default warehouse dir (spark-warehouse/, gitignored); fresh tables —
     // drop catalog entries AND stale locations from previous JVMs
-    def rmdir(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmdir)
-      f.delete(); ()
-    }
-    Seq("b_orders", "b_items").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      rmdir(new java.io.File(s"spark-warehouse/$t"))
-    }
+    Seq("b_orders", "b_items").foreach(dropLocalTable)
     val orders = (1L to 100L).map(i => (i, s"o$i")).toDF("id", "o")
     val items = (1L to 300L).map(i => (i % 100 + 1, s"i$i")).toDF("id", "i")
     Scale.writeBucketed(orders, "b_orders", buckets = 4, keyCols = Seq("id"),
@@ -47,12 +40,7 @@ class ScaleSpec extends SparkSpec {
 
   test("incremental dedup against a bucketed signature table: settled side never shuffles") {
     import graft.ops.Dedup
-    def rmdir(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmdir)
-      f.delete(); ()
-    }
-    spark.sql("DROP TABLE IF EXISTS b_sigs")
-    rmdir(new java.io.File("spark-warehouse/b_sigs"))
+    dropLocalTable("b_sigs")
 
     // settled corpus: clusters of identical docs so increments collide
     val existing = (1 to 60)
@@ -94,12 +82,7 @@ class ScaleSpec extends SparkSpec {
 
   test("contamination against a bucketed fingerprint table: settled side never shuffles") {
     import graft.ops.TextAnalysis
-    def rmdir(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmdir)
-      f.delete(); ()
-    }
-    spark.sql("DROP TABLE IF EXISTS b_fps")
-    rmdir(new java.io.File("spark-warehouse/b_fps"))
+    dropLocalTable("b_fps")
 
     // settled benchmark corpus; incoming docs quote 4-token runs of it
     val bench = (1 to 30)
@@ -151,12 +134,7 @@ class ScaleSpec extends SparkSpec {
 
   test("bloom incremental against a bucketed span table + sidecar: settled side never shuffles") {
     import graft.ops.Dedup
-    def rmdir(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmdir)
-      f.delete(); ()
-    }
-    spark.sql("DROP TABLE IF EXISTS b_spans")
-    rmdir(new java.io.File("spark-warehouse/b_spans"))
+    dropLocalTable("b_spans")
     val bloomPath = java.nio.file.Files
       .createTempFile("b_spans_bloom", ".bin").toString
 
@@ -199,12 +177,7 @@ class ScaleSpec extends SparkSpec {
 
   test("crawl admission extends the settled artifacts batch over batch") {
     import graft.ops.Dedup
-    def rmdir(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmdir)
-      f.delete(); ()
-    }
-    spark.sql("DROP TABLE IF EXISTS a_spans")
-    rmdir(new java.io.File("spark-warehouse/a_spans"))
+    dropLocalTable("a_spans")
     val bloomPath = java.nio.file.Files
       .createTempFile("a_spans_bloom", ".bin").toString
 
@@ -214,13 +187,18 @@ class ScaleSpec extends SparkSpec {
     Dedup.writeSpanTable(settled, "doc_id", "text", "a_spans",
       buckets = 4, bloomPath = bloomPath)
 
-    // batch 1: one doc collides with the original corpus, one is novel.
+    // batch 1: one doc collides with the original corpus, one is novel,
+    // and one repeats the novel doc WITHIN the batch (crawler re-emit) —
+    // only the smallest novel id may settle.
     val b1 = Seq(
       (2001L, mk("novel") + " first appearance"),
-      (2002L, mk("orig") + " replica")).toDF("doc_id", "text")
+      (2002L, mk("orig") + " replica"),
+      (2003L, mk("novel") + " re-emitted copy")).toDF("doc_id", "text")
     val c1 = Dedup.admitCrawl(spark, "a_spans", bloomPath, b1, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
-    assert(c1.nonEmpty && c1.forall(_._1 == 2002L), s"batch1: $c1")
+    assert(c1.exists(_._1 == 2002L), s"settled collision missing: $c1")
+    assert(c1.contains((2003L, 2001L)), s"within-batch dup missing: $c1")
+    assert(!c1.exists(_._1 == 2001L), s"the admitted doc must not pair: $c1")
 
     // batch 2: collides with the doc ADMITTED in batch 1 — the artifacts
     // grew; and the replica of the batch-1 duplicate still collides with

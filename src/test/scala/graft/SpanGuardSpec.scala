@@ -15,12 +15,7 @@ class SpanGuardSpec extends SparkSpec {
   private def mk(tag: String) = (1 to 15).map(i => s"w$i$tag").mkString(" ")
 
   test("streamed docs collide against the settled table like the batch operator") {
-    def rmdir(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmdir)
-      f.delete(); ()
-    }
-    spark.sql("DROP TABLE IF EXISTS g_spans")
-    rmdir(new java.io.File("spark-warehouse/g_spans"))
+    dropLocalTable("g_spans")
     val bloomPath = java.nio.file.Files
       .createTempFile("g_spans_bloom", ".bin").toString
 
@@ -62,12 +57,7 @@ class SpanGuardSpec extends SparkSpec {
   }
 
   test("admitSink: streamed admission extends the artifacts micro-batch over micro-batch") {
-    def rmdir(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmdir)
-      f.delete(); ()
-    }
-    spark.sql("DROP TABLE IF EXISTS s_spans")
-    rmdir(new java.io.File("spark-warehouse/s_spans"))
+    dropLocalTable("s_spans")
     val bloomPath = java.nio.file.Files
       .createTempFile("s_spans_bloom", ".bin").toString
 

@@ -16,4 +16,17 @@ trait SparkSpec extends AnyFunSuite {
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
 
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  /** Recursive delete for test artifacts. */
+  def rmdirAll(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmdirAll)
+    f.delete(); ()
+  }
+
+  /** Drop a saveAsTable table AND its local-warehouse directory (a bare
+    * DROP leaves files that make the next CREATE fail). */
+  def dropLocalTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    rmdirAll(new java.io.File(s"spark-warehouse/$name"))
+  }
 }
