@@ -89,6 +89,54 @@ object Relational {
         col("col.id").as(idCol), col("col.score").as(scoreCol)): _*)
   }
 
+  /** Distribution drift between a reference and a current slice of the
+    * same metric — the recurring-crawl health check (a new crawl whose
+    * length/quality distribution shifts is the first sign of a scraper
+    * or source regression). Chi-square-style per-bin contributions
+    * ((p_cur − p_ref)² / p_ref) rather than PSI/KL: no logarithms, so
+    * every arithmetic step is exact-integer counts followed by pinned-
+    * order double ops — engine-exact, hash-checkable (libm's ln differs
+    * in the last ulp across engines; a log-based score cannot hash).
+    *
+    * Scale shape: two filtered aggregates over fixed-width bins (map-side
+    * partials; bins are the only shuffle key), one broadcastable
+    * bin-level join. */
+  def driftChi2(ref: DataFrame, cur: DataFrame, valueCol: String,
+                binWidth: Long, nBins: Int): DataFrame = {
+    def binned(df: DataFrame, n: String, p: String) = {
+      val total = df.count().toDouble
+      df.select(least(floor(col(valueCol) / binWidth), lit(nBins - 1)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(n))
+        .withColumn(p, col(n).cast("double") / total)
+    }
+    val r = binned(ref, "n_ref", "p_ref")
+    val c = binned(cur, "n_cur", "p_cur")
+    r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("p_ref"), lit(0.0)).as("p_ref"),
+        coalesce(col("p_cur"), lit(0.0)).as("p_cur"))
+      .withColumn("contrib",
+        when(col("p_ref") === 0.0, lit(null))
+          .otherwise((col("p_cur") - col("p_ref")) * (col("p_cur") - col("p_ref"))
+            / col("p_ref")))
+  }
+
+  /** Expectation-suite validation: each rule is a frame of its own
+    * VIOLATIONS (empty = healthy); the result is one row per rule with
+    * the violation count — the contract-check gate a pipeline runs
+    * before publishing a corpus snapshot. Rules stay declarative
+    * DataFrames, so nulls/ranges/domains are plain filters and
+    * referential integrity is a left-anti join; each rule aggregates to
+    * ONE row (count pushes map-side), and independent rules run as
+    * independent jobs. */
+  def validateRules(rules: Seq[(String, DataFrame)]): DataFrame =
+    rules.map { case (name, violations) =>
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    }.reduce(_ unionByName _)
+
   /** Data-quality profile: per column, row count, null count, PORTABLE
     * KMV distinct estimate, and min/max (as strings, for a uniform
     * schema). One scan-and-aggregate pass per column — independent

@@ -44,6 +44,22 @@ object RelationalQueries extends QueryPack {
       graft.ops.Relational.profile(Tables.lineitem(s, dir), ProfileCols)
     },
 
+    // contract gate before publishing a snapshot: null/range/domain
+    // filters + FK orphans as a left-anti join, one violation count per
+    // rule. quantity_le_45 deliberately fires (TPC-H quantities reach
+    // 50) to prove the counting path.
+    "validate_lineitem" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Relational.validateRules(Seq(
+        "quantity_positive" -> li.where(col("l_quantity") <= 0),
+        "discount_range" -> li.where(col("l_discount") < 0 || col("l_discount") > 1),
+        "shipdate_not_null" -> li.where(col("l_shipdate").isNull),
+        "returnflag_domain" -> li.where(!col("l_returnflag").isin("A", "N", "R")),
+        "orderkey_fk" -> li.join(Tables.orders(s, dir),
+          li("l_orderkey") === col("o_orderkey"), "left_anti"),
+        "quantity_le_45" -> li.where(col("l_quantity") > 45)))
+    },
+
     // Morton (Z-order) clustering value — the multi-dim file-skipping
     // layout key (see Scale.writeZOrdered); pure bit arithmetic, codegen.
     "layout_zvalue" -> { (s, dir) =>
@@ -94,6 +110,20 @@ object RelationalQueries extends QueryPack {
         |  FROM orders)
         |WHERE rank <= 3""".stripMargin,
     "profile_lineitem" -> profileOracle(ProfileCols, 128),
+    "validate_lineitem" ->
+      """SELECT 'quantity_positive' AS rule,
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS n_violations
+        |UNION ALL SELECT 'discount_range',
+        |  (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+        |UNION ALL SELECT 'shipdate_not_null',
+        |  (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+        |UNION ALL SELECT 'returnflag_domain',
+        |  (SELECT count(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N','R'))
+        |UNION ALL SELECT 'orderkey_fk',
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL SELECT 'quantity_le_45',
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity > 45)""".stripMargin,
     "layout_zvalue" -> {
       val z = (0 until 8).flatMap(i => Seq(
         s"(((l_partkey % 256) >> $i & 1) << ${2 * i})",

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{CorpusOps, Dedup, Multimodal, Similarity, Tables, TextAnalysis}
+import graft.ops.{CorpusOps, Dedup, Multimodal, Relational, Similarity, Tables, TextAnalysis}
 
 /** Training-data pipeline operators (beyond the reference surface, built
   * for 100 TB corpora): dedup, similarity search, text analysis, and
@@ -342,6 +342,17 @@ object TrainingQueries extends QueryPack {
       Dedup.contaminationFraction(
         docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
         "doc_id", "text", w = 15, maxFrac = 0.2)
+    },
+
+    // crawl-health drift monitor: token-length distribution of the new
+    // crawl vs the settled corpus, chi-square contributions per bin
+    // (log-free — engine-exact; PSI/KL's ln cannot hash across libms).
+    "drift_tokens" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("v"))
+      Relational.driftChi2(
+        docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
+        "v", binWidth = 20L, nBins = 20)
     },
 
     // ---- corpus assembly -------------------------------------------------
@@ -1442,6 +1453,29 @@ object TrainingQueries extends QueryPack {
         |FROM (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
         |    / 4294967296.0 AS u FROM documents)""".stripMargin,
+    // exact integer counts; the double tail (shares, contributions)
+    // uses one pinned operation order on both sides.
+    "drift_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS v FROM documents),
+        |r0 AS (SELECT CAST(least(floor(v / 20.0), 19) AS BIGINT) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n_ref
+        |       FROM t WHERE doc_id < 250 GROUP BY 1),
+        |rt AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM t WHERE doc_id < 250),
+        |r AS (SELECT bin, n_ref, CAST(n_ref AS DOUBLE)/tot AS p_ref FROM r0, rt),
+        |c0 AS (SELECT CAST(least(floor(v / 20.0), 19) AS BIGINT) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n_cur
+        |       FROM t WHERE doc_id >= 250 GROUP BY 1),
+        |ct AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM t WHERE doc_id >= 250),
+        |c AS (SELECT bin, n_cur, CAST(n_cur AS DOUBLE)/tot AS p_cur FROM c0, ct)
+        |SELECT bin,
+        |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+        |  coalesce(p_ref, 0.0) AS p_ref, coalesce(p_cur, 0.0) AS p_cur,
+        |  CASE WHEN coalesce(p_ref, 0.0) = 0.0 THEN NULL
+        |       ELSE (coalesce(p_cur, 0.0) - coalesce(p_ref, 0.0))
+        |            * (coalesce(p_cur, 0.0) - coalesce(p_ref, 0.0))
+        |            / coalesce(p_ref, 0.0) END AS contrib
+        |FROM r FULL OUTER JOIN c USING (bin)""".stripMargin,
     // Oracle has no bloom to model: the prefilter is exact end-to-end
     // (no false negatives; the semi-join removes false positives).
     "contam_frac" ->
