@@ -66,6 +66,28 @@ object Sinks {
   def withOnSuccess(primary: Writer, onSuccess: Writer): Writer =
     (df, id) => { primary(df, id); onSuccess(df, id) }
 
+  /** Contract-enforcing split sink: every row is checked against the
+    * rule predicates (row-local by design — relational rules like FK
+    * orphans belong to the batch gate, `Relational.validateRules`);
+    * clean rows go to `primary`, violating rows to `dlq` WITH a
+    * `violated_rules` column naming every fired rule — the triage
+    * handle a DLQ consumer actually needs. One pass over a persisted
+    * batch, the split is a map-side filter pair; rule evaluation is
+    * plain Catalyst predicates inside codegen. */
+  def qualityGatedSink(rules: Seq[(String, org.apache.spark.sql.Column)],
+                       primary: Writer, dlq: Writer): Writer = (batch, id) => {
+    import org.apache.spark.sql.functions._
+    val flagged = batch.withColumn("violated_rules",
+      array_compact(array(rules.map { case (n, c) =>
+        when(c, lit(n)).otherwise(lit(null).cast("string")) }: _*)))
+      .persist()
+    try {
+      primary(flagged.where(size(col("violated_rules")) === 0)
+        .drop("violated_rules"), id)
+      dlq(flagged.where(size(col("violated_rules")) > 0), id)
+    } finally { flagged.unpersist(); () }
+  }
+
   /** Exactly-once parquet sink: each micro-batch writes (overwrite) its
     * own `batchId=` partition directory, so a checkpoint replay of batch N
     * rewrites N's directory instead of appending duplicates — the

@@ -68,4 +68,29 @@ class SinksSpec extends SparkSpec {
     assert(seen("odd_sink") === Seq(2L))
     assert(seen("all_sink") === Seq(1L, 2L)) // DROP row never reaches sinks
   }
+
+  test("quality gate splits clean rows from violations, naming fired rules") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, Some(10L), "ok"),
+      (2L, None, "ok"),        // null_qty fires
+      (3L, Some(-5L), "ok"),   // qty_range fires
+      (4L, Some(999L), "bad")  // qty_range AND domain fire
+    ).toDF("id", "qty", "status")
+    var clean: Seq[Long] = Nil
+    var bad: Map[Long, Seq[String]] = Map.empty
+    val gate = Sinks.qualityGatedSink(
+      Seq("null_qty" -> col("qty").isNull,
+        "qty_range" -> (col("qty") < 0 || col("qty") > 100),
+        "domain" -> !col("status").isin("ok", "retry")),
+      primary = (df, _) => clean = df.select("id").as[Long].collect().toSeq.sorted,
+      dlq = (df, _) => bad = df.select("id", "violated_rules")
+        .as[(Long, Seq[String])].collect().toMap)
+    gate(rows, 7L)
+    assert(clean === Seq(1L))
+    assert(bad.keySet === Set(2L, 3L, 4L))
+    assert(bad(2L) === Seq("null_qty"))
+    assert(bad(3L) === Seq("qty_range"))
+    assert(bad(4L) === Seq("qty_range", "domain"))
+  }
 }
