@@ -88,6 +88,34 @@ object Sinks {
     } finally { flagged.unpersist(); () }
   }
 
+  /** Distribution-drift alarm over a metric column: each micro-batch's
+    * binned distribution is scored against a FROZEN baseline (captured
+    * once from a reference corpus via [[graft.ops.Relational.driftChi2]]
+    * semantics) and `onAlarm` fires when the summed chi-square
+    * contribution crosses `threshold` — the crawl-health tripwire that
+    * catches a scraper/source regression while it is one micro-batch
+    * old, not after it has polluted a snapshot. The baseline is a
+    * bin→share map on the driver (bins are few by construction);
+    * per-batch work is one map-side binned count. */
+  def driftAlarm(baseline: Map[Long, Double], metricCol: String,
+                 binWidth: Long, nBins: Int, threshold: Double,
+                 onAlarm: (Long, Double) => Unit): Writer = (batch, id) => {
+    import org.apache.spark.sql.functions._
+    val counts = batch
+      .select(least(floor(col(metricCol) / binWidth), lit(nBins - 1))
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    if (total > 0) {
+      val score = baseline.collect { case (bin, pRef) if pRef > 0 =>
+        val pCur = counts.getOrElse(bin, 0L) / total
+        (pCur - pRef) * (pCur - pRef) / pRef
+      }.sum
+      if (score > threshold) onAlarm(id, score)
+    }
+  }
+
   /** Exactly-once parquet sink: each micro-batch writes (overwrite) its
     * own `batchId=` partition directory, so a checkpoint replay of batch N
     * rewrites N's directory instead of appending duplicates — the

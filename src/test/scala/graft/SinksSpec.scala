@@ -69,6 +69,21 @@ class SinksSpec extends SparkSpec {
     assert(seen("all_sink") === Seq(1L, 2L)) // DROP row never reaches sinks
   }
 
+  test("drift alarm stays quiet in-family, fires on a shifted batch") {
+    // baseline: uniform over bins 0..3 (values 0..79, width 20)
+    val baseline = Map(0L -> 0.25, 1L -> 0.25, 2L -> 0.25, 3L -> 0.25)
+    val alarms = mutable.Buffer[(Long, Double)]()
+    val alarm = Sinks.driftAlarm(baseline, "v", binWidth = 20L, nBins = 4,
+      threshold = 0.5, onAlarm = (id, s) => { alarms += ((id, s)); () })
+    // in-family batch: same uniform spread
+    alarm((0L until 80L).toDF("v"), 1L)
+    assert(alarms.isEmpty, s"uniform batch must not alarm: $alarms")
+    // regression batch: everything collapses into bin 0 (truncated docs)
+    alarm((0L until 80L).map(_ % 20).toDF("v"), 2L)
+    assert(alarms.map(_._1) === Seq(2L), s"shifted batch must alarm: $alarms")
+    assert(alarms.head._2 > 2.0, s"collapse to one bin scores high: $alarms")
+  }
+
   test("quality gate splits clean rows from violations, naming fired rules") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(
