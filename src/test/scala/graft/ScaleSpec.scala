@@ -256,6 +256,16 @@ class ScaleSpec extends SparkSpec {
     assert(before.except(after).count() === 0 && after.except(before).count() === 0)
   }
 
+  test("compaction edge cases: empty dir is a no-op, missing dir fails with the path") {
+    import graft.ops.Scale
+    val empty = java.nio.file.Files.createTempDirectory("emptydir").toString
+    assert(Scale.compact(spark, empty, empty + "_out", 1024) === ((0, 0)))
+    val e = intercept[IllegalArgumentException] {
+      Scale.compact(spark, "/nonexistent/path/xyz", "/tmp/never", 1024)
+    }
+    assert(e.getMessage.contains("/nonexistent/path/xyz"))
+  }
+
   test("salted join returns exactly the unsalted result") {
     // heavy skew: 90% of big rows share one key
     val big = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))
