@@ -435,7 +435,11 @@ object Dedup {
     * once per executor via broadcast. The settled side would be a
     * persisted span table in production (cf. [[writeSignatureTable]]);
     * here it is recomputed per call, which also keeps the two passes'
-    * span definitions trivially in sync. */
+    * span definitions trivially in sync.
+    *
+    * The settled span frame stays persisted while the returned plan is
+    * live (the verify join reads it); release it with `unpersist` on the
+    * result's cached lineage or a cache clear once consumed. */
   def bloomIncrementalSpans(existing: DataFrame, incoming: DataFrame,
                             idCol: String, textCol: String, w: Int = 15,
                             expectedSpans: Long = 4L << 20,
@@ -592,7 +596,8 @@ object Dedup {
     * map-side (same no-false-negative argument as
     * [[bloomIncrementalSpans]] — the semi-join removes bloom false
     * positives, so the fraction is exact), and aggregates per doc id —
-    * high-cardinality key, no skew. */
+    * high-cardinality key, no skew. The settled span set stays persisted
+    * while the returned plan is live; clear the cache once consumed. */
   def contaminationFraction(existing: DataFrame, incoming: DataFrame,
                             idCol: String, textCol: String, w: Int = 15,
                             maxFrac: Double = 0.2,
