@@ -20,17 +20,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark does not support
-    * natively: read nanos as long (legacy conf) and truncate to a
-    * microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies, so
-    * oracle values align. NTZ (not TIMESTAMP) keeps values timezone-free
-    * end to end. */
+  /** `events.ts` arrives as parquet TIMESTAMP(MICROS) in current testdata
+    * generations, but older generations wrote TIMESTAMP(NANOS), which
+    * Spark only reads as a raw long (legacy conf). Branch on the loaded
+    * dtype so both encodings land on the same microsecond TIMESTAMP_NTZ —
+    * the precision DuckDB reads natively, so oracle values align — and
+    * NTZ (not TIMESTAMP) keeps values timezone-free end to end. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table(spark, dir, "events")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _        => raw.col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
