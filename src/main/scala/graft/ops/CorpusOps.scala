@@ -254,4 +254,32 @@ object CorpusOps {
       }
     }.toDF(idCol, "n_tokens", "shard")
   }
+
+  /** Corpus snapshot diff — the delta between two versions of a corpus
+    * (yesterday's crawl vs today's): every id classified as `added`,
+    * `removed`, `changed`, or `unchanged` by comparing an md5 content
+    * digest over `digestCols`. The engine's version-control primitive:
+    * incremental re-processing downstream (re-embed only `added ∪
+    * changed`, purge `removed` from indexes) keys off this table.
+    *
+    * Shape: digests are map-side (one md5 per row, no payload ever
+    * shuffles — only id + 32-byte digest), then ONE full outer join on
+    * the id. At 100 TB both snapshots live as id-bucketed tables, making
+    * the join zero-exchange; unbucketed it is the unavoidable one
+    * shuffle per side. Reference analog: none (numaflow has no corpus
+    * versioning) — this is training-data-pipeline surface. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   digestCols: Seq[String]): DataFrame = {
+    require(digestCols.nonEmpty, "digestCols must be non-empty")
+    def digested(df: DataFrame, as: String) = df.select(
+      col(idCol),
+      md5(concat_ws("", digestCols.map(c => col(c).cast("string")): _*))
+        .as(as))
+    digested(oldDf, "old_digest")
+      .join(digested(newDf, "new_digest"), Seq(idCol), "full_outer")
+      .select(col(idCol), when(col("old_digest").isNull, "added")
+        .when(col("new_digest").isNull, "removed")
+        .when(col("old_digest") =!= col("new_digest"), "changed")
+        .otherwise("unchanged").as("change"))
+  }
 }

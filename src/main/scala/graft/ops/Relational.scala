@@ -158,4 +158,33 @@ object Relational {
         .select(lit(c).as("col_name"), col("n"), col("n_null"),
           col("distinct_est"), col("min_s"), col("max_s"))
     }.reduce(_ unionByName _)
+
+  /** Type-2 slowly-changing dimension build: collapse a change-event
+    * stream into validity intervals. For each key, consecutive rows (in
+    * `orderCols` order) whose tracked attributes repeat are folded into
+    * one row; each surviving row gets `valid_from` (its own timestamp)
+    * and `valid_to` (the next change's timestamp, null while current).
+    * The warehouse primitive for "what was this entity's state at time
+    * t" — pairs with [[asOfJoin]], which probes the interval table this
+    * operator builds.
+    *
+    * Shape: ONE shuffle on the key, then two window passes over the
+    * already-co-located rows (lag to detect change, lead to close the
+    * interval — same window spec, one exchange). `orderCols` must be a
+    * deterministic total order per key (include a tiebreaker column);
+    * otherwise interval boundaries are nondeterministic under retries. */
+  def scd2(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           attrCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val state = concat_ws("", attrCols.map(c => col(c).cast("string")): _*)
+    df.withColumn("__changed",
+        lag(state, 1).over(w).isNull || lag(state, 1).over(w) =!= state)
+      .where(col("__changed"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to",
+        lead(col(tsCol), 1).over(
+          Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)))
+      .select((keyCols ++ attrCols).map(col) :+ col("valid_from") :+ col("valid_to"): _*)
+  }
 }

@@ -105,6 +105,17 @@ object EventQueries extends QueryPack {
             .as("z"))
     },
 
+    // type-2 SCD build: collapse each user's event-type stream into
+    // validity intervals (valid_from/valid_to, null while current) —
+    // the dimension table an as-of join probes. One shuffle on user_id,
+    // two window passes over co-located rows; (ts, event_id) is the
+    // deterministic per-user total order.
+    "dim_scd2" -> { (s, dir) =>
+      graft.ops.Relational.scd2(Tables.events(s, dir),
+        Seq("user_id"), "ts", Seq("event_type"),
+        Seq(col("ts"), col("event_id")))
+    },
+
     // weekly cohort retention: users bucketed by first-seen week; count
     // distinct active users per (cohort week, week offset).
     "ev_cohort" -> { (s, dir) =>
@@ -176,6 +187,19 @@ object EventQueries extends QueryPack {
         |FROM h
         |WINDOW w AS (PARTITION BY event_type ORDER BY hour
         |             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "dim_scd2" ->
+      """WITH m AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM m
+        |      WHERE rn = 1 OR coalesce(prev, '') <> coalesce(event_type, ''))
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to
+        |FROM c""".stripMargin,
     "ev_cohort" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
         |           FROM events GROUP BY user_id),

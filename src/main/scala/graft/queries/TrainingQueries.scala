@@ -362,6 +362,20 @@ object TrainingQueries extends QueryPack {
         .select("doc_id", "split")
     },
 
+    // corpus version diff: yesterday's snapshot vs today's (both carved
+    // deterministically from `documents`; the v2 side edits every 11th
+    // doc). Output is the change manifest downstream incremental work
+    // keys off — re-embed added∪changed, purge removed.
+    "corpus_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.where(col("doc_id") % 7 =!= 3)
+      val v2 = docs.where(col("doc_id") % 5 =!= 2)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      CorpusOps.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+        .where(col("change") =!= "unchanged")
+    },
+
     // the capstone compose: exact-dedup canonical -> quality gate ->
     // deterministic split -> token-budget shards for the train split.
     // Every stage is an operator with its own oracle; this query proves
@@ -1497,6 +1511,24 @@ object TrainingQueries extends QueryPack {
         |    / len(string_split(d.text,' ')), 4) < 0.2 AS keep
         |FROM documents d LEFT JOIN cov USING (doc_id)
         |WHERE d.doc_id >= 250""".stripMargin,
+    // Digest concat skips NULLs on both sides (concat_ws ≡ duckdb concat).
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(concat(text, lang, source)) AS d
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |v2 AS (SELECT doc_id, md5(concat(
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END,
+        |    lang, source)) AS d
+        |  FROM documents WHERE doc_id % 5 <> 2)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.d IS NULL THEN 'added'
+        |       WHEN v2.d IS NULL THEN 'removed'
+        |       WHEN v1.d <> v2.d THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE CASE WHEN v1.d IS NULL THEN 'added'
+        |           WHEN v2.d IS NULL THEN 'removed'
+        |           WHEN v1.d <> v2.d THEN 'changed'
+        |           ELSE 'unchanged' END <> 'unchanged'""".stripMargin,
     // The composed pipeline restated as one SQL chain; the train-shard
     // stage is again the global-window SPEC of the distributed prefix sum.
     "curate_pipeline" ->

@@ -215,4 +215,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(11L) === ((20L, 0L, 0.0, true)))
     assert(got(12L) === ((30L, 30L, 1.0, false)))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"))
+      .toDF("id", "text", "lang")
+    val v2 = Seq((2L, "b", "en"), (3L, "c2", "de"), (4L, "d", "fr"))
+      .toDF("id", "text", "lang")
+    val got = CorpusOps.snapshotDiff(v1, v2, "id", Seq("text", "lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // identical snapshots: everything unchanged (digest covers all cols).
+    val same = CorpusOps.snapshotDiff(v1, v1, "id", Seq("text", "lang"))
+    assert(same.where(col("change") =!= "unchanged").count() === 0)
+    // a change in a column OUTSIDE the digest is invisible by contract.
+    val v2lang = v1.withColumn("lang", lit("xx"))
+    val textOnly = CorpusOps.snapshotDiff(v1, v2lang, "id", Seq("text"))
+    assert(textOnly.where(col("change") =!= "unchanged").count() === 0)
+  }
+
+  test("scd2 folds repeats into intervals; valid_to chains to the next change") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 10L, "bronze"), (1L, ts(1), 11L, "bronze"),
+      (1L, ts(2), 12L, "silver"), (1L, ts(3), 13L, "bronze"),
+      (2L, ts(5), 14L, "gold")
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val got = graft.ops.Relational.scd2(ev, Seq("user_id"), "ts",
+        Seq("tier"), Seq(col("ts"), col("event_id")))
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSet
+    assert(got === Set(
+      (1L, "bronze", ts(0), Some(ts(2))),  // repeat at ts(1) folded in
+      (1L, "silver", ts(2), Some(ts(3))),
+      (1L, "bronze", ts(3), None),         // re-entering a past state re-opens
+      (2L, "gold", ts(5), None)))
+    // intervals tile: each user's valid_from chain is gap-free by
+    // construction (valid_to == next valid_from), so an as-of probe at
+    // any instant >= first event lands in exactly one interval.
+    val probe = Timestamp.valueOf("2024-01-01 00:02:30")
+    val hit = got.filter { case (u, _, f, t) =>
+      u == 1L && !f.after(probe) && t.forall(_.after(probe)) }
+    assert(hit.map(_._2) === Set("silver"))
+  }
 }
