@@ -767,4 +767,39 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** Entity-resolution-style near-dup pairs: prefix BLOCKING + Levenshtein
+    * VERIFY. Docs sharing their first `prefixLen` characters form a block;
+    * within a block every (a < b) pair is verified with an edit-distance
+    * threshold over the first `verifyLen` characters. The classic
+    * blocking-then-verify shape for typo-level duplicates (OCR noise,
+    * whitespace edits) that token-level minhash under-detects.
+    *
+    * Scale: one shuffle on the block key; blocks over `maxBlock` docs are
+    * dropped wholesale (boilerplate prefixes — the hot-shingle cap rule:
+    * deterministic, documented degradation, bounds pair work at
+    * maxBlock²/2 per block). The verify uses Spark's THRESHOLDED
+    * Levenshtein (returns -1 past the bound), which prunes the DP to the
+    * |maxDist| diagonal band — O(maxDist·verifyLen) per pair, not
+    * O(verifyLen²). */
+  def editPairs(docs: DataFrame, idCol: String, textCol: String,
+                prefixLen: Int = 20, maxBlock: Int = 64,
+                verifyLen: Int = 120, maxDist: Int = 10): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"),
+      substring(col(textCol), 1, verifyLen).as("head"),
+      substring(col(textCol), 1, prefixLen).as("block"))
+    val blocks = keyed.groupBy(col("block"))
+      .agg(sort_array(collect_list(struct(col("id"), col("head")))).as("members"))
+      .where(size(col("members")).between(2, maxBlock))
+    // members sorted by (id, head) → emitted pairs already have a < b.
+    val pairs = blocks.select(explode(flatten(transform(col("members"), (m, i) =>
+      transform(
+        slice(col("members"), i + lit(2),
+          greatest(size(col("members")) - i - 1, lit(0))),
+        n => struct(m.getField("id").as("a"), n.getField("id").as("b"),
+          levenshtein(m.getField("head"), n.getField("head"), maxDist)
+            .as("dist")))))).as("p"))
+    pairs.select(col("p.a").as("a"), col("p.b").as("b"), col("p.dist").as("dist"))
+      .where(col("dist") >= 0)
+  }
 }

@@ -240,6 +240,13 @@ object TrainingQueries extends QueryPack {
         threshold = 0.5)
     },
 
+    // typo-level dup pairs: prefix blocking + banded-Levenshtein verify —
+    // the ER shape for edits minhash's token shingles under-detect.
+    "dedup_edit" -> { (s, dir) =>
+      Dedup.editPairs(Tables.documents(s, dir), "doc_id", "text",
+        prefixLen = 20, maxBlock = 64, verifyLen = 120, maxDist = 10)
+    },
+
     // the production two-stage shape: LSH candidates → exact verify.
     "dedup_lsh_verified" -> { (s, dir) =>
       Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -1310,6 +1317,18 @@ object TrainingQueries extends QueryPack {
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin,
+    // NULL heads never pair: Spark groups null blocks but the null
+    // Levenshtein filters out; the SQL equi-join drops them earlier.
+    "dedup_edit" ->
+      """WITH k AS (SELECT doc_id AS id, substr(text, 1, 120) AS head,
+        |    substr(text, 1, 20) AS block FROM documents),
+        |ok AS (SELECT block FROM k GROUP BY block
+        |       HAVING count(*) BETWEEN 2 AND 64)
+        |SELECT l.id AS a, r.id AS b,
+        |  CAST(levenshtein(l.head, r.head) AS INT) AS dist
+        |FROM k l JOIN k r ON l.block = r.block AND l.id < r.id
+        |JOIN ok ON l.block = ok.block
+        |WHERE levenshtein(l.head, r.head) <= 10""".stripMargin,
     "dedup_lsh_verified" ->
       s"""WITH $minhashCtes,
          |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

@@ -34,6 +34,33 @@ class DataOpsSpec extends SparkSpec {
     assert(jac === Set((1L, 2L)))
   }
 
+  test("editPairs: typo-level dup verified, hot block capped, distance banded") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("jumps", "jumped")),   // 2 edits, same 20-char prefix
+      (3L, base.replace("dog", "cat") + " x"), // 5 edits
+      (4L, "completely different text that shares no prefix with the others")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editPairs(docs, "doc_id", "text",
+        prefixLen = 20, maxBlock = 64, verifyLen = 120, maxDist = 10)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) === 2)  // jumps->jumped: 1 sub + 1 insert
+    assert(got((1L, 3L)) === 5)  // dog->cat (3 subs) + " x" (2 inserts)
+    // pairs past maxDist vanish (thresholded Levenshtein returns -1).
+    val tight = Dedup.editPairs(docs, "doc_id", "text",
+      prefixLen = 20, maxBlock = 64, verifyLen = 120, maxDist = 2)
+    assert(tight.select("a", "b").as[(Long, Long)].collect().toSet
+      === Set((1L, 2L)))
+    // a block larger than maxBlock is dropped wholesale (boilerplate cap).
+    val boiler = (1L to 10L).map(i => (100 + i, base + s" tail$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.editPairs(boiler, "doc_id", "text",
+      prefixLen = 20, maxBlock = 5, verifyLen = 120, maxDist = 10)
+    assert(capped.count() === 0)
+  }
+
   test("simhash: identical texts hash equal, disjoint texts differ") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
       .toDF("doc_id", "text")
