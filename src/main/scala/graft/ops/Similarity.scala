@@ -430,6 +430,64 @@ object Similarity {
         (col("mx").cast("double") / scale).as("vmax"))
   }
 
+  /** One Lloyd's k-means training round in EXACT FIXED POINT — the
+    * quantizer-training pass that [[ivfTopKFrozen]]'s frozen centers come
+    * from, made engine-reproducible: vectors quantize to round(x·2²⁰)
+    * integer codes, the seed assignment uses the native
+    * [[graft.functions.SquaredDistances]] loop over the scaled seeds
+    * (integer-valued doubles — exact ≤ 2⁵³), centroid updates are exact
+    * integer sums with floor-division means, and the re-assignment is an
+    * integer argmin. No float ever varies by accumulation order, so the
+    * whole train step is hash-checkable against a SQL oracle — unlike
+    * MLlib KMeans, whose parallel float sums are run-dependent.
+    *
+    * Scale shape: assignment is MAP-ONLY (literal seed matrix in the
+    * expression); the update is one posexplode + hash-agg on (cluster,
+    * dim) — k·dim result rows, map-side partials do the heavy lifting;
+    * the updated k·dim-int centroid table broadcasts back as ONE row, so
+    * re-assignment is map-only again. Iterating = repeating that
+    * agg+broadcast pair; nothing grows with corpus size but the scan.
+    *
+    * Returns (id, c1, c2): the seed-round and updated-round cluster ids
+    * (c2 is the converged-enough label downstream mixing/IVF uses; c1
+    * documents the move). Mean floor-division is exact for |sum| < 2⁵³
+    * (sum of round(x·2²⁰) VALUES — not squares — so the long holds ~4e12
+    * rows per cluster before that bound matters). */
+  def kmeansFixedPoint(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int = 8, dim: Int = 64): DataFrame = {
+    val scale = FixedPointScale
+    val seeds = ivfCentroids(k, dim).map(_.map(x => math.round(x * scale).toDouble))
+    val vecs = df
+      .where(size(col(vecCol)) === dim)
+      .select(col(idCol), transform(asDouble(col(vecCol)),
+        x => round(x * scale)).as("vsd"))
+      .withColumn("c1", argminIdx(SquaredDistances(col("vsd"), seeds)))
+      .withColumn("vsl", transform(col("vsd"), _.cast("long")))
+    val cent = vecs
+      .select(col("c1"), posexplode(col("vsl")).as(Seq("dim", "v")))
+      .groupBy("c1", "dim")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      // floor division via pmod; the double divide is exact because the
+      // numerator is divisible by n and |s| < 2^53.
+      .withColumn("c",
+        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+    val centsRow = cent.groupBy("c1")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        _.getField("c")).as("arr"))
+      .agg(sort_array(collect_list(struct(col("c1").as("c"), col("arr"))))
+        .as("cents"))
+    // best = lexicographic min over (dist, cluster): deterministic ties,
+    // and carrying the cluster ID (not the array index) stays correct
+    // even if a seed cell lands empty.
+    vecs.crossJoin(broadcast(centsRow))
+      .withColumn("best", array_min(transform(col("cents"), cs =>
+        struct(
+          aggregate(zip_with(col("vsl"), cs.getField("arr"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("d"),
+          cs.getField("c").as("c")))))
+      .select(col(idCol), col("c1"), col("best.c").as("c2"))
+  }
+
   /** Top-k cosine retrieval over GLOBALLY-calibrated int8 codes — the
     * memory-bound scale path: [[dimStats]] supplies per-dim ranges (the
     * corpus calibration pass, a tiny broadcastable aggregate), every

@@ -551,6 +551,14 @@ object TrainingQueries extends QueryPack {
           col("variance"), col("vmin"), col("vmax"))
     },
 
+    // the quantizer TRAINING pass itself, engine-reproducible: one
+    // Lloyd's round in exact fixed point (integer assignment, integer
+    // floor-division centroid update, integer re-assignment).
+    "emb_kmeans" -> { (s, dir) =>
+      Similarity.kmeansFixedPoint(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 8, dim = 64)
+    },
+
     // retrieval over the quantized codes: 4x less scan bandwidth, and the
     // integer dot products keep the ranking engine-exact.
     "sim_topk_int8" -> { (s, dir) =>
@@ -789,6 +797,50 @@ object TrainingQueries extends QueryPack {
        |  FROM a JOIN q ON a.cell = q.cell
        |  WHERE q.query_id <> a.neighbor_id)
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Fixed-point k-means oracle: the same scaled-integer Lloyd round,
+    * seeds injected as literals from the SAME Scala arrays the Spark
+    * plan uses (the plane-literal discipline). All arithmetic integer →
+    * hash-exact. */
+  private lazy val embKmeansSql: String = {
+    val (k, dim) = (8, 64)
+    val seeds = graft.ops.Similarity.ivfCentroids(k, dim)
+      .map(_.map(x => math.round(x * 1048576.0)))
+    val seedRows = seeds.zipWithIndex
+      .map { case (arr, ki) => s"($ki, [${arr.mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH v AS (SELECT vec_id,
+       |    [CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
+       |     FOR x IN embedding] AS vs
+       |  FROM embeddings WHERE len(embedding) = $dim),
+       |seeds(c, cs) AS (VALUES $seedRows),
+       |d1 AS (SELECT vec_id, vs, c,
+       |    list_aggregate(list_transform(range(1, ${dim + 1}), i ->
+       |      (vs[CAST(i AS INT)] - cs[CAST(i AS INT)])
+       |      * (vs[CAST(i AS INT)] - cs[CAST(i AS INT)])), 'sum') AS d
+       |  FROM v CROSS JOIN seeds),
+       |a1 AS (SELECT vec_id, vs, c AS c1 FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM d1) WHERE rn = 1),
+       |dims AS (SELECT c1, i, vs[CAST(i AS INT)] AS val
+       |  FROM a1 CROSS JOIN range(1, ${dim + 1}) r(i)),
+       |cent AS (SELECT c1, i,
+       |    CAST((sum(val) - ((sum(val) % count(*) + count(*)) % count(*)))
+       |      / count(*) AS BIGINT) AS cd
+       |  FROM dims GROUP BY c1, i),
+       |carr AS (SELECT c1 AS c, array_agg(cd ORDER BY i) AS arr
+       |  FROM cent GROUP BY c1),
+       |d2 AS (SELECT vec_id, a1.c1, carr.c,
+       |    list_aggregate(list_transform(range(1, ${dim + 1}), i ->
+       |      (vs[CAST(i AS INT)] - arr[CAST(i AS INT)])
+       |      * (vs[CAST(i AS INT)] - arr[CAST(i AS INT)])), 'sum') AS d
+       |  FROM a1 CROSS JOIN carr),
+       |a2 AS (SELECT vec_id, c1, c AS c2 FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM d2) WHERE rn = 1)
+       |SELECT vec_id, CAST(c1 AS INT) AS c1, CAST(c2 AS INT) AS c2
+       |FROM a2""".stripMargin
   }
 
   /** Shared minhash-LSH CTE prefix (identical affine family as
@@ -1786,6 +1838,7 @@ object TrainingQueries extends QueryPack {
         |  CAST(mn AS DOUBLE)/1048576.0 AS vmin,
         |  CAST(mx AS DOUBLE)/1048576.0 AS vmax
         |FROM g""".stripMargin,
+    "emb_kmeans" -> embKmeansSql,
     // same fixed-point stats CTEs; quantization and ranking restated over
     // the code lists (integer dots → the float tail is order-pinned).
     "sim_topk_int8" ->

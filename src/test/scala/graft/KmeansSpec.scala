@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Laws for the fixed-point Lloyd round: differential equality against a
+  * plain-Scala reference (same scaling, same floor-division means),
+  * layout-determinism, and the clustering sanity check that co-located
+  * points land together. */
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1048576.0
+  private val (k, dim) = (8, 64)
+
+  /** The operator's arithmetic restated sequentially. */
+  private def reference(vecs: Map[Long, Array[Double]]): Map[Long, (Int, Int)] = {
+    def sc(x: Double): Long =
+      BigDecimal(x * S).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val seeds = Similarity.ivfCentroids(k, dim).map(_.map(x => math.round(x * S)))
+    val coded = vecs.map { case (id, v) => id -> v.map(sc) }
+    def d(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val c1 = coded.map { case (id, v) =>
+      id -> seeds.zipWithIndex.map { case (s, i) => (d(v, s), i) }.min._2 }
+    val members = coded.keys.groupBy(c1)
+    val cents = members.map { case (c, ids) =>
+      val vs = ids.map(coded).toArray
+      c -> Array.tabulate(dim) { j =>
+        Math.floorDiv(vs.map(_(j)).sum, vs.length.toLong) }
+    }
+    val c2 = coded.map { case (id, v) =>
+      id -> cents.toSeq.map { case (c, ct) => (d(v, ct), c) }.min._2 }
+    vecs.keys.map(id => id -> ((c1(id), c2(id)))).toMap
+  }
+
+  test("kmeansFixedPoint matches the sequential reference exactly") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 40L).map { id =>
+      id -> Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    }.toMap
+    val df = vecs.toSeq.map { case (id, v) => (id, v.toSeq.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFixedPoint(df, "vec_id", "embedding", k, dim)
+      .as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === reference(vecs))
+    // layout-independence: a different partitioning changes nothing
+    // (integer sums are order-free — the property float kmeans lacks).
+    val again = Similarity.kmeansFixedPoint(df.repartition(7), "vec_id",
+        "embedding", k, dim)
+      .as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again === got)
+  }
+
+  test("co-located points share a cluster; short vectors are dropped") {
+    val a = Array.fill(dim)(0.9)
+    val b = Array.fill(dim)(-0.9)
+    val rows = Seq(
+      (1L, a.toSeq.map(_.toFloat)), (2L, a.toSeq.map(_.toFloat)),
+      (3L, b.toSeq.map(_.toFloat)), (4L, b.toSeq.map(_.toFloat)),
+      (5L, Seq(0.1f, 0.2f))) // wrong dim: excluded by contract
+    val got = Similarity.kmeansFixedPoint(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k, dim)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(1L) === got(2L))
+    assert(got(3L) === got(4L))
+    assert(got(1L) !== got(3L))
+  }
+}
