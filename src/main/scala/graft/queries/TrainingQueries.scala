@@ -240,6 +240,16 @@ object TrainingQueries extends QueryPack {
         threshold = 0.5)
     },
 
+    // centrality over the shared-span dup graph: fixed-point PageRank —
+    // boilerplate hubs (docs whose spans radiate everywhere) rank first
+    // for curation review. 3 exact integer iterations, hash-checkable.
+    "graph_pagerank" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.GraphOps.pageRank(docs,
+        graft.ops.GraphOps.spanEdges(docs, "doc_id", "text"),
+        "doc_id", iters = 3)
+    },
+
     // typo-level dup pairs: prefix blocking + banded-Levenshtein verify —
     // the ER shape for edits minhash's token shingles under-detect.
     "dedup_edit" -> { (s, dir) =>
@@ -843,6 +853,42 @@ object TrainingQueries extends QueryPack {
        |FROM a2""".stripMargin
   }
 
+  /** PageRank oracle: the same exact-integer rounds, unrolled. Every
+    * floor division is (a − a % b) / b on non-negative BIGINTs — the
+    * double divide cannot round (numerator divisible, < 2⁵³). */
+  private lazy val pagerankSql: String = {
+    def iter(prev: String, name: String) =
+      s"""$name AS (SELECT n.id,
+         |    CAST(150000 + (85 * coalesce(c.s, 0)
+         |      - (85 * coalesce(c.s, 0)) % 100) / 100 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      sum(CAST((p.pr - p.pr % d.d) / d.d AS BIGINT)) AS s
+         |    FROM edges e JOIN deg d ON e.src = d.src
+         |      JOIN $prev p ON e.src = p.id
+         |    GROUP BY e.dst) c ON n.id = c.id)"""
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+15],' ') AS shingle
+       |       FROM (SELECT doc_id, t,
+       |             unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks)),
+       |ok AS (SELECT shingle FROM sh GROUP BY shingle
+       |       HAVING count(*) BETWEEN 2 AND 100),
+       |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+       |  JOIN ok ON l.shingle = ok.shingle),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs
+       |          UNION ALL SELECT b, a FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+       |        FROM edges GROUP BY src),
+       |n AS (SELECT doc_id AS id FROM documents),
+       |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM n),
+       |${iter("p0", "i1")},
+       |${iter("i1", "i2")},
+       |${iter("i2", "i3")}
+       |SELECT id AS doc_id, pr AS pr_scaled, pr / 1000000.0 AS pr
+       |FROM i3""".stripMargin
+  }
+
   /** Shared minhash-LSH CTE prefix (identical affine family as
     * Dedup.minhash — constants injected from the same arrays). */
   private lazy val minhashCtes: String = {
@@ -1369,6 +1415,7 @@ object TrainingQueries extends QueryPack {
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin,
+    "graph_pagerank" -> pagerankSql,
     // NULL heads never pair: Spark groups null blocks but the null
     // Levenshtein filters out; the SQL equi-join drops them earlier.
     "dedup_edit" ->

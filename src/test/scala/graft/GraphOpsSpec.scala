@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+/** Laws for the fixed-point PageRank and the span-edge builder:
+  * differential equality against a sequential reference, hub ordering,
+  * and edge symmetry/caps. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                        iters: Int): Map[Long, Long] = {
+    val scale = 1000000L
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => Math.floorDiv(pr(s), deg(s)) }.sum).toMap
+      pr = nodes.map(n =>
+        n -> (scale * 15 / 100 + Math.floorDiv(85 * in.getOrElse(n, 0L), 100))).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the sequential reference; hubs outrank leaves") {
+    // star a<-{b,c,d} plus a 2-cycle e<->f plus isolated g
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edgePairs = Seq((2L, 1L), (3L, 1L), (4L, 1L),
+      (1L, 2L), (5L, 6L), (6L, 5L))
+    val edges = edgePairs.toDF("src", "dst")
+    val got = GraphOps.pageRank(nodes, edges, "id", iters = 3)
+      .select("id", "pr_scaled").as[(Long, Long)].collect().toMap
+    assert(got === reference(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L), edgePairs, 3))
+    assert(got(1L) > got(5L))            // 3 inbound beats 1 inbound
+    assert(got(7L) === 150000L)          // isolated: damping floor
+    assert(got(3L) === got(4L))          // symmetric leaves tie
+  }
+
+  test("spanEdges: symmetric, distinct, hot spans capped") {
+    val span = (tag: String) => (1 to 15).map(i => s"w$i$tag").mkString(" ")
+    val docs = Seq(
+      (1L, span("A") + " x"), (2L, span("A") + " y"), (3L, span("A") + " z"),
+      (4L, span("Q") + " unrelated")
+    ).toDF("doc_id", "text")
+    val e = GraphOps.spanEdges(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(e === Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (2L, 1L), (3L, 1L), (3L, 2L)))
+    // a span shared by more docs than the cap contributes no edges
+    val capped = GraphOps.spanEdges(docs, "doc_id", "text", maxDocFreq = 2)
+    assert(capped.count() === 0)
+  }
+}
