@@ -116,6 +116,25 @@ object EventQueries extends QueryPack {
         Seq(col("ts"), col("event_id")))
     },
 
+    // the scd2+asOfJoin COMPOSE: each purchase enriched with the user's
+    // state just before it (probe at ts − 1µs against the interval
+    // table scd2 builds) — "what was this entity's state at time t",
+    // answered end to end. A purchase that is the user's first event
+    // has no prior state (null).
+    "dim_asof" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val dim = graft.ops.Relational.scd2(ev, Seq("user_id"), "ts",
+          Seq("event_type"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("valid_from").as("ts"),
+          col("event_type").as("state"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 1 MICROSECOND")).as("ts"))
+      graft.ops.Relational.asOfJoin(purchases, dim, Seq("user_id"), "ts",
+          "state", "state_before")
+        .select("event_id", "user_id", "state_before")
+    },
+
     // weekly cohort retention: users bucketed by first-seen week; count
     // distinct active users per (cohort week, week offset).
     "ev_cohort" -> { (s, dir) =>
@@ -200,6 +219,26 @@ object EventQueries extends QueryPack {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS valid_to
         |FROM c""".stripMargin,
+    // intervals tile per user, so the range join matches at most once;
+    // probing at ts−1µs ⇔ vf < ts AND (vt IS NULL OR vt >= ts) at
+    // microsecond granularity.
+    "dim_asof" ->
+      """WITH m AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM m
+        |      WHERE rn = 1 OR coalesce(prev, '') <> coalesce(event_type, '')),
+        |dim AS (SELECT user_id, event_type AS state, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM c),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, d.state AS state_before
+        |FROM p LEFT JOIN dim d ON p.user_id = d.user_id
+        |  AND d.vf < p.ts AND (d.vt IS NULL OR d.vt >= p.ts)""".stripMargin,
     "ev_cohort" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
         |           FROM events GROUP BY user_id),
