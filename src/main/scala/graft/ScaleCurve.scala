@@ -49,7 +49,8 @@ object ScaleCurve {
     "dedup_minhash", "dedup_simhash", "text_lm_kn", "mix_dsir",
     "text_winnow", "pack_cdc", "emb_neardup_lsh", "emb_semdedup",
     "emb_neardup", "dedup_bloom_incr", "shard_tokens",
-    "contam_frac", "purge_closure", "curate_pipeline")
+    "contam_frac", "purge_closure", "curate_pipeline",
+    "graph_pagerank", "emb_kmeans", "dedup_edit", "corpus_diff")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
