@@ -235,4 +235,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(gen >= 0 && (stageEnd < 0 || gen < stageEnd),
       s"bloom filter must sit on the scan side of the shuffle:\n$p")
   }
+
+  test("kmeans: assignments never sort-merge; centroids come back broadcast") {
+    val p = plan("emb_kmeans")
+    // seed assignment is a literal-matrix projection and the updated
+    // centers return as a one-row broadcast — the corpus joins nothing
+    // the sort-merge way.
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    assert(p.contains("squareddistances"), s"native kernel missing:\n$p")
+  }
+
+  test("edit dedup: one exchange builds the blocks; pairs expand map-side") {
+    val p = plan("dedup_edit")
+    // block agg = partial + final hash agg pair → exactly one shuffle of
+    // (block, id, head); the pair fan-out is a Generate above it, never
+    // a self-join of the corpus.
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("snapshot diff shuffles digests, not payloads") {
+    val p = plan("corpus_diff")
+    assert(p.contains("FullOuter"), p)
+    // one exchange per side, and each side's md5 projection sits BELOW
+    // its exchange in the tree (deeper = later in the plan print): the
+    // join moves 8B id + 32B digest per row regardless of document size.
+    assert(countOf(p, "Exchange hashpartitioning") === 2, p)
+    val firstEx = p.indexOf("Exchange hashpartitioning")
+    val lastEx = p.lastIndexOf("Exchange hashpartitioning")
+    assert(p.indexOf("md5", firstEx) > firstEx, s"digest above exchange:\n$p")
+    assert(p.indexOf("md5", lastEx) > lastEx, s"digest above exchange:\n$p")
+  }
 }
