@@ -55,11 +55,18 @@ object GraphOps {
     // cannot round (numerator divisible, < 2^53).
     def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       ((a - pmod(a, b)) / b).cast("long")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Truncate lineage ONCE: without this, every iteration's join inlines
+    // the whole edge-build subtree (k iterations re-run the posting-list
+    // expansion k+1 times — the PlanAudit catch that motivated this).
+    // Local checkpoints here, durable checkpoints on a cluster — the
+    // connectedComponents tradeoff, same contract.
+    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val ids = nodes.select(col(idCol).as("id"))
     var pr = ids.select(col("id"), lit(scale).as("pr"))
     for (_ <- 1 to iters) {
-      val inbound = edges
+      val inbound = sym
         .join(deg, "src")
         .join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), fdiv(col("pr"), col("outdeg")).as("c"))
@@ -68,6 +75,7 @@ object GraphOps {
         .select(col("id"),
           (lit(scale * 15L / 100L) +
             fdiv(coalesce(col("in_c"), lit(0L)) * 85L, lit(100L))).as("pr"))
+        .localCheckpoint(eager = false)
     }
     pr.select(col("id").as(idCol), col("pr").as("pr_scaled"),
       (col("pr").cast("double") / scale.toDouble).as("pr"))
