@@ -448,44 +448,58 @@ object Similarity {
     * re-assignment is map-only again. Iterating = repeating that
     * agg+broadcast pair; nothing grows with corpus size but the scan.
     *
-    * Returns (id, c1, c2): the seed-round and updated-round cluster ids
-    * (c2 is the converged-enough label downstream mixing/IVF uses; c1
-    * documents the move). Mean floor-division is exact for |sum| < 2⁵³
+    * Returns (id, c1, c2): the seed-round and final cluster ids (c2 is
+    * the converged-enough label downstream mixing/IVF uses; c1 documents
+    * the move). `iters` = number of update rounds (each = one centroid
+    * agg + one broadcast re-assignment; the oracle pins 1, the spec
+    * differentials more). Mean floor-division is exact for |sum| < 2⁵³
     * (sum of round(x·2²⁰) VALUES — not squares — so the long holds ~4e12
     * rows per cluster before that bound matters). */
   def kmeansFixedPoint(df: DataFrame, idCol: String, vecCol: String,
-                       k: Int = 8, dim: Int = 64): DataFrame = {
+                       k: Int = 8, dim: Int = 64, iters: Int = 1): DataFrame = {
+    require(iters >= 1, "at least one update round")
     val scale = FixedPointScale
     val seeds = ivfCentroids(k, dim).map(_.map(x => math.round(x * scale).toDouble))
-    val vecs = df
+    val vecs0 = df
       .where(size(col(vecCol)) === dim)
       .select(col(idCol), transform(asDouble(col(vecCol)),
         x => round(x * scale)).as("vsd"))
-      .withColumn("c1", argminIdx(SquaredDistances(col("vsd"), seeds)))
+      .withColumn("c1", argminIdx(SquaredDistances(col("vsd"), seeds))
+        .cast("int"))
       .withColumn("vsl", transform(col("vsd"), _.cast("long")))
-    val cent = vecs
-      .select(col("c1"), posexplode(col("vsl")).as(Seq("dim", "v")))
-      .groupBy("c1", "dim")
-      .agg(sum("v").as("s"), count(lit(1)).as("n"))
-      // floor division via pmod; the double divide is exact because the
-      // numerator is divisible by n and |s| < 2^53.
-      .withColumn("c",
-        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
-    val centsRow = cent.groupBy("c1")
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
-        _.getField("c")).as("arr"))
-      .agg(sort_array(collect_list(struct(col("c1").as("c"), col("arr"))))
-        .as("cents"))
-    // best = lexicographic min over (dist, cluster): deterministic ties,
-    // and carrying the cluster ID (not the array index) stays correct
-    // even if a seed cell lands empty.
-    vecs.crossJoin(broadcast(centsRow))
-      .withColumn("best", array_min(transform(col("cents"), cs =>
-        struct(
-          aggregate(zip_with(col("vsl"), cs.getField("arr"),
-            (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("d"),
-          cs.getField("c").as("c")))))
-      .select(col(idCol), col("c1"), col("best.c").as("c2"))
+      .select(col(idCol), col("c1"), col("vsl"))
+    // 2+ rounds re-read the coded vectors once per round: truncate the
+    // scan+encode lineage rather than recompute it (single-round plans
+    // stay pipeline-pure — the oracle's shape).
+    val vecs = if (iters > 1) vecs0.localCheckpoint() else vecs0
+    var assigned = vecs.withColumn("c", col("c1"))
+    for (_ <- 1 to iters) {
+      val cent = assigned
+        .select(col("c"), posexplode(col("vsl")).as(Seq("dim", "v")))
+        .groupBy("c", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        // floor division via pmod; the double divide is exact because
+        // the numerator is divisible by n and |s| < 2^53.
+        .withColumn("cd",
+          ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+      val centsRow = cent.groupBy("c")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("cd")))),
+          _.getField("cd")).as("arr"))
+        .agg(sort_array(collect_list(struct(col("c"), col("arr"))))
+          .as("cents"))
+      // best = lexicographic min over (dist, cluster): deterministic
+      // ties, and carrying the cluster ID (not the array index) stays
+      // correct even if a cell lands empty.
+      assigned = assigned.crossJoin(broadcast(centsRow))
+        .withColumn("best", array_min(transform(col("cents"), cs =>
+          struct(
+            aggregate(zip_with(col("vsl"), cs.getField("arr"),
+              (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("d"),
+            cs.getField("c").as("c")))))
+        .select(col(idCol), col("c1"), col("vsl"),
+          col("best.c").cast("int").as("c"))
+    }
+    assigned.select(col(idCol), col("c1"), col("c").as("c2"))
   }
 
   /** Top-k cosine retrieval over GLOBALLY-calibrated int8 codes — the

@@ -14,7 +14,8 @@ class KmeansSpec extends SparkSpec {
   private val (k, dim) = (8, 64)
 
   /** The operator's arithmetic restated sequentially. */
-  private def reference(vecs: Map[Long, Array[Double]]): Map[Long, (Int, Int)] = {
+  private def reference(vecs: Map[Long, Array[Double]],
+                        iters: Int = 1): Map[Long, (Int, Int)] = {
     def sc(x: Double): Long =
       BigDecimal(x * S).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     val seeds = Similarity.ivfCentroids(k, dim).map(_.map(x => math.round(x * S)))
@@ -23,15 +24,18 @@ class KmeansSpec extends SparkSpec {
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val c1 = coded.map { case (id, v) =>
       id -> seeds.zipWithIndex.map { case (s, i) => (d(v, s), i) }.min._2 }
-    val members = coded.keys.groupBy(c1)
-    val cents = members.map { case (c, ids) =>
-      val vs = ids.map(coded).toArray
-      c -> Array.tabulate(dim) { j =>
-        Math.floorDiv(vs.map(_(j)).sum, vs.length.toLong) }
+    var cur = c1
+    for (_ <- 1 to iters) {
+      val members = coded.keys.groupBy(cur)
+      val cents = members.map { case (c, ids) =>
+        val vs = ids.map(coded).toArray
+        c -> Array.tabulate(dim) { j =>
+          Math.floorDiv(vs.map(_(j)).sum, vs.length.toLong) }
+      }
+      cur = coded.map { case (id, v) =>
+        id -> cents.toSeq.map { case (c, ct) => (d(v, ct), c) }.min._2 }
     }
-    val c2 = coded.map { case (id, v) =>
-      id -> cents.toSeq.map { case (c, ct) => (d(v, ct), c) }.min._2 }
-    vecs.keys.map(id => id -> ((c1(id), c2(id)))).toMap
+    vecs.keys.map(id => id -> ((c1(id), cur(id)))).toMap
   }
 
   test("kmeansFixedPoint matches the sequential reference exactly") {
@@ -52,6 +56,20 @@ class KmeansSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(again === got)
+  }
+
+  test("multi-round training matches the sequential reference (iters = 3)") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 60L).map { id =>
+      id -> Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    }.toMap
+    val df = vecs.toSeq.map { case (id, v) => (id, v.toSeq.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFixedPoint(df, "vec_id", "embedding", k, dim,
+        iters = 3)
+      .as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === reference(vecs, iters = 3))
   }
 
   test("co-located points share a cluster; short vectors are dropped") {
