@@ -457,22 +457,37 @@ object Similarity {
     * rows per cluster before that bound matters). */
   def kmeansFixedPoint(df: DataFrame, idCol: String, vecCol: String,
                        k: Int = 8, dim: Int = 64, iters: Int = 1): DataFrame = {
-    require(iters >= 1, "at least one update round")
+    val (assigned, _) = lloydRounds(codedVecs(df, idCol, vecCol, k, dim), iters)
+    assigned.select(col(idCol), col("c1"), col("c").as("c2"))
+  }
+
+  /** Seed-coded vectors: (…passthrough…, c1 = seed-cell, vsl = scaled
+    * integer codes). Shared entry of the fixed-point training paths. */
+  private def codedVecs(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, dim: Int, keepCols: Seq[Column] = Nil): DataFrame = {
     val scale = FixedPointScale
     val seeds = ivfCentroids(k, dim).map(_.map(x => math.round(x * scale).toDouble))
-    val vecs0 = df
-      .where(size(col(vecCol)) === dim)
-      .select(col(idCol), transform(asDouble(col(vecCol)),
-        x => round(x * scale)).as("vsd"))
+    df.where(size(col(vecCol)) === dim)
+      .select(col(idCol) +: transform(asDouble(col(vecCol)),
+        x => round(x * scale)).as("vsd") +: keepCols: _*)
       .withColumn("c1", argminIdx(SquaredDistances(col("vsd"), seeds))
         .cast("int"))
       .withColumn("vsl", transform(col("vsd"), _.cast("long")))
-      .select(col(idCol), col("c1"), col("vsl"))
+      .drop("vsd")
+  }
+
+  /** `iters` Lloyd update rounds over seed-coded vectors. Returns the
+    * final assignment (input columns + `c`) and the final one-row
+    * centroid table (`cents`: sorted (c, arr) structs) — the trained
+    * quantizer artifact [[ivfTopKTrained]] probes. */
+  private def lloydRounds(coded: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "at least one update round")
     // 2+ rounds re-read the coded vectors once per round: truncate the
     // scan+encode lineage rather than recompute it (single-round plans
     // stay pipeline-pure — the oracle's shape).
-    val vecs = if (iters > 1) vecs0.localCheckpoint() else vecs0
+    val vecs = if (iters > 1) coded.localCheckpoint() else coded
     var assigned = vecs.withColumn("c", col("c1"))
+    var centsRow: DataFrame = null
     for (_ <- 1 to iters) {
       val cent = assigned
         .select(col("c"), posexplode(col("vsl")).as(Seq("dim", "v")))
@@ -482,7 +497,7 @@ object Similarity {
         // the numerator is divisible by n and |s| < 2^53.
         .withColumn("cd",
           ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
-      val centsRow = cent.groupBy("c")
+      centsRow = cent.groupBy("c")
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("cd")))),
           _.getField("cd")).as("arr"))
         .agg(sort_array(collect_list(struct(col("c"), col("arr"))))
@@ -490,16 +505,58 @@ object Similarity {
       // best = lexicographic min over (dist, cluster): deterministic
       // ties, and carrying the cluster ID (not the array index) stays
       // correct even if a cell lands empty.
-      assigned = assigned.crossJoin(broadcast(centsRow))
+      assigned = assigned.drop("c").crossJoin(broadcast(centsRow))
         .withColumn("best", array_min(transform(col("cents"), cs =>
           struct(
             aggregate(zip_with(col("vsl"), cs.getField("arr"),
               (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("d"),
             cs.getField("c").as("c")))))
-        .select(col(idCol), col("c1"), col("vsl"),
-          col("best.c").cast("int").as("c"))
+        .withColumn("c", col("best.c").cast("int"))
+        .drop("best", "cents")
     }
-    assigned.select(col(idCol), col("c1"), col("c").as("c2"))
+    (assigned, centsRow)
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer — the full production
+    * lifecycle in one reproducible plan: [[kmeansFixedPoint]]'s Lloyd
+    * rounds train the centers, the corpus assigns to its trained cell,
+    * each query probes its `nProbe` nearest cells (tie-safe integer
+    * struct sort), and candidates rank by the fused native [[cosine]].
+    * Because training is exact fixed point and scoring is the pinned
+    * cosine, the ENTIRE path — train → index → probe → rank — is
+    * hash-checkable against a SQL oracle; [[ivfTopKFrozen]] is this
+    * operator with the training frozen out.
+    *
+    * Scale: training as [[kmeansFixedPoint]]; the index join is
+    * cell-keyed with the probe side tiny (queries × nProbe — AQE
+    * broadcasts it); only the per-query top-k window shuffles, on the
+    * query id. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, kTop: Int, nLists: Int = 8,
+                     nProbe: Int = 2, dim: Int = 64, iters: Int = 1): DataFrame = {
+    val coded = codedVecs(corpus, idCol, vecCol, nLists, dim,
+      keepCols = Seq(asDouble(col(vecCol)).as("cv")))
+    val (assigned, centsRow) = lloydRounds(coded, iters)
+    val index = assigned.select(col(idCol).as("neighbor_id"), col("cv"),
+      col("c").as("cell"))
+    val probed = codedVecs(queries, idCol, vecCol, nLists, dim,
+        keepCols = Seq(asDouble(col(vecCol)).as("qv")))
+      .crossJoin(broadcast(centsRow))
+      .withColumn("pc", explode(slice(sort_array(transform(col("cents"), cs =>
+        struct(
+          aggregate(zip_with(col("vsl"), cs.getField("arr"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("d"),
+          cs.getField("c").as("c")))), 1, nProbe)))
+      .select(col(idCol).as("query_id"), col("qv"), col("pc.c").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    index.join(probed, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kTop)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
   /** Top-k cosine retrieval over GLOBALLY-calibrated int8 codes — the

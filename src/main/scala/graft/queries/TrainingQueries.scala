@@ -569,6 +569,15 @@ object TrainingQueries extends QueryPack {
         "embedding", k = 8, dim = 64)
     },
 
+    // the full ANN lifecycle with the TRAINED quantizer: kmeans centers
+    // → corpus cells → nProbe probe → cosine rank, one hash-checked plan
+    // (sim_ann_ivf is the same search with training frozen out).
+    "sim_ann_ivf_trained" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopKTrained(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", kTop = 5, nLists = 8, nProbe = 2, dim = 64)
+    },
+
     // retrieval over the quantized codes: 4x less scan bandwidth, and the
     // integer dot products keep the ranking engine-exact.
     "sim_topk_int8" -> { (s, dir) =>
@@ -809,18 +818,20 @@ object TrainingQueries extends QueryPack {
        |WHERE rank <= $k""".stripMargin
   }
 
-  /** Fixed-point k-means oracle: the same scaled-integer Lloyd round,
-    * seeds injected as literals from the SAME Scala arrays the Spark
-    * plan uses (the plane-literal discipline). All arithmetic integer →
-    * hash-exact. */
-  private lazy val embKmeansSql: String = {
+  /** Fixed-point k-means CTE chain (through the trained-center
+    * re-assignment a2): the same scaled-integer Lloyd round, seeds
+    * injected as literals from the SAME Scala arrays the Spark plan uses
+    * (the plane-literal discipline). All arithmetic integer →
+    * hash-exact. Shared by the emb_kmeans and sim_ann_ivf_trained
+    * oracles. */
+  private lazy val kmeansCtes: String = {
     val (k, dim) = (8, 64)
     val seeds = graft.ops.Similarity.ivfCentroids(k, dim)
       .map(_.map(x => math.round(x * 1048576.0)))
     val seedRows = seeds.zipWithIndex
       .map { case (arr, ki) => s"($ki, [${arr.mkString(", ")}])" }
       .mkString(", ")
-    s"""WITH v AS (SELECT vec_id,
+    s"""v AS (SELECT vec_id,
        |    [CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
        |     FOR x IN embedding] AS vs
        |  FROM embeddings WHERE len(embedding) = $dim),
@@ -848,10 +859,37 @@ object TrainingQueries extends QueryPack {
        |  FROM a1 CROSS JOIN carr),
        |a2 AS (SELECT vec_id, c1, c AS c2 FROM (SELECT *,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
-       |  FROM d2) WHERE rn = 1)
+       |  FROM d2) WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val embKmeansSql: String =
+    s"""WITH $kmeansCtes
        |SELECT vec_id, CAST(c1 AS INT) AS c1, CAST(c2 AS INT) AS c2
        |FROM a2""".stripMargin
-  }
+
+  /** Trained-quantizer IVF: the kmeans chain's trained cells index the
+    * corpus, queries probe their nProbe nearest trained cells (same
+    * integer distances, d2), and candidates rank by cosine — the full
+    * train → index → probe → rank lifecycle, engine-exact. */
+  private lazy val trainedIvfSql: String =
+    s"""WITH $kmeansCtes,
+       |probe AS (SELECT vec_id AS query_id, c AS cell FROM (SELECT vec_id, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM d2 WHERE vec_id < 10) WHERE rn <= 2),
+       |corp AS (SELECT vec_id AS neighbor_id, c2 AS cell FROM a2),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |        WHERE len(embedding) = 64)
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT p.query_id, c.neighbor_id,
+       |    list_cosine_similarity(qe.e, ne.e) AS sim,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(qe.e, ne.e) DESC,
+       |               c.neighbor_id ASC) AS rank
+       |  FROM corp c JOIN probe p ON c.cell = p.cell
+       |  JOIN emb qe ON qe.vec_id = p.query_id
+       |  JOIN emb ne ON ne.vec_id = c.neighbor_id
+       |  WHERE c.neighbor_id <> p.query_id)
+       |WHERE rank <= 5""".stripMargin
 
   /** PageRank oracle: the same exact-integer rounds, unrolled. Every
     * floor division is (a − a % b) / b on non-negative BIGINTs — the
@@ -1886,6 +1924,7 @@ object TrainingQueries extends QueryPack {
         |  CAST(mx AS DOUBLE)/1048576.0 AS vmax
         |FROM g""".stripMargin,
     "emb_kmeans" -> embKmeansSql,
+    "sim_ann_ivf_trained" -> trainedIvfSql,
     // same fixed-point stats CTEs; quantization and ranking restated over
     // the code lists (integer dots → the float tail is order-pinned).
     "sim_topk_int8" ->
