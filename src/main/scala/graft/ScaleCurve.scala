@@ -50,7 +50,8 @@ object ScaleCurve {
     "text_winnow", "pack_cdc", "emb_neardup_lsh", "emb_semdedup",
     "emb_neardup", "dedup_bloom_incr", "shard_tokens",
     "contam_frac", "purge_closure", "curate_pipeline",
-    "graph_pagerank", "emb_kmeans", "dedup_edit", "corpus_diff")
+    "graph_pagerank", "emb_kmeans", "dedup_edit", "corpus_diff",
+    "sim_ann_ivf_trained")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
