@@ -539,17 +539,36 @@ object Similarity {
     val (assigned, centsRow) = lloydRounds(coded, iters)
     val index = assigned.select(col(idCol).as("neighbor_id"), col("cv"),
       col("c").as("cell"))
-    val probed = codedVecs(queries, idCol, vecCol, nLists, dim,
-        keepCols = Seq(asDouble(col(vecCol)).as("qv")))
+    val probed = probeTrainedCells(queries, idCol, vecCol, centsRow,
+      nProbe, dim)
+    rankCandidates(index, probed, kTop)
+  }
+
+  /** (query_id, qv, cell) rows: each query's `nProbe` nearest TRAINED
+    * cells by exact integer distance (tie-safe struct sort) — the
+    * trained-quantizer analog of [[probeCells]]. `centsRow` is the
+    * one-row (cents: array<(c, arr)>) table [[lloydRounds]] emits or a
+    * sidecar reload of it. */
+  private def probeTrainedCells(queries: DataFrame, idCol: String,
+                                vecCol: String, centsRow: DataFrame,
+                                nProbe: Int, dim: Int): DataFrame =
+    queries.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+        transform(asDouble(col(vecCol)),
+          x => round(x * FixedPointScale).cast("long")).as("vsl"))
       .crossJoin(broadcast(centsRow))
       .withColumn("pc", explode(slice(sort_array(transform(col("cents"), cs =>
         struct(
           aggregate(zip_with(col("vsl"), cs.getField("arr"),
             (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("d"),
           cs.getField("c").as("c")))), 1, nProbe)))
-      .select(col(idCol).as("query_id"), col("qv"), col("pc.c").as("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
+      .select(col("query_id"), col("qv"), col("pc.c").as("cell"))
+
+  /** Shared tail of every IVF probe: cell equi-join + per-query cosine
+    * top-k (ties: sim DESC, neighbor ASC). */
+  private def rankCandidates(index: DataFrame, probed: DataFrame,
+                             kTop: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     index.join(probed, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
@@ -557,6 +576,49 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= kTop)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Persist the TRAINED-quantizer ANN index: Lloyd rounds train the
+    * centers, the corpus assigns by exact integer distance, and two
+    * artifacts land — the cell-BUCKETED index table (neighbor_id, cv,
+    * cell) and a k-row centers sidecar at `centersPath` (the
+    * [[Dedup.writeSpanTable]] bloom-sidecar discipline: the artifact
+    * carries everything a prober needs). Build once, probe forever —
+    * at 100 TB nobody re-trains or re-assigns per query batch. */
+  def writeTrainedIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                           table: String, centersPath: String,
+                           nLists: Int = 8, dim: Int = 64, iters: Int = 1,
+                           buckets: Int = 8): Unit = {
+    val coded = codedVecs(corpus, idCol, vecCol, nLists, dim,
+      keepCols = Seq(asDouble(col(vecCol)).as("cv")))
+    val (assigned, centsRow) = lloydRounds(coded, iters)
+    centsRow.select(explode(col("cents")).as("ce"))
+      .select(col("ce.c").as("c"), col("ce.arr").as("arr"))
+      .coalesce(1).write.mode("overwrite").parquet(centersPath)
+    graft.ops.Scale.writeBucketed(
+      assigned.select(col(idCol).as("neighbor_id"), col("cv"),
+        col("c").as("cell")),
+      table, buckets, keyCols = Seq("cell"), sortCols = Seq("cell"))
+  }
+
+  /** Probe the persisted trained index: results identical to
+    * [[ivfTopKTrained]] (same integer probe distances, same cosine) with
+    * training and corpus assignment amortized into the build. The query
+    * side reloads the k-row sidecar; the index side is bucketed on the
+    * join key, so past-broadcast query volumes join with the index
+    * exchange-free (TrainedIvfIndexSpec, the IvfIndexTableSpec law). */
+  def ivfTopKFromTrainedIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, centersPath: String,
+                              queries: DataFrame, idCol: String,
+                              vecCol: String, kTop: Int, nProbe: Int = 2,
+                              dim: Int = 64,
+                              broadcastProbe: Boolean = true): DataFrame = {
+    val centsRow = spark.read.parquet(centersPath)
+      .agg(sort_array(collect_list(struct(col("c"), col("arr")))).as("cents"))
+    val probedRaw = probeTrainedCells(queries, idCol, vecCol, centsRow,
+      nProbe, dim)
+    val probed = if (broadcastProbe) broadcast(probedRaw) else probedRaw
+    rankCandidates(spark.table(table), probed, kTop)
   }
 
   /** Top-k cosine retrieval over GLOBALLY-calibrated int8 codes — the
