@@ -135,6 +135,24 @@ object EventQueries extends QueryPack {
         .select("event_id", "user_id", "state_before")
     },
 
+    // RFM segmentation: per-user recency/frequency/monetary + quartile
+    // (ntile) segment — the user-scoring rollup behind retention
+    // campaigns. Monetary goes through DECIMAL(18,2) so the sum is
+    // order-free; the ntile window runs over the per-USER aggregate
+    // (bounded by users, not events — same rule as the mixWeights
+    // single-partition window).
+    "ev_rfm" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir).where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(col("ts")).as("last_purchase"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("monetary"))
+        .withColumn("segment", ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("user_id"))))
+    },
+
     // weekly cohort retention: users bucketed by first-seen week; count
     // distinct active users per (cohort week, week offset).
     "ev_cohort" -> { (s, dir) =>
@@ -239,6 +257,15 @@ object EventQueries extends QueryPack {
         |SELECT p.event_id, p.user_id, d.state AS state_before
         |FROM p LEFT JOIN dim d ON p.user_id = d.user_id
         |  AND d.vf < p.ts AND (d.vt IS NULL OR d.vt >= p.ts)""".stripMargin,
+    "ev_rfm" ->
+      """WITH p AS (SELECT user_id, max(ts) AS last_purchase,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id, last_purchase, frequency, monetary,
+        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT)
+        |    AS segment
+        |FROM p""".stripMargin,
     "ev_cohort" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
         |           FROM events GROUP BY user_id),

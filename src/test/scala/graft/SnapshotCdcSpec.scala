@@ -83,6 +83,25 @@ class SnapshotCdcSpec extends SparkSpec {
     assert(readMap(dir).size === 64 - sameBucket.size)
   }
 
+  test("snapshotDiff over two snapshot versions recovers the CDC classes") {
+    val dir = Files.createTempDirectory("cdcsnap4").toString + "/snap"
+    SnapshotCdc.applyBatch(dir, Seq(
+      Cdc(1L, 1L, "U", "a"), Cdc(2L, 1L, "U", "b"), Cdc(3L, 1L, "U", "c")
+    ).toDF(), "id", "op", "seq", N)
+    // materialize v1 before the second apply rewrites its files
+    val v1 = SnapshotCdc.read(spark, dir).get
+      .select("id", "text").as[(Long, String)].collect().toSeq.toDF("id", "text")
+    SnapshotCdc.applyBatch(dir, Seq(
+      Cdc(2L, 2L, "U", "b2"), Cdc(3L, 2L, "D", ""), Cdc(4L, 2L, "U", "d")
+    ).toDF(), "id", "op", "seq", N)
+    val v2 = SnapshotCdc.read(spark, dir).get.select("id", "text")
+    val diff = graft.ops.CorpusOps.snapshotDiff(v1, v2, "id", Seq("text"))
+      .where(col("change") =!= "unchanged")
+      .as[(Long, String)].collect().toMap
+    // the diff of consecutive snapshots IS the applied change batch
+    assert(diff === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("foreachBatch sink: exactly-once under batch replay, e2e stream") {
     val dir = Files.createTempDirectory("cdcsnap3").toString + "/snap"
     implicit val ctx = spark.sqlContext
