@@ -95,6 +95,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** kNN label prediction — the standard representation-quality probe:
+    * each query's label predicted by majority vote of its k nearest
+    * neighbors (vote ties: higher count, then smaller label — both
+    * pinned, so the evaluation is engine-exact). Output carries the true
+    * label and a correctness flag; accuracy is one aggregate away.
+    * Scale: the neighbor search is whatever ANN the caller feeds in —
+    * this baseline uses [[bruteForceTopK]] (queries broadcast, corpus
+    * scanned once); the vote is a (query, label)-keyed agg over k·|Q|
+    * rows. */
+  def knnLabel(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val votes = nn
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nl")), "neighbor_id")
+      .groupBy(col("query_id"), col("nl"))
+      .agg(count(lit(1)).as("votes"))
+    val predicted = votes.groupBy("query_id")
+      .agg(min(struct((-col("votes")).as("nv"), col("nl").as("l")))
+        .getField("l").as("predicted"))
+    predicted
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("label")), "query_id")
+      .select(col("query_id"), col("label"), col("predicted"),
+        (col("predicted") === col("label")).as("correct"))
+  }
+
   /** Hyperplane component b,i = u(md5("b|i")) - 0.5: md5-derived
     * pseudo-randoms in [-0.5, 0.5] — deterministic and engine-portable.
     * Computed ONCE driver-side (nBits × dim doubles) and embedded as plan

@@ -569,6 +569,29 @@ object TrainingQueries extends QueryPack {
         "embedding", k = 8, dim = 64)
     },
 
+    // representation-quality probes over the unused label column:
+    // kNN label accuracy (majority vote, pinned ties) ...
+    "sim_knn_label" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnLabel(emb, emb.where(col("vec_id") < 50),
+        "vec_id", "embedding", "label", k = 5)
+    },
+
+    // ... and trained-cell purity: how label-coherent each kmeans cell
+    // is (majority label share) — the quantizer-quality metric.
+    "emb_cell_purity" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val asg = Similarity.kmeansFixedPoint(emb, "vec_id", "embedding",
+        k = 8, dim = 64)
+      val cnt = asg.join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("c2"), col("label")).agg(count(lit(1)).as("n"))
+      cnt.groupBy("c2").agg(
+        sum("n").as("n_total"),
+        min(struct((-col("n")).as("nv"), col("label").as("l")))
+          .getField("l").as("majority_label"),
+        round(max(col("n")).cast("double") / sum(col("n")), 4).as("purity"))
+    },
+
     // the full ANN lifecycle with the TRAINED quantizer: kmeans centers
     // → corpus cells → nProbe probe → cosine rank, one hash-checked plan
     // (sim_ann_ivf is the same search with training frozen out).
@@ -1925,6 +1948,40 @@ object TrainingQueries extends QueryPack {
         |FROM g""".stripMargin,
     "emb_kmeans" -> embKmeansSql,
     "sim_ann_ivf_trained" -> trainedIvfSql,
+    "sim_knn_label" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |           label AS ql FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+        |      label AS nl FROM embeddings),
+        |nn AS (SELECT query_id, nl FROM (
+        |    SELECT q.query_id, c.nl,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(qv, cv) DESC,
+        |                 c.neighbor_id ASC) AS rank
+        |    FROM q JOIN c ON q.query_id <> c.neighbor_id)
+        |  WHERE rank <= 5),
+        |v AS (SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes
+        |      FROM nn GROUP BY 1, 2),
+        |p AS (SELECT query_id, nl AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, nl ASC) AS rn FROM v) WHERE rn = 1)
+        |SELECT p.query_id, q.ql AS label, p.predicted,
+        |  p.predicted = q.ql AS correct
+        |FROM p JOIN q ON p.query_id = q.query_id""".stripMargin,
+    "emb_cell_purity" ->
+      s"""WITH $kmeansCtes,
+         |lab AS (SELECT a2.c2, e.label FROM a2
+         |        JOIN embeddings e ON a2.vec_id = e.vec_id),
+         |cnt AS (SELECT c2, label, CAST(count(*) AS BIGINT) AS n
+         |        FROM lab GROUP BY 1, 2),
+         |m AS (SELECT c2, label AS majority_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY c2
+         |      ORDER BY n DESC, label ASC) AS rn FROM cnt) WHERE rn = 1),
+         |t AS (SELECT c2, CAST(sum(n) AS BIGINT) AS n_total,
+         |      CAST(max(n) AS BIGINT) AS nmax FROM cnt GROUP BY c2)
+         |SELECT CAST(t.c2 AS INT) AS c2, t.n_total, m.majority_label,
+         |  round(CAST(t.nmax AS DOUBLE) / t.n_total, 4) AS purity
+         |FROM t JOIN m ON t.c2 = m.c2""".stripMargin,
     // same fixed-point stats CTEs; quantization and ranking restated over
     // the code lists (integer dots → the float tail is order-pinned).
     "sim_topk_int8" ->

@@ -72,6 +72,27 @@ class KmeansSpec extends SparkSpec {
     assert(got === reference(vecs, iters = 3))
   }
 
+  test("knnLabel: planted clusters vote their label; ties pick the smaller") {
+    // two tight clusters with distinct labels + one query per cluster
+    def v(base: Double) = Seq.tabulate(dim)(i => (base + i * 1e-4).toFloat)
+    val rows = Seq(
+      (1L, v(0.5), 1), (2L, v(0.501), 1), (3L, v(0.502), 1),
+      (4L, v(-0.5), 2), (5L, v(-0.501), 2), (6L, v(-0.502), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabel(rows, rows.where(col("vec_id").isin(1L, 4L)),
+        "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Int, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got === Map(1L -> ((1, true)), 4L -> ((2, true))))
+    // vote tie at k=2 across clusters? force one: query 1 with k=4 sees
+    // 2 votes of label 1 (ids 2,3) and 2 of label 2? no — nearest 4 are
+    // 2,3 then two of the far cluster: 2 vs 2 → smaller label wins.
+    val tied = Similarity.knnLabel(rows, rows.where(col("vec_id") === 1L),
+        "vec_id", "embedding", "label", k = 4)
+      .as[(Long, Int, Int, Boolean)].collect().head
+    assert(tied._3 === 1)
+  }
+
   test("co-located points share a cluster; short vectors are dropped") {
     val a = Array.fill(dim)(0.9)
     val b = Array.fill(dim)(-0.9)
