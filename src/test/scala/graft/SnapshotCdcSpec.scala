@@ -83,6 +83,23 @@ class SnapshotCdcSpec extends SparkSpec {
     assert(readMap(dir).size === 64 - sameBucket.size)
   }
 
+  test("crash-replay convergence: re-applying an absorbed batch changes nothing") {
+    // a crash BETWEEN the parquet write and the marker write replays the
+    // batch into applyBatch itself (the marker no longer guards it): the
+    // LWW merge of already-applied rows must converge to the same
+    // snapshot — batch-beats-stored ties re-pick identical values, and
+    // tombstoned ids stay gone (their rows are absent, not resurrected).
+    val dir = Files.createTempDirectory("cdcsnap5").toString + "/snap"
+    val b1 = Seq(Cdc(1L, 1L, "U", "a"), Cdc(2L, 1L, "U", "b")).toDF()
+    SnapshotCdc.applyBatch(dir, b1, "id", "op", "seq", N)
+    val b2 = Seq(Cdc(1L, 2L, "U", "a2"), Cdc(2L, 2L, "D", "")).toDF()
+    SnapshotCdc.applyBatch(dir, b2, "id", "op", "seq", N)
+    val once = readMap(dir)
+    SnapshotCdc.applyBatch(dir, b2, "id", "op", "seq", N) // the replay
+    assert(readMap(dir) === once)
+    assert(once === Map(1L -> ((2L, "a2"))))
+  }
+
   test("snapshotDiff over two snapshot versions recovers the CDC classes") {
     val dir = Files.createTempDirectory("cdcsnap4").toString + "/snap"
     SnapshotCdc.applyBatch(dir, Seq(
