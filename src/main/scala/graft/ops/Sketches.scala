@@ -51,6 +51,45 @@ object Sketches {
       lit(53) - length(conv(substring(h, 3, 13), 16, 2)))
   }
 
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005) — the frequency
+    * twin of the cardinality sketches above, equally engine-portable:
+    * cell hashes derive from md5 with the row index salted into the
+    * input, so a replaying oracle lands on identical cells. Counts are
+    * exact integers; the only approximation is collision over-count,
+    * which is one-sided (estimate ≥ true count, never under).
+    *
+    * Scale shape: the sketch is a [[CmsDepth]]×[[CmsWidth]] cell table
+    * (4096 rows) regardless of input size — one hash-aggregate with
+    * map-side combine builds it, and it broadcasts for the estimation
+    * join. The heavy-hitter pattern is two-pass: sketch pass bounds
+    * memory, candidates whose ESTIMATE clears the threshold get an
+    * exact second-pass verify — the sketch's one-sided error means no
+    * true heavy hitter is ever pruned. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Cell column for hash row `row` of `value`: 20 md5 bits mod width. */
+  def cmsCell(row: Int, value: Column): Column =
+    conv(substring(md5(concat(lit(row.toString), lit(":"), value.cast("string"))), 1, 5), 16, 10)
+      .cast("bigint") % CmsWidth
+
+  /** Build the sketch: one row per touched cell, (r, c, cnt). */
+  def cmsSketch(df: DataFrame, value: Column): DataFrame =
+    df.select(posexplode(array((0 until CmsDepth).map(r => cmsCell(r, value)): _*))
+        .as(Seq("r", "c")))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+
+  /** Point-query estimates for `items` (one column `item`): min over the
+    * depth rows of the item's cell counts. The sketch side is tiny —
+    * broadcast it so estimation never shuffles the candidate set. */
+  def cmsEstimate(items: DataFrame, sketch: DataFrame): DataFrame = {
+    val cells = items.select(col("item"),
+      posexplode(array((0 until CmsDepth).map(r => cmsCell(r, col("item"))): _*))
+        .as(Seq("r", "c")))
+    cells.join(broadcast(sketch), Seq("r", "c"))
+      .groupBy("item").agg(min("cnt").as("est"))
+  }
+
   /** Approximate distinct count of `value` per `groupCols`:
     * (groupCols..., approx_users = estimate, n_empty = empty buckets).
     * Deterministic: identical input multiset → identical estimate, on

@@ -125,6 +125,48 @@ object AggQueries extends QueryPack {
     "agg_hll_md5" -> { (s, dir) =>
       graft.ops.Sketches.hllMd5(Tables.events(s, dir),
         Seq("event_type"), col("user_id"))
+    },
+
+    // Count–Min heavy hitters over the corpus vocabulary, the canonical
+    // two-pass shape: a 4×1024-cell sketch (one hash-agg, map-side
+    // combined, broadcast back) bounds pass-1 memory no matter the
+    // vocabulary size; candidates whose ESTIMATE clears 0.2% of total
+    // tokens get an exact verify. One-sided error ⇒ no true heavy
+    // hitter is pruned, and est ≥ exact on every output row.
+    "agg_cms_hh" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("item"))
+      val sketch = Sketches.cmsSketch(toks, col("item"))
+      val exact = toks.groupBy("item").agg(count(lit(1)).as("exact"))
+      val est = Sketches.cmsEstimate(exact.select("item"), sketch)
+      val tot = toks.agg(count(lit(1)).as("total"))
+      est.join(exact, "item").crossJoin(broadcast(tot))
+        .filter(col("est") * 500 >= col("total"))
+        .select(col("item"), col("est"), col("exact"))
+    },
+
+    // Incremental view maintenance: the per-customer order aggregate is
+    // maintained from a CDC delta (inserts %10==0∧%7≠0, deletes
+    // %10≠0∧%7==0 — i.e. old snapshot keyed %10, new keyed %7) and must
+    // equal a from-scratch recompute over the new snapshot, which is
+    // exactly what the oracle computes. The base view is never shuffled:
+    // untouched keys pass through a broadcast anti join.
+    "view_ivm" -> { (s, dir) =>
+      import graft.ops.Materialize
+      val orders = Tables.orders(s, dir)
+      val meas = Seq("sum_price" -> col("o_totalprice").cast("decimal(18,2)"))
+      val old = orders.where(col("o_orderkey") % 10 =!= 0)
+      val base = Materialize.aggTable(old, Seq("o_custkey"), meas)
+      val delta = orders
+        .where(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 7 =!= 0)
+        .withColumn("op", lit("I"))
+        .unionByName(orders
+          .where(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 === 0)
+          .withColumn("op", lit("D")))
+      Materialize.applyDelta(base, delta, Seq("o_custkey"), "op", meas)
+        .select(col("o_custkey"), col("n"),
+          col("sum_price").cast("double").as("sum_price"))
     }
   )
 
@@ -211,6 +253,34 @@ object AggQueries extends QueryPack {
          |       THEN ([${graft.ops.Sketches.HllLnTable.mkString(", ")}])[n_empty]
          |       ELSE ${graft.ops.Sketches.HllNumerator} / CAST(vscaled AS DOUBLE) END AS approx_users,
          |  n_empty
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+    // Literal replay of the CMS: identical md5 cell derivation (row index
+    // salted into the hash input as a string), min-over-rows estimate,
+    // same 1/500 threshold.
+    "agg_cms_hh" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+        |cells AS (
+        |  SELECT rr.r, CAST(('0x'||substr(md5(CAST(rr.r AS VARCHAR)||':'||item),1,5)) AS BIGINT) % 1024 AS c
+        |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
+        |sketch AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+        |exact AS (SELECT item, count(*) AS exact FROM toks GROUP BY item),
+        |est AS (
+        |  SELECT t.item, min(s.cnt) AS est
+        |  FROM (SELECT e.item, rr.r,
+        |          CAST(('0x'||substr(md5(CAST(rr.r AS VARCHAR)||':'||e.item),1,5)) AS BIGINT) % 1024 AS c
+        |        FROM exact e CROSS JOIN (SELECT unnest(range(4)) AS r) rr) t
+        |  JOIN sketch s ON s.r = t.r AND s.c = t.c
+        |  GROUP BY t.item),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT e.item, e.est, x.exact
+        |FROM est e JOIN exact x USING (item) CROSS JOIN tot
+        |WHERE e.est * 500 >= tot.total""".stripMargin,
+    // The maintained view must equal the direct aggregate over the NEW
+    // snapshot (old = keys %10≠0, delta moves it to %7≠0).
+    "view_ivm" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_custkey""".stripMargin
   )
 }
