@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{CorpusOps, Dedup, Multimodal, Relational, Similarity, Tables, TextAnalysis}
+import graft.ops.{Bpe, CorpusOps, Dedup, Multimodal, Relational, Similarity, Tables, TextAnalysis}
 
 /** Training-data pipeline operators (beyond the reference surface, built
   * for 100 TB corpora): dedup, similarity search, text analysis, and
@@ -694,6 +694,15 @@ object TrainingQueries extends QueryPack {
       Multimodal.pcmStats(
         Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")
           .withColumn("mime", lit("audio/pcm"))).toDF()
+    },
+
+    // Distributed BPE vocabulary training: 3 merge rounds over the word
+    // frequency table (corpus collapses to (word, cnt) first — the
+    // standard scale trick). Deterministic argmax tie-break (count desc,
+    // pair asc) and row-local greedy merge application let the oracle
+    // replay training round for round with chained string replaces.
+    "text_bpe" -> { (s, dir) =>
+      Bpe.train(Tables.documents(s, dir), "text", rounds = 3)
     }
   )
 
@@ -2087,6 +2096,32 @@ object TrainingQueries extends QueryPack {
         |  CAST(coalesce(a.mx, 0) AS INT) AS max_s,
         |  CAST(coalesce(a.sm, 0) AS BIGINT) AS sum_s,
         |  CAST(coalesce(a.sa, 0) AS BIGINT) AS sum_abs
-        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    // Round-for-round replay of BPE training: same word-frequency
+    // collapse, same pair weighting, same (cnt desc, lft, rgt) argmax
+    // tie-break, and plain string replace on the wrapped token string IS
+    // the greedy leftmost non-overlapping merge application.
+    "text_bpe" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""e$r AS (SELECT cnt, l, unnest(range(len(l)-1)) AS i
+           |  FROM (SELECT cnt, string_split(substr(s, 2, length(s)-2), '||') AS l FROM s${r - 1})),
+           |p$r AS (SELECT l[CAST(i+1 AS INT)] AS lft, l[CAST(i+2 AS INT)] AS rgt,
+           |    CAST(sum(cnt) AS BIGINT) AS cnt FROM e$r GROUP BY 1, 2),
+           |b$r AS (SELECT lft, rgt, cnt FROM p$r ORDER BY cnt DESC, lft, rgt LIMIT 1),
+           |s$r AS (SELECT replace(s, '|'||lft||'||'||rgt||'|', '|'||lft||rgt||'|') AS s,
+           |    s${r - 1}.cnt AS cnt
+           |  FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH words AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
+         |s0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS s, cnt FROM words),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT 1 AS step, lft, rgt, cnt FROM b1
+         |  UNION ALL SELECT 2, lft, rgt, cnt FROM b2
+         |  UNION ALL SELECT 3, lft, rgt, cnt FROM b3)""".stripMargin
+    }
   )
 }
