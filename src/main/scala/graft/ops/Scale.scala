@@ -76,6 +76,46 @@ object Scale {
     (files.size, after)
   }
 
+  /** Build a per-file min/max stats index over a written parquet
+    * directory — the data-skipping manifest a lakehouse keeps in its
+    * metadata layer (Delta/Iceberg file stats), materialized here as a
+    * `<path>_index` sidecar. One column-pruned scan of the table
+    * (indexed columns + `_metadata.file_path`), one file-count-sized
+    * aggregate. Pays off with [[writeZOrdered]]: a Z-ordered layout
+    * makes every file a compact rectangle in (a, b) space, so box
+    * predicates on EITHER column prune files here before any scan. */
+  def writeFileIndex(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(path)
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).write.mode("overwrite").parquet(path + "_index")
+  }
+
+  /** Read `path` through its file index: keep only files whose
+    * [min, max] envelope intersects every `(col, lo, hi)` box predicate,
+    * then re-apply the exact predicate as the residual filter (envelope
+    * pruning is sound, not exact). Returns (rows, filesRead,
+    * filesTotal). The driver-side file list is manifest-sized (one row
+    * per file), the same bounded collect every table format's planner
+    * performs; the data itself never leaves executors. */
+  def prunedRead(spark: SparkSession, path: String,
+                 preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    require(preds.nonEmpty, "prunedRead needs at least one box predicate")
+    val idx = spark.read.parquet(path + "_index")
+    val keep = preds.foldLeft(idx) { case (d, (c, lo, hi)) =>
+      d.where(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+    }
+    val files = keep.select("file").collect().map(_.getString(0))
+    val total = idx.count().toInt
+    val residual = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
+    val rows =
+      if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*).where(residual)
+    (rows, files.length, total)
+  }
+
   /** Persist `df` as a bucketed table (bucketBy requires saveAsTable). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     keyCols: Seq[String], sortCols: Seq[String] = Seq.empty): Unit = {
