@@ -221,6 +221,58 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash record: -1 for undecodable payloads. */
+  final case class PHash(id: Long, phash: Long)
+
+  /** Average-hash perceptual fingerprint (the classic aHash image-dedup
+    * signature): decode, nearest-neighbor sample to `hw`×`hh`, per-pixel
+    * integer gray = r+g+b (channel-order independent), then bit p set
+    * iff its gray strictly exceeds the mean — compared in EXACT integers
+    * as `hw·hh·gray > Σgray`, so the hash is bit-reproducible and a SQL
+    * oracle can replay it from the deterministic BMP bytes. Bits pack
+    * LSB-first in row-major pixel order (p = y·hw + x), hw·hh ≤ 63.
+    *
+    * Near-duplicate images (re-encodes, small edits) collide or differ
+    * in few bits; downstream exact/Hamming grouping is the same shape as
+    * the simhash dedup family. Row-local, zero shuffle, streamable. */
+  def avgHash(media: Dataset[Row], hw: Int, hh: Int)
+             (implicit spark: SparkSession): Dataset[PHash] = {
+    require(hw * hh <= 63, "hash must fit a BIGINT")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { rec =>
+        tryDecode(rec.media) match {
+          case Some(img) =>
+            val (sw, sh) = (img.getWidth, img.getHeight)
+            val srcRow = new Array[Int](sw)
+            val grays = new Array[Long](hw * hh)
+            var y = 0
+            while (y < hh) {
+              img.getRGB(0, y * sh / hh, sw, 1, srcRow, 0, sw)
+              var x = 0
+              while (x < hw) {
+                val p = srcRow(x * sw / hw)
+                grays(y * hw + x) =
+                  ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            val total = grays.sum
+            var bits = 0L
+            var i = 0
+            while (i < grays.length) {
+              if (hw.toLong * hh * grays(i) > total) bits |= (1L << i)
+              i += 1
+            }
+            PHash(rec.id, bits)
+          case None => PHash(rec.id, -1L)
+        }
+      }
+    }
+  }
+
   /** Integer-exact PCM stats for one audio payload (all stats are exact
     * integers, so the operator is oracle-checkable end to end). */
   final case class PcmStats(id: Long, n_samples: Long, min_s: Int, max_s: Int,

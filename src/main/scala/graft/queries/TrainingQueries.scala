@@ -696,6 +696,15 @@ object TrainingQueries extends QueryPack {
           .withColumn("mime", lit("audio/pcm"))).toDF()
     },
 
+    // image-dedup fingerprint: REAL ImageIO decode → 4x4 average-hash.
+    // The oracle replays the 16 pixel grays from the BMP byte layout
+    // (bottom-up rows; gray = channel sum, so BGR order cancels) and the
+    // exact-integer mean threshold 16·gray > Σgray.
+    "mm_phash" -> { (s, dir) =>
+      implicit val spark = s
+      Multimodal.avgHash(bmpMedia(s, dir), hw = 4, hh = 4).toDF()
+    },
+
     // Distributed BPE vocabulary training: 3 merge rounds over the word
     // frequency table (corpus collapses to (word, cnt) first — the
     // standard scale trick). Deterministic argmax tie-break (count desc,
@@ -2097,6 +2106,26 @@ object TrainingQueries extends QueryPack {
         |  CAST(coalesce(a.sm, 0) AS BIGINT) AS sum_s,
         |  CAST(coalesce(a.sa, 0) AS BIGINT) AS sum_abs
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    // Average-hash replay: pixel (x, y) of the 4x4 BMP sits at payload
+    // offset (3-y)*12 + 3x (bottom-up rows, rowSize 12); gray = sum of
+    // its 3 channel bytes ('A'=65 padding past the text); bit p set iff
+    // 16*gray > total, packed LSB-first in row-major order.
+    "mm_phash" ->
+      """WITH pg AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, text,
+        |    (3 - p // 4) * 12 + 3 * (p % 4) AS b
+        |  FROM documents, (SELECT unnest(range(16)) AS p)),
+        |g AS (
+        |  SELECT doc_id, p,
+        |    (CASE WHEN b < length(text) THEN ord(substr(text, CAST(b+1 AS INT), 1)) ELSE 65 END
+        |   + CASE WHEN b+1 < length(text) THEN ord(substr(text, CAST(b+2 AS INT), 1)) ELSE 65 END
+        |   + CASE WHEN b+2 < length(text) THEN ord(substr(text, CAST(b+3 AS INT), 1)) ELSE 65 END) AS gray
+        |  FROM pg),
+        |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id)
+        |SELECT g.doc_id AS id,
+        |  CAST(sum(CASE WHEN 16 * g.gray > t.total
+        |                THEN (1::BIGINT) << g.p ELSE 0 END) AS BIGINT) AS phash
+        |FROM g JOIN t USING (doc_id) GROUP BY g.doc_id""".stripMargin,
     // Round-for-round replay of BPE training: same word-frequency
     // collapse, same pair weighting, same (cnt desc, lft, rgt) argmax
     // tie-break, and plain string replace on the wrapped token string IS

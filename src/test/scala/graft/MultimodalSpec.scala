@@ -132,4 +132,26 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).length === 4)
     assert(feats(2L)(0) === bmp.length.toFloat)
   }
+
+  test("avgHash: golden bits, identical payloads collide, garbage is -1") {
+    // pixel p bright (all channels 255) iff p in {0, 5}; BMP rows are
+    // bottom-up so image pixel (x, y) maps to payload row 3-y.
+    val bright = Set(0, 5)
+    val payload = new Array[Byte](48)
+    for (p <- 0 until 16; c <- 0 until 3) {
+      val (x, y) = (p % 4, p / 4)
+      payload((3 - y) * 12 + 3 * x + c) = if (bright(p)) 0xff.toByte else 0x00
+    }
+    val bmp = Multimodal.bmpFromBytes(payload, 4, 4)
+    val out = Multimodal.avgHash(mediaDF(
+        (1L, bmp, "image/bmp"),
+        (2L, bmp, "image/bmp"),
+        (3L, "not an image".getBytes, "image/bmp")), hw = 4, hh = 4)
+      .collect().map(r => r.id -> r.phash).toMap
+    // two bright pixels of 16: each bright gray 765, total 1530;
+    // 16*765 > 1530 only for the bright ones -> bits 0 and 5.
+    assert(out(1L) === ((1L << 0) | (1L << 5)))
+    assert(out(2L) === out(1L))
+    assert(out(3L) === -1L)
+  }
 }
