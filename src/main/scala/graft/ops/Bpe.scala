@@ -75,4 +75,28 @@ object Bpe {
     }
     merges.result().toDF("step", "lft", "rgt", "cnt")
   }
+
+  /** Inference half: apply an ordered merge-rule list to a corpus and
+    * return per-document BPE token counts — the sequence-length /
+    * token-budget signal every packing and sharding stage consumes.
+    * The rules are plan literals (the model is rounds-sized), each
+    * application is the same row-local greedy replace as training, and
+    * the whole encode is one zero-shuffle scan projection followed by
+    * the per-doc sum. Out-of-vocabulary words (non `[a-z0-9]+`) count
+    * one token each, the single-byte-fallback convention. */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                        rules: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+    val merged = rules.foldLeft(wrap(col("word"))) { case (s, (l, g)) =>
+      regexp_replace(s, lit(java.util.regex.Pattern.quote(s"|$l||$g|")), lit(s"|$l$g|"))
+    }
+    // token count = split on the between-token "||" — the wrapped string
+    // |t1||t2||…| splits into exactly one piece per token
+    words.select(col(idCol),
+        when(col("word").rlike("^[a-z0-9]+$"), size(split(merged, "\\|\\|")))
+          .otherwise(lit(1)).as("n_tok"))
+      .groupBy(col(idCol)).agg(sum("n_tok").as("bpe_tokens"))
+  }
 }

@@ -712,6 +712,17 @@ object TrainingQueries extends QueryPack {
     // replay training round for round with chained string replaces.
     "text_bpe" -> { (s, dir) =>
       Bpe.train(Tables.documents(s, dir), "text", rounds = 3)
+    },
+
+    // the inference half: per-doc token counts under the 3 learned
+    // rules — the sequence-length signal packing/sharding consumes.
+    // train's merge table is driver-local (rounds-sized), so collecting
+    // the rules is free; the encode itself is a zero-shuffle projection
+    // + one per-doc sum.
+    "text_bpe_encode" -> { (s, dir) =>
+      val rules = Bpe.train(Tables.documents(s, dir), "text", rounds = 3)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeTokenCounts(Tables.documents(s, dir), "doc_id", "text", rules)
     }
   )
 
@@ -2130,27 +2141,49 @@ object TrainingQueries extends QueryPack {
     // collapse, same pair weighting, same (cnt desc, lft, rgt) argmax
     // tie-break, and plain string replace on the wrapped token string IS
     // the greedy leftmost non-overlapping merge application.
-    "text_bpe" -> {
-      val rounds = (1 to 3).map { r =>
-        s"""e$r AS (SELECT cnt, l, unnest(range(len(l)-1)) AS i
-           |  FROM (SELECT cnt, string_split(substr(s, 2, length(s)-2), '||') AS l FROM s${r - 1})),
-           |p$r AS (SELECT l[CAST(i+1 AS INT)] AS lft, l[CAST(i+2 AS INT)] AS rgt,
-           |    CAST(sum(cnt) AS BIGINT) AS cnt FROM e$r GROUP BY 1, 2),
-           |b$r AS (SELECT lft, rgt, cnt FROM p$r ORDER BY cnt DESC, lft, rgt LIMIT 1),
-           |s$r AS (SELECT replace(s, '|'||lft||'||'||rgt||'|', '|'||lft||rgt||'|') AS s,
-           |    s${r - 1}.cnt AS cnt
-           |  FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH words AS (
-         |  SELECT word, count(*) AS cnt
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
-         |s0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS s, cnt FROM words),
-         |$rounds
+    "text_bpe" ->
+      s"""WITH $bpeCtes
          |SELECT * FROM (
          |  SELECT 1 AS step, lft, rgt, cnt FROM b1
          |  UNION ALL SELECT 2, lft, rgt, cnt FROM b2
-         |  UNION ALL SELECT 3, lft, rgt, cnt FROM b3)""".stripMargin
-    }
+         |  UNION ALL SELECT 3, lft, rgt, cnt FROM b3)""".stripMargin,
+    // encode replay: the trained vocabulary's final token strings (s3)
+    // give per-word token counts; docs sum their words' counts, OOV
+    // (non-alnum) words count 1.
+    "text_bpe_encode" ->
+      s"""WITH $bpeCtes,
+         |enc AS (SELECT word,
+         |    len(string_split(substr(s, 2, length(s)-2), '||')) AS n_tok FROM s3),
+         |dw AS (SELECT doc_id, word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0)
+         |SELECT dw.doc_id,
+         |  CAST(sum(CASE WHEN regexp_matches(dw.word, '^[a-z0-9]+$$')
+         |                THEN e.n_tok ELSE 1 END) AS BIGINT) AS bpe_tokens
+         |FROM dw LEFT JOIN enc e ON e.word = dw.word
+         |GROUP BY dw.doc_id""".stripMargin
   )
+
+  /** Shared BPE training replay: word-frequency collapse, 3 rounds of
+    * (pair count, argmax with cnt-desc/lexicographic tie-break, greedy
+    * replace), carrying the source word through so the encode oracle can
+    * map words to their final token strings. */
+  private lazy val bpeCtes: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""e$r AS (SELECT cnt, l, unnest(range(len(l)-1)) AS i
+         |  FROM (SELECT cnt, string_split(substr(s, 2, length(s)-2), '||') AS l FROM s${r - 1})),
+         |p$r AS (SELECT l[CAST(i+1 AS INT)] AS lft, l[CAST(i+2 AS INT)] AS rgt,
+         |    CAST(sum(cnt) AS BIGINT) AS cnt FROM e$r GROUP BY 1, 2),
+         |b$r AS (SELECT lft, rgt, cnt FROM p$r ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         |s$r AS (SELECT word, replace(s, '|'||lft||'||'||rgt||'|', '|'||lft||rgt||'|') AS s,
+         |    s${r - 1}.cnt AS cnt
+         |  FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
+       |s0 AS (SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS s, cnt FROM words),
+       |$rounds""".stripMargin
+  }
 }

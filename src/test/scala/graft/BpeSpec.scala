@@ -34,6 +34,18 @@ class BpeSpec extends SparkSpec {
     assert(merges.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
   }
 
+  test("encodeTokenCounts applies rules in order; OOV words count 1") {
+    val rules = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val docs = Seq(
+      (1L, "newest low"),   // n,e,w,est = 4; lo,w = 2
+      (2L, "lower x-y"),    // lo,w,e,r = 4; OOV = 1
+      (3L, "a")             // single char = 1
+    ).toDF("doc_id", "text")
+    val out = Bpe.encodeTokenCounts(docs, "doc_id", "text", rules)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 6L, 2L -> 5L, 3L -> 1L))
+  }
+
   test("non-alphanumeric words are excluded from the vocabulary") {
     val docs = Seq("ab ab a|b x-y !!").toDF("text")
     val merges = Bpe.train(docs, "text", rounds = 1).collect()
