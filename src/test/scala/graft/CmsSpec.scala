@@ -37,4 +37,37 @@ class CmsSpec extends SparkSpec {
     val b = Sketches.cmsSketch(items.repartition(7), col("item")).collect().toSet
     assert(a == b)
   }
+
+  test("windowed sketch on a stream equals the batch sketch") {
+    // expression-only cells → the sketch builds inside a streaming
+    // windowed aggregation unchanged (the hllMd5-on-streams pattern).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val cells = in.toDF().toDF("ts", "item")
+      .withWatermark("ts", "0 seconds")
+      .select(col("ts"), posexplode(array(
+        (0 until Sketches.CmsDepth).map(r => Sketches.cmsCell(r, col("item"))): _*))
+        .as(Seq("r", "c")))
+      .groupBy(window(col("ts"), "60 seconds"), col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col("r"), col("c"), col("cnt"))
+    val q = cells.writeStream.format("memory").queryName("cms_win")
+      .outputMode("append").start()
+    try {
+      val toks = (1 to 20).flatMap(i => Seq.fill(40 / i)(s"tok$i"))
+      in.addData(toks.map(t => (ts("2024-01-01 00:00:30"), t)): _*)
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:10:00"), "closer"))
+      q.processAllAvailable()
+      val got = spark.table("cms_win")
+        .where(col("w") === ts("2024-01-01 00:00:00"))
+        .select("r", "c", "cnt").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Sketches.cmsSketch(toks.toDF("item"), col("item")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
 }
