@@ -90,6 +90,20 @@ object Sketches {
       .groupBy("item").agg(min("cnt").as("est"))
   }
 
+  /** Equi-join cardinality estimate from two CMS sketches — the classic
+    * inner-product application (Cormode & Muthukrishnan 2005 §4.2):
+    * |A ⋈ B| ≤ min over hash rows of Σ_c A_r[c]·B_r[c], one-sided like
+    * the point estimate. This is how a planner sizes a join WITHOUT
+    * touching either table again: both sketches are ≤ depth·width rows,
+    * so the estimate is a broadcast join of two tiny tables — at 100 TB
+    * the sketches are built once per table scan and reused for every
+    * join-order decision. */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("a").join(broadcast(b.as("b")),
+        col("a.r") === col("b.r") && col("a.c") === col("b.c"))
+      .groupBy(col("a.r")).agg(sum(col("a.cnt") * col("b.cnt")).as("ip"))
+      .agg(min("ip").as("est_join_size"))
+
   /** Approximate distinct count of `value` per `groupCols`:
     * (groupCols..., approx_users = estimate, n_empty = empty buckets).
     * Deterministic: identical input multiset → identical estimate, on

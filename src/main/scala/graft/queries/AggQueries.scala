@@ -167,6 +167,21 @@ object AggQueries extends QueryPack {
       Materialize.applyDelta(base, delta, Seq("o_custkey"), "op", meas)
         .select(col("o_custkey"), col("n"),
           col("sum_price").cast("double").as("sum_price"))
+    },
+
+    // join-size estimation from sketches alone (the planner's
+    // cardinality question): CMS inner product upper-bounds
+    // |orders ⋈ customer| without re-scanning either table; the exact
+    // count sits alongside so the one-sided bound is visible.
+    "agg_cms_joinsize" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val o = Sketches.cmsSketch(Tables.orders(s, dir), col("o_custkey"))
+      val c = Sketches.cmsSketch(Tables.customer(s, dir), col("c_custkey"))
+      val exact = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_join_size"))
+      Sketches.cmsJoinSize(o, c).crossJoin(exact)
     }
   )
 
@@ -281,6 +296,23 @@ object AggQueries extends QueryPack {
       """SELECT o_custkey, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 <> 0
-        |GROUP BY o_custkey""".stripMargin
+        |GROUP BY o_custkey""".stripMargin,
+    // identical cell derivation for both sketches; est = min over rows
+    // of the cell-count inner product.
+    "agg_cms_joinsize" ->
+      """WITH oc AS (
+        |  SELECT rr.r, CAST(('0x'||substr(md5(CAST(rr.r AS VARCHAR)||':'||CAST(o_custkey AS VARCHAR)),1,5)) AS BIGINT) % 1024 AS c
+        |  FROM orders CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
+        |os AS (SELECT r, c, count(*) AS cnt FROM oc GROUP BY r, c),
+        |cc AS (
+        |  SELECT rr.r, CAST(('0x'||substr(md5(CAST(rr.r AS VARCHAR)||':'||CAST(c_custkey AS VARCHAR)),1,5)) AS BIGINT) % 1024 AS c
+        |  FROM customer CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
+        |cs AS (SELECT r, c, count(*) AS cnt FROM cc GROUP BY r, c),
+        |ip AS (SELECT os.r, sum(os.cnt * cs.cnt) AS ip
+        |       FROM os JOIN cs ON os.r = cs.r AND os.c = cs.c GROUP BY os.r),
+        |ex AS (SELECT count(*) AS exact_join_size
+        |       FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT CAST(min(ip) AS BIGINT) AS est_join_size, ex.exact_join_size
+        |FROM ip CROSS JOIN ex GROUP BY ex.exact_join_size""".stripMargin
   )
 }

@@ -250,6 +250,16 @@ object TrainingQueries extends QueryPack {
         "doc_id", iters = 3)
     },
 
+    // triangle census of the same dup graph: triangles measure how
+    // CLIQUISH the near-dup neighborhoods are (template families form
+    // dense triangles; chains of pairwise matches don't) — degree-ordered
+    // orientation keeps the wedge join skew-proof.
+    "graph_triangles" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.GraphOps.triangleCount(
+        graft.ops.GraphOps.spanEdges(docs, "doc_id", "text"))
+    },
+
     // typo-level dup pairs: prefix blocking + banded-Levenshtein verify —
     // the ER shape for edits minhash's token shingles under-detect.
     "dedup_edit" -> { (s, dir) =>
@@ -979,6 +989,32 @@ object TrainingQueries extends QueryPack {
        |FROM i3""".stripMargin
   }
 
+  /** Triangle-census oracle: same span-pair graph as pagerankSql, then
+    * (degree, id)-ordered orientation and the wedge-close join — each
+    * triangle counted once at its lowest-ranked vertex. */
+  private lazy val trianglesSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+15],' ') AS shingle
+       |       FROM (SELECT doc_id, t,
+       |             unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks)),
+       |ok AS (SELECT shingle FROM sh GROUP BY shingle
+       |       HAVING count(*) BETWEEN 2 AND 100),
+       |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+       |  JOIN ok ON l.shingle = ok.shingle),
+       |dg AS (SELECT v, count(*) AS deg
+       |  FROM (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)
+       |  GROUP BY v),
+       |o AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+       |             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+       |  FROM (SELECT p.a, p.b, d1.deg AS da, d2.deg AS db
+       |        FROM pairs p JOIN dg d1 ON p.a = d1.v JOIN dg d2 ON p.b = d2.v))
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT)
+       |   FROM o e1 JOIN o e2 ON e1.v = e2.u
+       |     JOIN o e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges""".stripMargin
+
   /** Shared minhash-LSH CTE prefix (identical affine family as
     * Dedup.minhash — constants injected from the same arrays). */
   private lazy val minhashCtes: String = {
@@ -1506,6 +1542,7 @@ object TrainingQueries extends QueryPack {
          |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin,
     "graph_pagerank" -> pagerankSql,
+    "graph_triangles" -> trianglesSql,
     // NULL heads never pair: Spark groups null blocks but the null
     // Levenshtein filters out; the SQL equi-join drops them earlier.
     "dedup_edit" ->

@@ -51,4 +51,21 @@ class GraphOpsSpec extends SparkSpec {
     val capped = GraphOps.spanEdges(docs, "doc_id", "text", maxDocFreq = 2)
     assert(capped.count() === 0)
   }
+
+  test("triangleCount: K4 has 4, a star has 0, duplicates don't inflate") {
+    def sym(ps: (Long, Long)*) =
+      (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, 6 edges
+    val k4 = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val r1 = GraphOps.triangleCount(k4).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1)) === ((4L, 6L)))
+    // star centered at 1: no triangles despite the degree-4 hub
+    val star = sym((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val r2 = GraphOps.triangleCount(star).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) === ((0L, 4L)))
+    // repeated edges collapse before counting
+    val dup = sym((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L))
+    val r3 = GraphOps.triangleCount(dup).collect()(0)
+    assert((r3.getLong(0), r3.getLong(1)) === ((1L, 3L)))
+  }
 }
