@@ -726,7 +726,34 @@ object Dedup {
     * numerator and denominators consistently. The hot set is tiny →
     * broadcast anti-join, no extra shuffle on the big side. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, w: Int = 3, maxDocFreq: Int = 100): DataFrame = {
+                        threshold: Double, w: Int = 3, maxDocFreq: Int = 100): DataFrame =
+    sharedShingleCounts(docs, idCol, textCol, w, maxDocFreq)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** CONTAINMENT near-dup pairs: c(A⊆B) = |A∩B| / |A| per direction —
+    * the asymmetric complement of Jaccard. A 50-line quote fully inside
+    * a 5000-line page scores containment ≈ 1 while Jaccard ≈ 0.01, so
+    * this is the detector for subset duplication (quoted articles,
+    * boilerplate wrappers, chunk-of-other-doc pages) that symmetric
+    * similarity structurally misses. Same posting-list machinery, same
+    * hot-shingle cap, same one-shuffle shape as [[ngramJaccardPairs]];
+    * pairs survive when EITHER direction clears the threshold. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, w: Int = 3, maxDocFreq: Int = 100): DataFrame =
+    sharedShingleCounts(docs, idCol, textCol, w, maxDocFreq)
+      .withColumn("c_a", col("n_common").cast("double") / col("na").cast("double"))
+      .withColumn("c_b", col("n_common").cast("double") / col("nb").cast("double"))
+      .where(greatest(col("c_a"), col("c_b")) >= threshold)
+      .select(col("a"), col("b"), col("c_a"), col("c_b"))
+
+  /** Shared core of the exact pair scorers: (a, b, n_common, na, nb)
+    * over the capped shingle universe, a < b. */
+  private def sharedShingleCounts(docs: DataFrame, idCol: String, textCol: String,
+                                  w: Int, maxDocFreq: Int): DataFrame = {
     // Shuffle 8-byte xxhash64 keys, not raw shingle strings: the posting
     // aggregation only needs shingle IDENTITY (grouping + set membership),
     // never the text, and hashing map-side cuts shuffle bytes ~3× and makes
@@ -761,11 +788,6 @@ object Dedup {
     common
       .join(sizes.select(col("id").as("a"), col("n_sh").as("na")), "a")
       .join(sizes.select(col("id").as("b"), col("n_sh").as("nb")), "b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("na") + col("nb") - col("n_common")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Entity-resolution-style near-dup pairs: prefix BLOCKING + Levenshtein

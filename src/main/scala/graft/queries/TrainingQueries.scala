@@ -240,6 +240,15 @@ object TrainingQueries extends QueryPack {
         threshold = 0.5)
     },
 
+    // asymmetric containment pairs: |A∩B|/|A| per direction — catches
+    // subset duplication (a doc quoted wholesale inside a bigger one)
+    // that symmetric Jaccard structurally misses. Same posting-list
+    // pass and hot-shingle cap as dedup_jaccard.
+    "dedup_contain" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.8)
+    },
+
     // centrality over the shared-span dup graph: fixed-point PageRank —
     // boilerplate hubs (docs whose spans radiate everywhere) rank first
     // for curation review. 3 exact integer iterations, hash-checkable.
@@ -1619,6 +1628,19 @@ object TrainingQueries extends QueryPack {
         |SELECT a, b, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
         |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin,
+    "dedup_contain" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS c
+        |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(c AS DOUBLE)/sa.n AS c_a, CAST(c AS DOUBLE)/sb.n AS c_b
+        |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE greatest(CAST(c AS DOUBLE)/sa.n, CAST(c AS DOUBLE)/sb.n) >= 0.8""".stripMargin,
     "dedup_incremental" ->
       s"""WITH $minhashCtes
          |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
