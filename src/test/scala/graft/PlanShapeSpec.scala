@@ -268,4 +268,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.indexOf("md5", firstEx) > firstEx, s"digest above exchange:\n$p")
     assert(p.indexOf("md5", lastEx) > lastEx, s"digest above exchange:\n$p")
   }
+
+  test("CMS heavy hitters: the sketch joins back broadcast") {
+    val p = plan("agg_cms_hh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the candidate set must never cartesian against the sketch
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("IVM: untouched view rows pass through a broadcast anti join") {
+    val p = plan("view_ivm")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"base view must split on a broadcast of delta keys:\n$p")
+  }
+
+  test("BPE encode is one scan + one doc aggregate") {
+    val p = plan("text_bpe_encode")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      s"encode must shuffle only the per-doc token counts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("perceptual hash is row-local: zero exchanges") {
+    val p = plan("mm_phash")
+    assert(!p.contains("Exchange"), s"mm_phash should not shuffle:\n$p")
+  }
+
+  test("triangle census never goes cartesian") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
