@@ -225,14 +225,24 @@ object CorpusOps {
     * cannot see that rows are already co-located by that key. The input
     * is cached so both passes see identical partition ids. */
   def shardByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
-                         budget: Long, partitions: Int = 0): DataFrame = {
+                         budget: Long, partitions: Int = 0): DataFrame =
+    shardByBudget(docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens")),
+      idCol, budget, partitions)
+
+  /** Core of [[shardByTokenBudget]], over any per-doc cost table
+    * (idCol, n_tokens) — whitespace tokens, BPE tokens
+    * ([[Bpe.encodeTokenCounts]]), byte sizes: the budget semantics and
+    * the distributed prefix-sum shape are cost-agnostic. */
+  def shardByBudget(counts: DataFrame, idCol: String,
+                    budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, "positive token budget")
-    val spark = docs.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
     val p = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
-    val toks = docs
-      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    val toks = counts
+      .select(col(idCol), col(counts.columns(1)).cast("long").as("n_tokens"))
       .repartitionByRange(p, col(idCol))
       .sortWithinPartitions(idCol)
       .withColumn("pid", spark_partition_id())

@@ -32,6 +32,25 @@ object EventQueries extends QueryPack {
           round(col("n").cast("double") / sum(col("n")).over(wType), 4))
     },
 
+    // top behavioral paths: the 20 most common ordered 3-event
+    // sequences across user streams (the sequence-mining staple next up
+    // from the Markov matrix). Two leads over the same (ts, event_id)
+    // per-user order — ONE shuffle on user_id serves both — then a
+    // |types|³-bounded aggregate and a deterministic
+    // (count desc, path asc) top-20.
+    "ev_paths" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("e1"), asc("e2"), asc("e3"))
+        .limit(20)
+    },
+
     // 3-step ordered funnel view -> click -> purchase: each step's
     // timestamp must follow the previous step's FIRST occurrence.
     // Output: one row per user who entered the funnel, with the number
@@ -181,6 +200,16 @@ object EventQueries extends QueryPack {
         |  round(CAST(n AS DOUBLE) /
         |    sum(n) OVER (PARTITION BY event_type), 4) AS p
         |FROM cnt""".stripMargin,
+    "ev_paths" ->
+      """WITH t AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),

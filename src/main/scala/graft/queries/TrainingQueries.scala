@@ -445,6 +445,18 @@ object TrainingQueries extends QueryPack {
         budget = 10000L)
     },
 
+    // the tokenizer-aware compose: shard budgets measured in LEARNED BPE
+    // tokens (what the training run actually consumes), not whitespace
+    // counts — train → encode → prefix-sum shard as one verified chain.
+    "shard_bpe" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val rules = Bpe.train(docs, "text", rounds = 3)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      CorpusOps.shardByBudget(
+        Bpe.encodeTokenCounts(docs, "doc_id", "text", rules),
+        "doc_id", budget = 10000L)
+    },
+
     "sample_stratified" -> { (s, dir) =>
       CorpusOps.stratifiedSample(Tables.documents(s, dir), "doc_id", "source",
         perStratum = 10)
@@ -1831,6 +1843,23 @@ object TrainingQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 10000.0)
         |    AS BIGINT) AS shard
         |FROM t""".stripMargin,
+    "shard_bpe" ->
+      s"""WITH $bpeCtes,
+         |enc AS (SELECT word,
+         |    len(string_split(substr(s, 2, length(s)-2), '||')) AS n_tok FROM s3),
+         |dw AS (SELECT doc_id, word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0),
+         |bt AS (SELECT dw.doc_id,
+         |    CAST(sum(CASE WHEN regexp_matches(dw.word, '^[a-z0-9]+$$')
+         |                  THEN e.n_tok ELSE 1 END) AS BIGINT) AS n_tokens
+         |  FROM dw LEFT JOIN enc e ON e.word = dw.word
+         |  GROUP BY dw.doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 10000.0)
+         |    AS BIGINT) AS shard
+         |FROM bt""".stripMargin,
     "sample_stratified" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
         |SELECT doc_id, source FROM documents JOIN c USING (source)
