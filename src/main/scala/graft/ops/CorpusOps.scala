@@ -138,6 +138,28 @@ object CorpusOps {
       .select(col(stratumCol), col("n"), col("weight"))
   }
 
+  /** Apply mixing weights as a DETERMINISTIC resampler — the missing
+    * half of [[mixWeights]]: each doc of a stratum with weight w emits
+    * n_copies = ⌊w⌋ + [u(id) < frac(w)] rows' worth of presence
+    * (stochastic rounding on the unit hash), so downsampling (w < 1)
+    * and upsampling (w > 1) fall out of one rule and E[n_copies] = w
+    * exactly. Determinism makes the resample reproducible across
+    * retries/engines — the same property the split/sample ops pin.
+    * Weights join back broadcast (strata-count rows); the corpus is
+    * scanned once, never shuffled. */
+  def applyMixture(df: DataFrame, idCol: String, stratumCol: String,
+                   targets: Map[String, Double]): DataFrame = {
+    val w = mixWeights(df, stratumCol, targets)
+      .select(col(stratumCol), col("weight"))
+    df.join(broadcast(w), stratumCol)
+      .withColumn("n_copies",
+        (floor(col("weight")) +
+          when(unitHash(col(idCol)) < col("weight") - floor(col("weight")), 1)
+            .otherwise(0)).cast("long"))
+      .where(col("n_copies") > 0)
+      .select(col(idCol), col(stratumCol), col("n_copies"))
+  }
+
   case class PackedDoc(id: Long, n_tokens: Long)
   case class PackedBin(bin_key: Long, bin_idx: Int, ids: Seq[Long], total_tokens: Long)
 

@@ -170,6 +170,14 @@ object TrainingQueries extends QueryPack {
       CorpusOps.mixWeights(Tables.documents(s, dir), "source", MixTargets)
     },
 
+    // the mixture APPLIED: deterministic stochastic-rounding resampler
+    // (⌊w⌋ + unit-hash Bernoulli on frac(w)) — one rule covers both
+    // down- and up-sampling, reproducible across engines and retries.
+    "mix_apply" -> { (s, dir) =>
+      CorpusOps.applyMixture(Tables.documents(s, dir), "doc_id", "source",
+        MixTargets)
+    },
+
     // temperature-scaled mixture weights (multilingual-LM sampling, α<1
     // upweights small domains): w(src) ∝ tokens(src)^α, normalized.
     "mix_temperature" -> { (s, dir) =>
@@ -736,6 +744,17 @@ object TrainingQueries extends QueryPack {
       Multimodal.avgHash(bmpMedia(s, dir), hw = 4, hh = 4).toDF()
     },
 
+    // perceptual dup GROUPS: images sharing an aHash collapse to one
+    // cluster row (hash-agg on the 64-bit fingerprint — the image
+    // dedup-by-signature end state; representative = min id).
+    "mm_phash_groups" -> { (s, dir) =>
+      implicit val spark = s
+      Multimodal.avgHash(bmpMedia(s, dir), hw = 4, hh = 4).toDF()
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_images"), min("id").as("keep_id"))
+        .where(col("n_images") > 1)
+    },
+
     // Distributed BPE vocabulary training: 3 merge rounds over the word
     // frequency table (corpus collapses to (word, cnt) first — the
     // standard scale trick). Deterministic argmax tie-break (count desc,
@@ -1009,6 +1028,27 @@ object TrainingQueries extends QueryPack {
        |SELECT id AS doc_id, pr AS pr_scaled, pr / 1000000.0 AS pr
        |FROM i3""".stripMargin
   }
+
+  /** Average-hash replay: pixel (x, y) of the 4x4 BMP sits at payload
+    * offset (3-y)*12 + 3x (bottom-up rows, rowSize 12); gray = sum of
+    * its 3 channel bytes ('A'=65 padding past the text); bit p set iff
+    * 16*gray > total, packed LSB-first in row-major order. */
+  private lazy val phashSql: String =
+    """WITH pg AS (
+      |  SELECT doc_id, CAST(p AS INT) AS p, text,
+      |    (3 - p // 4) * 12 + 3 * (p % 4) AS b
+      |  FROM documents, (SELECT unnest(range(16)) AS p)),
+      |g AS (
+      |  SELECT doc_id, p,
+      |    (CASE WHEN b < length(text) THEN ord(substr(text, CAST(b+1 AS INT), 1)) ELSE 65 END
+      |   + CASE WHEN b+1 < length(text) THEN ord(substr(text, CAST(b+2 AS INT), 1)) ELSE 65 END
+      |   + CASE WHEN b+2 < length(text) THEN ord(substr(text, CAST(b+3 AS INT), 1)) ELSE 65 END) AS gray
+      |  FROM pg),
+      |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id)
+      |SELECT g.doc_id AS id,
+      |  CAST(sum(CASE WHEN 16 * g.gray > t.total
+      |                THEN (1::BIGINT) << g.p ELSE 0 END) AS BIGINT) AS phash
+      |FROM g JOIN t USING (doc_id) GROUP BY g.doc_id""".stripMargin
 
   /** Triangle-census oracle: same span-pair graph as pagerankSql, then
     * (degree, id)-ordered orientation and the wedge-close join — each
@@ -1486,6 +1526,23 @@ object TrainingQueries extends QueryPack {
          |SELECT c.source, CAST(c.n AS BIGINT) AS n,
          |  coalesce(t.share, 0.0) * (SELECT total FROM tot) / c.n AS weight
          |FROM c LEFT JOIN t USING (source)""".stripMargin
+    },
+    "mix_apply" -> {
+      val rows = MixTargets.toSeq.sortBy(_._1)
+        .map { case (s, v) => s"('$s', ${v}::DOUBLE)" }.mkString(", ")
+      s"""WITH t(source, share) AS (VALUES $rows),
+         |c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         |w AS (SELECT c.source,
+         |    coalesce(t.share, 0.0) * (SELECT total FROM tot) / c.n AS weight
+         |  FROM c LEFT JOIN t USING (source)),
+         |r AS (SELECT d.doc_id, d.source,
+         |    CAST(floor(w.weight) + CASE WHEN
+         |        CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT)
+         |          / 4294967296.0 < w.weight - floor(w.weight)
+         |      THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |  FROM documents d JOIN w USING (source))
+         |SELECT doc_id, source, n_copies FROM r WHERE n_copies > 0""".stripMargin
     },
     "corpus_order" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
@@ -2209,22 +2266,11 @@ object TrainingQueries extends QueryPack {
     // offset (3-y)*12 + 3x (bottom-up rows, rowSize 12); gray = sum of
     // its 3 channel bytes ('A'=65 padding past the text); bit p set iff
     // 16*gray > total, packed LSB-first in row-major order.
-    "mm_phash" ->
-      """WITH pg AS (
-        |  SELECT doc_id, CAST(p AS INT) AS p, text,
-        |    (3 - p // 4) * 12 + 3 * (p % 4) AS b
-        |  FROM documents, (SELECT unnest(range(16)) AS p)),
-        |g AS (
-        |  SELECT doc_id, p,
-        |    (CASE WHEN b < length(text) THEN ord(substr(text, CAST(b+1 AS INT), 1)) ELSE 65 END
-        |   + CASE WHEN b+1 < length(text) THEN ord(substr(text, CAST(b+2 AS INT), 1)) ELSE 65 END
-        |   + CASE WHEN b+2 < length(text) THEN ord(substr(text, CAST(b+3 AS INT), 1)) ELSE 65 END) AS gray
-        |  FROM pg),
-        |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id)
-        |SELECT g.doc_id AS id,
-        |  CAST(sum(CASE WHEN 16 * g.gray > t.total
-        |                THEN (1::BIGINT) << g.p ELSE 0 END) AS BIGINT) AS phash
-        |FROM g JOIN t USING (doc_id) GROUP BY g.doc_id""".stripMargin,
+    "mm_phash" -> phashSql,
+    "mm_phash_groups" ->
+      s"""WITH ph AS ($phashSql)
+         |SELECT phash, CAST(count(*) AS BIGINT) AS n_images, min(id) AS keep_id
+         |FROM ph GROUP BY phash HAVING count(*) > 1""".stripMargin,
     // Round-for-round replay of BPE training: same word-frequency
     // collapse, same pair weighting, same (cnt desc, lft, rgt) argmax
     // tie-break, and plain string replace on the wrapped token string IS
