@@ -51,7 +51,12 @@ object ScaleCurve {
     "emb_neardup", "dedup_bloom_incr", "shard_tokens",
     "contam_frac", "purge_closure", "curate_pipeline",
     "graph_pagerank", "emb_kmeans", "dedup_edit", "corpus_diff",
-    "sim_ann_ivf_trained")
+    "sim_ann_ivf_trained",
+    // third-wave additions: posting-core containment, wedge-join
+    // triangles, iterative BPE (vocab-sized rounds — should be FLAT-ish
+    // past the word collapse), sketch heavy hitters, BPE sharding chain
+    "dedup_contain", "graph_triangles", "text_bpe", "text_bpe_encode",
+    "agg_cms_hh", "shard_bpe")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

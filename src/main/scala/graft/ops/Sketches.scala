@@ -104,6 +104,34 @@ object Sketches {
       .groupBy(col("a.r")).agg(sum(col("a.cnt") * col("b.cnt")).as("ip"))
       .agg(min("ip").as("est_join_size"))
 
+  /** Bottom-k (KMV) signature of `value`: the k smallest distinct
+    * md5-derived 32-bit hashes — a mergeable distinct-set summary. One
+    * distinct shuffle + a TakeOrdered (never a global sort). */
+  def kmvSig(df: DataFrame, value: Column, k: Int): DataFrame =
+    df.select(conv(substring(md5(value.cast("string")), 1, 8), 16, 10)
+        .cast("bigint").as("hv"))
+      .distinct().orderBy("hv").limit(k)
+
+  /** Set-overlap estimation from two bottom-k signatures (Beyer et al.
+    * 2007, "On synopses for distinct-value estimation"): the union's
+    * bottom-k is a uniform sample of the union, so
+    * jaccard ≈ |{h ∈ U_k : h ∈ A ∧ h ∈ B}| / |U_k|, the union size
+    * comes from U_k's k-th smallest hash, and the intersection is their
+    * product. Everything after the signatures is k-row arithmetic —
+    * the sketches travel, the sets never do (how a 100 TB audience
+    * overlap is answered without a distinct-join of two corpora). */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val dom = 4294967296.0 // hash domain: 2^32
+    val u = a.union(b).distinct().orderBy("hv").limit(k)
+    val kth = u.agg(max("hv").as("kth"), count(lit(1)).as("ku"))
+    val inter = u.join(a, "hv").join(b, "hv").agg(count(lit(1)).as("n_both"))
+    inter.crossJoin(kth).select(
+      (col("n_both").cast("double") / col("ku")).as("est_jaccard"),
+      ((col("ku") - 1).cast("double") * dom / col("kth")).as("est_union"),
+      (col("n_both").cast("double") / col("ku") *
+        ((col("ku") - 1).cast("double") * dom / col("kth"))).as("est_intersection"))
+  }
+
   /** Approximate distinct count of `value` per `groupCols`:
     * (groupCols..., approx_users = estimate, n_empty = empty buckets).
     * Deterministic: identical input multiset → identical estimate, on

@@ -169,6 +169,23 @@ object AggQueries extends QueryPack {
           col("sum_price").cast("double").as("sum_price"))
     },
 
+    // audience overlap from bottom-k signatures alone: viewers ∩
+    // purchasers estimated from two 128-hash KMV sketches (the union's
+    // bottom-k is a uniform union sample) — the sketches travel, the
+    // distinct sets never join. Exact count alongside.
+    "agg_kmv_overlap" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = Tables.events(s, dir)
+      def users(t: String) =
+        ev.where(col("event_type") === t).select(col("user_id"))
+      val a = Sketches.kmvSig(users("view"), col("user_id"), 128)
+      val b = Sketches.kmvSig(users("purchase"), col("user_id"), 128)
+      val exact = users("view").distinct()
+        .join(users("purchase").distinct(), "user_id")
+        .agg(count(lit(1)).as("exact_intersection"))
+      Sketches.kmvOverlap(a, b, 128).crossJoin(exact)
+    },
+
     // join-size estimation from sketches alone (the planner's
     // cardinality question): CMS inner product upper-bounds
     // |orders ⋈ customer| without re-scanning either table; the exact
@@ -297,6 +314,27 @@ object AggQueries extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY o_custkey""".stripMargin,
+    // identical signature derivation; the union's bottom-128 drives
+    // jaccard, its k-th smallest hash the union size.
+    "agg_kmv_overlap" ->
+      """WITH av AS (SELECT DISTINCT CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) AS hv
+        |  FROM events WHERE event_type = 'view'),
+        |a AS (SELECT hv FROM av ORDER BY hv LIMIT 128),
+        |bv AS (SELECT DISTINCT CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) AS hv
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT hv FROM bv ORDER BY hv LIMIT 128),
+        |u AS (SELECT hv FROM (SELECT hv FROM a UNION SELECT hv FROM b) ORDER BY hv LIMIT 128),
+        |kk AS (SELECT max(hv) AS kth, count(*) AS ku FROM u),
+        |nb AS (SELECT count(*) AS n_both FROM u JOIN a USING (hv) JOIN b USING (hv)),
+        |ex AS (SELECT count(*) AS exact_intersection FROM
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+        |  JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p USING (user_id))
+        |SELECT CAST(n_both AS DOUBLE) / ku AS est_jaccard,
+        |  CAST(ku - 1 AS DOUBLE) * 4294967296.0 / kth AS est_union,
+        |  CAST(n_both AS DOUBLE) / ku *
+        |    (CAST(ku - 1 AS DOUBLE) * 4294967296.0 / kth) AS est_intersection,
+        |  CAST(exact_intersection AS BIGINT) AS exact_intersection
+        |FROM nb, kk, ex""".stripMargin,
     // identical cell derivation for both sketches; est = min over rows
     // of the cell-count inner product.
     "agg_cms_joinsize" ->

@@ -44,6 +44,26 @@ object JoinQueries extends QueryPack {
     // nation inside one region-year slice. nation/region broadcast; the
     // local-supplier predicate rides the join condition, not a
     // post-filter.
+    // TPC-H Q9 shape (product-line profit by nation and year): the
+    // LIKE-filtered part list and the supplier→nation chain broadcast;
+    // lineitem joins them map-side and meets orders on the orderkey —
+    // profit stays DECIMAL until the final cast.
+    "q9_profit" -> { (s, dir) =>
+      val p = Tables.part(s, dir).where(col("p_name").contains("red"))
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast("double").as("sum_profit"))
+    },
+
     "q5_region" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
@@ -247,6 +267,15 @@ object JoinQueries extends QueryPack {
         |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     "q5_region" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
