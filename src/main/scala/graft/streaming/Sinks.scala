@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max, min}
 import graft.ops.Routing
 import graft.ops.Routing.TagCondition
 
@@ -124,6 +124,27 @@ object Sinks {
     * dataset. */
   def idempotentParquetSink(basePath: String): Writer = (df, batchId) =>
     df.write.mode("overwrite").parquet(s"$basePath/batchId=$batchId")
+
+  /** [[idempotentParquetSink]] + a LIVE data-skipping index: each batch
+    * writes its own `batchId=` partition, then computes per-file min/max
+    * stats for EXACTLY that directory (batch-sized re-read, column
+    * pruned) into the `_index` sidecar's matching partition — so the
+    * manifest [[graft.ops.Scale.prunedRead]] consults stays current as
+    * the stream ingests, at per-batch cost, with no full-table stats
+    * rebuild. Both writes are batchId-overwrites: a checkpoint replay
+    * converges on data AND index. */
+  def indexedParquetSink(basePath: String, cols: Seq[String]): Writer = (df, batchId) => {
+    val dataDir = s"$basePath/batchId=$batchId"
+    df.write.mode("overwrite").parquet(dataDir)
+    val spark = df.sparkSession
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${basePath}_index/batchId=$batchId")
+  }
 
   /** Single-pass fan-out router for foreachBatch: evaluates every
     * conditional edge once per micro-batch over a persisted batch, so the

@@ -32,6 +32,40 @@ class FileIndexSpec extends SparkSpec {
     } finally rmdirAll(new java.io.File(new java.io.File(dir).getParent))
   }
 
+  test("streaming indexed sink keeps the manifest current; replay converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_isink").toString
+    val dir = base + "/t"
+    val in = MemoryStream[(Long, Long)]
+    val sink = graft.streaming.Sinks.indexedParquetSink(dir, Seq("a"))
+    val q = in.toDF().toDF("a", "v").writeStream
+      .option("checkpointLocation", base + "/ck")
+      .foreachBatch(sink).start()
+    try {
+      in.addData((1L to 50L).map(i => (i, i * 10)): _*)
+      q.processAllAvailable()
+      in.addData((100L to 150L).map(i => (i, i * 10)): _*)
+      q.processAllAvailable()
+      // the index covers both batches; a box over batch 2 only prunes
+      val (rows, read, total) = Scale.prunedRead(spark, dir, Seq(("a", 100L, 150L)))
+      assert(read < total, s"expected pruning, read $read/$total")
+      assert(rows.count() === 51L)
+      // a checkpoint replay of batch 0 rewrites its partition in place
+      // (possibly with a different file split); data and index must stay
+      // CONSISTENT: one index row per live data file, query results
+      // unchanged, no duplicate rows
+      sink((1L to 50L).map(i => (i, i * 10)).toDF("a", "v"), 0L)
+      val dataFiles = new java.io.File(dir + "/batchId=0").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val idxBatch0 = spark.read.parquet(dir + "_index")
+        .where(col("file").contains("batchId=0")).count()
+      assert(idxBatch0 === dataFiles.toLong, s"index rows $idxBatch0 vs files $dataFiles")
+      assert(Scale.prunedRead(spark, dir, Seq(("a", 100L, 150L)))._1.count() === 51L)
+      assert(Scale.prunedRead(spark, dir, Seq(("a", 1L, 50L)))._1.count() === 50L)
+    } finally { q.stop(); rmdirAll(new java.io.File(base)) }
+  }
+
   test("a box outside the domain reads zero files and zero rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fidx2").toString + "/t"
     try {

@@ -298,4 +298,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("Q9 shape: part/supplier/nation broadcast; only orders meets lineitem wide") {
+    val p = plan("q9_profit")
+    assert(countOf(p, "BroadcastHashJoin") >= 3, p)
+    assert(p.contains("PushedFilters"), p)
+  }
 }
