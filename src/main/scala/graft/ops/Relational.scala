@@ -187,4 +187,44 @@ object Relational {
           Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)))
       .select((keyCols ++ attrCols).map(col) :+ col("valid_from") :+ col("valid_to"): _*)
   }
+
+  /** Global 1-based rank over a deterministic total order WITHOUT a
+    * single-task window (`row_number() over (order by …)` moves the
+    * whole table onto one task): range-repartition + in-partition sort,
+    * then zipWithIndex — range partition ids are ordered by key
+    * regardless of boundary sampling, so the rank is deterministic.
+    * One range shuffle, partition-parallel everywhere else (the
+    * corpus_order shape, generalized to any sort order). */
+  def withGlobalRank(df: DataFrame, order: Seq[Column],
+                     rankCol: String = "rank"): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types
+        .StructField(rankCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Exact `ntile(n)` over a deterministic total order, computed from
+    * [[withGlobalRank]] plus a broadcast 1-row count — bit-identical to
+    * SQL ntile's bucket-size rule (first `total mod n` buckets take one
+    * extra row) but never a one-task WindowExec. */
+  def ntileExact(df: DataFrame, n: Int, order: Seq[Column],
+                 bucketCol: String): DataFrame = {
+    // exact floor division on non-negative ints (the pageRank fdiv)
+    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val ranked = withGlobalRank(df, order, "__rank")
+    val total = df.agg(count(lit(1)).as("__total"))
+    val k = col("__rank") - 1 // 0-based position
+    val q = fdiv(col("__total"), lit(n.toLong))
+    val r = col("__total") % n
+    ranked.crossJoin(broadcast(total))
+      .withColumn(bucketCol,
+        when(k < r * (q + 1), fdiv(k, q + 1) + 1)
+          .otherwise(r + fdiv(k - r * (q + 1), q) + 1)
+          .cast("int"))
+      .drop("__rank", "__total")
+  }
 }

@@ -160,16 +160,20 @@ object EventQueries extends QueryPack {
     // order-free; the ntile window runs over the per-USER aggregate
     // (bounded by users, not events — same rule as the mixWeights
     // single-partition window).
+    // segment via the DISTRIBUTED exact ntile (range-rank + broadcast
+    // count): a bare `ntile over (order by …)` is a one-task window —
+    // the whole user table on a single executor at 100 TB. Bucket
+    // assignment is bit-identical to SQL ntile (the oracle still says
+    // ntile), the plan just never collapses to one partition.
     "ev_rfm" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.events(s, dir).where(col("event_type") === "purchase")
+      val rfm = Tables.events(s, dir).where(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(max(col("ts")).as("last_purchase"),
           count(lit(1)).as("frequency"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("monetary"))
-        .withColumn("segment", ntile(4).over(
-          Window.orderBy(col("monetary").desc, col("user_id"))))
+      graft.ops.Relational.ntileExact(rfm, 4,
+        Seq(col("monetary").desc, col("user_id")), "segment")
     },
 
     // weekly cohort retention: users bucketed by first-seen week; count

@@ -299,6 +299,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("RFM segmentation has no single-task window") {
+    val p = plan("ev_rfm")
+    assert(!p.contains("Window"), s"ntile must be the distributed rank:\n$p")
+  }
+
   test("Q9 shape: part/supplier/nation broadcast; only orders meets lineitem wide") {
     val p = plan("q9_profit")
     assert(countOf(p, "BroadcastHashJoin") >= 3, p)
