@@ -45,6 +45,21 @@ object Relational {
       .select(leftCols.map(col) :+ col(as): _*)
   }
 
+  /** Multi-column as-of join: the right payload travels as ONE struct
+    * through the same union + running-`last` machinery (one shuffle, one
+    * sort, regardless of column count), then unpacks to `<prefix>_<col>`.
+    * This is the full point-in-time probe — "the entire latest right ROW
+    * as of each left timestamp" — not just one value. */
+  def asOfJoinMulti(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
+                    tsCol: String, valueCols: Seq[String], prefix: String): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val packed = right.withColumn("__pack", struct(valueCols.map(col): _*))
+    val joined = asOfJoin(left, packed, partitionCols, tsCol, "__pack", "__asof")
+    valueCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${prefix}_$c", col(s"__asof.$c"))
+    }.drop("__asof")
+  }
+
   /** Top-k by explicit ordering. `orderBy(...).limit(k)` plans as
     * TakeOrderedAndProject: each partition keeps k rows, only k*partitions
     * reach the driver — no global sort, safe at any scale. Callers must

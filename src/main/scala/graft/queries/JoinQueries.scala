@@ -171,6 +171,20 @@ object JoinQueries extends QueryPack {
         .select("event_id", "user_id", "last_purchase")
     },
 
+    // multi-column as-of: the WHOLE latest purchase row (value + id)
+    // rides one struct through the same single-shuffle machinery.
+    "join_asof_multi" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          col("event_id").as("purchase_id"))
+      Relational.asOfJoinMulti(clicks, purchases, Seq("user_id"), "ts",
+        Seq("value", "purchase_id"), "last")
+        .select("event_id", "user_id", "last_value", "last_purchase_id")
+    },
+
     // ranking window functions (deterministic via event_id tiebreak).
     "wf_rank" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
@@ -327,6 +341,13 @@ object JoinQueries extends QueryPack {
       """SELECT c.event_id, c.user_id, p.value AS last_purchase
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "join_asof_multi" ->
+      """SELECT c.event_id, c.user_id, p.value AS last_value,
+        |  p.purchase_id AS last_purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value, event_id AS purchase_id
+        |                FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "wf_rank" ->
       """SELECT * FROM (

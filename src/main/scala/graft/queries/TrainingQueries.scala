@@ -170,6 +170,22 @@ object TrainingQueries extends QueryPack {
       CorpusOps.mixWeights(Tables.documents(s, dir), "source", MixTargets)
     },
 
+    // per-source corpus health report: the dashboard row a curation
+    // team reads per crawl domain — volume, token mass, doc size, and
+    // exact-dup involvement (docs whose md5 appears more than once
+    // corpus-wide). Two hash-aggs + one co-shuffled join on the digest.
+    "report_source" -> { (s, dir) =>
+      val withH = Tables.documents(s, dir).withColumn("h", md5(col("text")))
+      val hc = withH.groupBy("h").agg(count(lit(1)).as("hc"))
+      withH.join(hc, "h")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          (sum(length(col("text"))).cast("double") / count(lit(1)))
+            .as("avg_chars"),
+          sum(when(col("hc") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+    },
+
     // the mixture APPLIED: deterministic stochastic-rounding resampler
     // (⌊w⌋ + unit-hash Bernoulli on frac(w)) — one rule covers both
     // down- and up-sampling, reproducible across engines and retries.
@@ -1527,6 +1543,15 @@ object TrainingQueries extends QueryPack {
          |  coalesce(t.share, 0.0) * (SELECT total FROM tot) / c.n AS weight
          |FROM c LEFT JOIN t USING (source)""".stripMargin
     },
+    "report_source" ->
+      """WITH h AS (SELECT doc_id, source, text, md5(text) AS h FROM documents),
+        |hc AS (SELECT h, count(*) AS hc FROM h GROUP BY h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
+        |  CAST(sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+        |FROM h JOIN hc USING (h)
+        |GROUP BY source""".stripMargin,
     "mix_apply" -> {
       val rows = MixTargets.toSeq.sortBy(_._1)
         .map { case (s, v) => s"('$s', ${v}::DOUBLE)" }.mkString(", ")
