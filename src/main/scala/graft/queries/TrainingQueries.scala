@@ -603,6 +603,19 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", threshold = 0.2, nBits = 6, dim = 64)
     },
 
+    // near-dup THRESHOLD SWEEP: pair counts at five cosine cutoffs from
+    // ONE pass over the LSH-verified pairs — the tuning table that picks
+    // a production threshold (tighten until the count knee) without
+    // re-running the pair stage per candidate value.
+    "emb_threshold_sweep" -> { (s, dir) =>
+      val pairs = Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.2, nBits = 6, dim = 64)
+      pairs.select(col("sim"),
+          explode(array(Seq(0.2, 0.3, 0.5, 0.7, 0.9).map(lit): _*)).as("t"))
+        .where(col("sim") >= col("t"))
+        .groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    },
+
     // int8 scalar quantization of the embedding table (map-side only).
     "emb_quantize" -> { (s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
@@ -1043,6 +1056,24 @@ object TrainingQueries extends QueryPack {
        |${iter("i2", "i3")}
        |SELECT id AS doc_id, pr AS pr_scaled, pr / 1000000.0 AS pr
        |FROM i3""".stripMargin
+  }
+
+  /** SRP-bucketed verified pair CTEs (shared by the near-dup and
+    * threshold-sweep oracles): identical plane literals as the Spark
+    * plan, cosine from DuckDB's index-ordered list kernel. */
+  private lazy val lshPairCtes: String = {
+    val planes = graft.ops.Similarity.srpPlanes(nBits = 6, dim = 64)
+    def planeLit(b: Int) = planes(b).mkString("[", ",", "]") + "::DOUBLE[]"
+    val bucket = (0 until 6).map(b =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(b)}) >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""bucketed AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |lshpairs AS (SELECT a, b, sim FROM (
+       |  SELECT l.vec_id AS a, r.vec_id AS b,
+       |    list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS sim
+       |  FROM bucketed l JOIN bucketed r
+       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |WHERE sim >= 0.2)""".stripMargin
   }
 
   /** Average-hash replay: pixel (x, y) of the 4x4 BMP sits at payload
@@ -2097,20 +2128,13 @@ object TrainingQueries extends QueryPack {
         |FROM best""".stripMargin
     },
     "sim_topk" -> simTopkSql,
-    "emb_neardup_lsh" -> {
-      val planes = graft.ops.Similarity.srpPlanes(nBits = 6, dim = 64)
-      def planeLit(b: Int) = planes(b).mkString("[", ",", "]") + "::DOUBLE[]"
-      val bucket = (0 until 6).map(b =>
-        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(b)}) >= 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH bucketed AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
-         |SELECT a, b, sim FROM (
-         |  SELECT l.vec_id AS a, r.vec_id AS b,
-         |    list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS sim
-         |  FROM bucketed l JOIN bucketed r
-         |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
-         |WHERE sim >= 0.2""".stripMargin
-    },
+    "emb_neardup_lsh" -> s"""WITH $lshPairCtes
+         |SELECT a, b, sim FROM lshpairs""".stripMargin,
+    "emb_threshold_sweep" ->
+      s"""WITH $lshPairCtes
+         |SELECT t, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM lshpairs, (SELECT unnest([0.2, 0.3, 0.5, 0.7, 0.9]::DOUBLE[]) AS t)
+         |WHERE sim >= t GROUP BY t""".stripMargin,
     "emb_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
