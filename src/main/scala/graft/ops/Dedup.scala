@@ -340,6 +340,36 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Estimator calibration for MinHash: for every LSH candidate pair,
+    * the signature-agreement ESTIMATE (matching components / numPerm —
+    * an unbiased Jaccard estimator, Broder 1997) next to the EXACT
+    * shingle-set Jaccard — the table that tells an operator how much
+    * the banding geometry under/over-shoots on their corpus before they
+    * trust a threshold. Signatures and sets are both zero-shuffle
+    * projections; candidates bound every join. */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         numPerm: Int = 12, rowsPerBand: Int = 3,
+                         shingleW: Int = 3): DataFrame = {
+    val cands = minhashLshPairs(docs, idCol, textCol, numPerm, rowsPerBand, shingleW)
+    val sig = minhashSignatureExpr(docs, idCol, textCol, numPerm, shingleW)
+    val sets = docs.select(col(idCol),
+      sort_array(array_distinct(
+        transform(shingleArray(col(textCol), shingleW), s => xxhash64(s)))).as("sh"))
+    val sigA = sig.select(col(idCol).as("a") +:
+      (0 until numPerm).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val sigB = sig.select(col(idCol).as("b") +:
+      (0 until numPerm).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val matches = (0 until numPerm)
+      .map(i => when(col(s"ha$i") === col(s"hb$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(sigA, "a").join(sigB, "b")
+      .join(sets.select(col(idCol).as("a"), col("sh").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("sh").as("sb")), "b")
+      .select(col("a"), col("b"),
+        (matches.cast("double") / numPerm).as("est"),
+        graft.functions.SortedJaccard(col("sa"), col("sb")).as("jaccard"))
+  }
+
   /** Connected components over a near-dup pair graph: every doc gets
     * cluster_id = the smallest doc id it can reach — the canonical
     * representative — so "keep one per dup cluster" is `WHERE id =

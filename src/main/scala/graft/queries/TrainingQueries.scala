@@ -264,6 +264,13 @@ object TrainingQueries extends QueryPack {
         threshold = 0.5)
     },
 
+    // estimator calibration: signature-agreement estimate vs exact
+    // Jaccard per LSH candidate — how far the banding geometry is from
+    // truth on THIS corpus, certified in-engine.
+    "dedup_minhash_calib" -> { (s, dir) =>
+      Dedup.minhashCalibration(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // asymmetric containment pairs: |A∩B|/|A| per direction — catches
     // subset duplication (a doc quoted wholesale inside a bigger one)
     // that symmetric Jaccard structurally misses. Same posting-list
@@ -1766,6 +1773,28 @@ object TrainingQueries extends QueryPack {
         |SELECT a, b, CAST(c AS DOUBLE)/sa.n AS c_a, CAST(c AS DOUBLE)/sb.n AS c_b
         |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE greatest(CAST(c AS DOUBLE)/sa.n, CAST(c AS DOUBLE)/sb.n) >= 0.8""".stripMargin,
+    // candidates from the banded buckets; est = matching seeds / 12;
+    // exact jaccard over the same distinct 3-gram universe.
+    "dedup_minhash_calib" ->
+      s"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |m AS (SELECT c.a, c.b,
+         |    sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS nmatch
+         |  FROM cand c JOIN mh ma ON ma.doc_id = c.a
+         |    JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
+         |  GROUP BY c.a, c.b),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |cm AS (SELECT c.a, c.b, count(*) AS ncommon
+         |  FROM cand c JOIN sh l ON l.doc_id = c.a
+         |    JOIN sh r ON r.doc_id = c.b AND r.shingle = l.shingle
+         |  GROUP BY c.a, c.b)
+         |SELECT m.a, m.b, CAST(nmatch AS DOUBLE) / 12 AS est,
+         |  CAST(coalesce(cm.ncommon, 0) AS DOUBLE)
+         |    / (sa.n + sb.n - coalesce(cm.ncommon, 0)) AS jaccard
+         |FROM m LEFT JOIN cm ON cm.a = m.a AND cm.b = m.b
+         |  JOIN sz sa ON sa.doc_id = m.a JOIN sz sb ON sb.doc_id = m.b""".stripMargin,
     "dedup_incremental" ->
       s"""WITH $minhashCtes
          |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
