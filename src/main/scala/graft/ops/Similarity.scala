@@ -1013,4 +1013,56 @@ object Similarity {
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.sim").as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** Exact fixed-point Gram matrix G = XᵀX (upper triangle, 0-based
+    * (i, j), i ≤ j) over round(x·2²⁰) BIGINT coordinates — the one
+    * corpus pass that feeds every downstream spectral step (PCA,
+    * whitening, ridge normal equations) with a dim²-sized table.
+    * Products are LONG-safe (≤2⁴²); sums accumulate as DECIMAL(38,0)
+    * (the dimStats overflow lesson: BIGINT wraps past ~2⁵³/2⁴² rows).
+    * Scale shape: map-side pair explode (dim²/2 per row) into a
+    * hash-agg with dim(dim+1)/2 groups — partials combine map-side, the
+    * shuffle moves group-count rows per task, never corpus rows. */
+  def gramFixedPoint(emb: DataFrame, vecCol: String, dim: Int,
+                     scale: Long = 1L << 20): DataFrame = {
+    val xs = emb.where(size(col(vecCol)) === dim)
+      .select(transform(col(vecCol),
+        x => round(x.cast("double") * scale).cast("long")).as("xs"))
+    xs.select(explode(flatten(transform(col("xs"), (xi, i) =>
+        transform(slice(col("xs"), i + lit(1), lit(dim) - i),
+          (xj, k) => struct(i.as("i"), (i + k).as("j"),
+            (xi * xj).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("p"))))))
+        .as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("g"))
+  }
+
+  /** Dominant principal direction by POWER ITERATION on the Gram table,
+    * in exact integer arithmetic so the result hash-checks: v₀ = 1⃗·2²⁰;
+    * each round y = G·v (a dim²-row join + dim-group aggregate — the
+    * corpus is NOT touched again), then v ← trunc(y·2²⁰ / max|y|)
+    * (truncation toward zero via `a - a % m`, the %-semantics both
+    * engines share for signed values — never pmod, whose floor differs
+    * on negatives). Returns (i, v_scaled): the top PC at 2²⁰ scale, the
+    * dominant nuisance direction embedding-whitening removes (Mu &
+    * Viswanath 2018, all-but-the-top). */
+  def topPcFixedPoint(gram: DataFrame, dim: Int, iters: Int = 3,
+                      scale: Long = 1L << 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val full = gram.select(col("i"), col("j"), col("g"))
+      .unionAll(gram.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
+    val spark = gram.sparkSession
+    var v = spark.range(dim).select(col("id").cast("int").as("j"),
+      lit(scale).cast(dec).as("v"))
+    for (_ <- 1 to iters) {
+      val y = full.join(v, "j")
+        .groupBy(col("i")).agg(sum(col("g") * col("v")).as("y"))
+      val m = y.agg(max(abs(col("y"))).as("m"))
+      v = y.crossJoin(broadcast(m)).select(col("i").as("j"),
+        (((col("y") * scale) - ((col("y") * scale) % col("m"))) / col("m"))
+          .cast(dec).as("v"))
+    }
+    v.select(col("j").as("i"), col("v").cast("long").as("v_scaled"))
+  }
 }

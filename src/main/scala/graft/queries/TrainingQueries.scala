@@ -636,6 +636,24 @@ object TrainingQueries extends QueryPack {
           col("variance"), col("vmin"), col("vmax"))
     },
 
+    // the spectral pipeline's corpus pass: exact fixed-point Gram
+    // matrix XᵀX (upper triangle) — one explode + one dim²/2-group
+    // hash-agg; every PCA/whitening step downstream runs on this
+    // dim²-sized table, never the corpus.
+    "emb_gram" -> { (s, dir) =>
+      Similarity.gramFixedPoint(Tables.embeddings(s, dir), "embedding", dim = 64)
+    },
+
+    // dominant principal direction by integer power iteration ON the
+    // Gram table (3 rounds of dim²-row matvec + max-abs rescale, all
+    // trunc-division exact) — the top nuisance component
+    // embedding-whitening removes; hash-checked across engines.
+    "emb_top_pc" -> { (s, dir) =>
+      Similarity.topPcFixedPoint(
+        Similarity.gramFixedPoint(Tables.embeddings(s, dir), "embedding", dim = 64),
+        dim = 64)
+    },
+
     // the quantizer TRAINING pass itself, engine-reproducible: one
     // Lloyd's round in exact fixed point (integer assignment, integer
     // floor-division centroid update, integer re-assignment).
@@ -1063,6 +1081,36 @@ object TrainingQueries extends QueryPack {
        |${iter("i2", "i3")}
        |SELECT id AS doc_id, pr AS pr_scaled, pr / 1000000.0 AS pr
        |FROM i3""".stripMargin
+  }
+
+  /** Gram-matrix CTE (0-based upper triangle, HUGEINT sums over the
+    * same round(x·2²⁰) scaling as the Spark plan); shared by the gram
+    * and power-iteration oracles. */
+  private lazy val gramCtes: String =
+    """xs0 AS (SELECT [CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) FOR x IN embedding] AS xs
+      |        FROM embeddings WHERE len(embedding) = 64),
+      |p1 AS (SELECT xs, unnest(range(64)) AS i FROM xs0),
+      |p2 AS (SELECT xs, i, unnest(range(64)) AS j FROM p1),
+      |gr AS (SELECT i, j,
+      |    sum(CAST(xs[CAST(i+1 AS INT)] AS HUGEINT) * xs[CAST(j+1 AS INT)]) AS g
+      |  FROM p2 WHERE j >= i GROUP BY i, j)""".stripMargin
+
+  /** Power-iteration oracle: symmetric Gram, v₀ = 1⃗·2²⁰, three rounds
+    * of matvec + trunc-division rescale (a − a % m, both engines'
+    * dividend-signed %). */
+  private lazy val topPcSql: String = {
+    val iters = (1 to 3).map { r =>
+      s"""y$r AS (SELECT g2.i, sum(g2.g * v.v) AS y FROM g2 JOIN v${r - 1} v ON g2.j = v.j GROUP BY g2.i),
+         |m$r AS (SELECT max(abs(y)) AS m FROM y$r),
+         |v$r AS (SELECT y$r.i AS j, ((y*1048576) - ((y*1048576) % m)) // m AS v
+         |  FROM y$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gramCtes,
+       |g2 AS (SELECT i, j, g FROM gr
+       |  UNION ALL SELECT j AS i, i AS j, g FROM gr WHERE i <> j),
+       |v0 AS (SELECT unnest(range(64)) AS j, CAST(1048576 AS HUGEINT) AS v),
+       |$iters
+       |SELECT CAST(j AS INT) AS i, CAST(v AS BIGINT) AS v_scaled FROM v3""".stripMargin
   }
 
   /** SRP-bucketed verified pair CTEs (shared by the near-dup and
@@ -2199,6 +2247,10 @@ object TrainingQueries extends QueryPack {
         |  CAST(mx AS DOUBLE)/1048576.0 AS vmax
         |FROM g""".stripMargin,
     "emb_kmeans" -> embKmeansSql,
+    "emb_gram" ->
+      s"""WITH $gramCtes
+         |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, g FROM gr""".stripMargin,
+    "emb_top_pc" -> topPcSql,
     "sim_ann_ivf_trained" -> trainedIvfSql,
     "sim_knn_label" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fixed-point Gram + power iteration: recovers the planted dominant
+  * direction, and the Gram table is exactly symmetric-complete. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Similarity
+
+  private val dim = 8
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("power iteration recovers the planted dominant direction") {
+    val u = Array(0.5, 0.3, -0.2, 0.4, 0.1, -0.3, 0.2, 0.1)
+    val w = Array(0.1, -0.1, 0.3, 0.0, -0.2, 0.1, 0.0, 0.2)
+    // dominant direction u (coefficients up to 3x), minor direction w
+    val vecs = (0 until 200).map { r =>
+      val cu = 1.0 + (r % 7) * 0.4
+      val cw = 0.2 * ((r % 3) - 1)
+      (r.toLong, u.indices.map(i => (cu * u(i) + cw * w(i)).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val gram = Similarity.gramFixedPoint(df, "embedding", dim)
+    val pc = Similarity.topPcFixedPoint(gram, dim, iters = 3)
+      .orderBy("i").collect().map(_.getLong(1).toDouble)
+    assert(math.abs(cosine(pc, u)) > 0.99, s"got ${pc.mkString(",")}")
+  }
+
+  test("gram is the exact upper triangle: diag positive, all pairs present") {
+    val df = (0 until 50).map(r =>
+      (r.toLong, Array.tabulate(dim)(i => ((r + i) % 5 - 2).toFloat))).toDF("vec_id", "embedding")
+    val g = Similarity.gramFixedPoint(df, "embedding", dim).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2).longValueExact)).toMap
+    assert(g.size === dim * (dim + 1) / 2)
+    assert(g.keys.forall { case (i, j) => i <= j })
+    (0 until dim).foreach(i => assert(g((i, i)) >= 0L))
+    // spot-check one entry against a direct computation
+    val want = (0 until 50).map { r =>
+      val x = Array.tabulate(dim)(i => math.round(((r + i) % 5 - 2).toDouble * (1L << 20)))
+      x(1) * x(3)
+    }.sum
+    assert(g((1, 3)) === want)
+  }
+}
