@@ -1065,4 +1065,37 @@ object Similarity {
     }
     v.select(col("j").as("i"), col("v").cast("long").as("v_scaled"))
   }
+
+  /** All-but-the-top applied (Mu & Viswanath 2018): remove the dominant
+    * component from every embedding and report the per-vector dot with
+    * the top PC before and after — the certificate that the nuisance
+    * direction is gone (|after| collapses to trunc-rounding residue,
+    * ≤ Σ|vᵢ| at scale, vs |before| in the 2⁴⁰s). Exact integers end to
+    * end: dots are sums of 2⁴¹-bounded products (LONG-safe), the
+    * projection coefficient uses the shared dividend-signed trunc
+    * division, correction terms accumulate as DECIMAL(38,0). The PC
+    * table broadcasts as one array row; the corpus is scanned once,
+    * zero shuffle. */
+  def abttResidualDots(emb: DataFrame, idCol: String, vecCol: String,
+                       pc: DataFrame, dim: Int,
+                       scale: Long = 1L << 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val varr = pc
+      .select(struct(col("i"), col("v_scaled")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("sv"))
+      .select(transform(col("sv"), s => s.getField("v_scaled")).as("varr"))
+    val xs = emb.where(size(col(vecCol)) === dim).select(col(idCol),
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("xs"))
+    xs.crossJoin(broadcast(varr))
+      .withColumn("vv", aggregate(col("varr"), lit(0L), (a, v) => a + v * v).cast(dec))
+      .withColumn("db",
+        aggregate(zip_with(col("xs"), col("varr"), (x, v) => x * v),
+          lit(0L), (a, p) => a + p))
+      .withColumn("corr", aggregate(col("varr"), lit(0).cast(dec), (a, v) => {
+        val t = col("db").cast(dec) * v
+        a + ((t - (t % col("vv"))) / col("vv")).cast(dec) * v
+      }))
+      .select(col(idCol), col("db").as("dot_before"),
+        (col("db").cast(dec) - col("corr")).cast("long").as("dot_after"))
+  }
 }

@@ -654,6 +654,18 @@ object TrainingQueries extends QueryPack {
         dim = 64)
     },
 
+    // the whitening APPLIED: remove the learned top PC from every
+    // vector; dot-with-PC before/after certifies the nuisance direction
+    // is gone (after collapses to trunc residue). The full spectral
+    // chain — corpus Gram → power iteration → per-vector projection —
+    // as one hash-checked plan.
+    "emb_abtt" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val gram = Similarity.gramFixedPoint(emb, "embedding", dim = 64)
+      Similarity.abttResidualDots(emb, "vec_id", "embedding",
+        Similarity.topPcFixedPoint(gram, dim = 64), dim = 64)
+    },
+
     // the quantizer TRAINING pass itself, engine-reproducible: one
     // Lloyd's round in exact fixed point (integer assignment, integer
     // floor-division centroid update, integer re-assignment).
@@ -1098,20 +1110,23 @@ object TrainingQueries extends QueryPack {
   /** Power-iteration oracle: symmetric Gram, v₀ = 1⃗·2²⁰, three rounds
     * of matvec + trunc-division rescale (a − a % m, both engines'
     * dividend-signed %). */
-  private lazy val topPcSql: String = {
+  private lazy val topPcCtes: String = {
     val iters = (1 to 3).map { r =>
       s"""y$r AS (SELECT g2.i, sum(g2.g * v.v) AS y FROM g2 JOIN v${r - 1} v ON g2.j = v.j GROUP BY g2.i),
          |m$r AS (SELECT max(abs(y)) AS m FROM y$r),
          |v$r AS (SELECT y$r.i AS j, ((y*1048576) - ((y*1048576) % m)) // m AS v
          |  FROM y$r, m$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $gramCtes,
+    s"""$gramCtes,
        |g2 AS (SELECT i, j, g FROM gr
        |  UNION ALL SELECT j AS i, i AS j, g FROM gr WHERE i <> j),
        |v0 AS (SELECT unnest(range(64)) AS j, CAST(1048576 AS HUGEINT) AS v),
-       |$iters
-       |SELECT CAST(j AS INT) AS i, CAST(v AS BIGINT) AS v_scaled FROM v3""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private lazy val topPcSql: String =
+    s"""WITH $topPcCtes
+       |SELECT CAST(j AS INT) AS i, CAST(v AS BIGINT) AS v_scaled FROM v3""".stripMargin
 
   /** SRP-bucketed verified pair CTEs (shared by the near-dup and
     * threshold-sweep oracles): identical plane literals as the Spark
@@ -2251,6 +2266,27 @@ object TrainingQueries extends QueryPack {
       s"""WITH $gramCtes
          |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, g FROM gr""".stripMargin,
     "emb_top_pc" -> topPcSql,
+    // whitening replay: v3's PC as one ordered list; per-vector dot,
+    // trunc-division projection coefficient per element, corrected dot.
+    "emb_abtt" ->
+      s"""WITH $topPcCtes,
+         |varr AS (SELECT list(v ORDER BY j) AS varr FROM v3),
+         |vvt AS (SELECT list_sum([CAST(v * v AS HUGEINT) FOR v IN varr]) AS vv FROM varr),
+         |xs2 AS (SELECT vec_id,
+         |    [CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) FOR x IN embedding] AS xs
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |d AS (SELECT vec_id, xs,
+         |    list_sum([CAST(xs[CAST(i+1 AS INT)] AS HUGEINT) * varr[CAST(i+1 AS INT)]
+         |              FOR i IN range(64)]) AS db
+         |  FROM xs2, varr),
+         |c AS (SELECT vec_id, db,
+         |    list_sum([(((db * varr[CAST(i+1 AS INT)])
+         |        - ((db * varr[CAST(i+1 AS INT)]) % vv)) // vv)
+         |        * varr[CAST(i+1 AS INT)] FOR i IN range(64)]) AS corr
+         |  FROM d, varr, vvt)
+         |SELECT vec_id, CAST(db AS BIGINT) AS dot_before,
+         |  CAST(db - corr AS BIGINT) AS dot_after
+         |FROM c""".stripMargin,
     "sim_ann_ivf_trained" -> trainedIvfSql,
     "sim_knn_label" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
