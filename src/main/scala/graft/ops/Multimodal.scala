@@ -327,6 +327,29 @@ object Multimodal {
     }
   }
 
+  /** Keyframe selection over sampled frames: the frame whose byte-sum
+    * DELTA vs the previous frame is largest (scene-change proxy — a
+    * real pipeline swaps the byte sum for a decoded-luma sum, same
+    * shape). Frame stats are row-local; the argmax is a per-id window
+    * over n rows. Deterministic: (delta desc, frame_idx) tie-break;
+    * frame 0 has no predecessor and never wins. */
+  def keyFrames(media: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byteSum = aggregate(
+      transform(split(col("f"), ""), c => ascii(c).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy("id").orderBy("frame_idx")
+    frameSample(media, n)
+      .withColumn("f", col("frame_bytes").cast("string"))
+      .withColumn("bsum", byteSum)
+      .withColumn("delta", abs(col("bsum") - lag("bsum", 1).over(w)))
+      .where(col("delta").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("delta").desc, col("frame_idx"))))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("frame_idx").as("key_frame"), col("bsum"), col("delta"))
+  }
+
   /** Frame sampling: slice the payload into `n` fixed-offset chunks
     * (expression-only stand-in for video frame extraction; `substring`
     * works on binary). Returns (id, frame_idx, frame_bytes). */

@@ -76,6 +76,25 @@ object Scale {
     (files.size, after)
   }
 
+  /** Bloom-prefiltered equi-join — the relational form of the
+    * runtime-filter trick the span dedup path uses: build a Bloom over
+    * the (selective) small side's keys, probe the BIG side map-side,
+    * inside whole-stage codegen, BEFORE any exchange or join machinery,
+    * then exact-join (false positives die there, so the result is
+    * exact). At 100 TB with a sort-merge join this is the difference
+    * between shuffling the whole fact table and shuffling the ~matching
+    * fraction + fpp. Keys of any type hash through xxhash64 on both
+    * sides — the same derivation, so no false negatives. */
+  def bloomJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                smallKey: String, expected: Long = 1L << 20,
+                fpp: Double = 0.01): DataFrame = {
+    val bloom = small.select(xxhash64(col(smallKey)).as("h"))
+      .stat.bloomFilter("h", expected, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    big.where(graft.functions.BloomProbe(xxhash64(col(bigKey)), bc))
+      .join(small, col(bigKey) === col(smallKey))
+  }
+
   /** Build a per-file min/max stats index over a written parquet
     * directory — the data-skipping manifest a lakehouse keeps in its
     * metadata layer (Delta/Iceberg file stats), materialized here as a

@@ -171,6 +171,23 @@ object JoinQueries extends QueryPack {
         .select("event_id", "user_id", "last_purchase")
     },
 
+    // bloom-prefiltered join: the selective order set publishes a Bloom
+    // of its keys, lineitem is pruned MAP-SIDE (native codegen probe,
+    // below any exchange) before the exact join — runtime-filter
+    // engineering surfaced as an operator; result exact (FPs die in the
+    // join).
+    "join_bloom" -> { (s, dir) =>
+      import graft.ops.Scale
+      val hot = Tables.orders(s, dir)
+        .where(col("o_totalprice") > 300000.0)
+        .select("o_orderkey", "o_orderpriority")
+      Scale.bloomJoin(Tables.lineitem(s, dir), hot, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+            .cast("double").as("revenue"))
+    },
+
     // multi-column as-of: the WHOLE latest purchase row (value + id)
     // rides one struct through the same single-shuffle machinery.
     "join_asof_multi" -> { (s, dir) =>
@@ -342,6 +359,12 @@ object JoinQueries extends QueryPack {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "join_bloom" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE o_totalprice > 300000.0
+        |GROUP BY o_orderpriority""".stripMargin,
     "join_asof_multi" ->
       """SELECT c.event_id, c.user_id, p.value AS last_value,
         |  p.purchase_id AS last_purchase_id

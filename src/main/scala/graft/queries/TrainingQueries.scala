@@ -766,6 +766,13 @@ object TrainingQueries extends QueryPack {
         .withColumn("frame_bytes", col("frame_bytes").cast("string"))
     },
 
+    // keyframe selection: the frame with the biggest content delta vs
+    // its predecessor (scene-change proxy over the byte stream).
+    "mm_keyframes" -> { (s, dir) =>
+      Multimodal.keyFrames(
+        Multimodal.pack(Tables.documents(s, dir), "doc_id", "text"), n = 4)
+    },
+
     "mm_resize" -> { (s, dir) =>
       implicit val spark = s
       Multimodal.resample(
@@ -2368,6 +2375,29 @@ object TrainingQueries extends QueryPack {
         |SELECT id, CAST(u.i AS INT) AS frame_idx,
         |  substr(text, CAST(u.i * chunk + 1 AS INT), greatest(chunk, 1)) AS frame_bytes
         |FROM m, (SELECT unnest(range(4)) AS i) u""".stripMargin,
+    // frame byte sums replayed from the substring chunks; lag delta and
+    // the (delta desc, frame_idx) argmax mirror the Spark window.
+    "mm_keyframes" ->
+      """WITH m AS (SELECT doc_id AS id, text,
+        |    CAST(length(text) // 4 AS INT) AS chunk FROM documents),
+        |fr AS (SELECT id, CAST(u.i AS INT) AS frame_idx,
+        |    substr(text, CAST(u.i * chunk + 1 AS INT), greatest(chunk, 1)) AS f
+        |  FROM m, (SELECT unnest(range(4)) AS i) u),
+        |pos AS (SELECT id, frame_idx, f, unnest(range(length(f))) AS p FROM fr),
+        |bs0 AS (SELECT id, frame_idx,
+        |    sum(ord(substr(f, CAST(p+1 AS INT), 1))) AS bsum
+        |  FROM pos GROUP BY 1, 2),
+        |bs AS (SELECT fr.id, fr.frame_idx, coalesce(bs0.bsum, 0) AS bsum
+        |  FROM fr LEFT JOIN bs0 USING (id, frame_idx)),
+        |d AS (SELECT id, frame_idx, bsum,
+        |    abs(bsum - lag(bsum) OVER (PARTITION BY id ORDER BY frame_idx)) AS delta
+        |  FROM bs)
+        |SELECT id, frame_idx AS key_frame, CAST(bsum AS BIGINT) AS bsum,
+        |  CAST(delta AS BIGINT) AS delta
+        |FROM (SELECT *, row_number() OVER (PARTITION BY id
+        |        ORDER BY delta DESC, frame_idx) AS rn
+        |      FROM d WHERE delta IS NOT NULL)
+        |WHERE rn = 1""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id AS id,
         |  array_to_string([substr(text, CAST(i * length(text) // 16 AS INT) + 1, 1)
