@@ -32,6 +32,30 @@ object EventQueries extends QueryPack {
           round(col("n").cast("double") / sum(col("n")).over(wType), 4))
     },
 
+    // two-proportion experiment readout: per-variant exposure/conversion
+    // and the pooled z² statistic (the A/B decision number), computed
+    // from exact integer counts through one deterministic double
+    // expression — hash-verifiable like the drift chi-square. One
+    // shuffle on user_id, then a 2-row aggregate.
+    "ev_ab_test" -> { (s, dir) =>
+      val users = Tables.events(s, dir).groupBy("user_id")
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+          .otherwise(0L).as("conv"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      val r = users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
+      val (n0, c0, n1, c1) = (col("n0").cast("double"), col("c0").cast("double"),
+        col("n1").cast("double"), col("c1").cast("double"))
+      val p = (c0 + c1) / (n0 + n1)
+      r.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        (c0 / n0).as("rate0"), (c1 / n1).as("rate1"),
+        ((c0 / n0 - c1 / n1) * (c0 / n0 - c1 / n1) /
+          (p * (lit(1.0) - p) * (lit(1.0) / n0 + lit(1.0) / n1))).as("z2"))
+    },
+
     // top behavioral paths: the 20 most common ordered 3-event
     // sequences across user streams (the sequence-mining staple next up
     // from the Markov matrix). Two leads over the same (ts, event_id)
@@ -204,6 +228,27 @@ object EventQueries extends QueryPack {
         |  round(CAST(n AS DOUBLE) /
         |    sum(n) OVER (PARTITION BY event_type), 4) AS p
         |FROM cnt""".stripMargin,
+    "ev_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS conv,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM u)
+        |SELECT n0, c0, n1, c1,
+        |  CAST(c0 AS DOUBLE) / n0 AS rate0,
+        |  CAST(c1 AS DOUBLE) / n1 AS rate1,
+        |  (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+        |    * (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+        |    / ((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |       * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |       * (1.0 / n0 + 1.0 / n1)) AS z2
+        |FROM a""".stripMargin,
     "ev_paths" ->
       """WITH t AS (SELECT event_type AS e1,
         |    lead(event_type, 1) OVER w AS e2,

@@ -304,6 +304,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"ntile must be the distributed rank:\n$p")
   }
 
+  test("bloom join probes lineitem map-side, inside codegen") {
+    val p = plan("join_bloom")
+    assert(p.contains("bloom_might_contain"), p)
+    // the probe must sit on the scan side, before any join machinery:
+    // the first bloom_might_contain occurrence is DEEPER in the printed
+    // tree than the join operator itself
+    assert(p.indexOf("bloom_might_contain") > p.indexOf("Join"), p)
+  }
+
   test("Q9 shape: part/supplier/nation broadcast; only orders meets lineitem wide") {
     val p = plan("q9_profit")
     assert(countOf(p, "BroadcastHashJoin") >= 3, p)
