@@ -148,6 +148,12 @@ object ScaleCurve {
     val fn =
       if (scaleKnobs) scaledOverrides(mult).getOrElse(name, SparkEntry.queries(name))
       else SparkEntry.queries(name)
+    // Full GC before the big-tier runs: leftover broadcasts/shuffle state
+    // from smaller tiers otherwise crowd the unified region and can fail
+    // a legitimate broadcast build ("not enough memory to broadcast" on
+    // dedup_contain at 25× — isolated, the same query runs clean). The
+    // codegen-cache eviction cost this forces is noise at 25× run times.
+    if (mult >= 5) System.gc()
     val ts = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       // clearCache in finally: a failed rep must not leak its persisted

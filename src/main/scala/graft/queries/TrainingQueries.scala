@@ -170,6 +170,15 @@ object TrainingQueries extends QueryPack {
       CorpusOps.mixWeights(Tables.documents(s, dir), "source", MixTargets)
     },
 
+    // curriculum staging: shortest-to-longest quartiles (easy→hard
+    // ordering for curriculum training), assigned by the DISTRIBUTED
+    // exact ntile — bit-identical to SQL ntile, no one-task window.
+    "corpus_curriculum" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Relational.ntileExact(d, 4, Seq(col("n_tokens"), col("doc_id")), "stage")
+    },
+
     // per-source corpus health report: the dashboard row a curation
     // team reads per crawl domain — volume, token mass, doc size, and
     // exact-dup involvement (docs whose md5 appears more than once
@@ -1651,6 +1660,12 @@ object TrainingQueries extends QueryPack {
          |  coalesce(t.share, 0.0) * (SELECT total FROM tot) / c.n AS weight
          |FROM c LEFT JOIN t USING (source)""".stripMargin
     },
+    "corpus_curriculum" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS INT) AS stage
+        |FROM (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)""".stripMargin,
     "report_source" ->
       """WITH h AS (SELECT doc_id, source, text, md5(text) AS h FROM documents),
         |hc AS (SELECT h, count(*) AS hc FROM h GROUP BY h)
