@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series primitives over event streams: uniform resampling with gap
+  * fill, linear interpolation of missing points, and recursive
+  * exponential smoothing — the monitoring/forecasting layer a pipeline
+  * daemon feeds (the reference surfaces per-vertex rate series from its
+  * daemon, `pkg/daemon/server/service/rater`; these are the analytics the
+  * consumer of such series runs).
+  *
+  * Scale discipline shared by all three: the raw event table is touched
+  * exactly ONCE, by a (key, bucket) hash aggregation with map-side
+  * partials. Everything after — grid generation, gap fill, window passes,
+  * the EWMA fold — runs on the AGGREGATED series, whose size is
+  * |keys| × |buckets in range|: independent of raw row count, so 100 TB
+  * of events collapses to the same few-thousand-row series before any
+  * quadratic-ish or per-key-ordered logic runs. Per-key series are
+  * bounded by the time range (720 hourly buckets/month), never by data
+  * volume, which is what makes the per-key ordered fold safe.
+  */
+object TimeSeries {
+
+  /** 4-decimal round as multiply → integer round → divide, so every
+    * engine rounds the SAME binary double: `round(x, 4)` diverges on
+    * half ties (Spark re-reads the double's shortest decimal string,
+    * DuckDB multiplies by 10⁴ first — one tie in ~4k interpolated rows
+    * landed on opposite sides). Both sides of the oracle use this form. */
+  def portableRound4(c: Column): Column = round(c * 10000, 0) / 10000
+
+  /** Per-key uniform bucket grid with gap fill: every key covers every
+    * bucket between its first and last active bucket; silent hours get
+    * n = 0 / sum = 0.00. The grid is built per key from the aggregated
+    * span (sequence + explode — distributed, no driver loop) and
+    * left-joined back to the actuals. Sums travel as DECIMAL so the
+    * fill zero and the aggregate are both exact.
+    */
+  def resample(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, bucket: String = "hour"): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_value"))
+    val step = bucket match {
+      case "hour" => expr("INTERVAL 1 HOUR")
+      case "day"  => expr("INTERVAL 1 DAY")
+      case other  => throw new IllegalArgumentException(s"bucket: $other")
+    }
+    // Gap rows come from lead() on the aggregated series — each present
+    // bucket emits itself plus the empty buckets up to its successor —
+    // NOT from a per-key-span grid joined back to the actuals: that
+    // formulation reads the raw table twice (the join pushes key-notnull
+    // filters into one copy of the agg subtree, defeating exchange
+    // reuse). This way the raw scan happens exactly once.
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    hourly
+      .withColumn("next_b", lead(col("bucket"), 1).over(w))
+      .select(col(keyCol), col("n"), col("sum_value"), col("bucket").as("b"),
+        explode(sequence(col("bucket"),
+          coalesce(col("next_b") - step, col("bucket")), step)).as("bucket"))
+      .select(col(keyCol), col("bucket"),
+        when(col("bucket") === col("b"), col("n")).otherwise(lit(0L)).as("n"),
+        when(col("bucket") === col("b"), col("sum_value"))
+          .otherwise(lit(0).cast("decimal(18,2)")).as("sum_value"))
+  }
+
+  /** Linear interpolation of missing points on a uniform per-key grid.
+    * Present buckets carry their bucket mean (exact DECIMAL sum cast to
+    * double, then one IEEE division); absent buckets get
+    * prev + (next − prev) · elapsed/gap from the nearest present
+    * neighbors (leading/trailing gaps stay null — nothing to anchor to).
+    * Two window passes over the aggregated series, co-located by one
+    * shuffle on the key; the fractions derive from integer epoch
+    * seconds, so the arithmetic is engine-portable to the bit before
+    * the final 4-decimal round.
+    */
+  def interpolate(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    // mean = double(sum)/n, NOT a decimal division: engines disagree on
+    // the scale a decimal quotient keeps, but the decimal→double cast and
+    // the IEEE double division are bit-identical everywhere.
+    val grid = resample(events, keyCol, tsCol, valueCol)
+      .withColumn("v", when(col("n") > 0,
+        col("sum_value").cast("double") / col("n")))
+    val order = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val present = when(col("v").isNotNull,
+      struct(col("bucket").as("b"), col("v").as("pv")))
+    val ep = (c: Column) => unix_timestamp(c.cast("timestamp"))
+    val frac = (ep(col("bucket")) - ep(col("prev.b"))).cast("double") /
+      (ep(col("next.b")) - ep(col("prev.b"))).cast("double")
+    grid
+      .withColumn("prev", last(present, ignoreNulls = true).over(back))
+      .withColumn("next", first(present, ignoreNulls = true).over(fwd))
+      .select(col(keyCol), col("bucket"), col("n"),
+        portableRound4(
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("prev.pv") +
+              (col("next.pv") - col("prev.pv")) * frac)).as("value"))
+  }
+
+  /** Recursive exponential smoothing over the gap-filled per-key count
+    * series: ewma₀ = x₀, ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁. The recursion is
+    * inherently sequential, so it runs as an ordered left fold over each
+    * key's AGGREGATED series (sort_array(collect_list) → aggregate HOF
+    * appending one state per step → posexplode) — the same
+    * fold-in-plan discipline as the classifier and pack_bins, and the
+    * exact shape a recursive-CTE oracle replays step for step. State per
+    * key is the series itself (time-range-bounded, see object doc).
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+           alpha: Double, valueCol: String = "value"): DataFrame = {
+    // bucket pinned to TIMESTAMP_NTZ so the fold's declared state type
+    // matches whether the caller's ts column is tz'd or not.
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol), col("bucket").cast("timestamp_ntz").as("bucket"),
+        col("n"))
+    val folded = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("n")))).as("xs"))
+      .withColumn("states",
+        aggregate(col("xs"),
+          expr("CAST(array() AS ARRAY<STRUCT<bucket TIMESTAMP_NTZ, n BIGINT, ewma DOUBLE>>)"),
+          (acc, x) => {
+            val prev = element_at(acc, -1)("ewma")
+            val e = when(size(acc) === 0, x("n").cast("double"))
+              .otherwise(lit(alpha) * x("n").cast("double") +
+                lit(1.0 - alpha) * prev)
+            concat(acc, array(struct(x("bucket").as("bucket"),
+              x("n").as("n"), e.as("ewma"))))
+          }))
+    folded.select(col(keyCol), explode(col("states")).as("s"))
+      .select(col(keyCol), col("s.bucket").as("bucket"), col("s.n").as("n"),
+        portableRound4(col("s.ewma")).as("ewma"))
+  }
+}

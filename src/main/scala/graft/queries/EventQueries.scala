@@ -200,6 +200,34 @@ object EventQueries extends QueryPack {
         Seq(col("monetary").desc, col("user_id")), "segment")
     },
 
+    // uniform hourly resample with gap fill: every event_type covers
+    // every hour between its first and last active hour; silent hours
+    // get n=0 / sum=0.00. Raw events are touched once (one hash-agg
+    // shuffle); the grid explodes from the per-key span — its size is
+    // |keys|×|hours in range|, independent of event volume.
+    "ts_resample" -> { (s, dir) =>
+      graft.ops.TimeSeries.resample(Tables.events(s, dir),
+        "event_type", "ts", "value")
+    },
+
+    // linear interpolation of missing hourly means on a deterministic
+    // 1-in-7 sparsified stream (the sparsifier guarantees real gaps to
+    // anchor the test): absent buckets get prev + (next−prev)·frac from
+    // the nearest present neighbors; leading/trailing gaps stay null.
+    "ts_interpolate" -> { (s, dir) =>
+      graft.ops.TimeSeries.interpolate(
+        Tables.events(s, dir).where(pmod(col("event_id"), lit(7)) === 0),
+        "event_type", "ts", "value")
+    },
+
+    // recursive exponential smoothing (α=0.3) over gap-filled hourly
+    // counts — ewmaₜ = 0.3·xₜ + 0.7·ewmaₜ₋₁, an ordered in-plan fold per
+    // key that a recursive-CTE oracle replays step for step.
+    "ts_ewma" -> { (s, dir) =>
+      graft.ops.TimeSeries.ewma(Tables.events(s, dir),
+        "event_type", "ts", 0.3)
+    },
+
     // weekly cohort retention: users bucketed by first-seen week; count
     // distinct active users per (cohort week, week offset).
     "ev_cohort" -> { (s, dir) =>
@@ -344,6 +372,76 @@ object EventQueries extends QueryPack {
         |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT)
         |    AS segment
         |FROM p""".stripMargin,
+    "ts_resample" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM h GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM s)
+        |SELECT g.event_type, g.bucket,
+        |  coalesce(h.n, 0) AS n,
+        |  coalesce(h.sum_value, CAST(0 AS DECIMAL(18,2))) AS sum_value
+        |FROM g LEFT JOIN h
+        |  ON g.event_type = h.event_type AND g.bucket = h.bucket""".stripMargin,
+    "ts_interpolate" ->
+      """WITH e AS (SELECT * FROM events WHERE event_id % 7 = 0),
+        |h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM h GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM s),
+        |f AS (SELECT g.event_type, g.bucket, coalesce(h.n, 0) AS n,
+        |    CASE WHEN h.n > 0 THEN CAST(h.sum_value AS DOUBLE) / h.n END AS v
+        |  FROM g LEFT JOIN h
+        |    ON g.event_type = h.event_type AND g.bucket = h.bucket),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN v IS NOT NULL
+        |        THEN {'b': bucket, 'pv': v} END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY bucket
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        |    first_value(CASE WHEN v IS NOT NULL
+        |        THEN {'b': bucket, 'pv': v} END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY bucket
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+        |  FROM f)
+        |SELECT event_type, bucket, n,
+        |  round((CASE WHEN v IS NOT NULL THEN v
+        |    ELSE prev.pv + (next.pv - prev.pv) *
+        |      (CAST(epoch(bucket) - epoch(prev.b) AS DOUBLE) /
+        |       CAST(epoch(next.b) - epoch(prev.b) AS DOUBLE)) END) * 10000)
+        |    / 10000 AS value
+        |FROM w""".stripMargin,
+    "ts_ewma" ->
+      """WITH RECURSIVE h0 AS (SELECT event_type,
+        |    date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM h0 GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM s),
+        |h AS (SELECT g.event_type, g.bucket, coalesce(h0.n, 0) AS n,
+        |    row_number() OVER (PARTITION BY g.event_type
+        |                       ORDER BY g.bucket) AS rn
+        |  FROM g LEFT JOIN h0
+        |    ON g.event_type = h0.event_type AND g.bucket = h0.bucket),
+        |r AS (
+        |  SELECT event_type, bucket, n, rn, CAST(n AS DOUBLE) AS ewma
+        |  FROM h WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.bucket, h.n, h.rn,
+        |    0.3 * CAST(h.n AS DOUBLE) + 0.7 * r.ewma
+        |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+        |SELECT event_type, bucket, n, round(ewma * 10000) / 10000 AS ewma
+        |FROM r""".stripMargin,
     "ev_cohort" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
         |           FROM events GROUP BY user_id),

@@ -318,4 +318,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "BroadcastHashJoin") >= 3, p)
     assert(p.contains("PushedFilters"), p)
   }
+
+  test("time-series ops scan raw events exactly once") {
+    // gap fill derives from lead() on the AGGREGATED series; the grid
+    // formulation (span grid left-joined to actuals) reads the raw
+    // table twice because the join's notnull filters defeat exchange
+    // reuse. Everything past the one hash-agg runs on |keys|×|buckets|.
+    for (q <- Seq("ts_resample", "ts_interpolate", "ts_ewma")) {
+      val p = plan(q)
+      assert(countOf(p, "Scan parquet") == 1, s"$q must scan once:\n$p")
+      assert(countOf(p, "Exchange") <= 2, s"$q agg + key window only:\n$p")
+      assert(!p.contains("Join"), s"$q needs no join:\n$p")
+    }
+  }
 }
