@@ -15,7 +15,24 @@ object TrainingQueries extends QueryPack {
     * corpus vocabulary; order matters — summation is index-ordered). */
   private val Bm25Terms = Seq("spark", "window", "query")
 
+  /** Multi-query retrieval set for the search-top-k pass (corpus
+    * vocabulary terms; each query is a small term bag). */
+  private val SearchSet = Seq(
+    "q_scan" -> Seq("scan", "fast"),
+    "q_join" -> Seq("merge", "hash", "table"),
+    "q_sort" -> Seq("sort", "window", "query"))
+
   val queries: Map[String, Q] = Map(
+
+    // multi-query BM25 top-10 search — the retrieval surface over the
+    // corpus (contamination lookup, "docs about X" curation probes).
+    // Query terms prune the token explode MAP-SIDE, so only matching
+    // (doc, term) pairs ever shuffle; the per-(query, doc) float sum
+    // folds in sorted term order (engine-portable).
+    "text_search_topk" -> { (s, dir) =>
+      graft.ops.Retrieval.searchTopK(Tables.documents(s, dir),
+        "doc_id", "text", SearchSet, k = 10)
+    },
 
     // ---- text analysis -------------------------------------------------
     "text_langid" -> { (s, dir) =>
@@ -1227,6 +1244,42 @@ object TrainingQueries extends QueryPack {
   }
 
   val oracles: Map[String, String] = Map(
+    // BM25 replayed in SQL: same left-assoc double expression tree, same
+    // sorted-term fold (list_reduce's first element ≡ Spark's 0.0 + x₀),
+    // same multiply-round-divide, rank on the ROUNDED score in both.
+    "text_search_topk" -> {
+      val terms = SearchSet.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      val vals = SearchSet.flatMap { case (q, ts) =>
+        ts.distinct.map(t => s"('$q','$t')")
+      }.mkString(", ")
+      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+        |q(qid, term) AS (VALUES $vals),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE term IN ($terms) GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        GROUP BY term),
+        |c AS (SELECT q.qid, tf.doc_id, tf.term,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |      AS contrib
+        |  FROM tf JOIN q USING (term) JOIN dfx USING (term), stats),
+        |s AS (SELECT qid, doc_id,
+        |    round(list_reduce(list(contrib ORDER BY term), (a, x) -> a + x)
+        |      * 10000) / 10000 AS score
+        |  FROM c GROUP BY qid, doc_id)
+        |SELECT qid, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, doc_id) AS INT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin
+    },
     "text_langid" -> {
       val entries = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
         s"{'hits': CAST(${hitsSql(words)} AS BIGINT), 'lang': '$lang'}"

@@ -319,6 +319,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p)
   }
 
+  test("BM25 search: corpus never sort-merges; term filter runs below the shuffle") {
+    val p = plan("text_search_topk")
+    assert(!p.contains("SortMergeJoin"), p)   // query/df/stats all broadcast
+    // corpus parquet scans: stats pass only — tf is the checkpointed
+    // relation (built once), df derives from it instead of re-exploding
+    assert(countOf(p, "Scan parquet") <= 1, p)
+    assert(p.contains("ExistingRDD"), s"tf must be the checkpointed relation:\n$p")
+    // the isin prune runs pre-exchange (map side) inside the tf relation
+    val tfp = graft.ops.Retrieval.tfRelation(
+      graft.ops.Tables.documents(spark, dir), "doc_id", "text",
+      Seq("scan", "fast")).queryExecution.executedPlan.toString
+    assert(tfp.lastIndexOf("Exchange") < tfp.lastIndexOf(" IN (scan,"), tfp)
+  }
+
   test("time-series ops scan raw events exactly once") {
     // gap fill derives from lead() on the AGGREGATED series; the grid
     // formulation (span grid left-joined to actuals) reads the raw

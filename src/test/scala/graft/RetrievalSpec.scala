@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Retrieval, Tables}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val qs = Seq("q1" -> Seq("cat", "dog"), "q2" -> Seq("fish"))
+
+  test("searchTopK ranks by BM25: rarer terms and denser docs score higher") {
+    val docs = Seq(
+      (1L, "cat dog cat dog"),        // both terms, short -> top for q1
+      (2L, "cat filler filler filler filler filler filler filler"),
+      (3L, "dog cat filler filler"),
+      (4L, "fish"),                   // only fish doc -> top (and only) for q2
+      (5L, "filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.searchTopK(docs, "doc_id", "text", qs, k = 3)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getAs[String]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("doc_id")))
+    val q1 = out.filter(_._1 == "q1").map(t => (t._2, t._3)).toSeq
+    assert(q1.head == (1, 1L), s"doc 1 must rank first for q1: ${q1.toList}")
+    assert(q1.map(_._2).toSet == Set(1L, 2L, 3L))
+    val q2 = out.filter(_._1 == "q2").map(_._3).toSeq
+    assert(q2 == Seq(4L), s"only doc 4 matches q2: ${q2.toList}")
+    // doc 5 (no query term) appears nowhere
+    assert(!out.exists(_._3 == 5L))
+  }
+
+  test("persisted index serves identical results to the index-free path") {
+    val docs = Tables.documents(spark, sf())
+    val direct = Retrieval.searchTopK(docs, "doc_id", "text",
+      Seq("qa" -> Seq("scan", "fast"), "qb" -> Seq("merge", "table")), k = 5)
+    dropLocalTable("ret_idx")
+    dropLocalTable("ret_idx_stats")
+    Retrieval.writeIndex(docs, "doc_id", "text", "ret_idx", buckets = 4)
+    val viaIndex = Retrieval.searchFromIndex(spark, "ret_idx",
+      Seq("qa" -> Seq("scan", "fast"), "qb" -> Seq("merge", "table")), k = 5)
+    val a = direct.orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val b = viaIndex.orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(a == b, s"index path diverged:\n direct=$a\n index =$b")
+
+    // search-time plan never rescans the corpus: only the postings table
+    // (term-pruned) and the one-row stats sidecar are read
+    val p = viaIndex.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("ret_idx"), p)
+    dropLocalTable("ret_idx")
+    dropLocalTable("ret_idx_stats")
+  }
+}
