@@ -200,4 +200,35 @@ object Scale {
   def dimJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
               joinType: String = "inner"): DataFrame =
     fact.join(broadcast(dim), keys, joinType)
+
+  /** Skew diagnostics: the `topN` hottest keys with their absolute count,
+    * corpus share, and cumulative share — the report that decides whether
+    * a join needs [[saltedJoin]] before it runs at 100 TB. One map-side-
+    * partial hash aggregation over the raw table; the top-N is
+    * TakeOrderedAndProject (never a global sort) and the ranking window
+    * runs over topN rows ONLY (bounded, not a one-task window over the
+    * key universe). Shares are exact-integer ratios through one double
+    * division, rounded engine-portably (multiply → round → divide). */
+  def skewReport(df: DataFrame, keyCols: Seq[String], topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    // total comes from a bare count(*) of the raw table (≡ sum of the
+    // per-key counts), NOT an aggregate over `counts`: that second
+    // branch would re-derive — and re-scan — the whole per-key
+    // aggregation; a count-star scan is metadata-cheap.
+    val total = df.agg(count(lit(1)).as("total"))
+    val order = col("n").desc +: keys.map(_.asc)
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def r6(c: Column): Column = round(c * 1000000, 0) / 1000000
+    counts.orderBy(order: _*).limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .select((keys :+ col("rank") :+ col("n")) ++ Seq(
+        r6(col("n").cast("double") / col("total").cast("double"))
+          .as("share"),
+        r6(sum(col("n")).over(w).cast("double") / col("total").cast("double"))
+          .as("cum_share")): _*)
+  }
 }

@@ -14,6 +14,15 @@ object AggQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
 
+    // per-key skew diagnostics: the 20 hottest supplier keys with count,
+    // share, cumulative share — the report that decides whether a join
+    // needs salting before it runs at 100 TB. One map-side-partial agg +
+    // TakeOrdered topN; the ranking window is bounded by topN.
+    "diag_skew" -> { (s, dir) =>
+      graft.ops.Scale.skewReport(Tables.lineitem(s, dir),
+        Seq("l_suppkey"), topN = 20)
+    },
+
     // count/min/max/sum/count-distinct in one pass.
     "agg_stats" -> { (s, dir) =>
       Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
@@ -203,6 +212,19 @@ object AggQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "diag_skew" ->
+      """WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem),
+        |top AS (SELECT * FROM c ORDER BY n DESC, l_suppkey LIMIT 20)
+        |SELECT l_suppkey,
+        |  CAST(row_number() OVER w AS INT) AS rank, n,
+        |  round(CAST(n AS DOUBLE) / total * 1000000) / 1000000 AS share,
+        |  round(CAST(sum(n) OVER w AS DOUBLE) / total * 1000000) / 1000000
+        |    AS cum_share
+        |FROM top, t
+        |WINDOW w AS (ORDER BY n DESC, l_suppkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, count(*) AS n,
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,

@@ -48,6 +48,29 @@ object JoinQueries extends QueryPack {
     // LIKE-filtered part list and the supplier→nation chain broadcast;
     // lineitem joins them map-side and meets orders on the orderkey —
     // profit stays DECIMAL until the final cast.
+    // TPC-H Q18 shape (large-volume customers): the HAVING subquery is
+    // ONE aggregate over lineitem whose small survivor set then joins
+    // orders and customer — sum_qty rides that same aggregate, so
+    // lineitem is scanned once and never rejoined; AQE broadcasts the
+    // survivors. Quantities are integral doubles, so the sum is exact
+    // and order-free. Top-100 is TakeOrderedAndProject, never a global
+    // sort; (totalprice, orderdate, orderkey) is a total order.
+    "q18_large_orders" -> { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 250)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(100)
+    },
+
     "q9_profit" -> { (s, dir) =>
       val p = Tables.part(s, dir).where(col("p_name").contains("red"))
       val l = Tables.lineitem(s, dir)
@@ -298,6 +321,16 @@ object JoinQueries extends QueryPack {
         |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, b.sum_qty
+        |FROM orders o
+        |  JOIN big b ON o.o_orderkey = b.l_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin,
     "q9_profit" ->
       """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit

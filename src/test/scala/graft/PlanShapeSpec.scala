@@ -319,6 +319,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p)
   }
 
+  test("Q18 shape: survivor set joins broadcast; top-100 never global-sorts") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // lineitem feeds ONE aggregate; it is never rejoined for sum_qty
+    assert(countOf(p, "lineitem.parquet") == 1, p)
+  }
+
+  test("skew report: topN via TakeOrdered; ranking window bounded, no key-universe sort") {
+    val p = plan("diag_skew")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("BM25 search: corpus never sort-merges; term filter runs below the shuffle") {
     val p = plan("text_search_topk")
     assert(!p.contains("SortMergeJoin"), p)   // query/df/stats all broadcast
