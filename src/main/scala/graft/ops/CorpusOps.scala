@@ -34,6 +34,24 @@ object CorpusOps {
     df.withColumn("split", expr)
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row draws priority key ln(u(id))/w — monotone in the classic
+    * u^(1/w) — and the k largest keys win, so inclusion odds scale with
+    * the weight while staying a pure function of the data (rerunnable,
+    * layout-independent, incremental like every sampler here). One scan;
+    * the global top-k is TakeOrderedAndProject, never a sort — the 100 TB
+    * cost is the scan itself. Keys round engine-portably before ranking
+    * (ties break on id) so the selection boundary is deterministic
+    * across engines; rows with non-positive weight never sample. */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame =
+    df.where(col(weightCol) > 0)
+      .withColumn("skey",
+        TimeSeries.portableRound6(
+          log(unitHash(col(idCol))) / col(weightCol).cast("double")))
+      .orderBy(col("skey").desc, col(idCol).asc)
+      .limit(k)
+
   /** Stratified downsample: at most ~`perStratum` rows per stratum,
     * selected by id-hash threshold rate = min(1, perStratum / n_stratum).
     * Two passes (stratum counts, then the filter) but the counts table is

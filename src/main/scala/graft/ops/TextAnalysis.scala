@@ -418,6 +418,41 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
         (col("z") > 0).as("keep"))
 
+  /** Precision/recall of the [[classifierScore]] quality filter against a
+    * reference label, at each cutoff — the calibration table that decides
+    * where to set a 100 TB keep-threshold (and the audit that a
+    * classifier refresh didn't silently shift the operating point).
+    * One scan: score + label project row-local, each row fans out to the
+    * |thresholds| literal cutoffs, and ONE tiny hash-agg (|thresholds|
+    * groups, map-side partials) collects the exact confusion counts.
+    * Ratios are single double divisions, engine-portably rounded;
+    * an empty predicted/actual-positive set yields null, not a crash. */
+  def prCurve(docs: DataFrame, idCol: String, textCol: String,
+              labelCol: Column, thresholds: Seq[Double]): DataFrame = {
+    def r6(c: Column) = TimeSeries.portableRound6(c)
+    docs
+      .select(round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(col(textCol)))), 4)
+          .as("score"),
+        labelCol.cast("boolean").as("pos"))
+      .select(col("score"), col("pos"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("score") >= col("threshold") && col("pos"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("threshold") && !col("pos"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("threshold") && col("pos"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("threshold") && !col("pos"), 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        r6(col("tp").cast("double") / nullif(col("tp") + col("fp"), lit(0L)))
+          .as("prec"),
+        r6(col("tp").cast("double") / nullif(col("tp") + col("fn"), lit(0L)))
+          .as("rec"))
+  }
+
   /** WITHIN-doc repetition removal: excise every token covered by a
     * NON-FIRST occurrence of a repeated w-gram, unless the FIRST
     * occurrence of a repeated gram also covers it — the cleanup for

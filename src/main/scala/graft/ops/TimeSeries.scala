@@ -30,6 +30,9 @@ object TimeSeries {
     * landed on opposite sides). Both sides of the oracle use this form. */
   def portableRound4(c: Column): Column = round(c * 10000, 0) / 10000
 
+  /** 6-decimal variant for ratios/keys that need finer resolution. */
+  def portableRound6(c: Column): Column = round(c * 1000000, 0) / 1000000
+
   /** Per-key uniform bucket grid with gap fill: every key covers every
     * bucket between its first and last active bucket; silent hours get
     * n = 0 / sum = 0.00. The grid is built per key from the aggregated

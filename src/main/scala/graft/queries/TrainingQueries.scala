@@ -163,6 +163,22 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.classifierScore(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // precision/recall of the quality classifier against the lang='en'
+    // reference at five cutoffs — the threshold-calibration table. One
+    // scan, |thresholds| confusion rows via map-side partial agg.
+    "eval_pr_curve" -> { (s, dir) =>
+      TextAnalysis.prCurve(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", Seq(0.5, 0.52, 0.54, 0.56, 0.58))
+    },
+
+    // Efraimidis–Spirakis weighted sample (w = n_chars): 50 winners by
+    // ln(u)/w priority — inclusion odds scale with doc length, selection
+    // is a pure function of the data. Scan + TakeOrdered top-k.
+    "sample_weighted" -> { (s, dir) =>
+      CorpusOps.sampleWeighted(Tables.documents(s, dir), "doc_id", "n_chars",
+        k = 50).select("doc_id", "n_chars", "skey")
+    },
+
     // DSIR-style importance weights toward the src0 target domain: mean
     // bigram log-likelihood ratio (target model vs general model).
     "mix_dsir" -> { (s, dir) =>
@@ -1243,6 +1259,20 @@ object TrainingQueries extends QueryPack {
        |           FROM mh GROUP BY doc_id, band)""".stripMargin
   }
 
+  /** The hashed-logistic z-score subquery (classifier weights inlined as
+    * a literal array) — shared by the text_classify and eval_pr_curve
+    * oracles so both replay the identical scoring chain. */
+  private def clfZSql(extraCols: String = ""): String = {
+    val wl = TextAnalysis.clfWeights.mkString("[", ",", "]") + "::DOUBLE[]"
+    s"""SELECT doc_id$extraCols, ${TextAnalysis.ClfBias} + list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE),
+       |      [wl[CAST(CAST(('0x'||substr(md5(t),1,8)) AS BIGINT)
+       |            % ${TextAnalysis.ClfDim} AS INT) + 1]
+       |       FOR t IN string_split(text,' ')]),
+       |    (a, x) -> a + x) / CAST(len(string_split(text,' ')) AS DOUBLE) AS z
+       |  FROM documents, (SELECT $wl AS wl)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // BM25 replayed in SQL: same left-assoc double expression tree, same
     // sorted-term fold (list_reduce's first element ≡ Spark's 0.0 + x₀),
@@ -1552,17 +1582,38 @@ object TrainingQueries extends QueryPack {
     // literal weight vector from the SAME array the Spark plan embeds;
     // list_reduce's left fold matches Spark's ordered aggregate() fold, so
     // the logit is bit-identical before the 4-decimal round.
-    "text_classify" -> {
-      val wl = TextAnalysis.clfWeights.mkString("[", ",", "]") + "::DOUBLE[]"
+    "text_classify" ->
       s"""SELECT doc_id, round(1.0/(1.0 + exp(-z)), 4) AS score, z > 0 AS keep
-         |FROM (SELECT doc_id, ${TextAnalysis.ClfBias} + list_reduce(
-         |    list_prepend(CAST(0.0 AS DOUBLE),
-         |      [wl[CAST(CAST(('0x'||substr(md5(t),1,8)) AS BIGINT)
-         |            % ${TextAnalysis.ClfDim} AS INT) + 1]
-         |       FOR t IN string_split(text,' ')]),
-         |    (a, x) -> a + x) / CAST(len(string_split(text,' ')) AS DOUBLE) AS z
-         |  FROM documents, (SELECT $wl AS wl))""".stripMargin
-    },
+         |FROM (${clfZSql()})""".stripMargin,
+    // same scoring subquery as text_classify; exact confusion counts per
+    // literal cutoff, ratio doubles rounded the portable way.
+    "eval_pr_curve" ->
+      s"""WITH scored AS (SELECT doc_id,
+         |    round(1.0/(1.0 + exp(-z)), 4) AS score, lang = 'en' AS pos
+         |  FROM (${clfZSql(", lang")})),
+         |t AS (SELECT unnest([0.5, 0.52, 0.54, 0.56, 0.58]::DOUBLE[])
+         |        AS threshold),
+         |a AS (SELECT threshold,
+         |    CAST(sum(CASE WHEN score >= threshold AND pos
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score >= threshold AND NOT pos
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score < threshold AND pos
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN score < threshold AND NOT pos
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM scored, t GROUP BY threshold)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  round(CAST(tp AS DOUBLE)/nullif(tp+fp, 0) * 1000000)/1000000 AS prec,
+         |  round(CAST(tp AS DOUBLE)/nullif(tp+fn, 0) * 1000000)/1000000 AS rec
+         |FROM a""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |  round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+        |      AS BIGINT) / 4294967296.0)
+        |    / CAST(n_chars AS DOUBLE) * 1000000) / 1000000 AS skey
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
     "mix_dsir" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
         |bg AS (SELECT doc_id, source, array_to_string(t[i+1:i+2],' ') AS shingle

@@ -334,6 +334,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("weighted sample is scan + TakeOrdered; PR curve is one scan, one tiny agg") {
+    val ps = plan("sample_weighted")
+    assert(ps.contains("TakeOrderedAndProject"), ps)
+    assert(!ps.contains("Exchange rangepartitioning"), ps)
+    val pe = plan("eval_pr_curve")
+    assert(countOf(pe, "Scan parquet") == 1, pe)
+    assert(countOf(pe, "Exchange") <= 1, pe) // |thresholds| groups only
+    assert(pe.contains("partial_"), pe)      // map-side confusion counts
+  }
+
   test("BM25 search: corpus never sort-merges; term filter runs below the shuffle") {
     val p = plan("text_search_topk")
     assert(!p.contains("SortMergeJoin"), p)   // query/df/stats all broadcast
