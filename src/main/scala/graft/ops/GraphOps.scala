@@ -81,6 +81,40 @@ object GraphOps {
       (col("pr").cast("double") / scale.toDouble).as("pr"))
   }
 
+  /** Synchronous label propagation (community detection): each round
+    * every node adopts the MOST FREQUENT label among its in-neighbors
+    * (ties → smallest label); nodes with no inbound keep their own.
+    * Deterministic by construction — synchronous update plus a total tie
+    * order — so `iters` rounds hash-check across engines, unlike classic
+    * randomized LPA. Communities ≠ components: a thin chain bridging two
+    * dense clusters stays split where connected components merges it —
+    * the curation view that separates template FAMILIES inside one big
+    * dup blob.
+    *
+    * Round = one edge⋈label join + one (dst, label) count + one per-dst
+    * argmax (a plain max over (count, −label) structs — partial-agg
+    * collapses before the exchange, never a rank window). All shuffles
+    * key on high-cardinality node ids; lineage truncates per round like
+    * [[pageRank]]. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, idCol: String,
+                       iters: Int = 3): DataFrame = {
+    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
+    val ids = nodes.select(col(idCol).as("id"))
+    var lab = ids.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val best = sym
+        .join(lab.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.nl")).as("new_label"))
+      lab = lab.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    lab.select(col("id").as(idCol), col("label").as("community"))
+  }
+
   /** Exact triangle count over a symmetric edge list, via DEGREE-ORDERED
     * orientation (Suri & Vassilvitskii 2011, the MapReduce-era
     * skew-proof shape): each undirected edge orients from its lower

@@ -332,6 +332,17 @@ object TrainingQueries extends QueryPack {
         "doc_id", iters = 3)
     },
 
+    // deterministic label-propagation communities over the dup graph:
+    // most-frequent-neighbor label, ties to the smallest — splits
+    // template FAMILIES apart where plain connected components fuses
+    // everything one chain links.
+    "graph_lpa" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.GraphOps.labelPropagation(docs,
+        graft.ops.GraphOps.spanEdges(docs, "doc_id", "text"),
+        "doc_id", iters = 3)
+    },
+
     // triangle census of the same dup graph: triangles measure how
     // CLIQUISH the near-dup neighborhoods are (template families form
     // dense triangles; chains of pairwise matches don't) — degree-ordered
@@ -1111,6 +1122,22 @@ object TrainingQueries extends QueryPack {
   /** PageRank oracle: the same exact-integer rounds, unrolled. Every
     * floor division is (a − a % b) / b on non-negative BIGINTs — the
     * double divide cannot round (numerator divisible, < 2⁵³). */
+  /** Span-edge construction CTEs (the [[graft.ops.GraphOps.spanEdges]]
+    * replay) — shared by the pagerank and label-propagation oracles. */
+  private lazy val spanEdgeCtes: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+15],' ') AS shingle
+      |       FROM (SELECT doc_id, t,
+      |             unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks)),
+      |ok AS (SELECT shingle FROM sh GROUP BY shingle
+      |       HAVING count(*) BETWEEN 2 AND 100),
+      |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      |  JOIN ok ON l.shingle = ok.shingle),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION ALL SELECT b, a FROM pairs),
+      |n AS (SELECT doc_id AS id FROM documents)""".stripMargin
+
   private lazy val pagerankSql: String = {
     def iter(prev: String, name: String) =
       s"""$name AS (SELECT n.id,
@@ -1122,26 +1149,33 @@ object TrainingQueries extends QueryPack {
          |    FROM edges e JOIN deg d ON e.src = d.src
          |      JOIN $prev p ON e.src = p.id
          |    GROUP BY e.dst) c ON n.id = c.id)"""
-    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+15],' ') AS shingle
-       |       FROM (SELECT doc_id, t,
-       |             unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks)),
-       |ok AS (SELECT shingle FROM sh GROUP BY shingle
-       |       HAVING count(*) BETWEEN 2 AND 100),
-       |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-       |  JOIN ok ON l.shingle = ok.shingle),
-       |edges AS (SELECT a AS src, b AS dst FROM pairs
-       |          UNION ALL SELECT b, a FROM pairs),
+    s"""WITH $spanEdgeCtes,
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
        |        FROM edges GROUP BY src),
-       |n AS (SELECT doc_id AS id FROM documents),
        |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM n),
        |${iter("p0", "i1")},
        |${iter("i1", "i2")},
        |${iter("i2", "i3")}
        |SELECT id AS doc_id, pr AS pr_scaled, pr / 1000000.0 AS pr
        |FROM i3""".stripMargin
+  }
+
+  private lazy val lpaSql: String = {
+    def iter(prev: String, name: String) =
+      s"""$name AS (SELECT p.id, coalesce(b.nl, p.label) AS label
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT dst AS id, label AS nl FROM (
+         |      SELECT e.dst, q.label,
+         |        row_number() OVER (PARTITION BY e.dst
+         |          ORDER BY count(*) DESC, q.label) AS rn
+         |      FROM edges e JOIN $prev q ON e.src = q.id
+         |      GROUP BY e.dst, q.label) WHERE rn = 1) b ON p.id = b.id)"""
+    s"""WITH $spanEdgeCtes,
+       |l0 AS (SELECT id, id AS label FROM n),
+       |${iter("l0", "j1")},
+       |${iter("j1", "j2")},
+       |${iter("j2", "j3")}
+       |SELECT id AS doc_id, label AS community FROM j3""".stripMargin
   }
 
   /** Gram-matrix CTE (0-based upper triangle, HUGEINT sums over the
@@ -1872,6 +1906,7 @@ object TrainingQueries extends QueryPack {
          |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin,
     "graph_pagerank" -> pagerankSql,
+    "graph_lpa" -> lpaSql,
     "graph_triangles" -> trianglesSql,
     // NULL heads never pair: Spark groups null blocks but the null
     // Levenshtein filters out; the SQL equi-join drops them earlier.

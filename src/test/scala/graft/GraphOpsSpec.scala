@@ -37,6 +37,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(3L) === got(4L))          // symmetric leaves tie
   }
 
+  test("label propagation: cliques keep their own communities across a bridge") {
+    // two 4-cliques {1..4} and {11..14} joined by the single bridge 4—11
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val pairs = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L), (11L, 4L))
+    val nodes = (Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L) :+ 99L).toDF("id")
+    val got = GraphOps.labelPropagation(nodes, pairs.toDF("src", "dst"),
+        "id", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // min-label majorities: community 1 for the first clique, 11 for the
+    // second — the bridge edge never outvotes 3 clique neighbors
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), got.toString)
+    assert(Seq(11L, 12L, 13L, 14L).forall(got(_) == 11L), got.toString)
+    assert(got(99L) == 99L) // isolated node keeps its own label
+  }
+
+  test("label propagation matches a sequential synchronous reference") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    def ref(iters: Int): Map[Long, Long] = {
+      var lab = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+      for (_ <- 1 to iters) {
+        val nb = pairs.groupBy(_._2).view.mapValues { es =>
+          val counts = es.groupBy(e => lab(e._1)).view.mapValues(_.size)
+          counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+        lab = lab.map { case (n, l) => n -> nb.getOrElse(n, l) }
+      }
+      lab
+    }
+    for (k <- 1 to 3) {
+      val got = GraphOps.labelPropagation(nodes, pairs.toDF("src", "dst"),
+        "id", iters = k).as[(Long, Long)].collect().toMap
+      assert(got === ref(k), s"iters=$k")
+    }
+  }
+
   test("spanEdges: symmetric, distinct, hot spans capped") {
     val span = (tag: String) => (1 to 15).map(i => s"w$i$tag").mkString(" ")
     val docs = Seq(
