@@ -56,7 +56,11 @@ object ScaleCurve {
     // triangles, iterative BPE (vocab-sized rounds — should be FLAT-ish
     // past the word collapse), sketch heavy hitters, BPE sharding chain
     "dedup_contain", "graph_triangles", "text_bpe", "text_bpe_encode",
-    "agg_cms_hh", "shard_bpe")
+    "agg_cms_hh", "shard_bpe",
+    // fourth-wave additions: map-pruned BM25 search, 3-round label
+    // propagation over span edges, A-ES weighted sampling (scan +
+    // top-k — should be flat-ish), classifier PR calibration (one scan)
+    "text_search_topk", "graph_lpa", "sample_weighted", "eval_pr_curve")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

@@ -34,6 +34,20 @@ object CorpusOps {
     df.withColumn("split", expr)
   }
 
+  /** k-anonymity audit: group the corpus by its quasi-identifier columns
+    * and report each equivalence class's size, whether it meets the
+    * anonymity threshold, and its re-identification risk (1/n) — the
+    * governance gate run before a metadata-bearing corpus ships
+    * (complements redact_pii, which handles the free text). One hash
+    * aggregation with map-side partials; output is |classes| rows. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("n"),
+        (col("n") >= k).as("anonymous"),
+        TimeSeries.portableRound6(lit(1.0) / col("n")).as("risk")): _*)
+
   /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
     * each row draws priority key ln(u(id))/w — monotone in the classic
     * u^(1/w) — and the k largest keys win, so inclusion odds scale with

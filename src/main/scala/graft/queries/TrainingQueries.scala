@@ -171,6 +171,17 @@ object TrainingQueries extends QueryPack {
         col("lang") === "en", Seq(0.5, 0.52, 0.54, 0.56, 0.58))
     },
 
+    // k-anonymity audit over the (lang, source, size-bucket) quasi-
+    // identifiers: every equivalence class with its size, k≥5 verdict,
+    // and 1/n re-identification risk — the metadata governance gate
+    // beside redact_pii's free-text scrub. One hash agg.
+    "gov_kanon" -> { (s, dir) =>
+      CorpusOps.kAnonymity(
+        Tables.documents(s, dir)
+          .withColumn("size_bucket", floor(col("n_chars") / 100)),
+        Seq("lang", "source", "size_bucket"), k = 5)
+    },
+
     // Efraimidis–Spirakis weighted sample (w = n_chars): 50 winners by
     // ln(u)/w priority — inclusion odds scale with doc length, selection
     // is a pure function of the data. Scan + TakeOrdered top-k.
@@ -1641,6 +1652,13 @@ object TrainingQueries extends QueryPack {
          |  round(CAST(tp AS DOUBLE)/nullif(tp+fp, 0) * 1000000)/1000000 AS prec,
          |  round(CAST(tp AS DOUBLE)/nullif(tp+fn, 0) * 1000000)/1000000 AS rec
          |FROM a""".stripMargin,
+    "gov_kanon" ->
+      """SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT)
+        |    AS size_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  count(*) >= 5 AS anonymous,
+        |  round(CAST(1.0 AS DOUBLE) / count(*) * 1000000) / 1000000 AS risk
+        |FROM documents GROUP BY 1, 2, 3""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, n_chars,
         |  round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))
