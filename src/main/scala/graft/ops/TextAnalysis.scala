@@ -453,6 +453,39 @@ object TextAnalysis {
           .as("rec"))
   }
 
+  /** Exact ROC-AUC of the [[classifierScore]] quality filter against a
+    * reference label, with midrank tie handling — the single-number
+    * companion to [[prCurve]]. Everything is exact integers until one
+    * final double division: per distinct (4-decimal) score, counts c and
+    * positives cp aggregate map-side; doubled midranks 2·cumBefore+c+1
+    * avoid the ½ fractions; AUC = (Σcp·midrank₂ − P(P+1)) / (2PN).
+    * The cum-sum window runs over the DISTINCT-SCORE table — bounded by
+    * score resolution (≤10⁴ rows at 4 decimals), never corpus size, so
+    * the single-task window is safe at any scale. Degenerate label sets
+    * (P=0 or N=0) yield null. */
+  def aucScore(docs: DataFrame, idCol: String, textCol: String,
+               labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .select(round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(col(textCol)))), 4)
+          .as("score"),
+        labelCol.cast("boolean").as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cp"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .agg(sum(col("cp") * (lit(2L) * col("cum_before") + col("c") + 1L))
+          .as("r2"),
+        sum(col("cp")).as("p"), sum(col("c")).as("tot"))
+      .select(col("p"), (col("tot") - col("p")).as("n"),
+        TimeSeries.portableRound6(
+          (col("r2") - col("p") * (col("p") + 1L)).cast("double") /
+            nullif(lit(2L) * col("p") * (col("tot") - col("p")), lit(0L)))
+          .as("auc"))
+  }
+
   /** WITHIN-doc repetition removal: excise every token covered by a
     * NON-FIRST occurrence of a repeated w-gram, unless the FIRST
     * occurrence of a repeated gram also covers it — the cleanup for

@@ -48,6 +48,32 @@ object JoinQueries extends QueryPack {
     // LIKE-filtered part list and the supplier→nation chain broadcast;
     // lineitem joins them map-side and meets orders on the orderkey —
     // profit stays DECIMAL until the final cast.
+    // TPC-H Q21 shape (suppliers who kept orders waiting): per order,
+    // the number of distinct suppliers, the number of LATE ones (ship >
+    // 60 days past order date — the schema's receipt/commit analog), and
+    // the sole late supplier when unique — ALL from ONE lineitem⋈orders
+    // pass (n_late=1 makes min(late supplier) the culprit; no EXISTS /
+    // NOT EXISTS rejoin of the fact table, which is how the classic
+    // formulation goes quadratic). Supplier names broadcast; top-20 via
+    // TakeOrderedAndProject.
+    "q21_waiting" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val per = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+          min(when(late, col("l_suppkey"))).as("the_late"))
+        .where(col("n_supp") > 1 && col("n_late") === 1)
+      per.join(broadcast(Tables.supplier(s, dir)),
+          col("s_suppkey") === col("the_late"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    },
+
     // TPC-H Q18 shape (large-volume customers): the HAVING subquery is
     // ONE aggregate over lineitem whose small survivor set then joins
     // orders and customer — sum_qty rides that same aggregate, so
@@ -321,6 +347,19 @@ object JoinQueries extends QueryPack {
         |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q21_waiting" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+        |        + INTERVAL 60 DAY THEN l_suppkey END) AS n_late,
+        |    min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN l_suppkey END) AS the_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM per JOIN supplier ON s_suppkey = the_late
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)

@@ -171,6 +171,16 @@ object TrainingQueries extends QueryPack {
         col("lang") === "en", Seq(0.5, 0.52, 0.54, 0.56, 0.58))
     },
 
+    // exact midrank ROC-AUC of the quality classifier vs the lang='en'
+    // reference — the single-number companion to eval_pr_curve. Exact
+    // integers until one double division; the cum-sum window runs over
+    // the distinct-score table (≤10⁴ rows at 4 decimals), never the
+    // corpus.
+    "eval_auc" -> { (s, dir) =>
+      TextAnalysis.aucScore(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en")
+    },
+
     // k-anonymity audit over the (lang, source, size-bucket) quasi-
     // identifiers: every equivalence class with its size, k≥5 verdict,
     // and 1/n re-identification risk — the metadata governance gate
@@ -1651,6 +1661,23 @@ object TrainingQueries extends QueryPack {
          |SELECT threshold, tp, fp, fn, tn,
          |  round(CAST(tp AS DOUBLE)/nullif(tp+fp, 0) * 1000000)/1000000 AS prec,
          |  round(CAST(tp AS DOUBLE)/nullif(tp+fn, 0) * 1000000)/1000000 AS rec
+         |FROM a""".stripMargin,
+    // same scoring subquery; midrank AUC from exact integer rank sums.
+    "eval_auc" ->
+      s"""WITH scored AS (SELECT round(1.0/(1.0 + exp(-z)), 4) AS score,
+         |    lang = 'en' AS pos FROM (${clfZSql(", lang")})),
+         |g AS (SELECT score, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp
+         |  FROM scored GROUP BY score),
+         |r AS (SELECT *, coalesce(sum(c) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before FROM g),
+         |a AS (SELECT CAST(sum(cp * (2 * cum_before + c + 1)) AS BIGINT) AS r2,
+         |    CAST(sum(cp) AS BIGINT) AS p, CAST(sum(c) AS BIGINT) AS tot
+         |  FROM r)
+         |SELECT p, tot - p AS n,
+         |  round(CAST(r2 - p * (p + 1) AS DOUBLE)
+         |    / nullif(2 * p * (tot - p), 0) * 1000000) / 1000000 AS auc
          |FROM a""".stripMargin,
     "gov_kanon" ->
       """SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT)

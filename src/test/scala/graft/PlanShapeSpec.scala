@@ -319,6 +319,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p)
   }
 
+  test("Q21 shape: one lineitem pass, supplier broadcast, no EXISTS rejoin") {
+    val p = plan("q21_waiting")
+    assert(countOf(p, "lineitem.parquet") == 1, p) // never rejoined
+    assert(p.contains("BroadcastHashJoin"), p)     // supplier names
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("Q18 shape: survivor set joins broadcast; top-100 never global-sorts") {
     val p = plan("q18_large_orders")
     assert(p.contains("TakeOrderedAndProject"), p)

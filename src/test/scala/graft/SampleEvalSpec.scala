@@ -63,5 +63,33 @@ class SampleEvalSpec extends SparkSpec {
     got.foreach { case (_, tp, fp, fn, tn) => assert(tp + fp + fn + tn == n) }
   }
 
+  test("AUC equals the driver-side midrank replay and the known identities") {
+    val docs = Tables()
+    val scored = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")), "doc_id")
+      .select("score", "pos").as[(Double, Boolean)].collect()
+    val (p, n) = (scored.count(_._2).toLong, scored.count(!_._2).toLong)
+    // midrank AUC reference: rank all scores asc with average ranks
+    val sorted = scored.sortBy(_._1)
+    val ranks = scala.collection.mutable.Map[Double, Double]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      ranks(sorted(i)._1) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+      i = j
+    }
+    val rPos = sorted.filter(_._2).map(t => ranks(t._1)).sum
+    val expected = (rPos - p * (p + 1) / 2.0) / (p * n)
+    val got = TextAnalysis.aucScore(docs, "doc_id", "text", col("lang") === "en")
+      .select("p", "n", "auc").as[(Long, Long, Double)].head()
+    assert(got._1 == p && got._2 == n)
+    assert(math.abs(got._3 - expected) < 1e-6, s"got ${got._3} vs $expected")
+    // complement identity: flipping the label gives 1 - AUC
+    val flipped = TextAnalysis.aucScore(docs, "doc_id", "text",
+      col("lang") =!= "en").select("auc").as[Double].head()
+    assert(math.abs(got._3 + flipped - 1.0) < 2e-6)
+  }
+
   private def Tables() = graft.ops.Tables.documents(spark, sf())
 }
