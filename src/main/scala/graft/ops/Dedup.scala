@@ -255,6 +255,38 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Banded Hamming near-dup pairs over ANY precomputed bit-fingerprint
+    * column (perceptual image hashes, simhashes from elsewhere): split
+    * the `totalBits`-bit hash into `bands` equal chunks, self-join on
+    * (band, chunk), verify exact Hamming ≤ `maxHamming`. Pigeonhole
+    * exactness: bands > maxHamming guarantees every qualifying pair
+    * shares at least one band — no recall loss. The hash table is
+    * persisted (two longs per row) so the caller's — possibly expensive,
+    * e.g. an image decode — hash computation runs once across the
+    * self-join's two sides, the [[simhashNearDupPairs]] rule. */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   totalBits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > maxHamming, "bands must exceed maxHamming for exactness")
+    require(totalBits % bands == 0, "bands must divide totalBits")
+    val chunkBits = totalBits / bands
+    val mask = (1L << chunkBits) - 1
+    val h = hashes.select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .persist()
+    val banded = h.select(col("id"), col("h"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("h"), b * chunkBits).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val l = banded.select(col("id").as("a"), col("h").as("ha"),
+      col("band"), col("chunk"))
+    val r = banded.select(col("id").as("b"), col("h").as("hb"),
+      col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Incremental dedup — the production recurring-crawl shape: candidate
     * collisions between an INCOMING batch and the EXISTING corpus only
     * (new×new pairs come from [[minhashLshPairs]] on the increment alone;

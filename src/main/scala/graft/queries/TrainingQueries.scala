@@ -902,6 +902,16 @@ object TrainingQueries extends QueryPack {
         .where(col("n_images") > 1)
     },
 
+    // perceptual NEAR-dup pairs: banded Hamming over the 16-bit aHash
+    // (4 bands of 4 bits; bands > maxHamming ⇒ pigeonhole-exact recall)
+    // — re-encoded/resized image variants that exact-hash groups miss.
+    "mm_phash_pairs" -> { (s, dir) =>
+      implicit val spark = s
+      Dedup.hammingPairs(
+        Multimodal.avgHash(bmpMedia(s, dir), hw = 4, hh = 4).toDF(),
+        "id", "phash", totalBits = 16, bands = 4, maxHamming = 2)
+    },
+
     // Distributed BPE vocabulary training: 3 merge rounds over the word
     // frequency table (corpus collapses to (word, cnt) first — the
     // standard scale trick). Deterministic argmax tie-break (count desc,
@@ -2662,6 +2672,17 @@ object TrainingQueries extends QueryPack {
     // its 3 channel bytes ('A'=65 padding past the text); bit p set iff
     // 16*gray > total, packed LSB-first in row-major order.
     "mm_phash" -> phashSql,
+    // banded 4-bit chunks over the replayed aHash; xor bit-count verify.
+    "mm_phash_pairs" ->
+      s"""WITH ph AS ($phashSql),
+         |bands AS (SELECT id, phash, b.band,
+         |    (phash >> CAST(b.band * 4 AS INT)) & 15 AS chunk
+         |  FROM ph, (SELECT unnest(range(4)) AS band) b)
+         |SELECT DISTINCT l.id AS a, r.id AS b,
+         |  CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.chunk = r.chunk
+         |WHERE l.id < r.id
+         |  AND bit_count(xor(l.phash, r.phash)) <= 2""".stripMargin,
     "mm_phash_groups" ->
       s"""WITH ph AS ($phashSql)
          |SELECT phash, CAST(count(*) AS BIGINT) AS n_images, min(id) AS keep_id

@@ -34,4 +34,18 @@ class DedupContainSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     assert(Dedup.containmentPairs(docs, "doc_id", "text", 0.1).count() === 0L)
   }
+
+  test("hammingPairs is pigeonhole-exact: equals brute force on random hashes") {
+    val rnd = new scala.util.Random(7)
+    val hashes = (1L to 120L).map(i => (i, rnd.nextInt(1 << 16).toLong))
+    val df = hashes.toDF("id", "h")
+    val got = Dedup.hammingPairs(df, "id", "h",
+        totalBits = 16, bands = 4, maxHamming = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
 }
