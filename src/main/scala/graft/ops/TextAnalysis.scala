@@ -486,6 +486,31 @@ object TextAnalysis {
           .as("auc"))
   }
 
+  /** Calibration (reliability) table of the [[classifierScore]] filter:
+    * scores bucketed into `bins` equal-width bins, each with its exact
+    * count, positive count, MEAN SCORE, and empirical positive rate — a
+    * well-calibrated filter has mean_score ≈ frac_pos per bin. The mean
+    * stays exact: 4-decimal scores become integers via the portable
+    * multiply-round, sum as BIGINTs, and divide once at the end — no
+    * order-dependent double summation. One scan, |bins| groups. */
+  def calibration(docs: DataFrame, idCol: String, textCol: String,
+                  labelCol: Column, bins: Int = 10): DataFrame = {
+    def r6(c: Column) = TimeSeries.portableRound6(c)
+    docs
+      .select(round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(col(textCol)))), 4)
+          .as("score"),
+        labelCol.cast("boolean").as("pos"))
+      .groupBy(least(floor(col("score") * bins), lit(bins - 1)).cast("long")
+        .as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("pos_n"),
+        sum(round(col("score") * 10000, 0).cast("long")).as("score_scaled"))
+      .select(col("bin"), col("n"), col("pos_n"),
+        r6(col("score_scaled").cast("double") / (col("n") * 10000L))
+          .as("mean_score"),
+        r6(col("pos_n").cast("double") / col("n")).as("frac_pos"))
+  }
+
   /** WITHIN-doc repetition removal: excise every token covered by a
     * NON-FIRST occurrence of a repeated w-gram, unless the FIRST
     * occurrence of a repeated gram also covers it — the cleanup for

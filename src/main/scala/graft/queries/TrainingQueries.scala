@@ -181,6 +181,13 @@ object TrainingQueries extends QueryPack {
         col("lang") === "en")
     },
 
+    // calibration table: per score decile, exact counts and an exact
+    // integer-summed mean score vs the empirical positive rate.
+    "eval_calibration" -> { (s, dir) =>
+      TextAnalysis.calibration(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", bins = 10)
+    },
+
     // k-anonymity audit over the (lang, source, size-bucket) quasi-
     // identifiers: every equivalence class with its size, k≥5 verdict,
     // and 1/n re-identification risk — the metadata governance gate
@@ -1689,6 +1696,17 @@ object TrainingQueries extends QueryPack {
          |  round(CAST(r2 - p * (p + 1) AS DOUBLE)
          |    / nullif(2 * p * (tot - p), 0) * 1000000) / 1000000 AS auc
          |FROM a""".stripMargin,
+    "eval_calibration" ->
+      s"""WITH scored AS (SELECT round(1.0/(1.0 + exp(-z)), 4) AS score,
+         |    lang = 'en' AS pos FROM (${clfZSql(", lang")}))
+         |SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_n,
+         |  round(CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 10000) * 1000000) / 1000000 AS mean_score,
+         |  round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) * 1000000) / 1000000 AS frac_pos
+         |FROM scored GROUP BY 1""".stripMargin,
     "gov_kanon" ->
       """SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT)
         |    AS size_bucket,

@@ -62,6 +62,29 @@ class EwmaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("alpha=1 degenerates to a streaming gap-filled resample (ewma ≡ n)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val df = in.toDF().toDF("k", "ts").withWatermark("ts", "1 minute")
+    val q = EwmaStream.hourlyCounts(df, "k", "ts", alpha = 1.0,
+        idleMs = 3600 * 1000L)
+      .writeStream.format("memory").queryName("ewma_id")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", ts("2024-01-01 00:10:00")),
+        ("a", ts("2024-01-01 00:20:00")), ("a", ts("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+      in.addData(("z", ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      in.addData(("z", ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ewma_id").where(col("key") === "a")
+        .select("n", "ewma").as[(Long, Double)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (n, e) => assert(e == n.toDouble) }
+    } finally q.stop()
+  }
+
   test("a bucket emits only after the watermark passes its end") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
