@@ -112,6 +112,27 @@ object Sketches {
         .cast("bigint").as("hv"))
       .distinct().orderBy("hv").limit(k)
 
+  /** GROUPED bottom-k sketch as an aggregate expression: the k smallest
+    * distinct md5 hashes per group, as a sorted array column — the
+    * mergeable per-partition summary a sketch TABLE stores (daily
+    * sketches roll up to any coarser period without re-reading raw
+    * data). Aggregation state is the distinct-hash set per group; pair
+    * with a pre-distinct on (group, hv) when groups are huge. */
+  def kmvSketchAgg(hv: Column, k: Int): Column =
+    slice(sort_array(collect_set(hv)), 1, k)
+
+  /** KMV estimate from a [[kmvSketchAgg]] array: exact size below k,
+    * else (k−1) / (h_k / 2³²) — the same formula the agg_kmv oracle
+    * replays, one double division then one portable round. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(round(lit((k - 1).toDouble) /
+        (element_at(sketch, k).cast("double") / 4294967296.0), 0).cast("long"))
+
+  /** The md5-derived 32-bit hash every KMV op shares. */
+  def kmvHash(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 8), 16, 10).cast("bigint")
+
   /** Set-overlap estimation from two bottom-k signatures (Beyer et al.
     * 2007, "On synopses for distinct-value estimation"): the union's
     * bottom-k is a uniform sample of the union, so

@@ -126,6 +126,33 @@ object AggQueries extends QueryPack {
           countDistinct(col("user_id")).as("exact_users"))
     },
 
+    // MERGEABILITY certificate for the KMV sketch — the pattern that
+    // makes 100 TB distinct counting incremental: daily bottom-128
+    // sketches (what a sketch table would store) merge per type and the
+    // merged estimate EQUALS the direct single-pass estimate, because
+    // bottom-k of a union of bottom-ks is the union's bottom-k. Both
+    // columns hash-check; their equality is the theorem, certified on
+    // real data.
+    "agg_kmv_rollup" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          Sketches.kmvHash(col("user_id")).as("hv"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(Sketches.kmvSketchAgg(col("hv"), 128).as("sketch"))
+      val merged = daily
+        .select(col("event_type"), explode(col("sketch")).as("hv"))
+        .groupBy(col("event_type"))
+        .agg(Sketches.kmvSketchAgg(col("hv"), 128).as("m"))
+        .select(col("event_type"),
+          Sketches.kmvEstimate(col("m"), 128).as("est_merged"))
+      val direct = ev.groupBy(col("event_type"))
+        .agg(Sketches.kmvSketchAgg(col("hv"), 128).as("d"))
+        .select(col("event_type"),
+          Sketches.kmvEstimate(col("d"), 128).as("est_direct"))
+      merged.join(direct, "event_type")
+    },
+
     // Engine-portable HyperLogLog (graft.ops.Sketches.hllMd5),
     // hash-checked end to end — the deterministic twin of agg_hll's
     // native sketch: the DuckDB oracle replays the identical injected
@@ -272,6 +299,35 @@ object AggQueries extends QueryPack {
     // KMV estimator over DISTINCT 32-bit md5 hashes: kth-smallest hash
     // (rank by hv, not user_id — a 32-bit collision merges in BOTH
     // engines), est = (k-1)/(kth/2^32), exact below k distinct.
+    "agg_kmv_rollup" ->
+      """WITH h AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) AS hv
+        |  FROM events),
+        |d AS (SELECT event_type, day, hv,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY hv) AS rn
+        |  FROM h),
+        |u AS (SELECT DISTINCT event_type, hv FROM d WHERE rn <= 128),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM u),
+        |m AS (SELECT event_type,
+        |    CAST(CASE WHEN max(nd) < 128 THEN max(nd)
+        |      ELSE round(127.0 / (max(CASE WHEN rn = 128 THEN hv END)
+        |        / 4294967296.0)) END AS BIGINT) AS est_merged
+        |  FROM r GROUP BY event_type),
+        |hall AS (SELECT DISTINCT event_type, hv FROM h),
+        |r2 AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM hall),
+        |dd AS (SELECT event_type,
+        |    CAST(CASE WHEN max(nd) < 128 THEN max(nd)
+        |      ELSE round(127.0 / (max(CASE WHEN rn = 128 THEN hv END)
+        |        / 4294967296.0)) END AS BIGINT) AS est_direct
+        |  FROM r2 GROUP BY event_type)
+        |SELECT m.event_type, m.est_merged, dd.est_direct
+        |FROM m JOIN dd USING (event_type)""".stripMargin,
     "agg_kmv" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) AS hv
