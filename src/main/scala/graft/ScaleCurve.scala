@@ -60,7 +60,13 @@ object ScaleCurve {
     // fourth-wave additions: map-pruned BM25 search, 3-round label
     // propagation over span edges, A-ES weighted sampling (scan +
     // top-k — should be flat-ish), classifier PR calibration (one scan)
-    "text_search_topk", "graph_lpa", "sample_weighted", "eval_pr_curve")
+    "text_search_topk", "graph_lpa", "sample_weighted", "eval_pr_curve",
+    // event-family queries (events now scale too: k× users, identical
+    // per-user streams): per-user sequence ops should be linear; the
+    // time-series folds should be FLAT past the first hash-agg (bucket
+    // grid is time-range-bounded, only counts grow)
+    "ts_ewma", "ts_forecast", "ev_funnel", "ev_transitions",
+    "agg_kmv_rollup")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
@@ -94,9 +100,28 @@ object ScaleCurve {
     replicas.reduce(_ unionByName _)
   }
 
-  /** Materialize the k× directory (documents + embeddings scaled; the
-    * other tables copied verbatim so any query can run). Idempotent via
-    * a DONE marker. */
+  /** Events scale-up: replica r offsets user_id/event_id by r·(max+1),
+    * keeping every timestamp and per-user stream VERBATIM — the user
+    * population grows k× with identical behavioral distributions, so
+    * per-user ops (funnels, transitions) grow k× in output with
+    * unchanged shape, and per-type time series keep their bucket count
+    * while counts scale k× — the right null model for "k× the traffic,
+    * same product". */
+  def scaleEvents(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/events.parquet")
+    val nU = base.agg(max("user_id")).head.getLong(0) + 1
+    val nE = base.agg(max("event_id")).head.getLong(0) + 1
+    (0 until k).map { r =>
+      if (r == 0) base
+      else base
+        .withColumn("user_id", col("user_id") + lit(r * nU))
+        .withColumn("event_id", col("event_id") + lit(r * nE))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Materialize the k× directory (documents + embeddings + events
+    * scaled; the other tables copied verbatim so any query can run).
+    * Idempotent via a DONE marker. */
   def materialize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     val done = Paths.get(outDir, "_DONE")
     if (Files.exists(done)) return
@@ -105,11 +130,13 @@ object ScaleCurve {
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaleEmbeddings(spark, baseDir, k)
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    scaleEvents(spark, baseDir, k)
+      .repartition(16).write.mode("overwrite").parquet(s"$outDir/events.parquet")
     // Other tables ride along verbatim (raw byte copy — a Spark
-    // round-trip would need the per-table reader configs, e.g. events'
-    // nanosecond timestamps, and there is nothing to scale).
+    // round-trip would need the per-table reader configs, and there is
+    // nothing to scale).
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
+        "orders", "lineitem")) {
       val src = Paths.get(s"$baseDir/$t.parquet")
       if (Files.isRegularFile(src))
         Files.copy(src, Paths.get(s"$outDir/$t.parquet"),

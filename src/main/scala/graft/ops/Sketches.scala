@@ -112,14 +112,24 @@ object Sketches {
         .cast("bigint").as("hv"))
       .distinct().orderBy("hv").limit(k)
 
-  /** GROUPED bottom-k sketch as an aggregate expression: the k smallest
-    * distinct md5 hashes per group, as a sorted array column — the
-    * mergeable per-partition summary a sketch TABLE stores (daily
-    * sketches roll up to any coarser period without re-reading raw
-    * data). Aggregation state is the distinct-hash set per group; pair
-    * with a pre-distinct on (group, hv) when groups are huge. */
-  def kmvSketchAgg(hv: Column, k: Int): Column =
-    slice(sort_array(collect_set(hv)), 1, k)
+  /** Grouped bottom-k sketch TABLE: one row per group with the k
+    * smallest distinct hashes as a sorted array — the mergeable summary
+    * a sketch table stores (daily sketches roll up to any coarser
+    * period without re-reading raw data). Built as distinct → per-group
+    * rank ≤ k → collect: the rank filter triggers WindowGroupLimit, so
+    * every partition prunes to k rows per group MAP-SIDE and no
+    * aggregation state ever holds a whole distinct set (the
+    * collect_set-then-slice formulation does, and dies on a
+    * million-distinct group at scale). */
+  def kmvSketchTable(df: DataFrame, groupCols: Seq[String], hvCol: String,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(hvCol))
+    df.select(groupCols.map(col) :+ col(hvCol): _*).distinct()
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col(hvCol))).as("sketch"))
+  }
 
   /** KMV estimate from a [[kmvSketchAgg]] array: exact size below k,
     * else (k−1) / (h_k / 2³²) — the same formula the agg_kmv oracle

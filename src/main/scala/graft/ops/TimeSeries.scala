@@ -105,6 +105,33 @@ object TimeSeries {
               (col("next.pv") - col("prev.pv")) * frac)).as("value"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each bucket's count with
+    * the value one season (24 buckets) earlier on the gap-filled grid,
+    * and score the whole horizon per key — MAE and bias in EXACT integer
+    * arithmetic (counts are integers; only the final mean divides), plus
+    * coverage (how much of the span had a prediction). The capacity-
+    * planning sanity check every rate-autoscaler baseline starts from;
+    * beat-the-naive is the bar any fancier forecaster must clear.
+    * Same shape as [[resample]] plus one lag window — one raw scan. */
+  def seasonalNaiveBacktest(events: DataFrame, keyCol: String, tsCol: String,
+                            season: Int = 24): DataFrame = {
+    val series = resample(events, keyCol, tsCol, "value")
+      .select(col(keyCol), col("bucket"), col("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    series
+      .withColumn("pred", lag(col("n"), season).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("pred").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("pred").isNotNull, abs(col("n") - col("pred")))).as("abs_err"),
+        sum(when(col("pred").isNotNull, col("n") - col("pred"))).as("bias_sum"))
+      .select(col(keyCol), col("n_buckets"), col("n_scored"),
+        portableRound4(col("abs_err").cast("double") /
+          nullif(col("n_scored"), lit(0L))).as("mae"),
+        portableRound4(col("bias_sum").cast("double") /
+          nullif(col("n_scored"), lit(0L))).as("bias"))
+  }
+
   /** Recursive exponential smoothing over the gap-filled per-key count
     * series: ewma₀ = x₀, ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁. The recursion is
     * inherently sequential, so it runs as an ordered left fold over each

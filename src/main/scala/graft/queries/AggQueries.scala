@@ -138,18 +138,17 @@ object AggQueries extends QueryPack {
       val ev = Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"),
           Sketches.kmvHash(col("user_id")).as("hv"))
-      val daily = ev.groupBy(col("event_type"), col("day"))
-        .agg(Sketches.kmvSketchAgg(col("hv"), 128).as("sketch"))
-      val merged = daily
-        .select(col("event_type"), explode(col("sketch")).as("hv"))
-        .groupBy(col("event_type"))
-        .agg(Sketches.kmvSketchAgg(col("hv"), 128).as("m"))
+      val daily = Sketches.kmvSketchTable(ev,
+        Seq("event_type", "day"), "hv", 128)
+      val merged = Sketches.kmvSketchTable(
+          daily.select(col("event_type"), explode(col("sketch")).as("hv")),
+          Seq("event_type"), "hv", 128)
         .select(col("event_type"),
-          Sketches.kmvEstimate(col("m"), 128).as("est_merged"))
-      val direct = ev.groupBy(col("event_type"))
-        .agg(Sketches.kmvSketchAgg(col("hv"), 128).as("d"))
+          Sketches.kmvEstimate(col("sketch"), 128).as("est_merged"))
+      val direct = Sketches.kmvSketchTable(ev.select("event_type", "hv"),
+          Seq("event_type"), "hv", 128)
         .select(col("event_type"),
-          Sketches.kmvEstimate(col("d"), 128).as("est_direct"))
+          Sketches.kmvEstimate(col("sketch"), 128).as("est_direct"))
       merged.join(direct, "event_type")
     },
 

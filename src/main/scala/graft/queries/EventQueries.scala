@@ -228,6 +228,14 @@ object EventQueries extends QueryPack {
         "event_type", "ts", 0.3)
     },
 
+    // seasonal-naive backtest: predict each hour's count with the count
+    // 24h earlier on the gap-filled grid; exact-integer MAE/bias per
+    // type — the baseline any forecaster must beat.
+    "ts_forecast" -> { (s, dir) =>
+      graft.ops.TimeSeries.seasonalNaiveBacktest(Tables.events(s, dir),
+        "event_type", "ts", season = 24)
+    },
+
     // weekly cohort retention: users bucketed by first-seen week; count
     // distinct active users per (cohort week, week offset).
     "ev_cohort" -> { (s, dir) =>
@@ -442,6 +450,33 @@ object EventQueries extends QueryPack {
         |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         |SELECT event_type, bucket, n, round(ewma * 10000) / 10000 AS ewma
         |FROM r""".stripMargin,
+    "ts_forecast" ->
+      """WITH h0 AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM h0 GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM s),
+        |h AS (SELECT g.event_type, g.bucket, coalesce(h0.n, 0) AS n
+        |  FROM g LEFT JOIN h0
+        |    ON g.event_type = h0.event_type AND g.bucket = h0.bucket),
+        |p AS (SELECT event_type, bucket, n,
+        |    lag(n, 24) OVER (PARTITION BY event_type ORDER BY bucket) AS pred
+        |  FROM h)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_scored,
+        |  round(CAST(sum(CASE WHEN pred IS NOT NULL
+        |      THEN abs(n - pred) END) AS DOUBLE)
+        |    / nullif(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END), 0)
+        |    * 10000) / 10000 AS mae,
+        |  round(CAST(sum(CASE WHEN pred IS NOT NULL
+        |      THEN n - pred END) AS DOUBLE)
+        |    / nullif(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END), 0)
+        |    * 10000) / 10000 AS bias
+        |FROM p GROUP BY event_type""".stripMargin,
     "ev_cohort" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
         |           FROM events GROUP BY user_id),

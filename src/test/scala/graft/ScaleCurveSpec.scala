@@ -54,4 +54,26 @@ class ScaleCurveSpec extends SparkSpec {
       norms(emb).map(r => (r.getDouble(0), r.getLong(1) * k)).sortBy(_._1))
     scaled.unpersist(); ()
   }
+
+  test("events: k× users with verbatim per-user streams, ids disjoint") {
+    val base = sf()
+    val k = 3
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val scaled = ScaleCurve.scaleEvents(spark, base, k).persist()
+    val n = ev.count()
+    assert(scaled.count() === k * n)
+    assert(scaled.select("event_id").distinct().count() === k * n)
+    assert(scaled.select("user_id").distinct().count() ===
+      k * ev.select("user_id").distinct().count())
+    // behavioral distributions are replica-invariant: the per-type event
+    // counts and the timestamp span are exactly k× / unchanged
+    val byType = scaled.groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val baseTypes = ev.groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType === baseTypes.view.mapValues(_ * k).toMap)
+    assert(scaled.agg(min("ts"), max("ts")).head ===
+      ev.agg(min("ts"), max("ts")).head)
+    scaled.unpersist(); ()
+  }
 }
