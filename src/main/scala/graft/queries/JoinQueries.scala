@@ -48,6 +48,34 @@ object JoinQueries extends QueryPack {
     // LIKE-filtered part list and the supplier→nation chain broadcast;
     // lineitem joins them map-side and meets orders on the orderkey —
     // profit stays DECIMAL until the final cast.
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // two-nation filter lands on supplier and customer BEFORE the fact
+    // joins (a ~2/25 prune each — the disjunction reduces to
+    // s_nation ≠ c_nation once both sides are restricted), so lineitem
+    // meets an already-filtered broadcast supplier map-side and orders
+    // meets the filtered customers; revenue stays DECIMAL until the
+    // final cast, grouped by (supp_nation, cust_nation, ship year).
+    "q7_volume" -> { (s, dir) =>
+      val nk = Seq(1, 2)
+      val sup = Tables.supplier(s, dir).where(col("s_nationkey").isin(nk: _*))
+      val cust = Tables.customer(s, dir).where(col("c_nationkey").isin(nk: _*))
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+
     // TPC-H Q21 shape (suppliers who kept orders waiting): per order,
     // the number of distinct suppliers, the number of LATE ones (ship >
     // 60 days past order date — the schema's receipt/commit analog), and
@@ -347,6 +375,20 @@ object JoinQueries extends QueryPack {
         |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  EXTRACT(year FROM l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q21_waiting" ->
       """WITH per AS (SELECT l_orderkey,
         |    count(DISTINCT l_suppkey) AS n_supp,

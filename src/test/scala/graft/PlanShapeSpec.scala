@@ -319,6 +319,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p)
   }
 
+  test("Q7 shape: nation prune reaches both dimension scans pre-join") {
+    val p = plan("q7_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the isin(1,2) restriction must push into BOTH the supplier and
+    // customer parquet scans, not run as a post-join filter
+    assert(countOf(p, "In(s_nationkey, [1,2])") >= 1, p)
+    assert(countOf(p, "In(c_nationkey, [1,2])") >= 1, p)
+  }
+
   test("Q21 shape: one lineitem pass, supplier broadcast, no EXISTS rejoin") {
     val p = plan("q21_waiting")
     assert(countOf(p, "lineitem.parquet") == 1, p) // never rejoined
