@@ -45,6 +45,34 @@ object Relational {
       .select(leftCols.map(col) :+ col(as): _*)
   }
 
+  /** FORWARD as-of join: each left row picks the EARLIEST right value at
+    * or after its timestamp — the label-join shape ("first outcome after
+    * exposure") that the backward probe cannot express. Same
+    * single-shuffle union machinery, mirrored: right rows sort AFTER
+    * left rows at equal ts (inclusive <=), and a running `first` over
+    * the FOLLOWING frame replaces the running `last`. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame,
+                      partitionCols: Seq[String], tsCol: String,
+                      valueCol: String, as: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(0))
+      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(partitionCols.map(col) :+ col(tsCol) :+
+        col(valueCol).as("__v"): _*)
+      .withColumn("__side", lit(1))
+    val unioned = l.select((partitionCols :+ tsCol).map(col) ++
+        Seq(col("__side"), col("__v")) ++
+        leftCols.filterNot(c => partitionCols.contains(c) || c == tsCol).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn(as, first(col("__v"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .select(leftCols.map(col) :+ col(as): _*)
+  }
+
   /** Multi-column as-of join: the right payload travels as ONE struct
     * through the same union + running-`last` machinery (one shuffle, one
     * sort, regardless of column count), then unpacks to `<prefix>_<col>`.

@@ -248,6 +248,19 @@ object JoinQueries extends QueryPack {
         .select("event_id", "user_id", "last_purchase")
     },
 
+    // FORWARD as-of: each click gets its user's first purchase time at
+    // or after the click — the time-to-conversion label join. Same
+    // single user_id shuffle as the backward probe, mirrored frame.
+    "join_asof_fwd" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("pts"))
+      Relational.asOfJoinForward(clicks, purchases, Seq("user_id"), "ts",
+        "pts", "next_purchase_ts")
+    },
+
     // bloom-prefiltered join: the selective order set publishes a Bloom
     // of its keys, lineitem is pruned MAP-SIDE (native codegen probe,
     // below any exchange) before the exact join — runtime-filter
@@ -473,6 +486,12 @@ object JoinQueries extends QueryPack {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "join_asof_fwd" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  (SELECT min(p.ts) FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |     AND p.ts >= c.ts) AS next_purchase_ts
+        |FROM events c WHERE c.event_type = 'click'""".stripMargin,
     "join_bloom" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
