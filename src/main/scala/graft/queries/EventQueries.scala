@@ -228,6 +228,31 @@ object EventQueries extends QueryPack {
         "event_type", "ts", 0.3)
     },
 
+    // time-to-conversion distribution: each click's lag to its user's
+    // next purchase (forward as-of), exact integer seconds into one
+    // two-quantile percentile buffer — the funnel-latency readout.
+    "ev_conversion_lag" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("pts"))
+      // exact MICROSECOND lags: unix_timestamp would floor to seconds,
+      // which DuckDB's fractional epoch() does not — integer micros are
+      // identical in both engines.
+      val ep = (c: org.apache.spark.sql.Column) =>
+        unix_micros(c.cast("timestamp"))
+      graft.ops.Relational.asOfJoinForward(clicks, purchases,
+          Seq("user_id"), "ts", "pts", "npts")
+        .where(col("npts").isNotNull)
+        .select((ep(col("npts")) - ep(col("ts"))).as("lag_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(lag_us, array(0.5D, 0.9D))").as("ps"))
+        .select(col("n_converted"),
+          round(element_at(col("ps"), 1) / 1000000.0, 4).as("p50_sec"),
+          round(element_at(col("ps"), 2) / 1000000.0, 4).as("p90_sec"))
+    },
+
     // seasonal-naive backtest: predict each hour's count with the count
     // 24h earlier on the gap-filled grid; exact-integer MAE/bias per
     // type — the baseline any forecaster must beat.
@@ -450,6 +475,16 @@ object EventQueries extends QueryPack {
         |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         |SELECT event_type, bucket, n, round(ewma * 10000) / 10000 AS ewma
         |FROM r""".stripMargin,
+    "ev_conversion_lag" ->
+      """WITH lagged AS (
+        |  SELECT epoch_us((SELECT min(p.ts) FROM events p
+        |      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |        AND p.ts >= c.ts)) - epoch_us(c.ts) AS lag_us
+        |  FROM events c WHERE c.event_type = 'click')
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(lag_us, 0.5) / 1000000.0, 4) AS p50_sec,
+        |  round(quantile_cont(lag_us, 0.9) / 1000000.0, 4) AS p90_sec
+        |FROM lagged WHERE lag_us IS NOT NULL""".stripMargin,
     "ts_forecast" ->
       """WITH h0 AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
