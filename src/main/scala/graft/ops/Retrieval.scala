@@ -103,6 +103,37 @@ object Retrieval {
       .where(col("rank") <= k)
   }
 
+  /** Token-exact phrase search via POSITIONAL postings: each phrase
+    * term's per-doc position list is built from one map-pruned explode
+    * (only the phrase's terms survive to the shuffle — the corpus-sized
+    * token stream never moves), then consecutive-position intersection
+    * folds left across the phrase: positions matching the prefix, each
+    * shifted +1, intersect the next term's positions. Docs missing any
+    * term drop at the inner joins; `n_matches` counts occurrences.
+    * At 100 TB the same fold runs against a persisted positional
+    * postings table — this is the probe shape, index-free. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase needs at least two tokens")
+    val postings = docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase.distinct: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .localCheckpoint(false) // phrase terms reuse one postings build
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      postings.where(col("term") === t)
+        .select(col(idCol), col("ps").as(s"ps_$i"))
+    }
+    val joined = slots.reduceLeft((a, b) => a.join(b, idCol))
+    val matched = phrase.indices.tail.foldLeft(col("ps_0")) { (acc, i) =>
+      array_intersect(transform(acc, _ + 1), col(s"ps_$i"))
+    }
+    joined.select(col(idCol), size(matched).as("n_matches"))
+      .where(col("n_matches") > 0)
+  }
+
   /** Persist the inverted index: postings (term, doc, tf, dl) BUCKETED by
     * term — a query probes only its terms' buckets, the corpus-sized
     * table never reshuffles at search time — plus a one-row exact-integer

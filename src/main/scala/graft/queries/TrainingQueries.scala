@@ -171,6 +171,14 @@ object TrainingQueries extends QueryPack {
         col("lang") === "en", Seq(0.5, 0.52, 0.54, 0.56, 0.58))
     },
 
+    // token-exact phrase search ("table scan") through positional
+    // postings — consecutive-position intersection, corpus tokens pruned
+    // map-side to the phrase's terms.
+    "text_phrase" -> { (s, dir) =>
+      graft.ops.Retrieval.phraseSearch(Tables.documents(s, dir),
+        "doc_id", "text", Seq("table", "scan"))
+    },
+
     // exact midrank ROC-AUC of the quality classifier vs the lang='en'
     // reference — the single-number companion to eval_pr_curve. Exact
     // integers until one double division; the cum-sum window runs over
@@ -1657,6 +1665,13 @@ object TrainingQueries extends QueryPack {
     "text_classify" ->
       s"""SELECT doc_id, round(1.0/(1.0 + exp(-z)), 4) AS score, z > 0 AS keep
          |FROM (${clfZSql()})""".stripMargin,
+    "text_phrase" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT doc_id, array_to_string(t[i+1:i+2],' ') AS g
+        |      FROM (SELECT doc_id, t,
+        |            unnest(range(0, greatest(len(t)-1,0))) AS i FROM toks))
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_matches
+        |FROM g WHERE g = 'table scan' GROUP BY doc_id""".stripMargin,
     // same scoring subquery as text_classify; exact confusion counts per
     // literal cutoff, ratio doubles rounded the portable way.
     "eval_pr_curve" ->

@@ -28,6 +28,25 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.exists(_._3 == 5L))
   }
 
+  test("phrase search counts token-exact occurrences, including tricky shapes") {
+    val docs = Seq(
+      (1L, "x table scan y table scan z"),  // two occurrences
+      (2L, "table y scan"),                 // both terms, never adjacent
+      (3L, "scan table"),                   // reversed order only
+      (4L, "tabletable scanscan"),          // substrings must not match
+      (5L, "a a a"),                        // repeated-token phrase below
+      (6L, "table scan")                    // exact doc
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("table", "scan"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 6L -> 1), got.toString)
+    // a phrase with a repeated token: "a a" occurs twice in "a a a"
+    val rep = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Int)].collect().toMap
+    assert(rep == Map(5L -> 2), rep.toString)
+  }
+
   test("persisted index serves identical results to the index-free path") {
     val docs = Tables.documents(spark, sf())
     val direct = Retrieval.searchTopK(docs, "doc_id", "text",
