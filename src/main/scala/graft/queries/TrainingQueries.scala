@@ -40,6 +40,14 @@ object TrainingQueries extends QueryPack {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
     },
 
+    // language-ID confusion matrix vs the labeled lang column — the
+    // quality readout of the identifier itself. One scan, |langs|² agg.
+    "eval_langid" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     "text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(
         Tables.documents(s, dir).select("doc_id", "text"), "text")
@@ -1339,6 +1347,15 @@ object TrainingQueries extends QueryPack {
        |           FROM mh GROUP BY doc_id, band)""".stripMargin
   }
 
+  /** The stopword-scored language-guess expression — shared by the
+    * text_langid and eval_langid oracles. */
+  private lazy val langGuessSql: String = {
+    val entries = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
+      s"{'hits': CAST(${hitsSql(words)} AS BIGINT), 'lang': '$lang'}"
+    }
+    s"(list_max([${entries.mkString(", ")}])).lang"
+  }
+
   /** The hashed-logistic z-score subquery (classifier weights inlined as
     * a literal array) — shared by the text_classify and eval_pr_curve
     * oracles so both replay the identical scoring chain. */
@@ -1390,13 +1407,15 @@ object TrainingQueries extends QueryPack {
         |    ORDER BY score DESC, doc_id) AS INT) AS rank
         |FROM s QUALIFY rank <= 10""".stripMargin
     },
-    "text_langid" -> {
-      val entries = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
-        s"{'hits': CAST(${hitsSql(words)} AS BIGINT), 'lang': '$lang'}"
-      }
-      s"""SELECT doc_id, (list_max([${entries.mkString(", ")}])).lang AS lang_guess
-         |FROM documents""".stripMargin
-    },
+    "text_langid" ->
+      s"""SELECT doc_id, $langGuessSql AS lang_guess
+         |FROM documents""".stripMargin,
+    // confusion matrix of the n-gram language identifier against the
+    // labeled lang column — same guess expression, grouped.
+    "eval_langid" ->
+      s"""SELECT lang, $langGuessSql AS lang_guess,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin,
     "text_quality" -> {
       s"""SELECT doc_id,
          |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
