@@ -66,7 +66,7 @@ object ScaleCurve {
     // time-series folds should be FLAT past the first hash-agg (bucket
     // grid is time-range-bounded, only counts grow)
     "ts_ewma", "ts_forecast", "ev_funnel", "ev_transitions",
-    "agg_kmv_rollup")
+    "agg_kmv_rollup", "text_phrase", "mm_phash_pairs")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
@@ -156,6 +156,33 @@ object ScaleCurve {
     * SCALECURVE run's headline catch). These overrides measure the
     * DOCUMENTED deployment; SCALING.md reports both curves. */
   def scaledOverrides(mult: Int): Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // hash WIDTH is the capacity knob: the 16-bit aHash pins chunk space
+    // at 2⁴ per band, so bucket occupancy — and the banded self-join —
+    // grows linearly with the corpus (measured 55× at 25×). Deployment
+    // grows the hash with the corpus: an 8×8 (64-bit) hash gives 2¹⁶
+    // chunks per band and restores constant occupancy. Same pigeonhole
+    // exactness (4 bands > maxHamming 2).
+    "mm_phash_pairs" -> ((s: SparkSession, dir: String) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      // 7×9 = 63 bits (BIGINT-max hash width), 3 bands of 21 bits —
+      // chunk space 2²¹ per band vs the pinned 2⁴; still > maxHamming.
+      val (hw, hh) = if (mult >= 5) (7, 9) else (4, 4)
+      val bits = hw * hh
+      val bands = if (mult >= 5) 3 else 4
+      val media = graft.ops.Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val n = hw * hh * 3
+          val payload = text.take(n).padTo(n, 'A').map(c => (c & 0xff).toByte).toArray
+          (id, graft.ops.Multimodal.bmpFromBytes(payload, hw, hh),
+            "image/bmp", "synthetic", (54 + n).toLong)
+        }.toDF("id", "media", "mime", "source", "n_bytes")
+      graft.ops.Dedup.hammingPairs(
+        graft.ops.Multimodal.avgHash(media, hw = hw, hh = hh).toDF(),
+        "id", "phash", totalBits = bits, bands = bands, maxHamming = 2)
+    }),
     // k ∝ √N (assignment costs N·k, per-cell pairs k·(N/k)² — √N
     // balances both at N^1.5; k ∝ N was measured 247× at 25×: the
     // assignment itself turns quadratic) PLUS the hot-cell cap: md5

@@ -228,6 +228,29 @@ object EventQueries extends QueryPack {
         "event_type", "ts", 0.3)
     },
 
+    // exact Gini coefficient of per-user purchase spend — the activity-
+    // concentration number behind "whales vs long tail" decisions.
+    // Spend travels as integer CENTS (decimal sum ×100), the global
+    // rank is the distributed range-rank (never a one-task window; tie
+    // order cannot change Σ rank·x between equal values), and
+    // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) stays exact integers until
+    // one double division.
+    "ev_gini" -> { (s, dir) =>
+      val cents = graft.ops.Relational.withGlobalRank(
+        Tables.events(s, dir).where(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("cents")),
+        Seq(col("cents").asc, col("user_id").asc), "rank")
+      cents.agg(count(lit(1)).as("n_users"), sum(col("cents")).as("total"),
+          sum(col("rank") * col("cents")).as("rx"))
+        .select(col("n_users"),
+          graft.ops.TimeSeries.portableRound6(
+            (lit(2L) * col("rx") - (col("n_users") + 1L) * col("total"))
+              .cast("double") /
+              (col("n_users") * col("total")).cast("double")).as("gini"))
+    },
+
     // time-to-conversion distribution: each click's lag to its user's
     // next purchase (forward as-of), exact integer seconds into one
     // two-quantile percentile buffer — the funnel-latency readout.
@@ -474,6 +497,17 @@ object EventQueries extends QueryPack {
         |    0.3 * CAST(h.n AS DOUBLE) + 0.7 * r.ewma
         |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         |SELECT event_type, bucket, n, round(ewma * 10000) / 10000 AS ewma
+        |FROM r""".stripMargin,
+    "ev_gini" ->
+      """WITH c AS (SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, user_id) AS rank FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(2 * sum(rank * cents)
+        |      - (count(*) + 1) * sum(cents) AS DOUBLE)
+        |    / (count(*) * sum(cents)) * 1000000) / 1000000 AS gini
         |FROM r""".stripMargin,
     "ev_conversion_lag" ->
       """WITH lagged AS (
