@@ -152,6 +152,35 @@ object Retrieval {
       table, buckets, keyCols = Seq("term"))
   }
 
+  /** Incremental index maintenance — the recurring-crawl shape: ONLY the
+    * new batch tokenizes and shuffles into the existing bucket layout
+    * (bucketed appends co-locate with the settled postings; the settled
+    * corpus is never re-read), and the two-integer stats sidecar updates
+    * by addition. Search needs no changes and returns exactly what a
+    * full rebuild over old ∪ new would (RetrievalSpec proves it): tf/dl
+    * are per-doc facts, df counts postings, and corpus stats are sums —
+    * every search input is append-merge-able. */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+                    table: String, buckets: Int): Unit = {
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val newStats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val merged = spark.table(s"${table}_stats").unionByName(newStats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .collect()(0) // two integers — the sidecar is one row by contract
+    // append-mode saveAsTable validates the existing table's bucket spec
+    // (`buckets` must match write-time, the signature-table contract)
+    base.select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("append").bucketBy(buckets, "term")
+      .format("parquet").saveAsTable(table)
+    import spark.implicits._
+    Seq((merged.getLong(0), merged.getLong(1))).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
   /** Search the persisted index: read ONLY the probed terms' postings
     * (the `isin` prunes buckets and pushes to the postings scan), count
     * df from the postings themselves, then the same score+rank as the

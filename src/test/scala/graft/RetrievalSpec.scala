@@ -68,4 +68,27 @@ class RetrievalSpec extends SparkSpec {
     dropLocalTable("ret_idx")
     dropLocalTable("ret_idx_stats")
   }
+
+  test("incremental index append equals a full rebuild, search-identically") {
+    val docs = Tables.documents(spark, sf())
+    val old = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val fresh = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val qs = Seq("qa" -> Seq("scan", "fast"), "qb" -> Seq("merge", "table"))
+    for (t <- Seq("ret_full", "ret_incr", "ret_full_stats", "ret_incr_stats"))
+      dropLocalTable(t)
+    Retrieval.writeIndex(docs, "doc_id", "text", "ret_full", buckets = 4)
+    Retrieval.writeIndex(old, "doc_id", "text", "ret_incr", buckets = 4)
+    Retrieval.appendToIndex(fresh, "doc_id", "text", "ret_incr", buckets = 4)
+    val a = Retrieval.searchFromIndex(spark, "ret_full", qs, k = 5)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val b = Retrieval.searchFromIndex(spark, "ret_incr", qs, k = 5)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(a == b, s"incremental index diverged:\n full=$a\n incr=$b")
+    // stats sidecar merged by addition
+    val sf1 = spark.table("ret_full_stats").collect()(0)
+    val si = spark.table("ret_incr_stats").collect()(0)
+    assert(sf1.getLong(0) == si.getLong(0) && sf1.getLong(1) == si.getLong(1))
+    for (t <- Seq("ret_full", "ret_incr", "ret_full_stats", "ret_incr_stats"))
+      dropLocalTable(t)
+  }
 }
