@@ -167,13 +167,22 @@ object Sketches {
     * (groupCols..., approx_users = estimate, n_empty = empty buckets).
     * Deterministic: identical input multiset → identical estimate, on
     * any engine implementing the same literal arithmetic. */
-  def hllMd5(df: DataFrame, groupCols: Seq[String], value: Column,
-             estimateCol: String = "approx_users"): DataFrame = {
+  /** Per-group HLL register table (group cols, bucket, mj = max rank) —
+    * the MERGEABLE summary an HLL sketch table stores: registers combine
+    * by element-wise max, which is associative, so daily register tables
+    * roll up to any coarser period with one more max-aggregate. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+                   value: Column): DataFrame = {
     val (bucket, rank) = hllRegister(value)
-    val regs = df
-      .select(groupCols.map(col) :+ bucket.as("bucket") :+ rank.as("rank"): _*)
+    df.select(groupCols.map(col) :+ bucket.as("bucket") :+ rank.as("rank"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max("rank").as("mj"))
+  }
+
+  /** The estimate from a register table (exact scaled-integer harmonic
+    * sum, one literal-numerator division, literal small-range table). */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+                               estimateCol: String): DataFrame = {
     val agg = regs.groupBy(groupCols.map(col): _*)
       .agg((sum(expr("shiftleft(1L, 52 - mj)")) +
           (lit(HllBuckets.toLong) - count(lit(1))) * lit(1L << 52)).as("vscaled"),
@@ -185,4 +194,9 @@ object Sketches {
         .otherwise(rawE).as(estimateCol) :+
       col("n_empty"): _*)
   }
+
+  def hllMd5(df: DataFrame, groupCols: Seq[String], value: Column,
+             estimateCol: String = "approx_users"): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCols, value),
+      groupCols, estimateCol)
 }

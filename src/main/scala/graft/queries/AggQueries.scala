@@ -152,6 +152,26 @@ object AggQueries extends QueryPack {
       merged.join(direct, "event_type")
     },
 
+    // HLL twin of the KMV rollup certificate: daily REGISTER tables
+    // merge by element-wise max (associative), so the merged estimate
+    // EQUALS the direct one — the register-table rollup every
+    // pre-aggregated distinct-count dashboard runs on.
+    "agg_hll_rollup" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      val daily = Sketches.hllRegisters(ev, Seq("event_type", "day"),
+        col("user_id"))
+      val merged = Sketches.hllEstimateFromRegisters(
+          daily.groupBy(col("event_type"), col("bucket"))
+            .agg(max(col("mj")).as("mj")),
+          Seq("event_type"), "est_merged")
+        .select("event_type", "est_merged")
+      val direct = Sketches.hllMd5(Tables.events(s, dir), Seq("event_type"),
+          col("user_id"), "est_direct")
+        .select("event_type", "est_direct")
+      merged.join(direct, "event_type")
+    },
+
     // Engine-portable HyperLogLog (graft.ops.Sketches.hllMd5),
     // hash-checked end to end — the deterministic twin of agg_hll's
     // native sketch: the DuckDB oracle replays the identical injected
@@ -347,6 +367,34 @@ object AggQueries extends QueryPack {
     // HLL replay with the SAME injected constants as the Spark plan:
     // identical md5 registers, identical scaled-integer harmonic sum,
     // identical literal numerator and ln-table — estimate hashes equal.
+    "agg_hll_rollup" -> {
+      val num = graft.ops.Sketches.HllNumerator
+      val tbl = graft.ops.Sketches.HllLnTable.mkString(", ")
+      def est(src: String, alias: String) =
+        s"""SELECT event_type,
+           |  CASE WHEN n_empty > 0 AND $num / CAST(vscaled AS DOUBLE) <= 640.0
+           |       THEN ([$tbl])[n_empty]
+           |       ELSE $num / CAST(vscaled AS DOUBLE) END AS $alias
+           |FROM (SELECT event_type,
+           |    sum((1::BIGINT) << (52 - mj))
+           |      + (256 - count(*)) * ((1::BIGINT) << 52) AS vscaled,
+           |    CAST(256 - count(*) AS INT) AS n_empty
+           |  FROM $src GROUP BY event_type)""".stripMargin
+      s"""WITH h AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,2)) AS INT) AS bucket,
+         |    53 - length(bin(CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),3,13)) AS BIGINT))) AS rank
+         |  FROM events),
+         |dregs AS (SELECT event_type, day, bucket, max(rank) AS mj
+         |          FROM h GROUP BY 1, 2, 3),
+         |mregs AS (SELECT event_type, bucket, max(mj) AS mj
+         |          FROM dregs GROUP BY 1, 2),
+         |diregs AS (SELECT event_type, bucket, max(rank) AS mj
+         |           FROM h GROUP BY 1, 2),
+         |m AS (${est("mregs", "est_merged")}),
+         |d AS (${est("diregs", "est_direct")})
+         |SELECT m.event_type, m.est_merged, d.est_direct
+         |FROM m JOIN d USING (event_type)""".stripMargin
+    },
     "agg_hll_md5" ->
       s"""WITH h AS (SELECT event_type,
          |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,2)) AS INT) AS bucket,
