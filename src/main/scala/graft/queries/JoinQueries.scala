@@ -48,6 +48,39 @@ object JoinQueries extends QueryPack {
     // LIKE-filtered part list and the supplier→nation chain broadcast;
     // lineitem joins them map-side and meets orders on the orderkey —
     // profit stays DECIMAL until the final cast.
+    // TPC-H Q12 shape (late shipments by order priority; adapted to this
+    // schema's late = shipped > 60 days after order date): one fact join
+    // and a conditional-count aggregation per ship month.
+    "q12_late_priority" -> { (s, dir) =>
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .where(late)
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("ship_month"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+    },
+
+    // TPC-H Q14 shape (promotion revenue share of one ship month):
+    // part broadcast to the date-pruned lineitem slice, DECIMAL sums,
+    // one double division at the end (portable round).
+    "q14_promo" -> { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1998-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+      val disc = dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))
+      l.join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", disc)).as("promo"),
+          sum(disc).as("total"))
+        .select(graft.ops.TimeSeries.portableRound6(
+          (lit(100.0) * coalesce(col("promo"), lit(0).cast("decimal(18,2)"))
+            .cast("double")) / col("total").cast("double"))
+          .as("promo_revenue_pct"))
+    },
+
     // TPC-H Q7 shape (volume shipping between two nations): the
     // two-nation filter lands on supplier and customer BEFORE the fact
     // joins (a ~2/25 prune each — the disjunction reduces to
@@ -388,6 +421,27 @@ object JoinQueries extends QueryPack {
         |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(
+        |    (100.0 * CAST(coalesce(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * CAST(1.0 - l_discount AS DECIMAL(18,2)) END),
+        |        CAST(0 AS DECIMAL(18,2))) AS DOUBLE))
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    * 1000000) / 1000000 AS promo_revenue_pct
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'""".stripMargin,
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  EXTRACT(year FROM l_shipdate) AS l_year,
