@@ -152,6 +152,34 @@ object AggQueries extends QueryPack {
       merged.join(direct, "event_type")
     },
 
+    // exact Pearson correlation (items per order vs order value in
+    // integer cents): all five moments accumulate as DECIMAL(38,0)
+    // exact integers — order-free, engine-portable — and the only float
+    // ops are the final casts, two correctly-rounded sqrts, and one
+    // division. The covariance/correlation primitive done the
+    // hash-checkable way.
+    "stat_corr" -> { (s, dir) =>
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)").as("y")),
+          col("l_orderkey") === col("o_orderkey"))
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val m = per.agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"), sum(col("y")).as("sy"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val n = d38(col("n"))
+      m.select(col("n"),
+        graft.ops.TimeSeries.portableRound6(
+          (n * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((n * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((n * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr"))
+    },
+
     // HLL twin of the KMV rollup certificate: daily REGISTER tables
     // merge by element-wise max (associative), so the merged estimate
     // EQUALS the direct one — the register-table rollup every
@@ -367,6 +395,26 @@ object AggQueries extends QueryPack {
     // HLL replay with the SAME injected constants as the Spark plan:
     // identical md5 registers, identical scaled-integer harmonic sum,
     // identical literal numerator and ln-table — estimate hashes equal.
+    // HUGEINT sums are the engine's exact-integer twin of DECIMAL(38,0).
+    "stat_corr" ->
+      """WITH per AS (SELECT l.x, o.y FROM
+        |    (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+        |     FROM lineitem GROUP BY 1) l
+        |  JOIN (SELECT o_orderkey,
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |    FROM orders) o ON l.l_orderkey = o.o_orderkey),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM per)
+        |SELECT n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    * 1000000) / 1000000 AS corr
+        |FROM m""".stripMargin,
     "agg_hll_rollup" -> {
       val num = graft.ops.Sketches.HllNumerator
       val tbl = graft.ops.Sketches.HllLnTable.mkString(", ")
