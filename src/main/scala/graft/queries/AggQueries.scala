@@ -180,6 +180,51 @@ object AggQueries extends QueryPack {
           .as("corr"))
     },
 
+    // OLS fit from the same exact moments: slope/intercept of order
+    // value (cents) on items per order — the regression primitive,
+    // integer-exact until three float ops.
+    "stat_ols" -> { (s, dir) =>
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)").as("y")),
+          col("l_orderkey") === col("o_orderkey"))
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val m = per.agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"), sum(col("y")).as("sy"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"))
+      val n = d38(col("n"))
+      val r6 = graft.ops.TimeSeries.portableRound6 _
+      val slope = (n * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (n * col("sxx") - col("sx") * col("sx")).cast("double")
+      m.select(col("n"), r6(slope).as("slope_cents_per_item"),
+        r6((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept_cents"))
+    },
+
+    // third mergeability certificate: CMS sketches merge by CELL-WISE
+    // SUM (counts are additive), so a fixed probe set estimated from
+    // the day-merged sketch equals the direct sketch's estimates.
+    "agg_cms_rollup" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val dailySketch = ev
+        .select(col("day"), posexplode(array((0 until Sketches.CmsDepth)
+          .map(r => Sketches.cmsCell(r, col("user_id"))): _*)).as(Seq("r", "c")))
+        .groupBy("day", "r", "c").agg(count(lit(1)).as("cnt"))
+      val merged = dailySketch.groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      val direct = Sketches.cmsSketch(ev, col("user_id"))
+      val items = Tables.events(s, dir).select(col("user_id").as("item"))
+        .where(col("item") < 20).distinct()
+      Sketches.cmsEstimate(items, merged)
+        .withColumnRenamed("est", "est_merged")
+        .join(Sketches.cmsEstimate(items, direct)
+          .withColumnRenamed("est", "est_direct"), "item")
+    },
+
     // HLL twin of the KMV rollup certificate: daily REGISTER tables
     // merge by element-wise max (associative), so the merged estimate
     // EQUALS the direct one — the register-table rollup every
@@ -395,6 +440,47 @@ object AggQueries extends QueryPack {
     // HLL replay with the SAME injected constants as the Spark plan:
     // identical md5 registers, identical scaled-integer harmonic sum,
     // identical literal numerator and ln-table — estimate hashes equal.
+    "stat_ols" ->
+      """WITH per AS (SELECT l.x, o.y FROM
+        |    (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+        |     FROM lineitem GROUP BY 1) l
+        |  JOIN (SELECT o_orderkey,
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |    FROM orders) o ON l.l_orderkey = o.o_orderkey),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM per)
+        |SELECT n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) / 1000000
+        |    AS slope_cents_per_item,
+        |  round((CAST(sy AS DOUBLE)
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) * 1000000) / 1000000 AS intercept_cents
+        |FROM m""".stripMargin,
+    "agg_cms_rollup" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day, rr.r,
+        |    CAST(('0x'||substr(md5(CAST(rr.r AS VARCHAR)||':'||CAST(user_id AS VARCHAR)),1,5)) AS BIGINT) % 1024 AS c
+        |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
+        |daily AS (SELECT day, r, c, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+        |merged AS (SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cnt
+        |           FROM daily GROUP BY r, c),
+        |direct AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM cells GROUP BY r, c),
+        |items AS (SELECT DISTINCT user_id AS item FROM events WHERE user_id < 20),
+        |ic AS (SELECT item, rr.r,
+        |    CAST(('0x'||substr(md5(CAST(rr.r AS VARCHAR)||':'||CAST(item AS VARCHAR)),1,5)) AS BIGINT) % 1024 AS c
+        |  FROM items CROSS JOIN (SELECT unnest(range(4)) AS r) rr)
+        |SELECT ic.item,
+        |  CAST(min(m.cnt) AS BIGINT) AS est_merged,
+        |  CAST(min(d.cnt) AS BIGINT) AS est_direct
+        |FROM ic JOIN merged m ON ic.r = m.r AND ic.c = m.c
+        |        JOIN direct d ON ic.r = d.r AND ic.c = d.c
+        |GROUP BY ic.item""".stripMargin,
     // HUGEINT sums are the engine's exact-integer twin of DECIMAL(38,0).
     "stat_corr" ->
       """WITH per AS (SELECT l.x, o.y FROM
