@@ -12,6 +12,7 @@ object Queries {
     AggQueries,
     FunctionQueries,
     JoinQueries,
+    TpchQueries,
     TrainingQueries,
     EventQueries
   )

@@ -115,6 +115,37 @@ object GraphOps {
     lab.select(col("id").as(idCol), col("label").as("community"))
   }
 
+  /** Fixed-round k-core peel: repeatedly drop nodes with degree < k in
+    * the surviving induced subgraph, `rounds` times, then report each
+    * survivor's induced degree. Fixed rounds (not run-to-fixpoint) keep
+    * the result a pure function of (edges, k, rounds) — hash-checkable
+    * by an unrolled-CTE oracle, and at 100 TB the round count bounds the
+    * job graph up front (each extra round is two semi-joins + one agg,
+    * all keyed on node ids; peeling converges geometrically in practice
+    * so small fixed budgets reach the fixpoint on real graphs — the
+    * caller can spec convergence by checking rounds R and R+1 agree).
+    * The k-core is the standard "dense kernel" extractor: template
+    * families survive, chains and stragglers peel away. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = edges.where(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .distinct().localCheckpoint()
+    def induced(alive: DataFrame) = und
+      .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+    var alive = und.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+    for (_ <- 1 to rounds) {
+      alive = induced(alive)
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("id")
+        .localCheckpoint(eager = false)
+    }
+    induced(alive)
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Exact triangle count over a symmetric edge list, via DEGREE-ORDERED
     * orientation (Suri & Vassilvitskii 2011, the MapReduce-era
     * skew-proof shape): each undirected edge orients from its lower

@@ -166,4 +166,38 @@ object TimeSeries {
       .select(col(keyCol), col("s.bucket").as("bucket"), col("s.n").as("n"),
         portableRound4(col("s.ewma")).as("ewma"))
   }
+
+  /** Robust per-key anomaly detection on hourly counts: flag buckets
+    * whose deviation from the key's MEDIAN exceeds 3× the key's MAD
+    * (median absolute deviation) — the outlier rule that a single spike
+    * cannot poison, unlike mean/stddev z-scores where the anomaly
+    * inflates its own threshold.
+    *
+    * Exactness: counts are integers, so the median of n of them is
+    * integral or a half — 2·median is an exact BIGINT; deviations
+    * |2·cnt − med2| are integers, so 2·MAD-of-dev2 (= 4·MAD) is again an
+    * exact BIGINT, and the flag `2·dev2 > 3·mad4` (≡ |cnt−med| > 3·MAD)
+    * is a pure integer comparison — no engine ever materializes a float
+    * threshold a borderline bucket could straddle. A constant series has
+    * mad4 = 0, so ANY deviation flags (the strict-MAD convention).
+    *
+    * Scale: one raw scan into the (key, hour) hash-agg; both medians and
+    * the final flag run over the aggregated series (|keys|×|hours|,
+    * data-volume-independent), co-partitioned on the key — the stats
+    * joins reuse the series' partitioning. */
+  def robustAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                      nMads: Int = 3): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = hourly.groupBy(col(keyCol))
+      .agg((percentile(col("cnt"), lit(0.5)) * 2).cast("long").as("med2"))
+    val dev = hourly.join(med, keyCol)
+      .withColumn("dev2", abs(col("cnt") * 2 - col("med2")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(mad, keyCol)
+      .where(col("dev2") * 2 > col("mad4") * nMads)
+      .select(col(keyCol), col("hour"), col("cnt"), col("med2"), col("mad4"))
+  }
 }

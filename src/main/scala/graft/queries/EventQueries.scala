@@ -228,6 +228,55 @@ object EventQueries extends QueryPack {
         "event_type", "ts", 0.3)
     },
 
+    // robust MAD anomalies: hourly buckets more than 3 MADs from their
+    // type's median — the outlier rule a single spike cannot poison
+    // (unlike ev_anomaly's trailing z-score, where the anomaly inflates
+    // its own baseline). All thresholds stay exact integers (2·median
+    // and 4·MAD of integer counts are integral), so the flag is a pure
+    // integer comparison in both engines.
+    "ts_anomaly" -> { (s, dir) =>
+      graft.ops.TimeSeries.robustAnomalies(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
+    // association rules over per-user event-type baskets: pairwise
+    // support, confidence, and lift — "users who do A also do B", the
+    // co-occurrence signal behind cross-sell and feature-bundling
+    // decisions. ONE shuffle on user_id builds sorted distinct-type
+    // baskets; pairs expand MAP-SIDE from each basket (fan-out bounded
+    // by |event types|², never a self-join of the user×type table);
+    // singles and the user count broadcast back onto the tiny pair
+    // table. Lift = supp(ab)·N / (supp(a)·supp(b)) stays exact integer
+    // products until one double division.
+    "ev_cooccur" -> { (s, dir) =>
+      val t = Tables.events(s, dir).select("user_id", "event_type").distinct()
+      val singles = t.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
+      val n = t.agg(count_distinct(col("user_id")).as("nu"))
+      val baskets = t.groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      val pairs = baskets.select(explode(flatten(transform(col("ts"), (a, i) =>
+          transform(
+            slice(col("ts"), i + lit(2),
+              greatest(size(col("ts")) - i - 1, lit(0))),
+            b => struct(a.as("a"), b.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("supp_ab"))
+      pairs
+        .join(broadcast(singles.select(col("event_type").as("a"),
+          col("supp").as("supp_a"))), "a")
+        .join(broadcast(singles.select(col("event_type").as("b"),
+          col("supp").as("supp_b"))), "b")
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("supp_ab"), col("supp_a"),
+          col("supp_b"),
+          graft.ops.TimeSeries.portableRound6(
+            (col("supp_ab") * col("nu")).cast("double") /
+              (col("supp_a") * col("supp_b")).cast("double")).as("lift"),
+          graft.ops.TimeSeries.portableRound6(
+            col("supp_ab").cast("double") / col("supp_a").cast("double"))
+            .as("confidence"))
+    },
+
     // exact Gini coefficient of per-user purchase spend — the activity-
     // concentration number behind "whales vs long tail" decisions.
     // Spend travels as integer CENTS (decimal sum ×100), the global
@@ -386,6 +435,39 @@ object EventQueries extends QueryPack {
         |FROM h
         |WINDOW w AS (PARTITION BY event_type ORDER BY hour
         |             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "ts_anomaly" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type,
+        |    CAST(2 * quantile_cont(cnt, 0.5) AS BIGINT) AS med2
+        |  FROM hourly GROUP BY 1),
+        |dev AS (SELECT h.event_type, h.hour, h.cnt, m.med2,
+        |    abs(2 * h.cnt - m.med2) AS dev2
+        |  FROM hourly h JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type,
+        |    CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, d.hour, d.cnt, d.med2, m.mad4
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE 2 * d.dev2 > 3 * m.mad4""".stripMargin,
+    "ev_cooccur" ->
+      """WITH t AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM t),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS supp
+        |      FROM t GROUP BY 1),
+        |p AS (SELECT t1.event_type AS a, t2.event_type AS b,
+        |    CAST(count(*) AS BIGINT) AS supp_ab
+        |  FROM t t1 JOIN t t2 ON t1.user_id = t2.user_id
+        |    AND t1.event_type < t2.event_type
+        |  GROUP BY 1, 2)
+        |SELECT a, b, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+        |  round(CAST(supp_ab * nu AS DOUBLE)
+        |    / CAST(sa.supp * sb.supp AS DOUBLE) * 1000000) / 1000000 AS lift,
+        |  round(CAST(supp_ab AS DOUBLE)
+        |    / CAST(sa.supp AS DOUBLE) * 1000000) / 1000000 AS confidence
+        |FROM p JOIN s sa ON p.a = sa.event_type
+        |  JOIN s sb ON p.b = sb.event_type, n""".stripMargin,
     "dim_scd2" ->
       """WITH m AS (SELECT user_id, event_type, ts, event_id,
         |    lag(event_type) OVER (PARTITION BY user_id

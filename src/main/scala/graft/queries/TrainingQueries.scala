@@ -387,6 +387,19 @@ object TrainingQueries extends QueryPack {
         "doc_id", iters = 3)
     },
 
+    // k-core kernel of the dup graph: peel degree-<2 nodes for 3 fixed
+    // rounds, report survivors with their induced degree — chains and
+    // stragglers peel away, template families (the dense kernels worth
+    // a curation pass) survive. Fixed rounds keep it hash-checkable by
+    // an unrolled-CTE oracle.
+    "graph_kcore" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.GraphOps.kCore(
+          graft.ops.GraphOps.spanEdges(docs, "doc_id", "text"),
+          k = 2, rounds = 3)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // triangle census of the same dup graph: triangles measure how
     // CLIQUISH the near-dup neighborhoods are (template families form
     // dense triangles; chains of pairwise matches don't) — degree-ordered
@@ -1232,6 +1245,30 @@ object TrainingQueries extends QueryPack {
        |SELECT id AS doc_id, label AS community FROM j3""".stripMargin
   }
 
+  /** k-core oracle: the fixed-round peel unrolled — round i keeps nodes
+    * with degree ≥ 2 in the subgraph induced by round i−1's survivors;
+    * the final SELECT reports induced degrees among round-3 survivors. */
+  private lazy val kcoreSql: String = {
+    def round(prev: String, e: String, c: String) =
+      s"""$e AS (SELECT p.a, p.b FROM pairs p
+         |  JOIN $prev x ON p.a = x.id JOIN $prev y ON p.b = y.id),
+         |$c AS (SELECT id FROM (
+         |    SELECT id, count(*) AS deg FROM (
+         |      SELECT a AS id FROM $e UNION ALL SELECT b FROM $e)
+         |    GROUP BY id) WHERE deg >= 2)"""
+    s"""WITH $spanEdgeCtes,
+       |c0 AS (SELECT DISTINCT id FROM (
+       |  SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs)),
+       |${round("c0", "e1", "c1")},
+       |${round("c1", "e2", "c2")},
+       |${round("c2", "e3", "c3")},
+       |ef AS (SELECT p.a, p.b FROM pairs p
+       |  JOIN c3 x ON p.a = x.id JOIN c3 y ON p.b = y.id)
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM (SELECT a AS id FROM ef UNION ALL SELECT b FROM ef)
+       |GROUP BY id""".stripMargin
+  }
+
   /** Gram-matrix CTE (0-based upper triangle, HUGEINT sums over the
     * same round(x·2²⁰) scaling as the Spark plan); shared by the gram
     * and power-iteration oracles. */
@@ -2014,6 +2051,7 @@ object TrainingQueries extends QueryPack {
          |WHERE l.doc_id < r.doc_id""".stripMargin,
     "graph_pagerank" -> pagerankSql,
     "graph_lpa" -> lpaSql,
+    "graph_kcore" -> kcoreSql,
     "graph_triangles" -> trianglesSql,
     // NULL heads never pair: Spark groups null blocks but the null
     // Levenshtein filters out; the SQL equi-join drops them earlier.
