@@ -90,6 +90,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("kCore: chains peel, the dense kernel survives with induced degrees") {
+    def sym(ps: (Long, Long)*) =
+      (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
+    // triangle {1,2,3} with a pendant chain 3-4-5 and an isolated edge 6-7
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    val got = GraphOps.kCore(g, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // round 1 peels 5, 6, 7 (deg 1); round 2 peels 4 (its support left);
+    // the triangle is the 2-core, each member at induced degree 2.
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // too few rounds: the chain hasn't fully unraveled yet (4 still in
+    // after round 1 — its degree was 2 before 5 peeled)
+    val r1 = GraphOps.kCore(g, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.keySet === Set(1L, 2L, 3L, 4L))
+    // k above the max degree empties the graph
+    assert(GraphOps.kCore(g, k = 5, rounds = 2).count() === 0)
+  }
+
   test("triangleCount: K4 has 4, a star has 0, duplicates don't inflate") {
     def sym(ps: (Long, Long)*) =
       (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")

@@ -70,4 +70,34 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", 2L, expA(0)), ("a", 1L, expA(1)), ("a", 0L, expA(2)),
       ("a", 1L, expA(3)), ("b", 1L, expB(0))))
   }
+
+  test("robustAnomalies flags only >3-MAD buckets; a spike can't hide itself") {
+    // key a: five quiet hours at 2 events, one spike hour with 12.
+    // median = 2, deviations = (0,0,0,0,0,10) → MAD = 0 under the strict
+    // convention, so the spike (and only the spike) flags.
+    def rows(k: String, perHour: Seq[Int]) = perHour.zipWithIndex.flatMap {
+      case (n, h) => (1 to n).map(i =>
+        (k, f"2024-01-01 $h%02d:${i % 60}%02d:00", 1.0))
+    }
+    val df = ev(rows("a", Seq(2, 2, 2, 2, 2, 12)): _*)
+    val got = TimeSeries.robustAnomalies(df, "k", "t")
+      .select("hour", "cnt", "med2", "mad4")
+      .as[(java.time.LocalDateTime, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._2, r._3, r._4)) === Seq((12L, 4L, 0L)))
+    assert(got.head._1.getHour === 5)
+
+    // spread series: counts 1..7 → median 4, devs {0..3} sorted
+    // (0,1,1,2,2,3,3) → MAD = 2; flag needs |c−4| > 6 → nothing flags,
+    // even the extremes. A mean/stddev rule with the same multiplier
+    // keeps quiet too — the point is MAD didn't false-positive a ramp.
+    val ramp = ev(rows("b", Seq(1, 2, 3, 4, 5, 6, 7)): _*)
+    assert(TimeSeries.robustAnomalies(ramp, "k", "t").count() === 0L)
+
+    // but one wild hour on the same ramp flags ONLY itself: median and
+    // MAD move a half-step, not toward the spike like mean/stddev would.
+    val spiked = ev(rows("c", Seq(1, 2, 3, 4, 5, 6, 7, 50)): _*)
+    val flagged = TimeSeries.robustAnomalies(spiked, "k", "t")
+      .select("cnt").as[Long].collect().toSeq
+    assert(flagged === Seq(50L))
+  }
 }
