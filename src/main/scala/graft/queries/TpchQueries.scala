@@ -136,13 +136,18 @@ object TpchQueries extends QueryPack {
     // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
     // max. The max-equality filter runs on the EXACT DECIMAL sum — a
     // float total_revenue would make "= max" an ulp lottery. The 1-row
-    // max broadcasts; supplier names broadcast onto the tiny survivor set.
+    // max broadcasts; supplier names broadcast onto the tiny survivor
+    // set. The per-supplier aggregate localCheckpoints: it feeds BOTH
+    // the max subquery and the equality probe, and without the lineage
+    // cut each consumer re-runs the whole lineitem scan+agg (plan showed
+    // two scans; |suppliers| rows is the cheap thing to materialize).
     "q15_top_supplier" -> { (s, dir) =>
       val revPerSupp = Tables.lineitem(s, dir)
         .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(sum(rev).as("total_rev"))
+        .localCheckpoint()
       val top = revPerSupp.agg(max(col("total_rev")).as("max_rev"))
       revPerSupp.join(broadcast(top), col("total_rev") === col("max_rev"))
         .join(broadcast(Tables.supplier(s, dir)),

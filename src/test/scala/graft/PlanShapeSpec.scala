@@ -346,6 +346,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "lineitem.parquet") == 1, p)
   }
 
+  test("Q4 shape: EXISTS is a left-semi with the correlated date predicate in-join") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), p)                // never a dedup'd inner rejoin
+    assert(p.contains("1997-01-01"), s"order date prune must reach the scan:\n$p")
+    assert(countOf(p, "lineitem.parquet") == 1, p)
+    assert(!p.contains("SortMergeJoin") || p.contains("LeftSemi"), p)
+  }
+
+  test("Q6 shape: pure scan aggregate, every predicate pushed, zero joins") {
+    val p = plan("q6_forecast")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Exchange") == 1, p)           // only the final 1-row agg
+    // (PushedFilters renders truncated; assert on the Filter text)
+    assert(p.contains(">= 1997-01-01"), p)
+    assert(p.contains(">= 0.05)"), p)
+  }
+
+  test("Q15 shape: ONE lineitem scan feeds both the max subquery and the probe") {
+    val p = plan("q15_top_supplier")
+    assert(countOf(p, "lineitem.parquet") == 0, p)   // checkpointed: scan ran once, eagerly
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)       // 1-row max + supplier names
+  }
+
+  test("Q17 shape: brand prune broadcasts into BOTH lineitem passes map-side") {
+    val p = plan("q17_small_qty")
+    assert(countOf(p, "EqualTo(p_brand,Brand#1)") == 2, p) // both part scans pruned
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p)  // part onto each pass
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q19 shape: the part-only disjunction prunes the build side at its scan") {
+    val p = plan("q19_disjunct")
+    assert(p.contains("In(p_brand"), p)              // brand ∈ {1,2,3} pushed
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"), p) // qty ranges pushed
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q22 shape: threshold is a 1-row broadcast; inactivity is a broadcast anti join") {
+    val p = plan("q22_opportunity")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThan(c_acctbal,0.0)"), p) // stats filter pushed
+  }
+
   test("skew report: topN via TakeOrdered; ranking window bounded, no key-universe sort") {
     val p = plan("diag_skew")
     assert(p.contains("TakeOrderedAndProject"), p)
