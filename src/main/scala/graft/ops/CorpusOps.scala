@@ -48,6 +48,38 @@ object CorpusOps {
         (col("n") >= k).as("anonymous"),
         TimeSeries.portableRound6(lit(1.0) / col("n")).as("risk")): _*)
 
+  /** l-diversity audit — k-anonymity's companion: a class of identical
+    * quasi-identifiers is still unsafe if everyone in it shares the
+    * SENSITIVE attribute (homogeneity attack: class size 50, all one
+    * diagnosis — k-anonymous, zero privacy). Reports each class's size,
+    * distinct sensitive values, and the ≥ l verdict. Same one-hash-agg
+    * shape as [[kAnonymity]]; countDistinct plans as the standard
+    * two-level expand-agg, both levels map-side partial. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(quasiCols.map(col) ++ Seq(col("n"), col("n_sensitive"),
+        (col("n_sensitive") >= l).as("diverse")): _*)
+
+  /** Deterministic per-group sample of exactly min(k, |group|) rows:
+    * rank by the md5 of the id within each group and keep rank ≤ k —
+    * the distributed reservoir whose selection is a pure function of
+    * the data (rerunnable, layout-independent, incremental: a re-run
+    * over a grown group re-draws fairly, unlike a true reservoir whose
+    * state depends on arrival order). The rank-≤-k filter triggers
+    * WindowGroupLimit, so every partition prunes to k rows per group
+    * MAP-SIDE before the shuffle — the agg_kmv_rollup lesson: per-group
+    * state never exceeds k. */
+  def samplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+                     k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
   /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
     * each row draws priority key ln(u(id))/w — monotone in the classic
     * u^(1/w) — and the k largest keys win, so inclusion odds scale with

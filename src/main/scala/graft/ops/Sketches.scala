@@ -199,4 +199,41 @@ object Sketches {
              estimateCol: String = "approx_users"): DataFrame =
     hllEstimateFromRegisters(hllRegisters(df, groupCols, value),
       groupCols, estimateCol)
+
+  /** Bounded-state quantiles: equi-width binned histogram + inversion.
+    * The quantile q reports the lower bound of the smallest bin whose
+    * cumulative count reaches ⌈q·n⌉ — error is one bin width, state is
+    * |bins| per group (vs `percentile()`'s full value map: the same
+    * bounded-vs-data-sized state tradeoff as agg_kmv_rollup, but for
+    * quantiles — the deterministic alternative to t-digest/KLL, whose
+    * merge/compress order makes results run-dependent). The histogram
+    * table is the mergeable sketch: partial (group, bin) counts from
+    * any split of the data sum to the same table, so rollups are exact.
+    * One hash-agg over the data; the cum-sum window runs per group over
+    * |bins| rows, and ranks/thresholds stay integers end to end. */
+  def binnedQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
+                      binWidth: Long, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "q in (0,1]")
+    val hist = df
+      .groupBy((groupCols.map(col) :+
+        floor(value / binWidth).cast("long").as("bin")): _*)
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(tot))
+    // per quantile: the first bin where cum ≥ q·n, compared as the exact
+    // integer cross-product cum·10⁶ ≥ n·(q·10⁶) — no float rank ever
+    // exists, so no bin edge can straddle an ulp in either engine.
+    val picks = qs.map { q =>
+      val q6 = (q * 1e6).round
+      min(when(col("cum") * 1000000L >= col("n") * lit(q6),
+        col("bin") * binWidth)).as(s"q${(q * 100).round}")
+    }
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("n")).as("n"), picks: _*)
+  }
 }

@@ -152,6 +152,22 @@ object AggQueries extends QueryPack {
       merged.join(direct, "event_type")
     },
 
+    // bounded-state quantiles: per-type p50/p95/p99 of the value column
+    // from a 5-dollar equi-width histogram — error is one bin width,
+    // aggregation state is |bins| per group where percentile() holds the
+    // full value map (the agg_kmv_rollup tradeoff, for quantiles — and
+    // the deterministic alternative to t-digest, whose merge order makes
+    // results run-dependent). The (type, bin) histogram is the mergeable
+    // sketch table; the quantile inversion compares cum·10⁶ ≥ n·q₆ in
+    // exact integers, so no float rank exists in either engine.
+    "agg_quantile_binned" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      Sketches.binnedQuantiles(ev, Seq("event_type"), col("cents"),
+        binWidth = 500L, qs = Seq(0.5, 0.95, 0.99))
+    },
+
     // exact Pearson correlation (items per order vs order value in
     // integer cents): all five moments accumulate as DECIMAL(38,0)
     // exact integers — order-free, engine-portable — and the only float
@@ -388,6 +404,25 @@ object AggQueries extends QueryPack {
         |  CAST(sum(CASE WHEN o_orderstatus = 'P'
         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
         |FROM orders GROUP BY 1""".stripMargin,
+    "agg_quantile_binned" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      / 500) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cw AS (SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum * 1000000 >= n * 500000
+        |    THEN bin * 500 END) AS BIGINT) AS q50,
+        |  CAST(min(CASE WHEN cum * 1000000 >= n * 950000
+        |    THEN bin * 500 END) AS BIGINT) AS q95,
+        |  CAST(min(CASE WHEN cum * 1000000 >= n * 990000
+        |    THEN bin * 500 END) AS BIGINT) AS q99
+        |FROM cw GROUP BY 1""".stripMargin,
     // KMV estimator over DISTINCT 32-bit md5 hashes: kth-smallest hash
     // (rank by hv, not user_id — a 32-bit collision merges in BOTH
     // engines), est = (k-1)/(kth/2^32), exact below k distinct.

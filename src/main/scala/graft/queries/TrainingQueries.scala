@@ -215,6 +215,25 @@ object TrainingQueries extends QueryPack {
         Seq("lang", "source", "size_bucket"), k = 5)
     },
 
+    // l-diversity audit — the homogeneity-attack check k-anonymity
+    // misses: a (source, size-bucket) class whose members all share one
+    // lang is k-anonymous yet leaks the sensitive value outright. Same
+    // one-hash-agg shape as gov_kanon.
+    "gov_ldiv" -> { (s, dir) =>
+      CorpusOps.lDiversity(
+        Tables.documents(s, dir)
+          .withColumn("size_bucket", floor(col("n_chars") / 100)),
+        Seq("source", "size_bucket"), "lang", l = 3)
+    },
+
+    // deterministic per-source sample of exactly 5 docs: md5-rank within
+    // the group, rank ≤ 5 — WindowGroupLimit prunes every partition to 5
+    // rows per source MAP-SIDE, so per-group state is k, not group size.
+    "sample_per_source" -> { (s, dir) =>
+      CorpusOps.samplePerGroup(Tables.documents(s, dir), "doc_id", "source",
+        k = 5).select("doc_id", "source")
+    },
+
     // Efraimidis–Spirakis weighted sample (w = n_chars): 50 winners by
     // ln(u)/w priority — inclusion odds scale with doc length, selection
     // is a pure function of the data. Scan + TakeOrdered top-k.
@@ -1785,6 +1804,17 @@ object TrainingQueries extends QueryPack {
         |  count(*) >= 5 AS anonymous,
         |  round(CAST(1.0 AS DOUBLE) / count(*) * 1000000) / 1000000 AS risk
         |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+    "gov_ldiv" ->
+      """SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT lang) >= 3 AS diverse
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "sample_per_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, n_chars,
         |  round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))

@@ -72,6 +72,10 @@ class PlanShapeSpec extends SparkSpec {
     // move — the declarative twin of Relational.topKPerKey's aggregator.
     val p = plan("wf_rank")
     assert(countOf(p, "WindowGroupLimit") >= 2, p) // partial + final
+    // the per-group reservoir rides the same rewrite: k rows per source
+    // survive each partition map-side, state never holds a whole group
+    val ps = plan("sample_per_source")
+    assert(countOf(ps, "WindowGroupLimit") >= 2, ps)
   }
 
   test("lineage-sensitive aggs keep map-side partial aggregation") {
