@@ -190,14 +190,26 @@ object TimeSeries {
     val hourly = events
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("cnt"))
-    val med = hourly.groupBy(col(keyCol))
-      .agg((percentile(col("cnt"), lit(0.5)) * 2).cast("long").as("med2"))
-    val dev = hourly.join(med, keyCol)
+    hourly.join(madStats(events, keyCol, tsCol), keyCol)
       .withColumn("dev2", abs(col("cnt") * 2 - col("med2")))
-    val mad = dev.groupBy(col(keyCol))
-      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
-    dev.join(mad, keyCol)
       .where(col("dev2") * 2 > col("mad4") * nMads)
       .select(col(keyCol), col("hour"), col("cnt"), col("med2"), col("mad4"))
+  }
+
+  /** The (key, med2, mad4) baseline behind [[robustAnomalies]] — exposed
+    * so a STREAM can freeze it from history and flag closing buckets
+    * against it ([[graft.streaming.MadAlarm]]): med2 = 2·median of the
+    * key's hourly counts, mad4 = 4·MAD, both exact BIGINTs. */
+  def madStats(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = hourly.groupBy(col(keyCol))
+      .agg((percentile(col("cnt"), lit(0.5)) * 2).cast("long").as("med2"))
+    hourly.join(med, keyCol)
+      .withColumn("dev2", abs(col("cnt") * 2 - col("med2")))
+      .groupBy(col(keyCol))
+      .agg(first(col("med2")).as("med2"),
+        (percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
   }
 }
