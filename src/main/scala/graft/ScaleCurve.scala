@@ -66,7 +66,15 @@ object ScaleCurve {
     // time-series folds should be FLAT past the first hash-agg (bucket
     // grid is time-range-bounded, only counts grow)
     "ts_ewma", "ts_forecast", "ev_funnel", "ev_transitions",
-    "agg_kmv_rollup", "text_phrase", "mm_phash_pairs")
+    "agg_kmv_rollup", "text_phrase", "mm_phash_pairs",
+    // fifth-wave additions: fixed-round k-core peel over span edges
+    // (per-round cost tracks edge volume, like lpa/pagerank), basket
+    // association rules (one user_id shuffle + |types|²-bounded pairs),
+    // MAD anomalies and binned quantiles (both collapse to |keys|- or
+    // |bins|-sized aggregates after one hash-agg — should be FLAT),
+    // per-group reservoir (WindowGroupLimit: map-side k rows per group)
+    "graph_kcore", "ev_cooccur", "ts_anomaly", "agg_quantile_binned",
+    "sample_per_source")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

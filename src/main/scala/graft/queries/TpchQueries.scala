@@ -197,6 +197,62 @@ object TpchQueries extends QueryPack {
         .agg(sum(rev).cast("double").as("revenue"))
     },
 
+    // TPC-H Q11 shape (important stock — partsupp-free analog: traded
+    // value per part): parts whose total lineitem value exceeds 1/1500
+    // of the GLOBAL total — the share-of-global-total HAVING pattern.
+    // One per-part aggregate; the 1-row global total broadcasts and the
+    // HAVING compares value·1500 > total in exact DECIMAL — no float
+    // fraction for a borderline part to straddle.
+    "q11_important" -> { (s, dir) =>
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("value"))
+        .localCheckpoint()
+      val total = perPart.agg(sum(col("value")).as("total"))
+      perPart.join(broadcast(total))
+        .where(col("value") * 1500 > col("total"))
+        .select(col("l_partkey"), col("value").cast("double").as("value"))
+    },
+
+    // TPC-H Q16 shape (supplier count by part descriptor): distinct
+    // suppliers per (brand, type, size-class) seen in lineitem, minus an
+    // excluded supplier set (the complaints stand-in: names ending in
+    // '7') — distinct (part, supp) pairs collapse BEFORE the descriptor
+    // rollup, the exclusion is a broadcast anti join, part broadcasts.
+    "q16_supplier_cnt" -> { (s, dir) =>
+      val excluded = Tables.supplier(s, dir)
+        .where(col("s_name").endsWith("7")).select("s_suppkey")
+      val pairs = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+            .where(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+      pairs.groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count(lit(1)).as("supplier_cnt"))
+    },
+
+    // TPC-H Q20 shape (excess-supply suppliers): suppliers who moved
+    // more than 100 units of PROMO parts in 1997 — the aggregate-derived
+    // survivor set joins supplier/nation broadcast. Quantities are
+    // integral doubles; the sum is exact.
+    "q20_excess" -> { (s, dir) =>
+      val hot = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir).where(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("promo_qty"))
+        .where(col("promo_qty") > 100)
+      hot.join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"), col("promo_qty"))
+    },
+
     // TPC-H Q22 (global sales opportunity): customers with above-average
     // positive balance and no RECENT orders (no customer is entirely
     // orderless in this data, so the anti join keys on orders since
@@ -311,6 +367,33 @@ object TpchQueries extends QueryPack {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q11_important" ->
+      """WITH pv AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(v) AS total FROM pv)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS value
+        |FROM pv, t WHERE v * 1500 > total""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_excess" ->
+      """WITH hot AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS promo_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 100)
+        |SELECT s_name, n_name, promo_qty
+        |FROM hot JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey""".stripMargin,
     "q22_opportunity" ->
       """WITH stats AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
         |    count(*) AS n_bal
