@@ -539,9 +539,41 @@ object Similarity {
               (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("d"),
             cs.getField("c").as("c")))))
         .withColumn("c", col("best.c").cast("int"))
+        .withColumn("d", col("best.d"))
         .drop("best", "cents")
     }
     (assigned, centsRow)
+  }
+
+  /** Embedding-space outliers against the TRAINED quantizer: vectors
+    * more than `nMads` MADs beyond their cell's MEDIAN squared distance
+    * to the centroid — the representation-space garbage filter
+    * (mislabeled/degenerate embeddings sit in the far tail of their
+    * cell's distance distribution). The rule is median/MAD, not a
+    * multiplicative margin, because high-dimensional distances
+    * CONCENTRATE: at dim 64 the farthest synthetic vector sits only
+    * ~1.2× the median, so "k× the median" flags nothing at any sane k,
+    * while the MAD scale adapts to the (narrow) spread — the same
+    * robustness argument as [[graft.ops.TimeSeries.robustAnomalies]],
+    * in distance space. Distances are the training pass's exact scaled
+    * integers; 2·median and 4·MAD of integers are exact BIGINTs, so the
+    * flag 2·dev2 > nMads·mad4 is a pure integer comparison —
+    * hash-checkable like the rest of the kmeans family. Two extra
+    * |cells|-sized aggregates broadcast back; the corpus is scanned by
+    * the training pass alone. */
+  def kmeansOutliers(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 8, dim: Int = 64, nMads: Int = 3): DataFrame = {
+    val (assigned, _) = lloydRounds(codedVecs(df, idCol, vecCol, k, dim), 1)
+    val med = assigned.groupBy(col("c"))
+      .agg((percentile(col("d"), lit(0.5)) * 2).cast("long").as("med2"))
+    val dev = assigned.join(broadcast(med), "c")
+      .withColumn("dev2", abs(col("d") * 2 - col("med2")))
+    val mad = dev.groupBy(col("c"))
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "c")
+      .where(col("dev2") * 2 > col("mad4") * nMads)
+      .select(col(idCol), col("c").cast("int").as("cell"),
+        col("d").as("dist2"), col("med2"), col("mad4"))
   }
 
   /** IVF ANN with a TRAINED coarse quantizer — the full production

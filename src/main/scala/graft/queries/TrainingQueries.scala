@@ -803,6 +803,17 @@ object TrainingQueries extends QueryPack {
         "embedding", k = 8, dim = 64)
     },
 
+    // embedding outliers vs the trained quantizer: vectors more than 3
+    // MADs beyond their cell's median centroid distance — the
+    // representation-space garbage filter (MAD, not a multiplicative
+    // margin: high-dim distances concentrate, so the spread is the only
+    // usable scale); integer distances, exact half-medians, pure
+    // integer flag (no float threshold exists).
+    "emb_outliers" -> { (s, dir) =>
+      Similarity.kmeansOutliers(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 8, dim = 64, nMads = 3)
+    },
+
     // representation-quality probes over the unused label column:
     // kNN label accuracy (majority vote, pinned ties) ...
     "sim_knn_label" -> { (s, dir) =>
@@ -2598,6 +2609,24 @@ object TrainingQueries extends QueryPack {
         |  CAST(mx AS DOUBLE)/1048576.0 AS vmax
         |FROM g""".stripMargin,
     "emb_kmeans" -> embKmeansSql,
+    "emb_outliers" ->
+      s"""WITH $kmeansCtes,
+         |dmin AS (SELECT vec_id, c AS cell, d FROM (SELECT vec_id, c, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |  FROM d2) WHERE rn = 1),
+         |med AS (SELECT cell,
+         |    CAST(2 * quantile_cont(d, 0.5) AS BIGINT) AS med2
+         |  FROM dmin GROUP BY 1),
+         |dev AS (SELECT vec_id, cell, d, med2,
+         |    abs(2 * d - med2) AS dev2
+         |  FROM dmin JOIN med USING (cell)),
+         |mad AS (SELECT cell,
+         |    CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+         |  FROM dev GROUP BY 1)
+         |SELECT vec_id, CAST(cell AS INT) AS cell,
+         |  CAST(d AS BIGINT) AS dist2, med2, mad4
+         |FROM dev JOIN mad USING (cell)
+         |WHERE 2 * dev2 > 3 * mad4""".stripMargin,
     "emb_gram" ->
       s"""WITH $gramCtes
          |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, g FROM gr""".stripMargin,
