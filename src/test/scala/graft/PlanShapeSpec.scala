@@ -396,6 +396,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("GreaterThan(c_acctbal,0.0)"), p) // stats filter pushed
   }
 
+  test("Q10/Q13 shapes: selective join + TakeOrdered; zero-preserving left join") {
+    val p10 = plan("q10_returned")
+    assert(p10.contains("TakeOrderedAndProject"), p10)
+    assert(p10.contains("EqualTo(l_returnflag,R)"), p10) // flag prune at the scan
+    assert(!p10.contains("CartesianProduct"), p10)
+    val p13 = plan("q13_custdist")
+    assert(p13.contains("LeftOuter"), p13)              // zero-order groups survive
+    assert(countOf(p13, "orders.parquet") == 1, p13)
+  }
+
+  test("kcore/cooccur: iterative peel is semi-join-shaped; baskets never self-join") {
+    val pk = plan("graph_kcore")
+    assert(!pk.contains("CartesianProduct"), pk)
+    assert(countOf(pk, "LeftSemi") >= 2, pk)            // both endpoint filters
+    val pc = plan("ev_cooccur")
+    assert(!pc.contains("SortMergeJoin"), s"pair/singles joins must broadcast:\n$pc")
+    assert(!pc.contains("CartesianProduct"), pc)        // 1-row n rides a broadcast BNLJ
+  }
+
+  test("MAD anomalies and binned quantiles run on aggregates, not raw rows") {
+    val pa = plan("ts_anomaly")
+    // stats windows/joins key on the aggregated hourly series: the raw
+    // events scan feeds exactly one hash-agg per pass
+    assert(pa.contains("HashAggregate"), pa)
+    assert(!pa.contains("CartesianProduct"), pa)
+    val pq = plan("agg_quantile_binned")
+    assert(countOf(pq, "events.parquet") == 1, pq)      // one raw scan
+    assert(!pq.contains("Exchange rangepartitioning"), pq) // cum-sum window is per-group
+  }
+
   test("skew report: topN via TakeOrdered; ranking window bounded, no key-universe sort") {
     val p = plan("diag_skew")
     assert(p.contains("TakeOrderedAndProject"), p)
