@@ -576,6 +576,52 @@ object Similarity {
         col("d").as("dist2"), col("med2"), col("mad4"))
   }
 
+  /** The frozen artifact behind [[kmeansOutliers]], packed for
+    * ROW-LOCAL judging: ONE row holding the sorted array of
+    * (c, arr, med2, mad4) — trained centroid plus the cell's distance
+    * median/MAD. A consumer cross-joins this broadcast row and scores
+    * any vector with a pure expression (code → distance per cell →
+    * lexicographic argmin → MAD flag), no aggregation — which is what
+    * lets [[graft.streaming.EmbeddingGuard]] run the same rule on a
+    * STREAM with zero state. */
+  def outlierProfile(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 8, dim: Int = 64): DataFrame = {
+    val (assigned, cents) = lloydRounds(codedVecs(df, idCol, vecCol, k, dim), 1)
+    val med = assigned.groupBy(col("c"))
+      .agg((percentile(col("d"), lit(0.5)) * 2).cast("long").as("med2"))
+    val mad = assigned.join(broadcast(med), "c")
+      .withColumn("dev2", abs(col("d") * 2 - col("med2")))
+      .groupBy(col("c"))
+      .agg(first(col("med2")).as("med2"),
+        (percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    cents.select(explode(col("cents")).as("ce"))
+      .select(col("ce.c").as("c"), col("ce.arr").as("arr"))
+      .join(mad, "c")
+      .agg(sort_array(collect_list(
+        struct(col("c"), col("arr"), col("med2"), col("mad4")))).as("cells"))
+  }
+
+  /** Row-local outlier verdict against a frozen [[outlierProfile]] row:
+    * the scoring expression shared by the batch and streaming paths.
+    * Input must already carry the profile's `cells` column. */
+  private[graft] def outlierVerdict(vecCol: String, dim: Int,
+                                    nMads: Int): Seq[Column] = {
+    val coded = transform(asDouble(col(vecCol)),
+      x => round(x * FixedPointScale).cast("long"))
+    val best = array_min(transform(col("cells"), ce =>
+      struct(
+        aggregate(zip_with(coded, ce.getField("arr"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("d"),
+        ce.getField("c").as("c"), ce.getField("med2").as("med2"),
+        ce.getField("mad4").as("mad4"))))
+    Seq(best.getField("c").cast("int").as("cell"),
+      best.getField("d").as("dist2"),
+      best.getField("med2").as("med2"),
+      best.getField("mad4").as("mad4"),
+      (abs(best.getField("d") * 2 - best.getField("med2")) * 2 >
+        best.getField("mad4") * nMads).as("outlier"))
+  }
+
   /** IVF ANN with a TRAINED coarse quantizer — the full production
     * lifecycle in one reproducible plan: [[kmeansFixedPoint]]'s Lloyd
     * rounds train the centers, the corpus assigns to its trained cell,
