@@ -236,4 +236,24 @@ object Sketches {
     cum.groupBy(groupCols.map(col): _*)
       .agg(max(col("n")).as("n"), picks: _*)
   }
+
+  /** Quantile inversion over an already-collected sorted (bin, c)
+    * histogram ARRAY — the expression-only form of [[binnedQuantiles]]'
+    * pick, for contexts where the histogram must live inside ONE
+    * aggregate value (a streaming chained aggregation's state, a
+    * sketch-table row). Same exact-integer rank rule: first bin whose
+    * cum·10⁶ reaches n·q₆. */
+  def histQuantile(hist: Column, n: Column, binWidth: Long,
+                   q: Double): Column = {
+    val q6 = (q * 1e6).round
+    aggregate(hist,
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+      (acc, h) => {
+        val cum2 = acc.getField("cum") + h.getField("c")
+        struct(cum2.as("cum"),
+          coalesce(acc.getField("ans"),
+            when(cum2 * 1000000L >= n * q6,
+              h.getField("bin") * binWidth)).as("ans"))
+      }).getField("ans")
+  }
 }
