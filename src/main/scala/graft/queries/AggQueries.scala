@@ -168,6 +168,41 @@ object AggQueries extends QueryPack {
         binWidth = 500L, qs = Seq(0.5, 0.95, 0.99))
     },
 
+    // MERGEABILITY certificate for the binned-quantile sketch — the
+    // agg_kmv_rollup pattern for percentiles: daily (type, bin) count
+    // tables (what a sketch table stores) merge by ADDITION per type,
+    // and the quantiles inverted from the merged histogram EQUAL the
+    // direct single-pass answer — exactly because the histogram is a
+    // counts vector and addition is associative, which is the property
+    // t-digest/KLL trade away. Both columns hash-check; their equality
+    // is the theorem, certified on real data.
+    "agg_quantile_rollup" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor((col("value").cast("decimal(18,2)") * 100).cast("long") / 500)
+          .cast("long").as("bin"))
+      val daily = ev.groupBy("event_type", "day", "bin")
+        .agg(count(lit(1)).as("c"))
+      val merged = daily.groupBy("event_type", "bin")
+        .agg(sum(col("c")).as("c"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("bin"), col("c"))))
+          .as("hist"))
+        .withColumn("n",
+          aggregate(col("hist"), lit(0L), (a, h) => a + h.getField("c")))
+        .select(col("event_type"),
+          Sketches.histQuantile(col("hist"), col("n"), 500L, 0.95)
+            .as("q95_merged"))
+      val direct = Sketches.binnedQuantiles(
+          Tables.events(s, dir).select(col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents")),
+          Seq("event_type"), col("cents"), binWidth = 500L, qs = Seq(0.95))
+        .select(col("event_type"), col("q95").as("q95_direct"))
+      merged.join(direct, "event_type")
+    },
+
     // exact Pearson correlation (items per order vs order value in
     // integer cents): all five moments accumulate as DECIMAL(38,0)
     // exact integers — order-free, engine-portable — and the only float
@@ -404,6 +439,39 @@ object AggQueries extends QueryPack {
         |  CAST(sum(CASE WHEN o_orderstatus = 'P'
         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
         |FROM orders GROUP BY 1""".stripMargin,
+    // the merged path re-derives from daily partials, the direct path
+    // from one pass; both invert with the same exact-integer rank rule.
+    "agg_quantile_rollup" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      / 500) AS BIGINT) AS bin
+        |  FROM events),
+        |daily AS (SELECT event_type, day, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |m AS (SELECT event_type, bin, CAST(sum(c) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1, 2),
+        |cw AS (SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM m),
+        |mq AS (SELECT event_type,
+        |    CAST(min(CASE WHEN cum * 1000000 >= n * 950000
+        |      THEN bin * 500 END) AS BIGINT) AS q95_merged
+        |  FROM cw GROUP BY 1),
+        |cd AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |cw2 AS (SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM cd),
+        |dq AS (SELECT event_type,
+        |    CAST(min(CASE WHEN cum * 1000000 >= n * 950000
+        |      THEN bin * 500 END) AS BIGINT) AS q95_direct
+        |  FROM cw2 GROUP BY 1)
+        |SELECT event_type, q95_merged, q95_direct
+        |FROM mq JOIN dq USING (event_type)""".stripMargin,
     "agg_quantile_binned" ->
       """WITH h AS (SELECT event_type,
         |    CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
