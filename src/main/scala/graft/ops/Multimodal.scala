@@ -306,6 +306,45 @@ object Multimodal {
     }
   }
 
+  final case class PcmEnergy(id: Long, n_frames: Long, peak_frame: Int,
+                             peak_energy: Long, total_energy: Long)
+
+  /** Windowed frame energy over int16 PCM: the payload splits into
+    * fixed `frameLen`-sample frames (tail under a full frame drops) and
+    * each frame's energy is its exact integer Σ s² — the voice-activity
+    * / loudness profile every audio-curation pass starts from (silence
+    * trimming, clipping detection, segment selection). Reports the peak
+    * frame (ties → earliest), its energy, and the total. Same typed
+    * per-partition seam as [[pcmStats]]: byte decode is genuinely
+    * non-Catalyst, everything downstream is exact integers (≤ 2³⁶ per
+    * frame at frameLen 64, no overflow anywhere near 2⁶³). */
+  def pcmFrameEnergy(media: Dataset[Row], frameLen: Int = 64)
+                    (implicit spark: SparkSession): Dataset[PcmEnergy] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val b = rec.media
+        val nFrames = b.length / 2 / frameLen
+        var f = 0
+        var peakF = 0; var peakE = -1L; var total = 0L
+        while (f < nFrames) {
+          var i = 0; var e = 0L
+          while (i < frameLen) {
+            val o = 2 * (f * frameLen + i)
+            val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toLong
+            e += s * s
+            i += 1
+          }
+          if (e > peakE) { peakE = e; peakF = f }
+          total += e
+          f += 1
+        }
+        if (nFrames == 0) PcmEnergy(rec.id, 0L, 0, 0L, 0L)
+        else PcmEnergy(rec.id, nFrames.toLong, peakF, peakE, total)
+      }
+    }
+  }
+
   /** One resized record: id + fixed-length resampled payload. */
   final case class Resized(id: Long, resized: Array[Byte])
 

@@ -948,6 +948,16 @@ object TrainingQueries extends QueryPack {
           .withColumn("mime", lit("audio/pcm"))).toDF()
     },
 
+    // windowed PCM frame energy: 64-sample frames, exact integer Σs² per
+    // frame — peak frame (earliest tie), peak and total energy; the
+    // loudness/VAD profile of the audio-curation pass.
+    "mm_audio_energy" -> { (s, dir) =>
+      implicit val spark = s
+      Multimodal.pcmFrameEnergy(
+        Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("mime", lit("audio/pcm")), frameLen = 64).toDF()
+    },
+
     // image-dedup fingerprint: REAL ImageIO decode → 4x4 average-hash.
     // The oracle replays the 16 pixel grays from the BMP byte layout
     // (bottom-up rows; gray = channel sum, so BGR order cancels) and the
@@ -2816,6 +2826,29 @@ object TrainingQueries extends QueryPack {
         |  CAST(coalesce(a.sm, 0) AS BIGINT) AS sum_s,
         |  CAST(coalesce(a.sa, 0) AS BIGINT) AS sum_abs
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    // frame-energy replay: same char→int16 pairing, only FULL 64-sample
+    // frames count, peak = (energy DESC, frame ASC) rank 1.
+    "mm_audio_energy" ->
+      """WITH sm AS (SELECT doc_id, CAST(i // 64 AS BIGINT) AS f,
+        |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+        |  FROM (SELECT doc_id, i, ord(substr(text, CAST(2*i+1 AS INT), 1))
+        |          + 256 * ord(substr(text, CAST(2*i+2 AS INT), 1)) AS v
+        |        FROM (SELECT doc_id, text,
+        |                unnest(range((length(text) // 2 // 64) * 64)) AS i
+        |              FROM documents))),
+        |fe AS (SELECT doc_id, f, sum(sv * sv) AS e FROM sm GROUP BY 1, 2),
+        |pk AS (SELECT doc_id, f, e,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY e DESC, f ASC) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS nf,
+        |    sum(e) OVER (PARTITION BY doc_id) AS te
+        |  FROM fe)
+        |SELECT d.doc_id AS id, CAST(coalesce(p.nf, 0) AS BIGINT) AS n_frames,
+        |  CAST(coalesce(p.f, 0) AS INT) AS peak_frame,
+        |  CAST(coalesce(p.e, 0) AS BIGINT) AS peak_energy,
+        |  CAST(coalesce(p.te, 0) AS BIGINT) AS total_energy
+        |FROM documents d LEFT JOIN (SELECT * FROM pk WHERE rn = 1) p
+        |  ON p.doc_id = d.doc_id""".stripMargin,
     // Average-hash replay: pixel (x, y) of the 4x4 BMP sits at payload
     // offset (3-y)*12 + 3x (bottom-up rows, rowSize 12); gray = sum of
     // its 3 channel bytes ('A'=65 padding past the text); bit p set iff

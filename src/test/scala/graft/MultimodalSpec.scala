@@ -121,6 +121,24 @@ class MultimodalSpec extends SparkSpec {
       z.sum_s === 0L && z.sum_abs === 0L)
   }
 
+  test("pcmFrameEnergy: exact frame sums, earliest peak tie, partial frame drops") {
+    // frameLen 2: frames [1, 2] e=5, [3, -4] e=25, [3, 4] e=25 (tie →
+    // frame 1 wins), trailing lone sample drops.
+    def le(s: Int): Seq[Byte] =
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    val payload = (Seq(1, 2, 3, -4, 3, 4).flatMap(le) :+ 0x42.toByte).toArray
+    val rows = Multimodal.pcmFrameEnergy(mediaDF(
+        (1L, payload, "audio/pcm"),
+        (2L, le(7).toArray, "audio/pcm")), frameLen = 2) // 1 sample < frame
+      .collect().map(r => r.id -> r).toMap
+    val p = rows(1L)
+    assert(p.n_frames === 3L)
+    assert(p.peak_frame === 1 && p.peak_energy === 25L)
+    assert(p.total_energy === (5L + 25L + 25L))
+    val z = rows(2L)
+    assert(z.n_frames === 0L && z.peak_energy === 0L && z.total_energy === 0L)
+  }
+
   test("decodeFeatures is mime-gated: image/* decodes, text keeps the 4-wide byte contract") {
     val bmp = Multimodal.bmpFromBytes((0 until 48).map(_.toByte).toArray, 4, 4)
     val feats = Multimodal.decodeFeatures(mediaDF(
