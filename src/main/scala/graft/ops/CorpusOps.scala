@@ -63,6 +63,42 @@ object CorpusOps {
       .select(quasiCols.map(col) ++ Seq(col("n"), col("n_sensitive"),
         (col("n_sensitive") >= l).as("diverse")): _*)
 
+  /** t-closeness audit — the distribution leg of the privacy triad
+    * (k-anonymity: class size; l-diversity: sensitive cardinality;
+    * t-closeness: a class whose sensitive DISTRIBUTION diverges from
+    * the corpus-wide one leaks by skew even when diverse). Reports each
+    * class's total-variation distance ½·Σ|p_class − p_global| and the
+    * ≤ t verdict. Every term is the exact integer cross-product
+    * |c_v·N − g_v·n_class| (DECIMAL(38,0) — the products overflow a
+    * BIGINT at petabyte class sizes), summed exactly; ONE double
+    * division at the end, portably rounded, so the verdict compares a
+    * deterministic value. The global distribution and row count
+    * broadcast; the class×value grid is |classes|·|values| — the full
+    * support, so absent values contribute their g_v·n term. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val tot = df.agg(count(lit(1)).as("nn"))
+    val gv = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("g"))
+    val cls = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val cv = df.groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("c"))
+    cls.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
+      .join(cv, quasiCols :+ sensitiveCol, "left")
+      .withColumn("term",
+        abs(d38(coalesce(col("c"), lit(0L))) * d38(col("nn")) -
+          d38(col("g")) * d38(col("n"))))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(first(col("n")).as("n"), first(col("nn")).as("nn"),
+        sum(col("term")).as("ts"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("n"),
+        TimeSeries.portableRound6(col("ts").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("nn").cast("double")))
+          .as("tv")): _*)
+      .withColumn("close", col("tv") <= t)
+  }
+
   /** Deterministic per-group sample of exactly min(k, |group|) rows:
     * rank by the md5 of the id within each group and keep rank ≤ k —
     * the distributed reservoir whose selection is a pure function of

@@ -197,6 +197,38 @@ object TpchQueries extends QueryPack {
         .agg(sum(rev).cast("double").as("revenue"))
     },
 
+    // TPC-H Q2 shape (min-cost supplier — partsupp-free analog: best
+    // OBSERVED unit price): per part, the ASIA-region supplier with the
+    // lowest observed l_extendedprice/l_quantity, ties to the smallest
+    // suppkey — the two-level argmin pattern. The unit price is ONE
+    // IEEE division per line (both engines divide the same stored
+    // doubles, so min/argmin agree bit-for-bit); the argmin rides a
+    // (price, suppkey) struct-min aggregate — partial-agg collapses
+    // map-side, never a rank window. Region restriction broadcasts into
+    // the scan side; output bounded to large parts.
+    "q2_mincost" -> { (s, dir) =>
+      val asiaSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir)
+              .where(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("sk"), col("s_name"))
+      val best = Tables.lineitem(s, dir)
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("sk"))
+        .groupBy(col("l_partkey"))
+        .agg(min(struct(
+          (col("l_extendedprice") / col("l_quantity")).as("unit"),
+          col("l_suppkey").as("supp"))).as("m"))
+        .select(col("l_partkey"), col("m.supp").as("s_suppkey"),
+          col("m.unit").as("unit_price"))
+      best.join(broadcast(Tables.part(s, dir).where(col("p_size") >= 40)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          graft.ops.TimeSeries.portableRound6(col("unit_price"))
+            .as("unit_price"))
+    },
+
     // TPC-H Q11 shape (important stock — partsupp-free analog: traded
     // value per part): parts whose total lineitem value exceeds 1/1500
     // of the GLOBAL total — the share-of-global-total HAVING pattern.
@@ -367,6 +399,21 @@ object TpchQueries extends QueryPack {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q2_mincost" ->
+      """WITH asia AS (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON n_nationkey = s_nationkey
+        |    JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |best AS (SELECT l_partkey, l_suppkey,
+        |    l_extendedprice / l_quantity AS unit,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
+        |  FROM lineitem JOIN asia ON s_suppkey = l_suppkey)
+        |SELECT p_partkey, p_brand, l_suppkey AS s_suppkey,
+        |  round(unit * 1000000) / 1000000 AS unit_price
+        |FROM (SELECT * FROM best WHERE rn = 1) b
+        |  JOIN part ON p_partkey = l_partkey
+        |WHERE p_size >= 40""".stripMargin,
     "q11_important" ->
       """WITH pv AS (SELECT l_partkey,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v

@@ -226,6 +226,17 @@ object TrainingQueries extends QueryPack {
         Seq("source", "size_bucket"), "lang", l = 3)
     },
 
+    // t-closeness audit — the distribution leg of the privacy triad: a
+    // class whose lang distribution diverges from the corpus-wide one
+    // leaks by skew even when l-diverse. TV distance from exact integer
+    // cross-products, one portably-rounded division.
+    "gov_tclose" -> { (s, dir) =>
+      CorpusOps.tCloseness(
+        Tables.documents(s, dir)
+          .withColumn("size_bucket", floor(col("n_chars") / 100)),
+        Seq("source", "size_bucket"), "lang", t = 0.5)
+    },
+
     // deterministic per-source sample of exactly 5 docs: md5-rank within
     // the group, rank ≤ 5 — WindowGroupLimit prunes every partition to 5
     // rows per source MAP-SIDE, so per-group state is k, not group size.
@@ -1831,6 +1842,27 @@ object TrainingQueries extends QueryPack {
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
         |  count(DISTINCT lang) >= 3 AS diverse
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "gov_tclose" ->
+      """WITH docs AS (SELECT source,
+        |    CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket, lang
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS nn FROM docs),
+        |g AS (SELECT lang, count(*) AS g FROM docs GROUP BY 1),
+        |cls AS (SELECT source, size_bucket, count(*) AS n
+        |  FROM docs GROUP BY 1, 2),
+        |cv AS (SELECT source, size_bucket, lang, count(*) AS c
+        |  FROM docs GROUP BY 1, 2, 3),
+        |grid AS (SELECT cls.source, cls.size_bucket, cls.n, tot.nn,
+        |    abs(coalesce(cv.c, 0) * tot.nn - g.g * cls.n) AS term
+        |  FROM cls CROSS JOIN g CROSS JOIN tot
+        |    LEFT JOIN cv ON cv.source = cls.source
+        |      AND cv.size_bucket = cls.size_bucket AND cv.lang = g.lang),
+        |tv AS (SELECT source, size_bucket, CAST(max(n) AS BIGINT) AS n,
+        |    round(CAST(sum(term) AS DOUBLE)
+        |      / (2.0 * max(n) * max(nn)) * 1000000) / 1000000 AS tv
+        |  FROM grid GROUP BY 1, 2)
+        |SELECT source, size_bucket, n, tv, tv <= 0.5 AS close
+        |FROM tv""".stripMargin,
     "sample_per_source" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
