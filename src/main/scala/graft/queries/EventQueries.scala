@@ -325,6 +325,28 @@ object EventQueries extends QueryPack {
           round(element_at(col("ps"), 2) / 1000000.0, 4).as("p90_sec"))
     },
 
+    // inter-arrival gap distribution per event type: consecutive-event
+    // gaps within each (user, type) stream in exact integer MICROseconds
+    // (the proven conversion-lag discipline), one shuffle on the
+    // (user, type) window key, then a |types|-row quantile aggregate —
+    // the hazard/engagement-cadence readout.
+    "ev_interarrival" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val ep = unix_micros(col("ts").cast("timestamp"))
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(ep, 1).over(w))
+        .where(col("prev_us").isNotNull)
+        .select(col("event_type"), (ep - col("prev_us")).as("gap_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap_us, array(0.5D, 0.9D))").as("ps"))
+        .select(col("event_type"), col("n_gaps"),
+          round(element_at(col("ps"), 1) / 1000000.0, 4).as("p50_sec"),
+          round(element_at(col("ps"), 2) / 1000000.0, 4).as("p90_sec"))
+    },
+
     // seasonal-naive backtest: predict each hour's count with the count
     // 24h earlier on the gap-filled grid; exact-integer MAE/bias per
     // type — the baseline any forecaster must beat.
@@ -601,6 +623,16 @@ object EventQueries extends QueryPack {
         |  round(quantile_cont(lag_us, 0.5) / 1000000.0, 4) AS p50_sec,
         |  round(quantile_cont(lag_us, 0.9) / 1000000.0, 4) AS p90_sec
         |FROM lagged WHERE lag_us IS NOT NULL""".stripMargin,
+    "ev_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap_us, 0.5) / 1000000.0, 4) AS p50_sec,
+        |  round(quantile_cont(gap_us, 0.9) / 1000000.0, 4) AS p90_sec
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
     "ts_forecast" ->
       """WITH h0 AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
