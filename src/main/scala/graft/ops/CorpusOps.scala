@@ -78,11 +78,15 @@ object CorpusOps {
   def tCloseness(df: DataFrame, quasiCols: Seq[String],
                  sensitiveCol: String, t: Double): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val tot = df.agg(count(lit(1)).as("nn"))
-    val gv = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("g"))
-    val cls = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
+    // ONE corpus scan: the (quasi, sensitive) counts are the finest
+    // aggregate — class sizes, the global sensitive distribution, and
+    // the corpus total are all exact rollups of it (tiny, checkpointed
+    // so the three rollups don't re-run the scan).
     val cv = df.groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val tot = cv.agg(sum(col("c")).as("nn"))
+    val gv = cv.groupBy(col(sensitiveCol)).agg(sum(col("c")).as("g"))
+    val cls = cv.groupBy(quasiCols.map(col): _*).agg(sum(col("c")).as("n"))
     cls.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
       .join(cv, quasiCols :+ sensitiveCol, "left")
       .withColumn("term",

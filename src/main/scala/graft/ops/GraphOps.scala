@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   * pass reviews. */
 object GraphOps {
 
+  /** All (a, b) pairs with a before b from a SORTED array — the
+    * posting-list pair fan-out shared by [[spanEdges]] and the basket
+    * co-occurrence query (one maintained copy of the 1-based slice
+    * arithmetic). */
+  def sortedPairs(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(arr, (a, i) =>
+      transform(slice(arr, i + lit(2), greatest(size(arr) - i - 1, lit(0))),
+        b => struct(a.as("a"), b.as("b")))))
+
   /** Undirected dup-graph edges: distinct doc pairs sharing at least one
     * w-token span, both directions. The posting-list expansion (sorted
     * ids per span, map-side pair fan-out) — never a shingle self-join —
@@ -26,10 +35,7 @@ object GraphOps {
       .groupBy("shingle")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")).between(2, maxDocFreq))
-    val pairs = posting.select(explode(flatten(transform(col("ids"), (a, i) =>
-      transform(
-        slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - 1, lit(0))),
-        b => struct(a.as("a"), b.as("b")))))).as("p"))
+    val pairs = posting.select(explode(sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))

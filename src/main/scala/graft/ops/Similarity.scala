@@ -563,14 +563,14 @@ object Similarity {
     * the training pass alone. */
   def kmeansOutliers(df: DataFrame, idCol: String, vecCol: String,
                      k: Int = 8, dim: Int = 64, nMads: Int = 3): DataFrame = {
-    val (assigned, _) = lloydRounds(codedVecs(df, idCol, vecCol, k, dim), 1)
-    val med = assigned.groupBy(col("c"))
-      .agg((percentile(col("d"), lit(0.5)) * 2).cast("long").as("med2"))
-    val dev = assigned.join(broadcast(med), "c")
+    // checkpoint: the assignment feeds the median pass, the MAD pass,
+    // and the flag join — without the lineage cut each consumer re-runs
+    // Lloyd training from the raw scan (measured 3× the cost).
+    val assigned = lloydRounds(codedVecs(df, idCol, vecCol, k, dim), 1)
+      ._1.select(col(idCol), col("c"), col("d")).localCheckpoint()
+    assigned
+      .join(broadcast(TimeSeries.robustStats(assigned, "c", "d")), "c")
       .withColumn("dev2", abs(col("d") * 2 - col("med2")))
-    val mad = dev.groupBy(col("c"))
-      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
-    dev.join(broadcast(mad), "c")
       .where(col("dev2") * 2 > col("mad4") * nMads)
       .select(col(idCol), col("c").cast("int").as("cell"),
         col("d").as("dist2"), col("med2"), col("mad4"))
@@ -586,17 +586,13 @@ object Similarity {
     * STREAM with zero state. */
   def outlierProfile(df: DataFrame, idCol: String, vecCol: String,
                      k: Int = 8, dim: Int = 64): DataFrame = {
-    val (assigned, cents) = lloydRounds(codedVecs(df, idCol, vecCol, k, dim), 1)
-    val med = assigned.groupBy(col("c"))
-      .agg((percentile(col("d"), lit(0.5)) * 2).cast("long").as("med2"))
-    val mad = assigned.join(broadcast(med), "c")
-      .withColumn("dev2", abs(col("d") * 2 - col("med2")))
-      .groupBy(col("c"))
-      .agg(first(col("med2")).as("med2"),
-        (percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    val (assignedRaw, cents) =
+      lloydRounds(codedVecs(df, idCol, vecCol, k, dim), 1)
+    // same lineage cut as kmeansOutliers: stats make two passes
+    val assigned = assignedRaw.select(col("c"), col("d")).localCheckpoint()
     cents.select(explode(col("cents")).as("ce"))
       .select(col("ce.c").as("c"), col("ce.arr").as("arr"))
-      .join(mad, "c")
+      .join(TimeSeries.robustStats(assigned, "c", "d"), "c")
       .agg(sort_array(collect_list(
         struct(col("c"), col("arr"), col("med2"), col("mad4")))).as("cells"))
   }

@@ -227,11 +227,18 @@ object Sketches {
       .withColumn("n", sum(col("c")).over(tot))
     // per quantile: the first bin where cum ≥ q·n, compared as the exact
     // integer cross-product cum·10⁶ ≥ n·(q·10⁶) — no float rank ever
-    // exists, so no bin edge can straddle an ulp in either engine.
-    val picks = qs.map { q =>
+    // exists, so no bin edge can straddle an ulp in either engine. The
+    // products go through DECIMAL(38,0): a BIGINT cum·10⁶ wraps past
+    // ~9.2e12 rows per group (DuckDB's HUGEINT promotion would sail on,
+    // silently diverging) — the same overflow rule as tCloseness.
+    val labels = qs.map(q => s"q${(q * 100).round}")
+    require(labels.distinct == labels,
+      s"quantile labels collide at 2-digit resolution: $qs")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val picks = qs.zip(labels).map { case (q, label) =>
       val q6 = (q * 1e6).round
-      min(when(col("cum") * 1000000L >= col("n") * lit(q6),
-        col("bin") * binWidth)).as(s"q${(q * 100).round}")
+      min(when(d38(col("cum")) * 1000000L >= d38(col("n")) * lit(q6),
+        col("bin") * binWidth)).as(label)
     }
     cum.groupBy(groupCols.map(col): _*)
       .agg(max(col("n")).as("n"), picks: _*)
@@ -246,13 +253,15 @@ object Sketches {
   def histQuantile(hist: Column, n: Column, binWidth: Long,
                    q: Double): Column = {
     val q6 = (q * 1e6).round
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
     aggregate(hist,
       struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
       (acc, h) => {
         val cum2 = acc.getField("cum") + h.getField("c")
+        // DECIMAL cross-product: same overflow rule as binnedQuantiles.
         struct(cum2.as("cum"),
           coalesce(acc.getField("ans"),
-            when(cum2 * 1000000L >= n * q6,
+            when(d38(cum2) * 1000000L >= d38(n) * q6,
               h.getField("bin") * binWidth)).as("ans"))
       }).getField("ans")
   }

@@ -187,27 +187,45 @@ object TimeSeries {
     * joins reuse the series' partitioning. */
   def robustAnomalies(events: DataFrame, keyCol: String, tsCol: String,
                       nMads: Int = 3): DataFrame = {
-    val hourly = events
-      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
-      .agg(count(lit(1)).as("cnt"))
-    hourly.join(madStats(events, keyCol, tsCol), keyCol)
+    // ONE raw scan: the hourly series localCheckpoints, then feeds the
+    // median pass, the MAD pass, and the final flag join — without the
+    // lineage cut each consumer re-runs the raw hash-agg (three scans
+    // of the fact table for one audit).
+    val hourly = hourlyCounts(events, keyCol, tsCol).localCheckpoint()
+    hourly.join(robustStats(hourly, keyCol, "cnt"), keyCol)
       .withColumn("dev2", abs(col("cnt") * 2 - col("med2")))
       .where(col("dev2") * 2 > col("mad4") * nMads)
       .select(col(keyCol), col("hour"), col("cnt"), col("med2"), col("mad4"))
   }
 
+  private def hourlyCounts(events: DataFrame, keyCol: String,
+                           tsCol: String): DataFrame =
+    events.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** The (key, med2, mad4) baseline behind [[robustAnomalies]] — exposed
     * so a STREAM can freeze it from history and flag closing buckets
     * against it ([[graft.streaming.MadAlarm]]): med2 = 2·median of the
     * key's hourly counts, mad4 = 4·MAD, both exact BIGINTs. */
-  def madStats(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
-    val hourly = events
-      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
-      .agg(count(lit(1)).as("cnt"))
-    val med = hourly.groupBy(col(keyCol))
-      .agg((percentile(col("cnt"), lit(0.5)) * 2).cast("long").as("med2"))
-    hourly.join(med, keyCol)
-      .withColumn("dev2", abs(col("cnt") * 2 - col("med2")))
+  def madStats(events: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    robustStats(hourlyCounts(events, keyCol, tsCol).localCheckpoint(),
+      keyCol, "cnt")
+
+  /** The shared robust-stats kernel: per key, med2 = 2·median and
+    * mad4 = 4·MAD of an INTEGER value column, both exact BIGINTs (the
+    * median of n integers is integral or a half). One rule, one
+    * implementation — [[robustAnomalies]]/[[madStats]] use it over
+    * hourly counts, [[graft.ops.Similarity.kmeansOutliers]] over
+    * centroid distances — so the strict-MAD convention (mad4 = 0 flags
+    * any deviation) cannot drift between batch and streaming twins.
+    * The |keys|-row median table broadcasts back for the deviation
+    * pass; callers with an expensive `df` lineage should checkpoint it
+    * first (both passes re-execute it otherwise). */
+  def robustStats(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg((percentile(col(valueCol), lit(0.5)) * 2).cast("long").as("med2"))
+    df.join(broadcast(med), keyCol)
+      .withColumn("dev2", abs(col(valueCol) * 2 - col("med2")))
       .groupBy(col(keyCol))
       .agg(first(col("med2")).as("med2"),
         (percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))

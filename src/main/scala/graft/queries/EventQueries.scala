@@ -254,13 +254,15 @@ object EventQueries extends QueryPack {
       val n = t.agg(count_distinct(col("user_id")).as("nu"))
       val baskets = t.groupBy("user_id")
         .agg(sort_array(collect_set(col("event_type"))).as("ts"))
-      val pairs = baskets.select(explode(flatten(transform(col("ts"), (a, i) =>
-          transform(
-            slice(col("ts"), i + lit(2),
-              greatest(size(col("ts")) - i - 1, lit(0))),
-            b => struct(a.as("a"), b.as("b")))))).as("p"))
+      val pairs = baskets
+        .select(explode(graft.ops.GraphOps.sortedPairs(col("ts"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("supp_ab"))
+      // DECIMAL products before the double cast: a BIGINT supp_a·supp_b
+      // wraps once supports pass ~3e9 (exactness preserved — decimal
+      // is as exact as the integer product, and the decimal→double
+      // cast rounds once like the oracle's HUGEINT→double).
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       pairs
         .join(broadcast(singles.select(col("event_type").as("a"),
           col("supp").as("supp_a"))), "a")
@@ -270,8 +272,9 @@ object EventQueries extends QueryPack {
         .select(col("a"), col("b"), col("supp_ab"), col("supp_a"),
           col("supp_b"),
           graft.ops.TimeSeries.portableRound6(
-            (col("supp_ab") * col("nu")).cast("double") /
-              (col("supp_a") * col("supp_b")).cast("double")).as("lift"),
+            (d38(col("supp_ab")) * d38(col("nu"))).cast("double") /
+              (d38(col("supp_a")) * d38(col("supp_b"))).cast("double"))
+            .as("lift"),
           graft.ops.TimeSeries.portableRound6(
             col("supp_ab").cast("double") / col("supp_a").cast("double"))
             .as("confidence"))

@@ -4,21 +4,27 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.ops.Tables
 
-/** SURVEY §2.9 completion: the remaining TPC-H shapes expressible in this
-  * schema (no partsupp table, no commit/receipt dates — late uses the
-  * repo-wide ship > order + 60 days convention; Q2/Q11/Q16/Q20 need
-  * partsupp and are out of schema).
+/** SURVEY §2.9 completion: the remaining TPC-H shapes, so all 22 are
+  * covered. No commit/receipt dates in this schema — late uses the
+  * repo-wide ship > order + 60 days convention; Q2/Q11/Q16/Q20's
+  * partsupp semantics are adapted to lineitem-OBSERVED supply (best
+  * observed unit price, traded value, suppliers seen per descriptor,
+  * quantities actually moved).
   *
   * Each query is here for a DISTINCT optimizer pattern:
+  *  - Q2  two-level argmin (struct-min aggregate, never a rank window)
   *  - Q4  correlated EXISTS → left-semi with a join-condition predicate
   *  - Q6  pure scan aggregate — every filter pushed to parquet
   *  - Q8  two-level conditional share with a dimension-role split
   *  - Q10 selective fact-fact join + top-k, no global sort
+  *  - Q11 share-of-global-total HAVING (1-row broadcast, exact compare)
   *  - Q13 count-of-counts (left join preserving zero groups)
   *  - Q15 aggregate-derived view + exact max-equality (DECIMAL, not float)
+  *  - Q16 distinct-pair collapse + broadcast-anti exclusion
   *  - Q17 correlated scalar AVG → per-key aggregate join, compared as an
   *        exact integer cross-multiplication (never avg() floats)
   *  - Q19 disjunctive mixed-table predicate (OR of AND-blocks)
+  *  - Q20 aggregate-derived survivor semi-chain
   *  - Q22 scalar-subquery threshold + anti join, threshold compared
   *        exactly via sum/count cross-multiplication
   *
