@@ -328,6 +328,25 @@ object EventQueries extends QueryPack {
           round(element_at(col("ps"), 2) / 1000000.0, 4).as("p90_sec"))
     },
 
+    // session-level rollup: wf_sessionize's session assignment carried
+    // into per-session facts — event count, exact integer duration in
+    // microseconds, conversion flag — the table session-based analytics
+    // (length distributions, conversion-by-depth) reads. Both window
+    // passes and the final aggregate share ONE user_id shuffle.
+    "ev_session_stats" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ep = unix_micros(col("ts").cast("timestamp"))
+      val gap = ep - lag(ep, 1).over(w) > 1800L * 1000000L
+      Tables.events(s, dir)
+        .withColumn("session_seq",
+          sum(when(coalesce(gap, lit(false)), 1L).otherwise(0L)).over(w))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(ep) - min(ep)).as("duration_us"),
+          max(col("event_type") === "purchase").as("converted"))
+    },
+
     // inter-arrival gap distribution per event type: consecutive-event
     // gaps within each (user, type) stream in exact integer MICROseconds
     // (the proven conversion-lag discipline), one shuffle on the
@@ -626,6 +645,22 @@ object EventQueries extends QueryPack {
         |  round(quantile_cont(lag_us, 0.5) / 1000000.0, 4) AS p50_sec,
         |  round(quantile_cont(lag_us, 0.9) / 1000000.0, 4) AS p90_sec
         |FROM lagged WHERE lag_us IS NOT NULL""".stripMargin,
+    "ev_session_stats" ->
+      """WITH m AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |           > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT user_id, event_type, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS session_seq
+        |  FROM m)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+        |    AS duration_us,
+        |  max(event_type = 'purchase') AS converted
+        |FROM sess GROUP BY 1, 2""".stripMargin,
     "ev_interarrival" ->
       """WITH g AS (SELECT event_type,
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (

@@ -417,6 +417,24 @@ object TrainingQueries extends QueryPack {
         "doc_id", iters = 3)
     },
 
+    // cross-source duplication matrix: for every source pair, how many
+    // doc pairs share a verbatim 15-token span — the data-sourcing
+    // signal behind licensing and dedup-priority decisions (a source
+    // that mostly mirrors another adds licensing risk, not data). Same
+    // capped posting-list pair expansion as the dup graph; the doc →
+    // source map joins on the high-cardinality doc id.
+    "dedup_source_matrix" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      graft.ops.GraphOps.spanEdges(docs, "doc_id", "text")
+        .where(col("src") < col("dst"))
+        .join(src.select(col("doc_id").as("src"), col("source").as("sa")), "src")
+        .join(src.select(col("doc_id").as("dst"), col("source").as("sb")), "dst")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+    },
+
     // k-core kernel of the dup graph: peel degree-<2 nodes for 3 fixed
     // rounds, report survivors with their induced degree — chains and
     // stragglers peel away, template families (the dense kernels worth
@@ -2135,6 +2153,15 @@ object TrainingQueries extends QueryPack {
     "graph_pagerank" -> pagerankSql,
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
+    "dedup_source_matrix" ->
+      s"""WITH $spanEdgeCtes,
+         |lab AS (SELECT p.a, p.b, da.source AS sa, db.source AS sb
+         |  FROM pairs p
+         |    JOIN documents da ON da.doc_id = p.a
+         |    JOIN documents db ON db.doc_id = p.b)
+         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_dup_pairs
+         |FROM lab GROUP BY 1, 2""".stripMargin,
     "graph_triangles" -> trianglesSql,
     // NULL heads never pair: Spark groups null blocks but the null
     // Levenshtein filters out; the SQL equi-join drops them earlier.
