@@ -108,6 +108,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("samplePerGroup: exactly min(k, |group|) rows, layout-independent") {
+    val df = (0L until 50L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+      .union(Seq((1000L, "tiny")).toDF("id", "g")) // 1-row group
+    val a = CorpusOps.samplePerGroup(df, "id", "g", 5)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val sizes = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes === Map("g0" -> 5, "g1" -> 5, "g2" -> 5, "g3" -> 5,
+      "tiny" -> 1))
+    // repartitioned input draws the identical sample (pure function of
+    // the data, the property a true reservoir lacks)
+    val b = CorpusOps.samplePerGroup(df.repartition(7, col("id")), "id", "g", 5)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(b === a)
+  }
+
   test("null robustness: null text/ids flow through without crashing") {
     val docs = Seq[(java.lang.Long, String)](
       (1L, "alpha beta gamma delta"),
