@@ -74,7 +74,13 @@ object ScaleCurve {
     // |bins|-sized aggregates after one hash-agg — should be FLAT),
     // per-group reservoir (WindowGroupLimit: map-side k rows per group)
     "graph_kcore", "ev_cooccur", "ts_anomaly", "agg_quantile_binned",
-    "sample_per_source")
+    "sample_per_source",
+    // sixth-wave additions: cross-source span matrix (posting-core
+    // family), per-session rollup + inter-arrival quantiles (one
+    // user_id window shuffle each), audio frame energy (row-local
+    // typed seam), post-fix outlier training (one Lloyd pass now)
+    "dedup_source_matrix", "ev_session_stats", "ev_interarrival",
+    "mm_audio_energy", "emb_outliers")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

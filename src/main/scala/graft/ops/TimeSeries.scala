@@ -167,6 +167,48 @@ object TimeSeries {
         portableRound4(col("s.ewma")).as("ewma"))
   }
 
+  /** Holt double exponential smoothing: levelₜ = α·xₜ + (1−α)(levelₜ₋₁
+    * + trendₜ₋₁), trendₜ = β(levelₜ − levelₜ₋₁) + (1−β)·trendₜ₋₁ — the
+    * trend-aware upgrade of [[ewma]] (a plain EWMA lags a ramp forever;
+    * Holt's trend term closes the gap), and the one-step forecast
+    * level + trend the capacity planner reads. Same ordered in-plan
+    * fold over the gap-filled hourly grid, replayed step for step by a
+    * recursive-CTE oracle; initialization level₀ = x₀, trend₀ = 0.
+    * The float chain is written identically in both engines (literal
+    * α, 1−α as the literal the oracle spells), so every state is
+    * bit-reproducible before the final display round. */
+  def holt(events: DataFrame, keyCol: String, tsCol: String,
+           alpha: Double, beta: Double,
+           valueCol: String = "value"): DataFrame = {
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol), col("bucket").cast("timestamp_ntz").as("bucket"),
+        col("n"))
+    val folded = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("n")))).as("xs"))
+      .withColumn("states",
+        aggregate(col("xs"),
+          expr("CAST(array() AS ARRAY<STRUCT<bucket TIMESTAMP_NTZ, " +
+            "n BIGINT, level DOUBLE, trend DOUBLE>>)"),
+          (acc, x) => {
+            val prevL = element_at(acc, -1)("level")
+            val prevT = element_at(acc, -1)("trend")
+            val level = when(size(acc) === 0, x("n").cast("double"))
+              .otherwise(lit(alpha) * x("n").cast("double") +
+                lit(1.0 - alpha) * (prevL + prevT))
+            val trend = when(size(acc) === 0, lit(0.0))
+              .otherwise(lit(beta) * (level - prevL) +
+                lit(1.0 - beta) * prevT)
+            concat(acc, array(struct(x("bucket").as("bucket"),
+              x("n").as("n"), level.as("level"), trend.as("trend"))))
+          }))
+    folded.select(col(keyCol), explode(col("states")).as("s"))
+      .select(col(keyCol), col("s.bucket").as("bucket"), col("s.n").as("n"),
+        portableRound4(col("s.level")).as("level"),
+        portableRound4(col("s.trend")).as("trend"),
+        portableRound4(col("s.level") + col("s.trend")).as("forecast_next"))
+  }
+
   /** Robust per-key anomaly detection on hourly counts: flag buckets
     * whose deviation from the key's MEDIAN exceeds 3× the key's MAD
     * (median absolute deviation) — the outlier rule that a single spike

@@ -280,6 +280,15 @@ object EventQueries extends QueryPack {
             .as("confidence"))
     },
 
+    // Holt double exponential smoothing (α=0.3, β=0.1) over gap-filled
+    // hourly counts — the trend-aware forecaster (a plain EWMA lags a
+    // ramp forever); emits level, trend, and the one-step forecast per
+    // bucket, replayed step for step by a recursive-CTE oracle.
+    "ts_holt" -> { (s, dir) =>
+      graft.ops.TimeSeries.holt(Tables.events(s, dir),
+        "event_type", "ts", alpha = 0.3, beta = 0.1)
+    },
+
     // exact Gini coefficient of per-user purchase spend — the activity-
     // concentration number behind "whales vs long tail" decisions.
     // Spend travels as integer CENTS (decimal sum ×100), the global
@@ -623,6 +632,37 @@ object EventQueries extends QueryPack {
         |    0.3 * CAST(h.n AS DOUBLE) + 0.7 * r.ewma
         |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         |SELECT event_type, bucket, n, round(ewma * 10000) / 10000 AS ewma
+        |FROM r""".stripMargin,
+    // level spelled twice in the recursive arm (SQL can't bind it);
+    // identical float chain to the Spark fold, so states replay exactly.
+    "ts_holt" ->
+      """WITH RECURSIVE h0 AS (SELECT event_type,
+        |    date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM h0 GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM s),
+        |h AS (SELECT g.event_type, g.bucket, coalesce(h0.n, 0) AS n,
+        |    row_number() OVER (PARTITION BY g.event_type
+        |                       ORDER BY g.bucket) AS rn
+        |  FROM g LEFT JOIN h0
+        |    ON g.event_type = h0.event_type AND g.bucket = h0.bucket),
+        |r AS (
+        |  SELECT event_type, bucket, n, rn,
+        |    CAST(n AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM h WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.bucket, h.n, h.rn,
+        |    0.3 * CAST(h.n AS DOUBLE) + 0.7 * (r.level + r.trend),
+        |    0.1 * ((0.3 * CAST(h.n AS DOUBLE) + 0.7 * (r.level + r.trend))
+        |           - r.level) + 0.9 * r.trend
+        |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+        |SELECT event_type, bucket, n,
+        |  round(level * 10000) / 10000 AS level,
+        |  round(trend * 10000) / 10000 AS trend,
+        |  round((level + trend) * 10000) / 10000 AS forecast_next
         |FROM r""".stripMargin,
     "ev_gini" ->
       """WITH c AS (SELECT user_id,
