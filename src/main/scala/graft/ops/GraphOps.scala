@@ -152,6 +152,35 @@ object GraphOps {
       .groupBy("id").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Neighborhood Jaccard (link prediction / missing-edge scoring):
+    * for every node pair sharing at least one neighbor,
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — pairs that score high but have no
+    * edge are the near-dups the span detector MISSED (the graph's own
+    * completion signal). Common-neighbor counting is the posting-list
+    * fan-out over sorted neighbor lists ([[sortedPairs]] — one pair
+    * emission per shared neighbor, Σ deg²/2 bounded by the dup graph's
+    * hot-span cap), degrees join back broadcast-sized, and the Jaccard
+    * c/(dₐ+d_b−c) stays exact integers until one rounded division. */
+  def neighborhoodJaccard(edges: DataFrame,
+                          minCommon: Int = 2): DataFrame = {
+    val und = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint() // feeds degrees AND neighbor lists
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val common = und.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      .select(explode(sortedPairs(col("ns"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+    common
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        TimeSeries.portableRound6(col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Exact triangle count over a symmetric edge list, via DEGREE-ORDERED
     * orientation (Suri & Vassilvitskii 2011, the MapReduce-era
     * skew-proof shape): each undirected edge orients from its lower

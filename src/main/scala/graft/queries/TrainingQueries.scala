@@ -448,6 +448,15 @@ object TrainingQueries extends QueryPack {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // neighborhood-Jaccard link prediction over the dup graph: pairs
+    // with high shared-neighbor overlap but NO edge are the near-dups
+    // the span detector missed — the graph's own completion signal.
+    "graph_jaccard" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.GraphOps.neighborhoodJaccard(
+        graft.ops.GraphOps.spanEdges(docs, "doc_id", "text"), minCommon = 1)
+    },
+
     // triangle census of the same dup graph: triangles measure how
     // CLIQUISH the near-dup neighborhoods are (template families form
     // dense triangles; chains of pairwise matches don't) — degree-ordered
@@ -2153,6 +2162,21 @@ object TrainingQueries extends QueryPack {
     "graph_pagerank" -> pagerankSql,
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
+    "graph_jaccard" ->
+      s"""WITH $spanEdgeCtes,
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+         |        FROM edges GROUP BY 1),
+         |com AS (SELECT e1.dst AS a, e2.dst AS b,
+         |    CAST(count(*) AS BIGINT) AS common
+         |  FROM edges e1 JOIN edges e2
+         |    ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2 HAVING count(*) >= 1)
+         |SELECT com.a, com.b, com.common,
+         |  round(CAST(common AS DOUBLE)
+         |    / CAST(da.d + db.d - common AS DOUBLE) * 1000000) / 1000000
+         |    AS jaccard
+         |FROM com JOIN deg da ON da.src = com.a
+         |  JOIN deg db ON db.src = com.b""".stripMargin,
     "dedup_source_matrix" ->
       s"""WITH $spanEdgeCtes,
          |lab AS (SELECT p.a, p.b, da.source AS sa, db.source AS sb

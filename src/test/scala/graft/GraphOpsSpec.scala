@@ -90,6 +90,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("neighborhoodJaccard: shared-neighbor overlap scores edgeless twins highest") {
+    def sym(ps: (Long, Long)*) =
+      (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
+    // star v->{a,b,c} plus pendant a-x: b and c are structurally
+    // identical WITHOUT an edge — the missed-near-dup signal.
+    val g = sym((10L, 1L), (10L, 2L), (10L, 3L), (1L, 20L))
+    val got = GraphOps.neighborhoodJaccard(g, minCommon = 1)
+      .select("a", "b", "common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      (1L, 2L) -> ((1L, 0.5)),      // N(1)={10,20}, N(2)={10}: 1/(2+1-1)
+      (1L, 3L) -> ((1L, 0.5)),
+      (2L, 3L) -> ((1L, 1.0)),      // identical neighborhoods, no edge
+      (10L, 20L) -> ((1L, 1.0 / 3)) // via a; deg(10)=3, deg(20)=1
+        .copy(_2 = math.round(1.0 / 3 * 1e6) / 1e6)))
+    // the threshold prunes singles
+    assert(GraphOps.neighborhoodJaccard(g, minCommon = 2).count() === 0L)
+  }
+
   test("kCore: chains peel, the dense kernel survives with induced degrees") {
     def sym(ps: (Long, Long)*) =
       (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
