@@ -280,6 +280,33 @@ object EventQueries extends QueryPack {
             .as("confidence"))
     },
 
+    // Pareto concentration readout: the top-1% most active users' share
+    // of all events — the "whales" number beside ev_gini's coefficient.
+    // Per-user counts rank through the DISTRIBUTED range-rank (never a
+    // one-task window); the 1% cutoff is the exact integer comparison
+    // 100·(rank−1) < n_users (≡ rank ≤ ⌈n/100⌉), counts stay integers
+    // until one rounded division.
+    "ev_power_users" -> { (s, dir) =>
+      val ranked = graft.ops.Relational.withGlobalRank(
+          Tables.events(s, dir).groupBy("user_id")
+            .agg(count(lit(1)).as("cnt")),
+          Seq(col("cnt").desc, col("user_id").asc))
+        .localCheckpoint() // rank once; totals and the cut both read it
+      val totals = ranked.agg(count(lit(1)).as("n_users"),
+        sum(col("cnt")).as("total_events"))
+      val isTop = (col("rank") - 1) * 100 < col("n_users")
+      ranked.crossJoin(broadcast(totals))
+        .agg(first(col("n_users")).as("n_users"),
+          first(col("total_events")).as("total_events"),
+          sum(when(isTop, 1L).otherwise(0L)).as("n_top"),
+          sum(when(isTop, col("cnt")).otherwise(0L)).as("top_events"))
+        .select(col("n_users"), col("n_top"), col("total_events"),
+          col("top_events"),
+          graft.ops.TimeSeries.portableRound6(
+            col("top_events").cast("double") /
+              col("total_events").cast("double")).as("top_share"))
+    },
+
     // Holt double exponential smoothing (α=0.3, β=0.1) over gap-filled
     // hourly counts — the trend-aware forecaster (a plain EWMA lags a
     // ramp forever); emits level, trend, and the one-step forecast per
@@ -633,6 +660,24 @@ object EventQueries extends QueryPack {
         |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         |SELECT event_type, bucket, n, round(ewma * 10000) / 10000 AS ewma
         |FROM r""".stripMargin,
+    "ev_power_users" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER
+        |    (ORDER BY cnt DESC, user_id ASC) AS rank FROM per),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(cnt) AS BIGINT) AS total_events FROM per)
+        |SELECT t.n_users,
+        |  CAST(sum(CASE WHEN (rank - 1) * 100 < n_users
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        |  t.total_events,
+        |  CAST(sum(CASE WHEN (rank - 1) * 100 < n_users
+        |    THEN cnt ELSE 0 END) AS BIGINT) AS top_events,
+        |  round(CAST(sum(CASE WHEN (rank - 1) * 100 < n_users
+        |      THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(t.total_events AS DOUBLE) * 1000000) / 1000000
+        |    AS top_share
+        |FROM r, t GROUP BY t.n_users, t.total_events""".stripMargin,
     // level spelled twice in the recursive arm (SQL can't bind it);
     // identical float chain to the Spark fold, so states replay exactly.
     "ts_holt" ->

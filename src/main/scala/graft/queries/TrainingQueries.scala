@@ -417,6 +417,24 @@ object TrainingQueries extends QueryPack {
         "doc_id", iters = 3)
     },
 
+    // Heaps-law vocabulary growth: distinct tokens seen within the
+    // first N docs, for a ladder of N — the corpus-diversity diagnostic
+    // (a flattening curve means new data stopped bringing new language;
+    // sub-Heaps growth flags template/boilerplate floods). EXACT in one
+    // pass: a token's first-doc is min(doc_id), and vocab(N) = tokens
+    // with first_doc < N — no cumulative-distinct machinery, just one
+    // token hash-agg and a 5-condition fold.
+    "text_heaps" -> { (s, dir) =>
+      val first = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+      val ths = Seq(100L, 200L, 500L, 1000L, 5000L)
+      first.agg(count(lit(1)).as("vocab_total"),
+        ths.map(t => sum(when(col("fd") < t, 1L).otherwise(0L))
+          .as(s"vocab_$t")): _*)
+    },
+
     // cross-source duplication matrix: for every source pair, how many
     // doc pairs share a verbatim 15-token span — the data-sourcing
     // signal behind licensing and dedup-priority decisions (a source
@@ -2162,6 +2180,23 @@ object TrainingQueries extends QueryPack {
     "graph_pagerank" -> pagerankSql,
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
+    "text_heaps" ->
+      """WITH f AS (SELECT tok, min(doc_id) AS fd FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab_total,
+        |  CAST(sum(CASE WHEN fd < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_100,
+        |  CAST(sum(CASE WHEN fd < 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_200,
+        |  CAST(sum(CASE WHEN fd < 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_500,
+        |  CAST(sum(CASE WHEN fd < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_1000,
+        |  CAST(sum(CASE WHEN fd < 5000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_5000
+        |FROM f""".stripMargin,
     "graph_jaccard" ->
       s"""WITH $spanEdgeCtes,
          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
