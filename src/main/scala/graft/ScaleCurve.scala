@@ -80,7 +80,11 @@ object ScaleCurve {
     // user_id window shuffle each), audio frame energy (row-local
     // typed seam), post-fix outlier training (one Lloyd pass now)
     "dedup_source_matrix", "ev_session_stats", "ev_interarrival",
-    "mm_audio_energy", "emb_outliers")
+    "mm_audio_energy", "emb_outliers",
+    // seventh-wave additions: neighborhood jaccard (pair fan-out over
+    // neighbor lists), Holt fold (grid-bounded like ewma), Heaps vocab
+    // curve (one token agg), Pareto share (range-rank + 1-row totals)
+    "graph_jaccard", "ts_holt", "text_heaps", "ev_power_users")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

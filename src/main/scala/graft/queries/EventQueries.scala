@@ -280,6 +280,29 @@ object EventQueries extends QueryPack {
             .as("confidence"))
     },
 
+    // DAU/WAU engagement: per day, distinct active users, the trailing
+    // 7-day active-user count, and the stickiness ratio — the product
+    // health number. The rolling distinct needs no window machinery:
+    // each (user, day) activity projects onto the 7 report days it
+    // keeps the user "weekly active" for (a bounded ×7 map-side
+    // fan-out), then ONE distinct + count per day. Exact integers
+    // until the rounded ratio.
+    "ev_dau_wau" -> { (s, dir) =>
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(col("day"),
+          date_add(col("day"), 6))).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          graft.ops.TimeSeries.portableRound4(
+            col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+    },
+
     // Pareto concentration readout: the top-1% most active users' share
     // of all events — the "whales" number beside ev_gini's coefficient.
     // Per-user counts rank through the DISTRIBUTED range-rank (never a
@@ -660,6 +683,21 @@ object EventQueries extends QueryPack {
         |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         |SELECT event_type, bucket, n, round(ewma * 10000) / 10000 AS ewma
         |FROM r""".stripMargin,
+    // the wau join keeps only days that exist as DAU days (inner join),
+    // exactly like the Spark plan.
+    "ev_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |w AS (SELECT DISTINCT user_id, day + CAST(i.i AS INT) AS day
+        |  FROM ud, (SELECT unnest(range(7)) AS i) i),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+        |  FROM w GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) * 10000) / 10000
+        |    AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     "ev_power_users" ->
       """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
         |  FROM events GROUP BY 1),
