@@ -417,6 +417,25 @@ object TrainingQueries extends QueryPack {
         "doc_id", iters = 3)
     },
 
+    // effective dataset size after dedup (Lee et al. 2022's headline
+    // number, per source): token volume, cross-doc-duplicated token
+    // volume, and the effective fraction a trainer actually gets —
+    // dupFraction's per-doc scores rolled up through the doc → source
+    // map. The source with the worst effective fraction is where the
+    // dedup budget goes first.
+    "dedup_effective_size" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.dupFraction(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_dup_tokens")).as("dup_tokens"))
+        .select(col("source"), col("total_tokens"), col("dup_tokens"),
+          graft.ops.TimeSeries.portableRound6(
+            lit(1.0) - col("dup_tokens").cast("double") /
+              col("total_tokens").cast("double")).as("effective_frac"))
+    },
+
     // Heaps-law vocabulary growth: distinct tokens seen within the
     // first N docs, for a ladder of N — the corpus-diversity diagnostic
     // (a flattening curve means new data stopped bringing new language;
@@ -2180,6 +2199,26 @@ object TrainingQueries extends QueryPack {
     "graph_pagerank" -> pagerankSql,
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
+    "dedup_effective_size" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |occ AS (SELECT doc_id, i AS p, array_to_string(t[i+1:i+15],' ') AS shingle
+        |        FROM (SELECT doc_id, t,
+        |              unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks)),
+        |dup AS (SELECT shingle FROM occ GROUP BY shingle
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT doc_id, CAST(count(DISTINCT tokpos) AS BIGINT) AS nd
+        |        FROM (SELECT doc_id, unnest(range(p, p+15)) AS tokpos
+        |              FROM occ JOIN dup USING (shingle))
+        |        GROUP BY doc_id),
+        |per AS (SELECT d.source,
+        |    CAST(len(string_split(d.text,' ')) AS BIGINT) AS nt,
+        |    coalesce(cov.nd, 0) AS nd
+        |  FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id)
+        |SELECT source, CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nd) AS BIGINT) AS dup_tokens,
+        |  round((1.0 - CAST(sum(nd) AS DOUBLE) / CAST(sum(nt) AS DOUBLE))
+        |    * 1000000) / 1000000 AS effective_frac
+        |FROM per GROUP BY 1""".stripMargin,
     "text_heaps" ->
       """WITH f AS (SELECT tok, min(doc_id) AS fd FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
