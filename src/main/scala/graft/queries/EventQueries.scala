@@ -56,6 +56,62 @@ object EventQueries extends QueryPack {
           (p * (lit(1.0) - p) * (lit(1.0) / n0 + lit(1.0) / n1))).as("z2"))
     },
 
+    // Welch two-sample t² on purchase value between the two user-id
+    // variants — the continuous-metric companion to ev_ab_test's
+    // proportion z². Moments accumulate as exact integer CENTS (and
+    // squared cents in DECIMAL(38,0)); the t² statistic is one
+    // deterministic double chain from those exact moments, written
+    // identically in both engines. Sample variance via the computational
+    // formula (n·Σx² − (Σx)²) / (n·(n−1)) — exact integers until the
+    // final casts.
+    "stat_ttest" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cents = (col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+      val per = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(2)).as("variant"),
+          cents.as("x"))
+      val m = per.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("x"))).as("sx0"),
+        sum(when(col("variant") === 0, col("x") * col("x"))).as("sxx0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("x"))).as("sx1"),
+        sum(when(col("variant") === 1, col("x") * col("x"))).as("sxx1"))
+      def mean(sx: String, n: String) =
+        col(sx).cast("double") / col(n).cast("double")
+      def svar(n: String, sx: String, sxx: String) =
+        (d38(col(n)) * col(sxx) - col(sx) * col(sx)).cast("double") /
+          (d38(col(n)) * (d38(col(n)) - 1)).cast("double")
+      val diff = mean("sx0", "n0") - mean("sx1", "n1")
+      val se2 = svar("n0", "sx0", "sxx0") / col("n0").cast("double") +
+        svar("n1", "sx1", "sxx1") / col("n1").cast("double")
+      m.select(col("n0"), col("n1"),
+        graft.ops.TimeSeries.portableRound6(mean("sx0", "n0") / 100.0)
+          .as("mean0"),
+        graft.ops.TimeSeries.portableRound6(mean("sx1", "n1") / 100.0)
+          .as("mean1"),
+        graft.ops.TimeSeries.portableRound6(diff * diff / se2).as("t2"))
+    },
+
+    // day-over-day top movers: for every (event_type, day) on the
+    // AGGREGATED daily series, the count delta vs the previous day;
+    // top-10 absolute movers via TakeOrdered — the crawl/traffic-shift
+    // triage list. Integer deltas; ties break on (type, day).
+    "topk_movers" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .where(col("prev_n").isNotNull)
+        .withColumn("delta", col("n") - col("prev_n"))
+      graft.ops.Relational.topK(daily, 10,
+        abs(col("delta")).desc, col("event_type").asc, col("day").asc)
+    },
+
     // top behavioral paths: the 20 most common ordered 3-event
     // sequences across user streams (the sequence-mining staple next up
     // from the Markov matrix). Two leads over the same (ts, event_id)
@@ -683,6 +739,50 @@ object EventQueries extends QueryPack {
         |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         |SELECT event_type, bucket, n, round(ewma * 10000) / 10000 AS ewma
         |FROM r""".stripMargin,
+    // the float chain mirrors the Spark column order exactly: cent
+    // means, computational-formula variances from exact DECIMAL(38,0)
+    // moments, (diff·diff)/se2, one 6-dp round.
+    "stat_ttest" ->
+      """WITH per AS (SELECT user_id % 2 AS variant,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    sum(CASE WHEN variant = 0 THEN x END) AS sx0,
+        |    sum(CASE WHEN variant = 0 THEN x * x END) AS sxx0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN variant = 1 THEN x END) AS sx1,
+        |    sum(CASE WHEN variant = 1 THEN x * x END) AS sxx1
+        |  FROM per)
+        |SELECT n0, n1,
+        |  round((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0
+        |    * 1000000) / 1000000 AS mean0,
+        |  round((CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0
+        |    * 1000000) / 1000000 AS mean1,
+        |  round(((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |       - (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+        |    * ((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |       - (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+        |    / (CAST(CAST(n0 AS DECIMAL(38,0)) * sxx0 - sx0 * sx0 AS DOUBLE)
+        |        / CAST(CAST(n0 AS DECIMAL(38,0))
+        |            * (CAST(n0 AS DECIMAL(38,0)) - 1) AS DOUBLE)
+        |        / CAST(n0 AS DOUBLE)
+        |      + CAST(CAST(n1 AS DECIMAL(38,0)) * sxx1 - sx1 * sx1 AS DOUBLE)
+        |        / CAST(CAST(n1 AS DECIMAL(38,0))
+        |            * (CAST(n1 AS DECIMAL(38,0)) - 1) AS DOUBLE)
+        |        / CAST(n1 AS DOUBLE))
+        |    * 1000000) / 1000000 AS t2
+        |FROM m""".stripMargin,
+    "topk_movers" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        |  FROM daily)
+        |SELECT event_type, day, n, prev_n, n - prev_n AS delta
+        |FROM d2 WHERE prev_n IS NOT NULL
+        |ORDER BY abs(n - prev_n) DESC, event_type, day LIMIT 10""".stripMargin,
     // the wau join keeps only days that exist as DAU days (inner join),
     // exactly like the Spark plan.
     "ev_dau_wau" ->
