@@ -426,6 +426,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pq.contains("Exchange rangepartitioning"), pq) // cum-sum window is per-group
   }
 
+  test("late-wave queries keep their scan discipline") {
+    // Holt folds on the aggregated grid: one raw events scan
+    val ph = plan("ts_holt")
+    assert(countOf(ph, "events.parquet") == 1, ph)
+    // heaps: one token hash-agg chain over one documents scan
+    val pv = plan("text_heaps")
+    assert(countOf(pv, "documents.parquet") == 1, pv)
+    // t-test: one scan into one 1-row moment aggregate, no joins
+    val pt = plan("stat_ttest")
+    assert(countOf(pt, "events.parquet") == 1, pt)
+    assert(!pt.contains("Join"), pt)
+    // movers: TakeOrdered, never a global sort
+    val pm = plan("topk_movers")
+    assert(pm.contains("TakeOrderedAndProject"), pm)
+    assert(!pm.contains("Exchange rangepartitioning"), pm)
+    // DAU/WAU: the x7 projection is map-side (no join for the rolling
+    // distinct), and the day join of two tiny aggregates broadcasts
+    val pd = plan("ev_dau_wau")
+    assert(!pd.contains("CartesianProduct"), pd)
+    assert(!pd.contains("SortMergeJoin"), pd)
+    // neighborhood jaccard: no cartesian anywhere in the graph chain
+    val pj = plan("graph_jaccard")
+    assert(!pj.contains("CartesianProduct"), pj)
+  }
+
   test("skew report: topN via TakeOrdered; ranking window bounded, no key-universe sort") {
     val p = plan("diag_skew")
     assert(p.contains("TakeOrderedAndProject"), p)
