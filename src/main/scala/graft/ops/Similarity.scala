@@ -601,10 +601,11 @@ object Similarity {
     * the scoring expression shared by the batch and streaming paths.
     * Input must already carry the profile's `cells` column. */
   private[graft] def outlierVerdict(vecCol: String, dim: Int,
-                                    nMads: Int): Seq[Column] = {
+                                    nMads: Int,
+                                    cellsCol: String = "cells"): Seq[Column] = {
     val coded = transform(asDouble(col(vecCol)),
       x => round(x * FixedPointScale).cast("long"))
-    val best = array_min(transform(col("cells"), ce =>
+    val best = array_min(transform(col(cellsCol), ce =>
       struct(
         aggregate(zip_with(coded, ce.getField("arr"),
           (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("d"),

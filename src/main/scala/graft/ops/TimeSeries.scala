@@ -65,8 +65,12 @@ object TimeSeries {
           coalesce(col("next_b") - step, col("bucket")), step)).as("bucket"))
       .select(col(keyCol), col("bucket"),
         when(col("bucket") === col("b"), col("n")).otherwise(lit(0L)).as("n"),
+        // the exact DECIMAL sum is cast to DOUBLE only at the output
+        // boundary (cents-exact well past 2⁵²) — wide decimals hash
+        // differently across engine arrow bridges (r9 hash-only miss)
         when(col("bucket") === col("b"), col("sum_value"))
-          .otherwise(lit(0).cast("decimal(18,2)")).as("sum_value"))
+          .otherwise(lit(0).cast("decimal(18,2)"))
+          .cast("double").as("sum_value"))
   }
 
   /** Linear interpolation of missing points on a uniform per-key grid.

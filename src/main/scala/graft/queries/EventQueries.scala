@@ -681,7 +681,8 @@ object EventQueries extends QueryPack {
         |  FROM s)
         |SELECT g.event_type, g.bucket,
         |  coalesce(h.n, 0) AS n,
-        |  coalesce(h.sum_value, CAST(0 AS DECIMAL(18,2))) AS sum_value
+        |  CAST(coalesce(h.sum_value, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
         |FROM g LEFT JOIN h
         |  ON g.event_type = h.event_type AND g.bucket = h.bucket""".stripMargin,
     "ts_interpolate" ->
@@ -743,7 +744,7 @@ object EventQueries extends QueryPack {
     // means, computational-formula variances from exact DECIMAL(38,0)
     // moments, (diff·diff)/se2, one 6-dp round.
     "stat_ttest" ->
-      """WITH per AS (SELECT user_id % 2 AS variant,
+      """WITH per AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x
         |  FROM events WHERE event_type = 'purchase'),
         |m AS (SELECT

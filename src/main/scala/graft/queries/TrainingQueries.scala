@@ -844,8 +844,14 @@ object TrainingQueries extends QueryPack {
     // matrix XᵀX (upper triangle) — one explode + one dim²/2-group
     // hash-agg; every PCA/whitening step downstream runs on this
     // dim²-sized table, never the corpus.
+    // Final select casts g (internally DECIMAL(38,0), the overflow-safe
+    // accumulator) to BIGINT: at oracle scale |g| ≤ ~2⁵⁶-safe margins and
+    // the narrow type hashes identically across engines — DuckDB's
+    // HUGEINT and Spark's DECIMAL take different paths through the
+    // driver's arrow bridge (the r9 hash-only mismatch).
     "emb_gram" -> { (s, dir) =>
       Similarity.gramFixedPoint(Tables.embeddings(s, dir), "embedding", dim = 64)
+        .select(col("i"), col("j"), col("g").cast("long").as("g"))
     },
 
     // dominant principal direction by integer power iteration ON the
@@ -2796,7 +2802,8 @@ object TrainingQueries extends QueryPack {
          |WHERE 2 * dev2 > 3 * mad4""".stripMargin,
     "emb_gram" ->
       s"""WITH $gramCtes
-         |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, g FROM gr""".stripMargin,
+         |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+         |  CAST(g AS BIGINT) AS g FROM gr""".stripMargin,
     "emb_top_pc" -> topPcSql,
     // whitening replay: v3's PC as one ordered list; per-vector dot,
     // trunc-division projection coefficient per element, corrected dot.

@@ -26,13 +26,19 @@ object EmbeddingGuard {
 
   def judged(stream: DataFrame, vecCol: String, profile: DataFrame,
              dim: Int = 64, nMads: Int = 3): DataFrame = {
-    val scored = Similarity.outlierVerdict(vecCol, dim, nMads)
-    stream.crossJoin(broadcast(profile))
+    // the profile's single column rides under an internal alias so a
+    // stream that itself has a `cells` (or verdict/cell/dist2/outlier)
+    // column is neither ambiguous nor shadowed by the re-select below
+    val scored = Similarity.outlierVerdict(vecCol, dim, nMads,
+      cellsCol = "__og_cells")
+    stream.crossJoin(
+        broadcast(profile.select(col("cells").as("__og_cells"))))
       .select((stream.columns.map(col).toSeq :+
         when(size(col(vecCol)) === dim,
-          struct(scored: _*)).as("verdict")): _*)
+          struct(scored: _*)).as("__og_verdict")): _*)
       .select((stream.columns.map(col).toSeq ++ Seq(
-        col("verdict.cell").as("cell"), col("verdict.dist2").as("dist2"),
-        col("verdict.outlier").as("outlier"))): _*)
+        col("__og_verdict.cell").as("cell"),
+        col("__og_verdict.dist2").as("dist2"),
+        col("__og_verdict.outlier").as("outlier"))): _*)
   }
 }

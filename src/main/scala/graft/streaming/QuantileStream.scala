@@ -27,6 +27,11 @@ object QuantileStream {
                valueCol: String, binWidth: Long, qs: Seq[Double],
                windowDur: String = "1 hour",
                delay: String = "5 minutes"): DataFrame = {
+    // same duplicate-label guard as Sketches.binnedQuantiles: qs like
+    // Seq(0.995, 1.0) would otherwise silently emit two q100 columns
+    val labels = qs.map(q => s"q${(q * 100).round}")
+    require(labels.distinct == labels,
+      s"quantile labels collide: $labels — choose qs that round to distinct percents")
     val hist = stream
       .withWatermark(tsCol, delay)
       .groupBy(window(col(tsCol), windowDur), col(keyCol),

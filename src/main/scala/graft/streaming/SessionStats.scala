@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Streaming session-level rollup — the ingest-time twin of the batch
@@ -19,16 +19,22 @@ import org.apache.spark.sql.functions._
   * rule's threshold one microsecond lower to align them exactly). */
 object SessionStats {
 
+  /** `convertedExpr` is the per-event conversion predicate (defaults to
+    * the events-table shape `event_type = 'purchase'`); streams without
+    * an event_type column must pass their own — the default references
+    * that column and fails analysis otherwise. */
   def sessions(events: DataFrame, userCol: String, tsCol: String,
                gap: String = "30 minutes",
-               delay: String = "10 minutes"): DataFrame =
+               delay: String = "10 minutes",
+               convertedExpr: Column = col("event_type") === "purchase"
+              ): DataFrame =
     events
       .withWatermark(tsCol, delay)
       .groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(count(lit(1)).as("n_events"),
         (unix_micros(max(col(tsCol)).cast("timestamp")) -
           unix_micros(min(col(tsCol)).cast("timestamp"))).as("duration_us"),
-        max(col("event_type") === "purchase").as("converted"))
+        max(convertedExpr).as("converted"))
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("n_events"), col("duration_us"), col("converted"))
 }

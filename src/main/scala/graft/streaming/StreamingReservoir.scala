@@ -28,25 +28,29 @@ object StreamingReservoir {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Output rows: (group, sample: Seq[id]) — the group's full current
-    * reservoir, re-emitted on change. */
+  /** Output rows: (group, sample: Seq[id-as-string]) — the group's full
+    * current reservoir, re-emitted on change. The id travels as its
+    * STRING rendering (`cast("string")`, exactly what the batch twin
+    * CorpusOps.samplePerGroup feeds md5) — a `cast("long")` here would
+    * null out non-numeric ids and re-render '007' as '7', drawing a
+    * different sample than batch. */
   def perGroup(stream: DataFrame, groupCol: String, idCol: String,
                k: Int): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
-      .select(col(groupCol).cast("string"), col(idCol).cast("long"))
-      .as[(String, Long)]
+      .select(col(groupCol).cast("string"), col(idCol).cast("string"))
+      .as[(String, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[(String, Long)], (String, Seq[Long])](
+      .flatMapGroupsWithState[List[(String, String)], (String, Seq[String])](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (g, rows, state) =>
           val cur = state.getOption.getOrElse(Nil)
           // merge = min-k of the union: the lattice join. distinct makes
           // duplicate deliveries no-ops; (md5, id) ordering matches the
-          // batch sampler's rank exactly.
+          // batch sampler's rank exactly (ties on md5 imply equal ids).
           val merged = (cur ++ rows.map { case (_, id) =>
-            (md5hex(id.toString), id) }).distinct.sorted.take(k)
+            (md5hex(id), id) }).distinct.sorted.take(k)
           if (merged == cur) Iterator.empty
           else {
             state.update(merged)

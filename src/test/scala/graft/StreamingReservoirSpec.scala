@@ -26,8 +26,9 @@ class StreamingReservoirSpec extends SparkSpec {
       // last emission per group wins (update mode re-emits on change)
       spark.table("res_out").withColumn("seq", monotonically_increasing_id())
         .orderBy(col("seq"))
-        .select("g", "sample").as[(String, Seq[Long])].collect()
-        .foldLeft(Map.empty[String, Seq[Long]]) { case (m, (g, s)) => m + (g -> s) }
+        .select("g", "sample").as[(String, Seq[String])].collect()
+        .foldLeft(Map.empty[String, Seq[Long]]) { case (m, (g, s)) =>
+          m + (g -> s.map(_.toLong)) }
     } finally {
       q.stop(); spark.sql("DROP TABLE IF EXISTS res_out")
     }

@@ -24,7 +24,7 @@ class TimeSeriesSpec extends SparkSpec {
     assert(gap.getAs[String]("k") == "a")
     assert(gap.getAs[Any]("bucket").toString.contains("02:00:00"))
     assert(gap.getAs[Long]("n") == 0L)
-    assert(gap.getAs[java.math.BigDecimal]("sum_value").signum == 0)
+    assert(gap.getAs[Double]("sum_value") == 0.0)
     // key b's span never bleeds into key a's hours
     assert(out.count(_.getAs[String]("k") == "b") == 1)
   }
