@@ -401,4 +401,65 @@ object Multimodal {
       .withColumnRenamed("col", "frame_bytes")
       .select("id", "frame_idx", "frame_bytes")
   }
+
+  /** One voice-activity segment: a maximal run of consecutive
+    * above-average-energy frames. */
+  final case class VadSegment(id: Long, seg: Int, f0: Int, f1: Int,
+                              n_frames: Long, energy: Long)
+
+  /** Energy-threshold voice-activity detection over int16 PCM: frames
+    * ([[pcmFrameEnergy]]'s exact Σs² windows) are ACTIVE when their
+    * energy exceeds the payload's mean frame energy — compared as the
+    * integer cross-product e·nFrames > total, so no float threshold
+    * exists for a borderline frame to straddle — and consecutive active
+    * frames merge into segments (the silence-trimming / speech-span
+    * selection pass audio curation starts from). Emits one row per
+    * segment with its frame span and exact energy; an all-flat payload
+    * (every frame at the mean) has no active frames and emits nothing.
+    *
+    * The adaptive threshold makes the operator self-calibrating per
+    * payload — no corpus pass, no tuning constant — and keeps it
+    * row-local: decode, threshold, and run-merge all happen inside one
+    * typed mapPartitions over the record, zero shuffle, streamable. */
+  def pcmVadSegments(media: Dataset[Row], frameLen: Int = 64)
+                    (implicit spark: SparkSession): Dataset[VadSegment] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { rec =>
+        val b = rec.media
+        val nFrames = b.length / 2 / frameLen
+        val e = new Array[Long](nFrames)
+        var total = 0L
+        var f = 0
+        while (f < nFrames) {
+          var i = 0; var acc = 0L
+          while (i < frameLen) {
+            val o = 2 * (f * frameLen + i)
+            val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toLong
+            acc += s * s
+            i += 1
+          }
+          e(f) = acc; total += acc
+          f += 1
+        }
+        val segs = scala.collection.mutable.ArrayBuffer.empty[VadSegment]
+        var start = -1
+        var segE = 0L
+        var seg = 0
+        var g = 0
+        while (g <= nFrames) {
+          val active = g < nFrames && e(g) * nFrames > total
+          if (active) {
+            if (start < 0) { start = g; segE = 0L }
+            segE += e(g)
+          } else if (start >= 0) {
+            segs += VadSegment(rec.id, seg, start, g - 1, (g - start).toLong, segE)
+            seg += 1; start = -1
+          }
+          g += 1
+        }
+        segs
+      }
+    }
+  }
 }

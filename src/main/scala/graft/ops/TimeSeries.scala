@@ -276,4 +276,123 @@ object TimeSeries {
       .agg(first(col("med2")).as("med2"),
         (percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
   }
+
+  /** CUSUM change-point detection (Page 1954) over each key's gap-filled
+    * hourly counts: the one-sided upward statistic
+    * Sₜ = max(0, Sₜ₋₁ + xₜ − (μ + k)) with reference μ = the key's mean
+    * rate, slack k = μ/2, alarm at h = 4μ — the sequential detector that
+    * catches a sustained LEVEL SHIFT a point-outlier rule
+    * ([[robustAnomalies]]) never accumulates.
+    *
+    * The recursion is NOT run as a fold: max(0, ·) has the closed form
+    * Sₜ = Pₜ − min(0, min_{i≤t} Pᵢ) over the drift prefix sums
+    * Pₜ = Σ_{j≤t} (xⱼ − 1.5μ), so the whole detector is two ordinary
+    * window passes (running sum, running min) per key — parallel,
+    * incremental, and hash-identical across engines because everything
+    * is scaled by 2T into exact BIGINTs (μ = Σx/T never materializes:
+    * dₜ = 2T·xₜ − 3Σx, alarm ⇔ 2T·Sₜ > 8Σx·T... cancelled to the
+    * per-key constants below). Magnitudes: |dₜ| ≤ 3·Σx ≤ 3·(corpus
+    * rows); prefix sums ≤ T·that — upgrade the sums to DECIMAL(38,0)
+    * past ~10¹⁴ hourly events per key.
+    *
+    * Scale: one raw scan (the resample hash-agg); both windows run on
+    * the |keys|×|hours| series, co-partitioned by one shuffle on the
+    * key. Output is the full scaled trajectory (auditable, and the
+    * oracle hash-checks every step, not just the alarms). */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+            valueCol: String = "value"): DataFrame = {
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol), col("bucket"), col("n"))
+    // per-key totals via whole-partition window frames, NOT a self-join:
+    // every window below shares one HashPartitioning(key), so the plan is
+    // scan → (key,hour) agg → ONE key shuffle → window passes — a
+    // grouped-totals join would re-execute the resample subtree (or need
+    // a lineage cut) and add a second exchange for nothing.
+    val wAll = Window.partitionBy(col(keyCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    series
+      .withColumn("t", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("n")).over(wAll))
+      .withColumn("d", lit(2L) * col("t") * col("n") - lit(3L) * col("sx"))
+      .withColumn("p", sum(col("d")).over(w))
+      .withColumn("s2t", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select(col(keyCol), col("bucket"), col("n"),
+        col("s2t").as("cusum_scaled"),
+        (col("s2t") > lit(8L) * col("sx")).as("alarm"))
+  }
+
+  /** Hour-of-day seasonal profile per key: for each (key, hour-of-day),
+    * the mean gap-filled hourly count relative to the key's overall mean
+    * — the seasonal index a deseasonalizer divides out and a capacity
+    * planner reads directly. Exact until one division:
+    * ratio = (Σₕ n · Tₖ) / (Bₕ · Σₖ n) with every product a BIGINT,
+    * rounded on the portable 6-decimal grid.
+    *
+    * Scale: the raw table collapses to the hourly series once; both
+    * profile levels are tiny re-aggregations of it (≤ |keys|·24 rows). */
+  def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String = "value"): DataFrame = {
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol), col("bucket"), col("n"))
+      .localCheckpoint() // two consumers; without the cut both re-agg raw
+    val hod = series
+      .groupBy(col(keyCol), hour(col("bucket")).cast("int").as("hod"))
+      .agg(sum(col("n")).as("n_sum"), count(lit(1)).as("n_buckets"))
+    val tot = series.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("t_sum"), count(lit(1)).as("t_buckets"))
+    hod.join(broadcast(tot), Seq(keyCol))
+      .select(col(keyCol), col("hod"), col("n_sum"), col("n_buckets"),
+        portableRound6((col("n_sum") * col("t_buckets")).cast("double") /
+          (col("n_buckets") * col("t_sum")).cast("double"))
+          .as("seasonal_ratio"))
+  }
+
+  /** Lagged cross-correlation between every ordered pair of keys'
+    * gap-filled hourly count series: Pearson r of (xₜ, yₜ₊ₗ) for lags
+    * 0..maxLag — the lead/lag structure miner (does signup activity lead
+    * purchases by 2 hours?). Buckets align on exact integer epoch-hours;
+    * all six moments accumulate as BIGINTs, the variance product crosses
+    * into DECIMAL(38,0) (it overflows 2⁶³ at ~10⁵ events/hour), and the
+    * only float ops are two casts, one sqrt (IEEE-correctly-rounded in
+    * every engine, unlike libm ln/exp) and one division, rounded on the
+    * 6-decimal grid. Zero-variance series yield NULL r.
+    *
+    * Scale: the |keys|×|hours| series self-joins on the integer hour —
+    * output is |pairs|·|lags| rows; the fact table is long gone. */
+  def crossCorrelation(events: DataFrame, keyCol: String, tsCol: String,
+                       maxLag: Int = 3, valueCol: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol).as("k"),
+        (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+          .cast("long").as("h"),
+        col("n"))
+      .localCheckpoint() // consumed twice (both join sides)
+    val a = series.select(col("k").as("ka"), col("h"), col("n").as("x"))
+      .crossJoin(spark_range_lags(series, maxLag))
+    val b = series.select(col("k").as("kb"), col("h").as("hb"), col("n").as("y"))
+    a.join(b, col("hb") === col("h") + col("lag") && col("ka") < col("kb"))
+      .groupBy(col("ka").as("type_a"), col("kb").as("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("den2",
+        (col("n_overlap") * col("sxx") - col("sx") * col("sx")).cast(dec) *
+          (col("n_overlap") * col("syy") - col("sy") * col("sy")).cast(dec))
+      // explicit zero-variance guard: Spark's double / returns NULL on a
+      // 0 divisor but DuckDB follows IEEE to ±Inf — never let the hash
+      // depend on which convention wins
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_overlap"),
+        when(col("den2") > 0, portableRound6(
+          (col("n_overlap") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(col("den2").cast("double")))).as("r"))
+  }
+
+  /** lag values 0..maxLag as a one-column broadcastable frame (built
+    * from the session of `like`, not a driver literal list — keeps the
+    * helper serializable-free). */
+  private def spark_range_lags(like: DataFrame, maxLag: Int): DataFrame =
+    like.sparkSession.range(maxLag + 1L).select(col("id").cast("long").as("lag"))
 }

@@ -295,6 +295,54 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // CUSUM change-point detection: the sequential level-shift detector,
+    // run declaratively via the Sₜ = Pₜ − min(0, min Pᵢ) closed form —
+    // two window passes over the gap-filled hourly series, everything
+    // scaled into exact BIGINTs (see TimeSeries.cusum).
+    "ts_cusum" -> { (s, dir) =>
+      graft.ops.TimeSeries.cusum(Tables.events(s, dir), "event_type", "ts")
+    },
+
+    // hour-of-day seasonal profile: per-type seasonal index
+    // (hour mean / overall mean), exact cross-products until one
+    // 6dp-rounded division.
+    "ts_seasonal" -> { (s, dir) =>
+      graft.ops.TimeSeries.seasonalProfile(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
+    // lagged cross-correlation between event-type series: Pearson r of
+    // (xₜ, yₜ₊ₗ) for lags 0..3 from exact BIGINT moments; the only
+    // float ops are casts, one IEEE sqrt, one division.
+    "ts_xcorr" -> { (s, dir) =>
+      graft.ops.TimeSeries.crossCorrelation(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
+    // chi-squared independence test: event_type × user-parity variant
+    // contingency table; χ² = Σ (n·O − r·c)²/(n·r·c) with every product
+    // exact (the squared numerator in DECIMAL(38,0)) and one double
+    // division per cell, 4dp-rounded like the LM scores.
+    "stat_chi2" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          pmod(col("user_id"), lit(2)).as("variant"))
+        .agg(count(lit(1)).as("o"))
+      val rowt = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+      val colt = cells.groupBy("variant").agg(sum(col("o")).as("c"))
+      val tot = cells.agg(sum(col("o")).as("n"))
+      cells.join(broadcast(rowt), "event_type")
+        .join(broadcast(colt), "variant")
+        .crossJoin(broadcast(tot))
+        .withColumn("num", (col("n") * col("o") - col("r") * col("c")).cast(d38))
+        .withColumn("term", (col("num") * col("num")).cast("double") /
+          (col("n") * col("r") * col("c")).cast("double"))
+        .agg(count(lit(1)).as("n_cells"),
+          (count_distinct(col("event_type")) - 1).as("df"),
+          round(sum(col("term")), 4).as("chi2"))
+    },
+
     // association rules over per-user event-type baskets: pairwise
     // support, confidence, and lift — "users who do A also do B", the
     // co-occurrence signal behind cross-sell and feature-bundling
@@ -508,7 +556,102 @@ object EventQueries extends QueryPack {
     }
   )
 
+  /** Gap-filled hourly count series per event_type — the shared grid the
+    * ts_cusum / ts_seasonal / ts_xcorr oracles all start from (the same
+    * fill rule as ts_resample: every type covers every hour between its
+    * first and last active hour; silent hours get n = 0). */
+  private val hourlyGridCtes: String =
+    """hh AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+      |       FROM hh GROUP BY 1),
+      |gg AS (SELECT event_type,
+      |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      |  FROM sp),
+      |ff AS (SELECT gg.event_type, gg.bucket, coalesce(hh.n, 0) AS n
+      |  FROM gg LEFT JOIN hh
+      |    ON gg.event_type = hh.event_type AND gg.bucket = hh.bucket)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ts_cusum" ->
+      s"""WITH $hourlyGridCtes,
+         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS t,
+         |      CAST(sum(n) AS BIGINT) AS sx FROM ff GROUP BY 1),
+         |d AS (SELECT ff.event_type, bucket, n, sx,
+         |    2 * t * n - 3 * sx AS d
+         |  FROM ff JOIN t USING (event_type)),
+         |p AS (SELECT event_type, bucket, n, sx,
+         |    CAST(sum(d) OVER (PARTITION BY event_type ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+         |  FROM d),
+         |q AS (SELECT event_type, bucket, n, sx, p,
+         |    least(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY event_type
+         |      ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pmin
+         |  FROM p)
+         |SELECT event_type, bucket, n,
+         |  CAST(p - pmin AS BIGINT) AS cusum_scaled,
+         |  (p - pmin) > 8 * sx AS alarm
+         |FROM q""".stripMargin,
+    "ts_seasonal" ->
+      s"""WITH $hourlyGridCtes,
+         |hod AS (SELECT event_type, CAST(hour(bucket) AS INT) AS hod,
+         |    CAST(sum(n) AS BIGINT) AS n_sum,
+         |    CAST(count(*) AS BIGINT) AS n_buckets
+         |  FROM ff GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t_sum,
+         |      CAST(count(*) AS BIGINT) AS t_buckets FROM ff GROUP BY 1)
+         |SELECT event_type, hod, n_sum, n_buckets,
+         |  round(CAST(n_sum * t_buckets AS DOUBLE)
+         |      / CAST(n_buckets * t_sum AS DOUBLE) * 1000000) / 1000000
+         |    AS seasonal_ratio
+         |FROM hod JOIN t USING (event_type)""".stripMargin,
+    "ts_xcorr" ->
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k,
+         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+         |a AS (SELECT k AS ka, h, n AS x, lag
+         |  FROM sr, (SELECT unnest(range(4)) AS lag)),
+         |b AS (SELECT k AS kb, h AS hb, n AS y FROM sr),
+         |m AS (SELECT ka AS type_a, kb AS type_b, lag,
+         |    CAST(count(*) AS BIGINT) AS n_overlap,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM a JOIN b ON hb = h + lag AND ka < kb
+         |  GROUP BY 1, 2, 3),
+         |v AS (SELECT *,
+         |    CAST(n_overlap * sxx - sx * sx AS HUGEINT)
+         |      * CAST(n_overlap * syy - sy * sy AS HUGEINT) AS den2
+         |  FROM m)
+         |SELECT type_a, type_b, lag, n_overlap,
+         |  CASE WHEN den2 > 0 THEN
+         |    round(CAST(n_overlap * sxy - sx * sy AS DOUBLE)
+         |        / sqrt(CAST(den2 AS DOUBLE)) * 1000000) / 1000000
+         |  END AS r
+         |FROM v""".stripMargin,
+    "stat_chi2" ->
+      """WITH cells AS (SELECT event_type,
+        |    ((user_id % 2) + 2) % 2 AS variant,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT variant, CAST(sum(o) AS BIGINT) AS c
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT
+        |    CAST(CAST(n * o - r * c AS HUGEINT)
+        |       * CAST(n * o - r * c AS HUGEINT) AS DOUBLE)
+        |      / CAST(n * r * c AS DOUBLE) AS term,
+        |    event_type
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (variant), tt)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS df,
+        |  round(sum(term), 4) AS chi2
+        |FROM terms""".stripMargin,
     "ev_transitions" ->
       """WITH nxt AS (SELECT event_type,
         |    lead(event_type, 1) OVER (PARTITION BY user_id

@@ -84,6 +84,21 @@ object TrainingQueries extends QueryPack {
         "doc_id", "text")
     },
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): docs rank by
+    // their interpolated-LM score and split into exact terciles —
+    // bucket 1 = head (most in-distribution), 3 = tail (candidates for
+    // filtering). The rank runs on the 4dp-rounded score (engine-stable)
+    // with doc_id tiebreak, via the distributed exact-ntile (range-rank,
+    // never a one-task window).
+    "text_ppl_bucket" -> { (s, dir) =>
+      Relational.ntileExact(
+        TextAnalysis.interpolatedBigramLogProb(Tables.documents(s, dir),
+          "doc_id", "text"),
+        3, Seq(col("lm_score").desc, col("doc_id")), "ppl_bucket")
+        .select(col("doc_id"), col("lm_score"),
+          col("ppl_bucket").cast("int").as("ppl_bucket"))
+    },
+
     // Kneser-Ney smoothing: absolute discount + continuation backoff.
     "text_lm_kn" -> { (s, dir) =>
       TextAnalysis.knBigramLogProb(Tables.documents(s, dir), "doc_id", "text")
@@ -1039,6 +1054,16 @@ object TrainingQueries extends QueryPack {
           .withColumn("mime", lit("audio/pcm")), frameLen = 64).toDF()
     },
 
+    // voice-activity segmentation: frames above the payload's mean
+    // energy (integer cross-product threshold) merge into maximal
+    // active runs — one row per segment with exact span + energy.
+    "mm_vad" -> { (s, dir) =>
+      implicit val spark = s
+      Multimodal.pcmVadSegments(
+        Multimodal.pack(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("mime", lit("audio/pcm")), frameLen = 64).toDF()
+    },
+
     // image-dedup fingerprint: REAL ImageIO decode → 4x4 average-hash.
     // The oracle replays the 16 pixel grays from the BMP byte layout
     // (bottom-up rows; gray = channel sum, so BGR order cancels) and the
@@ -1390,6 +1415,31 @@ object TrainingQueries extends QueryPack {
        |GROUP BY id""".stripMargin
   }
 
+  /** Interpolated-bigram-LM per-doc score CTE (λ=0.7 conditional bigram
+    * backed off to unigrams, 4dp round) — shared by the text_lm_interp
+    * and text_ppl_bucket oracles. */
+  private lazy val lmInterpCtes: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, array_to_string(t[i+1:i+2],' ') AS shingle
+      |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-1,0))) AS i FROM toks)),
+      |perdoc AS (SELECT doc_id, shingle, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bgc AS (SELECT shingle, CAST(sum(c) AS BIGINT) AS n_bg FROM perdoc GROUP BY 1),
+      |w1c AS (SELECT split_part(shingle, ' ', 1) AS w1,
+      |          CAST(sum(n_bg) AS BIGINT) AS n_w1 FROM bgc GROUP BY 1),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_u
+      |        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+      |        GROUP BY w),
+      |tot AS (SELECT CAST(sum(n_u) AS BIGINT) AS t_tok FROM uni),
+      |lmscore AS (SELECT doc_id,
+      |  round(sum(c * ln(0.7 * CAST(n_bg AS DOUBLE) / CAST(n_w1 AS DOUBLE)
+      |    + 0.3 * CAST(n_u AS DOUBLE) / CAST(t_tok AS DOUBLE))) / sum(c), 4)
+      |    AS lm_score
+      |FROM perdoc
+      |JOIN bgc USING (shingle)
+      |JOIN w1c ON w1c.w1 = split_part(shingle, ' ', 1)
+      |JOIN uni ON uni.w = split_part(shingle, ' ', 2), tot
+      |GROUP BY doc_id)""".stripMargin
+
   /** Gram-matrix CTE (0-based upper triangle, HUGEINT sums over the
     * same round(x·2²⁰) scaling as the Spark plan); shared by the gram
     * and power-iteration oracles. */
@@ -1611,26 +1661,16 @@ object TrainingQueries extends QueryPack {
         |FROM bg JOIN counts USING (shingle), tot
         |GROUP BY doc_id""".stripMargin,
     "text_lm_interp" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, array_to_string(t[i+1:i+2],' ') AS shingle
-        |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-1,0))) AS i FROM toks)),
-        |perdoc AS (SELECT doc_id, shingle, count(*) AS c FROM bg GROUP BY 1, 2),
-        |bgc AS (SELECT shingle, CAST(sum(c) AS BIGINT) AS n_bg FROM perdoc GROUP BY 1),
-        |w1c AS (SELECT split_part(shingle, ' ', 1) AS w1,
-        |          CAST(sum(n_bg) AS BIGINT) AS n_w1 FROM bgc GROUP BY 1),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_u
-        |        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
-        |        GROUP BY w),
-        |tot AS (SELECT CAST(sum(n_u) AS BIGINT) AS t_tok FROM uni)
-        |SELECT doc_id,
-        |  round(sum(c * ln(0.7 * CAST(n_bg AS DOUBLE) / CAST(n_w1 AS DOUBLE)
-        |    + 0.3 * CAST(n_u AS DOUBLE) / CAST(t_tok AS DOUBLE))) / sum(c), 4)
-        |    AS lm_score
-        |FROM perdoc
-        |JOIN bgc USING (shingle)
-        |JOIN w1c ON w1c.w1 = split_part(shingle, ' ', 1)
-        |JOIN uni ON uni.w = split_part(shingle, ' ', 2), tot
-        |GROUP BY doc_id""".stripMargin,
+      s"""WITH $lmInterpCtes
+         |SELECT doc_id, lm_score FROM lmscore""".stripMargin,
+    // CCNet-style terciles over the SAME per-doc LM score: exact ntile
+    // on the 4dp-rounded score (engine-stable), doc_id tiebreak.
+    "text_ppl_bucket" ->
+      s"""WITH $lmInterpCtes
+         |SELECT doc_id, lm_score,
+         |  CAST(ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS INT)
+         |    AS ppl_bucket
+         |FROM lmscore""".stripMargin,
     "vocab_top" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -3013,6 +3053,36 @@ object TrainingQueries extends QueryPack {
         |  CAST(coalesce(p.te, 0) AS BIGINT) AS total_energy
         |FROM documents d LEFT JOIN (SELECT * FROM pk WHERE rn = 1) p
         |  ON p.doc_id = d.doc_id""".stripMargin,
+    // VAD replay: same frame energies; active ⇔ e·nf > te (the integer
+    // mean-threshold), islands by the f − row_number() run trick,
+    // segments ordered by start frame.
+    "mm_vad" ->
+      """WITH sm AS (SELECT doc_id, CAST(i // 64 AS BIGINT) AS f,
+        |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+        |  FROM (SELECT doc_id, i, ord(substr(text, CAST(2*i+1 AS INT), 1))
+        |          + 256 * ord(substr(text, CAST(2*i+2 AS INT), 1)) AS v
+        |        FROM (SELECT doc_id, text,
+        |                unnest(range((length(text) // 2 // 64) * 64)) AS i
+        |              FROM documents))),
+        |fe AS (SELECT doc_id, f, CAST(sum(sv * sv) AS BIGINT) AS e
+        |       FROM sm GROUP BY 1, 2),
+        |aw AS (SELECT doc_id, f, e,
+        |    count(*) OVER (PARTITION BY doc_id) AS nf,
+        |    sum(e) OVER (PARTITION BY doc_id) AS te
+        |  FROM fe),
+        |act AS (SELECT doc_id, f, e FROM aw WHERE e * nf > te),
+        |grp AS (SELECT doc_id, f, e,
+        |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+        |  FROM act),
+        |seg AS (SELECT doc_id, g, min(f) AS f0, max(f) AS f1,
+        |    CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(e) AS BIGINT) AS energy
+        |  FROM grp GROUP BY 1, 2)
+        |SELECT doc_id AS id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY f0) - 1 AS INT)
+        |    AS seg,
+        |  CAST(f0 AS INT) AS f0, CAST(f1 AS INT) AS f1, n_frames, energy
+        |FROM seg""".stripMargin,
     // Average-hash replay: pixel (x, y) of the 4x4 BMP sits at payload
     // offset (3-y)*12 + 3x (bottom-up rows, rowSize 12); gray = sum of
     // its 3 channel bytes ('A'=65 padding past the text); bit p set iff

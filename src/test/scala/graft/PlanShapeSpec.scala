@@ -492,5 +492,25 @@ class PlanShapeSpec extends SparkSpec {
       assert(countOf(p, "Exchange") <= 2, s"$q agg + key window only:\n$p")
       assert(!p.contains("Join"), s"$q needs no join:\n$p")
     }
+    // cusum gets its per-key totals from whole-partition window frames
+    // sharing the ordered windows' HashPartitioning — same contract:
+    // one scan, agg + key shuffle, no join anywhere.
+    val pc = plan("ts_cusum")
+    assert(countOf(pc, "Scan parquet") == 1, s"ts_cusum must scan once:\n$pc")
+    assert(countOf(pc, "Exchange") <= 2, pc)
+    assert(!pc.contains("Join"), s"ts_cusum needs no join:\n$pc")
+  }
+
+  test("seasonal/xcorr run on the checkpointed hourly series, raw gone") {
+    // both consume the |keys|×|hours| series twice; the localCheckpoint
+    // cuts lineage so NO parquet scan survives into the executed plan —
+    // re-aggregating raw per consumer is the failure mode this guards.
+    for (q <- Seq("ts_seasonal", "ts_xcorr")) {
+      val p = plan(q)
+      assert(countOf(p, "Scan parquet") == 0, s"$q must not rescan raw:\n$p")
+      assert(p.contains("ExistingRDD"), s"$q reads the checkpointed series:\n$p")
+    }
+    // xcorr's pair join is tiny-side broadcast, never a corpus sort-merge
+    assert(!plan("ts_xcorr").contains("SortMergeJoin"), plan("ts_xcorr"))
   }
 }
