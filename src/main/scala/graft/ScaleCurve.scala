@@ -84,7 +84,14 @@ object ScaleCurve {
     // seventh-wave additions: neighborhood jaccard (pair fan-out over
     // neighbor lists), Holt fold (grid-bounded like ewma), Heaps vocab
     // curve (one token agg), Pareto share (range-rank + 1-row totals)
-    "graph_jaccard", "ts_holt", "text_heaps", "ev_power_users")
+    "graph_jaccard", "ts_holt", "text_heaps", "ev_power_users",
+    // eighth-wave additions (r10): CUSUM windows + seasonal profile +
+    // lagged cross-correlation (all grid-bounded past one hash-agg —
+    // should be FLAT-ish), chi-squared (|cells|-sized — FLAT), VAD
+    // segmentation (row-local typed seam — linear), perplexity terciles
+    // (the LM scorer + a range-rank — tracks text_lm_interp)
+    "ts_cusum", "ts_seasonal", "ts_xcorr", "stat_chi2", "mm_vad",
+    "text_ppl_bucket")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
