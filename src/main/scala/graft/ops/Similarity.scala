@@ -488,6 +488,18 @@ object Similarity {
     assigned.select(col(idCol), col("c1"), col("c").as("c2"))
   }
 
+  /** FROZEN-quantizer cell assignment: each vector's nearest literal
+    * seed centroid (no training pass at all) — the reference partition
+    * drift monitoring judges populations against. Pure map-side
+    * projection (the argmin runs over injected seed literals via the
+    * native [[graft.functions.SquaredDistances]] kernel): zero shuffle,
+    * streamable, and exactly reproducible by an oracle carrying the same
+    * seed literals. */
+  def seedCellAssign(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 8, dim: Int = 64): DataFrame =
+    codedVecs(df, idCol, vecCol, k, dim)
+      .select(col(idCol), col("c1").as("cell"))
+
   /** Seed-coded vectors: (…passthrough…, c1 = seed-cell, vsl = scaled
     * integer codes). Shared entry of the fixed-point training paths. */
   private def codedVecs(df: DataFrame, idCol: String, vecCol: String,

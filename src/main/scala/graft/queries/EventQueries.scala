@@ -319,6 +319,93 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Mann–Whitney U — the nonparametric twin of stat_ttest on the same
+    // variant split: tie-averaged ranks computed WITHOUT a row-level
+    // global window (2·avgrank = 2·cumBefore + c + 1 on the collapsed
+    // VALUE-GROUP table, whose size is the distinct-cents domain, not
+    // the row count), rank sums and the tie correction Σ(t³−t) all
+    // exact BIGINTs, then one double chain for the tie-corrected z².
+    "stat_mwu" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val per = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(2)).as("variant"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("x"))
+      val grp = per.groupBy(col("x")).agg(
+        count(lit(1)).as("c"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"))
+      // window over DISTINCT values — domain-bounded, never row-bounded
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      val m = grp
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("ar2",
+          lit(2L) * (col("cum") - col("c")) + col("c") + 1)
+        .agg(sum(col("c0")).as("n0"),
+          sum(col("c") - col("c0")).as("n1"),
+          sum(col("c0") * col("ar2")).as("r2"),
+          sum(col("c") * col("c") * col("c") - col("c")).as("tsum"))
+        .withColumn("u2", col("r2") - col("n0") * (col("n0") + 1))
+      val nn = col("n0") + col("n1")
+      val a = col("n0") * col("n1")
+      m.select(col("n0"), col("n1"), col("u2"),
+        (round(((col("u2") - a).cast(d38) * (col("u2") - a).cast(d38))
+          .cast("double") /
+          (a.cast("double") / 3.0 *
+            ((nn + 1).cast("double") -
+              col("tsum").cast("double") / (nn * (nn - 1)).cast("double")))
+          * 10000) / 10000).as("z2"))
+    },
+
+    // two-sample Kolmogorov–Smirnov on the same split: D = max |F₀−F₁|
+    // as the EXACT rational max|n₁·cum₀ − n₀·cum₁|/(n₀·n₁) — the
+    // distribution-shift detector, integer-exact up to one division.
+    // Same collapsed-value-domain window as stat_mwu.
+    "stat_ks" -> { (s, dir) =>
+      val per = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(2)).as("variant"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("x"))
+      val grp = per.groupBy(col("x")).agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("b"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      val tot = grp.agg(sum(col("a")).as("n0"), sum(col("b")).as("n1"))
+      grp
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("b")).over(w))
+        .crossJoin(broadcast(tot))
+        .agg(first(col("n0")).as("n0"), first(col("n1")).as("n1"),
+          max(abs(col("n1") * col("ca") - col("n0") * col("cb")))
+            .as("d_num"))
+        .select(col("n0"), col("n1"), col("d_num"),
+          graft.ops.TimeSeries.portableRound6(
+            col("d_num").cast("double") /
+              (col("n0") * col("n1")).cast("double")).as("d"))
+    },
+
+    // sample-ratio-mismatch guardrail: the experiment-integrity check
+    // run BEFORE reading any A/B result — distinct users per variant vs
+    // the designed 50/50 split, χ² = (n₀−n₁)²/(n₀+n₁) with 1 df,
+    // flagged past the 95% critical value. Exact until one division.
+    "ev_ab_srm" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .agg(
+          sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L))
+            .as("n0"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L))
+            .as("n1"))
+        .select(col("n0"), col("n1"),
+          (round(((col("n0") - col("n1")) * (col("n0") - col("n1")))
+            .cast("double") / (col("n0") + col("n1")).cast("double")
+            * 10000) / 10000).as("chi2"),
+          // critical-value test as a pure integer comparison
+          // (χ² > 3.8415 ⇔ 10⁴·(n₀−n₁)² > 38415·N): no float threshold
+          // for a borderline experiment to straddle
+          ((col("n0") - col("n1")) * (col("n0") - col("n1")) * 10000L
+            > lit(38415L) * (col("n0") + col("n1"))).as("srm"))
+    },
+
     // chi-squared independence test: event_type × user-parity variant
     // contingency table; χ² = Σ (n·O − r·c)²/(n·r·c) with every product
     // exact (the squared numerator in DECIMAL(38,0)) and one double
@@ -340,7 +427,7 @@ object EventQueries extends QueryPack {
           (col("n") * col("r") * col("c")).cast("double"))
         .agg(count(lit(1)).as("n_cells"),
           (count_distinct(col("event_type")) - 1).as("df"),
-          round(sum(col("term")), 4).as("chi2"))
+          (round(sum(col("term")) * 10000) / 10000).as("chi2"))
     },
 
     // association rules over per-user event-type baskets: pairwise
@@ -574,6 +661,67 @@ object EventQueries extends QueryPack {
       |    ON gg.event_type = hh.event_type AND gg.bucket = hh.bucket)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stat_mwu" ->
+      """WITH per AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'),
+        |grp AS (SELECT x, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+        |  FROM per GROUP BY x),
+        |rk AS (SELECT c, c0,
+        |    2 * (CAST(sum(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c)
+        |      + c + 1 AS ar2
+        |  FROM grp),
+        |m AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c - c0) AS BIGINT) AS n1,
+        |    CAST(sum(c0 * ar2) AS BIGINT) AS r2,
+        |    CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+        |  FROM rk),
+        |u AS (SELECT n0, n1, tsum, r2 - n0 * (n0 + 1) AS u2 FROM m)
+        |SELECT n0, n1, u2,
+        |  round(CAST(CAST(u2 - n0 * n1 AS HUGEINT)
+        |        * CAST(u2 - n0 * n1 AS HUGEINT) AS DOUBLE)
+        |    / (CAST(n0 * n1 AS DOUBLE) / 3.0
+        |       * (CAST(n0 + n1 + 1 AS DOUBLE)
+        |          - CAST(tsum AS DOUBLE)
+        |            / CAST((n0 + n1) * (n0 + n1 - 1) AS DOUBLE)))
+        |    * 10000) / 10000 AS z2
+        |FROM u""".stripMargin,
+    "stat_ks" ->
+      """WITH per AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'),
+        |grp AS (SELECT x,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM per GROUP BY x),
+        |cum AS (SELECT
+        |    CAST(sum(a) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(b) OVER w AS BIGINT) AS cb
+        |  FROM grp
+        |  WINDOW w AS (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS n0,
+        |      CAST(sum(b) AS BIGINT) AS n1 FROM grp)
+        |SELECT n0, n1,
+        |  CAST(max(abs(n1 * ca - n0 * cb)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(n1 * ca - n0 * cb)) AS DOUBLE)
+        |      / CAST(n0 * n1 AS DOUBLE) * 1000000) / 1000000 AS d
+        |FROM cum, t GROUP BY n0, n1""".stripMargin,
+    "ev_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1
+        |  FROM u)
+        |SELECT n0, n1,
+        |  round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+        |      / CAST(n0 + n1 AS DOUBLE) * 10000) / 10000 AS chi2,
+        |  (n0 - n1) * (n0 - n1) * 10000 > 38415 * (n0 + n1) AS srm
+        |FROM m""".stripMargin,
     "ts_cusum" ->
       s"""WITH $hourlyGridCtes,
          |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS t,
@@ -650,7 +798,7 @@ object EventQueries extends QueryPack {
         |  FROM cells JOIN rt USING (event_type) JOIN ct USING (variant), tt)
         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
         |  CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS df,
-        |  round(sum(term), 4) AS chi2
+        |  round(sum(term) * 10000) / 10000 AS chi2
         |FROM terms""".stripMargin,
     "ev_transitions" ->
       """WITH nxt AS (SELECT event_type,

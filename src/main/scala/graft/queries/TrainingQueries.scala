@@ -11,6 +11,14 @@ object TrainingQueries extends QueryPack {
 
   private val stop = TextAnalysis.stopwords
 
+  /** NDCG@10 discount weights 1/log₂(i+1) and their prefix sums (ideal
+    * DCG with R relevant items) — computed once here, injected as
+    * identical double literals into the Spark plan AND the oracle SQL
+    * so no engine ever calls its own libm log. */
+  private val NdcgWeights: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val NdcgIdcg: Seq[Double] = NdcgWeights.scanLeft(0.0)(_ + _).tail
+
   /** Query terms for the BM25 demo scoring pass (drawn from the synthetic
     * corpus vocabulary; order matters — summation is index-ordered). */
   private val Bm25Terms = Seq("spark", "window", "query")
@@ -210,6 +218,37 @@ object TrainingQueries extends QueryPack {
     "eval_auc" -> { (s, dir) =>
       TextAnalysis.aucScore(Tables.documents(s, dir), "doc_id", "text",
         col("lang") === "en")
+    },
+
+    // NDCG@10 of the brute-force neighbor ranking against binary label
+    // relevance — the standard retrieval-quality metric beside
+    // sim_recall's set overlap. Discount weights 1/log₂(i+1) and the
+    // ideal-DCG partial sums are computed ONCE in Scala and injected as
+    // identical literals into both plans (the libm-divergence pattern:
+    // ln differs in the last ulp across engines, a shared literal
+    // cannot). Per-query rows hash the whole metric, not just a mean.
+    "eval_ndcg" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val wArr = array(NdcgWeights.map(lit): _*)
+      val iArr = array(NdcgIdcg.map(lit): _*)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 50),
+          "vec_id", "embedding", k = 10)
+        .join(broadcast(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("ql"))), "query_id")
+        .join(broadcast(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nl"))), "neighbor_id")
+        .groupBy(col("query_id"))
+        .agg(
+          sum(when(col("ql") === col("nl"),
+            element_at(wArr, col("rank").cast("int"))).otherwise(0.0))
+            .as("dcg"),
+          sum(when(col("ql") === col("nl"), 1L).otherwise(0L)).as("n_rel"))
+        .select(col("query_id"), col("n_rel"),
+          when(col("n_rel") > 0,
+            round(col("dcg") / element_at(iArr, col("n_rel").cast("int"))
+              * 1000000) / 1000000)
+            .otherwise(lit(0.0)).as("ndcg"))
     },
 
     // calibration table: per score decile, exact counts and an exact
@@ -641,6 +680,34 @@ object TrainingQueries extends QueryPack {
         "v", binWidth = 20L, nBins = 20)
     },
 
+    // EMBEDDING distribution drift — drift_tokens' twin in vector space:
+    // both snapshot halves assign to the FROZEN seed quantizer
+    // (map-side literal argmin, no training), and each cell contributes
+    // its exact 2×k chi-squared term — the retraining tripwire for an
+    // embedding pipeline (has the representation's cell population
+    // shifted?). Everything integer until one division per cell half.
+    "drift_cells" -> { (s, dir) =>
+      val cells = Similarity.seedCellAssign(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .withColumn("side", pmod(col("vec_id"), lit(2)))
+      val cnt = cells.groupBy(col("cell"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_cur"))
+      val tot = cnt.agg(sum(col("n_ref")).as("cr"), sum(col("n_cur")).as("cc"))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("r", col("n_ref") + col("n_cur"))
+        .withColumn("n", col("cr") + col("cc"))
+        .select(col("cell"), col("n_ref"), col("n_cur"),
+          (round((
+            ((col("n") * col("n_ref") - col("r") * col("cr")) *
+              (col("n") * col("n_ref") - col("r") * col("cr"))).cast("double") /
+              (col("n") * col("r") * col("cr")).cast("double") +
+            ((col("n") * col("n_cur") - col("r") * col("cc")) *
+              (col("n") * col("n_cur") - col("r") * col("cc"))).cast("double") /
+              (col("n") * col("r") * col("cc")).cast("double"))
+            * 1000000) / 1000000).as("chi2_term"))
+    },
+
     // ---- corpus assembly -------------------------------------------------
     "split_assign" -> { (s, dir) =>
       CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id",
@@ -722,6 +789,28 @@ object TrainingQueries extends QueryPack {
     "pack_cdc" -> { (s, dir) =>
       CorpusOps.cdcChunks(Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", w = 3, modulus = 32)
+    },
+
+    // chunk-level storage dedup over the SAME content-defined chunks:
+    // per source, how many chunks (and tokens) recur anywhere in the
+    // corpus — the dedup-ratio estimate backing storage planning and
+    // the restic/borg-style chunk store. Occurrence counts come from
+    // one chunk_hash hash-agg (map-side combine collapses dups before
+    // the shuffle); the join back is chunk-sized, the corpus text gone.
+    "dedup_chunk" -> { (s, dir) =>
+      val chunks = CorpusOps.cdcChunks(
+        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        "doc_id", "text", w = 3, modulus = 32)
+      val occ = chunks.groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("nocc"))
+      chunks.join(occ, "chunk_hash")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count_distinct(col("chunk_hash")).as("uniq_chunks"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("nocc") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+          sum(when(col("nocc") > 1, col("n_tokens")).otherwise(0L))
+            .as("dup_tokens"))
     },
 
     // greedy per-shard FIRST-fit sequence packing — the oracle replays the
@@ -1007,6 +1096,40 @@ object TrainingQueries extends QueryPack {
     "mm_keyframes" -> { (s, dir) =>
       Multimodal.keyFrames(
         Multimodal.pack(Tables.documents(s, dir), "doc_id", "text"), n = 4)
+    },
+
+    // video-level near-dup (content-ID shape): each video fingerprints
+    // as its sampled frames' hashes; candidate pairs come from the
+    // frame-hash INVERTED INDEX (posting lists, map-side pair fan-out,
+    // hot-frame cap at 100 — the dedup_jaccard discipline, never a
+    // frame self-join), near-dup when ≥2 of the 4 sampled frames match.
+    "mm_video_neardup" -> { (s, dir) =>
+      // video corpus = base + deterministic re-uploads (the corpus_diff
+      // carving pattern — the base corpus has no byte-identical docs, so
+      // the detector needs planted positives): every 10th video
+      // re-appears verbatim (all 4 frames match), every 10th+5 with its
+      // first byte corrupted (frames 2..4 match → sim 0.75).
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val vids = docs
+        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 5)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+          .withColumn("text", concat(lit("Z"), substring(col("text"), 2, 1000000))))
+      val fr = Multimodal.frameSample(
+          Multimodal.pack(vids, "doc_id", "text"), n = 4)
+        .select(col("id"), md5(col("frame_bytes")).as("fh"))
+        .distinct()
+      fr.groupBy(col("fh"))
+        .agg(sort_array(collect_set(col("id"))).as("ids"))
+        .where(size(col("ids")).between(2, 100))
+        .select(explode(graft.ops.GraphOps.sortedPairs(col("ids"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 2)
+        .select(col("a"), col("b"), col("shared"),
+          (round(col("shared").cast("double") / 4.0 * 1000000) / 1000000)
+            .as("sim"))
     },
 
     "mm_resize" -> { (s, dir) =>
@@ -1414,6 +1537,31 @@ object TrainingQueries extends QueryPack {
        |FROM (SELECT a AS id FROM ef UNION ALL SELECT b FROM ef)
        |GROUP BY id""".stripMargin
   }
+
+  /** Content-defined-chunking CTE (w=3 rolling window, modulus 32 —
+    * the pack_cdc parameters): yields `chunks`(doc_id, chunk_idx,
+    * start_tok, n_tokens, chunk_hash). Shared by pack_cdc and
+    * dedup_chunk. */
+  private lazy val cdcChunkCtes: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |bnd AS (SELECT doc_id, t, len(t) AS n,
+      |  list_filter(range(3, len(t)+1), i ->
+      |    CAST(('0x'||substr(md5(array_to_string(t[CAST(i-2 AS INT):CAST(i AS INT)],' ')),1,8)) AS BIGINT)
+      |      % 32 = 0) AS bs
+      |  FROM toks),
+      |st AS (SELECT doc_id, t, n,
+      |  list_filter(list_prepend(CAST(1 AS BIGINT), [i+1 FOR i IN bs]),
+      |              x -> x <= n) AS starts
+      |  FROM bnd),
+      |ch AS (SELECT doc_id, t, n, starts, unnest(range(len(starts))) AS j FROM st),
+      |chunks AS (SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+      |  CAST(starts[CAST(j+1 AS INT)] AS BIGINT) AS start_tok,
+      |  CAST(coalesce(starts[CAST(j+2 AS INT)], n+1) - starts[CAST(j+1 AS INT)] AS BIGINT)
+      |    AS n_tokens,
+      |  md5(array_to_string(
+      |    t[CAST(starts[CAST(j+1 AS INT)] AS INT):
+      |      CAST(coalesce(starts[CAST(j+2 AS INT)], n+1) - 1 AS INT)], ' ')) AS chunk_hash
+      |FROM ch)""".stripMargin
 
   /** Interpolated-bigram-LM per-doc score CTE (λ=0.7 conditional bigram
     * backed off to unigrams, 4dp round) — shared by the text_lm_interp
@@ -1912,6 +2060,36 @@ object TrainingQueries extends QueryPack {
          |  round(CAST(tp AS DOUBLE)/nullif(tp+fn, 0) * 1000000)/1000000 AS rec
          |FROM a""".stripMargin,
     // same scoring subquery; midrank AUC from exact integer rank sums.
+    // NDCG@10 replay: identical neighbor ranking as sim_topk's proven
+    // oracle (pinned cosine, vec_id tiebreak); discount weights and
+    // ideal-DCG prefix sums are the SAME Scala-computed literals the
+    // Spark plan carries — neither engine calls its own log.
+    "eval_ndcg" -> {
+      val wl = NdcgWeights.map(_.toString).mkString("[", ",", "]")
+      val il = NdcgIdcg.map(_.toString).mkString("[", ",", "]")
+      s"""WITH nn AS (
+         |  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+         |                 c.vec_id ASC) AS rank
+         |    FROM embeddings q, embeddings c
+         |    WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 10),
+         |j AS (SELECT nn.query_id, nn.rank,
+         |    ql.label AS ql, nl.label AS nl
+         |  FROM nn JOIN embeddings ql ON ql.vec_id = nn.query_id
+         |  JOIN embeddings nl ON nl.vec_id = nn.neighbor_id),
+         |per AS (SELECT query_id,
+         |    sum(CASE WHEN ql = nl THEN ($wl::DOUBLE[])[rank] ELSE 0 END) AS dcg,
+         |    CAST(sum(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+         |  FROM j GROUP BY 1)
+         |SELECT query_id, n_rel,
+         |  CASE WHEN n_rel > 0 THEN
+         |    round(dcg / ($il::DOUBLE[])[CAST(n_rel AS INT)] * 1000000) / 1000000
+         |  ELSE 0.0 END AS ndcg
+         |FROM per""".stripMargin
+    },
     "eval_auc" ->
       s"""WITH scored AS (SELECT round(1.0/(1.0 + exp(-z)), 4) AS score,
          |    lang = 'en' AS pos FROM (${clfZSql(", lang")})),
@@ -2638,25 +2816,27 @@ object TrainingQueries extends QueryPack {
         |FROM (SELECT doc_id, t,
         |  unnest(range(greatest(CAST(ceil(len(t)/32.0) AS BIGINT), 1))) AS i FROM toks)""".stripMargin,
     "pack_cdc" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |b AS (SELECT doc_id, t, len(t) AS n,
-        |  list_filter(range(3, len(t)+1), i ->
-        |    CAST(('0x'||substr(md5(array_to_string(t[CAST(i-2 AS INT):CAST(i AS INT)],' ')),1,8)) AS BIGINT)
-        |      % 32 = 0) AS bs
-        |  FROM toks),
-        |s AS (SELECT doc_id, t, n,
-        |  list_filter(list_prepend(CAST(1 AS BIGINT), [i+1 FOR i IN bs]),
-        |              x -> x <= n) AS starts
-        |  FROM b),
-        |c AS (SELECT doc_id, t, n, starts, unnest(range(len(starts))) AS j FROM s)
-        |SELECT doc_id, CAST(j AS INT) AS chunk_idx,
-        |  CAST(starts[CAST(j+1 AS INT)] AS BIGINT) AS start_tok,
-        |  CAST(coalesce(starts[CAST(j+2 AS INT)], n+1) - starts[CAST(j+1 AS INT)] AS BIGINT)
-        |    AS n_tokens,
-        |  md5(array_to_string(
-        |    t[CAST(starts[CAST(j+1 AS INT)] AS INT):
-        |      CAST(coalesce(starts[CAST(j+2 AS INT)], n+1) - 1 AS INT)], ' ')) AS chunk_hash
-        |FROM c""".stripMargin,
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_hash
+         |FROM chunks""".stripMargin,
+    // chunk-store dedup ratio on the same chunk stream: occurrence
+    // counts over chunk_hash, rolled up per source.
+    "dedup_chunk" ->
+      s"""WITH $cdcChunkCtes,
+         |occ AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS nocc
+         |        FROM chunks GROUP BY 1)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(DISTINCT c.chunk_hash) AS BIGINT) AS uniq_chunks,
+         |  CAST(sum(c.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN o.nocc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_chunks,
+         |  CAST(sum(CASE WHEN o.nocc > 1 THEN c.n_tokens ELSE 0 END)
+         |    AS BIGINT) AS dup_tokens
+         |FROM chunks c
+         |JOIN occ o ON o.chunk_hash = c.chunk_hash
+         |JOIN documents d ON d.doc_id = c.doc_id
+         |GROUP BY d.source""".stripMargin,
     // Identical SRP bucketing as Similarity.lshTopK: same plane constants
     // (from srpPlanes), same index-ordered double dot product.
     "sim_ann_lsh" -> {
@@ -2866,6 +3046,27 @@ object TrainingQueries extends QueryPack {
          |SELECT vec_id, CAST(db AS BIGINT) AS dot_before,
          |  CAST(db - corr AS BIGINT) AS dot_after
          |FROM c""".stripMargin,
+    // frozen-seed cell drift: a1 is kmeansCtes' seed assignment (same
+    // literals); exact 2×k chi-squared per cell, one division per half.
+    "drift_cells" ->
+      s"""WITH $kmeansCtes,
+         |sides AS (SELECT c1 AS cell, ((vec_id % 2) + 2) % 2 AS side
+         |          FROM a1),
+         |cnt AS (SELECT cell,
+         |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         |  FROM sides GROUP BY cell),
+         |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS cr,
+         |        CAST(sum(n_cur) AS BIGINT) AS cc FROM cnt)
+         |SELECT cell, n_ref, n_cur,
+         |  round((
+         |    CAST((n * n_ref - r * cr) * (n * n_ref - r * cr) AS DOUBLE)
+         |      / CAST(n * r * cr AS DOUBLE)
+         |    + CAST((n * n_cur - r * cc) * (n * n_cur - r * cc) AS DOUBLE)
+         |      / CAST(n * r * cc AS DOUBLE)) * 1000000) / 1000000
+         |    AS chi2_term
+         |FROM (SELECT cell, n_ref, n_cur, cr, cc,
+         |        n_ref + n_cur AS r, cr + cc AS n FROM cnt, tot)""".stripMargin,
     "sim_ann_ivf_trained" -> trainedIvfSql,
     "sim_knn_label" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
@@ -2947,6 +3148,30 @@ object TrainingQueries extends QueryPack {
         |SELECT id, CAST(u.i AS INT) AS frame_idx,
         |  substr(text, CAST(u.i * chunk + 1 AS INT), greatest(chunk, 1)) AS frame_bytes
         |FROM m, (SELECT unnest(range(4)) AS i) u""".stripMargin,
+    // same frame chunking, md5 fingerprints, capped-frequency pair join
+    // over the same planted-re-upload corpus
+    "mm_video_neardup" ->
+      """WITH vids AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'Z' || substr(text, 2)
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |m AS (SELECT doc_id AS id, text,
+        |    CAST(length(text) // 4 AS INT) AS chunk FROM vids),
+        |fr AS (SELECT DISTINCT id,
+        |    md5(substr(text, CAST(u.i * chunk + 1 AS INT), greatest(chunk, 1)))
+        |      AS fh
+        |  FROM m, (SELECT unnest(range(4)) AS i) u),
+        |okf AS (SELECT fh FROM fr GROUP BY fh
+        |        HAVING count(*) BETWEEN 2 AND 100),
+        |p AS (SELECT l.id AS a, r.id AS b
+        |  FROM fr l JOIN fr r ON l.fh = r.fh AND l.id < r.id
+        |  JOIN okf ON okf.fh = l.fh)
+        |SELECT a, b, CAST(count(*) AS BIGINT) AS shared,
+        |  round(CAST(count(*) AS DOUBLE) / 4.0 * 1000000) / 1000000 AS sim
+        |FROM p GROUP BY a, b HAVING count(*) >= 2""".stripMargin,
     // frame byte sums replayed from the substring chunks; lag delta and
     // the (delta desc, frame_idx) argmax mirror the Spark window.
     "mm_keyframes" ->
