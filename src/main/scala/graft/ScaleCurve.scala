@@ -91,7 +91,18 @@ object ScaleCurve {
     // segmentation (row-local typed seam — linear), perplexity terciles
     // (the LM scorer + a range-rank — tracks text_lm_interp)
     "ts_cusum", "ts_seasonal", "ts_xcorr", "stat_chi2", "mm_vad",
-    "text_ppl_bucket")
+    "text_ppl_bucket",
+    // ninth-wave additions (r10 second sweep): rank/KS tests (collapsed
+    // value-domain windows — FLAT past the hash-agg), SRM (one distinct
+    // + two counters), NDCG (50-query broadcast probe), chunk-store
+    // dedup (chunk-hash agg — the dedup_exact family), frozen-cell
+    // drift (map-side argmin + |cells| agg), video near-dup (capped
+    // frame-hash posting lists — the dedup_jaccard family)
+    "stat_mwu", "stat_ks", "ev_ab_srm", "eval_ndcg", "dedup_chunk",
+    "drift_cells", "mm_video_neardup",
+    // Holt–Winters (grid-bounded fold like ewma/holt, now with the
+    // 24-slot seasonal state — should be FLAT)
+    "ts_holtwinters")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

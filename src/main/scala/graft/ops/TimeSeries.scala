@@ -213,6 +213,73 @@ object TimeSeries {
         portableRound4(col("s.level") + col("s.trend")).as("forecast_next"))
   }
 
+  /** Additive Holt–Winters (triple exponential smoothing) over each
+    * key's gap-filled hourly counts — level + trend + a period-`m`
+    * seasonal component, completing the forecasting family
+    * (ewma ⊂ holt ⊂ this):
+    * lₜ = α(xₜ − sₜ₋ₘ) + (1−α)(lₜ₋₁ + bₜ₋₁);
+    * bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁;
+    * sₜ = γ(xₜ − lₜ) + (1−γ)sₜ₋ₘ;  forecast₊₁ = lₜ + bₜ + sₜ₊₁₋ₘ.
+    * Initialization is the ONLINE (no-lookahead) convention — l₁ = x₁,
+    * b₁ = 0, and sₜ₋ₘ ≡ 0 until a full season of history exists — the
+    * only convention both a streaming left fold and a recursive-CTE
+    * oracle can replay without seeing the future.
+    *
+    * Engine-exactness: the double chain is written identically on both
+    * sides (ts_holt's discipline); sₜ₋ₘ comes from the fold's OWN
+    * HISTORY — entry t−m of the accumulated state array — while the
+    * oracle carries a rotating m-slot seasonal list, and the two are the
+    * same sequence by construction. 4dp portable round at the boundary.
+    * Scale: the fold runs per key on the |keys|×|hours| series (the
+    * ewma argument); the forecast's sₜ₊₁₋ₘ is one lag(m−1) window pass
+    * on the same key partitioning. */
+  def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
+                  alpha: Double = 0.3, beta: Double = 0.1,
+                  gamma: Double = 0.3, m: Int = 24,
+                  valueCol: String = "value"): DataFrame = {
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol), col("bucket").cast("timestamp_ntz").as("bucket"),
+        col("n"))
+    val folded = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("n")))).as("xs"))
+      .withColumn("states",
+        aggregate(col("xs"),
+          expr("CAST(array() AS ARRAY<STRUCT<bucket TIMESTAMP_NTZ, " +
+            "n BIGINT, level DOUBLE, trend DOUBLE, seasonal DOUBLE>>)"),
+          (acc, x) => {
+            val prevL = element_at(acc, -1)("level")
+            val prevT = element_at(acc, -1)("trend")
+            // the season-old seasonal: this fold's own entry t−m
+            val sOld = when(size(acc) >= m,
+              element_at(acc, size(acc) - (m - 1))("seasonal"))
+              .otherwise(lit(0.0))
+            val level = when(size(acc) === 0, x("n").cast("double"))
+              .otherwise(lit(alpha) * (x("n").cast("double") - sOld) +
+                lit(1.0 - alpha) * (prevL + prevT))
+            val trend = when(size(acc) === 0, lit(0.0))
+              .otherwise(lit(beta) * (level - prevL) +
+                lit(1.0 - beta) * prevT)
+            val seas = lit(gamma) * (x("n").cast("double") - level) +
+              lit(1.0 - gamma) * sOld
+            concat(acc, array(struct(x("bucket").as("bucket"),
+              x("n").as("n"), level.as("level"), trend.as("trend"),
+              seas.as("seasonal"))))
+          }))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    folded.select(col(keyCol), explode(col("states")).as("s"))
+      .select(col(keyCol), col("s.bucket").as("bucket"), col("s.n").as("n"),
+        col("s.level").as("l"), col("s.trend").as("t"),
+        col("s.seasonal").as("sv"))
+      .withColumn("s_next", coalesce(lag(col("sv"), m - 1).over(w), lit(0.0)))
+      .select(col(keyCol), col("bucket"), col("n"),
+        portableRound4(col("l")).as("level"),
+        portableRound4(col("t")).as("trend"),
+        portableRound4(col("sv")).as("seasonal"),
+        portableRound4(col("l") + col("t") + col("s_next"))
+          .as("forecast_next"))
+  }
+
   /** Robust per-key anomaly detection on hourly counts: flag buckets
     * whose deviation from the key's MEDIAN exceeds 3× the key's MAD
     * (median absolute deviation) — the outlier rule that a single spike

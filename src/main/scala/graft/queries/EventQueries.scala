@@ -530,6 +530,15 @@ object EventQueries extends QueryPack {
         "event_type", "ts", alpha = 0.3, beta = 0.1)
     },
 
+    // additive Holt–Winters (period 24): the forecasting family's
+    // seasonal completion — the oracle's recursive CTE carries a
+    // rotating 24-slot seasonal list, the fold reads entry t−24 of its
+    // own history; same sequence by construction.
+    "ts_holtwinters" -> { (s, dir) =>
+      graft.ops.TimeSeries.holtWinters(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // exact Gini coefficient of per-user purchase spend — the activity-
     // concentration number behind "whales vs long tail" decisions.
     // Spend travels as integer CENTS (decimal sum ×100), the global
@@ -1138,6 +1147,48 @@ object EventQueries extends QueryPack {
         |  round(level * 10000) / 10000 AS level,
         |  round(trend * 10000) / 10000 AS trend,
         |  round((level + trend) * 10000) / 10000 AS forecast_next
+        |FROM r""".stripMargin,
+    // additive HW replay: the recursion carries a rotating 24-slot
+    // seasonal list sl (sl[1] is always s_{t+1−24}); level/trend/seasonal
+    // are the SAME double expression trees the fold evaluates, inlined.
+    "ts_holtwinters" ->
+      """WITH RECURSIVE h0 AS (SELECT event_type,
+        |    date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM h0 GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM s),
+        |h AS (SELECT g.event_type, g.bucket, coalesce(h0.n, 0) AS n,
+        |    row_number() OVER (PARTITION BY g.event_type
+        |                       ORDER BY g.bucket) AS rn
+        |  FROM g LEFT JOIN h0
+        |    ON g.event_type = h0.event_type AND g.bucket = h0.bucket),
+        |r AS (
+        |  SELECT event_type, bucket, n, rn,
+        |    CAST(n AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend,
+        |    list_concat([CAST(0 AS DOUBLE) FOR i IN range(23)],
+        |                [CAST(0 AS DOUBLE)]) AS sl
+        |  FROM h WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.bucket, h.n, h.rn,
+        |    0.3 * (CAST(h.n AS DOUBLE) - r.sl[1])
+        |      + 0.7 * (r.level + r.trend),
+        |    0.1 * ((0.3 * (CAST(h.n AS DOUBLE) - r.sl[1])
+        |            + 0.7 * (r.level + r.trend)) - r.level)
+        |      + 0.9 * r.trend,
+        |    list_concat(r.sl[2:24],
+        |      [0.3 * (CAST(h.n AS DOUBLE)
+        |              - (0.3 * (CAST(h.n AS DOUBLE) - r.sl[1])
+        |                 + 0.7 * (r.level + r.trend)))
+        |       + 0.7 * r.sl[1]])
+        |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+        |SELECT event_type, bucket, n,
+        |  round(level * 10000) / 10000 AS level,
+        |  round(trend * 10000) / 10000 AS trend,
+        |  round(sl[24] * 10000) / 10000 AS seasonal,
+        |  round((level + trend + sl[1]) * 10000) / 10000 AS forecast_next
         |FROM r""".stripMargin,
     "ev_gini" ->
       """WITH c AS (SELECT user_id,

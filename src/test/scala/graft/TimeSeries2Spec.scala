@@ -84,6 +84,43 @@ class TimeSeries2Spec extends SparkSpec {
     }
   }
 
+  test("holt-winters equals the sequential triple-smoothing recursion") {
+    // two days of a periodic-with-trend hourly pattern (period 4 within
+    // a 24-slot season exercises the rotating index; counts stay small)
+    val counts = (0 until 48).map(h => 2 + (h % 4) + h / 24)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      val (d, hh) = (h / 24 + 1, h % 24)
+      (0 until c).map(i => ("a", f"2024-01-0$d $hh%02d:00:${i}%02d", 1.0))
+    }
+    val got = TimeSeries.holtWinters(ev(rows: _*), "k", "t")
+      .orderBy("bucket").collect()
+    assert(got.length == 48)
+
+    // sequential replay, identical op order and online init
+    val (al, be, ga, m) = (0.3, 0.1, 0.3, 24)
+    var (l, b) = (0.0, 0.0)
+    val sHist = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val expected = counts.zipWithIndex.map { case (x, t) =>
+      val sOld = if (t >= m) sHist(t - m) else 0.0
+      val (nl, nb) =
+        if (t == 0) (x.toDouble, 0.0)
+        else (al * (x - sOld) + (1 - al) * (l + b),
+          be * ((al * (x - sOld) + (1 - al) * (l + b)) - l) + (1 - be) * b)
+      val ns = ga * (x - nl) + (1 - ga) * sOld
+      l = nl; b = nb; sHist += ns
+      val sNext = if (t + 1 >= m) sHist(t + 1 - m) else 0.0
+      (math.round(nl * 10000) / 10000.0, math.round(nb * 10000) / 10000.0,
+        math.round(ns * 10000) / 10000.0,
+        math.round((nl + nb + sNext) * 10000) / 10000.0)
+    }
+    got.zip(expected).foreach { case (r, (el, eb, es, ef)) =>
+      assert(r.getAs[Double]("level") == el, s"level @${r.get(1)}")
+      assert(r.getAs[Double]("trend") == eb, s"trend @${r.get(1)}")
+      assert(r.getAs[Double]("seasonal") == es, s"seasonal @${r.get(1)}")
+      assert(r.getAs[Double]("forecast_next") == ef, s"forecast @${r.get(1)}")
+    }
+  }
+
   test("vad segments are maximal above-mean runs with exact energy") {
     implicit val s = spark
     // 4 frames of 64 samples each: quiet, LOUD, LOUD, quiet. int16 LE
