@@ -73,6 +73,32 @@ object Relational {
       .select(leftCols.map(col) :+ col(as): _*)
   }
 
+  /** NEAREST as-of join: each left row takes the right value whose
+    * timestamp is closest in EITHER direction — ties go backward (the
+    * "sensor reading nearest the observation" probe that neither the
+    * backward nor forward form expresses alone). Composed from one
+    * backward and one forward pass over the same union machinery, each
+    * carrying the right row's (ts, value) struct; the distance compare
+    * runs in exact integer microseconds, so no float boundary exists
+    * for an equidistant pair to straddle. Cost: two key-shuffles (one
+    * per direction) on the same partitioning. */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame,
+                      partitionCols: Seq[String], tsCol: String,
+                      valueCol: String, as: String): DataFrame = {
+    val packed = right.withColumn("__pk",
+      struct(col(tsCol).as("t"), col(valueCol).as("v")))
+    val back = asOfJoin(left, packed, partitionCols, tsCol, "__pk", "__b")
+    val both = asOfJoinForward(back, packed, partitionCols, tsCol, "__pk", "__f")
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    both.withColumn(as,
+        when(col("__b").isNull, col("__f.v"))
+          .when(col("__f").isNull, col("__b.v"))
+          .when(us(col(tsCol)) - us(col("__b.t")) <=
+            us(col("__f.t")) - us(col(tsCol)), col("__b.v"))
+          .otherwise(col("__f.v")))
+      .drop("__b", "__f")
+  }
+
   /** Multi-column as-of join: the right payload travels as ONE struct
     * through the same union + running-`last` machinery (one shuffle, one
     * sort, regardless of column count), then unpacks to `<prefix>_<col>`.

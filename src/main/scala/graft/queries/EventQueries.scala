@@ -152,6 +152,31 @@ object EventQueries extends QueryPack {
             + when(col("t3").isNotNull, 1L).otherwise(0L)).as("steps"))
     },
 
+    // TIME-BOUNDED funnel: ev_funnel's steps, but each step must land
+    // within 24 hours of the previous one — the conversion-window form
+    // every funnel product actually ships (an unbounded funnel credits
+    // conversions weeks later). Same per-user min-join shape; the
+    // window is one extra predicate pushed into each step join.
+    "ev_funnel_window" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val day = expr("INTERVAL 24 HOURS")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id")
+        .where(col("ts") > col("t1") && col("ts") <= col("t1") + day)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .where(col("ts") > col("t2") && col("ts") <= col("t2") + day)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+            + when(col("t3").isNotNull, 1L).otherwise(0L)).as("steps"))
+    },
+
     // last-touch attribution: each purchase credits the user's most
     // recent click at-or-before it, but only within a 1-hour window —
     // the as-of union+last() shape (one shuffle on user_id, no join).
@@ -858,6 +883,21 @@ object EventQueries extends QueryPack {
         |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
         |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
         |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS steps
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "ev_funnel_window" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 24 HOURS GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 24 HOURS GROUP BY e.user_id)
         |SELECT v.user_id,
         |  CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
         |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

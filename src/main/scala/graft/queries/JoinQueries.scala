@@ -281,6 +281,20 @@ object JoinQueries extends QueryPack {
         .select("event_id", "user_id", "last_purchase")
     },
 
+    // NEAREST as-of: each click takes its user's purchase value closest
+    // in time in either direction (ties backward) — completes the as-of
+    // family (backward / forward / multi / nearest).
+    "join_asof_near" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Relational.asOfJoinNearest(clicks, purchases, Seq("user_id"), "ts",
+        "value", "near_purchase")
+        .select("event_id", "user_id", "near_purchase")
+    },
+
     // FORWARD as-of: each click gets its user's first purchase time at
     // or after the click — the time-to-conversion label join. Same
     // single user_id shuffle as the backward probe, mirrored frame.
@@ -546,6 +560,32 @@ object JoinQueries extends QueryPack {
         |   WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
         |     AND p.ts >= c.ts) AS next_purchase_ts
         |FROM events c WHERE c.event_type = 'click'""".stripMargin,
+    // nearest = backward/forward argmin-by-|Δt| in exact epoch micros,
+    // equidistant ties to the backward row
+    "join_asof_near" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |n AS (SELECT c.event_id, c.user_id, c.ts,
+        |  (SELECT p.ts FROM events p WHERE p.event_type = 'purchase'
+        |     AND p.user_id = c.user_id AND p.ts <= c.ts
+        |   ORDER BY p.ts DESC LIMIT 1) AS bt,
+        |  (SELECT p.value FROM events p WHERE p.event_type = 'purchase'
+        |     AND p.user_id = c.user_id AND p.ts <= c.ts
+        |   ORDER BY p.ts DESC LIMIT 1) AS bv,
+        |  (SELECT p.ts FROM events p WHERE p.event_type = 'purchase'
+        |     AND p.user_id = c.user_id AND p.ts > c.ts
+        |   ORDER BY p.ts ASC LIMIT 1) AS ft,
+        |  (SELECT p.value FROM events p WHERE p.event_type = 'purchase'
+        |     AND p.user_id = c.user_id AND p.ts > c.ts
+        |   ORDER BY p.ts ASC LIMIT 1) AS fv
+        |  FROM c)
+        |SELECT event_id, user_id,
+        |  CASE WHEN bt IS NULL THEN fv
+        |       WHEN ft IS NULL THEN bv
+        |       WHEN epoch_us(ts) - epoch_us(bt)
+        |            <= epoch_us(ft) - epoch_us(ts) THEN bv
+        |       ELSE fv END AS near_purchase
+        |FROM n""".stripMargin,
     "join_bloom" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue

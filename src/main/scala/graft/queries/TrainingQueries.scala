@@ -835,6 +835,31 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", k = 5)
     },
 
+    // Matryoshka truncation eval (Kusupati et al. 2022): top-5 retrieval
+    // agreement between the full 64-dim ranking and the 16-dim PREFIX
+    // ranking — the measurement that decides whether truncated
+    // embeddings can serve the first-stage index. recall@5 per query in
+    // sixths of exact overlap counts.
+    "sim_matryoshka" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = col("vec_id") < 50
+      val full = Similarity.bruteForceTopK(emb, emb.where(q),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val tr = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val trunc = Similarity.bruteForceTopK(tr, tr.where(q),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      full.join(trunc, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+        .join(emb.where(q).select(col("vec_id").as("query_id")), Seq("query_id"), "right")
+        .select(col("query_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (round(coalesce(col("n_common"), lit(0L)).cast("double") / 5.0
+            * 1000000) / 1000000).as("recall"))
+    },
+
     // approximate ANN (SRP-LSH buckets): deterministic md5-derived
     // hyperplanes are plan literals, so the oracle can reproduce the exact
     // bucketing (constants injected below) — fully hash-checked.
@@ -2960,6 +2985,35 @@ object TrainingQueries extends QueryPack {
         |FROM best""".stripMargin
     },
     "sim_topk" -> simTopkSql,
+    // Matryoshka agreement: the same two rankings (full vs 16-dim
+    // prefix), overlap counted per query, zeros preserved
+    "sim_matryoshka" ->
+      """WITH fullnn AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5),
+        |trnn AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding[1:16]::DOUBLE[], c.embedding[1:16]::DOUBLE[]) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5),
+        |ov AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM fullnn f JOIN trnn t
+        |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        |  GROUP BY 1)
+        |SELECT q.vec_id AS query_id,
+        |  coalesce(ov.n_common, 0) AS n_common,
+        |  round(CAST(coalesce(ov.n_common, 0) AS DOUBLE) / 5.0 * 1000000)
+        |    / 1000000 AS recall
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) q
+        |LEFT JOIN ov ON ov.query_id = q.vec_id""".stripMargin,
     "emb_neardup_lsh" -> s"""WITH $lshPairCtes
          |SELECT a, b, sim FROM lshpairs""".stripMargin,
     "emb_threshold_sweep" ->
