@@ -251,6 +251,41 @@ object TrainingQueries extends QueryPack {
             .otherwise(lit(0.0)).as("ndcg"))
     },
 
+    // per-class confusion rollup of the kNN label predictions — the
+    // multiclass P/R/F1 card that closes the eval family (AUC and
+    // calibration are binary; this is the per-class view). tp/fp/fn are
+    // exact counts off one (label, predicted) aggregate; each metric is
+    // one guarded division (F1 via 2tp/(n_true+n_pred) — no chained
+    // p·r/(p+r) float algebra).
+    "eval_confusion" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pred = Similarity.knnLabel(emb, emb.where(col("vec_id") < 50),
+        "vec_id", "embedding", "label", k = 5)
+      val rowt = pred.groupBy(col("label").as("cls"))
+        .agg(count(lit(1)).as("n_true"))
+      val colt = pred.groupBy(col("predicted").as("cls"))
+        .agg(count(lit(1)).as("n_pred"))
+      val tps = pred.where(col("predicted") === col("label"))
+        .groupBy(col("label").as("cls")).agg(count(lit(1)).as("tp"))
+      def r6(c: org.apache.spark.sql.Column) = round(c * 1000000) / 1000000
+      rowt.join(colt, Seq("cls"), "full_outer")
+        .join(tps, Seq("cls"), "left")
+        .select(col("cls").as("label"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+          when(col("n_pred") > 0,
+            r6(col("tp").cast("double") / col("n_pred").cast("double")))
+            .as("precision"),
+          when(col("n_true") > 0,
+            r6(col("tp").cast("double") / col("n_true").cast("double")))
+            .as("recall"),
+          when(col("n_true") + col("n_pred") > 0,
+            r6(lit(2.0) * col("tp").cast("double") /
+              (col("n_true") + col("n_pred")).cast("double"))).as("f1"))
+    },
+
     // calibration table: per score decile, exact counts and an exact
     // integer-summed mean score vs the empirical positive rate.
     "eval_calibration" -> { (s, dir) =>
@@ -329,6 +364,38 @@ object TrainingQueries extends QueryPack {
     // domain-mixing weights toward a non-uniform target distribution.
     "mix_weights" -> { (s, dir) =>
       CorpusOps.mixWeights(Tables.documents(s, dir), "source", MixTargets)
+    },
+
+    // token-budget allocation: split a training-run token budget
+    // (6/10 of the corpus here) across sources by weight with
+    // LARGEST-REMAINDER rounding, so Σ quota = budget EXACTLY — the
+    // apportionment algorithm, all integer: base = ⌊B·w/W⌋, the B−Σbase
+    // leftovers go to the largest remainders (ties on source name).
+    // epochs = quota/available tells the sampler how many passes each
+    // source sustains. Every window runs on the |sources| table.
+    "mix_token_budget" -> { (s, dir) =>
+      def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast("long")
+      val avail = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("available"))
+      val wName = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+      val wRem = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("source"))
+      avail
+        .withColumn("weight", row_number().over(wName).cast("long"))
+        .withColumn("tot_w", sum(col("weight")).over(wAll))
+        .withColumn("budget", fdiv(sum(col("available")).over(wAll) * 6, lit(10L)))
+        .withColumn("base", fdiv(col("budget") * col("weight"), col("tot_w")))
+        .withColumn("rem", pmod(col("budget") * col("weight"), col("tot_w")))
+        .withColumn("leftover", col("budget") - sum(col("base")).over(wAll))
+        .withColumn("quota", col("base") +
+          when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
+        .select(col("source"), col("available"), col("weight"), col("quota"),
+          (round(col("quota").cast("double") / col("available").cast("double")
+            * 1000000) / 1000000).as("epochs"))
     },
 
     // curriculum staging: shortest-to-longest quartiles (easy→hard
@@ -1563,6 +1630,29 @@ object TrainingQueries extends QueryPack {
        |GROUP BY id""".stripMargin
   }
 
+  /** kNN label-prediction CTE (k=5, vote ties → higher count then
+    * smaller label — the knnLabel contract): yields `pred`(query_id,
+    * label, predicted). Shared by sim_knn_label and eval_confusion. */
+  private lazy val knnPredCtes: String =
+    """q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+      |           label AS ql FROM embeddings WHERE vec_id < 50),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+      |      label AS nl FROM embeddings),
+      |nn AS (SELECT query_id, nl FROM (
+      |    SELECT q.query_id, c.nl,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(qv, cv) DESC,
+      |                 c.neighbor_id ASC) AS rank
+      |    FROM q JOIN c ON q.query_id <> c.neighbor_id)
+      |  WHERE rank <= 5),
+      |v AS (SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes
+      |      FROM nn GROUP BY 1, 2),
+      |p AS (SELECT query_id, nl AS predicted FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY votes DESC, nl ASC) AS rn FROM v) WHERE rn = 1),
+      |pred AS (SELECT p.query_id, q.ql AS label, p.predicted
+      |         FROM p JOIN q ON p.query_id = q.query_id)""".stripMargin
+
   /** Content-defined-chunking CTE (w=3 rolling window, modulus 32 —
     * the pack_cdc parameters): yields `chunks`(doc_id, chunk_idx,
     * start_tok, n_tokens, chunk_hash). Shared by pack_cdc and
@@ -2328,6 +2418,31 @@ object TrainingQueries extends QueryPack {
       s"""SELECT doc_id, $clean AS clean, CAST($hits AS BIGINT) AS n_pii
          |FROM documents""".stripMargin
     },
+    // largest-remainder apportionment replay — all integer, Σquota = B
+    "mix_token_budget" ->
+      """WITH avail AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, available,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS weight
+        |  FROM avail),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot_w,
+        |    (CAST(sum(available) AS BIGINT) * 6) // 10 AS budget FROM w),
+        |b AS (SELECT source, available, weight, tot_w, budget,
+        |    (budget * weight) // tot_w AS base,
+        |    (budget * weight) % tot_w AS rem
+        |  FROM w, t),
+        |l AS (SELECT *,
+        |    budget - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM b)
+        |SELECT source, available, weight,
+        |  CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota,
+        |  round(CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+        |      AS DOUBLE) / CAST(available AS DOUBLE) * 1000000) / 1000000
+        |    AS epochs
+        |FROM l""".stripMargin,
     "mix_weights" -> {
       val rows = MixTargets.toSeq.sortBy(_._1)
         .map { case (s, v) => s"('$s', ${v}::DOUBLE)" }.mkString(", ")
@@ -3123,25 +3238,33 @@ object TrainingQueries extends QueryPack {
          |        n_ref + n_cur AS r, cr + cc AS n FROM cnt, tot)""".stripMargin,
     "sim_ann_ivf_trained" -> trainedIvfSql,
     "sim_knn_label" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-        |           label AS ql FROM embeddings WHERE vec_id < 50),
-        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
-        |      label AS nl FROM embeddings),
-        |nn AS (SELECT query_id, nl FROM (
-        |    SELECT q.query_id, c.nl,
-        |      row_number() OVER (PARTITION BY q.query_id
-        |        ORDER BY list_cosine_similarity(qv, cv) DESC,
-        |                 c.neighbor_id ASC) AS rank
-        |    FROM q JOIN c ON q.query_id <> c.neighbor_id)
-        |  WHERE rank <= 5),
-        |v AS (SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes
-        |      FROM nn GROUP BY 1, 2),
-        |p AS (SELECT query_id, nl AS predicted FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY votes DESC, nl ASC) AS rn FROM v) WHERE rn = 1)
-        |SELECT p.query_id, q.ql AS label, p.predicted,
-        |  p.predicted = q.ql AS correct
-        |FROM p JOIN q ON p.query_id = q.query_id""".stripMargin,
+      s"""WITH $knnPredCtes
+         |SELECT query_id, label, predicted, predicted = label AS correct
+         |FROM pred""".stripMargin,
+    // per-class confusion rollup of the SAME kNN predictions: tp/fp/fn
+    // from exact counts; precision/recall/F1 one guarded division each.
+    "eval_confusion" ->
+      s"""WITH $knnPredCtes,
+         |rowt AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_true
+         |         FROM pred GROUP BY 1),
+         |colt AS (SELECT predicted AS cls, CAST(count(*) AS BIGINT) AS n_pred
+         |         FROM pred GROUP BY 1),
+         |tps AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS tp
+         |        FROM pred WHERE predicted = label GROUP BY 1),
+         |cls AS (SELECT coalesce(rowt.cls, colt.cls) AS cls,
+         |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred
+         |  FROM rowt FULL OUTER JOIN colt ON rowt.cls = colt.cls)
+         |SELECT cls.cls AS label, n_true, n_pred,
+         |  coalesce(tp, 0) AS tp,
+         |  CASE WHEN n_pred > 0 THEN round(CAST(coalesce(tp, 0) AS DOUBLE)
+         |    / CAST(n_pred AS DOUBLE) * 1000000) / 1000000 END AS precision,
+         |  CASE WHEN n_true > 0 THEN round(CAST(coalesce(tp, 0) AS DOUBLE)
+         |    / CAST(n_true AS DOUBLE) * 1000000) / 1000000 END AS recall,
+         |  CASE WHEN n_true + n_pred > 0 THEN
+         |    round(2.0 * CAST(coalesce(tp, 0) AS DOUBLE)
+         |      / CAST(n_true + n_pred AS DOUBLE) * 1000000) / 1000000
+         |  END AS f1
+         |FROM cls LEFT JOIN tps ON tps.cls = cls.cls""".stripMargin,
     "emb_cell_purity" ->
       s"""WITH $kmeansCtes,
          |lab AS (SELECT a2.c2, e.label FROM a2
