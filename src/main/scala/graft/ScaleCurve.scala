@@ -102,7 +102,13 @@ object ScaleCurve {
     "drift_cells", "mm_video_neardup",
     // Holt–Winters (grid-bounded fold like ewma/holt, now with the
     // 24-slot seasonal state — should be FLAT)
-    "ts_holtwinters")
+    "ts_holtwinters",
+    // tenth wave: matryoshka agreement (two broadcast probes), nearest
+    // as-of (two union-window passes on user_id), windowed funnel
+    // (per-user min-joins), confusion card + token budgeting + document
+    // contract (tiny-table windows / violation scans)
+    "sim_matryoshka", "join_asof_near", "ev_funnel_window",
+    "eval_confusion", "mix_token_budget", "validate_documents")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

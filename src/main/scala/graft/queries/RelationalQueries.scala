@@ -60,6 +60,24 @@ object RelationalQueries extends QueryPack {
         "quantity_le_45" -> li.where(col("l_quantity") > 45)))
     },
 
+    // the documents-table data contract — the corpus-side twin of
+    // validate_lineitem (every ingest gate a training pipeline runs
+    // before touching a new drop): non-empty text, metadata consistency,
+    // language domain, id uniqueness. Each rule is one violation scan;
+    // counts union into the audit row set.
+    "validate_documents" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      graft.ops.Relational.validateRules(Seq(
+        "text_not_empty" -> d.where(col("text").isNull ||
+          length(col("text")) === 0),
+        "n_chars_consistent" -> d.where(col("n_chars") =!=
+          length(col("text"))),
+        "lang_domain" -> d.where(!col("lang").isin("de", "en", "es", "fr", "zh")),
+        "source_not_null" -> d.where(col("source").isNull),
+        "doc_id_unique" -> d.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("c")).where(col("c") > 1)))
+    },
+
     // Morton (Z-order) clustering value — the multi-dim file-skipping
     // layout key (see Scale.writeZOrdered); pure bit arithmetic, codegen.
     "layout_zvalue" -> { (s, dir) =>
@@ -124,6 +142,20 @@ object RelationalQueries extends QueryPack {
         |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
         |UNION ALL SELECT 'quantity_le_45',
         |  (SELECT count(*) FROM lineitem WHERE l_quantity > 45)""".stripMargin,
+    "validate_documents" ->
+      """SELECT 'text_not_empty' AS rule,
+        |  (SELECT count(*) FROM documents
+        |   WHERE text IS NULL OR length(text) = 0) AS n_violations
+        |UNION ALL SELECT 'n_chars_consistent',
+        |  (SELECT count(*) FROM documents WHERE n_chars <> length(text))
+        |UNION ALL SELECT 'lang_domain',
+        |  (SELECT count(*) FROM documents
+        |   WHERE lang NOT IN ('de','en','es','fr','zh'))
+        |UNION ALL SELECT 'source_not_null',
+        |  (SELECT count(*) FROM documents WHERE source IS NULL)
+        |UNION ALL SELECT 'doc_id_unique',
+        |  (SELECT count(*) FROM (SELECT doc_id FROM documents
+        |   GROUP BY doc_id HAVING count(*) > 1))""".stripMargin,
     "layout_zvalue" -> {
       val z = (0 until 8).flatMap(i => Seq(
         s"(((l_partkey % 256) >> $i & 1) << ${2 * i})",

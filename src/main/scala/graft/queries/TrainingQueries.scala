@@ -99,9 +99,11 @@ object TrainingQueries extends QueryPack {
     // with doc_id tiebreak, via the distributed exact-ntile (range-rank,
     // never a one-task window).
     "text_ppl_bucket" -> { (s, dir) =>
+      // ntileExact consumes its input twice (rank pass + total) — cut
+      // the LM lineage so the scorer runs once (4.7 → 2.3 s at sf0.1)
       Relational.ntileExact(
         TextAnalysis.interpolatedBigramLogProb(Tables.documents(s, dir),
-          "doc_id", "text"),
+          "doc_id", "text").localCheckpoint(),
         3, Seq(col("lm_score").desc, col("doc_id")), "ppl_bucket")
         .select(col("doc_id"), col("lm_score"),
           col("ppl_bucket").cast("int").as("ppl_bucket"))
@@ -865,9 +867,11 @@ object TrainingQueries extends QueryPack {
     // one chunk_hash hash-agg (map-side combine collapses dups before
     // the shuffle); the join back is chunk-sized, the corpus text gone.
     "dedup_chunk" -> { (s, dir) =>
+      // two consumers (occurrence agg + the join side): cut the chunk
+      // lineage so the md5-explode runs once (3.8 → 2.0 s at sf0.1)
       val chunks = CorpusOps.cdcChunks(
         Tables.documents(s, dir).select("doc_id", "source", "text"),
-        "doc_id", "text", w = 3, modulus = 32)
+        "doc_id", "text", w = 3, modulus = 32).localCheckpoint()
       val occ = chunks.groupBy(col("chunk_hash"))
         .agg(count(lit(1)).as("nocc"))
       chunks.join(occ, "chunk_hash")
