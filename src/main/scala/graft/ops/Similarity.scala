@@ -500,6 +500,22 @@ object Similarity {
     codedVecs(df, idCol, vecCol, k, dim)
       .select(col(idCol), col("c1").as("cell"))
 
+  /** The same frozen-seed cell assignment as a bare COLUMN — for
+    * streaming projections where the id/select plumbing of
+    * [[seedCellAssign]] would strip watermark columns. Identical
+    * arithmetic to [[codedVecs]]' c1 (same scaling, same argmin
+    * tie-break), so batch and stream assign every vector to the same
+    * cell. Vectors of the wrong dimension get NULL (SquaredDistances'
+    * short-vector contract), never a wrong cell. */
+  def seedCellColumn(vecCol: String, k: Int = 8, dim: Int = 64): Column = {
+    val seeds = ivfCentroids(k, dim)
+      .map(_.map(x => math.round(x * FixedPointScale).toDouble))
+    when(size(col(vecCol)) === dim,
+      argminIdx(SquaredDistances(
+        transform(asDouble(col(vecCol)),
+          x => round(x * FixedPointScale)), seeds)).cast("int"))
+  }
+
   /** Seed-coded vectors: (…passthrough…, c1 = seed-cell, vsl = scaled
     * integer codes). Shared entry of the fixed-point training paths. */
   private def codedVecs(df: DataFrame, idCol: String, vecCol: String,

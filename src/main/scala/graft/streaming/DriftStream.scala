@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Streaming embedding-distribution drift alarm — the ingest-time twin
+  * of the batch `drift_cells` query: arriving vectors assign to the
+  * FROZEN seed quantizer (map-side literal argmin, no training), each
+  * closing window's cell histogram is chi-squared against the frozen
+  * reference histogram, and windows whose statistic clears the caller's
+  * critical value emit an alarm row — the retraining tripwire evaluated
+  * as data lands instead of at the next batch audit.
+  *
+  * Fully declarative, no custom state: cell assignment is a row-local
+  * projection, then TWO CHAINED stateful aggregations (the QuantileStream
+  * pattern) — (window, cell) counts, packed per window — and the χ²
+  * itself is a literal-folded expression over the reference cells, which
+  * are FROZEN and therefore collected once at build time (the CusumStream
+  * envelope convention). Non-time window functions are illegal on
+  * streams, so per-window totals come from the packed array, not a
+  * partition frame. Reference cells missing from a window count as 0
+  * (the missing mass IS drift); the quantizer's cell set is closed, so
+  * arriving cells are always a subset of the reference's.
+  *
+  * Exactness: identical per-cell term as the batch audit —
+  * (n·O − r·c)² / (n·r·c) from exact BIGINTs, one double division per
+  * cell half — so a frozen-window replay of the stream reproduces the
+  * batch statistic bit for bit (spec). */
+object DriftStream {
+
+  /** @param reference frozen per-cell counts (cell → n_ref) — the
+    *                  settled corpus histogram, collected driver-side.
+    * @param threshold χ² alarm bar (df = |cells|−1; e.g. 11.07 ≈ 95%
+    *                  at df 5, 14.07 at df 7). */
+  def windowedAlarms(stream: DataFrame, vecCol: String, tsCol: String,
+                     reference: Map[Int, Long], threshold: Double,
+                     k: Int = 8, dim: Int = 64,
+                     windowDur: String = "1 hour",
+                     delay: String = "5 minutes"): DataFrame = {
+    require(reference.nonEmpty, "empty reference histogram")
+    val cr = reference.values.sum // frozen side total — a plan literal
+    val packed = stream
+      .withWatermark(tsCol, delay)
+      .withColumn("cell", Similarity.seedCellColumn(vecCol, k, dim))
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("cell"))
+      .agg(count(lit(1)).as("n_cur"))
+      .groupBy(col("w"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("cell"), col("n_cur"))))).as("cur"),
+        sum(col("n_cur")).as("cc"))
+    val n = lit(cr) + col("cc")
+    def term(cell: Int, nRef: Long): Column = {
+      val o = coalesce(element_at(col("cur"), lit(cell)), lit(0L))
+      val r = lit(nRef) + o
+      ((n * nRef - r * cr) * (n * nRef - r * cr)).cast("double") /
+        (n * r * cr).cast("double") +
+        ((n * o - r * col("cc")) * (n * o - r * col("cc"))).cast("double") /
+          (n * r * col("cc")).cast("double")
+    }
+    val chi2 = reference.toSeq.sortBy(_._1)
+      .map { case (c, nr) => term(c, nr) }.reduce(_ + _)
+    packed
+      .withColumn("chi2", chi2)
+      .where(col("chi2") > threshold)
+      .select(col("w.start").as("bucket"), col("cc").as("n_vectors"),
+        (round(col("chi2") * 10000) / 10000).as("chi2"))
+  }
+}
