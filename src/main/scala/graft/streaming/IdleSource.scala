@@ -44,26 +44,48 @@ object IdleSource {
       .option("rowsPerSecond", 1)
       .option("rampUpTime", "0s")
       .load()
-    val dataCols = data.schema.fields.map(_.name)
     // rate-source `value` increments once per second at rowsPerSecond=1,
     // so value % step == 0 keeps exactly one heartbeat per step interval.
-    val hb = hbRate
+    val ticks = hbRate
       .where(pmod(col("value"), lit(stepIntervalSecs.toLong)) === 0)
-      .select(
-        dataCols.map {
-          case c if c == tsCol =>
-            (col("timestamp") - expr(s"INTERVAL $lagSecs SECONDS"))
-              .cast(data.schema(tsCol).dataType).as(c)
-          case c => lit(null).cast(data.schema(c).dataType).as(c)
-        }: _*)
+      .select((col("timestamp") - expr(s"INTERVAL $lagSecs SECONDS")).as(tsCol))
+    withHeartbeatStream(data, ticks, tsCol)
+  }
+
+  /** Core of the union mechanism with an INJECTABLE tick stream:
+    * `heartbeats` is any streaming DataFrame with a single column named
+    * `tsCol` (timestamps to advance the watermark to). Production paths
+    * use the rate-source wrapper above; deterministic tests drive a
+    * MemoryStream of timestamps. Tick rows get every data column nulled
+    * and `__hb = true`. */
+  def withHeartbeatStream(data: DataFrame, heartbeats: DataFrame,
+                          tsCol: String): DataFrame = {
+    val dataCols = data.schema.fields.map(_.name)
+    val hb = heartbeats.select(
+      dataCols.map {
+        case c if c == tsCol => col(tsCol).cast(data.schema(tsCol).dataType).as(c)
+        case c => lit(null).cast(data.schema(c).dataType).as(c)
+      }: _*)
       .withColumn(HeartbeatCol, lit(true))
     data.withColumn(HeartbeatCol, lit(false)).unionByName(hb)
   }
 
   /** Remove heartbeat rows — call AFTER withWatermark, BEFORE any
-    * aggregation. */
-  def dropHeartbeats(df: DataFrame): DataFrame =
-    df.where(!col(HeartbeatCol)).drop(HeartbeatCol)
+    * aggregation.
+    *
+    * Same PUSHDOWN TRAP as [[dropHeartbeatRecords]]: a bare `!__hb`
+    * predicate references nothing the EventTimeWatermark node produces,
+    * so PushPredicateThroughNonJoin moves it BELOW the watermark — the
+    * heartbeat rows then die before their event times reach the
+    * watermark's max-event-time stats and the mechanism silently does
+    * nothing. The predicate therefore references `tsCol` through an
+    * epoch lower bound the optimizer cannot prove away (vacuously true
+    * for any wall-clock or data-derived heartbeat time), pinning the
+    * filter above the watermark assignment. */
+  def dropHeartbeats(df: DataFrame, tsCol: String): DataFrame =
+    df.where(!(col(HeartbeatCol)
+        && col(tsCol) >= lit("1900-01-01").cast("timestamp")))
+      .drop(HeartbeatCol)
 
   /** Remove heartbeat RECORDS injected by [[IdleHeartbeatSource]] from a
     * UdSource stream (same placement rule: after withWatermark).

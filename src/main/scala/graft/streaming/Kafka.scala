@@ -90,6 +90,34 @@ object Kafka {
   def source(spark: SparkSession, c: SourceConf): DataFrame =
     decode(spark.readStream.format("kafka").options(sourceOptions(c)).load())
 
+  /** Kafka source with idle-watermark heartbeats (reference
+    * `pipeline_types.go:626-665`: a quiet source must not stall windowed
+    * reduces downstream). Built-in connectors can't be wrapped in
+    * [[IdleSource.IdleHeartbeatSource]] (that decorator is for GraftSource
+    * SPI implementations), so the built-in path uses the rate-heartbeat
+    * UNION (SURVEY §7.2): one wall-clock tick row per `stepIntervalSecs`
+    * rides the same stream through `withWatermark`, keeping the source's
+    * watermark moving while every topic partition is silent.
+    *
+    * NOTE on granularity: Spark's watermark is per-SOURCE (max observed
+    * event time minus delay), not per-partition like the reference's — a
+    * single silent partition of an otherwise active topic never stalls a
+    * Spark watermark, so one untagged tick per step is exactly enough;
+    * per-partition heartbeat keys would add rows without changing the
+    * watermark math. What DOES stall is a wholly idle source, or an idle
+    * branch under the min-of-sources fan-in policy — both covered by this
+    * union (IdleSourceUnionSpec proves the fan-in case end to end).
+    *
+    * Usage: assign the watermark on `eventTime` downstream, then call
+    * [[IdleSource.dropHeartbeats]](df, "eventTime") BEFORE any
+    * aggregation (the helper's predicate is pushdown-pinned above the
+    * watermark). Live ingest only — replays advance their own watermark
+    * (see [[IdleSource.withHeartbeats]]'s restriction). */
+  def sourceWithIdleWm(spark: SparkSession, c: SourceConf,
+                       stepIntervalSecs: Int = 1, lagSecs: Int = 0): DataFrame =
+    IdleSource.withHeartbeats(spark, source(spark, c), "eventTime",
+      stepIntervalSecs, lagSecs)
+
   /** Streaming write wired through the connector. */
   def sink(df: DataFrame, c: SinkConf, keyCol: String, valueCol: String): DataStreamWriter[Row] =
     encode(df, keyCol, valueCol).writeStream.format("kafka").options(sinkOptions(c))

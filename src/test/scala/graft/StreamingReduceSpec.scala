@@ -254,7 +254,7 @@ class StreamingReduceSpec extends SparkSpec {
     // heartbeat rows are tagged and dropped, data rows survive).
     val data = Seq((ts("2024-01-01 00:00:10"), "k", 1L)).toDF("ts", "key", "value")
     val withHb = data.withColumn("__hb", lit(false))
-    val dropped = graft.streaming.IdleSource.dropHeartbeats(withHb)
+    val dropped = graft.streaming.IdleSource.dropHeartbeats(withHb, "ts")
     assert(dropped.columns.toSeq === Seq("ts", "key", "value"))
     assert(dropped.count() === 1)
   }
