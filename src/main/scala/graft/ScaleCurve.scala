@@ -108,7 +108,12 @@ object ScaleCurve {
     // (per-user min-joins), confusion card + token budgeting + document
     // contract (tiny-table windows / violation scans)
     "sim_matryoshka", "join_asof_near", "ev_funnel_window",
-    "eval_confusion", "mix_token_budget", "validate_documents")
+    "eval_confusion", "mix_token_budget", "validate_documents",
+    // eleventh wave: clipped n-gram overlap (one (pair,gram) shuffle —
+    // tracks corpus token volume), ACF (grid-bounded — FLAT), degree
+    // histogram (span-edge family + two hash-aggs), Spearman
+    // (domain-collapsed rank windows — FLAT past the per-user agg)
+    "eval_bleu", "ts_acf", "graph_degree_hist", "stat_spearman")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

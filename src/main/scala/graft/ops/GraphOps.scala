@@ -212,4 +212,21 @@ object GraphOps {
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
     tri.crossJoin(nEdges)
   }
+
+  /** Log₂-binned degree distribution of the dup graph — the standard
+    * structural audit before any graph-driven dedup decision (a heavy
+    * power-law tail means boilerplate hubs; a spike at high degree means
+    * the span detector is matching template text). Bin = bit length of
+    * the degree (floor(log₂ deg) + 1), computed EXACTLY as the length of
+    * the minimal binary string — Spark `conv(deg, 10, 2)` and DuckDB
+    * `bin(deg)` produce the identical string, so no float log can drift
+    * a boundary degree into the wrong bin.
+    *
+    * Scale shape: degrees are one hash-agg over the edge list, the
+    * histogram a second over |nodes| rows, output |bins| ≤ 64 rows. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy(length(conv(col("deg"), 10, 2)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
 }

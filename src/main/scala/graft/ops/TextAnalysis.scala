@@ -699,4 +699,54 @@ object TextAnalysis {
   def piiHits(text: Column): Column =
     PiiPatterns.map { case (re, _) => size(regexp_extract_all(text, lit(re), lit(0))) }
       .reduce(_ + _).cast("long")
+
+  /** Token bigrams as "a b" strings. Spark's `sequence(lo, hi)` runs
+    * DESCENDING when lo > hi (a one-token doc would fabricate grams), so
+    * the < 2-token case is guarded to an explicit empty array. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Clipped n-gram overlap (n = 1, 2) between (candidate, reference)
+    * text pairs — the shared kernel of BLEU-style precision and
+    * ROUGE-style recall generation metrics. `pairs` carries one row per
+    * (idCol, candCol, refCol); output one row per pair:
+    * c1/r1 = token counts, c2/r2 = bigram counts, clip1/clip2 =
+    * Σ_g min(count_cand(g), count_ref(g)) — the "modified" (clipped)
+    * match counts both metric families are defined on.
+    *
+    * Scale shape: grams explode from each side and meet in ONE shuffle
+    * on (pair, gram) — an inner join, since a gram missing from either
+    * side clips to zero — then collapse back to |pairs| rows; pairs with
+    * no common grams are restored by a left join (clip = 0). Linear in
+    * corpus token count, never quadratic in anything. */
+  def pairNgramOverlap(pairs: DataFrame, idCol: String,
+                       candCol: String, refCol: String): DataFrame = {
+    val id = col(idCol)
+    val toks = pairs.select(id,
+      tokens(col(candCol)).as("ct"), tokens(col(refCol)).as("rt"))
+      .localCheckpoint() // lens + two gram explodes: one tokenize pass
+    val lens = toks.select(id,
+      size(col("ct")).cast("long").as("c1"),
+      size(col("rt")).cast("long").as("r1"),
+      greatest(size(col("ct")) - 1, lit(0)).cast("long").as("c2"),
+      greatest(size(col("rt")) - 1, lit(0)).cast("long").as("r2"))
+    def gramCounts(src: Column, n: Int, out: String) = {
+      val grams = if (n == 1) src else bigrams(src)
+      toks.select(id, explode(grams).as("g"))
+        .groupBy(id, col("g")).agg(count(lit(1)).as(out))
+    }
+    def clipped(n: Int, out: String) =
+      gramCounts(col("ct"), n, "cc")
+        .join(gramCounts(col("rt"), n, "rc"), Seq(idCol, "g"))
+        .groupBy(id).agg(sum(least(col("cc"), col("rc"))).as(out))
+    lens
+      .join(clipped(1, "clip1"), Seq(idCol), "left")
+      .join(clipped(2, "clip2"), Seq(idCol), "left")
+      .select(id, col("c1"), col("r1"), col("c2"), col("r2"),
+        coalesce(col("clip1"), lit(0L)).as("clip1"),
+        coalesce(col("clip2"), lit(0L)).as("clip2"))
+  }
 }

@@ -457,6 +457,45 @@ object TimeSeries {
             sqrt(col("den2").cast("double")))).as("r"))
   }
 
+  /** Autocorrelation function of each key's gap-filled hourly count
+    * series at lags 1..maxLag — the seasonality/persistence detector
+    * (a daily cycle shows as a peak at lag 24; white noise decays to ~0
+    * by lag 1). The self-lag member of the [[crossCorrelation]] family:
+    * same exact-BIGINT moments, same DECIMAL(38,0) variance product,
+    * same single sqrt+division on the 6-decimal grid — but joined
+    * key=key instead of across keys, so output is |keys|·maxLag rows.
+    *
+    * Scale shape: the raw stream collapses to the |keys|×|hours| grid
+    * in ONE hash-agg (inside resample); the lag self-join runs on the
+    * grid only — time-range-bounded, FLAT in corpus size. */
+  def autocorrelation(events: DataFrame, keyCol: String, tsCol: String,
+                      maxLag: Int = 24, valueCol: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol).as("k"),
+        (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+          .cast("long").as("h"),
+        col("n"))
+      .localCheckpoint() // consumed twice (both join sides)
+    val a = series.select(col("k"), col("h"), col("n").as("x"))
+      .crossJoin(spark_range_lags(series, maxLag).where(col("lag") >= 1))
+    val b = series.select(col("k").as("kb"), col("h").as("hb"), col("n").as("y"))
+    a.join(b, col("kb") === col("k") && col("hb") === col("h") + col("lag"))
+      .groupBy(col("k").as("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("den2",
+        (col("n_overlap") * col("sxx") - col("sx") * col("sx")).cast(dec) *
+          (col("n_overlap") * col("syy") - col("sy") * col("sy")).cast(dec))
+      .select(col("event_type"), col("lag"), col("n_overlap"),
+        when(col("den2") > 0, portableRound6(
+          (col("n_overlap") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(col("den2").cast("double")))).as("r"))
+  }
+
   /** lag values 0..maxLag as a one-column broadcastable frame (built
     * from the session of `like`, not a driver literal list — keeps the
     * helper serializable-free). */

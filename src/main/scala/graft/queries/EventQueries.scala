@@ -344,6 +344,49 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // autocorrelation of each type's hourly series at lags 1..24 — the
+    // seasonality detector (daily cycle = peak at lag 24); the self-lag
+    // member of the ts_xcorr family, same exact-moment machinery.
+    "ts_acf" -> { (s, dir) =>
+      graft.ops.TimeSeries.autocorrelation(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
+    // Spearman rank correlation between per-user activity (event count)
+    // and per-user total spend — the monotone-association test that
+    // ignores the spend distribution's heavy tail. Tie-averaged ranks
+    // via the same collapsed VALUE-DOMAIN trick as stat_mwu (2·avgrank
+    // = 2·cumBefore + c + 1 on the distinct-value table; windows are
+    // domain-bounded, never row-bounded), then Pearson on the doubled
+    // ranks (scale-invariant) with every moment in DECIMAL(38,0) and
+    // one sqrt + one division at the end.
+    "stat_spearman" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val per = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("a"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("b"))
+      def ranks2(src: org.apache.spark.sql.DataFrame, c: String, out: String) = {
+        val grp = src.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        grp.withColumn("cum", sum(col("cnt")).over(w))
+          .select(col(c),
+            (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1).as(out))
+      }
+      val j = per.join(ranks2(per, "a", "ra"), "a").join(ranks2(per, "b", "rb"), "b")
+      val m = j.agg(count(lit(1)).as("n"),
+        sum(col("ra")).cast(d38).as("sa"), sum(col("rb")).cast(d38).as("sb"),
+        sum(col("ra").cast(d38) * col("rb").cast(d38)).as("sab"),
+        sum(col("ra").cast(d38) * col("ra").cast(d38)).as("saa"),
+        sum(col("rb").cast(d38) * col("rb").cast(d38)).as("sbb"))
+      m.withColumn("den2",
+          (col("n") * col("saa") - col("sa") * col("sa")) *
+            (col("n") * col("sbb") - col("sb") * col("sb")))
+        .select(col("n").as("n_users"),
+          when(col("den2") > 0, graft.ops.TimeSeries.portableRound4(
+            (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+              sqrt(col("den2").cast("double")))).as("rho"))
+    },
+
     // Mann–Whitney U — the nonparametric twin of stat_ttest on the same
     // variant split: tie-averaged ranks computed WITHOUT a row-level
     // global window (2·avgrank = 2·cumBefore + c + 1 on the collapsed
@@ -814,6 +857,66 @@ object EventQueries extends QueryPack {
          |        / sqrt(CAST(den2 AS DOUBLE)) * 1000000) / 1000000
          |  END AS r
          |FROM v""".stripMargin,
+    "ts_acf" ->
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k,
+         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+         |a AS (SELECT k, h, n AS x, lag
+         |  FROM sr, (SELECT unnest(range(1, 25)) AS lag)),
+         |b AS (SELECT k AS kb, h AS hb, n AS y FROM sr),
+         |m AS (SELECT k AS event_type, lag,
+         |    CAST(count(*) AS BIGINT) AS n_overlap,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM a JOIN b ON kb = k AND hb = h + lag
+         |  GROUP BY 1, 2),
+         |v AS (SELECT *,
+         |    CAST(n_overlap * sxx - sx * sx AS HUGEINT)
+         |      * CAST(n_overlap * syy - sy * sy AS HUGEINT) AS den2
+         |  FROM m)
+         |SELECT event_type, lag, n_overlap,
+         |  CASE WHEN den2 > 0 THEN
+         |    round(CAST(n_overlap * sxy - sx * sy AS DOUBLE)
+         |        / sqrt(CAST(den2 AS DOUBLE)) * 1000000) / 1000000
+         |  END AS r
+         |FROM v""".stripMargin,
+
+    "stat_spearman" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS a,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS b
+        |  FROM events GROUP BY user_id),
+        |ga AS (SELECT a, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY a),
+        |ra AS (SELECT a,
+        |    2 * (CAST(sum(cnt) OVER (ORDER BY a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - cnt) + cnt + 1 AS ra
+        |  FROM ga),
+        |gb AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY b),
+        |rb AS (SELECT b,
+        |    2 * (CAST(sum(cnt) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - cnt) + cnt + 1 AS rb
+        |  FROM gb),
+        |j AS (SELECT ra.ra, rb.rb
+        |  FROM per JOIN ra USING (a) JOIN rb USING (b)),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(ra) AS HUGEINT) AS sa, CAST(sum(rb) AS HUGEINT) AS sb,
+        |    CAST(sum(CAST(ra AS HUGEINT) * rb) AS HUGEINT) AS sab,
+        |    CAST(sum(CAST(ra AS HUGEINT) * ra) AS HUGEINT) AS saa,
+        |    CAST(sum(CAST(rb AS HUGEINT) * rb) AS HUGEINT) AS sbb
+        |  FROM j),
+        |v AS (SELECT n, sab, sa, sb,
+        |    (n * saa - sa * sa) * (n * sbb - sb * sb) AS den2 FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  CASE WHEN den2 > 0 THEN
+        |    round(CAST(n * sab - sa * sb AS DOUBLE)
+        |        / sqrt(CAST(den2 AS DOUBLE)) * 10000) / 10000
+        |  END AS rho
+        |FROM v""".stripMargin,
+
     "stat_chi2" ->
       """WITH cells AS (SELECT event_type,
         |    ((user_id % 2) + 2) % 2 AS variant,

@@ -627,6 +627,50 @@ object TrainingQueries extends QueryPack {
         graft.ops.GraphOps.spanEdges(docs, "doc_id", "text"))
     },
 
+    // log2-binned degree distribution of the same dup graph — the
+    // structural audit run BEFORE graph-driven dedup: a heavy tail
+    // means boilerplate hubs, and the bin boundary is exact (binary
+    // string length, no float log).
+    "graph_degree_hist" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.GraphOps.degreeHistogram(
+        graft.ops.GraphOps.spanEdges(docs, "doc_id", "text"))
+    },
+
+    // generation-eval metrics over (candidate, reference) pairs —
+    // candidate doc d scored against doc d+1 (a deterministic stand-in
+    // for a generated/reference join; production pairs arrive
+    // pre-keyed). BLEU-2: clipped unigram/bigram precision
+    // and their geometric mean — every count exact, the only floats are
+    // two divisions, one product, one IEEE sqrt, rounded on the 4dp
+    // grid. (Brevity penalty's exp() is libm — not hash-portable — so
+    // the length ratio is reported raw alongside the core score.)
+    "eval_bleu" -> { (s, dir) =>
+      val p1d = col("clip1").cast("double") / col("c1").cast("double")
+      val p2d = col("clip2").cast("double") / col("c2").cast("double")
+      genEvalOverlap(s, dir).select(col("doc_id"), col("c1"), col("r1"),
+        graft.ops.TimeSeries.portableRound4(p1d).as("p1"),
+        when(col("c2") > 0,
+          graft.ops.TimeSeries.portableRound4(p2d)).as("p2"),
+        when(col("c2") > 0,
+          graft.ops.TimeSeries.portableRound4(sqrt(p1d * p2d))).as("bleu2"),
+        graft.ops.TimeSeries.portableRound4(
+          col("c1").cast("double") / col("r1").cast("double")).as("len_ratio"))
+    },
+
+    // ROUGE-2 on the same pairs: clipped bigram precision/recall and the
+    // rational F1 = 2·clip/(c2+r2) — exact integers until one division.
+    "eval_rouge2" -> { (s, dir) =>
+      genEvalOverlap(s, dir).select(col("doc_id"), col("clip2"),
+        when(col("c2") > 0, graft.ops.TimeSeries.portableRound4(
+          col("clip2").cast("double") / col("c2").cast("double"))).as("prec2"),
+        when(col("r2") > 0, graft.ops.TimeSeries.portableRound4(
+          col("clip2").cast("double") / col("r2").cast("double"))).as("rec2"),
+        when(col("c2") + col("r2") > 0, graft.ops.TimeSeries.portableRound4(
+          lit(2.0) * col("clip2").cast("double") /
+            (col("c2") + col("r2")).cast("double"))).as("f1"))
+    },
+
     // typo-level dup pairs: prefix blocking + banded-Levenshtein verify —
     // the ER shape for edits minhash's token shingles under-detect.
     "dedup_edit" -> { (s, dir) =>
@@ -1346,6 +1390,22 @@ object TrainingQueries extends QueryPack {
       }.toDF("id", "media", "mime", "source", "n_bytes")
   }
 
+  /** (candidate, reference) pairs for the generation-eval metrics:
+    * candidate doc d against doc d+1 — an equi-join on doc_id+1, no
+    * window, no sort — through the clipped n-gram overlap kernel. The
+    * pairing is a deterministic stand-in: production candidate/reference
+    * pairs arrive pre-keyed from the generator. Shared by eval_bleu /
+    * eval_rouge2. */
+  private def genEvalOverlap(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val a = docs.select(col("doc_id"), col("text").as("cand"))
+    val b = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("rtext"))
+    TextAnalysis.pairNgramOverlap(a.join(b, Seq("doc_id")),
+      "doc_id", "cand", "rtext")
+  }
+
   /** Mixing target: upweight src0/src1, spread the rest uniformly. The
     * SAME map feeds the Spark query and (interpolated) the oracle SQL. */
   private val MixTargets: Map[String, Double] =
@@ -1569,6 +1629,40 @@ object TrainingQueries extends QueryPack {
       |edges AS (SELECT a AS src, b AS dst FROM pairs
       |          UNION ALL SELECT b, a FROM pairs),
       |n AS (SELECT doc_id AS id FROM documents)""".stripMargin
+
+  /** (candidate, reference) pair + clipped n-gram overlap CTEs — the
+    * [[graft.ops.TextAnalysis.pairNgramOverlap]] replay; shared by the
+    * eval_bleu / eval_rouge2 oracles. DuckDB `range(1, n)` is
+    * stop-exclusive and empty when n ≤ 1, list indexing is 1-based. */
+  private lazy val genPairCtes: String =
+    """a AS (SELECT doc_id, text AS cand FROM documents),
+      |b AS (SELECT doc_id - 1 AS doc_id, text AS rtext
+      |      FROM documents),
+      |p AS (SELECT a.doc_id, string_split(a.cand, ' ') AS ct,
+      |        string_split(b.rtext, ' ') AS rt
+      |      FROM a JOIN b USING (doc_id)),
+      |lens AS (SELECT doc_id, CAST(len(ct) AS BIGINT) AS c1,
+      |    CAST(len(rt) AS BIGINT) AS r1,
+      |    CAST(greatest(len(ct) - 1, 0) AS BIGINT) AS c2,
+      |    CAST(greatest(len(rt) - 1, 0) AS BIGINT) AS r2 FROM p),
+      |cu1 AS (SELECT doc_id, unnest(ct) AS g FROM p),
+      |ru1 AS (SELECT doc_id, unnest(rt) AS g FROM p),
+      |cu2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ct)),
+      |          i -> ct[i] || ' ' || ct[i+1])) AS g FROM p),
+      |ru2 AS (SELECT doc_id, unnest(list_transform(range(1, len(rt)),
+      |          i -> rt[i] || ' ' || rt[i+1])) AS g FROM p),
+      |cl1 AS (SELECT doc_id, CAST(sum(least(cc.n, rc.n)) AS BIGINT) AS clip1
+      |  FROM (SELECT doc_id, g, count(*) AS n FROM cu1 GROUP BY 1, 2) cc
+      |  JOIN (SELECT doc_id, g, count(*) AS n FROM ru1 GROUP BY 1, 2) rc
+      |  USING (doc_id, g) GROUP BY doc_id),
+      |cl2 AS (SELECT doc_id, CAST(sum(least(cc.n, rc.n)) AS BIGINT) AS clip2
+      |  FROM (SELECT doc_id, g, count(*) AS n FROM cu2 GROUP BY 1, 2) cc
+      |  JOIN (SELECT doc_id, g, count(*) AS n FROM ru2 GROUP BY 1, 2) rc
+      |  USING (doc_id, g) GROUP BY doc_id),
+      |ov AS (SELECT lens.doc_id, c1, r1, c2, r2,
+      |    coalesce(cl1.clip1, 0) AS clip1, coalesce(cl2.clip2, 0) AS clip2
+      |  FROM lens LEFT JOIN cl1 USING (doc_id) LEFT JOIN cl2 USING (doc_id))"""
+      .stripMargin
 
   private lazy val pagerankSql: String = {
     def iter(prev: String, name: String) =
@@ -2629,6 +2723,41 @@ object TrainingQueries extends QueryPack {
          |  CAST(count(*) AS BIGINT) AS n_dup_pairs
          |FROM lab GROUP BY 1, 2""".stripMargin,
     "graph_triangles" -> trianglesSql,
+
+    "graph_degree_hist" ->
+      s"""WITH $spanEdgeCtes,
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src)
+         |SELECT CAST(length(bin(deg)) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(deg) AS BIGINT) AS sum_deg,
+         |  CAST(min(deg) AS BIGINT) AS min_deg,
+         |  CAST(max(deg) AS BIGINT) AS max_deg
+         |FROM deg GROUP BY 1""".stripMargin,
+
+    "eval_bleu" ->
+      s"""WITH $genPairCtes
+         |SELECT doc_id, c1, r1,
+         |  round(CAST(clip1 AS DOUBLE) / c1 * 10000) / 10000 AS p1,
+         |  CASE WHEN c2 > 0 THEN
+         |    round(CAST(clip2 AS DOUBLE) / c2 * 10000) / 10000 END AS p2,
+         |  CASE WHEN c2 > 0 THEN
+         |    round(sqrt((CAST(clip1 AS DOUBLE) / c1)
+         |             * (CAST(clip2 AS DOUBLE) / c2)) * 10000) / 10000
+         |    END AS bleu2,
+         |  round(CAST(c1 AS DOUBLE) / r1 * 10000) / 10000 AS len_ratio
+         |FROM ov""".stripMargin,
+
+    "eval_rouge2" ->
+      s"""WITH $genPairCtes
+         |SELECT doc_id, clip2,
+         |  CASE WHEN c2 > 0 THEN
+         |    round(CAST(clip2 AS DOUBLE) / c2 * 10000) / 10000 END AS prec2,
+         |  CASE WHEN r2 > 0 THEN
+         |    round(CAST(clip2 AS DOUBLE) / r2 * 10000) / 10000 END AS rec2,
+         |  CASE WHEN c2 + r2 > 0 THEN
+         |    round(2.0 * clip2 / (c2 + r2) * 10000) / 10000 END AS f1
+         |FROM ov""".stripMargin,
     // NULL heads never pair: Spark groups null blocks but the null
     // Levenshtein filters out; the SQL equi-join drops them earlier.
     "dedup_edit" ->
