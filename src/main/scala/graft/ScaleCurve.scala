@@ -113,7 +113,11 @@ object ScaleCurve {
     // tracks corpus token volume), ACF (grid-bounded — FLAT), degree
     // histogram (span-edge family + two hash-aggs), Spearman
     // (domain-collapsed rank windows — FLAT past the per-user agg)
-    "eval_bleu", "ts_acf", "graph_degree_hist", "stat_spearman")
+    "eval_bleu", "ts_acf", "graph_degree_hist", "stat_spearman",
+    // chrF (char-bigram clip — ~5× the gram volume of token BLEU),
+    // ANOVA (k-bounded fold past one hash-agg — FLAT), Markov steady
+    // state (one per-user window shuffle, then |types|² rounds)
+    "eval_chrf", "stat_anova", "ev_markov_steady")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

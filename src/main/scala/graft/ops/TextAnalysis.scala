@@ -749,4 +749,35 @@ object TextAnalysis {
         coalesce(col("clip1"), lit(0L)).as("clip1"),
         coalesce(col("clip2"), lit(0L)).as("clip2"))
   }
+
+  /** Character-bigram variant of the clipped overlap — the chrF kernel
+    * (spaces stripped first, per the metric's definition; grams are
+    * 2-char substrings, 1-based positions, so both engines enumerate
+    * the identical gram multiset). Same one-shuffle clip shape as
+    * [[pairNgramOverlap]]. */
+  def pairCharBigramOverlap(pairs: DataFrame, idCol: String,
+                            candCol: String, refCol: String): DataFrame = {
+    val id = col(idCol)
+    def strip(c: Column) = regexp_replace(c, " ", "")
+    val toks = pairs.select(id,
+      strip(col(candCol)).as("cs"), strip(col(refCol)).as("rs"))
+      .localCheckpoint() // lens + two gram explodes: one strip pass
+    def grams(src: Column) =
+      when(length(src) >= 2,
+        transform(sequence(lit(1), length(src) - 1),
+          i => src.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))
+    val lens = toks.select(id,
+      greatest(length(col("cs")) - 1, lit(0)).cast("long").as("c2"),
+      greatest(length(col("rs")) - 1, lit(0)).cast("long").as("r2"))
+    def counts(c: Column, out: String) =
+      toks.select(id, explode(grams(c)).as("g"))
+        .groupBy(id, col("g")).agg(count(lit(1)).as(out))
+    val clip = counts(col("cs"), "cc")
+      .join(counts(col("rs"), "rc"), Seq(idCol, "g"))
+      .groupBy(id).agg(sum(least(col("cc"), col("rc"))).as("clip2"))
+    lens.join(clip, Seq(idCol), "left")
+      .select(id, col("c2"), col("r2"),
+        coalesce(col("clip2"), lit(0L)).as("clip2"))
+  }
 }

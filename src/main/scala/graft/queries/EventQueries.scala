@@ -344,6 +344,75 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // one-way ANOVA F across event types on the spend column — the
+    // k-group generalization of stat_ttest. All moments exact (BIGINT
+    // counts/sums, DECIMAL(38,0) squares); the one non-rational step,
+    // A = Σᵢ Sᵢ²/nᵢ, is a FOLD over the k-bounded group array in sorted
+    // event_type order, so both engines add the same doubles in the
+    // same sequence (the text_search_topk portability rule — never let
+    // an engine pick its own float summation order).
+    "stat_anova" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val g = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ni"), sum(col("x")).as("si"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("qi"))
+      val t = g.agg(sum(col("ni")).as("n"),
+        sum(col("si")).cast(d38).as("s"), sum(col("qi")).as("q"),
+        count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("event_type"), col("si"),
+          col("ni")))).as("terms"))
+      val aFold = aggregate(col("terms"), lit(0.0), (acc, e) =>
+        acc + e.getField("si").cast("double") * e.getField("si").cast("double") /
+          e.getField("ni").cast("double"))
+      val sd = col("s").cast("double")
+      t.withColumn("a", aFold)
+        .withColumn("ssb", col("a") - sd * sd / col("n").cast("double"))
+        .withColumn("ssw", col("q").cast("double") - col("a"))
+        .select(col("n"), col("k").as("n_groups"),
+          when(col("ssw") > 0 && col("k") > 1 && col("n") > col("k"),
+            graft.ops.TimeSeries.portableRound4(
+              col("ssb") * (col("n") - col("k")).cast("double") /
+                (col("ssw") * (col("k") - 1).cast("double")))).as("f"))
+    },
+
+    // steady-state of the event-type Markov chain (where does a user's
+    // session settle?): transition counts from per-user ordered streams,
+    // then 3 rounds of x·P in EXACT scaled-integer floor arithmetic —
+    // the graph_pagerank fixed-point discipline (identical bits in any
+    // engine; dangling states drop their mass, fine for RANKING).
+    // Everything past the one per-user shuffle is |types|²-bounded.
+    "ev_markov_steady" -> { (s, dir) =>
+      def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cnts = Tables.events(s, dir)
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // |types|² rows; rows/states/iterations reuse it
+      val rows = cnts.groupBy(col("event_type")).agg(sum(col("c")).as("r"))
+      val states = cnts.select(col("event_type").as("st"))
+        .unionAll(cnts.select(col("next_type").as("st"))).distinct()
+      val pm = cnts.join(rows, "event_type")
+      var x = states.select(col("st"), lit(1000000L).as("p"))
+      for (_ <- 1 to 3) {
+        val pin = pm.join(x, pm("event_type") === x("st"))
+          .select(col("next_type").as("st2"),
+            fdiv(col("p") * col("c"), col("r")).as("m"))
+          .groupBy(col("st2")).agg(sum(col("m")).as("pin"))
+        x = states.join(pin, states("st") === pin("st2"), "left")
+          .select(col("st"), coalesce(col("pin"), lit(0L)).as("p"))
+      }
+      x.select(col("st").as("event_type"), col("p").as("steady_scaled"),
+        (col("p") / lit(1000000.0)).as("steady"))
+    },
+
     // autocorrelation of each type's hourly series at lags 1..24 — the
     // seasonality detector (daily cycle = peak at lag 24); the self-lag
     // member of the ts_xcorr family, same exact-moment machinery.
@@ -857,6 +926,62 @@ object EventQueries extends QueryPack {
          |        / sqrt(CAST(den2 AS DOUBLE)) * 1000000) / 1000000
          |  END AS r
          |FROM v""".stripMargin,
+    "stat_anova" ->
+      """WITH per AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(x) AS BIGINT) AS si,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qi
+        |  FROM per GROUP BY 1),
+        |t AS (SELECT CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(sum(si) AS HUGEINT) AS s, CAST(sum(qi) AS HUGEINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    list((CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
+        |         / CAST(ni AS DOUBLE) ORDER BY event_type) AS terms
+        |  FROM g),
+        |v AS (SELECT n, k,
+        |    list_reduce(terms, (acc, tm) -> acc + tm) AS a,
+        |    CAST(s AS DOUBLE) AS sd, CAST(q AS DOUBLE) AS qd
+        |  FROM t),
+        |f AS (SELECT n, k, a - sd * sd / CAST(n AS DOUBLE) AS ssb,
+        |    qd - a AS ssw FROM v)
+        |SELECT n, k AS n_groups,
+        |  CASE WHEN ssw > 0 AND k > 1 AND n > k THEN
+        |    round(ssb * CAST(n - k AS DOUBLE)
+        |        / (ssw * CAST(k - 1 AS DOUBLE)) * 10000) / 10000
+        |  END AS f
+        |FROM f""".stripMargin,
+
+    "ev_markov_steady" -> {
+      def iter(prev: String, name: String) =
+        s"""$name AS (SELECT st.st, coalesce(m.pin, 0) AS p
+           |  FROM st LEFT JOIN (
+           |    SELECT c.next_type AS st2,
+           |      CAST(sum((x.p * c.c - (x.p * c.c) % r.r) / r.r) AS BIGINT)
+           |        AS pin
+           |    FROM c JOIN r USING (event_type)
+           |      JOIN $prev x ON x.st = c.event_type
+           |    GROUP BY 1) m ON st.st = m.st2)"""
+      s"""WITH nxt AS (SELECT event_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS next_type
+         |  FROM events),
+         |c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS c
+         |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS r
+         |      FROM c GROUP BY 1),
+         |st AS (SELECT DISTINCT st FROM (SELECT event_type AS st FROM c
+         |       UNION ALL SELECT next_type FROM c)),
+         |x0 AS (SELECT st, CAST(1000000 AS BIGINT) AS p FROM st),
+         |${iter("x0", "x1")},
+         |${iter("x1", "x2")},
+         |${iter("x2", "x3")}
+         |SELECT st AS event_type, p AS steady_scaled,
+         |  p / 1000000.0 AS steady
+         |FROM x3""".stripMargin
+    },
+
     "ts_acf" ->
       s"""WITH $hourlyGridCtes,
          |sr AS (SELECT event_type AS k,

@@ -658,6 +658,32 @@ object TrainingQueries extends QueryPack {
           col("c1").cast("double") / col("r1").cast("double")).as("len_ratio"))
     },
 
+    // chrF₂ on the same pairs: CHARACTER-bigram clipped overlap (spaces
+    // stripped), recall-weighted F — the tokenization-free metric that
+    // survives morphology/compounding where word BLEU breaks. The β=2
+    // form collapses to the single rational 5·clip/(4·r2 + c2): exact
+    // integers until one division.
+    "eval_chrf" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val a = docs.select(col("doc_id"), col("text").as("cand"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("rtext"))
+      TextAnalysis.pairCharBigramOverlap(a.join(b, Seq("doc_id")),
+        "doc_id", "cand", "rtext")
+        .select(col("doc_id"), col("clip2"),
+          when(col("c2") > 0, graft.ops.TimeSeries.portableRound4(
+            col("clip2").cast("double") / col("c2").cast("double")))
+            .as("prec2"),
+          when(col("r2") > 0, graft.ops.TimeSeries.portableRound4(
+            col("clip2").cast("double") / col("r2").cast("double")))
+            .as("rec2"),
+          when(lit(4L) * col("r2") + col("c2") > 0,
+            graft.ops.TimeSeries.portableRound4(
+              lit(5.0) * col("clip2").cast("double") /
+                (lit(4L) * col("r2") + col("c2")).cast("double")))
+            .as("chrf2"))
+    },
+
     // ROUGE-2 on the same pairs: clipped bigram precision/recall and the
     // rational F1 = 2·clip/(c2+r2) — exact integers until one division.
     "eval_rouge2" -> { (s, dir) =>
@@ -2747,6 +2773,35 @@ object TrainingQueries extends QueryPack {
          |    END AS bleu2,
          |  round(CAST(c1 AS DOUBLE) / r1 * 10000) / 10000 AS len_ratio
          |FROM ov""".stripMargin,
+
+    "eval_chrf" ->
+      """WITH a AS (SELECT doc_id, replace(text, ' ', '') AS cs
+        |           FROM documents),
+        |b AS (SELECT doc_id - 1 AS doc_id, replace(text, ' ', '') AS rs
+        |      FROM documents),
+        |p AS (SELECT a.doc_id, cs, rs FROM a JOIN b USING (doc_id)),
+        |lens AS (SELECT doc_id,
+        |    CAST(greatest(length(cs) - 1, 0) AS BIGINT) AS c2,
+        |    CAST(greatest(length(rs) - 1, 0) AS BIGINT) AS r2 FROM p),
+        |cg AS (SELECT doc_id, unnest(list_transform(range(1, length(cs)),
+        |          i -> cs[i:i+1])) AS g FROM p),
+        |rg AS (SELECT doc_id, unnest(list_transform(range(1, length(rs)),
+        |          i -> rs[i:i+1])) AS g FROM p),
+        |cl AS (SELECT doc_id, CAST(sum(least(cc.n, rc.n)) AS BIGINT) AS clip2
+        |  FROM (SELECT doc_id, g, count(*) AS n FROM cg GROUP BY 1, 2) cc
+        |  JOIN (SELECT doc_id, g, count(*) AS n FROM rg GROUP BY 1, 2) rc
+        |  USING (doc_id, g) GROUP BY doc_id),
+        |ov AS (SELECT lens.doc_id, c2, r2, coalesce(cl.clip2, 0) AS clip2
+        |  FROM lens LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, clip2,
+        |  CASE WHEN c2 > 0 THEN
+        |    round(CAST(clip2 AS DOUBLE) / c2 * 10000) / 10000 END AS prec2,
+        |  CASE WHEN r2 > 0 THEN
+        |    round(CAST(clip2 AS DOUBLE) / r2 * 10000) / 10000 END AS rec2,
+        |  CASE WHEN 4 * r2 + c2 > 0 THEN
+        |    round(5.0 * clip2 / (4 * r2 + c2) * 10000) / 10000
+        |    END AS chrf2
+        |FROM ov""".stripMargin,
 
     "eval_rouge2" ->
       s"""WITH $genPairCtes

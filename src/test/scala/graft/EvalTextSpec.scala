@@ -74,6 +74,17 @@ class EvalTextSpec extends SparkSpec {
     assert(bins(4L) === ((4L, 1L, 9L, 9L)), s"one degree-9 hub: $bins")
   }
 
+  test("chrF kernel: identical texts give chrf2 = 1 via the rational form") {
+    val m = TextAnalysis.pairCharBigramOverlap(
+      Seq((1L, "ab cd", "ab cd"), (2L, "abcd", "wxyz")).toDF("id", "cand", "rtext"),
+      "id", "cand", "rtext")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "ab cd" strips to "abcd": 3 char-bigrams, all clipped
+    assert(m(1L) === ((1L, 3L, 3L, 3L)))
+    // 5*clip/(4*r2+c2) = 5*3/15 = 1.0 exactly
+    assert(m(2L)._4 === 0L, "disjoint char sets share no bigrams")
+  }
+
   test("pair overlap plans without cartesian products") {
     val df = TextAnalysis.pairNgramOverlap(
       Seq((1L, "a b", "b c")).toDF("id", "cand", "rtext"),
