@@ -780,4 +780,20 @@ object TextAnalysis {
       .select(id, col("c2"), col("r2"),
         coalesce(col("clip2"), lit(0L)).as("clip2"))
   }
+
+  /** ROW-LOCAL clipped overlap between two gram arrays:
+    * Σ over distinct cand grams of min(count_cand, count_ref). The
+    * streaming-friendly form of the [[pairNgramOverlap]] clip — each
+    * (candidate, reference) row is self-contained, so a pair STREAM
+    * scores map-side with zero shuffles and zero state (the batch
+    * kernel's (pair, gram) shuffle is the shape for documents too large
+    * to clip in one task; at typical doc sizes this O(|grams|·|distinct|)
+    * projection is cheaper than the exchange). Pure expression —
+    * codegen'd, identical in any engine with list HOFs. */
+  def clippedOverlap(cand: Column, ref: Column): Column =
+    aggregate(
+      transform(array_distinct(cand), g =>
+        least(size(filter(cand, x => x === g)),
+          size(filter(ref, x => x === g))).cast("long")),
+      lit(0L), (acc, x) => acc + x)
 }

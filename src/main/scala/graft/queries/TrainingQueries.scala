@@ -658,6 +658,31 @@ object TrainingQueries extends QueryPack {
           col("c1").cast("double") / col("r1").cast("double")).as("len_ratio"))
     },
 
+    // corpus-level (micro-averaged) BLEU-2: clip and length sums pooled
+    // over ALL pairs before the division — the form actually reported
+    // for a generation run (per-pair BLEU averaged arithmetically
+    // over-weights short candidates; micro-averaging is the metric's
+    // own definition). One row; exact integer sums until two divisions,
+    // one product, one sqrt.
+    "eval_bleu_corpus" -> { (s, dir) =>
+      val p1d = col("sclip1").cast("double") / col("sc1").cast("double")
+      val p2d = col("sclip2").cast("double") / col("sc2").cast("double")
+      genEvalOverlap(s, dir)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c1")).as("sc1"), sum(col("r1")).as("sr1"),
+          sum(col("c2")).as("sc2"),
+          sum(col("clip1")).as("sclip1"), sum(col("clip2")).as("sclip2"))
+        .select(col("n_pairs"),
+          graft.ops.TimeSeries.portableRound4(p1d).as("p1"),
+          when(col("sc2") > 0,
+            graft.ops.TimeSeries.portableRound4(p2d)).as("p2"),
+          when(col("sc2") > 0, graft.ops.TimeSeries.portableRound4(
+            sqrt(p1d * p2d))).as("bleu2"),
+          graft.ops.TimeSeries.portableRound4(
+            col("sc1").cast("double") / col("sr1").cast("double"))
+            .as("len_ratio"))
+    },
+
     // chrF₂ on the same pairs: CHARACTER-bigram clipped overlap (spaces
     // stripped), recall-weighted F — the tokenization-free metric that
     // survives morphology/compounding where word BLEU breaks. The β=2
@@ -2773,6 +2798,25 @@ object TrainingQueries extends QueryPack {
          |    END AS bleu2,
          |  round(CAST(c1 AS DOUBLE) / r1 * 10000) / 10000 AS len_ratio
          |FROM ov""".stripMargin,
+
+    "eval_bleu_corpus" ->
+      s"""WITH $genPairCtes,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(c1) AS BIGINT) AS sc1, CAST(sum(r1) AS BIGINT) AS sr1,
+         |    CAST(sum(c2) AS BIGINT) AS sc2,
+         |    CAST(sum(clip1) AS BIGINT) AS sclip1,
+         |    CAST(sum(clip2) AS BIGINT) AS sclip2
+         |  FROM ov)
+         |SELECT n_pairs,
+         |  round(CAST(sclip1 AS DOUBLE) / sc1 * 10000) / 10000 AS p1,
+         |  CASE WHEN sc2 > 0 THEN
+         |    round(CAST(sclip2 AS DOUBLE) / sc2 * 10000) / 10000 END AS p2,
+         |  CASE WHEN sc2 > 0 THEN
+         |    round(sqrt((CAST(sclip1 AS DOUBLE) / sc1)
+         |             * (CAST(sclip2 AS DOUBLE) / sc2)) * 10000) / 10000
+         |    END AS bleu2,
+         |  round(CAST(sc1 AS DOUBLE) / sr1 * 10000) / 10000 AS len_ratio
+         |FROM m""".stripMargin,
 
     "eval_chrf" ->
       """WITH a AS (SELECT doc_id, replace(text, ' ', '') AS cs

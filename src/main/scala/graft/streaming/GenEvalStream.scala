@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** Streaming generation-quality monitor: a stream of (candidate,
+  * reference) text pairs — a generation service's eval taps, a
+  * distillation pipeline's teacher/student pairs — scored as windowed
+  * CORPUS BLEU-2 per event-time window, emitted as windows close under
+  * the watermark. The live twin of the batch `eval_bleu_corpus` query:
+  * same micro-average (clip and length sums pooled per window BEFORE
+  * the division), so a window's score equals the batch query run over
+  * that window's rows exactly.
+  *
+  * Shape: the clip is computed ROW-LOCALLY ([[TextAnalysis.clippedOverlap]]
+  * — each pair is self-contained, no (pair, gram) shuffle, no state
+  * beyond the engine's windowed-agg store, bounded by open windows).
+  * Fully declarative append-mode aggregation: nothing emits before its
+  * window closes, late pairs past the watermark drop — the same
+  * accounting as every windowed reduce in the engine.
+  */
+object GenEvalStream {
+
+  /** @param pairs streaming DataFrame with `tsCol`, `candCol`, `refCol`.
+    * @return one row per closed window: n_pairs, p1, p2, bleu2,
+    *         len_ratio (null p2/bleu2 while a window holds only
+    *         sub-2-token candidates, mirroring the batch guards). */
+  def windowedBleu(pairs: DataFrame, tsCol: String, candCol: String,
+                   refCol: String, windowLen: String = "1 hour",
+                   delay: String = "5 minutes"): DataFrame = {
+    val ct = TextAnalysis.tokens(col(candCol))
+    val rt = TextAnalysis.tokens(col(refCol))
+    val scored = pairs.select(col(tsCol),
+      size(ct).cast("long").as("c1"),
+      size(rt).cast("long").as("r1"),
+      greatest(size(ct) - 1, lit(0)).cast("long").as("c2"),
+      TextAnalysis.clippedOverlap(ct, rt).as("clip1"),
+      TextAnalysis.clippedOverlap(
+        TextAnalysis.bigrams(ct), TextAnalysis.bigrams(rt)).as("clip2"))
+    val p1d = col("sclip1").cast("double") / col("sc1").cast("double")
+    val p2d = col("sclip2").cast("double") / col("sc2").cast("double")
+    scored
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c1")).as("sc1"), sum(col("r1")).as("sr1"),
+        sum(col("c2")).as("sc2"),
+        sum(col("clip1")).as("sclip1"), sum(col("clip2")).as("sclip2"))
+      .select(col("w.start").as("bucket"), col("n_pairs"),
+        graft.ops.TimeSeries.portableRound4(p1d).as("p1"),
+        when(col("sc2") > 0,
+          graft.ops.TimeSeries.portableRound4(p2d)).as("p2"),
+        when(col("sc2") > 0, graft.ops.TimeSeries.portableRound4(
+          sqrt(p1d * p2d))).as("bleu2"),
+        graft.ops.TimeSeries.portableRound4(
+          col("sc1").cast("double") / col("sr1").cast("double"))
+          .as("len_ratio"))
+  }
+}
