@@ -117,7 +117,9 @@ object ScaleCurve {
     // chrF (char-bigram clip — ~5× the gram volume of token BLEU),
     // ANOVA (k-bounded fold past one hash-agg — FLAT), Markov steady
     // state (one per-user window shuffle, then |types|² rounds)
-    "eval_chrf", "stat_anova", "ev_markov_steady")
+    "eval_chrf", "stat_anova", "ev_markov_steady",
+    // banded Theil–Sen (grid²-band-bounded slope table — FLAT)
+    "ts_theil_sen")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

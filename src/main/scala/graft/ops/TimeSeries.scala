@@ -496,6 +496,55 @@ object TimeSeries {
             sqrt(col("den2").cast("double")))).as("r"))
   }
 
+  /** Banded Theil–Sen trend slope per key: the median of pairwise
+    * slopes (nⱼ−nᵢ)/(j−i) over the gap-filled hourly grid, restricted
+    * to pairs at most `maxLag` hours apart. The robust alternative to
+    * OLS trend (one spike moves the mean slope, not the median), and
+    * the band is what makes it deployable: full Theil–Sen is O(T²) in
+    * the series length, the band is O(T·maxLag) — and local slopes are
+    * the ones that carry trend signal anyway.
+    *
+    * Median extraction is EXPLICIT (the two middle row_numbers, then
+    * their mean) rather than an engine quantile call — percentile
+    * interpolation formulas differ across engines in the last ulp; the
+    * value at a rank of a sorted multiset does not. Slopes are exact
+    * integer differences cast once to double; the only other float ops
+    * are one mean of ≤2 values and the 6dp rounding.
+    *
+    * Scale shape: the slope table is grid²-band-bounded (never
+    * corpus-bounded); one window sort per key over it. */
+  def theilSen(events: DataFrame, keyCol: String, tsCol: String,
+               maxLag: Int = 48, valueCol: String = "value"): DataFrame = {
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol).as("k"),
+        (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+          .cast("long").as("h"),
+        col("n"))
+      .localCheckpoint() // consumed twice (both join sides)
+    val a = series.select(col("k"), col("h"), col("n").as("x"))
+      .crossJoin(spark_range_lags(series, maxLag).where(col("lag") >= 1))
+    val b = series.select(col("k").as("kb"), col("h").as("hb"),
+      col("n").as("y"))
+    val slopes = a.join(b,
+        col("kb") === col("k") && col("hb") === col("h") + col("lag"))
+      .select(col("k"),
+        ((col("y") - col("x")).cast("double") / col("lag").cast("double"))
+          .as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("s"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
+      // Spark's `/` on longs is DOUBLE division — floor() recovers the
+      // integer middle ranks ((cnt+1)÷2, cnt÷2+1; equal when cnt is odd)
+      .where(col("rn") === floor((col("cnt") + 1) / 2) ||
+        col("rn") === floor(col("cnt") / 2) + 1)
+      .groupBy(col("k").as("event_type"))
+      .agg(first(col("cnt")).cast("long").as("n_slopes"),
+        portableRound6(sum(col("s")) / count(lit(1))).as("slope_med"))
+  }
+
   /** lag values 0..maxLag as a one-column broadcastable frame (built
     * from the session of `like`, not a driver literal list — keeps the
     * helper serializable-free). */

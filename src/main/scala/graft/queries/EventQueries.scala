@@ -344,6 +344,16 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // banded Theil–Sen robust trend slope per event type — the median
+    // pairwise slope over the hourly grid, pairs ≤ 48 h apart (full
+    // Theil–Sen is O(T²); the band is O(T·48) and local slopes carry
+    // the trend signal). Median via explicit middle row_numbers — no
+    // engine quantile interpolation to drift.
+    "ts_theil_sen" -> { (s, dir) =>
+      graft.ops.TimeSeries.theilSen(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // one-way ANOVA F across event types on the spend column — the
     // k-group generalization of stat_ttest. All moments exact (BIGINT
     // counts/sums, DECIMAL(38,0) squares); the one non-rational step,
@@ -926,6 +936,24 @@ object EventQueries extends QueryPack {
          |        / sqrt(CAST(den2 AS DOUBLE)) * 1000000) / 1000000
          |  END AS r
          |FROM v""".stripMargin,
+    "ts_theil_sen" ->
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k,
+         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+         |a AS (SELECT k, h, n AS x, lag
+         |  FROM sr, (SELECT unnest(range(1, 49)) AS lag)),
+         |b AS (SELECT k AS kb, h AS hb, n AS y FROM sr),
+         |p AS (SELECT k, CAST(y - x AS DOUBLE) / lag AS s
+         |  FROM a JOIN b ON kb = k AND hb = h + lag),
+         |r AS (SELECT k, s,
+         |    row_number() OVER (PARTITION BY k ORDER BY s) AS rn,
+         |    count(*) OVER (PARTITION BY k) AS cnt FROM p)
+         |SELECT k AS event_type, CAST(max(cnt) AS BIGINT) AS n_slopes,
+         |  round(sum(s) / count(*) * 1000000) / 1000000 AS slope_med
+         |FROM r
+         |WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+         |GROUP BY k""".stripMargin,
+
     "stat_anova" ->
       """WITH per AS (SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x

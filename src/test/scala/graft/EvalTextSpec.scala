@@ -62,6 +62,20 @@ class EvalTextSpec extends SparkSpec {
     assert(math.abs(acf(4L) - 1.0) < 1e-4)
   }
 
+  test("Theil-Sen slope ignores a spike that would drag the OLS slope") {
+    // ramp: n = h+1 events in hour h (slope exactly 1)... plus one
+    // 50-event spike hour. The median pairwise slope stays 1.
+    val rows = for {
+      h <- 0 until 48
+      n = if (h == 20) 50 else h + 1
+      i <- 0 until n
+    } yield (new java.sql.Timestamp(1700000000000L + h * 3600000L + i), "e", 1.0)
+    val got = TimeSeries.theilSen(
+      rows.toDF("ts", "event_type", "value"), "event_type", "ts", maxLag = 12)
+      .select(col("slope_med")).as[Double].head()
+    assert(got === 1.0, s"median slope must shrug the spike off: $got")
+  }
+
   test("degree histogram bins are exact powers of two") {
     // star: hub 0 connected to 1..9 (degree 9 -> bin 4), leaves degree 1
     // -> bin 1
