@@ -118,8 +118,9 @@ object ScaleCurve {
     // ANOVA (k-bounded fold past one hash-agg — FLAT), Markov steady
     // state (one per-user window shuffle, then |types|² rounds)
     "eval_chrf", "stat_anova", "ev_markov_steady",
-    // banded Theil–Sen (grid²-band-bounded slope table — FLAT)
-    "ts_theil_sen")
+    // banded Theil–Sen (grid²-band-bounded slope table — FLAT) and the
+    // exact decomposition (two grid windows + |keys|×24 join — FLAT)
+    "ts_theil_sen", "ts_decompose")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

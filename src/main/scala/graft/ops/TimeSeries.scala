@@ -496,6 +496,52 @@ object TimeSeries {
             sqrt(col("den2").cast("double")))).as("r"))
   }
 
+  /** Additive trend/seasonal/residual decomposition of each key's
+    * hourly count series — the STL idea with EXACT arithmetic: trend is
+    * a centered 25-bucket moving mean, so trend·25 is an integer;
+    * seasonal is the hour-of-day mean of the detrended interior, so
+    * seasonal·(25·cnt_hod) is an integer; and the residual shares the
+    * common denominator 25·cnt_hod — every component is one integer
+    * numerator over one integer denominator, a SINGLE float division
+    * each, rounded on the 6dp grid (no running float sums anywhere, so
+    * no engine can disagree on an addition order). Edge buckets
+    * (incomplete 25-window) report null components — the honest answer,
+    * not an extrapolation.
+    *
+    * Scale shape: two grid-bounded windows + one |keys|×24 join; the
+    * corpus is gone after resample's one hash-agg. */
+  def decompose(events: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String = "value"): DataFrame = {
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol), col("bucket"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bucket")).rowsBetween(-12, 12)
+    val t = series
+      .withColumn("s25", sum(col("n")).over(w))
+      .withColumn("c25", count(lit(1)).over(w))
+      .localCheckpoint() // seasonal agg + final projection both read it
+    // sea derives FROM t: alias its key before the join, or Spark's
+    // self-join ambiguity check rejects the plan
+    val sea = t.where(col("c25") === 25)
+      .groupBy(col(keyCol).as("__sea_key"),
+        hour(col("bucket")).cast("int").as("hod"))
+      .agg(sum(lit(25L) * col("n") - col("s25")).as("num"),
+        count(lit(1)).as("cnt"))
+    val interior = col("c25") === 25
+    t.join(sea, col(keyCol) === col("__sea_key") &&
+        hour(col("bucket")).cast("int") === col("hod"), "left")
+      .select(col(keyCol), col("bucket"), col("n"),
+        when(interior, portableRound6(
+          col("s25").cast("double") / 25.0)).as("trend"),
+        when(interior, portableRound6(
+          col("num").cast("double") / (lit(25L) * col("cnt")).cast("double")))
+          .as("seasonal"),
+        when(interior, portableRound6(
+          (lit(25L) * col("cnt") * col("n") - col("cnt") * col("s25")
+            - col("num")).cast("double") /
+            (lit(25L) * col("cnt")).cast("double"))).as("resid"))
+  }
+
   /** Banded Theil–Sen trend slope per key: the median of pairwise
     * slopes (nⱼ−nᵢ)/(j−i) over the gap-filled hourly grid, restricted
     * to pairs at most `maxLag` hours apart. The robust alternative to

@@ -344,6 +344,15 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // additive trend/seasonal/residual decomposition per type — STL's
+    // idea in exact arithmetic (25-bucket moving mean trend, hour-of-day
+    // seasonal of the detrended interior, shared-denominator residual;
+    // one float division per component, no running float sums).
+    "ts_decompose" -> { (s, dir) =>
+      graft.ops.TimeSeries.decompose(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // banded Theil–Sen robust trend slope per event type — the median
     // pairwise slope over the hourly grid, pairs ≤ 48 h apart (full
     // Theil–Sen is O(T²); the band is O(T·48) and local slopes carry
@@ -362,30 +371,10 @@ object EventQueries extends QueryPack {
     // same sequence (the text_search_topk portability rule — never let
     // an engine pick its own float summation order).
     "stat_anova" -> { (s, dir) =>
-      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val g = Tables.events(s, dir)
-        .select(col("event_type"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("x"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("ni"), sum(col("x")).as("si"),
-          sum(col("x").cast(d38) * col("x").cast(d38)).as("qi"))
-      val t = g.agg(sum(col("ni")).as("n"),
-        sum(col("si")).cast(d38).as("s"), sum(col("qi")).as("q"),
-        count(lit(1)).as("k"),
-        sort_array(collect_list(struct(col("event_type"), col("si"),
-          col("ni")))).as("terms"))
-      val aFold = aggregate(col("terms"), lit(0.0), (acc, e) =>
-        acc + e.getField("si").cast("double") * e.getField("si").cast("double") /
-          e.getField("ni").cast("double"))
-      val sd = col("s").cast("double")
-      t.withColumn("a", aFold)
-        .withColumn("ssb", col("a") - sd * sd / col("n").cast("double"))
-        .withColumn("ssw", col("q").cast("double") - col("a"))
-        .select(col("n"), col("k").as("n_groups"),
-          when(col("ssw") > 0 && col("k") > 1 && col("n") > col("k"),
-            graft.ops.TimeSeries.portableRound4(
-              col("ssb") * (col("n") - col("k")).cast("double") /
-                (col("ssw") * (col("k") - 1).cast("double")))).as("f"))
+      graft.ops.Stats.fFromGroupMoments(
+        graft.ops.Stats.groupMoments(Tables.events(s, dir),
+          "event_type", "value"), Nil)
+        .select(col("n"), col("k").as("n_groups"), col("f"))
     },
 
     // steady-state of the event-type Markov chain (where does a user's
@@ -936,6 +925,34 @@ object EventQueries extends QueryPack {
          |        / sqrt(CAST(den2 AS DOUBLE)) * 1000000) / 1000000
          |  END AS r
          |FROM v""".stripMargin,
+    "ts_decompose" ->
+      s"""WITH $hourlyGridCtes,
+         |t AS (SELECT event_type, bucket, n,
+         |    CAST(sum(n) OVER w AS BIGINT) AS s25,
+         |    CAST(count(*) OVER w AS BIGINT) AS c25
+         |  FROM ff
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+         |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |sea AS (SELECT event_type, CAST(hour(bucket) AS INT) AS hod,
+         |    CAST(sum(25 * n - s25) AS BIGINT) AS num,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t WHERE c25 = 25 GROUP BY 1, 2)
+         |SELECT t.event_type, bucket, n,
+         |  CASE WHEN c25 = 25 THEN
+         |    round(CAST(s25 AS DOUBLE) / 25.0 * 1000000) / 1000000
+         |  END AS trend,
+         |  CASE WHEN c25 = 25 THEN
+         |    round(CAST(num AS DOUBLE) / CAST(25 * cnt AS DOUBLE)
+         |      * 1000000) / 1000000
+         |  END AS seasonal,
+         |  CASE WHEN c25 = 25 THEN
+         |    round(CAST(25 * cnt * n - cnt * s25 - num AS DOUBLE)
+         |        / CAST(25 * cnt AS DOUBLE) * 1000000) / 1000000
+         |  END AS resid
+         |FROM t LEFT JOIN sea
+         |  ON t.event_type = sea.event_type
+         |  AND CAST(hour(bucket) AS INT) = sea.hod""".stripMargin,
+
     "ts_theil_sen" ->
       s"""WITH $hourlyGridCtes,
          |sr AS (SELECT event_type AS k,
