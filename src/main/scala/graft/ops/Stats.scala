@@ -15,11 +15,13 @@ object Stats {
     (valueCol.cast("decimal(18,2)") * 100).cast("long")
 
   /** Per-group exact moments (grp, ni, si, qi): BIGINT count/sum,
-    * DECIMAL(38,0) sum of squares. */
-  def groupMoments(df: DataFrame, groupCol: String,
-                   valueCol: String): DataFrame = {
+    * DECIMAL(38,0) sum of squares. `extraKeys` prepends additional
+    * grouping expressions (e.g. a streaming event-time window), so the
+    * streaming twin aggregates through THIS definition, not a copy. */
+  def groupMoments(df: DataFrame, groupCol: String, valueCol: String,
+                   extraKeys: Seq[Column] = Nil): DataFrame = {
     val x = cents(col(valueCol))
-    df.groupBy(col(groupCol).as("grp"))
+    df.groupBy(extraKeys :+ col(groupCol).as("grp"): _*)
       .agg(count(lit(1)).as("ni"), sum(x).as("si"),
         sum(x.cast(d38) * x.cast(d38)).as("qi"))
   }

@@ -445,16 +445,23 @@ object TimeSeries {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+      // operands cross to DECIMAL(38,0) BEFORE the products (a long
+      // n·sxx wraps silently at heavy traffic), and the two exact
+      // variance factors cross to double BEFORE den2 (their product is
+      // beyond any fixed width) — both engines at the same spots
       .withColumn("den2",
-        (col("n_overlap") * col("sxx") - col("sx") * col("sx")).cast(dec) *
-          (col("n_overlap") * col("syy") - col("sy") * col("sy")).cast(dec))
+        (col("n_overlap").cast(dec) * col("sxx").cast(dec)
+          - col("sx").cast(dec) * col("sx").cast(dec)).cast("double") *
+          (col("n_overlap").cast(dec) * col("syy").cast(dec)
+            - col("sy").cast(dec) * col("sy").cast(dec)).cast("double"))
       // explicit zero-variance guard: Spark's double / returns NULL on a
       // 0 divisor but DuckDB follows IEEE to ±Inf — never let the hash
       // depend on which convention wins
       .select(col("type_a"), col("type_b"), col("lag"), col("n_overlap"),
         when(col("den2") > 0, portableRound6(
-          (col("n_overlap") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt(col("den2").cast("double")))).as("r"))
+          (col("n_overlap").cast(dec) * col("sxy").cast(dec)
+            - col("sx").cast(dec) * col("sy").cast(dec)).cast("double") /
+            sqrt(col("den2")))).as("r"))
   }
 
   /** Autocorrelation function of each key's gap-filled hourly count
@@ -481,19 +488,24 @@ object TimeSeries {
       .crossJoin(spark_range_lags(series, maxLag).where(col("lag") >= 1))
     val b = series.select(col("k").as("kb"), col("h").as("hb"), col("n").as("y"))
     a.join(b, col("kb") === col("k") && col("hb") === col("h") + col("lag"))
-      .groupBy(col("k").as("event_type"), col("lag"))
+      .groupBy(col("k").as(keyCol), col("lag"))
       .agg(count(lit(1)).as("n_overlap"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+      // same width discipline as crossCorrelation: DECIMAL operands
+      // before products, double factors before den2
       .withColumn("den2",
-        (col("n_overlap") * col("sxx") - col("sx") * col("sx")).cast(dec) *
-          (col("n_overlap") * col("syy") - col("sy") * col("sy")).cast(dec))
-      .select(col("event_type"), col("lag"), col("n_overlap"),
+        (col("n_overlap").cast(dec) * col("sxx").cast(dec)
+          - col("sx").cast(dec) * col("sx").cast(dec)).cast("double") *
+          (col("n_overlap").cast(dec) * col("syy").cast(dec)
+            - col("sy").cast(dec) * col("sy").cast(dec)).cast("double"))
+      .select(col(keyCol), col("lag"), col("n_overlap"),
         when(col("den2") > 0, portableRound6(
-          (col("n_overlap") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt(col("den2").cast("double")))).as("r"))
+          (col("n_overlap").cast(dec) * col("sxy").cast(dec)
+            - col("sx").cast(dec) * col("sy").cast(dec)).cast("double") /
+            sqrt(col("den2")))).as("r"))
   }
 
   /** Additive trend/seasonal/residual decomposition of each key's
@@ -586,7 +598,7 @@ object TimeSeries {
       // integer middle ranks ((cnt+1)÷2, cnt÷2+1; equal when cnt is odd)
       .where(col("rn") === floor((col("cnt") + 1) / 2) ||
         col("rn") === floor(col("cnt") / 2) + 1)
-      .groupBy(col("k").as("event_type"))
+      .groupBy(col("k").as(keyCol))
       .agg(first(col("cnt")).cast("long").as("n_slopes"),
         portableRound6(sum(col("s")) / count(lit(1))).as("slope_med"))
   }

@@ -432,7 +432,8 @@ object EventQueries extends QueryPack {
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val per = Tables.events(s, dir).groupBy(col("user_id"))
         .agg(count(lit(1)).as("a"),
-          sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("b"))
+          sum(graft.ops.Stats.cents(col("value"))).as("b"))
+        .localCheckpoint() // three consumers (join left + both rank tables)
       def ranks2(src: org.apache.spark.sql.DataFrame, c: String, out: String) = {
         val grp = src.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
         val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
@@ -446,13 +447,17 @@ object EventQueries extends QueryPack {
         sum(col("ra").cast(d38) * col("rb").cast(d38)).as("sab"),
         sum(col("ra").cast(d38) * col("ra").cast(d38)).as("saa"),
         sum(col("rb").cast(d38) * col("rb").cast(d38)).as("sbb"))
+      // each variance factor stays exact DECIMAL(38,0) (safe to ~1e9
+      // users); their PRODUCT is ~n⁸ and would overflow any fixed-width
+      // integer long before that, so the factors cross to double first
+      // — both engines, same spot, so the sqrt sees identical bits
       m.withColumn("den2",
-          (col("n") * col("saa") - col("sa") * col("sa")) *
-            (col("n") * col("sbb") - col("sb") * col("sb")))
+          (col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
+            (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))
         .select(col("n").as("n_users"),
           when(col("den2") > 0, graft.ops.TimeSeries.portableRound4(
             (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
-              sqrt(col("den2").cast("double")))).as("rho"))
+              sqrt(col("den2")))).as("rho"))
     },
 
     // Mann–Whitney U — the nonparametric twin of stat_ttest on the same
@@ -916,13 +921,16 @@ object EventQueries extends QueryPack {
          |  FROM a JOIN b ON hb = h + lag AND ka < kb
          |  GROUP BY 1, 2, 3),
          |v AS (SELECT *,
-         |    CAST(n_overlap * sxx - sx * sx AS HUGEINT)
-         |      * CAST(n_overlap * syy - sy * sy AS HUGEINT) AS den2
+         |    CAST(CAST(n_overlap AS HUGEINT) * sxx
+         |       - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |      * CAST(CAST(n_overlap AS HUGEINT) * syy
+         |            - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS den2
          |  FROM m)
          |SELECT type_a, type_b, lag, n_overlap,
          |  CASE WHEN den2 > 0 THEN
-         |    round(CAST(n_overlap * sxy - sx * sy AS DOUBLE)
-         |        / sqrt(CAST(den2 AS DOUBLE)) * 1000000) / 1000000
+         |    round(CAST(CAST(n_overlap AS HUGEINT) * sxy
+         |             - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         |        / sqrt(den2) * 1000000) / 1000000
          |  END AS r
          |FROM v""".stripMargin,
     "ts_decompose" ->
@@ -1043,13 +1051,16 @@ object EventQueries extends QueryPack {
          |  FROM a JOIN b ON kb = k AND hb = h + lag
          |  GROUP BY 1, 2),
          |v AS (SELECT *,
-         |    CAST(n_overlap * sxx - sx * sx AS HUGEINT)
-         |      * CAST(n_overlap * syy - sy * sy AS HUGEINT) AS den2
+         |    CAST(CAST(n_overlap AS HUGEINT) * sxx
+         |       - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |      * CAST(CAST(n_overlap AS HUGEINT) * syy
+         |            - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS den2
          |  FROM m)
          |SELECT event_type, lag, n_overlap,
          |  CASE WHEN den2 > 0 THEN
-         |    round(CAST(n_overlap * sxy - sx * sy AS DOUBLE)
-         |        / sqrt(CAST(den2 AS DOUBLE)) * 1000000) / 1000000
+         |    round(CAST(CAST(n_overlap AS HUGEINT) * sxy
+         |             - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         |        / sqrt(den2) * 1000000) / 1000000
          |  END AS r
          |FROM v""".stripMargin,
 
@@ -1079,11 +1090,12 @@ object EventQueries extends QueryPack {
         |    CAST(sum(CAST(rb AS HUGEINT) * rb) AS HUGEINT) AS sbb
         |  FROM j),
         |v AS (SELECT n, sab, sa, sb,
-        |    (n * saa - sa * sa) * (n * sbb - sb * sb) AS den2 FROM m)
+        |    CAST(n * saa - sa * sa AS DOUBLE)
+        |      * CAST(n * sbb - sb * sb AS DOUBLE) AS den2 FROM m)
         |SELECT CAST(n AS BIGINT) AS n_users,
         |  CASE WHEN den2 > 0 THEN
         |    round(CAST(n * sab - sa * sb AS DOUBLE)
-        |        / sqrt(CAST(den2 AS DOUBLE)) * 10000) / 10000
+        |        / sqrt(den2) * 10000) / 10000
         |  END AS rho
         |FROM v""".stripMargin,
 

@@ -689,11 +689,7 @@ object TrainingQueries extends QueryPack {
     // form collapses to the single rational 5·clip/(4·r2 + c2): exact
     // integers until one division.
     "eval_chrf" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val a = docs.select(col("doc_id"), col("text").as("cand"))
-      val b = docs.select((col("doc_id") - 1).as("doc_id"),
-        col("text").as("rtext"))
-      TextAnalysis.pairCharBigramOverlap(a.join(b, Seq("doc_id")),
+      TextAnalysis.pairCharBigramOverlap(genEvalPairs(s, dir),
         "doc_id", "cand", "rtext")
         .select(col("doc_id"), col("clip2"),
           when(col("c2") > 0, graft.ops.TimeSeries.portableRound4(
@@ -1447,15 +1443,19 @@ object TrainingQueries extends QueryPack {
     * pairing is a deterministic stand-in: production candidate/reference
     * pairs arrive pre-keyed from the generator. Shared by eval_bleu /
     * eval_rouge2. */
-  private def genEvalOverlap(s: org.apache.spark.sql.SparkSession,
-                             dir: String): org.apache.spark.sql.DataFrame = {
+  private def genEvalPairs(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir)
     val a = docs.select(col("doc_id"), col("text").as("cand"))
     val b = docs.select((col("doc_id") - 1).as("doc_id"),
       col("text").as("rtext"))
-    TextAnalysis.pairNgramOverlap(a.join(b, Seq("doc_id")),
-      "doc_id", "cand", "rtext")
+    a.join(b, Seq("doc_id"))
   }
+
+  private def genEvalOverlap(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame =
+    TextAnalysis.pairNgramOverlap(genEvalPairs(s, dir),
+      "doc_id", "cand", "rtext")
 
   /** Mixing target: upweight src0/src1, spread the rest uniformly. The
     * SAME map feeds the Spark query and (interpolated) the oracle SQL. */

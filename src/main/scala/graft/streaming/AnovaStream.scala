@@ -22,14 +22,9 @@ object AnovaStream {
   def windowedF(stream: DataFrame, tsCol: String, groupCol: String,
                 valueCol: String, windowLen: String = "1 hour",
                 delay: String = "5 minutes"): DataFrame = {
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val x = Stats.cents(col(valueCol))
-    val perGroup = stream
-      .withWatermark(tsCol, delay)
-      .groupBy(window(col(tsCol), windowLen).as("w"),
-        col(groupCol).as("grp"))
-      .agg(count(lit(1)).as("ni"), sum(x).as("si"),
-        sum(x.cast(d38) * x.cast(d38)).as("qi"))
+    val perGroup = Stats.groupMoments(
+      stream.withWatermark(tsCol, delay), groupCol, valueCol,
+      extraKeys = Seq(window(col(tsCol), windowLen).as("w")))
     Stats.fFromGroupMoments(perGroup, Seq("w"))
       .select(col("w.start").as("bucket"), col("n"),
         col("k").as("n_groups"), col("f"))
