@@ -787,13 +787,16 @@ object TextAnalysis {
     * (candidate, reference) row is self-contained, so a pair STREAM
     * scores map-side with zero shuffles and zero state (the batch
     * kernel's (pair, gram) shuffle is the shape for documents too large
-    * to clip in one task; at typical doc sizes this O(|grams|·|distinct|)
-    * projection is cheaper than the exchange). Pure expression —
-    * codegen'd, identical in any engine with list HOFs. */
+    * to clip in one task).
+    *
+    * Kernel: grams hash to xxhash64 longs map-side (identity only —
+    * the clip needs equality, never the text; the engine-wide 64-bit
+    * shingle-identity precedent, odds of a colliding pair ~n²/2⁶⁴) and
+    * the sorted arrays meet in [[graft.functions.MultisetIntersect]] —
+    * one fused O(|grams|) two-pointer merge in whole-stage codegen,
+    * replacing the O(|grams|·|distinct|) filter/size HOF form. */
   def clippedOverlap(cand: Column, ref: Column): Column =
-    aggregate(
-      transform(array_distinct(cand), g =>
-        least(size(filter(cand, x => x === g)),
-          size(filter(ref, x => x === g))).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.MultisetIntersect(
+      sort_array(transform(cand, g => xxhash64(g))),
+      sort_array(transform(ref, g => xxhash64(g))))
 }

@@ -82,6 +82,20 @@ object FunctionQueries extends QueryPack {
         coalesce(nullif(col("event_type"), lit("view")), lit("other")).as("kind"),
         greatest(col("value"), lit(50.0)).as("g"),
         least(col("value"), lit(50.0)).as("l"))
+    },
+
+    // bitwise surface — the ops the hash/fingerprint family is built on
+    // (simhash chunks, phash bands, bloom indices); BIGINT semantics
+    // match DuckDB's exactly, including arithmetic >> on negatives.
+    "f_bitwise" -> { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        shiftleft(col("event_id"), 3).as("shl"),
+        shiftright(col("event_id"), 2).as("shr"),
+        col("event_id").bitwiseAND(255L).as("band"),
+        col("event_id").bitwiseOR(col("user_id")).as("bor"),
+        col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+        expr("CAST(bit_count(event_id) AS BIGINT)").as("pop"))
     }
   )
 
@@ -128,6 +142,14 @@ object FunctionQueries extends QueryPack {
         |    ELSE 'lo' END AS bucket,
         |  coalesce(nullif(event_type, 'view'), 'other') AS kind,
         |  greatest(value, 50.0) AS g, least(value, 50.0) AS l
+        |FROM events""".stripMargin,
+    "f_bitwise" ->
+      """SELECT event_id,
+        |  event_id << 3 AS shl, event_id >> 2 AS shr,
+        |  event_id & 255 AS band,
+        |  event_id | user_id AS bor,
+        |  xor(event_id, user_id) AS bxor,
+        |  CAST(bit_count(event_id) AS BIGINT) AS pop
         |FROM events""".stripMargin
   )
 }
