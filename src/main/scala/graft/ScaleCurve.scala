@@ -120,7 +120,9 @@ object ScaleCurve {
     "eval_chrf", "stat_anova", "ev_markov_steady",
     // banded Theil–Sen (grid²-band-bounded slope table — FLAT) and the
     // exact decomposition (two grid windows + |keys|×24 join — FLAT)
-    "ts_theil_sen", "ts_decompose")
+    "ts_theil_sen", "ts_decompose",
+    // recall sweep: 4 probe widths over the IVF path + one brute pass
+    "sim_nprobe_sweep")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

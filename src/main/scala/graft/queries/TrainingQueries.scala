@@ -1072,6 +1072,29 @@ object TrainingQueries extends QueryPack {
         k = 5)
     },
 
+    // recall vs probe-width sweep: corpus recall@5 of the frozen-
+    // quantizer IVF at nProbe ∈ {1,2,4,8} against brute force — the
+    // measured cost/recall KNOB a deployment tunes (more probes = more
+    // cells scanned = higher recall; the sweep shows where the curve
+    // saturates). One brute-force pass feeds all four comparisons.
+    "sim_nprobe_sweep" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 5).localCheckpoint()
+      Seq(1, 2, 4, 8).map { np =>
+        Similarity.recallAtK(
+          Similarity.ivfTopKFrozen(emb, q, "vec_id", "embedding", k = 5,
+            nLists = 16, nProbe = np),
+          exact, k = 5)
+          .agg(sum(col("n_hit")).as("n_hit"), count(lit(1)).as("nq"))
+          .select(lit(np.toLong).as("nprobe"), col("n_hit"),
+            graft.ops.TimeSeries.portableRound4(
+              col("n_hit").cast("double") /
+                (col("nq") * 5).cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
+    },
+
     // product-quantization codes (m=8 subspaces, k=16 centroids each):
     // the IVF-PQ storage format — 64 floats -> 8 code bytes + loss.
     "emb_pq" -> { (s, dir) =>
@@ -1553,8 +1576,12 @@ object TrainingQueries extends QueryPack {
     * index on ties); query probes take the nProbe nearest cells via the
     * same tie-safe struct sort as emb_pq (DuckDB struct comparison is
     * field-order lexicographic, matching Spark's array_sort). */
-  private lazy val simAnnIvfSql: String = {
-    val (nLists, nProbe, k, dim) = (16, 4, 5, 64)
+  private lazy val simAnnIvfSql: String = simAnnIvfSqlAt(4)
+
+  /** The IVF probe CTE at a given nProbe — `sim_nprobe_sweep` replays
+    * it once per probe width. */
+  private def simAnnIvfSqlAt(nProbe: Int): String = {
+    val (nLists, k, dim) = (16, 5, 64)
     val cents = graft.ops.Similarity.ivfCentroids(nLists, dim)
     def distSql(ki: Int): String =
       (0 until dim).map { j =>
@@ -3243,6 +3270,22 @@ object TrainingQueries extends QueryPack {
          |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5, 4) AS recall
          |FROM (SELECT DISTINCT query_id FROM ex) q
          |LEFT JOIN h USING (query_id)""".stripMargin,
+    "sim_nprobe_sweep" -> {
+      val probes = Seq(1, 2, 4, 8)
+      val hitCtes = probes.map(np =>
+        s"""h$np AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+           |  FROM ex JOIN (${simAnnIvfSqlAt(np)}) ap$np
+           |  USING (query_id, neighbor_id))""").mkString(",\n")
+      val rows = probes.map(np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, n_hit,
+           |  round(CAST(n_hit AS DOUBLE) / tot * 10000) / 10000 AS recall
+           |FROM h$np, nq""").mkString("\nUNION ALL ")
+      s"""WITH ex AS ($simTopkSql),
+         |$hitCtes,
+         |nq AS (SELECT count(DISTINCT query_id) * 5 AS tot FROM ex)
+         |$rows""".stripMargin
+    },
+
     "sim_ann_ivfpq" -> {
       // IVF-PQ ADC replayed literal-for-literal from the shared
       // IvfPqSql parts: coarse cells and PQ codes via the first-match
