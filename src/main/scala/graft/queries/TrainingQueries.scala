@@ -470,6 +470,31 @@ object TrainingQueries extends QueryPack {
         .toDF("doc_id", "shuffle_key", "position")
     },
 
+    // per-EPOCH training order: each epoch e draws a fresh deterministic
+    // permutation from md5(e:doc_id) — different epoch, different order,
+    // same reproducibility (the multi-epoch loader contract: no two
+    // epochs present the corpus identically, yet any worker can recompute
+    // its slice). Same distributed machinery as corpus_order — range
+    // repartition + zipWithIndex, never a global window; per-epoch
+    // positions recover from the global index because every epoch block
+    // holds exactly |docs| rows.
+    "corpus_epoch_order" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val epochs = s.range(3).select(col("id").cast("long").as("epoch"))
+      val sorted = docs.crossJoin(broadcast(epochs))
+        .select(col("epoch"), col("doc_id"),
+          md5(to_binary(concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string")), lit("utf-8"))).as("shuffle_key"))
+        .repartitionByRange(col("epoch"), col("shuffle_key"), col("doc_id"))
+        .sortWithinPartitions("epoch", "shuffle_key", "doc_id")
+      sorted.rdd.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .zipWithIndex.map { case ((e, id, k), i) =>
+          (e, id, k, i + 1L - e * n) }
+        .toDF("epoch", "doc_id", "shuffle_key", "position")
+    },
+
     // NEXT-fit packing — the hash-checkable packing variant (prefix fold
     // per shard, replayed row-for-row by the oracle's recursive CTE);
     // first-fit pack_bins keeps its law spec.
@@ -2666,6 +2691,16 @@ object TrainingQueries extends QueryPack {
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
         |    doc_id) AS BIGINT) AS position
         |FROM documents""".stripMargin,
+    "corpus_epoch_order" ->
+      """WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+        |k AS (SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+        |      AS shuffle_key
+        |  FROM documents, e)
+        |SELECT epoch, doc_id, shuffle_key,
+        |  CAST(row_number() OVER (PARTITION BY epoch
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS position
+        |FROM k""".stripMargin,
     "mix_temperature" ->
       """WITH s AS (SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
