@@ -339,6 +339,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)     // supplier names
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the multi-countDistinct form planned an Expand (3x the joined rows
+    // through the shuffle); the two-hash-agg rewrite must never reintroduce it
+    assert(!p.contains("Expand"), p)
   }
 
   test("Q18 shape: survivor set joins broadcast; top-100 never global-sorts") {
