@@ -121,8 +121,9 @@ object ScaleCurve {
     // banded Theil–Sen (grid²-band-bounded slope table — FLAT) and the
     // exact decomposition (two grid windows + |keys|×24 join — FLAT)
     "ts_theil_sen", "ts_decompose",
-    // recall sweep: 4 probe widths over the IVF path + one brute pass
-    "sim_nprobe_sweep")
+    // recall sweep: 4 probe widths over the IVF path + one brute pass;
+    // epoch order: 3× the corpus through range-repartition+zipWithIndex
+    "sim_nprobe_sweep", "corpus_epoch_order")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
