@@ -78,6 +78,24 @@ object RelationalQueries extends QueryPack {
           .agg(count(lit(1)).as("c")).where(col("c") > 1)))
     },
 
+    // the events-table data contract — completes the validation triad
+    // (lineitem, documents, events): id uniqueness, event-time inside
+    // the collection window (future timestamps = clock-skewed clients),
+    // type domain, non-negative value, ts not null.
+    "validate_events" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      graft.ops.Relational.validateRules(Seq(
+        "event_id_unique" -> e.groupBy(col("event_id"))
+          .agg(count(lit(1)).as("c")).where(col("c") > 1),
+        "ts_not_null" -> e.where(col("ts").isNull),
+        "ts_not_future" -> e.where(
+          col("ts") > lit("2025-01-01").cast("timestamp")),
+        "type_domain" -> e.where(!col("event_type").isin(
+          "view", "click", "cart", "purchase", "signup", "error")),
+        "value_non_negative" -> e.where(col("value") < 0),
+        "user_not_null" -> e.where(col("user_id").isNull)))
+    },
+
     // Morton (Z-order) clustering value — the multi-dim file-skipping
     // layout key (see Scale.writeZOrdered); pure bit arithmetic, codegen.
     "layout_zvalue" -> { (s, dir) =>
@@ -156,6 +174,22 @@ object RelationalQueries extends QueryPack {
         |UNION ALL SELECT 'doc_id_unique',
         |  (SELECT count(*) FROM (SELECT doc_id FROM documents
         |   GROUP BY doc_id HAVING count(*) > 1))""".stripMargin,
+    "validate_events" ->
+      """SELECT 'event_id_unique' AS rule,
+        |  (SELECT count(*) FROM (SELECT event_id FROM events
+        |   GROUP BY event_id HAVING count(*) > 1)) AS n_violations
+        |UNION ALL SELECT 'ts_not_null',
+        |  (SELECT count(*) FROM events WHERE ts IS NULL)
+        |UNION ALL SELECT 'ts_not_future',
+        |  (SELECT count(*) FROM events
+        |   WHERE ts > TIMESTAMP '2025-01-01 00:00:00')
+        |UNION ALL SELECT 'type_domain',
+        |  (SELECT count(*) FROM events WHERE event_type NOT IN
+        |   ('view','click','cart','purchase','signup','error'))
+        |UNION ALL SELECT 'value_non_negative',
+        |  (SELECT count(*) FROM events WHERE value < 0)
+        |UNION ALL SELECT 'user_not_null',
+        |  (SELECT count(*) FROM events WHERE user_id IS NULL)""".stripMargin,
     "layout_zvalue" -> {
       val z = (0 until 8).flatMap(i => Seq(
         s"(((l_partkey % 256) >> $i & 1) << ${2 * i})",
