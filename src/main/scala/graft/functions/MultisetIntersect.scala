@@ -39,11 +39,17 @@ case class MultisetIntersect(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // NULL array elements never match anything (the HOF form's semantics:
+  // a null-gram equality predicate is null, so it contributes nothing).
+  // sort_array places nulls FIRST for ascending order, so both loops
+  // skip the null prefix and the merge runs on the non-null suffix.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var common = 0L
+    while (i < nx && x.isNullAt(i)) i += 1
+    while (j < ny && y.isNullAt(j)) j += 1
     while (i < nx && j < ny) {
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { common += 1; i += 1; j += 1 }
@@ -62,6 +68,8 @@ case class MultisetIntersect(left: Expression, right: Expression)
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $a.isNullAt($i)) { $i++; }
+         |while ($j < $ny && $b.isNullAt($j)) { $j++; }
          |while ($i < $nx && $j < $ny) {
          |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
          |  if ($xv == $yv) { $c++; $i++; $j++; }

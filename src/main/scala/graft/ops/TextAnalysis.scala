@@ -795,8 +795,12 @@ object TextAnalysis {
     * the sorted arrays meet in [[graft.functions.MultisetIntersect]] —
     * one fused O(|grams|) two-pointer merge in whole-stage codegen,
     * replacing the O(|grams|·|distinct|) filter/size HOF form. */
-  def clippedOverlap(cand: Column, ref: Column): Column =
-    graft.functions.MultisetIntersect(
-      sort_array(transform(cand, g => xxhash64(g))),
-      sort_array(transform(ref, g => xxhash64(g))))
+  def clippedOverlap(cand: Column, ref: Column): Column = {
+    // null grams never match (the HOF form's semantics) — but
+    // xxhash64(null) returns the SEED, which would match across sides;
+    // drop nulls before hashing
+    def hashed(c: Column) =
+      sort_array(transform(filter(c, x => x.isNotNull), g => xxhash64(g)))
+    graft.functions.MultisetIntersect(hashed(cand), hashed(ref))
+  }
 }

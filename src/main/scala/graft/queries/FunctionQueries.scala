@@ -85,8 +85,10 @@ object FunctionQueries extends QueryPack {
     },
 
     // bitwise surface — the ops the hash/fingerprint family is built on
-    // (simhash chunks, phash bands, bloom indices); BIGINT semantics
-    // match DuckDB's exactly, including arithmetic >> on negatives.
+    // (simhash chunks, phash bands, bloom indices). BIGINT &/|/xor/>>
+    // match DuckDB exactly; << diverges on OVERFLOW (DuckDB raises,
+    // Spark wraps) — fine here because event_id stays far below 2^60,
+    // and any caller shifting unbounded values must mask first.
     "f_bitwise" -> { (s, dir) =>
       Tables.events(s, dir).select(
         col("event_id"),

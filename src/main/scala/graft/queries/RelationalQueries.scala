@@ -90,9 +90,13 @@ object RelationalQueries extends QueryPack {
         "ts_not_null" -> e.where(col("ts").isNull),
         "ts_not_future" -> e.where(
           col("ts") > lit("2025-01-01").cast("timestamp")),
-        "type_domain" -> e.where(!col("event_type").isin(
-          "view", "click", "cart", "purchase", "signup", "error")),
-        "value_non_negative" -> e.where(col("value") < 0),
+        // NULL-safe: `NOT x IN (...)` is NULL for NULL x in both engines
+        // and would silently PASS a null-typed row — nulls violate too
+        "type_domain" -> e.where(col("event_type").isNull ||
+          !col("event_type").isin(
+            "view", "click", "cart", "purchase", "signup", "error")),
+        "value_non_negative" -> e.where(col("value").isNull ||
+          col("value") < 0),
         "user_not_null" -> e.where(col("user_id").isNull)))
     },
 
@@ -184,10 +188,11 @@ object RelationalQueries extends QueryPack {
         |  (SELECT count(*) FROM events
         |   WHERE ts > TIMESTAMP '2025-01-01 00:00:00')
         |UNION ALL SELECT 'type_domain',
-        |  (SELECT count(*) FROM events WHERE event_type NOT IN
+        |  (SELECT count(*) FROM events WHERE event_type IS NULL
+        |   OR event_type NOT IN
         |   ('view','click','cart','purchase','signup','error'))
         |UNION ALL SELECT 'value_non_negative',
-        |  (SELECT count(*) FROM events WHERE value < 0)
+        |  (SELECT count(*) FROM events WHERE value IS NULL OR value < 0)
         |UNION ALL SELECT 'user_not_null',
         |  (SELECT count(*) FROM events WHERE user_id IS NULL)""".stripMargin,
     "layout_zvalue" -> {

@@ -42,4 +42,13 @@ class MultisetIntersectSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(out.toSeq === Seq(Some(2L), None, Some(0L)))
   }
+
+  test("null ELEMENTS never match (sort_array places them first; skipped)") {
+    val got = spark.range(1).select(MultisetIntersect(
+      sort_array(array(lit(null).cast("long"), lit(0L), lit(7L))),
+      sort_array(array(lit(null).cast("long"), lit(null).cast("long"),
+        lit(7L)))).as("c"))
+      .collect().head.getLong(0)
+    assert(got === 1L, "only the 7s match; nulls contribute nothing")
+  }
 }
