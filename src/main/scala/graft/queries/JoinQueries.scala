@@ -237,6 +237,22 @@ object JoinQueries extends QueryPack {
         .agg(count(col("o_orderkey")).as("n_orders"))
     },
 
+    // FULL OUTER — the reconciliation join (which customers have no
+    // orders, which orders have no surviving customer row): unmatched
+    // sides surface as NULL keys with zero counts. Completes the §2.9
+    // equi-join family (inner/left/semi/anti/full). The restricted
+    // order subset guarantees unmatched rows on BOTH sides.
+    "join_full" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .where(col("c_custkey") % 3 === 0)
+      val o = Tables.orders(s, dir)
+        .where(col("o_custkey") % 3 === 1)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(col("c_custkey"), col("o_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+
     // left-semi / left-anti (EXISTS / NOT EXISTS).
     "join_semi" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
@@ -535,6 +551,14 @@ object JoinQueries extends QueryPack {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
+    "join_full" ->
+      """SELECT c_custkey, o_custkey,
+        |  coalesce(n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_custkey % 3 = 1 GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -107,6 +107,13 @@ object PipelineQueries extends QueryPack {
       val e = Tables.events(s, dir)
       e.where(col("event_type") === "view").select(col("user_id"))
         .except(e.where(col("event_type") === "signup").select(col("user_id")))
+    },
+    // UNION DISTINCT — completes the set-op surface (ALL ≡ r3_union).
+    "r6_union_distinct" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      e.where(col("event_type") === "click").select(col("user_id"))
+        .union(e.where(col("event_type") === "signup").select(col("user_id")))
+        .distinct()
     }
   )
 
@@ -159,6 +166,10 @@ object PipelineQueries extends QueryPack {
     "r6_except" ->
       """SELECT user_id FROM events WHERE event_type = 'view'
         |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'signup'""".stripMargin,
+    "r6_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
         |SELECT user_id FROM events WHERE event_type = 'signup'""".stripMargin
   )
 }
