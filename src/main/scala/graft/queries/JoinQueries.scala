@@ -237,6 +237,16 @@ object JoinQueries extends QueryPack {
         .agg(count(col("o_orderkey")).as("n_orders"))
     },
 
+    // RIGHT OUTER — the mirrored preserve-side form (§2.9 declares all
+    // four equi-join shapes; Catalyst plans it as the flipped left).
+    "join_right" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    },
+
     // FULL OUTER — the reconciliation join (which customers have no
     // orders, which orders have no surviving customer row): unmatched
     // sides surface as NULL keys with zero counts. Completes the §2.9
@@ -550,6 +560,10 @@ object JoinQueries extends QueryPack {
     "join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey""".stripMargin,
     "join_full" ->
       """SELECT c_custkey, o_custkey,
