@@ -495,6 +495,43 @@ object TrainingQueries extends QueryPack {
         .toDF("epoch", "doc_id", "shuffle_key", "position")
     },
 
+    // the curation YIELD REPORT — docs and tokens surviving each stage
+    // of the standard pipeline (raw → exact dedup → quality gate →
+    // cross-doc span removal): the one table a data lead reads before
+    // signing off a snapshot ("how much did we pay for cleanliness").
+    // Every stage reuses the exact operator the standalone queries
+    // verify (fingerprint canonical, the curate_pipeline quality gate,
+    // dupFraction's span coverage on the survivors); span_clean keeps
+    // the doc count and subtracts the covered-token total.
+    "curate_funnel" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val nTok = TextAnalysis.tokenCount(col("text"))
+      val mtl = (length(col("text")) - (nTok - 1)).cast("double") /
+        nTok.cast("double")
+      val norm = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        nTok.as("n_tokens"), mtl.as("mtl"))
+        .localCheckpoint() // four stage consumers
+      val canon = norm.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val kept = norm.join(canon, norm("doc_id") === canon("keep_id"))
+        .select(norm("doc_id"), col("text"), col("n_tokens"), col("mtl"))
+      val quality = kept
+        .where(col("n_tokens") >= 20 && col("mtl").between(3.0, 12.0))
+        .localCheckpoint() // counted once, span-scanned once
+      val removed = Dedup.dupFraction(
+        quality.select(col("doc_id"), col("text")), "doc_id", "text")
+        .agg(sum(col("n_dup_tokens")).as("t_removed"))
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("1_raw", norm)
+        .unionByName(stage("2_exact_dedup", kept))
+        .unionByName(stage("3_quality", quality))
+        .unionByName(stage("3_quality", quality).crossJoin(removed)
+          .select(lit("4_span_clean").as("stage"), col("n_docs"),
+            (col("n_tokens") - col("t_removed")).as("n_tokens")))
+    },
+
     // NEXT-fit packing — the hash-checkable packing variant (prefix fold
     // per shard, replayed row-for-row by the oracle's recursive CTE);
     // first-fit pack_bins keeps its law spec.
@@ -3185,6 +3222,44 @@ object TrainingQueries extends QueryPack {
         |           WHEN v2.d IS NULL THEN 'removed'
         |           WHEN v1.d <> v2.d THEN 'changed'
         |           ELSE 'unchanged' END <> 'unchanged'""".stripMargin,
+    // the yield funnel restated: same canonical/quality CTEs as
+    // curate_pipeline, span coverage (dupFraction semantics) on the
+    // quality survivors, four stage rows.
+    "curate_funnel" ->
+      """WITH norm AS (SELECT doc_id, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text,' ')) AS mtl
+        |  FROM documents),
+        |canon AS (SELECT fp, min(doc_id) AS keep_id FROM norm GROUP BY fp),
+        |kept AS (SELECT norm.* FROM norm
+        |         JOIN canon ON norm.doc_id = canon.keep_id),
+        |q AS (SELECT * FROM kept
+        |      WHERE n_tokens >= 20 AND mtl BETWEEN 3.0 AND 12.0),
+        |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM q),
+        |occ AS (SELECT doc_id, i AS p,
+        |          array_to_string(t[i+1:i+15],' ') AS shingle
+        |        FROM (SELECT doc_id, t,
+        |              unnest(range(0, greatest(len(t)-14,0))) AS i FROM toks)),
+        |dup AS (SELECT shingle FROM occ GROUP BY shingle
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT doc_id, count(DISTINCT tokpos) AS n_rm
+        |        FROM (SELECT doc_id, unnest(range(p, p+15)) AS tokpos
+        |              FROM occ JOIN dup USING (shingle))
+        |        GROUP BY doc_id),
+        |rm AS (SELECT CAST(coalesce(sum(n_rm), 0) AS BIGINT) AS t_removed
+        |       FROM cov)
+        |SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM norm
+        |UNION ALL SELECT '2_exact_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_tokens) AS BIGINT) FROM kept
+        |UNION ALL SELECT '3_quality', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_tokens) AS BIGINT) FROM q
+        |UNION ALL SELECT '4_span_clean', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_tokens) AS BIGINT) - (SELECT t_removed FROM rm)
+        |FROM q""".stripMargin,
+
     // The composed pipeline restated as one SQL chain; the train-shard
     // stage is again the global-window SPEC of the distributed prefix sum.
     "curate_pipeline" ->
