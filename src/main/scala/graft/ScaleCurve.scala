@@ -123,7 +123,10 @@ object ScaleCurve {
     "ts_theil_sen", "ts_decompose",
     // recall sweep: 4 probe widths over the IVF path + one brute pass;
     // epoch order: 3× the corpus through range-repartition+zipWithIndex
-    "sim_nprobe_sweep", "corpus_epoch_order")
+    "sim_nprobe_sweep", "corpus_epoch_order",
+    // yield funnel: fingerprint agg + span-coverage window (the
+    // dupFraction family) over the survivors
+    "curate_funnel")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
