@@ -779,6 +779,36 @@ object EventQueries extends QueryPack {
 
     // weekly cohort retention: users bucketed by first-seen week; count
     // distinct active users per (cohort week, week offset).
+    // cohort LTV curves — the money companion to the ev_cohort retention
+    // triangle: cumulative spend per signup-week cohort by week offset,
+    // normalized per cohort member. Cents-exact sums and cumulative
+    // window (cohort×offset grid-bounded); ONE division at the end.
+    "ev_ltv" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val cohort = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_ts"))
+      val per = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+          graft.ops.Stats.cents(col("value")).as("cents"))
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_ts"),
+          (datediff(col("wk"), col("cohort_ts")) / lit(7)).cast("long")
+            .as("week_offset"))
+        .agg(sum(col("cents")).as("spend_cents"))
+      val sizes = cohort.groupBy(col("cohort_ts"))
+        .agg(count(lit(1)).as("n_users"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_ts")).orderBy(col("week_offset"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      per.withColumn("cum", sum(col("spend_cents")).over(w))
+        .join(sizes, "cohort_ts")
+        .select(col("cohort_ts").cast("date").as("cohort_week"),
+          col("week_offset"), col("n_users"), col("spend_cents"),
+          graft.ops.TimeSeries.portableRound4(
+            col("cum").cast("double") /
+              (lit(100L) * col("n_users")).cast("double")).as("ltv_per_user"))
+    },
+
     "ev_cohort" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val first = ev.groupBy(col("user_id"))
@@ -1589,6 +1619,29 @@ object EventQueries extends QueryPack {
         |    / nullif(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END), 0)
         |    * 10000) / 10000 AS bias
         |FROM p GROUP BY event_type""".stripMargin,
+    "ev_ltv" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
+        |           FROM events GROUP BY user_id),
+        |p AS (SELECT user_id, date_trunc('week', ts) AS wk,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT cohort_ts,
+        |        CAST(date_diff('day', cohort_ts, wk) / 7 AS BIGINT)
+        |          AS week_offset,
+        |        CAST(sum(cents) AS BIGINT) AS spend_cents
+        |      FROM p JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_ts, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM f GROUP BY 1),
+        |c AS (SELECT g.*, CAST(sum(spend_cents) OVER (
+        |        PARTITION BY cohort_ts ORDER BY week_offset
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS cum FROM g)
+        |SELECT CAST(c.cohort_ts AS DATE) AS cohort_week, week_offset,
+        |  n_users, spend_cents,
+        |  round(CAST(cum AS DOUBLE) / (100 * n_users) * 10000) / 10000
+        |    AS ltv_per_user
+        |FROM c JOIN s USING (cohort_ts)""".stripMargin,
+
     "ev_cohort" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
         |           FROM events GROUP BY user_id),
