@@ -26,6 +26,85 @@ object Stats {
         sum(x.cast(d38) * x.cast(d38)).as("qi"))
   }
 
+  /** Kendall tau-b concordance between two integral columns. The pair
+    * census collapses to the JOINT VALUE-DOMAIN table first, so the
+    * O(n²) pair space becomes one |domain|²-cell broadcast cross join
+    * of cell COUNTS — concordant/discordant mass is Σ cᵢ·cⱼ over cells
+    * with x_i<x_j, split by the y order. Only safe when both domains
+    * are dictionary-bounded (quantities, grades, bucketed scores); a
+    * continuous column must be binned first. Tie terms Σt(t−1) and
+    * n(n−1) stay exact DECIMAL(38,0); the two variance factors cross
+    * to double BEFORE their product (the product is ~n⁴ and would
+    * overflow any fixed width — the spearman den2 discipline). */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // domain-bounded; pair join + tie tables reuse it
+    val pairs = cells.select(col("x").as("x1"), col("y").as("y1"),
+        col("c").cast(d38).as("c1"))
+      .join(broadcast(cells.select(col("x").as("x2"), col("y").as("y2"),
+        col("c").cast(d38).as("c2"))), col("x1") < col("x2"))
+      .agg(
+        // coalesce: an all-tied axis has ZERO x1<x2 pairs and the sums
+        // go null — the census says 0, and the oracle says the same
+        coalesce(sum(when(col("y1") < col("y2"), col("c1") * col("c2"))
+          .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).as("conc"),
+        coalesce(sum(when(col("y1") > col("y2"), col("c1") * col("c2"))
+          .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).as("disc"))
+    def tieHalf(k: String) = cells
+      .groupBy(col(k)).agg(sum(col("c")).as("t"))
+      .agg(sum(col("t").cast(d38) * (col("t") - 1).cast(d38)).as("th"))
+    val m = cells.agg(sum(col("c")).as("n"))
+      .crossJoin(tieHalf("x").select(col("th").as("tx2")))
+      .crossJoin(tieHalf("y").select(col("th").as("ty2")))
+      .crossJoin(pairs)
+    // doubled halves (n(n−1), Σt(t−1)) avoid fractional intermediates;
+    // the /2 factors cancel inside the sqrt ratio
+    val n2 = col("n").cast(d38) * (col("n") - 1).cast(d38)
+    m.select(col("n").as("n_rows"),
+      col("conc").cast("double").as("conc"),
+      col("disc").cast("double").as("disc"),
+      when(((n2 - col("tx2")) > 0) && ((n2 - col("ty2")) > 0),
+        TimeSeries.portableRound4(
+          (col("conc") - col("disc")).cast("double") * 2.0 /
+            sqrt((n2 - col("tx2")).cast("double") *
+              (n2 - col("ty2")).cast("double")))).as("tau_b"))
+  }
+
+  /** Kaplan–Meier survival from per-subject (lifetime, observed-death)
+    * rows. Everything collapses to the lifetime-domain table (calendar-
+    * bounded, never row-bounded): at-risk n_t = total − Σ_{L<t} m_L via
+    * one domain window, and the survival product folds over the sorted
+    * death-time array — prefix slices replay the same left-to-right
+    * double sequence a recursive-CTE oracle computes, so S(t) is
+    * bit-identical. Censored subjects stay at risk through their
+    * lifetime and contribute no drop (the standard KM convention). */
+  def kaplanMeier(subjects: DataFrame, tCol: String,
+                  deadCol: String): DataFrame = {
+    val lif = subjects
+      .select(col(tCol).cast("long").as("t"), col(deadCol).as("dead"))
+      .groupBy(col("t")).agg(count(lit(1)).as("m"),
+        sum(when(col("dead"), 1L).otherwise(0L)).as("d"))
+      .localCheckpoint() // domain-bounded; total + window reuse it
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    lif
+      .crossJoin(broadcast(lif.agg(sum(col("m")).as("n"))))
+      .withColumn("n_risk", col("n") - coalesce(sum(col("m")).over(w), lit(0L)))
+      .where(col("d") > 0)
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("d"), col("n_risk")))).as("steps"))
+      .select(posexplode(col("steps")).as(Seq("i", "st")), col("steps"))
+      .select(col("st.t").as("t_day"), col("st.d").as("d"),
+        col("st.n_risk").as("n_risk"),
+        TimeSeries.portableRound4(
+          aggregate(slice(col("steps"), lit(1), col("i") + 1), lit(1.0),
+            (acc, x) => acc * (lit(1.0) -
+              x.getField("d").cast("double") /
+                x.getField("n_risk").cast("double")))).as("survival"))
+  }
+
   /** One-way ANOVA F from per-group moments, optionally per extra key
     * columns (e.g. a streaming window). All moments exact; the one
     * non-rational term A = Σᵢ Sᵢ²/nᵢ folds over the k-bounded group

@@ -63,6 +63,21 @@ object AggQueries extends QueryPack {
           max_by(col("event_type"), col("ts")).as("last_type"))
     },
 
+    // deterministic per-group mode (most frequent value, ties to the
+    // SMALLEST value — engine mode() tie behavior is unspecified, so
+    // the argmax is spelled out): two hash-aggs, the second over the
+    // value-domain table; the tie rule rides a (count, −value) struct
+    // max whose partial agg collapses map-side — never a rank window.
+    "agg_mode" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("c"), (-col("q")).as("nq"))).as("m"))
+        .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"),
+          col("m.c").as("n_mode"))
+    },
+
     // collect_set, canonicalized by sorting then serialized to a csv
     // scalar (the driver's compare cannot sort/hash array columns).
     "agg_collect" -> { (s, dir) =>
@@ -417,6 +432,13 @@ object AggQueries extends QueryPack {
         |  arg_min(event_type, ts) AS first_type,
         |  arg_max(event_type, ts) AS last_type
         |FROM events GROUP BY user_id""".stripMargin,
+    "agg_mode" ->
+      """SELECT l_returnflag, mode_qty, n_mode FROM (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty,
+        |    CAST(count(*) AS BIGINT) AS n_mode,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, CAST(l_quantity AS BIGINT)) AS rn
+        |  FROM lineitem GROUP BY 1, 2) WHERE rn = 1""".stripMargin,
     "agg_collect" ->
       """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
         |FROM events GROUP BY user_id""".stripMargin,

@@ -460,6 +460,50 @@ object EventQueries extends QueryPack {
               sqrt(col("den2")))).as("rho"))
     },
 
+    // Kendall tau-b between order quantity and discount — the
+    // concordance-based association test. The pair census collapses to
+    // the JOINT VALUE-DOMAIN table first (l_quantity × l_discount is a
+    // dictionary-bounded ≤50×11 grid at ANY corpus size), so the O(n²)
+    // pair space becomes one ≤550²-cell broadcast cross join of cell
+    // COUNTS — concordant/discordant mass is Σ c_i·c_j over cells with
+    // x_i<x_j, split by the y order. Tie terms Σt(t−1)/2 and the pair
+    // total n(n−1)/2 stay exact DECIMAL(38,0); the two variance factors
+    // cross to double BEFORE their product (their product is ~n⁴ and
+    // would overflow any fixed width — the stat_spearman den2
+    // discipline), one sqrt + one division at the end.
+    "stat_kendall" -> { (s, dir) =>
+      graft.ops.Stats.kendallTauB(
+        Tables.lineitem(s, dir).select(
+          col("l_quantity").cast("long").as("x"),
+          (col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+            .as("y")),
+        "x", "y")
+    },
+
+    // Kaplan–Meier survival over user lifetimes — the churn curve.
+    // Lifetime = days between a user's first and last event; the death
+    // is OBSERVED when the user went silent before the corpus horizon
+    // DAY (else censored — still at risk through their lifetime,
+    // contributing no drop; the one-day rule is the fixture-scaled
+    // churn window — production would pass weeks). Everything collapses to the
+    // lifetime-DAY domain table (calendar-bounded, never row-bounded):
+    // at-risk n_t = total − Σ_{L<t} m_L via one domain window, and the
+    // survival product folds over the sorted death-time array — prefix
+    // slices replay the SAME left-to-right double sequence the
+    // recursive oracle computes, so S(t) is bit-identical.
+    "ev_survival" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val horizon = e.agg(max(col("ts")).cast("date").as("h"))
+      graft.ops.Stats.kaplanMeier(
+        e.groupBy(col("user_id"))
+          .agg(min(col("ts")).cast("date").as("f"),
+            max(col("ts")).cast("date").as("l"))
+          .crossJoin(broadcast(horizon))
+          .select(datediff(col("l"), col("f")).cast("long").as("t"),
+            (datediff(col("h"), col("l")) > 0).as("dead")),
+        "t", "dead")
+    },
+
     // Mann–Whitney U — the nonparametric twin of stat_ttest on the same
     // variant split: tie-averaged ranks computed WITHOUT a row-level
     // global window (2·avgrank = 2·cumBefore + c + 1 on the collapsed
@@ -1093,6 +1137,59 @@ object EventQueries extends QueryPack {
          |        / sqrt(den2) * 1000000) / 1000000
          |  END AS r
          |FROM v""".stripMargin,
+
+    "stat_kendall" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS y,
+        |    CAST(count(*) AS HUGEINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN l.y < r.y THEN l.c * r.c ELSE 0 END),
+        |      0) AS HUGEINT) AS conc,
+        |    CAST(coalesce(sum(CASE WHEN l.y > r.y THEN l.c * r.c ELSE 0 END),
+        |      0) AS HUGEINT) AS disc
+        |  FROM cells l JOIN cells r ON l.x < r.x),
+        |tx AS (SELECT CAST(sum(t * (t - 1)) AS HUGEINT) AS tx2 FROM (
+        |    SELECT CAST(sum(c) AS HUGEINT) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT CAST(sum(t * (t - 1)) AS HUGEINT) AS ty2 FROM (
+        |    SELECT CAST(sum(c) AS HUGEINT) AS t FROM cells GROUP BY y)),
+        |tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM cells),
+        |m AS (SELECT n, tx2, ty2, conc, disc, n * (n - 1) AS n2
+        |      FROM tot, tx, ty, cd)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  CAST(conc AS DOUBLE) AS conc, CAST(disc AS DOUBLE) AS disc,
+        |  CASE WHEN n2 - tx2 > 0 AND n2 - ty2 > 0 THEN
+        |    round(CAST(conc - disc AS DOUBLE) * 2.0
+        |      / sqrt(CAST(n2 - tx2 AS DOUBLE) * CAST(n2 - ty2 AS DOUBLE))
+        |      * 10000) / 10000 END AS tau_b
+        |FROM m""".stripMargin,
+
+    "ev_survival" ->
+      """WITH RECURSIVE hz AS (SELECT CAST(max(ts) AS DATE) AS h FROM events),
+        |per AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+        |    CAST(max(ts) AS DATE) AS l FROM events GROUP BY user_id),
+        |uu AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+        |    date_diff('day', l, h) > 0 AS dead FROM per, hz),
+        |lif AS (SELECT t, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM uu GROUP BY t),
+        |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM lif),
+        |rk AS (SELECT t, d, n - coalesce(CAST(sum(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS n_risk
+        |  FROM lif, tot),
+        |dd AS (SELECT t, d, n_risk,
+        |    row_number() OVER (ORDER BY t) AS rn FROM rk WHERE d > 0),
+        |km AS (
+        |  SELECT rn, t, d, n_risk,
+        |    1.0 * (1.0 - CAST(d AS DOUBLE) / n_risk) AS s
+        |  FROM dd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT dd.rn, dd.t, dd.d, dd.n_risk,
+        |    km.s * (1.0 - CAST(dd.d AS DOUBLE) / dd.n_risk)
+        |  FROM dd JOIN km ON dd.rn = km.rn + 1)
+        |SELECT t AS t_day, d, n_risk,
+        |  round(s * 10000) / 10000 AS survival FROM km""".stripMargin,
 
     "stat_spearman" ->
       """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS a,

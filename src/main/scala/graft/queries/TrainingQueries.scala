@@ -780,6 +780,67 @@ object TrainingQueries extends QueryPack {
             (col("c2") + col("r2")).cast("double"))).as("f1"))
     },
 
+    // SQuAD-style token F1 on the same pairs: clipped UNIGRAM overlap,
+    // F1 = 2·clip/(c+r) — the reading-comprehension answer metric
+    // (order-free, so a reworded answer still scores). Exact integers
+    // until one division per pair; same one-shuffle clip kernel.
+    "eval_token_f1" -> { (s, dir) =>
+      genEvalOverlap(s, dir).select(col("doc_id"), col("clip1"),
+        when(col("c1") > 0, graft.ops.TimeSeries.portableRound4(
+          col("clip1").cast("double") / col("c1").cast("double")))
+          .as("prec1"),
+        when(col("r1") > 0, graft.ops.TimeSeries.portableRound4(
+          col("clip1").cast("double") / col("r1").cast("double")))
+          .as("rec1"),
+        when(col("c1") + col("r1") > 0, graft.ops.TimeSeries.portableRound4(
+          lit(2.0) * col("clip1").cast("double") /
+            (col("c1") + col("r1")).cast("double"))).as("f1"))
+    },
+
+    // pass@k estimator per source (the Codex/HumanEval form): with n
+    // trials and c passes, pass@k = 1 − C(n−c,k)/C(n,k) — computed as
+    // the UNROLLED left-associated ratio chain Π(n−c−i)/(n−i) so both
+    // engines multiply the same doubles in the same order (the binomial
+    // products themselves overflow any fixed width at corpus n). The
+    // n−c<k degenerate (can't draw k failures) is exactly 1 by
+    // convention. Pass predicate: the deterministic n_chars ≥ 800 gate;
+    // one hash-agg, map-side partials, rows = |sources|.
+    "eval_pass_at_k" -> { (s, dir) =>
+      val g = Tables.documents(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 800, 1L).otherwise(0L)).as("c"))
+      def r(i: Int) =
+        (col("n") - col("c") - i).cast("double") /
+          (col("n") - i).cast("double")
+      g.select(col("source"), col("n"), col("c"),
+        graft.ops.TimeSeries.portableRound4(
+          col("c").cast("double") / col("n").cast("double")).as("pass_at_1"),
+        graft.ops.TimeSeries.portableRound4(
+          when(col("n") - col("c") < 5, 1.0).otherwise(
+            lit(1.0) - r(0) * r(1) * r(2) * r(3) * r(4))).as("pass_at_5"))
+        .orderBy(col("source"))
+    },
+
+    // per-source Simpson diversity of the language mix: 1 − Σ(cᵢ/n)²
+    // = (n² − Σcᵢ²)/n² — the probability two random docs differ in
+    // language (the log-free diversity index, so the score itself
+    // hash-verifies). Counts collapse to the |source|×|lang| domain
+    // table; exact DECIMAL(38,0) squares until one division.
+    "corpus_diversity" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_langs"),
+          sum(col("c").cast(d38) * col("c").cast(d38)).as("sq"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          graft.ops.TimeSeries.portableRound4(
+            (col("n_docs").cast(d38) * col("n_docs").cast(d38) - col("sq"))
+              .cast("double") /
+              (col("n_docs").cast(d38) * col("n_docs").cast(d38))
+                .cast("double")).as("simpson"))
+    },
+
     // typo-level dup pairs: prefix blocking + banded-Levenshtein verify —
     // the ER shape for edits minhash's token shingles under-detect.
     "dedup_edit" -> { (s, dir) =>
@@ -2956,6 +3017,46 @@ object TrainingQueries extends QueryPack {
          |  CASE WHEN c2 + r2 > 0 THEN
          |    round(2.0 * clip2 / (c2 + r2) * 10000) / 10000 END AS f1
          |FROM ov""".stripMargin,
+    "eval_token_f1" ->
+      s"""WITH $genPairCtes
+         |SELECT doc_id, clip1,
+         |  CASE WHEN c1 > 0 THEN
+         |    round(CAST(clip1 AS DOUBLE) / c1 * 10000) / 10000 END AS prec1,
+         |  CASE WHEN r1 > 0 THEN
+         |    round(CAST(clip1 AS DOUBLE) / r1 * 10000) / 10000 END AS rec1,
+         |  CASE WHEN c1 + r1 > 0 THEN
+         |    round(2.0 * clip1 / (c1 + r1) * 10000) / 10000 END AS f1
+         |FROM ov""".stripMargin,
+
+    "eval_pass_at_k" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM documents GROUP BY source)
+        |SELECT source, n, c,
+        |  round(CAST(c AS DOUBLE) / n * 10000) / 10000 AS pass_at_1,
+        |  round(CASE WHEN n - c < 5 THEN 1.0 ELSE
+        |    1.0 - (CAST(n - c AS DOUBLE) / n)
+        |      * (CAST(n - c - 1 AS DOUBLE) / (n - 1))
+        |      * (CAST(n - c - 2 AS DOUBLE) / (n - 2))
+        |      * (CAST(n - c - 3 AS DOUBLE) / (n - 3))
+        |      * (CAST(n - c - 4 AS DOUBLE) / (n - 4)) END
+        |    * 10000) / 10000 AS pass_at_5
+        |FROM g ORDER BY source""".stripMargin,
+
+    "corpus_diversity" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS HUGEINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_langs,
+        |    CAST(sum(c * c) AS HUGEINT) AS sq
+        |  FROM c GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  round(CAST(CAST(n_docs AS HUGEINT) * n_docs - sq AS DOUBLE)
+        |    / CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE)
+        |    * 10000) / 10000 AS simpson
+        |FROM g""".stripMargin,
+
     // NULL heads never pair: Spark groups null blocks but the null
     // Levenshtein filters out; the SQL equi-join drops them earlier.
     "dedup_edit" ->

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.Stats
+
+/** Laws for the concordance (Kendall tau-b) and survival (Kaplan–Meier)
+  * kernels — each checked against a sequential brute-force reference on
+  * small data, plus the degenerate cases the domain-collapsed plans
+  * must not mishandle (total ties, censoring, single death time). */
+class StatKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Kendall tau-b ----
+
+  /** O(n²) reference: walk every unordered pair once. */
+  private def tauRef(xs: Seq[(Long, Long)]): (Long, Long, Option[Double]) = {
+    var conc = 0L; var disc = 0L
+    var tx = 0L; var ty = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.size) {
+      val ((x1, y1), (x2, y2)) = (xs(i), xs(j))
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) conc += 1 else disc += 1
+      }
+      if (x1 == x2) tx += 1
+      if (y1 == y2) ty += 1
+    }
+    val n = xs.size.toLong
+    val n0 = n * (n - 1) / 2
+    val den = math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    val tau = if (n0 > tx && n0 > ty)
+      Some(math.round((conc - disc) / den * 10000) / 10000.0) else None
+    (conc, disc, tau)
+  }
+
+  private def tauSpark(xs: Seq[(Long, Long)]) = {
+    val r = Stats.kendallTauB(xs.toDF("x", "y"), "x", "y").collect().head
+    (r.getDouble(1).toLong, r.getDouble(2).toLong,
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+  }
+
+  test("tau-b matches the brute-force pair census on tied data") {
+    // deterministic pseudo-random sample with heavy ties in both axes
+    val xs = (0 until 60).map { i =>
+      val h = i * 2654435761L
+      (math.abs(h % 5), math.abs((h / 7) % 4))
+    }
+    assert(tauSpark(xs) === tauRef(xs))
+  }
+
+  test("perfect concordance gives tau=1; perfect reversal gives tau=-1") {
+    val up = (1L to 20L).map(i => (i, i * 3))
+    val dn = (1L to 20L).map(i => (i, 100 - i))
+    assert(tauSpark(up)._3.get === 1.0)
+    assert(tauSpark(dn)._3.get === -1.0)
+  }
+
+  test("an all-tied axis yields a null tau (zero variance), not a crash") {
+    val xs = (1L to 10L).map(i => (5L, i))
+    val (c, d, tau) = tauSpark(xs)
+    assert(c === 0L && d === 0L && tau === None)
+  }
+
+  // ---- Kaplan–Meier ----
+
+  private def kmSpark(subs: Seq[(Long, Boolean)]) =
+    Stats.kaplanMeier(subs.toDF("t", "dead"), "t", "dead")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+
+  /** Sequential reference: classic product over ascending death times. */
+  private def kmRef(subs: Seq[(Long, Boolean)]): Seq[(Long, Long, Long, Double)] = {
+    val deathTimes = subs.filter(_._2).map(_._1).distinct.sorted
+    var s = 1.0
+    deathTimes.map { t =>
+      val d = subs.count(u => u._2 && u._1 == t).toLong
+      val n = subs.count(_._1 >= t).toLong
+      s *= (1.0 - d.toDouble / n.toDouble)
+      (t, d, n, math.round(s * 10000) / 10000.0)
+    }
+  }
+
+  test("KM matches the sequential product reference with censoring mixed in") {
+    val subs = Seq[(Long, Boolean)](
+      (2L, true), (3L, false), (5L, true), (5L, true), (7L, false),
+      (8L, true), (8L, false), (11L, true), (12L, false), (12L, false))
+    assert(kmSpark(subs) === kmRef(subs))
+  }
+
+  test("censored subjects shrink the risk set but never drop the curve") {
+    // deaths only at t=4: censored at 1,2,3 leave before it
+    val subs = Seq[(Long, Boolean)](
+      (1L, false), (2L, false), (3L, false), (4L, true), (4L, false))
+    val out = kmSpark(subs)
+    assert(out === Seq((4L, 1L, 2L, 0.5)))
+  }
+
+  test("everyone dying at one time gives survival 0 there") {
+    val subs = (1 to 6).map(_ => (9L, true))
+    assert(kmSpark(subs) === Seq((9L, 6L, 6L, 0.0)))
+  }
+
+  test("no observed deaths gives an empty curve (all censored)") {
+    val subs = (1 to 5).map(i => (i.toLong, false))
+    assert(kmSpark(subs).isEmpty)
+  }
+}
