@@ -121,6 +121,54 @@ object GraphOps {
     lab.select(col("id").as(idCol), col("label").as("community"))
   }
 
+  /** Newman modularity of a community assignment over an undirected
+    * graph — the one-number quality score for [[labelPropagation]]'s
+    * output (Q ≈ 0: no better than random; Q ≫ 0: real structure).
+    * Q = Σ_c [e_c/m − (deg_c/2m)²] computed as the single exact
+    * rational [Σ_c (4·m·e_c − deg_c²)] / (4m²): every sum is integer
+    * (DECIMAL(38,0) for the deg² terms — deg_c is corpus-bounded), one
+    * division at the end. Coverage (Σe_c/m, the intra-edge fraction)
+    * rides along as the scale-free companion. `edges` is the
+    * symmetrized (src, dst) table ([[spanEdges]] emits both
+    * directions); everything shuffles on node/community ids once and
+    * collapses to |communities| rows before the 1-row aggregate. */
+  def modularity(edges: DataFrame, communities: DataFrame,
+                 idCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lab = communities.select(col(idCol).as("id"), col("community"))
+      .localCheckpoint() // LPA output re-read by both joins + the count
+    val und = edges.where(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint() // edge table: intra join + m count reuse it
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val intra = und
+      .join(lab.select(col("id").as("src"), col("community").as("ca")), "src")
+      .join(lab.select(col("id").as("dst"), col("community").as("cb")), "dst")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("ec"))
+    val per = lab.join(deg, "id")
+      .groupBy(col("community")).agg(sum(col("deg")).as("degc"))
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("ec"))
+    val sums = per.agg(
+      coalesce(sum(col("ec")), lit(0L)).as("intra_edges"),
+      coalesce(sum(col("degc").cast(d38) * col("degc").cast(d38)),
+        lit(0).cast(d38)).as("sumdeg2"))
+    sums
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("m"))))
+      .crossJoin(broadcast(
+        lab.agg(count_distinct(col("community")).as("n_comms"))))
+      .select(col("m").as("n_edges"), col("n_comms"), col("intra_edges"),
+        when(col("m") > 0, TimeSeries.portableRound4(
+          (lit(4).cast(d38) * col("m") * col("intra_edges") - col("sumdeg2"))
+            .cast("double") /
+            (lit(4).cast(d38) * col("m") * col("m")).cast("double")))
+          .as("modularity"),
+        when(col("m") > 0, TimeSeries.portableRound4(
+          col("intra_edges").cast("double") / col("m").cast("double")))
+          .as("coverage"))
+  }
+
   /** Fixed-round k-core peel: repeatedly drop nodes with degree < k in
     * the surviving induced subgraph, `rounds` times, then report each
     * survivor's induced degree. Fixed rounds (not run-to-fixpoint) keep

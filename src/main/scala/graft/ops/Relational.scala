@@ -118,6 +118,37 @@ object Relational {
     * TakeOrderedAndProject: each partition keeps k rows, only k*partitions
     * reach the driver — no global sort, safe at any scale. Callers must
     * pass a total order (tie-broken) for deterministic results. */
+  /** Cross-key interval-OVERLAP pairs (the interval join): every pair
+    * of intervals from DIFFERENT keys with s₁<e₂ ∧ s₂<e₁, each pair
+    * exactly once. The non-equi predicate becomes an EQUI join by
+    * banding: each interval explodes to the hour buckets it covers,
+    * pairs meet in ONE shuffle on the bucket, and the canonical-bucket
+    * rule (b = hour(overlap start) — a bucket both sides provably
+    * cover) dedupes pairs that share several buckets without a
+    * distinct. Fan-out per interval = its length in hours (bounded by
+    * the session/interval duration cap, never by table size); a hot
+    * hour's pair count is real output, not join inefficiency. Emits
+    * (k1, k2, o_start, o_end) with k1 < k2. */
+  def intervalOverlapPairs(iv: DataFrame, keyCol: String, startCol: String,
+                           endCol: String): DataFrame = {
+    val b = iv.select(col(keyCol).as("k"), col(startCol).as("s"),
+        col(endCol).as("e"))
+      .withColumn("b", explode(sequence(
+        date_trunc("hour", col("s")), date_trunc("hour", col("e")),
+        expr("INTERVAL 1 HOUR"))))
+    val l = b.select(col("k").as("k1"), col("s").as("s1"),
+      col("e").as("e1"), col("b"))
+    val r = b.select(col("k").as("k2"), col("s").as("s2"),
+      col("e").as("e2"), col("b"))
+    l.join(r, Seq("b"))
+      .where(col("k1") < col("k2") &&
+        col("s1") < col("e2") && col("s2") < col("e1"))
+      .where(col("b") === date_trunc("hour", greatest(col("s1"), col("s2"))))
+      .select(col("k1"), col("k2"),
+        greatest(col("s1"), col("s2")).as("o_start"),
+        least(col("e1"), col("e2")).as("o_end"))
+  }
+
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
 

@@ -300,6 +300,29 @@ object JoinQueries extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    // interval-overlap join (the concurrency report): user sessions
+    // (10-min session windows) that overlap ACROSS users, counted per
+    // overlap-start day with the total overlapped time in exact integer
+    // micros. The non-equi interval predicate runs as a banded EQUI
+    // join — intervals meet in one shuffle on their covered hour
+    // buckets, the canonical-bucket rule dedupes — so the plan never
+    // sees a cartesian or a per-row subquery (the IEJoin shape an
+    // engine without banding falls back to).
+    "join_interval" -> { (s, dir) =>
+      val sess = Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          col("session_window.start").as("s"),
+          col("session_window.end").as("e"))
+      Relational.intervalOverlapPairs(sess, "user_id", "s", "e")
+        .groupBy(col("o_start").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          // NTZ→TZ cast is identity under the engine-wide UTC session
+          sum(unix_micros(col("o_end").cast("timestamp")) -
+            unix_micros(col("o_start").cast("timestamp"))).as("overlap_us"))
+    },
+
     // as-of join: each click gets the most recent prior purchase value.
     "join_asof" -> { (s, dir) =>
       val e = Tables.events(s, dir)
@@ -573,6 +596,25 @@ object JoinQueries extends QueryPack {
         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
         |  FROM orders WHERE o_custkey % 3 = 1 GROUP BY o_custkey) o
         |ON c.c_custkey = o.o_custkey""".stripMargin,
+    "join_interval" ->
+      """WITH g AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+        |    THEN 1 ELSE 0 END AS news
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sg AS (SELECT user_id, ts, sum(news) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS sid FROM g),
+        |sess AS (SELECT user_id, min(ts) AS s,
+        |    max(ts) + INTERVAL '10 minutes' AS e
+        |  FROM sg GROUP BY user_id, sid),
+        |p AS (SELECT greatest(a.s, b.s) AS os, least(a.e, b.e) AS oe
+        |  FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e)
+        |SELECT CAST(os AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(date_diff('microsecond', os, oe)) AS BIGINT)
+        |    AS overlap_us
+        |FROM p GROUP BY 1""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -602,6 +602,20 @@ object TrainingQueries extends QueryPack {
         "doc_id", iters = 3)
     },
 
+    // Newman modularity OF those communities — the quality certificate
+    // for the LPA split (and the objective Louvain-style methods climb):
+    // one exact rational [Σ_c(4·m·e_c − deg_c²)]/(4m²), plus coverage.
+    // The score is what says "these communities are real structure, not
+    // a random carve-up" before anyone acts on them.
+    "graph_modularity" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val edges = graft.ops.GraphOps.spanEdges(docs, "doc_id", "text")
+        .localCheckpoint() // LPA's 3 rounds + both modularity passes
+      graft.ops.GraphOps.modularity(edges,
+        graft.ops.GraphOps.labelPropagation(docs, edges, "doc_id", iters = 3),
+        "doc_id")
+    },
+
     // effective dataset size after dedup (Lee et al. 2022's headline
     // number, per source): token volume, cross-doc-duplicated token
     // volume, and the effective fraction a trainer actually gets —
@@ -1887,7 +1901,9 @@ object TrainingQueries extends QueryPack {
        |FROM i3""".stripMargin
   }
 
-  private lazy val lpaSql: String = {
+  /** LPA CTE chain ending in `j3`(id, label) — shared by the lpa and
+    * modularity oracles. */
+  private lazy val lpaCtes: String = {
     def iter(prev: String, name: String) =
       s"""$name AS (SELECT p.id, coalesce(b.nl, p.label) AS label
          |  FROM $prev p LEFT JOIN (
@@ -1897,13 +1913,49 @@ object TrainingQueries extends QueryPack {
          |          ORDER BY count(*) DESC, q.label) AS rn
          |      FROM edges e JOIN $prev q ON e.src = q.id
          |      GROUP BY e.dst, q.label) WHERE rn = 1) b ON p.id = b.id)"""
-    s"""WITH $spanEdgeCtes,
+    s"""$spanEdgeCtes,
        |l0 AS (SELECT id, id AS label FROM n),
        |${iter("l0", "j1")},
        |${iter("j1", "j2")},
-       |${iter("j2", "j3")}
-       |SELECT id AS doc_id, label AS community FROM j3""".stripMargin
+       |${iter("j2", "j3")}""".stripMargin
   }
+
+  private lazy val lpaSql: String =
+    s"""WITH $lpaCtes
+       |SELECT id AS doc_id, label AS community FROM j3""".stripMargin
+
+  /** Modularity of the LPA communities: intra-edge counts over the
+    * undirected `pairs`, degrees from the symmetrized `edges`, the one
+    * rational [Σ(4·m·e_c − deg_c²)]/(4m²). */
+  private lazy val modularitySql: String =
+    s"""WITH $lpaCtes,
+       |lb AS (SELECT id, label AS community FROM j3),
+       |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+       |        FROM edges GROUP BY src),
+       |iw AS (SELECT la.community, CAST(count(*) AS BIGINT) AS ec
+       |  FROM pairs p JOIN lb la ON p.a = la.id JOIN lb rb ON p.b = rb.id
+       |  WHERE la.community = rb.community GROUP BY 1),
+       |dc AS (SELECT lb.community, CAST(sum(deg.d) AS BIGINT) AS degc
+       |  FROM lb JOIN deg USING (id) GROUP BY 1),
+       |per AS (SELECT dc.community, coalesce(iw.ec, 0) AS ec, dc.degc
+       |  FROM dc LEFT JOIN iw USING (community)),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+       |nc AS (SELECT CAST(count(DISTINCT community) AS BIGINT) AS n_comms
+       |       FROM lb),
+       |sm AS (SELECT CAST(coalesce(sum(ec), 0) AS BIGINT) AS intra_edges,
+       |    CAST(coalesce(sum(CAST(degc AS HUGEINT) * degc), 0) AS HUGEINT)
+       |      AS sumdeg2
+       |  FROM per)
+       |SELECT m AS n_edges, n_comms, intra_edges,
+       |  CASE WHEN m > 0 THEN
+       |    round(CAST(4 * CAST(m AS HUGEINT) * intra_edges - sumdeg2
+       |        AS DOUBLE)
+       |      / CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE) * 10000) / 10000
+       |  END AS modularity,
+       |  CASE WHEN m > 0 THEN
+       |    round(CAST(intra_edges AS DOUBLE) / m * 10000) / 10000
+       |  END AS coverage
+       |FROM sm, mm, nc""".stripMargin
 
   /** k-core oracle: the fixed-round peel unrolled — round i keeps nodes
     * with degree ≥ 2 in the subgraph induced by round i−1's survivors;
@@ -2871,6 +2923,7 @@ object TrainingQueries extends QueryPack {
          |WHERE l.doc_id < r.doc_id""".stripMargin,
     "graph_pagerank" -> pagerankSql,
     "graph_lpa" -> lpaSql,
+    "graph_modularity" -> modularitySql,
     "graph_kcore" -> kcoreSql,
     "dedup_effective_size" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),

@@ -145,4 +145,29 @@ class GraphOpsSpec extends SparkSpec {
     val r3 = GraphOps.triangleCount(dup).collect()(0)
     assert((r3.getLong(0), r3.getLong(1)) === ((1L, 3L)))
   }
+
+  test("modularity: two cliques under the true split score high; one blob scores 0") {
+    def sym(ps: (Long, Long)*) =
+      (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
+    // two triangles joined by one bridge edge: m = 7
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val goodSplit = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("id", "community")
+    val r = GraphOps.modularity(g, goodSplit, "id").collect()(0)
+    // hand check: e_c = 3 each, deg_c = 7 each →
+    // Q = (4·7·6 − 2·49)/(4·49) = 70/196
+    assert(r.getLong(0) === 7L && r.getLong(1) === 2L && r.getLong(2) === 6L)
+    assert(math.abs(r.getDouble(3) - 70.0 / 196) < 1e-4)
+    assert(math.abs(r.getDouble(4) - 6.0 / 7) < 1e-4) // 4dp-rounded
+    // everything in ONE community: coverage 1 but Q exactly 0
+    val blob = (1L to 6L).map((_, 9L)).toDF("id", "community")
+    val rb = GraphOps.modularity(g, blob, "id").collect()(0)
+    assert(rb.getDouble(3) === 0.0 && rb.getDouble(4) === 1.0)
+    // the good split beats cutting a triangle in half
+    val badSplit = Seq((1L, 1L), (2L, 1L), (3L, 2L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("id", "community")
+    val rc = GraphOps.modularity(g, badSplit, "id").collect()(0)
+    assert(r.getDouble(3) > rc.getDouble(3))
+  }
 }
