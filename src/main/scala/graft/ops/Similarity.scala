@@ -1162,17 +1162,27 @@ object Similarity {
     * dominant nuisance direction embedding-whitening removes (Mu &
     * Viswanath 2018, all-but-the-top). */
   def topPcFixedPoint(gram: DataFrame, dim: Int, iters: Int = 3,
-                      scale: Long = 1L << 20): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    // the symmetrized gram is consumed once PER ROUND, and each round's
-    // y twice (max-abs + rescale): without the lineage cuts the corpus
-    // gram subtree re-executes ~2·iters times (measured: emb_abtt
-    // 4.6 → 1.7 s at sf0.1). Both checkpoints are dim²-/dim-row tables.
-    val full = gram.select(col("i"), col("j"), col("g"))
+                      scale: Long = 1L << 20): DataFrame =
+    powerLoop(symGram(gram), dim, iters, scale)
+      .select(col("j").as("i"), col("v").cast("long").as("v_scaled"))
+
+  /** Symmetrized Gram, lineage-cut: consumed once PER power-iteration
+    * round — without the checkpoint the corpus gram subtree re-executes
+    * ~2·iters times (measured: emb_abtt 4.6 → 1.7 s at sf0.1). */
+  private def symGram(gram: DataFrame): DataFrame =
+    gram.select(col("i"), col("j"), col("g"))
       .unionAll(gram.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("g")))
       .localCheckpoint()
-    val spark = gram.sparkSession
+
+  /** The integer power-iteration loop on a symmetrized Gram: v₀ = 1⃗·2²⁰,
+    * each round y = G·v then v ← trunc(y·2²⁰ / max|y|). Returns (j, v)
+    * at DECIMAL(38,0); each round's y is lineage-cut (max-abs + rescale
+    * both consume it). */
+  private def powerLoop(full: DataFrame, dim: Int, iters: Int,
+                        scale: Long): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val spark = full.sparkSession
     var v = spark.range(dim).select(col("id").cast("int").as("j"),
       lit(scale).cast(dec).as("v"))
     for (_ <- 1 to iters) {
@@ -1184,7 +1194,53 @@ object Similarity {
         (((col("y") * scale) - ((col("y") * scale) % col("m"))) / col("m"))
           .cast(dec).as("v"))
     }
-    v.select(col("j").as("i"), col("v").cast("long").as("v_scaled"))
+    v
+  }
+
+  /** SECOND principal direction by projection-deflated power iteration
+    * — the one more direction all-but-the-top-style whitening usually
+    * wants (Mu & Viswanath remove the top handful, not just one).
+    * The top PC v₁ comes from the shared [[powerLoop]]; the second
+    * loop orthogonalizes against v₁ after the init and after every
+    * matvec: x ← x − v₁·trunc(v₁ᵀx / v₁ᵀv₁) — the projection
+    * coefficient uses the engine-shared dividend-signed trunc division,
+    * so the whole trajectory is exact integer arithmetic an oracle
+    * replays bit for bit (the same discipline as the first loop, one
+    * extra dot + correction per round). Both loops run on ONE
+    * symmetrized-Gram checkpoint: the corpus is still scanned once.
+    * Magnitudes stay DECIMAL(38,0)-safe: y ≲ dim·max|G|·2²⁰ and the
+    * deflation dot adds another ×dim·2²⁰ — ~10³¹ at fixture scale,
+    * ~10³⁷ at 10¹²-row corpora, inside both engines' 38-digit width. */
+  def secondPcFixedPoint(gram: DataFrame, dim: Int, iters: Int = 3,
+                         scale: Long = 1L << 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val full = symGram(gram)
+    val w = powerLoop(full, dim, iters, scale)
+      .select(col("j"), col("v").as("w"))
+      .localCheckpoint() // dim rows; two consumers per deflation round
+    val q = broadcast(w.agg(sum(col("w") * col("w")).as("q")))
+    def orth(x: DataFrame, vCol: String): DataFrame = {
+      val d = x.join(w, "j")
+        .agg(sum(col(vCol) * col("w")).as("d"))
+      x.join(w, "j").crossJoin(broadcast(d)).crossJoin(q)
+        .select(col("j"),
+          (col(vCol) - ((col("d") - (col("d") % col("q"))) / col("q"))
+            .cast(dec) * col("w")).as("v"))
+    }
+    val spark = gram.sparkSession
+    var x = orth(spark.range(dim).select(col("id").cast("int").as("j"),
+      lit(scale).cast(dec).as("v")), "v")
+    for (_ <- 1 to iters) {
+      val y = full.join(x, "j")
+        .groupBy(col("i")).agg(sum(col("g") * col("v")).as("y"))
+      val o = orth(y.select(col("i").as("j"), col("y")), "y")
+        .localCheckpoint() // max-abs + rescale both consume it
+      val m = o.agg(max(abs(col("v"))).as("m"))
+      x = o.crossJoin(broadcast(m)).select(col("j"),
+        (((col("v") * scale) - ((col("v") * scale) % col("m"))) / col("m"))
+          .cast(dec).as("v"))
+    }
+    x.select(col("j").as("i"), col("v").cast("long").as("v_scaled"))
   }
 
   /** All-but-the-top applied (Mu & Viswanath 2018): remove the dominant

@@ -1315,6 +1315,18 @@ object TrainingQueries extends QueryPack {
         dim = 64)
     },
 
+    // SECOND principal direction by projection-deflated power iteration
+    // — whitening usually strips the top FEW directions, not one; this
+    // is direction two, same exact-integer discipline (orthogonalize
+    // against v₁ by trunc-division projection after init and each
+    // matvec). One corpus scan: both loops share one Gram checkpoint.
+    "emb_top2_pc" -> { (s, dir) =>
+      Similarity.secondPcFixedPoint(
+        Similarity.gramFixedPoint(Tables.embeddings(s, dir),
+          "embedding", dim = 64),
+        dim = 64)
+    },
+
     // the whitening APPLIED: remove the learned top PC from every
     // vector; dot-with-PC before/after certifies the nuisance direction
     // is gone (after collapses to trunc residue). The full spectral
@@ -2086,6 +2098,36 @@ object TrainingQueries extends QueryPack {
   private lazy val topPcSql: String =
     s"""WITH $topPcCtes
        |SELECT CAST(j AS INT) AS i, CAST(v AS BIGINT) AS v_scaled FROM v3""".stripMargin
+
+  /** Deflated second-PC oracle: w = v₁ (the v3 chain), then three
+    * rounds of matvec + orthogonalize (trunc-division projection
+    * coefficient, like the Spark plan) + max-abs rescale. Every CTE
+    * here is MATERIALIZED: each round references z/o twice (projection
+    * + output, max-abs + rescale), so plain inlining re-expands the
+    * previous round 4× — the 3-round chain re-evaluates the v₁ tree
+    * hundreds of times (measured: >12 min vs 0.3 s at sf0.01). */
+  private lazy val secondPcSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""z$r AS MATERIALIZED (SELECT g2.i, sum(g2.g * x.v) AS y
+         |  FROM g2 JOIN x${r - 1} x ON g2.j = x.j GROUP BY g2.i),
+         |zd$r AS MATERIALIZED (SELECT sum(z.y * w.wv) AS d FROM z$r z JOIN w ON z.i = w.j),
+         |o$r AS MATERIALIZED (SELECT z.i AS j, z.y - ((d - d % q) // q) * w.wv AS v
+         |  FROM z$r z JOIN w ON z.i = w.j, zd$r, qq),
+         |om$r AS MATERIALIZED (SELECT max(abs(v)) AS m FROM o$r),
+         |x$r AS MATERIALIZED (SELECT j, ((v*1048576) - ((v*1048576) % m)) // m AS v
+         |  FROM o$r, om$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $topPcCtes,
+       |w AS MATERIALIZED (SELECT j, v AS wv FROM v3),
+       |qq AS MATERIALIZED (SELECT sum(wv * wv) AS q FROM w),
+       |u0 AS MATERIALIZED (SELECT unnest(range(64)) AS j, CAST(1048576 AS HUGEINT) AS v),
+       |ud AS MATERIALIZED (SELECT sum(u0.v * w.wv) AS d FROM u0 JOIN w USING (j)),
+       |x0 AS MATERIALIZED (SELECT u0.j, u0.v - ((d - d % q) // q) * w.wv AS v
+       |  FROM u0 JOIN w USING (j), ud, qq),
+       |$rounds
+       |SELECT CAST(j AS INT) AS i, CAST(v AS BIGINT) AS v_scaled
+       |FROM x3""".stripMargin
+  }
 
   /** SRP-bucketed verified pair CTEs (shared by the near-dup and
     * threshold-sweep oracles): identical plane literals as the Spark
@@ -3733,6 +3775,7 @@ object TrainingQueries extends QueryPack {
          |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
          |  CAST(g AS BIGINT) AS g FROM gr""".stripMargin,
     "emb_top_pc" -> topPcSql,
+    "emb_top2_pc" -> secondPcSql,
     // whitening replay: v3's PC as one ordered list; per-vector dot,
     // trunc-division projection coefficient per element, corrected dot.
     "emb_abtt" ->

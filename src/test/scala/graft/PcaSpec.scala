@@ -31,6 +31,31 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(cosine(pc, u)) > 0.99, s"got ${pc.mkString(",")}")
   }
 
+  test("deflated second PC recovers the planted minor direction, ⟂ to v1") {
+    // two orthogonal planted directions; u dominant (coefficients up to
+    // 3.4x), w clearly second (up to ~1x) — deflation must strip u and
+    // converge the residual iteration onto w.
+    val u = Array(0.5, 0.3, -0.2, 0.4, 0.1, -0.3, 0.2, 0.1)
+    val w = Array(0.3, -0.5, 0.2, 0.0, -0.2, 0.1, 0.4, 0.2)
+    val uw = u.zip(w).map { case (a, b) => a * b }.sum
+    val wOrth = w.indices.map(i => w(i) - uw / u.map(x => x * x).sum * u(i)).toArray
+    val vecs = (0 until 200).map { r =>
+      val cu = 1.0 + (r % 7) * 0.4
+      val cw = 1.0 * ((r % 3) - 1)
+      (r.toLong, u.indices.map(i => (cu * u(i) + cw * wOrth(i)).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val gram = Similarity.gramFixedPoint(df, "embedding", dim)
+    val v1 = Similarity.topPcFixedPoint(gram, dim, iters = 3)
+      .orderBy("i").collect().map(_.getLong(1).toDouble)
+    val v2 = Similarity.secondPcFixedPoint(gram, dim, iters = 3)
+      .orderBy("i").collect().map(_.getLong(1).toDouble)
+    assert(math.abs(cosine(v2, wOrth)) > 0.98, s"got ${v2.mkString(",")}")
+    // near-orthogonal to the recovered top PC (trunc-division projection
+    // leaves sub-ulp residue, not exact zero)
+    assert(math.abs(cosine(v2, v1)) < 0.02, s"v1·v2 ${cosine(v2, v1)}")
+  }
+
   test("gram is the exact upper triangle: diag positive, all pairs present") {
     val df = (0 until 50).map(r =>
       (r.toLong, Array.tabulate(dim)(i => ((r + i) % 5 - 2).toFloat))).toDF("vec_id", "embedding")
