@@ -103,6 +103,46 @@ object CorpusOps {
       .withColumn("close", col("tv") <= t)
   }
 
+  /** Contribution bounding — the differential-privacy PREP step (and
+    * the fourth leg of the governance family): cap every user's
+    * contribution per partition key at `cap` rows so one user cannot
+    * dominate an aggregate (bounded sensitivity is what a DP noise
+    * stage calibrates against; it's also the robustness fix for
+    * whale-user skew in plain analytics). Rows kept are the FIRST
+    * `cap` by `orderCol` — deterministic, not sampled. Reports, per
+    * key: raw vs bounded exact cent sums, events dropped, users
+    * capped (a user crossing the cap contributes exactly one row with
+    * rank cap+1 — counted without a second pass), and the kept
+    * fraction.
+    *
+    * Scale shape: one row_number window partitioned by (user, key) —
+    * per-user-per-key groups are small by construction (that's the
+    * point of the cap), so no single window partition can be a whale;
+    * then one hash-agg to |keys| rows. */
+  def contributionBound(events: DataFrame, userCol: String, keyCol: String,
+                        valueCol: String, orderCol: String,
+                        cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col(keyCol)).orderBy(col(orderCol))
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100)
+      .cast("decimal(38,0)")
+    events
+      .select(col(keyCol), cents.as("x"), row_number().over(w).as("rn"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("x")).as("raw"),
+        sum(when(col("rn") <= cap, col("x")).otherwise(lit(0).cast("decimal(38,0)"))).as("bounded"),
+        sum(when(col("rn") > cap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rn") === cap + 1, 1L).otherwise(0L)).as("n_users_capped"))
+      .select(col(keyCol), col("n_events"),
+        col("raw").cast("long").as("raw_cents"),
+        col("bounded").cast("long").as("bounded_cents"),
+        col("n_dropped"), col("n_users_capped"),
+        TimeSeries.portableRound6(col("bounded").cast("double") /
+          nullif(col("raw"), lit(0).cast("decimal(38,0)")).cast("double"))
+          .as("kept_frac"))
+  }
+
   /** Deterministic per-group sample of exactly min(k, |group|) rows:
     * rank by the md5 of the id within each group and keep rank ≤ k —
     * the distributed reservoir whose selection is a pure function of

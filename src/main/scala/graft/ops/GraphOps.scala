@@ -277,4 +277,63 @@ object GraphOps {
       .groupBy(length(conv(col("deg"), 10, 2)).cast("long").as("bin"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"),
         min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+
+  /** HITS hubs/authorities over a DIRECTED graph, in the repo's exact
+    * fixed-point discipline (Kleinberg 1999; reference analog: ranking
+    * inside the dedup review queue). On the containment digraph
+    * (container → contained) hubs are the AGGREGATOR docs that quote
+    * many others and authorities the canonical SOURCES quoted
+    * everywhere — the two distinct curation actions (drop the
+    * aggregator, keep one canonical copy).
+    *
+    * Each round: a ← Aᵀh then RESCALE, h ← A·a (the rescaled a) then
+    * RESCALE — rescaling to max = `scale` via the dividend-signed trunc
+    * division both engines share, BEFORE the next matvec, keeps every
+    * intermediate ≤ scale²·maxdeg. Accumulation runs in DECIMAL(38,0)
+    * (the [[Similarity.topPcFixedPoint]] discipline, not PageRank's
+    * BIGINT + float-divide: scale²·maxdeg crosses 2⁵³ at in-degree
+    * ≈9000, where a double divide stops being exact — boilerplate hubs
+    * at corpus scale sit well past that). `iters` rounds hash-check
+    * across engines. Nodes outside the edge set keep score 0 and are
+    * omitted (HITS is only defined on the link structure).
+    *
+    * Scale shape: per round two edge-list joins + two hash-aggs on
+    * node id (the PageRank round shape ×2); the edge list is
+    * lineage-cut once, each round's vectors are node-count tables. */
+  def hits(edges: DataFrame, iters: Int = 3,
+           scale: Long = 1000000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def rescale(x: DataFrame, vc: String): DataFrame = {
+      val m = x.agg(greatest(max(col(vc)), lit(1).cast(dec)).as("m"))
+      x.crossJoin(broadcast(m)).select(col("id"),
+        (((col(vc) * scale) - ((col(vc) * scale) % col("m"))) / col("m"))
+          .cast(dec).as(vc))
+    }
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val ids = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint() // consumed by both vectors every round
+    var hub = ids.select(col("id"), lit(scale).cast(dec).as("h"))
+    var auth = ids.select(col("id"), lit(scale).cast(dec).as("a"))
+    for (_ <- 1 to iters) {
+      val aFull = ids.join(
+          e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0).cast(dec)).as("a"))
+        .localCheckpoint(eager = false) // max + rescale both consume it
+      auth = rescale(aFull, "a")
+        .localCheckpoint(eager = false) // h-round + output consume it
+      val hFull = ids.join(
+          e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(col("src").as("id")).agg(sum(col("a")).as("h")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0).cast(dec)).as("h"))
+        .localCheckpoint(eager = false)
+      hub = rescale(hFull, "h")
+    }
+    hub.join(auth, "id")
+      .select(col("id"), col("h").cast("long").as("hub_scaled"),
+        col("a").cast("long").as("auth_scaled"))
+  }
 }

@@ -380,6 +380,56 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc).limit(k)
 
+  /** ln(rank) for ranks 1..k, computed ONCE in Scala and injected as
+    * identical literals into both engines' plans (the NdcgWeights
+    * libm-divergence pattern) — with these fixed, Σx and Σx² are
+    * engine-independent constants and only ln(freq) touches libm. */
+  def zipfLnRank(k: Int): Seq[Double] = (1 to k).map(i => math.log(i.toDouble))
+
+  /** Zipf-law fit over the top-k vocabulary: OLS of ln(freq) on
+    * ln(rank) — slope ≈ −1 is the healthy-corpus signature; a shallow
+    * slope means boilerplate flooding the head, a cliff past the head
+    * means template text crowding out tail diversity. Companion to
+    * [[vocabTop]] (the ranks) and text_heaps (vocabulary growth).
+    *
+    * Portability: the per-rank ln(rank) terms are injected literals
+    * ([[zipfLnRank]]); the four OLS sums fold over the k-row array in
+    * rank order (sort_array + ordered aggregate here, list(... ORDER
+    * BY) + list_reduce in the oracle), so both engines add the same
+    * doubles in the same sequence; slope/intercept round at 4dp to
+    * absorb ln(freq)'s last-ulp libm spread.
+    *
+    * Scale shape: one token hash-agg + a k-row top-k (TakeOrdered, no
+    * global window); the fold runs on a k-row array — corpus-size
+    * independent past the vocabulary aggregate. */
+  def zipfSlope(docs: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    val lnRank = array(zipfLnRank(k).map(lit): _*)
+    val ranked = vocabTop(docs, textCol, k)
+      .select(col("word"), col("n"),
+        row_number().over(Window.orderBy(col("n").desc, col("word").asc))
+          .as("rank"))
+    val folded = ranked
+      .agg(sort_array(collect_list(struct(col("rank"), col("n")))).as("a"))
+      .select(aggregate(col("a"),
+        struct(lit(0.0).as("sy"), lit(0.0).as("sxy"), lit(0L).as("cnt")),
+        (acc, e) => {
+          val x = element_at(lnRank, e.getField("rank"))
+          val y = log(e.getField("n").cast("double"))
+          struct((acc.getField("sy") + y).as("sy"),
+            (acc.getField("sxy") + x * y).as("sxy"),
+            (acc.getField("cnt") + 1L).as("cnt"))
+        }).as("f"))
+      .select(col("f.*"))
+    val sx = lit(zipfLnRank(k).sum)
+    val sxx = lit(zipfLnRank(k).map(x => x * x).sum)
+    val nD = col("cnt").cast("double")
+    val slope = (nD * col("sxy") - sx * col("sy")) /
+      (nD * sxx - sx * sx)
+    folded.select(col("cnt").as("n_terms"),
+      (round(slope * 10000) / 10000).as("slope"),
+      (round(((col("sy") - slope * sx) / nD) * 10000) / 10000).as("intercept"))
+  }
+
   /** Hashed-feature linear classifier dimensionality and md5-derived
     * weights in [-1, 1] — plan literals (a trained fastText-style model
     * would ship real weights; the scoring math is identical). */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, CorpusOps, Dedup, Multimodal, Relational, Similarity, Tables, TextAnalysis}
+import graft.ops.{Bpe, CorpusOps, Dedup, Multimodal, Relational, Similarity, Tables, TextAnalysis, TimeSeries}
 
 /** Training-data pipeline operators (beyond the reference surface, built
   * for 100 TB corpora): dedup, similarity search, text analysis, and
@@ -154,6 +154,15 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
     },
 
+    // Zipf-law fit over the top-100 vocabulary: OLS slope of ln(freq)
+    // on ln(rank) — the corpus-health summary statistic beside
+    // text_heaps' growth curve (slope ≈ −1 healthy; shallow = head
+    // boilerplate, steep = tail collapse). ln(rank) terms are injected
+    // literals; the sums fold in rank order (see TextAnalysis.zipfSlope).
+    "text_zipf" -> { (s, dir) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, dir), "text", k = 100)
+    },
+
     // Gopher-style WITHIN-doc repetition (top-bigram/trigram fraction,
     // duplicated-5gram position coverage) — the boilerplate filter family.
     "text_gopher" -> { (s, dir) =>
@@ -288,6 +297,55 @@ object TrainingQueries extends QueryPack {
               (col("n_true") + col("n_pred")).cast("double"))).as("f1"))
     },
 
+    // MRR@10 of the same neighbor ranking — the retrieval metric a RAG
+    // stack actually monitors (where is the FIRST relevant hit?). The
+    // reciprocal rank travels as the exact integer 2520/rank (2520 =
+    // lcm(1..10)), so per-query rows and any downstream mean are pure
+    // integer arithmetic — no float reciprocal to drift.
+    "eval_mrr" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 50),
+          "vec_id", "embedding", k = 10)
+        .join(broadcast(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("ql"))), "query_id")
+        .join(broadcast(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nl"))), "neighbor_id")
+        .groupBy(col("query_id"))
+        .agg(min(when(col("ql") === col("nl"), col("rank")))
+          .as("first_rel_rank"))
+        .select(col("query_id"), col("first_rel_rank"),
+          coalesce((lit(2520L) / col("first_rel_rank")).cast("long"), lit(0L))
+            .as("rr_x2520"))
+    },
+
+    // Cohen's kappa between two automated raters (kNN label at k=5 vs
+    // k=3) — the annotator-agreement statistic an LLM-judge pipeline
+    // reports before trusting auto-labels. Chance-corrected agreement
+    // collapses to ONE exact rational: (n·Σagree − Σ_c n1_c·n2_c) /
+    // (n² − Σ_c n1_c·n2_c) — integer until a single rounded division.
+    "eval_kappa" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 50)
+      val both = Similarity.knnLabel(emb, q, "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("predicted").as("r1"))
+        .join(Similarity.knnLabel(emb, q, "vec_id", "embedding", "label", k = 3)
+          .select(col("query_id"), col("predicted").as("r2")), "query_id")
+        .localCheckpoint() // marginals + agreement both read it
+      val cross = both.groupBy(col("r1").as("cls")).agg(count(lit(1)).as("n1"))
+        .join(both.groupBy(col("r2").as("cls")).agg(count(lit(1)).as("n2")), "cls")
+        .agg(sum(col("n1") * col("n2")).as("pe_cross"))
+      both.agg(count(lit(1)).as("n"),
+          sum(when(col("r1") === col("r2"), 1L).otherwise(0L)).as("n_agree"))
+        .crossJoin(broadcast(cross))
+        .select(col("n"), col("n_agree"),
+          coalesce(col("pe_cross"), lit(0L)).as("pe_cross"),
+          TimeSeries.portableRound6(
+            (col("n") * col("n_agree") - col("pe_cross")).cast("double") /
+              nullif(col("n") * col("n") - col("pe_cross"), lit(0L))
+                .cast("double")).as("kappa"))
+    },
+
     // calibration table: per score decile, exact counts and an exact
     // integer-summed mean score vs the empirical positive rate.
     "eval_calibration" -> { (s, dir) =>
@@ -315,6 +373,15 @@ object TrainingQueries extends QueryPack {
         Tables.documents(s, dir)
           .withColumn("size_bucket", floor(col("n_chars") / 100)),
         Seq("source", "size_bucket"), "lang", l = 3)
+    },
+
+    // contribution bounding over the events stream — the DP-prep /
+    // whale-robustness leg of the governance family: cap each user at
+    // 8 events per type (first 8 by event_id, deterministic), report
+    // raw vs bounded exact cent sums and how many users hit the cap.
+    "gov_contrib_bound" -> { (s, dir) =>
+      CorpusOps.contributionBound(Tables.events(s, dir),
+        "user_id", "event_type", "value", "event_id", cap = 8)
     },
 
     // t-closeness audit — the distribution leg of the privacy triad: a
@@ -701,6 +768,25 @@ object TrainingQueries extends QueryPack {
       val docs = Tables.documents(s, dir)
       graft.ops.GraphOps.triangleCount(
         graft.ops.GraphOps.spanEdges(docs, "doc_id", "text"))
+    },
+
+    // HITS over the CONTAINMENT digraph (container → contained): hubs
+    // are aggregator docs quoting many others, authorities the
+    // canonical sources quoted everywhere — the two distinct curation
+    // actions (drop the aggregator / keep one canonical copy) that
+    // symmetric centrality (pagerank on the undirected dup graph)
+    // cannot tell apart. Exact fixed-point rounds, hash-checkable.
+    "graph_hits" -> { (s, dir) =>
+      val cont = Dedup.containmentPairs(Tables.documents(s, dir),
+          "doc_id", "text", threshold = 0.8)
+        .localCheckpoint() // both direction filters read the pair set
+      graft.ops.GraphOps.hits(
+          cont.where(col("c_a") >= 0.8)
+            .select(col("b").as("src"), col("a").as("dst"))
+          .unionAll(cont.where(col("c_b") >= 0.8)
+            .select(col("a").as("src"), col("b").as("dst"))),
+          iters = 3)
+        .withColumnRenamed("id", "doc_id")
     },
 
     // log2-binned degree distribution of the same dup graph — the
@@ -1913,6 +1999,51 @@ object TrainingQueries extends QueryPack {
        |FROM i3""".stripMargin
   }
 
+  /** HITS oracle: containment digraph (container → contained, both
+    * directions of a mutual pair), then 3 unrolled a←Aᵀh / h←Aa rounds
+    * with a max-rescale after EACH matvec (the Spark plan's overflow
+    * discipline). HUGEINT accumulators ≡ Spark's DECIMAL(38,0); every
+    * round CTE is MATERIALIZED (max + rescale both reference it — the
+    * secondPcSql inlining-blowup lesson). */
+  private lazy val hitsSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""za$r AS MATERIALIZED (SELECT n.id, coalesce(x.s, CAST(0 AS HUGEINT)) AS a
+         |  FROM n LEFT JOIN (SELECT de.dst AS id, sum(p.h) AS s
+         |    FROM de JOIN hh${r - 1} p ON de.src = p.id GROUP BY de.dst) x USING (id)),
+         |ma$r AS MATERIALIZED (SELECT greatest(max(a), 1) AS m FROM za$r),
+         |aa$r AS MATERIALIZED (SELECT id, ((a*1000000) - ((a*1000000) % m)) // m AS a
+         |  FROM za$r, ma$r),
+         |zh$r AS MATERIALIZED (SELECT n.id, coalesce(x.s, CAST(0 AS HUGEINT)) AS h
+         |  FROM n LEFT JOIN (SELECT de.src AS id, sum(p.a) AS s
+         |    FROM de JOIN aa$r p ON de.dst = p.id GROUP BY de.src) x USING (id)),
+         |mh$r AS MATERIALIZED (SELECT greatest(max(h), 1) AS m FROM zh$r),
+         |hh$r AS MATERIALIZED (SELECT id, ((h*1000000) - ((h*1000000) % m)) // m AS h
+         |  FROM zh$r, mh$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
+       |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
+       |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS c
+       |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |cont AS MATERIALIZED (SELECT a, b,
+       |    CAST(c AS DOUBLE)/sa.n AS ca, CAST(c AS DOUBLE)/sb.n AS cb
+       |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |  WHERE greatest(CAST(c AS DOUBLE)/sa.n, CAST(c AS DOUBLE)/sb.n) >= 0.8),
+       |de AS MATERIALIZED (SELECT b AS src, a AS dst FROM cont WHERE ca >= 0.8
+       |  UNION ALL SELECT a AS src, b AS dst FROM cont WHERE cb >= 0.8),
+       |n AS MATERIALIZED (SELECT DISTINCT id
+       |  FROM (SELECT src AS id FROM de UNION ALL SELECT dst AS id FROM de)),
+       |hh0 AS (SELECT id, CAST(1000000 AS HUGEINT) AS h FROM n),
+       |$rounds
+       |SELECT CAST(id AS BIGINT) AS doc_id, CAST(hh3.h AS BIGINT) AS hub_scaled,
+       |  CAST(aa3.a AS BIGINT) AS auth_scaled
+       |FROM hh3 JOIN aa3 USING (id)""".stripMargin
+  }
+
   /** LPA CTE chain ending in `j3`(id, label) — shared by the lpa and
     * modularity oracles. */
   private lazy val lpaCtes: String = {
@@ -2331,6 +2462,37 @@ object TrainingQueries extends QueryPack {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+    // ln(rank) terms and their sums are the SAME Scala-computed
+    // literals as the Spark plan; Σy and Σxy fold in rank order via
+    // list(... ORDER BY) + list_reduce (first element as seed ≡
+    // Spark's 0.0 + y1), so both engines add identical doubles in an
+    // identical sequence up to ln(freq)'s last ulp — absorbed at 4dp.
+    "text_zipf" -> {
+      val k = 100
+      val lnArr = TextAnalysis.zipfLnRank(k).map(_.toString)
+        .mkString("[", ",", "]")
+      val sx = TextAnalysis.zipfLnRank(k).sum.toString
+      val sxx = TextAnalysis.zipfLnRank(k).map(x => x * x).sum.toString
+      val slope = s"(CAST(cnt AS DOUBLE) * sxy - ($sx) * sy)" +
+        s" / (CAST(cnt AS DOUBLE) * ($sxx) - ($sx) * ($sx))"
+      s"""WITH top AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word ORDER BY n DESC, word ASC LIMIT $k),
+         |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, word ASC)
+         |         AS rank FROM top),
+         |l AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+         |    list(ln(CAST(n AS DOUBLE)) ORDER BY rank) AS ys,
+         |    list(($lnArr::DOUBLE[])[CAST(rank AS INT)]
+         |         * ln(CAST(n AS DOUBLE)) ORDER BY rank) AS xys
+         |  FROM rk),
+         |s AS (SELECT cnt, list_reduce(ys, (a, b) -> a + b) AS sy,
+         |    list_reduce(xys, (a, b) -> a + b) AS sxy FROM l)
+         |SELECT cnt AS n_terms,
+         |  round(($slope) * 10000) / 10000 AS slope,
+         |  round((sy - ($slope) * ($sx)) / CAST(cnt AS DOUBLE) * 10000)
+         |    / 10000 AS intercept
+         |FROM s""".stripMargin
+    },
     // within-doc repetition: same n-gram enumeration (list-comprehension
     // slices), window count for the dup-coverage branch, distinct covered
     // positions; left joins + coalesce mirror the short-doc guards.
@@ -2598,6 +2760,65 @@ object TrainingQueries extends QueryPack {
          |  ELSE 0.0 END AS ndcg
          |FROM per""".stripMargin
     },
+    // same nn ranking as eval_ndcg; reciprocal rank as the exact
+    // integer 2520/rank (2520 = lcm(1..10) — always divisible).
+    "eval_mrr" ->
+      """WITH nn AS (
+        |  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                 c.vec_id ASC) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 10),
+        |j AS (SELECT nn.query_id, nn.rank, ql.label AS ql, nl.label AS nl
+        |  FROM nn JOIN embeddings ql ON ql.vec_id = nn.query_id
+        |  JOIN embeddings nl ON nl.vec_id = nn.neighbor_id),
+        |per AS (SELECT query_id,
+        |    min(CASE WHEN ql = nl THEN rank END) AS first_rel_rank
+        |  FROM j GROUP BY 1)
+        |SELECT query_id, first_rel_rank,
+        |  coalesce(CAST(2520 // first_rel_rank AS BIGINT), 0) AS rr_x2520
+        |FROM per""".stripMargin,
+    // two raters = kNN label at k=5 vs k=3 (one shared rank<=5 pass;
+    // the k=3 vote reads the rank prefix). kappa is one exact rational.
+    "eval_kappa" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |           label AS ql FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+        |      label AS nl FROM embeddings),
+        |nr AS MATERIALIZED (SELECT query_id, nl, rank FROM (
+        |    SELECT q.query_id, c.nl,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(qv, cv) DESC,
+        |                 c.neighbor_id ASC) AS rank
+        |    FROM q JOIN c ON q.query_id <> c.neighbor_id)
+        |  WHERE rank <= 5),
+        |v5 AS (SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes
+        |       FROM nr GROUP BY 1, 2),
+        |p5 AS (SELECT query_id, nl AS r1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, nl ASC) AS rn FROM v5) WHERE rn = 1),
+        |v3 AS (SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes
+        |       FROM nr WHERE rank <= 3 GROUP BY 1, 2),
+        |p3 AS (SELECT query_id, nl AS r2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, nl ASC) AS rn FROM v3) WHERE rn = 1),
+        |b AS MATERIALIZED (SELECT p5.query_id, r1, r2
+        |                   FROM p5 JOIN p3 USING (query_id)),
+        |m1 AS (SELECT r1 AS cls, CAST(count(*) AS BIGINT) AS n1 FROM b GROUP BY 1),
+        |m2 AS (SELECT r2 AS cls, CAST(count(*) AS BIGINT) AS n2 FROM b GROUP BY 1),
+        |cr AS (SELECT CAST(coalesce(sum(n1 * n2), 0) AS BIGINT) AS pe_cross
+        |       FROM m1 JOIN m2 USING (cls)),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM b)
+        |SELECT n, n_agree, pe_cross,
+        |  round(CAST(n * n_agree - pe_cross AS DOUBLE)
+        |    / nullif(CAST(n * n - pe_cross AS DOUBLE), 0) * 1000000) / 1000000
+        |    AS kappa
+        |FROM ag, cr""".stripMargin,
     "eval_auc" ->
       s"""WITH scored AS (SELECT round(1.0/(1.0 + exp(-z)), 4) AS score,
          |    lang = 'en' AS pos FROM (${clfZSql(", lang")})),
@@ -2632,6 +2853,25 @@ object TrainingQueries extends QueryPack {
         |  count(*) >= 5 AS anonymous,
         |  round(CAST(1.0 AS DOUBLE) / count(*) * 1000000) / 1000000 AS risk
         |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+    "gov_contrib_bound" ->
+      """WITH r AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(x) AS BIGINT) AS raw_cents,
+        |  CAST(sum(CASE WHEN rn <= 8 THEN x
+        |           ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT)
+        |    AS bounded_cents,
+        |  CAST(sum(CASE WHEN rn > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN rn = 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_users_capped,
+        |  round(CAST(sum(CASE WHEN rn <= 8 THEN x
+        |             ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+        |    / nullif(CAST(sum(x) AS DOUBLE), 0) * 1000000) / 1000000
+        |    AS kept_frac
+        |FROM r GROUP BY 1""".stripMargin,
     "gov_ldiv" ->
       """SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
         |  CAST(count(*) AS BIGINT) AS n,
@@ -2964,6 +3204,7 @@ object TrainingQueries extends QueryPack {
          |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin,
     "graph_pagerank" -> pagerankSql,
+    "graph_hits" -> hitsSql,
     "graph_lpa" -> lpaSql,
     "graph_modularity" -> modularitySql,
     "graph_kcore" -> kcoreSql,

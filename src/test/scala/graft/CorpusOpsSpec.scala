@@ -273,4 +273,25 @@ class CorpusOpsSpec extends SparkSpec {
       u == 1L && !f.after(probe) && t.forall(_.after(probe)) }
     assert(hit.map(_._2) === Set("silver"))
   }
+
+  test("contributionBound: whale capped at first-cap rows, others untouched") {
+    // whale user 1: 5 'buy' events of 10.00 each; user 2: 2 events;
+    // user 3: 1 'view' event — cap 3 keeps the whale's FIRST three.
+    val rows = (1 to 5).map(i => (1L, "buy", 10.00, i.toLong)) ++
+      Seq((2L, "buy", 5.00, 10L), (2L, "buy", 5.00, 11L),
+        (3L, "view", 2.00, 12L))
+    val df = rows.toDF("user_id", "event_type", "value", "event_id")
+    val got = CorpusOps.contributionBound(df, "user_id", "event_type",
+        "value", "event_id", cap = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val buy = got("buy")
+    assert(buy.getLong(1) === 7L)          // n_events
+    assert(buy.getLong(2) === 6000L)       // raw cents: 5*1000 + 2*500
+    assert(buy.getLong(3) === 4000L)       // bounded: 3*1000 + 2*500
+    assert(buy.getLong(4) === 2L)          // dropped rows (whale's 4th, 5th)
+    assert(buy.getLong(5) === 1L)          // exactly one user capped
+    val view = got("view")
+    assert(view.getLong(2) === view.getLong(3) && view.getLong(5) === 0L)
+    assert(view.getDouble(6) === 1.0)      // kept_frac untouched
+  }
 }

@@ -107,4 +107,18 @@ class EvalTextSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("zipfSlope: a planted 1/rank corpus fits slope -1, intercept ln(top)") {
+    // token w<i> appears floor(1200/i) times — exact Zipf with s = 1.
+    // One doc per occurrence keeps the fixture trivially tokenizable.
+    val docs = (1 to 30).flatMap { i =>
+      val n = 1200 / i
+      (1 to n).map(j => (i * 10000L + j, s"w$i"))
+    }.toDF("doc_id", "text")
+    val r = TextAnalysis.zipfSlope(docs, "text", k = 30).collect()(0)
+    assert(r.getLong(0) === 30L)
+    // floor() quantization wiggles the fit slightly around -1
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 0.01, r.getDouble(1))
+    assert(math.abs(r.getDouble(2) - math.log(1200.0)) < 0.02, r.getDouble(2))
+  }
 }

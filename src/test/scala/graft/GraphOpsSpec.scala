@@ -170,4 +170,23 @@ class GraphOpsSpec extends SparkSpec {
     val rc = GraphOps.modularity(g, badSplit, "id").collect()(0)
     assert(r.getDouble(3) > rc.getDouble(3))
   }
+
+  test("hits: bipartite hub/authority separation, scaled max = 1e6") {
+    // hub 1 → {10, 11, 12}; hub 2 → {10, 11}; weak hub 3 → {13};
+    // pure authorities never link out, pure hubs are never linked to.
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (3L, 13L)).toDF("src", "dst")
+    val got = GraphOps.hits(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === 7)
+    // the best hub hits the rescale ceiling; ordering follows coverage
+    assert(got(1L)._1 === 1000000L)
+    assert(got(1L)._1 > got(2L)._1 && got(2L)._1 > got(3L)._1)
+    // authorities: quoted-by-both {10,11} top and tie, 12 next, 13 last
+    assert(got(10L)._2 === 1000000L && got(10L)._2 === got(11L)._2)
+    assert(got(11L)._2 > got(12L)._2 && got(12L)._2 > got(13L)._2)
+    // pure hubs have zero authority, pure authorities zero hubness
+    assert(Seq(1L, 2L, 3L).forall(got(_)._2 === 0L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_)._1 === 0L))
+  }
 }
