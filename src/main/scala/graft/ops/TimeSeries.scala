@@ -608,4 +608,67 @@ object TimeSeries {
     * helper serializable-free). */
   private def spark_range_lags(like: DataFrame, maxLag: Int): DataFrame =
     like.sparkSession.range(maxLag + 1L).select(col("id").cast("long").as("lag"))
+
+  /** Banded EXACT matrix profile over the hourly grid (Yeh et al. 2016,
+    * the motif/discord primitive, restated relationally): for every
+    * length-`subLen` subsequence of each key's hourly-count series, the
+    * squared Euclidean distance to its nearest neighbor among
+    * subsequences `minLag..maxLag` hours away, either direction. Low
+    * mp2 = motif (a repeated shape — e.g. the daily cycle repeating),
+    * high mp2 = discord (the series' most anomalous window — the
+    * subsequence-level generalization of ts_anomaly's pointwise
+    * z-score). The band does double duty: it is the O(T·band) cost cap
+    * (full matrix profile is O(T²)) AND the exclusion zone that keeps a
+    * subsequence from trivially matching its own overlap — the
+    * ts_theil_sen banding argument applied to distances.
+    *
+    * Exactness: distances on integer hourly counts — d_t = (x_t −
+    * x_{t+lag})² per lag, dist²(i, i+lag) = Σ_{t∈[i, i+subLen)} d_t, a
+    * rolling BIGINT sum (exact while hourly deltas < 6·10⁸, i.e. until
+    * d2·subLen crosses 2⁶³; cents-grade exact at any realistic rate).
+    * The nearest neighbor ties break by SIGNED lag ascending
+    * (backward match preferred) — a total order both engines share.
+    *
+    * Scale shape: the |lags|-way fan-out joins grid rows (key-hour
+    * aggregates, not raw events); the rolling sum is one window sort
+    * per (key, lag) partition — T rows each, parallel across the
+    * key×lag grid, never a global sort; the endpoint union doubles a
+    * banded table. Nothing touches raw-event cardinality past the
+    * hourly aggregate. */
+  def matrixProfile(events: DataFrame, keyCol: String, tsCol: String,
+                    subLen: Int = 24, minLag: Int = 12,
+                    maxLag: Int = 48): DataFrame = {
+    val series = resample(events, keyCol, tsCol, "value")
+      .select(col(keyCol).as("k"),
+        (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+          .cast("long").as("h"),
+        col("n"))
+      .localCheckpoint() // both sides of the lag join
+    val a = series.crossJoin(
+      spark_range_lags(series, maxLag).where(col("lag") >= minLag))
+    val b = series.select(col("k").as("kb"), col("h").as("hb"),
+      col("n").as("y"))
+    val d = a.join(b,
+        col("kb") === col("k") && col("hb") === col("h") + col("lag"))
+      .select(col("k"), col("lag"), col("h"),
+        ((col("n") - col("y")) * (col("n") - col("y"))).as("d2"))
+    val w = Window.partitionBy(col("k"), col("lag")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, subLen - 1)
+    // the grid is contiguous per key (resample gap-fills), so a frame
+    // holding exactly subLen rows IS the [h, h+subLen) hour window
+    val dist = d
+      .select(col("k"), col("lag"), col("h"),
+        sum(col("d2")).over(w).as("dist2"),
+        count(lit(1)).over(w).as("m"))
+      .where(col("m") === subLen)
+      .localCheckpoint() // both endpoint assignments read it
+    dist.select(col("k"), col("h").as("i"), col("dist2"),
+        col("lag").as("nn_lag"))
+      .unionAll(dist.select(col("k"), (col("h") + col("lag")).as("i"),
+        col("dist2"), (-col("lag")).as("nn_lag")))
+      .groupBy(col("k"), col("i"))
+      .agg(min(struct(col("dist2"), col("nn_lag"))).as("s"))
+      .select(col("k").as(keyCol), col("i").as("h"),
+        col("s.dist2").as("mp2"), col("s.nn_lag").as("nn_lag"))
+  }
 }

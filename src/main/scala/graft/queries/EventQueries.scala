@@ -420,6 +420,17 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // banded exact matrix profile of each type's hourly series: per
+    // 24 h subsequence, squared distance to its nearest neighbor 12–48 h
+    // away — low = motif (repeated shape), high = discord (the most
+    // anomalous window, the subsequence-level ts_anomaly). Exact BIGINT
+    // rolling sums; the band is both the O(T·48) cost cap and the
+    // trivial-match exclusion zone.
+    "ts_motif" -> { (s, dir) =>
+      graft.ops.TimeSeries.matrixProfile(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // Spearman rank correlation between per-user activity (event count)
     // and per-user total spend — the monotone-association test that
     // ignores the spend distribution's heavy tail. Tie-averaged ranks
@@ -745,6 +756,38 @@ object EventQueries extends QueryPack {
             (lit(2L) * col("rx") - (col("n_users") + 1L) * col("total"))
               .cast("double") /
               (col("n_users") * col("total")).cast("double")).as("gini"))
+    },
+
+    // Benford first-digit audit over spend cents — the classic
+    // fabricated-data detector (organic amounts follow log₁₀(1+1/d);
+    // synthetic or capped values don't): exact per-digit counts, the
+    // expected Benford mass as a Scala-injected literal (identical in
+    // both engines), and the absolute deviation per digit. The
+    // validation-family companion to validate_events' domain rules.
+    "ev_benford" -> { (s, dir) =>
+      val benford = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+      val bArr = array(benford.map(lit): _*)
+      val digits = Tables.events(s, dir)
+        .select((col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").as("x"))
+        .where(col("x") > 0)
+        .select(substring(col("x").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // 9 rows; the total agg must not rescan events
+      val frac = col("n").cast("double") / col("tot").cast("double")
+      digits.crossJoin(broadcast(digits.agg(sum(col("n")).as("tot"))))
+        .select(col("digit").cast("long").as("digit"), col("n"),
+          graft.ops.TimeSeries.portableRound6(frac).as("frac"),
+          // 6dp: DuckDB parses the injected literal through a decimal
+          // intermediate and lands one ulp off the Scala double — the
+          // one case the raw-literal trick doesn't cover (ndcg's
+          // literals always flow into a rounded product; this column
+          // is output bare)
+          graft.ops.TimeSeries.portableRound6(
+            element_at(bArr, col("digit"))).as("expected"),
+          graft.ops.TimeSeries.portableRound6(
+            abs(frac - element_at(bArr, col("digit")))).as("dev"))
     },
 
     // time-to-conversion distribution: each click's lag to its user's
@@ -1137,6 +1180,34 @@ object EventQueries extends QueryPack {
          |        / sqrt(den2) * 1000000) / 1000000
          |  END AS r
          |FROM v""".stripMargin,
+
+    // same hourly grid as ts_acf; rolling 24-term BIGINT window sums
+    // per (key, lag), complete-window filter, both-endpoint union, and
+    // the (dist2, signed-lag) arg-min — all exact integers.
+    "ts_motif" ->
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k,
+         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+         |aa AS (SELECT k, h, n AS x, lag
+         |  FROM sr, (SELECT unnest(range(12, 49)) AS lag)),
+         |dd AS (SELECT aa.k, aa.lag, aa.h,
+         |    (aa.x - b.n) * (aa.x - b.n) AS d2
+         |  FROM aa JOIN sr b ON b.k = aa.k AND b.h = aa.h + aa.lag),
+         |rs AS (SELECT k, lag, h,
+         |    sum(d2) OVER (PARTITION BY k, lag ORDER BY h
+         |      ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS dist2,
+         |    count(*) OVER (PARTITION BY k, lag ORDER BY h
+         |      ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS m
+         |  FROM dd),
+         |fw AS MATERIALIZED (SELECT k, lag, h, CAST(dist2 AS BIGINT) AS dist2
+         |  FROM rs WHERE m = 24),
+         |u AS (SELECT k, h AS i, dist2, lag AS nn_lag FROM fw
+         |  UNION ALL SELECT k, h + lag AS i, dist2, -lag AS nn_lag FROM fw),
+         |p AS (SELECT k, i, dist2, nn_lag, row_number() OVER (
+         |    PARTITION BY k, i ORDER BY dist2 ASC, nn_lag ASC) AS rn FROM u)
+         |SELECT k AS event_type, CAST(i AS BIGINT) AS h,
+         |  CAST(dist2 AS BIGINT) AS mp2, CAST(nn_lag AS BIGINT) AS nn_lag
+         |FROM p WHERE rn = 1""".stripMargin,
 
     "stat_kendall" ->
       """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x,
@@ -1642,6 +1713,23 @@ object EventQueries extends QueryPack {
         |  round(sl[24] * 10000) / 10000 AS seasonal,
         |  round((level + trend + sl[1]) * 10000) / 10000 AS forecast_next
         |FROM r""".stripMargin,
+    "ev_benford" -> {
+      val bl = (1 to 9).map(d => math.log10(1.0 + 1.0 / d).toString)
+        .mkString("[", ",", "]")
+      s"""WITH d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT)
+         |    AS digit
+         |  FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |          AS DECIMAL(38,0)) AS x FROM events)
+         |  WHERE x > 0),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+         |SELECT CAST(digit AS BIGINT) AS digit, n,
+         |  round(CAST(n AS DOUBLE) / tot * 1000000) / 1000000 AS frac,
+         |  round(($bl::DOUBLE[])[digit] * 1000000) / 1000000 AS expected,
+         |  round(abs(CAST(n AS DOUBLE) / tot - ($bl::DOUBLE[])[digit])
+         |    * 1000000) / 1000000 AS dev
+         |FROM g, t""".stripMargin
+    },
     "ev_gini" ->
       """WITH c AS (SELECT user_id,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents

@@ -142,4 +142,40 @@ class TimeSeries2Spec extends SparkSpec {
       .toDF("id", "media", "mime", "source", "n_bytes")
     assert(Multimodal.pcmVadSegments(flat).collect().isEmpty)
   }
+
+  test("matrixProfile matches the sequential banded reference; discord tops") {
+    // period-4 hourly counts with one planted discord at hour 9
+    val base = Array(3L, 1L, 2L, 1L)
+    val xs = Array.tabulate(20)(h => if (h == 9) 7L else base(h % 4))
+    val (sub, lo, hi) = (4, 4, 8)
+    // sequential banded profile, tie order (dist2 asc, signed lag asc)
+    val ref = scala.collection.mutable.Map[Int, (Long, Long)]()
+    for (i <- 0 to xs.length - sub; lag <- lo to hi; if i + lag + sub <= xs.length) {
+      val j = i + lag
+      val d = (0 until sub).map { k =>
+        val df = xs(i + k) - xs(j + k); df * df
+      }.sum
+      for ((p, sl) <- Seq((i, lag.toLong), (j, -lag.toLong))) {
+        val better = ref.get(p).forall { case (bd, bl) =>
+          d < bd || (d == bd && sl < bl) }
+        if (better) ref(p) = (d, sl)
+      }
+    }
+    val events = xs.zipWithIndex.flatMap { case (n, h) =>
+      (1L to n).map(r => ("a", f"2024-01-01 $h%02d:30:00", 1.0))
+    }
+    val got = TimeSeries.matrixProfile(ev(events.toIndexedSeq: _*), "k", "t",
+        subLen = sub, minLag = lo, maxLag = hi)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    val h0 = got.keys.min
+    assert(got.size === ref.size)
+    ref.foreach { case (i, v) =>
+      assert(got(h0 + i) === v, s"window $i: got ${got(h0 + i)}, want $v")
+    }
+    // periodic windows away from the discord are perfect motifs (mp2=0);
+    // the worst window overlaps the planted discord hour
+    assert(ref.collect { case (i, (0L, _)) => i }.nonEmpty)
+    val worst = ref.maxBy { case (_, (d, _)) => d }._1
+    assert(worst <= 9 && worst + sub > 9, s"discord window $worst")
+  }
 }
