@@ -126,7 +126,17 @@ object ScaleCurve {
     "sim_nprobe_sweep", "corpus_epoch_order",
     // yield funnel: fingerprint agg + span-coverage window (the
     // dupFraction family) over the survivors
-    "curate_funnel")
+    "curate_funnel",
+    // twelfth wave: HITS on the containment digraph (posting core +
+    // fixed-point rounds — tracks dedup_contain then |edges| per
+    // round), banded matrix profile (grid×band rolling windows — FLAT
+    // past the hourly agg), second PC (two power loops on ONE Gram
+    // checkpoint — tracks emb_top_pc), Zipf fit (one token agg + k-row
+    // fold — tracks text_heaps), contribution bounding (one user-window
+    // shuffle — linear), Benford (one hash-agg — FLAT), MRR (50-query
+    // broadcast probe — tracks eval_ndcg)
+    "graph_hits", "ts_motif", "emb_top2_pc", "text_zipf",
+    "gov_contrib_bound", "ev_benford", "eval_mrr")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

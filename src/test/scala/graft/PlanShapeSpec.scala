@@ -516,4 +516,40 @@ class PlanShapeSpec extends SparkSpec {
     // xcorr's pair join is tiny-side broadcast, never a corpus sort-merge
     assert(!plan("ts_xcorr").contains("SortMergeJoin"), plan("ts_xcorr"))
   }
+
+  test("matrix profile: endpoint union reads the checkpointed distance table") {
+    // the lag fan-out, rolling windows, and complete-window filter all
+    // sit behind the dist localCheckpoint — the final plan must be just
+    // the two-endpoint union + min-agg over ExistingRDD, with raw
+    // events long gone and no cartesian anywhere
+    val p = plan("ts_motif")
+    assert(countOf(p, "Scan parquet") == 0, s"ts_motif must not rescan raw:\n$p")
+    assert(countOf(p, "Scan ExistingRDD") == 2, p) // both endpoint reads
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOf(p, "Exchange") <= 1, s"one agg shuffle only:\n$p")
+    // the window stage itself partitions by (k, lag) — a parallel
+    // window, never the one-task global sort a bare orderBy would plan
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("HITS: per-round vector joins never sort-merge the rank tables") {
+    val p = plan("graph_hits")
+    // max-rescale is a 1-row broadcast per round, not a shuffle of the vector
+    assert(countOf(p, "BroadcastNestedLoopJoin") >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("benford/zipf/contribution-bound keep their scan discipline") {
+    // benford: digit agg scans once; total is a 1-row broadcast over the
+    // checkpointed 9-row table — raw events must not be rescanned
+    val pb = plan("ev_benford")
+    assert(countOf(pb, "Scan parquet") == 0, s"benford reruns the scan:\n$pb")
+    // contribution bound: one (user,type) window shuffle + one hash-agg
+    val pc = plan("gov_contrib_bound")
+    assert(countOf(pc, "Scan parquet") == 1, pc)
+    assert(!pc.contains("Join"), s"gov_contrib_bound needs no join:\n$pc")
+    // zipf: vocabulary top-k is TakeOrdered, never a global vocab sort
+    val pz = plan("text_zipf")
+    assert(pz.contains("TakeOrderedAndProject"), pz)
+  }
 }
