@@ -336,4 +336,49 @@ object GraphOps {
       .select(col("id"), col("h").cast("long").as("hub_scaled"),
         col("a").cast("long").as("auth_scaled"))
   }
+
+  /** Bounded-radius closeness centrality: per node, how many nodes sit
+    * at distance exactly 1, 2, …, `radius`, the exact distance sum, and
+    * closeness = reach/Σd — the "how central is this doc inside its dup
+    * neighborhood" number that finishes the centrality family (degree →
+    * histogram, influence → PageRank, roles → HITS, locality → this).
+    * Full closeness needs all-pairs shortest paths; the radius bound is
+    * the standard scale cut (Wasserman & Faust's k-step reach), and at
+    * radius 3 it already separates chain middles from chain ends and
+    * clique members from bridges.
+    *
+    * BFS restated relationally: frontier ⋈ edges per level, min-dist
+    * kept by an anti-join against everything already reached —
+    * distinct, monotone, and exact (no float, hash-checks anywhere).
+    *
+    * Scale shape: level d costs Σ_{frontier} deg — bounded by the same
+    * hot-span cap that bounds the dup graph's degree (the
+    * neighborhoodJaccard cost argument); each level is one join + one
+    * distinct + one anti-join, all on (v, u) pairs, nothing on the
+    * corpus. Frontiers are lineage-cut per level (the connected-
+    * components contract: local checkpoints here, durable on a
+    * cluster). */
+  def closeness(edges: DataFrame, radius: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var reach = e.select(col("src").as("v"), col("dst").as("u"),
+      lit(1).as("d")).distinct().localCheckpoint()
+    var frontier = reach
+    for (d <- 2 to radius) {
+      val grown = frontier.join(e.withColumnRenamed("src", "u"), "u")
+        .where(col("dst") =!= col("v"))
+        .select(col("v"), col("dst").as("u")).distinct()
+        .join(reach.select(col("v"), col("u")), Seq("v", "u"), "left_anti")
+        .select(col("v"), col("u"), lit(d).as("d"))
+        .localCheckpoint() // next frontier + the reach union both read it
+      reach = reach.unionAll(grown).localCheckpoint()
+      frontier = grown
+    }
+    val levels = (1 to radius).map(d =>
+      sum(when(col("d") === d, 1L).otherwise(0L)).as(s"n$d"))
+    reach.groupBy(col("v").as("id"))
+      .agg(levels.head, levels.tail :+
+        count(lit(1)).as("n_reach") :+ sum(col("d")).as("sum_dist"): _*)
+      .withColumn("closeness", TimeSeries.portableRound6(
+        col("n_reach").cast("double") / col("sum_dist").cast("double")))
+  }
 }

@@ -789,6 +789,18 @@ object TrainingQueries extends QueryPack {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // bounded-radius closeness over the dup graph — the locality leg
+    // of the centrality family (degree/PageRank/HITS/this): per doc,
+    // exact counts at distance 1/2/3, distance sum, and reach/Σd.
+    // Chain middles and clique members separate from bridges without
+    // all-pairs shortest paths.
+    "graph_closeness" -> { (s, dir) =>
+      graft.ops.GraphOps.closeness(
+          graft.ops.GraphOps.spanEdges(Tables.documents(s, dir),
+            "doc_id", "text"), radius = 3)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // log2-binned degree distribution of the same dup graph — the
     // structural audit run BEFORE graph-driven dedup: a heavy tail
     // means boilerplate hubs, and the bin boundary is exact (binary
@@ -3205,6 +3217,35 @@ object TrainingQueries extends QueryPack {
          |WHERE l.doc_id < r.doc_id""".stripMargin,
     "graph_pagerank" -> pagerankSql,
     "graph_hits" -> hitsSql,
+    // unrolled 3-level BFS: frontier⋈edges per level, LEFT-JOIN-IS-NULL
+    // anti against everything reached — every level MATERIALIZED (each
+    // is read by the next frontier AND the union).
+    "graph_closeness" ->
+      s"""WITH $spanEdgeCtes,
+         |r1 AS MATERIALIZED (SELECT DISTINCT src AS v, dst AS u FROM edges),
+         |f2 AS MATERIALIZED (SELECT DISTINCT r.v, e.dst AS u
+         |  FROM r1 r JOIN edges e ON e.src = r.u WHERE e.dst <> r.v),
+         |n2c AS MATERIALIZED (SELECT f2.v, f2.u FROM f2
+         |  LEFT JOIN r1 ON r1.v = f2.v AND r1.u = f2.u WHERE r1.v IS NULL),
+         |f3 AS MATERIALIZED (SELECT DISTINCT n.v, e.dst AS u
+         |  FROM n2c n JOIN edges e ON e.src = n.u WHERE e.dst <> n.v),
+         |r12 AS MATERIALIZED (SELECT v, u FROM r1
+         |  UNION ALL SELECT v, u FROM n2c),
+         |n3c AS MATERIALIZED (SELECT f3.v, f3.u FROM f3
+         |  LEFT JOIN r12 ON r12.v = f3.v AND r12.u = f3.u
+         |  WHERE r12.v IS NULL),
+         |allr AS (SELECT v, u, 1 AS d FROM r1
+         |  UNION ALL SELECT v, u, 2 AS d FROM n2c
+         |  UNION ALL SELECT v, u, 3 AS d FROM n3c)
+         |SELECT v AS doc_id,
+         |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |  CAST(count(*) AS BIGINT) AS n_reach,
+         |  CAST(sum(d) AS BIGINT) AS sum_dist,
+         |  round(CAST(count(*) AS DOUBLE) / sum(d) * 1000000) / 1000000
+         |    AS closeness
+         |FROM allr GROUP BY v""".stripMargin,
     "graph_lpa" -> lpaSql,
     "graph_modularity" -> modularitySql,
     "graph_kcore" -> kcoreSql,

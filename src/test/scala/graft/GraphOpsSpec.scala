@@ -171,6 +171,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getDouble(3) > rc.getDouble(3))
   }
 
+  test("closeness: star center maximal; chain levels count exactly") {
+    // star 1-{2,3,4,5} plus a tail 5-6-7: center 1 sees everything in
+    // ≤3 hops; leaf 7 walks the chain
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (5L, 6L), (6L, 7L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = GraphOps.closeness(edges, radius = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    // center: 4 at d1 (incl. 5), 6 at d2, 7 at d3 → reach 6, Σd 4+2+3;
+    // closeness is the 6dp-rounded 6/9
+    assert(got(1L) === ((4L, 1L, 1L, 6L, 9L, 0.666667)))
+    // leaf 7: 6 at d1, 5 at d2, 1 at d3 → reach 3, Σd 6
+    assert(got(7L) === ((1L, 1L, 1L, 3L, 6L, 0.5)))
+    // star leaf 2: 1 at d1, {3,4,5} at d2, 6 at d3 → reach 5, Σd 1+6+3
+    assert(got(2L) === ((1L, 3L, 1L, 5L, 10L, 0.5)))
+    // the center's closeness tops every other node
+    assert(got.values.map(_._6).max === got(1L)._6)
+  }
+
   test("hits: bipartite hub/authority separation, scaled max = 1e6") {
     // hub 1 → {10, 11, 12}; hub 2 → {10, 11}; weak hub 3 → {13};
     // pure authorities never link out, pure hubs are never linked to.
