@@ -635,6 +635,58 @@ object TimeSeries {
     * key×lag grid, never a global sort; the endpoint union doubles a
     * banded table. Nothing touches raw-event cardinality past the
     * hourly aggregate. */
+  /** SAX-style shape census — the SCALE PATH beside [[matrixProfile]]'s
+    * exact band (the LSH-vs-exact-verify pattern of the dedup family,
+    * restated for motifs): non-overlapping `windowHours` windows per
+    * key, each summarized as a `segments`-bit SHAPE WORD (bit j set ⇔
+    * segment j's count sum exceeds the window mean — the exact,
+    * z-norm-free analogue of SAX's symbolization), then a census of
+    * identical words. A word with many windows is a recurring daily
+    * shape; a word seen once is a shape-level discord candidate worth
+    * the exact profile's attention.
+    *
+    * Everything is hash-agg arithmetic on exact integers — window
+    * index and segment index are floor divisions off the key's anchor
+    * hour, the above-mean test is `segments·s_j > total` (integer, no
+    * division), and the census is one more hash-agg. NO window
+    * functions, NO joins past the |keys|-row anchor broadcast and the
+    * per-window totals join: at any corpus size the cost past the
+    * hourly aggregate is |keys|·T rows through three hash-aggs. */
+  def shapeCensus(events: DataFrame, keyCol: String, tsCol: String,
+                  windowHours: Int = 24, segments: Int = 4): DataFrame = {
+    require(windowHours % segments == 0, "segments must divide windowHours")
+    val segLen = windowHours / segments
+    val series = resample(events, keyCol, tsCol, "value")
+      .select(col(keyCol).as("k"),
+        (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+          .cast("long").as("h"),
+        col("n"))
+      .localCheckpoint() // anchor agg + the segment join both read it
+    val anchors = series.groupBy(col("k")).agg(min(col("h")).as("h0"))
+    val seg = series.join(broadcast(anchors), "k")
+      .select(col("k"),
+        // Spark's `/` on longs is double division — exact below 2⁵³,
+        // and cast("long") floors the non-negative offsets
+        ((col("h") - col("h0")) / windowHours).cast("long").as("win"),
+        (((col("h") - col("h0")) % windowHours) / segLen).cast("long")
+          .as("sidx"),
+        col("n"))
+      .groupBy(col("k"), col("win"), col("sidx"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("hours"))
+      .localCheckpoint() // window totals + the word fold both read it
+    val totals = seg.groupBy(col("k"), col("win"))
+      .agg(sum(col("s")).as("total"), sum(col("hours")).as("nh"))
+    seg.join(totals, Seq("k", "win"))
+      .where(col("nh") === windowHours) // complete windows only
+      .groupBy(col("k"), col("win"))
+      .agg(sum(when(lit(segments.toLong) * col("s") > col("total"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(sidx AS INT))"))
+        .otherwise(0L)).as("word"))
+      .groupBy(col("k").as(keyCol), col("word"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("win")).as("first_win"), max(col("win")).as("last_win"))
+  }
+
   def matrixProfile(events: DataFrame, keyCol: String, tsCol: String,
                     subLen: Int = 24, minLag: Int = 12,
                     maxLag: Int = 48): DataFrame = {

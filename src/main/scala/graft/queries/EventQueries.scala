@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.Tables
+import graft.ops.{CorpusOps, Tables}
 
 /** Event-stream analytics over the `events` table — the query patterns a
   * numaflow-style event pipeline feeds downstream (funnels, cohorts).
@@ -756,6 +756,35 @@ object EventQueries extends QueryPack {
             (lit(2L) * col("rx") - (col("n_users") + 1L) * col("total"))
               .cast("double") /
               (col("n_users") * col("total")).cast("double")).as("gini"))
+    },
+
+    // SAX-style shape census — ts_motif's SCALE PATH (the LSH-vs-exact
+    // pattern for motifs): non-overlapping 24 h windows as 4-bit shape
+    // words (bit j ⇔ segment j above window mean, the exact z-norm-free
+    // symbolization), censused per type. Pure hash-agg arithmetic —
+    // no window functions, nothing past the hourly aggregate.
+    "ts_shapes" -> { (s, dir) =>
+      graft.ops.TimeSeries.shapeCensus(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
+    // DP-histogram plumbing: per-type event counts + calibrated
+    // Laplace(1/ε) noise, ε=1 — the noise leg that composes with
+    // gov_contrib_bound's bounded sensitivity. The noise draw is a
+    // DETERMINISTIC stand-in (inverse-CDF over the md5 unit hash of
+    // the key, so the oracle replays it bit for bit — the multimodal
+    // stub discipline); production swaps the hash for secure
+    // randomness, the calibration math is the real thing.
+    "gov_dp_hist" -> { (s, dir) =>
+      val eps = 1.0
+      val u = CorpusOps.unitHash(col("event_type"))
+      val noise = lit(-1.0 / eps) * signum(u - 0.5) *
+        log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+        .select(col("event_type"), col("n_true"),
+          (round(noise * 10000) / 10000).as("noise"),
+          (round((col("n_true") + noise) * 10000) / 10000).as("n_noisy"))
     },
 
     // Benford first-digit audit over spend cents — the classic
@@ -1713,6 +1742,45 @@ object EventQueries extends QueryPack {
         |  round(sl[24] * 10000) / 10000 AS seasonal,
         |  round((level + trend + sl[1]) * 10000) / 10000 AS forecast_next
         |FROM r""".stripMargin,
+    // same hourly grid; window/segment indices by floor division off
+    // the per-key anchor; above-mean bits via 4*s > total (no division);
+    // the DuckDB shift needs the BIGINT-cast base (the `1 << 52` trap).
+    "ts_shapes" ->
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k,
+         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+         |h0 AS (SELECT k, min(h) AS h0 FROM sr GROUP BY 1),
+         |seg AS (SELECT sr.k, (h - h0) // 24 AS win,
+         |    ((h - h0) % 24) // 6 AS sidx,
+         |    CAST(sum(n) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS hours
+         |  FROM sr JOIN h0 ON sr.k = h0.k GROUP BY 1, 2, 3),
+         |w1 AS (SELECT k, win, CAST(sum(s) AS BIGINT) AS total,
+         |    CAST(sum(hours) AS BIGINT) AS nh FROM seg GROUP BY 1, 2),
+         |wd AS (SELECT seg.k, seg.win,
+         |    CAST(sum(CASE WHEN 4 * seg.s > w1.total
+         |      THEN (CAST(1 AS BIGINT) << CAST(sidx AS INT)) ELSE 0 END)
+         |      AS BIGINT) AS word
+         |  FROM seg JOIN w1 USING (k, win)
+         |  WHERE w1.nh = 24 GROUP BY 1, 2)
+         |SELECT k AS event_type, word, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(min(win) AS BIGINT) AS first_win,
+         |  CAST(max(win) AS BIGINT) AS last_win
+         |FROM wd GROUP BY 1, 2""".stripMargin,
+
+    "gov_dp_hist" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT event_type, n_true,
+        |    -1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+        |  FROM (SELECT event_type, n_true,
+        |      CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT)
+        |        / 4294967296.0 AS u
+        |    FROM g))
+        |SELECT event_type, n_true,
+        |  round(noise * 10000) / 10000 AS noise,
+        |  round((n_true + noise) * 10000) / 10000 AS n_noisy
+        |FROM z""".stripMargin,
+
     "ev_benford" -> {
       val bl = (1 to 9).map(d => math.log10(1.0 + 1.0 / d).toString)
         .mkString("[", ",", "]")

@@ -143,6 +143,22 @@ class TimeSeries2Spec extends SparkSpec {
     assert(Multimodal.pcmVadSegments(flat).collect().isEmpty)
   }
 
+  test("shapeCensus: identical days share a word, the odd day stands alone") {
+    // days 0,1: morning burst (segment 0 hot) → word 1; day 2: evening
+    // burst (segment 3 hot) → word 8. Counts per hour planted exactly.
+    def dayCounts(hotSeg: Int): Seq[Long] =
+      (0 until 24).map(h => if (h / 6 == hotSeg) 3L else 1L)
+    val xs = dayCounts(0) ++ dayCounts(0) ++ dayCounts(3)
+    val events = xs.zipWithIndex.flatMap { case (n, h) =>
+      (1L to n).map(_ => ("a", f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:15:00", 1.0))
+    }
+    val got = TimeSeries.shapeCensus(ev(events.toIndexedSeq: _*), "k", "t")
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(1L -> ((2L, 0L, 1L)), 8L -> ((1L, 2L, 2L))))
+  }
+
   test("matrixProfile matches the sequential banded reference; discord tops") {
     // period-4 hourly counts with one planted discord at hour 9
     val base = Array(3L, 1L, 2L, 1L)
