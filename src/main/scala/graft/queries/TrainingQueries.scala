@@ -154,6 +154,27 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
     },
 
+    // per-source OOV rate against the global top-1000 vocabulary — the
+    // tokenizer-fit diagnostic (a source whose tokens mostly fall
+    // outside the head vocabulary will fragment into subwords and eat
+    // context budget; it's also the first smell of a language/domain
+    // mismatch). Vocab is a TakeOrdered 1000-row broadcast; the corpus
+    // pass is one scan + one left-join against it — no vocab-sized
+    // shuffle of the token stream.
+    "vocab_oov" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val top = TextAnalysis.vocabTop(docs, "text", 1000)
+        .select(col("word"), lit(1L).as("inv"))
+      docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(top), Seq("word"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          TimeSeries.portableRound6(col("n_oov").cast("double") /
+            col("n_tokens").cast("double")).as("oov_frac"))
+    },
+
     // Zipf-law fit over the top-100 vocabulary: OLS slope of ln(freq)
     // on ln(rank) — the corpus-health summary statistic beside
     // text_heaps' growth curve (slope ≈ −1 healthy; shallow = head
@@ -344,6 +365,38 @@ object TrainingQueries extends QueryPack {
             (col("n") * col("n_agree") - col("pe_cross")).cast("double") /
               nullif(col("n") * col("n") - col("pe_cross"), lit(0L))
                 .cast("double")).as("kappa"))
+    },
+
+    // Krippendorff's alpha (nominal, two raters) over the same rater
+    // pair — kappa's sibling that corrects by the POOLED label
+    // distribution with the small-sample (N−1) term instead of the
+    // per-rater marginals; reporting both is the standard agreement
+    // card. α = 1 − Do/De collapses to the exact integer ratio
+    // 1 − n_dis·N·(N−1) / (n·(N(N−1) − Σ_c n_c(n_c−1))), N = 2n.
+    "eval_krippendorff" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 50)
+      val both = Similarity.knnLabel(emb, q, "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("predicted").as("r1"))
+        .join(Similarity.knnLabel(emb, q, "vec_id", "embedding", "label", k = 3)
+          .select(col("query_id"), col("predicted").as("r2")), "query_id")
+        .localCheckpoint() // pooled counts + the disagreement agg
+      val pooled = both.select(col("r1").as("c"))
+        .unionAll(both.select(col("r2").as("c")))
+        .groupBy(col("c")).agg(count(lit(1)).as("nc"))
+        .agg(sum(col("nc") * (col("nc") - 1L)).as("pe_pairs"))
+      both.agg(count(lit(1)).as("n"),
+          sum(when(col("r1") =!= col("r2"), 1L).otherwise(0L))
+            .as("n_disagree"))
+        .crossJoin(broadcast(pooled))
+        .select(col("n"), col("n_disagree"),
+          coalesce(col("pe_pairs"), lit(0L)).as("pe_pairs"),
+          TimeSeries.portableRound6(lit(1.0) -
+            (col("n_disagree") * lit(2L) * col("n") *
+              (lit(2L) * col("n") - 1L)).cast("double") /
+              nullif(col("n") * (lit(2L) * col("n") *
+                (lit(2L) * col("n") - 1L) - col("pe_pairs")), lit(0L))
+                .cast("double")).as("alpha"))
     },
 
     // calibration table: per score decile, exact counts and an exact
@@ -2474,6 +2527,19 @@ object TrainingQueries extends QueryPack {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+    "vocab_oov" ->
+      """WITH top AS (SELECT word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 1000),
+        |tok AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN top.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(sum(CASE WHEN top.word IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) * 1000000) / 1000000 AS oov_frac
+        |FROM tok LEFT JOIN top ON tok.word = top.word
+        |GROUP BY source""".stripMargin,
     // ln(rank) terms and their sums are the SAME Scala-computed
     // literals as the Spark plan; Σy and Σxy fold in rank order via
     // list(... ORDER BY) + list_reduce (first element as seed ≡
@@ -2831,6 +2897,45 @@ object TrainingQueries extends QueryPack {
         |    / nullif(CAST(n * n - pe_cross AS DOUBLE), 0) * 1000000) / 1000000
         |    AS kappa
         |FROM ag, cr""".stripMargin,
+    // same rater CTEs as eval_kappa; pooled-distribution correction.
+    "eval_krippendorff" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |           label AS ql FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+        |      label AS nl FROM embeddings),
+        |nr AS MATERIALIZED (SELECT query_id, nl, rank FROM (
+        |    SELECT q.query_id, c.nl,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(qv, cv) DESC,
+        |                 c.neighbor_id ASC) AS rank
+        |    FROM q JOIN c ON q.query_id <> c.neighbor_id)
+        |  WHERE rank <= 5),
+        |v5 AS (SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes
+        |       FROM nr GROUP BY 1, 2),
+        |p5 AS (SELECT query_id, nl AS r1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, nl ASC) AS rn FROM v5) WHERE rn = 1),
+        |v3 AS (SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes
+        |       FROM nr WHERE rank <= 3 GROUP BY 1, 2),
+        |p3 AS (SELECT query_id, nl AS r2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, nl ASC) AS rn FROM v3) WHERE rn = 1),
+        |b AS MATERIALIZED (SELECT p5.query_id, r1, r2
+        |                   FROM p5 JOIN p3 USING (query_id)),
+        |pooled AS (SELECT CAST(coalesce(sum(nc * (nc - 1)), 0) AS BIGINT)
+        |    AS pe_pairs
+        |  FROM (SELECT c, CAST(count(*) AS BIGINT) AS nc FROM (
+        |      SELECT r1 AS c FROM b UNION ALL SELECT r2 AS c FROM b)
+        |    GROUP BY c)),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN r1 <> r2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_disagree
+        |  FROM b)
+        |SELECT n, n_disagree, pe_pairs,
+        |  round((1.0 - CAST(n_disagree * 2 * n * (2 * n - 1) AS DOUBLE)
+        |    / nullif(CAST(n * (2 * n * (2 * n - 1) - pe_pairs) AS DOUBLE),
+        |             0)) * 1000000) / 1000000 AS alpha
+        |FROM ag, pooled""".stripMargin,
     "eval_auc" ->
       s"""WITH scored AS (SELECT round(1.0/(1.0 + exp(-z)), 4) AS score,
          |    lang = 'en' AS pos FROM (${clfZSql(", lang")})),
