@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.TemporalJoin
+
+/** Event-time temporal join: every emitted fact carries the dimension
+  * version in force at its event time (the batch backward-as-of
+  * semantics), under any batch split and with dimension versions
+  * arriving AFTER the facts they govern; facts before any version emit
+  * null; every watermark-passed fact is emitted exactly once. Rows
+  * older than the watermark allowance are dropped BEFORE the stateful
+  * op (standard Spark lateness semantics) — the allowance, not the
+  * operator, is the lateness contract. */
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims: Seq[(String, Timestamp, String)] = Seq(
+    ("a", ts("2024-01-01 00:00:00"), "v1"),
+    ("a", ts("2024-01-01 01:30:00"), "v2"),
+    ("c", ts("2024-01-01 05:00:00"), "w1"))
+
+  private val facts: Seq[(String, Timestamp, Double)] = Seq(
+    ("a", ts("2024-01-01 00:30:00"), 1.0),  // v1
+    ("a", ts("2024-01-01 01:30:00"), 2.0),  // tie → the version AT its ts
+    ("a", ts("2024-01-01 02:00:00"), 3.0),  // v2
+    ("a", ts("2024-01-01 00:10:00"), 4.0),  // late arrival, still v1
+    ("b", ts("2024-01-01 03:00:00"), 5.0),  // keyed dim never exists → null
+    ("c", ts("2024-01-01 04:00:00"), 6.0))  // before c's first version → null
+
+  /** Sequential reference: backward as-of per fact over ALL versions. */
+  private val reference: Set[(String, Timestamp, Double, Option[String])] =
+    facts.map { case (k, t, v) =>
+      (k, t, v, dims.filter(d => d._1 == k && !d._2.after(t))
+        .sortBy(_._2.getTime).lastOption.map(_._3))
+    }.toSet
+
+  private def run(factBatches: Seq[Seq[(String, Timestamp, Double)]],
+                  dimBatches: Seq[Seq[(String, Timestamp, String)]])
+      : Seq[(String, Timestamp, Double, Option[String])] = {
+    implicit val ctx = spark.sqlContext
+    val fIn = MemoryStream[(String, Timestamp, Double)]
+    val dIn = MemoryStream[(String, Timestamp, String)]
+    val q = TemporalJoin.enrich(
+        fIn.toDF().toDF("k", "t", "fv"), dIn.toDF().toDF("k", "t", "dv"),
+        "k", "t", "fv", "dv", delay = "6 hours")
+      .writeStream.format("memory").queryName("tj_out")
+      .outputMode("append").start()
+    try {
+      val n = math.max(factBatches.length, dimBatches.length)
+      for (i <- 0 until n) {
+        dimBatches.lift(i).foreach(b => if (b.nonEmpty) dIn.addData(b: _*))
+        factBatches.lift(i).foreach(b => if (b.nonEmpty) fIn.addData(b: _*))
+        q.processAllAvailable()
+      }
+      // push both sides' watermarks past every fact so the tail drains
+      fIn.addData(("__flush", ts("2024-01-02 00:00:00"), 0.0))
+      dIn.addData(("__flush", ts("2024-01-02 00:00:00"), "x"))
+      q.processAllAvailable()
+      fIn.addData(("__flush2", ts("2024-01-03 00:00:00"), 0.0))
+      dIn.addData(("__flush2", ts("2024-01-03 00:00:00"), "x"))
+      q.processAllAvailable()
+      spark.table("tj_out")
+        .where(!col("k").startsWith("__flush"))
+        .as[(String, Timestamp, Double, Option[String])].collect().toSeq
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS tj_out")
+    }
+  }
+
+  test("enrichment equals the batch as-of reference; one emission per fact") {
+    val got = run(Seq(facts), Seq(dims))
+    assert(got.length === reference.size) // exactly once
+    assert(got.toSet === reference)
+  }
+
+  test("dimension versions arriving after their facts still govern them") {
+    // facts land first; the versions that should enrich them arrive two
+    // batches later, inside the lateness allowance
+    val got = run(
+      Seq(facts.take(4), Nil, facts.drop(4)),
+      Seq(Nil, Nil, dims))
+    assert(got.toSet === reference)
+  }
+
+  test("arbitrary batch splits converge to the same rows") {
+    val got = run(facts.grouped(2).toSeq, dims.grouped(1).toSeq)
+    assert(got.toSet === reference)
+  }
+}
