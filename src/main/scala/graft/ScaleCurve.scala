@@ -136,7 +136,11 @@ object ScaleCurve {
     // shuffle — linear), Benford (one hash-agg — FLAT), MRR (50-query
     // broadcast probe — tracks eval_ndcg)
     "graph_hits", "ts_motif", "emb_top2_pc", "text_zipf",
-    "gov_contrib_bound", "ev_benford", "eval_mrr")
+    "gov_contrib_bound", "ev_benford", "eval_mrr",
+    // 3-level BFS (frontier fan-out is the Σdeg² risk the hot-span cap
+    // bounds), shape census (hash-agg only — should be FLAT), OOV scan
+    // (one broadcast left join over the token stream — linear)
+    "graph_closeness", "ts_shapes", "vocab_oov")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
