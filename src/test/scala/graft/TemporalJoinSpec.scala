@@ -89,4 +89,16 @@ class TemporalJoinSpec extends SparkSpec {
     val got = run(facts.grouped(2).toSeq, dims.grouped(1).toSeq)
     assert(got.toSet === reference)
   }
+
+  test("seeded random shuffles and splits all converge (3 trials)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val fs = rnd.shuffle(facts)
+      val ds = rnd.shuffle(dims)
+      val fSplit = fs.grouped(1 + rnd.nextInt(3)).toSeq
+      val dSplit = ds.grouped(1 + rnd.nextInt(2)).toSeq
+      val got = run(fSplit, dSplit)
+      assert(got.toSet === reference, s"trial $trial: $fSplit / $dSplit")
+    }
+  }
 }
