@@ -380,6 +380,46 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc).limit(k)
 
+  /** Deflate-proxy quality score — the compression-ratio junk detector
+    * the CCNet/RefinedWeb lineage of pipelines runs besides n-gram
+    * repetition: machine-generated boilerplate, base64 blobs, and
+    * template floods compress far better (or, for random blobs, far
+    * worse) than organic prose, and zlib sees cross-token char-level
+    * redundancy the token-based scores (gopher/derep) structurally
+    * miss. One Deflater per PARTITION, reset per row — the typed
+    * mapPartitions seam is genuinely non-Catalyst (same contract as
+    * the Multimodal ImageIO decode), which is also why this is the
+    * library's one rows-only query: zlib is not SQL-expressible, and
+    * the output byte count is a property of the zlib build, so a
+    * cross-engine oracle would hash the compressor, not the data. The
+    * spec pins the LAWS instead (repetition compresses, randomness
+    * doesn't, determinism across runs, raw length exact).
+    *
+    * Scale shape: zero shuffles — a pure per-partition projection that
+    * pipelines with the scan; ratio is one rounded division. */
+  def compressionRatio(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset(); deflater.setInput(in); deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, in.length.toLong, n)
+        }
+      }
+      .toDF(idCol, "n_raw", "n_deflate")
+      .select(col(idCol), col("n_raw"), col("n_deflate"),
+        TimeSeries.portableRound6(col("n_deflate").cast("double") /
+          greatest(col("n_raw"), lit(1L)).cast("double")).as("ratio"))
+  }
+
   /** ln(rank) for ranks 1..k, computed ONCE in Scala and injected as
     * identical literals into both engines' plans (the NdcgWeights
     * libm-divergence pattern) — with these fixed, Σx and Σx² are

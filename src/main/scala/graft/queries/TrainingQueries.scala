@@ -154,6 +154,17 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
     },
 
+    // deflate-proxy quality: per-doc zlib compression ratio — the
+    // CCNet/RefinedWeb junk detector (boilerplate compresses, random
+    // blobs don't). The library's ONE rows-only query: zlib isn't
+    // SQL-expressible and the byte count is a zlib-build property, so
+    // an oracle would hash the compressor, not the data — laws are
+    // spec-pinned instead (TextQuality3Spec).
+    "text_compress" -> { (s, dir) =>
+      TextAnalysis.compressionRatio(Tables.documents(s, dir),
+        "doc_id", "text")
+    },
+
     // per-source OOV rate against the global top-1000 vocabulary — the
     // tokenizer-fit diagnostic (a source whose tokens mostly fall
     // outside the head vocabulary will fragment into subwords and eat

@@ -259,4 +259,28 @@ class CurationOpsSpec extends SparkSpec {
       "doc_id", "text")
     assert(normal.count() > 0)
   }
+
+  test("compressionRatio: repetition compresses, noise doesn't, runs agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val repetitive = (1 to 200).map(_ => "the same boilerplate line").mkString(" ")
+    val noisy = (1 to 1000).map(_ => rnd.nextPrintableChar()).mkString
+    val prose = "a modest sentence with ordinary words and a few repeats " * 10
+    val df = Seq((1L, repetitive), (2L, noisy), (3L, prose), (4L, ""))
+      .toDF("doc_id", "text")
+    def run() = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val got = run()
+    assert(got(1L)._1 === repetitive.getBytes("UTF-8").length.toLong)
+    assert(got(1L)._3 < 0.05, s"boilerplate must crush: ${got(1L)}")
+    assert(got(2L)._3 > 0.5, s"noise must not: ${got(2L)}")
+    assert(got(3L)._3 > got(1L)._3 && got(3L)._3 < got(2L)._3)
+    assert(got(4L)._2 >= 0L) // empty doc: defined, no divide-by-zero
+    assert(run() === got)    // deterministic across runs
+    // zero shuffles: the scorer pipelines with the scan
+    val plan = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
