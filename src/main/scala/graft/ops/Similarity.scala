@@ -1126,6 +1126,47 @@ object Similarity {
     * Scale shape: map-side pair explode (dim²/2 per row) into a
     * hash-agg with dim(dim+1)/2 groups — partials combine map-side, the
     * shuffle moves group-count rows per task, never corpus rows. */
+  /** Exact average pairwise cosine of the WHOLE corpus in one scan —
+    * the dataset-card embedding-diversity number (a collapsing corpus
+    * drifts toward 1; a healthy multi-domain mix sits low). The n²
+    * pair space never materializes: on unit vectors Σ_{i≠j} cos(i,j)
+    * = ‖Σv̂‖² − n, so with the fixed-point quantization q = round(v̂·2²⁰)
+    * the whole statistic is (Σ_d S_d² − Σ‖q‖²) / (n(n−1)·2⁴⁰) — per-dim
+    * sums S_d and the norm sum are ONE aggregate over the exploded
+    * dims, all DECIMAL(38,0)-exact until a single rounded division.
+    *
+    * Portability: sqrt is IEEE exact-rounded (unlike ln), so the
+    * normalize-then-quantize step replays bit-for-bit cross-engine.
+    *
+    * Scale shape: one corpus scan → dim-row aggregate; no pair join,
+    * no shuffle beyond the dim-keyed hash-agg. (Denominator builds as
+    * n(n−1)·dim in BIGINT — overflow-safe to n ≈ 5·10⁸; past that,
+    * lift it to double one factor earlier on both sides.) */
+  def avgPairwiseCosine(emb: DataFrame, vecCol: String, dim: Int,
+                        scale: Long = 1L << 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ex = emb.where(size(col(vecCol)) === dim)
+      .select(transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nm", sqrt(aggregate(col("e"), lit(0.0),
+        (a, x) => a + x * x)))
+      .where(col("nm") > 0)
+      .select(transform(col("e"),
+        x => round(x / col("nm") * scale).cast("long")).as("qs"))
+      .select(aggregate(col("qs"), lit(0L), (a, x) => a + x * x).as("rowsq"),
+        posexplode(col("qs")).as(Seq("i", "qv")))
+    ex.groupBy(col("i"))
+      .agg(sum(col("qv").cast(dec)).as("s"),
+        sum(col("rowsq").cast(dec)).as("rs"), count(lit(1)).as("cnt"))
+      .agg(sum(col("s") * col("s")).as("s2"), sum(col("rs")).as("rsd"),
+        max(col("cnt")).as("n"))
+      .select(col("n"),
+        TimeSeries.portableRound6(
+          (col("s2") * dim - col("rsd")).cast("double") /
+            ((col("n") * (col("n") - 1L) * dim.toLong).cast("double") *
+              lit((scale.toDouble * scale) )))
+          .as("avg_cos"))
+  }
+
   def gramFixedPoint(emb: DataFrame, vecCol: String, dim: Int,
                      scale: Long = 1L << 20): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)

@@ -99,6 +99,35 @@ object AggQueries extends QueryPack {
           round(element_at(col("ps"), 2), 4).as("p90"))
     },
 
+    // EXACT distributed median (both middles, no interpolation rule to
+    // disagree on): collapse to the per-group VALUE-DOMAIN table first
+    // (cents × flag is dictionary-bounded at any corpus size — the
+    // stat_mwu discipline), then one domain-bounded cumulative window
+    // picks the middle ranks. Beside agg_percentile's engine buffer:
+    // this is the hash-exact form, and the window never sees raw rows.
+    "agg_median_exact" -> { (s, dir) =>
+      val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val grp = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"), cents.as("x"))
+        .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("x"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val cum = grp.withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("n", sum(col("c")).over(wAll))
+      val lo = floor((col("n") + 1) / 2)
+      val hi = floor(col("n") / 2) + 1
+      cum.groupBy(col("g").as("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= lo && col("cum") - col("c") < lo, col("x")))
+            .as("med_lo_cents"),
+          min(when(col("cum") >= hi && col("cum") - col("c") < hi, col("x")))
+            .as("med_hi_cents"))
+        .withColumn("median_cents",
+          (col("med_lo_cents") + col("med_hi_cents")).cast("double") / 2.0)
+    },
+
     // pivot (wide aggregation): Catalyst rewrites the explicit-value
     // pivot into ONE grouped pass with filtered partial aggregates — no
     // per-column scans; revenue stays decimal until the final cast.
@@ -420,6 +449,27 @@ object AggQueries extends QueryPack {
       """SELECT l_linestatus,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    // value-domain collapse then explicit middle ranks — never an
+    // engine median() whose interpolation rule could differ.
+    "agg_median_exact" ->
+      """WITH grp AS (SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT g, x, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM grp)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2
+        |      THEN x END) AS med_lo_cents,
+        |  min(CASE WHEN cum >= n // 2 + 1 AND cum - c < n // 2 + 1
+        |      THEN x END) AS med_hi_cents,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2
+        |        THEN x END)
+        |     + min(CASE WHEN cum >= n // 2 + 1 AND cum - c < n // 2 + 1
+        |        THEN x END) AS DOUBLE) / 2.0 AS median_cents
+        |FROM cum GROUP BY g""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

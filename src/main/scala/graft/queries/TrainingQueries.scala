@@ -1477,6 +1477,17 @@ object TrainingQueries extends QueryPack {
         dim = 64)
     },
 
+    // dataset-card embedding diversity: exact average pairwise cosine
+    // of the WHOLE corpus in one scan — the n² pair space never
+    // materializes (Σ_{i≠j} cos = ‖Σv̂‖² − n on unit vectors, quantized
+    // to the engine's 2²⁰ fixed point). Collapse toward 1 = the corpus
+    // is folding onto one direction; the companion number to
+    // corpus_diversity's token-level Simpson index.
+    "emb_diversity" -> { (s, dir) =>
+      Similarity.avgPairwiseCosine(Tables.embeddings(s, dir),
+        "embedding", dim = 64)
+    },
+
     // SECOND principal direction by projection-deflated power iteration
     // — whitening usually strips the top FEW directions, not one; this
     // is direction two, same exact-integer discipline (orthogonalize
@@ -4174,6 +4185,30 @@ object TrainingQueries extends QueryPack {
          |  CAST(g AS BIGINT) AS g FROM gr""".stripMargin,
     "emb_top_pc" -> topPcSql,
     "emb_top2_pc" -> secondPcSql,
+    // normalize (IEEE sqrt: exact-rounded, replays cross-engine),
+    // quantize to 2^20, then the sum-vector identity — index-ordered
+    // list sums for the doubles, HUGEINT for everything integer.
+    "emb_diversity" ->
+      """WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+        |           WHERE len(embedding) = 64),
+        |nv AS (SELECT e, sqrt(list_aggregate([x*x FOR x IN e], 'sum')) AS nm
+        |       FROM v),
+        |q AS (SELECT [CAST(round(x / nm * 1048576.0) AS BIGINT) FOR x IN e]
+        |        AS qs FROM nv WHERE nm > 0),
+        |r AS (SELECT qs,
+        |    list_aggregate([CAST(x AS HUGEINT) * x FOR x IN qs], 'sum')
+        |      AS rowsq FROM q),
+        |p1 AS (SELECT qs, rowsq, unnest(range(64)) AS i FROM r),
+        |g AS (SELECT i, CAST(sum(qs[CAST(i + 1 AS INT)]) AS HUGEINT) AS s,
+        |    CAST(sum(rowsq) AS HUGEINT) AS rs, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p1 GROUP BY i),
+        |t AS (SELECT CAST(sum(s * s) AS HUGEINT) AS s2,
+        |    CAST(sum(rs) AS HUGEINT) AS rsd, CAST(max(cnt) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT n, round(CAST(s2 * 64 - rsd AS DOUBLE)
+        |    / (CAST(n * (n - 1) * 64 AS DOUBLE) * 1099511627776.0)
+        |    * 1000000) / 1000000 AS avg_cos
+        |FROM t""".stripMargin,
     // whitening replay: v3's PC as one ordered list; per-vector dot,
     // trunc-division projection coefficient per element, corrected dot.
     "emb_abtt" ->

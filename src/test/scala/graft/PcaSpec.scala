@@ -56,6 +56,21 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(cosine(v2, v1)) < 0.02, s"v1·v2 ${cosine(v2, v1)}")
   }
 
+  test("avgPairwiseCosine: identical = 1, two orthogonal camps = 0.4") {
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    val same = (1L to 5L).map((_, basis(0))).toDF("vec_id", "embedding")
+    val r1 = graft.ops.Similarity
+      .avgPairwiseCosine(same, "embedding", dim).collect()(0)
+    assert(r1.getLong(0) === 5L && r1.getDouble(1) === 1.0)
+    // 3 copies of e0 + 3 of e1: 12 ordered pairs at cos 1, 18 at 0
+    val camps = ((1L to 3L).map((_, basis(0))) ++
+      (4L to 6L).map((_, basis(1)))).toDF("vec_id", "embedding")
+    val r2 = graft.ops.Similarity
+      .avgPairwiseCosine(camps, "embedding", dim).collect()(0)
+    assert(r2.getLong(0) === 6L && r2.getDouble(1) === 0.4)
+  }
+
   test("gram is the exact upper triangle: diag positive, all pairs present") {
     val df = (0 until 50).map(r =>
       (r.toLong, Array.tabulate(dim)(i => ((r + i) % 5 - 2).toFloat))).toDF("vec_id", "embedding")
