@@ -140,7 +140,13 @@ object ScaleCurve {
     // 3-level BFS (frontier fan-out is the Σdeg² risk the hot-span cap
     // bounds), shape census (hash-agg only — should be FLAT), OOV scan
     // (one broadcast left join over the token stream — linear)
-    "graph_closeness", "ts_shapes", "vocab_oov")
+    "graph_closeness", "ts_shapes", "vocab_oov",
+    // one-scan sum-vector diversity (dim-keyed agg — linear scan, flat
+    // agg) and the deflate scorer (zero-shuffle projection). NOT
+    // agg_median_exact: it reads lineitem, which the generator copies
+    // verbatim — its curve would measure nothing (the scale argument is
+    // the value-domain bound, stat_mwu's, already measured).
+    "emb_diversity", "text_compress")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

@@ -192,6 +192,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.map(_._6).max === got(1L)._6)
   }
 
+  test("hits matches a sequential fixed-point reference bit for bit") {
+    val scale = 1000000L
+    def refHits(edges: Seq[(Long, Long)], iters: Int)
+        : Map[Long, (Long, Long)] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var hub = nodes.map(_ -> scale).toMap
+      var auth = nodes.map(_ -> scale).toMap
+      def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+        val mx = math.max(m.values.max, 1L)
+        m.map { case (k, v) => k -> (v * scale - Math.floorMod(v * scale, mx)) / mx }
+      }
+      for (_ <- 1 to iters) {
+        auth = rescale(nodes.map(n =>
+          n -> edges.filter(_._2 == n).map(e => hub(e._1)).sum).toMap)
+        hub = rescale(nodes.map(n =>
+          n -> edges.filter(_._1 == n).map(e => auth(e._2)).sum).toMap)
+      }
+      nodes.map(n => n -> ((hub(n), auth(n)))).toMap
+    }
+    // mixed digraph: a 2-cycle, a star, a chain — hubs and authorities
+    // overlap (nodes that both point and are pointed at)
+    val es = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 3L), (3L, 5L), (5L, 6L))
+    val got = GraphOps.hits(es.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === refHits(es, 3))
+  }
+
   test("hits: bipartite hub/authority separation, scaled max = 1e6") {
     // hub 1 → {10, 11, 12}; hub 2 → {10, 11}; weak hub 3 → {13};
     // pure authorities never link out, pure hubs are never linked to.
