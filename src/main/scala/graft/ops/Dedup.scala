@@ -36,6 +36,35 @@ object Dedup {
       explode(transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(w))))).as("shingle"))
   }
 
+  /** N-gram novelty of a candidate corpus against a reference corpus:
+    * per candidate doc, the fraction of its DISTINCT w-grams never seen
+    * anywhere in the reference — the memorization/diversity dial for
+    * generated or newly-crawled data (novelty ≈ 0 means the "new" data
+    * is recombined reference text; contamination is the same measure
+    * pointed at an eval set, see contam_frac). Distinct-grams-per-doc,
+    * not occurrences: a doc repeating one novel phrase shouldn't look
+    * novel.
+    *
+    * Scale shape: both sides shuffle 8-byte xxhash64 gram keys (the
+    * sharedShingleCounts rule — identity only, never the text; a 64-bit
+    * collision shifts one count by 1 at odds ~n²/2⁶⁴), one
+    * hash-join + one doc-keyed agg — everything linear in gram volume,
+    * no posting lists, no pair space. */
+  def noveltyVsReference(cand: DataFrame, ref: DataFrame, idCol: String,
+                         textCol: String, w: Int = 3): DataFrame = {
+    val cs = shingles(cand, idCol, textCol, w)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh")).distinct()
+    val rs = shingles(ref, idCol, textCol, w)
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    cs.join(rs.withColumn("__seen", lit(1L)), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        TimeSeries.portableRound6(col("n_novel").cast("double") /
+          col("n_grams").cast("double")).as("novelty_frac"))
+  }
+
   /** Exact dedup: group identical normalized texts, keep the smallest id.
     * Returns (text_hash, keep_id, n_copies). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -95,6 +95,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training staple: per query,
+    * the k NEAREST vectors with a DIFFERENT label (similar-but-wrong is
+    * exactly what a contrastive loss needs; random negatives are too
+    * easy to teach anything). Same broadcast-probe shape as
+    * [[bruteForceTopK]] with the label-mismatch predicate pushed below
+    * the ranking window, so the per-query frame only ever holds
+    * wrong-label rows. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), col(labelCol).as("ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), col(labelCol).as("nl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(q)
+      .where(col("query_id") =!= col("neighbor_id") && col("nl") =!= col("ql"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Maximum-inner-product top-k — the UNNORMALIZED retrieval mode
+    * (reranker scores, recommendation logits): ranking by raw dot
+    * product rewards magnitude as well as direction, which cosine
+    * deliberately erases — different metric, different winners. Dot via
+    * the index-ordered fold (zip_with + aggregate), the same
+    * accumulation sequence as the oracle's list_inner_product. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val dot = aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    c.crossJoin(q)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dot)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+  }
+
   /** kNN label prediction — the standard representation-quality probe:
     * each query's label predicted by majority vote of its k nearest
     * neighbors (vote ties: higher count, then smaller label — both

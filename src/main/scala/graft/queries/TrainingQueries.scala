@@ -1296,6 +1296,36 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", k = 5)
     },
 
+    // hard-negative mining: per query, the 3 NEAREST wrong-label
+    // vectors — the contrastive-training batch builder (random
+    // negatives are too easy; similar-but-wrong is the signal).
+    "sim_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 50),
+        "vec_id", "embedding", "label", k = 3)
+    },
+
+    // maximum-inner-product top-5 — the unnormalized retrieval mode
+    // (reranker scores / recommendation logits): magnitude counts,
+    // which cosine deliberately erases. Different metric, different
+    // winners than sim_topk over the same vectors.
+    "sim_mips" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mipsTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    },
+
+    // n-gram novelty of the odd-id corpus half against the even-id
+    // half (parity split: proportional at ANY scale factor) — the
+    // memorization/diversity dial for generated or newly-crawled data
+    // (novelty ≈ 0 = recombined reference text; the same measure
+    // pointed at an eval set is contam_frac).
+    "text_novelty" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.noveltyVsReference(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+    },
+
     // Matryoshka truncation eval (Kusupati et al. 2022): top-5 retrieval
     // agreement between the full 64-dim ranking and the 16-dim PREFIX
     // ranking — the measurement that decides whether truncated
@@ -4090,6 +4120,43 @@ object TrainingQueries extends QueryPack {
         |FROM best""".stripMargin
     },
     "sim_topk" -> simTopkSql,
+    "sim_hard_negatives" ->
+      """SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+        |    AND q.label <> c.label)
+        |WHERE rank <= 3""".stripMargin,
+    "sim_mips" ->
+      """SELECT query_id, neighbor_id, dot, CAST(rank AS INT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS dot,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+    // raw shingle strings on the oracle side (gram identity only — the
+    // Spark plan ships xxhash64 keys, a collision-negligible identity)
+    "text_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS g
+        |       FROM (SELECT doc_id, t,
+        |             unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
+        |ref AS (SELECT DISTINCT g FROM sh WHERE doc_id % 2 = 0),
+        |cand AS (SELECT doc_id, sh.g, ref.g AS seen FROM sh
+        |         LEFT JOIN ref ON sh.g = ref.g WHERE doc_id % 2 = 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1000000) / 1000000 AS novelty_frac
+        |FROM cand GROUP BY doc_id""".stripMargin,
     // Matryoshka agreement: the same two rankings (full vs 16-dim
     // prefix), overlap counted per query, zeros preserved
     "sim_matryoshka" ->
