@@ -146,7 +146,10 @@ object ScaleCurve {
     // agg_median_exact: it reads lineitem, which the generator copies
     // verbatim — its curve would measure nothing (the scale argument is
     // the value-domain bound, stat_mwu's, already measured).
-    "emb_diversity", "text_compress")
+    "emb_diversity", "text_compress",
+    // gram-hash join novelty (linear in gram volume), and the two
+    // bounded broadcast probes (flat, the eval_ndcg shape)
+    "text_novelty", "sim_hard_negatives", "sim_mips")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
