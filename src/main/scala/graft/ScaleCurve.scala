@@ -149,7 +149,13 @@ object ScaleCurve {
     "emb_diversity", "text_compress",
     // gram-hash join novelty (linear in gram volume), and the two
     // bounded broadcast probes (flat, the eval_ndcg shape)
-    "text_novelty", "sim_hard_negatives", "sim_mips")
+    "text_novelty", "sim_hard_negatives", "sim_mips",
+    // diversity wave: cross-split leakage (the lshVerifiedPairs
+    // two-stage shape), cluster-cap sample (WindowGroupLimit prunes
+    // map-side — near-flat shuffle), MMR (bounded broadcast probe +
+    // candidate-sized greedy steps), Mann–Kendall (grid-bounded pair
+    // space — FLAT past the hash-agg)
+    "split_leakage", "sample_cluster_cap", "sim_mmr", "ts_mann_kendall")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

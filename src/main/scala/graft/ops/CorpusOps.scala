@@ -458,4 +458,32 @@ object CorpusOps {
         .when(col("old_digest") =!= col("new_digest"), "changed")
         .otherwise("unchanged").as("change"))
   }
+
+  /** Cross-split leakage audit: near-duplicate pairs that STRADDLE the
+    * train/val/test boundary of [[hashSplit]]. A hash split only
+    * guarantees each DOC lands in one side — near-copies of a training
+    * doc land in val/test with probability ≈ 2·p·(1−p), silently turning
+    * held-out loss into memorization credit (the split-level face of the
+    * contamination problem `contam_frac` measures against an external
+    * eval set). Run this BEFORE trusting any eval on a hash-split corpus;
+    * the fix is splitting by dup-CLUSTER ([[Dedup.connectedComponents]]
+    * representative), not by doc.
+    *
+    * Scale shape: candidate generation and verification are
+    * [[Dedup.lshVerifiedPairs]] (banded MinHash → exact-Jaccard verify,
+    * never all-pairs); the split labels join in on the pair ids —
+    * broadcast-sized per candidate batch. Output: one row per verified
+    * crossing pair with both splits and the exact Jaccard. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   splits: Seq[(String, Double)],
+                   threshold: Double): DataFrame = {
+    val pairs = Dedup.lshVerifiedPairs(docs, idCol, textCol, threshold)
+    val sp = hashSplit(docs.select(col(idCol)), idCol, splits)
+    pairs
+      .join(sp.select(col(idCol).as("a"), col("split").as("split_a")), "a")
+      .join(sp.select(col(idCol).as("b"), col("split").as("split_b")), "b")
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("a"), col("b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
 }

@@ -1363,4 +1363,95 @@ object Similarity {
       .select(col(idCol), col("db").as("dot_before"),
         (col("db").cast(dec) - col("corr")).cast("long").as("dot_after"))
   }
+
+  /** Cluster-capped diversity sampling (the DataComp-style "balanced
+    * subset" selector): assign every vector to its nearest coarse-quantizer
+    * cell (the [[semDedup]] assignment, same [[semCentroids]] literals),
+    * then keep at most `cap` members per cell, chosen by a deterministic
+    * md5 draw — a size-`cap·k` subset whose CELL distribution is flat
+    * regardless of how skewed the corpus is. Uniform sampling preserves
+    * the skew (the majority cluster stays the majority); capping per cell
+    * is the standard cure when the goal is coverage, not representation.
+    *
+    * Scale: cell assignment is the zero-shuffle [[SquaredDistances]]
+    * projection; the per-cell pick is `row_number <= cap`, which Spark
+    * rewrites to WindowGroupLimit — each map task keeps only its local
+    * top-`cap` per cell BEFORE the exchange, so the shuffle carries
+    * O(cap · k · tasks) rows, never the corpus. The draw hashes the id,
+    * not the position, so the sample is stable under repartitioning and
+    * reproducible on any engine. */
+  def clusterCapSample(df: DataFrame, idCol: String, vecCol: String,
+                       cap: Int, k: Int = 8, dim: Int = 64): DataFrame = {
+    val cents = semCentroids(k, dim)
+    val gd = SquaredDistances(asDouble(col(vecCol)), cents)
+    val assigned = df
+      .withColumn("__gd", gd)
+      .withColumn("cell",
+        (array_position(col("__gd"), array_min(col("__gd"))) - 1).cast("int"))
+      .withColumn("__u", substring(md5(col(idCol).cast("string")), 1, 8))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("__u").asc, col(idCol).asc)
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap)
+      .select(col(idCol), col("cell"), col("rk"))
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) — the
+    * diversity-aware top-k used to build retrieval-augmented contexts and
+    * few-shot example sets, where k near-identical passages waste the
+    * budget that k complementary ones would spend well. Greedy: seed with
+    * the most relevant candidate, then repeatedly take
+    * `argmax(relWeight·sim(q,c) − divWeight·max_{s∈selected} sim(c,s))`.
+    *
+    * Structure at scale: the expensive part is candidate generation
+    * ([[bruteForceTopK]] — swap in the IVF path for a big corpus); the
+    * greedy loop then runs on `|queries|·nCand` rows through `k-1` tiny
+    * self-joins (the selected side is ≤ k vectors per query, carried as a
+    * collected list), each a broadcast-sized step — the corpus is never
+    * touched again. All scoring is the same fused cosine kernel as the
+    * candidate stage, and ties break on neighbor id, so the selection is
+    * bit-deterministic and engine-exact. `relWeight`/`divWeight` are
+    * passed separately (not λ and 1−λ) so both literals survive
+    * bit-for-bit into any re-implementation — `1−0.7` is not `0.3` in
+    * binary. Output: (query_id, neighbor_id, sim, step) with step = the
+    * greedy pick order 1..k. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCand: Int,
+                relWeight: Double = 0.7, divWeight: Double = 0.3): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, nCand)
+      .join(vecs, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("cv"))
+      .localCheckpoint() // read 2× per greedy step; candidates are tiny
+    var selected = cand
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .where(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("cv").as("sv"), lit(1).as("step"))
+    for (t <- 2 to k) {
+      val selAgg = selected.groupBy(col("query_id"))
+        .agg(collect_list(col("sv")).as("svs"))
+      val remaining = cand
+        .join(selected.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__sel", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .where(col("__sel").isNull)
+      val next = remaining.join(selAgg, "query_id")
+        // max over the selected set is order-independent, so the
+        // collected list needs no canonical ordering
+        .withColumn("maxsim",
+          array_max(transform(col("svs"), sv => cosine(col("cv"), sv))))
+        .withColumn("score",
+          lit(relWeight) * col("sim") - lit(divWeight) * col("maxsim"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+        .where(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("cv").as("sv"), lit(t).as("step"))
+      selected = selected.union(next)
+    }
+    selected.select(col("query_id"), col("neighbor_id"), col("sim"), col("step"))
+  }
 }

@@ -723,4 +723,51 @@ object TimeSeries {
       .select(col("k").as(keyCol), col("i").as("h"),
         col("s.dist2").as("mp2"), col("s.nn_lag").as("nn_lag"))
   }
+
+  /** Mann–Kendall trend test per key over the hourly count series — the
+    * standard NONPARAMETRIC "is this metric trending" monitor (Mann 1945,
+    * Kendall 1975): S = Σ_{i<j} sgn(xⱼ − xᵢ) over all bucket pairs, with
+    * the tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    * Σ_g t_g(t_g−1)(2t_g+5)] / 18 and the continuity-corrected normal
+    * score z = (S∓1)/√Var(S). Robust to outliers and any monotone
+    * transform of the counts — exactly what a regression slope on bursty
+    * event data is not.
+    *
+    * Everything up to the final z is INTEGER-exact: S and both variance
+    * terms are 64-bit sums (n is bucket-grid-bounded, so n³ ≪ 2⁶³), and
+    * the single float op is one division + sqrt on the 6dp grid — no
+    * accumulation order for engines to disagree on. Scale shape: the
+    * corpus collapses in resample's one hash-agg; the pair space is
+    * T²-bounded per key (T = time span in buckets, which does NOT grow
+    * with corpus size), so the curve is FLAT past the first agg. */
+  def mannKendall(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String = "value"): DataFrame = {
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol).as("k"), col("bucket"), col("n"))
+      .localCheckpoint() // three consumers: both pair sides + tie groups
+    val a = series.select(col("k"), col("bucket").as("ba"), col("n").as("xa"))
+    val b = series.select(col("k").as("kb"), col("bucket").as("bb"),
+      col("n").as("xb"))
+    val s = a.join(b, col("kb") === col("k") && col("ba") < col("bb"))
+      .groupBy(col("k"))
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val ties = series.groupBy(col("k"), col("n"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t")).as("nb"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_term"))
+    s.join(ties, "k")
+      .withColumn("var18",
+        col("nb") * (col("nb") - 1) * (lit(2L) * col("nb") + 5) - col("tie_term"))
+      .select(col("k").as(keyCol), col("nb").as("n_buckets"), col("s"),
+        col("var18"), // Var(S)·18, integer-exact
+        portableRound6(
+          when(col("var18") <= 0 || col("s") === 0, lit(0.0))
+            .when(col("s") > 0,
+              (col("s") - 1).cast("double") /
+                sqrt(col("var18").cast("double") / 18.0))
+            .otherwise((col("s") + 1).cast("double") /
+              sqrt(col("var18").cast("double") / 18.0))).as("z"))
+  }
 }

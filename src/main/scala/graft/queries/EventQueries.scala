@@ -353,6 +353,14 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Mann–Kendall monotone-trend test per type — the nonparametric "is
+    // this metric trending" monitor: S over all T² bucket pairs,
+    // tie-corrected Var(S)·18 integer-exact, one division+sqrt for z.
+    "ts_mann_kendall" -> { (s, dir) =>
+      graft.ops.TimeSeries.mannKendall(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // banded Theil–Sen robust trend slope per event type — the median
     // pairwise slope over the hourly grid, pairs ≤ 48 h apart (full
     // Theil–Sen is O(T²); the band is O(T·48) and local slopes carry
@@ -1051,6 +1059,34 @@ object EventQueries extends QueryPack {
          |      / CAST(n_buckets * t_sum AS DOUBLE) * 1000000) / 1000000
          |    AS seasonal_ratio
          |FROM hod JOIN t USING (event_type)""".stripMargin,
+    // Mann–Kendall: S and Var(S)·18 as exact BIGINT sums over the
+    // gap-filled grid; the only float ops are the final division and
+    // sqrt, on the shared 6dp grid. Same inner-join semantics as the
+    // Spark plan: keys need ≥ 2 buckets to appear.
+    "ts_mann_kendall" ->
+      s"""WITH $hourlyGridCtes,
+         |s AS (SELECT a.event_type,
+         |    CAST(sum(CASE WHEN b.n > a.n THEN 1
+         |                  WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM ff a JOIN ff b ON a.event_type = b.event_type
+         |    AND a.bucket < b.bucket
+         |  GROUP BY 1),
+         |ties AS (SELECT event_type,
+         |    CAST(sum(t) AS BIGINT) AS nb,
+         |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         |  FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+         |        FROM ff GROUP BY 1, 2) GROUP BY 1),
+         |v AS (SELECT s.event_type, nb, s.s,
+         |    nb * (nb - 1) * (2 * nb + 5) - tie_term AS var18
+         |  FROM s JOIN ties USING (event_type))
+         |SELECT event_type, nb AS n_buckets, s, var18,
+         |  round(CASE WHEN var18 <= 0 OR s = 0 THEN 0.0
+         |    WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+         |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+         |    ELSE CAST(s + 1 AS DOUBLE)
+         |      / sqrt(CAST(var18 AS DOUBLE) / 18.0) END * 1000000) / 1000000
+         |    AS z
+         |FROM v""".stripMargin,
     "ts_xcorr" ->
       s"""WITH $hourlyGridCtes,
          |sr AS (SELECT event_type AS k,

@@ -1174,6 +1174,15 @@ object TrainingQueries extends QueryPack {
         .select("doc_id", "split")
     },
 
+    // cross-split leakage audit: verified near-dup pairs (LSH → exact
+    // Jaccard ≥ 0.5) straddling the split_assign boundary — the pairs
+    // that turn held-out loss into memorization credit. The fix the
+    // audit motivates: split by dup-cluster, not by doc.
+    "split_leakage" -> { (s, dir) =>
+      CorpusOps.splitLeakage(Tables.documents(s, dir), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.5)
+    },
+
     // corpus version diff: yesterday's snapshot vs today's (both carved
     // deterministically from `documents`; the v2 side edits every 11th
     // doc). Output is the change manifest downstream incremental work
@@ -1313,6 +1322,24 @@ object TrainingQueries extends QueryPack {
       val emb = Tables.embeddings(s, dir)
       Similarity.mipsTopK(emb, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
+    },
+
+    // MMR diverse rerank: greedy relevance-vs-redundancy top-5 from a
+    // 12-candidate pool — the context-window builder for RAG/few-shot
+    // selection, where 5 near-identical passages waste the budget 5
+    // complementary ones spend well. step = greedy pick order.
+    "sim_mmr" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrRerank(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nCand = 12)
+    },
+
+    // cluster-capped diversity sample: ≤ 20 vectors per quantizer cell,
+    // md5-drawn — the coverage-preserving subset selector (uniform
+    // sampling preserves cluster skew; capping flattens it).
+    "sample_cluster_cap" -> { (s, dir) =>
+      Similarity.clusterCapSample(Tables.embeddings(s, dir),
+        "vec_id", "embedding", cap = 20)
     },
 
     // n-gram novelty of the odd-id corpus half against the even-id
@@ -3795,6 +3822,33 @@ object TrainingQueries extends QueryPack {
         |FROM (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
         |    / 4294967296.0 AS u FROM documents)""".stripMargin,
+    // leakage = dedup_lsh_verified's candidate/verify chain × the
+    // split_assign hash — crossing pairs only.
+    "split_leakage" ->
+      s"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.a, c.b, count(*) AS cnt FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.a
+         |  JOIN sh s2 ON s2.doc_id = c.b AND s1.shingle = s2.shingle
+         |  GROUP BY c.a, c.b),
+         |ver AS (SELECT m.a, m.b,
+         |    CAST(m.cnt AS DOUBLE) / (sa.n + sb.n - m.cnt) AS jaccard
+         |  FROM common m JOIN sizes sa ON sa.doc_id = m.a
+         |  JOIN sizes sb ON sb.doc_id = m.b
+         |  WHERE CAST(m.cnt AS DOUBLE) / (sa.n + sb.n - m.cnt) >= 0.5),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+         |      / 4294967296.0 AS u FROM documents))
+         |SELECT v.a, v.b, pa.split AS split_a, pb.split AS split_b, v.jaccard
+         |FROM ver v JOIN sp pa ON pa.doc_id = v.a
+         |  JOIN sp pb ON pb.doc_id = v.b
+         |WHERE pa.split <> pb.split""".stripMargin,
     // exact integer counts; the double tail (shares, contributions)
     // uses one pinned operation order on both sides.
     "drift_tokens" ->
@@ -4141,6 +4195,74 @@ object TrainingQueries extends QueryPack {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    // MMR greedy unrolled: one (max-redundancy, pick) CTE pair per step,
+    // every cosine the same list_cosine_similarity chain as the Spark
+    // kernel, weights written as the literal pair 0.7/0.3 on both sides
+    // (never 1−λ: that is 0.30000000000000004 in binary).
+    "sim_mmr" -> {
+      val (k, nc) = (5, 12)
+      val steps = (2 to k).map { t =>
+        s"""m$t AS (SELECT c.query_id, c.neighbor_id,
+           |    max(list_cosine_similarity(c.cv, s.cv)) AS ms
+           |  FROM cand c JOIN a${t - 1} s USING (query_id)
+           |  WHERE NOT EXISTS (SELECT 1 FROM a${t - 1} x
+           |    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           |  GROUP BY 1, 2),
+           |p$t AS (SELECT query_id, neighbor_id, sim, cv, $t AS step FROM (
+           |    SELECT c.query_id, c.neighbor_id, c.sim, c.cv,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY (CAST(0.7 AS DOUBLE) * c.sim
+           |                - CAST(0.3 AS DOUBLE) * m.ms) DESC,
+           |          c.neighbor_id ASC) AS prk
+           |    FROM cand c JOIN m$t m
+           |      ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id)
+           |  WHERE prk = 1),
+           |a$t AS (SELECT * FROM a${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cand0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim,
+         |    c.embedding::DOUBLE[] AS cv,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+         |               c.vec_id ASC) AS rk
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |cand AS MATERIALIZED (SELECT query_id, neighbor_id, sim, cv
+         |  FROM cand0 WHERE rk <= $nc),
+         |a1 AS (SELECT query_id, neighbor_id, sim, cv, 1 AS step
+         |  FROM cand0 WHERE rk = 1),
+         |$steps
+         |SELECT query_id, neighbor_id, sim, CAST(step AS INT) AS step
+         |FROM a$k""".stripMargin
+    },
+    // cluster-cap sample: the emb_semdedup centroid/argmin recipe, then
+    // a per-cell md5-ordered row_number capped at 20.
+    "sample_cluster_cap" -> {
+      val (k, dim, cap) = (8, 64, 20)
+      val cents = graft.ops.Similarity.semCentroids(k, dim)
+      def distSql(ki: Int): String =
+        (0 until dim).map { j =>
+          val c = cents(ki)(j)
+          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
+            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
+        }.mkString("(", " + ", ")")
+      val dCols = (0 until k).map(ki => s"${distSql(ki)} AS d_$ki").mkString(",\n  ")
+      val leastAll = (0 until k).map(ki => s"d_$ki").mkString("least(", ", ", ")")
+      val cellCase = (0 until k).map(ki => s"WHEN d_$ki = dist THEN $ki")
+        .mkString("CASE ", " ", "END")
+      s"""WITH d AS (SELECT vec_id,
+         |  $dCols
+         |  FROM embeddings),
+         |m AS (SELECT *, $leastAll AS dist FROM d),
+         |a AS (SELECT vec_id, $cellCase AS cell FROM m),
+         |r AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id)
+         |      AS rk
+         |  FROM a)
+         |SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= $cap""".stripMargin
+    },
     // raw shingle strings on the oracle side (gram identity only — the
     // Spark plan ships xxhash64 keys, a collision-negligible identity)
     "text_novelty" ->

@@ -552,4 +552,35 @@ class PlanShapeSpec extends SparkSpec {
     val pz = plan("text_zipf")
     assert(pz.contains("TakeOrderedAndProject"), pz)
   }
+
+  test("cluster-cap sample prunes map-side and never joins") {
+    val p = plan("sample_cluster_cap")
+    // rank<=cap must rewrite to WindowGroupLimit: each map task keeps its
+    // local top-cap per cell BEFORE the exchange — the property that
+    // keeps the shuffle O(cap·k·tasks) instead of corpus-sized
+    assert(countOf(p, "WindowGroupLimit") >= 2, s"cap must prune:\n$p")
+    assert(!p.contains("Join"), s"cell assignment is a projection:\n$p")
+  }
+
+  test("MMR rerank: greedy steps stay on broadcast-sized joins") {
+    val p = plan("sim_mmr")
+    // candidate generation is the one BNLJ broadcast probe; the k-1
+    // greedy steps join candidate-sized frames — the corpus must never
+    // enter a sort-merge join or an unguarded cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("split leakage verifies candidates only, never all pairs") {
+    val p = plan("split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"leakage audit must stay on the banded candidate path:\n$p")
+  }
+
+  test("mann-kendall pair space forms after the grid collapse") {
+    val p = plan("ts_mann_kendall")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one raw-events scan: S-pairs, tie groups, and the final join
+    // all run on the checkpointed T-bounded grid, not the corpus
+    assert(countOf(p, "Scan parquet") <= 1, s"grid must be reused:\n$p")
+  }
 }

@@ -194,4 +194,23 @@ class TimeSeries2Spec extends SparkSpec {
     val worst = ref.maxBy { case (_, (d, _)) => d }._1
     assert(worst <= 9 && worst + sub > 9, s"discord window $worst")
   }
+
+  test("mann-kendall: monotone series hits the closed form, constant gets z=0") {
+    // "up": hour h carries h+1 events (h = 0..9) — strictly increasing,
+    // no ties: S = C(10,2) = 45, Var(S)·18 = 10·9·25 = 2250,
+    // z = (45−1)/√125. "flat": 5 events in each of 6 hours — all tied:
+    // S = 0 and the tie term cancels Var(S) exactly, so z = 0.
+    val rows =
+      (0 until 10).flatMap(h => (0 to h).map(i =>
+        ("up", f"2024-01-01 $h%02d:05:${i}%02d", 1.0))) ++
+      (0 until 6).flatMap(h => (0 until 5).map(i =>
+        ("flat", f"2024-01-01 $h%02d:05:${i}%02d", 1.0)))
+    val got = TimeSeries.mannKendall(ev(rows: _*), "k", "t")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("s"),
+          r.getAs[Long]("var18"), r.getAs[Double]("z"))).toMap
+    assert(got("up") == ((10L, 45L, 2250L,
+      math.round(44.0 / math.sqrt(125.0) * 1e6) / 1e6)))
+    assert(got("flat") == ((6L, 0L, 0L, 0.0)))
+  }
 }
