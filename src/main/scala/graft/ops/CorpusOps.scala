@@ -474,6 +474,28 @@ object CorpusOps {
     * never all-pairs); the split labels join in on the pair ids —
     * broadcast-sized per candidate batch. Output: one row per verified
     * crossing pair with both splits and the exact Jaccard. */
+  /** Leakage-free train/val/test assignment: split by near-dup CLUSTER,
+    * not by doc — every doc carries its [[Dedup.dupClusters]]
+    * representative, and the [[hashSplit]] hash is taken of the
+    * representative, so a doc and all its near-copies land on the same
+    * side BY CONSTRUCTION. The guarantee is structural, not statistical:
+    * any pair [[splitLeakage]] could report is LSH-connected, hence
+    * same-cluster, hence same-split (DiversityOpsSpec proves zero
+    * leakage on the corpus where the doc-hash split leaks).
+    *
+    * Scale: the CC label pass is the star-edge loop (linear edge volume,
+    * diameter-bounded rounds); the split itself is one md5 projection —
+    * nothing beyond dupClusters' own cost. */
+  def clusterSplit(docs: DataFrame, idCol: String, textCol: String,
+                   splits: Seq[(String, Double)],
+                   numPerm: Int = 12, rowsPerBand: Int = 3,
+                   shingleW: Int = 3): DataFrame = {
+    val cl = Dedup.dupClusters(docs, idCol, textCol, numPerm, rowsPerBand,
+      shingleW)
+    hashSplit(cl, "cluster_id", splits)
+      .select(col(idCol), col("cluster_id"), col("split"))
+  }
+
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
                    splits: Seq[(String, Double)],
                    threshold: Double): DataFrame = {

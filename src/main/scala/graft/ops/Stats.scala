@@ -135,4 +135,68 @@ object Stats {
               (col("ssw") * (col("k") - 1).cast("double")))))
       .drop("terms", "a", "s", "q", "ssb", "ssw")
   }
+
+  /** Poisson(1) cumulative distribution through k = 6 — the literal
+    * table both engines replay for the bootstrap weight draw (computed
+    * ONCE here; injecting the values keeps every libm exp/factorial out
+    * of the per-row path and out of cross-engine drift). P(w > 6) ≈
+    * 8·10⁻⁵ per draw; the CASE tail assigns those the weight 7. */
+  val PoissonCum: Array[Double] = {
+    val probs = (0 to 6).map(k => math.exp(-1.0) / (1 to k).product)
+    probs.scanLeft(0.0)(_ + _).tail.toArray
+  }
+
+  /** Poisson bootstrap CI for each group's mean — THE distributed
+    * bootstrap (each row enters replicate i with multiplicity
+    * Poisson(1), so no replicate ever needs a global resample pass):
+    * every row draws `b` weights from its OWN hash (deterministic,
+    * layout-blind, reproducible on any engine), replicate means fold as
+    * exact cents sums, and the CI is read off the ranked replicate
+    * means at the ceil(α·m) indexes. Identically-keyed duplicate rows
+    * share their draws — the one documented bias, negligible unless the
+    * corpus is mostly verbatim repeats (which dedup handles first).
+    *
+    * Scale: the ×b fan-out happens map-side and collapses immediately
+    * into the (group, i) hash-agg with map-side partials — the shuffle
+    * carries |groups|·b partial rows, never b copies of the data. The
+    * ranking runs on |groups|·b replicate means. */
+  def poissonBootstrapCI(df: DataFrame, groupCol: String, valueCol: String,
+                         rowKey: Column, b: Int = 40): DataFrame = {
+    val x = cents(col(valueCol))
+    val u = conv(substring(md5(concat_ws("|", col("__rk"), col("i"))), 1, 8),
+      16, 10).cast("double") / 4294967296.0
+    val w = PoissonCum.zipWithIndex.reverse
+      .foldLeft(lit(7).cast("int")) { case (rest, (c, k)) =>
+        when(u < lit(c), k).otherwise(rest)
+      }
+    val reps = df
+      .select(col(groupCol).as("grp"), x.as("x"), rowKey.as("__rk"),
+        explode(sequence(lit(0), lit(b - 1))).as("i"))
+      .withColumn("w", w)
+      .groupBy(col("grp"), col("i"))
+      .agg(sum(col("w").cast("long") * col("x")).as("swx"),
+        sum(col("w").cast("long")).as("sw"))
+      .where(col("sw") > 0)
+      .withColumn("mean_c", col("swx").cast("double") / col("sw").cast("double"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("mean_c").asc, col("i").asc)
+    val ranked = reps
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+      .withColumn("lo_idx", ceil(col("m") * 0.025).cast("int"))
+      .withColumn("hi_idx", ceil(col("m") * 0.975).cast("int"))
+      .groupBy(col("grp"))
+      .agg(max(when(col("rk") === greatest(col("lo_idx"), lit(1)),
+          col("mean_c"))).as("lo_c"),
+        max(when(col("rk") === col("hi_idx"), col("mean_c"))).as("hi_c"))
+    val point = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"))
+    point.join(ranked, "grp")
+      .select(col("grp").as(groupCol), col("n"),
+        TimeSeries.portableRound6(
+          col("sx").cast("double") / col("n").cast("double") / 100.0).as("mean"),
+        TimeSeries.portableRound6(col("lo_c") / 100.0).as("lo"),
+        TimeSeries.portableRound6(col("hi_c") / 100.0).as("hi"))
+  }
 }

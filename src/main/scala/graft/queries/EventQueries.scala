@@ -385,6 +385,15 @@ object EventQueries extends QueryPack {
         .select(col("n"), col("k").as("n_groups"), col("f"))
     },
 
+    // Poisson-bootstrap 95% CI for each type's mean spend — the
+    // distributed bootstrap (per-row Poisson(1) multiplicities, never a
+    // global resample); draws are md5-deterministic per (row key,
+    // replicate), so any engine reproduces the band bit for bit.
+    "stat_bootstrap" -> { (s, dir) =>
+      graft.ops.Stats.poissonBootstrapCI(Tables.events(s, dir),
+        "event_type", "value", col("event_id"), b = 40)
+    },
+
     // steady-state of the event-type Markov chain (where does a user's
     // session settle?): transition counts from per-user ordered streams,
     // then 3 rounds of x·P in EXACT scaled-integer floor arithmetic —
@@ -1059,6 +1068,52 @@ object EventQueries extends QueryPack {
          |      / CAST(n_buckets * t_sum AS DOUBLE) * 1000000) / 1000000
          |    AS seasonal_ratio
          |FROM hod JOIN t USING (event_type)""".stripMargin,
+    // Poisson bootstrap: weight CASE replays Stats.PoissonCum as
+    // injected CAST(… AS DOUBLE) literals (decimal-intermediate-safe);
+    // replicate means are exact cents sums, ranked with the replicate
+    // id as tiebreak.
+    "stat_bootstrap" -> {
+      val cs = graft.ops.Stats.PoissonCum
+      val wCase = cs.zipWithIndex
+        .map { case (c, k) => s"WHEN u < CAST($c AS DOUBLE) THEN $k" }
+        .mkString("CASE ", " ", " ELSE 7 END")
+      s"""WITH base AS (SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         |    CAST(event_id AS VARCHAR) AS rk
+         |  FROM events),
+         |reps AS (SELECT event_type, x, rk, unnest(range(40)) AS i FROM base),
+         |ww AS (SELECT event_type, x, i, $wCase AS w
+         |  FROM (SELECT *,
+         |    CAST(('0x' || substr(md5(concat_ws('|', rk,
+         |      CAST(i AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+         |    FROM reps)),
+         |m AS (SELECT event_type, i, CAST(sum(w * x) AS BIGINT) AS swx,
+         |    CAST(sum(w) AS BIGINT) AS sw
+         |  FROM ww GROUP BY 1, 2),
+         |mm AS (SELECT event_type, i,
+         |    CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_c
+         |  FROM m WHERE sw > 0),
+         |r AS (SELECT event_type, mean_c,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY mean_c ASC, i ASC) AS rk2,
+         |    count(*) OVER (PARTITION BY event_type) AS mreps
+         |  FROM mm),
+         |ci AS (SELECT event_type,
+         |    max(CASE WHEN rk2 = greatest(CAST(ceil(mreps * 0.025) AS INT), 1)
+         |      THEN mean_c END) AS lo_c,
+         |    max(CASE WHEN rk2 = CAST(ceil(mreps * 0.975) AS INT)
+         |      THEN mean_c END) AS hi_c
+         |  FROM r GROUP BY 1),
+         |p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx
+         |  FROM base GROUP BY 1)
+         |SELECT p.event_type, n,
+         |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 1000000)
+         |    / 1000000 AS mean,
+         |  round(lo_c / 100.0 * 1000000) / 1000000 AS lo,
+         |  round(hi_c / 100.0 * 1000000) / 1000000 AS hi
+         |FROM p JOIN ci USING (event_type)""".stripMargin
+    },
     // Mann–Kendall: S and Var(S)·18 as exact BIGINT sums over the
     // gap-filled grid; the only float ops are the final division and
     // sqrt, on the shared 6dp grid. Same inner-join semantics as the

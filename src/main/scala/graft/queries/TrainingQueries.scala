@@ -1183,6 +1183,14 @@ object TrainingQueries extends QueryPack {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.5)
     },
 
+    // the fix itself: split by near-dup CLUSTER representative — a doc
+    // and every near-copy land on the same side by construction (zero
+    // leakage is structural, spec-proven).
+    "split_assign_cluster" -> { (s, dir) =>
+      CorpusOps.clusterSplit(Tables.documents(s, dir), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    },
+
     // corpus version diff: yesterday's snapshot vs today's (both carved
     // deterministically from `documents`; the v2 side edits every 11th
     // doc). Output is the change manifest downstream incremental work
@@ -3822,6 +3830,26 @@ object TrainingQueries extends QueryPack {
         |FROM (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
         |    / 4294967296.0 AS u FROM documents)""".stripMargin,
+    // cluster split = dedup_clusters' transitive closure + the
+    // split_assign CASE taken of the representative id.
+    "split_assign_cluster" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |  CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),1,8)) AS BIGINT)
+         |    / 4294967296.0 AS u FROM cl)""".stripMargin,
     // leakage = dedup_lsh_verified's candidate/verify chain × the
     // split_assign hash — crossing pairs only.
     "split_leakage" ->

@@ -125,4 +125,32 @@ class DiversityOpsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must plant at least one crossing pair")
     assert(got == want, s"got $got\nwant $want")
   }
+
+  test("clusterSplit: zero leakage where the doc-hash split provably leaks") {
+    // same planted-dup fixture as above: the doc-hash split leaks (shown
+    // there); the cluster split must not — and the guarantee must be
+    // STRUCTURAL: every verified near-dup pair shares a split because it
+    // shares a cluster.
+    val docs = (0L until 30L).flatMap { g =>
+      val text = s"alpha$g beta$g gamma$g delta$g epsilon$g zeta$g"
+      Seq((g, text), (g + 1000L, text))
+    }.toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = CorpusOps.clusterSplit(docs, "doc_id", "text", splits)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    assert(assigned.size == 60)
+    // every planted pair: same cluster (the smaller id), same split
+    (0L until 30L).foreach { g =>
+      assert(assigned(g)._1 == g && assigned(g + 1000L)._1 == g)
+      assert(assigned(g)._2 == assigned(g + 1000L)._2,
+        s"pair $g leaked across splits")
+    }
+    // and the audit agrees: verified pairs × cluster split = no crossing
+    val pairs = graft.ops.Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => assigned(a)._2 == assigned(b)._2 })
+  }
 }

@@ -101,4 +101,61 @@ class StatKernelSpec extends SparkSpec {
     val subs = (1 to 5).map(i => (i.toLong, false))
     assert(kmSpark(subs).isEmpty)
   }
+
+  // ---- Poisson bootstrap ----
+
+  test("bootstrap CI replays the sequential reference; draws are layout-blind") {
+    import org.apache.spark.sql.functions._
+    // two groups, 200 rows each, value = a skewed deterministic pattern
+    val rows = (0L until 400L).map { id =>
+      val g = if (id % 2 == 0) "a" else "b"
+      val v = BigDecimal((id % 13 + 1) * (if (g == "a") 1.25 else 2.5))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      (id, g, v)
+    }
+    val df = rows.toDF("event_id", "grp_col", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.poissonBootstrapCI(d, "grp_col", "value", col("event_id"), b = 40)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+          r.getAs[Double]("mean"), r.getAs[Double]("lo"),
+          r.getAs[Double]("hi")))).toMap
+    val got = run(df)
+
+    // sequential reference: same md5 draws, same Poisson CASE, same
+    // cents-exact sums, same ceil-index picks
+    def md5u(s: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    def weight(u: Double): Int =
+      Stats.PoissonCum.indexWhere(u < _) match {
+        case -1 => 7; case k => k
+      }
+    val want = rows.groupBy(_._2).map { case (g, rs) =>
+      val cents = rs.map { case (id, _, v) => (id, (v * 100).toLongExact) }
+      val means = (0 until 40).flatMap { i =>
+        val ws = cents.map { case (id, c) => (weight(md5u(s"$id|$i")), c) }
+        val sw = ws.map(_._1.toLong).sum
+        if (sw == 0) None
+        else Some((i, ws.map { case (w, c) => w * c }.sum.toDouble / sw))
+      }
+      val sorted = means.sortBy { case (i, m) => (m, i) }.map(_._2)
+      val m = sorted.length
+      val lo = sorted(math.max(math.ceil(m * 0.025).toInt, 1) - 1)
+      val hi = sorted(math.ceil(m * 0.975).toInt - 1)
+      val sx = cents.map(_._2).sum
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      g -> ((rs.size.toLong, r6(sx.toDouble / rs.size / 100.0),
+        r6(lo / 100.0), r6(hi / 100.0)))
+    }
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.values.forall { case (_, mean, lo, hi) =>
+      lo <= mean && mean <= hi
+    })
+    // layout blindness: the draw hashes the id, not the partition
+    assert(run(df.repartition(7)) == got)
+  }
 }
