@@ -84,19 +84,46 @@ object Bpe {
     * the whole encode is one zero-shuffle scan projection followed by
     * the per-doc sum. Out-of-vocabulary words (non `[a-z0-9]+`) count
     * one token each, the single-byte-fallback convention. */
-  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                        rules: Seq[(String, String)]): DataFrame = {
-    val words = docs.select(col(idCol),
-      explode(split(col(textCol), " ")).as("word"))
-      .where(length(col("word")) > 0)
-    val merged = rules.foldLeft(wrap(col("word"))) { case (s, (l, g)) =>
-      regexp_replace(s, lit(java.util.regex.Pattern.quote(s"|$l||$g|")), lit(s"|$l$g|"))
+  /** Per-word subword-token count under `rules` — the greedy leftmost
+    * merge application on the wrapped string, then a split on the
+    * between-token "||" (the wrapped |t1||t2||…| splits into exactly
+    * one piece per token). OOV (non-alnum) words count 1. */
+  private def tokCountUnderRules(word: Column,
+                                 rules: Seq[(String, String)]): Column = {
+    val merged = rules.foldLeft(wrap(word)) { case (s, (l, g)) =>
+      regexp_replace(s, lit(java.util.regex.Pattern.quote(s"|$l||$g|")),
+        lit(s"|$l$g|"))
     }
-    // token count = split on the between-token "||" — the wrapped string
-    // |t1||t2||…| splits into exactly one piece per token
-    words.select(col(idCol),
-        when(col("word").rlike("^[a-z0-9]+$"), size(split(merged, "\\|\\|")))
-          .otherwise(lit(1)).as("n_tok"))
-      .groupBy(col(idCol)).agg(sum("n_tok").as("bpe_tokens"))
+    when(word.rlike("^[a-z0-9]+$"), size(split(merged, "\\|\\|")))
+      .otherwise(lit(1))
   }
+
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                        rules: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .select(col(idCol), tokCountUnderRules(col("word"), rules).as("n_tok"))
+      .groupBy(col(idCol)).agg(sum("n_tok").as("bpe_tokens"))
+
+  /** Tokenizer FERTILITY per source: subword tokens emitted per
+    * whitespace word — the tokenizer-fit diagnostic next to
+    * [[graft.queries]] `vocab_oov` (a fertility outlier means the
+    * vocabulary was trained on a different distribution than that
+    * source, and its docs will cost proportionally more sequence
+    * length). One corpus scan, zero joins: the per-word token count is
+    * a row-local projection and the per-source ratio is one hash-agg —
+    * no per-doc intermediate table, because fertility only needs
+    * source-level sums. */
+  def fertilityBySource(docs: DataFrame, srcCol: String, textCol: String,
+                        rules: Seq[(String, String)]): DataFrame =
+    docs.select(col(srcCol).as("source"),
+        explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .select(col("source"),
+        tokCountUnderRules(col("word"), rules).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum("n_tok").as("bpe_tokens"), count(lit(1)).as("n_words"))
+      .select(col("source"), col("bpe_tokens"), col("n_words"),
+        TimeSeries.portableRound6(col("bpe_tokens").cast("double") /
+          col("n_words").cast("double")).as("fertility"))
 }

@@ -163,7 +163,11 @@ object Stats {
   def poissonBootstrapCI(df: DataFrame, groupCol: String, valueCol: String,
                          rowKey: Column, b: Int = 40): DataFrame = {
     val x = cents(col(valueCol))
-    val u = conv(substring(md5(concat_ws("|", col("__rk"), col("i"))), 1, 8),
+    // one md5 = 128 bits = FOUR independent 32-bit draws: replicate i
+    // reads hex slot i%4 of md5(rk|i/4) — 4× fewer digests than a
+    // per-replicate hash, same determinism, same oracle replay.
+    val u = conv(md5(concat_ws("|", col("__rk"), (col("i") / 4).cast("int")))
+        .substr((col("i") % 4) * 8 + 1, lit(8)),
       16, 10).cast("double") / 4294967296.0
     val w = PoissonCum.zipWithIndex.reverse
       .foldLeft(lit(7).cast("int")) { case (rest, (c, k)) =>
@@ -198,5 +202,125 @@ object Stats {
           col("sx").cast("double") / col("n").cast("double") / 100.0).as("mean"),
         TimeSeries.portableRound6(col("lo_c") / 100.0).as("lo"),
         TimeSeries.portableRound6(col("hi_c") / 100.0).as("hi"))
+  }
+
+  /** CUPED variance-reduced A/B means (Deng et al., WSDM'13): each
+    * user's post-period metric Y is adjusted by their own PRE-period
+    * metric X — Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) pooled
+    * across arms — which removes the between-user variance the
+    * experiment can't control and leaves the treatment effect intact
+    * (E[Y'] = E[Y] because X predates assignment). Reported per
+    * variant: raw and adjusted means, plus the pooled θ and the
+    * variance-reduction fraction ρ² = cov²/(var(X)·var(Y)).
+    *
+    * Exactness: per-user X/Y are cents sums; pooled n/Σx/Σy and the
+    * DECIMAL(38,0) cross-moments are exact, so θ's numerator and
+    * denominator are exact integers — floats appear only in the final
+    * divisions/products, in the same order in both engines.
+    *
+    * Scale: ONE user_id shuffle builds the per-user table; both the
+    * pooled moments and the per-variant sums hash-agg over it
+    * map-side; the (variant × 1-row moments) join is a broadcast
+    * crossJoin. Variant = pmod(user_id, 2) — the deterministic
+    * assignment stat_ttest uses. */
+  def cupedMeans(df: DataFrame, userCol: String, valueCol: String,
+                 tsCol: String, cutoff: String): DataFrame = {
+    val x = cents(col(valueCol))
+    val cut = lit(cutoff).cast("timestamp")
+    val per = df
+      .groupBy(col(userCol).as("u"))
+      .agg(sum(when(col(tsCol) < cut, x).otherwise(0L)).as("xu"),
+        sum(when(col(tsCol) >= cut, x).otherwise(0L)).as("yu"))
+      .withColumn("variant", pmod(col("u"), lit(2)).cast("int"))
+    val xd = col("xu").cast(d38); val yd = col("yu").cast(d38)
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+      sum(xd * xd).as("sxx"), sum(xd * yd).as("sxy"),
+      sum(yd * yd).as("syy"))
+    val nD = col("n").cast(d38)
+    val num = (nD * col("sxy") - col("sx").cast(d38) * col("sy").cast(d38))
+      .cast("double")
+    val denX = (nD * col("sxx") - col("sx").cast(d38) * col("sx").cast(d38))
+      .cast("double")
+    val denY = (nD * col("syy") - col("sy").cast(d38) * col("sy").cast(d38))
+      .cast("double")
+    val v = per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("nv"), sum(col("xu")).as("sxv"),
+        sum(col("yu")).as("syv"))
+    val theta = num / denX
+    val meanY = col("syv").cast("double") / col("nv").cast("double")
+    val meanXv = col("sxv").cast("double") / col("nv").cast("double")
+    val meanX = col("sx").cast("double") / col("n").cast("double")
+    v.crossJoin(broadcast(m))
+      .select(col("variant"), col("nv").as("n_users"),
+        TimeSeries.portableRound6(meanY / 100.0).as("mean_raw"),
+        TimeSeries.portableRound6(
+          (meanY - theta * (meanXv - meanX)) / 100.0).as("mean_cuped"),
+        TimeSeries.portableRound6(theta).as("theta"),
+        TimeSeries.portableRound6(num / denX * num / denY)
+          .as("var_reduction"))
+  }
+
+  /** Wald SPRT over a Bernoulli trial stream (the sequential A/B
+    * decision): trials arrive in (orderCol) order, LLRₙ = s·ln(p1/p0) +
+    * (n−s)·ln((1−p1)/(1−p0)), and the test stops at the FIRST n where
+    * LLR ≥ ln((1−β)/α) (accept H1) or ≤ ln(β/(1−α)) (accept H0). The
+    * four log constants are quantized to integer µ-nats by
+    * [[sprtMicroNats]] and injected into both engines, so the running
+    * LLR and the boundary compares are exact BIGINT arithmetic; the
+    * only float is the final µ-nat → nat report division.
+    *
+    * Scale: a sequential test is a per-ARM ordered fold by definition,
+    * and arms are bounded by experiment design (2 here) — but the SCAN
+    * is bounded by `horizon`, not the corpus: only the first `horizon`
+    * trials per arm (by order) enter the cumulative window, because a
+    * test still undecided at its design horizon reports `continue`
+    * rather than reading on. Output per variant: decision,
+    * n/s/LLR at the stopping (or horizon) row. */
+  /** The four log constants, quantized ONCE to integer µ-nats
+    * (round(ln·10⁶)) so LLR is an exact BIGINT linear map of (n, s) and
+    * the boundary compares are integer — no float exists anywhere a
+    * last-ulp literal-parse difference could flip a decision. The
+    * quantization shifts each threshold by < 10⁻⁶ nat (documented,
+    * immaterial at any real α/β). */
+  def sprtMicroNats(p0: Double, p1: Double, alpha: Double,
+                    beta: Double): (Long, Long, Long, Long) = (
+    math.round(math.log(p1 / p0) * 1e6),
+    math.round(math.log((1 - p1) / (1 - p0)) * 1e6),
+    math.round(math.log((1 - beta) / alpha) * 1e6),
+    math.round(math.log(beta / (1 - alpha)) * 1e6))
+
+  def sprtDecision(trials: DataFrame, variantCol: Column,
+                   successCol: Column, orderCol: Seq[Column],
+                   p0: Double, p1: Double,
+                   alpha: Double = 0.05, beta: Double = 0.20,
+                   horizon: Int = 100000): DataFrame = {
+    require(p0 > 0 && p1 > 0 && p0 < 1 && p1 < 1 && p0 != p1)
+    val (l1, l0, upper, lower) = sprtMicroNats(p0, p1, alpha, beta)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("variant")).orderBy(orderCol: _*)
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("variant")).orderBy(orderCol: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val base = trials
+      .select(variantCol.as("variant") +:
+        successCol.cast("int").cast("long").as("succ") +: orderCol: _*)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= horizon)
+      .withColumn("s", sum(col("succ")).over(cum))
+      .withColumn("llr_u", col("s") * lit(l1) + (col("rn") - col("s")) * lit(l0))
+      .withColumn("hit",
+        when(col("llr_u") >= lit(upper), "accept_h1")
+          .when(col("llr_u") <= lit(lower), "accept_h0"))
+    val firstHit = base.where(col("hit").isNotNull)
+      .groupBy(col("variant")).agg(min(col("rn")).as("stop_rn"))
+    val last = base.groupBy(col("variant")).agg(max(col("rn")).as("last_rn"))
+    base
+      .join(last, Seq("variant"))
+      .join(firstHit, Seq("variant"), "left")
+      .where(col("rn") === coalesce(col("stop_rn"), col("last_rn")))
+      .select(col("variant"), col("rn").as("n_trials"), col("s").as("n_succ"),
+        (col("llr_u").cast("double") / 1000000.0).as("llr"),
+        coalesce(col("hit"), lit("continue")).as("decision"))
   }
 }

@@ -654,6 +654,57 @@ object TextAnalysis {
         size(col("rset")).as("n_removed"))
   }
 
+  /** CROSS-doc boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * stage): a doc is cut into non-overlapping `segTokens`-token
+    * segments (the stand-in for "lines" — real corpora would split on
+    * newlines; the segmentation is the only pluggable piece), and every
+    * segment whose EXACT text appears in ≥ `minDocs` distinct docs is
+    * excised everywhere it occurs. Complements [[dedupInline]]
+    * (within-doc) and [[Dedup.removeSharedSpans]] (sliding w-gram
+    * cover): this is the cheap exact-match corpus pass that strips nav
+    * bars, headers and license footers before any fuzzy machinery runs.
+    *
+    * Scale shape: the DATA never shuffles — one map-side explode of
+    * per-doc DISTINCT segments feeds the segment-count hash-agg (the
+    * only wide exchange, map-side partials, 16-byte rows), the
+    * surviving frequent set collapses to ONE array row (boilerplate is
+    * small by nature; `maxBoiler` caps it at the (nd desc, seg)-ranked
+    * top so a pathological corpus degrades to partial cleaning, never
+    * to an unbounded broadcast), and the removal itself is a row-local
+    * broadcast-crossJoin projection — no per-doc reassembly shuffle.
+    * Membership tests are array_contains over the sorted boiler array:
+    * O(|boiler|) per segment, fine while the cap holds. */
+  def removeFrequentSegments(docs: DataFrame, idCol: String,
+                             textCol: String, segTokens: Int = 8,
+                             minDocs: Int = 2,
+                             maxBoiler: Int = 100000): DataFrame = {
+    require(segTokens > 0 && minDocs > 1, "segTokens>0, minDocs>1")
+    val id = col(idCol)
+    val toks = tokens(col(textCol))
+    val nSeg = ((size(col("toks")) + segTokens - 1) / segTokens).cast("int")
+    val segs = transform(sequence(lit(0), greatest(col("nseg"), lit(1)) - 1),
+      i => concat_ws(" ", slice(col("toks"), i * segTokens + 1, lit(segTokens))))
+    val segmented = docs
+      .select(id, toks.as("toks"))
+      .withColumn("nseg", nSeg)
+      .select(id, segs.as("segs"))
+    val boiler = segmented
+      .select(explode(array_distinct(col("segs"))).as("seg"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .orderBy(col("nd").desc, col("seg"))
+      .limit(maxBoiler)
+      .agg(coalesce(array_sort(collect_list(col("seg"))),
+        array().cast("array<string>")).as("boiler"))
+    segmented
+      .crossJoin(broadcast(boiler))
+      .select(id,
+        concat_ws(" ", filter(col("segs"),
+          s => !array_contains(col("boiler"), s))).as("clean_text"),
+        size(filter(col("segs"),
+          s => array_contains(col("boiler"), s))).as("n_removed"))
+  }
+
   /** Persist the winnowed fingerprint table BUCKETED by fp — the
     * settled-corpus contamination index as a reusable artifact, exactly
     * like the minhash signature table ([[Dedup.writeSignatureTable]]):

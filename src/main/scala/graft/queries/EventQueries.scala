@@ -394,6 +394,26 @@ object EventQueries extends QueryPack {
         "event_type", "value", col("event_id"), b = 40)
     },
 
+    // CUPED variance-reduced A/B means: each user's post-cutoff spend
+    // adjusted by their own pre-cutoff spend (θ pooled across arms) —
+    // the adjusted means answer the same question as stat_ttest's raw
+    // means with the between-user noise removed.
+    "stat_cuped" -> { (s, dir) =>
+      graft.ops.Stats.cupedMeans(Tables.events(s, dir),
+        "user_id", "value", "ts", cutoff = "2024-01-15 00:00:00")
+    },
+
+    // Wald SPRT on the purchase-conversion stream per arm: H0 p=0.10
+    // vs H1 p=0.20, trials in (ts, event_id) order — the sequential
+    // decision an experiment platform reads live instead of waiting
+    // for the fixed-horizon t-test.
+    "ev_ab_sprt" -> { (s, dir) =>
+      graft.ops.Stats.sprtDecision(Tables.events(s, dir),
+        pmod(col("user_id"), lit(2)).cast("int"),
+        col("event_type") === "purchase",
+        Seq(col("ts"), col("event_id")), p0 = 0.10, p1 = 0.20)
+    },
+
     // steady-state of the event-type Markov chain (where does a user's
     // session settle?): transition counts from per-user ordered streams,
     // then 3 rounds of x·P in EXACT scaled-integer floor arithmetic —
@@ -1085,7 +1105,8 @@ object EventQueries extends QueryPack {
          |ww AS (SELECT event_type, x, i, $wCase AS w
          |  FROM (SELECT *,
          |    CAST(('0x' || substr(md5(concat_ws('|', rk,
-         |      CAST(i AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+         |      CAST(i // 4 AS VARCHAR))), CAST((i % 4) * 8 + 1 AS INT), 8))
+         |      AS BIGINT) / 4294967296.0 AS u
          |    FROM reps)),
          |m AS (SELECT event_type, i, CAST(sum(w * x) AS BIGINT) AS swx,
          |    CAST(sum(w) AS BIGINT) AS sw
@@ -1113,6 +1134,83 @@ object EventQueries extends QueryPack {
          |  round(lo_c / 100.0 * 1000000) / 1000000 AS lo,
          |  round(hi_c / 100.0 * 1000000) / 1000000 AS hi
          |FROM p JOIN ci USING (event_type)""".stripMargin
+    },
+    // CUPED: per-user cents pre/post sums, exact DECIMAL(38,0) pooled
+    // cross-moments, then the identical float chain as the Spark plan
+    // (θ = num/denX unrounded inside mean_cuped; var_reduction's
+    // division order matches the left-assoc Spark expression).
+    "stat_cuped" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS xu,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS yu
+        |  FROM events GROUP BY 1),
+        |pv AS (SELECT ((user_id % 2) + 2) % 2 AS variant, xu, yu FROM per),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xu) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(yu) AS DECIMAL(38,0)) AS sy,
+        |    sum(CAST(xu AS DECIMAL(38,0)) * CAST(xu AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(xu AS DECIMAL(38,0)) * CAST(yu AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(yu AS DECIMAL(38,0)) * CAST(yu AS DECIMAL(38,0))) AS syy
+        |  FROM pv),
+        |mm AS (SELECT n,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS den_x,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) AS den_y,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+        |  FROM m),
+        |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(xu) AS BIGINT) AS sxv, CAST(sum(yu) AS BIGINT) AS syv
+        |  FROM pv GROUP BY 1)
+        |SELECT variant, nv AS n_users,
+        |  round(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE) / 100.0
+        |    * 1000000) / 1000000 AS mean_raw,
+        |  round((CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)
+        |      - num / den_x * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)
+        |                       - mean_x)) / 100.0
+        |    * 1000000) / 1000000 AS mean_cuped,
+        |  round(num / den_x * 1000000) / 1000000 AS theta,
+        |  round(num / den_x * num / den_y * 1000000) / 1000000
+        |    AS var_reduction
+        |FROM v CROSS JOIN mm""".stripMargin,
+    // SPRT: the µ-nat constants come from the SAME sprtMicroNats call
+    // as the Spark plan, so the running LLR and both boundary compares
+    // are exact BIGINT in both engines; first crossing per arm via
+    // min(rn) over the hit rows, horizon row reported when no crossing.
+    "ev_ab_sprt" -> {
+      val (l1, l0, up, lo) =
+        graft.ops.Stats.sprtMicroNats(0.10, 0.20, 0.05, 0.20)
+      s"""WITH t AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ,
+         |    ts, event_id
+         |  FROM events),
+         |o AS (SELECT variant, succ,
+         |    row_number() OVER (PARTITION BY variant ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM t),
+         |c AS (SELECT variant, rn,
+         |    CAST(sum(succ) OVER (PARTITION BY variant ORDER BY rn
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+         |  FROM o WHERE rn <= 100000),
+         |b AS (SELECT variant, rn, s,
+         |    s * ($l1) + (rn - s) * ($l0) AS llr_u
+         |  FROM c),
+         |h AS (SELECT variant, rn, s, llr_u,
+         |    CASE WHEN llr_u >= ($up) THEN 'accept_h1'
+         |         WHEN llr_u <= ($lo) THEN 'accept_h0' END AS hit
+         |  FROM b),
+         |fh AS (SELECT variant, min(rn) AS stop_rn FROM h
+         |  WHERE hit IS NOT NULL GROUP BY 1),
+         |lr AS (SELECT variant, max(rn) AS last_rn FROM h GROUP BY 1)
+         |SELECT h.variant, CAST(rn AS BIGINT) AS n_trials, s AS n_succ,
+         |  CAST(llr_u AS DOUBLE) / 1000000.0 AS llr,
+         |  coalesce(hit, 'continue') AS decision
+         |FROM h JOIN lr ON h.variant = lr.variant
+         |LEFT JOIN fh ON h.variant = fh.variant
+         |WHERE rn = coalesce(stop_rn, last_rn)""".stripMargin
     },
     // Mann–Kendall: S and Var(S)·18 as exact BIGINT sums over the
     // gap-filled grid; the only float ops are the final division and

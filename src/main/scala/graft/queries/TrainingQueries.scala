@@ -150,6 +150,16 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.dedupInline(Tables.documents(s, dir), "doc_id", "text", w = 3)
     },
 
+    // CROSS-doc boilerplate removal (the CCNet line-dedup stage):
+    // 8-token segments appearing verbatim in ≥2 distinct docs are
+    // excised everywhere — nav bars / license footers at corpus scale.
+    // The frequent set collapses to one broadcast array; the data
+    // itself never shuffles.
+    "text_boilerplate" -> { (s, dir) =>
+      TextAnalysis.removeFrequentSegments(Tables.documents(s, dir),
+        "doc_id", "text", segTokens = 8, minDocs = 2)
+    },
+
     "vocab_top" -> { (s, dir) =>
       TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
     },
@@ -1832,6 +1842,15 @@ object TrainingQueries extends QueryPack {
       val rules = Bpe.train(Tables.documents(s, dir), "text", rounds = 3)
         .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.encodeTokenCounts(Tables.documents(s, dir), "doc_id", "text", rules)
+    },
+
+    // tokenizer fertility per source: subword tokens per whitespace
+    // word under the 3 learned rules — vocab_oov's cost-side twin (an
+    // outlier source pays proportionally more sequence length).
+    "vocab_fertility" -> { (s, dir) =>
+      val rules = Bpe.train(Tables.documents(s, dir), "text", rounds = 3)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.fertilityBySource(Tables.documents(s, dir), "source", "text", rules)
     }
   )
 
@@ -2832,6 +2851,32 @@ object TrainingQueries extends QueryPack {
         |    IF NOT list_contains(coalesce(cov.rset, []), i)], ' '), '') AS clean_text,
         |  CAST(coalesce(len(cov.rset), 0) AS INT) AS n_removed
         |FROM toks d LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // boilerplate: same non-overlapping 8-token segmentation, distinct
+    // doc counts, the (nd desc, seg)-capped frequent list, and a
+    // list_filter rebuild in original segment order.
+    "text_boilerplate" ->
+      """WITH segs AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(toks[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)],
+        |      ' ') AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents),
+        |       LATERAL unnest(range(greatest(
+        |         CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS t(i)),
+        |cnt AS (SELECT seg, count(DISTINCT doc_id) AS nd
+        |        FROM segs GROUP BY 1),
+        |b AS (SELECT coalesce(list(seg ORDER BY seg), CAST([] AS VARCHAR[]))
+        |        AS boiler
+        |      FROM (SELECT seg, nd FROM cnt WHERE nd >= 2
+        |            ORDER BY nd DESC, seg LIMIT 100000)),
+        |d AS (SELECT doc_id, list(seg ORDER BY i) AS segl
+        |      FROM segs GROUP BY 1)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(segl,
+        |    s -> NOT list_contains(boiler, s)), ' '), '') AS clean_text,
+        |  CAST(len(list_filter(segl,
+        |    s -> list_contains(boiler, s))) AS INT) AS n_removed
+        |FROM d CROSS JOIN b""".stripMargin,
     // removal half: same span universe as dedup_dupfrac; the cleaned
     // text is an indexed comprehension skipping covered positions.
     "dedup_span_removal" ->
@@ -4761,7 +4806,28 @@ object TrainingQueries extends QueryPack {
          |  CAST(sum(CASE WHEN regexp_matches(dw.word, '^[a-z0-9]+$$')
          |                THEN e.n_tok ELSE 1 END) AS BIGINT) AS bpe_tokens
          |FROM dw LEFT JOIN enc e ON e.word = dw.word
-         |GROUP BY dw.doc_id""".stripMargin
+         |GROUP BY dw.doc_id""".stripMargin,
+    // fertility: the encode replay aggregated per source instead of per
+    // doc; the one float is the final tokens-per-word division.
+    "vocab_fertility" ->
+      s"""WITH $bpeCtes,
+         |enc AS (SELECT word,
+         |    len(string_split(substr(s, 2, length(s)-2), '||')) AS n_tok
+         |  FROM s3),
+         |dw AS (SELECT source, word
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE length(word) > 0),
+         |agg AS (SELECT source,
+         |    CAST(sum(CASE WHEN regexp_matches(dw.word, '^[a-z0-9]+$$')
+         |                  THEN e.n_tok ELSE 1 END) AS BIGINT) AS bpe_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_words
+         |  FROM dw LEFT JOIN enc e ON e.word = dw.word
+         |  GROUP BY source)
+         |SELECT source, bpe_tokens, n_words,
+         |  round(CAST(bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    * 1000000) / 1000000 AS fertility
+         |FROM agg""".stripMargin
   )
 
   /** Shared BPE training replay: word-frequency collapse, 3 rounds of

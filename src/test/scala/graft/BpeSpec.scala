@@ -52,4 +52,19 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq ==
       Seq(("a", "b", 2L)))
   }
+
+  test("fertilityBySource: tokens-per-word ratio, OOV counts 1") {
+    val rules = Seq(("e", "s"), ("es", "t"))
+    val docs = Seq(
+      // srcA: "newest" → n,e,w,est = 4 toks; "best" → b,est = 2 → 6/2 = 3.0
+      ("srcA", "newest best"),
+      // srcB: two OOV words (count 1 each) + "es" → 1 tok → 3/3 = 1.0
+      ("srcB", "x-y !! es")
+    ).toDF("source", "text")
+    val out = Bpe.fertilityBySource(docs, "source", "text", rules)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("srcA") === ((6L, 2L, 3.0)))
+    assert(out("srcB") === ((3L, 3L, 1.0)))
+  }
 }

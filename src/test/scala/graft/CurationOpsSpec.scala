@@ -283,4 +283,39 @@ class CurationOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("removeFrequentSegments: cross-doc segments excised, order kept") {
+    import spark.implicits._
+    // 2-token segments; docs are concatenations of exact segments
+    val boiler1 = "nav bar"      // in docs 1,2,3
+    val boiler2 = "foot note"    // in docs 1,2
+    val docs = Seq(
+      (1L, s"$boiler1 alpha one $boiler2"),
+      (2L, s"$boiler2 beta two $boiler1"),
+      (3L, s"$boiler1 gamma three"),
+      (4L, "delta four unique words"),
+      (5L, s"$boiler1 $boiler2")) // nothing but boilerplate
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeFrequentSegments(docs, "doc_id", "text",
+        segTokens = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("alpha one", 2)))
+    assert(out(2L) === (("beta two", 2)))
+    assert(out(3L) === (("gamma three", 1)))
+    assert(out(4L) === (("delta four unique words", 0)))
+    assert(out(5L) === (("", 2))) // all-boiler doc survives as a row
+    // maxBoiler cap: only the (nd desc, seg)-top segment is excised —
+    // boiler1 (3 docs) outranks boiler2 (2 docs)
+    val capped = TextAnalysis.removeFrequentSegments(docs, "doc_id", "text",
+        segTokens = 2, minDocs = 2, maxBoiler = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(capped(5L) === "foot note")
+    // removal is a broadcast probe, never a data-side join shuffle
+    val plan = TextAnalysis.removeFrequentSegments(docs, "doc_id", "text",
+        segTokens = 2, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
 }

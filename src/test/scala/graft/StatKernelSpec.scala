@@ -122,13 +122,15 @@ class StatKernelSpec extends SparkSpec {
           r.getAs[Double]("hi")))).toMap
     val got = run(df)
 
-    // sequential reference: same md5 draws, same Poisson CASE, same
+    // sequential reference: same md5 block/slot draws (replicate i
+    // reads hex slot i%4 of digest i/4), same Poisson CASE, same
     // cents-exact sums, same ceil-index picks
-    def md5u(s: String): Double = {
+    def md5u(id: Long, i: Int): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8"))
-        .take(4).map(b => f"${b & 0xff}%02x").mkString
-      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      val hex = md.digest(s"$id|${i / 4}".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val slot = hex.substring((i % 4) * 8, (i % 4) * 8 + 8)
+      java.lang.Long.parseLong(slot, 16).toDouble / 4294967296.0
     }
     def weight(u: Double): Int =
       Stats.PoissonCum.indexWhere(u < _) match {
@@ -137,7 +139,7 @@ class StatKernelSpec extends SparkSpec {
     val want = rows.groupBy(_._2).map { case (g, rs) =>
       val cents = rs.map { case (id, _, v) => (id, (v * 100).toLongExact) }
       val means = (0 until 40).flatMap { i =>
-        val ws = cents.map { case (id, c) => (weight(md5u(s"$id|$i")), c) }
+        val ws = cents.map { case (id, c) => (weight(md5u(id, i)), c) }
         val sw = ws.map(_._1.toLong).sum
         if (sw == 0) None
         else Some((i, ws.map { case (w, c) => w * c }.sum.toDouble / sw))
@@ -157,5 +159,77 @@ class StatKernelSpec extends SparkSpec {
     })
     // layout blindness: the draw hashes the id, not the partition
     assert(run(df.repartition(7)) == got)
+  }
+
+  // ---- CUPED ----
+
+  test("cupedMeans: θ exact on a linear relation, full variance kill") {
+    import org.apache.spark.sql.functions._
+    // per user u: pre-period spend = u+1, post-period spend = 2(u+1) —
+    // Y = 2X exactly, so pooled θ = 2, ρ² = 1, and every user's
+    // adjusted Y is 2·X̄ (the grand pre-mean, doubled).
+    val rows = (0L until 40L).flatMap { u =>
+      Seq((u, ts("2024-01-10 00:00:00"), BigDecimal(u + 1).setScale(2)),
+        (u, ts("2024-01-20 00:00:00"), BigDecimal(2 * (u + 1)).setScale(2)))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.cupedMeans(d, "user_id", "value", "ts", "2024-01-15 00:00:00")
+        .collect().map(r => r.getInt(0) ->
+          ((r.getAs[Long]("n_users"), r.getAs[Double]("mean_raw"),
+            r.getAs[Double]("mean_cuped"), r.getAs[Double]("theta"),
+            r.getAs[Double]("var_reduction")))).toMap
+    val got = run(df)
+    // X̄ = mean(1..40) = 20.5, so both arms' adjusted mean = 41.0 —
+    // CUPED removes ALL between-user spread here
+    (0 to 1).foreach { v =>
+      val (n, _, cuped, theta, vr) = got(v)
+      assert(n === 20L)
+      assert(theta === 2.0)
+      assert(vr === 1.0)
+      assert(cuped === 41.0)
+    }
+    // raw means differ by arm (odd users spend more); adjusted don't
+    assert(got(0)._2 !== got(1)._2)
+    assert(run(df.repartition(7)) === got) // layout-blind
+  }
+
+  // ---- SPRT ----
+
+  test("sprtDecision replays the sequential fold; horizon → continue") {
+    import org.apache.spark.sql.functions._
+    // arm 0: all successes → fast accept_h1; arm 1: strict alternation
+    // keeps the symmetric LLR oscillating around 0 → never decides
+    val rows = (0L until 60L).map { i =>
+      val arm = (i % 2).toInt
+      val succ = if (arm == 0) true else (i / 2) % 2 == 0
+      (i, arm, succ)
+    }
+    val df = rows.toDF("event_id", "arm", "succ")
+    val got = Stats.sprtDecision(df, col("arm"), col("succ"),
+        Seq(col("event_id")), p0 = 0.4, p1 = 0.6, horizon = 25)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getInt(1), r.getLong(2), r.getAs[Double]("llr"),
+          r.getString(4)))).toMap
+    // sequential reference over the same µ-nat constants
+    val (l1, l0, up, lo) = Stats.sprtMicroNats(0.4, 0.6, 0.05, 0.20)
+    def ref(trials: Seq[Boolean]): (Int, Long, Double, String) = {
+      var s = 0L
+      trials.take(25).zipWithIndex.foreach { case (t, i) =>
+        if (t) s += 1
+        val llr = s * l1 + (i + 1 - s) * l0
+        if (llr >= up) return (i + 1, s, llr / 1e6, "accept_h1")
+        if (llr <= lo) return (i + 1, s, llr / 1e6, "accept_h0")
+      }
+      val n = math.min(trials.size, 25)
+      (n, s, (s * l1 + (n - s) * l0) / 1e6, "continue")
+    }
+    (0 to 1).foreach { arm =>
+      val trials = rows.filter(_._2 == arm).sortBy(_._1).map(_._3)
+      assert(got(arm) === ref(trials), s"arm $arm")
+    }
+    assert(got(0)._4 === "accept_h1")
+    assert(got(1)._4 === "continue")
+    assert(got(1)._1 === 25) // reported at the horizon row
   }
 }
