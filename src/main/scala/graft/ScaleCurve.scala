@@ -155,7 +155,17 @@ object ScaleCurve {
     // map-side — near-flat shuffle), MMR (bounded broadcast probe +
     // candidate-sized greedy steps), Mann–Kendall (grid-bounded pair
     // space — FLAT past the hash-agg)
-    "split_leakage", "sample_cluster_cap", "sim_mmr", "ts_mann_kendall")
+    "split_leakage", "sample_cluster_cap", "sim_mmr", "ts_mann_kendall",
+    // inference wave: Poisson bootstrap (×b map-side fan-out collapsing
+    // into the (grp,i) agg — linear with a b-sized constant), CUPED
+    // (one user_id agg then arm-bounded folds — linear then flat),
+    // SPRT (horizon-capped per-arm window — should be FLAT past the
+    // first projection), cluster split (dupClusters' CC loop + one md5
+    // projection — tracks dedup_clusters), boilerplate removal (one
+    // distinct-segment agg + broadcast probe — linear, no data
+    // shuffle), fertility (one token-stream agg — tracks text_heaps)
+    "stat_bootstrap", "stat_cuped", "ev_ab_sprt", "split_assign_cluster",
+    "text_boilerplate", "vocab_fertility")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

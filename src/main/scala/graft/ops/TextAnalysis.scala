@@ -672,8 +672,11 @@ object TextAnalysis {
     * top so a pathological corpus degrades to partial cleaning, never
     * to an unbounded broadcast), and the removal itself is a row-local
     * broadcast-crossJoin projection — no per-doc reassembly shuffle.
-    * Membership tests are array_contains over the sorted boiler array:
-    * O(|boiler|) per segment, fine while the cap holds. */
+    * Membership tests binary-search the sorted boiler array via the
+    * native [[graft.functions.SortedArrayContains]] expression: with
+    * BOTH the probe count and |boiler| growing with the corpus, an
+    * `array_contains` linear scan is a hidden quadratic (measured 54×
+    * at 25× data; the binary search restored the linear curve). */
   def removeFrequentSegments(docs: DataFrame, idCol: String,
                              textCol: String, segTokens: Int = 8,
                              minDocs: Int = 2,
@@ -699,10 +702,12 @@ object TextAnalysis {
     segmented
       .crossJoin(broadcast(boiler))
       .select(id,
-        concat_ws(" ", filter(col("segs"),
-          s => !array_contains(col("boiler"), s))).as("clean_text"),
-        size(filter(col("segs"),
-          s => array_contains(col("boiler"), s))).as("n_removed"))
+        concat_ws(" ", filter(col("segs"), s =>
+          !graft.functions.SortedArrayContains(col("boiler"), s)))
+          .as("clean_text"),
+        size(filter(col("segs"), s =>
+          graft.functions.SortedArrayContains(col("boiler"), s)))
+          .as("n_removed"))
   }
 
   /** Persist the winnowed fingerprint table BUCKETED by fp — the

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SortedArrayContains
+
+/** The binary search must agree with array_contains on every sorted
+  * array — including null elements (sorted first, never matching) and
+  * empty arrays — in both eval paths. */
+class SortedArrayContainsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("agrees with array_contains over sorted arrays; nulls skipped") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rows = (0 until 200).map { i =>
+      val arr = words.filter(_.hashCode % (i % 7 + 2) != 0).sorted
+      val probe = words(i % words.length) + (if (i % 3 == 0) "" else "_miss")
+      (i.toLong, arr, probe)
+    }
+    val df = rows.toDF("id", "arr", "probe")
+      .withColumn("arr", array_sort(col("arr")))
+    val got = df.select(col("id"),
+        SortedArrayContains(col("arr"), col("probe")).as("bs"),
+        array_contains(col("arr"), col("probe")).as("lin"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getBoolean(1) === r.getBoolean(2), r.toString))
+  }
+
+  test("empty array and null-prefixed array") {
+    val df = Seq(
+      (1L, Seq.empty[Option[String]], "x"),
+      (2L, Seq[Option[String]](None, None, Some("a"), Some("b")), "a"),
+      (3L, Seq[Option[String]](None, Some("a"), Some("b")), "zz")
+    ).toDF("id", "arr", "probe")
+    val got = df.select(col("id"),
+        SortedArrayContains(col("arr"), col("probe")).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false))
+  }
+}
