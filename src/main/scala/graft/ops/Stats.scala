@@ -218,11 +218,14 @@ object Stats {
     * denominator are exact integers — floats appear only in the final
     * divisions/products, in the same order in both engines.
     *
-    * Scale: ONE user_id shuffle builds the per-user table; both the
-    * pooled moments and the per-variant sums hash-agg over it
-    * map-side; the (variant × 1-row moments) join is a broadcast
-    * crossJoin. Variant = pmod(user_id, 2) — the deterministic
-    * assignment stat_ttest uses. */
+    * Scale: ONE user_id shuffle builds the per-user table, and ONE
+    * hash-agg over it produces per-variant moments; the POOLED moments
+    * are the sum of the |variants| rows (exact integer arithmetic —
+    * identical to aggregating users directly), so the per-user table
+    * is consumed once and the raw corpus scanned once (plan-guarded).
+    * The (variant × 1-row moments) join is a broadcast crossJoin.
+    * Variant = pmod(user_id, 2) — the deterministic assignment
+    * stat_ttest uses. */
   def cupedMeans(df: DataFrame, userCol: String, valueCol: String,
                  tsCol: String, cutoff: String): DataFrame = {
     val x = cents(col(valueCol))
@@ -233,10 +236,16 @@ object Stats {
         sum(when(col(tsCol) >= cut, x).otherwise(0L)).as("yu"))
       .withColumn("variant", pmod(col("u"), lit(2)).cast("int"))
     val xd = col("xu").cast(d38); val yd = col("yu").cast(d38)
-    val m = per.agg(count(lit(1)).as("n"),
-      sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
-      sum(xd * xd).as("sxx"), sum(xd * yd).as("sxy"),
-      sum(yd * yd).as("syy"))
+    val vm = per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("nv"),
+        sum(col("xu")).as("sxv"), sum(col("yu")).as("syv"),
+        sum(xd * xd).as("sxxv"), sum(xd * yd).as("sxyv"),
+        sum(yd * yd).as("syyv"))
+      .localCheckpoint() // |variants| rows; pooled + per-variant reuse it
+    val m = vm.agg(sum(col("nv")).as("n"),
+      sum(col("sxv")).as("sx"), sum(col("syv")).as("sy"),
+      sum(col("sxxv")).as("sxx"), sum(col("sxyv")).as("sxy"),
+      sum(col("syyv")).as("syy"))
     val nD = col("n").cast(d38)
     val num = (nD * col("sxy") - col("sx").cast(d38) * col("sy").cast(d38))
       .cast("double")
@@ -244,9 +253,7 @@ object Stats {
       .cast("double")
     val denY = (nD * col("syy") - col("sy").cast(d38) * col("sy").cast(d38))
       .cast("double")
-    val v = per.groupBy(col("variant"))
-      .agg(count(lit(1)).as("nv"), sum(col("xu")).as("sxv"),
-        sum(col("yu")).as("syv"))
+    val v = vm.select(col("variant"), col("nv"), col("sxv"), col("syv"))
     val theta = num / denX
     val meanY = col("syv").cast("double") / col("nv").cast("double")
     val meanXv = col("sxv").cast("double") / col("nv").cast("double")

@@ -583,4 +583,35 @@ class PlanShapeSpec extends SparkSpec {
     // all run on the checkpointed T-bounded grid, not the corpus
     assert(countOf(p, "Scan parquet") <= 1, s"grid must be reused:\n$p")
   }
+
+  test("bootstrap fan-out collapses map-side; no sort-merge anywhere") {
+    val p = plan("stat_bootstrap")
+    // the ×b explode must feed a partial hash-agg before its exchange —
+    // the shuffle carries (grp, i) partials, never b copies of the data
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("CUPED: per-user agg once, moments broadcast back") {
+    val p = plan("stat_cuped")
+    // one raw scan; the pooled-moment row reaches the per-variant side
+    // as a broadcast (BNLJ on the 1-row side), never a sort-merge
+    assert(countOf(p, "Scan parquet") <= 1, s"per-user table must be reused:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("boilerplate removal: data never shuffles, only segment counts do") {
+    val p = plan("text_boilerplate")
+    // the doc-side path is scan → broadcast probe → project: no
+    // sort-merge join, no per-doc reassembly exchange, no cartesian
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // exactly two document scans (segment census + removal pass), both
+    // pruned to (doc_id, text)
+    assert(countOf(p, "Scan parquet") <= 2, p)
+  }
+
+  test("fertility is one token-stream hash-agg, zero joins") {
+    val p = plan("vocab_fertility")
+    assert(!p.contains("Join"), s"encode must be a projection:\n$p")
+  }
 }
