@@ -255,18 +255,31 @@ object Stats {
       .cast("double")
     val v = vm.select(col("variant"), col("nv"), col("sxv"), col("syv"))
     val theta = num / denX
-    val meanY = col("syv").cast("double") / col("nv").cast("double")
-    val meanXv = col("sxv").cast("double") / col("nv").cast("double")
     val meanX = col("sx").cast("double") / col("n").cast("double")
     v.crossJoin(broadcast(m))
       .select(col("variant"), col("nv").as("n_users"),
-        TimeSeries.portableRound6(meanY / 100.0).as("mean_raw"),
-        TimeSeries.portableRound6(
-          (meanY - theta * (meanXv - meanX)) / 100.0).as("mean_cuped"),
+        cupedRawMean(col("syv"), col("nv")).as("mean_raw"),
+        cupedAdjustedMean(col("syv"), col("sxv"), col("nv"), theta, meanX)
+          .as("mean_cuped"),
         TimeSeries.portableRound6(theta).as("theta"),
         TimeSeries.portableRound6(num / denX * num / denY)
           .as("var_reduction"))
   }
+
+  /** The CUPED report expressions, shared by [[cupedMeans]] and the
+    * streaming twin (stream ≡ batch is one formula, not two): cents
+    * sums → currency means, with the adjustment θ(X̄ᵥ − X̄) applied
+    * before the 100× descale. */
+  def cupedRawMean(syv: Column, nv: Column): Column =
+    TimeSeries.portableRound6(
+      syv.cast("double") / nv.cast("double") / 100.0)
+
+  def cupedAdjustedMean(syv: Column, sxv: Column, nv: Column,
+                        theta: Column, meanXCents: Column): Column =
+    TimeSeries.portableRound6(
+      (syv.cast("double") / nv.cast("double") -
+        theta * (sxv.cast("double") / nv.cast("double") - meanXCents))
+        / 100.0)
 
   /** Wald SPRT over a Bernoulli trial stream (the sequential A/B
     * decision): trials arrive in (orderCol) order, LLRₙ = s·ln(p1/p0) +
