@@ -270,6 +270,64 @@ object Stats {
     * streaming twin (stream ≡ batch is one formula, not two): cents
     * sums → currency means, with the adjustment θ(X̄ᵥ − X̄) applied
     * before the 100× descale. */
+  /** (z₀.₀₂₅ + z₀.₂₀)² for the standard two-sided α=0.05 / power-0.8
+    * sizing formula, quantized to picos so both engines can rebuild the
+    * IDENTICAL double from an integer literal (a bare double literal
+    * parses through a decimal intermediate in some engines — one ulp
+    * off; integer ÷ 10¹² is one IEEE division, bit-exact everywhere). */
+  val PowerZsum2Pico: Long = {
+    val z = 1.9599639845400545 + 0.8416212335729143
+    math.round(z * z * 1e12)
+  }
+  val PowerZsum2: Double = PowerZsum2Pico / 1.0e12
+
+  /** Quantile treatment effect: exact type-1 quantiles (p25/p50/p75) of
+    * `valueCol` per arm, differenced — the distributional effect read.
+    * Quantile = the value at rank ⌈q·n⌉ of the COLLAPSED value-domain
+    * table (the agg_median_exact discipline: a (variant, value) count
+    * table bounds the window work by the value domain, never the row
+    * count; ranks in exact integer arithmetic, so no engine
+    * interpolation rule is ever consulted). Output: one row per
+    * quantile with both arms' values and the difference, in currency. */
+  def quantileTreatmentEffect(df: DataFrame, variantCol: Column,
+                              valueCol: String): DataFrame = {
+    val x = cents(col(valueCol))
+    val grp = df.select(variantCol.as("v"), x.as("x"))
+      .groupBy(col("v"), col("x")).agg(count(lit(1)).as("c"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("x"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+    val cum = grp.withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+    // ⌈q·n⌉ in exact integers: ⌈n/4⌉=(n+3)/4, ⌈n/2⌉=(n+1)/2, ⌈3n/4⌉=(3n+3)/4
+    def pick(rank: Column) =
+      min(when(col("cum") >= rank && col("cum") - col("c") < rank, col("x")))
+    val perArm = cum.groupBy(col("v"))
+      .agg(pick(floor((col("n") + 3) / 4)).as("q25c"),
+        pick(floor((col("n") + 1) / 2)).as("q50c"),
+        pick(floor((col("n") * 3 + 3) / 4)).as("q75c"))
+      .localCheckpoint() // |arms| rows; both single-arm selects reuse it
+    val a0 = perArm.where(col("v") === 0)
+      .select(col("q25c").as("q25_0"), col("q50c").as("q50_0"),
+        col("q75c").as("q75_0"))
+    val a1 = perArm.where(col("v") === 1)
+      .select(col("q25c").as("q25_1"), col("q50c").as("q50_1"),
+        col("q75c").as("q75_1"))
+    def cur(c: Column) = c.cast("double") / 100.0
+    a0.crossJoin(broadcast(a1))
+      .select(explode(array(
+        struct(lit("p25").as("quantile"), cur(col("q25_0")).as("arm0"),
+          cur(col("q25_1")).as("arm1"),
+          cur(col("q25_1") - col("q25_0")).as("qte")),
+        struct(lit("p50").as("quantile"), cur(col("q50_0")).as("arm0"),
+          cur(col("q50_1")).as("arm1"),
+          cur(col("q50_1") - col("q50_0")).as("qte")),
+        struct(lit("p75").as("quantile"), cur(col("q75_0")).as("arm0"),
+          cur(col("q75_1")).as("arm1"),
+          cur(col("q75_1") - col("q75_0")).as("qte")))).as("r"))
+      .select(col("r.quantile"), col("r.arm0"), col("r.arm1"), col("r.qte"))
+  }
+
   def cupedRawMean(syv: Column, nv: Column): Column =
     TimeSeries.portableRound6(
       syv.cast("double") / nv.cast("double") / 100.0)

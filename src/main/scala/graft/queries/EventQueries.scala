@@ -414,6 +414,43 @@ object EventQueries extends QueryPack {
         Seq(col("ts"), col("event_id")), p0 = 0.10, p1 = 0.20)
     },
 
+    // experiment sizing from observed moments: per event type, the
+    // per-arm n needed to detect a 5% lift of that type's own mean at
+    // α=0.05 / power 0.8 — n = 2σ²(z_{α/2}+z_β)²/δ². The z-sum square
+    // is computed once in Scala and injected into both engines; σ² is
+    // exact DECIMAL(38,0) until the final float chain, and the
+    // fractional n is 6dp-rounded (never an ulp-fragile ceil).
+    "stat_power" -> { (s, dir) =>
+      val zsum2 = graft.ops.Stats.PowerZsum2 // (z_.025 + z_.20)²
+      val x = graft.ops.Stats.cents(col("value"))
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val m = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+          sum(x.cast(d38) * x.cast(d38)).as("sxx"))
+      val nD = col("n").cast(d38)
+      val varC = (nD * col("sxx") - col("sx").cast(d38) * col("sx").cast(d38))
+        .cast("double") /
+        (nD * (nD - 1)).cast("double")
+      val meanC = col("sx").cast("double") / col("n").cast("double")
+      val delta = meanC * 0.05
+      m.select(col("event_type"), col("n"),
+        graft.ops.TimeSeries.portableRound6(meanC / 100.0).as("mean"),
+        graft.ops.TimeSeries.portableRound6(sqrt(varC) / 100.0).as("sd"),
+        graft.ops.TimeSeries.portableRound6(
+          varC * lit(zsum2) * 2.0 / (delta * delta)).as("n_per_arm"))
+    },
+
+    // quantile treatment effect on purchase spend: exact type-1
+    // quantiles (rank ceil(q·n) off the collapsed value-domain table —
+    // never an engine interpolation rule) per arm, differenced — the
+    // distributional read a mean-based t-test can't give.
+    "stat_qte" -> { (s, dir) =>
+      graft.ops.Stats.quantileTreatmentEffect(
+        Tables.events(s, dir).where(col("event_type") === "purchase"),
+        pmod(col("user_id"), lit(2)).cast("int"), "value")
+    },
+
     // steady-state of the event-type Markov chain (where does a user's
     // session settle?): transition counts from per-user ordered streams,
     // then 3 rounds of x·P in EXACT scaled-integer floor arithmetic —
@@ -1212,6 +1249,65 @@ object EventQueries extends QueryPack {
          |LEFT JOIN fh ON h.variant = fh.variant
          |WHERE rn = coalesce(stop_rn, last_rn)""".stripMargin
     },
+    // sizing: exact moments, then the identical float chain; the z-sum
+    // square rebuilds from the shared pico integer (one IEEE division).
+    "stat_power" -> {
+      val zp = graft.ops.Stats.PowerZsum2Pico
+      s"""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+         |  FROM (SELECT event_type,
+         |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+         |    FROM events)
+         |  GROUP BY 1),
+         |f AS (SELECT event_type, n,
+         |    CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+         |      / CAST(CAST(n AS DECIMAL(38,0))
+         |          * (CAST(n AS DECIMAL(38,0)) - 1) AS DOUBLE) AS varc,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS meanc
+         |  FROM m)
+         |SELECT event_type, n,
+         |  round(meanc / 100.0 * 1000000) / 1000000 AS mean,
+         |  round(sqrt(varc) / 100.0 * 1000000) / 1000000 AS sd,
+         |  round(varc * (CAST($zp AS DOUBLE) / 1000000000000.0) * 2.0
+         |      / ((meanc * 0.05) * (meanc * 0.05)) * 1000000) / 1000000
+         |    AS n_per_arm
+         |FROM f""".stripMargin
+    },
+    // QTE: collapsed value-domain cum counts, ⌈q·n⌉ ranks in integer
+    // arithmetic, the three quantile rows assembled by UNION ALL.
+    "stat_qte" ->
+      """WITH base AS (SELECT ((user_id % 2) + 2) % 2 AS v,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'),
+        |grp AS (SELECT v, x, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (SELECT v, x, c,
+        |    sum(c) OVER (PARTITION BY v ORDER BY x) AS cum,
+        |    sum(c) OVER (PARTITION BY v) AS n FROM grp),
+        |pa AS (SELECT v,
+        |    min(CASE WHEN cum >= (n+3)//4 AND cum - c < (n+3)//4
+        |        THEN x END) AS q25c,
+        |    min(CASE WHEN cum >= (n+1)//2 AND cum - c < (n+1)//2
+        |        THEN x END) AS q50c,
+        |    min(CASE WHEN cum >= (3*n+3)//4 AND cum - c < (3*n+3)//4
+        |        THEN x END) AS q75c
+        |  FROM cum GROUP BY 1),
+        |j AS (SELECT a0.q25c AS q25_0, a0.q50c AS q50_0, a0.q75c AS q75_0,
+        |             a1.q25c AS q25_1, a1.q50c AS q50_1, a1.q75c AS q75_1
+        |      FROM (SELECT * FROM pa WHERE v = 0) a0
+        |      CROSS JOIN (SELECT * FROM pa WHERE v = 1) a1)
+        |SELECT 'p25' AS quantile, CAST(q25_0 AS DOUBLE) / 100.0 AS arm0,
+        |  CAST(q25_1 AS DOUBLE) / 100.0 AS arm1,
+        |  CAST(q25_1 - q25_0 AS DOUBLE) / 100.0 AS qte FROM j
+        |UNION ALL
+        |SELECT 'p50', CAST(q50_0 AS DOUBLE) / 100.0,
+        |  CAST(q50_1 AS DOUBLE) / 100.0,
+        |  CAST(q50_1 - q50_0 AS DOUBLE) / 100.0 FROM j
+        |UNION ALL
+        |SELECT 'p75', CAST(q75_0 AS DOUBLE) / 100.0,
+        |  CAST(q75_1 AS DOUBLE) / 100.0,
+        |  CAST(q75_1 - q75_0 AS DOUBLE) / 100.0 FROM j""".stripMargin,
     // Mann–Kendall: S and Var(S)·18 as exact BIGINT sums over the
     // gap-filled grid; the only float ops are the final division and
     // sqrt, on the shared 6dp grid. Same inner-join semantics as the

@@ -232,4 +232,68 @@ class StatKernelSpec extends SparkSpec {
     assert(got(1)._4 === "continue")
     assert(got(1)._1 === 25) // reported at the horizon row
   }
+
+  // ---- QTE ----
+
+  test("quantileTreatmentEffect: a planted constant shift is the QTE") {
+    import org.apache.spark.sql.functions._
+    // arm 1 spends exactly 3.50 more than arm 0's matching row — every
+    // quantile of arm 1 is arm 0's + 3.50, so QTE = 3.50 at p25/50/75
+    val rows = (0 until 101).flatMap { i =>
+      val base = BigDecimal((i % 17 + 1) * 2).setScale(2)
+      Seq((2L * i, base), (2L * i + 1, base + BigDecimal("3.50")))
+    }
+    val df = rows.toDF("user_id", "value")
+    val got = Stats.quantileTreatmentEffect(df,
+        pmod(col("user_id"), lit(2)).cast("int"), "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set("p25", "p50", "p75"))
+    got.foreach { case (q, (a0, a1, qte)) =>
+      assert(qte === 3.5, s"$q: $a0 $a1 $qte")
+      assert(a1 === a0 + 3.5)
+    }
+    // sequential type-1 reference on arm 0
+    val sorted = rows.filter(_._1 % 2 == 0).map(_._2).sorted
+    def q1(q: Double) = sorted(math.ceil(q * sorted.size).toInt - 1).toDouble
+    assert(got("p25")._1 === q1(0.25))
+    assert(got("p50")._1 === q1(0.50))
+    assert(got("p75")._1 === q1(0.75))
+  }
+
+  test("power sizing: closed form on constructed moments") {
+    import org.apache.spark.sql.functions._
+    // sanity law on the registered formula: n = 2σ²z²/δ² with δ = 5%
+    // of the mean — scale-free check: doubling every value leaves
+    // n_per_arm unchanged (σ and δ scale together)
+    val rows = (1 to 400).map(i => (i.toLong, "t",
+      BigDecimal((i % 23 + 1)).setScale(2)))
+    def power(mult: Int) = {
+      val df = rows.map { case (id, t, v) => (id, t, v * mult) }
+        .toDF("event_id", "event_type", "value")
+        .withColumn("ts", lit(ts("2024-01-01 00:00:00")))
+      val x = Stats.cents(col("value"))
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val m = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+          sum(x.cast(d38) * x.cast(d38)).as("sxx"))
+      val nD = col("n").cast(d38)
+      val varC = (nD * col("sxx") - col("sx").cast(d38) * col("sx").cast(d38))
+        .cast("double") / (nD * (nD - 1)).cast("double")
+      val meanC = col("sx").cast("double") / col("n").cast("double")
+      val delta = meanC * 0.05
+      m.select(graft.ops.TimeSeries.portableRound6(
+          varC * lit(Stats.PowerZsum2) * 2.0 / (delta * delta)).as("npa"))
+        .head.getDouble(0)
+    }
+    val n1 = power(1)
+    assert(n1 > 0)
+    assert(math.abs(power(2) - n1) < 1e-3, "sizing must be scale-free")
+    // hand check: cv² = var/mean², n = 2·z²·cv²/0.05²
+    val vals = rows.map(_._3.toDouble * 100)
+    val mean = vals.sum / vals.size
+    val v = vals.map(x => (x - mean) * (x - mean)).sum / (vals.size - 1)
+    val expect = 2.0 * Stats.PowerZsum2 * v / (0.05 * mean * 0.05 * mean)
+    assert(math.abs(n1 - expect) / expect < 1e-9)
+  }
 }
