@@ -508,6 +508,29 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** SOFT dedup (the SoftDeDup alternative to dropping): every doc
+    * survives, but near-dup clusters share one doc's worth of training
+    * weight — weight = 1/|cluster| — so repeated content stops being
+    * over-trained without losing whichever copy carried the cleanest
+    * formatting. Feed the weight column into weighted sampling
+    * ([[graft.ops.CorpusOps]] sample_weighted) or a loss-weighting
+    * column in the packed output.
+    *
+    * Scale: [[dupClusters]]' star-edge CC (linear edge volume,
+    * diameter-bounded rounds, output localCheckpointed) + ONE
+    * cluster_id hash-agg joined back on the cluster-sized table — no
+    * new corpus-sized machinery. */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+                       numPerm: Int = 12, rowsPerBand: Int = 3,
+                       shingleW: Int = 3): DataFrame = {
+    val cl = dupClusters(docs, idCol, textCol, numPerm, rowsPerBand, shingleW)
+    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dups"))
+    cl.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("n_dups"),
+        TimeSeries.portableRound6(
+          lit(1.0) / col("n_dups").cast("double")).as("weight"))
+  }
+
   /** Bloom-prefiltered incremental span dedup — the recurring-crawl
     * contamination check with a MAP-SIDE kill-switch: build a Bloom
     * filter over the settled corpus's w-token span hashes, broadcast it,

@@ -1060,6 +1060,13 @@ object TrainingQueries extends QueryPack {
       Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // SOFT dedup: keep every doc, give each near-dup cluster ONE doc's
+    // worth of training weight (1/|cluster|) — the over-training fix
+    // that never throws away the cleanest copy.
+    "dedup_soft_weights" -> { (s, dir) =>
+      Dedup.softDedupWeights(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // the star-edge set feeding connected components, hash-checked
     // directly: per (band, bucket) the min id fans out to every other
     // member — LINEAR edge volume per bucket where the pair enumeration
@@ -3813,6 +3820,25 @@ object TrainingQueries extends QueryPack {
          |  UNION
          |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    // soft dedup = the same transitive closure + per-cluster counts;
+    // weight is the one float (identical 1/n division both engines).
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_dups
+         |       FROM cl GROUP BY 1)
+         |SELECT doc_id, cl.cluster_id, n_dups,
+         |  round(1.0 / CAST(n_dups AS DOUBLE) * 1000000) / 1000000 AS weight
+         |FROM cl JOIN sz USING (cluster_id)""".stripMargin,
     // Same transitive closure; the purge set is every cluster touching a
     // seed id (doc_id % 97 = 0).
     "purge_closure" ->

@@ -153,4 +153,25 @@ class DiversityOpsSpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b) => assigned(a)._2 == assigned(b)._2 })
   }
+
+  test("softDedupWeights: clusters share one doc of weight, total = #clusters") {
+    // 30 planted pairs (weight 0.5 each member) + 10 singletons (1.0)
+    val docs = ((0L until 30L).flatMap { g =>
+      val text = s"alpha$g beta$g gamma$g delta$g epsilon$g zeta$g"
+      Seq((g, text), (g + 1000L, text))
+    } ++ (0L until 10L).map { i =>
+      (5000L + i, s"solo$i unique$i text$i here$i only$i once$i")
+    }).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.softDedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dups"), r.getAs[Double]("weight")))).toMap
+    assert(got.size === 70)
+    (0L until 30L).foreach { g =>
+      assert(got(g) === ((2L, 0.5)), s"pair $g")
+      assert(got(g + 1000L) === ((2L, 0.5)))
+    }
+    (0L until 10L).foreach(i => assert(got(5000L + i) === ((1L, 1.0))))
+    // invariant: Σ weights = number of clusters (one doc's worth each)
+    assert(got.values.map(_._2).sum === 40.0)
+  }
 }
