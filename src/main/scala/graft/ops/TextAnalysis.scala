@@ -543,6 +543,38 @@ object TextAnalysis {
           .as("rec"))
   }
 
+  /** Yield curve of the [[classifierScore]] quality bar: docs and
+    * TOKENS surviving each candidate threshold — the data-volume cost
+    * [[prCurve]] doesn't show (PR says how accurate the bar is; this
+    * says how much corpus each extra point of precision burns, which is
+    * what actually decides a 100 TB operating point). Same one-scan
+    * shape: score + token count project row-local, each row fans out to
+    * the |thresholds| literal cutoffs map-side, ONE tiny hash-agg
+    * (|thresholds| groups) collects exact doc/token counts; totals ride
+    * in the same aggregate, so the fraction needs no second scan. */
+  def yieldCurve(docs: DataFrame, idCol: String, textCol: String,
+                 thresholds: Seq[Double]): DataFrame = {
+    docs
+      .select(round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(col(textCol)))), 4)
+          .as("score"),
+        tokenCount(col(textCol)).as("nt"))
+      .select(col("score"), col("nt"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(when(col("score") >= col("threshold"), col("nt")).otherwise(0L))
+          .as("n_tokens_kept"),
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"))
+      .select(col("threshold"), col("n_docs_kept"), col("n_tokens_kept"),
+        TimeSeries.portableRound6(col("n_tokens_kept").cast("double") /
+          col("n_tokens").cast("double")).as("token_frac"),
+        TimeSeries.portableRound6(col("n_docs_kept").cast("double") /
+          col("n_docs").cast("double")).as("doc_frac"))
+  }
+
   /** Exact ROC-AUC of the [[classifierScore]] quality filter against a
     * reference label, with midrank tie handling — the single-number
     * companion to [[prCurve]]. Everything is exact integers until one

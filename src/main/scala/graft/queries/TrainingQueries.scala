@@ -255,6 +255,15 @@ object TrainingQueries extends QueryPack {
         col("lang") === "en", Seq(0.5, 0.52, 0.54, 0.56, 0.58))
     },
 
+    // the volume side of the same calibration: docs/tokens surviving
+    // each candidate quality bar — what each extra point of precision
+    // costs in corpus (pr_curve's partner table for picking the
+    // operating point).
+    "curate_yield_curve" -> { (s, dir) =>
+      TextAnalysis.yieldCurve(Tables.documents(s, dir), "doc_id", "text",
+        Seq(0.5, 0.52, 0.54, 0.56, 0.58))
+    },
+
     // token-exact phrase search ("table scan") through positional
     // postings — consecutive-position intersection, corpus tokens pruned
     // map-side to the phrase's terms.
@@ -2945,6 +2954,29 @@ object TrainingQueries extends QueryPack {
          |SELECT threshold, tp, fp, fn, tn,
          |  round(CAST(tp AS DOUBLE)/nullif(tp+fp, 0) * 1000000)/1000000 AS prec,
          |  round(CAST(tp AS DOUBLE)/nullif(tp+fn, 0) * 1000000)/1000000 AS rec
+         |FROM a""".stripMargin,
+    // same scoring subquery; yield counts are exact integers, the two
+    // fractions single double divisions.
+    "curate_yield_curve" ->
+      s"""WITH scored AS (SELECT doc_id,
+         |    round(1.0/(1.0 + exp(-z)), 4) AS score,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |  FROM (${clfZSql(", text")})),
+         |t AS (SELECT unnest([0.5, 0.52, 0.54, 0.56, 0.58]::DOUBLE[])
+         |        AS threshold),
+         |a AS (SELECT threshold,
+         |    CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_docs_kept,
+         |    CAST(sum(CASE WHEN score >= threshold THEN nt ELSE 0 END)
+         |      AS BIGINT) AS n_tokens_kept,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM scored, t GROUP BY threshold)
+         |SELECT threshold, n_docs_kept, n_tokens_kept,
+         |  round(CAST(n_tokens_kept AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    * 1000000) / 1000000 AS token_frac,
+         |  round(CAST(n_docs_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    * 1000000) / 1000000 AS doc_frac
          |FROM a""".stripMargin,
     // same scoring subquery; midrank AUC from exact integer rank sums.
     // NDCG@10 replay: identical neighbor ranking as sim_topk's proven
