@@ -165,7 +165,12 @@ object ScaleCurve {
     // distinct-segment agg + broadcast probe — linear, no data
     // shuffle), fertility (one token-stream agg — tracks text_heaps)
     "stat_bootstrap", "stat_cuped", "ev_ab_sprt", "split_assign_cluster",
-    "text_boilerplate", "vocab_fertility")
+    "text_boilerplate", "vocab_fertility",
+    // experiment-lifecycle + curation wave: sizing (one hash-agg —
+    // FLAT), QTE (value-domain windows — FLAT past the collapse), soft
+    // dedup (the dupClusters CC loop + one cluster-sized join), yield
+    // curve (the pr_curve one-scan fan-out shape)
+    "stat_power", "stat_qte", "dedup_soft_weights", "curate_yield_curve")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
