@@ -282,6 +282,78 @@ object CorpusOps {
       .select(col(stratumCol), col("n"), col("weight"))
   }
 
+  /** Data-constrained epoch allocation (the Muennighoff question: "my
+    * budget exceeds my unique supply — how many passes of each source?"):
+    * split an integer token budget B across sources in proportion to
+    * `weight`, with each source CAPPED at `maxRepeat` passes of its own
+    * supply — alloc_i = min(maxRepeat·U_i, t·w_i) with the water level t
+    * chosen so Σ alloc = B. Exact INTEGER waterfilling, closed form (no
+    * iteration): sort sources by cap/weight ascending — the order they
+    * saturate as t rises — and source j saturates iff its cap is below
+    * its fair share of what's left after saturating every cheaper
+    * source: cap_j · W_suffix(j) ≤ (B − C_prefix(j)) · w_j, tested in
+    * DECIMAL(38,0) cross-multiplication (never a float water level).
+    * Unsaturated sources then split the residual by weight with
+    * largest-remainder rounding, so Σ alloc = B EXACTLY whenever
+    * B ≤ Σ caps (otherwise every source caps and the shortfall is the
+    * report's headline). Output: per source, supply / cap / alloc /
+    * epochs = alloc/supply.
+    *
+    * Shape: one corpus hash-agg builds (source, U); everything after
+    * runs windowed on the |sources| table — the mix_token_budget
+    * discipline. The float appears only in the saturation-ORDER key
+    * (a deterministic ratio; ties broken by source) and the final
+    * epochs rounding. */
+  def waterfillBudget(counts: DataFrame, srcCol: String,
+                      budgetNum: Long, budgetDen: Long,
+                      maxRepeat: Int): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && maxRepeat > 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def fdiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy((col("cap").cast("double") / col("weight").cast("double")).asc,
+        col(srcCol))
+    val pre = ord.rowsBetween(Long.MinValue, -1)
+    val staged = counts
+      .withColumn("cap", col("available") * maxRepeat)
+      .withColumn("b",
+        fdiv(sum(col("available")).over(wAll) * budgetNum, lit(budgetDen)))
+      .withColumn("cprev", coalesce(sum(col("cap")).over(pre), lit(0L)))
+      .withColumn("wsuff",
+        sum(col("weight")).over(wAll) -
+          coalesce(sum(col("weight")).over(pre), lit(0L)))
+      .withColumn("sat",
+        col("cap").cast(d38) * col("wsuff").cast(d38) <=
+          (col("b") - col("cprev")).cast(d38) * col("weight").cast(d38))
+    val leveled = staged
+      .withColumn("csat",
+        coalesce(sum(when(col("sat"), col("cap"))).over(wAll), lit(0L)))
+      .withColumn("wunsat",
+        coalesce(sum(when(!col("sat"), col("weight"))).over(wAll), lit(0L)))
+      .withColumn("residual", col("b") - col("csat"))
+      .withColumn("base",
+        when(col("sat"), col("cap"))
+          .otherwise(fdiv(col("residual") * col("weight"), col("wunsat"))))
+      .withColumn("rem",
+        when(col("sat"), lit(-1L))
+          .otherwise(pmod(col("residual") * col("weight"), col("wunsat"))))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col(srcCol))
+    leveled
+      .withColumn("leftover",
+        col("residual") - sum(when(!col("sat"), col("base"))).over(wAll))
+      .withColumn("bump",
+        when(!col("sat") && row_number().over(wRem) <= col("leftover"), 1L)
+          .otherwise(0L))
+      .select(col(srcCol), col("available"), col("cap"),
+        (col("base") + col("bump")).as("alloc"),
+        TimeSeries.portableRound6(
+          (col("base") + col("bump")).cast("double") /
+            col("available").cast("double")).as("epochs"))
+  }
+
   /** Apply mixing weights as a DETERMINISTIC resampler — the missing
     * half of [[mixWeights]]: each doc of a stratum with weight w emits
     * n_copies = ⌊w⌋ + [u(id) < frac(w)] rows' worth of presence

@@ -583,6 +583,20 @@ object TrainingQueries extends QueryPack {
         MixTargets)
     },
 
+    // data-constrained epochs: a 3×-supply token budget waterfilled
+    // across sources by weight with a 4-pass repeat cap — exact integer
+    // water level (closed form, no iteration), Σ alloc ≡ budget.
+    "mix_epochs" -> { (s, dir) =>
+      val wName = org.apache.spark.sql.expressions.Window
+        .orderBy(col("source"))
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("available"))
+        .withColumn("weight", row_number().over(wName).cast("long"))
+      CorpusOps.waterfillBudget(counts, "source",
+        budgetNum = 3, budgetDen = 1, maxRepeat = 4)
+    },
+
     // temperature-scaled mixture weights (multilingual-LM sampling, α<1
     // upweights small domains): w(src) ∝ tokens(src)^α, normalized.
     "mix_temperature" -> { (s, dir) =>
@@ -3340,6 +3354,60 @@ object TrainingQueries extends QueryPack {
          |FROM documents""".stripMargin
     },
     // largest-remainder apportionment replay — all integer, Σquota = B
+    // waterfilling replay: same saturation order (double ratio, source
+    // tiebreak), same DECIMAL(38,0) cross-multiplied saturation test,
+    // same largest-remainder residual split.
+    "mix_epochs" ->
+      """WITH avail AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, available,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS weight
+        |  FROM avail),
+        |s1 AS (SELECT source, available, weight, available * 4 AS cap,
+        |    CAST(sum(available) OVER () AS BIGINT) * 3 AS b,
+        |    coalesce(CAST(sum(available * 4) OVER (
+        |      ORDER BY CAST(available * 4 AS DOUBLE) / CAST(weight AS DOUBLE)
+        |        ASC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS cprev,
+        |    CAST(sum(weight) OVER () AS BIGINT)
+        |      - coalesce(CAST(sum(weight) OVER (
+        |          ORDER BY CAST(available * 4 AS DOUBLE)
+        |            / CAST(weight AS DOUBLE) ASC, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS BIGINT), 0) AS wsuff
+        |  FROM w),
+        |s2 AS (SELECT *,
+        |    CAST(cap AS DECIMAL(38,0)) * CAST(wsuff AS DECIMAL(38,0))
+        |      <= CAST(b - cprev AS DECIMAL(38,0))
+        |         * CAST(weight AS DECIMAL(38,0)) AS sat
+        |  FROM s1),
+        |s3 AS (SELECT *,
+        |    coalesce(CAST(sum(CASE WHEN sat THEN cap END) OVER ()
+        |      AS BIGINT), 0) AS csat,
+        |    coalesce(CAST(sum(CASE WHEN NOT sat THEN weight END) OVER ()
+        |      AS BIGINT), 0) AS wunsat
+        |  FROM s2),
+        |s4 AS (SELECT *, b - csat AS residual FROM s3),
+        |s5 AS (SELECT *,
+        |    CASE WHEN sat THEN cap
+        |         ELSE (residual * weight) // wunsat END AS base,
+        |    CASE WHEN sat THEN -1
+        |         ELSE (residual * weight) % wunsat END AS rem
+        |  FROM s4),
+        |s6 AS (SELECT *,
+        |    residual - CAST(sum(CASE WHEN NOT sat THEN base END) OVER ()
+        |      AS BIGINT) AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM s5)
+        |SELECT source, available, cap,
+        |  CAST(base + (CASE WHEN NOT sat AND rr <= leftover THEN 1
+        |               ELSE 0 END) AS BIGINT) AS alloc,
+        |  round(CAST(base + (CASE WHEN NOT sat AND rr <= leftover THEN 1
+        |                     ELSE 0 END) AS DOUBLE)
+        |    / CAST(available AS DOUBLE) * 1000000) / 1000000 AS epochs
+        |FROM s6""".stripMargin,
     "mix_token_budget" ->
       """WITH avail AS (SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available

@@ -294,4 +294,61 @@ class CorpusOpsSpec extends SparkSpec {
     assert(view.getLong(2) === view.getLong(3) && view.getLong(5) === 0L)
     assert(view.getDouble(6) === 1.0)      // kept_frac untouched
   }
+
+  test("waterfillBudget replays the sequential waterfill; sum = budget") {
+    import org.apache.spark.sql.functions._
+    // skewed supplies and weights so some sources saturate
+    val rows = Seq(("a", 100L, 1L), ("b", 50L, 5L), ("c", 400L, 2L),
+      ("d", 10L, 8L), ("e", 200L, 4L))
+    val counts = rows.toDF("source", "available", "weight")
+    def run(bNum: Long, r: Int) =
+      graft.ops.CorpusOps.waterfillBudget(counts, "source", bNum, 1L, r)
+        .collect().map(x => x.getString(0) ->
+          ((x.getLong(2), x.getLong(3), x.getAs[Double]("epochs")))).toMap
+    // sequential reference: raise t until sum(min(cap, t·w)) = B, then
+    // largest-remainder the unsaturated residual
+    def ref(bNum: Long, r: Int): Map[String, Long] = {
+      val caps = rows.map { case (s, u, w) => (s, u * r, w) }
+      val b = rows.map(_._2).sum * bNum
+      var sat = Set.empty[String]
+      var changed = true
+      while (changed) {
+        val csat = caps.filter(c => sat(c._1)).map(_._2).sum
+        val wun = caps.filter(c => !sat(c._1)).map(_._3).sum
+        val newly = caps.filter(c => !sat(c._1) &&
+          BigInt(c._2) * wun <= BigInt(b - csat) * c._3).map(_._1)
+        changed = newly.nonEmpty
+        sat ++= newly
+      }
+      val csat = caps.filter(c => sat(c._1)).map(_._2).sum
+      val resid = math.min(b - csat, Long.MaxValue)
+      val wun = caps.filter(c => !sat(c._1)).map(_._3).sum
+      val base = caps.map { case (s, cap, w) =>
+        if (sat(s)) (s, cap, -1L)
+        else (s, resid * w / wun, resid * w % wun)
+      }
+      val leftover = resid - base.filter(x => !sat(x._1)).map(_._2).sum
+      val bumped = base.filter(x => !sat(x._1))
+        .sortBy(x => (-x._3, x._1)).take(leftover.toInt).map(_._1).toSet
+      base.map { case (s, v, _) =>
+        s -> (if (bumped(s)) v + 1 else v)
+      }.toMap
+    }
+    for ((bNum, r) <- Seq((2L, 3), (3L, 4), (1L, 2))) {
+      val got = run(bNum, r)
+      val want = ref(bNum, r)
+      val b = rows.map(_._2).sum * bNum
+      assert(got.map(x => x._1 -> x._2._2) === want, s"b=$bNum r=$r")
+      assert(got.values.map(_._2).sum === math.min(b,
+        rows.map(_._2).sum * r), s"sum must hit budget (or all caps)")
+      got.foreach { case (s, (cap, alloc, ep)) =>
+        assert(alloc <= cap, s"$s over cap")
+        assert(ep <= r + 1e-9)
+      }
+    }
+    // budget beyond all caps: everyone capped, shortfall visible
+    val over = run(10L, 2)
+    assert(over.values.map(_._2).sum === rows.map(_._2).sum * 2)
+    assert(over.forall { case (_, (cap, alloc, _)) => alloc === cap })
+  }
 }
