@@ -698,17 +698,21 @@ object TextAnalysis {
     *
     * Scale shape: the DATA never shuffles — one map-side explode of
     * per-doc DISTINCT segments feeds the segment-count hash-agg (the
-    * only wide exchange, map-side partials, 16-byte rows), the
-    * surviving frequent set collapses to ONE array row (boilerplate is
-    * small by nature; `maxBoiler` caps it at the (nd desc, seg)-ranked
-    * top so a pathological corpus degrades to partial cleaning, never
-    * to an unbounded broadcast), and the removal itself is a row-local
-    * broadcast-crossJoin projection — no per-doc reassembly shuffle.
-    * Membership tests binary-search the sorted boiler array via the
-    * native [[graft.functions.SortedArrayContains]] expression: with
-    * BOTH the probe count and |boiler| growing with the corpus, an
-    * `array_contains` linear scan is a hidden quadratic (measured 54×
-    * at 25× data; the binary search restored the linear curve). */
+    * only wide exchange, map-side partials, 16-byte rows), and the
+    * surviving frequent set is COLLECTED (bounded: `maxBoiler` caps it
+    * at the (nd desc, seg)-ranked top, so a pathological corpus
+    * degrades to partial cleaning, never to an unbounded driver pull —
+    * the text_bpe_encode rule-collect precedent) and inlined as ONE
+    * sorted array literal. The removal is then a pure row-local
+    * projection: zero joins, no reassembly shuffle, and — the lesson of
+    * the 125× SCALECURVE tier — no per-row copy of the boiler array (a
+    * broadcast crossJoin carried the array INTO every joined row:
+    * |boiler|·|docs| bytes of memcpy, super-linear between tiers; the
+    * literal is one plan-side object). Membership tests binary-search
+    * it via the native [[graft.functions.SortedArrayContains]]
+    * expression: with BOTH the probe count and |boiler| growing with
+    * the corpus, an `array_contains` linear scan is a hidden quadratic
+    * (measured 54× at 25× data). */
   def removeFrequentSegments(docs: DataFrame, idCol: String,
                              textCol: String, segTokens: Int = 8,
                              minDocs: Int = 2,
@@ -723,22 +727,28 @@ object TextAnalysis {
       .select(id, toks.as("toks"))
       .withColumn("nseg", nSeg)
       .select(id, segs.as("segs"))
-    val boiler = segmented
+    // bounded collect (≤ maxBoiler strings), sorted in UTF8String BINARY
+    // order — the exact order the binary-search expression assumes
+    // (java String order differs beyond ASCII).
+    val boiler: Array[String] = segmented
       .select(explode(array_distinct(col("segs"))).as("seg"))
       .groupBy(col("seg")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= minDocs)
       .orderBy(col("nd").desc, col("seg"))
       .limit(maxBoiler)
-      .agg(coalesce(array_sort(collect_list(col("seg"))),
-        array().cast("array<string>")).as("boiler"))
+      .select(col("seg")).collect().map(_.getString(0))
+      .sortWith((a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+    val boilArr = typedLit(boiler.toSeq)
     segmented
-      .crossJoin(broadcast(boiler))
       .select(id,
         concat_ws(" ", filter(col("segs"), s =>
-          !graft.functions.SortedArrayContains(col("boiler"), s)))
+          !graft.functions.SortedArrayContains(boilArr, s)))
           .as("clean_text"),
         size(filter(col("segs"), s =>
-          graft.functions.SortedArrayContains(col("boiler"), s)))
+          graft.functions.SortedArrayContains(boilArr, s)))
           .as("n_removed"))
   }
 

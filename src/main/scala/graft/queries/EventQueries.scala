@@ -800,6 +800,33 @@ object EventQueries extends QueryPack {
         "event_type", "ts", alpha = 0.3, beta = 0.1)
     },
 
+    // causal-impact read: Holt fit on the PRE-period only, projected
+    // over the post window in CLOSED FORM (Σ level+h·trend = H·level +
+    // trend·H(H+1)/2 — no order-dependent float summation), compared to
+    // post-period actuals. The "did the launch move the metric" card.
+    "ev_impact" -> { (s, dir) =>
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, dir)
+      val fit = graft.ops.TimeSeries.holt(ev.where(col("ts") < cut),
+        "event_type", "ts", alpha = 0.3, beta = 0.1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bucket").desc)
+      val last = fit.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("level"), col("trend"))
+      val actual = ev.where(col("ts") >= cut)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cum_actual"))
+      // H = 336 post hours; H(H+1)/2 = 56616 — both exact literals
+      val cf = col("level") * 336.0 + col("trend") * 56616.0
+      val imp = col("cum_actual").cast("double") - cf
+      def r6(c: org.apache.spark.sql.Column) =
+        graft.ops.TimeSeries.portableRound6(c)
+      last.join(actual, Seq("event_type"))
+        .select(col("event_type"), col("level"), col("trend"),
+          col("cum_actual"), r6(cf).as("cum_forecast"),
+          r6(imp).as("impact"), r6(imp / cf).as("rel_effect"))
+    },
+
     // additive Holt–Winters (period 24): the forecasting family's
     // seasonal completion — the oracle's recursive CTE carries a
     // rotating 24-slot seasonal list, the fold reads entry t−24 of its
@@ -1985,6 +2012,54 @@ object EventQueries extends QueryPack {
         |  round(trend * 10000) / 10000 AS trend,
         |  round((level + trend) * 10000) / 10000 AS forecast_next
         |FROM r""".stripMargin,
+    // same recursion restricted to the pre-period; the projection is
+    // the identical closed-form double chain off the 4dp-rounded state.
+    "ev_impact" ->
+      """WITH RECURSIVE h0 AS (SELECT event_type,
+        |    date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM h0 GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM s),
+        |h AS (SELECT g.event_type, g.bucket, coalesce(h0.n, 0) AS n,
+        |    row_number() OVER (PARTITION BY g.event_type
+        |                       ORDER BY g.bucket) AS rn
+        |  FROM g LEFT JOIN h0
+        |    ON g.event_type = h0.event_type AND g.bucket = h0.bucket),
+        |r AS (
+        |  SELECT event_type, bucket, n, rn,
+        |    CAST(n AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM h WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.bucket, h.n, h.rn,
+        |    0.3 * CAST(h.n AS DOUBLE) + 0.7 * (r.level + r.trend),
+        |    0.1 * ((0.3 * CAST(h.n AS DOUBLE) + 0.7 * (r.level + r.trend))
+        |           - r.level) + 0.9 * r.trend
+        |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1),
+        |lastr AS (SELECT event_type,
+        |    round(level * 10000) / 10000 AS level,
+        |    round(trend * 10000) / 10000 AS trend,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY rn DESC)
+        |      AS rk
+        |  FROM r),
+        |l2 AS (SELECT event_type, level, trend FROM lastr WHERE rk = 1),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cum_actual
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1)
+        |SELECT l2.event_type, level, trend, cum_actual,
+        |  round((level * 336.0 + trend * 56616.0) * 1000000) / 1000000
+        |    AS cum_forecast,
+        |  round((CAST(cum_actual AS DOUBLE)
+        |         - (level * 336.0 + trend * 56616.0)) * 1000000) / 1000000
+        |    AS impact,
+        |  round((CAST(cum_actual AS DOUBLE)
+        |         - (level * 336.0 + trend * 56616.0))
+        |        / (level * 336.0 + trend * 56616.0) * 1000000) / 1000000
+        |    AS rel_effect
+        |FROM l2 JOIN a USING (event_type)""".stripMargin,
     // additive HW replay: the recursion carries a rotating 24-slot
     // seasonal list sl (sl[1] is always s_{t+1−24}); level/trend/seasonal
     // are the SAME double expression trees the fold evaluates, inlined.
