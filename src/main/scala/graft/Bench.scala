@@ -130,7 +130,7 @@ object Bench {
     val times = finalResults.toMap
     val flagship = Seq(
       "q1_agg", "dedup_exact", "dedup_minhash", "dedup_jaccard",
-      "emb_semdedup_capped", "sim_topk", "sim_ann_ivf", "emb_gram",
+      "emb_semdedup", "sim_topk", "sim_ann_ivf", "emb_gram",
       "mm_phash", "text_gopher", "text_tfidf", "text_bpe",
       "shard_tokens", "mix_ratio", "ev_funnel", "graph_pagerank",
       "ts_resample", "x2_dedup", "w3_session", "join_asof",

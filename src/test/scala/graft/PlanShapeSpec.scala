@@ -154,8 +154,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_max"), s"map-side partial must run pre-shuffle:\n$p")
   }
 
-  test("semdedup pair stage joins the persisted assignment, corpus scans once per side") {
-    val p = plan("emb_semdedup")
+  test("semdedup reference: pair stage joins the persisted assignment, corpus scans once per side") {
+    val p = plan("emb_semdedup_ref")
     // the assignment table is cached: both pair sides and the final
     // labeling read InMemoryTableScan, never re-running the distance
     // projection over the parquet scan. (The plan TEXT repeats the cached
@@ -165,8 +165,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "InMemoryTableScan") >= 3, p)
   }
 
-  test("semdedup capped variant: assignment cached, sizes broadcast, keyed pair join") {
-    val p = plan("emb_semdedup_capped")
+  test("semdedup (production/capped): assignment cached, sizes broadcast, keyed pair join") {
+    val p = plan("emb_semdedup")
     // the k×dim distance chain runs once: sizes, both pair sides, and the
     // final labeling all read the persisted assignment
     assert(countOf(p, "InMemoryTableScan") >= 3, p)
