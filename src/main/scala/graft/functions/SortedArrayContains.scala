@@ -20,8 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * membership edition.
   *
   * Contract: the array is sorted ascending in Spark's UTF8String binary
-  * order (`array_sort` output, nulls FIRST); null elements never match
-  * (the binary search skips the null prefix). */
+  * order; null elements never match and may sit at EITHER end
+  * (`array_sort` places them last, `sort_array` first — the search
+  * clamps both ends past any null run before bisecting). */
 case class SortedArrayContains(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -41,8 +42,9 @@ case class SortedArrayContains(left: Expression, right: Expression)
     val key = b.asInstanceOf[UTF8String]
     var lo = 0
     var hi = arr.numElements() - 1
-    // nulls sort first: advance lo past them once
+    // clamp both ends past null runs (array_sort: last; sort_array: first)
     while (lo <= hi && arr.isNullAt(lo)) lo += 1
+    while (lo <= hi && arr.isNullAt(hi)) hi -= 1
     var found = false
     while (lo <= hi && !found) {
       val mid = (lo + hi) >>> 1
@@ -62,6 +64,7 @@ case class SortedArrayContains(left: Expression, right: Expression)
       s"""
          |int $lo = 0; int $hi = $a.numElements() - 1;
          |while ($lo <= $hi && $a.isNullAt($lo)) { $lo++; }
+         |while ($lo <= $hi && $a.isNullAt($hi)) { $hi--; }
          |boolean $found = false;
          |while ($lo <= $hi && !$found) {
          |  int $mid = ($lo + $hi) >>> 1;

@@ -309,7 +309,7 @@ object CorpusOps {
                       maxRepeat: Int): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0 && maxRepeat > 0)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    def fdiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    def fdiv(a: Column, b: Column) = Stats.fdiv(a, b)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val ord = org.apache.spark.sql.expressions.Window

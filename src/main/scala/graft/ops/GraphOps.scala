@@ -57,10 +57,9 @@ object GraphOps {
     * iterations = k·(join+agg), nothing accumulates on the driver. */
   def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String,
                iters: Int = 3, scale: Long = 1000000L): DataFrame = {
-    // floor division for non-negative ints: exact, and the double divide
-    // cannot round (numerator divisible, < 2^53).
+    // exact floor division (shared decimal-path definition)
     def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      ((a - pmod(a, b)) / b).cast("long")
+      Stats.fdiv(a, b)
     // Truncate lineage ONCE: without this, every iteration's join inlines
     // the whole edge-build subtree (k iterations re-run the posting-list
     // expansion k+1 times — the PlanAudit catch that motivated this).

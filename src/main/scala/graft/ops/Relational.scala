@@ -314,7 +314,7 @@ object Relational {
   def ntileExact(df: DataFrame, n: Int, order: Seq[Column],
                  bucketCol: String): DataFrame = {
     // exact floor division on non-negative ints (the pageRank fdiv)
-    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    def fdiv(a: Column, b: Column): Column = Stats.fdiv(a, b)
     val ranked = withGlobalRank(df, order, "__rank")
     val total = df.agg(count(lit(1)).as("__total"))
     val k = col("__rank") - 1 // 0-based position

@@ -595,10 +595,9 @@ object Similarity {
         .select(col("c"), posexplode(col("vsl")).as(Seq("dim", "v")))
         .groupBy("c", "dim")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
-        // floor division via pmod; the double divide is exact because
-        // the numerator is divisible by n and |s| < 2^53.
-        .withColumn("cd",
-          ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+        // exact floor division (pmod makes the numerator divisible;
+        // the shared decimal-path quotient never rounds)
+        .withColumn("cd", Stats.fdiv(col("s"), col("n")))
       centsRow = cent.groupBy("c")
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("cd")))),
           _.getField("cd")).as("arr"))

@@ -14,6 +14,15 @@ object Stats {
   def cents(valueCol: Column): Column =
     (valueCol.cast("decimal(18,2)") * 100).cast("long")
 
+  /** EXACT floor division of non-negative integer columns — the one
+    * shared definition (it had grown five local copies). The remainder
+    * is subtracted first so the quotient is integral, and the division
+    * runs in DECIMAL(38,0), never double: a double quotient is exact
+    * only while the numerator stays under 2⁵³, and the waterfilling /
+    * budget products cross that on a 10T-token corpus. */
+  def fdiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast(d38) / b.cast(d38)).cast("long")
+
   /** Per-group exact moments (grp, ni, si, qi): BIGINT count/sum,
     * DECIMAL(38,0) sum of squares. `extraKeys` prepends additional
     * grouping expressions (e.g. a streaming event-time window), so the
@@ -266,10 +275,6 @@ object Stats {
           .as("var_reduction"))
   }
 
-  /** The CUPED report expressions, shared by [[cupedMeans]] and the
-    * streaming twin (stream ≡ batch is one formula, not two): cents
-    * sums → currency means, with the adjustment θ(X̄ᵥ − X̄) applied
-    * before the 100× descale. */
   /** (z₀.₀₂₅ + z₀.₂₀)² for the standard two-sided α=0.05 / power-0.8
     * sizing formula, quantized to picos so both engines can rebuild the
     * IDENTICAL double from an integer literal (a bare double literal
@@ -328,6 +333,10 @@ object Stats {
       .select(col("r.quantile"), col("r.arm0"), col("r.arm1"), col("r.qte"))
   }
 
+  /** The CUPED report expressions, shared by [[cupedMeans]] and the
+    * streaming twin (stream ≡ batch is one formula, not two): cents
+    * sums → currency means, with the adjustment θ(X̄ᵥ − X̄) applied
+    * before the 100× descale. */
   def cupedRawMean(syv: Column, nv: Column): Column =
     TimeSeries.portableRound6(
       syv.cast("double") / nv.cast("double") / 100.0)

@@ -502,6 +502,15 @@ object TextAnalysis {
         lit(0.0), (acc, x) => acc + x) / tokenCount(text).cast("double")
   }
 
+  /** The calibrated quality score — sigmoid of [[classifierLogit]],
+    * 4dp-rounded for cross-engine portability. The ONE definition every
+    * scorer/threshold consumer (classify, PR/yield curves, AUC, the
+    * streaming yield monitor) must share: the rounding is what the
+    * oracle hash-checks, so a diverged copy would silently split the
+    * batch curve from its stream twin. */
+  def classifierScoreCol(text: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(text))), 4)
+
   def classifierScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), classifierLogit(col(textCol)).as("z"))
       .select(col(idCol),
@@ -521,7 +530,7 @@ object TextAnalysis {
               labelCol: Column, thresholds: Seq[Double]): DataFrame = {
     def r6(c: Column) = TimeSeries.portableRound6(c)
     docs
-      .select(round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(col(textCol)))), 4)
+      .select(classifierScoreCol(col(textCol))
           .as("score"),
         labelCol.cast("boolean").as("pos"))
       .select(col("score"), col("pos"),
@@ -555,7 +564,7 @@ object TextAnalysis {
   def yieldCurve(docs: DataFrame, idCol: String, textCol: String,
                  thresholds: Seq[Double]): DataFrame = {
     docs
-      .select(round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(col(textCol)))), 4)
+      .select(classifierScoreCol(col(textCol))
           .as("score"),
         tokenCount(col(textCol)).as("nt"))
       .select(col("score"), col("nt"),
@@ -589,7 +598,7 @@ object TextAnalysis {
                labelCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = docs
-      .select(round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(col(textCol)))), 4)
+      .select(classifierScoreCol(col(textCol))
           .as("score"),
         labelCol.cast("boolean").as("pos"))
       .groupBy(col("score"))
@@ -619,7 +628,7 @@ object TextAnalysis {
                   labelCol: Column, bins: Int = 10): DataFrame = {
     def r6(c: Column) = TimeSeries.portableRound6(c)
     docs
-      .select(round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(col(textCol)))), 4)
+      .select(classifierScoreCol(col(textCol))
           .as("score"),
         labelCol.cast("boolean").as("pos"))
       .groupBy(least(floor(col("score") * bins), lit(bins - 1)).cast("long")

@@ -459,7 +459,7 @@ object EventQueries extends QueryPack {
     // Everything past the one per-user shuffle is |types|²-bounded.
     "ev_markov_steady" -> { (s, dir) =>
       def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        ((a - pmod(a, b)) / b).cast("long")
+        graft.ops.Stats.fdiv(a, b)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val cnts = Tables.events(s, dir)

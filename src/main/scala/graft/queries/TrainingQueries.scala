@@ -527,7 +527,7 @@ object TrainingQueries extends QueryPack {
     // source sustains. Every window runs on the |sources| table.
     "mix_token_budget" -> { (s, dir) =>
       def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        ((a - pmod(a, b)) / b).cast("long")
+        graft.ops.Stats.fdiv(a, b)
       val avail = Tables.documents(s, dir)
         .groupBy(col("source"))
         .agg(sum(TextAnalysis.tokenCount(col("text"))).as("available"))

@@ -27,9 +27,8 @@ object YieldStream {
 
   private def agg(df: DataFrame, textCol: String, tsCol: String,
                   threshold: Double, windowDur: String): DataFrame = {
-    val score = round(lit(1.0) /
-      (lit(1.0) + exp(-TextAnalysis.classifierLogit(col(textCol)))), 4)
-    df.select(col(tsCol), score.as("score"),
+    df.select(col(tsCol),
+        TextAnalysis.classifierScoreCol(col(textCol)).as("score"),
         TextAnalysis.tokenCount(col(textCol)).as("nt"))
       .groupBy(window(col(tsCol), windowDur))
       .agg(count(lit(1)).as("n_docs"),

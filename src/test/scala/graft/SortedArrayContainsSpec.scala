@@ -27,15 +27,27 @@ class SortedArrayContainsSpec extends SparkSpec {
     got.foreach(r => assert(r.getBoolean(1) === r.getBoolean(2), r.toString))
   }
 
-  test("empty array and null-prefixed array") {
+  test("empty array; null runs at either end (sort_array vs array_sort)") {
     val df = Seq(
       (1L, Seq.empty[Option[String]], "x"),
       (2L, Seq[Option[String]](None, None, Some("a"), Some("b")), "a"),
-      (3L, Seq[Option[String]](None, Some("a"), Some("b")), "zz")
+      (3L, Seq[Option[String]](None, Some("a"), Some("b")), "zz"),
+      (4L, Seq[Option[String]](Some("a"), Some("b"), None, None), "b"),
+      (5L, Seq[Option[String]](Some("a"), Some("b"), None), "zz"),
+      (6L, Seq[Option[String]](None, None), "a")
     ).toDF("id", "arr", "probe")
     val got = df.select(col("id"),
         SortedArrayContains(col("arr"), col("probe")).as("bs"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(got === Map(1L -> false, 2L -> true, 3L -> false))
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> false))
+    // genuine array_sort output over null-bearing input: nulls LAST
+    val sorted = Seq((7L, Seq[Option[String]](Some("b"), None, Some("a")), "b"),
+      (8L, Seq[Option[String]](Some("b"), None, Some("a")), "zz"))
+      .toDF("id", "arr", "probe")
+      .select(col("id"),
+        SortedArrayContains(array_sort(col("arr")), col("probe")).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(sorted === Map(7L -> true, 8L -> false))
   }
 }
