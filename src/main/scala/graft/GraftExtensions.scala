@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarity)
     ext.injectFunction(GraftExtensions.sortedJaccard)
+    ext.injectFunction(GraftExtensions.multisetIntersect)
+    ext.injectFunction(GraftExtensions.sortedArrayContains)
     GraftExtensions.composites.foreach(ext.injectFunction)
   }
 }
@@ -42,6 +44,24 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "sorted_jaccard takes exactly 2 arguments")
       graft.functions.SortedJaccard(exprs.head, exprs(1))
+    })
+
+  val multisetIntersect: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("multiset_intersect"),
+    info("multiset_intersect",
+      "_FUNC_(a, b) - clipped match count of two sorted array<bigint> multisets (codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "multiset_intersect takes exactly 2 arguments")
+      graft.functions.MultisetIntersect(exprs.head, exprs(1))
+    })
+
+  val sortedArrayContains: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_array_contains"),
+    info("sorted_array_contains",
+      "_FUNC_(arr, key) - binary-search membership in a sorted array<string> (codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "sorted_array_contains takes exactly 2 arguments")
+      graft.functions.SortedArrayContains(exprs.head, exprs(1))
     })
 
   /** Scalar training-data functions exposed to SQL: each is a composition

@@ -24,6 +24,21 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("multiset_intersect and sorted_array_contains register for SQL") {
+    Seq(GraftExtensions.multisetIntersect,
+        GraftExtensions.sortedArrayContains).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val row = spark.sql(
+      """SELECT multiset_intersect(array(1L, 1L, 2L), array(1L, 1L, 3L)) AS m,
+        |  sorted_array_contains(array('a', 'b', 'c'), 'b') AS hit,
+        |  sorted_array_contains(array('a', 'b', 'c'), 'z') AS miss"""
+        .stripMargin).collect().head
+    assert(row.getLong(0) === 2L)
+    assert(row.getBoolean(1) && !row.getBoolean(2))
+  }
+
   test("scalar training functions register for pure-SQL users") {
     GraftExtensions.composites.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
