@@ -295,6 +295,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(view.getDouble(6) === 1.0)      // kept_frac untouched
   }
 
+  // sequential waterfill reference: raise t until sum(min(cap, t·w)) = B,
+  // then largest-remainder the unsaturated residual — shared by the
+  // fixed-case differential and the scalacheck property below.
+  private def waterfillRef(rows: Seq[(String, Long, Long)],
+                           bNum: Long, r: Int): Map[String, Long] = {
+    val caps = rows.map { case (s, u, w) => (s, u * r, w) }
+    val b = rows.map(_._2).sum * bNum
+    var sat = Set.empty[String]
+    var changed = true
+    while (changed) {
+      val csat = caps.filter(c => sat(c._1)).map(_._2).sum
+      val wun = caps.filter(c => !sat(c._1)).map(_._3).sum
+      val newly = caps.filter(c => !sat(c._1) &&
+        BigInt(c._2) * wun <= BigInt(b - csat) * c._3).map(_._1)
+      changed = newly.nonEmpty
+      sat ++= newly
+    }
+    val csat = caps.filter(c => sat(c._1)).map(_._2).sum
+    val resid = math.min(b - csat, Long.MaxValue)
+    val wun = caps.filter(c => !sat(c._1)).map(_._3).sum
+    val base = caps.map { case (s, cap, w) =>
+      if (sat(s)) (s, cap, -1L)
+      else (s, resid * w / wun, resid * w % wun)
+    }
+    val leftover = resid - base.filter(x => !sat(x._1)).map(_._2).sum
+    val bumped = base.filter(x => !sat(x._1))
+      .sortBy(x => (-x._3, x._1)).take(leftover.toInt).map(_._1).toSet
+    base.map { case (s, v, _) =>
+      s -> (if (bumped(s)) v + 1 else v)
+    }.toMap
+  }
+
   test("waterfillBudget replays the sequential waterfill; sum = budget") {
     import org.apache.spark.sql.functions._
     // skewed supplies and weights so some sources saturate
@@ -305,38 +337,9 @@ class CorpusOpsSpec extends SparkSpec {
       graft.ops.CorpusOps.waterfillBudget(counts, "source", bNum, 1L, r)
         .collect().map(x => x.getString(0) ->
           ((x.getLong(2), x.getLong(3), x.getAs[Double]("epochs")))).toMap
-    // sequential reference: raise t until sum(min(cap, t·w)) = B, then
-    // largest-remainder the unsaturated residual
-    def ref(bNum: Long, r: Int): Map[String, Long] = {
-      val caps = rows.map { case (s, u, w) => (s, u * r, w) }
-      val b = rows.map(_._2).sum * bNum
-      var sat = Set.empty[String]
-      var changed = true
-      while (changed) {
-        val csat = caps.filter(c => sat(c._1)).map(_._2).sum
-        val wun = caps.filter(c => !sat(c._1)).map(_._3).sum
-        val newly = caps.filter(c => !sat(c._1) &&
-          BigInt(c._2) * wun <= BigInt(b - csat) * c._3).map(_._1)
-        changed = newly.nonEmpty
-        sat ++= newly
-      }
-      val csat = caps.filter(c => sat(c._1)).map(_._2).sum
-      val resid = math.min(b - csat, Long.MaxValue)
-      val wun = caps.filter(c => !sat(c._1)).map(_._3).sum
-      val base = caps.map { case (s, cap, w) =>
-        if (sat(s)) (s, cap, -1L)
-        else (s, resid * w / wun, resid * w % wun)
-      }
-      val leftover = resid - base.filter(x => !sat(x._1)).map(_._2).sum
-      val bumped = base.filter(x => !sat(x._1))
-        .sortBy(x => (-x._3, x._1)).take(leftover.toInt).map(_._1).toSet
-      base.map { case (s, v, _) =>
-        s -> (if (bumped(s)) v + 1 else v)
-      }.toMap
-    }
     for ((bNum, r) <- Seq((2L, 3), (3L, 4), (1L, 2))) {
       val got = run(bNum, r)
-      val want = ref(bNum, r)
+      val want = waterfillRef(rows, bNum, r)
       val b = rows.map(_._2).sum * bNum
       assert(got.map(x => x._1 -> x._2._2) === want, s"b=$bNum r=$r")
       assert(got.values.map(_._2).sum === math.min(b,
@@ -350,5 +353,32 @@ class CorpusOpsSpec extends SparkSpec {
     val over = run(10L, 2)
     assert(over.values.map(_._2).sum === rows.map(_._2).sum * 2)
     assert(over.forall { case (_, (cap, alloc, _)) => alloc === cap })
+  }
+
+  test("waterfillBudget property: random supplies/weights/budgets") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caseGen = for {
+      n <- Gen.choose(2, 8)
+      us <- Gen.listOfN(n, Gen.choose(1L, 5000L))
+      ws <- Gen.listOfN(n, Gen.choose(1L, 50L))
+      bNum <- Gen.choose(1L, 6L)
+      r <- Gen.choose(1, 5)
+    } yield (us.indices.map(i => (s"s$i", us(i), ws(i))), bNum, r)
+    val prop = Prop.forAll(caseGen) { case (rows, bNum, r) =>
+      val got = graft.ops.CorpusOps
+        .waterfillBudget(rows.toDF("source", "available", "weight"),
+          "source", bNum, 1L, r)
+        .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+      val want = waterfillRef(rows, bNum, r)
+      val b = rows.map(_._2).sum * bNum
+      val totCap = rows.map(_._2).sum * r
+      got == want &&
+        got.values.sum == math.min(b, totCap) &&
+        rows.forall { case (s, u, _) => got(s) <= u * r }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.functions.SortedArrayContains
 
 /** The binary search must agree with array_contains on every sorted
@@ -49,5 +50,27 @@ class SortedArrayContainsSpec extends SparkSpec {
         SortedArrayContains(array_sort(col("arr")), col("probe")).as("bs"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(sorted === Map(7L -> true, 8L -> false))
+  }
+
+  test("property: equals reference membership over random sorted arrays") {
+    val wordGen = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val caseGen = for {
+      n <- Gen.choose(0, 25)
+      arr <- Gen.listOfN(n, wordGen)
+      probe <- Gen.oneOf(wordGen,
+        if (arr.nonEmpty) Gen.oneOf(arr) else wordGen)
+    } yield (arr.sorted, probe)
+    val prop = Prop.forAll(Gen.listOfN(12, caseGen)) { cases =>
+      val df = cases.zipWithIndex.map { case ((arr, p), i) =>
+        (i.toLong, arr, p) }.toDF("id", "arr", "probe")
+      val got = df.select(col("id"),
+          SortedArrayContains(col("arr"), col("probe")).as("bs"))
+        .as[(Long, Boolean)].collect().toMap
+      cases.zipWithIndex.forall { case ((arr, p), i) =>
+        got(i.toLong) == arr.contains(p)
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(r.passed, r.status.toString)
   }
 }
