@@ -109,6 +109,55 @@ object TimeSeries {
               (col("next.pv") - col("prev.pv")) * frac)).as("value"))
   }
 
+  /** Seasonal-naive NEXT-bucket forecast with an empirical prediction
+    * band — the number a capacity planner actually acts on (the
+    * backtest scores the method; this ships tomorrow's number with its
+    * uncertainty). Point forecast for bucket T+1 is the value one
+    * season back (the bucket at T−season+1 on the gap-filled grid);
+    * the band is the q-quantile of the backtest's |residual| history,
+    * an exact type-1 rank off the collapsed residual-domain table (the
+    * stat_qte discipline). EVERYTHING is integer arithmetic — counts,
+    * residuals, the ⌈q·n⌉ rank, the ±band — so there is no float
+    * anywhere for an engine to disagree on. lo clamps at 0 (a count
+    * cannot be negative). One raw scan; every window runs on the
+    * |keys|×|hours| grid or the residual-domain table. */
+  def forecastInterval(events: DataFrame, keyCol: String, tsCol: String,
+                       season: Int = 24, qNum: Int = 9,
+                       qDen: Int = 10): DataFrame = {
+    require(qNum > 0 && qDen > qNum, "quantile in (0,1) as a fraction")
+    val series = resample(events, keyCol, tsCol, "value")
+      .select(col(keyCol), col("bucket"), col("n"))
+      .localCheckpoint() // grid-bounded; residuals + point lookup reuse it
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val resid = series
+      .withColumn("pred", lag(col("n"), season).over(w))
+      .where(col("pred").isNotNull)
+      .select(col(keyCol), abs(col("n") - col("pred")).as("r"))
+      .groupBy(col(keyCol), col("r")).agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("r"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val rank = floor((col("nr") * qNum + (qDen - 1)) / qDen) // ⌈q·n⌉
+    val band = resid
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("nr", sum(col("c")).over(wAll))
+      .groupBy(col(keyCol))
+      .agg(max(col("nr")).as("n_resid"),
+        min(when(col("cum") >= rank && col("cum") - col("c") < rank,
+          col("r"))).as("band"))
+    val last = series.groupBy(col(keyCol)).agg(max(col("bucket")).as("bmax"))
+    val step = expr("INTERVAL 1 HOUR")
+    val point = series.join(last, Seq(keyCol))
+      .where(col("bucket") ===
+        col("bmax") - expr(s"INTERVAL ${season - 1} HOURS"))
+      .select(col(keyCol), (col("bmax") + step).as("next_bucket"),
+        col("n").as("point"))
+    point.join(band, Seq(keyCol))
+      .select(col(keyCol), col("next_bucket"), col("point"),
+        greatest(col("point") - col("band"), lit(0L)).as("lo"),
+        (col("point") + col("band")).as("hi"),
+        col("band"), col("n_resid"))
+  }
+
   /** Seasonal-naive forecast backtest: predict each bucket's count with
     * the value one season (24 buckets) earlier on the gap-filled grid,
     * and score the whole horizon per key — MAE and bias in EXACT integer

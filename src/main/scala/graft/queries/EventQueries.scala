@@ -994,6 +994,14 @@ object EventQueries extends QueryPack {
         "event_type", "ts", season = 24)
     },
 
+    // tomorrow's number WITH its uncertainty: seasonal-naive next-bucket
+    // point + the p90 |residual| band from the backtest history — all
+    // integer arithmetic end to end (no float for engines to disagree on).
+    "ts_forecast_interval" -> { (s, dir) =>
+      graft.ops.TimeSeries.forecastInterval(Tables.events(s, dir),
+        "event_type", "ts", season = 24, qNum = 9, qDen = 10)
+    },
+
     // weekly cohort retention: users bucketed by first-seen week; count
     // distinct active users per (cohort week, week offset).
     // cohort LTV curves — the money companion to the ev_cohort retention
@@ -1849,6 +1857,44 @@ object EventQueries extends QueryPack {
         |    AS sum_value
         |FROM g LEFT JOIN h
         |  ON g.event_type = h.event_type AND g.bucket = h.bucket""".stripMargin,
+    // interval replay: same grid, same lag-24 residuals, same ⌈0.9·n⌉
+    // integer rank off the residual-domain collapse, same ±band.
+    "ts_forecast_interval" ->
+      """WITH h0 AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM h0 GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM s),
+        |h AS (SELECT g.event_type, g.bucket, coalesce(h0.n, 0) AS n
+        |  FROM g LEFT JOIN h0
+        |    ON g.event_type = h0.event_type AND g.bucket = h0.bucket),
+        |p AS (SELECT event_type, bucket, n,
+        |    lag(n, 24) OVER (PARTITION BY event_type ORDER BY bucket)
+        |      AS pred
+        |  FROM h),
+        |rd AS (SELECT event_type, abs(n - pred) AS r,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM p WHERE pred IS NOT NULL GROUP BY 1, 2),
+        |cu AS (SELECT event_type, r, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY r) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS nr
+        |  FROM rd),
+        |bd AS (SELECT event_type, CAST(max(nr) AS BIGINT) AS n_resid,
+        |    min(CASE WHEN cum >= (nr * 9 + 9) // 10
+        |             AND cum - c < (nr * 9 + 9) // 10 THEN r END) AS band
+        |  FROM cu GROUP BY 1),
+        |lastb AS (SELECT event_type, max(bucket) AS bmax FROM h GROUP BY 1),
+        |pt AS (SELECT h.event_type, bmax + INTERVAL 1 HOUR AS next_bucket,
+        |    n AS point
+        |  FROM h JOIN lastb ON h.event_type = lastb.event_type
+        |    AND h.bucket = bmax - INTERVAL 23 HOURS)
+        |SELECT pt.event_type, next_bucket, point,
+        |  greatest(point - band, 0) AS lo, point + band AS hi,
+        |  band, n_resid
+        |FROM pt JOIN bd USING (event_type)""".stripMargin,
     "ts_interpolate" ->
       """WITH e AS (SELECT * FROM events WHERE event_id % 7 = 0),
         |h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,

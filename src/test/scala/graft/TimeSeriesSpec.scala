@@ -100,4 +100,35 @@ class TimeSeriesSpec extends SparkSpec {
       .select("cnt").as[Long].collect().toSeq
     assert(flagged === Seq(50L))
   }
+
+  test("forecastInterval: exact-periodic series → zero band; spikes widen it") {
+    // key a: 3 days exactly periodic with period 4 (season=4 here), so
+    // every residual is 0 → band 0, lo = hi = point = one season back.
+    // key b: same base but hour 9 carries a +5 spike — 1 of 8 residuals
+    // is 5... the lag-4 residual hits twice (at the spike and one season
+    // after), so p90 of the residual set must pick the spike magnitude.
+    val pattern = Seq(2, 7, 3, 9)
+    val rows = for {
+      k <- Seq("a", "b"); h <- 0 until 12
+      base = pattern(h % 4) + (if (k == "b" && h == 9) 5 else 0)
+      i <- 0 until base
+    } yield (k, f"2024-01-01 $h%02d:${i % 60}%02d:00", 1.0)
+    val out = TimeSeries.forecastInterval(ev(rows: _*), "k", "t",
+        season = 4, qNum = 9, qDen = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[java.sql.Timestamp]("next_bucket").toString,
+          r.getAs[Long]("point"), r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+          r.getAs[Long]("band"), r.getAs[Long]("n_resid")))).toMap
+    // next bucket is hour 12; its seasonal-naive point = hour 8's count
+    assert(out("a") === (("2024-01-01 12:00:00.0", 2L, 2L, 2L, 0L, 8L)))
+    // key b: hour 8 count is 2 (the spike is hour 9); residuals contain
+    // two 5s (h9 vs h5, h9's echo at h13? horizon ends at 11 — so h9
+    // and the h9-predicting h13 doesn't exist: residual 5 appears at h9
+    // only... and at h9+4=h13 > horizon; so 1 of 8 residuals is 5 →
+    // ⌈0.9·8⌉ = 8th ranked = 5
+    assert(out("b")._5 === 5L)
+    assert(out("b")._2 === 2L)
+    assert(out("b")._3 === 0L, "lo clamps at zero — counts can't go negative")
+    assert(out("b")._4 === 7L)
+  }
 }
