@@ -736,6 +736,25 @@ object TrainingQueries extends QueryPack {
       Dedup.minhashCalibration(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // text-side threshold sweep (emb_threshold_sweep's twin): one
+    // LSH-candidate + exact-Jaccard pass, every candidate threshold
+    // read off the SAME pair table — pair counts and docs-affected per
+    // bar, so the dedup threshold is picked from a measured knee, not
+    // re-run per candidate value.
+    "dedup_threshold_sweep" -> { (s, dir) =>
+      val pairs = Dedup.lshVerifiedPairs(Tables.documents(s, dir),
+          "doc_id", "text", threshold = 0.1)
+        .localCheckpoint() // candidate-sized; every threshold reuses it
+      val ts = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      pairs.select(col("jaccard"), col("a"), col("b"),
+          explode(array(ts.map(lit): _*)).as("t"))
+        .where(col("jaccard") >= col("t"))
+        .select(col("t"), explode(array(col("a"), col("b"))).as("d"))
+        .groupBy(col("t"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("d")).as("n_docs_affected"))
+    },
+
     // asymmetric containment pairs: |A∩B|/|A| per direction — catches
     // subset duplication (a doc quoted wholesale inside a bigger one)
     // that symmetric Jaccard structurally misses. Same posting-list
@@ -3807,6 +3826,30 @@ object TrainingQueries extends QueryPack {
          |SELECT m.a, m.b, CAST(m.cnt AS DOUBLE)/(sa.n + sb.n - m.cnt) AS jaccard
          |FROM common m JOIN sizes sa ON sa.doc_id = m.a JOIN sizes sb ON sb.doc_id = m.b
          |WHERE CAST(m.cnt AS DOUBLE)/(sa.n + sb.n - m.cnt) >= 0.5""".stripMargin,
+    // same candidate/verify chain at the 0.1 floor, every bar read off
+    // the one pair table; n_pairs halves the doubled id explode.
+    "dedup_threshold_sweep" ->
+      s"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.a, c.b, count(*) AS cnt FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.a
+         |  JOIN sh s2 ON s2.doc_id = c.b AND s1.shingle = s2.shingle
+         |  GROUP BY c.a, c.b),
+         |pairs AS (SELECT m.a, m.b,
+         |    CAST(m.cnt AS DOUBLE)/(sa.n + sb.n - m.cnt) AS jaccard
+         |  FROM common m JOIN sizes sa ON sa.doc_id = m.a
+         |  JOIN sizes sb ON sb.doc_id = m.b
+         |  WHERE CAST(m.cnt AS DOUBLE)/(sa.n + sb.n - m.cnt) >= 0.1),
+         |fan AS (SELECT t, d FROM pairs,
+         |    (SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]::DOUBLE[]) AS t),
+         |    LATERAL unnest([a, b]) AS u(d)
+         |  WHERE jaccard >= t)
+         |SELECT t, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+         |FROM fan GROUP BY t""".stripMargin,
     "dedup_simhash" ->
       """WITH words AS (
         |  SELECT doc_id, w, count(*) AS cnt,
