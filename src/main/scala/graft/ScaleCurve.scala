@@ -170,7 +170,12 @@ object ScaleCurve {
     // FLAT), QTE (value-domain windows — FLAT past the collapse), soft
     // dedup (the dupClusters CC loop + one cluster-sized join), yield
     // curve (the pr_curve one-scan fan-out shape)
-    "stat_power", "stat_qte", "dedup_soft_weights", "curate_yield_curve")
+    "stat_power", "stat_qte", "dedup_soft_weights", "curate_yield_curve",
+    // forecasting/causal/calibration wave: causal impact (pre-period
+    // Holt fold — grid-bounded FLAT), integer prediction intervals
+    // (grid + residual-domain windows — FLAT), text threshold sweep
+    // (the lshVerifiedPairs two-stage shape × |thresholds|)
+    "ev_impact", "ts_forecast_interval", "dedup_threshold_sweep")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
