@@ -552,6 +552,45 @@ object TextAnalysis {
           .as("rec"))
   }
 
+  /** LLM-watermark detector (the Kirchenbauer green-list scheme read
+    * backwards): a watermarking sampler biases each token toward the
+    * "green" half of the vocabulary seeded by its predecessor, so
+    * watermarked text shows a green-pair fraction far above the ½ a
+    * natural source produces. Per doc: g = green adjacent pairs (green
+    * ⇔ first md5 nibble of "prev|cur" < 8), n = pairs, and the one-
+    * proportion z = (2g − n)/√n — flag at z ≥ 4 (p < 3·10⁻⁵). The
+    * synthetic-text quarantine filter a post-2023 crawl needs before
+    * model-collapse contamination enters training.
+    *
+    * Shape: strictly row-local (token array → pair flags → exact
+    * integer g, n; one sqrt + one division) — a zero-shuffle projection
+    * that pipelines with the scan, plan-guarded like the rest of the
+    * per-doc quality family. */
+  def watermarkScore(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val greens = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (p, c) => when(conv(substring(md5(concat(p, lit("|"), c)), 1, 1),
+        16, 10).cast("int") < 8, 1L).otherwise(0L))
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .select(col(idCol), greens.as("gs"))
+      .select(col(idCol),
+        size(col("gs")).cast("long").as("n_pairs"),
+        coalesce(aggregate(col("gs"), lit(0L), (a, x) => a + x), lit(0L))
+          .as("n_green"))
+      .select(col(idCol), col("n_pairs"), col("n_green"),
+        when(col("n_pairs") > 0, TimeSeries.portableRound6(
+          (col("n_green") * 2 - col("n_pairs")).cast("double") /
+            sqrt(col("n_pairs").cast("double"))))
+          .otherwise(lit(0.0)).as("z"),
+        (col("n_pairs") > 0 &&
+          (col("n_green") * 2 - col("n_pairs")).cast("double") >=
+            lit(4.0) * sqrt(col("n_pairs").cast("double"))).as("flagged"))
+  }
+
   /** Yield curve of the [[classifierScore]] quality bar: docs and
     * TOKENS surviving each candidate threshold — the data-volume cost
     * [[prCurve]] doesn't show (PR says how accurate the bar is; this

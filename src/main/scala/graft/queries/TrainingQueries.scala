@@ -150,6 +150,14 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.dedupInline(Tables.documents(s, dir), "doc_id", "text", w = 3)
     },
 
+    // LLM-watermark scan: green-pair fraction z-score per doc — the
+    // synthetic-text quarantine before model-collapse contamination
+    // enters training. Natural text sits near z=0; a green-list
+    // sampler's output clears the z≥4 flag by construction.
+    "text_watermark" -> { (s, dir) =>
+      TextAnalysis.watermarkScore(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // CROSS-doc boilerplate removal (the CCNet line-dedup stage):
     // 8-token segments appearing verbatim in ≥2 distinct docs are
     // excised everywhere — nav bars / license footers at corpus scale.
@@ -2904,6 +2912,26 @@ object TrainingQueries extends QueryPack {
         |    IF NOT list_contains(coalesce(cov.rset, []), i)], ' '), '') AS clean_text,
         |  CAST(coalesce(len(cov.rset), 0) AS INT) AS n_removed
         |FROM toks d LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // watermark scan: identical md5-nibble green rule, exact integer
+    // (g, n), one sqrt + one division; n=0 docs pin z=0/unflagged.
+    "text_watermark" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(list_sum([CASE WHEN
+        |      CAST(('0x' || substr(md5(t[CAST(i+1 AS INT)] || '|' ||
+        |        t[CAST(i+2 AS INT)]), 1, 1)) AS BIGINT) < 8
+        |      THEN 1 ELSE 0 END FOR i IN range(len(t) - 1)]), 0)
+        |      AS BIGINT) AS n_green
+        |  FROM toks)
+        |SELECT doc_id, n_pairs, n_green,
+        |  CASE WHEN n_pairs > 0 THEN
+        |    round(CAST(n_green * 2 - n_pairs AS DOUBLE)
+        |      / sqrt(CAST(n_pairs AS DOUBLE)) * 1000000) / 1000000
+        |  ELSE 0.0 END AS z,
+        |  n_pairs > 0 AND CAST(n_green * 2 - n_pairs AS DOUBLE)
+        |    >= 4.0 * sqrt(CAST(n_pairs AS DOUBLE)) AS flagged
+        |FROM g""".stripMargin,
     // boilerplate: same non-overlapping 8-token segmentation, distinct
     // doc counts, the (nd desc, seg)-capped frequent list, and a
     // list_filter rebuild in original segment order.

@@ -284,6 +284,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("watermarkScore: a green-list sampler's output flags; natural text doesn't") {
+    import spark.implicits._
+    // the same green rule as the op, in Scala
+    def green(p: String, c: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val b0 = md.digest(s"$p|$c".getBytes("UTF-8"))(0)
+      ((b0 >> 4) & 0xf) < 8
+    }
+    val vocab = (0 until 50).map(i => s"w$i")
+    // watermarked: from each token, pick the first vocab word that is
+    // green — exactly what a green-list sampler does
+    val wm = Iterator.iterate(List("w0")) { acc =>
+      vocab.find(c => green(acc.head, c)).get :: acc
+    }.drop(80).next().reverse.mkString(" ")
+    // natural: fixed pseudo-arbitrary walk, no green bias
+    val nat = (0 until 81).map(i => vocab((i * 17 + 3) % 50)).mkString(" ")
+    val out = graft.ops.TextAnalysis.watermarkScore(
+        Seq((1L, wm), (2L, nat), (3L, "solo")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("z"),
+          r.getBoolean(4)))).toMap
+    val (n1, g1, z1, f1) = out(1L)
+    assert(g1 === n1 && f1, s"fully green text must flag: ${out(1L)}")
+    assert(z1 > 8.0)
+    assert(!out(2L)._4, s"natural text must not flag: ${out(2L)}")
+    assert(math.abs(out(2L)._3) < 4.0)
+    assert(out(3L) === ((0L, 0L, 0.0, false))) // single token: no pairs
+    // plan: strictly row-local — pipelines with the scan
+    val plan = graft.ops.TextAnalysis.watermarkScore(
+        Seq((1L, wm)).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("removeFrequentSegments: cross-doc segments excised, order kept") {
     import spark.implicits._
     // 2-token segments; docs are concatenations of exact segments
