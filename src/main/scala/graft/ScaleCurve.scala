@@ -175,7 +175,10 @@ object ScaleCurve {
     // Holt fold — grid-bounded FLAT), integer prediction intervals
     // (grid + residual-domain windows — FLAT), text threshold sweep
     // (the lshVerifiedPairs two-stage shape × |thresholds|)
-    "ev_impact", "ts_forecast_interval", "dedup_threshold_sweep")
+    "ev_impact", "ts_forecast_interval", "dedup_threshold_sweep",
+    // watermark scan: strictly row-local projection — should be linear
+    // with a small constant (one md5 per adjacent token pair)
+    "text_watermark")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
