@@ -614,4 +614,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("vocab_fertility")
     assert(!p.contains("Join"), s"encode must be a projection:\n$p")
   }
+
+  test("threshold sweep stays on the banded candidate path") {
+    val p = plan("dedup_threshold_sweep")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"sweep must reuse the verified-pair table, never form all pairs:\n$p")
+  }
+
+  test("watermark scan is a zero-shuffle projection") {
+    val p = plan("text_watermark")
+    assert(!p.contains("Exchange"), s"green-pair scan must pipeline:\n$p")
+  }
 }
