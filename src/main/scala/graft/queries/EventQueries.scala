@@ -441,6 +441,33 @@ object EventQueries extends QueryPack {
           varC * lit(zsum2) * 2.0 / (delta * delta)).as("n_per_arm"))
     },
 
+    // difference-in-differences: the arm-1 pre→post spend change minus
+    // the arm-0 change — the causal estimate that survives a shared
+    // time trend (ev_impact's counterfactual is a forecast; DiD's is
+    // the control arm). Four exact cents means, fixed-order float chain.
+    "stat_did" -> { (s, dir) =>
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val x = graft.ops.Stats.cents(col("value"))
+      val m = Tables.events(s, dir)
+        .groupBy(pmod(col("user_id"), lit(2)).cast("int").as("variant"),
+          (col("ts") >= cut).as("post"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"))
+      def mean(v: Int, p: Boolean) = {
+        val c = max(when(col("variant") === v && col("post") === p,
+          col("sx"))).cast("double") /
+          max(when(col("variant") === v && col("post") === p,
+            col("n"))).cast("double")
+        c / 100.0
+      }
+      def r6(c: org.apache.spark.sql.Column) =
+        graft.ops.TimeSeries.portableRound6(c)
+      m.agg(
+        r6(mean(0, false)).as("mean_c_pre"), r6(mean(0, true)).as("mean_c_post"),
+        r6(mean(1, false)).as("mean_t_pre"), r6(mean(1, true)).as("mean_t_post"),
+        r6((mean(1, true) - mean(1, false)) - (mean(0, true) - mean(0, false)))
+          .as("did"))
+    },
+
     // quantile treatment effect on purchase spend: exact type-1
     // quantiles (rank ceil(q·n) off the collapsed value-domain table —
     // never an engine interpolation rule) per arm, differenced — the
@@ -1309,6 +1336,35 @@ object EventQueries extends QueryPack {
          |    AS n_per_arm
          |FROM f""".stripMargin
     },
+    // DiD: the identical four-mean float chain off exact cents sums.
+    "stat_did" ->
+      """WITH m AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
+        |    ts >= TIMESTAMP '2024-01-15 00:00:00' AS post,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sx
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT
+        |    CAST(max(CASE WHEN variant = 0 AND NOT post THEN sx END)
+        |      AS DOUBLE) / CAST(max(CASE WHEN variant = 0 AND NOT post
+        |      THEN n END) AS DOUBLE) / 100.0 AS m_c_pre,
+        |    CAST(max(CASE WHEN variant = 0 AND post THEN sx END)
+        |      AS DOUBLE) / CAST(max(CASE WHEN variant = 0 AND post
+        |      THEN n END) AS DOUBLE) / 100.0 AS m_c_post,
+        |    CAST(max(CASE WHEN variant = 1 AND NOT post THEN sx END)
+        |      AS DOUBLE) / CAST(max(CASE WHEN variant = 1 AND NOT post
+        |      THEN n END) AS DOUBLE) / 100.0 AS m_t_pre,
+        |    CAST(max(CASE WHEN variant = 1 AND post THEN sx END)
+        |      AS DOUBLE) / CAST(max(CASE WHEN variant = 1 AND post
+        |      THEN n END) AS DOUBLE) / 100.0 AS m_t_post
+        |  FROM m)
+        |SELECT round(m_c_pre * 1000000) / 1000000 AS mean_c_pre,
+        |  round(m_c_post * 1000000) / 1000000 AS mean_c_post,
+        |  round(m_t_pre * 1000000) / 1000000 AS mean_t_pre,
+        |  round(m_t_post * 1000000) / 1000000 AS mean_t_post,
+        |  round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) * 1000000)
+        |    / 1000000 AS did
+        |FROM p""".stripMargin,
     // QTE: collapsed value-domain cum counts, ⌈q·n⌉ ranks in integer
     // arithmetic, the three quantile rows assembled by UNION ALL.
     "stat_qte" ->

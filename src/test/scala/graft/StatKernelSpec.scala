@@ -233,6 +233,51 @@ class StatKernelSpec extends SparkSpec {
     assert(got(1)._1 === 25) // reported at the horizon row
   }
 
+  // ---- DiD ----
+
+  test("stat_did recovers a planted effect under a shared time trend") {
+    import org.apache.spark.sql.functions._
+    // both arms drift +2.00 post; arm 1 additionally gains +3.25 —
+    // the raw post-difference is confounded, DiD isolates 3.25
+    val rows = (0L until 200L).map { i =>
+      val treated = i % 2 == 1
+      val post = i % 4 >= 2
+      val v = BigDecimal(10) + (if (post) BigDecimal(2) else BigDecimal(0)) +
+        (if (treated && post) BigDecimal("3.25") else BigDecimal(0)) +
+        BigDecimal((i % 7).toInt) // user-level noise, balanced across cells
+      (i, if (post) ts("2024-01-20 00:00:00") else ts("2024-01-10 00:00:00"),
+        v.setScale(2))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val x = Stats.cents(col("value"))
+    val m = df.groupBy(pmod(col("user_id"), lit(2)).cast("int").as("variant"),
+        (col("ts") >= cut).as("post"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"))
+    def mean(v: Int, p: Boolean) =
+      max(when(col("variant") === v && col("post") === p, col("sx")))
+        .cast("double") /
+        max(when(col("variant") === v && col("post") === p, col("n")))
+          .cast("double") / 100.0
+    val did = m.agg(graft.ops.TimeSeries.portableRound6(
+        (mean(1, true) - mean(1, false)) - (mean(0, true) - mean(0, false)))
+        .as("did")).head.getDouble(0)
+    // noise term i%7 is NOT balanced identically across the 4 cells for
+    // arbitrary n, but with 200 rows the (variant, post) cells each see
+    // the same multiset of i%7 values (period 28 divides nothing... it
+    // does not — so compute the expected value from the same cells)
+    val cells = rows.groupBy(r => (r._1 % 2 == 1, r._2.getTime >
+      ts("2024-01-15 00:00:00").getTime))
+    def cm(t: Boolean, p: Boolean) = {
+      val vs = cells((t, p)).map(_._3)
+      (vs.sum / vs.size).toDouble
+    }
+    val want = math.round(((cm(true, true) - cm(true, false)) -
+      (cm(false, true) - cm(false, false))) * 1e6) / 1e6
+    assert(did === want)
+    assert(math.abs(did - 3.25) < 0.5, s"planted effect ~3.25, got $did")
+  }
+
   // ---- QTE ----
 
   test("quantileTreatmentEffect: a planted constant shift is the QTE") {
