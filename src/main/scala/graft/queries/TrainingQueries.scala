@@ -1905,6 +1905,29 @@ object TrainingQueries extends QueryPack {
       Bpe.encodeTokenCounts(Tables.documents(s, dir), "doc_id", "text", rules)
     },
 
+    // per-source unigram entropy — the diversity dial beside fertility
+    // (cost) and OOV (fit): a source whose H collapses is template spam
+    // whatever its quality score says. H = log2(n) − Σc·log2(c)/n with
+    // the libm sum folded in sorted word order over the vocab-bounded
+    // count list (the stat_anova discipline: both engines add the same
+    // doubles in the same sequence), absorbed at 4dp.
+    "vocab_entropy" -> { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+      val counts = words.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"),
+          sort_array(collect_list(struct(col("w"), col("c")))).as("wc"))
+        .select(col("source"), col("n"), col("vocab"),
+          (round((log2(col("n").cast("double")) -
+            aggregate(col("wc"), lit(0.0), (a, x) =>
+              a + x.getField("c").cast("double") *
+                log2(x.getField("c").cast("double"))) /
+              col("n").cast("double")) * 10000, 0) / 10000).as("entropy"))
+    },
+
     // tokenizer fertility per source: subword tokens per whitespace
     // word under the 3 learned rules — vocab_oov's cost-side twin (an
     // outlier source pays proportionally more sequence length).
@@ -5008,6 +5031,25 @@ object TrainingQueries extends QueryPack {
          |                THEN e.n_tok ELSE 1 END) AS BIGINT) AS bpe_tokens
          |FROM dw LEFT JOIN enc e ON e.word = dw.word
          |GROUP BY dw.doc_id""".stripMargin,
+    // entropy: same sorted-word count list, same left-fold of
+    // c·log2(c) (list_reduce's seed 0.0 ≡ Spark's aggregate zero), one
+    // subtraction/division, 4dp.
+    "vocab_entropy" ->
+      """WITH w AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    list(c ORDER BY w) AS cs
+        |  FROM w GROUP BY 1)
+        |SELECT source, n, vocab,
+        |  round((log2(CAST(n AS DOUBLE))
+        |    - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        [CAST(x AS DOUBLE) * log2(CAST(x AS DOUBLE)) FOR x IN cs]),
+        |        (acc, v) -> acc + v) / CAST(n AS DOUBLE)) * 10000) / 10000
+        |    AS entropy
+        |FROM a""".stripMargin,
     // fertility: the encode replay aggregated per source instead of per
     // doc; the one float is the final tokens-per-word division.
     "vocab_fertility" ->
