@@ -178,7 +178,10 @@ object ScaleCurve {
     "ev_impact", "ts_forecast_interval", "dedup_threshold_sweep",
     // watermark scan: strictly row-local projection — should be linear
     // with a small constant (one md5 per adjacent token pair)
-    "text_watermark")
+    "text_watermark",
+    // DiD (one 4-cell hash-agg — FLAT) and per-source entropy (the
+    // vocab-bounded sorted fold — tracks text_heaps)
+    "stat_did", "vocab_entropy")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
