@@ -441,6 +441,43 @@ object EventQueries extends QueryPack {
           varC * lit(zsum2) * 2.0 / (delta * delta)).as("n_per_arm"))
     },
 
+    // winsorized A/B means: spend capped at the POOLED p99 (exact
+    // type-1 rank off the value-domain collapse — both arms capped by
+    // the same bar), then per-arm means raw vs winsorized — the
+    // whale-robust read whose variance a handful of outlier purchases
+    // can't own. Exact integers until the final divisions.
+    "stat_winsor" -> { (s, dir) =>
+      val x = graft.ops.Stats.cents(col("value"))
+      val base = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(2)).cast("int").as("variant"),
+          x.as("x"))
+        .localCheckpoint() // consumed by the cap scan and the means scan
+      val dom = base.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      val rank = floor((col("n") * 99 + 99) / 100) // ⌈0.99·n⌉
+      val cap = dom
+        .withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .agg(min(when(col("cum") >= rank && col("cum") - col("c") < rank,
+          col("x"))).as("cap"))
+      def r6(c: org.apache.spark.sql.Column) =
+        graft.ops.TimeSeries.portableRound6(c)
+      base.crossJoin(broadcast(cap))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(least(col("x"), col("cap"))).as("sw"),
+          max(col("cap")).as("capc"))
+        .select(col("variant"), col("n"),
+          r6(col("sx").cast("double") / col("n").cast("double") / 100.0)
+            .as("mean_raw"),
+          r6(col("sw").cast("double") / col("n").cast("double") / 100.0)
+            .as("mean_winsor"),
+          (col("capc").cast("double") / 100.0).as("cap"))
+    },
+
     // difference-in-differences: the arm-1 pre→post spend change minus
     // the arm-0 change — the causal estimate that survives a shared
     // time trend (ev_impact's counterfactual is a forecast; DiD's is
@@ -1336,6 +1373,26 @@ object EventQueries extends QueryPack {
          |    AS n_per_arm
          |FROM f""".stripMargin
     },
+    // winsorized means: same pooled-p99 rank pick, same least() caps.
+    "stat_winsor" ->
+      """WITH base AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'),
+        |dom AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1),
+        |cu AS (SELECT x, c, sum(c) OVER (ORDER BY x) AS cum,
+        |    sum(c) OVER () AS n FROM dom),
+        |cap AS (SELECT min(CASE WHEN cum >= (n * 99 + 99) // 100
+        |    AND cum - c < (n * 99 + 99) // 100 THEN x END) AS cap
+        |  FROM cu)
+        |SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+        |    * 1000000) / 1000000 AS mean_raw,
+        |  round(CAST(sum(least(x, cap)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 100.0 * 1000000) / 1000000
+        |    AS mean_winsor,
+        |  CAST(max(cap) AS DOUBLE) / 100.0 AS cap
+        |FROM base CROSS JOIN cap GROUP BY variant""".stripMargin,
     // DiD: the identical four-mean float chain off exact cents sums.
     "stat_did" ->
       """WITH m AS (SELECT ((user_id % 2) + 2) % 2 AS variant,

@@ -278,6 +278,41 @@ class StatKernelSpec extends SparkSpec {
     assert(math.abs(did - 3.25) < 0.5, s"planted effect ~3.25, got $did")
   }
 
+  // ---- winsorized means ----
+
+  test("winsorized mean caps the whale; clean arm untouched") {
+    import org.apache.spark.sql.functions._
+    // arm 0: 99 spends of 10.00 and ONE 10000.00 whale; arm 1: 100×10.00.
+    // pooled p99 rank = ⌈0.99·200⌉ = 198 → cap = 10.00, so the whale
+    // winsorizes to 10.00: arm 0's winsorized mean collapses to 10.00.
+    val rows = (0 until 200).map { i =>
+      val arm = i % 2
+      val v = if (arm == 0 && i == 0) BigDecimal(10000) else BigDecimal(10)
+      (i.toLong, "purchase", v.setScale(2))
+    }
+    val df = rows.toDF("user_id", "event_type", "value")
+    val x = Stats.cents(col("value"))
+    val base = df.where(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("variant"), x.as("x"))
+    val dom = base.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val rank = floor((col("n") * 99 + 99) / 100)
+    val cap = dom.withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .agg(min(when(col("cum") >= rank && col("cum") - col("c") < rank,
+        col("x"))).as("cap"))
+    val got = base.crossJoin(broadcast(cap))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(least(col("x"), col("cap"))).as("sw"), max(col("cap")).as("capc"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0)._4 === 1000L, "pooled p99 cap must be 10.00")
+    assert(got(0)._3 === 100L * 1000L, "whale winsorized to the cap")
+    assert(got(1)._2 === got(1)._3, "clean arm untouched")
+  }
+
   // ---- QTE ----
 
   test("quantileTreatmentEffect: a planted constant shift is the QTE") {
