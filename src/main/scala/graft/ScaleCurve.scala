@@ -181,7 +181,10 @@ object ScaleCurve {
     "text_watermark",
     // DiD (one 4-cell hash-agg — FLAT) and per-source entropy (the
     // vocab-bounded sorted fold — tracks text_heaps)
-    "stat_did", "vocab_entropy")
+    "stat_did", "vocab_entropy",
+    // winsorized means: value-domain cap pick + one broadcast probe —
+    // domain-bounded FLAT (the stat_qte shape)
+    "stat_winsor")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
