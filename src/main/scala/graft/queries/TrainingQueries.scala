@@ -1211,8 +1211,13 @@ object TrainingQueries extends QueryPack {
     // (map-side literal argmin, no training), and each cell contributes
     // its exact 2×k chi-squared term — the retraining tripwire for an
     // embedding pipeline (has the representation's cell population
-    // shifted?). Everything integer until one division per cell half.
+    // shifted?). Everything integer until one division per cell half;
+    // the (n·O − r·c) difference is cast to DECIMAL(38,0) BEFORE
+    // squaring (stat_chi2's discipline — the BIGINT square wraps
+    // silently past a ~3e9 difference, which n·n_ref reaches easily
+    // at corpus scale since it is total × per-cell count).
     "drift_cells" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val cells = Similarity.seedCellAssign(
           Tables.embeddings(s, dir), "vec_id", "embedding")
         .withColumn("side", pmod(col("vec_id"), lit(2)))
@@ -1223,13 +1228,15 @@ object TrainingQueries extends QueryPack {
       cnt.crossJoin(broadcast(tot))
         .withColumn("r", col("n_ref") + col("n_cur"))
         .withColumn("n", col("cr") + col("cc"))
+        .withColumn("num_r",
+          (col("n") * col("n_ref") - col("r") * col("cr")).cast(d38))
+        .withColumn("num_c",
+          (col("n") * col("n_cur") - col("r") * col("cc")).cast(d38))
         .select(col("cell"), col("n_ref"), col("n_cur"),
           (round((
-            ((col("n") * col("n_ref") - col("r") * col("cr")) *
-              (col("n") * col("n_ref") - col("r") * col("cr"))).cast("double") /
+            (col("num_r") * col("num_r")).cast("double") /
               (col("n") * col("r") * col("cr")).cast("double") +
-            ((col("n") * col("n_cur") - col("r") * col("cc")) *
-              (col("n") * col("n_cur") - col("r") * col("cc"))).cast("double") /
+            (col("num_c") * col("num_c")).cast("double") /
               (col("n") * col("r") * col("cc")).cast("double"))
             * 1000000) / 1000000).as("chi2_term"))
     },
@@ -4730,9 +4737,11 @@ object TrainingQueries extends QueryPack {
          |        CAST(sum(n_cur) AS BIGINT) AS cc FROM cnt)
          |SELECT cell, n_ref, n_cur,
          |  round((
-         |    CAST((n * n_ref - r * cr) * (n * n_ref - r * cr) AS DOUBLE)
+         |    CAST(CAST(n * n_ref - r * cr AS HUGEINT)
+         |       * CAST(n * n_ref - r * cr AS HUGEINT) AS DOUBLE)
          |      / CAST(n * r * cr AS DOUBLE)
-         |    + CAST((n * n_cur - r * cc) * (n * n_cur - r * cc) AS DOUBLE)
+         |    + CAST(CAST(n * n_cur - r * cc AS HUGEINT)
+         |       * CAST(n * n_cur - r * cc AS HUGEINT) AS DOUBLE)
          |      / CAST(n * r * cc AS DOUBLE)) * 1000000) / 1000000
          |    AS chi2_term
          |FROM (SELECT cell, n_ref, n_cur, cr, cc,

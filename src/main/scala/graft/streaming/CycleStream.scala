@@ -29,13 +29,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * upgrades it); idempotent handling belongs in the vertex body, keyed on
   * the headers it controls.
   *
-  * Scale: the feedback write is `foreachPartition` against the
-  * registry-resolved source (the executor-side connector pattern shared
-  * with the Pulsar/SQS sinks) — no collect, no driver fan-in; under
-  * local[*] the registry is same-JVM, on a cluster each executor resolves
-  * its own connector instance. The routed-back subset is persisted for
-  * the two consumers (cycle edge + downstream) so the vertex body runs
-  * once per batch.
+  * Scale — LOCAL-ONLY feedback edge, by construction: the feedback write
+  * is `foreachPartition` against `UdSource.get(sourceName)`, and that
+  * registry is a per-JVM ConcurrentHashMap. Under local[*] executor and
+  * driver share one JVM, so the append lands in the exact source instance
+  * the stream reads — correct. On a REAL cluster the executor-side lookup
+  * would resolve a missing (or different) instance: the memory-source
+  * cycle edge is a single-process ISB analog, NOT a distributed one. For
+  * a cluster deployment route the feedback through a cluster-visible
+  * broker instead — point the cycle edge at the Kafka/Pulsar SINK writing
+  * the topic the vertex's own source reads (the reference's ISB is
+  * exactly such a broker edge); the body/onDone wiring here is unchanged.
+  * The routed-back subset is persisted for the two consumers (cycle edge
+  * + downstream) so the vertex body runs once per batch.
   */
 object CycleStream {
 
@@ -61,9 +67,14 @@ object CycleStream {
     in.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // NULL __cycle coalesces to false (forward downstream): a row the
+        // body forgot to tag must still leave the vertex — both branch
+        // filters below are complementary only over non-null booleans,
+        // so an un-coalesced NULL would silently vanish from BOTH edges.
         val routed = body(batch)
           .select(col("keys"), col("value"), col("eventTime"),
-            col("headers"), col(CycleCol).cast("boolean").as(CycleCol))
+            col("headers"),
+            coalesce(col(CycleCol).cast("boolean"), lit(false)).as(CycleCol))
           .persist()
         try {
           routed.where(col(CycleCol)).drop(CycleCol)

@@ -24,9 +24,19 @@ import graft.ops.Similarity
   * arriving cells are always a subset of the reference's.
   *
   * Exactness: identical per-cell term as the batch audit —
-  * (n·O − r·c)² / (n·r·c) from exact BIGINTs, one double division per
-  * cell half — so a frozen-window replay of the stream reproduces the
-  * batch statistic bit for bit (spec). */
+  * (n·O − r·c)² / (n·r·c) with the difference cast to DECIMAL(38,0)
+  * BEFORE squaring (the stat_chi2 discipline — a BIGINT square wraps
+  * silently once the difference passes ~3e9, which n·n_ref reaches
+  * easily since it is total-count × per-cell-count), one double
+  * division per cell half — so a frozen-window replay of the stream
+  * reproduces the batch statistic bit for bit (spec).
+  *
+  * Malformed vectors (wrong length → NULL cell from the quantizer) are
+  * dropped BEFORE the histogram and do NOT count toward `cc`: a NULL
+  * cell would otherwise reach map_from_entries as a null map key and
+  * permanently fail the query (restart replays the same batch). Drift
+  * in the malformed-vector RATE is a schema-quality signal, not an
+  * embedding-distribution signal — monitor it separately. */
 object DriftStream {
 
   /** @param reference frozen per-cell counts (cell → n_ref) — the
@@ -43,6 +53,7 @@ object DriftStream {
     val packed = stream
       .withWatermark(tsCol, delay)
       .withColumn("cell", Similarity.seedCellColumn(vecCol, k, dim))
+      .where(col("cell").isNotNull) // malformed vectors: see scaladoc
       .groupBy(window(col(tsCol), windowDur).as("w"), col("cell"))
       .agg(count(lit(1)).as("n_cur"))
       .groupBy(col("w"))
@@ -50,13 +61,14 @@ object DriftStream {
         struct(col("cell"), col("n_cur"))))).as("cur"),
         sum(col("n_cur")).as("cc"))
     val n = lit(cr) + col("cc")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def term(cell: Int, nRef: Long): Column = {
       val o = coalesce(element_at(col("cur"), lit(cell)), lit(0L))
       val r = lit(nRef) + o
-      ((n * nRef - r * cr) * (n * nRef - r * cr)).cast("double") /
-        (n * r * cr).cast("double") +
-        ((n * o - r * col("cc")) * (n * o - r * col("cc"))).cast("double") /
-          (n * r * col("cc")).cast("double")
+      val numR = (n * nRef - r * cr).cast(d38)
+      val numC = (n * o - r * col("cc")).cast(d38)
+      (numR * numR).cast("double") / (n * r * cr).cast("double") +
+        (numC * numC).cast("double") / (n * r * col("cc")).cast("double")
     }
     val chi2 = reference.toSeq.sortBy(_._1)
       .map { case (c, nr) => term(c, nr) }.reduce(_ + _)

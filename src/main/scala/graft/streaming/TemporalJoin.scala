@@ -23,10 +23,17 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * the watermark advances past its oldest pending fact even if no new
   * row arrives for it.
   *
-  * State is bounded on both axes: pending facts drain at the watermark,
-  * and versions older than the newest one ≤ watermark are pruned (no
-  * future fact can need them — exactly one superseded version is kept
-  * as the current value). Facts with no version yet emit dim = null
+  * State bounds: pending facts drain at the watermark, and versions
+  * older than the newest one ≤ watermark are pruned (no future fact can
+  * need them). The one retained current-version row is PERMANENT per
+  * key by default — a key that ever carried a version keeps ~one row
+  * forever, so state grows with lifetime key cardinality (fine for
+  * bounded dimension domains, not for UUID-keyed churn). For high-churn
+  * key domains pass `idleTtlMs`: a key with no pending facts is dropped
+  * once the watermark sits `idleTtlMs` past its last emit/arrival — the
+  * trade being that a fact arriving for that key later (but still
+  * inside the watermark delay) enriches to dim = null instead of the
+  * expired version. Facts with no version emit dim = null either way
   * (the caller's routing decision — dropping them would hide a late
   * dimension feed).
   *
@@ -43,7 +50,9 @@ object TemporalJoin {
 
   def enrich(facts: DataFrame, dims: DataFrame, keyCol: String,
              tsCol: String, factValCol: String, dimValCol: String,
-             delay: String = "10 minutes"): DataFrame = {
+             delay: String = "10 minutes",
+             idleTtlMs: Option[Long] = None): DataFrame = {
+    require(idleTtlMs.forall(_ > 0), "idleTtlMs must be positive")
     val spark = facts.sparkSession
     import spark.implicits._
     val unioned = facts
@@ -83,13 +92,23 @@ object TemporalJoin {
           val kept =
             if (settled.isEmpty) vers
             else settled.last :: vers.drop(settled.length)
-          if (kept.isEmpty && waiting.isEmpty) state.remove()
+          // idle expiry: this invocation is a TTL timeout fire (no new
+          // rows), nothing was emitted and nothing pends — the state was
+          // held only for the current version, and its lease is up
+          val idleExpired = state.hasTimedOut && idleTtlMs.isDefined &&
+            out.isEmpty && waiting.isEmpty
+          if ((kept.isEmpty && waiting.isEmpty) || idleExpired) state.remove()
           else {
             state.update((kept, waiting))
             // re-fire this key when the watermark passes its oldest
-            // pending fact (must be strictly above the current wm)
-            waiting.headOption.foreach { case (t, _) =>
-              state.setTimeoutTimestamp(math.max(t, wm + 1))
+            // pending fact (must be strictly above the current wm);
+            // with no pending fact, lease the current version for the
+            // idle TTL (activity before then overwrites the timeout)
+            waiting.headOption match {
+              case Some((t, _)) =>
+                state.setTimeoutTimestamp(math.max(t, wm + 1))
+              case None =>
+                idleTtlMs.foreach(ttl => state.setTimeoutTimestamp(wm + ttl))
             }
           }
           out.iterator

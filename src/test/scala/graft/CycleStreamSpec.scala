@@ -63,6 +63,35 @@ class CycleStreamSpec extends SparkSpec {
     }
   }
 
+  test("NULL __cycle coalesces to forward-downstream — rows never vanish") {
+    val name = "cycle_null_spec"
+    val src = UdSource.register(name, new UdSource.MemoryGraftSource())
+    (1 to 3).foreach(i => src.append(Seq(s"u$i"), Array[Byte](), t0,
+      headers = Map.empty))
+    val seen = new ConcurrentLinkedQueue[String]()
+    val ckpt = java.nio.file.Files.createTempDirectory("cycle_null").toString
+    // the body "forgets" to tag u2: its __cycle is NULL. Before the
+    // coalesce both edge filters (c, !c) dropped it — it left NEITHER
+    // around the cycle NOR downstream.
+    val q = CycleStream.cycleToSelf(spark, name,
+      body = df => df.select(col("keys"), col("value"), col("eventTime"),
+        col("headers"),
+        when(col("keys").getItem(0) =!= "u2", lit(false))
+          .as(CycleStream.CycleCol)),
+      onDone = out => out.select(col("keys").getItem(0)).collect()
+        .foreach(r => seen.add(r.getString(0))),
+      checkpoint = ckpt)
+    try {
+      CycleStream.drain(q, name)
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSet === Set("u1", "u2", "u3"))
+      assert(src.latestOffset(0) == 3L) // no feedback appends either
+    } finally {
+      q.stop(); UdSource.unregister(name)
+      rmdirAll(new java.io.File(ckpt))
+    }
+  }
+
   test("a zero-loop workload never touches the cycle edge") {
     val name = "cycle_noop_spec"
     val src = UdSource.register(name, new UdSource.MemoryGraftSource())

@@ -75,4 +75,38 @@ class DriftStreamSpec extends SparkSpec {
     val quiet = run(threshold = expected + 100.0, "drift_quiet")
     assert(quiet.isEmpty)
   }
+
+  test("malformed vectors are dropped, not crashed on and not counted") {
+    val ref = cellsOf(pmod(col("vec_id"), lit(2)) === 0)
+    val good: Seq[(Seq[Float], Timestamp)] = emb
+      .where(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("embedding")).as[Seq[Float]].collect().toSeq
+      .map(v => (v, ts("2024-01-01 00:30:00")))
+    // wrong-length vectors quantize to a NULL cell; before the
+    // isNotNull guard this (window, null) group reached
+    // map_from_entries as a null map key and failed the query forever
+    val bad: Seq[(Seq[Float], Timestamp)] = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), ts("2024-01-01 00:31:00")),
+      (Seq.empty[Float], ts("2024-01-01 00:32:00")))
+
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Seq[Float], Timestamp)]
+    val q = DriftStream.windowedAlarms(
+        in.toDF().toDF("embedding", "ts"), "embedding", "ts",
+        ref, threshold = -1.0)
+      .writeStream.format("memory").queryName("drift_malformed")
+      .outputMode("append").start()
+    try {
+      in.addData(good ++ bad: _*); q.processAllAvailable()
+      in.addData((Seq.fill(64)(0.0f), ts("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("drift_malformed")
+        .where(col("bucket") === ts("2024-01-01 00:00:00")).collect()
+      assert(rows.length == 1)
+      // cc counts ONLY well-formed vectors — the malformed two vanish
+      assert(rows.head.getAs[Long]("n_vectors") == good.length.toLong)
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS drift_malformed")
+    }
+  }
 }

@@ -90,6 +90,46 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got.toSet === reference)
   }
 
+  test("idleTtlMs drops an idle key's retained version; default keeps it") {
+    // key "a" settles one version, then sits idle well past the TTL; a
+    // fact arriving after the lease expires enriches to null under TTL
+    // and to the version under the default (permanent retention).
+    def run(ttl: Option[Long]): Option[String] = {
+      implicit val ctx = spark.sqlContext
+      val fIn = MemoryStream[(String, Timestamp, Double)]
+      val dIn = MemoryStream[(String, Timestamp, String)]
+      val q = TemporalJoin.enrich(
+          fIn.toDF().toDF("k", "t", "fv"), dIn.toDF().toDF("k", "t", "dv"),
+          "k", "t", "fv", "dv", delay = "6 hours", idleTtlMs = ttl)
+        .writeStream.format("memory").queryName("tj_ttl")
+        .outputMode("append").start()
+      try {
+        dIn.addData(("a", ts("2024-01-01 00:00:00"), "v1"))
+        fIn.addData(("__f1", ts("2024-01-02 00:00:00"), 0.0))
+        dIn.addData(("__f1", ts("2024-01-02 00:00:00"), "x"))
+        q.processAllAvailable() // wm 01-01 18:00; "a" idle, lease wm+1h
+        fIn.addData(("__f2", ts("2024-01-03 00:00:00"), 0.0))
+        dIn.addData(("__f2", ts("2024-01-03 00:00:00"), "x"))
+        q.processAllAvailable() // wm 01-02 18:00 — past the lease
+        fIn.addData(("a", ts("2024-01-02 20:00:00"), 9.0))
+        fIn.addData(("__f3", ts("2024-01-04 00:00:00"), 0.0))
+        dIn.addData(("__f3", ts("2024-01-04 00:00:00"), "x"))
+        q.processAllAvailable()
+        fIn.addData(("__f4", ts("2024-01-05 00:00:00"), 0.0))
+        dIn.addData(("__f4", ts("2024-01-05 00:00:00"), "x"))
+        q.processAllAvailable()
+        val rows = spark.table("tj_ttl").where(col("k") === "a")
+          .as[(String, Timestamp, Double, Option[String])].collect()
+        assert(rows.length == 1)
+        rows.head._4
+      } finally {
+        q.stop(); spark.sql("DROP TABLE IF EXISTS tj_ttl")
+      }
+    }
+    assert(run(Some(3600L * 1000)) === None) // lease expired → null dim
+    assert(run(None) === Some("v1"))         // default: version retained
+  }
+
   test("seeded random shuffles and splits all converge (3 trials)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
