@@ -129,7 +129,7 @@ object Bench {
     // times — kept comfortably under the tail window.
     val times = finalResults.toMap
     val flagship = Seq(
-      "q1_agg", "dedup_exact", "dedup_minhash", "dedup_jaccard",
+      "q1_agg", "dedup_exact", "dedup_minhash", "dedup_lsh_verified",
       "emb_semdedup", "sim_topk", "sim_ann_ivf", "emb_gram",
       "mm_phash", "text_gopher", "text_tfidf", "text_bpe",
       "shard_tokens", "mix_ratio", "ev_funnel", "graph_pagerank",

@@ -11,7 +11,7 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("m1_project", "q1_agg", "join_broadcast", "topk_orders",
-        "x2_dedup", "dedup_jaccard", "q3_shipping", "sim_ann_ivfpq",
+        "x2_dedup", "dedup_lsh_verified", "q3_shipping", "sim_ann_ivfpq",
         "curate_filter", "text_winnow", "dedup_span_removal")
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -45,7 +45,7 @@ object ScaleCurve {
     * the point), and the star-edge/CC pair. All read only documents /
     * embeddings, which is what the generator scales. */
   val HeavyQueries: Seq[String] = Seq(
-    "dedup_jaccard", "dedup_keep_best", "dedup_clusters", "dedup_star_cc",
+    "dedup_lsh_verified", "dedup_keep_best", "dedup_clusters", "dedup_star_cc",
     "dedup_minhash", "dedup_simhash", "text_lm_kn", "mix_dsir",
     "text_winnow", "pack_cdc", "emb_neardup_lsh", "emb_semdedup",
     "emb_neardup", "dedup_bloom_incr", "shard_tokens",
@@ -146,7 +146,7 @@ object ScaleCurve {
     // agg_median_exact: it reads lineitem, which the generator copies
     // verbatim — its curve would measure nothing (the scale argument is
     // the value-domain bound, stat_mwu's, already measured).
-    "emb_diversity", "text_compress",
+    "emb_diversity", "text_compress_proxy",
     // gram-hash join novelty (linear in gram volume), and the two
     // bounded broadcast probes (flat, the eval_ndcg shape)
     "text_novelty", "sim_hard_negatives", "sim_mips",

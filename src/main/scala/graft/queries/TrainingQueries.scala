@@ -172,15 +172,32 @@ object TrainingQueries extends QueryPack {
       TextAnalysis.vocabTop(Tables.documents(s, dir), "text", k = 100)
     },
 
-    // deflate-proxy quality: per-doc zlib compression ratio — the
-    // CCNet/RefinedWeb junk detector (boilerplate compresses, random
-    // blobs don't). The library's ONE rows-only query: zlib isn't
-    // SQL-expressible and the byte count is a zlib-build property, so
-    // an oracle would hash the compressor, not the data — laws are
-    // spec-pinned instead (TextQuality3Spec).
-    "text_compress" -> { (s, dir) =>
-      TextAnalysis.compressionRatio(Tables.documents(s, dir),
-        "doc_id", "text")
+    // NOTE: the zlib compression-ratio detector (formerly registered
+    // rows-only as "text_compress") is spec-only now: zlib byte counts
+    // are a compressor-build property, so an oracle would hash the
+    // compressor, not the data — `TextAnalysis.compressionRatio` keeps
+    // its law spec (CurationOpsSpec) and "text_compress_proxy" below is
+    // the fully-oracled portable stand-in.
+
+    // compressibility PROXY, fully oracled: distinct-bigram/total-bigram
+    // ratio per doc — the same junk signal zlib reads (repetitive
+    // boilerplate reuses bigrams → low ratio; random blobs don't → ~1)
+    // but deterministic in both engines. Row-local projection (zero
+    // exchange); exact integers until one final division.
+    "text_compress_proxy" -> { (s, dir) =>
+      val t = split(col("text"), " ")
+      val nTok = size(t)
+      val idxs = when(nTok >= 2, sequence(lit(0), nTok - 2))
+        .otherwise(array().cast("array<int>"))
+      val bigrams = transform(idxs, i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
+      Tables.documents(s, dir).select(col("doc_id"),
+        greatest(nTok - 1, lit(0)).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct"))
+        .withColumn("ratio",
+          when(col("n_bigrams") > 0, TimeSeries.portableRound6(
+            col("n_distinct").cast("double") /
+              col("n_bigrams").cast("double"))))
     },
 
     // per-source OOV rate against the global top-1000 vocabulary — the
@@ -732,10 +749,12 @@ object TrainingQueries extends QueryPack {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
     },
 
-    "dedup_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.5)
-    },
+    // NOTE: the exhaustive ngramJaccardPairs reference ("dedup_jaccard")
+    // is intentionally NOT registered: its pair volume is corpus-pair-
+    // proportional by design (measured near-LINEAR at 125×, 452 s), so
+    // it has no production role at scale. The two-stage
+    // `dedup_lsh_verified` is the registered shape; the exhaustive form
+    // lives on as the differential baseline in ReferenceTwinSpec.
 
     // estimator calibration: signature-agreement estimate vs exact
     // Jaccard per LSH candidate — how far the banding geometry is from
@@ -1721,14 +1740,12 @@ object TrainingQueries extends QueryPack {
         threshold = 0.2, k = 8, dim = 64, maxCell = 32, maxSubBits = 4)
     },
 
-    // the EXHAUSTIVE per-cell reference (dedup_jaccard's role in its
-    // family): uncapped within-cell pairs — correct, and measured
-    // 218–498× at 25× with the pinned k=8 quantizer. Kept as the
-    // verification baseline; never the production path.
-    "emb_semdedup_ref" -> { (s, dir) =>
-      Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.2, k = 8, dim = 64)
-    },
+    // NOTE: the EXHAUSTIVE per-cell reference (Similarity.semDedup,
+    // formerly registered as "emb_semdedup_ref") is intentionally NOT a
+    // registry entry: uncapped within-cell pairs measured 218–498× at
+    // 25× with the pinned k=8 quantizer — correct but scale-unbounded.
+    // It lives on as the differential baseline in SemDedupCappedSpec /
+    // ReferenceTwinSpec; "emb_semdedup" above IS the production shape.
 
     // incremental semantic dedup: settled corpus (vec_id < 250) vs the
     // incoming batch — per-cell CROSS pairs only (settled² never forms);
@@ -3313,38 +3330,6 @@ object TrainingQueries extends QueryPack {
         |FROM perdoc JOIN general USING (shingle)
         |  LEFT JOIN target USING (shingle), stats
         |GROUP BY doc_id""".stripMargin,
-    "emb_semdedup_ref" -> {
-      // literal centroids from the SAME generator the Spark plan embeds;
-      // distances are left-associative squared-diff chains (the emb_pq
-      // discipline) and the argmin CASE picks the lowest index on ties.
-      val (k, dim, thr) = (8, 64, 0.2)
-      val cents = graft.ops.Similarity.semCentroids(k, dim)
-      def distSql(ki: Int): String =
-        (0 until dim).map { j =>
-          val c = cents(ki)(j)
-          s"((CAST(embedding[${j + 1}] AS DOUBLE) - ($c)) * " +
-            s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($c)))"
-        }.mkString("(", " + ", ")")
-      val dCols = (0 until k).map(ki => s"${distSql(ki)} AS d_$ki").mkString(",\n  ")
-      val leastAll = (0 until k).map(ki => s"d_$ki").mkString("least(", ", ", ")")
-      val cellCase = (0 until k).map(ki => s"WHEN d_$ki = dist THEN $ki")
-        .mkString("CASE ", " ", "END")
-      s"""WITH d AS (SELECT vec_id, embedding,
-         |  $dCols
-         |  FROM embeddings),
-         |m AS (SELECT *, $leastAll AS dist FROM d),
-         |a AS (SELECT vec_id, embedding, dist, $cellCase AS cell FROM m),
-         |drops AS (SELECT DISTINCT
-         |    CASE WHEN l.dist < r.dist THEN l.vec_id
-         |         WHEN r.dist < l.dist THEN r.vec_id
-         |         ELSE greatest(l.vec_id, r.vec_id) END AS vec_id
-         |  FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
-         |  WHERE list_cosine_similarity(l.embedding::DOUBLE[],
-         |                               r.embedding::DOUBLE[]) >= $thr)
-         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
-         |  round(a.dist, 4) AS dist, (dr.vec_id IS NULL) AS keep
-         |FROM a LEFT JOIN drops dr ON a.vec_id = dr.vec_id""".stripMargin
-    },
     "emb_semdedup" -> {
       // same centroid/distance/argmin recipe as the _ref form, plus the
       // adaptive sub-bucket: q = ceil-div(n_cell, maxCell), subBits =
@@ -3943,22 +3928,22 @@ object TrainingQueries extends QueryPack {
         |FROM bands l JOIN bands r ON l.band = r.band AND l.chunk = r.chunk
         |WHERE l.doc_id < r.doc_id
         |  AND bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin,
-    // Mirrors the hot-shingle cap (doc-frequency <= 100) of
-    // Dedup.ngramJaccardPairs: the filtered shingle universe feeds both
-    // sizes and the common counts.
-    "dedup_jaccard" ->
+    // bigram universe per doc: count(*) vs count(DISTINCT) — exact
+    // integers, one guarded division, same 1e6 rounding as the engine.
+    "text_compress_proxy" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
-        |       FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
-        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
-        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |common AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS c
-        |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
-        |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin,
+        |bg AS (SELECT doc_id, array_to_string(t[i+1:i+2],' ') AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, greatest(len(t)-1,0))) AS i FROM toks)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |        CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+        |  FROM bg GROUP BY doc_id)
+        |SELECT toks.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(n_distinct, 0) AS n_distinct,
+        |  CASE WHEN coalesce(n_bigrams, 0) > 0 THEN
+        |    round(CAST(n_distinct AS DOUBLE) / n_bigrams * 1000000) / 1000000
+        |  END AS ratio
+        |FROM toks LEFT JOIN agg USING (doc_id)""".stripMargin,
     "dedup_contain" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle

@@ -12,6 +12,14 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** The plan AFTER execution — AQE's final shape (ReusedExchange,
+    * runtime join demotions) only exists once the query has run. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   private def countOf(s: String, token: String): Int =
     s.sliding(token.length).count(_ == token)
 
@@ -154,8 +162,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_max"), s"map-side partial must run pre-shuffle:\n$p")
   }
 
+  test("interpolated LM: AQE reuses the shared bigram/unigram exchanges at runtime") {
+    // the LM kernel's model tables (bigram counts, first-token totals,
+    // unigram total) are independent branches over the same two
+    // aggregate subtrees; the scale contract is that AQE's exchange
+    // reuse deduplicates them AT RUNTIME (measured: eagerly
+    // checkpointing the model tables instead is 1.7x SLOWER — it
+    // serializes jobs AQE would overlap and erases broadcast stats).
+    // A refactor that perturbs subtree identity (e.g. a stray alias on
+    // one branch) silently re-scans the corpus five times — this guard
+    // fails first.
+    val p = finalPlan("text_lm_interp")
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(countOf(p, "ReusedExchange") >= 3,
+      s"expected >=3 reused exchanges:\n${p.take(3000)}")
+  }
+
   test("semdedup reference: pair stage joins the persisted assignment, corpus scans once per side") {
-    val p = plan("emb_semdedup_ref")
+    // the exhaustive reference is spec-only (evicted from the registry:
+    // scale-unbounded), so build its plan from the operator directly
+    val p = graft.ops.Similarity.semDedup(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.2, k = 8, dim = 64)
+      .queryExecution.executedPlan.toString
     // the assignment table is cached: both pair sides and the final
     // labeling read InMemoryTableScan, never re-running the distance
     // projection over the parquet scan. (The plan TEXT repeats the cached
