@@ -106,6 +106,88 @@ object IdleSource {
     df.where(!(coalesce(col("headers").getItem(HeartbeatCol), lit("")) === "true"
       && col(tsCol) >= lit("1900-01-01").cast("timestamp")))
 
+  /** Replay-safe idle heartbeats for BUILT-IN sources (Kafka, rate,
+    * socket — anything that is not a [[UdSource.GraftSource]] and so
+    * cannot be wrapped in [[IdleHeartbeatSource]]): the same
+    * threshold/step/incrementBy contract (`pipeline_types.go:626-665`),
+    * realized as a keyed stateful pass-through. Each key (use the Kafka
+    * `partition` column — parallelism stays >= #partitions, state is ONE
+    * long per key) persists the max event time it has served in the
+    * state store; when a key sees no data for `thresholdMs`, a
+    * processing-time timeout emits one heartbeat row every
+    * `stepIntervalMs` whose event time is the PERSISTED max advanced by
+    * `incrementByMs` per step — data-derived, so a replay advances the
+    * watermark from replayed times (never to wall-clock now), and a
+    * FULLY idle topic still advances because the max survives in state
+    * across batches (processing-time timeouts keep empty batches
+    * firing). This lifts [[withHeartbeats]]'s live-ingest restriction.
+    *
+    * Heartbeat rows have every data column null except `tsCol` and carry
+    * `__hb = true`; assign the watermark downstream, then
+    * [[dropHeartbeats]] before aggregation (same pushdown trap). A key
+    * that has never produced data emits no heartbeats (no event time to
+    * advance from — the reference's rule).
+    *
+    * Cost at scale: ONE extra hash exchange on the key columns (the
+    * union technique is exchange-free) — the price of replay safety on
+    * a connector whose offsets Spark owns.
+    *
+    * Operational note: processing-time timeouts make the engine keep
+    * scheduling micro-batches while idle (that is the mechanism), so
+    * `StreamingQuery.processAllAvailable()` never quiesces on such a
+    * query — await results by polling the sink (tests) or listener
+    * progress (production). */
+  def withStatefulHeartbeats(data: DataFrame, tsCol: String,
+      keyCols: Seq[String], thresholdMs: Long, stepIntervalMs: Long,
+      incrementByMs: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types.BooleanType
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
+    require(incrementByMs > 0 && stepIntervalMs > 0 && thresholdMs >= 0,
+      "threshold/step/incrementBy must be positive")
+    val schema = data.schema
+    // heartbeat rows null every data column, so the output schema must
+    // relax the input's nullability (tuple-encoded test streams carry
+    // non-nullable primitives)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
+      .add(HeartbeatCol, BooleanType, nullable = false)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val keyIdxs = keyCols.map(schema.fieldIndex)
+    val n = schema.length
+    data.groupByKey(r =>
+        keyIdxs.map(i => String.valueOf(r.get(i))).mkString(" "))(
+        Encoders.STRING)
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: String, rows: Iterator[Row], state:
+            org.apache.spark.sql.streaming.GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // idle fire: heartbeat from the PERSISTED max, advanced one
+            // step; re-arm so a still-idle key keeps stepping
+            val t = state.get + incrementByMs
+            state.update(t)
+            state.setTimeoutDuration(stepIntervalMs)
+            val vals = Array.fill[Any](n + 1)(null)
+            vals(tsIdx) = new java.sql.Timestamp(t)
+            vals(n) = true
+            Iterator.single(Row.fromSeq(vals.toIndexedSeq))
+          } else {
+            val buf = rows.toVector
+            val maxTs = buf.iterator
+              .map(_.getAs[java.sql.Timestamp](tsIdx))
+              .filter(_ != null).map(_.getTime)
+              .foldLeft(state.getOption.getOrElse(Long.MinValue))(math.max)
+            if (maxTs != Long.MinValue) {
+              state.update(maxTs)
+              state.setTimeoutDuration(thresholdMs)
+            }
+            buf.iterator.map(r => Row.fromSeq(r.toSeq :+ false))
+          }
+      }(Encoders.scalaLong, Encoders.row(outSchema))
+  }
+
   /** Replay-safe idle watermark advancement, done where the reference does
     * it — AT THE SOURCE (`pipeline_types.go:626-665`: threshold /
     * stepInterval / incrementBy). Wraps any [[UdSource.GraftSource]]; when

@@ -112,11 +112,30 @@ object Kafka {
     * [[IdleSource.dropHeartbeats]](df, "eventTime") BEFORE any
     * aggregation (the helper's predicate is pushdown-pinned above the
     * watermark). Live ingest only — replays advance their own watermark
-    * (see [[IdleSource.withHeartbeats]]'s restriction). */
+    * (see [[IdleSource.withHeartbeats]]'s restriction); for a
+    * replay-safe variant use [[sourceWithReplaySafeIdleWm]]. */
   def sourceWithIdleWm(spark: SparkSession, c: SourceConf,
                        stepIntervalSecs: Int = 1, lagSecs: Int = 0): DataFrame =
     IdleSource.withHeartbeats(spark, source(spark, c), "eventTime",
       stepIntervalSecs, lagSecs)
+
+  /** Kafka source with REPLAY-SAFE idle-watermark heartbeats — lifts
+    * [[sourceWithIdleWm]]'s live-ingest restriction: heartbeat event
+    * times derive from the PERSISTED per-partition max event time (the
+    * [[IdleSource.IdleHeartbeatSource]] technique, realized for the
+    * built-in connector via keyed state —
+    * [[IdleSource.withStatefulHeartbeats]] keyed on the Kafka
+    * `partition` column), advanced `incrementByMs` per `stepIntervalMs`
+    * of idleness past `thresholdMs`. A fully idle topic still advances
+    * the watermark (the max survives in the state store), and a replay
+    * advances from replayed event times, never wall-clock. Same usage
+    * contract: watermark downstream, [[IdleSource.dropHeartbeats]]
+    * before aggregation. */
+  def sourceWithReplaySafeIdleWm(spark: SparkSession, c: SourceConf,
+      thresholdMs: Long = 10000L, stepIntervalMs: Long = 1000L,
+      incrementByMs: Long = 1000L): DataFrame =
+    IdleSource.withStatefulHeartbeats(source(spark, c), "eventTime",
+      Seq("partition"), thresholdMs, stepIntervalMs, incrementByMs)
 
   /** Streaming write wired through the connector. */
   def sink(df: DataFrame, c: SinkConf, keyCol: String, valueCol: String): DataStreamWriter[Row] =

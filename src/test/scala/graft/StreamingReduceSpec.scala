@@ -258,4 +258,81 @@ class StreamingReduceSpec extends SparkSpec {
     assert(dropped.columns.toSeq === Seq("ts", "key", "value"))
     assert(dropped.count() === 1)
   }
+
+  test("WM5 stateful heartbeats: window closes with ZERO live rows in the batch") {
+    // the built-in-source idle path (Kafka.sourceWithReplaySafeIdleWm's
+    // mechanism): after the last live row, the persisted per-key max
+    // steps forward on processing-time timeouts alone — empty batches,
+    // no data anywhere — until the watermark passes the window end and
+    // the reduce emits. Heartbeat times derive from DATA (00:00:30 +
+    // k*10min), never wall-clock: replay-safe by construction.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Int, Timestamp, Long)]
+    val hb = graft.streaming.IdleSource.withStatefulHeartbeats(
+      in.toDF().toDF("part", "ts", "value"), "ts", Seq("part"),
+      thresholdMs = 200L, stepIntervalMs = 50L, incrementByMs = 600000L)
+    val agg = graft.streaming.IdleSource.dropHeartbeats(
+        hb.withWatermark("ts", "1 second"), "ts")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sum("value").as("total"))
+      .select(col("window.start").as("w_start"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("hb_state_out")
+      .outputMode("append").start()
+    try {
+      in.addData((0, ts("2024-01-01 00:00:10"), 1L),
+        (0, ts("2024-01-01 00:00:30"), 2L))
+      // CANNOT processAllAvailable here: processing-time timeouts keep
+      // the engine scheduling batches forever (shouldRunAnotherBatch),
+      // so the no-new-data signal never fires — poll the sink instead.
+      // NO further data, ever: only timeouts fire after batch 0. The
+      // max (00:00:30) steps +10min per ~50ms; ~7 steps cross 01:00:01.
+      val deadline = System.currentTimeMillis() + 60000
+      var rows = Array.empty[(Timestamp, Long)]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        rows = spark.table("hb_state_out")
+          .as[(Timestamp, Long)].collect()
+      }
+      assert(rows.toSeq === Seq((ts("2024-01-01 00:00:00"), 3L)),
+        s"window must close on heartbeats alone, got ${rows.toSeq}")
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS hb_state_out")
+    }
+  }
+
+  test("stateful heartbeats derive from data times — a replay cannot jump to wall-clock") {
+    // same operator, replayed 'historical' data: every heartbeat ts must
+    // be maxSeen + k*incrementBy, bounded by the steps taken — NOT now()
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Int, Timestamp, Long)]
+    val hb = graft.streaming.IdleSource.withStatefulHeartbeats(
+      in.toDF().toDF("part", "ts", "value"), "ts", Seq("part"),
+      thresholdMs = 100L, stepIntervalMs = 50L, incrementByMs = 1000L)
+    val q = hb.writeStream.format("memory").queryName("hb_replay_out")
+      .outputMode("append").start()
+    try {
+      in.addData((0, ts("2020-06-01 00:00:00"), 1L))
+      // poll, never processAllAvailable (see previous test)
+      val deadline = System.currentTimeMillis() + 60000
+      var hbs = Seq.empty[Timestamp]
+      while (hbs.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        hbs = spark.table("hb_replay_out")
+          .where(col("__hb")).select(col("ts"))
+          .as[Timestamp].collect().toSeq
+      }
+      assert(hbs.nonEmpty, "idle key must emit heartbeats")
+      val base = ts("2020-06-01 00:00:00").getTime
+      hbs.foreach { t =>
+        val steps = (t.getTime - base) / 1000.0
+        // wall-clock leakage would put the heartbeat ~1.9e8 s past the
+        // 2020 base; honest stepping stays within the poll window's
+        // step budget (60 s / 50 ms = 1200, wide margin below)
+        assert(steps > 0 && steps == steps.floor && steps < 10000,
+          s"heartbeat $t is not base + k*incrementBy from the 2020 data")
+      }
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS hb_replay_out")
+    }
+  }
 }
