@@ -362,6 +362,9 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // curves measure the WHOLE from-scratch shape per tier — a sidecar
+    // hit would time the read path of whatever tier built it first
+    graft.ops.Sidecar.enabled = false
 
     val tiers: Seq[(Int, String)] =
       (1, baseDir) +: ks.map(k => k -> s"$workDir/x$k")

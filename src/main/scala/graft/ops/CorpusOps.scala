@@ -561,17 +561,28 @@ object CorpusOps {
   def clusterSplit(docs: DataFrame, idCol: String, textCol: String,
                    splits: Seq[(String, Double)],
                    numPerm: Int = 12, rowsPerBand: Int = 3,
-                   shingleW: Int = 3): DataFrame = {
-    val cl = Dedup.dupClusters(docs, idCol, textCol, numPerm, rowsPerBand,
-      shingleW)
-    hashSplit(cl, "cluster_id", splits)
+                   shingleW: Int = 3): DataFrame =
+    clusterSplitOf(Dedup.dupClusters(docs, idCol, textCol, numPerm,
+      rowsPerBand, shingleW), idCol, splits)
+
+  /** The split projection alone, over a PRE-BUILT cluster map — the
+    * sidecar-table shape (see [[graft.ops.Sidecar]]). */
+  def clusterSplitOf(clusters: DataFrame, idCol: String,
+                     splits: Seq[(String, Double)]): DataFrame =
+    hashSplit(clusters, "cluster_id", splits)
       .select(col(idCol), col("cluster_id"), col("split"))
-  }
 
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
                    splits: Seq[(String, Double)],
-                   threshold: Double): DataFrame = {
-    val pairs = Dedup.lshVerifiedPairs(docs, idCol, textCol, threshold)
+                   threshold: Double): DataFrame =
+    splitLeakageOf(Dedup.lshVerifiedPairs(docs, idCol, textCol, threshold),
+      docs, idCol, splits)
+
+  /** The leakage audit alone, over a PRE-BUILT verified pair table
+    * (a, b, jaccard) already filtered to the caller's threshold — the
+    * sidecar-table shape. */
+  def splitLeakageOf(pairs: DataFrame, docs: DataFrame, idCol: String,
+                     splits: Seq[(String, Double)]): DataFrame = {
     val sp = hashSplit(docs.select(col(idCol)), idCol, splits)
     pairs
       .join(sp.select(col(idCol).as("a"), col("split").as("split_a")), "a")

@@ -522,10 +522,16 @@ object Dedup {
     * new corpus-sized machinery. */
   def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
                        numPerm: Int = 12, rowsPerBand: Int = 3,
-                       shingleW: Int = 3): DataFrame = {
-    val cl = dupClusters(docs, idCol, textCol, numPerm, rowsPerBand, shingleW)
-    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dups"))
-    cl.join(sizes, "cluster_id")
+                       shingleW: Int = 3): DataFrame =
+    softDedupWeightsOf(
+      dupClusters(docs, idCol, textCol, numPerm, rowsPerBand, shingleW), idCol)
+
+  /** The weighting layer alone, over a PRE-BUILT cluster map (doc →
+    * cluster_id) — the sidecar-table shape: build the clusters once,
+    * run every policy pass against the same table. */
+  def softDedupWeightsOf(clusters: DataFrame, idCol: String): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dups"))
+    clusters.join(sizes, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("n_dups"),
         TimeSeries.portableRound6(
           lit(1.0) / col("n_dups").cast("double")).as("weight"))
