@@ -158,6 +158,24 @@ object TrainingQueries extends QueryPack {
           col("ppl_bucket").cast("int").as("ppl_bucket"))
     },
 
+    // per-source mean LM score off the SAME score table (sidecar
+    // consumer): which source drifts out-of-distribution — the
+    // source-level read of the perplexity signal. Scores are 4dp by
+    // construction; summing them as DECIMAL(18,4) keeps the mean
+    // order-independent and engine-exact until one final division.
+    "eval_ppl_by_source" -> { (s, dir) =>
+      cachedLmScores(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("lm_score").cast(
+            org.apache.spark.sql.types.DecimalType(18, 4))).as("sum_score"))
+        .select(col("source"), col("n_docs"),
+          (round(col("sum_score").cast("double") /
+            col("n_docs") * 10000) / 10000).as("mean_lm_score"))
+    },
+
     // Kneser-Ney smoothing: absolute discount + continuation backoff.
     "text_lm_kn" -> { (s, dir) =>
       TextAnalysis.knBigramLogProb(Tables.documents(s, dir), "doc_id", "text")
@@ -839,6 +857,14 @@ object TrainingQueries extends QueryPack {
         threshold = 0.8)
     },
 
+    // the dup-graph edge set itself, FROM SCRATCH — the graph family's
+    // registered builder entry (its consumers read the sidecar; this
+    // one never does, so the posting-list build cost stays measured).
+    "graph_edges" -> { (s, dir) =>
+      graft.ops.GraphOps.spanEdges(Tables.documents(s, dir),
+        "doc_id", "text")
+    },
+
     // centrality over the shared-span dup graph: fixed-point PageRank —
     // boilerplate hubs (docs whose spans radiate everywhere) rank first
     // for curation review. 3 exact integer iterations, hash-checkable.
@@ -1161,6 +1187,18 @@ object TrainingQueries extends QueryPack {
     // the smallest doc id it can reach (singletons label themselves).
     "dedup_clusters" -> { (s, dir) =>
       Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // cluster-size census over the same cluster map: how much of the
+    // corpus sits in dup families of each size — the one-table answer
+    // to "how duplicated are we, structurally" that sizes the dedup
+    // budget before any policy runs (sidecar consumer).
+    "dedup_cluster_stats" -> { (s, dir) =>
+      cachedDupClusters(s, dir)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .groupBy(col("n").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n")).as("n_docs"))
     },
 
     // SOFT dedup: keep every doc, give each near-dup cluster ONE doc's
@@ -2767,6 +2805,15 @@ object TrainingQueries extends QueryPack {
     "text_lm_interp" ->
       s"""WITH $lmInterpCtes
          |SELECT doc_id, lm_score FROM lmscore""".stripMargin,
+    // per-source mean of the SAME per-doc scores: 4dp scores sum as
+    // DECIMAL(18,4) (order-free), one final division + round.
+    "eval_ppl_by_source" ->
+      s"""WITH $lmInterpCtes
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(CAST(lm_score AS DECIMAL(18,4))) AS DOUBLE)
+         |    / count(*) * 10000) / 10000 AS mean_lm_score
+         |FROM lmscore l JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
     // CCNet-style terciles over the SAME per-doc LM score: exact ntile
     // on the 4dp-rounded score (engine-stable), doc_id tiebreak.
     "text_ppl_bucket" ->
@@ -3663,6 +3710,10 @@ object TrainingQueries extends QueryPack {
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin,
+    // the raw symmetric edge set (src, dst) — the graph builder entry.
+    "graph_edges" ->
+      s"""WITH $spanEdgeCtes
+         |SELECT src, dst FROM edges""".stripMargin,
     "graph_pagerank" -> pagerankSql,
     "graph_hits" -> hitsSql,
     // unrolled 3-level BFS: frontier⋈edges per level, LEFT-JOIN-IS-NULL
@@ -4035,6 +4086,24 @@ object TrainingQueries extends QueryPack {
         |FROM sh n JOIN sh o USING (shingle)
         |WHERE n.doc_id >= 250 AND o.doc_id < 250""".stripMargin,
     // Transitive closure via recursive CTE — DuckDB walks the same
+    // cluster-size census: the same transitive closure, then two aggs.
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM cl GROUP BY cluster_id)
+         |SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(n) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY n""".stripMargin,
     // candidate-edge graph the Spark label propagation converges on.
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
