@@ -776,23 +776,39 @@ object Dedup {
     * AQE broadcasts the span list when it is small); the final
     * distinct-position count aggregates per doc — high-cardinality key,
     * no skew. */
-  def dupFraction(docs: DataFrame, idCol: String, textCol: String,
-                  w: Int = 15): DataFrame = {
+  /** Distinct (id, tokpos) pairs covered by at least one cross-document
+    * duplicated w-token span — the shared intermediate of the span
+    * family ([[dupFraction]] counts it, [[removeSharedSpans]] collects
+    * it): "shared by >=2 distinct docs" ⟺ min(id) != max(id) over the
+    * shingle partition — a WINDOW, not an aggregate+self-join: the
+    * explode runs once and the span universe shuffles once (an agg+join
+    * shape re-computes the corpus explode on both sides; measured ~40%
+    * slower). Emitted DISTINCT so overlapping spans count each token
+    * once and both consumers aggregate it directly. */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val occ = docs.select(col(idCol), posexplode(shingleArray(col(textCol), w)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "shingle")
-    // "shared by >=2 distinct docs" ⟺ min(id) != max(id) over the shingle
-    // partition — a WINDOW, not an aggregate+self-join: the explode runs
-    // once and the span universe shuffles once (an agg+join shape
-    // re-computes the corpus explode on both sides; measured ~40% slower).
     val win = Window.partitionBy(col("shingle"))
-    val covered = occ
+    occ
       .withColumn("mn", min(col(idCol)).over(win))
       .withColumn("mx", max(col(idCol)).over(win))
       .where(col("mn") =!= col("mx"))
       .select(col(idCol), explode(sequence(col("p"), col("p") + lit(w - 1))).as("tokpos"))
-      .groupBy(col(idCol))
-      .agg(countDistinct(col("tokpos")).as("n_dup_tokens"))
+      .distinct()
+  }
+
+  def dupFraction(docs: DataFrame, idCol: String, textCol: String,
+                  w: Int = 15): DataFrame =
+    dupFractionOf(spanCoverage(docs, idCol, textCol, w), docs, idCol, textCol)
+
+  /** The scoring layer alone, over a PRE-BUILT coverage table — the
+    * sidecar-table shape (see [[graft.ops.Sidecar]]). */
+  def dupFractionOf(coverage: DataFrame, docs: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val covered = coverage.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_tokens")) // rows are distinct already
     docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
       .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
@@ -813,17 +829,14 @@ object Dedup {
     * never corpus-sized — and one broadcastable join back onto the
     * corpus; the excision itself is a row-local indexed filter. */
   def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
-                        w: Int = 15): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val occ = docs.select(col(idCol), posexplode(shingleArray(col(textCol), w)))
-      .withColumnRenamed("pos", "p").withColumnRenamed("col", "shingle")
-    val win = Window.partitionBy(col("shingle"))
-    val covered = occ
-      .withColumn("mn", min(col(idCol)).over(win))
-      .withColumn("mx", max(col(idCol)).over(win))
-      .where(col("mn") =!= col("mx"))
-      .select(col(idCol), explode(sequence(col("p"), col("p") + lit(w - 1))).as("tokpos"))
-      .groupBy(col(idCol))
+                        w: Int = 15): DataFrame =
+    removeSharedSpansOf(spanCoverage(docs, idCol, textCol, w),
+      docs, idCol, textCol)
+
+  /** The excision layer alone, over a PRE-BUILT coverage table. */
+  def removeSharedSpansOf(coverage: DataFrame, docs: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val covered = coverage.groupBy(col(idCol))
       .agg(collect_set(col("tokpos")).as("cov"))
     docs.join(covered, Seq(idCol), "left")
       .select(col(idCol), split(col(textCol), " ").as("toks"),

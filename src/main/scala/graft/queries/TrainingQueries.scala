@@ -73,6 +73,15 @@ object TrainingQueries extends QueryPack {
         threshold = 0.1)
     }
 
+  /** Distinct covered (doc, token-position) pairs under cross-doc
+    * duplicated 15-token spans — dupFraction/removeSharedSpans' shared
+    * input (dedup_spans stays the from-scratch span-universe builder). */
+  private def cachedSpanCoverage(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Sidecar.cached(s, s"spanCoverage:$dir") {
+      Dedup.spanCoverage(Tables.documents(s, dir), "doc_id", "text", w = 15)
+    }
+
   /** Interpolated-LM per-doc scores (text_ppl_bucket's rank input). */
   private def cachedLmScores(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame =
@@ -202,13 +211,15 @@ object TrainingQueries extends QueryPack {
     // doc-level duplicate-token fraction over the shared spans — the
     // curation filter built on dedup_spans.
     "dedup_dupfrac" -> { (s, dir) =>
-      Dedup.dupFraction(Tables.documents(s, dir), "doc_id", "text", w = 15)
+      Dedup.dupFractionOf(cachedSpanCoverage(s, dir),
+        Tables.documents(s, dir), "doc_id", "text")
     },
 
     // the REMOVAL half: excise every token covered by a cross-doc
     // duplicated span, rebuilding the cleaned text.
     "dedup_span_removal" -> { (s, dir) =>
-      Dedup.removeSharedSpans(Tables.documents(s, dir), "doc_id", "text", w = 15)
+      Dedup.removeSharedSpansOf(cachedSpanCoverage(s, dir),
+        Tables.documents(s, dir), "doc_id", "text")
     },
 
     // WITHIN-doc repetition removal (row-local): non-first occurrences
@@ -905,7 +916,7 @@ object TrainingQueries extends QueryPack {
     // dedup budget goes first.
     "dedup_effective_size" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      Dedup.dupFraction(docs, "doc_id", "text")
+      Dedup.dupFractionOf(cachedSpanCoverage(s, dir), docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(sum(col("n_tokens")).as("total_tokens"),
