@@ -147,6 +147,8 @@ object ScaleCurve {
     // verbatim — its curve would measure nothing (the scale argument is
     // the value-domain bound, stat_mwu's, already measured).
     "emb_diversity", "text_compress_proxy",
+    // round-11 registrations
+    "graph_edges", "dedup_cluster_stats", "eval_ppl_by_source",
     // gram-hash join novelty (linear in gram volume), and the two
     // bounded broadcast probes (flat, the eval_ndcg shape)
     "text_novelty", "sim_hard_negatives", "sim_mips",

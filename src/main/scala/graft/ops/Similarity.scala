@@ -1098,9 +1098,18 @@ object Similarity {
     * pairs split across sub-buckets go uncompared — ONLY where the exact
     * scan is computationally impossible, the same contract as
     * [[graft.ops.Dedup.bandedStarEdges]] for the dup graph and the SRP
-    * bucketing in [[embeddingNearDupPairs]]. Pair work per cell is
-    * bounded regardless of skew; the sub-bucket key also spreads the hot
-    * cell across `2^subBits` shuffle tasks instead of one straggler.
+    * bucketing in [[embeddingNearDupPairs]]. The sub-bucket key also
+    * spreads the hot cell across `2^subBits` shuffle tasks instead of
+    * one straggler.
+    *
+    * KNOB SIZING LAW (measured, SCALING.md 625× tier): the per-cell
+    * bound holds only while `ceil(n_cell / maxCell) <= 2^maxSubBits` —
+    * once the cap SATURATES, each (cell, sub) bucket holds
+    * `n_cell / 2^maxSubBits` members and pair work turns quadratic
+    * again (pinned maxSubBits = 4 measured 1925× at 625× data; the
+    * capacity-scaled knobs measured 47× on the same tier). Size
+    * `maxSubBits >= log2(ceil(maxCellPopulation / maxCell))` for the
+    * deployment corpus — knobs are capacity parameters, not constants.
     *
     * The split arithmetic is INTEGER-exact (ceil-div + binary length,
     * never a float log2) so an oracle on another engine reproduces the
