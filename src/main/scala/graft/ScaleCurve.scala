@@ -149,6 +149,7 @@ object ScaleCurve {
     "emb_diversity", "text_compress_proxy",
     // round-11 registrations
     "graph_edges", "dedup_cluster_stats", "eval_ppl_by_source",
+    "sim_hybrid_rrf", "contam_13gram",
     // gram-hash join novelty (linear in gram volume), and the two
     // bounded broadcast probes (flat, the eval_ndcg shape)
     "text_novelty", "sim_hard_negatives", "sim_mips",

@@ -1288,6 +1288,31 @@ object TrainingQueries extends QueryPack {
         "doc_id", "text", w = 15)
     },
 
+    // the GPT-3/PaLM decontamination standard: 13-gram overlap against
+    // the EVAL benchmark carve (doc_id % 50 == 0 stands in for the eval
+    // set) — a train doc sharing ANY 13-gram with any eval doc is
+    // flagged (the any-hit rule, stricter than contam_frac's fraction
+    // bar). Scale shape: the eval gram set is benchmark-sized (small by
+    // nature, whatever the corpus size), so it broadcasts and the train
+    // side is ONE scan + map-side semi-join + per-doc agg — no
+    // corpus-sized shuffle anywhere.
+    "contam_13gram" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evalGrams = Dedup.shingles(
+          docs.where(col("doc_id") % 50 === 0), "doc_id", "text", w = 13)
+        .select(col("shingle")).distinct()
+      val hits = Dedup.shingles(
+          docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text", w = 13)
+        .join(broadcast(evalGrams), Seq("shingle"), "leftsemi")
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("shingle")).as("n_contam_grams"))
+      docs.where(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_contam_grams"), lit(0L)).as("n_contam_grams"),
+          (coalesce(col("n_contam_grams"), lit(0L)) === 0L).as("keep"))
+    },
+
     // decontamination policy: per new-crawl doc, the token fraction
     // covered by spans the settled corpus already holds + keep verdict.
     "contam_frac" -> { (s, dir) =>
@@ -1491,6 +1516,63 @@ object TrainingQueries extends QueryPack {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
+    },
+
+    // HYBRID retrieval with reciprocal-rank fusion: per query doc, a
+    // lexical leg (exact 3-gram Jaccard rank, the dedup kernel) and a
+    // semantic leg (cosine rank over the doc's embedding) each produce
+    // top-20, and RRF fuses them — 1/(60+r_lex) + 1/(60+r_sem) — the
+    // standard rank-level fusion that beats either leg alone when the
+    // corpus mixes verbatim copies (lexical wins) with paraphrases
+    // (semantic wins). Ranks come from 6dp-rounded leg scores with id
+    // tiebreaks (engine-stable); the fused score is two exact IEEE
+    // divisions + one addition — identical doubles in both engines.
+    // Scale: both legs are broadcast-query × corpus scans (3 query
+    // rows); per-query ranks prune to the leg cut map-side
+    // (WindowGroupLimit), so the fusion join sees <=40 rows per query.
+    "sim_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val (kLeg, kOut, rrfK) = (20, 10, 60)
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val sets = docs.select(col("doc_id"),
+        sort_array(array_distinct(transform(
+          Dedup.shingleArray(col("text"), 3), x => xxhash64(x)))).as("sh"))
+      val qLex = sets.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
+      val wLex = Window.partitionBy(col("query_id"))
+        .orderBy(col("jac").desc, col("doc_id").asc)
+      val lex = sets.crossJoin(broadcast(qLex))
+        .where(col("doc_id") =!= col("query_id"))
+        .withColumn("jac", TimeSeries.portableRound6(
+          graft.functions.SortedJaccard(col("qsh"), col("sh"))))
+        .withColumn("rank_lex", row_number().over(wLex))
+        .where(col("rank_lex") <= kLeg)
+        .select(col("query_id"), col("doc_id"), col("rank_lex"))
+      val qSem = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      val wSem = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("doc_id").asc)
+      val sem = emb.select(col("vec_id").as("doc_id"),
+          transform(col("embedding"), _.cast("double")).as("cv"))
+        .crossJoin(broadcast(qSem))
+        .where(col("doc_id") =!= col("query_id"))
+        .withColumn("sim", TimeSeries.portableRound6(
+          Similarity.cosine(col("qv"), col("cv"))))
+        .withColumn("rank_sem", row_number().over(wSem))
+        .where(col("rank_sem") <= kLeg)
+        .select(col("query_id"), col("doc_id"), col("rank_sem"))
+      val wOut = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("rank_sem")), lit(0.0)))
+        .withColumn("rank", row_number().over(wOut))
+        .where(col("rank") <= kOut)
+        .select(col("query_id"), col("doc_id"), col("rrf"),
+          col("rank").cast("int").as("rank"))
     },
 
     // hard-negative mining: per query, the 3 NEAREST wrong-label
@@ -4281,6 +4363,20 @@ object TrainingQueries extends QueryPack {
         |FROM r FULL OUTER JOIN c USING (bin)""".stripMargin,
     // Oracle has no bloom to model: the prefilter is exact end-to-end
     // (no false negatives; the semi-join removes false positives).
+    // any-hit 13-gram rule: exact distinct-gram counts, no floats.
+    "contam_13gram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+13],' ') AS gram
+        |      FROM (SELECT doc_id, t,
+        |            unnest(range(0, greatest(len(t)-12,0))) AS i FROM toks)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |hits AS (SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n
+        |         FROM g JOIN ev USING (gram)
+        |         WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n, 0) AS n_contam_grams,
+        |  coalesce(h.n, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
     "contam_frac" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |occ AS (SELECT doc_id, i AS p, array_to_string(t[i+1:i+15],' ') AS shingle
@@ -4581,6 +4677,53 @@ object TrainingQueries extends QueryPack {
         |FROM best""".stripMargin
     },
     "sim_topk" -> simTopkSql,
+    // hybrid RRF: both legs rank 1e6-rounded scores with id tiebreaks;
+    // the fused score is two exact IEEE divisions + one addition.
+    "sim_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |shs AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
+        |       FROM (SELECT doc_id, t,
+        |             unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shs GROUP BY doc_id),
+        |com AS (SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM shs q JOIN shs d USING (shingle)
+        |  WHERE q.doc_id < 3 AND d.doc_id <> q.doc_id GROUP BY 1, 2),
+        |lexall AS (SELECT p.query_id, p.doc_id,
+        |    round(CAST(coalesce(c.c, 0) AS DOUBLE)
+        |      / (sq.n + sd.n - coalesce(c.c, 0)) * 1000000) / 1000000 AS jac
+        |  FROM (SELECT q.doc_id AS query_id, d.doc_id AS doc_id
+        |        FROM documents q, documents d
+        |        WHERE q.doc_id < 3 AND d.doc_id <> q.doc_id) p
+        |  LEFT JOIN com c ON c.query_id = p.query_id AND c.doc_id = p.doc_id
+        |  JOIN sz sq ON sq.doc_id = p.query_id
+        |  JOIN sz sd ON sd.doc_id = p.doc_id),
+        |lex AS (SELECT query_id, doc_id, rank_lex FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY jac DESC, doc_id ASC) AS rank_lex FROM lexall)
+        |  WHERE rank_lex <= 20),
+        |semall AS (SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |      d.embedding::DOUBLE[]) * 1000000) / 1000000 AS sim
+        |  FROM embeddings q, embeddings d
+        |  WHERE q.vec_id < 3 AND d.vec_id <> q.vec_id),
+        |sem AS (SELECT query_id, doc_id, rank_sem FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, doc_id ASC) AS rank_sem FROM semall)
+        |  WHERE rank_sem <= 20)
+        |SELECT query_id, doc_id, rrf, CAST(rank AS INT) AS rank FROM (
+        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |    coalesce(CAST(1 AS DOUBLE)/(60 + rank_lex), 0)
+        |      + coalesce(CAST(1 AS DOUBLE)/(60 + rank_sem), 0) AS rrf,
+        |    row_number() OVER (
+        |      PARTITION BY coalesce(l.query_id, s.query_id)
+        |      ORDER BY coalesce(CAST(1 AS DOUBLE)/(60 + rank_lex), 0)
+        |        + coalesce(CAST(1 AS DOUBLE)/(60 + rank_sem), 0) DESC,
+        |        coalesce(l.doc_id, s.doc_id) ASC) AS rank
+        |  FROM lex l FULL OUTER JOIN sem s
+        |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+        |WHERE rank <= 10""".stripMargin,
     "sim_hard_negatives" ->
       """SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -110,10 +110,20 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dup-fraction explodes the corpus once (window, not agg+self-join)") {
-    val p = plan("dedup_dupfrac")
-    // one Generate for the span explode + one for the position explode —
+    // the contract lives in the from-scratch operator (the registered
+    // query reads the span-coverage sidecar — asserted below): one
+    // Generate for the span explode + one for the position explode —
     // an agg+join formulation would run the span explode twice.
+    val p = graft.ops.Dedup.dupFraction(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
     assert(countOf(p, "Generate explode") + countOf(p, "Generate posexplode") == 2, p)
+  }
+
+  test("dup-fraction consumer reads the coverage sidecar, never re-explodes") {
+    val p = plan("dedup_dupfrac")
+    assert(!p.contains("Generate"), s"consumer must not rebuild spans:\n$p")
+    assert(p.contains("ExistingRDD"), s"consumer must read the sidecar:\n$p")
   }
 
   test("pivot compiles to one grouped pass, not per-column scans") {
