@@ -82,6 +82,16 @@ object TrainingQueries extends QueryPack {
       Dedup.spanCoverage(Tables.documents(s, dir), "doc_id", "text", w = 15)
     }
 
+  /** The corpus Gram table (dim² rows, exact DECIMAL sums) — the
+    * spectral family's shared input (emb_gram stays the from-scratch
+    * builder; top-PC / second-PC / whitening read this). */
+  private def cachedGram(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Sidecar.cached(s, s"gram:$dir") {
+      Similarity.gramFixedPoint(Tables.embeddings(s, dir), "embedding",
+        dim = 64)
+    }
+
   /** Interpolated-LM per-doc scores (text_ppl_bucket's rank input). */
   private def cachedLmScores(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame =
@@ -1799,9 +1809,7 @@ object TrainingQueries extends QueryPack {
     // trunc-division exact) — the top nuisance component
     // embedding-whitening removes; hash-checked across engines.
     "emb_top_pc" -> { (s, dir) =>
-      Similarity.topPcFixedPoint(
-        Similarity.gramFixedPoint(Tables.embeddings(s, dir), "embedding", dim = 64),
-        dim = 64)
+      Similarity.topPcFixedPoint(cachedGram(s, dir), dim = 64)
     },
 
     // dataset-card embedding diversity: exact average pairwise cosine
@@ -1821,10 +1829,8 @@ object TrainingQueries extends QueryPack {
     // against v₁ by trunc-division projection after init and each
     // matvec). One corpus scan: both loops share one Gram checkpoint.
     "emb_top2_pc" -> { (s, dir) =>
-      Similarity.secondPcFixedPoint(
-        Similarity.gramFixedPoint(Tables.embeddings(s, dir),
-          "embedding", dim = 64),
-        dim = 64)
+      // both power loops read the one materialized Gram sidecar
+      Similarity.secondPcFixedPoint(cachedGram(s, dir), dim = 64)
     },
 
     // the whitening APPLIED: remove the learned top PC from every
@@ -1834,9 +1840,8 @@ object TrainingQueries extends QueryPack {
     // as one hash-checked plan.
     "emb_abtt" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val gram = Similarity.gramFixedPoint(emb, "embedding", dim = 64)
       Similarity.abttResidualDots(emb, "vec_id", "embedding",
-        Similarity.topPcFixedPoint(gram, dim = 64), dim = 64)
+        Similarity.topPcFixedPoint(cachedGram(s, dir), dim = 64), dim = 64)
     },
 
     // the quantizer TRAINING pass itself, engine-reproducible: one
