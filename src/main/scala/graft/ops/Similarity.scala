@@ -1151,6 +1151,38 @@ object Similarity {
         round(col("dist"), 4).as("dist"), col("__dropped").isNull.as("keep"))
   }
 
+  /** [[semDedupCapped]] with `maxSubBits` DERIVED from the corpus — the
+    * productized fix for the 625× knob-saturation catch (SCALING.md):
+    * one setup-time aggregate measures the HOTTEST cell's population and
+    * the sizing law (`subBits = ceil(log2(ceil(maxCellPop / maxCell)))`)
+    * picks exactly enough SRP planes that the per-(cell, sub) pair bound
+    * can never saturate, whatever the corpus size or quantizer balance.
+    * The one collect is a single row at pipeline-setup time (the bloom
+    * build / broadcast-threshold pattern), never per-row work; headroom
+    * of +1 bit absorbs SRP imbalance (planes split cells by sign, not
+    * exactly in half). */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, k: Int = 8, dim: Int = 64,
+                   maxCell: Int = 1024): DataFrame = {
+    val cents = semCentroids(k, dim)
+    val maxCellPop = df
+      .select(asDouble(col(vecCol)).as("v"))
+      .withColumn("gd", SquaredDistances(col("v"), cents))
+      .select((array_position(col("gd"), array_min(col("gd"))) - 1).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    semDedupCapped(df, idCol, vecCol, threshold, k, dim, maxCell,
+      maxSubBits = requiredSubBits(maxCellPop, maxCell) + 1)
+  }
+
+  /** The sizing law alone: smallest subBits with
+    * `ceil(maxCellPop / maxCell) <= 2^subBits`. */
+  def requiredSubBits(maxCellPop: Long, maxCell: Int): Int = {
+    require(maxCellPop >= 0 && maxCell > 0, "need maxCellPop >= 0, maxCell > 0")
+    val q = (maxCellPop + maxCell - 1) / maxCell
+    if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold,
     * bucketed by SRP-LSH so the pair space never materializes fully.
     * Pairs expand from per-bucket posting lists (a self-join would compute

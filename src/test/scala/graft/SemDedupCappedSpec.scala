@@ -35,4 +35,39 @@ class SemDedupCappedSpec extends SparkSpec {
     val cappedDrops = capped.where(!col("keep")).select("vec_id")
     assert(cappedDrops.exceptAll(exactDrops).count() === 0)
   }
+
+  test("requiredSubBits is the SMALLEST bits satisfying the sizing law") {
+    // brute-force reference over a wide grid, incl. the 625x-catch regime
+    for (pop <- Seq(0L, 1L, 31L, 32L, 33L, 1000L, 1024L, 1025L,
+           3125000L, (1L << 40) + 7);
+         cap <- Seq(1, 8, 32, 256, 1024)) {
+      val got = Similarity.requiredSubBits(pop, cap)
+      val q = (pop + cap - 1) / cap
+      def ok(b: Int) = q <= (1L << b)
+      assert(ok(got), s"pop=$pop cap=$cap bits=$got violates the law")
+      assert(got == 0 || !ok(got - 1),
+        s"pop=$pop cap=$cap bits=$got is not minimal")
+    }
+    // the 625x catch in numbers: 3.125M vectors, one hot cell of ~390k,
+    // maxCell 32 -> needs 14 bits; the pinned 4 saturated
+    assert(Similarity.requiredSubBits(390625L, 32) == 14)
+  }
+
+  test("semDedupAuto derives the knob from the hottest cell and matches the manual call") {
+    val auto = Similarity.semDedupAuto(emb, "vec_id", "embedding",
+      threshold = 0.2, k = 8, maxCell = 8)
+    // the hottest-cell population under semDedup's OWN quantizer (the
+    // same semCentroids + argmin projection semDedupAuto measures)
+    val cents = Similarity.semCentroids(8, 64)
+    val maxPop = emb
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("gd", graft.functions.SquaredDistances(col("v"), cents))
+      .select((array_position(col("gd"), array_min(col("gd"))) - 1).as("cell"))
+      .groupBy("cell").count().agg(max("count")).collect()(0).getLong(0)
+    val manual = Similarity.semDedupCapped(emb, "vec_id", "embedding",
+      threshold = 0.2, k = 8, maxCell = 8,
+      maxSubBits = Similarity.requiredSubBits(maxPop, 8) + 1)
+    assert(auto.exceptAll(manual).count() === 0)
+    assert(manual.exceptAll(auto).count() === 0)
+  }
 }
