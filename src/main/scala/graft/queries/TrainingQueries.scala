@@ -273,15 +273,26 @@ object TrainingQueries extends QueryPack {
     // but deterministic in both engines. Row-local projection (zero
     // exchange); exact integers until one final division.
     "text_compress_proxy" -> { (s, dir) =>
-      val t = split(col("text"), " ")
+      // the token array lands in its OWN projection: split() is
+      // non-cheap and multi-referenced below, so CollapseProject keeps
+      // the alias and the text splits ONCE per row (the stat_bootstrap
+      // multi-referenced-digest discipline) instead of once per use
+      val t = col("t")
       val nTok = size(t)
       val idxs = when(nTok >= 2, sequence(lit(0), nTok - 2))
         .otherwise(array().cast("array<int>"))
+      // distinct count over xxhash64(token, token) — identical to the
+      // oracle's distinct-string count up to 64-bit collisions INSIDE
+      // one doc (~n²/2⁶⁵ per doc, vanishing at any doc length; the
+      // SortedJaccard-vs-string-oracle precedent), and cheaper than
+      // materializing concat'd bigram strings per row
       val bigrams = transform(idxs, i =>
-        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
-      Tables.documents(s, dir).select(col("doc_id"),
-        greatest(nTok - 1, lit(0)).cast("long").as("n_bigrams"),
-        size(array_distinct(bigrams)).cast("long").as("n_distinct"))
+        xxhash64(element_at(t, i + 1), element_at(t, i + 2)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+          greatest(nTok - 1, lit(0)).cast("long").as("n_bigrams"),
+          size(array_distinct(bigrams)).cast("long").as("n_distinct"))
         .withColumn("ratio",
           when(col("n_bigrams") > 0, TimeSeries.portableRound6(
             col("n_distinct").cast("double") /
