@@ -31,15 +31,32 @@ object Sidecar {
   private val cache = new ConcurrentHashMap[String, DataFrame]()
 
   /** Serve `build`'s result from the session cache, materializing it on
-    * first access; with the cache disabled, just build (no checkpoint).
-    * `computeIfAbsent` serializes concurrent first builds per key (the
-    * Verify harness submits queries 4-way). */
+    * first access. With the cache DISABLED the intermediate is still
+    * localCheckpointed — just not shared across queries: several
+    * consumers (graph_hits' pair set, text_ppl_bucket's score table)
+    * relied on an explicit per-query checkpoint BEFORE the sidecar
+    * existed because they consume their input more than once, so a bare
+    * `build` would silently re-run those subtrees per consumption and
+    * inflate ScaleCurve's from-scratch tiers beyond the pre-sidecar
+    * shape. `computeIfAbsent` serializes concurrent first builds per
+    * key (the Verify harness submits queries 4-way); keys use the
+    * session UUID, which unlike an identity hash cannot collide across
+    * sessions. */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    if (!enabled) build
-    else cache.computeIfAbsent(
-      System.identityHashCode(spark.sparkContext) + ":" +
-        System.identityHashCode(spark) + ":" + key,
+    if (!enabled) build.localCheckpoint()
+    else cache.computeIfAbsent(sessionId(spark) + ":" + key,
       _ => build.localCheckpoint())
+
+  /** Collision-free session identity: a random UUID minted per session
+    * OBJECT (weak keys — a stopped and dereferenced session's id entry
+    * is GC-eligible). Identity hashes alone can collide across live
+    * sessions and would hand one session a DataFrame bound to another;
+    * a minted UUID cannot. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
 
   /** Drop every cached entry (blocks are reclaimed once the RDDs GC). */
   def clear(): Unit = cache.clear()

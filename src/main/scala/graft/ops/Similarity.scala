@@ -1165,12 +1165,13 @@ object Similarity {
                    threshold: Double, k: Int = 8, dim: Int = 64,
                    maxCell: Int = 1024): DataFrame = {
     val cents = semCentroids(k, dim)
-    val maxCellPop = df
+    val maxCellPop = Option(df
       .select(asDouble(col(vecCol)).as("v"))
       .withColumn("gd", SquaredDistances(col("v"), cents))
       .select((array_position(col("gd"), array_min(col("gd"))) - 1).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).collect()(0).getLong(0)
+      .agg(max(col("n"))).collect()(0).get(0)) // empty corpus → NULL max
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     semDedupCapped(df, idCol, vecCol, threshold, k, dim, maxCell,
       maxSubBits = requiredSubBits(maxCellPop, maxCell) + 1)
   }

@@ -1313,10 +1313,11 @@ object TrainingQueries extends QueryPack {
     // the EVAL benchmark carve (doc_id % 50 == 0 stands in for the eval
     // set) — a train doc sharing ANY 13-gram with any eval doc is
     // flagged (the any-hit rule, stricter than contam_frac's fraction
-    // bar). Scale shape: the eval gram set is benchmark-sized (small by
-    // nature, whatever the corpus size), so it broadcasts and the train
-    // side is ONE scan + map-side semi-join + per-doc agg — no
-    // corpus-sized shuffle anywhere.
+    // bar). Scale shape: a REAL eval set is constant-sized whatever the
+    // corpus (here the % 50 carve is a corpus-proportional stand-in, so
+    // no broadcast HINT — the planner broadcasts while the gram set fits
+    // and falls back to a shuffled semi-join when it does not); the
+    // train side is ONE scan + semi-join + per-doc agg either way.
     "contam_13gram" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val evalGrams = Dedup.shingles(
@@ -1324,7 +1325,7 @@ object TrainingQueries extends QueryPack {
         .select(col("shingle")).distinct()
       val hits = Dedup.shingles(
           docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text", w = 13)
-        .join(broadcast(evalGrams), Seq("shingle"), "leftsemi")
+        .join(evalGrams, Seq("shingle"), "leftsemi")
         .groupBy(col("doc_id"))
         .agg(count_distinct(col("shingle")).as("n_contam_grams"))
       docs.where(col("doc_id") % 50 =!= 0).select(col("doc_id"))
@@ -1556,9 +1557,13 @@ object TrainingQueries extends QueryPack {
       val (kLeg, kOut, rrfK) = (20, 10, 60)
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
+      // docs too short for a 3-gram leave the lexical rank universe
+      // entirely (the oracle's sizes join is INNER, so they are absent
+      // there too — keeping them would rank jac-0 tails differently)
       val sets = docs.select(col("doc_id"),
         sort_array(array_distinct(transform(
           Dedup.shingleArray(col("text"), 3), x => xxhash64(x)))).as("sh"))
+        .where(size(col("sh")) > 0)
       val qLex = sets.where(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
       val wLex = Window.partitionBy(col("query_id"))

@@ -144,7 +144,8 @@ object IdleSource {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.types.BooleanType
     require(keyCols.nonEmpty, "keyCols must name at least one column")
-    require(incrementByMs > 0 && stepIntervalMs > 0 && thresholdMs >= 0,
+    // thresholdMs feeds setTimeoutDuration, which rejects 0 at runtime
+    require(incrementByMs > 0 && stepIntervalMs > 0 && thresholdMs > 0,
       "threshold/step/incrementBy must be positive")
     val schema = data.schema
     // heartbeat rows null every data column, so the output schema must
@@ -157,7 +158,7 @@ object IdleSource {
     val keyIdxs = keyCols.map(schema.fieldIndex)
     val n = schema.length
     data.groupByKey(r =>
-        keyIdxs.map(i => String.valueOf(r.get(i))).mkString(" "))(
+        keyIdxs.map(i => String.valueOf(r.get(i))).mkString("\u0000"))(
         Encoders.STRING)
       .flatMapGroupsWithState[Long, Row](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {

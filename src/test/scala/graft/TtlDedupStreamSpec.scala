@@ -41,7 +41,7 @@ class TtlDedupStreamSpec extends SparkSpec {
       implicit val ctx = spark.sqlContext
       val in = MemoryStream[(String, Long)]
       val out = graft.streaming.TtlDedupStream.dedupByKey(
-        in.toDF().toDF("id", "payload"), Seq("id"), Duration.ofSeconds(8))
+        in.toDF().toDF("id", "payload"), Seq("id"), Duration.ofSeconds(12))
       val q = out.writeStream.format("memory").queryName("ttl_dedup_out")
         .outputMode("append").start()
       try {
@@ -53,7 +53,7 @@ class TtlDedupStreamSpec extends SparkSpec {
         pollUntil()(got().size == 2)
         assert(got() == Seq(("a", 1L), ("b", 3L)))
 
-        // immediately inside the TTL (8s; the store is warm now, the
+        // immediately inside the TTL (12s; the store is warm now, the
         // duplicate processes in well under that): a drops
         in.addData(("a", 4L))
         Thread.sleep(2000)
@@ -61,7 +61,7 @@ class TtlDedupStreamSpec extends SparkSpec {
 
         // silence past the TTL (the a4 sighting refreshed the clock):
         // a is forgotten, next sighting passes
-        Thread.sleep(9500)
+        Thread.sleep(13500)
         in.addData(("a", 5L))
         pollUntil()(got().size == 3)
         assert(got() == Seq(("a", 1L), ("a", 5L), ("b", 3L)))
@@ -76,7 +76,7 @@ class TtlDedupStreamSpec extends SparkSpec {
       implicit val ctx = spark.sqlContext
       val in = MemoryStream[(String, Long)]
       val out = graft.streaming.TtlDedupStream.dedupByKey(
-        in.toDF().toDF("id", "payload"), Seq("id"), Duration.ofSeconds(6))
+        in.toDF().toDF("id", "payload"), Seq("id"), Duration.ofSeconds(10))
       val q = out.writeStream.format("memory").queryName("ttl_refresh_out")
         .outputMode("append").start()
       try {
@@ -84,8 +84,9 @@ class TtlDedupStreamSpec extends SparkSpec {
           spark.table("ttl_refresh_out").as[(String, Long)].collect().toSeq
         in.addData(("k", 1L))
         pollUntil()(got().nonEmpty)
-        // four sightings ~2s apart: total elapsed (~8s) > one TTL (6s),
-        // but each sighting restarted the clock - all must drop
+        // four sightings ~2s apart (5x slack vs the 10s TTL — CI-pause
+        // headroom): total elapsed (~8s+settle) approaches one TTL, but
+        // each sighting restarted the clock - all must drop
         for (i <- 2 to 5) {
           Thread.sleep(2000)
           in.addData(("k", i.toLong))
