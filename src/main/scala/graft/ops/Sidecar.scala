@@ -3,6 +3,8 @@ package graft.ops
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped sidecar tables: corpus-derived intermediates (the dup
   * graph's edge set, the near-dup cluster map, verified pair tables, LM
@@ -22,42 +24,82 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ScaleCurve sets [[enabled]] = false so scale curves keep measuring
   * whole from-scratch shapes per tier.
   *
-  * Keys are (session identity, caller key): a different SparkSession —
-  * or a different sf dir inside the caller key — never shares blocks. */
+  * Keys are (session, caller key): entries live in a PER-SESSION map
+  * held under a WEAK session key, so a stopped-and-dereferenced
+  * session's DataFrames (and their checkpoint blocks) become
+  * GC-reclaimable with it instead of pinning the JVM for its lifetime;
+  * [[clearSession]] evicts eagerly. A different sf dir inside the
+  * caller key never shares blocks.
+  *
+  * IMMUTABLE-INPUT ASSUMPTION: the key is (session, caller key) — NOT a
+  * content hash. If the files under a key's dir are rewritten within a
+  * session, the cache serves the pre-rewrite blocks; call
+  * [[clearSession]] after mutating inputs. The registered queries read
+  * driver-generated parquet that never changes within a run.
+  *
+  * FAULT TOLERANCE: localCheckpoint blocks die with their executor. On
+  * every cache hit [[cached]] probes the stored plan's checkpoint RDD —
+  * storage level still set AND every partition's block still reported
+  * by the block manager — and transparently REBUILDS from scratch on a
+  * dead entry instead of serving a DataFrame that can only throw
+  * "checkpoint block not found". Single-JVM local mode never loses
+  * blocks; on a real cluster long sessions should prefer the persisted
+  * table forms (writeIvfIndexTable / writeSpanTable — reliable storage,
+  * no executor affinity), with this probe as the safety net. */
 object Sidecar {
 
   @volatile var enabled: Boolean = true
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  /** Weak session key: a stopped, dereferenced session drops its whole
+    * cache map (and every DataFrame in it) to the GC. Values are
+    * per-session ConcurrentHashMaps so concurrent first builds per key
+    * still serialize (the Verify harness submits queries 4-way). */
+  private val sessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]())
+
+  private def sessionCache(spark: SparkSession): ConcurrentHashMap[String, DataFrame] =
+    sessions.synchronized {
+      var m = sessions.get(spark)
+      if (m == null) { m = new ConcurrentHashMap[String, DataFrame](); sessions.put(spark, m) }
+      m
+    }
 
   /** Serve `build`'s result from the session cache, materializing it on
-    * first access. With the cache DISABLED the intermediate is still
-    * localCheckpointed — just not shared across queries: several
-    * consumers (graph_hits' pair set, text_ppl_bucket's score table)
-    * relied on an explicit per-query checkpoint BEFORE the sidecar
-    * existed because they consume their input more than once, so a bare
-    * `build` would silently re-run those subtrees per consumption and
-    * inflate ScaleCurve's from-scratch tiers beyond the pre-sidecar
-    * shape. `computeIfAbsent` serializes concurrent first builds per
-    * key (the Verify harness submits queries 4-way); keys use the
-    * session UUID, which unlike an identity hash cannot collide across
-    * sessions. */
+    * first access and REBUILDING if the cached entry's checkpoint
+    * blocks are gone (see fault-tolerance note above). With the cache
+    * DISABLED the intermediate is still localCheckpointed — just not
+    * shared across queries: several consumers (graph_hits' pair set,
+    * text_ppl_bucket's score table) relied on an explicit per-query
+    * checkpoint BEFORE the sidecar existed because they consume their
+    * input more than once, so a bare `build` would silently re-run
+    * those subtrees per consumption and inflate ScaleCurve's
+    * from-scratch tiers beyond the pre-sidecar shape. */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     if (!enabled) build.localCheckpoint()
-    else cache.computeIfAbsent(sessionId(spark) + ":" + key,
-      _ => build.localCheckpoint())
+    else sessionCache(spark).compute(key, (_, old) =>
+      if (old != null && isLive(spark, old)) old
+      else build.localCheckpoint())
 
-  /** Collision-free session identity: a random UUID minted per session
-    * OBJECT (weak keys — a stopped and dereferenced session's id entry
-    * is GC-eligible). Identity hashes alone can collide across live
-    * sessions and would hand one session a DataFrame bound to another;
-    * a minted UUID cannot. */
-  private val sessionIds = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String]())
-  private def sessionId(spark: SparkSession): String =
-    sessionIds.computeIfAbsent(spark,
-      _ => java.util.UUID.randomUUID().toString)
+  /** True iff the cached DataFrame's checkpoint RDD still has EVERY
+    * partition's block: unpersisted → storage level NONE; executor
+    * loss → the block manager reports fewer cached partitions than the
+    * RDD has. A plan with no LogicalRDD (cache disabled mid-session or
+    * a future non-checkpoint entry) counts as live — nothing to lose. */
+  private def isLive(spark: SparkSession, df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd } match {
+      case Some(rdd) =>
+        rdd.getStorageLevel != StorageLevel.NONE &&
+          spark.sparkContext.getRDDStorageInfo
+            .exists(i => i.id == rdd.id &&
+              i.numCachedPartitions == rdd.getNumPartitions)
+      case None => true
+    }
+
+  /** Evict ONE session's entries eagerly (end-of-session hook, or after
+    * mutating a dir the immutable-input assumption covers). */
+  def clearSession(spark: SparkSession): Unit =
+    sessions.synchronized { sessions.remove(spark) }
 
   /** Drop every cached entry (blocks are reclaimed once the RDDs GC). */
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = sessions.synchronized { sessions.clear() }
 }

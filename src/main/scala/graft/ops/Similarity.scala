@@ -1116,7 +1116,8 @@ object Similarity {
     * bucketing bit-for-bit at power-of-two boundaries. */
   def semDedupCapped(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, k: Int = 8, dim: Int = 64,
-                     maxCell: Int = 1024, maxSubBits: Int = 8): DataFrame = {
+                     maxCell: Int = 1024, maxSubBits: Int = 8,
+                     headroomBits: Int = 0): DataFrame = {
     val cents = semCentroids(k, dim)
     val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("gd", SquaredDistances(col("v"), cents))
@@ -1127,10 +1128,16 @@ object Similarity {
     val assigned = base.select(col("id"), col("v"), cell.as("cell"), dmin.as("dist"))
       .persist()
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
-    // q = ceil(n_cell / maxCell); subBits = bits(q-1) = ceil(log2 q).
+    // q = ceil(n_cell / maxCell); subBits = bits(q-1) = ceil(log2 q),
+    // plus the caller's headroom (extra SRP planes on cells that split
+    // at all — planes split by sign, not exactly in half, so the
+    // no-headroom split leaves the expected-imbalance tail above the
+    // bound; cells under maxCell never split and take no headroom),
+    // capped at maxSubBits.
     val q = floor((col("n_cell") + lit(maxCell - 1)) / lit(maxCell)).cast("long")
     val subBits = when(q <= 1, lit(0))
-      .otherwise(least(lit(maxSubBits), length(conv(q - 1, 10, 2))))
+      .otherwise(least(lit(maxSubBits),
+        length(conv(q - 1, 10, 2)) + lit(headroomBits)))
     val sub = pmod(srpBucket(col("v"), maxSubBits, dim),
       pow(lit(2.0), subBits).cast("long"))
     val keyed = assigned.join(broadcast(sizes), Seq("cell"))
@@ -1158,9 +1165,11 @@ object Similarity {
     * picks exactly enough SRP planes that the per-(cell, sub) pair bound
     * can never saturate, whatever the corpus size or quantizer balance.
     * The one collect is a single row at pipeline-setup time (the bloom
-    * build / broadcast-threshold pattern), never per-row work; headroom
-    * of +1 bit absorbs SRP imbalance (planes split cells by sign, not
-    * exactly in half). */
+    * build / broadcast-threshold pattern), never per-row work. Headroom:
+    * `headroomBits = 1` adds one SRP plane to every cell that splits at
+    * all (planes split by sign, not exactly in half — the extra plane
+    * absorbs the expected imbalance), and `maxSubBits` carries the same
+    * +1 so the cap cannot swallow the headroom on the hottest cell. */
   def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, k: Int = 8, dim: Int = 64,
                    maxCell: Int = 1024): DataFrame = {
@@ -1173,7 +1182,8 @@ object Similarity {
       .agg(max(col("n"))).collect()(0).get(0)) // empty corpus → NULL max
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     semDedupCapped(df, idCol, vecCol, threshold, k, dim, maxCell,
-      maxSubBits = requiredSubBits(maxCellPop, maxCell) + 1)
+      maxSubBits = requiredSubBits(maxCellPop, maxCell) + 1,
+      headroomBits = 1)
   }
 
   /** The sizing law alone: smallest subBits with

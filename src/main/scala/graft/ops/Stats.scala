@@ -23,6 +23,26 @@ object Stats {
   def fdiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)).cast(d38) / b.cast(d38)).cast("long")
 
+  /** One chi-squared contingency term, (n·O − r·c)² / (n·r·c), with the
+    * FULL decimal discipline — every count is cast to DECIMAL(38,0)
+    * BEFORE any product (a BIGINT pairwise product of counts wraps at
+    * ~9.2e18, i.e. total × per-cell at ~1e11 × 1e8 — real at embedding-
+    * corpus scale; the triple product in the denominator wraps first).
+    * The exact decimal difference is cast to double and squared IN
+    * double: an exact-decimal square of a ~1e19+ difference overflows
+    * both DECIMAL(38,0) and the oracle's HUGEINT, while the double
+    * square is the same IEEE value in both engines (one rounding on the
+    * exact integer difference, then exact-by-construction operations).
+    * Oracle mirror: CAST(n AS HUGEINT) products inside the difference,
+    * CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE), and
+    * CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE) in the denominator —
+    * [[graft.queries]] stat_chi2 / drift_cells carry the SQL halves. */
+  def chi2Term(n: Column, o: Column, r: Column, c: Column): Column = {
+    val num = (n.cast(d38) * o.cast(d38) - r.cast(d38) * c.cast(d38))
+      .cast("double")
+    num * num / (n.cast(d38) * r.cast(d38) * c.cast(d38)).cast("double")
+  }
+
   /** Per-group exact moments (grp, ni, si, qi): BIGINT count/sum,
     * DECIMAL(38,0) sum of squares. `extraKeys` prepends additional
     * grouping expressions (e.g. a streaming event-time window), so the

@@ -741,11 +741,12 @@ object EventQueries extends QueryPack {
     },
 
     // chi-squared independence test: event_type × user-parity variant
-    // contingency table; χ² = Σ (n·O − r·c)²/(n·r·c) with every product
-    // exact (the squared numerator in DECIMAL(38,0)) and one double
-    // division per cell, 4dp-rounded like the LM scores.
+    // contingency table; χ² = Σ (n·O − r·c)²/(n·r·c) with every count
+    // product in DECIMAL(38,0) (see Stats.chi2Term — a BIGINT pairwise
+    // product of counts wraps at ~9.2e18, the triple product in the
+    // denominator first) and one double division per cell, 4dp-rounded
+    // like the LM scores.
     "stat_chi2" -> { (s, dir) =>
-      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val cells = Tables.events(s, dir)
         .groupBy(col("event_type"),
           pmod(col("user_id"), lit(2)).as("variant"))
@@ -756,9 +757,8 @@ object EventQueries extends QueryPack {
       cells.join(broadcast(rowt), "event_type")
         .join(broadcast(colt), "variant")
         .crossJoin(broadcast(tot))
-        .withColumn("num", (col("n") * col("o") - col("r") * col("c")).cast(d38))
-        .withColumn("term", (col("num") * col("num")).cast("double") /
-          (col("n") * col("r") * col("c")).cast("double"))
+        .withColumn("term",
+          graft.ops.Stats.chi2Term(col("n"), col("o"), col("r"), col("c")))
         .agg(count(lit(1)).as("n_cells"),
           (count_distinct(col("event_type")) - 1).as("df"),
           (round(sum(col("term")) * 10000) / 10000).as("chi2"))
@@ -1769,12 +1769,12 @@ object EventQueries extends QueryPack {
         |ct AS (SELECT variant, CAST(sum(o) AS BIGINT) AS c
         |       FROM cells GROUP BY 1),
         |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
-        |terms AS (SELECT
-        |    CAST(CAST(n * o - r * c AS HUGEINT)
-        |       * CAST(n * o - r * c AS HUGEINT) AS DOUBLE)
-        |      / CAST(n * r * c AS DOUBLE) AS term,
-        |    event_type
-        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (variant), tt)
+        |nums AS (SELECT event_type,
+        |    CAST(CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c
+        |         AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE) AS den
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (variant), tt),
+        |terms AS (SELECT event_type, num * num / den AS term FROM nums)
         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
         |  CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS df,
         |  round(sum(term) * 10000) / 10000 AS chi2

@@ -1360,13 +1360,11 @@ object TrainingQueries extends QueryPack {
     // (map-side literal argmin, no training), and each cell contributes
     // its exact 2×k chi-squared term — the retraining tripwire for an
     // embedding pipeline (has the representation's cell population
-    // shifted?). Everything integer until one division per cell half;
-    // the (n·O − r·c) difference is cast to DECIMAL(38,0) BEFORE
-    // squaring (stat_chi2's discipline — the BIGINT square wraps
-    // silently past a ~3e9 difference, which n·n_ref reaches easily
-    // at corpus scale since it is total × per-cell count).
+    // shifted?). Every count product runs in DECIMAL(38,0) and the
+    // exact difference squares in double — Stats.chi2Term carries the
+    // full discipline (a BIGINT product of counts wraps at ~9.2e18;
+    // the n·r·c denominator triple product wraps first).
     "drift_cells" -> { (s, dir) =>
-      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val cells = Similarity.seedCellAssign(
           Tables.embeddings(s, dir), "vec_id", "embedding")
         .withColumn("side", pmod(col("vec_id"), lit(2)))
@@ -1377,16 +1375,12 @@ object TrainingQueries extends QueryPack {
       cnt.crossJoin(broadcast(tot))
         .withColumn("r", col("n_ref") + col("n_cur"))
         .withColumn("n", col("cr") + col("cc"))
-        .withColumn("num_r",
-          (col("n") * col("n_ref") - col("r") * col("cr")).cast(d38))
-        .withColumn("num_c",
-          (col("n") * col("n_cur") - col("r") * col("cc")).cast(d38))
         .select(col("cell"), col("n_ref"), col("n_cur"),
           (round((
-            (col("num_r") * col("num_r")).cast("double") /
-              (col("n") * col("r") * col("cr")).cast("double") +
-            (col("num_c") * col("num_c")).cast("double") /
-              (col("n") * col("r") * col("cc")).cast("double"))
+            graft.ops.Stats.chi2Term(col("n"), col("n_ref"),
+              col("r"), col("cr")) +
+            graft.ops.Stats.chi2Term(col("n"), col("n_cur"),
+              col("r"), col("cc")))
             * 1000000) / 1000000).as("chi2_term"))
     },
 
@@ -5003,16 +4997,17 @@ object TrainingQueries extends QueryPack {
          |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS cr,
          |        CAST(sum(n_cur) AS BIGINT) AS cc FROM cnt)
          |SELECT cell, n_ref, n_cur,
-         |  round((
-         |    CAST(CAST(n * n_ref - r * cr AS HUGEINT)
-         |       * CAST(n * n_ref - r * cr AS HUGEINT) AS DOUBLE)
-         |      / CAST(n * r * cr AS DOUBLE)
-         |    + CAST(CAST(n * n_cur - r * cc AS HUGEINT)
-         |       * CAST(n * n_cur - r * cc AS HUGEINT) AS DOUBLE)
-         |      / CAST(n * r * cc AS DOUBLE)) * 1000000) / 1000000
-         |    AS chi2_term
-         |FROM (SELECT cell, n_ref, n_cur, cr, cc,
-         |        n_ref + n_cur AS r, cr + cc AS n FROM cnt, tot)""".stripMargin,
+         |  round((num_r * num_r / den_r + num_c * num_c / den_c)
+         |    * 1000000) / 1000000 AS chi2_term
+         |FROM (SELECT cell, n_ref, n_cur,
+         |    CAST(CAST(n AS HUGEINT) * n_ref
+         |       - CAST(r AS HUGEINT) * cr AS DOUBLE) AS num_r,
+         |    CAST(CAST(n AS HUGEINT) * r * cr AS DOUBLE) AS den_r,
+         |    CAST(CAST(n AS HUGEINT) * n_cur
+         |       - CAST(r AS HUGEINT) * cc AS DOUBLE) AS num_c,
+         |    CAST(CAST(n AS HUGEINT) * r * cc AS DOUBLE) AS den_c
+         |  FROM (SELECT cell, n_ref, n_cur, cr, cc,
+         |          n_ref + n_cur AS r, cr + cc AS n FROM cnt, tot))""".stripMargin,
     "sim_ann_ivf_trained" -> trainedIvfSql,
     "sim_knn_label" ->
       s"""WITH $knnPredCtes

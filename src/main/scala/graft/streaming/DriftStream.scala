@@ -24,12 +24,11 @@ import graft.ops.Similarity
   * arriving cells are always a subset of the reference's.
   *
   * Exactness: identical per-cell term as the batch audit —
-  * (n·O − r·c)² / (n·r·c) with the difference cast to DECIMAL(38,0)
-  * BEFORE squaring (the stat_chi2 discipline — a BIGINT square wraps
-  * silently once the difference passes ~3e9, which n·n_ref reaches
-  * easily since it is total-count × per-cell-count), one double
-  * division per cell half — so a frozen-window replay of the stream
-  * reproduces the batch statistic bit for bit (spec).
+  * (n·O − r·c)² / (n·r·c) through [[graft.ops.Stats.chi2Term]]: every
+  * count product in DECIMAL(38,0) (a BIGINT pairwise product of counts
+  * wraps at ~9.2e18; the n·r·c triple product wraps first), the exact
+  * difference squared in double — so a frozen-window replay of the
+  * stream reproduces the batch statistic bit for bit (spec).
   *
   * Malformed vectors (wrong length → NULL cell from the quantizer) are
   * dropped BEFORE the histogram and do NOT count toward `cc`: a NULL
@@ -61,14 +60,11 @@ object DriftStream {
         struct(col("cell"), col("n_cur"))))).as("cur"),
         sum(col("n_cur")).as("cc"))
     val n = lit(cr) + col("cc")
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def term(cell: Int, nRef: Long): Column = {
       val o = coalesce(element_at(col("cur"), lit(cell)), lit(0L))
       val r = lit(nRef) + o
-      val numR = (n * nRef - r * cr).cast(d38)
-      val numC = (n * o - r * col("cc")).cast(d38)
-      (numR * numR).cast("double") / (n * r * cr).cast("double") +
-        (numC * numC).cast("double") / (n * r * col("cc")).cast("double")
+      graft.ops.Stats.chi2Term(n, lit(nRef), r, lit(cr)) +
+        graft.ops.Stats.chi2Term(n, o, r, col("cc"))
     }
     val chi2 = reference.toSeq.sortBy(_._1)
       .map { case (c, nr) => term(c, nr) }.reduce(_ + _)

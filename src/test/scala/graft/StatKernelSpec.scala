@@ -376,4 +376,40 @@ class StatKernelSpec extends SparkSpec {
     val expect = 2.0 * Stats.PowerZsum2 * v / (0.05 * mean * 0.05 * mean)
     assert(math.abs(n1 - expect) / expect < 1e-9)
   }
+
+  // ---- chi2Term overflow discipline ----
+
+  /** Exact-arithmetic reference: BigInt products (never wrap), one
+    * correctly-rounded toDouble on the difference, IEEE square +
+    * divide — the same sequence chi2Term performs in DECIMAL(38,0). */
+  private def chi2Ref(n: BigInt, o: BigInt, r: BigInt, c: BigInt): Double = {
+    val num = (n * o - r * c).toDouble
+    num * num / (n * r * c).toDouble
+  }
+
+  private def chi2Spark(n: Long, o: Long, r: Long, c: Long): Double = {
+    import org.apache.spark.sql.functions._
+    Seq((n, o, r, c)).toDF("n", "o", "r", "c")
+      .select(Stats.chi2Term(col("n"), col("o"), col("r"), col("c")).as("t"))
+      .head.getDouble(0)
+  }
+
+  test("chi2Term matches the exact reference on small counts") {
+    for ((n, o, r, c) <- Seq((100L, 30L, 60L, 40L), (7L, 1L, 3L, 2L),
+                             (1000000L, 123457L, 500001L, 250003L)))
+      assert(chi2Spark(n, o, r, c) === chi2Ref(n, o, r, c))
+  }
+
+  test("chi2Term survives counts whose BIGINT products wrap") {
+    // n·r·c ≈ 4.7e28 (wraps BIGINT ~5e9 times over); n·o ≈ 1.3e19 and
+    // r·c ≈ 7.5e18 each individually exceed Long.MaxValue ≈ 9.2e18 —
+    // the regime the old pairwise-BIGINT products wrapped in. The
+    // decimal path must reproduce the exact-BigInt reference.
+    val (n, o, r, c) = (6000000000L, 2123456789L, 3100000007L, 2400000011L)
+    assert(BigInt(n) * o > BigInt(Long.MaxValue), "test must exercise the wrap")
+    assert(chi2Spark(n, o, r, c) === chi2Ref(n, o, r, c))
+    // and the denominator-only wrap (difference small, triple product huge)
+    val (n2, o2, r2, c2) = (4000000000L, 1000000000L, 2000000000L, 1999999999L)
+    assert(chi2Spark(n2, o2, r2, c2) === chi2Ref(n2, o2, r2, c2))
+  }
 }
