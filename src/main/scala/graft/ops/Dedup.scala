@@ -117,13 +117,16 @@ object Dedup {
   }
 
   /** Shingle array per doc as a pure expression (no explode): the w-gram
-    * windows of the token array. Empty for docs shorter than w tokens. */
-  def shingleArray(textCol: Column, w: Int): Column = {
-    val toks = split(textCol, " ")
-    val idxs = when(size(toks) >= w, sequence(lit(0), size(toks) - w))
-      .otherwise(array().cast("array<int>"))
-    transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(w))))
-  }
+    * windows of the token array. Empty for docs shorter than w tokens
+    * (and for null text — the composable form's contract, preserved by
+    * the coalesce). Native [[graft.functions.WordShingles]] under the
+    * hood: the transform/slice/concat_ws formulation re-ran the regex
+    * split once PER SHINGLE (HOF lambdas evaluate interpreted, no
+    * cross-lambda subexpression elimination) — one pass over sf0.1's
+    * documents cost 2.6 s; the native expression splits once per row. */
+  def shingleArray(textCol: Column, w: Int): Column =
+    coalesce(graft.functions.WordShingles(textCol, w),
+      array().cast("array<string>"))
 
   /** EXPRESSION-ONLY MinHash signature: identical values to
     * [[minhashSignature]] (min over a multiset equals min over its set),

@@ -326,13 +326,35 @@ object Similarity {
 
     // corpus side: nearest cell (first index on ties, matching the
     // oracle's first-match CASE) — one map-only codegen pass.
-    val assigned = corpus
+    ivfTopKFromAssigned(ivfAssign(corpus, idCol, vecCol, nLists, dim),
+      queries, idCol, vecCol, k, nLists, nProbe, dim)
+  }
+
+  /** The frozen-IVF corpus assignment (neighbor_id, cv, cell) — the
+    * in-memory form of the artifact [[writeIvfIndexTable]] persists.
+    * Build it once per session (a sidecar block) and every probe
+    * workload reads it without re-running the k×dim assignment pass. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                nLists: Int = 16, dim: Int = 64): DataFrame = {
+    val cents = ivfCentroids(nLists, dim)
+    corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cell", argminIdx(SquaredDistances(col("cv"), cents)))
+  }
 
-    // probed query set: tiny next to the corpus postings → broadcast.
+  /** Probe a PREBUILT assignment ([[ivfAssign]], or a read of the
+    * persisted index table): identical results to [[ivfTopKFrozen]] —
+    * same centroid literals on the query side — but the corpus
+    * assignment pass never re-runs. The probe set broadcasts (tiny next
+    * to the postings), so the index side joins exchange-free; the only
+    * shuffle is the per-query top-k window over the already-pruned
+    * candidate rows. */
+  def ivfTopKFromAssigned(assigned: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          nLists: Int = 16, nProbe: Int = 4,
+                          dim: Int = 64): DataFrame = {
+    val cents = ivfCentroids(nLists, dim)
     val probed = broadcast(probeCells(queries, idCol, vecCol, cents, nProbe))
-
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     assigned.join(probed, "cell")

@@ -100,6 +100,16 @@ object TrainingQueries extends QueryPack {
         "doc_id", "text")
     }
 
+  /** Frozen-IVF corpus assignment (neighbor_id, cv, cell) — the ANN
+    * index (writeIvfIndexTable's artifact, session form). sim_ann_ivf
+    * stays the from-scratch builder entry; probe workloads
+    * (sim_hybrid_rrf's semantic leg) read this. */
+  private def cachedIvfAssigned(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Sidecar.cached(s, s"ivfAssigned:$dir") {
+      Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding")
+    }
+
   val queries: Map[String, Q] = Map(
 
     // multi-query BM25 top-10 search — the retrieval surface over the
@@ -1536,16 +1546,19 @@ object TrainingQueries extends QueryPack {
 
     // HYBRID retrieval with reciprocal-rank fusion: per query doc, a
     // lexical leg (exact 3-gram Jaccard rank, the dedup kernel) and a
-    // semantic leg (cosine rank over the doc's embedding) each produce
-    // top-20, and RRF fuses them — 1/(60+r_lex) + 1/(60+r_sem) — the
-    // standard rank-level fusion that beats either leg alone when the
-    // corpus mixes verbatim copies (lexical wins) with paraphrases
-    // (semantic wins). Ranks come from 6dp-rounded leg scores with id
-    // tiebreaks (engine-stable); the fused score is two exact IEEE
-    // divisions + one addition — identical doubles in both engines.
-    // Scale: both legs are broadcast-query × corpus scans (3 query
-    // rows); per-query ranks prune to the leg cut map-side
-    // (WindowGroupLimit), so the fusion join sees <=40 rows per query.
+    // semantic leg (the engine's OWN ANN index — the frozen-IVF
+    // assignment probed at nProbe=4, cosine rank within the probed
+    // cells) each produce top-20, and RRF fuses them —
+    // 1/(60+r_lex) + 1/(60+r_sem) — the standard rank-level fusion that
+    // beats either leg alone when the corpus mixes verbatim copies
+    // (lexical wins) with paraphrases (semantic wins). The fused score
+    // is two exact IEEE divisions + one addition — identical doubles in
+    // both engines. Scale: the lexical leg is a broadcast-query ×
+    // corpus scan (3 query rows, WindowGroupLimit prunes map-side); the
+    // semantic leg reads the session's materialized IVF index (the
+    // writeIvfIndexTable artifact — sim_ann_ivf stays the from-scratch
+    // builder) and touches only the probed cells' postings, never the
+    // whole corpus — the production retrieval shape.
     "sim_hybrid_rrf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val (kLeg, kOut, rrfK) = (20, 10, 60)
@@ -1569,20 +1582,10 @@ object TrainingQueries extends QueryPack {
         .withColumn("rank_lex", row_number().over(wLex))
         .where(col("rank_lex") <= kLeg)
         .select(col("query_id"), col("doc_id"), col("rank_lex"))
-      val qSem = emb.where(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"),
-          transform(col("embedding"), _.cast("double")).as("qv"))
-      val wSem = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("doc_id").asc)
-      val sem = emb.select(col("vec_id").as("doc_id"),
-          transform(col("embedding"), _.cast("double")).as("cv"))
-        .crossJoin(broadcast(qSem))
-        .where(col("doc_id") =!= col("query_id"))
-        .withColumn("sim", TimeSeries.portableRound6(
-          Similarity.cosine(col("qv"), col("cv"))))
-        .withColumn("rank_sem", row_number().over(wSem))
-        .where(col("rank_sem") <= kLeg)
-        .select(col("query_id"), col("doc_id"), col("rank_sem"))
+      val sem = Similarity.ivfTopKFromAssigned(cachedIvfAssigned(s, dir),
+          emb.where(col("vec_id") < 3), "vec_id", "embedding", k = kLeg)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_sem"))
       val wOut = Window.partitionBy(col("query_id"))
         .orderBy(col("rrf").desc, col("doc_id").asc)
       lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
@@ -2276,10 +2279,14 @@ object TrainingQueries extends QueryPack {
     * field-order lexicographic, matching Spark's array_sort). */
   private lazy val simAnnIvfSql: String = simAnnIvfSqlAt(4)
 
-  /** The IVF probe CTE at a given nProbe — `sim_nprobe_sweep` replays
-    * it once per probe width. */
-  private def simAnnIvfSqlAt(nProbe: Int): String = {
-    val (nLists, k, dim) = (16, 5, 64)
+  /** The shared frozen-IVF probe CTE chain (`d`, `a`, `q`): per-vector
+    * squared distances to every centroid literal, the first-match CASE
+    * argmin corpus assignment, and the tie-safe struct-sort query probe
+    * — parameterized by the query predicate and probe width so
+    * sim_ann_ivf, sim_nprobe_sweep, and sim_hybrid_rrf's semantic leg
+    * all replay ONE definition. */
+  private def ivfProbeCtes(nProbe: Int, queryPred: String): String = {
+    val (nLists, dim) = (16, 64)
     val cents = graft.ops.Similarity.ivfCentroids(nLists, dim)
     def distSql(ki: Int): String =
       (0 until dim).map { j =>
@@ -2295,14 +2302,21 @@ object TrainingQueries extends QueryPack {
       .mkString("CASE ", " ", "END")
     val structs = (0 until nLists).map(ki => s"{'d': d_$ki, 'cell': $ki}")
       .mkString("[", ", ", "]")
-    s"""WITH d AS (SELECT vec_id, embedding,
+    s"""d AS (SELECT vec_id, embedding,
        |  $dCols
        |  FROM embeddings),
        |a AS (SELECT vec_id AS neighbor_id, embedding AS cv, $cellCase AS cell
        |  FROM (SELECT *, $leastAll AS dist FROM d)),
        |q AS (SELECT vec_id AS query_id, embedding AS qv,
        |    unnest([s.cell FOR s IN list_sort($structs)[1:$nProbe]]) AS cell
-       |  FROM d WHERE vec_id < 10)
+       |  FROM d WHERE $queryPred)""".stripMargin
+  }
+
+  /** The IVF probe at a given nProbe — `sim_nprobe_sweep` replays it
+    * once per probe width. */
+  private def simAnnIvfSqlAt(nProbe: Int): String = {
+    val k = 5
+    s"""WITH ${ivfProbeCtes(nProbe, "vec_id < 10")}
        |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
        |  SELECT q.query_id, a.neighbor_id,
        |    list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) AS sim,
@@ -4694,8 +4708,14 @@ object TrainingQueries extends QueryPack {
     "sim_topk" -> simTopkSql,
     // hybrid RRF: both legs rank 1e6-rounded scores with id tiebreaks;
     // the fused score is two exact IEEE divisions + one addition.
+    // hybrid RRF: the lexical leg replays the exact-Jaccard ranks; the
+    // semantic leg replays the FROZEN-IVF PROBE (the same d/a/q CTEs as
+    // sim_ann_ivf — the engine side reads its materialized index, the
+    // oracle recomputes the assignment from the raw table, so the index
+    // content itself is hash-checked on every run).
     "sim_hybrid_rrf" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      s"""WITH ${ivfProbeCtes(4, "vec_id < 3")},
+        |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |shs AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
         |       FROM (SELECT doc_id, t,
         |             unnest(range(0, greatest(len(t)-2,0))) AS i FROM toks)),
@@ -4717,14 +4737,13 @@ object TrainingQueries extends QueryPack {
         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
         |      ORDER BY jac DESC, doc_id ASC) AS rank_lex FROM lexall)
         |  WHERE rank_lex <= 20),
-        |semall AS (SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
-        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
-        |      d.embedding::DOUBLE[]) * 1000000) / 1000000 AS sim
-        |  FROM embeddings q, embeddings d
-        |  WHERE q.vec_id < 3 AND d.vec_id <> q.vec_id),
         |sem AS (SELECT query_id, doc_id, rank_sem FROM (
-        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, doc_id ASC) AS rank_sem FROM semall)
+        |    SELECT q.query_id, a.neighbor_id AS doc_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) DESC,
+        |                 a.neighbor_id ASC) AS rank_sem
+        |    FROM a JOIN q ON a.cell = q.cell
+        |    WHERE q.query_id <> a.neighbor_id)
         |  WHERE rank_sem <= 20)
         |SELECT query_id, doc_id, rrf, CAST(rank AS INT) AS rank FROM (
         |  SELECT coalesce(l.query_id, s.query_id) AS query_id,

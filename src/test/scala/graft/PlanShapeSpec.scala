@@ -665,4 +665,30 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("text_watermark")
     assert(!p.contains("Exchange"), s"green-pair scan must pipeline:\n$p")
   }
+
+  test("hybrid RRF: semantic leg probes the IVF index exchange-free") {
+    // the sidecar-materialized assignment (a LogicalRDD scan) must join
+    // the broadcast probe set directly — no shuffle between the index
+    // scan and the cell join, and no corpus-wide nested-loop on the
+    // semantic side (the lexical leg's broadcast cross over the 3-row
+    // query side is the one legitimate BroadcastNestedLoopJoin)
+    val sem = graft.ops.Similarity.ivfTopKFromAssigned(
+      graft.ops.Sidecar.cached(spark, s"ivfAssigned:$dir") {
+        graft.ops.Similarity.ivfAssign(
+          graft.ops.Tables.embeddings(spark, dir), "vec_id", "embedding")
+      },
+      graft.ops.Tables.embeddings(spark, dir)
+        .where(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "vec_id", "embedding", k = 20)
+    val p = sem.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe set must broadcast onto the index:\n$p")
+    // exactly one shuffle: the per-query top-k window over the joined
+    // (already cell-pruned) candidates — never the index side
+    assert(countOf(p, "Exchange") - countOf(p, "BroadcastExchange") <= 1,
+      s"index side must not shuffle:\n$p")
+    assert(!p.contains("Scan parquet") || !p.split("BroadcastExchange")(0)
+      .contains("Scan parquet"),
+      s"streamed side must be the materialized index, not a corpus scan:\n$p")
+  }
 }
