@@ -34,8 +34,9 @@ import java.util.concurrent.ConcurrentLinkedQueue
 object NatsWire {
 
   /** One protocol line: bytes until CRLF, decoded ISO-8859-1 (the
-    * protocol line itself is ASCII; payloads never pass through here). */
-  private def readLine(in: InputStream): String = {
+    * protocol line itself is ASCII; payloads never pass through here).
+    * Shared with [[JetStreamWire]] — same framing, same broker. */
+  private[streaming] def readLine(in: InputStream): String = {
     val sb = new java.lang.StringBuilder(64)
     var c = in.read()
     while (c != -1 && c != '\r') { sb.append(c.toChar); c = in.read() }
@@ -44,7 +45,7 @@ object NatsWire {
     sb.toString
   }
 
-  private def readPayload(in: InputStream, n: Int): Array[Byte] = {
+  private[streaming] def readPayload(in: InputStream, n: Int): Array[Byte] = {
     val buf = new Array[Byte](n)
     var off = 0
     while (off < n) {
