@@ -229,7 +229,15 @@ object CorpusOps {
     * dedup exactly like document fingerprints feed [[Dedup.exact]]. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 w: Int = 3, modulus: Int = 32): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // tokens HOISTED into their own column before any lambda: the
+    // boundary filter references them once per position, and an inline
+    // split(text) there re-tokenizes the doc once PER POSITION (the
+    // WordShingles lesson — HOF lambdas evaluate interpreted, no
+    // cross-lambda subexpression elimination). __t is multi-referenced
+    // (sizes, boundary probe, chunk hash), so CollapseProject keeps it
+    // materialized instead of re-inlining the split.
+    val pre = df.withColumn("__t", split(col(textCol), " "))
+    val toks = col("__t")
     val n = size(toks)
     // boundary i ∈ [w, n]: md5 of tokens[i-w+1 .. i] ≡ 0 (mod modulus)
     val bIdx = when(n >= w,
@@ -247,7 +255,7 @@ object CorpusOps {
     // every input column except the text survives (event time included),
     // so the operator drops straight into a streaming DAG.
     val keep = df.columns.filterNot(_ == textCol).map(col)
-    df.withColumn("__t", toks).withColumn("__n", n).withColumn("__starts", starts)
+    pre.withColumn("__n", n).withColumn("__starts", starts)
       .select(keep ++ Seq(col("__t"), col("__n"),
         explode(transform(col("__starts"), (s, j) => struct(
           j.as("chunk_idx"), s.as("start"),

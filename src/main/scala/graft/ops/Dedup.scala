@@ -25,16 +25,11 @@ object Dedup {
     * consumers are duplicate-insensitive (min-aggregation; collect_set),
     * so no distinct here: it would cost a full (id, shingle) shuffle that
     * the downstream aggregate absorbs for free. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    // shingle i = tokens[i..i+w) joined; sequence stays inside codegen.
-    // Guard: sequence(0, n) with n<0 counts DOWN in Spark — docs shorter
-    // than w tokens must yield no shingles, not negative indices.
-    val idxs = when(size(toks) >= w, sequence(lit(0), size(toks) - w))
-      .otherwise(array().cast("array<int>"))
+  def shingles(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
+    // native shingle build ([[shingleArray]]): the transform/slice form
+    // re-ran the regex split once per shingle (see shingleArray's note)
     docs.select(col(idCol),
-      explode(transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(w))))).as("shingle"))
-  }
+      explode(shingleArray(col(textCol), w)).as("shingle"))
 
   /** N-gram novelty of a candidate corpus against a reference corpus:
     * per candidate doc, the fraction of its DISTINCT w-grams never seen

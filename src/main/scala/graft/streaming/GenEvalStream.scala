@@ -30,15 +30,23 @@ object GenEvalStream {
   def windowedBleu(pairs: DataFrame, tsCol: String, candCol: String,
                    refCol: String, windowLen: String = "1 hour",
                    delay: String = "5 minutes"): DataFrame = {
-    val ct = TextAnalysis.tokens(col(candCol))
-    val rt = TextAnalysis.tokens(col(refCol))
-    val scored = pairs.select(col(tsCol),
-      size(ct).cast("long").as("c1"),
-      size(rt).cast("long").as("r1"),
-      greatest(size(ct) - 1, lit(0)).cast("long").as("c2"),
-      TextAnalysis.clippedOverlap(ct, rt).as("clip1"),
-      TextAnalysis.clippedOverlap(
-        TextAnalysis.bigrams(ct), TextAnalysis.bigrams(rt)).as("clip2"))
+    // token arrays hoisted into their own projection: bigrams()'s lambda
+    // reads its input once per element, and an inline tokens() there
+    // would re-tokenize the text once per bigram (the WordShingles
+    // lesson); __ct/__rt are multi-referenced, so CollapseProject keeps
+    // them materialized.
+    val (ct, rt) = (col("__ct"), col("__rt"))
+    val scored = pairs
+      .select(col(tsCol),
+        TextAnalysis.tokens(col(candCol)).as("__ct"),
+        TextAnalysis.tokens(col(refCol)).as("__rt"))
+      .select(col(tsCol),
+        size(ct).cast("long").as("c1"),
+        size(rt).cast("long").as("r1"),
+        greatest(size(ct) - 1, lit(0)).cast("long").as("c2"),
+        TextAnalysis.clippedOverlap(ct, rt).as("clip1"),
+        TextAnalysis.clippedOverlap(
+          TextAnalysis.bigrams(ct), TextAnalysis.bigrams(rt)).as("clip2"))
     val p1d = col("sclip1").cast("double") / col("sc1").cast("double")
     val p2d = col("sclip2").cast("double") / col("sc2").cast("double")
     scored
