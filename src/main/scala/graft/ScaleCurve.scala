@@ -150,6 +150,12 @@ object ScaleCurve {
     // round-11 registrations
     "graph_edges", "dedup_cluster_stats", "eval_ppl_by_source",
     "sim_hybrid_rrf", "contam_13gram",
+    // round-12 registrations: point-in-time features + staleness as-of
+    // (one user_id window/key shuffle each — linear in events),
+    // order-mix adjacency (two linear shuffles on position), PSI (cell
+    // census), ECE (one scan + a 10-bin fold)
+    "ev_feature_snapshot", "join_asof_tol", "corpus_order_mix",
+    "drift_psi", "eval_ece",
     // gram-hash join novelty (linear in gram volume), and the two
     // bounded broadcast probes (flat, the eval_ndcg shape)
     "text_novelty", "sim_hard_negatives", "sim_mips",

@@ -73,6 +73,30 @@ object Relational {
       .select(leftCols.map(col) :+ col(as): _*)
   }
 
+  /** STALENESS-BOUNDED backward as-of join: the feature-store contract —
+    * each left row takes the most recent prior right value ONLY if it is
+    * at most `maxStalenessUs` old, else null ("no feature" beats "a
+    * feature from last month" in a training set; serving would fall back
+    * to a default). Composed from the backward pass carrying the right
+    * row's (ts, value) struct; the staleness compare runs in exact
+    * integer microseconds, so no float boundary exists for an
+    * exactly-at-tolerance row to straddle. Same one key-shuffle as
+    * [[asOfJoin]]. */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame,
+                        partitionCols: Seq[String], tsCol: String,
+                        valueCol: String, as: String,
+                        maxStalenessUs: Long): DataFrame = {
+    val packed = right.withColumn("__pk",
+      struct(col(tsCol).as("t"), col(valueCol).as("v")))
+    asOfJoin(left, packed, partitionCols, tsCol, "__pk", "__m")
+      .withColumn(as, when(col("__m").isNotNull &&
+        unix_micros(col(tsCol).cast("timestamp")) -
+          unix_micros(col("__m").getField("t").cast("timestamp"))
+          <= maxStalenessUs,
+        col("__m").getField("v")))
+      .drop("__m")
+  }
+
   /** NEAREST as-of join: each left row takes the right value whose
     * timestamp is closest in EITHER direction — ties go backward (the
     * "sensor reading nearest the observation" probe that neither the

@@ -1109,6 +1109,41 @@ object EventQueries extends QueryPack {
           (datediff(col("wk"), col("cohort_ts")) / lit(7)).cast("long")
             .as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // POINT-IN-TIME-CORRECT feature snapshot — the no-label-leakage
+    // training-set builder: for each label event (purchase), every
+    // feature is computed from the user's events STRICTLY BEFORE it in
+    // (ts, event_id) order — a frame ending at 1 PRECEDING, so the label
+    // row itself and anything after it can never leak into its own
+    // features (the bug that makes offline AUC a lie). One user_id
+    // shuffle; running counts are window sums, spend history goes
+    // through cents (a double running sum is order-dependent across
+    // engines), recency in exact integer micros.
+    "ev_feature_snapshot" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def nType(t: String) = coalesce(
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w), lit(0L))
+      val ep = (c: org.apache.spark.sql.Column) =>
+        unix_micros(c.cast("timestamp"))
+      Tables.events(s, dir)
+        .withColumn("n_before", count(lit(1)).over(w))
+        .withColumn("clicks_before", nType("click"))
+        .withColumn("views_before", nType("view"))
+        .withColumn("errors_before", nType("error"))
+        .withColumn("spend_before_cents", coalesce(
+          sum(when(col("event_type") === "purchase",
+            graft.ops.Stats.cents(col("value"))).otherwise(0L)).over(w),
+          lit(0L)))
+        .withColumn("micros_since_prev", ep(col("ts")) - ep(max(col("ts")).over(w)))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("label_id"), col("user_id"),
+          col("n_before"), col("clicks_before"), col("views_before"),
+          col("errors_before"), col("spend_before_cents"),
+          col("micros_since_prev"))
     }
   )
 
@@ -2422,6 +2457,26 @@ object EventQueries extends QueryPack {
         |  CAST(date_diff('day', cohort_ts, wk) / 7 AS BIGINT) AS week_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM f JOIN a USING (user_id)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "ev_feature_snapshot" ->
+      """WITH w AS (SELECT event_id, user_id, event_type,
+        |    CAST(count(*) OVER win AS BIGINT) AS n_before,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+        |      OVER win, 0) AS BIGINT) AS clicks_before,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END)
+        |      OVER win, 0) AS BIGINT) AS views_before,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END)
+        |      OVER win, 0) AS BIGINT) AS errors_before,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END)
+        |      OVER win, 0) AS BIGINT) AS spend_before_cents,
+        |    epoch_us(ts) - epoch_us(max(ts) OVER win) AS micros_since_prev
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS label_id, user_id, n_before, clicks_before,
+        |  views_before, errors_before, spend_before_cents, micros_since_prev
+        |FROM w WHERE event_type = 'purchase'""".stripMargin
   )
 }

@@ -335,6 +335,20 @@ object JoinQueries extends QueryPack {
         .select("event_id", "user_id", "last_purchase")
     },
 
+    // staleness-bounded as-of (the feature-store freshness contract):
+    // the most recent prior purchase counts only within 24 h — an older
+    // match trains the model on a feature serving would never produce.
+    "join_asof_tol" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Relational.asOfJoinTolerance(clicks, purchases, Seq("user_id"), "ts",
+        "value", "fresh_purchase", maxStalenessUs = 86400000000L)
+        .select("event_id", "user_id", "fresh_purchase")
+    },
+
     // NEAREST as-of: each click takes its user's purchase value closest
     // in time in either direction (ties backward) — completes the as-of
     // family (backward / forward / multi / nearest).
@@ -636,6 +650,17 @@ object JoinQueries extends QueryPack {
         |GROUP BY p.user_id""".stripMargin,
     "join_asof" ->
       """SELECT c.event_id, c.user_id, p.value AS last_purchase
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    // the same backward probe with the 24 h staleness bound applied to
+    // the matched row (ASOF picks the latest prior row; the CASE nulls
+    // it when stale — exactly the engine's semantics, in exact micros)
+    "join_asof_tol" ->
+      """SELECT c.event_id, c.user_id,
+        |  CASE WHEN p.ts IS NOT NULL
+        |        AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000
+        |       THEN p.value END AS fresh_purchase
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,

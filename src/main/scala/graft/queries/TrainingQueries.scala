@@ -570,6 +570,28 @@ object TrainingQueries extends QueryPack {
         col("lang") === "en", bins = 10)
     },
 
+    // expected calibration error — the one-number card on top of
+    // eval_calibration's table: ECE = Σ (n_b/N)·|frac_pos_b − mean_score_b|.
+    // Both per-bin terms are the calibration table's own 6dp-rounded
+    // doubles (already hash-proven identical across engines); the
+    // weighted sum folds over the ≤10-bin array in bin order so both
+    // engines add the same doubles in the same sequence (the stat_anova
+    // discipline), one division by N at the end.
+    "eval_ece" -> { (s, dir) =>
+      val cal = TextAnalysis.calibration(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", bins = 10)
+      cal
+        .agg(sort_array(collect_list(struct(col("bin"),
+            (abs(col("frac_pos") - col("mean_score")) *
+              col("n").cast("double")).as("x")))).as("terms"),
+          sum(col("n")).as("n_docs"))
+        .select(col("n_docs"),
+          TimeSeries.portableRound6(
+            aggregate(col("terms"), lit(0.0),
+              (acc, t) => acc + t.getField("x")) /
+              col("n_docs").cast("double")).as("ece"))
+    },
+
     // k-anonymity audit over the (lang, source, size-bucket) quasi-
     // identifiers: every equivalence class with its size, k≥5 verdict,
     // and 1/n re-identification risk — the metadata governance gate
@@ -766,6 +788,32 @@ object TrainingQueries extends QueryPack {
       sorted.rdd.map(r => (r.getLong(0), r.getString(1)))
         .zipWithIndex.map { case ((id, k), i) => (id, k, i + 1L) }
         .toDF("doc_id", "shuffle_key", "position")
+    },
+
+    // shuffle-quality audit of the training order: the source-transition
+    // matrix over consecutive positions — a badly mixed corpus (long
+    // same-source runs) shows up as a heavy diagonal, and same-source
+    // runs are exactly what cause loss spikes and order-correlated
+    // gradient noise in pretraining. Adjacency via a position+1
+    // equi-join (one linear shuffle on position), NEVER a global window
+    // — the order itself comes from the same distributed
+    // range-repartition + zipWithIndex machinery as corpus_order.
+    "corpus_order_mix" -> { (s, dir) =>
+      import s.implicits._
+      val sorted = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(to_binary(col("doc_id").cast("string"), lit("utf-8")))
+            .as("shuffle_key"))
+        .repartitionByRange(col("shuffle_key"), col("doc_id"))
+        .sortWithinPartitions("shuffle_key", "doc_id")
+      val ord = sorted.rdd.map(r => (r.getLong(0), r.getString(1)))
+        .zipWithIndex.map { case ((_, src), i) => (src, i + 1L) }
+        .toDF("source", "position")
+      val nxt = ord.select(col("source").as("next_source"),
+        (col("position") - 1L).as("position"))
+      ord.join(nxt, "position")
+        .groupBy(col("source"), col("next_source"))
+        .agg(count(lit(1)).as("n"))
     },
 
     // per-EPOCH training order: each epoch e draws a fresh deterministic
@@ -1392,6 +1440,31 @@ object TrainingQueries extends QueryPack {
             graft.ops.Stats.chi2Term(col("n"), col("n_cur"),
               col("r"), col("cc")))
             * 1000000) / 1000000).as("chi2_term"))
+    },
+
+    // Population Stability Index over the same frozen quantizer cells —
+    // the monitoring-score companion to drift_cells' chi²: PSI weights
+    // drift by log-odds, so a cell going 1% → 2% scores like 20% → 40%
+    // (chi² would barely notice the first). Laplace +1 smoothing on the
+    // counts keeps empty cells finite, with the CELL-COUNT literal in
+    // the denominator (the quantizer's cell set is closed at k = 8).
+    // The two shares are one division each; ln is libm on both engines
+    // and the 6dp round absorbs the last-ulp divergence (the text_zipf
+    // discipline). Per-cell rows — no cross-engine sum-order anywhere.
+    "drift_psi" -> { (s, dir) =>
+      val k = 8
+      val cells = Similarity.seedCellAssign(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .withColumn("side", pmod(col("vec_id"), lit(2)))
+      val cnt = cells.groupBy(col("cell"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_cur"))
+      val tot = cnt.agg(sum(col("n_ref")).as("cr"), sum(col("n_cur")).as("cc"))
+      val pr = (col("n_ref") + 1L).cast("double") / (col("cr") + k).cast("double")
+      val pc = (col("n_cur") + 1L).cast("double") / (col("cc") + k).cast("double")
+      cnt.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_ref"), col("n_cur"),
+          TimeSeries.portableRound6((pc - pr) * log(pc / pr)).as("psi_term"))
     },
 
     // ---- corpus assembly -------------------------------------------------
@@ -3453,6 +3526,25 @@ object TrainingQueries extends QueryPack {
          |  round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*) * 1000000) / 1000000 AS frac_pos
          |FROM scored GROUP BY 1""".stripMargin,
+    // ECE on the same per-bin table: the weighted |frac_pos − mean_score|
+    // terms fold in bin order (list ORDER BY bin — both engines add the
+    // same doubles in the same sequence), one division by N.
+    "eval_ece" ->
+      s"""WITH scored AS (SELECT round(1.0/(1.0 + exp(-z)), 4) AS score,
+         |    lang = 'en' AS pos FROM (${clfZSql(", lang")})),
+         |cal AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    round(CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * 10000) * 1000000) / 1000000 AS mean_score,
+         |    round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*) * 1000000) / 1000000 AS frac_pos
+         |  FROM scored GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |  round(list_aggregate(
+         |      list(abs(frac_pos - mean_score) * CAST(n AS DOUBLE)
+         |        ORDER BY bin), 'sum')
+         |    / CAST(sum(n) AS DOUBLE) * 1000000) / 1000000 AS ece
+         |FROM cal""".stripMargin,
     "gov_kanon" ->
       """SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT)
         |    AS size_bucket,
@@ -3752,6 +3844,16 @@ object TrainingQueries extends QueryPack {
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
         |    doc_id) AS BIGINT) AS position
         |FROM documents""".stripMargin,
+    // same deterministic order, consecutive-position source transitions
+    "corpus_order_mix" ->
+      """WITH o AS (SELECT source,
+        |    CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |      doc_id) AS BIGINT) AS position
+        |  FROM documents)
+        |SELECT a.source, b.source AS next_source,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM o a JOIN o b ON b.position = a.position + 1
+        |GROUP BY 1, 2""".stripMargin,
     "corpus_epoch_order" ->
       """WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
         |k AS (SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
@@ -5027,6 +5129,25 @@ object TrainingQueries extends QueryPack {
          |    CAST(CAST(n AS HUGEINT) * r * cc AS DOUBLE) AS den_c
          |  FROM (SELECT cell, n_ref, n_cur, cr, cc,
          |          n_ref + n_cur AS r, cr + cc AS n FROM cnt, tot))""".stripMargin,
+    // PSI over the same cells: +1-smoothed shares (denominator literal 8
+    // = the closed cell set), ln on both engines, 6dp round absorbs the
+    // last-ulp libm divergence (the text_zipf discipline)
+    "drift_psi" ->
+      s"""WITH $kmeansCtes,
+         |sides AS (SELECT c1 AS cell, ((vec_id % 2) + 2) % 2 AS side
+         |          FROM a1),
+         |cnt AS (SELECT cell,
+         |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         |  FROM sides GROUP BY cell),
+         |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS cr,
+         |        CAST(sum(n_cur) AS BIGINT) AS cc FROM cnt)
+         |SELECT cell, n_ref, n_cur,
+         |  round((pc - pr) * ln(pc / pr) * 1000000) / 1000000 AS psi_term
+         |FROM (SELECT cell, n_ref, n_cur,
+         |    CAST(n_ref + 1 AS DOUBLE) / CAST(cr + 8 AS DOUBLE) AS pr,
+         |    CAST(n_cur + 1 AS DOUBLE) / CAST(cc + 8 AS DOUBLE) AS pc
+         |  FROM cnt, tot)""".stripMargin,
     "sim_ann_ivf_trained" -> trainedIvfSql,
     "sim_knn_label" ->
       s"""WITH $knnPredCtes

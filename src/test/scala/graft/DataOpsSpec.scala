@@ -171,6 +171,23 @@ class DataOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 10.0, 2L -> 20.0))
   }
 
+  test("tolerance as-of: exactly-at-bound matches, one microsecond past is null") {
+    val left = Seq(
+      ("k", ts("2024-01-01 00:01:00"), 1L),   // 30s stale -> fresh
+      ("k", ts("2024-01-01 00:01:30"), 2L),   // exactly 60s -> fresh (<=)
+      ("k", ts("2024-01-01 00:01:30.000001"), 3L), // 60s + 1us -> null
+      ("k", ts("2023-12-31 00:00:00"), 4L))   // no prior at all -> null
+      .toDF("key", "ts", "id")
+    val right = Seq(("k", ts("2024-01-01 00:00:30"), 10.0))
+      .toDF("key", "ts", "value")
+    val out = Relational.asOfJoinTolerance(left, right, Seq("key"), "ts",
+        "value", "fresh", maxStalenessUs = 60000000L)
+      .select("id", "fresh").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out === Map(1L -> Some(10.0), 2L -> Some(10.0), 3L -> None, 4L -> None))
+  }
+
   test("generator batch: round-robin keys and JSON payload") {
     val g = Generator.batch(spark, rows = 100, keyCount = 5)
     assert(g.select("key").distinct().count() === 5)
