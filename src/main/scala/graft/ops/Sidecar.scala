@@ -25,11 +25,14 @@ import org.apache.spark.storage.StorageLevel
   * whole from-scratch shapes per tier.
   *
   * Keys are (session, caller key): entries live in a PER-SESSION map
-  * held under a WEAK session key, so a stopped-and-dereferenced
-  * session's DataFrames (and their checkpoint blocks) become
-  * GC-reclaimable with it instead of pinning the JVM for its lifetime;
-  * [[clearSession]] evicts eagerly. A different sf dir inside the
-  * caller key never shares blocks.
+  * inside a small LRU of sessions (a weak session key would be INERT
+  * here — a cached DataFrame strongly references its SparkSession, so
+  * the value would pin the key, the exact cycle the WeakHashMap javadoc
+  * warns about). The LRU bound means a JVM churning through short-lived
+  * sessions retains at most [[MaxSessions]] sessions' blocks; evicted
+  * DataFrames become unreachable and the ContextCleaner reclaims their
+  * checkpoint blocks on GC. [[clearSession]] evicts eagerly. A
+  * different sf dir inside the caller key never shares blocks.
   *
   * IMMUTABLE-INPUT ASSUMPTION: the key is (session, caller key) — NOT a
   * content hash. If the files under a key's dir are rewritten within a
@@ -50,12 +53,22 @@ object Sidecar {
 
   @volatile var enabled: Boolean = true
 
-  /** Weak session key: a stopped, dereferenced session drops its whole
-    * cache map (and every DataFrame in it) to the GC. Values are
-    * per-session ConcurrentHashMaps so concurrent first builds per key
-    * still serialize (the Verify harness submits queries 4-way). */
-  private val sessions = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]())
+  /** Most sessions the cache retains at once: the working set is one
+    * (Verify/Bench/tests run a single session per JVM); the bound only
+    * exists so session churn cannot pin blocks for the JVM lifetime. */
+  val MaxSessions: Int = 4
+
+  /** Access-ordered LRU of per-session maps. Values are per-session
+    * ConcurrentHashMaps so concurrent first builds per key still
+    * serialize (the Verify harness submits queries 4-way); all LRU
+    * access goes through the enclosing synchronized. */
+  private val sessions =
+    new java.util.LinkedHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, ConcurrentHashMap[String, DataFrame]]): Boolean =
+        size() > MaxSessions
+    }
 
   private def sessionCache(spark: SparkSession): ConcurrentHashMap[String, DataFrame] =
     sessions.synchronized {

@@ -1447,10 +1447,15 @@ object TrainingQueries extends QueryPack {
     // drift by log-odds, so a cell going 1% → 2% scores like 20% → 40%
     // (chi² would barely notice the first). Laplace +1 smoothing on the
     // counts keeps empty cells finite, with the CELL-COUNT literal in
-    // the denominator (the quantizer's cell set is closed at k = 8).
-    // The two shares are one division each; ln is libm on both engines
-    // and the 6dp round absorbs the last-ulp divergence (the text_zipf
-    // discipline). Per-cell rows — no cross-engine sum-order anywhere.
+    // the denominator (the quantizer's cell set is closed at k = 8) —
+    // and the output carries ALL k cells, not just the observed ones: a
+    // cell empty on both sides still has a nonzero smoothed term
+    // whenever the side totals differ, and dropping it would silently
+    // understate Σ psi (the 8-row literal universe left-joins the
+    // census — review catch). The two shares are one division each; ln
+    // is libm on both engines and the 6dp round absorbs the last-ulp
+    // divergence (the text_zipf discipline). Per-cell rows — no
+    // cross-engine sum-order anywhere.
     "drift_psi" -> { (s, dir) =>
       val k = 8
       val cells = Similarity.seedCellAssign(
@@ -1459,10 +1464,15 @@ object TrainingQueries extends QueryPack {
       val cnt = cells.groupBy(col("cell"))
         .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_ref"),
           sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_cur"))
-      val tot = cnt.agg(sum(col("n_ref")).as("cr"), sum(col("n_cur")).as("cc"))
+      val universe = s.range(k).select(col("id").cast("int").as("cell"))
+      val full = universe.join(cnt, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val tot = full.agg(sum(col("n_ref")).as("cr"), sum(col("n_cur")).as("cc"))
       val pr = (col("n_ref") + 1L).cast("double") / (col("cr") + k).cast("double")
       val pc = (col("n_cur") + 1L).cast("double") / (col("cc") + k).cast("double")
-      cnt.crossJoin(broadcast(tot))
+      full.crossJoin(broadcast(tot))
         .select(col("cell"), col("n_ref"), col("n_cur"),
           TimeSeries.portableRound6((pc - pr) * log(pc / pr)).as("psi_term"))
     },
@@ -4808,8 +4818,6 @@ object TrainingQueries extends QueryPack {
         |FROM best""".stripMargin
     },
     "sim_topk" -> simTopkSql,
-    // hybrid RRF: both legs rank 1e6-rounded scores with id tiebreaks;
-    // the fused score is two exact IEEE divisions + one addition.
     // hybrid RRF: the lexical leg replays the exact-Jaccard ranks; the
     // semantic leg replays the FROZEN-IVF PROBE (the same d/a/q CTEs as
     // sim_ann_ivf — the engine side reads its materialized index, the
@@ -5136,10 +5144,13 @@ object TrainingQueries extends QueryPack {
       s"""WITH $kmeansCtes,
          |sides AS (SELECT c1 AS cell, ((vec_id % 2) + 2) % 2 AS side
          |          FROM a1),
-         |cnt AS (SELECT cell,
+         |obs AS (SELECT cell,
          |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
          |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
          |  FROM sides GROUP BY cell),
+         |cnt AS (SELECT CAST(u.i AS INT) AS cell,
+         |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+         |  FROM range(8) u(i) LEFT JOIN obs ON obs.cell = u.i),
          |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS cr,
          |        CAST(sum(n_cur) AS BIGINT) AS cc FROM cnt)
          |SELECT cell, n_ref, n_cur,

@@ -125,11 +125,18 @@ final class JetStreamWire(host: String, port: Int, stream: String,
   def lastSequence: Long =
     jsonLong(request(s"$$JS.API.STREAM.INFO.$stream", "{}"), "last_seq")
 
-  /** The durable's broker-side ack floor — where a restart resumes. */
+  /** The durable's broker-side ack floor — where a restart resumes.
+    * Anchored on the `"ack_floor"` OBJECT before extracting its
+    * `stream_seq`: a spec-shaped CONSUMER.INFO reply lists
+    * `"delivered":{...,"stream_seq":D}` FIRST, and D ≥ floor — taking
+    * the first `stream_seq` in the document would resume past
+    * delivered-but-unacked messages (silent loss on restart). */
   def ackFloor: Long = {
     ensureDurable()
-    jsonLong(request(s"$$JS.API.CONSUMER.INFO.$stream.$durable", "{}"),
-      "stream_seq")
+    val r = request(s"$$JS.API.CONSUMER.INFO.$stream.$durable", "{}")
+    val i = r.indexOf("\"ack_floor\"")
+    require(i >= 0, s"no ack_floor in CONSUMER.INFO reply: $r")
+    jsonLong(r.substring(i), "stream_seq")
   }
 
   @volatile private var durableCreated = false

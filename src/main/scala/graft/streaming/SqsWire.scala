@@ -41,7 +41,11 @@ final class SqsWire(queueUrl: String, visibilityTimeoutSec: Int = 30,
     val os = conn.getOutputStream
     try { os.write(body); os.flush() } finally os.close()
     val code = conn.getResponseCode
-    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    // getErrorStream is NULL when an error response has no body — the
+    // require below must still report the action + status, not NPE
+    val is = if (code < 400) conn.getInputStream
+      else Option(conn.getErrorStream)
+        .getOrElse(java.io.InputStream.nullInputStream())
     val resp = try new String(is.readAllBytes(), UTF_8) finally is.close()
     require(code == 200, s"SQS ${params.head._2} failed HTTP $code: $resp")
     resp

@@ -101,9 +101,15 @@ class JetStreamWireSpec extends AnyFunSuite {
             deliver(reply, null, s"""{"name":"$name"}""".getBytes(UTF_8))
           case s if s.startsWith(s"$$JS.API.CONSUMER.INFO.$stream.") =>
             val name = t.last
+            // spec-shaped reply: "delivered" (cursor, >= floor) comes
+            // BEFORE "ack_floor" — a client that grabs the document's
+            // first stream_seq reads the wrong object (regression pin)
+            val delivered = math.max(cursors.getOrElse(name, 1L) - 1, 0L)
             deliver(reply, null,
-              s"""{"ack_floor":{"stream_seq":${ackFloors.getOrElse(name, 0L)}}}"""
-                .getBytes(UTF_8))
+              (s"""{"name":"$name","delivered":{"consumer_seq":$delivered,""" +
+                s""""stream_seq":$delivered},""" +
+                s""""ack_floor":{"consumer_seq":${ackFloors.getOrElse(name, 0L)},""" +
+                s""""stream_seq":${ackFloors.getOrElse(name, 0L)}}}""").getBytes(UTF_8))
           case s if s.startsWith(s"$$JS.API.CONSUMER.MSG.NEXT.$stream.") =>
             val name = t.last
             val batch = jsonLong(json, "batch", 1L).toInt

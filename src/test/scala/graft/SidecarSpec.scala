@@ -59,6 +59,22 @@ class SidecarSpec extends SparkSpec {
     assert(builds.get() == 2)
   }
 
+  test("session churn is bounded: the LRU evicts the least-recently-used session") {
+    Sidecar.clear()
+    val builds = new AtomicInteger(0)
+    def build = { builds.incrementAndGet(); buildDf() }
+    val first = spark.newSession()
+    Sidecar.cached(first, "spec_lru")(build).collect()
+    assert(builds.get() == 1)
+    // MaxSessions fresh sessions push `first` out of the LRU
+    (1 to Sidecar.MaxSessions).foreach { _ =>
+      Sidecar.cached(spark.newSession(), "spec_lru")(build).collect()
+    }
+    Sidecar.cached(first, "spec_lru")(build).collect()
+    assert(builds.get() == Sidecar.MaxSessions + 2,
+      "evicted session must rebuild — churn cannot pin blocks forever")
+  }
+
   test("disabled mode bypasses the cache but still checkpoints") {
     Sidecar.clearSession(spark)
     val builds = new AtomicInteger(0)
