@@ -23,6 +23,44 @@ object Stats {
   def fdiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)).cast(d38) / b.cast(d38)).cast("long")
 
+  /** Standard normal quantile Φ⁻¹(p) — Acklam's rational approximation
+    * (public-domain algorithm, |rel err| < 1.15e-9), evaluated ONCE at
+    * plan-build time so both engines consume the same double literals
+    * (the sprtMicroNats discipline: never make two engines call their
+    * own special-function libm). */
+  def invNormCdf(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"p in (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else -invNormCdf(1 - p)
+  }
+
+  /** Benjamini–Hochberg z² threshold matrix: `bhT2(m-1)(r-1)` is the
+    * two-sided z² a rank-r (by descending statistic) test must clear
+    * when m hypotheses are tested at FDR level `alpha` — i.e.
+    * Φ⁻¹(1 − α·r/(2m))². Literals for BOTH engines. */
+  def bhT2Matrix(alpha: Double, mMax: Int): Seq[Seq[Double]] =
+    (1 to mMax).map(m => (1 to m).map { r =>
+      val z = invNormCdf(1.0 - alpha * r / (2.0 * m)); z * z
+    })
+
   /** One chi-squared contingency term, (n·O − r·c)² / (n·r·c), with the
     * FULL decimal discipline — every count is cast to DECIMAL(38,0)
     * BEFORE any product (a BIGINT pairwise product of counts wraps at

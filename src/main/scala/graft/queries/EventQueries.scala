@@ -12,6 +12,15 @@ import graft.ops.{CorpusOps, Tables}
   */
 object EventQueries extends QueryPack {
 
+  /** BH z² thresholds at FDR 0.05 up to 12 hypotheses, 6dp-quantized so
+    * the Spark literal and the SQL text literal parse to the SAME
+    * doubles (a bare full-precision double literal goes through
+    * DuckDB's decimal intermediate one ulp off — the ev_benford note).
+    * Shared by stat_fdr's engine plan and oracle. */
+  private lazy val bhThr: Seq[Seq[Double]] =
+    graft.ops.Stats.bhT2Matrix(0.05, 12)
+      .map(_.map(x => math.round(x * 1e6) / 1e6))
+
   val queries: Map[String, Q] = Map(
 
     // Markov next-event transition matrix: P(next_type | type) over each
@@ -93,6 +102,61 @@ object EventQueries extends QueryPack {
         graft.ops.TimeSeries.portableRound6(mean("sx1", "n1") / 100.0)
           .as("mean1"),
         graft.ops.TimeSeries.portableRound6(diff * diff / se2).as("t2"))
+    },
+
+    // Benjamini–Hochberg FDR control across the per-event-type A/B
+    // tests — the multiple-comparisons read an experimentation platform
+    // actually ships (five metrics at α=0.05 each ≈ a 23% family-wise
+    // false-alarm rate; BH caps the expected FALSE-DISCOVERY share
+    // instead). Per type: the stat_ttest Welch t² from exact cents
+    // moments; then the step-up rule on the |types|-row table — rank by
+    // t² descending, r* = max rank clearing its z²(1 − α·r/(2m)) bar,
+    // reject ranks ≤ r*. The threshold matrix is Scala-computed
+    // (Stats.bhT2Matrix — Acklam Φ⁻¹, never each engine's own libm) and
+    // injected as the SAME nested literal into both plans. All windows
+    // run on the |types|-sized aggregate (the mixWeights precedent),
+    // never the corpus.
+    "stat_fdr" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val mMax = 12
+      val thrMat = array(bhThr.map(row => array(row.map(lit): _*)): _*)
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cents = (col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+      val per = Tables.events(s, dir)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(2)).as("variant"), cents.as("x"))
+      val m = per.groupBy(col("event_type")).agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("x"))).as("sx0"),
+        sum(when(col("variant") === 0, col("x") * col("x"))).as("sxx0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("x"))).as("sx1"),
+        sum(when(col("variant") === 1, col("x") * col("x"))).as("sxx1"))
+      def mean(sx: String, n: String) =
+        col(sx).cast("double") / col(n).cast("double")
+      def svar(n: String, sx: String, sxx: String) =
+        (d38(col(n)) * col(sxx) - col(sx) * col(sx)).cast("double") /
+          (d38(col(n)) * (d38(col(n)) - 1)).cast("double")
+      val diff = mean("sx0", "n0") - mean("sx1", "n1")
+      val se2 = svar("n0", "sx0", "sxx0") / col("n0").cast("double") +
+        svar("n1", "sx1", "sxx1") / col("n1").cast("double")
+      val wRank = Window.orderBy(col("t2").desc, col("event_type").asc)
+      val wAll = wRank.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      m.select(col("event_type"), col("n0"), col("n1"),
+          (diff * diff / se2).as("t2"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll).cast("int"))
+        .withColumn("pass", col("t2") >= element_at(element_at(
+          when(col("m") <= mMax, thrMat).otherwise(raise_error(
+            lit(s"stat_fdr: more than $mMax hypotheses — widen the matrix"))),
+          col("m")), col("rank").cast("int")))
+        .withColumn("rstar",
+          max(when(col("pass"), col("rank")).otherwise(0L)).over(wAll))
+        .select(col("event_type"), col("n0"), col("n1"),
+          graft.ops.TimeSeries.portableRound6(col("t2")).as("t2"),
+          col("rank"), (col("rank") <= col("rstar")).as("rejected"))
     },
 
     // day-over-day top movers: for every (event_type, day) on the
@@ -2132,6 +2196,50 @@ object EventQueries extends QueryPack {
         |        / CAST(n1 AS DOUBLE))
         |    * 1000000) / 1000000 AS t2
         |FROM m""".stripMargin,
+    // BH step-up on the per-type Welch t² (the stat_ttest kernel grouped
+    // by event_type); the z² bar matrix is the SAME 6dp-quantized Scala
+    // literal the engine plan embeds
+    "stat_fdr" -> {
+      val mat = bhThr
+        .map(row => row.map(x => f"$x%.6f").mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""WITH per AS (SELECT event_type, ((user_id % 2) + 2) % 2 AS variant,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x
+         |  FROM events),
+         |m AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    sum(CASE WHEN variant = 0 THEN x END) AS sx0,
+         |    sum(CASE WHEN variant = 0 THEN x * x END) AS sxx0,
+         |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    sum(CASE WHEN variant = 1 THEN x END) AS sx1,
+         |    sum(CASE WHEN variant = 1 THEN x * x END) AS sxx1
+         |  FROM per GROUP BY 1),
+         |t AS (SELECT event_type, n0, n1,
+         |    ((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         |       - (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+         |    * ((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         |       - (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+         |    / (CAST(CAST(n0 AS DECIMAL(38,0)) * sxx0 - sx0 * sx0 AS DOUBLE)
+         |        / CAST(CAST(n0 AS DECIMAL(38,0))
+         |            * (CAST(n0 AS DECIMAL(38,0)) - 1) AS DOUBLE)
+         |        / CAST(n0 AS DOUBLE)
+         |      + CAST(CAST(n1 AS DECIMAL(38,0)) * sxx1 - sx1 * sx1 AS DOUBLE)
+         |        / CAST(CAST(n1 AS DECIMAL(38,0))
+         |            * (CAST(n1 AS DECIMAL(38,0)) - 1) AS DOUBLE)
+         |        / CAST(n1 AS DOUBLE)) AS t2
+         |  FROM m),
+         |r AS (SELECT event_type, n0, n1, t2,
+         |    CAST(row_number() OVER (ORDER BY t2 DESC, event_type ASC)
+         |      AS BIGINT) AS rank,
+         |    CAST(count(*) OVER () AS INT) AS mm
+         |  FROM t),
+         |p AS (SELECT *, t2 >= ($mat)[mm][CAST(rank AS INT)] AS pass FROM r)
+         |SELECT event_type, n0, n1,
+         |  round(t2 * 1000000) / 1000000 AS t2, rank,
+         |  rank <= coalesce(max(CASE WHEN pass THEN rank END) OVER (), 0)
+         |    AS rejected
+         |FROM p""".stripMargin
+    },
     "topk_movers" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS n

@@ -42,6 +42,21 @@ object DriftStream {
     *                  settled corpus histogram, collected driver-side.
     * @param threshold χ² alarm bar (df = |cells|−1; e.g. 11.07 ≈ 95%
     *                  at df 5, 14.07 at df 7). */
+  /** The shared per-window cell histogram: (window, cell→count map,
+    * window total) — chi² and PSI scoring both read this one shape. */
+  private def packedWindows(stream: DataFrame, vecCol: String, tsCol: String,
+                            k: Int, dim: Int, windowDur: String,
+                            delay: String): DataFrame = stream
+    .withWatermark(tsCol, delay)
+    .withColumn("cell", Similarity.seedCellColumn(vecCol, k, dim))
+    .where(col("cell").isNotNull) // malformed vectors: see scaladoc
+    .groupBy(window(col(tsCol), windowDur).as("w"), col("cell"))
+    .agg(count(lit(1)).as("n_cur"))
+    .groupBy(col("w"))
+    .agg(map_from_entries(sort_array(collect_list(
+      struct(col("cell"), col("n_cur"))))).as("cur"),
+      sum(col("n_cur")).as("cc"))
+
   def windowedAlarms(stream: DataFrame, vecCol: String, tsCol: String,
                      reference: Map[Int, Long], threshold: Double,
                      k: Int = 8, dim: Int = 64,
@@ -49,16 +64,7 @@ object DriftStream {
                      delay: String = "5 minutes"): DataFrame = {
     require(reference.nonEmpty, "empty reference histogram")
     val cr = reference.values.sum // frozen side total — a plan literal
-    val packed = stream
-      .withWatermark(tsCol, delay)
-      .withColumn("cell", Similarity.seedCellColumn(vecCol, k, dim))
-      .where(col("cell").isNotNull) // malformed vectors: see scaladoc
-      .groupBy(window(col(tsCol), windowDur).as("w"), col("cell"))
-      .agg(count(lit(1)).as("n_cur"))
-      .groupBy(col("w"))
-      .agg(map_from_entries(sort_array(collect_list(
-        struct(col("cell"), col("n_cur"))))).as("cur"),
-        sum(col("n_cur")).as("cc"))
+    val packed = packedWindows(stream, vecCol, tsCol, k, dim, windowDur, delay)
     val n = lit(cr) + col("cc")
     def term(cell: Int, nRef: Long): Column = {
       val o = coalesce(element_at(col("cur"), lit(cell)), lit(0L))
@@ -73,5 +79,37 @@ object DriftStream {
       .where(col("chi2") > threshold)
       .select(col("w.start").as("bucket"), col("cc").as("n_vectors"),
         (round(col("chi2") * 10000) / 10000).as("chi2"))
+  }
+
+  /** PSI drift alarm — the log-odds-weighted companion to the chi²
+    * alarm over the same packed window histograms (the batch drift_psi
+    * twin): every closing window's smoothed cell shares score
+    * Σ (p_cur − p_ref)·ln(p_cur/p_ref) over the FULL closed cell set
+    * 0..k−1 (a cell absent from the window or the reference still
+    * contributes — its smoothed term is nonzero whenever the totals
+    * differ, the batch query's review-caught rule). The reference
+    * shares are Scala-computed plan literals; the window shares are one
+    * division per cell; terms fold in cell order. Common bars: 0.1 =
+    * "monitor", 0.25 = "significant shift — retrain". */
+  def windowedPsiAlarms(stream: DataFrame, vecCol: String, tsCol: String,
+                        reference: Map[Int, Long], threshold: Double,
+                        k: Int = 8, dim: Int = 64,
+                        windowDur: String = "1 hour",
+                        delay: String = "5 minutes"): DataFrame = {
+    require(reference.nonEmpty, "empty reference histogram")
+    val cr = reference.values.sum
+    val packed = packedWindows(stream, vecCol, tsCol, k, dim, windowDur, delay)
+    def term(cell: Int): Column = {
+      val o = coalesce(element_at(col("cur"), lit(cell)), lit(0L))
+      val pr = (reference.getOrElse(cell, 0L) + 1).toDouble / (cr + k).toDouble
+      val pc = (o + 1L).cast("double") / (col("cc") + k).cast("double")
+      (pc - lit(pr)) * log(pc / lit(pr))
+    }
+    val psi = (0 until k).map(term).reduce(_ + _)
+    packed
+      .withColumn("psi", psi)
+      .where(col("psi") > threshold)
+      .select(col("w.start").as("bucket"), col("cc").as("n_vectors"),
+        (round(col("psi") * 1000000) / 1000000).as("psi"))
   }
 }

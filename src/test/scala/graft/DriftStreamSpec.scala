@@ -76,6 +76,53 @@ class DriftStreamSpec extends SparkSpec {
     assert(quiet.isEmpty)
   }
 
+  test("windowed PSI equals the smoothed closed-cell-set fold; quiet under a high bar") {
+    val ref = cellsOf(pmod(col("vec_id"), lit(2)) === 0)
+    val cur = cellsOf(pmod(col("vec_id"), lit(2)) === 1)
+    val k = 8
+    val cr = ref.values.sum
+    val cc = cur.values.sum
+    // sequential replay over ALL k cells (absent cells included — the
+    // batch drift_psi rule), +1-smoothed shares, fold in cell order
+    val expected = (0 until k).map { c =>
+      val pr = (ref.getOrElse(c, 0L) + 1).toDouble / (cr + k)
+      val pc = (cur.getOrElse(c, 0L) + 1).toDouble / (cc + k)
+      (pc - pr) * math.log(pc / pr)
+    }.reduce(_ + _)
+
+    val vecs: Seq[(Seq[Float], Timestamp)] = emb
+      .where(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("embedding")).as[Seq[Float]].collect().toSeq
+      .map(v => (v, ts("2024-01-01 00:30:00")))
+
+    def run(threshold: Double, name: String): Array[(Timestamp, Long, Double)] = {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[(Seq[Float], Timestamp)]
+      val q = DriftStream.windowedPsiAlarms(
+          in.toDF().toDF("embedding", "ts"), "embedding", "ts",
+          ref, threshold)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(vecs: _*); q.processAllAvailable()
+        in.addData((Seq.fill(64)(0.0f), ts("2024-01-01 02:30:00")))
+        q.processAllAvailable()
+        spark.table(name)
+          .where(col("bucket") === ts("2024-01-01 00:00:00"))
+          .collect().map(r => (r.getAs[Timestamp]("bucket"),
+            r.getAs[Long]("n_vectors"), r.getAs[Double]("psi")))
+      } finally {
+        q.stop(); spark.sql(s"DROP TABLE IF EXISTS $name")
+      }
+    }
+
+    val alarms = run(threshold = -1.0, "psi_all")
+    assert(alarms.length == 1)
+    assert(alarms.head._2 == cc)
+    assert(alarms.head._3 == math.round(expected * 1000000) / 1000000.0)
+    assert(run(threshold = math.abs(expected) + 1.0, "psi_quiet").isEmpty)
+  }
+
   test("malformed vectors are dropped, not crashed on and not counted") {
     val ref = cellsOf(pmod(col("vec_id"), lit(2)) === 0)
     val good: Seq[(Seq[Float], Timestamp)] = emb

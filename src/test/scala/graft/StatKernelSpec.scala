@@ -400,6 +400,47 @@ class StatKernelSpec extends SparkSpec {
       assert(chi2Spark(n, o, r, c) === chi2Ref(n, o, r, c))
   }
 
+  // ---- inverse normal quantile + BH thresholds ----
+
+  test("invNormCdf matches the textbook quantiles") {
+    assert(math.abs(Stats.invNormCdf(0.975) - 1.9599639845) < 1e-6)
+    assert(math.abs(Stats.invNormCdf(0.95) - 1.6448536270) < 1e-6)
+    assert(math.abs(Stats.invNormCdf(0.5)) < 1e-12)
+    assert(math.abs(Stats.invNormCdf(0.0013498980316301) + 3.0) < 1e-6)
+    // symmetry across the tails (the approximation reflects)
+    for (p <- Seq(0.001, 0.01, 0.2, 0.4))
+      assert(math.abs(Stats.invNormCdf(p) + Stats.invNormCdf(1 - p)) < 1e-9)
+  }
+
+  test("BH threshold matrix: rank-1 bar is the Bonferroni bar; bars relax with rank") {
+    val m = Stats.bhT2Matrix(0.05, 12)
+    for (mm <- 1 to 12) {
+      val row = m(mm - 1)
+      assert(row.length == mm)
+      // rank 1 tests at alpha/m (Bonferroni); rank m at plain alpha
+      assert(math.abs(row.head -
+        math.pow(Stats.invNormCdf(1 - 0.05 / (2 * mm)), 2)) < 1e-9)
+      assert(math.abs(row.last -
+        math.pow(Stats.invNormCdf(1 - 0.05 / 2), 2)) < 1e-9)
+      // monotone: later ranks face lower bars (the step-up shape)
+      row.zip(row.drop(1)).foreach { case (a, b) => assert(a > b) }
+    }
+  }
+
+  test("stat_fdr output obeys the step-up rule on its own t2/rank columns") {
+    val rows = SparkEntry.queries("stat_fdr")(spark, sf())
+      .collect().map(r => (r.getLong(4), r.getDouble(3), r.getBoolean(5)))
+      .sortBy(_._1)
+    val mm = rows.length
+    val thr = Stats.bhT2Matrix(0.05, 12)(mm - 1)
+      .map(x => math.round(x * 1e6) / 1e6)
+    val rstar = rows.filter { case (rank, t2, _) =>
+      t2 >= thr(rank.toInt - 1) }.map(_._1).maxOption.getOrElse(0L)
+    rows.foreach { case (rank, _, rejected) =>
+      assert(rejected == (rank <= rstar),
+        s"rank $rank: step-up says ${rank <= rstar}") }
+  }
+
   test("chi2Term survives counts whose BIGINT products wrap") {
     // n·r·c ≈ 4.7e28 (wraps BIGINT ~5e9 times over); n·o ≈ 1.3e19 and
     // r·c ≈ 7.5e18 each individually exceed Long.MaxValue ≈ 9.2e18 —
