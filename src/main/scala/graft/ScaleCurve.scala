@@ -155,7 +155,7 @@ object ScaleCurve {
     // order-mix adjacency (two linear shuffles on position), PSI (cell
     // census), ECE (one scan + a 10-bin fold)
     "ev_feature_snapshot", "join_asof_tol", "corpus_order_mix",
-    "drift_psi", "eval_ece",
+    "drift_psi", "eval_ece", "stat_fdr",
     // gram-hash join novelty (linear in gram volume), and the two
     // bounded broadcast probes (flat, the eval_ndcg shape)
     "text_novelty", "sim_hard_negatives", "sim_mips",
