@@ -121,7 +121,14 @@ object Dedup {
     * documents cost 2.6 s; the native expression splits once per row. */
   def shingleArray(textCol: Column, w: Int): Column =
     coalesce(graft.functions.WordShingles(textCol, w),
-      array().cast("array<string>"))
+      // containsNull = false, matching WordShingles' own element type: a
+      // `cast("array<string>")` fallback is element-NULLABLE, which makes
+      // the exploded shingle nullable, which lets joins push isnotnull
+      // filters into SOME of a kernel's repeated census subtrees — they
+      // stop canonicalizing equal and AQE exchange reuse dies (the
+      // text_lm_interp 3-ReusedExchange guard caught exactly this)
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)))
 
   /** EXPRESSION-ONLY MinHash signature: identical values to
     * [[minhashSignature]] (min over a multiset equals min over its set),

@@ -81,6 +81,35 @@ object Stats {
     num * num / (n.cast(d38) * r.cast(d38) * c.cast(d38)).cast("double")
   }
 
+  /** Standard normal CDF Φ(z) as a COLUMN expression — Abramowitz &
+    * Stegun 26.2.17 (public-domain polynomial, |ε| < 7.5e-8): the same
+    * five literal coefficients and the same operation order as the SQL
+    * half [[normCdfSql]] emits, so both engines evaluate an identical
+    * IEEE expression tree. The one libm call is exp(−z²/2) (DuckDB and
+    * the JVM may differ in the last ulp — consumers 6dp-round the
+    * result, the eval_calibration sigmoid precedent). */
+  def normCdf(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val tail = exp(-(az * az) / 2) * lit(0.3989422804014327) * poly
+    when(z >= 0, lit(1.0) - tail).otherwise(tail)
+  }
+
+  /** The DuckDB half of [[normCdf]]: same coefficients, same order.
+    * `z` must be a self-contained SQL expression (it is spliced in
+    * several times — pass a column reference, not a subquery). */
+  def normCdfSql(z: String): String = {
+    val t = s"(1.0 / (1.0 + 0.2316419 * abs($z)))"
+    val poly = s"($t * (0.319381530 + $t * (-0.356563782 + " +
+      s"$t * (1.781477937 + $t * (-1.821255978 + $t * 1.330274429)))))"
+    s"(CASE WHEN $z >= 0 THEN 1.0 - exp(-(abs($z) * abs($z)) / 2) " +
+      s"* 0.3989422804014327 * $poly " +
+      s"ELSE exp(-(abs($z) * abs($z)) / 2) * 0.3989422804014327 * $poly END)"
+  }
+
   /** Per-group exact moments (grp, ni, si, qi): BIGINT count/sum,
     * DECIMAL(38,0) sum of squares. `extraKeys` prepends additional
     * grouping expressions (e.g. a streaming event-time window), so the

@@ -159,6 +159,45 @@ object EventQueries extends QueryPack {
           col("rank"), (col("rank") <= col("rstar")).as("rejected"))
     },
 
+    // Bayesian A/B on daily conversion: per day, each variant's purchase
+    // rate gets a Beta(1+s, 1+n−s) posterior (uniform prior) and the
+    // readout is P(p_B > p_A) under the normal approximation of the
+    // posterior difference — the "probability B is better" number a
+    // decision dashboard shows instead of a p-value. Every moment is a
+    // ratio of EXACT counts taken in double (products in double, never
+    // BIGINT — a per-day trial count squared wraps int64 at ~3e9 rows/
+    // day; doubles round identically in both engines), Φ is the shared
+    // A&S 26.2.17 polynomial literal (Stats.normCdf — never each
+    // engine's own erf), 6dp-rounded to absorb the one libm exp ulp.
+    // One groupBy day — the same single shuffle as stat_ttest.
+    "stat_bayes_ab" -> { (s, dir) =>
+      val m = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          pmod(col("user_id"), lit(2)).as("variant"),
+          (col("event_type") === "purchase").as("conv"))
+        .groupBy(col("day")).agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0 && col("conv"), 1L).otherwise(0L))
+            .as("s0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1 && col("conv"), 1L).otherwise(0L))
+            .as("s1"))
+      def mu(sc: org.apache.spark.sql.Column, nc: org.apache.spark.sql.Column) =
+        (sc + 1L).cast("double") / (nc + 2L).cast("double")
+      def variance(sc: org.apache.spark.sql.Column,
+                   nc: org.apache.spark.sql.Column) =
+        (sc + 1L).cast("double") * (nc - sc + 1L).cast("double") /
+          ((nc + 2L).cast("double") * (nc + 2L).cast("double") *
+            (nc + 3L).cast("double"))
+      val z = (mu(col("s1"), col("n1")) - mu(col("s0"), col("n0"))) /
+        sqrt(variance(col("s0"), col("n0")) + variance(col("s1"), col("n1")))
+      m.withColumn("z", z)
+        .select(col("day"), col("n0"), col("s0"), col("n1"), col("s1"),
+          graft.ops.TimeSeries.portableRound6(col("z")).as("z"),
+          graft.ops.TimeSeries.portableRound6(
+            graft.ops.Stats.normCdf(col("z"))).as("p_b_gt_a"))
+    },
+
     // day-over-day top movers: for every (event_type, day) on the
     // AGGREGATED daily series, the count delta vs the previous day;
     // top-10 absolute movers via TakeOrdered — the crawl/traffic-shift
@@ -2239,6 +2278,37 @@ object EventQueries extends QueryPack {
          |  rank <= coalesce(max(CASE WHEN pass THEN rank END) OVER (), 0)
          |    AS rejected
          |FROM p""".stripMargin
+    },
+    // Beta-posterior normal approximation, Φ via the SAME A&S 26.2.17
+    // polynomial literals (Stats.normCdfSql), moments as double ratios
+    // of exact counts — products in double, never BIGINT
+    "stat_bayes_ab" -> {
+      def mu(s: String, n: String) =
+        s"(CAST($s + 1 AS DOUBLE) / CAST($n + 2 AS DOUBLE))"
+      def va(s: String, n: String) =
+        s"(CAST($s + 1 AS DOUBLE) * CAST($n - $s + 1 AS DOUBLE) " +
+          s"/ (CAST($n + 2 AS DOUBLE) * CAST($n + 2 AS DOUBLE) " +
+          s"* CAST($n + 3 AS DOUBLE)))"
+      val z = s"((${mu("s1", "n1")} - ${mu("s0", "n0")}) " +
+        s"/ sqrt(${va("s0", "n0")} + ${va("s1", "n1")}))"
+      s"""WITH per AS (SELECT CAST(ts AS DATE) AS day,
+         |    ((user_id % 2) + 2) % 2 AS variant,
+         |    event_type = 'purchase' AS conv
+         |  FROM events),
+         |m AS (SELECT day,
+         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN variant = 0 AND conv THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s0,
+         |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN variant = 1 AND conv THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s1
+         |  FROM per GROUP BY 1),
+         |zt AS (SELECT day, n0, s0, n1, s1, $z AS z FROM m)
+         |SELECT day, n0, s0, n1, s1,
+         |  round(z * 1000000) / 1000000 AS z,
+         |  round(${graft.ops.Stats.normCdfSql("z")} * 1000000) / 1000000
+         |    AS p_b_gt_a
+         |FROM zt""".stripMargin
     },
     "topk_movers" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -592,6 +592,38 @@ object TrainingQueries extends QueryPack {
               col("n_docs").cast("double")).as("ece"))
     },
 
+    // Murphy decomposition of the (binned) Brier score — the other
+    // one-number card on the calibration table: REL − RES + UNC, where
+    // reliability is the calibration gap ECE squares, resolution is how
+    // much the bins actually separate the classes, and uncertainty is
+    // the base-rate floor o̅(1−o̅) no filter can beat. Tells WHY a score
+    // is bad: high REL → recalibrate (cheap, monotone map); low RES →
+    // retrain (the filter doesn't rank). Same portability shape as
+    // eval_ece: per-bin terms from the hash-proven rounded table, folded
+    // in bin order; the base rate is one exact-count division.
+    "eval_brier" -> { (s, dir) =>
+      val cal = TextAnalysis.calibration(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", bins = 10)
+      val r6 = (c: org.apache.spark.sql.Column) => TimeSeries.portableRound6(c)
+      val packed = cal.agg(
+        sum(col("n")).as("n_docs"), sum(col("pos_n")).as("pos_total"),
+        sort_array(collect_list(struct(col("bin"), col("n"),
+          col("mean_score"), col("frac_pos")))).as("bins"))
+      val obar = col("pos_total").cast("double") / col("n_docs").cast("double")
+      def fold(term: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+          => org.apache.spark.sql.Column) =
+        aggregate(col("bins"), lit(0.0), (acc, b) =>
+          acc + term(b.getField("mean_score") - b.getField("frac_pos"),
+            b.getField("frac_pos")) * b.getField("n").cast("double")) /
+          col("n_docs").cast("double")
+      val rel = fold((gap, _) => gap * gap)
+      val res = fold((_, fp) => (fp - obar) * (fp - obar))
+      val unc = obar * (lit(1.0) - obar)
+      packed.select(col("n_docs"), r6(obar).as("base_rate"),
+        r6(rel).as("reliability"), r6(res).as("resolution"),
+        r6(unc).as("uncertainty"), r6(rel - res + unc).as("brier"))
+    },
+
     // k-anonymity audit over the (lang, source, size-bucket) quasi-
     // identifiers: every equivalence class with its size, k≥5 verdict,
     // and 1/n re-identification risk — the metadata governance gate
@@ -672,6 +704,53 @@ object TrainingQueries extends QueryPack {
     // domain-mixing weights toward a non-uniform target distribution.
     "mix_weights" -> { (s, dir) =>
       CorpusOps.mixWeights(Tables.documents(s, dir), "source", MixTargets)
+    },
+
+    // DoReMi-style domain reweighting — one exponentiated-gradient step
+    // on the mixture from measured per-domain difficulty: each source's
+    // excess loss (mean corpus-LM log-prob deficit vs the corpus mean,
+    // in nats — the sidecar'd text_lm_interp scores, eval_ppl_by_source
+    // stays the from-scratch builder) multiplies its base weight by
+    // exp(η·excess), then the weights renormalize — harder-than-average
+    // domains get more replay, the published mirror-descent update with
+    // the trained proxy's per-domain loss replaced by the n-gram LM's
+    // (the measurable stand-in at curation time). Portability: the
+    // per-doc 4dp scores sum as DECIMAL (order-free, exact); the means
+    // are one double division each; exp is 6dp-rounded (the libm-ulp
+    // discipline); the normalizer folds the ≤|sources| weights in
+    // source order. Plan: vocab-sized LM tables + one source groupBy —
+    // nothing beyond the builder's own shuffle budget.
+    "mix_doremi" -> { (s, dir) =>
+      val eta = 0.5
+      val r6 = (c: org.apache.spark.sql.Column) => TimeSeries.portableRound6(c)
+      val per = cachedLmScores(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("lm_score").cast(
+            org.apache.spark.sql.types.DecimalType(18, 4))).as("sum_score"))
+      val tot = per.agg(sum(col("n_docs")).as("n_all"),
+        sum(col("sum_score")).as("sum_all"))
+      // lm_score is a mean LOG-PROB (higher = easier): a harder-than-
+      // average source has meanS below meanAll → positive excess
+      val meanS = col("sum_score").cast("double") / col("n_docs").cast("double")
+      val meanAll = col("sum_all").cast("double") / col("n_all").cast("double")
+      val scored = per.crossJoin(broadcast(tot))
+        .withColumn("w0", col("n_docs").cast("double") /
+          col("n_all").cast("double"))
+        .withColumn("excess", meanAll - meanS)
+        .withColumn("raw", col("w0") * r6(exp(lit(eta) * col("excess"))))
+      val wsum = scored
+        .agg(sort_array(collect_list(struct(col("source"), col("raw"))))
+          .as("l"))
+        .select(aggregate(col("l"), lit(0.0),
+          (a, x) => a + x.getField("raw")).as("wsum"))
+      scored.crossJoin(broadcast(wsum))
+        .select(col("source"), col("n_docs"),
+          r6(col("w0")).as("w0"),
+          r6(col("excess")).as("excess_nats"),
+          r6(col("raw") / col("wsum")).as("w_doremi"))
     },
 
     // token-budget allocation: split a training-run token budget
@@ -3555,6 +3634,39 @@ object TrainingQueries extends QueryPack {
          |        ORDER BY bin), 'sum')
          |    / CAST(sum(n) AS DOUBLE) * 1000000) / 1000000 AS ece
          |FROM cal""".stripMargin,
+    // Murphy decomposition on the same per-bin table: weighted squared
+    // terms fold in bin order; the base rate is one exact-count
+    // division; REL − RES + UNC composes unrounded, 6dp at the end
+    "eval_brier" ->
+      s"""WITH scored AS (SELECT round(1.0/(1.0 + exp(-z)), 4) AS score,
+         |    lang = 'en' AS pos FROM (${clfZSql(", lang")})),
+         |cal AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_n,
+         |    round(CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * 10000) * 1000000) / 1000000 AS mean_score,
+         |    round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*) * 1000000) / 1000000 AS frac_pos
+         |  FROM scored GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |    CAST(sum(pos_n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS obar
+         |  FROM cal),
+         |sums AS (SELECT t.n_docs, t.obar,
+         |    list_aggregate(list((mean_score - frac_pos)
+         |        * (mean_score - frac_pos) * CAST(n AS DOUBLE)
+         |      ORDER BY bin), 'sum') / CAST(t.n_docs AS DOUBLE) AS rel,
+         |    list_aggregate(list((frac_pos - t.obar) * (frac_pos - t.obar)
+         |        * CAST(n AS DOUBLE)
+         |      ORDER BY bin), 'sum') / CAST(t.n_docs AS DOUBLE) AS res
+         |  FROM cal, t GROUP BY t.n_docs, t.obar)
+         |SELECT n_docs,
+         |  round(obar * 1000000) / 1000000 AS base_rate,
+         |  round(rel * 1000000) / 1000000 AS reliability,
+         |  round(res * 1000000) / 1000000 AS resolution,
+         |  round(obar * (1.0 - obar) * 1000000) / 1000000 AS uncertainty,
+         |  round((rel - res + obar * (1.0 - obar)) * 1000000) / 1000000
+         |    AS brier
+         |FROM sums""".stripMargin,
     "gov_kanon" ->
       """SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT)
         |    AS size_bucket,
@@ -3817,6 +3929,30 @@ object TrainingQueries extends QueryPack {
          |  coalesce(t.share, 0.0) * (SELECT total FROM tot) / c.n AS weight
          |FROM c LEFT JOIN t USING (source)""".stripMargin
     },
+    // the same exponentiated-gradient step: DECIMAL-exact per-source
+    // score sums, one double division per mean, 6dp-rounded exp, the
+    // normalizer folded in source order
+    "mix_doremi" ->
+      s"""WITH $lmInterpCtes,
+         |dper AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    sum(CAST(lm_score AS DECIMAL(18,4))) AS sum_score
+         |  FROM lmscore l JOIN documents d USING (doc_id) GROUP BY 1),
+         |dtot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+         |    sum(sum_score) AS sum_all FROM dper),
+         |dscored AS (SELECT source, n_docs,
+         |    CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE) AS w0,
+         |    CAST(sum_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+         |      - CAST(sum_score AS DOUBLE) / CAST(n_docs AS DOUBLE) AS excess
+         |  FROM dper, dtot),
+         |draw AS (SELECT *, w0 * (round(exp(0.5 * excess) * 1000000) / 1000000)
+         |    AS raw FROM dscored),
+         |dw AS (SELECT list_aggregate(list(raw ORDER BY source), 'sum')
+         |    AS wsum FROM draw)
+         |SELECT source, n_docs,
+         |  round(w0 * 1000000) / 1000000 AS w0,
+         |  round(excess * 1000000) / 1000000 AS excess_nats,
+         |  round(raw / wsum * 1000000) / 1000000 AS w_doremi
+         |FROM draw, dw""".stripMargin,
     "corpus_curriculum" ->
       """SELECT doc_id, n_tokens,
         |  CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS INT) AS stage

@@ -48,11 +48,22 @@ object TemporalJoin {
   /** (version history (tsMs, dimVal) sorted, pending facts (tsMs, factVal)). */
   private type TJState = (List[(Long, String)], List[(Long, Double)])
 
+  /** @param maxStalenessMs staleness bound on the matched version (the
+    *   feature-store freshness contract, the streaming twin of the batch
+    *   `join_asof_tol` query): a fact enriches to dim = null when the
+    *   version in force at its event time is OLDER than this — serving
+    *   would fall back to a default rather than a stale feature, so the
+    *   training join must too. Compared in exact integer millis at emit
+    *   time; retention is unchanged (a stale CURRENT version still
+    *   serves a later fact that lands within the bound of a NEWER
+    *   version, so it cannot be pruned earlier). */
   def enrich(facts: DataFrame, dims: DataFrame, keyCol: String,
              tsCol: String, factValCol: String, dimValCol: String,
              delay: String = "10 minutes",
-             idleTtlMs: Option[Long] = None): DataFrame = {
+             idleTtlMs: Option[Long] = None,
+             maxStalenessMs: Option[Long] = None): DataFrame = {
     require(idleTtlMs.forall(_ > 0), "idleTtlMs must be positive")
+    require(maxStalenessMs.forall(_ >= 0), "maxStalenessMs must be >= 0")
     val spark = facts.sparkSession
     import spark.implicits._
     val unioned = facts
@@ -84,7 +95,10 @@ object TemporalJoin {
           val (ready, waiting) = pend.partition(_._1 <= wm)
           val out = ready.map { case (ft, fv) =>
             (k, new Timestamp(ft), fv,
-              vers.takeWhile(_._1 <= ft).lastOption.map(_._2))
+              vers.takeWhile(_._1 <= ft).lastOption
+                .filter { case (vt, _) =>
+                  maxStalenessMs.forall(ft - vt <= _) }
+                .map(_._2))
           }
           // prune: newest version ≤ wm stays (it is the current value);
           // everything older can never be read again

@@ -130,6 +130,78 @@ class TemporalJoinSpec extends SparkSpec {
     assert(run(None) === Some("v1"))         // default: version retained
   }
 
+  test("maxStalenessMs nulls versions older than the bound at emit") {
+    // the staleness-bounded batch reference (join_asof_tol semantics):
+    // the backward match counts only within the bound, else null
+    def refWithBound(boundMs: Long) = facts.map { case (k, t, v) =>
+      (k, t, v, dims.filter(d => d._1 == k && !d._2.after(t))
+        .sortBy(_._2.getTime).lastOption
+        .filter(d => t.getTime - d._2.getTime <= boundMs).map(_._3))
+    }.toSet
+    implicit val ctx = spark.sqlContext
+    val bound = 30L * 60 * 1000 // 30 min: fact 3.0 (v2 is 30 min old)
+    val fIn = MemoryStream[(String, Timestamp, Double)]
+    val dIn = MemoryStream[(String, Timestamp, String)]
+    val q = TemporalJoin.enrich(
+        fIn.toDF().toDF("k", "t", "fv"), dIn.toDF().toDF("k", "t", "dv"),
+        "k", "t", "fv", "dv", delay = "6 hours",
+        maxStalenessMs = Some(bound))
+      .writeStream.format("memory").queryName("tj_stale")
+      .outputMode("append").start()
+    try {
+      dIn.addData(dims: _*); fIn.addData(facts: _*)
+      q.processAllAvailable()
+      fIn.addData(("__flush", ts("2024-01-02 00:00:00"), 0.0))
+      dIn.addData(("__flush", ts("2024-01-02 00:00:00"), "x"))
+      q.processAllAvailable()
+      fIn.addData(("__flush2", ts("2024-01-03 00:00:00"), 0.0))
+      dIn.addData(("__flush2", ts("2024-01-03 00:00:00"), "x"))
+      q.processAllAvailable()
+      val got = spark.table("tj_stale")
+        .where(!col("k").startsWith("__flush"))
+        .as[(String, Timestamp, Double, Option[String])].collect().toSet
+      assert(got === refWithBound(bound))
+      // the bound actually bit somewhere: fact 1.0 sits exactly AT the
+      // 30-min edge (inclusive → kept), 4.0 is 10 min fresh (kept),
+      // 2.0/3.0 are 0/30 min (kept) — shrink to 5 min and 1.0/3.0 drop
+      assert(got.exists(r => r._3 == 1.0 && r._4 == Some("v1")))
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS tj_stale")
+    }
+  }
+
+  test("maxStalenessMs = 5 min drops the 30-min-old matches") {
+    implicit val ctx = spark.sqlContext
+    val fIn = MemoryStream[(String, Timestamp, Double)]
+    val dIn = MemoryStream[(String, Timestamp, String)]
+    val q = TemporalJoin.enrich(
+        fIn.toDF().toDF("k", "t", "fv"), dIn.toDF().toDF("k", "t", "dv"),
+        "k", "t", "fv", "dv", delay = "6 hours",
+        maxStalenessMs = Some(5L * 60 * 1000))
+      .writeStream.format("memory").queryName("tj_stale5")
+      .outputMode("append").start()
+    try {
+      dIn.addData(dims: _*); fIn.addData(facts: _*)
+      q.processAllAvailable()
+      fIn.addData(("__flush", ts("2024-01-02 00:00:00"), 0.0))
+      dIn.addData(("__flush", ts("2024-01-02 00:00:00"), "x"))
+      q.processAllAvailable()
+      fIn.addData(("__flush2", ts("2024-01-03 00:00:00"), 0.0))
+      dIn.addData(("__flush2", ts("2024-01-03 00:00:00"), "x"))
+      q.processAllAvailable()
+      val byVal = spark.table("tj_stale5")
+        .where(!col("k").startsWith("__flush"))
+        .as[(String, Timestamp, Double, Option[String])].collect()
+        .map(r => r._3 -> r._4).toMap
+      assert(byVal(1.0) === None)        // v1 is 30 min old → stale
+      assert(byVal(2.0) === Some("v2"))  // version AT the fact ts → fresh
+      assert(byVal(3.0) === None)        // v2 is 30 min old → stale
+      assert(byVal(4.0) === None)        // v1 is 10 min old → stale at 5
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS tj_stale5")
+    }
+  }
+
   test("seeded random shuffles and splits all converge (3 trials)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
