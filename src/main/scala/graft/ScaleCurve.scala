@@ -156,6 +156,10 @@ object ScaleCurve {
     // census), ECE (one scan + a 10-bin fold)
     "ev_feature_snapshot", "join_asof_tol", "corpus_order_mix",
     "drift_psi", "eval_ece", "stat_fdr",
+    // Bayes A/B (one day groupBy — linear then flat), Brier (the ECE
+    // scan + 10-bin fold), DoReMi reweight (the LM-builder chain + one
+    // source agg — tracks eval_ppl_by_source)
+    "stat_bayes_ab", "eval_brier", "mix_doremi",
     // gram-hash join novelty (linear in gram volume), and the two
     // bounded broadcast probes (flat, the eval_ndcg shape)
     "text_novelty", "sim_hard_negatives", "sim_mips",
