@@ -54,7 +54,12 @@ object Bench {
     // reps hit the query's own freshly-compiled codegen, matching what
     // MicroBench measures in isolation.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the sweep — isolated
+    // re-measures when a full-sweep number looks like cross-talk
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     var coldTotal = 0.0
     val results = names.map { n =>
       val ts = (1 to reps).map(_ => run(n))
@@ -117,7 +122,9 @@ object Bench {
     // Full per-query detail goes to the well-known file (read back by the
     // next run's regression re-pass) and to stdout for the human log.
     println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json)
+    // a subset run must not clobber the full sweep's regression baseline
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json)
     spark.stop()
 
     // The LAST stdout line is the driver's artifact, and the driver

@@ -106,6 +106,19 @@ object RelationalQueries extends QueryPack {
       Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         graft.ops.Scale.zValue(pmod(col("l_partkey"), lit(256L)),
           pmod(col("l_suppkey"), lit(256L)), 8).as("zval"))
+    },
+
+    // Hilbert clustering value — Z-order's better-locality sibling
+    // (consecutive indices are ALWAYS grid-adjacent; Z jumps 2^k cells
+    // at quadrant seams, so Hilbert-range files bound each file's
+    // two-column extent tighter and range scans skip more files). One
+    // static JVM loop per row inside whole-stage codegen
+    // (functions.HilbertIndex); the oracle replays the same public
+    // xy2d algorithm as 8 chained CTE stages.
+    "layout_hilbert" -> { (s, dir) =>
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.HilbertIndex(pmod(col("l_partkey"), lit(256L)),
+          pmod(col("l_suppkey"), lit(256L)), 8).as("hval"))
     }
   )
 
@@ -200,6 +213,17 @@ object RelationalQueries extends QueryPack {
         s"(((l_partkey % 256) >> $i & 1) << ${2 * i})",
         s"(((l_suppkey % 256) >> $i & 1) << ${2 * i + 1})")).mkString(" | ")
       s"SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS zval FROM lineitem"
+    },
+    // the same xy2d bit algorithm, threaded through 8 CTE stages
+    "layout_hilbert" -> {
+      val keep = Seq("l_orderkey", "l_linenumber")
+      s"""WITH h0 AS (SELECT l_orderkey, l_linenumber,
+         |    CAST(0 AS BIGINT) AS hd,
+         |    l_partkey % 256 AS hx, l_suppkey % 256 AS hy
+         |  FROM lineitem),
+         |${graft.functions.HilbertIndex.sqlCtes(8, "h0", keep)}
+         |SELECT l_orderkey, l_linenumber, CAST(hd AS BIGINT) AS hval
+         |FROM h8""".stripMargin
     }
   )
 }
