@@ -986,35 +986,51 @@ object TextAnalysis {
         coalesce(col("clip2"), lit(0L)).as("clip2"))
   }
 
+  /** ROW-LOCAL twin of [[pairNgramOverlap]] — same seven output columns,
+    * zero shuffles: each pair's uni/bigram clips run as one native
+    * [[graft.functions.NgramClip]] call each (bigram fingerprints are
+    * combined token hashes — no bigram string is ever materialized).
+    * The per-pair work is O(tokens log tokens) in one task, so this is
+    * the right shape whenever a pair fits in memory (generation-eval
+    * pairs always do); [[pairNgramOverlap]] keeps the (pair, gram)
+    * shuffle shape for documents too large to clip in one task. */
+  def pairNgramOverlapLocal(pairs: DataFrame, idCol: String,
+                            candCol: String, refCol: String): DataFrame = {
+    val id = col(idCol)
+    pairs
+      .select(id, tokens(col(candCol)).as("ct"), tokens(col(refCol)).as("rt"))
+      .select(id,
+        size(col("ct")).cast("long").as("c1"),
+        size(col("rt")).cast("long").as("r1"),
+        greatest(size(col("ct")) - 1, lit(0)).cast("long").as("c2"),
+        greatest(size(col("rt")) - 1, lit(0)).cast("long").as("r2"),
+        graft.functions.NgramClip(col("ct"), col("rt"), 1).as("clip1"),
+        graft.functions.NgramClip(col("ct"), col("rt"), 2).as("clip2"))
+  }
+
   /** Character-bigram variant of the clipped overlap — the chrF kernel
     * (spaces stripped first, per the metric's definition; grams are
     * 2-char substrings, 1-based positions, so both engines enumerate
-    * the identical gram multiset). Same one-shuffle clip shape as
-    * [[pairNgramOverlap]]. */
+    * the identical gram multiset). ROW-LOCAL and NATIVE: each pair
+    * clips inside its own task via [[graft.functions.CharBigramClip]]
+    * (exact packed code-point pairs, two sorts, one two-pointer merge —
+    * one JVM call per row in whole-stage codegen) — ZERO shuffles,
+    * where the previous (pair, gram) explode paid two hash-agg
+    * exchanges plus a join on char-bigram volume (≈2× corpus
+    * characters), and the interposed HOF form re-ran three interpreted
+    * lambdas per character. The shuffle shape survives in
+    * [[pairNgramOverlap]] for documents too large to clip in one task;
+    * chrF pairs are generation-eval sized. */
   def pairCharBigramOverlap(pairs: DataFrame, idCol: String,
                             candCol: String, refCol: String): DataFrame = {
     val id = col(idCol)
     def strip(c: Column) = regexp_replace(c, " ", "")
-    val toks = pairs.select(id,
-      strip(col(candCol)).as("cs"), strip(col(refCol)).as("rs"))
-      .localCheckpoint() // lens + two gram explodes: one strip pass
-    def grams(src: Column) =
-      when(length(src) >= 2,
-        transform(sequence(lit(1), length(src) - 1),
-          i => src.substr(i, lit(2))))
-        .otherwise(array().cast("array<string>"))
-    val lens = toks.select(id,
-      greatest(length(col("cs")) - 1, lit(0)).cast("long").as("c2"),
-      greatest(length(col("rs")) - 1, lit(0)).cast("long").as("r2"))
-    def counts(c: Column, out: String) =
-      toks.select(id, explode(grams(c)).as("g"))
-        .groupBy(id, col("g")).agg(count(lit(1)).as(out))
-    val clip = counts(col("cs"), "cc")
-      .join(counts(col("rs"), "rc"), Seq(idCol, "g"))
-      .groupBy(id).agg(sum(least(col("cc"), col("rc"))).as("clip2"))
-    lens.join(clip, Seq(idCol), "left")
-      .select(id, col("c2"), col("r2"),
-        coalesce(col("clip2"), lit(0L)).as("clip2"))
+    pairs
+      .select(id, strip(col(candCol)).as("cs"), strip(col(refCol)).as("rs"))
+      .select(id,
+        greatest(length(col("cs")) - 1, lit(0)).cast("long").as("c2"),
+        greatest(length(col("rs")) - 1, lit(0)).cast("long").as("r2"),
+        graft.functions.CharBigramClip(col("cs"), col("rs")).as("clip2"))
   }
 
   /** ROW-LOCAL clipped overlap between two gram arrays:
@@ -1025,18 +1041,14 @@ object TextAnalysis {
     * kernel's (pair, gram) shuffle is the shape for documents too large
     * to clip in one task).
     *
-    * Kernel: grams hash to xxhash64 longs map-side (identity only —
-    * the clip needs equality, never the text; the engine-wide 64-bit
-    * shingle-identity precedent, odds of a colliding pair ~n²/2⁶⁴) and
-    * the sorted arrays meet in [[graft.functions.MultisetIntersect]] —
-    * one fused O(|grams|) two-pointer merge in whole-stage codegen,
-    * replacing the O(|grams|·|distinct|) filter/size HOF form. */
-  def clippedOverlap(cand: Column, ref: Column): Column = {
-    // null grams never match (the HOF form's semantics) — but
-    // xxhash64(null) returns the SEED, which would match across sides;
-    // drop nulls before hashing
-    def hashed(c: Column) =
-      sort_array(transform(filter(c, x => x.isNotNull), g => xxhash64(g)))
-    graft.functions.MultisetIntersect(hashed(cand), hashed(ref))
-  }
+    * Kernel: ONE native call per row ([[graft.functions.NgramClip]] at
+    * n = 1 — hash each gram's bytes once, sort, two-pointer merge, all
+    * inside whole-stage codegen; the 64-bit gram-identity precedent,
+    * odds of a colliding pair ~n²/2⁶⁴). The earlier composable form
+    * (filter/xxhash64/sort_array HOFs into MultisetIntersect) evaluated
+    * three interpreted lambdas per gram. Grams here come from `split`
+    * derivatives and are never null; a null element hashes like the
+    * empty string. */
+  def clippedOverlap(cand: Column, ref: Column): Column =
+    graft.functions.NgramClip(cand, ref, 1)
 }

@@ -2340,7 +2340,9 @@ object TrainingQueries extends QueryPack {
 
   private def genEvalOverlap(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame =
-    TextAnalysis.pairNgramOverlap(genEvalPairs(s, dir),
+    // generation-eval pairs always fit one task: the row-local native
+    // clip (zero shuffles) over the (pair, gram) shuffle shape
+    TextAnalysis.pairNgramOverlapLocal(genEvalPairs(s, dir),
       "doc_id", "cand", "rtext")
 
   /** Mixing target: upweight src0/src1, spread the rest uniformly. The

@@ -45,8 +45,9 @@ object GenEvalStream {
         size(rt).cast("long").as("r1"),
         greatest(size(ct) - 1, lit(0)).cast("long").as("c2"),
         TextAnalysis.clippedOverlap(ct, rt).as("clip1"),
-        TextAnalysis.clippedOverlap(
-          TextAnalysis.bigrams(ct), TextAnalysis.bigrams(rt)).as("clip2"))
+        // n=2 on the token arrays directly: the native kernel combines
+        // adjacent token hashes — no bigram string is materialized
+        graft.functions.NgramClip(ct, rt, 2).as("clip2"))
     val p1d = col("sclip1").cast("double") / col("sc1").cast("double")
     val p2d = col("sclip2").cast("double") / col("sc2").cast("double")
     scored
