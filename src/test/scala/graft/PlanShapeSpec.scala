@@ -172,6 +172,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_max"), s"map-side partial must run pre-shuffle:\n$p")
   }
 
+  test("generation-eval clips are row-local: one pair join, no gram exchange") {
+    // the native clip kernels (NgramClip / CharBigramClip) score each
+    // pair inside its own task — the ONLY exchanges in the plan are the
+    // doc_id pair join's (plus eval_bleu_corpus's 1-row final agg); a
+    // regression to the (pair, gram) explode shape re-shuffles gram
+    // volume (≈2x corpus tokens/chars) and shows up as extra exchanges
+    for (q <- Seq("eval_chrf", "eval_bleu", "eval_rouge2", "eval_token_f1")) {
+      val p = plan(q)
+      assert(countOf(p, "Exchange") <= 2, s"$q grew a gram shuffle:\n$p")
+      assert(!p.contains("Generate explode"), s"$q must not explode grams:\n$p")
+    }
+  }
+
   test("interpolated LM: AQE reuses the shared bigram/unigram exchanges at runtime") {
     // the LM kernel's model tables (bigram counts, first-token totals,
     // unigram total) are independent branches over the same two
