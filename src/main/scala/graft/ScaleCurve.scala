@@ -160,6 +160,12 @@ object ScaleCurve {
     // scan + 10-bin fold), DoReMi reweight (the LM-builder chain + one
     // source agg — tracks eval_ppl_by_source)
     "stat_bayes_ab", "eval_brier", "mix_doremi",
+    // the chrF native row-local clip (zero shuffle — should be linear
+    // with a small constant). NOT layout_hilbert: like agg_median_exact
+    // it reads lineitem, which the generator copies verbatim — the
+    // scale argument is the row-local zero-shuffle shape itself
+    // (plan-guarded), the layout_zvalue precedent.
+    "eval_chrf",
     // gram-hash join novelty (linear in gram volume), and the two
     // bounded broadcast probes (flat, the eval_ndcg shape)
     "text_novelty", "sim_hard_negatives", "sim_mips",
