@@ -30,11 +30,9 @@ object GenEvalStream {
   def windowedBleu(pairs: DataFrame, tsCol: String, candCol: String,
                    refCol: String, windowLen: String = "1 hour",
                    delay: String = "5 minutes"): DataFrame = {
-    // token arrays hoisted into their own projection: bigrams()'s lambda
-    // reads its input once per element, and an inline tokens() there
-    // would re-tokenize the text once per bigram (the WordShingles
-    // lesson); __ct/__rt are multi-referenced, so CollapseProject keeps
-    // them materialized.
+    // token arrays hoisted into their own projection: five consumers
+    // (sizes + both native clips) reference them, and multi-referenced
+    // columns keep CollapseProject from re-inlining the split per use.
     val (ct, rt) = (col("__ct"), col("__rt"))
     val scored = pairs
       .select(col(tsCol),
