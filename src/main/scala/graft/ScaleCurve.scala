@@ -166,6 +166,9 @@ object ScaleCurve {
     // scale argument is the row-local zero-shuffle shape itself
     // (plan-guarded), the layout_zvalue precedent.
     "eval_chrf",
+    // sampled self-BLEU: 4N deterministic pairs + one partner equi-join,
+    // clips row-local — linear in pair volume
+    "eval_self_bleu",
     // gram-hash join novelty (linear in gram volume), and the two
     // bounded broadcast probes (flat, the eval_ndcg shape)
     "text_novelty", "sim_hard_negatives", "sim_mips",

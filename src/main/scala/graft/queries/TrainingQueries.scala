@@ -1191,6 +1191,46 @@ object TrainingQueries extends QueryPack {
     // two divisions, one product, one IEEE sqrt, rounded on the 4dp
     // grid. (Brevity penalty's exp() is libm — not hash-portable — so
     // the length ratio is reported raw alongside the core score.)
+    // Self-BLEU — the generation-DIVERSITY read (texygen): high
+    // self-similarity across a generated corpus means mode collapse
+    // even when per-reference quality looks fine. Exhaustive Self-BLEU
+    // is quadratic; the standard practical form scores each doc
+    // against k sampled partners — here k = 4 DETERMINISTIC partners
+    // (doc_id + j·2654435761 mod N — both engines replay the schedule,
+    // self-pairs filtered), so the estimate is reproducible run to
+    // run. Per pair the uni/bigram clips run as the native row-local
+    // kernel (zero gram shuffle; the only exchanges are the partner
+    // equi-join's); per-pair BLEU-2 rounds to 4dp and the per-doc mean
+    // sums those as DECIMAL (order-free) with one final division.
+    "eval_self_bleu" -> { (s, dir) =>
+      val k = 4
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val pairs = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("text"), col("n"),
+          explode(array((1 to k).map(lit): _*)).as("j"))
+        .withColumn("ref_id",
+          pmod(col("doc_id") + col("j") * lit(2654435761L), col("n")))
+        .where(col("ref_id") =!= col("doc_id"))
+        .drop("n", "j")
+        .join(docs.select(col("doc_id").as("ref_id"),
+          col("text").as("rtext")), "ref_id")
+      val ov = TextAnalysis.pairNgramOverlapLocal(
+        pairs.withColumn("pk", struct(col("doc_id"), col("ref_id"))),
+        "pk", "text", "rtext")
+      val p1d = col("clip1").cast("double") / col("c1").cast("double")
+      val p2d = col("clip2").cast("double") / col("c2").cast("double")
+      ov.select(col("pk.doc_id").as("doc_id"),
+          when(col("c1") > 0 && col("c2") > 0,
+            graft.ops.TimeSeries.portableRound4(sqrt(p1d * p2d))).as("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(col("b")).as("k_refs"),
+          graft.ops.TimeSeries.portableRound6(
+            sum(col("b").cast(org.apache.spark.sql.types.DecimalType(9, 4)))
+              .cast("double") / count(col("b")).cast("double"))
+            .as("self_bleu2"))
+    },
+
     "eval_bleu" -> { (s, dir) =>
       val p1d = col("clip1").cast("double") / col("c1").cast("double")
       val p2d = col("clip2").cast("double") / col("c2").cast("double")
@@ -4193,6 +4233,53 @@ object TrainingQueries extends QueryPack {
          |  CAST(min(deg) AS BIGINT) AS min_deg,
          |  CAST(max(deg) AS BIGINT) AS max_deg
          |FROM deg GROUP BY 1""".stripMargin,
+
+    // the deterministic partner schedule replayed, clips via the
+    // grouped-join technique keyed by (doc_id, ref_id), per-pair 4dp
+    // BLEU-2 summed as DECIMAL — order-free — one division per doc
+    "eval_self_bleu" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |pr AS (SELECT d.doc_id, d.text, j,
+        |    (d.doc_id + j * 2654435761) % n AS ref_id
+        |  FROM documents d, nn, (SELECT unnest([1, 2, 3, 4]) AS j) js),
+        |pp AS (SELECT p.doc_id, p.ref_id,
+        |    string_split(p.text, ' ') AS ct, string_split(r.text, ' ') AS rt
+        |  FROM pr p JOIN documents r ON r.doc_id = p.ref_id
+        |  WHERE p.ref_id <> p.doc_id),
+        |lens AS (SELECT doc_id, ref_id, CAST(len(ct) AS BIGINT) AS c1,
+        |    CAST(greatest(len(ct) - 1, 0) AS BIGINT) AS c2 FROM pp),
+        |cu1 AS (SELECT doc_id, ref_id, unnest(ct) AS g FROM pp),
+        |ru1 AS (SELECT doc_id, ref_id, unnest(rt) AS g FROM pp),
+        |cu2 AS (SELECT doc_id, ref_id,
+        |    unnest(list_transform(range(1, len(ct)),
+        |      i -> ct[i] || ' ' || ct[i+1])) AS g FROM pp),
+        |ru2 AS (SELECT doc_id, ref_id,
+        |    unnest(list_transform(range(1, len(rt)),
+        |      i -> rt[i] || ' ' || rt[i+1])) AS g FROM pp),
+        |cl1 AS (SELECT doc_id, ref_id,
+        |    CAST(sum(least(cc.n, rc.n)) AS BIGINT) AS clip1
+        |  FROM (SELECT doc_id, ref_id, g, count(*) AS n FROM cu1 GROUP BY 1,2,3) cc
+        |  JOIN (SELECT doc_id, ref_id, g, count(*) AS n FROM ru1 GROUP BY 1,2,3) rc
+        |  USING (doc_id, ref_id, g) GROUP BY doc_id, ref_id),
+        |cl2 AS (SELECT doc_id, ref_id,
+        |    CAST(sum(least(cc.n, rc.n)) AS BIGINT) AS clip2
+        |  FROM (SELECT doc_id, ref_id, g, count(*) AS n FROM cu2 GROUP BY 1,2,3) cc
+        |  JOIN (SELECT doc_id, ref_id, g, count(*) AS n FROM ru2 GROUP BY 1,2,3) rc
+        |  USING (doc_id, ref_id, g) GROUP BY doc_id, ref_id),
+        |ov AS (SELECT lens.doc_id, lens.ref_id, c1, c2,
+        |    coalesce(cl1.clip1, 0) AS clip1, coalesce(cl2.clip2, 0) AS clip2
+        |  FROM lens LEFT JOIN cl1 USING (doc_id, ref_id)
+        |    LEFT JOIN cl2 USING (doc_id, ref_id)),
+        |scored AS (SELECT doc_id,
+        |    CASE WHEN c1 > 0 AND c2 > 0 THEN
+        |      round(sqrt((CAST(clip1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |               * (CAST(clip2 AS DOUBLE) / CAST(c2 AS DOUBLE)))
+        |        * 10000) / 10000 END AS b
+        |  FROM ov)
+        |SELECT doc_id, CAST(count(b) AS BIGINT) AS k_refs,
+        |  round(CAST(sum(CAST(b AS DECIMAL(9,4))) AS DOUBLE)
+        |    / CAST(count(b) AS DOUBLE) * 1000000) / 1000000 AS self_bleu2
+        |FROM scored GROUP BY 1""".stripMargin,
 
     "eval_bleu" ->
       s"""WITH $genPairCtes
