@@ -101,7 +101,10 @@ object EventQueries extends QueryPack {
           .as("mean0"),
         graft.ops.TimeSeries.portableRound6(mean("sx1", "n1") / 100.0)
           .as("mean1"),
-        graft.ops.TimeSeries.portableRound6(diff * diff / se2).as("t2"))
+        // se2 = 0 (both arms constant) → null t2, not an ANSI
+        // DIVIDE_BY_ZERO that fails the whole query on one dead metric
+        graft.ops.TimeSeries.portableRound6(
+          when(se2 > 0, diff * diff / se2)).as("t2"))
     },
 
     // Benjamini–Hochberg FDR control across the per-event-type A/B
@@ -145,7 +148,11 @@ object EventQueries extends QueryPack {
       val wAll = wRank.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       m.select(col("event_type"), col("n0"), col("n1"),
-          (diff * diff / se2).as("t2"))
+          // null (not ANSI DIVIDE_BY_ZERO) for a zero-variance metric:
+          // ranks LAST under the DESC order, never clears a bar, and is
+          // rejected only when a lower rank pulls the step-up prefix
+          // over it — FdrStream aligns its sort key to the same rule
+          when(se2 > 0, diff * diff / se2).as("t2"))
         .withColumn("rank", row_number().over(wRank).cast("long"))
         .withColumn("m", count(lit(1)).over(wAll).cast("int"))
         .withColumn("pass", col("t2") >= element_at(element_at(
@@ -2221,7 +2228,15 @@ object EventQueries extends QueryPack {
         |    * 1000000) / 1000000 AS mean0,
         |  round((CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0
         |    * 1000000) / 1000000 AS mean1,
-        |  round(((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |  round(CASE WHEN (CAST(CAST(n0 AS DECIMAL(38,0)) * sxx0 - sx0 * sx0 AS DOUBLE)
+        |        / CAST(CAST(n0 AS DECIMAL(38,0))
+        |            * (CAST(n0 AS DECIMAL(38,0)) - 1) AS DOUBLE)
+        |        / CAST(n0 AS DOUBLE)
+        |      + CAST(CAST(n1 AS DECIMAL(38,0)) * sxx1 - sx1 * sx1 AS DOUBLE)
+        |        / CAST(CAST(n1 AS DECIMAL(38,0))
+        |            * (CAST(n1 AS DECIMAL(38,0)) - 1) AS DOUBLE)
+        |        / CAST(n1 AS DOUBLE)) > 0 THEN
+        |    ((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
         |       - (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
         |    * ((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
         |       - (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
@@ -2232,7 +2247,7 @@ object EventQueries extends QueryPack {
         |      + CAST(CAST(n1 AS DECIMAL(38,0)) * sxx1 - sx1 * sx1 AS DOUBLE)
         |        / CAST(CAST(n1 AS DECIMAL(38,0))
         |            * (CAST(n1 AS DECIMAL(38,0)) - 1) AS DOUBLE)
-        |        / CAST(n1 AS DOUBLE))
+        |        / CAST(n1 AS DOUBLE)) END
         |    * 1000000) / 1000000 AS t2
         |FROM m""".stripMargin,
     // BH step-up on the per-type Welch t² (the stat_ttest kernel grouped
@@ -2254,6 +2269,14 @@ object EventQueries extends QueryPack {
          |    sum(CASE WHEN variant = 1 THEN x * x END) AS sxx1
          |  FROM per GROUP BY 1),
          |t AS (SELECT event_type, n0, n1,
+         |    CASE WHEN (CAST(CAST(n0 AS DECIMAL(38,0)) * sxx0 - sx0 * sx0 AS DOUBLE)
+         |        / CAST(CAST(n0 AS DECIMAL(38,0))
+         |            * (CAST(n0 AS DECIMAL(38,0)) - 1) AS DOUBLE)
+         |        / CAST(n0 AS DOUBLE)
+         |      + CAST(CAST(n1 AS DECIMAL(38,0)) * sxx1 - sx1 * sx1 AS DOUBLE)
+         |        / CAST(CAST(n1 AS DECIMAL(38,0))
+         |            * (CAST(n1 AS DECIMAL(38,0)) - 1) AS DOUBLE)
+         |        / CAST(n1 AS DOUBLE)) > 0 THEN
          |    ((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
          |       - (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
          |    * ((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
@@ -2265,11 +2288,11 @@ object EventQueries extends QueryPack {
          |      + CAST(CAST(n1 AS DECIMAL(38,0)) * sxx1 - sx1 * sx1 AS DOUBLE)
          |        / CAST(CAST(n1 AS DECIMAL(38,0))
          |            * (CAST(n1 AS DECIMAL(38,0)) - 1) AS DOUBLE)
-         |        / CAST(n1 AS DOUBLE)) AS t2
+         |        / CAST(n1 AS DOUBLE)) END AS t2
          |  FROM m),
          |r AS (SELECT event_type, n0, n1, t2,
-         |    CAST(row_number() OVER (ORDER BY t2 DESC, event_type ASC)
-         |      AS BIGINT) AS rank,
+         |    CAST(row_number() OVER (ORDER BY t2 DESC NULLS LAST,
+         |      event_type ASC) AS BIGINT) AS rank,
          |    CAST(count(*) OVER () AS INT) AS mm
          |  FROM t),
          |p AS (SELECT *, t2 >= ($mat)[mm][CAST(rank AS INT)] AS pass FROM r)

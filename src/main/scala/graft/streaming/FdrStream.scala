@@ -73,13 +73,26 @@ object FdrStream {
     val se2 = svar(col("n0"), col("sx0"), col("sxx0")) / col("n0").cast("double") +
       svar(col("n1"), col("sx1"), col("sxx1")) / col("n1").cast("double")
 
+    // se2 = 0 (a dead/constant metric) → null t2, NOT an ANSI
+    // DIVIDE_BY_ZERO: an unguarded division would fail the streaming
+    // query PERMANENTLY on the first zero-variance window — the exact
+    // failure mode a monitoring stream must not have (batch stat_fdr
+    // carries the same guard)
     val scored = perMetric.select(col("w"), col("metric"),
-      col("n0"), col("n1"), (diff * diff / se2).as("t2"))
+      col("n0"), col("n1"), when(se2 > 0, diff * diff / se2).as("t2"))
 
-    // per-window pack: sort by (−t2, metric) = the batch wRank order
+    // per-window pack: sort by (−t2, metric) = the batch wRank order.
+    // Null alignment: a zero-variance metric's null t2 ranks LAST in
+    // the batch (Spark DESC default NULLS LAST; the oracle says NULLS
+    // LAST explicitly) — map null to +∞ here so the ascending −t2 sort
+    // agrees instead of leaning on struct-field null ordering. A null
+    // never clears a bar; it is rejected only when a lower rank's pass
+    // pulls the step-up prefix over it, identically in both forms.
+    val negKey = when(col("t2").isNull, lit(Double.PositiveInfinity))
+      .otherwise(-col("t2"))
     val packed = scored
       .groupBy(col("w"))
-      .agg(sort_array(collect_list(struct((-col("t2")).as("negt2"),
+      .agg(sort_array(collect_list(struct(negKey.as("negt2"),
         col("metric"), col("n0"), col("n1"), col("t2")))).as("arr"))
       .withColumn("m", size(col("arr")))
       .withColumn("bars", element_at(

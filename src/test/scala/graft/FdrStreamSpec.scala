@@ -75,13 +75,18 @@ class FdrStreamSpec extends SparkSpec {
       val rnd = new scala.util.Random(7)
       val t0 = ts("2024-01-01 00:01:00").getTime
       val data = for {
-        m <- Seq("m_shift", "m_null_a", "m_null_b")
+        // m_const is constant in both arms → se2 = 0 → t2 = NULL (the
+        // guard; an unguarded division is an ANSI DIVIDE_BY_ZERO that
+        // would kill the stream) — nulls rank LAST like the batch
+        m <- Seq("m_shift", "m_null_a", "m_null_b", "m_const")
         i <- 1 to 400
       } yield {
         val v = i % 2
-        // m_shift carries a real arm effect; the others are null
-        val x = rnd.nextGaussian() * 10 + 100 +
-          (if (m == "m_shift" && v == 1) 15.0 else 0.0)
+        // m_shift carries a real arm effect; the null metrics are noise
+        val x =
+          if (m == "m_const") 50.0
+          else rnd.nextGaussian() * 10 + 100 +
+            (if (m == "m_shift" && v == 1) 15.0 else 0.0)
         (new Timestamp(t0 + rnd.nextInt(8 * 60) * 1000L),
           m, v.toLong, math.rint(x * 100) / 100)
       }
@@ -93,12 +98,15 @@ class FdrStreamSpec extends SparkSpec {
         .where(col("metric") =!= "__sentinel")
         .select(col("rank"), col("rejected"), col("metric"))
         .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
-      assert(rows.length === 3)
+      assert(rows.length === 4)
       val rstar = rows.filter(_._2).map(_._1).maxOption.getOrElse(0L)
       rows.foreach { case (rank, rej, m) =>
         assert(rej === (rank <= rstar), s"$m rank $rank")
       }
-      // the planted 1.5-sigma shift on 400 rows must dominate rank 1
+      // the null-t2 dead metric ranks LAST (batch NULLS LAST order) and
+      // is not rejected; the planted 1.5-sigma shift dominates rank 1
+      assert(rows.find(_._1 == 4L).get._3 === "m_const")
+      assert(!rows.find(_._1 == 4L).get._2, "dead metric must not reject")
       assert(rows.find(_._1 == 1L).get._3 === "m_shift")
       assert(rows.find(_._1 == 1L).get._2, "planted shift must be rejected")
     } finally {
