@@ -205,6 +205,11 @@ final class JetStreamWire(host: String, port: Int, stream: String,
         else if (seq >= from) outB += ((seq, payload))
       }
     }
+    // delete the transient consumer: servers garbage-collect idle
+    // ephemerals eventually, but a replay-heavy restart loop should not
+    // lean on the inactivity threshold to bound broker state
+    val del = request(s"$$JS.API.CONSUMER.DELETE.$stream.$name", "{}")
+    require(errCode(del) == 0, s"CONSUMER.DELETE failed: $del")
     outB.result()
   }
 

@@ -81,8 +81,14 @@ final class SqsWire(queueUrl: String, visibilityTimeoutSec: Int = 30,
           text(a, "Name") -> text(a, "Value")
         }.toMap
       }
-      (text(m, "ReceiptHandle"), text(m, "MessageId"),
-        text(m, "Body").getBytes(UTF_8), attrs)
+      // a conforming response always carries Body/ReceiptHandle, but a
+      // missing tag must surface as a protocol error, not an NPE deep
+      // in getBytes
+      val body = text(m, "Body")
+      val handle = text(m, "ReceiptHandle")
+      require(body != null && handle != null,
+        s"ReceiveMessage entry missing Body/ReceiptHandle")
+      (handle, text(m, "MessageId"), body.getBytes(UTF_8), attrs)
     }
   }
 

@@ -110,6 +110,9 @@ class JetStreamWireSpec extends AnyFunSuite {
                 s""""stream_seq":$delivered},""" +
                 s""""ack_floor":{"consumer_seq":${ackFloors.getOrElse(name, 0L)},""" +
                 s""""stream_seq":${ackFloors.getOrElse(name, 0L)}}}""").getBytes(UTF_8))
+          case s if s.startsWith(s"$$JS.API.CONSUMER.DELETE.$stream.") =>
+            cursors.remove(t.last)
+            deliver(reply, null, s"""{"success":true}""".getBytes(UTF_8))
           case s if s.startsWith(s"$$JS.API.CONSUMER.MSG.NEXT.$stream.") =>
             val name = t.last
             val batch = jsonLong(json, "batch", 1L).toInt
