@@ -261,31 +261,18 @@ object Stats {
     val x = cents(col(valueCol))
     // one md5 = 128 bits = FOUR independent 32-bit draws: replicate i
     // reads hex slot i%4 of md5(rk|i/4) — 4× fewer digests than a
-    // per-replicate hash, same determinism, same oracle replay.
-    // ONE digest per 4-draw block, fanned out through an explicit
-    // 4-struct array: the hex column is referenced four times, so
-    // CollapseProject keeps it materialized (a single textual reference
-    // — a transform lambda, or the CASE below reading the raw chain —
-    // gets re-inlined and the md5 evaluates per draw or per branch:
-    // measured 7.5 s → 3.4 s at sf0.1 across the two fixes).
-    val blocks = (b + 3) / 4
-    val slots = array((0 until 4).map { s =>
-      struct((col("blk") * 4 + s).as("i"),
-        (conv(col("hex").substr(lit(s * 8 + 1), lit(8)), 16, 10)
-          .cast("double") / 4294967296.0).as("u"))
-    }: _*)
-    val w = PoissonCum.zipWithIndex.reverse
-      .foldLeft(lit(7).cast("int")) { case (rest, (c, k)) =>
-        when(col("u") < lit(c), k).otherwise(rest)
-      }
+    // per-replicate hash, same determinism, same oracle replay. The
+    // whole per-row draw vector comes from ONE native call
+    // ([[graft.functions.PoissonDrawWeights]] — bit-identical to the
+    // md5/conv/substr expression chain it replaced, which re-evaluated
+    // a digest per 4-draw block plus a parse chain per draw through two
+    // explode fan-outs; 2.5 → 1.3 s at sf0.1).
     val reps = df
-      .select(col(groupCol).as("grp"), x.as("x"), rowKey.as("__rk"),
-        explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
-      .withColumn("hex", md5(concat_ws("|", col("__rk"), col("blk"))))
-      .select(col("grp"), col("x"), explode(slots).as("iu"))
-      .select(col("grp"), col("x"), col("iu.i").as("i"), col("iu.u").as("u"))
-      .where(col("i") < b)
-      .withColumn("w", w)
+      .select(col(groupCol).as("grp"), x.as("x"),
+        graft.functions.PoissonDrawWeights(rowKey.cast("string"), b)
+          .as("ws"))
+      .select(col("grp"), col("x"),
+        posexplode(col("ws")).as(Seq("i", "w")))
       .groupBy(col("grp"), col("i"))
       .agg(sum(col("w").cast("long") * col("x")).as("swx"),
         sum(col("w").cast("long")).as("sw"))
