@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sortedJaccard)
     ext.injectFunction(GraftExtensions.multisetIntersect)
     ext.injectFunction(GraftExtensions.sortedArrayContains)
+    ext.injectFunction(GraftExtensions.wordShingles)
+    ext.injectFunction(GraftExtensions.ngramClip)
+    ext.injectFunction(GraftExtensions.charBigramClip)
+    ext.injectFunction(GraftExtensions.hilbertIndex)
     GraftExtensions.composites.foreach(ext.injectFunction)
   }
 }
@@ -62,6 +66,47 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "sorted_array_contains takes exactly 2 arguments")
       graft.functions.SortedArrayContains(exprs.head, exprs(1))
+    })
+
+  private def litInt(e: Expression, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$arg must be an int literal")
+  }
+
+  val wordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    info("word_shingles",
+      "_FUNC_(text, w) - w-token space-joined shingles, one split per row (codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "word_shingles takes exactly 2 arguments")
+      graft.functions.WordShingles(exprs.head, litInt(exprs(1), "w"))
+    })
+
+  val ngramClip: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngram_clip"),
+    info("ngram_clip",
+      "_FUNC_(cand, ref, n) - clipped word-n-gram overlap of two token arrays (codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3, "ngram_clip takes exactly 3 arguments")
+      graft.functions.NgramClip(exprs.head, exprs(1), litInt(exprs(2), "n"))
+    })
+
+  val charBigramClip: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_bigram_clip"),
+    info("char_bigram_clip",
+      "_FUNC_(cand, ref) - clipped character-bigram overlap (the chrF kernel, codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "char_bigram_clip takes exactly 2 arguments")
+      graft.functions.CharBigramClip(exprs.head, exprs(1))
+    })
+
+  val hilbertIndex: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hilbert_index"),
+    info("hilbert_index",
+      "_FUNC_(x, y, bits) - 2-D Hilbert curve index for layout clustering (codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3, "hilbert_index takes exactly 3 arguments")
+      graft.functions.HilbertIndex(exprs.head, exprs(1), litInt(exprs(2), "bits"))
     })
 
   /** Scalar training-data functions exposed to SQL: each is a composition

@@ -39,6 +39,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getBoolean(1) && !row.getBoolean(2))
   }
 
+  test("round-12 native kernels register for SQL") {
+    Seq(GraftExtensions.wordShingles, GraftExtensions.ngramClip,
+        GraftExtensions.charBigramClip, GraftExtensions.hilbertIndex).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val row = spark.sql(
+      """SELECT word_shingles('a b c', 2) AS sh,
+        |  ngram_clip(array('a', 'b', 'a'), array('a', 'a', 'c'), 1) AS nc,
+        |  char_bigram_clip('banana', 'ananas') AS cb,
+        |  hilbert_index(0L, 1L, 8) AS h""".stripMargin).collect().head
+    assert(row.getSeq[String](0) === Seq("a b", "b c"))
+    assert(row.getLong(1) === 2L)   // 'a' clips at min(2,2)
+    assert(row.getLong(2) === 4L)   // an,na,an,na vs an,na,an,as
+    assert(row.getLong(3) ===
+      graft.functions.HilbertIndex.compute(0L, 1L, 8)) // SQL ≡ kernel
+    // non-literal width is rejected at registration-builder level
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b', CAST(2 AS INT) + 0)").collect()
+    }
+  }
+
   test("scalar training functions register for pure-SQL users") {
     GraftExtensions.composites.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
