@@ -106,65 +106,22 @@ object TextAnalysis {
     * no aggregations, no joins. */
   def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
                        dupW: Int = 5): DataFrame = {
-    val id = col(idCol)
     // Every Gopher signal is strictly WITHIN-doc, so the whole op is
-    // row-local — a projection chain, zero shuffles (first built as
-    // three explode+aggregate passes; this shape deletes all three
-    // exchanges, the same insight as [[winnow]]). The token array and
-    // the sorted n-gram arrays hoist into their own projections so
-    // later lambdas reference cheap attributes, never re-inline work.
-    def sortedGrams(w: Int): Column = {
-      val idxs = when(size(col("toks")) >= w,
-          sequence(lit(0), size(col("toks")) - w))
-        .otherwise(array().cast("array<int>"))
-      array_sort(transform(idxs, i =>
-        concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))
-    }
-    // most-frequent n-gram fraction = longest equal run in the sorted
-    // gram array (one ordered fold) / total grams.
-    def topRunFrac(arr: Column): Column = {
-      val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
-      val best = aggregate(arr, zero, (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      }, acc => acc.getField("best"))
-      when(size(arr) > 0, best.cast("double") / size(arr).cast("double"))
-        .otherwise(lit(0.0))
-    }
-    // duplicated-gram coverage: in the sorted (gram, pos) array an
-    // occurrence is duplicated iff it equals a sorted neighbor; covered
-    // token positions = distinct union of [p, p+w) over those.
-    val idxs5 = when(size(col("toks")) >= dupW,
-        sequence(lit(0), size(col("toks")) - dupW))
-      .otherwise(array().cast("array<int>"))
-    val sps = array_sort(transform(idxs5, i => struct(
-      concat_ws(" ", slice(col("toks"), i + 1, lit(dupW))).as("g"),
-      i.as("p"))))
-    val m = size(col("sps"))
-    def gAt(j: Column) = element_at(col("sps"), j).getField("g")
-    def pAt(j: Column) = element_at(col("sps"), j).getField("p")
-    // when-guards keep element_at strictly in bounds (no OOB evaluation)
-    val dupPos = filter(transform(
-      when(m >= 1, sequence(lit(1), m)).otherwise(array().cast("array<int>")),
-      j => {
-        val prevEq = when(j > 1, gAt(j) === gAt(j - 1)).otherwise(lit(false))
-        val nextEq = when(j < m, gAt(j) === gAt(j + 1)).otherwise(lit(false))
-        when(prevEq || nextEq, pAt(j))
-      }), x => x.isNotNull)
-    val covered = size(array_distinct(flatten(
-      transform(col("dp"), p => sequence(p, p + (dupW - 1))))))
+    // row-local — and since round 12, ONE native call per row
+    // ([[graft.functions.GopherRepetition]]): the previous composable
+    // chain (three sorted-gram HOF pipelines sharing a hoisted token
+    // array) already had zero shuffles but evaluated interpreted
+    // lambdas per gram; the kernel computes identical values (equal-run
+    // and duplicate grouping only need equality adjacency, so sort
+    // order cannot change them; the divisions are the same
+    // exact-int-to-double ratios), 1.7 → ~0.4 s at sf0.1.
+    val g = graft.functions.GopherRepetition(col(textCol), dupW)
     docs
-      .select(id, split(col(textCol), " ").as("toks"))
-      .select(id, size(col("toks")).cast("long").as("n_tokens"),
-        sortedGrams(2).as("g2"), sortedGrams(3).as("g3"), sps.as("sps"))
-      .select(id, col("n_tokens"), col("g2"), col("g3"), dupPos.as("dp"))
-      .select(id,
-        round(topRunFrac(col("g2")), 6).as("top_bigram_frac"),
-        round(topRunFrac(col("g3")), 6).as("top_trigram_frac"),
-        round(covered.cast("double") / col("n_tokens").cast("double"), 6)
-          .as("dup_ngram_frac"))
+      .select(col(idCol), g.as("g"))
+      .select(col(idCol),
+        round(col("g").getField("top2"), 6).as("top_bigram_frac"),
+        round(col("g").getField("top3"), 6).as("top_trigram_frac"),
+        round(col("g").getField("dup"), 6).as("dup_ngram_frac"))
   }
 
   /** Winnowing fingerprint set (Schleimer, Wilkerson & Aiken, SIGMOD
