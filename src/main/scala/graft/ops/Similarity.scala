@@ -1265,7 +1265,16 @@ object Similarity {
   def avgPairwiseCosine(emb: DataFrame, vecCol: String, dim: Int,
                         scale: Long = 1L << 20): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ex = emb.where(size(col(vecCol)) === dim)
+    // quantization stays IN SPARK (identical round/filter semantics to
+    // the original); only the dim×N posexplode → groupBy(i) is replaced
+    // by a per-partition integer fold (the gramFixedPoint shape): each
+    // partition accumulates the dim component sums, the rowsq sum, and
+    // the row count, with the overflow-escalation fast path keeping
+    // partials exact at any partition size. Exact string partials sum
+    // as DECIMAL, so every downstream value is bit-identical.
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = emb.where(size(col(vecCol)) === dim)
       .select(transform(col(vecCol), x => x.cast("double")).as("e"))
       .withColumn("nm", sqrt(aggregate(col("e"), lit(0.0),
         (a, x) => a + x * x)))
@@ -1273,10 +1282,44 @@ object Similarity {
       .select(transform(col("e"),
         x => round(x / col("nm") * scale).cast("long")).as("qs"))
       .select(aggregate(col("qs"), lit(0L), (a, x) => a + x * x).as("rowsq"),
-        posexplode(col("qs")).as(Seq("i", "qv")))
+        col("qs"))
+      .as[(Long, Array[Long])]
+    val ex = qs.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val sAcc = new Array[Long](dim)
+        val sBig = new Array[java.math.BigInteger](dim)
+        var rsBig = java.math.BigInteger.ZERO
+        var rsAcc = 0L
+        var cnt = 0L
+        rows.foreach { case (rowsq, q) =>
+          var i = 0
+          while (i < dim) {
+            val s = sAcc(i) + q(i)
+            if (((sAcc(i) ^ s) & (q(i) ^ s)) < 0) { // signed overflow
+              sBig(i) = (if (sBig(i) == null) java.math.BigInteger.ZERO
+                else sBig(i)).add(java.math.BigInteger.valueOf(sAcc(i)))
+              sAcc(i) = q(i)
+            } else sAcc(i) = s
+            i += 1
+          }
+          val r = rsAcc + rowsq
+          if (((rsAcc ^ r) & (rowsq ^ r)) < 0) {
+            rsBig = rsBig.add(java.math.BigInteger.valueOf(rsAcc)); rsAcc = rowsq
+          } else rsAcc = r
+          cnt += 1
+        }
+        val rs = rsBig.add(java.math.BigInteger.valueOf(rsAcc)).toString
+        (0 until dim).iterator.map { i =>
+          val sv = (if (sBig(i) == null) java.math.BigInteger.ZERO else sBig(i))
+            .add(java.math.BigInteger.valueOf(sAcc(i)))
+          (i, sv.toString, rs, cnt)
+        }
+      }
+    }.toDF("i", "ss", "rss", "cnt")
     ex.groupBy(col("i"))
-      .agg(sum(col("qv").cast(dec)).as("s"),
-        sum(col("rowsq").cast(dec)).as("rs"), count(lit(1)).as("cnt"))
+      .agg(sum(col("ss").cast(dec)).as("s"),
+        sum(col("rss").cast(dec)).as("rs"), sum(col("cnt")).as("cnt"))
       .agg(sum(col("s") * col("s")).as("s2"), sum(col("rs")).as("rsd"),
         max(col("cnt")).as("n"))
       .select(col("n"),
