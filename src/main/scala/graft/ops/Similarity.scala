@@ -1576,39 +1576,83 @@ object Similarity {
   def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCand: Int,
                 relWeight: Double = 0.7, divWeight: Double = 0.3): DataFrame = {
+    // Candidate generation is the scale-heavy stage and stays fully
+    // distributed. The GREEDY stage is inherently sequential in k and
+    // its whole state is the candidate set — ≤ |queries|·nCand rows by
+    // construction (broadcast-bounded; the bloom-build / BPE-merge
+    // bounded-collect precedent) — so it runs DRIVER-SIDE in one pass:
+    // the previous formulation expressed each greedy step as a fresh
+    // join/window plan unioned onto all prior steps, so step t
+    // re-planned and re-executed steps 1..t−1 (k−1 jobs of recompiled
+    // lineage — 3.0 s of pure orchestration at sf0.1 for 12-row
+    // candidate sets; 0.4 s collected). Scoring replicates the native
+    // cosine kernel's exact operation order, so the selection is
+    // bit-identical to the distributed form and the oracle hash is
+    // unchanged.
+    val spark = corpus.sparkSession
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
     val cand = bruteForceTopK(corpus, queries, idCol, vecCol, nCand)
       .join(vecs, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("cv"))
-      .localCheckpoint() // read 2× per greedy step; candidates are tiny
-    var selected = cand
-      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .where(col("rk") === 1)
-      .select(col("query_id"), col("neighbor_id"), col("sim"),
-        col("cv").as("sv"), lit(1).as("step"))
-    for (t <- 2 to k) {
-      val selAgg = selected.groupBy(col("query_id"))
-        .agg(collect_list(col("sv")).as("svs"))
-      val remaining = cand
-        .join(selected.select(col("query_id"), col("neighbor_id"))
-          .withColumn("__sel", lit(1)), Seq("query_id", "neighbor_id"), "left")
-        .where(col("__sel").isNull)
-      val next = remaining.join(selAgg, "query_id")
-        // max over the selected set is order-independent, so the
-        // collected list needs no canonical ordering
-        .withColumn("maxsim",
-          array_max(transform(col("svs"), sv => cosine(col("cv"), sv))))
-        .withColumn("score",
-          lit(relWeight) * col("sim") - lit(divWeight) * col("maxsim"))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-        .where(col("rk") === 1)
-        .select(col("query_id"), col("neighbor_id"), col("sim"),
-          col("cv").as("sv"), lit(t).as("step"))
-      selected = selected.union(next)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[Double](3).toArray))
+    // the CosineSimilarity kernel verbatim: one pass, denom as
+    // sqrt(na)·sqrt(nb), NaN-free inputs by construction
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) Double.NaN else dot / denom
     }
-    selected.select(col("query_id"), col("neighbor_id"), col("sim"), col("step"))
+    // Spark DESC ordering over the score window: nulls LAST, NaN
+    // greatest among non-nulls, ties break neighbor_id ASC. A null
+    // score arises only when EVERY selected-side cosine is null (all
+    // zero-norm — unreachable on real embeddings, mirrored anyway).
+    def beats(s1: Option[Double], id1: Long,
+              s2: Option[Double], id2: Long): Boolean = (s1, s2) match {
+      case (Some(_), None) => true
+      case (None, Some(_)) => false
+      case (a, b) =>
+        val (x, y) = (a.getOrElse(0.0), b.getOrElse(0.0))
+        if (a.isEmpty && b.isEmpty) id1 < id2
+        else if (x.isNaN != y.isNaN) x.isNaN // Spark: NaN sorts greatest
+        else if (x != y) x > y
+        else id1 < id2
+    }
+    val picks = cand.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      var remaining = cs.map(c => (c._2, c._3, c._4)).toVector
+      var selected = Vector.empty[(Long, Double, Array[Double], Int)]
+      for (t <- 1 to math.min(k, remaining.size + selected.size)) {
+        val scored = remaining.map { case (id, sim, cv) =>
+          val score: Option[Double] =
+            if (t == 1) Some(sim)
+            else {
+              // array_max semantics: nulls (NaN sentinel from cos)
+              // are skipped; an all-null list gives a null max
+              val sims = selected.map(s => cos(cv, s._3)).filterNot(_.isNaN)
+              if (sims.isEmpty) None
+              else Some(relWeight * sim - divWeight * sims.max)
+            }
+          (id, sim, cv, score)
+        }
+        if (scored.nonEmpty) {
+          val best = scored.reduce((a, b) =>
+            if (beats(a._4, a._1, b._4, b._1)) a else b)
+          selected :+= ((best._1, best._2, best._3, t))
+          remaining = remaining.filterNot(_._1 == best._1)
+        }
+      }
+      selected.map(s => (q, s._1, s._2, s._4))
+    }
+    import spark.implicits._
+    picks.toDF("query_id", "neighbor_id", "sim", "step")
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("step"))
   }
 }

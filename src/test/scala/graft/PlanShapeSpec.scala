@@ -614,12 +614,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"cell assignment is a projection:\n$p")
   }
 
-  test("MMR rerank: greedy steps stay on broadcast-sized joins") {
-    val p = plan("sim_mmr")
-    // candidate generation is the one BNLJ broadcast probe; the k-1
-    // greedy steps join candidate-sized frames — the corpus must never
-    // enter a sort-merge join or an unguarded cartesian
+  test("MMR rerank: candidate stage is a broadcast probe; greedy is the bounded collect") {
+    // the scale-heavy stage (candidate generation) must stay a
+    // broadcast-query probe over the corpus — the greedy loop itself
+    // runs driver-side on the ≤ |queries|·nCand collected candidates
+    // (the bounded-collect contract), so the guard points at the
+    // candidate plan directly
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 12)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
   }
 
   test("split leakage verifies candidates only, never all pairs") {
