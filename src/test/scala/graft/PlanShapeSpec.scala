@@ -622,7 +622,8 @@ class PlanShapeSpec extends SparkSpec {
     // candidate plan directly
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.ops.Similarity.bruteForceTopK(
-        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 12)
+        emb, emb.where(org.apache.spark.sql.functions.col("vec_id") < 10),
+        "vec_id", "embedding", 12)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
