@@ -169,6 +169,10 @@ object ScaleCurve {
     // sampled self-BLEU: 4N deterministic pairs + one partner equi-join,
     // clips row-local — linear in pair volume
     "eval_self_bleu",
+    // the round-12 per-partition-fold builders: exact Gram (one scan,
+    // dim²/2-sized partials per partition) and the native Gopher
+    // projection (row-local)
+    "emb_gram", "text_gopher",
     // gram-hash join novelty (linear in gram volume), and the two
     // bounded broadcast probes (flat, the eval_ndcg shape)
     "text_novelty", "sim_hard_negatives", "sim_mips",
