@@ -1,0 +1,322 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import java.util.zip.CRC32C
+
+/** Socket-level PULSAR transport — the engine's own implementation of the
+  * (public, documented) Pulsar binary protocol subset the S6 source / K4
+  * sink need: `CONNECT`/`CONNECTED`, `PRODUCER`/`PRODUCER_SUCCESS`,
+  * `SEND`/`SEND_RECEIPT` (payload frames with the 0x0e01 magic + CRC32C
+  * checksum), `SUBSCRIBE`/`SUCCESS`, additive `FLOW` permits, pushed
+  * `MESSAGE` frames, cumulative `ACK`, and `PING`/`PONG` keepalive.
+  * Implements the same injected [[Connectors.PulsarConsumer]] seam as the
+  * classpath-gated pulsar-client binding in [[PulsarSdk]], with zero
+  * dependencies beyond the JDK — so the Pulsar source/sink path
+  * (reference `rust/extns/numaflow-pulsar/src/source.rs`, `sink.rs`) has
+  * live-TCP evidence in this build (PulsarWireSpec drives an in-process
+  * stub broker over a real loopback socket; the official client jar is
+  * absent and unfetchable here).
+  *
+  * Protocol notes (all public — pulsar.apache.org "binary protocol"):
+  *  - Simple frame: `[totalSize i32][commandSize i32][BaseCommand pb]`.
+  *  - Payload frame (SEND/MESSAGE): the command is followed by
+  *    `[magic 0x0e01][checksum u32][metadataSize i32][MessageMetadata pb]
+  *    [payload]`; the CRC32C covers everything AFTER the checksum field.
+  *  - `BaseCommand` carries `type` (field 1) plus one optional sub-message
+  *    whose field number equals the type enum value (CONNECT=2 ...
+  *    PONG=19) — the tiny hand-rolled protobuf codec below encodes exactly
+  *    the required/optional fields this subset touches.
+  *  - FLOW permits are ADDITIVE: the consumer grants an initial window and
+  *    re-grants as messages are consumed (half-window replenishment, the
+  *    standard client shape).
+  *  - Cumulative ACK carries the highest (ledgerId, entryId) — the broker
+  *    moves the subscription's mark-delete cursor; a re-subscribe resumes
+  *    AFTER it, redelivering unacked messages (at-least-once).
+  *
+  * The adapter-id bookkeeping matches [[PulsarSdk]]: the engine seam
+  * speaks monotone local Longs; this client keeps the local-id →
+  * (ledgerId, entryId) map until the cumulative ack releases the prefix.
+  */
+object PulsarWire {
+
+  // ---- minimal protobuf codec (proto2 subset: varint + len-delimited) ----
+
+  private[graft] object Pb {
+    /** Append-only writer; nested messages compose via [[msg]]. */
+    final class Writer {
+      private val out = new java.io.ByteArrayOutputStream(64)
+      def varint(v: Long): this.type = {
+        var x = v
+        while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+        out.write(x.toInt); this
+      }
+      private def tag(field: Int, wt: Int): this.type = varint((field.toLong << 3) | wt)
+      def int(field: Int, v: Long): this.type = { tag(field, 0); varint(v) }
+      def bytes(field: Int, b: Array[Byte]): this.type = {
+        tag(field, 2); varint(b.length.toLong); out.write(b); this
+      }
+      def str(field: Int, s: String): this.type = bytes(field, s.getBytes(UTF_8))
+      def msg(field: Int, m: Writer): this.type = bytes(field, m.result)
+      def result: Array[Byte] = out.toByteArray
+    }
+
+    /** Parsed message: field → values in arrival order (Long for varint,
+      * Array[Byte] for length-delimited; fixed32/64 kept raw). */
+    final case class Msg(fields: Map[Int, Vector[Any]]) {
+      def long(f: Int): Long = fields(f).head.asInstanceOf[Long]
+      def longOpt(f: Int, dflt: Long): Long =
+        fields.get(f).map(_.head.asInstanceOf[Long]).getOrElse(dflt)
+      def raw(f: Int): Array[Byte] = fields(f).head.asInstanceOf[Array[Byte]]
+      def str(f: Int): String = new String(raw(f), UTF_8)
+      def strOpt(f: Int): Option[String] =
+        fields.get(f).map(v => new String(v.head.asInstanceOf[Array[Byte]], UTF_8))
+      def msg(f: Int): Msg = parse(raw(f))
+      def has(f: Int): Boolean = fields.contains(f)
+    }
+
+    def parse(b: Array[Byte]): Msg = {
+      var i = 0
+      def varint(): Long = {
+        var shift = 0; var r = 0L; var more = true
+        while (more) {
+          val c = b(i) & 0xff; i += 1
+          r |= (c & 0x7fL) << shift; shift += 7; more = (c & 0x80) != 0
+        }
+        r
+      }
+      val m = scala.collection.mutable.Map.empty[Int, Vector[Any]]
+      while (i < b.length) {
+        val t = varint(); val f = (t >>> 3).toInt
+        val v: Any = (t & 7).toInt match {
+          case 0 => varint()
+          case 2 =>
+            val n = varint().toInt
+            val r = java.util.Arrays.copyOfRange(b, i, i + n); i += n; r
+          case 5 => val r = java.util.Arrays.copyOfRange(b, i, i + 4); i += 4; r
+          case 1 => val r = java.util.Arrays.copyOfRange(b, i, i + 8); i += 8; r
+          case wt => throw new IllegalArgumentException(s"unsupported wire type $wt")
+        }
+        m(f) = m.getOrElse(f, Vector.empty) :+ v
+      }
+      Msg(m.toMap)
+    }
+  }
+
+  // ---- BaseCommand type enum values == sub-message field numbers ----
+  private[graft] object T {
+    val Connect = 2; val Connected = 3; val Subscribe = 4; val Producer = 5
+    val Send = 6; val SendReceipt = 7; val Message = 9; val Ack = 10
+    val Flow = 11; val Success = 13; val Error = 14; val ProducerSuccess = 17
+    val Ping = 18; val Pong = 19
+  }
+
+  private[graft] def baseCmd(tpe: Int, sub: Pb.Writer): Array[Byte] =
+    new Pb.Writer().int(1, tpe.toLong).msg(tpe, sub).result
+  private[graft] def emptyCmd(tpe: Int): Array[Byte] =
+    new Pb.Writer().int(1, tpe.toLong).result
+
+  // ---- framing ----
+
+  private[graft] object Frame {
+    /** One decoded frame: the BaseCommand, plus metadata/payload when the
+      * 0x0e01 magic follows (checksum ALWAYS verified on read). */
+    final case class In(cmd: Pb.Msg, meta: Option[Pb.Msg], payload: Option[Array[Byte]]) {
+      def tpe: Int = cmd.long(1).toInt
+    }
+
+    def write(out: DataOutputStream, cmd: Array[Byte]): Unit = out.synchronized {
+      out.writeInt(4 + cmd.length); out.writeInt(cmd.length); out.write(cmd); out.flush()
+    }
+
+    def writePayload(out: DataOutputStream, cmd: Array[Byte],
+                     meta: Array[Byte], payload: Array[Byte]): Unit = {
+      val tail = new Array[Byte](4 + meta.length + payload.length)
+      tail(0) = (meta.length >>> 24).toByte; tail(1) = (meta.length >>> 16).toByte
+      tail(2) = (meta.length >>> 8).toByte; tail(3) = meta.length.toByte
+      System.arraycopy(meta, 0, tail, 4, meta.length)
+      System.arraycopy(payload, 0, tail, 4 + meta.length, payload.length)
+      val crc = new CRC32C(); crc.update(tail)
+      out.synchronized {
+        out.writeInt(4 + cmd.length + 2 + 4 + tail.length)
+        out.writeInt(cmd.length); out.write(cmd)
+        out.writeShort(0x0e01)
+        out.writeInt(crc.getValue.toInt)
+        out.write(tail)
+        out.flush()
+      }
+    }
+
+    def read(in: DataInputStream): In = {
+      val total = in.readInt()
+      val cmdSize = in.readInt()
+      require(cmdSize >= 0 && cmdSize <= total - 4, s"bad commandSize $cmdSize/$total")
+      val cmdB = new Array[Byte](cmdSize); in.readFully(cmdB)
+      val rest = total - 4 - cmdSize
+      if (rest == 0) In(Pb.parse(cmdB), None, None)
+      else {
+        val magic = in.readUnsignedShort()
+        require(magic == 0x0e01, f"bad payload magic 0x$magic%04x")
+        val checksum = in.readInt()
+        val tail = new Array[Byte](rest - 2 - 4); in.readFully(tail)
+        val crc = new CRC32C(); crc.update(tail)
+        require(crc.getValue.toInt == checksum,
+          "CRC32C checksum mismatch: payload frame corrupted in transit")
+        val metaSize = ((tail(0) & 0xff) << 24) | ((tail(1) & 0xff) << 16) |
+          ((tail(2) & 0xff) << 8) | (tail(3) & 0xff)
+        val meta = Pb.parse(java.util.Arrays.copyOfRange(tail, 4, 4 + metaSize))
+        val payload = java.util.Arrays.copyOfRange(tail, 4 + metaSize, tail.length)
+        In(Pb.parse(cmdB), Some(meta), Some(payload))
+      }
+    }
+  }
+
+  private def handshake(in: DataInputStream, out: DataOutputStream, name: String): Unit = {
+    Frame.write(out, baseCmd(T.Connect,
+      new Pb.Writer().str(1, name).int(4, 21))) // client_version, protocol_version
+    val connected = Frame.read(in)
+    require(connected.tpe == T.Connected, s"expected CONNECTED, got type ${connected.tpe}")
+  }
+
+  // ---- consumer ----
+
+  /** A live Pulsar subscription over a raw socket, implementing the
+    * [[Connectors.PulsarConsumer]] seam: a daemon reader thread parses
+    * MESSAGE frames (verifying each CRC32C) and enqueues
+    * (localId, partition_key, payload); cumulative ack maps the local id
+    * back to its (ledgerId, entryId). Exclusive subType, Earliest initial
+    * position (the reference source reads the backlog), half-window FLOW
+    * replenishment. */
+  final class Consumer(host: String, port: Int, topic: String, subscription: String,
+                       permits: Int = 1000)
+      extends Connectors.PulsarConsumer with AutoCloseable {
+    private val socket = new Socket(host, port)
+    private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+    private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+    private val queue = new ConcurrentLinkedQueue[(Long, String, Array[Byte])]()
+    private val idMap = new ConcurrentHashMap[Long, (Long, Long)]()
+    private val nextId = new AtomicLong(0L)
+    private val sinceFlow = new AtomicInteger(0)
+    @volatile private var closed = false
+
+    locally {
+      handshake(in, out, "graft-wire-consumer")
+      Frame.write(out, baseCmd(T.Subscribe, new Pb.Writer()
+        .str(1, topic).str(2, subscription)
+        .int(3, 0L)   // SubType Exclusive
+        .int(4, 1L)   // consumer_id
+        .int(5, 1L)   // request_id
+        .str(6, s"graft-$subscription")
+        .int(13, 1L))) // initialPosition Earliest
+      val success = Frame.read(in)
+      require(success.tpe == T.Success && success.cmd.msg(T.Success).long(1) == 1L,
+        s"expected SUCCESS(request_id=1), got type ${success.tpe}")
+      Frame.write(out, baseCmd(T.Flow, new Pb.Writer().int(1, 1L).int(2, permits.toLong)))
+    }
+
+    private def handle(f: Frame.In): Unit = f.tpe match {
+      case T.Message =>
+        val mid = f.cmd.msg(T.Message).msg(2)
+        val ledger = mid.long(1); val entry = mid.long(2)
+        val key = f.meta.flatMap(_.strOpt(11)).orNull
+        val id = nextId.getAndIncrement()
+        idMap.put(id, (ledger, entry))
+        queue.add((id, key, f.payload.get))
+        // additive permit replenishment at the half-window mark
+        if (sinceFlow.incrementAndGet() >= math.max(permits / 2, 1)) {
+          val used = sinceFlow.getAndSet(0)
+          Frame.write(out, baseCmd(T.Flow, new Pb.Writer().int(1, 1L).int(2, used.toLong)))
+        }
+      case T.Ping => Frame.write(out, emptyCmd(T.Pong))
+      case _ => () // PONG / SUCCESS echoes: nothing at this layer
+    }
+
+    private val reader = new Thread(() => {
+      try while (!closed) handle(Frame.read(in))
+      catch { case _: java.io.IOException => () } // closed socket
+    }, s"pulsar-wire-reader-$subscription")
+    reader.setDaemon(true)
+    reader.start()
+
+    def poll(): Seq[(Long, String, Array[Byte])] = {
+      val b = Seq.newBuilder[(Long, String, Array[Byte])]
+      var m = queue.poll()
+      while (m != null) { b += m; m = queue.poll() }
+      b.result()
+    }
+
+    def ackCumulative(messageId: Long): Unit = {
+      val pos = idMap.get(messageId)
+      require(pos != null, s"unknown local message id $messageId (already acked?)")
+      Frame.write(out, baseCmd(T.Ack, new Pb.Writer()
+        .int(1, 1L)  // consumer_id
+        .int(2, 1L)  // AckType Cumulative
+        .msg(3, new Pb.Writer().int(1, pos._1).int(2, pos._2))))
+      // the cumulative ack releases the whole prefix
+      idMap.keySet.forEach(k => if (k <= messageId) idMap.remove(k))
+    }
+
+    def close(): Unit = { closed = true; socket.close() }
+  }
+
+  // ---- producer ----
+
+  /** A live Pulsar producer over a raw socket: PRODUCER handshake, then
+    * per-message SEND payload frames; [[send]] blocks until the broker's
+    * SEND_RECEIPT for that sequence id arrives (publish is CONFIRMED, the
+    * at-least-once half the K4 sink needs). Single socket, synchronous —
+    * the reader loop only ever sees receipts and pings. */
+  final class Producer(host: String, port: Int, topic: String,
+                       name: String = "graft-wire-producer") extends AutoCloseable {
+    private val socket = new Socket(host, port)
+    private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+    private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+    private var seq = 0L
+    val producerName: String = {
+      handshake(in, out, "graft-wire-producer")
+      Frame.write(out, baseCmd(T.Producer,
+        new Pb.Writer().str(1, topic).int(2, 1L).int(3, 1L).str(4, name)))
+      val ok = awaitType(T.ProducerSuccess)
+      require(ok.cmd.msg(T.ProducerSuccess).long(1) == 1L, "PRODUCER_SUCCESS request_id mismatch")
+      ok.cmd.msg(T.ProducerSuccess).str(2)
+    }
+
+    private def awaitType(tpe: Int): Frame.In = {
+      var f = Frame.read(in)
+      while (f.tpe != tpe) {
+        if (f.tpe == T.Ping) Frame.write(out, emptyCmd(T.Pong))
+        else require(f.tpe != T.Error, s"broker ERROR: ${f.cmd.msg(T.Error).strOpt(3).getOrElse("")}")
+        f = Frame.read(in)
+      }
+      f
+    }
+
+    /** Returns the broker-assigned (ledgerId, entryId). */
+    def send(key: String, body: Array[Byte]): (Long, Long) = synchronized {
+      val s = seq; seq += 1
+      val meta = new Pb.Writer()
+        .str(1, producerName).int(2, s)
+        .int(3, System.currentTimeMillis()) // publish_time
+      if (key != null) meta.str(11, key)    // partition_key
+      Frame.writePayload(out, baseCmd(T.Send, new Pb.Writer().int(1, 1L).int(2, s)),
+        meta.result, body)
+      val receipt = awaitType(T.SendReceipt).cmd.msg(T.SendReceipt)
+      require(receipt.long(2) == s, s"SEND_RECEIPT out of order: ${receipt.long(2)} != $s")
+      val mid = receipt.msg(3)
+      (mid.long(1), mid.long(2))
+    }
+
+    def close(): Unit = socket.close()
+  }
+
+  /** One-shot convenience publish (mirrors [[NatsWire.publish]]): every
+    * message individually receipt-confirmed before this returns. */
+  def produce(host: String, port: Int, topic: String,
+              msgs: Seq[(String, Array[Byte])]): Seq[(Long, Long)] = {
+    val p = new Producer(host, port, topic)
+    try msgs.map { case (k, v) => p.send(k, v) } finally p.close()
+  }
+}
