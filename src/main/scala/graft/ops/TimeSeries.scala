@@ -437,6 +437,54 @@ object TimeSeries {
         (col("s2t") > lit(8L) * col("sx")).as("alarm"))
   }
 
+  /** Retrospective single change-point per key — binary segmentation's
+    * first split, the offline twin of [[cusum]]'s online detector: over
+    * the gap-filled hourly count series, pick the boundary t (1 ≤ t < T)
+    * maximizing the between-segment SSE reduction
+    * gain(t) = Sl²/t + Sr²/(T−t) − S²/T. Prefix sums are exact BIGINTs;
+    * every square goes through DECIMAL(38,0) BEFORE the product (the
+    * drift_cells overflow discipline — a BIGINT Sl² wraps once a key's
+    * total count passes ~3e9), and the gain is one deterministic IEEE
+    * chain (+,−,×,÷ only), so the ARGMAX itself is engine-portable; ties
+    * break on the earlier boundary. Keys with a single bucket have no
+    * interior boundary and drop out.
+    *
+    * Scale: one raw scan (the resample hash-agg), then two window passes
+    * sharing one HashPartitioning(key) over the |keys|×|hours| series —
+    * series-sized, never event-sized; the argmax is a per-key
+    * WindowGroupLimit-prunable rank. */
+  def changePoint(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String = "value"): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol), col("bucket"), col("n"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val sl = col("sl"); val sr = col("stot") - col("sl")
+    val gain = (d38(sl) * d38(sl)).cast("double") / col("t").cast("double") +
+      (d38(sr) * d38(sr)).cast("double") /
+        (col("tt") - col("t")).cast("double") -
+      (d38(col("stot")) * d38(col("stot"))).cast("double") /
+        col("tt").cast("double")
+    series
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("sl", sum(col("n")).over(wOrd))
+      .withColumn("tt", count(lit(1)).over(wAll))
+      .withColumn("stot", sum(col("n")).over(wAll))
+      .where(col("t") < col("tt"))
+      .withColumn("gain", gain)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("gain").desc, col("t"))))
+      .where(col("rn") === 1)
+      .select(col(keyCol), col("t").as("t_split"),
+        col("bucket").as("split_bucket"), col("tt").as("n_hours"),
+        portableRound6(col("gain")).as("gain"),
+        portableRound6(sl.cast("double") / col("t").cast("double"))
+          .as("mean_before"),
+        portableRound6(sr.cast("double") /
+          (col("tt") - col("t")).cast("double")).as("mean_after"))
+  }
+
   /** Hour-of-day seasonal profile per key: for each (key, hour-of-day),
     * the mean gap-filled hourly count relative to the key's overall mean
     * — the seasonal index a deseasonalizer divides out and a capacity

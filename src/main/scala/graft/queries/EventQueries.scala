@@ -23,6 +23,98 @@ object EventQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
 
+    // TOST equivalence reading per event type — the "prove the metric did
+    // NOT move" direction a guardrail metric needs (a plain t-test can
+    // only fail to reject, never demonstrate equivalence). Two one-sided
+    // Welch tests against a ±5%-of-pooled-mean margin: equivalent iff
+    // t_low > z₀.₉₅ AND t_up < −z₀.₉₅. Moments are exact integer cents
+    // (squares in DECIMAL(38,0)); the statistics are one deterministic
+    // IEEE chain (+,−,×,÷,sqrt — no libm), so the decision FLAG itself is
+    // hash-stable across engines. A zero-variance type yields null
+    // statistics, not DIVIDE_BY_ZERO (the stat_ttest dead-metric rule).
+    "stat_tost" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cents = (col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+      val per = Tables.events(s, dir)
+        .select(col("event_type"), pmod(col("user_id"), lit(2)).as("variant"),
+          cents.as("x"))
+      val m = per.groupBy(col("event_type")).agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("x"))).as("sx0"),
+        sum(when(col("variant") === 0, col("x") * col("x"))).as("sxx0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("x"))).as("sx1"),
+        sum(when(col("variant") === 1, col("x") * col("x"))).as("sxx1"))
+      def mean(sx: String, n: String) =
+        col(sx).cast("double") / col(n).cast("double")
+      def svar(n: String, sx: String, sxx: String) =
+        (d38(col(n)) * col(sxx) - col(sx) * col(sx)).cast("double") /
+          (d38(col(n)) * (d38(col(n)) - 1)).cast("double")
+      val diff = mean("sx0", "n0") - mean("sx1", "n1")
+      val se2 = svar("n0", "sx0", "sxx0") / col("n0").cast("double") +
+        svar("n1", "sx1", "sxx1") / col("n1").cast("double")
+      val se = sqrt(se2)
+      val margin = (col("sx0") + col("sx1")).cast("double") /
+        (col("n0") + col("n1")).cast("double") * lit(0.05)
+      val tLow = (diff + margin) / se
+      val tUp = (diff - margin) / se
+      val z = lit(1.644854) // z₀.₉₅, 6dp-quantized in both engines
+      m.select(col("event_type"), col("n0"), col("n1"),
+        graft.ops.TimeSeries.portableRound6(mean("sx0", "n0") / 100.0)
+          .as("mean0"),
+        graft.ops.TimeSeries.portableRound6(mean("sx1", "n1") / 100.0)
+          .as("mean1"),
+        graft.ops.TimeSeries.portableRound6(when(se2 > 0, tLow)).as("t_low"),
+        graft.ops.TimeSeries.portableRound6(when(se2 > 0, tUp)).as("t_up"),
+        when(se2 > 0, (tLow > z && tUp < -z).cast("int")).as("equiv"))
+    },
+
+    // 10% two-sided trimmed mean per event type — the robust center a
+    // metrics platform quotes when a few whale values dominate the
+    // arithmetic mean. The trim is RANK-based on a deterministic total
+    // order (cents, event_id), so both engines discard exactly the same
+    // rows: k = n DIV 10 from each tail; the kept-range mean is exact
+    // integer cents until one final division. One shuffle on event_type;
+    // the rank window and the aggregate share its partitioning.
+    "stat_trimmed" -> { (s, dir) =>
+      val cents = (col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("x"), col("event_id"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val keep = col("rk") > col("k") && col("rk") <= col("n") - col("k")
+      Tables.events(s, dir)
+        .select(col("event_type"), cents.as("x"), col("event_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("k", expr("n DIV 10"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("x"))).as("sxk"),
+          sum(col("x")).as("sxa"))
+        .select(col("event_type"), col("n"), col("n_kept"),
+          graft.ops.TimeSeries.portableRound6(
+            col("sxk").cast("double") / col("n_kept").cast("double") / 100.0)
+            .as("trimmed_mean"),
+          graft.ops.TimeSeries.portableRound6(
+            col("sxa").cast("double") / col("n").cast("double") / 100.0)
+            .as("mean"))
+    },
+
+    // retrospective single change-point per event type — binary
+    // segmentation's first split over the gap-filled hourly series, the
+    // offline "when did the level shift" twin of ts_cusum's online
+    // alarm. Exact-integer prefix sums, DECIMAL(38,0) squares, one
+    // deterministic double chain per candidate boundary; argmax ties
+    // break on the earlier hour (TimeSeries.changePoint).
+    "ts_changepoint" -> { (s, dir) =>
+      graft.ops.TimeSeries.changePoint(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // Markov next-event transition matrix: P(next_type | type) over each
     // user's (ts, event_id)-ordered stream — the behavioral model behind
     // next-action prediction and anomaly scoring. One shuffle on user_id
@@ -1275,6 +1367,102 @@ object EventQueries extends QueryPack {
       |    ON gg.event_type = hh.event_type AND gg.bucket = hh.bucket)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stat_tost" ->
+      """WITH per AS (SELECT event_type, ((user_id % 2) + 2) % 2 AS variant,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x
+        |  FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    sum(CASE WHEN variant = 0 THEN x END) AS sx0,
+        |    sum(CASE WHEN variant = 0 THEN x * x END) AS sxx0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN variant = 1 THEN x END) AS sx1,
+        |    sum(CASE WHEN variant = 1 THEN x * x END) AS sxx1
+        |  FROM per GROUP BY 1),
+        |c AS (SELECT event_type, n0, n1,
+        |    CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0c,
+        |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1c,
+        |    CAST(CAST(n0 AS DECIMAL(38,0)) * sxx0 - sx0 * sx0 AS DOUBLE)
+        |      / CAST(CAST(n0 AS DECIMAL(38,0))
+        |             * (CAST(n0 AS DECIMAL(38,0)) - 1) AS DOUBLE)
+        |      / CAST(n0 AS DOUBLE)
+        |    + CAST(CAST(n1 AS DECIMAL(38,0)) * sxx1 - sx1 * sx1 AS DOUBLE)
+        |      / CAST(CAST(n1 AS DECIMAL(38,0))
+        |             * (CAST(n1 AS DECIMAL(38,0)) - 1) AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE) AS se2,
+        |    CAST(sx0 + sx1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) * 0.05
+        |      AS margin
+        |  FROM m),
+        |t AS (SELECT event_type, n0, n1, mean0c, mean1c, se2,
+        |    (mean0c - mean1c + margin) / sqrt(se2) AS t_low_r,
+        |    (mean0c - mean1c - margin) / sqrt(se2) AS t_up_r
+        |  FROM c)
+        |SELECT event_type, n0, n1,
+        |  round(mean0c / 100.0 * 1000000) / 1000000 AS mean0,
+        |  round(mean1c / 100.0 * 1000000) / 1000000 AS mean1,
+        |  round(CASE WHEN se2 > 0 THEN t_low_r END * 1000000) / 1000000
+        |    AS t_low,
+        |  round(CASE WHEN se2 > 0 THEN t_up_r END * 1000000) / 1000000
+        |    AS t_up,
+        |  CASE WHEN se2 > 0 THEN
+        |    CASE WHEN t_low_r > 1.644854 AND t_up_r < -1.644854
+        |         THEN 1 ELSE 0 END END AS equiv
+        |FROM t""".stripMargin,
+
+    "stat_trimmed" ->
+      """WITH per AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x,
+        |    event_id
+        |  FROM events),
+        |r AS (SELECT event_type, x,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY event_type ORDER BY x, event_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM per),
+        |k AS (SELECT *, n // 10 AS k FROM r)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN rk > k AND rk <= n - k THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN rk > k AND rk <= n - k THEN x END)
+        |      AS DOUBLE)
+        |    / CAST(sum(CASE WHEN rk > k AND rk <= n - k THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    / 100.0 * 1000000) / 1000000 AS trimmed_mean,
+        |  round(CAST(sum(x) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+        |    / 100.0 * 1000000) / 1000000 AS mean
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "ts_changepoint" ->
+      s"""WITH $hourlyGridCtes,
+         |s AS (SELECT event_type, bucket, n,
+         |    CAST(row_number() OVER
+         |      (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS t,
+         |    CAST(sum(n) OVER
+         |      (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS sl,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tt,
+         |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS stot
+         |  FROM ff),
+         |g AS (SELECT event_type, bucket, t, tt, sl, stot - sl AS sr, stot
+         |  FROM s WHERE t < tt),
+         |v AS (SELECT event_type, bucket, t, tt, sl, sr,
+         |    CAST(CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))
+         |      AS DOUBLE) / CAST(t AS DOUBLE)
+         |    + CAST(CAST(sr AS DECIMAL(38,0)) * CAST(sr AS DECIMAL(38,0))
+         |      AS DOUBLE) / CAST(tt - t AS DOUBLE)
+         |    - CAST(CAST(stot AS DECIMAL(38,0)) * CAST(stot AS DECIMAL(38,0))
+         |      AS DOUBLE) / CAST(tt AS DOUBLE) AS gain
+         |  FROM g),
+         |rk AS (SELECT *, row_number() OVER
+         |    (PARTITION BY event_type ORDER BY gain DESC, t) AS rn FROM v)
+         |SELECT event_type, t AS t_split, bucket AS split_bucket,
+         |  tt AS n_hours,
+         |  round(gain * 1000000) / 1000000 AS gain,
+         |  round(CAST(sl AS DOUBLE) / CAST(t AS DOUBLE) * 1000000) / 1000000
+         |    AS mean_before,
+         |  round(CAST(sr AS DOUBLE) / CAST(tt - t AS DOUBLE) * 1000000)
+         |    / 1000000 AS mean_after
+         |FROM rk WHERE rn = 1""".stripMargin,
+
     "stat_mwu" ->
       """WITH per AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
