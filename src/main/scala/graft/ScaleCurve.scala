@@ -210,7 +210,12 @@ object ScaleCurve {
     "stat_did", "vocab_entropy",
     // winsorized means: value-domain cap pick + one broadcast probe —
     // domain-bounded FLAT (the stat_qte shape)
-    "stat_winsor")
+    "stat_winsor",
+    // round-12 continuation: TOST (one event_type hash-agg — FLAT),
+    // rank-based trimmed mean (one event_type window shuffle — linear),
+    // offline change-point (grid-bounded windows — FLAT past the
+    // resample hash-agg, the ts_cusum shape)
+    "stat_tost", "stat_trimmed", "ts_changepoint")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

@@ -72,29 +72,39 @@ object EventQueries extends QueryPack {
 
     // 10% two-sided trimmed mean per event type — the robust center a
     // metrics platform quotes when a few whale values dominate the
-    // arithmetic mean. The trim is RANK-based on a deterministic total
-    // order (cents, event_id), so both engines discard exactly the same
-    // rows: k = n DIV 10 from each tail; the kept-range mean is exact
-    // integer cents until one final division. One shuffle on event_type;
-    // the rank window and the aggregate share its partitioning.
+    // arithmetic mean. Trimming is rank-based (k = n DIV 10 from each
+    // tail), but computed in the VALUE DOMAIN (the stat_mwu shape): a
+    // (type, cents) hash-agg collapses the stream map-side, then the
+    // kept multiplicity of each distinct value is the overlap of its
+    // cumulative-rank span with (k, n−k] — the trimmed SUM only depends
+    // on how many copies of each value survive, so this is bit-identical
+    // to sorting all rows and dropping the tails, WITHOUT the per-type
+    // full sort (a low-cardinality key would serialize row-rank windows
+    // into |types| giant sorted tasks at corpus scale; the distinct-cents
+    // table is value-domain-bounded whatever the row count). Exact
+    // integer cents until one final division per output.
     "stat_trimmed" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val cents = (col("value").cast("decimal(18,2)") * 100)
         .cast("decimal(38,0)")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("x"), col("event_id"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("x"))
       val wAll = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type"))
-      val keep = col("rk") > col("k") && col("rk") <= col("n") - col("k")
       Tables.events(s, dir)
-        .select(col("event_type"), cents.as("x"), col("event_id"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
+        .select(col("event_type"), cents.as("x"))
+        .groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("c"))
+        .withColumn("cum_end", sum(col("c")).over(wOrd))
+        .withColumn("n", sum(col("c")).over(wAll))
         .withColumn("k", expr("n DIV 10"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum_end"), col("n") - col("k")) -
+            greatest(col("cum_end") - col("c"), col("k"))))
         .groupBy(col("event_type"))
         .agg(max(col("n")).as("n"),
-          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(keep, col("x"))).as("sxk"),
-          sum(col("x")).as("sxa"))
+          sum(col("kept")).as("n_kept"),
+          sum(col("x") * d38(col("kept"))).as("sxk"),
+          sum(col("x") * d38(col("c"))).as("sxa"))
         .select(col("event_type"), col("n"), col("n_kept"),
           graft.ops.TimeSeries.portableRound6(
             col("sxk").cast("double") / col("n_kept").cast("double") / 100.0)
@@ -1411,26 +1421,29 @@ object EventQueries extends QueryPack {
 
     "stat_trimmed" ->
       """WITH per AS (SELECT event_type,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x,
-        |    event_id
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x
         |  FROM events),
-        |r AS (SELECT event_type, x,
-        |    CAST(row_number() OVER
-        |      (PARTITION BY event_type ORDER BY x, event_id) AS BIGINT) AS rk,
-        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        |  FROM per),
-        |k AS (SELECT *, n // 10 AS k FROM r)
+        |g AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+        |  FROM per GROUP BY 1, 2),
+        |w AS (SELECT event_type, x, c,
+        |    CAST(sum(c) OVER
+        |      (PARTITION BY event_type ORDER BY x) AS BIGINT) AS cum_end,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g),
+        |k AS (SELECT *, n // 10 AS k FROM w),
+        |kk AS (SELECT *,
+        |    greatest(CAST(0 AS BIGINT),
+        |      least(cum_end, n - k) - greatest(cum_end - c, k)) AS kept
+        |  FROM k)
         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN rk > k AND rk <= n - k THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_kept,
-        |  round(CAST(sum(CASE WHEN rk > k AND rk <= n - k THEN x END)
-        |      AS DOUBLE)
-        |    / CAST(sum(CASE WHEN rk > k AND rk <= n - k THEN 1 ELSE 0 END)
-        |      AS DOUBLE)
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(x * CAST(kept AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(sum(kept) AS DOUBLE)
         |    / 100.0 * 1000000) / 1000000 AS trimmed_mean,
-        |  round(CAST(sum(x) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+        |  round(CAST(sum(x * CAST(c AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(max(n) AS DOUBLE)
         |    / 100.0 * 1000000) / 1000000 AS mean
-        |FROM k GROUP BY 1""".stripMargin,
+        |FROM kk GROUP BY 1""".stripMargin,
 
     "ts_changepoint" ->
       s"""WITH $hourlyGridCtes,
