@@ -561,6 +561,80 @@ object TimeSeries {
             sqrt(col("den2")))).as("r"))
   }
 
+  /** Granger causality between every ordered pair of keys' gap-filled
+    * hourly count series — "does x's PAST improve the prediction of y
+    * beyond y's own past?", the directional companion to
+    * [[crossCorrelation]]'s symmetric lead/lag r. Lag-1 OLS, solved in
+    * closed form from exact integer moments: the restricted model
+    * y_t = a + b·y_{t−1} and the unrestricted y_t = a + b·y_{t−1} +
+    * c·x_{t−1}; each RSS comes from Cramer's rule on the normal
+    * equations — RSS = Σy² − (vᵀ·adj(A)·v)/det(A), where every entry of
+    * A, v is a BIGINT moment and the determinant/quadratic-form
+    * polynomials evaluate in DECIMAL(38,0) (the oracle mirrors them in
+    * HUGEINT). The only float ops are the two exact-numerator → double
+    * casts, two divisions, and the F-ratio chain — engine-portable to
+    * the bit. F = (RSS_r − RSS_u)·(n−3)/RSS_u (one restriction);
+    * singular designs (constant series → collinear regressors) yield
+    * null, not a division error.
+    *
+    * Capacity: the Q polynomial is degree-4 in the moments (sy²·syl2·
+    * sxl2) — at ~1e7 events per key-hour-grid it approaches the 38-digit
+    * ceiling; past that, rescale the counts (the chi2Term escalation
+    * note applies).
+    *
+    * Scale shape: the raw stream collapses to the |keys|×|hours| grid in
+    * ONE hash-agg; the pair join and moments run on the grid only —
+    * time-range-bounded, FLAT in corpus size (the ts_xcorr shape). */
+  def granger(events: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol).as("k"),
+        (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+          .cast("long").as("h"),
+        col("n"))
+      .localCheckpoint() // consumed three times (y, y-lag, x-lag legs)
+    val e = series.select(col("k").as("effect"), col("h"), col("n").as("y"))
+    val el = series.select(col("k").as("ke2"), (col("h") + 1).as("h"),
+      col("n").as("yl"))
+    val cl = series.select(col("k").as("cause"), (col("h") + 1).as("h"),
+      col("n").as("xl"))
+    val m = e.join(el, "h").where(col("ke2") === col("effect"))
+      .join(cl, "h").where(col("cause") =!= col("effect"))
+      .groupBy(col("cause"), col("effect"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sy"), sum(col("yl")).as("syl"),
+        sum(col("xl")).as("sxl"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("y") * col("yl")).as("syyl"),
+        sum(col("y") * col("xl")).as("syxl"),
+        sum(col("yl") * col("yl")).as("syl2"),
+        sum(col("xl") * col("xl")).as("sxl2"),
+        sum(col("yl") * col("xl")).as("sylxl"))
+    def d(c: String) = col(c).cast(dec)
+    val detU = d("n") * (d("syl2") * d("sxl2") - d("sylxl") * d("sylxl")) -
+      d("syl") * (d("syl") * d("sxl2") - d("sxl") * d("sylxl")) +
+      d("sxl") * (d("syl") * d("sylxl") - d("syl2") * d("sxl"))
+    val q =
+      d("sy") * d("sy") * (d("syl2") * d("sxl2") - d("sylxl") * d("sylxl")) +
+      d("syyl") * d("syyl") * (d("n") * d("sxl2") - d("sxl") * d("sxl")) +
+      d("syxl") * d("syxl") * (d("n") * d("syl2") - d("syl") * d("syl")) -
+      lit(2) * d("sy") * d("syyl") * (d("syl") * d("sxl2") - d("sxl") * d("sylxl")) +
+      lit(2) * d("sy") * d("syxl") * (d("syl") * d("sylxl") - d("syl2") * d("sxl")) -
+      lit(2) * d("syyl") * d("syxl") * (d("n") * d("sylxl") - d("syl") * d("sxl"))
+    val detR = d("n") * d("syl2") - d("syl") * d("syl")
+    val qR = d("sy") * d("sy") * d("syl2") + d("syyl") * d("syyl") * d("n") -
+      lit(2) * d("sy") * d("syyl") * d("syl")
+    val rssU = col("syy").cast("double") - q.cast("double") / detU.cast("double")
+    val rssR = col("syy").cast("double") - qR.cast("double") / detR.cast("double")
+    val f = (rssR - rssU) * (col("n").cast("double") - 3.0) / rssU
+    val ok = detR > 0 && detU > 0
+    m.select(col("cause"), col("effect"), col("n"),
+      portableRound6(when(ok, rssR)).as("rss_r"),
+      portableRound6(when(ok, rssU)).as("rss_u"),
+      portableRound6(when(ok && rssU > 0, f)).as("f_granger"))
+  }
+
   /** Autocorrelation function of each key's gap-filled hourly count
     * series at lags 1..maxLag — the seasonality/persistence detector
     * (a daily cycle shows as a peak at lag 24; white noise decays to ~0

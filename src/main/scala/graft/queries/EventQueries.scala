@@ -125,6 +125,16 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Granger causality between event-type hourly series — does signup
+    // activity PREDICT purchases beyond purchases' own history? Lag-1
+    // OLS in closed form from exact integer moments (Cramer on the
+    // normal equations; see TimeSeries.granger). The directional
+    // companion to ts_xcorr's symmetric lead/lag correlation.
+    "ts_granger" -> { (s, dir) =>
+      graft.ops.TimeSeries.granger(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // Markov next-event transition matrix: P(next_type | type) over each
     // user's (ts, event_id)-ordered stream — the behavioral model behind
     // next-action prediction and anomaly scoring. One shuffle on user_id
@@ -1475,6 +1485,57 @@ object EventQueries extends QueryPack {
          |  round(CAST(sr AS DOUBLE) / CAST(tt - t AS DOUBLE) * 1000000)
          |    / 1000000 AS mean_after
          |FROM rk WHERE rn = 1""".stripMargin,
+
+    "ts_granger" ->
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k,
+         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+         |r AS (SELECT cl.k AS cause, e.k AS effect,
+         |    e.n AS y, el.n AS yl, cl.n AS xl
+         |  FROM sr e JOIN sr el ON el.h + 1 = e.h AND el.k = e.k
+         |            JOIN sr cl ON cl.h + 1 = e.h AND cl.k <> e.k),
+         |m AS (SELECT cause, effect, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(yl) AS HUGEINT) AS syl,
+         |    CAST(sum(xl) AS HUGEINT) AS sxl,
+         |    CAST(sum(y * y) AS HUGEINT) AS syy,
+         |    CAST(sum(y * yl) AS HUGEINT) AS syyl,
+         |    CAST(sum(y * xl) AS HUGEINT) AS syxl,
+         |    CAST(sum(yl * yl) AS HUGEINT) AS syl2,
+         |    CAST(sum(xl * xl) AS HUGEINT) AS sxl2,
+         |    CAST(sum(yl * xl) AS HUGEINT) AS sylxl
+         |  FROM r GROUP BY 1, 2),
+         |d AS (SELECT *,
+         |    CAST(n AS HUGEINT) * (syl2 * sxl2 - sylxl * sylxl)
+         |      - syl * (syl * sxl2 - sxl * sylxl)
+         |      + sxl * (syl * sylxl - syl2 * sxl) AS detu,
+         |    sy * sy * (syl2 * sxl2 - sylxl * sylxl)
+         |      + syyl * syyl * (CAST(n AS HUGEINT) * sxl2 - sxl * sxl)
+         |      + syxl * syxl * (CAST(n AS HUGEINT) * syl2 - syl * syl)
+         |      - 2 * sy * syyl * (syl * sxl2 - sxl * sylxl)
+         |      + 2 * sy * syxl * (syl * sylxl - syl2 * sxl)
+         |      - 2 * syyl * syxl * (CAST(n AS HUGEINT) * sylxl - syl * sxl)
+         |      AS q,
+         |    CAST(n AS HUGEINT) * syl2 - syl * syl AS detr,
+         |    sy * sy * syl2 + syyl * syyl * CAST(n AS HUGEINT)
+         |      - 2 * sy * syyl * syl AS qr
+         |  FROM m),
+         |v AS (SELECT *,
+         |    CAST(syy AS DOUBLE) - CAST(q AS DOUBLE) / CAST(detu AS DOUBLE)
+         |      AS rss_u_r,
+         |    CAST(syy AS DOUBLE) - CAST(qr AS DOUBLE) / CAST(detr AS DOUBLE)
+         |      AS rss_r_r
+         |  FROM d)
+         |SELECT cause, effect, n,
+         |  round(CASE WHEN detr > 0 AND detu > 0 THEN rss_r_r END
+         |    * 1000000) / 1000000 AS rss_r,
+         |  round(CASE WHEN detr > 0 AND detu > 0 THEN rss_u_r END
+         |    * 1000000) / 1000000 AS rss_u,
+         |  round(CASE WHEN detr > 0 AND detu > 0 AND rss_u_r > 0
+         |      THEN (rss_r_r - rss_u_r) * (CAST(n AS DOUBLE) - 3.0)
+         |           / rss_u_r END
+         |    * 1000000) / 1000000 AS f_granger
+         |FROM v""".stripMargin,
 
     "stat_mwu" ->
       """WITH per AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
