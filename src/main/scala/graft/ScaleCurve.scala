@@ -215,7 +215,10 @@ object ScaleCurve {
     // rank-based trimmed mean (one event_type window shuffle — linear),
     // offline change-point (grid-bounded windows — FLAT past the
     // resample hash-agg, the ts_cusum shape)
-    "stat_tost", "stat_trimmed", "ts_changepoint")
+    "stat_tost", "stat_trimmed", "ts_changepoint",
+    // Granger: grid-bounded pair moments — FLAT past the resample
+    // hash-agg (the ts_xcorr shape)
+    "ts_granger")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
