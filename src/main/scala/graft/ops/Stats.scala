@@ -81,6 +81,39 @@ object Stats {
     num * num / (n.cast(d38) * r.cast(d38) * c.cast(d38)).cast("double")
   }
 
+  /** The derived columns of a Welch TOST equivalence test. `equiv` is
+    * 1/0 (int) and NULL when se2 = 0 — the dead-metric rule. */
+  final case class Tost(mean0c: Column, mean1c: Column, se2: Column,
+                        tLow: Column, tUp: Column, equiv: Column)
+
+  /** Welch TOST (two one-sided tests) from exact per-arm moments — the
+    * shared kernel of the batch `stat_tost` query and [[graft.streaming
+    * .TostStream]]'s windowed guardrail monitor (stream ≡ batch is
+    * equality of this one expression tree). Inputs: per-arm BIGINT
+    * counts and DECIMAL(38,0) cents sums / sums of squares. The margin
+    * is `marginFrac` of the pooled mean; equivalence iff
+    * tLow > zCrit AND tUp < −zCrit. Only +,−,×,÷,sqrt touch doubles —
+    * no libm — so the decision flag is engine-portable to the bit
+    * (consumers still 6dp-round the t statistics for display). */
+  def tost(n0: Column, sx0: Column, sxx0: Column,
+           n1: Column, sx1: Column, sxx1: Column,
+           marginFrac: Double = 0.05, zCrit: Double = 1.644854): Tost = {
+    def mean(sx: Column, n: Column) = sx.cast("double") / n.cast("double")
+    def svar(n: Column, sx: Column, sxx: Column) =
+      (n.cast(d38) * sxx - sx * sx).cast("double") /
+        (n.cast(d38) * (n.cast(d38) - 1)).cast("double")
+    val diff = mean(sx0, n0) - mean(sx1, n1)
+    val se2 = svar(n0, sx0, sxx0) / n0.cast("double") +
+      svar(n1, sx1, sxx1) / n1.cast("double")
+    val se = sqrt(se2)
+    val margin = (sx0 + sx1).cast("double") / (n0 + n1).cast("double") *
+      lit(marginFrac)
+    val tLow = (diff + margin) / se
+    val tUp = (diff - margin) / se
+    Tost(mean(sx0, n0), mean(sx1, n1), se2, tLow, tUp,
+      when(se2 > 0, (tLow > lit(zCrit) && tUp < -lit(zCrit)).cast("int")))
+  }
+
   /** Standard normal CDF Φ(z) as a COLUMN expression — Abramowitz &
     * Stegun 26.2.17 (public-domain polynomial, |ε| < 7.5e-8): the same
     * five literal coefficients and the same operation order as the SQL

@@ -32,8 +32,9 @@ object EventQueries extends QueryPack {
     // IEEE chain (+,−,×,÷,sqrt — no libm), so the decision FLAG itself is
     // hash-stable across engines. A zero-variance type yields null
     // statistics, not DIVIDE_BY_ZERO (the stat_ttest dead-metric rule).
+    // The TOST chain itself lives in Stats.tost — TostStream's windowed
+    // guardrail monitor replays the identical expression tree.
     "stat_tost" -> { (s, dir) =>
-      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val cents = (col("value").cast("decimal(18,2)") * 100)
         .cast("decimal(38,0)")
       val per = Tables.events(s, dir)
@@ -46,28 +47,16 @@ object EventQueries extends QueryPack {
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("variant") === 1, col("x"))).as("sx1"),
         sum(when(col("variant") === 1, col("x") * col("x"))).as("sxx1"))
-      def mean(sx: String, n: String) =
-        col(sx).cast("double") / col(n).cast("double")
-      def svar(n: String, sx: String, sxx: String) =
-        (d38(col(n)) * col(sxx) - col(sx) * col(sx)).cast("double") /
-          (d38(col(n)) * (d38(col(n)) - 1)).cast("double")
-      val diff = mean("sx0", "n0") - mean("sx1", "n1")
-      val se2 = svar("n0", "sx0", "sxx0") / col("n0").cast("double") +
-        svar("n1", "sx1", "sxx1") / col("n1").cast("double")
-      val se = sqrt(se2)
-      val margin = (col("sx0") + col("sx1")).cast("double") /
-        (col("n0") + col("n1")).cast("double") * lit(0.05)
-      val tLow = (diff + margin) / se
-      val tUp = (diff - margin) / se
-      val z = lit(1.644854) // z₀.₉₅, 6dp-quantized in both engines
+      val t = graft.ops.Stats.tost(col("n0"), col("sx0"), col("sxx0"),
+        col("n1"), col("sx1"), col("sxx1"))
       m.select(col("event_type"), col("n0"), col("n1"),
-        graft.ops.TimeSeries.portableRound6(mean("sx0", "n0") / 100.0)
-          .as("mean0"),
-        graft.ops.TimeSeries.portableRound6(mean("sx1", "n1") / 100.0)
-          .as("mean1"),
-        graft.ops.TimeSeries.portableRound6(when(se2 > 0, tLow)).as("t_low"),
-        graft.ops.TimeSeries.portableRound6(when(se2 > 0, tUp)).as("t_up"),
-        when(se2 > 0, (tLow > z && tUp < -z).cast("int")).as("equiv"))
+        graft.ops.TimeSeries.portableRound6(t.mean0c / 100.0).as("mean0"),
+        graft.ops.TimeSeries.portableRound6(t.mean1c / 100.0).as("mean1"),
+        graft.ops.TimeSeries.portableRound6(when(t.se2 > 0, t.tLow))
+          .as("t_low"),
+        graft.ops.TimeSeries.portableRound6(when(t.se2 > 0, t.tUp))
+          .as("t_up"),
+        t.equiv.as("equiv"))
     },
 
     // 10% two-sided trimmed mean per event type — the robust center a
