@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ngramClip)
     ext.injectFunction(GraftExtensions.charBigramClip)
     ext.injectFunction(GraftExtensions.hilbertIndex)
+    ext.injectFunction(GraftExtensions.lcsLength)
     GraftExtensions.composites.foreach(ext.injectFunction)
   }
 }
@@ -107,6 +108,15 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 3, "hilbert_index takes exactly 3 arguments")
       graft.functions.HilbertIndex(exprs.head, exprs(1), litInt(exprs(2), "bits"))
+    })
+
+  val lcsLength: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lcs_length"),
+    info("lcs_length",
+      "_FUNC_(cand, ref) - longest-common-subsequence length of two token arrays (the ROUGE-L kernel, codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "lcs_length takes exactly 2 arguments")
+      graft.functions.LcsLength(exprs.head, exprs(1))
     })
 
   /** Scalar training-data functions exposed to SQL: each is a composition

@@ -218,7 +218,10 @@ object ScaleCurve {
     "stat_tost", "stat_trimmed", "ts_changepoint",
     // Granger: grid-bounded pair moments — FLAT past the resample
     // hash-agg (the ts_xcorr shape)
-    "ts_granger")
+    "ts_granger",
+    // ROUGE-L: one native DP call per generation pair, zero shuffles —
+    // linear with the row-local generation-eval family
+    "eval_rouge_l")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

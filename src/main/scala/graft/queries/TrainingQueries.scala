@@ -1244,6 +1244,36 @@ object TrainingQueries extends QueryPack {
           col("c1").cast("double") / col("r1").cast("double")).as("len_ratio"))
     },
 
+    // ROUGE-L per generation pair — the LCS-based recall metric BLEU's
+    // clipped n-grams can't see (a candidate that preserves the
+    // reference's ORDER scores high even with gaps; a bag-of-bigrams
+    // match does not). The whole metric is one native lcs_length call
+    // per row (functions/LcsLength.scala — rolling-row DP over hashed
+    // tokens, zero shuffles, the generation-eval row-local family);
+    // P = LCS/|cand|, R = LCS/|ref|, F = 2·LCS/(|cand|+|ref|) — three
+    // deterministic divisions on the 4dp grid. The oracle replays the
+    // DP as an anti-diagonal recursion (each diagonal depends only on
+    // the previous two — no intra-row dependency, so it fits a
+    // recursive CTE).
+    "eval_rouge_l" -> { (s, dir) =>
+      val p = genEvalPairs(s, dir).select(col("doc_id"),
+        split(col("cand"), " ").as("ct"), split(col("rtext"), " ").as("rt"))
+      val la = size(col("ct")).cast("long")
+      val lb = size(col("rt")).cast("long")
+      p.select(col("doc_id"), la.as("c_len"), lb.as("r_len"),
+          graft.functions.LcsLength(col("ct"), col("rt")).as("lcs"))
+        .select(col("doc_id"), col("c_len"), col("r_len"), col("lcs"),
+          graft.ops.TimeSeries.portableRound4(
+            col("lcs").cast("double") / col("c_len").cast("double"))
+            .as("rouge_p"),
+          graft.ops.TimeSeries.portableRound4(
+            col("lcs").cast("double") / col("r_len").cast("double"))
+            .as("rouge_r"),
+          graft.ops.TimeSeries.portableRound4(
+            lit(2.0) * col("lcs").cast("double") /
+              (col("c_len") + col("r_len")).cast("double")).as("rouge_f"))
+    },
+
     // corpus-level (micro-averaged) BLEU-2: clip and length sums pooled
     // over ALL pairs before the division — the form actually reported
     // for a generation run (per-pair BLEU averaged arithmetically
@@ -4312,6 +4342,60 @@ object TrainingQueries extends QueryPack {
          |    END AS bleu2,
          |  round(CAST(sc1 AS DOUBLE) / sr1 * 10000) / 10000 AS len_ratio
          |FROM m""".stripMargin,
+
+    // The LCS DP re-expressed as an ANTI-DIAGONAL recursion so it fits a
+    // recursive CTE: dp cells on diagonal d (= i + j) depend only on
+    // diagonals d−1 and d−2 — no intra-row left-neighbor dependency, so
+    // each step is one list_transform over the diagonal's row range. A
+    // cell (i, j = d−i) reads dp[i−1][j] and dp[i][j−1] from the prev
+    // diagonal and dp[i−1][j−1] from prev2; positions convert through
+    // each diagonal's own row offset lo = greatest(1, d − lb). Bounds
+    // checks are explicit CASEs (DuckDB's negative list index means
+    // from-the-END — a bare coalesce would silently read the wrong
+    // cell).
+    "eval_rouge_l" ->
+      """WITH RECURSIVE
+        |a AS (SELECT doc_id, text AS cand FROM documents),
+        |b AS (SELECT doc_id - 1 AS doc_id, text AS rtext FROM documents),
+        |p AS (SELECT a.doc_id, string_split(a.cand, ' ') AS ct,
+        |        string_split(b.rtext, ' ') AS rt
+        |      FROM a JOIN b USING (doc_id)),
+        |lens AS (SELECT doc_id, ct, rt, CAST(len(ct) AS BIGINT) AS la,
+        |    CAST(len(rt) AS BIGINT) AS lb FROM p),
+        |rec AS (
+        |  SELECT doc_id, ct, rt, la, lb, CAST(1 AS BIGINT) AS d,
+        |    CAST([] AS BIGINT[]) AS prev2, CAST([] AS BIGINT[]) AS prev
+        |  FROM lens
+        |  UNION ALL
+        |  SELECT doc_id, ct, rt, la, lb, d + 1, prev,
+        |    list_transform(range(greatest(1, d + 1 - lb), least(la, d) + 1),
+        |      i -> CASE WHEN ct[i] = rt[d + 1 - i]
+        |        THEN (CASE WHEN i - 1 BETWEEN greatest(1, d - 1 - lb)
+        |                                  AND least(la, d - 2)
+        |              THEN prev2[i - 1 - greatest(1, d - 1 - lb) + 1]
+        |              ELSE 0 END) + 1
+        |        ELSE greatest(
+        |          CASE WHEN i - 1 BETWEEN greatest(1, d - lb)
+        |                              AND least(la, d - 1)
+        |               THEN prev[i - 1 - greatest(1, d - lb) + 1]
+        |               ELSE 0 END,
+        |          CASE WHEN i BETWEEN greatest(1, d - lb)
+        |                          AND least(la, d - 1)
+        |               THEN prev[i - greatest(1, d - lb) + 1]
+        |               ELSE 0 END)
+        |      END)
+        |  FROM rec WHERE d < la + lb
+        |),
+        |res AS (SELECT doc_id, la, lb, CAST(prev[1] AS BIGINT) AS lcs
+        |        FROM rec WHERE d = la + lb)
+        |SELECT doc_id, la AS c_len, lb AS r_len, lcs,
+        |  round(CAST(lcs AS DOUBLE) / CAST(la AS DOUBLE) * 10000) / 10000
+        |    AS rouge_p,
+        |  round(CAST(lcs AS DOUBLE) / CAST(lb AS DOUBLE) * 10000) / 10000
+        |    AS rouge_r,
+        |  round(2.0 * CAST(lcs AS DOUBLE) / CAST(la + lb AS DOUBLE) * 10000)
+        |    / 10000 AS rouge_f
+        |FROM res""".stripMargin,
 
     "eval_chrf" ->
       """WITH a AS (SELECT doc_id, replace(text, ' ', '') AS cs
