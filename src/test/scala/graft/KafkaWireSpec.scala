@@ -1,0 +1,231 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.KafkaWire
+import graft.streaming.KafkaWire.{Api, Batch, R, W}
+
+/** The Kafka wire-protocol subset, end-to-end over a real loopback TCP
+  * socket: an in-process stub broker speaks ApiVersions v0 / Metadata v1
+  * / ListOffsets v1 / Produce v3 / Fetch v4 with v2 record batches, and
+  * [[KafkaWire]] drives produce → metadata → log-end → fetch → replay
+  * against it — S3/K3's live-socket proof (`format("kafka")` stays the
+  * real-cluster binding; the connector jar is absent here). The stub
+  * ITSELF re-verifies every produced batch's CRC32C and decodes the
+  * varint records before appending, so a framing bug cannot round-trip
+  * silently; the layout pins below additionally check the v2 batch
+  * fields against an independent bit-level CRC32C. */
+class KafkaWireSpec extends AnyFunSuite {
+
+  private def crc32cRef(bytes: Array[Byte]): Long = {
+    var crc = 0xffffffffL
+    bytes.foreach { b =>
+      crc ^= (b & 0xffL)
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 1L) != 0) (crc >>> 1) ^ 0x82f63b78L else crc >>> 1
+        k += 1
+      }
+    }
+    (crc ^ 0xffffffffL) & 0xffffffffL
+  }
+
+  /** Loopback stub: one in-memory log per (topic, partition); one thread
+    * per connection; the shared log synchronized on the broker. */
+  private final class KafkaStubBroker extends AutoCloseable {
+    private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    val port: Int = server.getLocalPort
+    // (topic, partition) -> append log of (timestamp, key, value)
+    private val logs = scala.collection.mutable.Map
+      .empty[(String, Int), scala.collection.mutable.ArrayBuffer[KafkaWire.Record]]
+    @volatile private var closed = false
+
+    def logSize(topic: String, p: Int): Int =
+      synchronized(logs.get((topic, p)).map(_.length).getOrElse(0))
+
+    private def log(topic: String, p: Int) = synchronized(
+      logs.getOrElseUpdate((topic, p),
+        scala.collection.mutable.ArrayBuffer.empty[KafkaWire.Record]))
+
+    private def handle(apiKey: Int, version: Int, body: ByteBuffer, resp: W): Unit =
+      apiKey match {
+        case Api.ApiVersions =>
+          require(version == 0, s"stub: ApiVersions v$version")
+          resp.i16(0).i32(4)
+          resp.i16(Api.Produce).i16(0).i16(3)
+          resp.i16(Api.Fetch).i16(0).i16(4)
+          resp.i16(Api.ListOffsets).i16(0).i16(1)
+          resp.i16(Api.Metadata).i16(0).i16(1)
+        case Api.Metadata =>
+          require(version == 1, s"stub: Metadata v$version")
+          val nt = R.i32(body); require(nt == 1)
+          val topic = R.str(body)
+          resp.i32(1).i32(0).str("127.0.0.1").i32(port).nstr(null) // broker 0
+          resp.i32(0) // controller
+          resp.i32(1) // topics
+          resp.i16(0).str(topic).i8(0)
+          resp.i32(1) // partitions
+          resp.i16(0).i32(0).i32(0) // err, partition 0, leader 0
+          resp.i32(1).i32(0)        // replicas [0]
+          resp.i32(1).i32(0)        // isr [0]
+        case Api.ListOffsets =>
+          require(version == 1, s"stub: ListOffsets v$version")
+          R.i32(body) // replica
+          val nt = R.i32(body); require(nt == 1)
+          val topic = R.str(body)
+          val np = R.i32(body); require(np == 1)
+          val p = R.i32(body)
+          val ts = R.i64(body); require(ts == -1L, "stub: latest only")
+          resp.i32(1).str(topic).i32(1)
+          resp.i32(p).i16(0).i64(-1L).i64(log(topic, p).length.toLong)
+        case Api.Produce =>
+          require(version == 3, s"stub: Produce v$version")
+          R.nstr(body); R.i16(body); R.i32(body) // txn, acks, timeout
+          val nt = R.i32(body); require(nt == 1)
+          val topic = R.str(body)
+          val np = R.i32(body); require(np == 1)
+          val p = R.i32(body)
+          val set = R.bytesF(body)
+          // decode = CRC32C + magic + varint framing verified broker-side
+          val recs = Batch.decode(set)
+          val l = log(topic, p)
+          val base = synchronized {
+            val b = l.length.toLong
+            recs.foreach(r => l += KafkaWire.Record(b + (r.offset - recs.head.offset),
+              r.timestamp, r.key, r.value))
+            b
+          }
+          resp.i32(1).str(topic).i32(1)
+          resp.i32(p).i16(0).i64(base).i64(-1L)
+          resp.i32(0) // throttle
+        case Api.Fetch =>
+          require(version == 4, s"stub: Fetch v$version")
+          R.i32(body); R.i32(body); R.i32(body); R.i32(body); R.i8(body)
+          val nt = R.i32(body); require(nt == 1)
+          val topic = R.str(body)
+          val np = R.i32(body); require(np == 1)
+          val p = R.i32(body)
+          val off = R.i64(body); R.i32(body)
+          val l = log(topic, p)
+          val hw = l.length.toLong
+          resp.i32(0) // throttle
+          resp.i32(1).str(topic).i32(1)
+          resp.i32(p).i16(0).i64(hw).i64(hw).i32(0)
+          val slice = synchronized(l.drop(off.toInt).toList)
+          if (slice.isEmpty) resp.i32(-1) // null record set
+          else {
+            // one batch per record: preserves per-record timestamps and
+            // exercises the client's multi-batch record-set decode
+            val setW = new W
+            slice.foreach(r =>
+              setW.raw(Batch.encode(r.offset, r.timestamp, Seq((r.key, r.value)))))
+            resp.bytesF(setW.result)
+          }
+        case other => throw new IllegalStateException(s"stub: api $other")
+      }
+
+    private val acceptor = new Thread(() => {
+      try while (!closed) {
+        val s = server.accept()
+        val t = new Thread(() => {
+          val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+          val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+          try while (!closed) {
+            val size = in.readInt()
+            val frame = new Array[Byte](size); in.readFully(frame)
+            val b = ByteBuffer.wrap(frame)
+            val apiKey = R.i16(b); val version = R.i16(b)
+            val corr = R.i32(b); R.nstr(b) // client id
+            val resp = new W
+            resp.i32(corr)
+            handle(apiKey, version, b, resp)
+            val rb = resp.result
+            out.writeInt(rb.length); out.write(rb); out.flush()
+          } catch { case _: java.io.IOException => () }
+        }, "kafka-stub-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => () }
+    }, "kafka-stub-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def close(): Unit = { closed = true; server.close() }
+  }
+
+  test("record batch v2 layout pins: magic, batchLength, independent CRC32C") {
+    val batch = Batch.encode(7L, 1234L,
+      Seq(("k".getBytes(UTF_8), "v".getBytes(UTF_8)), (null, Array[Byte](0, 1))))
+    val b = ByteBuffer.wrap(batch)
+    assert(b.getLong(0) === 7L)                       // baseOffset
+    assert(b.getInt(8) === batch.length - 12)         // batchLength covers the rest
+    assert(b.getInt(12) === 0)                        // partitionLeaderEpoch
+    assert(batch(16) === 2.toByte)                    // magic v2
+    val crcStored = b.getInt(17) & 0xffffffffL
+    val covered = java.util.Arrays.copyOfRange(batch, 21, batch.length)
+    assert(crcStored === crc32cRef(covered),
+      "batch CRC32C != independent bit-level CRC32C of attributes..end")
+    // and a round-trip decode reproduces the records
+    val recs = Batch.decode(batch)
+    assert(recs.map(_.offset) === Seq(7L, 8L))
+    assert(new String(recs.head.key, UTF_8) === "k")
+    assert(recs(1).key === null)
+    assert(recs(1).value.toSeq === Seq[Byte](0, 1))
+  }
+
+  test("a corrupted record batch is rejected by the checksum on decode") {
+    val batch = Batch.encode(0L, 1L, Seq((null, "payload".getBytes(UTF_8))))
+    batch(batch.length - 1) = (batch(batch.length - 1) ^ 0x20).toByte
+    val e = intercept[IllegalArgumentException](Batch.decode(batch))
+    assert(e.getMessage.contains("CRC32C"))
+  }
+
+  test("produce → metadata → log-end → fetch, binary-safe, over a live socket") {
+    val broker = new KafkaStubBroker
+    val conn = new KafkaWire.Conn("127.0.0.1", broker.port)
+    try {
+      val vs = conn.apiVersions()
+      assert(vs(Api.Produce)._2 >= 3 && vs(Api.Fetch)._2 >= 4)
+      assert(conn.partitionsOf("t.docs") === Seq(0))
+      val binary = Array.tabulate(256)(i => i.toByte)
+      val base1 = conn.produce("t.docs", 0,
+        Seq(("k0".getBytes(UTF_8), "a".getBytes(UTF_8)), (null, binary)), baseTs = 111L)
+      val base2 = conn.produce("t.docs", 0,
+        Seq(("k2".getBytes(UTF_8), "c".getBytes(UTF_8))), baseTs = 222L)
+      assert(base1 === 0L && base2 === 2L) // broker-assigned, receipt-confirmed
+      assert(conn.logEndOffset("t.docs", 0) === 3L)
+      val (hw, recs) = conn.fetch("t.docs", 0, 0L)
+      assert(hw === 3L)
+      assert(recs.map(_.offset) === Seq(0L, 1L, 2L))
+      assert(recs(1).key === null)
+      assert(recs(1).value.toSeq === binary.toSeq)
+      assert(recs(2).timestamp === 222L)
+      // replay from an arbitrary retained offset — the log IS the state
+      val (_, tail) = conn.fetch("t.docs", 0, 2L)
+      assert(tail.map(r => new String(r.value, UTF_8)) === Seq("c"))
+    } finally { conn.close(); broker.close() }
+  }
+
+  test("the GraftSource adapter reads, replays, and reports lag over the wire") {
+    val broker = new KafkaStubBroker
+    val conn = new KafkaWire.Conn("127.0.0.1", broker.port)
+    try {
+      conn.produce("t.src", 0, (0 until 5).map(i =>
+        (s"k$i".getBytes(UTF_8), s"v$i".getBytes(UTF_8))), baseTs = 1000L)
+      val src = new KafkaWire.Source(conn, "t.src")
+      assert(src.latestOffset(0) === 5L)
+      val first = src.read(0, 0L, 3L).toList
+      assert(first.map(_.offset) === Seq(0L, 1L, 2L))
+      assert(first.map(_.keys.head) === Seq("k0", "k1", "k2"))
+      src.ack(0, 3L)
+      assert(src.pending === 2L)
+      // a restart re-reads the same window bit-for-bit (log-backed replay)
+      val again = src.read(0, 1L, 3L).toList
+      assert(again.map(r => new String(r.value, UTF_8)) === Seq("v1", "v2"))
+    } finally { conn.close(); broker.close() }
+  }
+}
