@@ -221,7 +221,10 @@ object ScaleCurve {
     "ts_granger",
     // ROUGE-L: one native DP call per generation pair, zero shuffles —
     // linear with the row-local generation-eval family
-    "eval_rouge_l")
+    "eval_rouge_l",
+    // order-sensitive LSH verification: candidate-bounded joins + one
+    // native LCS DP per candidate pair (tracks dedup_lsh_verified)
+    "dedup_lcs_verified")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

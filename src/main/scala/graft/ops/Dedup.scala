@@ -406,6 +406,33 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** ORDER-SENSITIVE verification of the LSH candidates: the same banded
+    * candidate generation as [[lshVerifiedPairs]], but scored by
+    * token-level LCS similarity 2·LCS/(|a|+|b|) (the ROUGE-L F form,
+    * one native [[graft.functions.LcsLength]] call per pair) instead of
+    * shingle-set Jaccard. The two verifiers disagree exactly on
+    * REORDERED near-dups — a doc whose sentences were shuffled keeps
+    * most of its shingle set (Jaccard passes) but loses its long common
+    * subsequence (LCS fails), so this is the verifier to use when the
+    * dedup policy should keep reordered remixes as distinct documents.
+    * Candidate volume bounds every join (the lshVerifiedPairs scale
+    * argument); per-pair cost is O(|a|·|b|) on token counts, row-local. */
+  def lcsVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, numPerm: Int = 12, rowsPerBand: Int = 3,
+                       shingleW: Int = 3): DataFrame = {
+    val cands = minhashLshPairs(docs, idCol, textCol, numPerm, rowsPerBand, shingleW)
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+    cands
+      .join(toks.select(col(idCol).as("a"), col("tk").as("ta")), "a")
+      .join(toks.select(col(idCol).as("b"), col("tk").as("tb")), "b")
+      .withColumn("lcs", graft.functions.LcsLength(col("ta"), col("tb")))
+      .withColumn("sim_raw", lit(2.0) * col("lcs").cast("double") /
+        (size(col("ta")) + size(col("tb"))).cast("long").cast("double"))
+      .where(col("sim_raw") >= threshold)
+      .select(col("a"), col("b"), col("lcs"),
+        graft.ops.TimeSeries.portableRound4(col("sim_raw")).as("lcs_sim"))
+  }
+
   /** Estimator calibration for MinHash: for every LSH candidate pair,
     * the signature-agreement ESTIMATE (matching components / numPerm —
     * an unbiased Jaccard estimator, Broder 1997) next to the EXACT

@@ -1408,6 +1408,14 @@ object TrainingQueries extends QueryPack {
         threshold = 0.5)
     },
 
+    // the ORDER-SENSITIVE verifier over the same LSH candidates: LCS
+    // similarity instead of shingle Jaccard — keeps reordered remixes
+    // as distinct documents (see Dedup.lcsVerifiedPairs).
+    "dedup_lcs_verified" -> { (s, dir) =>
+      Dedup.lcsVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.5)
+    },
+
     "dedup_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)
@@ -4501,6 +4509,49 @@ object TrainingQueries extends QueryPack {
          |SELECT m.a, m.b, CAST(m.cnt AS DOUBLE)/(sa.n + sb.n - m.cnt) AS jaccard
          |FROM common m JOIN sizes sa ON sa.doc_id = m.a JOIN sizes sb ON sb.doc_id = m.b
          |WHERE CAST(m.cnt AS DOUBLE)/(sa.n + sb.n - m.cnt) >= 0.5""".stripMargin,
+
+    // the anti-diagonal LCS recursion (the eval_rouge_l oracle's DP),
+    // keyed by candidate pair instead of generation pair
+    "dedup_lcs_verified" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |pt AS (SELECT cand.a, cand.b, ta.t AS ct, tb.t AS rt,
+         |    CAST(len(ta.t) AS BIGINT) AS la, CAST(len(tb.t) AS BIGINT) AS lb
+         |  FROM cand JOIN toks ta ON ta.doc_id = cand.a
+         |            JOIN toks tb ON tb.doc_id = cand.b),
+         |rec AS (
+         |  SELECT a, b, ct, rt, la, lb, CAST(1 AS BIGINT) AS d,
+         |    CAST([] AS BIGINT[]) AS prev2, CAST([] AS BIGINT[]) AS prev
+         |  FROM pt
+         |  UNION ALL
+         |  SELECT a, b, ct, rt, la, lb, d + 1, prev,
+         |    list_transform(range(greatest(1, d + 1 - lb), least(la, d) + 1),
+         |      i -> CASE WHEN ct[i] = rt[d + 1 - i]
+         |        THEN (CASE WHEN i - 1 BETWEEN greatest(1, d - 1 - lb)
+         |                                  AND least(la, d - 2)
+         |              THEN prev2[i - 1 - greatest(1, d - 1 - lb) + 1]
+         |              ELSE 0 END) + 1
+         |        ELSE greatest(
+         |          CASE WHEN i - 1 BETWEEN greatest(1, d - lb)
+         |                              AND least(la, d - 1)
+         |               THEN prev[i - 1 - greatest(1, d - lb) + 1]
+         |               ELSE 0 END,
+         |          CASE WHEN i BETWEEN greatest(1, d - lb)
+         |                          AND least(la, d - 1)
+         |               THEN prev[i - greatest(1, d - lb) + 1]
+         |               ELSE 0 END)
+         |      END)
+         |  FROM rec WHERE d < la + lb
+         |),
+         |res AS (SELECT a, b, la, lb, CAST(prev[1] AS BIGINT) AS lcs
+         |        FROM rec WHERE d = la + lb)
+         |SELECT a, b, lcs,
+         |  round(2.0 * CAST(lcs AS DOUBLE) / CAST(la + lb AS DOUBLE) * 10000)
+         |    / 10000 AS lcs_sim
+         |FROM res
+         |WHERE 2.0 * CAST(lcs AS DOUBLE) / CAST(la + lb AS DOUBLE) >= 0.5""".stripMargin,
     // same candidate/verify chain at the 0.1 floor, every bar read off
     // the one pair table; n_pairs halves the doubled id explode.
     "dedup_threshold_sweep" ->
