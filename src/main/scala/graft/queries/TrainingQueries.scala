@@ -1274,6 +1274,32 @@ object TrainingQueries extends QueryPack {
               (col("c_len") + col("r_len")).cast("double")).as("rouge_f"))
     },
 
+    // corpus-level (micro-averaged) ROUGE-L: LCS and length sums pooled
+    // over all pairs before the divisions — the reported form of the
+    // metric, and the batch half of GenEvalStream.windowedRouge's
+    // frozen-window contract. One row; exact integer sums until three
+    // divisions on the 4dp grid.
+    "eval_rouge_l_corpus" -> { (s, dir) =>
+      val p = genEvalPairs(s, dir).select(col("doc_id"),
+        split(col("cand"), " ").as("ct"), split(col("rtext"), " ").as("rt"))
+      p.select(size(col("ct")).cast("long").as("cl"),
+          size(col("rt")).cast("long").as("rl"),
+          graft.functions.LcsLength(col("ct"), col("rt")).as("lcs"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cl")).as("sc"), sum(col("rl")).as("sr"),
+          sum(col("lcs")).as("slcs"))
+        .select(col("n_pairs"),
+          graft.ops.TimeSeries.portableRound4(
+            col("slcs").cast("double") / col("sc").cast("double"))
+            .as("rouge_p"),
+          graft.ops.TimeSeries.portableRound4(
+            col("slcs").cast("double") / col("sr").cast("double"))
+            .as("rouge_r"),
+          graft.ops.TimeSeries.portableRound4(
+            lit(2.0) * col("slcs").cast("double") /
+              (col("sc") + col("sr")).cast("double")).as("rouge_f"))
+    },
+
     // corpus-level (micro-averaged) BLEU-2: clip and length sums pooled
     // over ALL pairs before the division — the form actually reported
     // for a generation run (per-pair BLEU averaged arithmetically
@@ -4404,6 +4430,54 @@ object TrainingQueries extends QueryPack {
         |  round(2.0 * CAST(lcs AS DOUBLE) / CAST(la + lb AS DOUBLE) * 10000)
         |    / 10000 AS rouge_f
         |FROM res""".stripMargin,
+
+    "eval_rouge_l_corpus" ->
+      """WITH RECURSIVE
+        |a AS (SELECT doc_id, text AS cand FROM documents),
+        |b AS (SELECT doc_id - 1 AS doc_id, text AS rtext FROM documents),
+        |p AS (SELECT a.doc_id, string_split(a.cand, ' ') AS ct,
+        |        string_split(b.rtext, ' ') AS rt
+        |      FROM a JOIN b USING (doc_id)),
+        |lens AS (SELECT doc_id, ct, rt, CAST(len(ct) AS BIGINT) AS la,
+        |    CAST(len(rt) AS BIGINT) AS lb FROM p),
+        |rec AS (
+        |  SELECT doc_id, ct, rt, la, lb, CAST(1 AS BIGINT) AS d,
+        |    CAST([] AS BIGINT[]) AS prev2, CAST([] AS BIGINT[]) AS prev
+        |  FROM lens
+        |  UNION ALL
+        |  SELECT doc_id, ct, rt, la, lb, d + 1, prev,
+        |    list_transform(range(greatest(1, d + 1 - lb), least(la, d) + 1),
+        |      i -> CASE WHEN ct[i] = rt[d + 1 - i]
+        |        THEN (CASE WHEN i - 1 BETWEEN greatest(1, d - 1 - lb)
+        |                                  AND least(la, d - 2)
+        |              THEN prev2[i - 1 - greatest(1, d - 1 - lb) + 1]
+        |              ELSE 0 END) + 1
+        |        ELSE greatest(
+        |          CASE WHEN i - 1 BETWEEN greatest(1, d - lb)
+        |                              AND least(la, d - 1)
+        |               THEN prev[i - 1 - greatest(1, d - lb) + 1]
+        |               ELSE 0 END,
+        |          CASE WHEN i BETWEEN greatest(1, d - lb)
+        |                          AND least(la, d - 1)
+        |               THEN prev[i - greatest(1, d - lb) + 1]
+        |               ELSE 0 END)
+        |      END)
+        |  FROM rec WHERE d < la + lb
+        |),
+        |res AS (SELECT doc_id, la, lb, CAST(prev[1] AS BIGINT) AS lcs
+        |        FROM rec WHERE d = la + lb),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(la) AS BIGINT) AS sc, CAST(sum(lb) AS BIGINT) AS sr,
+        |    CAST(sum(lcs) AS BIGINT) AS slcs
+        |  FROM res)
+        |SELECT n_pairs,
+        |  round(CAST(slcs AS DOUBLE) / CAST(sc AS DOUBLE) * 10000) / 10000
+        |    AS rouge_p,
+        |  round(CAST(slcs AS DOUBLE) / CAST(sr AS DOUBLE) * 10000) / 10000
+        |    AS rouge_r,
+        |  round(2.0 * CAST(slcs AS DOUBLE) / CAST(sc + sr AS DOUBLE) * 10000)
+        |    / 10000 AS rouge_f
+        |FROM m""".stripMargin,
 
     "eval_chrf" ->
       """WITH a AS (SELECT doc_id, replace(text, ' ', '') AS cs

@@ -65,4 +65,41 @@ object GenEvalStream {
           col("sc1").cast("double") / col("sr1").cast("double"))
           .as("len_ratio"))
   }
+
+  /** Windowed CORPUS ROUGE-L — the live twin of the batch
+    * `eval_rouge_l_corpus` query: per closing window, the LCS / length
+    * sums pool BEFORE the divisions (micro-average, the reported form),
+    * so a window's score equals the batch query over that window's rows
+    * exactly. Same row-local shape as [[windowedBleu]] — one native
+    * [[graft.functions.LcsLength]] DP per pair, no gram state, windowed
+    * sums only. */
+  def windowedRouge(pairs: DataFrame, tsCol: String, candCol: String,
+                    refCol: String, windowLen: String = "1 hour",
+                    delay: String = "5 minutes"): DataFrame = {
+    val (ct, rt) = (col("__ct"), col("__rt"))
+    val scored = pairs
+      .select(col(tsCol),
+        TextAnalysis.tokens(col(candCol)).as("__ct"),
+        TextAnalysis.tokens(col(refCol)).as("__rt"))
+      .select(col(tsCol),
+        size(ct).cast("long").as("cl"),
+        size(rt).cast("long").as("rl"),
+        graft.functions.LcsLength(ct, rt).as("lcs"))
+    scored
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cl")).as("sc"), sum(col("rl")).as("sr"),
+        sum(col("lcs")).as("slcs"))
+      .select(col("w.start").as("bucket"), col("n_pairs"),
+        graft.ops.TimeSeries.portableRound4(
+          col("slcs").cast("double") / col("sc").cast("double"))
+          .as("rouge_p"),
+        graft.ops.TimeSeries.portableRound4(
+          col("slcs").cast("double") / col("sr").cast("double"))
+          .as("rouge_r"),
+        graft.ops.TimeSeries.portableRound4(
+          lit(2.0) * col("slcs").cast("double") /
+            (col("sc") + col("sr")).cast("double")).as("rouge_f"))
+  }
 }

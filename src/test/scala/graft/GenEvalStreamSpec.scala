@@ -68,4 +68,42 @@ class GenEvalStreamSpec extends SparkSpec {
       assert(bleu2 === math.round(math.sqrt(7.0 / 9.0 * 0.5) * 10000) / 10000.0)
     } finally q.stop()
   }
+
+  test("windowed corpus ROUGE-L: one frozen window reproduces the batch row exactly") {
+    val dir = sf()
+    val batch = SparkEntry.queries("eval_rouge_l_corpus")(spark, dir)
+      .select(col("n_pairs"), col("rouge_p"), col("rouge_r"), col("rouge_f"))
+      .collect().head
+
+    // the batch query's own pairs, stamped into one stream window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .sortBy(_._1)
+    val byId = docs.toMap
+    val pairs: Seq[(Timestamp, String, String)] = docs.flatMap { case (id, cand) =>
+      byId.get(id + 1).map(ref => (ts("2024-01-01 00:30:00"), cand, ref))
+    }.toSeq
+    assert(pairs.nonEmpty)
+
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val q = GenEvalStream.windowedRouge(
+      in.toDF().toDF("ts", "cand", "rtext"), "ts", "cand", "rtext",
+      windowLen = "1 hour", delay = "0 seconds")
+      .writeStream.format("memory").queryName("geneval_rouge")
+      .outputMode("append").start()
+    try {
+      pairs.grouped(2048).foreach(b => in.addData(b: _*))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 02:00:00"), "flush", "flush"))
+      q.processAllAvailable()
+      val got = spark.table("geneval_rouge")
+        .where(col("bucket") === ts("2024-01-01 00:00:00"))
+        .select(col("n_pairs"), col("rouge_p"), col("rouge_r"), col("rouge_f"))
+        .collect().head
+      assert(got === batch, "stream window diverged from the batch micro-average")
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS geneval_rouge")
+    }
+  }
 }
