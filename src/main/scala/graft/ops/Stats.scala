@@ -106,7 +106,12 @@ object Stats {
     val se2 = svar(n0, sx0, sxx0) / n0.cast("double") +
       svar(n1, sx1, sxx1) / n1.cast("double")
     val se = sqrt(se2)
-    val margin = (sx0 + sx1).cast("double") / (n0 + n1).cast("double") *
+    // |pooled mean|: a signed margin would make t_low < t_up structurally
+    // for a negative-mean metric (refunds, losses) — equivalence could
+    // then NEVER certify, even for identical arms. TOST's band is a
+    // magnitude. (A zero-mean metric gets a zero band and cannot
+    // certify — the standard contract: pick an absolute margin then.)
+    val margin = abs((sx0 + sx1).cast("double") / (n0 + n1).cast("double")) *
       lit(marginFrac)
     val tLow = (diff + margin) / se
     val tUp = (diff - margin) / se

@@ -1399,7 +1399,7 @@ object EventQueries extends QueryPack {
         |      / CAST(CAST(n1 AS DECIMAL(38,0))
         |             * (CAST(n1 AS DECIMAL(38,0)) - 1) AS DOUBLE)
         |      / CAST(n1 AS DOUBLE) AS se2,
-        |    CAST(sx0 + sx1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) * 0.05
+        |    abs(CAST(sx0 + sx1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * 0.05
         |      AS margin
         |  FROM m),
         |t AS (SELECT event_type, n0, n1, mean0c, mean1c, se2,

@@ -79,7 +79,13 @@ class TostStreamSpec extends SparkSpec {
       }
       // 'dead': both arms constant — se2 = 0, nulls, job survives
       val dead = (0 until 100).map(i => (t0, "dead", (i % 2).toLong, 7.0))
-      in.addData(same ++ shifted ++ dead: _*)
+      // 'neg': identical tight distributions around a NEGATIVE mean —
+      // the TOST band is |pooled|·frac, so this must still certify (a
+      // signed margin would make equivalence structurally impossible
+      // for refund/loss metrics; regression pin for the abs() fix)
+      val neg = (0 until 400).map(i =>
+        (t0, "neg", (i % 2).toLong, -10.0 + (i % 5 - 2) * 0.01))
+      in.addData(same ++ shifted ++ dead ++ neg: _*)
       q.processAllAvailable()
       in.addData((ts("2024-01-01 00:30:00"), "close", 0L, 1.0))
       q.processAllAvailable()
@@ -91,6 +97,8 @@ class TostStreamSpec extends SparkSpec {
       val d = rows("dead")
       assert(d.isNullAt(d.fieldIndex("equiv")))
       assert(d.isNullAt(d.fieldIndex("t_low")))
+      assert(rows("neg").getInt(rows("neg").fieldIndex("equiv")) === 1,
+        "a negative-mean identical metric must certify (|margin| band)")
     } finally {
       q.stop(); spark.sql("DROP TABLE IF EXISTS tost_laws")
     }
