@@ -224,7 +224,10 @@ object ScaleCurve {
     "eval_rouge_l",
     // order-sensitive LSH verification: candidate-bounded joins + one
     // native LCS DP per candidate pair (tracks dedup_lsh_verified)
-    "dedup_lcs_verified")
+    "dedup_lcs_verified",
+    // assortativity (edge-list moments over the degree join — tracks
+    // the span-edge family) and discounted LTV (two user_id aggs)
+    "graph_assortativity", "ev_ltv")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

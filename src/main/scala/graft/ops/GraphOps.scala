@@ -277,6 +277,41 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"),
         min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
 
+  /** Degree assortativity (Newman r) of the symmetric edge list: the
+    * Pearson correlation of (deg(src), deg(dst)) over edges — do
+    * high-degree template hubs attach to other hubs (assortative dup
+    * families, r > 0) or to leaves (star-shaped boilerplate, r < 0)?
+    * The sign decides which CC strategy wins at scale, which is why the
+    * star-edge pipeline cares. Exact BIGINT moments over the edge list,
+    * DECIMAL(38,0) cross products (the ts_xcorr discipline), and the
+    * single sqrt+division on the 6dp grid; a degree-regular graph has
+    * zero variance and yields null, not ±Inf.
+    *
+    * Scale: two joins of the edge list against the degree table —
+    * both co-partitioned on the node key; moments collapse map-side. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val e = edges
+      .join(deg.select(col("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+    val m = e.agg(count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val den2 =
+      (col("m").cast(dec) * col("sxx").cast(dec) -
+        col("sx").cast(dec) * col("sx").cast(dec)).cast("double") *
+      (col("m").cast(dec) * col("syy").cast(dec) -
+        col("sy").cast(dec) * col("sy").cast(dec)).cast("double")
+    m.select(col("m"),
+      when(den2 > 0, TimeSeries.portableRound6(
+        (col("m").cast(dec) * col("sxy").cast(dec) -
+          col("sx").cast(dec) * col("sy").cast(dec)).cast("double") /
+          sqrt(den2))).as("assortativity"))
+  }
+
   /** HITS hubs/authorities over a DIRECTED graph, in the repo's exact
     * fixed-point discipline (Kleinberg 1999; reference analog: ranking
     * inside the dedup review queue). On the containment digraph

@@ -21,6 +21,15 @@ object EventQueries extends QueryPack {
     graft.ops.Stats.bhT2Matrix(0.05, 12)
       .map(_.map(x => math.round(x * 1e6) / 1e6))
 
+  /** Daily discount factors 0.98^d, scaled to exact micro-units and
+    * computed ONCE in Scala — both engines index the SAME literal
+    * table, so the LTV sum is pure integer arithmetic (cents × micros)
+    * with no libm pow anywhere (the HllLnTable/minhash-seed pattern).
+    * Day 366 caps the horizon (0.98³⁶⁶ ≈ 0.0006 — past it the residual
+    * value is noise; clamped, documented). */
+  private lazy val discountMicros: IndexedSeq[Long] =
+    IndexedSeq.tabulate(367)(d => math.round(math.pow(0.98, d) * 1e6))
+
   val queries: Map[String, Q] = Map(
 
     // TOST equivalence reading per event type — the "prove the metric did
@@ -112,6 +121,37 @@ object EventQueries extends QueryPack {
     "ts_changepoint" -> { (s, dir) =>
       graft.ops.TimeSeries.changePoint(Tables.events(s, dir),
         "event_type", "ts")
+    },
+
+    // Discounted lifetime value per signup cohort — Σ over a user's
+    // purchases of value·0.98^(days since first seen), the number a
+    // growth model discounts acquisition against. ENTIRELY integer:
+    // exact cents × a Scala-injected micro-scaled discount table
+    // (element_at on the same literal array in both engines — no libm
+    // pow), summed as BIGINTs, one final division per cohort row on the
+    // 6dp grid. One user_id hash-agg for first-seen, one broadcastable
+    // join back, one cohort agg.
+    "ev_ltv" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      ev.join(first, "user_id")
+        .withColumn("cohort_week",
+          date_trunc("week", col("first_ts")).cast("date"))
+        .withColumn("d", least(
+          datediff(col("ts").cast("date"), col("first_ts").cast("date")),
+          lit(366)))
+        .withColumn("ltv_micros",
+          when(col("event_type") === "purchase",
+            cents * element_at(typedlit(discountMicros),
+              col("d").cast("int") + 1)).otherwise(0L))
+        .groupBy(col("cohort_week"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          sum(col("ltv_micros")).as("sltv"))
+        .select(col("cohort_week"), col("n_users"),
+          graft.ops.TimeSeries.portableRound6(
+            col("sltv").cast("double") / col("n_users").cast("double")
+              / 1.0e8).as("ltv_per_user"))
     },
 
     // Granger causality between event-type hourly series — does signup
@@ -1376,6 +1416,26 @@ object EventQueries extends QueryPack {
       |    ON gg.event_type = hh.event_type AND gg.bucket = hh.bucket)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_ltv" -> {
+      val table = discountMicros.mkString("[", ", ", "]")
+      s"""WITH f AS (SELECT user_id, min(ts) AS first_ts
+         |           FROM events GROUP BY user_id),
+         |j AS (SELECT e.user_id,
+         |    CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+         |    CASE WHEN e.event_type = 'purchase' THEN
+         |      CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) *
+         |        ($table)[least(date_diff('day', CAST(f.first_ts AS DATE),
+         |                                 CAST(e.ts AS DATE)), 366) + 1]
+         |    ELSE 0 END AS ltv_micros
+         |  FROM events e JOIN f USING (user_id))
+         |SELECT cohort_week,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  round(CAST(sum(ltv_micros) AS DOUBLE)
+         |      / CAST(count(DISTINCT user_id) AS DOUBLE)
+         |      / 100000000.0 * 1000000) / 1000000 AS ltv_per_user
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
     "stat_tost" ->
       """WITH per AS (SELECT event_type, ((user_id % 2) + 2) % 2 AS variant,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x

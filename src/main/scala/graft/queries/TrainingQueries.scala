@@ -1183,6 +1183,14 @@ object TrainingQueries extends QueryPack {
       graft.ops.GraphOps.degreeHistogram(cachedSpanEdges(s, dir))
     },
 
+    // degree assortativity (Newman r) of the dup graph: hubs-to-hubs
+    // (assortative template families) vs hubs-to-leaves (star
+    // boilerplate) — the sign that tells the CC strategy which shape
+    // it is scaling into (GraphOps.assortativity).
+    "graph_assortativity" -> { (s, dir) =>
+      graft.ops.GraphOps.assortativity(cachedSpanEdges(s, dir))
+    },
+
     // generation-eval metrics over (candidate, reference) pairs —
     // candidate doc d scored against doc d+1 (a deterministic stand-in
     // for a generated/reference join; production pairs arrive
@@ -4261,6 +4269,30 @@ object TrainingQueries extends QueryPack {
         |  CAST(sum(CASE WHEN fd < 5000 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS vocab_5000
         |FROM f""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH $spanEdgeCtes,
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+         |        FROM edges GROUP BY 1),
+         |j AS (SELECT dx.d AS dx, dy.d AS dy FROM edges e
+         |  JOIN deg dx ON dx.src = e.src
+         |  JOIN deg dy ON dy.src = e.dst),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
+         |    CAST(sum(dx * dy) AS HUGEINT) AS sxy,
+         |    CAST(sum(dx * dx) AS HUGEINT) AS sxx,
+         |    CAST(sum(dy * dy) AS HUGEINT) AS syy
+         |  FROM j),
+         |v AS (SELECT *,
+         |    CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+         |      * CAST(CAST(m AS HUGEINT) * syy - sy * sy AS DOUBLE) AS den2
+         |  FROM m)
+         |SELECT m,
+         |  CASE WHEN den2 > 0 THEN
+         |    round(CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         |        / sqrt(den2) * 1000000) / 1000000
+         |  END AS assortativity
+         |FROM v""".stripMargin,
+
     "graph_jaccard" ->
       s"""WITH $spanEdgeCtes,
          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
