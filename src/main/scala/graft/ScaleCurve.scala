@@ -227,7 +227,7 @@ object ScaleCurve {
     "dedup_lcs_verified",
     // assortativity (edge-list moments over the degree join — tracks
     // the span-edge family) and discounted LTV (two user_id aggs)
-    "graph_assortativity", "ev_ltv")
+    "graph_assortativity", "ev_ltv_discounted")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

@@ -131,13 +131,13 @@ object EventQueries extends QueryPack {
     // pow), summed as BIGINTs, one final division per cohort row on the
     // 6dp grid. One user_id hash-agg for first-seen, one broadcastable
     // join back, one cohort agg.
-    "ev_ltv" -> { (s, dir) =>
+    "ev_ltv_discounted" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
       ev.join(first, "user_id")
-        .withColumn("cohort_week",
-          date_trunc("week", col("first_ts")).cast("date"))
+        .withColumn("cohort_day",
+          date_trunc("day", col("first_ts")).cast("date"))
         .withColumn("d", least(
           datediff(col("ts").cast("date"), col("first_ts").cast("date")),
           lit(366)))
@@ -145,10 +145,10 @@ object EventQueries extends QueryPack {
           when(col("event_type") === "purchase",
             cents * element_at(typedlit(discountMicros),
               col("d").cast("int") + 1)).otherwise(0L))
-        .groupBy(col("cohort_week"))
+        .groupBy(col("cohort_day"))
         .agg(count_distinct(col("user_id")).as("n_users"),
           sum(col("ltv_micros")).as("sltv"))
-        .select(col("cohort_week"), col("n_users"),
+        .select(col("cohort_day"), col("n_users"),
           graft.ops.TimeSeries.portableRound6(
             col("sltv").cast("double") / col("n_users").cast("double")
               / 1.0e8).as("ltv_per_user"))
@@ -1416,19 +1416,19 @@ object EventQueries extends QueryPack {
       |    ON gg.event_type = hh.event_type AND gg.bucket = hh.bucket)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "ev_ltv" -> {
+    "ev_ltv_discounted" -> {
       val table = discountMicros.mkString("[", ", ", "]")
       s"""WITH f AS (SELECT user_id, min(ts) AS first_ts
          |           FROM events GROUP BY user_id),
          |j AS (SELECT e.user_id,
-         |    CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+         |    CAST(date_trunc('day', f.first_ts) AS DATE) AS cohort_day,
          |    CASE WHEN e.event_type = 'purchase' THEN
          |      CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) *
          |        ($table)[least(date_diff('day', CAST(f.first_ts AS DATE),
          |                                 CAST(e.ts AS DATE)), 366) + 1]
          |    ELSE 0 END AS ltv_micros
          |  FROM events e JOIN f USING (user_id))
-         |SELECT cohort_week,
+         |SELECT cohort_day,
          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
          |  round(CAST(sum(ltv_micros) AS DOUBLE)
          |      / CAST(count(DISTINCT user_id) AS DOUBLE)
