@@ -227,7 +227,10 @@ object ScaleCurve {
     "dedup_lcs_verified",
     // assortativity (edge-list moments over the degree join — tracks
     // the span-edge family) and discounted LTV (two user_id aggs)
-    "graph_assortativity", "ev_ltv_discounted")
+    "graph_assortativity", "ev_ltv_discounted",
+    // permutation test: events x b fan-out into one (type, i) hash-agg
+    // (the stat_bootstrap shape)
+    "stat_permutation")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

@@ -123,6 +123,59 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Two-sample permutation test per event type — the NONPARAMETRIC
+    // companion to stat_ttest (no normality assumption) and to
+    // stat_bootstrap's CI: b = 40 deterministic label reassignments
+    // (arm of event e in replicate i = first md5 nibble of "e:i" — both
+    // engines replay the identical schedule, the PoissonDrawWeights
+    // md5 discipline), each replicate's mean diff from exact cents
+    // sums, p = (1 + #{|diff_i| ≥ |diff_obs|}) / (b + 1) — the add-one
+    // permutation p-value, an exact rational. Volume is events×b
+    // through one map-side-combining (type, i) hash-agg — the
+    // stat_bootstrap scale shape. A degenerate replicate (one side
+    // empty) yields a null diff and counts as not-extreme in both
+    // engines (CASE-null falls to ELSE 0).
+    "stat_permutation" -> { (s, dir) =>
+      val b = 40
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val base = Tables.events(s, dir).select(col("event_type"),
+        pmod(col("user_id"), lit(2)).as("variant"), cents.as("x"),
+        col("event_id"))
+      val obs = base.groupBy(col("event_type")).agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("x"))).as("sx0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("x"))).as("sx1"))
+        .select(col("event_type"), col("n0"), col("n1"),
+          (col("sx0").cast("double") / col("n0").cast("double") -
+            col("sx1").cast("double") / col("n1").cast("double"))
+            .as("diff_obs"))
+      val perm = base
+        .select(col("event_type"), col("x"), col("event_id"),
+          explode(sequence(lit(0), lit(b - 1))).as("i"))
+        .withColumn("arm",
+          when(substring(md5(concat_ws(":", col("event_id"), col("i"))), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L).otherwise(1L))
+        .groupBy(col("event_type"), col("i"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("pn0"),
+          sum(when(col("arm") === 0, col("x"))).as("psx0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("pn1"),
+          sum(when(col("arm") === 1, col("x"))).as("psx1"))
+        .select(col("event_type"),
+          (col("psx0").cast("double") / col("pn0").cast("double") -
+            col("psx1").cast("double") / col("pn1").cast("double"))
+            .as("diff_i"))
+      perm.join(obs, "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          sum(when(abs(col("diff_i")) >= abs(col("diff_obs")), 1L)
+            .otherwise(0L)).as("n_extreme"))
+        .select(col("event_type"), col("n0"), col("n1"), col("n_extreme"),
+          graft.ops.TimeSeries.portableRound6(
+            (col("n_extreme") + 1).cast("double") / lit((b + 1).toDouble))
+            .as("p_value"))
+    },
+
     // Discounted lifetime value per signup cohort — Σ over a user's
     // purchases of value·0.98^(days since first seen), the number a
     // growth model discounts acquisition against. ENTIRELY integer:
@@ -1435,6 +1488,52 @@ object EventQueries extends QueryPack {
          |      / 100000000.0 * 1000000) / 1000000 AS ltv_per_user
          |FROM j GROUP BY 1""".stripMargin
     },
+
+    "stat_permutation" ->
+      """WITH base AS (SELECT event_type, ((user_id % 2) + 2) % 2 AS variant,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    event_id
+        |  FROM events),
+        |obs AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN x END) AS BIGINT) AS sx0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS sx1
+        |  FROM base GROUP BY 1),
+        |obsd AS (SELECT event_type, n0, n1,
+        |    CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      - CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS diff_obs
+        |  FROM obs),
+        |ex AS (SELECT event_type, x, event_id,
+        |    unnest(range(0, 40)) AS i FROM base),
+        |arm AS (SELECT event_type, i, x,
+        |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR) || ':'
+        |                         || CAST(i AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END
+        |      AS arm
+        |  FROM ex),
+        |pm AS (SELECT event_type, i,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pn0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS psx0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pn1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS psx1
+        |  FROM arm GROUP BY 1, 2),
+        |pd AS (SELECT event_type,
+        |    CAST(psx0 AS DOUBLE) / CAST(pn0 AS DOUBLE)
+        |      - CAST(psx1 AS DOUBLE) / CAST(pn1 AS DOUBLE) AS diff_i
+        |  FROM pm)
+        |SELECT p.event_type,
+        |  CAST(max(o.n0) AS BIGINT) AS n0,
+        |  CAST(max(o.n1) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN abs(diff_i) >= abs(o.diff_obs)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        |  round(CAST(sum(CASE WHEN abs(diff_i) >= abs(o.diff_obs)
+        |                      THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+        |      / 41.0 * 1000000) / 1000000 AS p_value
+        |FROM pd p JOIN obsd o USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     "stat_tost" ->
       """WITH per AS (SELECT event_type, ((user_id % 2) + 2) % 2 AS variant,
