@@ -123,6 +123,37 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Minimum detectable effect per event type — the INVERSE read of
+    // stat_power: given the arms this experiment actually has (n0, n1),
+    // the smallest absolute/relative lift it can detect at α=0.05 /
+    // power 0.8. mde = sqrt(σ²·(z_{α/2}+z_β)²·(1/n0+1/n1)); the z-sum
+    // square is the same pico-quantized Scala literal stat_power
+    // injects, σ² exact DECIMAL(38,0) until the one float chain.
+    "stat_mde" -> { (s, dir) =>
+      val zp = graft.ops.Stats.PowerZsum2Pico
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val x = graft.ops.Stats.cents(col("value"))
+      val m = Tables.events(s, dir)
+        .select(col("event_type"), pmod(col("user_id"), lit(2)).as("variant"),
+          x.as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+      val nD = d38(col("n"))
+      val varc = (nD * col("sxx") - d38(col("sx")) * d38(col("sx")))
+        .cast("double") / (nD * (nD - 1)).cast("double")
+      val meanc = col("sx").cast("double") / col("n").cast("double")
+      val mdeAbs = sqrt(varc * (lit(zp).cast("double") / lit(1.0e12)) *
+        (lit(1.0) / col("n0").cast("double") +
+          lit(1.0) / col("n1").cast("double")))
+      m.select(col("event_type"), col("n0"), col("n1"),
+        graft.ops.TimeSeries.portableRound6(meanc / 100.0).as("mean"),
+        graft.ops.TimeSeries.portableRound6(mdeAbs / 100.0).as("mde_abs"),
+        graft.ops.TimeSeries.portableRound6(mdeAbs / meanc).as("mde_rel"))
+    },
+
     // Two-sample permutation test per event type — the NONPARAMETRIC
     // companion to stat_ttest (no normality assumption) and to
     // stat_bootstrap's CI: b = 40 deterministic label reassignments
@@ -1487,6 +1518,37 @@ object EventQueries extends QueryPack {
          |      / CAST(count(DISTINCT user_id) AS DOUBLE)
          |      / 100000000.0 * 1000000) / 1000000 AS ltv_per_user
          |FROM j GROUP BY 1""".stripMargin
+    },
+
+    "stat_mde" -> {
+      val zp = graft.ops.Stats.PowerZsum2Pico
+      s"""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1
+         |  FROM (SELECT event_type, ((user_id % 2) + 2) % 2 AS variant,
+         |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+         |    FROM events)
+         |  GROUP BY 1),
+         |f AS (SELECT event_type, n0, n1,
+         |    CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+         |      / CAST(CAST(n AS DECIMAL(38,0))
+         |          * (CAST(n AS DECIMAL(38,0)) - 1) AS DOUBLE) AS varc,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS meanc
+         |  FROM m),
+         |g AS (SELECT event_type, n0, n1, meanc,
+         |    sqrt(varc * (CAST($zp AS DOUBLE) / 1000000000000.0)
+         |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+         |      AS mde_abs_c
+         |  FROM f)
+         |SELECT event_type, n0, n1,
+         |  round(meanc / 100.0 * 1000000) / 1000000 AS mean,
+         |  round(mde_abs_c / 100.0 * 1000000) / 1000000 AS mde_abs,
+         |  round(mde_abs_c / meanc * 1000000) / 1000000 AS mde_rel
+         |FROM g""".stripMargin
     },
 
     "stat_permutation" ->

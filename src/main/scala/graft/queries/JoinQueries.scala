@@ -418,6 +418,24 @@ object JoinQueries extends QueryPack {
         .where(col("rn") <= 3)
     },
 
+    // relative-position analytics: percent_rank / cume_dist / ntile on a
+    // deterministic (cents, event_id) total order per type — exact
+    // rationals in both engines (ties impossible on the composite key),
+    // 6dp-rounded; ntile cast to BIGINT (DuckDB's width).
+    "wf_pct" -> { (s, dir) =>
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("x"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), cents.as("x"))
+        .select(col("event_type"), col("event_id"),
+          graft.ops.TimeSeries.portableRound6(percent_rank().over(w))
+            .as("pct_rank"),
+          graft.ops.TimeSeries.portableRound6(cume_dist().over(w))
+            .as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    },
+
     // lag/lead over event time.
     "wf_lag" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
@@ -716,6 +734,15 @@ object JoinQueries extends QueryPack {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC))
         |WHERE rn <= 3""".stripMargin,
+    "wf_pct" ->
+      """SELECT event_type, event_id,
+        |  round(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+        |  round(cume_dist() OVER w * 1000000) / 1000000 AS cume,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY x, event_id)""".stripMargin,
     "wf_lag" ->
       """SELECT event_id, user_id, value,
         |  lag(value, 1) OVER w AS prev_value,
