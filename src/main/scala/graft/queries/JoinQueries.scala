@@ -419,16 +419,19 @@ object JoinQueries extends QueryPack {
     },
 
     // relative-position analytics: percent_rank / cume_dist / ntile on a
-    // deterministic (cents, event_id) total order per type — exact
+    // deterministic (cents, event_id) total order per USER — exact
     // rationals in both engines (ties impossible on the composite key),
-    // 6dp-rounded; ntile cast to BIGINT (DuckDB's width).
+    // 6dp-rounded; ntile cast to BIGINT (DuckDB's width). Partitioned on
+    // the high-cardinality key so the sort parallelizes (a per-TYPE
+    // version would serialize into |types| giant tasks at corpus scale —
+    // the stat_trimmed lesson).
     "wf_pct" -> { (s, dir) =>
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
-      val w = Window.partitionBy(col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
         .orderBy(col("x"), col("event_id"))
       Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"), cents.as("x"))
-        .select(col("event_type"), col("event_id"),
+        .select(col("user_id"), col("event_id"), cents.as("x"))
+        .select(col("user_id"), col("event_id"),
           graft.ops.TimeSeries.portableRound6(percent_rank().over(w))
             .as("pct_rank"),
           graft.ops.TimeSeries.portableRound6(cume_dist().over(w))
@@ -735,14 +738,14 @@ object JoinQueries extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC))
         |WHERE rn <= 3""".stripMargin,
     "wf_pct" ->
-      """SELECT event_type, event_id,
+      """SELECT user_id, event_id,
         |  round(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
         |  round(cume_dist() OVER w * 1000000) / 1000000 AS cume,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
-        |FROM (SELECT event_type, event_id,
+        |FROM (SELECT user_id, event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
         |  FROM events)
-        |WINDOW w AS (PARTITION BY event_type ORDER BY x, event_id)""".stripMargin,
+        |WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id)""".stripMargin,
     "wf_lag" ->
       """SELECT event_id, user_id, value,
         |  lag(value, 1) OVER w AS prev_value,
