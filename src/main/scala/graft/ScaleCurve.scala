@@ -230,7 +230,10 @@ object ScaleCurve {
     "graph_assortativity", "ev_ltv_discounted",
     // permutation test: events x b fan-out into one (type, i) hash-agg
     // (the stat_bootstrap shape)
-    "stat_permutation")
+    "stat_permutation",
+    // MDE (one hash-agg — FLAT) and balanced sampling (WindowGroupLimit
+    // map-side prune, the sample_per_source shape)
+    "stat_mde", "sample_balanced")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

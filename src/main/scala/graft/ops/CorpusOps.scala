@@ -178,6 +178,27 @@ object CorpusOps {
       .orderBy(col("skey").desc, col(idCol).asc)
       .limit(k)
 
+  /** Class-BALANCED downsample: every label keeps exactly k = (min class
+    * size) rows, chosen by md5 rank — the deterministic equal-frequency
+    * training set a classifier head wants from a skewed pool (where
+    * [[stratifiedSample]] keeps a RATE per stratum, this pins the exact
+    * per-class count to the rarest class). k is read with one bounded
+    * 1-row collect (the Retrieval sidecar contract), so the per-label
+    * limit is a LITERAL — Spark plans the rank filter as
+    * WindowGroupLimit and prunes to k rows per label map-side BEFORE the
+    * shuffle; a column-valued cap would shuffle whole classes. */
+  def balancedSample(df: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val k = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(labelCol))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= lit(k))
+      .select(col(idCol), col(labelCol))
+  }
+
   /** Stratified downsample: at most ~`perStratum` rows per stratum,
     * selected by id-hash threshold rate = min(1, perStratum / n_stratum).
     * Two passes (stratum counts, then the filter) but the counts table is

@@ -1909,6 +1909,13 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", cap = 20)
     },
 
+    // class-balanced downsample over the labeled embeddings: every label
+    // keeps exactly min-class-size rows by md5 rank (deterministic
+    // equal-frequency training set; CorpusOps.balancedSample).
+    "sample_balanced" -> { (s, dir) =>
+      CorpusOps.balancedSample(Tables.embeddings(s, dir), "vec_id", "label")
+    },
+
     // n-gram novelty of the odd-id corpus half against the even-id
     // half (parity split: proportional at ANY scale factor) — the
     // memorization/diversity dial for generated or newly-crawled data
@@ -5116,6 +5123,15 @@ object TrainingQueries extends QueryPack {
         |SELECT doc_id, source FROM documents JOIN c USING (source)
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
         |    / 4294967296.0 < least(1.0, 10.0 / n)""".stripMargin,
+
+    "sample_balanced" ->
+      """WITH n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |k AS (SELECT min(n) AS k FROM n),
+        |r AS (SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM embeddings)
+        |SELECT vec_id, label FROM r, k WHERE rk <= k""".stripMargin,
     "pack_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents)
         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
