@@ -233,7 +233,10 @@ object ScaleCurve {
     "stat_permutation",
     // MDE (one hash-agg — FLAT) and balanced sampling (WindowGroupLimit
     // map-side prune, the sample_per_source shape)
-    "stat_mde", "sample_balanced")
+    "stat_mde", "sample_balanced",
+    // semantic contamination: constant eval side broadcasts, one train
+    // scan (the contam_13gram economics)
+    "contam_semantic")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

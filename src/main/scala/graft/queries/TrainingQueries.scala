@@ -1818,6 +1818,29 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", k = 5)
     },
 
+    // SEMANTIC eval-set contamination — the embedding-space complement
+    // of contam_13gram's verbatim n-gram rule (Phi-style
+    // decontamination: a paraphrased benchmark item shares no 13-gram
+    // but sits at cosine ≈ 1). The eval set is the FIXED id range
+    // vec_id < 25 — a benchmark is constant-size however big the
+    // training corpus gets, and a proportional split (vec_id mod k)
+    // measured a quadratic 3.82× bend at 25× before this was pinned
+    // (queries × corpus — the evicted-exhaustive-twin shape). Per eval
+    // vector: the nearest TRAIN vector by the engine's exact cosine
+    // kernel and a ≥ 0.98 contamination flag. Scale: the constant eval
+    // side broadcasts; the train side is one scan (the contam_13gram
+    // economics — flagged pairs route to the span-removal policy like
+    // any other dup edge).
+    "contam_semantic" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+          emb.where(col("vec_id") >= 25),
+          emb.where(col("vec_id") < 25),
+          "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          (col("sim") >= 0.98).cast("int").as("contaminated"))
+    },
+
     // HYBRID retrieval with reciprocal-rank fusion: per query doc, a
     // lexical leg (exact 3-gram Jaccard rank, the dedup kernel) and a
     // semantic leg (the engine's OWN ANN index — the frozen-IVF
@@ -5300,6 +5323,20 @@ object TrainingQueries extends QueryPack {
         |FROM best""".stripMargin
     },
     "sim_topk" -> simTopkSql,
+    "contam_semantic" ->
+      """SELECT query_id, neighbor_id, sim,
+        |  CASE WHEN sim >= 0.98 THEN 1 ELSE 0 END AS contaminated
+        |FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[],
+        |                           c.embedding::DOUBLE[]) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |                 c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 25 AND c.vec_id >= 25)
+        |WHERE rank = 1""".stripMargin,
     // hybrid RRF: the lexical leg replays the exact-Jaccard ranks; the
     // semantic leg replays the FROZEN-IVF PROBE (the same d/a/q CTEs as
     // sim_ann_ivf — the engine side reads its materialized index, the
