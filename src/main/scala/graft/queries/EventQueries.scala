@@ -156,16 +156,18 @@ object EventQueries extends QueryPack {
 
     // Two-sample permutation test per event type — the NONPARAMETRIC
     // companion to stat_ttest (no normality assumption) and to
-    // stat_bootstrap's CI: b = 40 deterministic label reassignments
-    // (arm of event e in replicate i = first md5 nibble of "e:i" — both
-    // engines replay the identical schedule, the PoissonDrawWeights
-    // md5 discipline), each replicate's mean diff from exact cents
-    // sums, p = (1 + #{|diff_i| ≥ |diff_obs|}) / (b + 1) — the add-one
-    // permutation p-value, an exact rational. Volume is events×b
-    // through one map-side-combining (type, i) hash-agg — the
-    // stat_bootstrap scale shape. A degenerate replicate (one side
-    // empty) yields a null diff and counts as not-extreme in both
-    // engines (CASE-null falls to ELSE 0).
+    // stat_bootstrap's CI: b = 40 deterministic label reassignments,
+    // each replicate's mean diff from exact cents sums,
+    // p = (1 + #{|diff_i| ≥ |diff_obs|}) / (b + 1) — the add-one
+    // permutation p-value, an exact rational. The schedule hashes ONCE
+    // per event (the PoissonDrawWeights single-hash design): replicate
+    // i's arm is bit i%4 of md5(event_id) nibble i DIV 4 — 128
+    // independent bits per event, b ≤ 128; a per-(event, i) hash made
+    // this the registry's slowest entry (2.18 s — 40× the hash volume
+    // for nothing). Volume is events×b through one map-side-combining
+    // (type, i) hash-agg — the stat_bootstrap scale shape. A degenerate
+    // replicate (one side empty) yields a null diff and counts as
+    // not-extreme in both engines (CASE-null falls to ELSE 0).
     "stat_permutation" -> { (s, dir) =>
       val b = 40
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
@@ -182,11 +184,12 @@ object EventQueries extends QueryPack {
             col("sx1").cast("double") / col("n1").cast("double"))
             .as("diff_obs"))
       val perm = base
-        .select(col("event_type"), col("x"), col("event_id"),
+        .withColumn("h", md5(col("event_id").cast("string")))
+        .select(col("event_type"), col("x"), col("h"),
           explode(sequence(lit(0), lit(b - 1))).as("i"))
-        .withColumn("arm",
-          when(substring(md5(concat_ws(":", col("event_id"), col("i"))), 1, 1)
-            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L).otherwise(1L))
+        .withColumn("arm", expr(
+          "CAST(shiftright(CAST(conv(substring(h, (i DIV 4) + 1, 1), 16, 10)" +
+            " AS INT), CAST(i % 4 AS INT)) & 1 AS BIGINT)"))
         .groupBy(col("event_type"), col("i"))
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("pn0"),
           sum(when(col("arm") === 0, col("x"))).as("psx0"),
@@ -1568,13 +1571,12 @@ object EventQueries extends QueryPack {
         |    CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
         |      - CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS diff_obs
         |  FROM obs),
-        |ex AS (SELECT event_type, x, event_id,
+        |ex AS (SELECT event_type, x,
+        |    md5(CAST(event_id AS VARCHAR)) AS h,
         |    unnest(range(0, 40)) AS i FROM base),
         |arm AS (SELECT event_type, i, x,
-        |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR) || ':'
-        |                         || CAST(i AS VARCHAR)), 1, 1)
-        |         IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END
-        |      AS arm
+        |    (CAST(('0x' || substr(h, CAST(i // 4 AS INT) + 1, 1)) AS INTEGER)
+        |      >> CAST(i % 4 AS INT)) & 1 AS arm
         |  FROM ex),
         |pm AS (SELECT event_type, i,
         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pn0,
