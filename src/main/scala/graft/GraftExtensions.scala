@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.charBigramClip)
     ext.injectFunction(GraftExtensions.hilbertIndex)
     ext.injectFunction(GraftExtensions.lcsLength)
+    ext.injectFunction(GraftExtensions.tokenEditDistance)
     GraftExtensions.composites.foreach(ext.injectFunction)
   }
 }
@@ -117,6 +118,15 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "lcs_length takes exactly 2 arguments")
       graft.functions.LcsLength(exprs.head, exprs(1))
+    })
+
+  val tokenEditDistance: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_edit_distance"),
+    info("token_edit_distance",
+      "_FUNC_(cand, ref) - token-level Levenshtein distance of two token arrays (the WER kernel, codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "token_edit_distance takes exactly 2 arguments")
+      graft.functions.TokenEditDistance(exprs.head, exprs(1))
     })
 
   /** Scalar training-data functions exposed to SQL: each is a composition

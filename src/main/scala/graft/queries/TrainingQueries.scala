@@ -1308,6 +1308,63 @@ object TrainingQueries extends QueryPack {
               (col("sc") + col("sr")).cast("double")).as("rouge_f"))
     },
 
+    // Word error rate per generation pair — the SEQUENCE-eval metric
+    // ROUGE-L's LCS cannot express: WER charges a SUBSTITUTION one
+    // unit (LCS charges a delete + an insert), which is the unit ASR
+    // and generation regressions are actually graded in. Spark's
+    // built-in levenshtein is CHARACTER-level (a one-word swap of
+    // different lengths costs its char length — the wrong unit); the
+    // whole metric is one native token_edit_distance call per row
+    // (functions/TokenEditDistance.scala — rolling-row unit-cost DP
+    // over hashed tokens, zero shuffles, the generation-eval row-local
+    // family). wer = dist/|ref| (can exceed 1 — the standard metric is
+    // unbounded above); edit_sim = 1 − dist/max(|cand|,|ref|) is the
+    // bounded [0,1] similarity twin. The oracle replays the DP as an
+    // anti-diagonal recursive CTE like eval_rouge_l's, but with the
+    // nonzero borders dp[i][0]=i, dp[0][j]=j carried as in-diagonal
+    // cells (row 0 / col 0 ARE diagonal members here, so no
+    // out-of-range CASEs are needed — every interior read is in range
+    // by the band inequalities).
+    "eval_wer" -> { (s, dir) =>
+      val p = genEvalPairs(s, dir).select(col("doc_id"),
+        split(col("cand"), " ").as("ct"), split(col("rtext"), " ").as("rt"))
+      p.select(col("doc_id"), size(col("ct")).cast("long").as("c_len"),
+          size(col("rt")).cast("long").as("r_len"),
+          graft.functions.TokenEditDistance(col("ct"), col("rt")).as("edit"))
+        .select(col("doc_id"), col("c_len"), col("r_len"), col("edit"),
+          graft.ops.TimeSeries.portableRound4(
+            col("edit").cast("double") / col("r_len").cast("double"))
+            .as("wer"),
+          graft.ops.TimeSeries.portableRound4(
+            lit(1.0) - col("edit").cast("double") /
+              greatest(col("c_len"), col("r_len")).cast("double"))
+            .as("edit_sim"))
+    },
+
+    // corpus-level (micro-averaged) WER: edit and length sums pooled
+    // over all pairs before the division — the reported form (per-pair
+    // WER averaged arithmetically over-weights short references), and
+    // the batch half of GenEvalStream.windowedWer's frozen-window
+    // contract. One row; exact integer sums until two divisions on the
+    // 4dp grid.
+    "eval_wer_corpus" -> { (s, dir) =>
+      val p = genEvalPairs(s, dir).select(col("doc_id"),
+        split(col("cand"), " ").as("ct"), split(col("rtext"), " ").as("rt"))
+      p.select(size(col("ct")).cast("long").as("cl"),
+          size(col("rt")).cast("long").as("rl"),
+          graft.functions.TokenEditDistance(col("ct"), col("rt")).as("edit"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("rl")).as("s_ref"), sum(col("edit")).as("s_edit"),
+          sum(greatest(col("cl"), col("rl"))).as("s_max"))
+        .select(col("n_pairs"), col("s_ref"), col("s_edit"),
+          graft.ops.TimeSeries.portableRound4(
+            col("s_edit").cast("double") / col("s_ref").cast("double"))
+            .as("wer"),
+          graft.ops.TimeSeries.portableRound4(
+            lit(1.0) - col("s_edit").cast("double") /
+              col("s_max").cast("double")).as("edit_sim"))
+    },
+
     // corpus-level (micro-averaged) BLEU-2: clip and length sums pooled
     // over ALL pairs before the division — the form actually reported
     // for a generation run (per-pair BLEU averaged arithmetically
@@ -4539,6 +4596,90 @@ object TrainingQueries extends QueryPack {
         |    AS rouge_r,
         |  round(2.0 * CAST(slcs AS DOUBLE) / CAST(sc + sr AS DOUBLE) * 10000)
         |    / 10000 AS rouge_f
+        |FROM m""".stripMargin,
+
+    // The Levenshtein DP as an anti-diagonal recursion (the eval_rouge_l
+    // oracle's technique). Unlike LCS the borders are NONZERO
+    // (dp[i][0]=i, dp[0][j]=j), so row 0 and column 0 are carried as
+    // ordinary diagonal members — diagonal d spans i in
+    // [greatest(0, d−lb), least(la, d)] — and border cells are the two
+    // CASE arms i=0 / i=d+1 (both valued d+1). Every interior read is
+    // then in range by the band inequalities (i≥1 ∧ j≥1 pins each
+    // neighbor inside its own diagonal's span), so no out-of-range
+    // CASEs are needed: dp[i−1][j] and dp[i][j−1] come from prev,
+    // dp[i−1][j−1] from prev2, positions shifted by each diagonal's own
+    // row offset lo(d) = greatest(0, d − lb).
+    "eval_wer" ->
+      """WITH RECURSIVE
+        |a AS (SELECT doc_id, text AS cand FROM documents),
+        |b AS (SELECT doc_id - 1 AS doc_id, text AS rtext FROM documents),
+        |p AS (SELECT a.doc_id, string_split(a.cand, ' ') AS ct,
+        |        string_split(b.rtext, ' ') AS rt
+        |      FROM a JOIN b USING (doc_id)),
+        |lens AS (SELECT doc_id, ct, rt, CAST(len(ct) AS BIGINT) AS la,
+        |    CAST(len(rt) AS BIGINT) AS lb FROM p),
+        |rec AS (
+        |  SELECT doc_id, ct, rt, la, lb, CAST(0 AS BIGINT) AS d,
+        |    CAST([] AS BIGINT[]) AS prev2, [CAST(0 AS BIGINT)] AS prev
+        |  FROM lens
+        |  UNION ALL
+        |  SELECT doc_id, ct, rt, la, lb, d + 1, prev,
+        |    list_transform(range(greatest(0, d + 1 - lb), least(la, d + 1) + 1),
+        |      i -> CASE WHEN i = 0 OR i = d + 1 THEN d + 1
+        |        ELSE least(
+        |          prev[i - greatest(0, d - lb) + 1] + 1,
+        |          prev[i - 1 - greatest(0, d - lb) + 1] + 1,
+        |          prev2[i - 1 - greatest(0, d - 1 - lb) + 1]
+        |            + CASE WHEN ct[i] = rt[d + 1 - i] THEN 0 ELSE 1 END)
+        |      END)
+        |  FROM rec WHERE d < la + lb
+        |),
+        |res AS (SELECT doc_id, la, lb, CAST(prev[1] AS BIGINT) AS edit
+        |        FROM rec WHERE d = la + lb)
+        |SELECT doc_id, la AS c_len, lb AS r_len, edit,
+        |  round(CAST(edit AS DOUBLE) / CAST(lb AS DOUBLE) * 10000) / 10000
+        |    AS wer,
+        |  round((1.0 - CAST(edit AS DOUBLE) / CAST(greatest(la, lb) AS DOUBLE))
+        |    * 10000) / 10000 AS edit_sim
+        |FROM res""".stripMargin,
+
+    "eval_wer_corpus" ->
+      """WITH RECURSIVE
+        |a AS (SELECT doc_id, text AS cand FROM documents),
+        |b AS (SELECT doc_id - 1 AS doc_id, text AS rtext FROM documents),
+        |p AS (SELECT a.doc_id, string_split(a.cand, ' ') AS ct,
+        |        string_split(b.rtext, ' ') AS rt
+        |      FROM a JOIN b USING (doc_id)),
+        |lens AS (SELECT doc_id, ct, rt, CAST(len(ct) AS BIGINT) AS la,
+        |    CAST(len(rt) AS BIGINT) AS lb FROM p),
+        |rec AS (
+        |  SELECT doc_id, ct, rt, la, lb, CAST(0 AS BIGINT) AS d,
+        |    CAST([] AS BIGINT[]) AS prev2, [CAST(0 AS BIGINT)] AS prev
+        |  FROM lens
+        |  UNION ALL
+        |  SELECT doc_id, ct, rt, la, lb, d + 1, prev,
+        |    list_transform(range(greatest(0, d + 1 - lb), least(la, d + 1) + 1),
+        |      i -> CASE WHEN i = 0 OR i = d + 1 THEN d + 1
+        |        ELSE least(
+        |          prev[i - greatest(0, d - lb) + 1] + 1,
+        |          prev[i - 1 - greatest(0, d - lb) + 1] + 1,
+        |          prev2[i - 1 - greatest(0, d - 1 - lb) + 1]
+        |            + CASE WHEN ct[i] = rt[d + 1 - i] THEN 0 ELSE 1 END)
+        |      END)
+        |  FROM rec WHERE d < la + lb
+        |),
+        |res AS (SELECT doc_id, la, lb, CAST(prev[1] AS BIGINT) AS edit
+        |        FROM rec WHERE d = la + lb),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(lb) AS BIGINT) AS s_ref,
+        |    CAST(sum(edit) AS BIGINT) AS s_edit,
+        |    CAST(sum(greatest(la, lb)) AS BIGINT) AS s_max
+        |  FROM res)
+        |SELECT n_pairs, s_ref, s_edit,
+        |  round(CAST(s_edit AS DOUBLE) / CAST(s_ref AS DOUBLE) * 10000)
+        |    / 10000 AS wer,
+        |  round((1.0 - CAST(s_edit AS DOUBLE) / CAST(s_max AS DOUBLE))
+        |    * 10000) / 10000 AS edit_sim
         |FROM m""".stripMargin,
 
     "eval_chrf" ->

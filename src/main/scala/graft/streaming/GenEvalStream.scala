@@ -102,4 +102,41 @@ object GenEvalStream {
           lit(2.0) * col("slcs").cast("double") /
             (col("sc") + col("sr")).cast("double")).as("rouge_f"))
   }
+
+  /** Windowed CORPUS WER — the live twin of the batch `eval_wer_corpus`
+    * query: per closing window, the token-edit and reference-length
+    * sums pool BEFORE the division (micro-average — the form a
+    * generation/ASR regression dashboard actually alarms on; averaging
+    * per-pair WER over-weights short references). Same row-local shape
+    * as [[windowedRouge]] — one native
+    * [[graft.functions.TokenEditDistance]] DP per pair, no gram state,
+    * windowed sums only, so a frozen window's row equals the batch
+    * query over that window's rows exactly. */
+  def windowedWer(pairs: DataFrame, tsCol: String, candCol: String,
+                  refCol: String, windowLen: String = "1 hour",
+                  delay: String = "5 minutes"): DataFrame = {
+    val (ct, rt) = (col("__ct"), col("__rt"))
+    val scored = pairs
+      .select(col(tsCol),
+        TextAnalysis.tokens(col(candCol)).as("__ct"),
+        TextAnalysis.tokens(col(refCol)).as("__rt"))
+      .select(col(tsCol),
+        size(ct).cast("long").as("cl"),
+        size(rt).cast("long").as("rl"),
+        graft.functions.TokenEditDistance(ct, rt).as("edit"))
+    scored
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("rl")).as("s_ref"), sum(col("edit")).as("s_edit"),
+        sum(greatest(col("cl"), col("rl"))).as("s_max"))
+      .select(col("w.start").as("bucket"), col("n_pairs"),
+        col("s_ref"), col("s_edit"),
+        graft.ops.TimeSeries.portableRound4(
+          col("s_edit").cast("double") / col("s_ref").cast("double"))
+          .as("wer"),
+        graft.ops.TimeSeries.portableRound4(
+          lit(1.0) - col("s_edit").cast("double") /
+            col("s_max").cast("double")).as("edit_sim"))
+  }
 }

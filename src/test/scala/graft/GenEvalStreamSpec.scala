@@ -106,4 +106,43 @@ class GenEvalStreamSpec extends SparkSpec {
       q.stop(); spark.sql("DROP TABLE IF EXISTS geneval_rouge")
     }
   }
+
+  test("windowed corpus WER: one frozen window reproduces the batch row exactly") {
+    val dir = sf()
+    val batch = SparkEntry.queries("eval_wer_corpus")(spark, dir)
+      .select(col("n_pairs"), col("s_ref"), col("s_edit"), col("wer"),
+        col("edit_sim"))
+      .collect().head
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .sortBy(_._1)
+    val byId = docs.toMap
+    val pairs: Seq[(Timestamp, String, String)] = docs.flatMap { case (id, cand) =>
+      byId.get(id + 1).map(ref => (ts("2024-01-01 00:30:00"), cand, ref))
+    }.toSeq
+    assert(pairs.nonEmpty)
+
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val q = GenEvalStream.windowedWer(
+      in.toDF().toDF("ts", "cand", "rtext"), "ts", "cand", "rtext",
+      windowLen = "1 hour", delay = "0 seconds")
+      .writeStream.format("memory").queryName("geneval_wer")
+      .outputMode("append").start()
+    try {
+      pairs.grouped(2048).foreach(b => in.addData(b: _*))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 02:00:00"), "flush", "flush"))
+      q.processAllAvailable()
+      val got = spark.table("geneval_wer")
+        .where(col("bucket") === ts("2024-01-01 00:00:00"))
+        .select(col("n_pairs"), col("s_ref"), col("s_edit"), col("wer"),
+          col("edit_sim"))
+        .collect().head
+      assert(got === batch, "stream window diverged from the batch micro-average")
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS geneval_wer")
+    }
+  }
 }

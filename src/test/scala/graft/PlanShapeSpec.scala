@@ -179,7 +179,7 @@ class PlanShapeSpec extends SparkSpec {
     // regression to the (pair, gram) explode shape re-shuffles gram
     // volume (≈2x corpus tokens/chars) and shows up as extra exchanges
     for (q <- Seq("eval_chrf", "eval_bleu", "eval_rouge2", "eval_token_f1",
-                  "eval_rouge_l")) {
+                  "eval_rouge_l", "eval_wer")) {
       val p = plan(q)
       assert(countOf(p, "Exchange") <= 2, s"$q grew a gram shuffle:\n$p")
       assert(!p.contains("Generate explode"), s"$q must not explode grams:\n$p")
