@@ -679,6 +679,79 @@ object TimeSeries {
             sqrt(col("den2")))).as("r"))
   }
 
+  /** Micro-scaled trig tables for [[periodogram]] — computed ONCE in
+    * Scala and injected as literals into BOTH engines (the
+    * discountMicros / minhash-seed pattern), so no libm cos/sin runs
+    * inside either engine's per-row path. */
+  private[graft] def cosMicros(p: Int): IndexedSeq[Long] =
+    IndexedSeq.tabulate(p)(k => math.round(math.cos(2 * math.Pi * k / p) * 1e6))
+  private[graft] def sinMicros(p: Int): IndexedSeq[Long] =
+    IndexedSeq.tabulate(p)(k => math.round(math.sin(2 * math.Pi * k / p) * 1e6))
+
+  /** Fixed-frequency periodogram of each key's hourly count series —
+    * the spectral "how strongly daily / weekly is this signal" read
+    * behind seasonality-aware forecasting and anomaly baselines
+    * (ts_holtwinters assumes a 24 h season; this MEASURES whether that
+    * assumption holds, and whether a 168 h one would too).
+    *
+    * For period P ∈ {24, 168}: the Fourier component at frequency 1/P
+    * is A = N·Σxₜcμ(t mod P) − S·Σcμ(t mod P), B likewise with sin —
+    * mean-removed WITHOUT forming the rational mean (multiply through
+    * by N, the stat_trimmed integer trick), every sum an exact
+    * DECIMAL(38,0) over micro-scaled literal trig tables. amp is the
+    * fitted sinusoid's per-hour amplitude 2·√(A²+B²)/(N²·10⁶);
+    * strength = amp²/2 ÷ series variance is the variance fraction that
+    * component explains (≈1 for a pure sinusoid, ~0 for white noise) —
+    * null for a constant series. One hash-agg after resample's grid:
+    * the corpus is gone after one shuffle, the per-key state is six
+    * integers per period.
+    *
+    * Reference behavior: numaflow pipelines feed downstream seasonal
+    * forecast/alarm vertices (docs/user-guide §monitoring); the
+    * periodogram is the batch diagnostic that sizes those windows. */
+  def periodogram(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol),
+        (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+          .cast("long").as("h"),
+        col("n"))
+    def trig(p: Int, table: IndexedSeq[Long]): Column =
+      element_at(typedlit(table), (pmod(col("h"), lit(p)) + 1).cast("int"))
+    val aggs = Seq(
+      count(lit(1)).as("nh"),
+      sum(col("n")).cast(dec).as("s"),
+      sum(col("n").cast(dec) * col("n").cast(dec)).as("snn")) ++
+      Seq(24, 168).flatMap { p =>
+        Seq(
+          sum(col("n").cast(dec) * trig(p, cosMicros(p)).cast(dec))
+            .as(s"snc$p"),
+          sum(trig(p, cosMicros(p))).cast(dec).as(s"sc$p"),
+          sum(col("n").cast(dec) * trig(p, sinMicros(p)).cast(dec))
+            .as(s"sns$p"),
+          sum(trig(p, sinMicros(p))).cast(dec).as(s"ss$p"))
+      }
+    val m = series.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val nd = col("nh").cast("double")
+    val vard = (col("nh").cast(dec) * col("snn") - col("s") * col("s"))
+      .cast("double") / (nd * nd)
+    def component(p: Int): Seq[Column] = {
+      val ad = (col("nh").cast(dec) * col(s"snc$p") - col("s") * col(s"sc$p"))
+        .cast("double")
+      val bd = (col("nh").cast(dec) * col(s"sns$p") - col("s") * col(s"ss$p"))
+        .cast("double")
+      val p2 = ad * ad + bd * bd
+      val den = nd * nd * lit(1.0e6)
+      Seq(
+        portableRound6(lit(2.0) * sqrt(p2) / den).as(s"amp_$p"),
+        when(vard > 0, portableRound6(lit(2.0) * p2 / (den * den) / vard))
+          .as(s"strength_$p"))
+    }
+    m.select(col(keyCol) +: col("nh").as("n_hours") +:
+      (component(24) ++ component(168)): _*)
+  }
+
   /** Additive trend/seasonal/residual decomposition of each key's
     * hourly count series — the STL idea with EXACT arithmetic: trend is
     * a centered 25-bucket moving mean, so trend·25 is an integer;

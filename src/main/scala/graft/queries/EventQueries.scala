@@ -251,6 +251,19 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Fixed-frequency periodogram per event type — MEASURES the daily /
+    // weekly seasonality ts_holtwinters and the forecast alarms ASSUME:
+    // amp is the fitted sinusoid's per-hour amplitude at period 24/168,
+    // strength the variance fraction it explains (≈1 pure sinusoid, ~0
+    // white noise). Mean-removed Fourier sums kept exact by multiplying
+    // through by N; trig tables are micro-scaled Scala literals in both
+    // engines (no libm cos in any per-row path). One hash-agg after the
+    // resample grid. See TimeSeries.periodogram.
+    "ts_periodogram" -> { (s, dir) =>
+      graft.ops.TimeSeries.periodogram(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // Markov next-event transition matrix: P(next_type | type) over each
     // user's (ts, event_id)-ordered stream — the behavioral model behind
     // next-action prediction and anomaly scoring. One shuffle on user_id
@@ -1748,6 +1761,55 @@ object EventQueries extends QueryPack {
          |           / rss_u_r END
          |    * 1000000) / 1000000 AS f_granger
          |FROM v""".stripMargin,
+
+    "ts_periodogram" -> {
+      val c24 = graft.ops.TimeSeries.cosMicros(24).mkString("[", ", ", "]")
+      val s24 = graft.ops.TimeSeries.sinMicros(24).mkString("[", ", ", "]")
+      val c168 = graft.ops.TimeSeries.cosMicros(168).mkString("[", ", ", "]")
+      val s168 = graft.ops.TimeSeries.sinMicros(168).mkString("[", ", ", "]")
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type,
+         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+         |    CAST(sum(n) AS HUGEINT) AS s,
+         |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS snn,
+         |    sum(CAST(n AS HUGEINT) * ($c24)[CAST(h % 24 AS INT) + 1]) AS snc24,
+         |    CAST(sum(($c24)[CAST(h % 24 AS INT) + 1]) AS HUGEINT) AS sc24,
+         |    sum(CAST(n AS HUGEINT) * ($s24)[CAST(h % 24 AS INT) + 1]) AS sns24,
+         |    CAST(sum(($s24)[CAST(h % 24 AS INT) + 1]) AS HUGEINT) AS ss24,
+         |    sum(CAST(n AS HUGEINT) * ($c168)[CAST(h % 168 AS INT) + 1]) AS snc168,
+         |    CAST(sum(($c168)[CAST(h % 168 AS INT) + 1]) AS HUGEINT) AS sc168,
+         |    sum(CAST(n AS HUGEINT) * ($s168)[CAST(h % 168 AS INT) + 1]) AS sns168,
+         |    CAST(sum(($s168)[CAST(h % 168 AS INT) + 1]) AS HUGEINT) AS ss168
+         |  FROM sr GROUP BY 1),
+         |d AS (SELECT event_type, nh,
+         |    CAST(nh AS HUGEINT) * snn - s * s AS vnum,
+         |    CAST(nh AS HUGEINT) * snc24 - s * sc24 AS a24,
+         |    CAST(nh AS HUGEINT) * sns24 - s * ss24 AS b24,
+         |    CAST(nh AS HUGEINT) * snc168 - s * sc168 AS a168,
+         |    CAST(nh AS HUGEINT) * sns168 - s * ss168 AS b168
+         |  FROM m),
+         |v AS (SELECT event_type, nh, CAST(nh AS DOUBLE) AS nd,
+         |    CAST(vnum AS DOUBLE)
+         |      / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE)) AS vard,
+         |    CAST(a24 AS DOUBLE) AS a24d, CAST(b24 AS DOUBLE) AS b24d,
+         |    CAST(a168 AS DOUBLE) AS a168d, CAST(b168 AS DOUBLE) AS b168d
+         |  FROM d)
+         |SELECT event_type, nh AS n_hours,
+         |  round(2.0 * sqrt(a24d * a24d + b24d * b24d)
+         |    / (nd * nd * 1000000.0) * 1000000) / 1000000 AS amp_24,
+         |  round(CASE WHEN vard > 0 THEN
+         |      2.0 * (a24d * a24d + b24d * b24d)
+         |        / ((nd * nd * 1000000.0) * (nd * nd * 1000000.0)) / vard
+         |    END * 1000000) / 1000000 AS strength_24,
+         |  round(2.0 * sqrt(a168d * a168d + b168d * b168d)
+         |    / (nd * nd * 1000000.0) * 1000000) / 1000000 AS amp_168,
+         |  round(CASE WHEN vard > 0 THEN
+         |      2.0 * (a168d * a168d + b168d * b168d)
+         |        / ((nd * nd * 1000000.0) * (nd * nd * 1000000.0)) / vard
+         |    END * 1000000) / 1000000 AS strength_168
+         |FROM v""".stripMargin
+    },
 
     "stat_mwu" ->
       """WITH per AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
