@@ -264,6 +264,90 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Delta-method standard error of the per-variant RATIO metric
+    // revenue-per-event (Σx/Σy over USERS — the unit of randomization,
+    // so user-level covariance is what the SE must carry; a naive
+    // row-level SE ignores that a heavy user moves both numerator and
+    // denominator together and is anti-conservative). Var(R̂) ≈
+    // (σx² − 2Rσxy + R²σy²)/(n·ȳ²) — the standard first-order Taylor
+    // expansion; all five moments exact integer cents/counts in
+    // DECIMAL(38,0), one double chain per variant row. The jackknife
+    // twin (stat_jackknife) estimates the same SE empirically — the
+    // classic cross-check pair for ratio metrics.
+    "stat_delta_ratio" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("y"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            graft.ops.Stats.cents(col("value")))), lit(0L)).as("x"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      val m = per.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+          sum(d38(col("y")) * d38(col("y"))).as("syy"),
+          sum(d38(col("x")) * d38(col("y"))).as("sxy"))
+      val nd = col("n").cast("double")
+      val nD = d38(col("n"))
+      val r = col("sx").cast("double") / col("sy").cast("double")
+      def sv(ss: String, s1: String, s2: String) =
+        (nD * col(ss) - d38(col(s1)) * d38(col(s2))).cast("double") /
+          (nd * (nd - lit(1.0)))
+      val vx = sv("sxx", "sx", "sx")
+      val vy = sv("syy", "sy", "sy")
+      val cxy = sv("sxy", "sx", "sy")
+      val ybar = col("sy").cast("double") / nd
+      val se = sqrt((vx - lit(2.0) * r * cxy + r * r * vy) / nd) / ybar
+      m.select(col("variant"), col("n").as("n_users"),
+        graft.ops.TimeSeries.portableRound6(r / lit(100.0)).as("r"),
+        graft.ops.TimeSeries.portableRound6(se / lit(100.0)).as("se_delta"))
+    },
+
+    // Leave-one-out jackknife SE of the SAME per-variant ratio metric —
+    // the empirical twin of stat_delta_ratio's Taylor formula (they
+    // agree to O(1/n); a gap flags a heavy-tail regime where the
+    // linearization is lying). Each user's leave-one-out ratio
+    // R_i = (Σx−x_i)/(Σy−y_i) is ONE deterministic double division per
+    // row against the broadcast 2-row totals, then QUANTIZED to the
+    // 1e-8 grid (round-then-cast — DuckDB's double→BIGINT cast rounds
+    // while Spark's truncates, so both engines round() first) so the
+    // replicate sums are exact integers — a raw float Σ(R_i−R̄)² is
+    // addition-order-dependent and can never hash-match across
+    // engines. Quantization bias on SE² is ≤ grid²/12 per term — eight
+    // decimal orders under the signal. SE² = (n−1)/n·Σ(R_i−R̄)².
+    "stat_jackknife" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("y"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            graft.ops.Stats.cents(col("value")))), lit(0L)).as("x"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      val tot = per.groupBy(col("variant"))
+        .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      val q = round(((col("sx") - col("x")).cast("double") /
+        (col("sy") - col("y")).cast("double")) * lit(1.0e8), 0).cast("long")
+      val m = per.join(broadcast(tot), "variant")
+        .select(col("variant"), col("sx"), col("sy"), q.as("q"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), max(col("sx")).as("sx"),
+          max(col("sy")).as("sy"),
+          // q ~ 1e12 × 6e7 users at the 625× tier wraps BIGINT — the
+          // chi² lesson: widen the OPERAND, not the result
+          sum(d38(col("q"))).as("sq"),
+          sum(d38(col("q")) * d38(col("q"))).as("sqq"))
+      val nd = col("n").cast("double")
+      val numd = (d38(col("n")) * col("sqq") - col("sq") * col("sq"))
+        .cast("double")
+      val se = sqrt(numd * (nd - lit(1.0))) / (nd * lit(1.0e8))
+      m.select(col("variant"), col("n").as("n_users"),
+        graft.ops.TimeSeries.portableRound6(
+          col("sx").cast("double") / col("sy").cast("double") / lit(100.0))
+          .as("r"),
+        graft.ops.TimeSeries.portableRound6(se / lit(100.0)).as("se_jack"))
+    },
+
     // Markov next-event transition matrix: P(next_type | type) over each
     // user's (ts, event_id)-ordered stream — the behavioral model behind
     // next-action prediction and anomaly scoring. One shuffle on user_id
@@ -1810,6 +1894,63 @@ object EventQueries extends QueryPack {
          |    END * 1000000) / 1000000 AS strength_168
          |FROM v""".stripMargin
     },
+
+    "stat_delta_ratio" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END),
+        |      0) AS BIGINT) AS x,
+        |    ((user_id % 2) + 2) % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |  FROM per GROUP BY 1),
+        |v AS (SELECT variant, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+        |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vx,
+        |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vy,
+        |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cxy,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
+        |  FROM m)
+        |SELECT variant, n AS n_users,
+        |  round(r / 100.0 * 1000000) / 1000000 AS r,
+        |  round(sqrt((vx - 2.0 * r * cxy + r * r * vy) / nd) / ybar
+        |    / 100.0 * 1000000) / 1000000 AS se_delta
+        |FROM v""".stripMargin,
+
+    "stat_jackknife" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END),
+        |      0) AS BIGINT) AS x,
+        |    ((user_id % 2) + 2) % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |tot AS (SELECT variant, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy
+        |  FROM per GROUP BY 1),
+        |jk AS (SELECT per.variant, tot.sx, tot.sy,
+        |    CAST(round(CAST(tot.sx - per.x AS DOUBLE)
+        |      / CAST(tot.sy - per.y AS DOUBLE) * 100000000.0) AS BIGINT) AS q
+        |  FROM per JOIN tot ON per.variant = tot.variant),
+        |m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    max(sx) AS sx, max(sy) AS sy,
+        |    sum(CAST(q AS HUGEINT)) AS sq,
+        |    sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sqq
+        |  FROM jk GROUP BY 1)
+        |SELECT variant, n AS n_users,
+        |  round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) / 100.0 * 1000000)
+        |    / 1000000 AS r,
+        |  round(sqrt(CAST(CAST(n AS HUGEINT) * sqq - sq * sq AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) - 1.0))
+        |    / (CAST(n AS DOUBLE) * 100000000.0) / 100.0 * 1000000)
+        |    / 1000000 AS se_jack
+        |FROM m""".stripMargin,
 
     "stat_mwu" ->
       """WITH per AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
