@@ -679,6 +679,83 @@ object TimeSeries {
             sqrt(col("den2")))).as("r"))
   }
 
+  /** Partial autocorrelation (lags 1–3) of each key's hourly count
+    * series — the AR-order diagnostic ts_acf can't give: ACF at lag 2
+    * is inflated by the lag-1 chain (x_t←x_{t−1}←x_{t−2}); PACF
+    * measures lag k's DIRECT effect with the shorter lags regressed
+    * out, so an AR(p) process cuts off sharply after lag p — the
+    * standard Box–Jenkins order-selection read.
+    *
+    * Sample ACF with the GLOBAL mean (the stationary estimator
+    * Durbin–Levinson requires — ts_acf's per-overlap Pearson is a
+    * different statistic): ρ_k multiplied through by N² so every term
+    * is an exact DECIMAL(38,0)/HUGEINT integer — N²Σx_tx_{t+k} −
+    * N·S·(S_head+S_tail) + (N−k)S² over N·Σx² − S² — then ONE double
+    * chain per lag, and the Durbin–Levinson recursion (φ11=ρ1;
+    * φ22=(ρ2−ρ1²)/(1−ρ1²); φ33 via the level-2 coefficients) written
+    * as the identical double expression in both engines. Constant
+    * series (zero variance) yield nulls via the den>0 guard, as do
+    * keys shorter than the lag.
+    *
+    * Scale shape: the corpus collapses in resample's one hash-agg;
+    * the lag join is grid-sized (|keys|·hours·3), the result |keys|
+    * rows. */
+  def pacf(events: DataFrame, keyCol: String, tsCol: String,
+           valueCol: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol).as("k"),
+        (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+          .cast("long").as("h"),
+        col("n"))
+      .localCheckpoint() // three consumers: totals + both lag-join sides
+    val tot = series.groupBy(col("k").as("kt"))
+      .agg(count(lit(1)).as("nn"), sum(col("n")).as("s"),
+        sum(col("n").cast(dec) * col("n").cast(dec)).as("sxx"))
+    val a = series.select(col("k"), col("h"), col("n").as("x"))
+      .crossJoin(spark_range_lags(series, 3).where(col("lag") >= 1))
+    val b = series.select(col("k").as("kb"), col("h").as("hb"),
+      col("n").as("y"))
+    val perLag = a
+      .join(b, col("kb") === col("k") && col("hb") === col("h") + col("lag"))
+      .groupBy(col("k"), col("lag"))
+      .agg(sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x")).as("sh"), sum(col("y")).as("st"))
+    def pick(l: Int, c: String) =
+      max(when(col("lag") === l, col(c))).as(s"$c$l")
+    val pivAggs = Seq(1, 2, 3).flatMap(l =>
+      Seq(pick(l, "sxy"), pick(l, "sh"), pick(l, "st")))
+    val piv = perLag.groupBy(col("k")).agg(pivAggs.head, pivAggs.tail: _*)
+    val j = piv.join(tot, col("k") === col("kt"))
+    val nD = col("nn").cast(dec)
+    val sD = col("s").cast(dec)
+    val denDec = nD * col("sxx") - sD * sD
+    val nd = col("nn").cast("double")
+    def rho(l: Int) = when(denDec > 0 && col(s"sxy$l").isNotNull,
+      (nD * nD * col(s"sxy$l")
+        - nD * sD * (col(s"sh$l") + col(s"st$l")).cast(dec)
+        + (nD - lit(l).cast(dec)) * sD * sD).cast("double") /
+        denDec.cast("double") / nd)
+    val dl = j
+      .select(col("k"), col("nn"),
+        rho(1).as("r1"), rho(2).as("r2"), rho(3).as("r3"))
+      .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("phi22",
+        when(col("v1") > 0, (col("r2") - col("r1") * col("r1")) / col("v1")))
+      .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+      .withColumn("v2",
+        col("v1") * (lit(1.0) - col("phi22") * col("phi22")))
+    dl.select(col("k").as(keyCol), col("nn").as("n_hours"),
+      portableRound6(col("r1")).as("r1"),
+      portableRound6(col("r2")).as("r2"),
+      portableRound6(col("r3")).as("r3"),
+      portableRound6(col("r1")).as("pacf1"),
+      portableRound6(col("phi22")).as("pacf2"),
+      portableRound6(when(col("v2") > 0,
+        (col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
+          / col("v2"))).as("pacf3"))
+  }
+
   /** Micro-scaled trig tables for [[periodogram]] — computed ONCE in
     * Scala and injected as literals into BOTH engines (the
     * discountMicros / minhash-seed pattern), so no libm cos/sin runs

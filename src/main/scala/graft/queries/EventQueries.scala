@@ -264,6 +264,18 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Partial autocorrelation at lags 1–3 per event type — the
+    // Box–Jenkins AR-order diagnostic: ACF inflates lag 2 through the
+    // lag-1 chain, PACF regresses the shorter lags out, so an AR(p)
+    // series cuts off after lag p. Exact global-mean ACF (multiplied
+    // through by N² — every term DECIMAL(38,0)/HUGEINT) then the
+    // Durbin–Levinson recursion as one identical double chain in both
+    // engines. See TimeSeries.pacf.
+    "ts_pacf" -> { (s, dir) =>
+      graft.ops.TimeSeries.pacf(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // Delta-method standard error of the per-variant RATIO metric
     // revenue-per-event (Σx/Σy over USERS — the unit of randomization,
     // so user-level covariance is what the SE must carry; a naive
@@ -1894,6 +1906,74 @@ object EventQueries extends QueryPack {
          |    END * 1000000) / 1000000 AS strength_168
          |FROM v""".stripMargin
     },
+
+    "ts_pacf" ->
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k,
+         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+         |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(n) AS HUGEINT) AS s,
+         |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sxx
+         |  FROM sr GROUP BY 1),
+         |l AS (SELECT a.k, lg.lag,
+         |    sum(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS sxy,
+         |    CAST(sum(a.n) AS HUGEINT) AS sh,
+         |    CAST(sum(b.n) AS HUGEINT) AS st
+         |  FROM sr a
+         |  JOIN (SELECT unnest([1, 2, 3]) AS lag) lg ON true
+         |  JOIN sr b ON b.k = a.k AND b.h = a.h + lg.lag
+         |  GROUP BY 1, 2),
+         |p AS (SELECT k,
+         |    max(CASE WHEN lag = 1 THEN sxy END) AS sxy1,
+         |    max(CASE WHEN lag = 1 THEN sh END) AS sh1,
+         |    max(CASE WHEN lag = 1 THEN st END) AS st1,
+         |    max(CASE WHEN lag = 2 THEN sxy END) AS sxy2,
+         |    max(CASE WHEN lag = 2 THEN sh END) AS sh2,
+         |    max(CASE WHEN lag = 2 THEN st END) AS st2,
+         |    max(CASE WHEN lag = 3 THEN sxy END) AS sxy3,
+         |    max(CASE WHEN lag = 3 THEN sh END) AS sh3,
+         |    max(CASE WHEN lag = 3 THEN st END) AS st3
+         |  FROM l GROUP BY 1),
+         |j AS (SELECT p.*, tot.nn, tot.s, tot.sxx FROM p JOIN tot USING (k)),
+         |r AS (SELECT k, nn,
+         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
+         |          AND sxy1 IS NOT NULL THEN
+         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy1
+         |          - CAST(nn AS HUGEINT) * s * (sh1 + st1)
+         |          + (CAST(nn AS HUGEINT) - 1) * s * s AS DOUBLE)
+         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
+         |        / CAST(nn AS DOUBLE) END AS r1,
+         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
+         |          AND sxy2 IS NOT NULL THEN
+         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy2
+         |          - CAST(nn AS HUGEINT) * s * (sh2 + st2)
+         |          + (CAST(nn AS HUGEINT) - 2) * s * s AS DOUBLE)
+         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
+         |        / CAST(nn AS DOUBLE) END AS r2,
+         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
+         |          AND sxy3 IS NOT NULL THEN
+         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy3
+         |          - CAST(nn AS HUGEINT) * s * (sh3 + st3)
+         |          + (CAST(nn AS HUGEINT) - 3) * s * s AS DOUBLE)
+         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
+         |        / CAST(nn AS DOUBLE) END AS r3
+         |  FROM j),
+         |d1 AS (SELECT *, 1.0 - r1 * r1 AS v1 FROM r),
+         |d2 AS (SELECT *,
+         |    CASE WHEN v1 > 0 THEN (r2 - r1 * r1) / v1 END AS phi22
+         |  FROM d1),
+         |d3 AS (SELECT *, r1 - phi22 * r1 AS phi21,
+         |    v1 * (1.0 - phi22 * phi22) AS v2 FROM d2)
+         |SELECT k AS event_type, nn AS n_hours,
+         |  round(r1 * 1000000) / 1000000 AS r1,
+         |  round(r2 * 1000000) / 1000000 AS r2,
+         |  round(r3 * 1000000) / 1000000 AS r3,
+         |  round(r1 * 1000000) / 1000000 AS pacf1,
+         |  round(phi22 * 1000000) / 1000000 AS pacf2,
+         |  round(CASE WHEN v2 > 0
+         |      THEN (r3 - phi21 * r2 - phi22 * r1) / v2 END
+         |    * 1000000) / 1000000 AS pacf3
+         |FROM d3""".stripMargin,
 
     "stat_delta_ratio" ->
       """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y,

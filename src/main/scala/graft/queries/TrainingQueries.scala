@@ -147,6 +147,38 @@ object TrainingQueries extends QueryPack {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     },
 
+    // Flesch reading-ease per source — the curation knob complexity
+    // filters turn (too-easy = listicle spam, too-hard = OCR garbage;
+    // both are downweighted in every serious pretraining mix). Exact
+    // integer counts per doc (words; sentences = terminal-punct matches
+    // floored at 1; syllables = vowel-group runs, the standard cheap
+    // heuristic), micro-averaged per source BEFORE the divisions —
+    // per-doc Flesch averaged arithmetically over-weights short docs.
+    // Entirely row-local projection + one tiny hash-agg: the text_*
+    // zero-extra-shuffle family.
+    "text_readability" -> { (s, dir) =>
+      val t = col("text")
+      val d = Tables.documents(s, dir).select(col("source"),
+        size(filter(split(t, " "), w => length(w) > lit(0)))
+          .cast("long").as("w"),
+        greatest(lit(1L),
+          size(regexp_extract_all(t, lit("[.!?]"), lit(0))).cast("long"))
+          .as("sent"),
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("syl"))
+      val wps = col("words").cast("double") / col("sentences").cast("double")
+      val spw = col("syllables").cast("double") / col("words").cast("double")
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+          sum(col("sent")).as("sentences"), sum(col("syl")).as("syllables"))
+        .select(col("source"), col("n_docs"), col("words"),
+          col("sentences"), col("syllables"),
+          graft.ops.TimeSeries.portableRound4(wps).as("words_per_sentence"),
+          graft.ops.TimeSeries.portableRound4(spw).as("syllables_per_word"),
+          graft.ops.TimeSeries.portableRound4(
+            lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"))
+    },
+
     "text_tokens" -> { (s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -3263,6 +3295,30 @@ object TrainingQueries extends QueryPack {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "text_readability" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0)) AS BIGINT) AS w,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]'))
+        |      AS BIGINT)) AS sent,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syl
+        |  FROM documents),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS words,
+        |    CAST(sum(sent) AS BIGINT) AS sentences,
+        |    CAST(sum(syl) AS BIGINT) AS syllables
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, words, sentences, syllables,
+        |  round(CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE) * 10000)
+        |    / 10000 AS words_per_sentence,
+        |  round(CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE) * 10000)
+        |    / 10000 AS syllables_per_word,
+        |  round((206.835
+        |      - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |      - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))
+        |    * 10000) / 10000 AS flesch
+        |FROM m""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
