@@ -260,6 +260,68 @@ object GraphOps {
     tri.crossJoin(nEdges)
   }
 
+  /** Local clustering coefficient summary of the dup graph — the
+    * cohesion read the global triangle COUNT can't give: transitivity
+    * (3·triangles/wedges) is dominated by the hubs, while the AVERAGE
+    * local coefficient C̄ = mean over nodes of 2t_v/(d_v(d_v−1))
+    * weights every node equally — template families (interlinked
+    * near-clique clusters) push both up; star boilerplate (one hub,
+    * many leaves) pushes transitivity toward 0 while leaves keep
+    * C_v = 0. The gap between the two numbers is the
+    * clique-vs-star diagnostic for the CC dedup strategy.
+    *
+    * Per-node triangle counts reuse the degree-oriented enumeration
+    * (each triangle found exactly once, then credited to its three
+    * corners — edge-list-sized intermediates, never corpus-sized).
+    * Per-node C_v are QUANTIZED to the 1e-8 grid and summed as exact
+    * integers (the jackknife discipline — a float Σ C_v is
+    * addition-order-dependent across engines); deg<2 nodes count as
+    * C_v = 0 in the average (the standard convention). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = edges.where(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val triCorners = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .join(oriented.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(explode(array(col("e1.u"), col("e2.u"), col("e2.v"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    val nodeC = deg.join(triCorners, Seq("v"), "left")
+      .select(col("deg"), coalesce(col("t"), lit(0L)).as("t"))
+    val degd = col("deg").cast("double")
+    val cv = when(col("deg") >= 2,
+      lit(2.0) * col("t").cast("double") / (degd * (degd - lit(1.0))))
+      .otherwise(lit(0.0))
+    val q = round(cv * lit(1.0e8), 0).cast("long")
+    val m = nodeC.select(col("deg"), col("t"), q.as("q"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("t3"),
+        sum(col("deg").cast(dec) * (col("deg").cast(dec) - lit(1)))
+          .as("w2"),
+        sum(col("q").cast(dec)).as("sq"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    m.crossJoin(nEdges)
+      .select(col("n_nodes"), col("n_edges"),
+        floor(col("t3") / lit(3)).cast("long").as("n_triangles"),
+        TimeSeries.portableRound6(when(col("w2") > 0,
+          lit(2.0) * col("t3").cast("double") / col("w2").cast("double")))
+          .as("transitivity"),
+        TimeSeries.portableRound6(
+          col("sq").cast("double") / lit(1.0e8) /
+            col("n_nodes").cast("double")).as("avg_clustering"))
+  }
+
   /** Log₂-binned degree distribution of the dup graph — the standard
     * structural audit before any graph-driven dedup decision (a heavy
     * power-law tail means boilerplate hubs; a spike at high degree means

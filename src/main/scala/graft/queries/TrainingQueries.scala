@@ -1179,6 +1179,16 @@ object TrainingQueries extends QueryPack {
       graft.ops.GraphOps.triangleCount(cachedSpanEdges(s, dir))
     },
 
+    // clustering-coefficient summary of the dup graph: transitivity
+    // (hub-weighted) vs average LOCAL coefficient (node-weighted) —
+    // the gap is the clique-vs-star diagnostic (template families
+    // drive both up; star boilerplate holds transitivity near 0 while
+    // leaves pin C_v = 0). Per-node C_v quantized to the 1e-8 grid and
+    // summed exactly (GraphOps.clusteringCoefficient).
+    "graph_clustering" -> { (s, dir) =>
+      graft.ops.GraphOps.clusteringCoefficient(cachedSpanEdges(s, dir))
+    },
+
     // HITS over the CONTAINMENT digraph (container → contained): hubs
     // are aggregator docs quoting many others, authorities the
     // canonical sources quoted everywhere — the two distinct curation
@@ -4461,6 +4471,51 @@ object TrainingQueries extends QueryPack {
          |  CAST(count(*) AS BIGINT) AS n_dup_pairs
          |FROM lab GROUP BY 1, 2""".stripMargin,
     "graph_triangles" -> trianglesSql,
+
+    // per-node triangle credit over the same degree-oriented
+    // enumeration as trianglesSql; C_v quantized to the 1e-8 grid
+    // (round-then-cast) so the node average is an exact integer sum
+    "graph_clustering" ->
+      s"""WITH $spanEdgeCtes,
+         |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)
+         |  GROUP BY v),
+         |o AS (SELECT CASE WHEN da < db OR (da = db AND a < b)
+         |               THEN a ELSE b END AS u,
+         |             CASE WHEN da < db OR (da = db AND a < b)
+         |               THEN b ELSE a END AS v
+         |  FROM (SELECT p.a, p.b, d1.deg AS da, d2.deg AS db
+         |        FROM pairs p JOIN dg d1 ON p.a = d1.v
+         |        JOIN dg d2 ON p.b = d2.v)),
+         |tri AS (SELECT e1.u AS x, e2.u AS y, e2.v AS z
+         |  FROM o e1 JOIN o e2 ON e1.v = e2.u
+         |  JOIN o e3 ON e1.u = e3.u AND e2.v = e3.v),
+         |tn AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |       UNION ALL SELECT z FROM tri),
+         |tc AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM tn GROUP BY 1),
+         |nc AS (SELECT dg.deg, coalesce(tc.t, 0) AS t
+         |       FROM dg LEFT JOIN tc USING (v)),
+         |qq AS (SELECT deg, t,
+         |    CAST(round(CASE WHEN deg >= 2 THEN
+         |        2.0 * CAST(t AS DOUBLE)
+         |          / (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0))
+         |      ELSE 0.0 END * 100000000.0) AS BIGINT) AS q
+         |  FROM nc),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(t) AS BIGINT) AS t3,
+         |    sum(CAST(deg AS HUGEINT) * (CAST(deg AS HUGEINT) - 1)) AS w2,
+         |    sum(CAST(q AS HUGEINT)) AS sq
+         |  FROM qq)
+         |SELECT n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+         |  CAST(t3 // 3 AS BIGINT) AS n_triangles,
+         |  round(CASE WHEN w2 > 0 THEN
+         |      2.0 * CAST(t3 AS DOUBLE) / CAST(w2 AS DOUBLE) END
+         |    * 1000000) / 1000000 AS transitivity,
+         |  round(CAST(sq AS DOUBLE) / 100000000.0
+         |    / CAST(n_nodes AS DOUBLE) * 1000000) / 1000000
+         |    AS avg_clustering
+         |FROM m""".stripMargin,
 
     "graph_degree_hist" ->
       s"""WITH $spanEdgeCtes,

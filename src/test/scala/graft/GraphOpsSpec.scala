@@ -146,6 +146,33 @@ class GraphOpsSpec extends SparkSpec {
     assert((r3.getLong(0), r3.getLong(1)) === ((1L, 3L)))
   }
 
+  test("clusteringCoefficient: known answers on triangle+tail, star, and K4") {
+    def sym(ps: (Long, Long)*) =
+      (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
+    // triangle {1,2,3} with a tail 3-4: C_1 = C_2 = 1, C_3 = 2*1/(3*2) = 1/3,
+    // C_4 = 0 (deg 1); avg = (1 + 1 + 1/3 + 0)/4 = 7/12
+    // transitivity = 3*1 / wedges; wedges = C(2,2)*2 + C(3,2) + 0 = 1+1+3 = 5
+    val tri = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val r1 = GraphOps.clusteringCoefficient(tri).collect()(0)
+    assert(r1.getAs[Long]("n_nodes") === 4L)
+    assert(r1.getAs[Long]("n_edges") === 4L)
+    assert(r1.getAs[Long]("n_triangles") === 1L)
+    assert(math.abs(r1.getAs[Double]("transitivity") - 3.0 / 5.0) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("avg_clustering") - 7.0 / 12.0) < 1e-6)
+    // star: hub full of wedges, zero triangles -> both metrics 0
+    val star = sym((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val r2 = GraphOps.clusteringCoefficient(star).collect()(0)
+    assert(r2.getAs[Long]("n_triangles") === 0L)
+    assert(r2.getAs[Double]("transitivity") === 0.0)
+    assert(r2.getAs[Double]("avg_clustering") === 0.0)
+    // K4: everything is 1
+    val k4 = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val r3 = GraphOps.clusteringCoefficient(k4).collect()(0)
+    assert(r3.getAs[Long]("n_triangles") === 4L)
+    assert(r3.getAs[Double]("transitivity") === 1.0)
+    assert(r3.getAs[Double]("avg_clustering") === 1.0)
+  }
+
   test("modularity: two cliques under the true split score high; one blob scores 0") {
     def sym(ps: (Long, Long)*) =
       (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
