@@ -236,7 +236,19 @@ object ScaleCurve {
     "stat_mde", "sample_balanced",
     // semantic contamination: constant eval side broadcasts, one train
     // scan (the contam_13gram economics)
-    "contam_semantic")
+    "contam_semantic",
+    // WER: one native token-Levenshtein DP per generation pair, zero
+    // shuffles (the eval_rouge_l row-local family)
+    "eval_wer",
+    // periodogram + PACF: grid-bounded past the resample hash-agg (the
+    // ts_acf shape); readability: row-local projection + tiny agg
+    "ts_periodogram", "ts_pacf", "text_readability",
+    // ratio-metric SEs: one user_id hash-agg then a 2-row broadcast
+    // probe (jackknife) or a 2-row fold (delta) — linear then flat
+    "stat_delta_ratio", "stat_jackknife",
+    // clustering coefficient: the graph_triangles wedge-join shape plus
+    // a node-sized credit agg
+    "graph_clustering")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

@@ -119,6 +119,34 @@ object Stats {
       when(se2 > 0, (tLow > lit(zCrit) && tUp < -lit(zCrit)).cast("int")))
   }
 
+  final case class DeltaRatio(r: Column, se: Column)
+
+  /** Delta-method point estimate and SE of the ratio metric R = Σx/Σy
+    * over randomization UNITS (users) — the shared kernel of the batch
+    * `stat_delta_ratio` query and [[graft.streaming.DeltaRatioStream]]'s
+    * windowed monitor (stream ≡ batch is equality of this one
+    * expression tree). Inputs: BIGINT unit count and x/y sums,
+    * DECIMAL(38,0) sums of squares / cross products. Var(R̂) ≈
+    * (σx² − 2Rσxy + R²σy²)/(n·ȳ²), the first-order Taylor expansion;
+    * only +,−,×,÷,sqrt touch doubles. Outputs are UNROUNDED and in
+    * input units (cents-per-event if x is cents) — consumers scale and
+    * 6dp-round. */
+  def deltaRatio(n: Column, sx: Column, sy: Column,
+                 sxx: Column, syy: Column, sxy: Column): DeltaRatio = {
+    val nd = n.cast("double")
+    val nD = n.cast(d38)
+    val r = sx.cast("double") / sy.cast("double")
+    def sv(ss: Column, a: Column, b: Column) =
+      (nD * ss - a.cast(d38) * b.cast(d38)).cast("double") /
+        (nd * (nd - lit(1.0)))
+    val vx = sv(sxx, sx, sx)
+    val vy = sv(syy, sy, sy)
+    val cxy = sv(sxy, sx, sy)
+    val ybar = sy.cast("double") / nd
+    val se = sqrt((vx - lit(2.0) * r * cxy + r * r * vy) / nd) / ybar
+    DeltaRatio(r, se)
+  }
+
   /** Standard normal CDF Φ(z) as a COLUMN expression — Abramowitz &
     * Stegun 26.2.17 (public-domain polynomial, |ε| < 7.5e-8): the same
     * five literal coefficients and the same operation order as the SQL

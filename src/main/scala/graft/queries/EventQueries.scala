@@ -300,20 +300,12 @@ object EventQueries extends QueryPack {
           sum(d38(col("x")) * d38(col("x"))).as("sxx"),
           sum(d38(col("y")) * d38(col("y"))).as("syy"),
           sum(d38(col("x")) * d38(col("y"))).as("sxy"))
-      val nd = col("n").cast("double")
-      val nD = d38(col("n"))
-      val r = col("sx").cast("double") / col("sy").cast("double")
-      def sv(ss: String, s1: String, s2: String) =
-        (nD * col(ss) - d38(col(s1)) * d38(col(s2))).cast("double") /
-          (nd * (nd - lit(1.0)))
-      val vx = sv("sxx", "sx", "sx")
-      val vy = sv("syy", "sy", "sy")
-      val cxy = sv("sxy", "sx", "sy")
-      val ybar = col("sy").cast("double") / nd
-      val se = sqrt((vx - lit(2.0) * r * cxy + r * r * vy) / nd) / ybar
+      val dr = graft.ops.Stats.deltaRatio(col("n"), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy"))
       m.select(col("variant"), col("n").as("n_users"),
-        graft.ops.TimeSeries.portableRound6(r / lit(100.0)).as("r"),
-        graft.ops.TimeSeries.portableRound6(se / lit(100.0)).as("se_delta"))
+        graft.ops.TimeSeries.portableRound6(dr.r / lit(100.0)).as("r"),
+        graft.ops.TimeSeries.portableRound6(dr.se / lit(100.0))
+          .as("se_delta"))
     },
 
     // Leave-one-out jackknife SE of the SAME per-variant ratio metric —
