@@ -756,6 +756,93 @@ object TimeSeries {
           / col("v2"))).as("pacf3"))
   }
 
+  /** Hurst exponent (rescaled-range) of each key's hourly count series
+    * — the LONG-memory read the lag-bounded diagnostics (ts_acf/ts_pacf
+    * stop at a few hours) cannot give: H ≈ 0.5 for independent traffic,
+    * H → 1 for persistent/trending load (capacity must be planned on
+    * runs, not means), H < 0.5 for mean-reverting. Classic R/S over
+    * dyadic block sizes m ∈ {8,16,32,64}:
+    *
+    * Within each full block, the range of cumulative deviations and the
+    * deviation sd share the block denominator m, which CANCELS in R/S —
+    * so R/S = (max−min of m·prefix_j − j·S) / √(m·Σx² − S²), integer
+    * numerators and an integer radicand, ONE sqrt + division per block.
+    * Per-block R/S is quantized to the 1e-6 grid and summed exactly
+    * (the jackknife discipline — cross-block float sums are
+    * order-dependent); zero-variance blocks drop (their R is 0/0).
+    * H is the least-squares slope of log₂(mean R/S) on log₂(m), and the
+    * dyadic sizes make the x-axis EXACT integers 3..6 — the regression
+    * collapses to fixed rational weights (Σu=18, Σu²=86, den=20), so
+    * the only libm calls are the four log2's, 4dp-rounded (the
+    * vocab_entropy precedent). Null H when any size lacks a valid
+    * block.
+    *
+    * Scale shape: corpus gone after resample's hash-agg; one window
+    * shuffle over the 4×-exploded grid; output |keys| rows. */
+  def hurst(events: DataFrame, keyCol: String, tsCol: String,
+            valueCol: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sizes = Seq(8, 16, 32, 64)
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .withColumn("t", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col("bucket"))) - 1)
+      .select(col(keyCol).as("k"), col("t"), col("n").as("x"))
+    val g = series
+      .select(col("k"), col("t"), col("x"),
+        explode(typedlit(sizes)).as("m"))
+      .withColumn("b", graft.ops.Stats.fdiv(col("t"), col("m")))
+      .withColumn("j", pmod(col("t"), col("m")) + 1)
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col("m"), col("b")).orderBy(col("j"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wBlk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col("m"), col("b"))
+    val blocks = g
+      .withColumn("prefix", sum(col("x")).over(wSeq))
+      .withColumn("s", sum(col("x")).over(wBlk))
+      .withColumn("cnt", count(lit(1)).over(wBlk))
+      .withColumn("sxx",
+        sum(col("x").cast(dec) * col("x").cast(dec)).over(wBlk))
+      .where(col("cnt") === col("m"))
+      .withColumn("ym", col("m") * col("prefix") - col("j") * col("s"))
+      .groupBy(col("k"), col("m"), col("b"))
+      .agg(max(col("ym")).as("ymax"), min(col("ym")).as("ymin"),
+        max(col("m").cast(dec) * col("sxx")
+          - col("s").cast(dec) * col("s").cast(dec)).as("d2"))
+    val q = round((col("ymax") - col("ymin")).cast("double") /
+      sqrt(col("d2").cast("double")) * lit(1.0e6), 0).cast("long")
+    val perSize = blocks
+      .where(col("d2") > 0)
+      .select(col("k"), col("m"), q.as("q"))
+      .groupBy(col("k"), col("m"))
+      .agg(count(lit(1)).as("nb"), sum(col("q").cast(dec)).as("sq"))
+    def pick(m: Int, c: String) =
+      max(when(col("m") === m, col(c))).as(s"$c$m")
+    val pivAggs = sizes.flatMap(m => Seq(pick(m, "nb"), pick(m, "sq")))
+    // key universe first: a key whose every block is zero-variance
+    // (constant traffic) must surface as a null row, not vanish
+    val piv = series.select(col("k")).distinct()
+      .join(perSize.groupBy(col("k")).agg(pivAggs.head, pivAggs.tail: _*),
+        Seq("k"), "left")
+    def rs(m: Int) = col(s"sq$m").cast("double") /
+      col(s"nb$m").cast("double") / lit(1.0e6)
+    def v(m: Int) = when(col(s"nb$m") > 0, log2(rs(m)))
+    val suv = lit(3.0) * v(8) + lit(4.0) * v(16) +
+      lit(5.0) * v(32) + lit(6.0) * v(64)
+    val sv = v(8) + v(16) + v(32) + v(64)
+    // Σu = 18, Σu² = 86, k = 4 over the exact log2 sizes u = 3..6:
+    // slope denominator 4·86 − 18² = 20
+    val hurstC = (lit(4.0) * suv - lit(18.0) * sv) / lit(20.0)
+    piv.select(
+      Seq(col("k").as(keyCol)) ++
+        sizes.map(m => coalesce(col(s"nb$m"), lit(0L)).as(s"nb$m")) ++
+        sizes.map(m =>
+          portableRound6(when(col(s"nb$m") > 0, rs(m))).as(s"rs$m")) :+
+        portableRound4(hurstC).as("hurst"): _*)
+  }
+
   /** Micro-scaled trig tables for [[periodogram]] — computed ONCE in
     * Scala and injected as literals into BOTH engines (the
     * discountMicros / minhash-seed pattern), so no libm cos/sin runs

@@ -264,6 +264,20 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Hurst exponent (rescaled range over dyadic blocks) per event
+    // type — the long-memory read beyond ts_acf/ts_pacf's few-hour
+    // horizon: H≈0.5 independent traffic, H→1 persistent load runs,
+    // H<0.5 mean-reverting. The block denominator cancels in R/S so
+    // numerator and radicand are exact integers; per-block R/S
+    // micro-quantized and summed exactly; the dyadic sizes make the
+    // regression x-axis the exact integers 3..6 (fixed rational
+    // weights, only the four log2 calls touch libm). See
+    // TimeSeries.hurst.
+    "ts_hurst" -> { (s, dir) =>
+      graft.ops.TimeSeries.hurst(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // Partial autocorrelation at lags 1–3 per event type — the
     // Box–Jenkins AR-order diagnostic: ACF inflates lag 2 through the
     // lag-1 chain, PACF regresses the shorter lags out, so an AR(p)
@@ -1898,6 +1912,71 @@ object EventQueries extends QueryPack {
          |    END * 1000000) / 1000000 AS strength_168
          |FROM v""".stripMargin
     },
+
+    "ts_hurst" ->
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k, bucket, n,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY bucket) AS BIGINT) - 1 AS t
+         |  FROM ff),
+         |g AS (SELECT k, t, n AS x, m, t // m AS b, t % m + 1 AS j
+         |  FROM sr, (SELECT unnest([CAST(8 AS BIGINT), 16, 32, 64]) AS m)),
+         |wn AS (SELECT k, m, b, j, x,
+         |    CAST(sum(x) OVER (PARTITION BY k, m, b ORDER BY j) AS BIGINT)
+         |      AS prefix,
+         |    CAST(sum(x) OVER (PARTITION BY k, m, b) AS BIGINT) AS s,
+         |    CAST(count(*) OVER (PARTITION BY k, m, b) AS BIGINT) AS cnt,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+         |      OVER (PARTITION BY k, m, b) AS HUGEINT) AS sxx
+         |  FROM g),
+         |blk AS (SELECT k, m, b,
+         |    max(m * prefix - j * s) AS ymax,
+         |    min(m * prefix - j * s) AS ymin,
+         |    max(CAST(m AS HUGEINT) * sxx
+         |      - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS d2
+         |  FROM wn WHERE cnt = m GROUP BY 1, 2, 3),
+         |qs AS (SELECT k, m,
+         |    CAST(round(CAST(ymax - ymin AS DOUBLE)
+         |      / sqrt(CAST(d2 AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
+         |  FROM blk WHERE d2 > 0),
+         |ps AS (SELECT k, m, CAST(count(*) AS BIGINT) AS nb,
+         |    sum(CAST(q AS HUGEINT)) AS sq
+         |  FROM qs GROUP BY 1, 2),
+         |pv0 AS (SELECT k,
+         |    max(CASE WHEN m = 8 THEN nb END) AS nb8,
+         |    max(CASE WHEN m = 8 THEN sq END) AS sq8,
+         |    max(CASE WHEN m = 16 THEN nb END) AS nb16,
+         |    max(CASE WHEN m = 16 THEN sq END) AS sq16,
+         |    max(CASE WHEN m = 32 THEN nb END) AS nb32,
+         |    max(CASE WHEN m = 32 THEN sq END) AS sq32,
+         |    max(CASE WHEN m = 64 THEN nb END) AS nb64,
+         |    max(CASE WHEN m = 64 THEN sq END) AS sq64
+         |  FROM ps GROUP BY 1),
+         |pv AS (SELECT kk.k, nb8, sq8, nb16, sq16, nb32, sq32, nb64, sq64
+         |  FROM (SELECT DISTINCT k FROM sr) kk LEFT JOIN pv0 USING (k)),
+         |vv AS (SELECT k, nb8, nb16, nb32, nb64,
+         |    CASE WHEN nb8 > 0 THEN CAST(sq8 AS DOUBLE)
+         |      / CAST(nb8 AS DOUBLE) / 1000000.0 END AS rs8d,
+         |    CASE WHEN nb16 > 0 THEN CAST(sq16 AS DOUBLE)
+         |      / CAST(nb16 AS DOUBLE) / 1000000.0 END AS rs16d,
+         |    CASE WHEN nb32 > 0 THEN CAST(sq32 AS DOUBLE)
+         |      / CAST(nb32 AS DOUBLE) / 1000000.0 END AS rs32d,
+         |    CASE WHEN nb64 > 0 THEN CAST(sq64 AS DOUBLE)
+         |      / CAST(nb64 AS DOUBLE) / 1000000.0 END AS rs64d
+         |  FROM pv)
+         |SELECT k AS event_type,
+         |  coalesce(nb8, 0) AS nb8, coalesce(nb16, 0) AS nb16,
+         |  coalesce(nb32, 0) AS nb32, coalesce(nb64, 0) AS nb64,
+         |  round(rs8d * 1000000) / 1000000 AS rs8,
+         |  round(rs16d * 1000000) / 1000000 AS rs16,
+         |  round(rs32d * 1000000) / 1000000 AS rs32,
+         |  round(rs64d * 1000000) / 1000000 AS rs64,
+         |  round((4.0 * (3.0 * log2(rs8d) + 4.0 * log2(rs16d)
+         |        + 5.0 * log2(rs32d) + 6.0 * log2(rs64d))
+         |      - 18.0 * (log2(rs8d) + log2(rs16d) + log2(rs32d)
+         |        + log2(rs64d))) / 20.0
+         |    * 10000) / 10000 AS hurst
+         |FROM vv""".stripMargin,
 
     "ts_pacf" ->
       s"""WITH $hourlyGridCtes,
