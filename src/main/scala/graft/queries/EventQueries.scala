@@ -290,6 +290,62 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Levene's test for variance homogeneity across event types — the
+    // PRECONDITION check for the pooled-variance family (stat_anova's F
+    // assumes equal group variances; heteroscedastic groups make it
+    // anti-conservative). Classic mean-centered Levene: one-way ANOVA
+    // on z_ij = |x_ij − x̄_i|. Every within-group moment is exact —
+    // z_ij·N_i = |N_i·x − S_i| is an integer, so A_i = Σ|N_i x − S_i|
+    // and Q_i = Σ(N_i x − S_i)² carry the group exactly in
+    // DECIMAL(38,0) — and the CROSS-group sums (k rationals with
+    // different N_i denominators) go through the 1e-6 quantize-and-
+    // integer-sum discipline (stat_jackknife's): Σz̄_i-terms and
+    // within-SS terms are one deterministic double chain per GROUP,
+    // never an order-dependent float fold. Between-SS uses the
+    // computational form Σ N_i z̄_i² − N z̄². Two passes over events
+    // (group moments + centered join-back), |types|-sized finals.
+    "stat_levene" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val x = graft.ops.Stats.cents(col("value"))
+      val per = Tables.events(s, dir)
+        .select(col("event_type"), x.as("x"))
+      val g = per.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ni"), sum(col("x")).as("si"))
+      val cent = per.join(broadcast(g), "event_type")
+        .select(col("event_type"), col("ni"), col("si"),
+          abs(d38(col("ni")) * d38(col("x")) - d38(col("si"))).as("zn"))
+        .groupBy(col("event_type"))
+        .agg(max(col("ni")).as("ni"),
+          sum(col("zn")).as("ai"), sum(col("zn") * col("zn")).as("qi"))
+      val nid = col("ni").cast("double")
+      val niD = d38(col("ni"))
+      // quantize the per-group MEANS, never the group-scaled sums (a
+      // Σz·1e6 integer wraps BIGINT at the 625× tier); the exact
+      // DECIMAL sums re-weight by N_i, so only the ~1e4-cent scalars
+      // ride the grid: z̄_i on 1e-9, per-unit within variance on 1e-6
+      val qa = round(col("ai").cast("double") / (nid * nid)
+        * lit(1.0e9), 0).cast("long") // z̄_i · 1e9
+      val qw = round((niD * col("qi") - col("ai") * col("ai"))
+        .cast("double") / (nid * nid * nid * nid) * lit(1.0e6), 0)
+        .cast("long") // (within-SS_i / N_i) · 1e6
+      val m = cent.select(col("ni"), qa.as("qa"), qw.as("qw"))
+        .agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+          sum(d38(col("ni")) * d38(col("qa"))).as("sqa"),
+          sum(d38(col("ni")) * d38(col("qa")) * d38(col("qa"))).as("sqb"),
+          sum(d38(col("ni")) * d38(col("qw"))).as("sqw"))
+      val nd = col("n").cast("double")
+      val kd = col("k").cast("double")
+      val zbar = col("sqa").cast("double") / lit(1.0e9) / nd
+      val between = col("sqb").cast("double") / lit(1.0e18) -
+        nd * zbar * zbar
+      val within = col("sqw").cast("double") / lit(1.0e6)
+      val f = when(col("k") > 1 && within > 0,
+        between / (kd - lit(1.0)) / (within / (nd - kd)))
+      m.select(col("n"), col("k"),
+        graft.ops.TimeSeries.portableRound6(zbar / lit(100.0)).as("z_mean"),
+        graft.ops.TimeSeries.portableRound6(f).as("f_levene"))
+    },
+
     // Delta-method standard error of the per-variant RATIO metric
     // revenue-per-event (Σx/Σy over USERS — the unit of randomization,
     // so user-level covariance is what the SE must carry; a naive
@@ -2045,6 +2101,51 @@ object EventQueries extends QueryPack {
          |      THEN (r3 - phi21 * r2 - phi22 * r1) / v2 END
          |    * 1000000) / 1000000 AS pacf3
          |FROM d3""".stripMargin,
+
+    "stat_levene" ->
+      """WITH per AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(x) AS BIGINT) AS si FROM per GROUP BY 1),
+        |cent AS (SELECT p.event_type, max(g.ni) AS ni,
+        |    sum(abs(CAST(g.ni AS HUGEINT) * CAST(p.x AS HUGEINT)
+        |      - CAST(g.si AS HUGEINT))) AS ai,
+        |    sum(abs(CAST(g.ni AS HUGEINT) * CAST(p.x AS HUGEINT)
+        |        - CAST(g.si AS HUGEINT))
+        |      * abs(CAST(g.ni AS HUGEINT) * CAST(p.x AS HUGEINT)
+        |        - CAST(g.si AS HUGEINT))) AS qi
+        |  FROM per p JOIN g USING (event_type) GROUP BY 1),
+        |q AS (SELECT ni,
+        |    CAST(round(CAST(ai AS DOUBLE)
+        |      / (CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS qa,
+        |    CAST(round(CAST(CAST(ni AS HUGEINT) * qi - ai * ai AS DOUBLE)
+        |      / (CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE)
+        |         * CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS qw
+        |  FROM cent),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ni) AS BIGINT) AS n,
+        |    sum(CAST(ni AS HUGEINT) * CAST(qa AS HUGEINT)) AS sqa,
+        |    sum(CAST(ni AS HUGEINT) * CAST(qa AS HUGEINT)
+        |      * CAST(qa AS HUGEINT)) AS sqb,
+        |    sum(CAST(ni AS HUGEINT) * CAST(qw AS HUGEINT)) AS sqw
+        |  FROM q),
+        |v AS (SELECT k, n, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+        |    CAST(sqa AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) AS zbar,
+        |    CAST(sqb AS DOUBLE) AS sqbd, CAST(sqw AS DOUBLE) AS sqwd
+        |  FROM m),
+        |w AS (SELECT k, n, nd, kd, zbar,
+        |    sqbd / 1000000000000000000.0 - nd * zbar * zbar AS between_ss,
+        |    sqwd / 1000000.0 AS within_ss
+        |  FROM v)
+        |SELECT n, k,
+        |  round(zbar / 100.0 * 1000000) / 1000000 AS z_mean,
+        |  round(CASE WHEN k > 1 AND within_ss > 0 THEN
+        |      between_ss / (kd - 1.0) / (within_ss / (nd - kd)) END
+        |    * 1000000) / 1000000 AS f_levene
+        |FROM w""".stripMargin,
 
     "stat_delta_ratio" ->
       """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y,
