@@ -248,7 +248,11 @@ object ScaleCurve {
     "stat_delta_ratio", "stat_jackknife",
     // clustering coefficient: the graph_triangles wedge-join shape plus
     // a node-sized credit agg
-    "graph_clustering")
+    "graph_clustering",
+    // Hurst: one window shuffle over the 4x-exploded grid — FLAT past
+    // the resample hash-agg (the ts_acf family); Levene: two linear
+    // passes (group moments + centered join-back), |types|-sized finals
+    "ts_hurst", "stat_levene")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

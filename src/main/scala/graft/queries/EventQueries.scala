@@ -290,6 +290,49 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Hill tail-index estimator per event type — HOW heavy the value
+    // tail is, the number behind every skew decision ev_gini /
+    // ev_power_users only rank: α ≤ 1 means the mean itself is
+    // tail-dominated (salting/caps mandatory), α ≤ 2 means variance is
+    // infinite (every SE in the stat_* family is then a lie). Classic
+    // Hill over the top k = 100 order statistics:
+    // α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎). The top-(k+1) rows per type come off
+    // one rank window (WindowGroupLimit prunes map-side — the
+    // sample_balanced shape, only ~101·|types| rows ever shuffle); the
+    // k logs fold in EXPLICIT rank order over the collected bounded
+    // list (the vocab_entropy discipline — a float sum over an
+    // engine-ordered aggregate can't hash-match). Ties at the
+    // boundary are value-identical, so the cut is deterministic.
+    "stat_tail_index" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("c").desc, col("event_id"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val top = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          graft.ops.Stats.cents(col("value")).as("c"))
+        .where(col("c") > 0)
+        .withColumn("n_pos", count(lit(1)).over(wAll))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 101)
+      val g = top.groupBy(col("event_type"))
+        .agg(max(col("n_pos")).as("n_pos"), count(lit(1)).as("m"),
+          transform(sort_array(collect_list(struct(col("rn"), col("c")))),
+            e => e.getField("c")).as("lt"))
+      val kd = col("k").cast("double")
+      val lnx = log(col("xk1d"))
+      val den = col("slog") - kd * lnx
+      g.select(col("event_type"), col("n_pos"), (col("m") - 1).as("k"),
+          element_at(col("lt"), col("m").cast("int")).cast("double")
+            .as("xk1d"),
+          aggregate(slice(col("lt"), lit(1), (col("m") - 1).cast("int")),
+            lit(0.0), (a, x) => a + log(x.cast("double"))).as("slog"))
+        .select(col("event_type"), col("n_pos"), col("k"),
+          graft.ops.TimeSeries.portableRound4(
+            when(col("k") >= 1 && den > 0, kd / den)).as("alpha"))
+    },
+
     // Levene's test for variance homogeneity across event types — the
     // PRECONDITION check for the pooled-variance family (stat_anova's F
     // assumes equal group variances; heteroscedastic groups make it
@@ -2101,6 +2144,34 @@ object EventQueries extends QueryPack {
          |      THEN (r3 - phi21 * r2 - phi22 * r1) / v2 END
          |    * 1000000) / 1000000 AS pacf3
          |FROM d3""".stripMargin,
+
+    "stat_tail_index" ->
+      """WITH pos AS (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |  WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+        |r AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c DESC, event_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pos
+        |  FROM pos),
+        |t AS (SELECT event_type, max(n_pos) AS n_pos,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    list(c ORDER BY rn) AS lt
+        |  FROM r WHERE rn <= 101 GROUP BY 1),
+        |v AS (SELECT event_type, n_pos, m - 1 AS k,
+        |    CAST(lt[CAST(m AS INT)] AS DOUBLE) AS xk1d,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        lt[1:CAST(m - 1 AS INT)]),
+        |      (a, x) -> a + ln(CAST(x AS DOUBLE))) AS slog
+        |  FROM t)
+        |SELECT event_type, n_pos, k,
+        |  round(CASE WHEN k >= 1
+        |      AND slog - CAST(k AS DOUBLE) * ln(xk1d) > 0
+        |    THEN CAST(k AS DOUBLE)
+        |      / (slog - CAST(k AS DOUBLE) * ln(xk1d)) END
+        |    * 10000) / 10000 AS alpha
+        |FROM v""".stripMargin,
 
     "stat_levene" ->
       """WITH per AS (SELECT event_type,
