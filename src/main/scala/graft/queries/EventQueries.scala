@@ -483,6 +483,43 @@ object EventQueries extends QueryPack {
           round(col("n").cast("double") / sum(col("n")).over(wType), 4))
     },
 
+    // Markov entropy rate of the per-user event stream — HOW predictable
+    // the next action is given the current one, in bits: 0 = fully
+    // deterministic flows, log2(|types|) = uniform chaos. The single
+    // number behind ev_transitions' matrix (its Shannon summary) and
+    // the capacity read for sequence-model training data (near-zero
+    // entropy streams are boilerplate sessions worth downweighting).
+    // H = −Σ_st (n_st/N)·log2(n_st/n_s) over exact transition counts,
+    // folded in EXPLICIT (state, next) order over the ≤|types|²-sized
+    // collected cell list (the vocab_entropy discipline). One user_id
+    // window shuffle, then |types|²-bounded everything.
+    "ev_entropy_rate" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cells = Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("nst"))
+      val withNs = cells.join(
+        cells.groupBy(col("event_type")).agg(sum(col("nst")).as("ns")),
+        "event_type")
+      val g = withNs.agg(sum(col("nst")).as("n"),
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("event_type")).as("n_states"),
+        sort_array(collect_list(struct(col("event_type"), col("next_type"),
+          col("nst"), col("ns")))).as("lst"))
+      val nd = col("n").cast("double")
+      val ent = -aggregate(col("lst"), lit(0.0), (a, e) =>
+        a + e.getField("nst").cast("double") / nd *
+          log2(e.getField("nst").cast("double") /
+            e.getField("ns").cast("double")))
+      g.select(col("n"), col("n_cells"), col("n_states"),
+        graft.ops.TimeSeries.portableRound4(ent).as("entropy_rate"),
+        graft.ops.TimeSeries.portableRound4(
+          ent / log2(col("n_states").cast("double"))).as("norm_entropy"))
+    },
+
     // two-proportion experiment readout: per-variant exposure/conversion
     // and the pooled z² statistic (the A/B decision number), computed
     // from exact integer counts through one deterministic double
@@ -2144,6 +2181,37 @@ object EventQueries extends QueryPack {
          |      THEN (r3 - phi21 * r2 - phi22 * r1) / v2 END
          |    * 1000000) / 1000000 AS pacf3
          |FROM d3""".stripMargin,
+
+    "ev_entropy_rate" ->
+      """WITH seq AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |cells AS (SELECT event_type, next_type,
+        |    CAST(count(*) AS BIGINT) AS nst
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |nsl AS (SELECT event_type, CAST(sum(nst) AS BIGINT) AS ns
+        |  FROM cells GROUP BY 1),
+        |j AS (SELECT c.event_type, c.next_type, c.nst, nsl.ns
+        |  FROM cells c JOIN nsl USING (event_type)),
+        |g AS (SELECT CAST(sum(nst) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_states,
+        |    list(struct_pack(nst := nst, ns := ns)
+        |      ORDER BY event_type, next_type) AS lst
+        |  FROM j),
+        |e AS (SELECT n, n_cells, n_states,
+        |    -(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(lst, x -> CAST(x.nst AS DOUBLE)
+        |          / CAST(n AS DOUBLE)
+        |          * log2(CAST(x.nst AS DOUBLE) / CAST(x.ns AS DOUBLE)))),
+        |      (acc, y) -> acc + y)) AS ent
+        |  FROM g)
+        |SELECT n, n_cells, n_states,
+        |  round(ent * 10000) / 10000 AS entropy_rate,
+        |  round(ent / log2(CAST(n_states AS DOUBLE)) * 10000) / 10000
+        |    AS norm_entropy
+        |FROM e""".stripMargin,
 
     "stat_tail_index" ->
       """WITH pos AS (SELECT event_type, event_id,
