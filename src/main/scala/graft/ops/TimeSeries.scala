@@ -725,8 +725,11 @@ object TimeSeries {
       max(when(col("lag") === l, col(c))).as(s"$c$l")
     val pivAggs = Seq(1, 2, 3).flatMap(l =>
       Seq(pick(l, "sxy"), pick(l, "sh"), pick(l, "st")))
+    // key universe from the totals side: a key too short for even
+    // lag 1 (single bucket) must surface as a null row, not vanish
+    // (the ts_hurst convention)
     val piv = perLag.groupBy(col("k")).agg(pivAggs.head, pivAggs.tail: _*)
-    val j = piv.join(tot, col("k") === col("kt"))
+    val j = tot.join(piv, col("kt") === col("k"), "left")
     val nD = col("nn").cast(dec)
     val sD = col("s").cast(dec)
     val denDec = nD * col("sxx") - sD * sD
@@ -737,7 +740,7 @@ object TimeSeries {
         + (nD - lit(l).cast(dec)) * sD * sD).cast("double") /
         denDec.cast("double") / nd)
     val dl = j
-      .select(col("k"), col("nn"),
+      .select(col("kt").as("k"), col("nn"),
         rho(1).as("r1"), rho(2).as("r2"), rho(3).as("r3"))
       .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
       .withColumn("phi22",

@@ -443,8 +443,13 @@ object EventQueries extends QueryPack {
         .withColumn("variant", pmod(col("user_id"), lit(2)))
       val tot = per.groupBy(col("variant"))
         .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"))
-      val q = round(((col("sx") - col("x")).cast("double") /
-        (col("sy") - col("y")).cast("double")) * lit(1.0e8), 0).cast("long")
+      // sy > y guard: a single-user variant makes R_i = 0/0 — Spark's
+      // NaN→long cast silently yields 0 while DuckDB's ERRORS; a null
+      // replicate (skipped by sum) is the portable degenerate
+      val q = when(col("sy") > col("y"),
+        round(((col("sx") - col("x")).cast("double") /
+          (col("sy") - col("y")).cast("double")) * lit(1.0e8), 0)
+          .cast("long"))
       val m = per.join(broadcast(tot), "variant")
         .select(col("variant"), col("sx"), col("sy"), q.as("q"))
         .groupBy(col("variant"))
@@ -2141,7 +2146,10 @@ object EventQueries extends QueryPack {
          |    max(CASE WHEN lag = 3 THEN sh END) AS sh3,
          |    max(CASE WHEN lag = 3 THEN st END) AS st3
          |  FROM l GROUP BY 1),
-         |j AS (SELECT p.*, tot.nn, tot.s, tot.sxx FROM p JOIN tot USING (k)),
+         |j AS (SELECT tot.k, tot.nn, tot.s, tot.sxx,
+         |    p.sxy1, p.sh1, p.st1, p.sxy2, p.sh2, p.st2,
+         |    p.sxy3, p.sh3, p.st3
+         |  FROM tot LEFT JOIN p USING (k)),
          |r AS (SELECT k, nn,
          |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
          |          AND sxy1 IS NOT NULL THEN
@@ -2326,8 +2334,10 @@ object EventQueries extends QueryPack {
         |    CAST(sum(y) AS BIGINT) AS sy
         |  FROM per GROUP BY 1),
         |jk AS (SELECT per.variant, tot.sx, tot.sy,
-        |    CAST(round(CAST(tot.sx - per.x AS DOUBLE)
-        |      / CAST(tot.sy - per.y AS DOUBLE) * 100000000.0) AS BIGINT) AS q
+        |    CASE WHEN tot.sy > per.y THEN
+        |      CAST(round(CAST(tot.sx - per.x AS DOUBLE)
+        |        / CAST(tot.sy - per.y AS DOUBLE) * 100000000.0) AS BIGINT)
+        |    END AS q
         |  FROM per JOIN tot ON per.variant = tot.variant),
         |m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
         |    max(sx) AS sx, max(sy) AS sy,
