@@ -389,6 +389,71 @@ object EventQueries extends QueryPack {
         graft.ops.TimeSeries.portableRound6(f).as("f_levene"))
     },
 
+    // Brown–Forsythe variance-homogeneity F — stat_levene's ROBUST
+    // twin: centering on the group MEDIAN instead of the mean keeps a
+    // heavy value tail (see stat_tail_index) from inflating its own
+    // group's spread estimate, the variant actually recommended for
+    // skewed metrics. The median is exact in the VALUE DOMAIN
+    // (the stat_trimmed collapse: (type, cents) counts + cumulative
+    // multiplicities; 2·median = the two middle order statistics'
+    // sum, an integer even for even n), so z·2 = |2x − 2med| is an
+    // integer and A_i/Q_i carry each group exactly; cross-group terms
+    // ride the same quantize-the-means discipline as stat_levene.
+    "stat_levene_bf" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val x = graft.ops.Stats.cents(col("value"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("x"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      def covers(p: org.apache.spark.sql.Column) =
+        when(col("cum_end") - col("c") < p && p <= col("cum_end"), 1L)
+          .otherwise(0L)
+      val med = Tables.events(s, dir)
+        .select(col("event_type"), x.as("x"))
+        .groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("c"))
+        .withColumn("cum_end", sum(col("c")).over(wOrd))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("lo", expr("(n + 1) DIV 2"))
+        .withColumn("hi", expr("(n + 2) DIV 2"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("ni"),
+          sum(col("x") * (covers(col("lo")) + covers(col("hi"))))
+            .as("med2"))
+      val cent = Tables.events(s, dir)
+        .select(col("event_type"), x.as("x"))
+        .join(broadcast(med), "event_type")
+        .select(col("event_type"), col("ni"),
+          abs(lit(2L) * col("x") - col("med2")).as("z2"))
+        .groupBy(col("event_type"))
+        .agg(max(col("ni")).as("ni"),
+          sum(d38(col("z2"))).as("ai"),
+          sum(d38(col("z2")) * d38(col("z2"))).as("qi"))
+      val nid = col("ni").cast("double")
+      val niD = d38(col("ni"))
+      val qa = round(col("ai").cast("double") / (lit(2.0) * nid)
+        * lit(1.0e9), 0).cast("long") // z̄_i · 1e9
+      val qw = round((niD * col("qi") - col("ai") * col("ai"))
+        .cast("double") / (lit(4.0) * nid * nid) * lit(1.0e6), 0)
+        .cast("long") // (within-SS_i / N_i) · 1e6: (N·Q − A²)/(4N²)
+      val m = cent.select(col("ni"), qa.as("qa"), qw.as("qw"))
+        .agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+          sum(d38(col("ni")) * d38(col("qa"))).as("sqa"),
+          sum(d38(col("ni")) * d38(col("qa")) * d38(col("qa"))).as("sqb"),
+          sum(d38(col("ni")) * d38(col("qw"))).as("sqw"))
+      val nd = col("n").cast("double")
+      val kd = col("k").cast("double")
+      val zbar = col("sqa").cast("double") / lit(1.0e9) / nd
+      val between = col("sqb").cast("double") / lit(1.0e18) -
+        nd * zbar * zbar
+      val within = col("sqw").cast("double") / lit(1.0e6)
+      val f = when(col("k") > 1 && within > 0,
+        between / (kd - lit(1.0)) / (within / (nd - kd)))
+      m.select(col("n"), col("k"),
+        graft.ops.TimeSeries.portableRound6(zbar / lit(100.0)).as("z_mean"),
+        graft.ops.TimeSeries.portableRound6(f).as("f_bf"))
+    },
+
     // Delta-method standard error of the per-variant RATIO metric
     // revenue-per-event (Σx/Σy over USERS — the unit of randomization,
     // so user-level covariance is what the SE must carry; a naive
@@ -2248,6 +2313,58 @@ object EventQueries extends QueryPack {
         |      / (slog - CAST(k AS DOUBLE) * ln(xk1d)) END
         |    * 10000) / 10000 AS alpha
         |FROM v""".stripMargin,
+
+    "stat_levene_bf" ->
+      """WITH per AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |vd AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+        |  FROM per GROUP BY 1, 2),
+        |w AS (SELECT event_type, x, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY x)
+        |      AS BIGINT) AS cum_end,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM vd),
+        |md AS (SELECT event_type, max(n) AS ni,
+        |    CAST(sum(x * (CASE WHEN cum_end - c < (n + 1) // 2
+        |          AND (n + 1) // 2 <= cum_end THEN 1 ELSE 0 END
+        |        + CASE WHEN cum_end - c < (n + 2) // 2
+        |          AND (n + 2) // 2 <= cum_end THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS med2
+        |  FROM w GROUP BY 1),
+        |cent AS (SELECT p.event_type, max(md.ni) AS ni,
+        |    sum(CAST(abs(2 * p.x - md.med2) AS HUGEINT)) AS ai,
+        |    sum(CAST(abs(2 * p.x - md.med2) AS HUGEINT)
+        |      * CAST(abs(2 * p.x - md.med2) AS HUGEINT)) AS qi
+        |  FROM per p JOIN md USING (event_type) GROUP BY 1),
+        |q AS (SELECT ni,
+        |    CAST(round(CAST(ai AS DOUBLE) / (2.0 * CAST(ni AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS qa,
+        |    CAST(round(CAST(CAST(ni AS HUGEINT) * qi - ai * ai AS DOUBLE)
+        |      / (4.0 * CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS qw
+        |  FROM cent),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ni) AS BIGINT) AS n,
+        |    sum(CAST(ni AS HUGEINT) * CAST(qa AS HUGEINT)) AS sqa,
+        |    sum(CAST(ni AS HUGEINT) * CAST(qa AS HUGEINT)
+        |      * CAST(qa AS HUGEINT)) AS sqb,
+        |    sum(CAST(ni AS HUGEINT) * CAST(qw AS HUGEINT)) AS sqw
+        |  FROM q),
+        |v AS (SELECT k, n, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+        |    CAST(sqa AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) AS zbar,
+        |    CAST(sqb AS DOUBLE) AS sqbd, CAST(sqw AS DOUBLE) AS sqwd
+        |  FROM m),
+        |wf AS (SELECT k, n, nd, kd, zbar,
+        |    sqbd / 1000000000000000000.0 - nd * zbar * zbar AS between_ss,
+        |    sqwd / 1000000.0 AS within_ss
+        |  FROM v)
+        |SELECT n, k,
+        |  round(zbar / 100.0 * 1000000) / 1000000 AS z_mean,
+        |  round(CASE WHEN k > 1 AND within_ss > 0 THEN
+        |      between_ss / (kd - 1.0) / (within_ss / (nd - kd)) END
+        |    * 1000000) / 1000000 AS f_bf
+        |FROM wf""".stripMargin,
 
     "stat_levene" ->
       """WITH per AS (SELECT event_type,

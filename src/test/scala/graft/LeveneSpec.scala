@@ -61,6 +61,68 @@ class LeveneSpec extends SparkSpec {
     } finally rmdirAll(new java.io.File(dir))
   }
 
+  private def refBrownForsythe(groups: Seq[Seq[Double]]): Double = {
+    def median(g: Seq[Double]): Double = {
+      val s = g.sorted
+      (s((g.size - 1) / 2) + s(g.size / 2)) / 2
+    }
+    val z = groups.map { g => val m = median(g); g.map(x => math.abs(x - m)) }
+    val n = z.map(_.size).sum
+    val k = z.size
+    val zbar = z.flatten.sum / n
+    val between = z.map(g => g.size * math.pow(g.sum / g.size - zbar, 2)).sum
+    val within = z.map(g => {
+      val m = g.sum / g.size; g.map(x => (x - m) * (x - m)).sum
+    }).sum
+    (between / (k - 1)) / (within / (n - k))
+  }
+
+  test("Brown-Forsythe: differential vs brute force; detects the wide group") {
+    var state = 13131L
+    def lcg(mod: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      math.abs((state >>> 33).toInt % mod)
+    }
+    val tight = (1 to 3).map(g =>
+      s"g$g" -> (0 until 200).map(_ => 100.0 + lcg(500) / 100.0)).toMap
+    val wide = Map("g4" -> (0 until 200).map(_ => 100.0 + lcg(5000) / 100.0))
+    val groups = tight ++ wide
+    val dir = java.nio.file.Files.createTempDirectory("bf").toString
+    try {
+      writeEvents(dir, groups)
+      val row = SparkEntry.queries("stat_levene_bf")(spark, dir)
+        .collect().head
+      val f = row.getAs[Double]("f_bf")
+      val ref = refBrownForsythe(groups.values.toSeq)
+      assert(math.abs(f - ref) / ref < 1e-4, s"query $f vs reference $ref")
+      assert(f > 50.0, s"f_bf = $f should flag the wide group")
+    } finally rmdirAll(new java.io.File(dir))
+  }
+
+  test("robustness: one extreme outlier inflates mean-Levene far more than BF") {
+    var state = 999L
+    def lcg(mod: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      math.abs((state >>> 33).toInt % mod)
+    }
+    // equal-variance groups, then one 1000x outlier dropped into g1
+    val clean = (1 to 3).map(g =>
+      s"g$g" -> (0 until 300).map(_ => 50.0 + lcg(400) / 100.0)).toMap
+    val groups = clean.updated("g1", clean("g1") :+ 50000.0)
+    val dir = java.nio.file.Files.createTempDirectory("bf_rob").toString
+    try {
+      writeEvents(dir, groups)
+      val fMean = SparkEntry.queries("stat_levene")(spark, dir)
+        .collect().head.getAs[Double]("f_levene")
+      val fBf = SparkEntry.queries("stat_levene_bf")(spark, dir)
+        .collect().head.getAs[Double]("f_bf")
+      // the outlier shifts g1's MEAN, inflating every member's mean-z;
+      // the median barely moves, so BF sees one large z, not 301
+      assert(fMean > 2 * fBf,
+        s"mean-Levene $fMean should exceed BF $fBf by the robustness gap")
+    } finally rmdirAll(new java.io.File(dir))
+  }
+
   test("equal-variance groups: F stays at null scale") {
     var state = 777L
     def lcg(mod: Int): Int = {
