@@ -264,6 +264,48 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Permutation entropy (Bandt–Pompe, order 3) per event type — the
+    // COMPLEXITY read beside ts_hurst's memory read: how many of the 6
+    // ordinal shapes of (x_t, x_{t+1}, x_{t+2}) the series actually
+    // visits, Shannon-weighted. ~log2(6) bits = structureless noise,
+    // near 0 = a rigid repeating motif (monotone ramps visit ONE
+    // pattern). Ranks use the stable tie rule (equal values rank by
+    // time index), so the pattern id r0·9+r1·3+r2 is pure integer CASE
+    // arithmetic — engine-identical; the ≤6-cell distribution folds in
+    // explicit pattern order (the vocab_entropy discipline). One
+    // key-ordered window shuffle over the grid, |keys|·6-bounded rest.
+    "ts_permentropy" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("bucket"))
+      val series = graft.ops.TimeSeries
+        .resample(Tables.events(s, dir), "event_type", "ts", "value")
+        .select(col("event_type").as("k"), col("bucket"), col("n").as("x0"))
+        .withColumn("x1", lead(col("x0"), 1).over(w))
+        .withColumn("x2", lead(col("x0"), 2).over(w))
+        .where(col("x2").isNotNull)
+      def b(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+      val r0 = b(col("x1") < col("x0")) + b(col("x2") < col("x0"))
+      val r1 = b(col("x0") <= col("x1")) + b(col("x2") < col("x1"))
+      val r2 = b(col("x0") <= col("x2")) + b(col("x1") <= col("x2"))
+      val cells = series
+        .select(col("k"), (r0 * 9 + r1 * 3 + r2).as("pid"))
+        .groupBy(col("k"), col("pid")).agg(count(lit(1)).as("c"))
+      val g = cells.groupBy(col("k"))
+        .agg(sum(col("c")).as("n_windows"), count(lit(1)).as("n_patterns"),
+          sort_array(collect_list(struct(col("pid"), col("c")))).as("lst"))
+      val nd = col("n_windows").cast("double")
+      val ent = -aggregate(col("lst"), lit(0.0), (a, e) =>
+        a + e.getField("c").cast("double") / nd *
+          log2(e.getField("c").cast("double") / nd))
+      g.select(col("k").as("event_type"), col("n_windows"),
+        col("n_patterns"),
+        graft.ops.TimeSeries.portableRound4(ent).as("perm_entropy"),
+        // log2(6) injected as a literal — a per-engine libm call could
+        // differ in the last ulp (the HllLnTable discipline)
+        graft.ops.TimeSeries.portableRound4(
+          ent / lit(2.584962500721156)).as("norm_entropy"))
+    },
+
     // Hurst exponent (rescaled range over dyadic blocks) per event
     // type — the long-memory read beyond ts_acf/ts_pacf's few-hour
     // horizon: H≈0.5 independent traffic, H→1 persistent load runs,
@@ -2118,6 +2160,41 @@ object EventQueries extends QueryPack {
          |    END * 1000000) / 1000000 AS strength_168
          |FROM v""".stripMargin
     },
+
+    "ts_permentropy" ->
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k, bucket, n AS x0,
+         |    lead(n, 1) OVER (PARTITION BY event_type ORDER BY bucket)
+         |      AS x1,
+         |    lead(n, 2) OVER (PARTITION BY event_type ORDER BY bucket)
+         |      AS x2
+         |  FROM ff),
+         |pid AS (SELECT k,
+         |    ((CASE WHEN x1 < x0 THEN 1 ELSE 0 END
+         |      + CASE WHEN x2 < x0 THEN 1 ELSE 0 END) * 9
+         |     + (CASE WHEN x0 <= x1 THEN 1 ELSE 0 END
+         |        + CASE WHEN x2 < x1 THEN 1 ELSE 0 END) * 3
+         |     + CASE WHEN x0 <= x2 THEN 1 ELSE 0 END
+         |     + CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS p
+         |  FROM sr WHERE x2 IS NOT NULL),
+         |cells AS (SELECT k, p, CAST(count(*) AS BIGINT) AS c
+         |  FROM pid GROUP BY 1, 2),
+         |g AS (SELECT k, CAST(sum(c) AS BIGINT) AS n_windows,
+         |    CAST(count(*) AS BIGINT) AS n_patterns,
+         |    list(struct_pack(c := c) ORDER BY p) AS lst
+         |  FROM cells GROUP BY 1),
+         |e AS (SELECT k, n_windows, n_patterns,
+         |    -(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(lst, x -> CAST(x.c AS DOUBLE)
+         |          / CAST(n_windows AS DOUBLE)
+         |          * log2(CAST(x.c AS DOUBLE)
+         |            / CAST(n_windows AS DOUBLE)))),
+         |      (acc, y) -> acc + y)) AS ent
+         |  FROM g)
+         |SELECT k AS event_type, n_windows, n_patterns,
+         |  round(ent * 10000) / 10000 AS perm_entropy,
+         |  round(ent / 2.584962500721156 * 10000) / 10000 AS norm_entropy
+         |FROM e""".stripMargin,
 
     "ts_hurst" ->
       s"""WITH $hourlyGridCtes,
