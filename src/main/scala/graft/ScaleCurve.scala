@@ -252,7 +252,14 @@ object ScaleCurve {
     // Hurst: one window shuffle over the 4x-exploded grid — FLAT past
     // the resample hash-agg (the ts_acf family); Levene: two linear
     // passes (group moments + centered join-back), |types|-sized finals
-    "ts_hurst", "stat_levene")
+    "ts_hurst", "stat_levene",
+    // Brown–Forsythe: the Levene passes + a value-domain median window
+    // (the stat_trimmed shape); Hill: rank window with WindowGroupLimit
+    // map-side prune (the sample_balanced shape); entropy rate: one
+    // user window shuffle then |types|²; permutation entropy: one
+    // grid-ordered window then |keys|·6
+    "stat_levene_bf", "stat_tail_index", "ev_entropy_rate",
+    "ts_permentropy")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
