@@ -349,19 +349,24 @@ object EventQueries extends QueryPack {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type"))
         .orderBy(col("c").desc, col("event_id"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-      val top = Tables.events(s, dir)
+      val pos = Tables.events(s, dir)
         .select(col("event_type"), col("event_id"),
           graft.ops.Stats.cents(col("value")).as("c"))
         .where(col("c") > 0)
-        .withColumn("n_pos", count(lit(1)).over(wAll))
+      // n_pos as a SEPARATE tiny agg joined back broadcast: an
+      // unbounded count-over-type window on the ranked rows would
+      // defeat WindowGroupLimit's map-side prune (caught by the
+      // PlanShapeSpec guard — every positive row shuffled)
+      val npos = pos.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pos"))
+      val top = pos
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 101)
       val g = top.groupBy(col("event_type"))
-        .agg(max(col("n_pos")).as("n_pos"), count(lit(1)).as("m"),
+        .agg(count(lit(1)).as("m"),
           transform(sort_array(collect_list(struct(col("rn"), col("c")))),
             e => e.getField("c")).as("lt"))
+        .join(broadcast(npos), "event_type")
       val kd = col("k").cast("double")
       val lnx = log(col("xk1d"))
       val den = col("slog") - kd * lnx

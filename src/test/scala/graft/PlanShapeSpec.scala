@@ -84,6 +84,12 @@ class PlanShapeSpec extends SparkSpec {
     // survive each partition map-side, state never holds a whole group
     val ps = plan("sample_per_source")
     assert(countOf(ps, "WindowGroupLimit") >= 2, ps)
+    // Hill tail index: rn <= 101 over the per-type value rank — only
+    // ~101 rows per type may ever reach the shuffle, or the top-k scan
+    // degrades to a full per-type sort at corpus scale
+    val ph = plan("stat_tail_index")
+    assert(countOf(ph, "WindowGroupLimit") >= 2,
+      s"stat_tail_index lost its map-side prune:\n$ph")
   }
 
   test("lineage-sensitive aggs keep map-side partial aggregation") {
