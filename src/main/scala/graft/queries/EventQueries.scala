@@ -332,6 +332,61 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Wilcoxon signed-rank on PAIRED per-user spend (first half vs
+    // second half of the observation window) — the nonparametric
+    // paired companion the family lacked: stat_mwu compares two
+    // INDEPENDENT groups, but "did the same users spend more after
+    // the midpoint" is a within-user question, and pairing removes
+    // the between-user variance a two-sample test drowns in. The
+    // period split is the exact event-time midpoint in microseconds;
+    // d_u = post − pre cents; zeros drop (the standard rule);
+    // tie-averaged ranks of |d| via the doubled-rank value-domain
+    // collapse (stat_mwu's — windows are domain-bounded, never
+    // row-bounded), and the normal-approximation statistic is an
+    // EXACT rational until one division:
+    // z² = 12·(2W⁺ − n(n+1)/2)² / (2n(n+1)(2n+1) − Σ(t³−t)).
+    "stat_wilcoxon" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      // ts lands as TIMESTAMP_NTZ; the cast runs under the session's
+      // pinned UTC, so micros align with DuckDB's naive epoch_us
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val cents = graft.ops.Stats.cents(col("value"))
+      val ev = Tables.events(s, dir).select(col("user_id"), us.as("us"),
+        cents.as("x"))
+      val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      val per = ev.crossJoin(broadcast(bounds))
+        .withColumn("mid", expr("(mn + mx) DIV 2"))
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("us") < col("mid"), col("x"))), lit(0L))
+          .as("pre"),
+          coalesce(sum(when(col("us") >= col("mid"), col("x"))), lit(0L))
+            .as("post"))
+        .select((col("post") - col("pre")).as("d"))
+        .where(col("d") =!= 0)
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("a"))
+      val vd = per.select(abs(col("d")).as("a"),
+          when(col("d") > 0, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("cpos"))
+        .withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("r2", lit(2L) * (col("cum") - col("c")) + col("c") + 1)
+      val m = vd.agg(sum(col("c")).as("n"),
+        sum(d38(col("cpos")) * d38(col("r2"))).as("w2"),
+        sum(d38(col("c")) * d38(col("c")) * d38(col("c")) - d38(col("c")))
+          .as("t3"))
+      val nD = d38(col("n"))
+      // doubled form keeps every term an integer: A2 = 2A = 4W⁺−n(n+1),
+      // z² = 12A²/den = 3·A2²/den (a decimal n(n+1)/2 would pick up a
+      // fractional scale type even though its value is exact)
+      val a2 = lit(2).cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        col("w2") - nD * (nD + 1)
+      val den = nD * (nD + 1) * (nD * 2 + 1) * 2 - col("t3")
+      m.select(col("n").as("n_pairs"), col("w2").cast("long").as("w2_plus"),
+        graft.ops.TimeSeries.portableRound6(when(den > 0,
+          (lit(3).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * a2 * a2).cast("double") / den.cast("double"))).as("z2"))
+    },
+
     // Hill tail-index estimator per event type — HOW heavy the value
     // tail is, the number behind every skew decision ev_gini /
     // ev_power_users only rank: α ≤ 1 means the mean itself is
@@ -2336,6 +2391,39 @@ object EventQueries extends QueryPack {
          |      THEN (r3 - phi21 * r2 - phi22 * r1) / v2 END
          |    * 1000000) / 1000000 AS pacf3
          |FROM d3""".stripMargin,
+
+    "stat_wilcoxon" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |  FROM events),
+        |per AS (SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN epoch_us(e.ts) < (b.mn + b.mx) // 2
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END),
+        |      0) AS BIGINT) AS pre,
+        |    CAST(coalesce(sum(CASE WHEN epoch_us(e.ts) >= (b.mn + b.mx) // 2
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END),
+        |      0) AS BIGINT) AS post
+        |  FROM events e, b GROUP BY user_id),
+        |dd AS (SELECT post - pre AS d FROM per WHERE post - pre <> 0),
+        |vd AS (SELECT abs(d) AS a, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+        |  FROM dd GROUP BY 1),
+        |rk AS (SELECT a, c, cpos,
+        |    2 * (CAST(sum(c) OVER (ORDER BY a) AS BIGINT) - c) + c + 1 AS r2
+        |  FROM vd),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(cpos AS HUGEINT) * CAST(r2 AS HUGEINT)) AS w2,
+        |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+        |      - CAST(c AS HUGEINT)) AS t3
+        |  FROM rk),
+        |v AS (SELECT n, w2,
+        |    2 * w2 - CAST(n AS HUGEINT) * (n + 1) AS a2,
+        |    CAST(n AS HUGEINT) * (n + 1) * (n * 2 + 1) * 2 - t3 AS den
+        |  FROM m)
+        |SELECT n AS n_pairs, CAST(w2 AS BIGINT) AS w2_plus,
+        |  round(CASE WHEN den > 0 THEN
+        |      CAST(3 * a2 * a2 AS DOUBLE) / CAST(den AS DOUBLE) END
+        |    * 1000000) / 1000000 AS z2
+        |FROM v""".stripMargin,
 
     "ev_entropy_rate" ->
       """WITH seq AS (SELECT event_type,
