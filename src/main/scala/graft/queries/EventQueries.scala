@@ -332,6 +332,51 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Cochran–Armitage trend test on daily conversion — IS conversion
+    // drifting over the observation window, as one number: ev_ab_test
+    // compares two arms at a point, ev_cohort shows the retention
+    // surface, but "is the funnel getting better or worse day over
+    // day" is a TREND question with ordered scores (day index). The
+    // statistic is an exact integer rational until one division:
+    // z² = N·A²/(C(N−C)·B) with A = N·Σsᵢcᵢ − C·Σsᵢnᵢ,
+    // B = N·Σsᵢ²nᵢ − (Σsᵢnᵢ)², unit = (user, day) with conversion =
+    // any purchase that day. A² can cross DECIMAL38 at fleet scale, so
+    // A casts to double BEFORE squaring (the one loss, deterministic);
+    // everything else is exact. One (day,user) hash-agg → ≤|days| rows.
+    "stat_trend" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val ev = Tables.events(s, dir)
+      val day0 = ev.agg(min(date_trunc("day", col("ts"))).as("d0"))
+      val perUserDay = ev.crossJoin(broadcast(day0))
+        .select(datediff(date_trunc("day", col("ts")).cast("date"),
+          col("d0").cast("date")).cast("long").as("si"),
+          col("user_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+        .groupBy(col("si"), col("user_id"))
+        .agg(max(col("p")).as("conv"))
+      val daily = perUserDay.groupBy(col("si"))
+        .agg(count(lit(1)).as("ni"), sum(col("conv")).as("ci"))
+      val m = daily.agg(count(lit(1)).as("n_days"),
+        sum(col("ni")).as("n"), sum(col("ci")).as("c"),
+        sum(d38(col("si")) * d38(col("ci"))).as("ssc"),
+        sum(d38(col("si")) * d38(col("ni"))).as("ssn"),
+        sum(d38(col("si")) * d38(col("si")) * d38(col("ni"))).as("ss2n"))
+      val nD = d38(col("n"))
+      val cD = d38(col("c"))
+      val aDec = nD * col("ssc") - cD * col("ssn")
+      val bDec = nD * col("ss2n") - col("ssn") * col("ssn")
+      val dDec = cD * (nD - cD)
+      val (nd, ad, bd, dd) = (col("n").cast("double"), aDec.cast("double"),
+        bDec.cast("double"), dDec.cast("double"))
+      m.select(col("n_days"), col("n").as("n_user_days"),
+        col("c").as("n_conv"),
+        when(aDec > 0, 1L).when(aDec < 0, -1L).otherwise(0L)
+          .as("trend_dir"),
+        graft.ops.TimeSeries.portableRound6(
+          when(bDec > 0 && dDec > 0, nd * (ad * ad) / (dd * bd)))
+          .as("z2_trend"))
+    },
+
     // Wilcoxon signed-rank on PAIRED per-user spend (first half vs
     // second half of the observation window) — the nonparametric
     // paired companion the family lacked: stat_mwu compares two
@@ -2391,6 +2436,39 @@ object EventQueries extends QueryPack {
          |      THEN (r3 - phi21 * r2 - phi22 * r1) / v2 END
          |    * 1000000) / 1000000 AS pacf3
          |FROM d3""".stripMargin,
+
+    "stat_trend" ->
+      """WITH d0 AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
+        |pud AS (SELECT CAST(date_diff('day', CAST(d0.d0 AS DATE),
+        |      CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT) AS si,
+        |    e.user_id,
+        |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events e, d0 GROUP BY 1, 2),
+        |daily AS (SELECT si, CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(conv) AS BIGINT) AS ci
+        |  FROM pud GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ci) AS BIGINT) AS c,
+        |    sum(CAST(si AS HUGEINT) * CAST(ci AS HUGEINT)) AS ssc,
+        |    sum(CAST(si AS HUGEINT) * CAST(ni AS HUGEINT)) AS ssn,
+        |    sum(CAST(si AS HUGEINT) * CAST(si AS HUGEINT)
+        |      * CAST(ni AS HUGEINT)) AS ss2n
+        |  FROM daily),
+        |v AS (SELECT n_days, n, c,
+        |    CAST(n AS HUGEINT) * ssc - CAST(c AS HUGEINT) * ssn AS a,
+        |    CAST(n AS HUGEINT) * ss2n - ssn * ssn AS b,
+        |    CAST(c AS HUGEINT) * (CAST(n AS HUGEINT) - c) AS d
+        |  FROM m)
+        |SELECT n_days, n AS n_user_days, c AS n_conv,
+        |  CAST(CASE WHEN a > 0 THEN 1 WHEN a < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS trend_dir,
+        |  round(CASE WHEN b > 0 AND d > 0 THEN
+        |      CAST(n AS DOUBLE)
+        |        * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+        |        / (CAST(d AS DOUBLE) * CAST(b AS DOUBLE)) END
+        |    * 1000000) / 1000000 AS z2_trend
+        |FROM v""".stripMargin,
 
     "stat_wilcoxon" ->
       """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
