@@ -702,6 +702,54 @@ object TimeSeries {
     * rows. */
   def pacf(events: DataFrame, keyCol: String, tsCol: String,
            valueCol: String = "value"): DataFrame = {
+    val dl = acfRho123(events, keyCol, tsCol, valueCol)
+      .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("phi22",
+        when(col("v1") > 0, (col("r2") - col("r1") * col("r1")) / col("v1")))
+      .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+      .withColumn("v2",
+        col("v1") * (lit(1.0) - col("phi22") * col("phi22")))
+    dl.select(col("k").as(keyCol), col("nn").as("n_hours"),
+      portableRound6(col("r1")).as("r1"),
+      portableRound6(col("r2")).as("r2"),
+      portableRound6(col("r3")).as("r3"),
+      portableRound6(col("r1")).as("pacf1"),
+      portableRound6(col("phi22")).as("pacf2"),
+      portableRound6(when(col("v2") > 0,
+        (col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
+          / col("v2"))).as("pacf3"))
+  }
+
+  /** Ljung–Box portmanteau Q over lags 1–3 of each key's hourly count
+    * series — the "is this white noise" gate that must pass before
+    * ts_forecast_interval's residual bands or stat inference on the
+    * series can be trusted: under independence Q ~ χ²(3); a large Q
+    * says the autocorrelation structure ts_pacf profiles is REAL, not
+    * sampling noise. Q = n(n+2)·Σ_k ρ_k²/(n−k) on the same exact
+    * integer-moment ρ's as pacf (shared [[acfRho123]] pipeline), one
+    * fixed-arity double chain — null whenever a lag is missing or the
+    * series is constant. */
+  def ljungBox(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String = "value"): DataFrame = {
+    val base = acfRho123(events, keyCol, tsCol, valueCol)
+    val nd = col("nn").cast("double")
+    val q = nd * (nd + lit(2.0)) *
+      (col("r1") * col("r1") / (nd - lit(1.0)) +
+        col("r2") * col("r2") / (nd - lit(2.0)) +
+        col("r3") * col("r3") / (nd - lit(3.0)))
+    base.select(col("k").as(keyCol), col("nn").as("n_hours"),
+      portableRound6(col("r1")).as("r1"),
+      portableRound6(col("r2")).as("r2"),
+      portableRound6(col("r3")).as("r3"),
+      portableRound6(q).as("q_lb"))
+  }
+
+  /** Shared exact-moment sample-ACF pipeline (lags 1–3, global mean,
+    * multiplied through by N² — see [[pacf]]): one row per key with
+    * UNROUNDED ρ₁..ρ₃ doubles (null on constant/short keys), the
+    * common input of pacf's Durbin–Levinson chain and ljungBox's Q. */
+  private def acfRho123(events: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val series = resample(events, keyCol, tsCol, valueCol)
       .select(col(keyCol).as("k"),
@@ -739,24 +787,8 @@ object TimeSeries {
         - nD * sD * (col(s"sh$l") + col(s"st$l")).cast(dec)
         + (nD - lit(l).cast(dec)) * sD * sD).cast("double") /
         denDec.cast("double") / nd)
-    val dl = j
-      .select(col("kt").as("k"), col("nn"),
-        rho(1).as("r1"), rho(2).as("r2"), rho(3).as("r3"))
-      .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
-      .withColumn("phi22",
-        when(col("v1") > 0, (col("r2") - col("r1") * col("r1")) / col("v1")))
-      .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
-      .withColumn("v2",
-        col("v1") * (lit(1.0) - col("phi22") * col("phi22")))
-    dl.select(col("k").as(keyCol), col("nn").as("n_hours"),
-      portableRound6(col("r1")).as("r1"),
-      portableRound6(col("r2")).as("r2"),
-      portableRound6(col("r3")).as("r3"),
-      portableRound6(col("r1")).as("pacf1"),
-      portableRound6(col("phi22")).as("pacf2"),
-      portableRound6(when(col("v2") > 0,
-        (col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
-          / col("v2"))).as("pacf3"))
+    j.select(col("kt").as("k"), col("nn"),
+      rho(1).as("r1"), rho(2).as("r2"), rho(3).as("r3"))
   }
 
   /** Hurst exponent (rescaled-range) of each key's hourly count series

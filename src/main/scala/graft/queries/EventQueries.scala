@@ -320,6 +320,16 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Ljung–Box portmanteau Q over lags 1–3 per event type — the "is
+    // this white noise" gate before any forecast band or serial-test
+    // readout is trusted (under independence Q ~ χ²(3); large Q says
+    // the profiled autocorrelation is real). Shares pacf's exact
+    // integer-moment ρ pipeline; Q is one fixed-arity double chain.
+    "ts_ljungbox" -> { (s, dir) =>
+      graft.ops.TimeSeries.ljungBox(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // Partial autocorrelation at lags 1–3 per event type — the
     // Box–Jenkins AR-order diagnostic: ACF inflates lag 2 through the
     // lag-1 chain, PACF regresses the shorter lags out, so an AR(p)
@@ -2365,6 +2375,74 @@ object EventQueries extends QueryPack {
          |        + log2(rs64d))) / 20.0
          |    * 10000) / 10000 AS hurst
          |FROM vv""".stripMargin,
+
+    // shares ts_pacf's CTE chain through the unrounded rho's, then the
+    // Q = n(n+2)·Σ ρ_k²/(n−k) fixed-arity chain (null propagates from
+    // any missing lag / constant key)
+    "ts_ljungbox" ->
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k,
+         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+         |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(n) AS HUGEINT) AS s,
+         |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sxx
+         |  FROM sr GROUP BY 1),
+         |l AS (SELECT a.k, lg.lag,
+         |    sum(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS sxy,
+         |    CAST(sum(a.n) AS HUGEINT) AS sh,
+         |    CAST(sum(b.n) AS HUGEINT) AS st
+         |  FROM sr a
+         |  JOIN (SELECT unnest([1, 2, 3]) AS lag) lg ON true
+         |  JOIN sr b ON b.k = a.k AND b.h = a.h + lg.lag
+         |  GROUP BY 1, 2),
+         |p AS (SELECT k,
+         |    max(CASE WHEN lag = 1 THEN sxy END) AS sxy1,
+         |    max(CASE WHEN lag = 1 THEN sh END) AS sh1,
+         |    max(CASE WHEN lag = 1 THEN st END) AS st1,
+         |    max(CASE WHEN lag = 2 THEN sxy END) AS sxy2,
+         |    max(CASE WHEN lag = 2 THEN sh END) AS sh2,
+         |    max(CASE WHEN lag = 2 THEN st END) AS st2,
+         |    max(CASE WHEN lag = 3 THEN sxy END) AS sxy3,
+         |    max(CASE WHEN lag = 3 THEN sh END) AS sh3,
+         |    max(CASE WHEN lag = 3 THEN st END) AS st3
+         |  FROM l GROUP BY 1),
+         |j AS (SELECT tot.k, tot.nn, tot.s, tot.sxx,
+         |    p.sxy1, p.sh1, p.st1, p.sxy2, p.sh2, p.st2,
+         |    p.sxy3, p.sh3, p.st3
+         |  FROM tot LEFT JOIN p USING (k)),
+         |r AS (SELECT k, nn,
+         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
+         |          AND sxy1 IS NOT NULL THEN
+         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy1
+         |          - CAST(nn AS HUGEINT) * s * (sh1 + st1)
+         |          + (CAST(nn AS HUGEINT) - 1) * s * s AS DOUBLE)
+         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
+         |        / CAST(nn AS DOUBLE) END AS r1,
+         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
+         |          AND sxy2 IS NOT NULL THEN
+         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy2
+         |          - CAST(nn AS HUGEINT) * s * (sh2 + st2)
+         |          + (CAST(nn AS HUGEINT) - 2) * s * s AS DOUBLE)
+         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
+         |        / CAST(nn AS DOUBLE) END AS r2,
+         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
+         |          AND sxy3 IS NOT NULL THEN
+         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy3
+         |          - CAST(nn AS HUGEINT) * s * (sh3 + st3)
+         |          + (CAST(nn AS HUGEINT) - 3) * s * s AS DOUBLE)
+         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
+         |        / CAST(nn AS DOUBLE) END AS r3
+         |  FROM j)
+         |SELECT k AS event_type, nn AS n_hours,
+         |  round(r1 * 1000000) / 1000000 AS r1,
+         |  round(r2 * 1000000) / 1000000 AS r2,
+         |  round(r3 * 1000000) / 1000000 AS r3,
+         |  round(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 2.0)
+         |      * (r1 * r1 / (CAST(nn AS DOUBLE) - 1.0)
+         |        + r2 * r2 / (CAST(nn AS DOUBLE) - 2.0)
+         |        + r3 * r3 / (CAST(nn AS DOUBLE) - 3.0))
+         |    * 1000000) / 1000000 AS q_lb
+         |FROM r""".stripMargin,
 
     "ts_pacf" ->
       s"""WITH $hourlyGridCtes,

@@ -85,6 +85,41 @@ class PacfSpec extends SparkSpec {
     assert(row.getAs[Double]("r2") > 0.25)
   }
 
+  test("Ljung-Box: AR(1) rejects whiteness, noise does not, Q matches the rho chain") {
+    var state = 987654321L
+    def noise(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 33).toInt % 1000) / 1000.0 - 0.5
+    }
+    var x = 0.0
+    val ar = (0 until 800).map { _ =>
+      x = 0.7 * x + noise() * 10
+      (50 + x).round.toInt
+    }
+    val qAr = TimeSeries.ljungBox(
+      series("a", ar).toDF("k", "ts", "value"), "k", "ts").collect().head
+    assert(qAr.getAs[Double]("q_lb") > 100.0,
+      s"AR(1) must reject whiteness: ${qAr.getAs[Double]("q_lb")}")
+    // the Q formula is exactly the published chain over this row's rho's
+    val (n, r1, r2, r3) = (qAr.getAs[Long]("n_hours").toDouble,
+      qAr.getAs[Double]("r1"), qAr.getAs[Double]("r2"),
+      qAr.getAs[Double]("r3"))
+    val qRef = n * (n + 2) *
+      (r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3))
+    assert(math.abs(qAr.getAs[Double]("q_lb") - qRef) < 0.01)
+
+    var s2 = 2468L
+    def lcg(): Int = {
+      s2 = s2 * 6364136223846793005L + 1442695040888963407L
+      math.abs((s2 >>> 33).toInt % 20)
+    }
+    val white = (0 until 800).map(_ => 40 + lcg())
+    val qW = TimeSeries.ljungBox(
+      series("w", white).toDF("k", "ts", "value"), "k", "ts").collect().head
+    assert(qW.getAs[Double]("q_lb") < 12.0, // chi2(3) far tail
+      s"white noise must not reject hard: ${qW.getAs[Double]("q_lb")}")
+  }
+
   test("constant series: all correlations null (variance guard)") {
     val df = series("c", Seq.fill(50)(9)).toDF("k", "ts", "value")
     val row = TimeSeries.pacf(df, "k", "ts").collect().head
