@@ -259,7 +259,11 @@ object ScaleCurve {
     // user window shuffle then |types|²; permutation entropy: one
     // grid-ordered window then |keys|·6
     "stat_levene_bf", "stat_tail_index", "ev_entropy_rate",
-    "ts_permentropy")
+    "ts_permentropy",
+    // Wilcoxon: one user agg + value-domain rank windows (the stat_mwu
+    // shape); trend: one (day,user) agg then |days| rows; Ljung-Box:
+    // the ts_pacf grid-bounded lag-join shape
+    "stat_wilcoxon", "stat_trend", "ts_ljungbox")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
