@@ -2319,6 +2319,35 @@ object TrainingQueries extends QueryPack {
         "vec_id", "embedding", k = 5)
     },
 
+    // Rank-biased overlap (p=0.9, k=5) between the exact-fp32 and the
+    // int8-quantized rankings — WHAT quantization did to the ORDER,
+    // which sim_recall's set overlap can't see (a recall-1.0 run can
+    // still have inverted every rank). Top-weighted by construction;
+    // the max(rank_A, rank_B) identity collapses RBO's per-depth
+    // prefix overlaps to one injected tail-sum lookup per common id,
+    // so per-query RBO is an exact nano-integer sum — no float fold.
+    // Both legs are the existing broadcast-probe shapes.
+    "eval_rbo" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val a = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
+      val b = Similarity.int8TopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
+      val joined = a.join(b, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), element_at(typedlit(rboVNanos),
+          greatest(col("ra"), col("rb")).cast("int")).as("v"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_common"), sum(col("v")).as("sv"))
+      a.select(col("query_id")).distinct()
+        .join(joined, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          graft.ops.TimeSeries.portableRound6(
+            coalesce(col("sv"), lit(0L)).cast("double") / lit(1.0e9))
+            .as("rbo"))
+    },
+
     // SemDeDup, PRODUCTION shape (the name a pipeline reaches for runs
     // the scale-safe variant — r9 verdict #3): coarse cells + hot cells
     // adaptively split by SRP bits, so pair work per cell is capped
@@ -2594,6 +2623,44 @@ object TrainingQueries extends QueryPack {
 
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), w -> list_contains([${words.map(w => s"'$w'").mkString(",")}], w)))"
+
+  /** Int8 (min/max-calibrated) cosine top-k — shared by sim_topk_int8
+    * and eval_rbo's quantized ranking leg. */
+  private lazy val simTopkInt8Sql: String =
+    """WITH e AS (SELECT embedding::DOUBLE[] AS a FROM embeddings),
+      |x AS (SELECT i AS dim,
+      |        CAST(round(a[CAST(i+1 AS INT)] * 1048576.0) AS BIGINT) AS v
+      |      FROM (SELECT a, unnest(range(0, len(a))) AS i FROM e)),
+      |g AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim),
+      |cal AS (SELECT
+      |    list(CAST(mn AS DOUBLE)/1048576.0 ORDER BY dim) AS lo,
+      |    list(CASE WHEN mx = mn THEN 1.0
+      |         ELSE CAST(mx AS DOUBLE)/1048576.0 - CAST(mn AS DOUBLE)/1048576.0
+      |         END ORDER BY dim) AS rng FROM g),
+      |qz AS (SELECT vec_id,
+      |    [round((a[CAST(i+1 AS INT)] - lo[CAST(i+1 AS INT)])
+      |       / rng[CAST(i+1 AS INT)] * 255) - 128
+      |     FOR i IN range(0, len(a))] AS v
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings), cal)
+      |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.v, c.v) AS sim,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+      |               c.vec_id ASC) AS rank
+      |  FROM qz q, qz c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |WHERE rank <= 5""".stripMargin
+
+  /** RBO(p=0.9, k=5) prefix-weight tail sums, nano-scaled:
+    * V_m = Σ_{d=m..5} (1−p)·p^{d−1}/d — injected as the same literal
+    * table into both engines (the discountMicros discipline). The
+    * max(rank_A, rank_B) identity turns the per-depth prefix overlaps
+    * into one table lookup per common id. */
+  private[graft] lazy val rboVNanos: IndexedSeq[Long] = {
+    val p = 0.9; val k = 5
+    IndexedSeq.tabulate(k)(m0 => math.round(
+      (m0 + 1 to k).map(d => (1 - p) * math.pow(p, d - 1) / d).sum * 1e9))
+  }
 
   /** Brute-force cosine top-k ground truth — shared by sim_topk and the
     * sim_recall certification (which CTEs it against the IVF probe). */
@@ -5975,30 +6042,23 @@ object TrainingQueries extends QueryPack {
          |FROM t JOIN m ON t.c2 = m.c2""".stripMargin,
     // same fixed-point stats CTEs; quantization and ranking restated over
     // the code lists (integer dots → the float tail is order-pinned).
-    "sim_topk_int8" ->
-      """WITH e AS (SELECT embedding::DOUBLE[] AS a FROM embeddings),
-        |x AS (SELECT i AS dim,
-        |        CAST(round(a[CAST(i+1 AS INT)] * 1048576.0) AS BIGINT) AS v
-        |      FROM (SELECT a, unnest(range(0, len(a))) AS i FROM e)),
-        |g AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim),
-        |cal AS (SELECT
-        |    list(CAST(mn AS DOUBLE)/1048576.0 ORDER BY dim) AS lo,
-        |    list(CASE WHEN mx = mn THEN 1.0
-        |         ELSE CAST(mx AS DOUBLE)/1048576.0 - CAST(mn AS DOUBLE)/1048576.0
-        |         END ORDER BY dim) AS rng FROM g),
-        |qz AS (SELECT vec_id,
-        |    [round((a[CAST(i+1 AS INT)] - lo[CAST(i+1 AS INT)])
-        |       / rng[CAST(i+1 AS INT)] * 255) - 128
-        |     FOR i IN range(0, len(a))] AS v
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings), cal)
-        |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_cosine_similarity(q.v, c.v) AS sim,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC,
-        |               c.vec_id ASC) AS rank
-        |  FROM qz q, qz c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |WHERE rank <= 5""".stripMargin,
+    "sim_topk_int8" -> simTopkInt8Sql,
+    "eval_rbo" -> {
+      val vtab = rboVNanos.mkString("[", ", ", "]")
+      s"""WITH a AS ($simTopkSql),
+         |b AS ($simTopkInt8Sql),
+         |jj AS (SELECT a.query_id,
+         |    ($vtab)[CAST(greatest(a.rank, b.rank) AS INT)] AS v
+         |  FROM a JOIN b ON a.query_id = b.query_id
+         |    AND a.neighbor_id = b.neighbor_id),
+         |pq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common,
+         |    CAST(sum(v) AS BIGINT) AS sv FROM jj GROUP BY 1),
+         |uni AS (SELECT DISTINCT query_id FROM a)
+         |SELECT uni.query_id, coalesce(n_common, 0) AS n_common,
+         |  round(CAST(coalesce(sv, 0) AS DOUBLE) / 1000000000.0 * 1000000)
+         |    / 1000000 AS rbo
+         |FROM uni LEFT JOIN pq USING (query_id)""".stripMargin
+    },
     "mm_meta" ->
       """SELECT doc_id AS id, 'text/plain' AS mime, source,
         |  CAST(length(text) AS BIGINT) AS n_bytes
