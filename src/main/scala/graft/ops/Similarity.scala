@@ -526,6 +526,42 @@ object Similarity {
         (col("mx").cast("double") / scale).as("vmax"))
   }
 
+  /** Participation-ratio isotropy of the embedding corpus — the
+    * anisotropy-collapse diagnostic in ONE number where emb_dim_stats
+    * gives the per-dim table: PR = (Σ_d a_d)²/Σ_d a_d² over per-dim
+    * variance masses a_d = n·Σv² − (Σv)² counts how many dimensions
+    * carry the variance (D for isotropic, →1 when a rogue dimension
+    * dominates — the pathology ABTT exists to remove; run this BEFORE
+    * and AFTER emb_abtt to prove the fix). a_d is exact fixed-point
+    * DECIMAL; a_d² would cross DECIMAL38 at fleet scale, so each casts
+    * to double and the D-bounded squares fold in explicit dim order
+    * (the vocab_entropy discipline). One posexplode + one |dims|
+    * hash-agg — the dimStats scale shape. */
+  def isotropy(df: DataFrame, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = scaledDims(df, vecCol)
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).as("s"),
+        sum((col("v") * col("v")).cast(dec)).as("q"))
+      .select(col("dim"), col("n"),
+        (col("n").cast(dec) * col("q") - col("s") * col("s")).as("a"))
+    val g = per.agg(max(col("n")).as("n_vecs"), count(lit(1)).as("d"),
+      sum(col("a")).as("sa"), max(col("a")).as("amax"),
+      sort_array(collect_list(struct(col("dim"), col("a")))).as("lst"))
+    val sa2 = aggregate(col("lst"), lit(0.0), (acc, e) =>
+      acc + e.getField("a").cast("double") * e.getField("a").cast("double"))
+    val sad = col("sa").cast("double")
+    val pr = sad * sad / sa2
+    g.select(col("n_vecs"), col("d"),
+      TimeSeries.portableRound4(when(sa2 > 0, pr))
+        .as("participation_ratio"),
+      TimeSeries.portableRound4(when(sa2 > 0, pr / col("d").cast("double")))
+        .as("eff_dim_frac"),
+      TimeSeries.portableRound6(when(sa2 > 0,
+        col("amax").cast("double") / sad)).as("top_dim_share"))
+  }
+
   /** One Lloyd's k-means training round in EXACT FIXED POINT — the
     * quantizer-training pass that [[ivfTopKFrozen]]'s frozen centers come
     * from, made engine-reproducible: vectors quantize to round(x·2²⁰)

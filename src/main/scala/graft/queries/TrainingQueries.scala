@@ -2206,6 +2206,14 @@ object TrainingQueries extends QueryPack {
           col("variance"), col("vmin"), col("vmax"))
     },
 
+    // participation-ratio isotropy: how many dimensions actually carry
+    // the variance (D isotropic → 1 collapsed) — the one-number
+    // anisotropy audit behind the ABTT whitening step
+    // (Similarity.isotropy; run before/after emb_abtt to prove it).
+    "emb_isotropy" -> { (s, dir) =>
+      Similarity.isotropy(Tables.embeddings(s, dir), "embedding")
+    },
+
     // the spectral pipeline's corpus pass: exact fixed-point Gram
     // matrix XᵀX (upper triangle) — one explode + one dim²/2-group
     // hash-agg; every PCA/whitening step downstream runs on this
@@ -6043,6 +6051,39 @@ object TrainingQueries extends QueryPack {
     // same fixed-point stats CTEs; quantization and ranking restated over
     // the code lists (integer dots → the float tail is order-pinned).
     "sim_topk_int8" -> simTopkInt8Sql,
+    "emb_isotropy" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS a FROM embeddings),
+        |x AS (SELECT i AS dim,
+        |        CAST(round(a[CAST(i+1 AS INT)] * 1048576.0) AS BIGINT) AS v
+        |      FROM (SELECT a, unnest(range(0, len(a))) AS i FROM e)),
+        |per AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS HUGEINT) AS s,
+        |    sum(CAST(v * v AS HUGEINT)) AS q
+        |  FROM x GROUP BY 1),
+        |aa AS (SELECT dim, n,
+        |    CAST(n AS HUGEINT) * q - s * s AS a FROM per),
+        |g AS (SELECT max(n) AS n_vecs, CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(a) AS HUGEINT) AS sa, max(a) AS amax,
+        |    list(struct_pack(a := a) ORDER BY dim) AS lst
+        |  FROM aa),
+        |f AS (SELECT n_vecs, d, sa, amax,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(lst, x -> CAST(x.a AS DOUBLE)
+        |          * CAST(x.a AS DOUBLE))),
+        |      (acc, y) -> acc + y) AS sa2
+        |  FROM g)
+        |SELECT n_vecs, d,
+        |  round(CASE WHEN sa2 > 0 THEN
+        |      CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / sa2 END
+        |    * 10000) / 10000 AS participation_ratio,
+        |  round(CASE WHEN sa2 > 0 THEN
+        |      CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / sa2
+        |        / CAST(d AS DOUBLE) END
+        |    * 10000) / 10000 AS eff_dim_frac,
+        |  round(CASE WHEN sa2 > 0 THEN
+        |      CAST(amax AS DOUBLE) / CAST(sa AS DOUBLE) END
+        |    * 1000000) / 1000000 AS top_dim_share
+        |FROM f""".stripMargin,
     "eval_rbo" -> {
       val vtab = rboVNanos.mkString("[", ", ", "]")
       s"""WITH a AS ($simTopkSql),
