@@ -263,7 +263,10 @@ object ScaleCurve {
     // Wilcoxon: one user agg + value-domain rank windows (the stat_mwu
     // shape); trend: one (day,user) agg then |days| rows; Ljung-Box:
     // the ts_pacf grid-bounded lag-join shape
-    "stat_wilcoxon", "stat_trend", "ts_ljungbox")
+    "stat_wilcoxon", "stat_trend", "ts_ljungbox",
+    // RBO: two bounded broadcast probes (the eval_ndcg shape);
+    // isotropy: one posexplode + |dims| hash-agg (the dimStats shape)
+    "eval_rbo", "emb_isotropy")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
