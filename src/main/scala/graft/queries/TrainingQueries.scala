@@ -2342,13 +2342,16 @@ object TrainingQueries extends QueryPack {
         .select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
       val b = Similarity.int8TopK(emb, q, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
-      val joined = a.join(b, Seq("query_id", "neighbor_id"))
+      // both legs are |queries|·k rows, but they derive from corpus-wide
+      // windows so the planner has no stats — hint the broadcast or the
+      // tiny rank join sort-merges (caught by the plan guard)
+      val joined = a.join(broadcast(b), Seq("query_id", "neighbor_id"))
         .select(col("query_id"), element_at(typedlit(rboVNanos),
           greatest(col("ra"), col("rb")).cast("int")).as("v"))
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_common"), sum(col("v")).as("sv"))
       a.select(col("query_id")).distinct()
-        .join(joined, Seq("query_id"), "left")
+        .join(broadcast(joined), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_common"), lit(0L)).as("n_common"),
           graft.ops.TimeSeries.portableRound6(

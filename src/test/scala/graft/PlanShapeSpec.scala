@@ -92,6 +92,31 @@ class PlanShapeSpec extends SparkSpec {
       s"stat_tail_index lost its map-side prune:\n$ph")
   }
 
+  test("round-12 second-continuation family: no cartesians, broadcast join-backs") {
+    // ts family: everything after resample's hash-agg is grid-bounded —
+    // a SortMergeJoin or cartesian means a key/lag join lost its
+    // broadcast/equi shape and would shuffle corpus-scale rows
+    for (q <- Seq("ts_periodogram", "ts_pacf", "ts_ljungbox", "ts_hurst",
+                  "ts_permentropy")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+    // Levene family + entropy rate + wilcoxon: the per-row join-back of
+    // tiny per-group tables must broadcast, never sort-merge the corpus
+    for (q <- Seq("stat_levene", "stat_levene_bf", "ev_entropy_rate",
+                  "stat_wilcoxon", "stat_trend")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q sort-merges its broadcast join-back:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+    // RBO: two bounded broadcast probes — the corpus must never
+    // exchange on the probe path
+    val pr = plan("eval_rbo")
+    assert(!pr.contains("SortMergeJoin") && !pr.contains("CartesianProduct"),
+      s"eval_rbo probe legs degraded:\n$pr")
+  }
+
   test("lineage-sensitive aggs keep map-side partial aggregation") {
     // minhash signature: one shuffle for the groupBy(doc_id), with
     // map-side partial minimums before it.
