@@ -524,7 +524,8 @@ object EventQueries extends QueryPack {
       // DECIMAL sums re-weight by N_i, so only the ~1e4-cent scalars
       // ride the grid: z̄_i on 1e-9, per-unit within variance on 1e-6
       val qa = round(col("ai").cast("double") / (nid * nid)
-        * lit(1.0e9), 0).cast("long") // z̄_i · 1e9
+        * lit(1.0e6), 0).cast("long") // z̄_i · 1e6 (1e9 made Σ N·qa²
+      // cross DECIMAL38/HUGEINT at the 625× tier for high-value metrics)
       val qw = round((niD * col("qi") - col("ai") * col("ai"))
         .cast("double") / (nid * nid * nid * nid) * lit(1.0e6), 0)
         .cast("long") // (within-SS_i / N_i) · 1e6
@@ -535,8 +536,8 @@ object EventQueries extends QueryPack {
           sum(d38(col("ni")) * d38(col("qw"))).as("sqw"))
       val nd = col("n").cast("double")
       val kd = col("k").cast("double")
-      val zbar = col("sqa").cast("double") / lit(1.0e9) / nd
-      val between = col("sqb").cast("double") / lit(1.0e18) -
+      val zbar = col("sqa").cast("double") / lit(1.0e6) / nd
+      val between = col("sqb").cast("double") / lit(1.0e12) -
         nd * zbar * zbar
       val within = col("sqw").cast("double") / lit(1.0e6)
       val f = when(col("k") > 1 && within > 0,
@@ -589,7 +590,8 @@ object EventQueries extends QueryPack {
       val nid = col("ni").cast("double")
       val niD = d38(col("ni"))
       val qa = round(col("ai").cast("double") / (lit(2.0) * nid)
-        * lit(1.0e9), 0).cast("long") // z̄_i · 1e9
+        * lit(1.0e6), 0).cast("long") // z̄_i · 1e6 (the stat_levene
+      // width bound)
       val qw = round((niD * col("qi") - col("ai") * col("ai"))
         .cast("double") / (lit(4.0) * nid * nid) * lit(1.0e6), 0)
         .cast("long") // (within-SS_i / N_i) · 1e6: (N·Q − A²)/(4N²)
@@ -600,8 +602,8 @@ object EventQueries extends QueryPack {
           sum(d38(col("ni")) * d38(col("qw"))).as("sqw"))
       val nd = col("n").cast("double")
       val kd = col("k").cast("double")
-      val zbar = col("sqa").cast("double") / lit(1.0e9) / nd
-      val between = col("sqb").cast("double") / lit(1.0e18) -
+      val zbar = col("sqa").cast("double") / lit(1.0e6) / nd
+      val between = col("sqb").cast("double") / lit(1.0e12) -
         nd * zbar * zbar
       val within = col("sqw").cast("double") / lit(1.0e6)
       val f = when(col("k") > 1 && within > 0,
@@ -2665,7 +2667,7 @@ object EventQueries extends QueryPack {
         |  FROM per p JOIN md USING (event_type) GROUP BY 1),
         |q AS (SELECT ni,
         |    CAST(round(CAST(ai AS DOUBLE) / (2.0 * CAST(ni AS DOUBLE))
-        |      * 1000000000.0) AS BIGINT) AS qa,
+        |      * 1000000.0) AS BIGINT) AS qa,
         |    CAST(round(CAST(CAST(ni AS HUGEINT) * qi - ai * ai AS DOUBLE)
         |      / (4.0 * CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE))
         |      * 1000000.0) AS BIGINT) AS qw
@@ -2678,11 +2680,11 @@ object EventQueries extends QueryPack {
         |    sum(CAST(ni AS HUGEINT) * CAST(qw AS HUGEINT)) AS sqw
         |  FROM q),
         |v AS (SELECT k, n, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
-        |    CAST(sqa AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) AS zbar,
+        |    CAST(sqa AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS zbar,
         |    CAST(sqb AS DOUBLE) AS sqbd, CAST(sqw AS DOUBLE) AS sqwd
         |  FROM m),
         |wf AS (SELECT k, n, nd, kd, zbar,
-        |    sqbd / 1000000000000000000.0 - nd * zbar * zbar AS between_ss,
+        |    sqbd / 1000000000000.0 - nd * zbar * zbar AS between_ss,
         |    sqwd / 1000000.0 AS within_ss
         |  FROM v)
         |SELECT n, k,
@@ -2709,7 +2711,7 @@ object EventQueries extends QueryPack {
         |q AS (SELECT ni,
         |    CAST(round(CAST(ai AS DOUBLE)
         |      / (CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE))
-        |      * 1000000000.0) AS BIGINT) AS qa,
+        |      * 1000000.0) AS BIGINT) AS qa,
         |    CAST(round(CAST(CAST(ni AS HUGEINT) * qi - ai * ai AS DOUBLE)
         |      / (CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE)
         |         * CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE))
@@ -2723,11 +2725,11 @@ object EventQueries extends QueryPack {
         |    sum(CAST(ni AS HUGEINT) * CAST(qw AS HUGEINT)) AS sqw
         |  FROM q),
         |v AS (SELECT k, n, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
-        |    CAST(sqa AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) AS zbar,
+        |    CAST(sqa AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS zbar,
         |    CAST(sqb AS DOUBLE) AS sqbd, CAST(sqw AS DOUBLE) AS sqwd
         |  FROM m),
         |w AS (SELECT k, n, nd, kd, zbar,
-        |    sqbd / 1000000000000000000.0 - nd * zbar * zbar AS between_ss,
+        |    sqbd / 1000000000000.0 - nd * zbar * zbar AS between_ss,
         |    sqwd / 1000000.0 AS within_ss
         |  FROM v)
         |SELECT n, k,
