@@ -712,6 +712,49 @@ object EventQueries extends QueryPack {
           round(col("n").cast("double") / sum(col("n")).over(wType), 4))
     },
 
+    // Growth-accounting lifecycle matrix per week — the identity every
+    // growth dashboard decomposes DAU movement into: active_w =
+    // new_w + retained_w + resurrected_w, churned_w = active_{w−1} −
+    // retained_w, quick ratio = (new+resurrected)/churned. ev_cohort
+    // gives the retention SURFACE; this is the week-over-week FLOW
+    // decomposition (which weeks grew on acquisition vs reactivation,
+    // and whether churn outran both). Exact distinct-week activity, a
+    // per-user lag window for the state classification, and a week-lag
+    // join for churn — one user shuffle, |weeks|-sized everything after.
+    "ev_lifecycle" -> { (s, dir) =>
+      val wUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("wk"))
+      val act = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+        .withColumn("prev_wk", lag(col("wk"), 1).over(wUser))
+        .withColumn("state",
+          when(col("prev_wk").isNull, lit("new"))
+            .when(datediff(col("wk"), col("prev_wk")) === 7,
+              lit("retained"))
+            .otherwise(lit("resurrected")))
+      val weekly = act.groupBy(col("wk"))
+        .agg(count(lit(1)).as("active"),
+          sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("state") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+      // churn joins on the CALENDAR previous week (wk − 7), not lag():
+      // an entirely-silent week would make lag() skip across the gap
+      // and charge its churn to the wrong week
+      val prev = weekly.select(date_add(col("wk"), 7).as("wk"),
+        col("active").as("prev_active"))
+      weekly.join(broadcast(prev), Seq("wk"), "left")
+        .withColumn("churned", col("prev_active") - col("n_retained"))
+        .select(col("wk"), col("active"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), col("churned"),
+          graft.ops.TimeSeries.portableRound4(when(col("churned") > 0,
+            (col("n_new") + col("n_resurrected")).cast("double") /
+              col("churned").cast("double"))).as("quick_ratio"))
+    },
+
     // Markov entropy rate of the per-user event stream — HOW predictable
     // the next action is given the current one, in bits: 0 = fully
     // deterministic flows, log2(|types|) = uniform chaos. The single
@@ -2582,6 +2625,34 @@ object EventQueries extends QueryPack {
         |      CAST(3 * a2 * a2 AS DOUBLE) / CAST(den AS DOUBLE) END
         |    * 1000000) / 1000000 AS z2
         |FROM v""".stripMargin,
+
+    "ev_lifecycle" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |st AS (SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+        |  FROM act),
+        |cls AS (SELECT wk,
+        |    CASE WHEN prev_wk IS NULL THEN 'new'
+        |         WHEN date_diff('day', prev_wk, wk) = 7 THEN 'retained'
+        |         ELSE 'resurrected' END AS state
+        |  FROM st),
+        |weekly AS (SELECT wk, CAST(count(*) AS BIGINT) AS active,
+        |    CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY 1),
+        |pv AS (SELECT wk + 7 AS wk, active AS prev_active FROM weekly)
+        |SELECT w.wk, w.active, w.n_new, w.n_retained, w.n_resurrected,
+        |  pv.prev_active - w.n_retained AS churned,
+        |  round(CASE WHEN pv.prev_active - w.n_retained > 0 THEN
+        |      CAST(w.n_new + w.n_resurrected AS DOUBLE)
+        |        / CAST(pv.prev_active - w.n_retained AS DOUBLE) END
+        |    * 10000) / 10000 AS quick_ratio
+        |FROM weekly w LEFT JOIN pv ON pv.wk = w.wk""".stripMargin,
 
     "ev_entropy_rate" ->
       """WITH seq AS (SELECT event_type,
