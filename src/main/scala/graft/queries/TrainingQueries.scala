@@ -147,6 +147,49 @@ object TrainingQueries extends QueryPack {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     },
 
+    // Character-level entropy rate per source — the compressibility
+    // FLOOR text_compress_proxy's distinct-bigram ratio only proxies:
+    // h_char = H(unigram), h_cond = H(bigram) − H(unigram) ≈ bits per
+    // character given the previous one (Shannon's estimate; zstd can't
+    // go below ~h_cond·n/8 bytes, so sources where the proxy and this
+    // disagree are the ones with long-range repetition). Per-cell
+    // entropy terms are ONE deterministic double each, quantized to
+    // the 1e-12 grid and summed exactly per source — the domain is
+    // charset²-bounded however big the corpus, and no collected list
+    // is needed at all (the scalable alternative to the sorted-fold
+    // discipline). Two (source, gram) hash-aggs; gram volume is linear
+    // in chars.
+    "text_entropy" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val docs = Tables.documents(s, dir)
+      def entropy(cells: org.apache.spark.sql.DataFrame) = {
+        val tot = cells.groupBy(col("source")).agg(sum(col("c")).as("n"))
+        val term = col("c").cast("double") / col("n").cast("double") *
+          log2(col("c").cast("double") / col("n").cast("double"))
+        cells.join(broadcast(tot), "source")
+          .select(col("source"), col("n"),
+            round(term * lit(1.0e12), 0).cast("long").as("q"))
+          .groupBy(col("source"))
+          .agg(max(col("n")).as("n"), sum(d38(col("q"))).as("sq"))
+          .select(col("source"), col("n"),
+            (-(col("sq").cast("double")) / lit(1.0e12)).as("h"))
+      }
+      val uni = entropy(docs
+        .select(col("source"), explode(split(col("text"), "")).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c")))
+      val big = entropy(docs.where(length(col("text")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, length(text) - 1)," +
+            " i -> substring(text, i, 2))")).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c")))
+      uni.select(col("source"), col("n").as("n_chars"), col("h").as("hu"))
+        .join(big.select(col("source"), col("h").as("hb")), "source")
+        .select(col("source"), col("n_chars"),
+          graft.ops.TimeSeries.portableRound4(col("hu")).as("h_char"),
+          graft.ops.TimeSeries.portableRound4(col("hb") - col("hu"))
+            .as("h_cond"))
+    },
+
     // Flesch reading-ease per source — the curation knob complexity
     // filters turn (too-easy = listicle spam, too-hard = OCR garbage;
     // both are downweighted in every serious pretraining mix). Exact
@@ -3383,6 +3426,44 @@ object TrainingQueries extends QueryPack {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "text_entropy" ->
+      """WITH uc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, '')) AS g
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ut AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM uc GROUP BY 1),
+        |uq AS (SELECT uc.source, ut.n,
+        |    CAST(round(CAST(uc.c AS DOUBLE) / CAST(ut.n AS DOUBLE)
+        |      * log2(CAST(uc.c AS DOUBLE) / CAST(ut.n AS DOUBLE))
+        |      * 1000000000000.0) AS BIGINT) AS q
+        |  FROM uc JOIN ut USING (source)),
+        |uh AS (SELECT source, max(n) AS n,
+        |    -(CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE)) / 1000000000000.0
+        |      AS h
+        |  FROM uq GROUP BY 1),
+        |bc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source,
+        |      unnest(list_transform(range(1, length(text)),
+        |        i -> substr(text, CAST(i AS INT), 2))) AS g
+        |    FROM documents WHERE length(text) >= 2)
+        |  GROUP BY 1, 2),
+        |bt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM bc GROUP BY 1),
+        |bq AS (SELECT bc.source, bt.n,
+        |    CAST(round(CAST(bc.c AS DOUBLE) / CAST(bt.n AS DOUBLE)
+        |      * log2(CAST(bc.c AS DOUBLE) / CAST(bt.n AS DOUBLE))
+        |      * 1000000000000.0) AS BIGINT) AS q
+        |  FROM bc JOIN bt USING (source)),
+        |bh AS (SELECT source,
+        |    -(CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE)) / 1000000000000.0
+        |      AS h
+        |  FROM bq GROUP BY 1)
+        |SELECT uh.source, uh.n AS n_chars,
+        |  round(uh.h * 10000) / 10000 AS h_char,
+        |  round((bh.h - uh.h) * 10000) / 10000 AS h_cond
+        |FROM uh JOIN bh USING (source)""".stripMargin,
+
     "text_readability" ->
       """WITH d AS (SELECT source,
         |    CAST(len(list_filter(string_split(text, ' '),
