@@ -266,7 +266,10 @@ object ScaleCurve {
     "stat_wilcoxon", "stat_trend", "ts_ljungbox",
     // RBO: two bounded broadcast probes (the eval_ndcg shape);
     // isotropy: one posexplode + |dims| hash-agg (the dimStats shape)
-    "eval_rbo", "emb_isotropy")
+    "eval_rbo", "emb_isotropy",
+    // lifecycle: one user window + |weeks| join; char entropy: two
+    // (source, gram) hash-aggs, charset²-bounded cells
+    "ev_lifecycle", "text_entropy")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
