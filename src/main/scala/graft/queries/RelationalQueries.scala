@@ -108,6 +108,61 @@ object RelationalQueries extends QueryPack {
           pmod(col("l_suppkey"), lit(256L)), 8).as("zval"))
     },
 
+    // Range-layout prune simulator — the MEASUREMENT behind the layout
+    // family: layout_zvalue/hilbert produce clustering keys, this
+    // quantifies what a candidate sort key actually buys a ship-date
+    // predicate in row-group skipping. Each candidate key is range-
+    // bucketed into ~1000-row groups (equal-WIDTH value buckets — a
+    // sorted parquet table IS a range partitioning; no global
+    // row_number, so no single-task window at any scale) and each
+    // bucket keeps its ship-date min/max: avg_span_days is the
+    // clustering factor, prune_frac the fraction of row groups a
+    // March-1998 window skips via min/max stats. On the driver tables
+    // sorting by l_shipdate prunes ~97% while l_orderkey/l_partkey
+    // prune NOTHING (this generator draws dates independently of keys
+    // — unlike classic TPC-H, and exactly the fact an advisor must
+    // measure, not assume). One scan + one hash-agg per candidate;
+    // bucket ids via exact DECIMAL floor-div (the fdiv width rule).
+    "layout_prune_sim" -> { (s, dir) =>
+      val epoch = java.time.LocalDate.of(1992, 1, 1)
+      val predLo = java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, java.time.LocalDate.of(1998, 3, 1))
+      val predHi = java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, java.time.LocalDate.of(1998, 3, 31))
+      val li = Tables.lineitem(s, dir)
+      val day = datediff(col("l_shipdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("long")
+      def candidate(name: String, key: org.apache.spark.sql.Column) = {
+        val base = li.select(key.cast("long").as("k"), day.as("d"))
+        val b = base.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+          count(lit(1)).as("n"))
+        base.crossJoin(broadcast(b))
+          .withColumn("nb", greatest(lit(1L), expr("n DIV 1000")))
+          .withColumn("bucket", graft.ops.Stats.fdiv(
+            (col("k") - col("mn")).cast("decimal(38,0)") *
+              col("nb").cast("decimal(38,0)"),
+            (col("mx") - col("mn") + 1).cast("decimal(38,0)")))
+          .groupBy(col("bucket"))
+          .agg(min(col("d")).as("dmn"), max(col("d")).as("dmx"),
+            count(lit(1)).as("cnt_rows"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("cnt_rows")).as("n_rows"),
+            sum(col("dmx") - col("dmn")).as("span_sum"),
+            sum(when(col("dmn") <= lit(predHi) && col("dmx") >= lit(predLo),
+              1L).otherwise(0L)).as("n_overlap"))
+          .select(lit(name).as("sort_key"), col("n_buckets"), col("n_rows"),
+            graft.ops.TimeSeries.portableRound4(
+              col("span_sum").cast("double") /
+                col("n_buckets").cast("double")).as("avg_span_days"),
+            graft.ops.TimeSeries.portableRound4(
+              lit(1.0) - col("n_overlap").cast("double") /
+                col("n_buckets").cast("double")).as("prune_frac"))
+      }
+      candidate("l_shipdate", day)
+        .unionByName(candidate("l_orderkey", col("l_orderkey")))
+        .unionByName(candidate("l_partkey", col("l_partkey")))
+    },
+
     // Hilbert clustering value — Z-order's better-locality sibling
     // (consecutive indices are ALWAYS grid-adjacent; Z jumps 2^k cells
     // at quadrant seams, so Hilbert-range files bound each file's
@@ -163,6 +218,43 @@ object RelationalQueries extends QueryPack {
         |  FROM orders)
         |WHERE rank <= 3""".stripMargin,
     "profile_lineitem" -> profileOracle(ProfileCols, 128),
+    "layout_prune_sim" -> {
+      val epoch = java.time.LocalDate.of(1992, 1, 1)
+      val lo = java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, java.time.LocalDate.of(1998, 3, 1))
+      val hi = java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, java.time.LocalDate.of(1998, 3, 31))
+      def cand(name: String, keyExpr: String): String =
+        s"""SELECT '$name' AS sort_key, n_buckets, n_rows,
+           |  round(CAST(span_sum AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+           |    * 10000) / 10000 AS avg_span_days,
+           |  round((1.0 - CAST(n_overlap AS DOUBLE)
+           |    / CAST(n_buckets AS DOUBLE)) * 10000) / 10000 AS prune_frac
+           |FROM (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           |    CAST(sum(cnt_rows) AS BIGINT) AS n_rows,
+           |    CAST(sum(dmx - dmn) AS BIGINT) AS span_sum,
+           |    CAST(sum(CASE WHEN dmn <= $hi AND dmx >= $lo THEN 1
+           |      ELSE 0 END) AS BIGINT) AS n_overlap
+           |  FROM (
+           |    SELECT CAST(CAST(base.k - b.mn AS HUGEINT)
+           |        * greatest(1, b.n // 1000)
+           |        // CAST(b.mx - b.mn + 1 AS HUGEINT) AS BIGINT) AS bucket,
+           |      min(d) AS dmn, max(d) AS dmx,
+           |      CAST(count(*) AS BIGINT) AS cnt_rows
+           |    FROM (SELECT $keyExpr AS k,
+           |        CAST(date_diff('day', DATE '1992-01-01',
+           |          CAST(l_shipdate AS DATE)) AS BIGINT) AS d
+           |      FROM lineitem) base,
+           |      (SELECT min(k) AS mn, max(k) AS mx,
+           |          CAST(count(*) AS BIGINT) AS n
+           |       FROM (SELECT $keyExpr AS k FROM lineitem)) b
+           |    GROUP BY 1))""".stripMargin
+      val sd = "CAST(date_diff('day', DATE '1992-01-01', " +
+        "CAST(l_shipdate AS DATE)) AS BIGINT)"
+      Seq(cand("l_shipdate", sd), cand("l_orderkey", "l_orderkey"),
+        cand("l_partkey", "l_partkey")).mkString("\nUNION ALL\n")
+    },
     "validate_lineitem" ->
       """SELECT 'quantity_positive' AS rule,
         |  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS n_violations
