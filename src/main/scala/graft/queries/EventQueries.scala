@@ -712,6 +712,64 @@ object EventQueries extends QueryPack {
           round(col("n").cast("double") / sum(col("n")).over(wType), 4))
     },
 
+    // Shapley channel attribution — the game-theoretically fair credit
+    // split ev_attribution's positional rules (first/last touch) can't
+    // give: each non-purchase event type is a channel, each user's
+    // exposure set a coalition, v(S) = conversion rate of users exposed
+    // to EXACTLY S (0 for unobserved coalitions — the standard
+    // simplified-Shapley convention), and channel i's value is
+    // Σ_{S∌i} |S|!(4−|S|)!/5! · (v(S∪i) − v(S)). With 5 channels the
+    // lattice is 32 points, so the computation is EXACT: coalition
+    // stats are one user hash-agg + one ≤32-row agg; the ≤16 terms per
+    // channel are quantized at 1e-12 and summed exactly; the weights
+    // ×5! are the integers {24,6,4,6,24}. Efficiency law
+    // (Σ shapley = v(full) − v(∅)) is spec-pinned.
+    "ev_attribution_shapley" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val bitc = when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "cart", 4L)
+        .when(col("event_type") === "signup", 8L)
+        .when(col("event_type") === "error", 16L).otherwise(0L)
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum_distinct(bitc).as("mask"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val stats = per.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .withColumn("v", col("c").cast("double") / col("n").cast("double"))
+      val ch = s.range(0, 1).select(posexplode(typedlit(
+          Seq("view", "click", "cart", "signup", "error")))
+        .as(Seq("idx", "channel")))
+        .select(col("channel"),
+          element_at(typedlit(Seq(1L, 2L, 4L, 8L, 16L)),
+            col("idx").cast("int") + 1).as("bit"))
+      val exposed = stats.crossJoin(broadcast(ch))
+        .where(col("mask").bitwiseAND(col("bit")) =!= 0)
+        .groupBy(col("channel")).agg(sum(col("n")).as("n_exposed"))
+      val w120 = typedlit(Seq(24L, 6L, 4L, 6L, 24L))
+      val q = round(element_at(w120, bit_count(col("m")).cast("int") + 1) *
+        (coalesce(col("v1"), lit(0.0)) - coalesce(col("v0"), lit(0.0))) *
+        lit(1.0e12), 0).cast("long")
+      s.range(0, 32).select(col("id").as("m"))
+        .crossJoin(broadcast(ch))
+        .where(col("m").bitwiseAND(col("bit")) === 0)
+        .join(broadcast(stats.select(col("mask").as("m"),
+          col("v").as("v0"))), Seq("m"), "left")
+        .join(broadcast(stats.select(col("mask").as("m1"),
+          col("v").as("v1"))),
+          col("m1") === col("m") + col("bit"), "left")
+        .select(col("channel"), q.as("q"))
+        .groupBy(col("channel")).agg(sum(d38(col("q"))).as("sq"))
+        .join(broadcast(exposed), Seq("channel"), "left")
+        .select(col("channel"),
+          coalesce(col("n_exposed"), lit(0L)).as("n_exposed"),
+          graft.ops.TimeSeries.portableRound6(
+            col("sq").cast("double") / lit(1.0e12) / lit(120.0))
+            .as("shapley"))
+    },
+
     // Growth-accounting lifecycle matrix per week — the identity every
     // growth dashboard decomposes DAU movement into: active_w =
     // new_w + retained_w + resurrected_w, churned_w = active_{w−1} −
@@ -2625,6 +2683,41 @@ object EventQueries extends QueryPack {
         |      CAST(3 * a2 * a2 AS DOUBLE) / CAST(den AS DOUBLE) END
         |    * 1000000) / 1000000 AS z2
         |FROM v""".stripMargin,
+
+    "ev_attribution_shapley" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(coalesce(sum(DISTINCT CASE event_type
+        |      WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'cart' THEN 4
+        |      WHEN 'signup' THEN 8 WHEN 'error' THEN 16 ELSE 0 END), 0)
+        |      AS BIGINT) AS mask,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |stats AS (SELECT mask, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c,
+        |    CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS v
+        |  FROM per GROUP BY 1),
+        |ch AS (SELECT channel, bit FROM (VALUES ('view', 1), ('click', 2),
+        |    ('cart', 4), ('signup', 8), ('error', 16)) t(channel, bit)),
+        |exposed AS (SELECT ch.channel,
+        |    CAST(sum(stats.n) AS BIGINT) AS n_exposed
+        |  FROM stats, ch WHERE (stats.mask & ch.bit) <> 0
+        |  GROUP BY 1),
+        |uni AS (SELECT unnest(range(0, 32)) AS m),
+        |pairs AS (SELECT ch.channel,
+        |    CAST(round(([24, 6, 4, 6, 24])[bit_count(uni.m) + 1]
+        |      * (coalesce(s1.v, 0.0) - coalesce(s0.v, 0.0))
+        |      * 1000000000000.0) AS BIGINT) AS q
+        |  FROM uni CROSS JOIN ch
+        |  LEFT JOIN stats s0 ON s0.mask = uni.m
+        |  LEFT JOIN stats s1 ON s1.mask = uni.m + ch.bit
+        |  WHERE (uni.m & ch.bit) = 0),
+        |agg AS (SELECT channel, sum(CAST(q AS HUGEINT)) AS sq
+        |  FROM pairs GROUP BY 1)
+        |SELECT agg.channel, coalesce(exposed.n_exposed, 0) AS n_exposed,
+        |  round(CAST(sq AS DOUBLE) / 1000000000000.0 / 120.0 * 1000000)
+        |    / 1000000 AS shapley
+        |FROM agg LEFT JOIN exposed USING (channel)""".stripMargin,
 
     "ev_lifecycle" ->
       """WITH act AS (SELECT DISTINCT user_id,
