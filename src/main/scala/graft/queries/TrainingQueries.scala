@@ -2249,6 +2249,86 @@ object TrainingQueries extends QueryPack {
           col("variance"), col("vmin"), col("vmax"))
     },
 
+    // Linear CKA between the fp32 embeddings and their int8-dequantized
+    // reconstruction — DID quantization keep the representation's
+    // GEOMETRY, the question eval_rbo's rank overlap and sim_recall's
+    // set overlap both under-answer (ranks can shuffle while the
+    // subspace structure survives — CKA ≈ 1 with RBO ≈ 0.3 is the
+    // "quantize fearlessly" readout; CKA dropping is the real damage).
+    // CKA = ‖Cxy‖²F / (‖Cxx‖F·‖Cyy‖F) over column-centered features,
+    // computed from ONE 128-dim exact fixed-point Gram of the
+    // concatenated [x ; dequant(x)] vector (the gramFixedPoint
+    // per-partition fold — the blocks of XᵀX, YᵀY, XᵀY fall out of the
+    // triangle), centered via n·G_ab − S_a·S_b with exact DECIMAL
+    // sums; the ≤8256 squared entries fold per block in (i,j) order.
+    // Dequantization replays int8TopK's min/max calibration exactly.
+    "emb_cka" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val scale = 1048576.0
+      val emb = Tables.embeddings(s, dir)
+        .where(size(col("embedding")) === 64)
+      val cal = emb.select(posexplode(col("embedding").cast("array<double>")))
+        .select(col("pos").as("dim"),
+          round(col("col") * scale).cast("long").as("v"))
+        .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+        .select(col("dim"), (col("mn").cast("double") / scale).as("vmin"),
+          when(col("mx") === col("mn"), lit(1.0))
+            .otherwise(col("mx").cast("double") / scale -
+              col("mn").cast("double") / scale).as("vrange"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("vmin"))))
+          .as("lo0"),
+          sort_array(collect_list(struct(col("dim"), col("vrange"))))
+            .as("r0"))
+        .select(transform(col("lo0"), e => e.getField("vmin")).as("lo"),
+          transform(col("r0"), e => e.getField("vrange")).as("rng"))
+      val zdf = emb.crossJoin(broadcast(cal))
+        .select(concat(col("embedding").cast("array<double>"),
+          transform(col("embedding").cast("array<double>"), (x, i) => {
+            val lo = element_at(col("lo"), i + 1)
+            val rng = element_at(col("rng"), i + 1)
+            // y = lo + code·rng/255 with code = round((x−lo)/rng·255):
+            // the int8 round trip as one identical chain in both engines
+            lo + round((x - lo) / rng * lit(255.0), 0) * rng / lit(255.0)
+          })).as("z"))
+        .localCheckpoint() // three consumers: gram fold, sums, count
+      val g = Similarity.gramFixedPoint(zdf, "z", 128)
+      val sums = zdf.select(posexplode(col("z")))
+        .select(col("pos").as("dim"),
+          round(col("col") * scale).cast("long").as("v"))
+        .groupBy("dim").agg(sum(col("v").cast(dec)).as("s"))
+      val cnt = zdf.agg(count(lit(1)).as("n"))
+      val lbl = when(col("i") < 64 && col("j") < 64, lit("xx"))
+        .when(col("i") >= 64, lit("yy")).otherwise(lit("xy"))
+      val mm = g
+        .join(broadcast(sums.select(col("dim").as("i"), col("s").as("si"))),
+          "i")
+        .join(broadcast(sums.select(col("dim").as("j"), col("s").as("sj"))),
+          "j")
+        .crossJoin(broadcast(cnt))
+        .select(col("i"), col("j"), lbl.as("blk"),
+          (col("n").cast(dec) * col("g") - col("si") * col("sj"))
+            .cast("double").as("m"))
+        .withColumn("mult", when(col("blk") === "xy", lit(1.0))
+          .when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0)))
+      val per = mm
+        .select(col("blk"), col("i"), col("j"),
+          (col("m") * col("m") * col("mult")).as("t"))
+        .groupBy(col("blk"))
+        .agg(sort_array(collect_list(struct(col("i"), col("j"), col("t"))))
+          .as("lst"))
+        .select(col("blk"), aggregate(col("lst"), lit(0.0),
+          (a, e) => a + e.getField("t")).as("f2"))
+      per.agg(max(when(col("blk") === "xx", col("f2"))).as("fxx2"),
+          max(when(col("blk") === "yy", col("f2"))).as("fyy2"),
+          max(when(col("blk") === "xy", col("f2"))).as("fxy2"))
+        .crossJoin(broadcast(cnt))
+        .select(col("n").as("n_vecs"), lit(64L).as("d"),
+          graft.ops.TimeSeries.portableRound6(
+            when(col("fxx2") > 0 && col("fyy2") > 0,
+              col("fxy2") / (sqrt(col("fxx2")) * sqrt(col("fyy2")))))
+            .as("cka_int8"))
+    },
+
     // participation-ratio isotropy: how many dimensions actually carry
     // the variance (D isotropic → 1 collapsed) — the one-number
     // anisotropy audit behind the ABTT whitening step
@@ -6135,6 +6215,66 @@ object TrainingQueries extends QueryPack {
     // same fixed-point stats CTEs; quantization and ranking restated over
     // the code lists (integer dots → the float tail is order-pinned).
     "sim_topk_int8" -> simTopkInt8Sql,
+    "emb_cka" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS a FROM embeddings
+        |           WHERE len(embedding) = 64),
+        |xq AS (SELECT i AS dim,
+        |        CAST(round(a[CAST(i+1 AS INT)] * 1048576.0) AS BIGINT) AS v
+        |      FROM (SELECT a, unnest(range(0, len(a))) AS i FROM e)),
+        |gmm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM xq GROUP BY dim),
+        |cal AS (SELECT
+        |    list(CAST(mn AS DOUBLE)/1048576.0 ORDER BY dim) AS lo,
+        |    list(CASE WHEN mx = mn THEN 1.0
+        |         ELSE CAST(mx AS DOUBLE)/1048576.0
+        |           - CAST(mn AS DOUBLE)/1048576.0
+        |         END ORDER BY dim) AS rng FROM gmm),
+        |z AS (SELECT list_concat(a,
+        |    [lo[CAST(i+1 AS INT)]
+        |       + round((a[CAST(i+1 AS INT)] - lo[CAST(i+1 AS INT)])
+        |           / rng[CAST(i+1 AS INT)] * 255.0)
+        |         * rng[CAST(i+1 AS INT)] / 255.0
+        |     FOR i IN range(0, 64)]) AS zv
+        |  FROM e CROSS JOIN cal),
+        |zs AS (SELECT [CAST(round(x * 1048576.0) AS BIGINT) FOR x IN zv]
+        |        AS xs FROM z),
+        |p1 AS (SELECT xs, unnest(range(128)) AS i FROM zs),
+        |p2 AS (SELECT xs, i, unnest(range(128)) AS j FROM p1),
+        |gr AS (SELECT i, j,
+        |    sum(CAST(xs[CAST(i+1 AS INT)] AS HUGEINT)
+        |      * xs[CAST(j+1 AS INT)]) AS g
+        |  FROM p2 WHERE j >= i GROUP BY i, j),
+        |sums AS (SELECT i AS dim,
+        |    CAST(sum(xs[CAST(i+1 AS INT)]) AS HUGEINT) AS s
+        |  FROM p1 GROUP BY 1),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM zs),
+        |mm AS (SELECT gr.i, gr.j,
+        |    CASE WHEN gr.i < 64 AND gr.j < 64 THEN 'xx'
+        |         WHEN gr.i >= 64 THEN 'yy' ELSE 'xy' END AS blk,
+        |    CAST(CAST(cnt.n AS HUGEINT) * gr.g - si.s * sj.s AS DOUBLE)
+        |      AS m
+        |  FROM gr CROSS JOIN cnt
+        |  JOIN sums si ON si.dim = gr.i
+        |  JOIN sums sj ON sj.dim = gr.j),
+        |m2 AS (SELECT blk, i, j, m * m *
+        |    (CASE WHEN blk = 'xy' THEN 1.0 WHEN i = j THEN 1.0
+        |     ELSE 2.0 END) AS t
+        |  FROM mm),
+        |fb AS (SELECT blk, list(struct_pack(t := t) ORDER BY i, j) AS lst
+        |  FROM m2 GROUP BY 1),
+        |ff AS (SELECT blk,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(lst, x -> x.t)), (a, y) -> a + y) AS f2
+        |  FROM fb),
+        |pv AS (SELECT max(CASE WHEN blk = 'xx' THEN f2 END) AS fxx2,
+        |    max(CASE WHEN blk = 'yy' THEN f2 END) AS fyy2,
+        |    max(CASE WHEN blk = 'xy' THEN f2 END) AS fxy2
+        |  FROM ff)
+        |SELECT cnt.n AS n_vecs, CAST(64 AS BIGINT) AS d,
+        |  round(CASE WHEN fxx2 > 0 AND fyy2 > 0 THEN
+        |      fxy2 / (sqrt(fxx2) * sqrt(fyy2)) END * 1000000) / 1000000
+        |    AS cka_int8
+        |FROM pv CROSS JOIN cnt""".stripMargin,
+
     "emb_isotropy" ->
       """WITH e AS (SELECT embedding::DOUBLE[] AS a FROM embeddings),
         |x AS (SELECT i AS dim,
