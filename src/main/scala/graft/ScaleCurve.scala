@@ -269,7 +269,14 @@ object ScaleCurve {
     "eval_rbo", "emb_isotropy",
     // lifecycle: one user window + |weeks| join; char entropy: two
     // (source, gram) hash-aggs, charset²-bounded cells
-    "ev_lifecycle", "text_entropy")
+    "ev_lifecycle", "text_entropy",
+    // Shapley: one user hash-agg then the 32-point lattice — FLAT past
+    // the agg; CKA: the 128-dim gramFixedPoint per-partition fold
+    // (tracks emb_gram's builder economics ×4 the cells).
+    // NOT layout_prune_sim: it reads lineitem, which the generator
+    // copies verbatim (the agg_median_exact precedent — the scale
+    // argument is the one-scan bucket hash-agg shape itself)
+    "ev_attribution_shapley", "emb_cka")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
