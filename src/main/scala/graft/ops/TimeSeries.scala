@@ -951,6 +951,67 @@ object TimeSeries {
       (component(24) ++ component(168)): _*)
   }
 
+  /** Dominant-period detection per key — ts_periodogram generalized
+    * from "how strong are 24 h / 168 h" to "WHICH period is strongest"
+    * over the candidate grid {6, 8, 12, 24, 84, 168} h (the periods a
+    * traffic series plausibly carries: intra-day harmonics, daily,
+    * half-weekly, weekly). Same exact machinery — injected trig
+    * literals, mean removal multiplied through by N — emitting one
+    * (period, amp, strength) row per candidate, then a |keys|·6-row
+    * rank window picks the strongest (ties break on the SHORTER
+    * period; constant series keep a null-strength row). This is the
+    * number ts_holtwinters' season length should be SET from. */
+  def autoperiod(events: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String = "value",
+                 periods: Seq[Int] = Seq(6, 8, 12, 24, 84, 168)): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = resample(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol).as("k"),
+        (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+          .cast("long").as("h"),
+        col("n"))
+    def trig(p: Int, table: IndexedSeq[Long]): Column =
+      element_at(typedlit(table), (pmod(col("h"), lit(p)) + 1).cast("int"))
+    val aggs = Seq(
+      count(lit(1)).as("nh"),
+      sum(col("n")).cast(dec).as("s"),
+      sum(col("n").cast(dec) * col("n").cast(dec)).as("snn")) ++
+      periods.flatMap { p =>
+        Seq(
+          sum(col("n").cast(dec) * trig(p, cosMicros(p)).cast(dec))
+            .as(s"snc$p"),
+          sum(trig(p, cosMicros(p))).cast(dec).as(s"sc$p"),
+          sum(col("n").cast(dec) * trig(p, sinMicros(p)).cast(dec))
+            .as(s"sns$p"),
+          sum(trig(p, sinMicros(p))).cast(dec).as(s"ss$p"))
+      }
+    val m = series.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    val nd = col("nh").cast("double")
+    val vard = (col("nh").cast(dec) * col("snn") - col("s") * col("s"))
+      .cast("double") / (nd * nd)
+    def row(p: Int): Column = {
+      val ad = (col("nh").cast(dec) * col(s"snc$p") - col("s") * col(s"sc$p"))
+        .cast("double")
+      val bd = (col("nh").cast(dec) * col(s"sns$p") - col("s") * col(s"ss$p"))
+        .cast("double")
+      val p2 = ad * ad + bd * bd
+      val den = nd * nd * lit(1.0e6)
+      struct(lit(p.toLong).as("period"),
+        portableRound6(lit(2.0) * sqrt(p2) / den).as("amp"),
+        when(vard > 0, portableRound6(lit(2.0) * p2 / (den * den) / vard))
+          .as("strength"))
+    }
+    val rows = m.select(col("k"), col("nh"),
+        explode(array(periods.map(row): _*)).as("r"))
+      .select(col("k"), col("nh"), col("r.period").as("period"),
+        col("r.amp").as("amp"), col("r.strength").as("strength"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      .orderBy(col("strength").desc_nulls_last, col("period").asc)
+    rows.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("k").as(keyCol), col("nh").as("n_hours"),
+        col("period").as("best_period"), col("amp"), col("strength"))
+  }
+
   /** Additive trend/seasonal/residual decomposition of each key's
     * hourly count series — the STL idea with EXACT arithmetic: trend is
     * a centered 25-bucket moving mean, so trend·25 is an integer;

@@ -330,6 +330,16 @@ object EventQueries extends QueryPack {
         "event_type", "ts")
     },
 
+    // Dominant-period detection per event type: the periodogram swept
+    // over the candidate grid {6,8,12,24,84,168} h and argmaxed by
+    // explained-variance strength (ties → shorter period; constant
+    // series keep a null-strength row). The number ts_holtwinters'
+    // season length should be SET from. See TimeSeries.autoperiod.
+    "ts_autoperiod" -> { (s, dir) =>
+      graft.ops.TimeSeries.autoperiod(Tables.events(s, dir),
+        "event_type", "ts")
+    },
+
     // Partial autocorrelation at lags 1–3 per event type — the
     // Box–Jenkins AR-order diagnostic: ACF inflates lag 2 through the
     // lag-1 chain, PACF regresses the shorter lags out, so an AR(p)
@@ -2546,6 +2556,61 @@ object EventQueries extends QueryPack {
          |        + r3 * r3 / (CAST(nn AS DOUBLE) - 3.0))
          |    * 1000000) / 1000000 AS q_lb
          |FROM r""".stripMargin,
+
+    "ts_autoperiod" -> {
+      val periods = Seq(6, 8, 12, 24, 84, 168)
+      def ct(p: Int) =
+        graft.ops.TimeSeries.cosMicros(p).mkString("[", ", ", "]")
+      def st(p: Int) =
+        graft.ops.TimeSeries.sinMicros(p).mkString("[", ", ", "]")
+      val sumCols = periods.map { p =>
+        s"""    sum(CAST(n AS HUGEINT)
+           |      * (${ct(p)})[CAST(h % $p AS INT) + 1]) AS snc$p,
+           |    CAST(sum((${ct(p)})[CAST(h % $p AS INT) + 1])
+           |      AS HUGEINT) AS sc$p,
+           |    sum(CAST(n AS HUGEINT)
+           |      * (${st(p)})[CAST(h % $p AS INT) + 1]) AS sns$p,
+           |    CAST(sum((${st(p)})[CAST(h % $p AS INT) + 1])
+           |      AS HUGEINT) AS ss$p""".stripMargin
+      }.mkString(",\n")
+      val abCols = periods.map { p =>
+        s"""    CAST(nh AS HUGEINT) * snc$p - s * sc$p AS a$p,
+           |    CAST(nh AS HUGEINT) * sns$p - s * ss$p AS b$p""".stripMargin
+      }.mkString(",\n")
+      val rowSelects = periods.map { p =>
+        s"""SELECT k, nh, CAST($p AS BIGINT) AS period,
+           |  round(2.0 * sqrt(CAST(a$p AS DOUBLE) * CAST(a$p AS DOUBLE)
+           |      + CAST(b$p AS DOUBLE) * CAST(b$p AS DOUBLE))
+           |    / (nd * nd * 1000000.0) * 1000000) / 1000000 AS amp,
+           |  round(CASE WHEN vard > 0 THEN
+           |      2.0 * (CAST(a$p AS DOUBLE) * CAST(a$p AS DOUBLE)
+           |        + CAST(b$p AS DOUBLE) * CAST(b$p AS DOUBLE))
+           |        / ((nd * nd * 1000000.0) * (nd * nd * 1000000.0))
+           |        / vard END * 1000000) / 1000000 AS strength
+           |FROM v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $hourlyGridCtes,
+         |sr AS (SELECT event_type AS k,
+         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+         |m AS (SELECT k, CAST(count(*) AS BIGINT) AS nh,
+         |    CAST(sum(n) AS HUGEINT) AS s,
+         |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS snn,
+         |$sumCols
+         |  FROM sr GROUP BY 1),
+         |d AS (SELECT k, nh, s, snn,
+         |$abCols
+         |  FROM m),
+         |v AS (SELECT *, CAST(nh AS DOUBLE) AS nd,
+         |    CAST(CAST(nh AS HUGEINT) * snn - s * s AS DOUBLE)
+         |      / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE)) AS vard
+         |  FROM d),
+         |rows AS ($rowSelects),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY k
+         |    ORDER BY strength DESC NULLS LAST, period) AS rn FROM rows)
+         |SELECT k AS event_type, nh AS n_hours, period AS best_period,
+         |  amp, strength
+         |FROM rk WHERE rn = 1""".stripMargin
+    },
 
     "ts_pacf" ->
       s"""WITH $hourlyGridCtes,

@@ -54,6 +54,23 @@ class PeriodogramSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("strength_168")))
   }
 
+  test("autoperiod: planted 12 h cycle detected; constant series keeps the tie row") {
+    val counts = (0 until 12 * 40).map(h =>
+      (80 + 30 * math.cos(2 * math.Pi * h / 12)).round.toInt)
+    val df = series("p12", counts).toDF("k", "ts", "value")
+    val r = TimeSeries.autoperiod(df, "k", "ts").collect().head
+    assert(r.getAs[Long]("best_period") === 12L,
+      s"best = ${r.getAs[Long]("best_period")}")
+    assert(r.getAs[Double]("strength") > 0.95)
+    // constant: every candidate's strength null -> ties break to the
+    // shortest period with a null strength, key never vanishes
+    val c = TimeSeries.autoperiod(
+      series("c", Seq.fill(96)(5)).toDF("k", "ts", "value"), "k", "ts")
+      .collect().head
+    assert(c.getAs[Long]("best_period") === 6L)
+    assert(c.isNullAt(c.fieldIndex("strength")))
+  }
+
   test("trig tables: exact endpoints and micro scale") {
     assert(TimeSeries.cosMicros(24)(0) === 1000000L)
     assert(TimeSeries.cosMicros(24)(12) === -1000000L)
