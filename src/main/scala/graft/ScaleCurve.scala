@@ -276,7 +276,9 @@ object ScaleCurve {
     // NOT layout_prune_sim: it reads lineitem, which the generator
     // copies verbatim (the agg_median_exact precedent — the scale
     // argument is the one-scan bucket hash-agg shape itself)
-    "ev_attribution_shapley", "emb_cka")
+    "ev_attribution_shapley", "emb_cka",
+    // autoperiod: grid-bounded past the resample hash-agg (FLAT)
+    "ts_autoperiod")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
