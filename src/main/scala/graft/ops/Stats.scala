@@ -144,7 +144,12 @@ object Stats {
     val cxy = sv(sxy, sx, sy)
     val ybar = sy.cast("double") / nd
     val se = sqrt((vx - lit(2.0) * r * cxy + r * r * vy) / nd) / ybar
-    DeltaRatio(r, se)
+    // Degenerate guard (stat_jackknife's convention): n=1 makes every
+    // sample variance 0/0 and sy=0 makes ȳ=0 — a one-user or zero-event
+    // window must emit portable NULLs, not NaN/Inf (DeltaRatioStream can
+    // hit both live; DuckDB would error where Spark yields NaN).
+    val ok = n > lit(1) && sy > lit(0)
+    DeltaRatio(when(ok, r), when(ok, se))
   }
 
   /** Standard normal CDF Φ(z) as a COLUMN expression — Abramowitz &

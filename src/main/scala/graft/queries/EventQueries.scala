@@ -2080,6 +2080,68 @@ object EventQueries extends QueryPack {
     * ts_cusum / ts_seasonal / ts_xcorr oracles all start from (the same
     * fill rule as ts_resample: every type covers every hour between its
     * first and last active hour; silent hours get n = 0). */
+  /** Exact-moment lag-1..3 autocorrelation chain over the hourly
+    * grid — CTEs sr..r yielding r(k, nn, r1, r2, r3) — shared by the
+    * ts_ljungbox and ts_pacf oracles (ADVICE r12: the chain was
+    * duplicated verbatim; a fix to one twin could silently miss the
+    * other). Each r_m is the standard lag-m sample autocorrelation
+    * expanded to exact HUGEINT moments (nn^2*sxy_m - nn*s*(sh+st) +
+    * (nn-m)*s^2) / (nn*sxx - s^2) / nn, null when the series is
+    * constant or shorter than the lag. */
+  private val rhoLag123Ctes: String =
+    """sr AS (SELECT event_type AS k,
+      |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
+      |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS nn,
+      |    CAST(sum(n) AS HUGEINT) AS s,
+      |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sxx
+      |  FROM sr GROUP BY 1),
+      |l AS (SELECT a.k, lg.lag,
+      |    sum(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS sxy,
+      |    CAST(sum(a.n) AS HUGEINT) AS sh,
+      |    CAST(sum(b.n) AS HUGEINT) AS st
+      |  FROM sr a
+      |  JOIN (SELECT unnest([1, 2, 3]) AS lag) lg ON true
+      |  JOIN sr b ON b.k = a.k AND b.h = a.h + lg.lag
+      |  GROUP BY 1, 2),
+      |p AS (SELECT k,
+      |    max(CASE WHEN lag = 1 THEN sxy END) AS sxy1,
+      |    max(CASE WHEN lag = 1 THEN sh END) AS sh1,
+      |    max(CASE WHEN lag = 1 THEN st END) AS st1,
+      |    max(CASE WHEN lag = 2 THEN sxy END) AS sxy2,
+      |    max(CASE WHEN lag = 2 THEN sh END) AS sh2,
+      |    max(CASE WHEN lag = 2 THEN st END) AS st2,
+      |    max(CASE WHEN lag = 3 THEN sxy END) AS sxy3,
+      |    max(CASE WHEN lag = 3 THEN sh END) AS sh3,
+      |    max(CASE WHEN lag = 3 THEN st END) AS st3
+      |  FROM l GROUP BY 1),
+      |j AS (SELECT tot.k, tot.nn, tot.s, tot.sxx,
+      |    p.sxy1, p.sh1, p.st1, p.sxy2, p.sh2, p.st2,
+      |    p.sxy3, p.sh3, p.st3
+      |  FROM tot LEFT JOIN p USING (k)),
+      |r AS (SELECT k, nn,
+      |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
+      |          AND sxy1 IS NOT NULL THEN
+      |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy1
+      |          - CAST(nn AS HUGEINT) * s * (sh1 + st1)
+      |          + (CAST(nn AS HUGEINT) - 1) * s * s AS DOUBLE)
+      |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
+      |        / CAST(nn AS DOUBLE) END AS r1,
+      |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
+      |          AND sxy2 IS NOT NULL THEN
+      |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy2
+      |          - CAST(nn AS HUGEINT) * s * (sh2 + st2)
+      |          + (CAST(nn AS HUGEINT) - 2) * s * s AS DOUBLE)
+      |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
+      |        / CAST(nn AS DOUBLE) END AS r2,
+      |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
+      |          AND sxy3 IS NOT NULL THEN
+      |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy3
+      |          - CAST(nn AS HUGEINT) * s * (sh3 + st3)
+      |          + (CAST(nn AS HUGEINT) - 3) * s * s AS DOUBLE)
+      |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
+      |        / CAST(nn AS DOUBLE) END AS r3
+      |  FROM j)""".stripMargin
+
   private val hourlyGridCtes: String =
     """hh AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
       |    CAST(count(*) AS BIGINT) AS n
@@ -2494,58 +2556,7 @@ object EventQueries extends QueryPack {
     // any missing lag / constant key)
     "ts_ljungbox" ->
       s"""WITH $hourlyGridCtes,
-         |sr AS (SELECT event_type AS k,
-         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
-         |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS nn,
-         |    CAST(sum(n) AS HUGEINT) AS s,
-         |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sxx
-         |  FROM sr GROUP BY 1),
-         |l AS (SELECT a.k, lg.lag,
-         |    sum(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS sxy,
-         |    CAST(sum(a.n) AS HUGEINT) AS sh,
-         |    CAST(sum(b.n) AS HUGEINT) AS st
-         |  FROM sr a
-         |  JOIN (SELECT unnest([1, 2, 3]) AS lag) lg ON true
-         |  JOIN sr b ON b.k = a.k AND b.h = a.h + lg.lag
-         |  GROUP BY 1, 2),
-         |p AS (SELECT k,
-         |    max(CASE WHEN lag = 1 THEN sxy END) AS sxy1,
-         |    max(CASE WHEN lag = 1 THEN sh END) AS sh1,
-         |    max(CASE WHEN lag = 1 THEN st END) AS st1,
-         |    max(CASE WHEN lag = 2 THEN sxy END) AS sxy2,
-         |    max(CASE WHEN lag = 2 THEN sh END) AS sh2,
-         |    max(CASE WHEN lag = 2 THEN st END) AS st2,
-         |    max(CASE WHEN lag = 3 THEN sxy END) AS sxy3,
-         |    max(CASE WHEN lag = 3 THEN sh END) AS sh3,
-         |    max(CASE WHEN lag = 3 THEN st END) AS st3
-         |  FROM l GROUP BY 1),
-         |j AS (SELECT tot.k, tot.nn, tot.s, tot.sxx,
-         |    p.sxy1, p.sh1, p.st1, p.sxy2, p.sh2, p.st2,
-         |    p.sxy3, p.sh3, p.st3
-         |  FROM tot LEFT JOIN p USING (k)),
-         |r AS (SELECT k, nn,
-         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
-         |          AND sxy1 IS NOT NULL THEN
-         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy1
-         |          - CAST(nn AS HUGEINT) * s * (sh1 + st1)
-         |          + (CAST(nn AS HUGEINT) - 1) * s * s AS DOUBLE)
-         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
-         |        / CAST(nn AS DOUBLE) END AS r1,
-         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
-         |          AND sxy2 IS NOT NULL THEN
-         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy2
-         |          - CAST(nn AS HUGEINT) * s * (sh2 + st2)
-         |          + (CAST(nn AS HUGEINT) - 2) * s * s AS DOUBLE)
-         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
-         |        / CAST(nn AS DOUBLE) END AS r2,
-         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
-         |          AND sxy3 IS NOT NULL THEN
-         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy3
-         |          - CAST(nn AS HUGEINT) * s * (sh3 + st3)
-         |          + (CAST(nn AS HUGEINT) - 3) * s * s AS DOUBLE)
-         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
-         |        / CAST(nn AS DOUBLE) END AS r3
-         |  FROM j)
+         |$rhoLag123Ctes
          |SELECT k AS event_type, nn AS n_hours,
          |  round(r1 * 1000000) / 1000000 AS r1,
          |  round(r2 * 1000000) / 1000000 AS r2,
@@ -2614,58 +2625,7 @@ object EventQueries extends QueryPack {
 
     "ts_pacf" ->
       s"""WITH $hourlyGridCtes,
-         |sr AS (SELECT event_type AS k,
-         |    CAST(epoch(bucket) AS BIGINT) // 3600 AS h, n FROM ff),
-         |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS nn,
-         |    CAST(sum(n) AS HUGEINT) AS s,
-         |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sxx
-         |  FROM sr GROUP BY 1),
-         |l AS (SELECT a.k, lg.lag,
-         |    sum(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS sxy,
-         |    CAST(sum(a.n) AS HUGEINT) AS sh,
-         |    CAST(sum(b.n) AS HUGEINT) AS st
-         |  FROM sr a
-         |  JOIN (SELECT unnest([1, 2, 3]) AS lag) lg ON true
-         |  JOIN sr b ON b.k = a.k AND b.h = a.h + lg.lag
-         |  GROUP BY 1, 2),
-         |p AS (SELECT k,
-         |    max(CASE WHEN lag = 1 THEN sxy END) AS sxy1,
-         |    max(CASE WHEN lag = 1 THEN sh END) AS sh1,
-         |    max(CASE WHEN lag = 1 THEN st END) AS st1,
-         |    max(CASE WHEN lag = 2 THEN sxy END) AS sxy2,
-         |    max(CASE WHEN lag = 2 THEN sh END) AS sh2,
-         |    max(CASE WHEN lag = 2 THEN st END) AS st2,
-         |    max(CASE WHEN lag = 3 THEN sxy END) AS sxy3,
-         |    max(CASE WHEN lag = 3 THEN sh END) AS sh3,
-         |    max(CASE WHEN lag = 3 THEN st END) AS st3
-         |  FROM l GROUP BY 1),
-         |j AS (SELECT tot.k, tot.nn, tot.s, tot.sxx,
-         |    p.sxy1, p.sh1, p.st1, p.sxy2, p.sh2, p.st2,
-         |    p.sxy3, p.sh3, p.st3
-         |  FROM tot LEFT JOIN p USING (k)),
-         |r AS (SELECT k, nn,
-         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
-         |          AND sxy1 IS NOT NULL THEN
-         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy1
-         |          - CAST(nn AS HUGEINT) * s * (sh1 + st1)
-         |          + (CAST(nn AS HUGEINT) - 1) * s * s AS DOUBLE)
-         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
-         |        / CAST(nn AS DOUBLE) END AS r1,
-         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
-         |          AND sxy2 IS NOT NULL THEN
-         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy2
-         |          - CAST(nn AS HUGEINT) * s * (sh2 + st2)
-         |          + (CAST(nn AS HUGEINT) - 2) * s * s AS DOUBLE)
-         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
-         |        / CAST(nn AS DOUBLE) END AS r2,
-         |    CASE WHEN CAST(nn AS HUGEINT) * sxx - s * s > 0
-         |          AND sxy3 IS NOT NULL THEN
-         |      CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) * sxy3
-         |          - CAST(nn AS HUGEINT) * s * (sh3 + st3)
-         |          + (CAST(nn AS HUGEINT) - 3) * s * s AS DOUBLE)
-         |        / CAST(CAST(nn AS HUGEINT) * sxx - s * s AS DOUBLE)
-         |        / CAST(nn AS DOUBLE) END AS r3
-         |  FROM j),
+         |$rhoLag123Ctes,
          |d1 AS (SELECT *, 1.0 - r1 * r1 AS v1 FROM r),
          |d2 AS (SELECT *,
          |    CASE WHEN v1 > 0 THEN (r2 - r1 * r1) / v1 END AS phi22
@@ -2981,7 +2941,7 @@ object EventQueries extends QueryPack {
         |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
         |  FROM per GROUP BY 1),
-        |v AS (SELECT variant, n, CAST(n AS DOUBLE) AS nd,
+        |v AS (SELECT variant, n, sy, CAST(n AS DOUBLE) AS nd,
         |    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
         |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vx,
@@ -2992,8 +2952,10 @@ object EventQueries extends QueryPack {
         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
         |  FROM m)
         |SELECT variant, n AS n_users,
-        |  round(r / 100.0 * 1000000) / 1000000 AS r,
-        |  round(sqrt((vx - 2.0 * r * cxy + r * r * vy) / nd) / ybar
+        |  round(CASE WHEN n > 1 AND sy > 0 THEN r END
+        |    / 100.0 * 1000000) / 1000000 AS r,
+        |  round(CASE WHEN n > 1 AND sy > 0 THEN
+        |      sqrt((vx - 2.0 * r * cxy + r * r * vy) / nd) / ybar END
         |    / 100.0 * 1000000) / 1000000 AS se_delta
         |FROM v""".stripMargin,
 

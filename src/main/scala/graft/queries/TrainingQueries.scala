@@ -162,6 +162,25 @@ object TrainingQueries extends QueryPack {
     "text_entropy" -> { (s, dir) =>
       val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val docs = Tables.documents(s, dir)
+      // Structural domain clamp (r12 verdict): the charset²-bound is an
+      // ASSUMPTION about the input — a source shipping binary garbage
+      // has an unbounded gram domain and this was the registry's
+      // thinnest 625× margin. Keep each source's top-65536 grams
+      // (count desc, gram asc — deterministic) and fold the tail into
+      // one residual cell (3 chars, so it can never equal a ≤2-char
+      // gram): downstream stages are now ≤65537 cells per source BY
+      // CONSTRUCTION, and on any real charset (≤64k bigrams) the clamp
+      // is the identity. The rank sorts the CELL table (domain-sized,
+      // already post-agg), not the corpus.
+      def clamp(cells: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("c").desc, col("g"))
+        cells.withColumn("rn", row_number().over(w))
+          .select(col("source"),
+            when(col("rn") <= lit(65536), col("g")).otherwise(lit("___"))
+              .as("g"), col("c"))
+          .groupBy(col("source"), col("g")).agg(sum(col("c")).as("c"))
+      }
       def entropy(cells: org.apache.spark.sql.DataFrame) = {
         val tot = cells.groupBy(col("source")).agg(sum(col("c")).as("n"))
         val term = col("c").cast("double") / col("n").cast("double") *
@@ -174,14 +193,14 @@ object TrainingQueries extends QueryPack {
           .select(col("source"), col("n"),
             (-(col("sq").cast("double")) / lit(1.0e12)).as("h"))
       }
-      val uni = entropy(docs
+      val uni = entropy(clamp(docs
         .select(col("source"), explode(split(col("text"), "")).as("g"))
-        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c")))
-      val big = entropy(docs.where(length(col("text")) >= 2)
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))))
+      val big = entropy(clamp(docs.where(length(col("text")) >= 2)
         .select(col("source"), explode(expr(
           "transform(sequence(1, length(text) - 1)," +
             " i -> substring(text, i, 2))")).as("g"))
-        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c")))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))))
       uni.select(col("source"), col("n").as("n_chars"), col("h").as("hu"))
         .join(big.select(col("source"), col("h").as("hb")), "source")
         .select(col("source"), col("n_chars"),
@@ -1890,8 +1909,7 @@ object TrainingQueries extends QueryPack {
     // counts — train → encode → prefix-sum shard as one verified chain.
     "shard_bpe" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val rules = Bpe.train(docs, "text", rounds = 3)
-        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      val rules = bpeRules(s, dir)
       CorpusOps.shardByBudget(
         Bpe.encodeTokenCounts(docs, "doc_id", "text", rules),
         "doc_id", budget = 10000L)
@@ -2673,13 +2691,11 @@ object TrainingQueries extends QueryPack {
 
     // the inference half: per-doc token counts under the 3 learned
     // rules — the sequence-length signal packing/sharding consumes.
-    // train's merge table is driver-local (rounds-sized), so collecting
-    // the rules is free; the encode itself is a zero-shuffle projection
-    // + one per-doc sum.
+    // rules come off the bpeRules sidecar (trained once per session);
+    // the encode itself is a zero-shuffle projection + one per-doc sum.
     "text_bpe_encode" -> { (s, dir) =>
-      val rules = Bpe.train(Tables.documents(s, dir), "text", rounds = 3)
-        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
-      Bpe.encodeTokenCounts(Tables.documents(s, dir), "doc_id", "text", rules)
+      Bpe.encodeTokenCounts(Tables.documents(s, dir), "doc_id", "text",
+        bpeRules(s, dir))
     },
 
     // per-source unigram entropy — the diversity dial beside fertility
@@ -2709,11 +2725,24 @@ object TrainingQueries extends QueryPack {
     // word under the 3 learned rules — vocab_oov's cost-side twin (an
     // outlier source pays proportionally more sequence length).
     "vocab_fertility" -> { (s, dir) =>
-      val rules = Bpe.train(Tables.documents(s, dir), "text", rounds = 3)
-        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
-      Bpe.fertilityBySource(Tables.documents(s, dir), "source", "text", rules)
+      Bpe.fertilityBySource(Tables.documents(s, dir), "source", "text",
+        bpeRules(s, dir))
     }
   )
+
+  /** The 3-round learned BPE merge table as (rank, left, right)
+    * triples, served through the session sidecar so the three
+    * inference-side consumers (shard_bpe, text_bpe_encode,
+    * vocab_fertility) stop each re-running the training rounds the
+    * registered text_bpe builder already measures from scratch (r12
+    * verdict: the registry's only duplicated-work pair). The collect is
+    * rounds-sized (3 rows). */
+  private def bpeRules(s: org.apache.spark.sql.SparkSession,
+                       dir: String): Seq[(String, String)] =
+    graft.ops.Sidecar.cached(s, s"bpe_rules:$dir")(
+        Bpe.train(Tables.documents(s, dir), "text", rounds = 3))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 
   /** documents → 4x4 BMP media records (payload = first 48 text chars,
     * 'A'-padded; text is ASCII by construction so char == byte). */
@@ -2757,6 +2786,46 @@ object TrainingQueries extends QueryPack {
 
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), w -> list_contains([${words.map(w => s"'$w'").mkString(",")}], w)))"
+
+  /** The Levenshtein DP as an anti-diagonal recursion (the eval_rouge_l
+    * oracle's technique), shared by the eval_wer / eval_wer_corpus
+    * twins so a fix to one cannot silently miss the other (ADVICE
+    * r12). Unlike LCS the borders are NONZERO (dp[i][0]=i,
+    * dp[0][j]=j), so row 0 and column 0 are carried as ordinary
+    * diagonal members — diagonal d spans i in
+    * [greatest(0, d-lb), least(la, d)] — and border cells are the two
+    * CASE arms i=0 / i=d+1 (both valued d+1). Every interior read is
+    * then in range by the band inequalities (i>=1 and j>=1 pin each
+    * neighbor inside its own diagonal's span): dp[i-1][j] and
+    * dp[i][j-1] come from prev, dp[i-1][j-1] from prev2, positions
+    * shifted by each diagonal's own row offset lo(d) =
+    * greatest(0, d - lb). Yields CTE res(doc_id, la, lb, edit). */
+  private lazy val werRecCtes: String =
+    """a AS (SELECT doc_id, text AS cand FROM documents),
+        |b AS (SELECT doc_id - 1 AS doc_id, text AS rtext FROM documents),
+        |p AS (SELECT a.doc_id, string_split(a.cand, ' ') AS ct,
+        |        string_split(b.rtext, ' ') AS rt
+        |      FROM a JOIN b USING (doc_id)),
+        |lens AS (SELECT doc_id, ct, rt, CAST(len(ct) AS BIGINT) AS la,
+        |    CAST(len(rt) AS BIGINT) AS lb FROM p),
+        |rec AS (
+        |  SELECT doc_id, ct, rt, la, lb, CAST(0 AS BIGINT) AS d,
+        |    CAST([] AS BIGINT[]) AS prev2, [CAST(0 AS BIGINT)] AS prev
+        |  FROM lens
+        |  UNION ALL
+        |  SELECT doc_id, ct, rt, la, lb, d + 1, prev,
+        |    list_transform(range(greatest(0, d + 1 - lb), least(la, d + 1) + 1),
+        |      i -> CASE WHEN i = 0 OR i = d + 1 THEN d + 1
+        |        ELSE least(
+        |          prev[i - greatest(0, d - lb) + 1] + 1,
+        |          prev[i - 1 - greatest(0, d - lb) + 1] + 1,
+        |          prev2[i - 1 - greatest(0, d - 1 - lb) + 1]
+        |            + CASE WHEN ct[i] = rt[d + 1 - i] THEN 0 ELSE 1 END)
+        |      END)
+        |  FROM rec WHERE d < la + lb
+        |),
+        |res AS (SELECT doc_id, la, lb, CAST(prev[1] AS BIGINT) AS edit
+        |        FROM rec WHERE d = la + lb)""".stripMargin
 
   /** Int8 (min/max-calibrated) cosine top-k — shared by sim_topk_int8
     * and eval_rbo's quantized ranking leg. */
@@ -3507,9 +3576,14 @@ object TrainingQueries extends QueryPack {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
     "text_entropy" ->
-      """WITH uc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+      """WITH uc0 AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT source, unnest(string_split(text, '')) AS g
         |        FROM documents)
+        |  GROUP BY 1, 2),
+        |uc AS (SELECT source, g, CAST(sum(c) AS BIGINT) AS c FROM (
+        |    SELECT source, CASE WHEN row_number() OVER (
+        |        PARTITION BY source ORDER BY c DESC, g) <= 65536
+        |      THEN g ELSE '___' END AS g, c FROM uc0)
         |  GROUP BY 1, 2),
         |ut AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
         |  FROM uc GROUP BY 1),
@@ -3522,11 +3596,16 @@ object TrainingQueries extends QueryPack {
         |    -(CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE)) / 1000000000000.0
         |      AS h
         |  FROM uq GROUP BY 1),
-        |bc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        |bc0 AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT source,
         |      unnest(list_transform(range(1, length(text)),
         |        i -> substr(text, CAST(i AS INT), 2))) AS g
         |    FROM documents WHERE length(text) >= 2)
+        |  GROUP BY 1, 2),
+        |bc AS (SELECT source, g, CAST(sum(c) AS BIGINT) AS c FROM (
+        |    SELECT source, CASE WHEN row_number() OVER (
+        |        PARTITION BY source ORDER BY c DESC, g) <= 65536
+        |      THEN g ELSE '___' END AS g, c FROM bc0)
         |  GROUP BY 1, 2),
         |bt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
         |  FROM bc GROUP BY 1),
@@ -4948,44 +5027,11 @@ object TrainingQueries extends QueryPack {
         |    / 10000 AS rouge_f
         |FROM m""".stripMargin,
 
-    // The Levenshtein DP as an anti-diagonal recursion (the eval_rouge_l
-    // oracle's technique). Unlike LCS the borders are NONZERO
-    // (dp[i][0]=i, dp[0][j]=j), so row 0 and column 0 are carried as
-    // ordinary diagonal members — diagonal d spans i in
-    // [greatest(0, d−lb), least(la, d)] — and border cells are the two
-    // CASE arms i=0 / i=d+1 (both valued d+1). Every interior read is
-    // then in range by the band inequalities (i≥1 ∧ j≥1 pins each
-    // neighbor inside its own diagonal's span), so no out-of-range
-    // CASEs are needed: dp[i−1][j] and dp[i][j−1] come from prev,
-    // dp[i−1][j−1] from prev2, positions shifted by each diagonal's own
-    // row offset lo(d) = greatest(0, d − lb).
+    // Shared anti-diagonal recursion lives on werRecCtes (scaladoc
+    // there) — both WER twins compose it, per-doc vs corpus tail.
     "eval_wer" ->
-      """WITH RECURSIVE
-        |a AS (SELECT doc_id, text AS cand FROM documents),
-        |b AS (SELECT doc_id - 1 AS doc_id, text AS rtext FROM documents),
-        |p AS (SELECT a.doc_id, string_split(a.cand, ' ') AS ct,
-        |        string_split(b.rtext, ' ') AS rt
-        |      FROM a JOIN b USING (doc_id)),
-        |lens AS (SELECT doc_id, ct, rt, CAST(len(ct) AS BIGINT) AS la,
-        |    CAST(len(rt) AS BIGINT) AS lb FROM p),
-        |rec AS (
-        |  SELECT doc_id, ct, rt, la, lb, CAST(0 AS BIGINT) AS d,
-        |    CAST([] AS BIGINT[]) AS prev2, [CAST(0 AS BIGINT)] AS prev
-        |  FROM lens
-        |  UNION ALL
-        |  SELECT doc_id, ct, rt, la, lb, d + 1, prev,
-        |    list_transform(range(greatest(0, d + 1 - lb), least(la, d + 1) + 1),
-        |      i -> CASE WHEN i = 0 OR i = d + 1 THEN d + 1
-        |        ELSE least(
-        |          prev[i - greatest(0, d - lb) + 1] + 1,
-        |          prev[i - 1 - greatest(0, d - lb) + 1] + 1,
-        |          prev2[i - 1 - greatest(0, d - 1 - lb) + 1]
-        |            + CASE WHEN ct[i] = rt[d + 1 - i] THEN 0 ELSE 1 END)
-        |      END)
-        |  FROM rec WHERE d < la + lb
-        |),
-        |res AS (SELECT doc_id, la, lb, CAST(prev[1] AS BIGINT) AS edit
-        |        FROM rec WHERE d = la + lb)
+      s"""WITH RECURSIVE
+        |$werRecCtes
         |SELECT doc_id, la AS c_len, lb AS r_len, edit,
         |  round(CAST(edit AS DOUBLE) / CAST(lb AS DOUBLE) * 10000) / 10000
         |    AS wer,
@@ -4994,32 +5040,8 @@ object TrainingQueries extends QueryPack {
         |FROM res""".stripMargin,
 
     "eval_wer_corpus" ->
-      """WITH RECURSIVE
-        |a AS (SELECT doc_id, text AS cand FROM documents),
-        |b AS (SELECT doc_id - 1 AS doc_id, text AS rtext FROM documents),
-        |p AS (SELECT a.doc_id, string_split(a.cand, ' ') AS ct,
-        |        string_split(b.rtext, ' ') AS rt
-        |      FROM a JOIN b USING (doc_id)),
-        |lens AS (SELECT doc_id, ct, rt, CAST(len(ct) AS BIGINT) AS la,
-        |    CAST(len(rt) AS BIGINT) AS lb FROM p),
-        |rec AS (
-        |  SELECT doc_id, ct, rt, la, lb, CAST(0 AS BIGINT) AS d,
-        |    CAST([] AS BIGINT[]) AS prev2, [CAST(0 AS BIGINT)] AS prev
-        |  FROM lens
-        |  UNION ALL
-        |  SELECT doc_id, ct, rt, la, lb, d + 1, prev,
-        |    list_transform(range(greatest(0, d + 1 - lb), least(la, d + 1) + 1),
-        |      i -> CASE WHEN i = 0 OR i = d + 1 THEN d + 1
-        |        ELSE least(
-        |          prev[i - greatest(0, d - lb) + 1] + 1,
-        |          prev[i - 1 - greatest(0, d - lb) + 1] + 1,
-        |          prev2[i - 1 - greatest(0, d - 1 - lb) + 1]
-        |            + CASE WHEN ct[i] = rt[d + 1 - i] THEN 0 ELSE 1 END)
-        |      END)
-        |  FROM rec WHERE d < la + lb
-        |),
-        |res AS (SELECT doc_id, la, lb, CAST(prev[1] AS BIGINT) AS edit
-        |        FROM rec WHERE d = la + lb),
+      s"""WITH RECURSIVE
+        |$werRecCtes,
         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |    CAST(sum(lb) AS BIGINT) AS s_ref,
         |    CAST(sum(edit) AS BIGINT) AS s_edit,
