@@ -14,7 +14,8 @@ object Queries {
     JoinQueries,
     TpchQueries,
     TrainingQueries,
-    EventQueries
+    EventQueries,
+    InferenceQueries
   )
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -2142,7 +2142,7 @@ object EventQueries extends QueryPack {
       |        / CAST(nn AS DOUBLE) END AS r3
       |  FROM j)""".stripMargin
 
-  private val hourlyGridCtes: String =
+  private[queries] val hourlyGridCtes: String =
     """hh AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2),

@@ -2762,7 +2762,7 @@ object TrainingQueries extends QueryPack {
     * pairing is a deterministic stand-in: production candidate/reference
     * pairs arrive pre-keyed from the generator. Shared by eval_bleu /
     * eval_rouge2. */
-  private def genEvalPairs(s: org.apache.spark.sql.SparkSession,
+  private[queries] def genEvalPairs(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir)
     val a = docs.select(col("doc_id"), col("text").as("cand"))
@@ -2771,7 +2771,7 @@ object TrainingQueries extends QueryPack {
     a.join(b, Seq("doc_id"))
   }
 
-  private def genEvalOverlap(s: org.apache.spark.sql.SparkSession,
+  private[queries] def genEvalOverlap(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame =
     // generation-eval pairs always fit one task: the row-local native
     // clip (zero shuffles) over the (pair, gram) shuffle shape
@@ -3099,7 +3099,7 @@ object TrainingQueries extends QueryPack {
     * [[graft.ops.TextAnalysis.pairNgramOverlap]] replay; shared by the
     * eval_bleu / eval_rouge2 oracles. DuckDB `range(1, n)` is
     * stop-exclusive and empty when n ≤ 1, list indexing is 1-based. */
-  private lazy val genPairCtes: String =
+  private[queries] lazy val genPairCtes: String =
     """a AS (SELECT doc_id, text AS cand FROM documents),
       |b AS (SELECT doc_id - 1 AS doc_id, text AS rtext
       |      FROM documents),
@@ -3506,7 +3506,7 @@ object TrainingQueries extends QueryPack {
   /** The hashed-logistic z-score subquery (classifier weights inlined as
     * a literal array) — shared by the text_classify and eval_pr_curve
     * oracles so both replay the identical scoring chain. */
-  private def clfZSql(extraCols: String = ""): String = {
+  private[queries] def clfZSql(extraCols: String = ""): String = {
     val wl = TextAnalysis.clfWeights.mkString("[", ",", "]") + "::DOUBLE[]"
     s"""SELECT doc_id$extraCols, ${TextAnalysis.ClfBias} + list_reduce(
        |    list_prepend(CAST(0.0 AS DOUBLE),
