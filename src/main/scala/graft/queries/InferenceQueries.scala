@@ -731,20 +731,21 @@ object InferenceQueries extends QueryPack {
     // CDC apply (last-writer-wins snapshot): events are upserts of a
     // per-user register keyed by (ts, event_id), 'error' rows are
     // tombstones — the materialized CURRENT STATE a downstream feature
-    // store serves. One user_id rank window, map-side pruned
-    // (WindowGroupLimit keeps one row per user per task).
+    // store serves. ONE hash-agg: max over the (ts, event_id, …) struct
+    // is the last writer (event_id is unique, so the prefix never
+    // ties), and the change count rides the same buffer — map-side
+    // partials absorb the log, no window at all (a rank window with a
+    // sibling count-window would defeat the WindowGroupLimit prune —
+    // the r12 stat_tail_index lesson, applied at design time).
     "cdc_apply" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
       Tables.events(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n_changes",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("user_id"))))
-        .where(col("rn") === 1 && col("event_type") =!= "error")
-        .select(col("user_id"), col("ts").as("last_ts"),
-          centsL(col("value")).as("state_cents"), col("n_changes"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_changes"),
+          max(struct(col("ts"), col("event_id"), col("event_type"),
+            centsL(col("value")).as("cents"))).as("last"))
+        .where(col("last.event_type") =!= "error")
+        .select(col("user_id"), col("last.ts").as("last_ts"),
+          col("last.cents").as("state_cents"), col("n_changes"))
     },
 
     // SCD Type-2 history build: each change becomes a validity interval

@@ -743,4 +743,35 @@ class PlanShapeSpec extends SparkSpec {
       .contains("Scan parquet"),
       s"streamed side must be the materialized index, not a corpus scan:\n$p")
   }
+
+  test("r13 inference pack: rank filters prune, no cartesians, hash-aggs only") {
+    // cdc_apply is ONE hash-agg (max-struct last-writer) — no window
+    // operator at all, partial aggregation absorbs the log map-side
+    // (max over a STRUCT aggregates via SortAggregate — still
+    // partial+final with map-side absorption; the point is no Window)
+    val pc = plan("cdc_apply")
+    assert(!pc.contains("Window") && countOf(pc, "Aggregate") >= 2 &&
+      pc.contains("partial_"),
+      s"cdc snapshot must be a partial+final agg, no window:\n$pc")
+    // text_burstiness's rn<=20 must hit the WindowGroupLimit rewrite —
+    // 20 rows per source survive each map task before the shuffle
+    val pb = plan("text_burstiness")
+    assert(countOf(pb, "WindowGroupLimit") >= 2, s"top-20 must prune:\n$pb")
+    // the new stats/ts queries are hash-agg + bounded-window shapes:
+    // no cartesian, no nested-loop join may appear in any of them
+    for (q <- Seq("stat_kruskal", "stat_cmh", "stat_jarque_bera",
+        "stat_mcnemar", "stat_cramers_v", "stat_cohens_d", "stat_sign_test",
+        "ts_dickey_fuller", "ts_kpss", "ts_spectral_entropy",
+        "ts_rolling_corr", "ts_sax", "text_hapax", "text_js_divergence",
+        "text_ngram_coverage", "text_punct_profile", "eval_logloss",
+        "eval_mcc", "eval_gleu", "cdc_apply", "scd2_intervals")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+    // jarque_bera's centered second pass joins the 5-row moment table
+    // back BROADCAST — the corpus side must never sort-merge
+    val pj = plan("stat_jarque_bera")
+    assert(pj.contains("BroadcastHashJoin") && !pj.contains("SortMergeJoin"),
+      s"moment join-back must broadcast:\n$pj")
+  }
 }
