@@ -278,7 +278,28 @@ object ScaleCurve {
     // argument is the one-scan bucket hash-agg shape itself)
     "ev_attribution_shapley", "emb_cka",
     // autoperiod: grid-bounded past the resample hash-agg (FLAT)
-    "ts_autoperiod")
+    "ts_autoperiod",
+    // round-13 inference pack. Value-domain ranks (kruskal — the
+    // stat_mwu shape), |days|-strata quantized folds (cmh), the Levene
+    // centered join-back (jarque_bera), one user_id hash-agg each
+    // (mcnemar, sign_test, cohens_d), contingency cells (cramers_v)
+    "stat_kruskal", "stat_cmh", "stat_jarque_bera", "stat_mcnemar",
+    "stat_cramers_v", "stat_cohens_d", "stat_sign_test",
+    // grid-bounded past the resample hash-agg, all of them (the
+    // ts_pacf/ts_acf family); sax adds a |keys|×8 fold
+    "ts_dickey_fuller", "ts_kpss", "ts_spectral_entropy",
+    "ts_rolling_corr", "ts_sax", "ts_cointegration",
+    // one (source, word) hash-agg each; burstiness adds the
+    // WindowGroupLimit top-20 prune; ngram_coverage collapses to the
+    // count-of-counts domain; js_divergence is vocab-bounded cells
+    "text_hapax", "text_burstiness", "text_js_divergence",
+    "text_ngram_coverage", "text_punct_profile",
+    // row-local scored projections + one fold (the eval_ece shape);
+    // gleu rides the genEval pair kernel (row-local clips)
+    "eval_logloss", "eval_mcc", "eval_gleu",
+    // one user_id agg (cdc) / one user_id window (scd2) — linear;
+    // hubness is a 50-probe broadcast scan (the eval_ndcg shape)
+    "cdc_apply", "scd2_intervals", "emb_hubness")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

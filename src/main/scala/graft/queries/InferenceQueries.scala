@@ -726,6 +726,88 @@ object InferenceQueries extends QueryPack {
             clip.cast("double") / rd.cast("double")))).as("gleu"))
     },
 
+    // Engle–Granger cointegration test on the click/purchase hourly
+    // pair: OLS y on x (exact moments), residuals quantized to the
+    // 1e-2 cents-grid (BIGINT-safe: the DF moment products then peak
+    // ~1e36), then the Dickey–Fuller t on the residual series — two
+    // wandering series whose SPREAD is stationary move together (the
+    // pairs-trading / common-trend read ts_xcorr's level correlation
+    // can't give: two independent random walks correlate spuriously).
+    // Grid-bounded end to end; the 5% decision (t < −3.34) is an
+    // integer comparison.
+    "ts_cointegration" -> { (s, dir) =>
+      val series = graft.ops.TimeSeries.resample(
+        Tables.events(s, dir), "event_type", "ts", "value")
+        .select(col("event_type").as("k"),
+          (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+            .cast("long").as("h"),
+          col("n"))
+      val a = series.where(col("k") === "click")
+        .select(col("h"), col("n").as("x"))
+      val b = series.where(col("k") === "purchase")
+        .select(col("h"), col("n").as("y"))
+      val j = a.join(b, "h")
+      val mom = j.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"))
+      val sXX = d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx"))
+      val sXY = d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy"))
+      val beta = sXY.cast("double") / sXX.cast("double")
+      val alpha = (col("sy").cast("double") -
+        beta * col("sx").cast("double")) / col("n").cast("double")
+      val resid = j.crossJoin(broadcast(
+          mom.select(col("n"), beta.as("beta"), alpha.as("alpha"))))
+        .select(col("h"), col("n"), col("beta"), col("alpha"),
+          round((col("y").cast("double") - col("alpha") -
+            col("beta") * col("x").cast("double")) * lit(100.0), 0)
+            .cast("long").as("e"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+      val d = resid
+        .withColumn("ep", lag(col("e"), 1).over(w))
+        .where(col("ep").isNotNull)
+        .select(col("n"), col("beta"), col("ep").as("ea"),
+          (col("e") - col("ep")).as("ez"))
+      val m = d.groupBy(col("n"), col("beta"))
+        .agg(count(lit(1)).as("n2"), sum(col("ea")).as("sa"),
+          sum(col("ez")).as("sz"),
+          sum(d38(col("ea")) * d38(col("ea"))).as("saa"),
+          sum(d38(col("ea")) * d38(col("ez"))).as("saz"),
+          sum(d38(col("ez")) * d38(col("ez"))).as("szz"))
+      val rXX = d38(col("n2")) * col("saa") - d38(col("sa")) * d38(col("sa"))
+      val rXZ = d38(col("n2")) * col("saz") - d38(col("sa")) * d38(col("sz"))
+      val rZZ = d38(col("n2")) * col("szz") - d38(col("sz")) * d38(col("sz"))
+      val den = rXX * rZZ - rXZ * rXZ
+      val ok = col("n2") > 2 && rXX > 0 && den > 0
+      val t = rXZ.cast("double") *
+        sqrt((col("n2") - 2).cast("double") / den.cast("double"))
+      m.select(col("n").as("n_hours"), col("n2").as("n_obs"),
+        r6(col("beta")).as("beta"),
+        r4(when(ok, t)).as("t_eg"),
+        // the decision compares t (a sqrt-terminated IEEE chain —
+        // bit-identical across engines, no libm) against the literal:
+        // the DF-style integer form would need rXZ²·(n−2)·10⁴, which
+        // overflows DECIMAL(38,0) under the ×100 residual grid
+        when(ok, t < lit(-3.34)).as("cointegrated"))
+    },
+
+    // k-occurrence hubness of the embedding space: how often each
+    // vector lands in the 50-probe top-10 — high-dimensional hubs
+    // (vectors that are "everyone's neighbor") silently dominate ANN
+    // results and dedup clusters; the skewed tail of this table is the
+    // diagnostic. Same broadcast-probe economics as eval_ndcg: the
+    // corpus is scanned once, 50 probes ride in a broadcast.
+    "emb_hubness" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val occ = graft.ops.Similarity.bruteForceTopK(
+          e, e.where(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+        .groupBy(col("neighbor_id")).agg(count(lit(1)).as("k_occ"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("k_occ").desc, col("neighbor_id"))
+      occ.withColumn("rn", row_number().over(w)).where(col("rn") <= 20)
+        .select(col("neighbor_id").as("vec_id"), col("k_occ"))
+    },
+
     // ---- change-data-capture over the event log ----
 
     // CDC apply (last-writer-wins snapshot): events are upserts of a
@@ -1354,6 +1436,76 @@ object InferenceQueries extends QueryPack {
          |        CAST(clip1 + clip2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
          |    END * 10000) / 10000 AS gleu
          |FROM ov""".stripMargin,
+
+    "ts_cointegration" ->
+      s"""WITH $srCtes,
+         |a AS (SELECT h, n AS x FROM sr WHERE k = 'click'),
+         |b AS (SELECT h, n AS y FROM sr WHERE k = 'purchase'),
+         |j AS (SELECT a.h, x, y FROM a JOIN b USING (h)),
+         |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+         |  FROM j),
+         |fit AS (SELECT n,
+         |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+         |        AS DOUBLE)
+         |      / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+         |        AS DOUBLE) AS beta,
+         |    (CAST(sy AS DOUBLE)
+         |      - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+         |          AS DOUBLE)
+         |        / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+         |          AS DOUBLE)
+         |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS alpha
+         |  FROM mom),
+         |resid AS (SELECT h,
+         |    CAST(round((CAST(y AS DOUBLE) - alpha
+         |      - beta * CAST(x AS DOUBLE)) * 100.0) AS BIGINT) AS e,
+         |    n, beta
+         |  FROM j, fit),
+         |lg AS (SELECT n, beta, e,
+         |    lag(e) OVER (ORDER BY h) AS ep FROM resid),
+         |d AS (SELECT n, beta, ep AS ea, e - ep AS ez
+         |  FROM lg WHERE ep IS NOT NULL),
+         |m AS (SELECT n, beta, CAST(count(*) AS BIGINT) AS n2,
+         |    CAST(sum(ea) AS BIGINT) AS sa, CAST(sum(ez) AS BIGINT) AS sz,
+         |    sum(CAST(ea AS HUGEINT) * CAST(ea AS HUGEINT)) AS saa,
+         |    sum(CAST(ea AS HUGEINT) * CAST(ez AS HUGEINT)) AS saz,
+         |    sum(CAST(ez AS HUGEINT) * CAST(ez AS HUGEINT)) AS szz
+         |  FROM d GROUP BY 1, 2),
+         |v AS (SELECT n, beta, n2,
+         |    CAST(n2 AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS rxx,
+         |    CAST(n2 AS HUGEINT) * saz - CAST(sa AS HUGEINT) * sz AS rxz,
+         |    CAST(n2 AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz AS rzz
+         |  FROM m),
+         |w AS (SELECT n, beta, n2, rxx, rxz,
+         |    rxx * rzz - rxz * rxz AS den,
+         |    n2 > 2 AND rxx > 0 AND rxx * rzz - rxz * rxz > 0 AS ok
+         |  FROM v)
+         |SELECT n AS n_hours, n2 AS n_obs,
+         |  round(beta * 1000000) / 1000000 AS beta,
+         |  round(CASE WHEN ok THEN CAST(rxz AS DOUBLE)
+         |      * sqrt(CAST(n2 - 2 AS DOUBLE) / CAST(den AS DOUBLE)) END
+         |    * 10000) / 10000 AS t_eg,
+         |  CASE WHEN ok THEN CAST(rxz AS DOUBLE)
+         |    * sqrt(CAST(n2 - 2 AS DOUBLE) / CAST(den AS DOUBLE))
+         |    < -3.34 END AS cointegrated
+         |FROM w""".stripMargin,
+
+    "emb_hubness" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 50),
+        |p AS (SELECT qid, c.vec_id AS nid,
+        |    list_cosine_similarity(qe, c.embedding::DOUBLE[]) AS sim
+        |  FROM q, embeddings c WHERE c.vec_id <> qid),
+        |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, nid ASC) AS rk FROM p),
+        |o AS (SELECT nid, CAST(count(*) AS BIGINT) AS k_occ
+        |  FROM r WHERE rk <= 10 GROUP BY nid),
+        |t AS (SELECT nid, k_occ, row_number() OVER (
+        |    ORDER BY k_occ DESC, nid ASC) AS rn FROM o)
+        |SELECT nid AS vec_id, k_occ FROM t WHERE rn <= 20""".stripMargin,
 
     "cdc_apply" ->
       """WITH r AS (SELECT user_id, ts, event_id, event_type, value,
