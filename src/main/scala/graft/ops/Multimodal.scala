@@ -221,6 +221,53 @@ object Multimodal {
     }
   }
 
+  /** One (image, channel, bin) histogram cell. */
+  final case class ChannelBin(id: Long, channel: String, bin: Long, n: Long)
+
+  /** Per-channel intensity histogram over the FULL decoded pixel grid
+    * (8 equal-width bins per channel by default: bin = v·bins >> 8) —
+    * the color-profile feature behind screenshot/photo/diagram routing
+    * and near-constant-image triage (one saturated bin = a blank or
+    * solid-color asset). Row-local typed seam like [[resizeImage]]:
+    * real ImageIO decode, exact integer counts, zero shuffle; empty
+    * bins are NOT emitted (both engines agree on the sparse form).
+    * Undecodable payloads → one ("undecodable", -1, -1) marker row. */
+  def channelHist(media: Dataset[Row], bins: Int = 8)
+                 (implicit spark: SparkSession): Dataset[ChannelBin] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { rec =>
+        tryDecode(rec.media) match {
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val row = new Array[Int](w)
+            val cnt = Array.ofDim[Long](3, bins)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = row(x)
+                cnt(0)((((p >> 16) & 0xff) * bins) >> 8) += 1
+                cnt(1)((((p >> 8) & 0xff) * bins) >> 8) += 1
+                cnt(2)(((p & 0xff) * bins) >> 8) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val chans = Array("r", "g", "b")
+            for {
+              c <- (0 until 3).iterator; b <- (0 until bins).iterator
+              if cnt(c)(b) > 0
+            } yield ChannelBin(rec.id, chans(c), b.toLong, cnt(c)(b))
+          case None =>
+            Iterator(ChannelBin(rec.id, "undecodable", -1L, -1L))
+        }
+      }
+    }
+  }
+
   /** Perceptual hash record: -1 for undecodable payloads. */
   final case class PHash(id: Long, phash: Long)
 

@@ -100,6 +100,27 @@ object RelationalQueries extends QueryPack {
         "user_not_null" -> e.where(col("user_id").isNull)))
     },
 
+    // the embeddings-table data contract — completes the validation
+    // quartet (lineitem, documents, events, embeddings): id uniqueness,
+    // vector presence, uniform dimensionality (a ragged drop breaks
+    // every downstream dot product), no NaN components, no zero-norm
+    // vectors (cosine is undefined; they poison ANN cells). Each rule
+    // is one violation scan, same shape as the other validators.
+    "validate_embeddings" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val minDim = e.agg(min(size(col("embedding"))).as("d0"))
+      graft.ops.Relational.validateRules(Seq(
+        "vec_id_unique" -> e.groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("c")).where(col("c") > 1),
+        "embedding_not_null" -> e.where(col("embedding").isNull),
+        "dim_uniform" -> e.crossJoin(broadcast(minDim))
+          .where(size(col("embedding")) =!= col("d0")),
+        "no_nan_component" -> e.where(
+          exists(col("embedding"), x => isnan(x.cast("double")))),
+        "no_zero_norm" -> e.where(
+          size(filter(col("embedding"), x => x =!= lit(0.0f))) === 0)))
+    },
+
     // Morton (Z-order) clustering value — the multi-dim file-skipping
     // layout key (see Scale.writeZOrdered); pure bit arithmetic, codegen.
     "layout_zvalue" -> { (s, dir) =>
@@ -308,6 +329,24 @@ object RelationalQueries extends QueryPack {
         |  (SELECT count(*) FROM events WHERE value IS NULL OR value < 0)
         |UNION ALL SELECT 'user_not_null',
         |  (SELECT count(*) FROM events WHERE user_id IS NULL)""".stripMargin,
+    "validate_embeddings" ->
+      """SELECT 'vec_id_unique' AS rule,
+        |  (SELECT count(*) FROM (SELECT vec_id FROM embeddings
+        |   GROUP BY vec_id HAVING count(*) > 1)) AS n_violations
+        |UNION ALL SELECT 'embedding_not_null',
+        |  (SELECT count(*) FROM embeddings WHERE embedding IS NULL)
+        |UNION ALL SELECT 'dim_uniform',
+        |  (SELECT count(*) FROM embeddings
+        |   WHERE len(embedding) <> (SELECT min(len(embedding))
+        |                            FROM embeddings))
+        |UNION ALL SELECT 'no_nan_component',
+        |  (SELECT count(*) FROM embeddings
+        |   WHERE len(list_filter(embedding,
+        |     x -> isnan(CAST(x AS DOUBLE)))) > 0)
+        |UNION ALL SELECT 'no_zero_norm',
+        |  (SELECT count(*) FROM embeddings
+        |   WHERE len(list_filter(embedding, x -> x <> 0)) = 0)""".stripMargin,
+
     "layout_zvalue" -> {
       val z = (0 until 8).flatMap(i => Seq(
         s"(((l_partkey % 256) >> $i & 1) << ${2 * i})",

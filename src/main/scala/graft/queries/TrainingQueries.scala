@@ -2680,6 +2680,16 @@ object TrainingQueries extends QueryPack {
         "id", "phash", totalBits = 16, bands = 4, maxHamming = 2)
     },
 
+    // full-pixel per-channel intensity histogram (8 equal-width bins)
+    // over the REAL ImageIO decode — the color-profile card routing
+    // screenshots/diagrams/photos apart; the oracle replays it from the
+    // deterministic BMP byte layout (channel = byte-position mod 3 in
+    // BGR order, bin = value >> 5). Row-local typed seam, zero shuffle.
+    "mm_channel_hist" -> { (s, dir) =>
+      implicit val spark = s
+      graft.ops.Multimodal.channelHist(bmpMedia(s, dir), bins = 8).toDF()
+    },
+
     // Distributed BPE vocabulary training: 3 merge rounds over the word
     // frequency table (corpus collapses to (word, cnt) first — the
     // standard scale trick). Deterministic argmax tie-break (count desc,
@@ -6418,6 +6428,20 @@ object TrainingQueries extends QueryPack {
         |  array_to_string([substr(text, CAST(i * length(text) // 16 AS INT) + 1, 1)
         |    FOR i IN range(16)], '') AS resized
         |FROM documents""".stripMargin,
+    // histogram replay from the BMP bytes: pixel byte j = text char j
+    // ('A'=65 padded to 48), channel j mod 3 in BGR order, bin = v >> 5;
+    // empty bins are not emitted in either engine
+    "mm_channel_hist" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i < length(text)
+        |         THEN ord(substr(text, CAST(i + 1 AS INT), 1)) ELSE 65 END AS v,
+        |    CASE CAST(i % 3 AS INT) WHEN 0 THEN 'b' WHEN 1 THEN 'g'
+        |         ELSE 'r' END AS channel
+        |  FROM documents, (SELECT unnest(range(48)) AS i))
+        |SELECT doc_id AS id, channel, CAST(v // 32 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
     // Exact replay of the ImageIO decode of bmpMedia's 4x4 BMP: pixel-data
     // byte j is text char j ('A'=65 padded to 48); channel = j mod 3 in BGR
     // order; channel sums are row-order-independent, so bottom-up storage
