@@ -1606,7 +1606,10 @@ object EventQueries extends QueryPack {
         .agg(sum(col("c0")).as("n0"),
           sum(col("c") - col("c0")).as("n1"),
           sum(col("c0") * col("ar2")).as("r2"),
-          sum(col("c") * col("c") * col("c") - col("c")).as("tsum"))
+          // c³ wraps BIGINT once one distinct value holds ~1.3M rows —
+          // widen the OPERAND (the chi² lesson, applied r13)
+          sum(col("c").cast(d38) * col("c").cast(d38) * col("c").cast(d38)
+            - col("c").cast(d38)).as("tsum"))
         .withColumn("u2", col("r2") - col("n0") * (col("n0") + 1))
       val nn = col("n0") + col("n1")
       val a = col("n0") * col("n1")
@@ -3004,7 +3007,7 @@ object EventQueries extends QueryPack {
         |m AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
         |    CAST(sum(c - c0) AS BIGINT) AS n1,
         |    CAST(sum(c0 * ar2) AS BIGINT) AS r2,
-        |    CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS tsum
         |  FROM rk),
         |u AS (SELECT n0, n1, tsum, r2 - n0 * (n0 + 1) AS u2 FROM m)
         |SELECT n0, n1, u2,

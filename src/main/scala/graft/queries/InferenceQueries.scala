@@ -50,8 +50,11 @@ object InferenceQueries extends QueryPack {
       val byType = cells.join(ranked.select(col("x"), col("ar2")), "x")
         .groupBy(col("k"))
         .agg(sum(col("ck")).as("nk"), sum(col("ck") * col("ar2")).as("r2k"))
+      // c³ wraps BIGINT once one distinct value holds ~1.3M rows — the
+      // tie term widens to DECIMAL(38,0) BEFORE the cube (chi² lesson)
       val tot = vals.agg(sum(col("c")).as("nn"),
-        sum(col("c") * col("c") * col("c") - col("c")).as("tsum"))
+        sum(d38(col("c")) * d38(col("c")) * d38(col("c")) - d38(col("c")))
+          .as("tsum"))
       val nnD = col("nn").cast("double")
       val term = col("r2k").cast("double") * col("r2k").cast("double") /
         (lit(4.0) * col("nk").cast("double") * nnD * nnD)
@@ -66,7 +69,8 @@ object InferenceQueries extends QueryPack {
         col("tsum").cast("double") / (nnD * nnD * nnD - nnD)
       m.select(col("nn").as("n"), col("k_groups"),
         r4(hRaw).as("h_raw"),
-        r4(when(col("tsum") < col("nn") * col("nn") * col("nn") - col("nn"),
+        r4(when(col("tsum") <
+          d38(col("nn")) * d38(col("nn")) * d38(col("nn")) - d38(col("nn")),
           hRaw / tieAdj)).as("h"))
     },
 
@@ -1048,7 +1052,7 @@ object InferenceQueries extends QueryPack {
         |    CAST(sum(ck * ar2) AS BIGINT) AS r2k
         |  FROM cells JOIN rk USING (x) GROUP BY k),
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
-        |    CAST(sum(c * c * c - c) AS BIGINT) AS tsum FROM vals),
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS tsum FROM vals),
         |q AS (SELECT nn, tsum,
         |    CAST(round(CAST(r2k AS DOUBLE) * CAST(r2k AS DOUBLE)
         |      / (4.0 * CAST(nk AS DOUBLE) * CAST(nn AS DOUBLE)
@@ -1064,7 +1068,8 @@ object InferenceQueries extends QueryPack {
         |  FROM m)
         |SELECT nn AS n, k_groups,
         |  round(h_raw * 10000) / 10000 AS h_raw,
-        |  round(CASE WHEN tsum < nn * nn * nn - nn THEN
+        |  round(CASE WHEN tsum
+        |      < CAST(nn AS HUGEINT) * nn * nn - nn THEN
         |      h_raw / (1.0 - CAST(tsum AS DOUBLE)
         |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
         |           * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))) END
