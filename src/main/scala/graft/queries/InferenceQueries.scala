@@ -507,6 +507,195 @@ object InferenceQueries extends QueryPack {
           .as("z2"))
     },
 
+    // Friedman test: do the event types RANK consistently across days?
+    // The repeated-measures omnibus (each day is its own block, so
+    // day-of-week traffic swings cancel — the within-block cousin of
+    // stat_kruskal). Daily counts on the COMPLETE day×type grid
+    // (zero-fill: an absent type still ranks), tie-aware 2×average
+    // ranks from a per-(day, count) window, then
+    // χ²_F = 3·ΣR2_j²/(b·k·(k+1)) − 3b(k+1) — exact integers to one
+    // division. Grid-bounded past the (day, type) hash-agg.
+    "stat_friedman" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .as("day"), col("event_type"))
+      val counts = e.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val days = counts.select(col("day")).distinct()
+      val types = counts.select(col("event_type")).distinct()
+      val grid = days.crossJoin(broadcast(types))
+        .join(counts, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val vals = grid.groupBy(col("day"), col("n"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("n"))
+      val ranked = vals.withColumn("ar2",
+        lit(2L) * (sum(col("c")).over(w) - col("c")) + col("c") + 1)
+      val byType = grid.join(ranked.select(col("day"), col("n"), col("ar2")),
+          Seq("day", "n"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("ar2")).as("r2j"), count(lit(1)).as("b"))
+      val m = byType.agg(count(lit(1)).as("k"), max(col("b")).as("b"),
+        sum(d38(col("r2j")) * d38(col("r2j"))).as("sr2"))
+      val kD = col("k").cast("double")
+      val bD = col("b").cast("double")
+      m.select(col("b").as("b_days"), col("k").as("k_types"),
+        r4(lit(3.0) * col("sr2").cast("double") /
+          (bD * kD * (kD + lit(1.0))) -
+          lit(3.0) * bD * (kD + lit(1.0))).as("chi2_f"))
+    },
+
+    // Wald–Wolfowitz runs test on each type's hourly series: is the
+    // above/below-mean sign sequence random, or does it trend/cluster?
+    // (Too FEW runs = regime persistence a mean-based alarm misses; too
+    // MANY = oscillation.) Signs from the exact scaled residual
+    // T·yₜ − S (> 0 vs ≤ 0 — the standard dichotomy, documented);
+    // run count from one lag window; E[R] and Var[R] from exact
+    // integers, one final double chain. Grid-bounded.
+    "stat_runs_test" -> { (s, dir) =>
+      val series = graft.ops.TimeSeries.resample(
+        Tables.events(s, dir), "event_type", "ts", "value")
+        .select(col("event_type").as("k"),
+          (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+            .cast("long").as("h"),
+          col("n"))
+      val tot = series.groupBy(col("k"))
+        .agg(count(lit(1)).as("t"), sum(col("n")).as("s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("h"))
+      val signed = series.join(broadcast(tot), "k")
+        .select(col("k"),
+          (col("t") * col("n") - col("s") > 0).cast("long").as("sg"),
+          col("h"))
+        .withColumn("prev", lag(col("sg"), 1).over(w))
+      val m = signed.groupBy(col("k")).agg(
+        count(lit(1)).as("n"),
+        sum(col("sg")).as("n1"),
+        (sum(when(col("prev").isNotNull && col("prev") =!= col("sg"), 1L)
+          .otherwise(0L)) + 1).as("runs"))
+      val n1D = col("n1").cast("double")
+      val n2D = (col("n") - col("n1")).cast("double")
+      val nD = col("n").cast("double")
+      val eR = lit(1.0) + lit(2.0) * n1D * n2D / nD
+      val vR = lit(2.0) * n1D * n2D * (lit(2.0) * n1D * n2D - nD) /
+        (nD * nD * (nD - lit(1.0)))
+      m.select(col("k").as("event_type"), col("n").as("n_hours"),
+        col("n1").as("n_above"), col("runs").as("n_runs"),
+        r4(when(col("n1") > 0 && col("n1") < col("n") && vR > 0,
+          (col("runs").cast("double") - eR) / sqrt(vR))).as("z"))
+    },
+
+    // Bollinger-band breach census per event type: trailing 24 h mean ±
+    // 2σ, breach decided ENTIRELY in integers ((24x − Σx)² >
+    // 4·(24Σx² − (Σx)²) — no float band for a boundary hour to
+    // straddle), split by direction. The volatility-scaled anomaly
+    // count ts_anomaly's fixed MAD bar can't give on a drifting series.
+    "ts_bollinger" -> { (s, dir) =>
+      val series = graft.ops.TimeSeries.resample(
+        Tables.events(s, dir), "event_type", "ts", "value")
+        .select(col("event_type").as("k"),
+          (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+            .cast("long").as("h"),
+          col("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("h")).rowsBetween(-23, 0)
+      val b = series.select(col("k"), col("n"),
+        count(lit(1)).over(w).as("c"),
+        sum(col("n")).over(w).as("sx"),
+        sum(col("n") * col("n")).over(w).as("sxx"))
+        .where(col("c") === 24)
+      // widened BEFORE the squares: dev² wraps BIGINT past ~4e8
+      // events/hour — the stat_mwu tie-term lesson applied up front
+      val dev = d38(lit(24L) * col("n") - col("sx"))
+      val band4 = lit(4) * (d38(lit(24L)) * d38(col("sxx")) -
+        d38(col("sx")) * d38(col("sx")))
+      b.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(dev > 0 && dev * dev > band4, 1L).otherwise(0L))
+            .as("n_breach_up"),
+          sum(when(dev < 0 && dev * dev > band4, 1L).otherwise(0L))
+            .as("n_breach_down"))
+        .select(col("k").as("event_type"), col("n_windows"),
+          col("n_breach_up"), col("n_breach_down"),
+          r6((col("n_breach_up") + col("n_breach_down")).cast("double") /
+            col("n_windows").cast("double")).as("breach_frac"))
+    },
+
+    // Time-split KS drift per event type: the value distribution of the
+    // first half of the window vs the second (the production form of
+    // stat_ks, whose split is the A/B variant) — detects a metric's
+    // DISTRIBUTION moving even when its mean holds. Collapsed
+    // value-domain cumulatives; the 5% decision (D > 1.36·√((n₁+n₂)/
+    // (n₁n₂))) is an exact DECIMAL comparison.
+    "drift_ks_time" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .as("day"), centsL(col("value")).as("x"))
+      val span = e.agg(((min(col("day")) + max(col("day")) + 1) / 2)
+        .cast("long").as("mid"))
+      val grp = e.crossJoin(broadcast(span))
+        .groupBy(col("event_type"), col("x"))
+        .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("x"))
+      val tot = grp.groupBy(col("event_type"))
+        .agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+      val m = grp
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("b")).over(w))
+        .join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("n2") * col("ca") - col("n1") * col("cb")))
+            .as("dnum"))
+      m.select(col("event_type"), col("n1").as("n_early"),
+        col("n2").as("n_late"),
+        r6(when(col("n1") > 0 && col("n2") > 0,
+          col("dnum").cast("double") /
+            (col("n1") * col("n2")).cast("double"))).as("d"),
+        // D² > 1.8496·(n1+n2)/(n1·n2) ⇔ dnum²·10⁴ > 18496·n1·n2·(n1+n2)
+        when(col("n1") > 0 && col("n2") > 0,
+          d38(col("dnum")) * d38(col("dnum")) * 10000 >
+            d38(col("n1")) * d38(col("n2")) *
+              d38(col("n1") + col("n2")) * lit(18496L)).as("drifted"))
+    },
+
+    // Mixture KL card: how far is the corpus's ACTUAL token-mass
+    // distribution over sources from the declared mixing target (the
+    // same MixTargets literal mix_weights plans toward)? Both
+    // directions — KL(p‖q) punishes mass the target lacks, KL(q‖p)
+    // punishes missing coverage. Per-source libm terms quantized to
+    // the 1e-9 grid and summed exactly (|sources| terms).
+    "mix_kl" -> { (s, dir) =>
+      val targets = TrainingQueries.MixTargets.toSeq.sortBy(_._1)
+      val tl = typedlit(targets.map { case (k, v) =>
+        (k, math.round(v * 1e9)) })
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          size(filter(split(col("text"), " "), t => length(t) > lit(0)))
+            .cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("nt"))
+      val tot = toks.agg(sum(col("nt")).as("n"))
+      val j = toks.crossJoin(broadcast(tot))
+        .select(col("source"), col("nt"), col("n"),
+          (element_at(map_from_entries(tl), col("source")).cast("double") /
+            lit(1.0e9)).as("q"))
+      val pq = col("nt").cast("double") / col("n").cast("double")
+      val m = j.select(col("source"),
+        round(pq * log2(pq / col("q")) * lit(1.0e9), 0).cast("long")
+          .as("qpq"),
+        round(col("q") * log2(col("q") / pq) * lit(1.0e9), 0).cast("long")
+          .as("qqp"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(d38(col("qpq"))).as("spq"), sum(d38(col("qqp"))).as("sqp"))
+      m.select(col("n_sources"),
+        r6(col("spq").cast("double") / lit(1.0e9)).as("kl_pq"),
+        r6(col("sqp").cast("double") / lit(1.0e9)).as("kl_qp"))
+    },
+
     // ---- text / eval additions ----
 
     // Hapax statistics per source: vocabulary size, hapax legomena
@@ -1243,6 +1432,167 @@ object InferenceQueries extends QueryPack {
         |      * (1.0 - 3.0 / (4.0 * CAST(n0 + n1 AS DOUBLE) - 9.0)) END
         |    * 1000000) / 1000000 AS g
         |FROM v""".stripMargin,
+
+    "stat_friedman" ->
+      """WITH e AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day, event_type
+        |  FROM events),
+        |counts AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM counts),
+        |types AS (SELECT DISTINCT event_type FROM counts),
+        |grid AS (SELECT g.day, g.event_type, coalesce(counts.n, 0) AS n
+        |  FROM (SELECT days.day, types.event_type FROM days, types) g
+        |  LEFT JOIN counts ON counts.day = g.day
+        |    AND counts.event_type = g.event_type),
+        |vals AS (SELECT day, n, CAST(count(*) AS BIGINT) AS c
+        |  FROM grid GROUP BY 1, 2),
+        |rk AS (SELECT day, n,
+        |    2 * (CAST(sum(c) OVER (PARTITION BY day ORDER BY n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - c) + c + 1 AS ar2
+        |  FROM vals),
+        |bt AS (SELECT event_type, CAST(sum(ar2) AS BIGINT) AS r2j,
+        |    CAST(count(*) AS BIGINT) AS b
+        |  FROM grid JOIN rk USING (day, n) GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(max(b) AS BIGINT) AS b,
+        |    sum(CAST(r2j AS HUGEINT) * CAST(r2j AS HUGEINT)) AS sr2
+        |  FROM bt)
+        |SELECT b AS b_days, k AS k_types,
+        |  round((3.0 * CAST(sr2 AS DOUBLE)
+        |      / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+        |         * (CAST(k AS DOUBLE) + 1.0))
+        |    - 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+        |    * 10000) / 10000 AS chi2_f
+        |FROM m""".stripMargin,
+
+    "stat_runs_test" ->
+      s"""WITH $srCtes,
+         |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS t,
+         |    CAST(sum(n) AS BIGINT) AS s FROM sr GROUP BY 1),
+         |sg AS (SELECT sr.k, h,
+         |    CASE WHEN t * n - s > 0 THEN 1 ELSE 0 END AS sg
+         |  FROM sr JOIN tot ON tot.k = sr.k),
+         |lg AS (SELECT k, sg,
+         |    lag(sg) OVER (PARTITION BY k ORDER BY h) AS prev FROM sg),
+         |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(sg) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> sg
+         |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+         |  FROM lg GROUP BY 1),
+         |v AS (SELECT k, n, n1, runs,
+         |    1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+         |      / CAST(n AS DOUBLE) AS er,
+         |    2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+         |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+         |         - CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |         * (CAST(n AS DOUBLE) - 1.0)) AS vr
+         |  FROM m)
+         |SELECT k AS event_type, n AS n_hours, n1 AS n_above,
+         |  runs AS n_runs,
+         |  round(CASE WHEN n1 > 0 AND n1 < n AND vr > 0 THEN
+         |      (CAST(runs AS DOUBLE) - er) / sqrt(vr) END
+         |    * 10000) / 10000 AS z
+         |FROM v""".stripMargin,
+
+    "ts_bollinger" ->
+      s"""WITH $srCtes,
+         |wd AS (SELECT k, n,
+         |    CAST(count(*) OVER w AS BIGINT) AS c,
+         |    CAST(sum(n) OVER w AS BIGINT) AS sx,
+         |    CAST(sum(n * n) OVER w AS BIGINT) AS sxx
+         |  FROM sr
+         |  WINDOW w AS (PARTITION BY k ORDER BY h
+         |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |f AS (SELECT k,
+         |    CAST(24 * n - sx AS HUGEINT) AS dev,
+         |    4 * (CAST(24 AS HUGEINT) * sxx
+         |         - CAST(sx AS HUGEINT) * sx) AS band4
+         |  FROM wd WHERE c = 24),
+         |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN dev > 0 AND dev * dev > band4
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_up,
+         |    CAST(sum(CASE WHEN dev < 0 AND dev * dev > band4
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_down
+         |  FROM f GROUP BY 1)
+         |SELECT k AS event_type, n_windows, n_breach_up, n_breach_down,
+         |  round(CAST(n_breach_up + n_breach_down AS DOUBLE)
+         |    / CAST(n_windows AS DOUBLE) * 1000000) / 1000000
+         |    AS breach_frac
+         |FROM m""".stripMargin,
+
+    "drift_ks_time" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |span AS (SELECT CAST((min(day) + max(day) + 1) // 2 AS BIGINT)
+        |    AS mid FROM e),
+        |grp AS (SELECT event_type, x,
+        |    CAST(sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b
+        |  FROM e, span GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(a) AS BIGINT) AS n1,
+        |    CAST(sum(b) AS BIGINT) AS n2 FROM grp GROUP BY 1),
+        |cum AS (SELECT event_type, x,
+        |    CAST(sum(a) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(b) OVER w AS BIGINT) AS cb
+        |  FROM grp
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT cum.event_type,
+        |    CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |    CAST(max(abs(n2 * ca - n1 * cb)) AS BIGINT) AS dnum
+        |  FROM cum JOIN tot ON tot.event_type = cum.event_type
+        |  GROUP BY 1)
+        |SELECT event_type, n1 AS n_early, n2 AS n_late,
+        |  round(CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |      CAST(dnum AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) END
+        |    * 1000000) / 1000000 AS d,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CAST(dnum AS HUGEINT) * dnum * 10000
+        |      > CAST(n1 AS HUGEINT) * n2 * (n1 + n2) * 18496 END
+        |    AS drifted
+        |FROM m""".stripMargin,
+
+    "mix_kl" -> {
+      val targets = TrainingQueries.MixTargets.toSeq.sortBy(_._1)
+      val tbl = targets.map { case (k, v) =>
+        s"('$k', ${math.round(v * 1e9)})" }.mkString(", ")
+      s"""WITH tgt AS (SELECT * FROM (VALUES $tbl) t(source, qn)),
+         |toks AS (SELECT source,
+         |    CAST(sum(len(list_filter(string_split(text, ' '),
+         |      w -> len(w) > 0))) AS BIGINT) AS nt
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS n FROM toks),
+         |j AS (SELECT toks.source, nt, n,
+         |    CAST(qn AS DOUBLE) / 1000000000.0 AS q
+         |  FROM toks JOIN tgt ON tgt.source = toks.source, tot),
+         |q AS (SELECT source,
+         |    CAST(round(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE)
+         |      * log2(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE) / q)
+         |      * 1000000000.0) AS BIGINT) AS qpq,
+         |    CAST(round(q * log2(q / (CAST(nt AS DOUBLE)
+         |        / CAST(n AS DOUBLE)))
+         |      * 1000000000.0) AS BIGINT) AS qqp
+         |  FROM j),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         |    CAST(sum(CAST(qpq AS HUGEINT)) AS HUGEINT) AS spq,
+         |    CAST(sum(CAST(qqp AS HUGEINT)) AS HUGEINT) AS sqp
+         |  FROM q)
+         |SELECT n_sources,
+         |  round(CAST(spq AS DOUBLE) / 1000000000.0 * 1000000) / 1000000
+         |    AS kl_pq,
+         |  round(CAST(sqp AS DOUBLE) / 1000000000.0 * 1000000) / 1000000
+         |    AS kl_qp
+         |FROM m""".stripMargin
+    },
 
     "text_hapax" ->
       """WITH w AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c

@@ -2790,7 +2790,7 @@ object TrainingQueries extends QueryPack {
 
   /** Mixing target: upweight src0/src1, spread the rest uniformly. The
     * SAME map feeds the Spark query and (interpolated) the oracle SQL. */
-  private val MixTargets: Map[String, Double] =
+  private[queries] val MixTargets: Map[String, Double] =
     Map("src0" -> 0.2, "src1" -> 0.1) ++
       (2 until 20).map(i => s"src$i" -> 0.7 / 18).toMap
 
