@@ -100,17 +100,37 @@ object KafkaWire {
 
   private[graft] object Batch {
     val Magic: Byte = 2
+    /** attributes bits 0–2: compression codec (protocol enum). Only
+      * none/gzip are implemented — gzip is the one codec the JDK ships
+      * (snappy/lz4/zstd jars are absent and unfetchable here); a real
+      * cluster negotiating another codec fails loudly in decode. */
+    val CodecNone = 0
+    val CodecGzip = 1
+
+    private def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+
+    private def gunzip(b: Array[Byte]): Array[Byte] = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(b.length * 4 + 64)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    }
 
     def encode(baseOffset: Long, baseTs: Long,
-               records: Seq[(Array[Byte], Array[Byte])]): Array[Byte] = {
+               records: Seq[(Array[Byte], Array[Byte])],
+               codec: Int = CodecNone): Array[Byte] = {
       require(records.nonEmpty, "empty record batch")
-      val body = new W // attributes .. records (the crc-covered span)
-      body.i16(0)                       // attributes: no compression
-      body.i32(records.length - 1)      // lastOffsetDelta
-      body.i64(baseTs)                  // baseTimestamp
-      body.i64(baseTs)                  // maxTimestamp (uniform stamps)
-      body.i64(-1L); body.i16(-1); body.i32(-1) // producer id/epoch/baseSeq
-      body.i32(records.length)
+      require(codec == CodecNone || codec == CodecGzip,
+        s"unsupported codec $codec (none/gzip only)")
+      val recs = new W // the records array — the span compression covers
       records.zipWithIndex.foreach { case ((k, v), i) =>
         val r = new W
         r.i8(0)          // record attributes
@@ -120,8 +140,16 @@ object KafkaWire {
         if (v == null) r.varint(-1) else { r.varint(v.length); r.raw(v) }
         r.varint(0)      // headers
         val rb = r.result
-        body.varint(rb.length); body.raw(rb)
+        recs.varint(rb.length); recs.raw(rb)
       }
+      val body = new W // attributes .. records (the crc-covered span)
+      body.i16(codec)                   // attributes: codec in bits 0-2
+      body.i32(records.length - 1)      // lastOffsetDelta
+      body.i64(baseTs)                  // baseTimestamp
+      body.i64(baseTs)                  // maxTimestamp (uniform stamps)
+      body.i64(-1L); body.i16(-1); body.i32(-1) // producer id/epoch/baseSeq
+      body.i32(records.length)          // recordCount stays UNcompressed
+      body.raw(if (codec == CodecGzip) gzip(recs.result) else recs.result)
       val covered = body.result
       val crc = new CRC32C(); crc.update(covered)
       val out = new W
@@ -152,30 +180,40 @@ object KafkaWire {
         val crc = new CRC32C(); crc.update(covered)
         require(crc.getValue.toInt == crcStored,
           "CRC32C mismatch: record batch corrupted in transit")
-        R.i16(b) // attributes (compression 0 only in this subset)
+        val attributes = R.i16(b)
+        val codec = attributes & 0x7
+        require(codec == CodecNone || codec == CodecGzip,
+          s"unsupported compression codec $codec (none/gzip only)")
         R.i32(b) // lastOffsetDelta
         val baseTs = R.i64(b)
         R.i64(b); R.i64(b); R.i16(b); R.i32(b) // maxTs, pid, epoch, baseSeq
         val n = R.i32(b)
+        // compression covers ONLY the records array — recordCount and
+        // everything before it stay plain (the documented v2 layout)
+        val rb = if (codec == CodecGzip) {
+          val packed = new Array[Byte](batchEnd - b.position())
+          b.get(packed)
+          ByteBuffer.wrap(gunzip(packed))
+        } else b
         var i = 0
         while (i < n) {
-          val len = R.varint(b)
-          val end = b.position() + len
-          R.i8(b) // record attributes
-          val tsDelta = R.varlong(b)
-          val offDelta = R.varint(b)
-          val kl = R.varint(b)
-          val key = if (kl < 0) null else { val a = new Array[Byte](kl); b.get(a); a }
-          val vl = R.varint(b)
-          val value = if (vl < 0) null else { val a = new Array[Byte](vl); b.get(a); a }
-          val nh = R.varint(b)
+          val len = R.varint(rb)
+          val end = rb.position() + len
+          R.i8(rb) // record attributes
+          val tsDelta = R.varlong(rb)
+          val offDelta = R.varint(rb)
+          val kl = R.varint(rb)
+          val key = if (kl < 0) null else { val a = new Array[Byte](kl); rb.get(a); a }
+          val vl = R.varint(rb)
+          val value = if (vl < 0) null else { val a = new Array[Byte](vl); rb.get(a); a }
+          val nh = R.varint(rb)
           var h = 0
           while (h < nh) { // skip headers (opaque at this layer)
-            val hk = R.varint(b); b.position(b.position() + hk)
-            val hv = R.varint(b); if (hv > 0) b.position(b.position() + hv)
+            val hk = R.varint(rb); rb.position(rb.position() + hk)
+            val hv = R.varint(rb); if (hv > 0) rb.position(rb.position() + hv)
             h += 1
           }
-          require(b.position() == end, "record length mismatch")
+          require(rb.position() == end, "record length mismatch")
           out += Record(baseOffset + offDelta, baseTs + tsDelta, key, value)
           i += 1
         }
@@ -268,8 +306,9 @@ object KafkaWire {
       * (publish CONFIRMED — the at-least-once half the K3 sink needs). */
     def produce(topic: String, partition: Int,
                 records: Seq[(Array[Byte], Array[Byte])],
-                baseTs: Long = System.currentTimeMillis()): Long = {
-      val set = Batch.encode(0L, baseTs, records)
+                baseTs: Long = System.currentTimeMillis(),
+                codec: Int = Batch.CodecNone): Long = {
+      val set = Batch.encode(0L, baseTs, records, codec)
       val b = call(Api.Produce, 3) { w =>
         w.nstr(null) // transactional_id
         w.i16(-1)    // acks: full ISR

@@ -221,11 +221,40 @@ object PulsarWire {
       case T.Message =>
         val mid = f.cmd.msg(T.Message).msg(2)
         val ledger = mid.long(1); val entry = mid.long(2)
-        val key = f.meta.flatMap(_.strOpt(11)).orNull
-        val id = nextId.getAndIncrement()
-        idMap.put(id, (ledger, entry))
-        queue.add((id, key, f.payload.get))
+        val meta = f.meta.get
+        // num_messages_in_batch (MessageMetadata field 11, PulsarApi
+        // .proto): present ⇒ the payload packs n sub-messages as
+        // repeated [i32 size][SingleMessageMetadata][body] — the shape
+        // every official client produces by default. Each sub-message
+        // gets its own local id but shares the (ledger, entry)
+        // position: the cumulative ack is entry-granular, so acking
+        // through the LAST sub-message releases the batch (acking
+        // mid-batch holds the whole entry — at-least-once, documented).
+        val n = meta.longOpt(11, 0L)
+        if (n <= 0L) {
+          val key = meta.strOpt(6).orNull // partition_key (field 6)
+          val id = nextId.getAndIncrement()
+          idMap.put(id, (ledger, entry))
+          queue.add((id, key, f.payload.get))
+        } else {
+          val bb = java.nio.ByteBuffer.wrap(f.payload.get)
+          var i = 0L
+          while (i < n) {
+            val sz = bb.getInt()
+            val smmB = new Array[Byte](sz); bb.get(smmB)
+            val smm = Pb.parse(smmB)
+            val body = new Array[Byte](smm.long(3).toInt) // payload_size
+            bb.get(body)
+            val id = nextId.getAndIncrement()
+            idMap.put(id, (ledger, entry))
+            queue.add((id, smm.strOpt(2).orNull, body)) // per-msg key
+            i += 1
+          }
+          require(!bb.hasRemaining,
+            s"batched payload has ${bb.remaining()} trailing bytes")
+        }
         // additive permit replenishment at the half-window mark
+        // (permits are ENTRY-granular, like the protocol's)
         if (sinceFlow.incrementAndGet() >= math.max(permits / 2, 1)) {
           val used = sinceFlow.getAndSet(0)
           Frame.write(out, baseCmd(T.Flow, new Pb.Writer().int(1, 1L).int(2, used.toLong)))
@@ -300,9 +329,41 @@ object PulsarWire {
       val meta = new Pb.Writer()
         .str(1, producerName).int(2, s)
         .int(3, System.currentTimeMillis()) // publish_time
-      if (key != null) meta.str(11, key)    // partition_key
+      if (key != null) meta.str(6, key)     // partition_key (field 6)
       Frame.writePayload(out, baseCmd(T.Send, new Pb.Writer().int(1, 1L).int(2, s)),
         meta.result, body)
+      val receipt = awaitType(T.SendReceipt).cmd.msg(T.SendReceipt)
+      require(receipt.long(2) == s, s"SEND_RECEIPT out of order: ${receipt.long(2)} != $s")
+      val mid = receipt.msg(3)
+      (mid.long(1), mid.long(2))
+    }
+
+    /** Batched publish: ONE entry carrying every message (the official
+      * clients' default shape — broker-side dedup, bookie IO, and the
+      * cumulative-ack cursor all work at entry granularity).
+      * MessageMetadata carries num_messages_in_batch (field 11); the
+      * payload packs repeated [i32 size][SingleMessageMetadata
+      * {partition_key=2, payload_size=3}][body]. Receipt-confirmed like
+      * [[send]]; returns the single (ledgerId, entryId). */
+    def sendBatch(msgs: Seq[(String, Array[Byte])]): (Long, Long) = synchronized {
+      require(msgs.nonEmpty, "empty batch")
+      val s = seq; seq += 1
+      val meta = new Pb.Writer()
+        .str(1, producerName).int(2, s)
+        .int(3, System.currentTimeMillis())
+        .int(11, msgs.length.toLong) // num_messages_in_batch
+      val buf = new java.io.ByteArrayOutputStream(256)
+      val dos = new DataOutputStream(buf)
+      msgs.foreach { case (k, v) =>
+        val smm = new Pb.Writer()
+        if (k != null) smm.str(2, k)
+        smm.int(3, v.length.toLong)
+        val sb = smm.result
+        dos.writeInt(sb.length); dos.write(sb); dos.write(v)
+      }
+      dos.flush()
+      Frame.writePayload(out, baseCmd(T.Send, new Pb.Writer().int(1, 1L).int(2, s)),
+        meta.result, buf.toByteArray)
       val receipt = awaitType(T.SendReceipt).cmd.msg(T.SendReceipt)
       require(receipt.long(2) == s, s"SEND_RECEIPT out of order: ${receipt.long(2)} != $s")
       val mid = receipt.msg(3)

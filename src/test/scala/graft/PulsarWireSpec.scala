@@ -49,8 +49,9 @@ class PulsarWireSpec extends AnyFunSuite {
   private final class PulsarStubBroker extends AutoCloseable {
     private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
-    // topic -> ordered (entryId implied by index, key, payload)
-    private val topics = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]]
+    // topic -> ordered (entryId implied by index, key, payload,
+    // num_messages_in_batch: 0 = plain single-message entry)
+    private val topics = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[(String, Array[Byte], Long)]]
     // subscription -> mark-delete entry (last acked; -1 = nothing acked)
     private val markDelete = scala.collection.mutable.Map.empty[String, Long]
     private final class Live(val out: DataOutputStream, val topic: String,
@@ -65,7 +66,9 @@ class PulsarWireSpec extends AnyFunSuite {
 
     def markDeleteOf(sub: String): Long = synchronized(markDelete.getOrElse(sub, -1L))
     def messagesOf(topic: String): Seq[(String, Array[Byte])] =
-      synchronized(topics.getOrElse(topic, scala.collection.mutable.ArrayBuffer.empty).toList)
+      synchronized(topics.getOrElse(topic,
+        scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte], Long)])
+        .toList.map(m => (m._1, m._2)))
 
     private def msgsOf(topic: String) =
       topics.getOrElseUpdate(topic, scala.collection.mutable.ArrayBuffer.empty)
@@ -74,9 +77,10 @@ class PulsarWireSpec extends AnyFunSuite {
     private def pump(c: Live): Unit = {
       val msgs = msgsOf(c.topic)
       while (c.permits > 0 && c.cursor < msgs.length) {
-        val (key, body) = msgs(c.cursor.toInt)
+        val (key, body, nb) = msgs(c.cursor.toInt)
         val meta = new Pb.Writer().str(1, "stub").int(2, c.cursor).int(3, 1L)
-        if (key != null) meta.str(11, key)
+        if (key != null) meta.str(6, key)
+        if (nb > 0) meta.int(11, nb)
         Frame.writePayload(c.out,
           baseCmd(T.Message, new Pb.Writer().int(1, 1L)
             .msg(2, new Pb.Writer().int(1, 1L).int(2, c.cursor))),
@@ -101,13 +105,14 @@ class PulsarWireSpec extends AnyFunSuite {
             checksummedSends.incrementAndGet()
             val s = f.cmd.msg(T.Send)
             val meta = f.meta.get
-            val key = meta.strOpt(11).orNull
+            val key = meta.strOpt(6).orNull
+            val nb = meta.longOpt(11, 0L)
             // producer registration tracked per connection via topic map:
             // the stub keys messages by the producer's declared topic,
             // carried on the connection attachment below
             val topic = conn.getAttachment
             val msgs = msgsOf(topic)
-            msgs += ((key, f.payload.get))
+            msgs += ((key, f.payload.get, nb))
             val entry = msgs.length - 1L
             Frame.write(out, baseCmd(T.SendReceipt, new Pb.Writer()
               .int(1, s.long(1)).int(2, s.long(2))
@@ -305,5 +310,38 @@ class PulsarWireSpec extends AnyFunSuite {
       assert(source.pending === 1L)
       consumer.close()
     } finally broker.close()
+  }
+
+  test("batched SEND: one entry, n sub-messages, per-message keys, entry-granular ack") {
+    val broker = new PulsarStubBroker
+    val producer = new PulsarWire.Producer("127.0.0.1", broker.port, "t.batch")
+    try {
+      val (l1, e1) = producer.sendBatch(Seq(
+        ("ka", "alpha".getBytes("UTF-8")),
+        (null, "beta".getBytes("UTF-8")),
+        ("kc", "gamma".getBytes("UTF-8"))))
+      val (_, e2) = producer.send("kd", "delta".getBytes("UTF-8"))
+      assert(e1 === 0L && e2 === 1L, "a batch is ONE broker entry")
+      val consumer = new PulsarWire.Consumer("127.0.0.1", broker.port,
+        "t.batch", "sub-batch")
+      try {
+        val acc =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, String, Array[Byte])]
+        val got = eventually("4 sub-messages") {
+          acc ++= consumer.poll() // poll() drains — accumulate across tries
+          if (acc.size >= 4) Some(acc.toList) else None
+        }
+        assert(got.map(m => new String(m._3, "UTF-8")) ===
+          Seq("alpha", "beta", "gamma", "delta"))
+        assert(got.map(_._2) === Seq("ka", null, "kc", "kd"))
+        // acking through the batch's LAST sub-message moves the cursor
+        // past the whole entry; a re-subscribe redelivers only delta's
+        // successor set (nothing here)
+        consumer.ackCumulative(got(2)._1)
+        eventually("mark-delete at entry 0") {
+          if (broker.markDeleteOf("sub-batch") == 0L) Some(()) else None
+        }
+      } finally consumer.close()
+    } finally { producer.close(); broker.close() }
   }
 }
