@@ -299,7 +299,12 @@ object ScaleCurve {
     "eval_logloss", "eval_mcc", "eval_gleu",
     // one user_id agg (cdc) / one user_id window (scd2) — linear;
     // hubness is a 50-probe broadcast scan (the eval_ndcg shape)
-    "cdc_apply", "scd2_intervals", "emb_hubness")
+    "cdc_apply", "scd2_intervals", "emb_hubness",
+    // batch D: day×type grid ranks (friedman), grid sign runs,
+    // 24-row frames (bollinger), value-domain time-split KS,
+    // |sources| quantized KL folds
+    "stat_friedman", "stat_runs_test", "ts_bollinger", "drift_ks_time",
+    "mix_kl", "ts_cointegration")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
