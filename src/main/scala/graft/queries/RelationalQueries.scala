@@ -142,12 +142,16 @@ object RelationalQueries extends QueryPack {
     // sorting by l_shipdate prunes ~97% while l_orderkey/l_partkey
     // prune NOTHING (this generator draws dates independently of keys
     // — unlike classic TPC-H, and exactly the fact an advisor must
-    // measure, not assume). ONE lineitem scan for all three candidates
-    // (r12 shipped scan-per-candidate — the registry's slowest entry;
-    // a struct-array explode against the single broadcast min/max row
-    // fans each input row into its three (key, bucket) memberships
-    // before one composite hash-agg), bucket ids via exact DECIMAL
-    // floor-div (the fdiv width rule).
+    // measure, not assume). Shape: one scan + one hash-agg PER
+    // CANDIDATE — measured against two one-scan explode variants
+    // (struct-of-decimal explode and a flat posexplode of precomputed
+    // bucket ids): both fan every row into 3 and run 5.2-5.3 s at
+    // sf0.1 where the three narrow fully-codegen'd pipelines run
+    // 2.6 s — the Generate's per-element row handling costs more than
+    // two extra columnar parquet scans. (On an IO-bound cluster the
+    // trade can flip: the explode halves scan bytes at 2× agg CPU —
+    // revisit with real storage numbers, not here.) Bucket ids via
+    // exact DECIMAL floor-div (the fdiv width rule).
     "layout_prune_sim" -> { (s, dir) =>
       val epoch = java.time.LocalDate.of(1992, 1, 1)
       val predLo = java.time.temporal.ChronoUnit.DAYS.between(
@@ -157,39 +161,35 @@ object RelationalQueries extends QueryPack {
       val li = Tables.lineitem(s, dir)
       val day = datediff(col("l_shipdate").cast("date"),
         lit("1992-01-01").cast("date")).cast("long")
-      val keys = Seq("l_shipdate", "l_orderkey", "l_partkey")
-      val base = li.select(day.as("k_l_shipdate"),
-        col("l_orderkey").cast("long").as("k_l_orderkey"),
-        col("l_partkey").cast("long").as("k_l_partkey"), day.as("d"))
-      val aggs = keys.flatMap(k => Seq(min(col(s"k_$k")).as(s"mn_$k"),
-        max(col(s"k_$k")).as(s"mx_$k"))) :+ count(lit(1)).as("n")
-      val b = base.agg(aggs.head, aggs.tail: _*)
-      base.crossJoin(broadcast(b))
-        .withColumn("nb", greatest(lit(1L), expr("n DIV 1000")))
-        .select(col("d"), explode(array(keys.map(k => struct(
-          lit(k).as("sort_key"),
-          graft.ops.Stats.fdiv(
-            (col(s"k_$k") - col(s"mn_$k")).cast("decimal(38,0)") *
+      def candidate(name: String, key: org.apache.spark.sql.Column) = {
+        val base = li.select(key.cast("long").as("k"), day.as("d"))
+        val b = base.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+          count(lit(1)).as("n"))
+        base.crossJoin(broadcast(b))
+          .withColumn("nb", greatest(lit(1L), expr("n DIV 1000")))
+          .withColumn("bucket", graft.ops.Stats.fdiv(
+            (col("k") - col("mn")).cast("decimal(38,0)") *
               col("nb").cast("decimal(38,0)"),
-            (col(s"mx_$k") - col(s"mn_$k") + 1).cast("decimal(38,0)"))
-            .as("bucket"))): _*)).as("c"))
-        .select(col("c.sort_key"), col("c.bucket"), col("d"))
-        .groupBy(col("sort_key"), col("bucket"))
-        .agg(min(col("d")).as("dmn"), max(col("d")).as("dmx"),
-          count(lit(1)).as("cnt_rows"))
-        .groupBy(col("sort_key"))
-        .agg(count(lit(1)).as("n_buckets"),
-          sum(col("cnt_rows")).as("n_rows"),
-          sum(col("dmx") - col("dmn")).as("span_sum"),
-          sum(when(col("dmn") <= lit(predHi) && col("dmx") >= lit(predLo),
-            1L).otherwise(0L)).as("n_overlap"))
-        .select(col("sort_key"), col("n_buckets"), col("n_rows"),
-          graft.ops.TimeSeries.portableRound4(
-            col("span_sum").cast("double") /
-              col("n_buckets").cast("double")).as("avg_span_days"),
-          graft.ops.TimeSeries.portableRound4(
-            lit(1.0) - col("n_overlap").cast("double") /
-              col("n_buckets").cast("double")).as("prune_frac"))
+            (col("mx") - col("mn") + 1).cast("decimal(38,0)")))
+          .groupBy(col("bucket"))
+          .agg(min(col("d")).as("dmn"), max(col("d")).as("dmx"),
+            count(lit(1)).as("cnt_rows"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("cnt_rows")).as("n_rows"),
+            sum(col("dmx") - col("dmn")).as("span_sum"),
+            sum(when(col("dmn") <= lit(predHi) && col("dmx") >= lit(predLo),
+              1L).otherwise(0L)).as("n_overlap"))
+          .select(lit(name).as("sort_key"), col("n_buckets"), col("n_rows"),
+            graft.ops.TimeSeries.portableRound4(
+              col("span_sum").cast("double") /
+                col("n_buckets").cast("double")).as("avg_span_days"),
+            graft.ops.TimeSeries.portableRound4(
+              lit(1.0) - col("n_overlap").cast("double") /
+                col("n_buckets").cast("double")).as("prune_frac"))
+      }
+      candidate("l_shipdate", day)
+        .unionByName(candidate("l_orderkey", col("l_orderkey")))
+        .unionByName(candidate("l_partkey", col("l_partkey")))
     },
 
     // Hilbert clustering value — Z-order's better-locality sibling
