@@ -663,6 +663,109 @@ object InferenceQueries extends QueryPack {
               d38(col("n1") + col("n2")) * lit(18496L)).as("drifted"))
     },
 
+    // Two-regressor OLS with inference: daily purchase spend on daily
+    // clicks + views per (user, day) — the "which lever moves revenue"
+    // regression card (stat_ols is the 1-regressor line; stat_cuped
+    // uses one covariate for variance only). Everything through the
+    // ts_granger discipline: exact DECIMAL(38,0) moments, Cramer 3×3
+    // determinants (triple products of moments — width-audited ≤1e28
+    // at 625×), then ONE deterministic double chain for coefficients,
+    // t statistics (diagonal cofactors), and R². One (user, day)
+    // hash-agg then a single 10-number fold.
+    "stat_ols2" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .as("day"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("c"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("v"),
+        when(col("event_type") === "purchase", centsL(col("value")))
+          .otherwise(0L).as("y"))
+      val per = e.groupBy(col("user_id"), col("day"))
+        .agg(sum(col("c")).as("x1"), sum(col("v")).as("x2"),
+          sum(col("y")).as("y"))
+      val m = per.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("y")).as("sy"),
+        sum(d38(col("x1")) * d38(col("x1"))).as("s11"),
+        sum(d38(col("x2")) * d38(col("x2"))).as("s22"),
+        sum(d38(col("x1")) * d38(col("x2"))).as("s12"),
+        sum(d38(col("x1")) * d38(col("y"))).as("s1y"),
+        sum(d38(col("x2")) * d38(col("y"))).as("s2y"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"))
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      val (n, s1, s2, sy) =
+        (d38(col("n")), d38(col("s1")), d38(col("s2")), d38(col("sy")))
+      // X'X = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]; X'y = [sy,s1y,s2y]
+      val det = n * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        s1 * (s1 * col("s22") - s2 * col("s12")) +
+        s2 * (s1 * col("s12") - col("s11") * s2)
+      val d0 = sy * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        s1 * (col("s1y") * col("s22") - col("s2y") * col("s12")) +
+        s2 * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+      val d1 = n * (col("s1y") * col("s22") - col("s2y") * col("s12")) -
+        sy * (s1 * col("s22") - s2 * col("s12")) +
+        s2 * (s1 * col("s2y") - col("s1y") * s2)
+      val d2 = n * (col("s11") * col("s2y") - col("s12") * col("s1y")) -
+        s1 * (s1 * col("s2y") - s2 * col("s1y")) +
+        sy * (s1 * col("s12") - col("s11") * s2)
+      // diagonal cofactors for Var(b1), Var(b2)
+      val cof11 = n * col("s22") - s2 * s2
+      val cof22 = n * col("s11") - s1 * s1
+      val sse = dd(col("syy")) -
+        (dd(d0) * dd(col("sy")) + dd(d1) * dd(col("s1y")) +
+          dd(d2) * dd(col("s2y"))) / dd(det)
+      val nD = col("n").cast("double")
+      val sst = dd(col("syy")) - dd(col("sy")) * dd(col("sy")) / nD
+      val s2e = sse / (nD - lit(3.0))
+      val ok = col("n") > 3 && det > 0 && sse > 0 && sst > 0
+      m.select(col("n").as("n_units"),
+        r6(when(ok, dd(d1) / dd(det) * lit(0.01))).as("b_clicks"),
+        r6(when(ok, dd(d2) / dd(det) * lit(0.01))).as("b_views"),
+        r4(when(ok, (dd(d1) / dd(det)) /
+          sqrt(s2e * dd(cof11) / dd(det)))).as("t_clicks"),
+        r4(when(ok, (dd(d2) / dd(det)) /
+          sqrt(s2e * dd(cof22) / dd(det)))).as("t_views"),
+        r6(when(ok, lit(1.0) - sse / sst)).as("r2"))
+    },
+
+    // Lo–MacKinlay variance ratio VR(4) per event type: the variance of
+    // 4-hour changes against 4× the variance of 1-hour changes — ≈1
+    // for a random walk, <1 mean-reverting, >1 trending (the
+    // random-walk diagnostic that complements the DF/KPSS pair with a
+    // DIRECTION of departure). Both diff series fold to exact integer
+    // moments on the grid; one double division. Overlapping 4-step
+    // windows (the standard estimator), simple form documented — no
+    // heteroskedasticity correction.
+    "ts_var_ratio" -> { (s, dir) =>
+      val series = graft.ops.TimeSeries.resample(
+        Tables.events(s, dir), "event_type", "ts", "value")
+        .select(col("event_type").as("k"),
+          (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
+            .cast("long").as("h"),
+          col("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("h"))
+      val diffs = series
+        .withColumn("l1", lag(col("n"), 1).over(w))
+        .withColumn("l4", lag(col("n"), 4).over(w))
+        .select(col("k"), (col("n") - col("l1")).as("d1"),
+          (col("n") - col("l4")).as("d4"))
+      val m = diffs.groupBy(col("k")).agg(
+        count(col("d1")).as("n1"), sum(col("d1")).as("sd1"),
+        sum(d38(col("d1")) * d38(col("d1"))).as("s1q"),
+        count(col("d4")).as("n4"), sum(col("d4")).as("sd4"),
+        sum(d38(col("d4")) * d38(col("d4"))).as("s4q"))
+      val v1 = d38(col("n1")) * col("s1q") - d38(col("sd1")) * d38(col("sd1"))
+      val v4 = d38(col("n4")) * col("s4q") - d38(col("sd4")) * d38(col("sd4"))
+      // VR = (Var4/n4-ish)/(4·Var1/n1-ish) with the n(n) scalers kept
+      // exact: VR = (n1²·V4)/(4·n4²·V1) up to the shared n-1 factors —
+      // use the population-variance form on both sides (documented)
+      val vr = (d38(col("n1")) * d38(col("n1")) * v4).cast("double") /
+        (lit(4.0) * (d38(col("n4")) * d38(col("n4")) * v1).cast("double"))
+      m.select(col("k").as("event_type"), col("n1").as("n_diffs"),
+        r6(when(col("n1") > 1 && col("n4") > 1 && v1 > 0, vr)).as("vr4"))
+    },
+
     // Mixture KL card: how far is the corpus's ACTUAL token-mass
     // distribution over sources from the declared mixing target (the
     // same MixTargets literal mix_weights plans toward)? Both
@@ -1560,6 +1663,100 @@ object InferenceQueries extends QueryPack {
         |      > CAST(n1 AS HUGEINT) * n2 * (n1 + n2) * 18496 END
         |    AS drifted
         |FROM m""".stripMargin,
+
+    "stat_ols2" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS v,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END AS y
+        |  FROM events),
+        |per AS (SELECT user_id, day, CAST(sum(c) AS BIGINT) AS x1,
+        |    CAST(sum(v) AS BIGINT) AS x2, CAST(sum(y) AS BIGINT) AS y
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |    sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM per),
+        |d AS (SELECT n, sy, s1y, s2y, syy,
+        |    CAST(n AS HUGEINT) * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1 * s22 - s2 * s12)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1y * s22 - s2y * s12)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        |    CAST(n AS HUGEINT) * (s1y * s22 - s2y * s12)
+        |      - sy * (s1 * s22 - s2 * s12)
+        |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+        |    CAST(n AS HUGEINT) * (s11 * s2y - s12 * s1y)
+        |      - s1 * (s1 * s2y - s2 * s1y)
+        |      + sy * (s1 * s12 - s11 * s2) AS d2,
+        |    CAST(n AS HUGEINT) * s22 - s2 * s2 AS cof11,
+        |    CAST(n AS HUGEINT) * s11 - s1 * s1 AS cof22
+        |  FROM m),
+        |v AS (SELECT n, det, d1, d2, cof11, cof22,
+        |    CAST(syy AS DOUBLE)
+        |      - (CAST(d0 AS DOUBLE) * CAST(sy AS DOUBLE)
+        |         + CAST(d1 AS DOUBLE) * CAST(s1y AS DOUBLE)
+        |         + CAST(d2 AS DOUBLE) * CAST(s2y AS DOUBLE))
+        |        / CAST(det AS DOUBLE) AS sse,
+        |    CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |        / CAST(n AS DOUBLE) AS sst
+        |  FROM d),
+        |w AS (SELECT *, sse / (CAST(n AS DOUBLE) - 3.0) AS s2e,
+        |    n > 3 AND det > 0 AND sse > 0 AND sst > 0 AS ok
+        |  FROM v)
+        |SELECT n AS n_units,
+        |  round(CASE WHEN ok THEN CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE)
+        |      * 0.01 END * 1000000) / 1000000 AS b_clicks,
+        |  round(CASE WHEN ok THEN CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)
+        |      * 0.01 END * 1000000) / 1000000 AS b_views,
+        |  round(CASE WHEN ok THEN
+        |      (CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE))
+        |      / sqrt(s2e * CAST(cof11 AS DOUBLE) / CAST(det AS DOUBLE))
+        |    END * 10000) / 10000 AS t_clicks,
+        |  round(CASE WHEN ok THEN
+        |      (CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE))
+        |      / sqrt(s2e * CAST(cof22 AS DOUBLE) / CAST(det AS DOUBLE))
+        |    END * 10000) / 10000 AS t_views,
+        |  round(CASE WHEN ok THEN 1.0 - sse / sst END * 1000000)
+        |    / 1000000 AS r2
+        |FROM w""".stripMargin,
+
+    "ts_var_ratio" ->
+      s"""WITH $srCtes,
+         |lg AS (SELECT k, n,
+         |    lag(n, 1) OVER (PARTITION BY k ORDER BY h) AS l1,
+         |    lag(n, 4) OVER (PARTITION BY k ORDER BY h) AS l4
+         |  FROM sr),
+         |m AS (SELECT k,
+         |    CAST(count(n - l1) AS BIGINT) AS n1,
+         |    CAST(sum(n - l1) AS BIGINT) AS sd1,
+         |    sum(CAST(n - l1 AS HUGEINT) * (n - l1)) AS s1q,
+         |    CAST(count(n - l4) AS BIGINT) AS n4,
+         |    CAST(sum(n - l4) AS BIGINT) AS sd4,
+         |    sum(CAST(n - l4 AS HUGEINT) * (n - l4)) AS s4q
+         |  FROM lg GROUP BY 1),
+         |v AS (SELECT k, n1, n4,
+         |    CAST(n1 AS HUGEINT) * s1q - CAST(sd1 AS HUGEINT) * sd1 AS v1,
+         |    CAST(n4 AS HUGEINT) * s4q - CAST(sd4 AS HUGEINT) * sd4 AS v4
+         |  FROM m)
+         |SELECT k AS event_type, n1 AS n_diffs,
+         |  round(CASE WHEN n1 > 1 AND n4 > 1 AND v1 > 0 THEN
+         |      CAST(CAST(n1 AS HUGEINT) * n1 * v4 AS DOUBLE)
+         |      / (4.0 * CAST(CAST(n4 AS HUGEINT) * n4 * v1 AS DOUBLE))
+         |    END * 1000000) / 1000000 AS vr4
+         |FROM v""".stripMargin,
 
     "mix_kl" -> {
       val targets = TrainingQueries.MixTargets.toSeq.sortBy(_._1)
