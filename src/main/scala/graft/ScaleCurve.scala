@@ -304,7 +304,10 @@ object ScaleCurve {
     // 24-row frames (bollinger), value-domain time-split KS,
     // |sources| quantized KL folds
     "stat_friedman", "stat_runs_test", "ts_bollinger", "drift_ks_time",
-    "mix_kl", "ts_cointegration")
+    "mix_kl", "ts_cointegration",
+    // batch E: one (user,day) hash-agg + 10-number fold (ols2),
+    // grid lag windows (var_ratio)
+    "stat_ols2", "ts_var_ratio")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
