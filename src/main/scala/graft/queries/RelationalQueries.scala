@@ -44,6 +44,17 @@ object RelationalQueries extends QueryPack {
       graft.ops.Relational.profile(Tables.lineitem(s, dir), ProfileCols)
     },
 
+    // the corpus- and event-table siblings of profile_lineitem — the
+    // same KMV-exact profiler (count/nulls/distinct-estimate/min/max)
+    // every ingest audit runs on a new drop before anything else reads
+    // it. Columns restricted to engine-portable string casts.
+    "profile_documents" -> { (s, dir) =>
+      graft.ops.Relational.profile(Tables.documents(s, dir), DocProfileCols)
+    },
+    "profile_events" -> { (s, dir) =>
+      graft.ops.Relational.profile(Tables.events(s, dir), EventProfileCols)
+    },
+
     // contract gate before publishing a snapshot: null/range/domain
     // filters + FK orphans as a left-anti join, one violation count per
     // rule. quantity_le_45 deliberately fires (TPC-H quantities reach
@@ -208,14 +219,21 @@ object RelationalQueries extends QueryPack {
 
   private val ProfileCols =
     Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
+  // integer/string columns only: double/timestamp renderings are not
+  // engine-portable through the VARCHAR cast the profiler hashes
+  private val DocProfileCols = Seq("doc_id", "lang", "source", "n_chars")
+  private val EventProfileCols = Seq("event_id", "user_id", "event_type")
 
   /** One UNION ALL block per profiled column, replaying the KMV recipe
-    * (`agg_kmv` oracle) plus count/nulls/min/max with string casts. */
-  private def profileOracle(cols: Seq[String], k: Int): String =
+    * (`agg_kmv` oracle) plus count/nulls/min/max with string casts.
+    * Profiled columns must string-cast IDENTICALLY in both engines
+    * (integers/strings — not doubles or timestamps, whose renderings
+    * can differ). */
+  private def profileOracle(table: String, cols: Seq[String], k: Int): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name,
-         |  (SELECT count(*) FROM lineitem) AS n,
-         |  (SELECT count(*) FROM lineitem WHERE $c IS NULL) AS n_null,
+         |  (SELECT count(*) FROM $table) AS n,
+         |  (SELECT count(*) FROM $table WHERE $c IS NULL) AS n_null,
          |  (SELECT CAST(CASE WHEN max(nd) < $k THEN max(nd)
          |     ELSE round(${k - 1}.0 / (max(CASE WHEN rn = $k THEN hv END) / 4294967296.0))
          |     END AS BIGINT)
@@ -223,10 +241,10 @@ object RelationalQueries extends QueryPack {
          |           count(*) OVER () AS nd
          |         FROM (SELECT DISTINCT
          |             CAST(('0x'||substr(md5(CAST($c AS VARCHAR)),1,8)) AS BIGINT) AS hv
-         |           FROM lineitem
+         |           FROM $table
          |           WHERE $c IS NOT NULL))) AS distinct_est,
-         |  (SELECT CAST(min($c) AS VARCHAR) FROM lineitem) AS min_s,
-         |  (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_s""".stripMargin
+         |  (SELECT CAST(min($c) AS VARCHAR) FROM $table) AS min_s,
+         |  (SELECT CAST(max($c) AS VARCHAR) FROM $table) AS max_s""".stripMargin
     }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
@@ -246,7 +264,10 @@ object RelationalQueries extends QueryPack {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
         |  FROM orders)
         |WHERE rank <= 3""".stripMargin,
-    "profile_lineitem" -> profileOracle(ProfileCols, 128),
+    "profile_lineitem" -> profileOracle("lineitem", ProfileCols, 128),
+    "profile_documents" ->
+      profileOracle("documents", DocProfileCols, 128),
+    "profile_events" -> profileOracle("events", EventProfileCols, 128),
     "layout_prune_sim" -> {
       val epoch = java.time.LocalDate.of(1992, 1, 1)
       val lo = java.time.temporal.ChronoUnit.DAYS.between(
