@@ -304,7 +304,7 @@ object ScaleCurve {
     // 24-row frames (bollinger), value-domain time-split KS,
     // |sources| quantized KL folds
     "stat_friedman", "stat_runs_test", "ts_bollinger", "drift_ks_time",
-    "mix_kl", "ts_cointegration",
+    "mix_kl",
     // batch E: one (user,day) hash-agg + 10-number fold (ols2),
     // grid lag windows (var_ratio)
     "stat_ols2", "ts_var_ratio")

@@ -787,14 +787,21 @@ object InferenceQueries extends QueryPack {
           (element_at(map_from_entries(tl), col("source")).cast("double") /
             lit(1.0e9)).as("q"))
       val pq = col("nt").cast("double") / col("n").cast("double")
-      val m = j.select(col("source"),
+      // A source absent from MixTargets has q = NULL: its KL terms
+      // would silently drop from the sums while count(*) still counted
+      // the row. Surface the divergence instead — n_sources counts only
+      // MAPPED sources (matching the oracle's join) and n_unmapped is a
+      // loud sentinel (>0 = the generator grew a source; infinite-KL
+      // mass is being ignored and MixTargets needs the new entry).
+      val m = j.select(col("source"), col("q"),
         round(pq * log2(pq / col("q")) * lit(1.0e9), 0).cast("long")
           .as("qpq"),
         round(col("q") * log2(col("q") / pq) * lit(1.0e9), 0).cast("long")
           .as("qqp"))
-        .agg(count(lit(1)).as("n_sources"),
+        .agg(count(col("q")).as("n_sources"),
+          sum(when(col("q").isNull, 1L).otherwise(0L)).as("n_unmapped"),
           sum(d38(col("qpq"))).as("spq"), sum(d38(col("qqp"))).as("sqp"))
-      m.select(col("n_sources"),
+      m.select(col("n_sources"), col("n_unmapped"),
         r6(col("spq").cast("double") / lit(1.0e9)).as("kl_pq"),
         r6(col("sqp").cast("double") / lit(1.0e9)).as("kl_qp"))
     },
@@ -1770,8 +1777,8 @@ object InferenceQueries extends QueryPack {
          |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS n FROM toks),
          |j AS (SELECT toks.source, nt, n,
          |    CAST(qn AS DOUBLE) / 1000000000.0 AS q
-         |  FROM toks JOIN tgt ON tgt.source = toks.source, tot),
-         |q AS (SELECT source,
+         |  FROM toks LEFT JOIN tgt ON tgt.source = toks.source, tot),
+         |q AS (SELECT source, q,
          |    CAST(round(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE)
          |      * log2(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE) / q)
          |      * 1000000000.0) AS BIGINT) AS qpq,
@@ -1779,11 +1786,13 @@ object InferenceQueries extends QueryPack {
          |        / CAST(n AS DOUBLE)))
          |      * 1000000000.0) AS BIGINT) AS qqp
          |  FROM j),
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         |m AS (SELECT CAST(count(q) AS BIGINT) AS n_sources,
+         |    CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_unmapped,
          |    CAST(sum(CAST(qpq AS HUGEINT)) AS HUGEINT) AS spq,
          |    CAST(sum(CAST(qqp AS HUGEINT)) AS HUGEINT) AS sqp
          |  FROM q)
-         |SELECT n_sources,
+         |SELECT n_sources, n_unmapped,
          |  round(CAST(spq AS DOUBLE) / 1000000000.0 * 1000000) / 1000000
          |    AS kl_pq,
          |  round(CAST(sqp AS DOUBLE) / 1000000000.0 * 1000000) / 1000000

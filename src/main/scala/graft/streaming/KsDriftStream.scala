@@ -28,7 +28,8 @@ object KsDriftStream {
     * EVERY bin in [min..max] (zeros included — the fold needs a dense
     * ascending domain). Driver-side; |bins| bounded by the value range,
     * not the corpus. */
-  def referenceFrom(history: DataFrame, valueCol: String): Seq[(Long, Long)] = {
+  def referenceFrom(history: DataFrame, valueCol: String,
+                    maxBins: Int = 65536): Seq[(Long, Long)] = {
     val bins = history
       .select(((col(valueCol).cast("decimal(18,2)") * 100)
         .cast("long") / 100L).cast("long").as("bin"))
@@ -36,6 +37,17 @@ object KsDriftStream {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     require(bins.nonEmpty, "empty reference history")
     val lo = bins.keys.min; val hi = bins.keys.max
+    // The dense [lo..hi] span becomes a typedlit literal inside the
+    // aggregate() fold — one history outlier (a single $10M row among
+    // cents-scale values) would otherwise inflate the plan by millions
+    // of zero cells. Fail loudly instead of compiling a pathological
+    // plan; callers with genuinely wide domains pass a larger maxBins
+    // or pre-clamp the history the way windowedKs clamps stream values.
+    require(hi - lo + 1 <= maxBins,
+      s"reference bin span ${hi - lo + 1} exceeds maxBins=$maxBins " +
+        s"(bins $lo..$hi): an outlier in the history would densify into " +
+        "a multi-million-entry plan literal — clamp the history's value " +
+        "range or raise maxBins explicitly")
     (lo to hi).map(b => b -> bins.getOrElse(b, 0L))
   }
 
