@@ -160,12 +160,11 @@ object ScaleCurve {
     // scan + 10-bin fold), DoReMi reweight (the LM-builder chain + one
     // source agg — tracks eval_ppl_by_source)
     "stat_bayes_ab", "eval_brier", "mix_doremi",
-    // the chrF native row-local clip (zero shuffle — should be linear
-    // with a small constant). NOT layout_hilbert: like agg_median_exact
-    // it reads lineitem, which the generator copies verbatim — the
-    // scale argument is the row-local zero-shuffle shape itself
-    // (plan-guarded), the layout_zvalue precedent.
-    "eval_chrf",
+    // (eval_chrf — the native row-local clip — is already listed in the
+    // eleventh wave above. NOT layout_hilbert: like agg_median_exact it
+    // reads lineitem, which the generator copies verbatim — the scale
+    // argument is the row-local zero-shuffle shape itself
+    // (plan-guarded), the layout_zvalue precedent.)
     // sampled self-BLEU: 4N deterministic pairs + one partner equi-join,
     // clips row-local — linear in pair volume
     "eval_self_bleu",
@@ -307,7 +306,13 @@ object ScaleCurve {
     "mix_kl",
     // batch E: one (user,day) hash-agg + 10-number fold (ols2),
     // grid lag windows (var_ratio)
-    "stat_ols2", "ts_var_ratio")
+    "stat_ols2", "ts_var_ratio",
+    // r14 legacy sweep (r13 verdict #2): the remaining pre-r12
+    // vocab-domain shape not yet in this list (the other suspects —
+    // vocab_entropy, vocab_oov, text_zipf, vocab_fertility, text_heaps,
+    // text_novelty, mix_dsir, text_lm_kn — are already registered in the
+    // waves above). TakeOrdered top-100 after the vocab hash-agg.
+    "vocab_top")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

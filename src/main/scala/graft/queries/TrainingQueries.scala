@@ -2710,25 +2710,48 @@ object TrainingQueries extends QueryPack {
 
     // per-source unigram entropy — the diversity dial beside fertility
     // (cost) and OOV (fit): a source whose H collapses is template spam
-    // whatever its quality score says. H = log2(n) − Σc·log2(c)/n with
-    // the libm sum folded in sorted word order over the vocab-bounded
-    // count list (the stat_anova discipline: both engines add the same
-    // doubles in the same sequence), absorbed at 4dp.
+    // whatever its quality score says. H = −Σ p·log2(p) over the
+    // per-source word distribution. r13 verdict: the old form collected
+    // EVERY (word, count) pair into one per-source array — corpus-
+    // unbounded single-row state, the registry's last executor-OOM shape
+    // at 100 TB. Now the text_entropy discipline end to end: keep each
+    // source's top-65536 words (count desc, word asc — deterministic)
+    // and pool the tail into one residual cell (the single-space marker
+    // " " — impossible as a word since words come from a space split),
+    // so downstream state is ≤65537 cells per source BY CONSTRUCTION
+    // and on any real vocabulary the clamp is the identity. Per-cell
+    // p·log2(p) terms (|term| ≤ 0.531, libm diff ≤ ~1e-15 ≪ half the
+    // grid) quantize to the 1e-12 grid and sum exactly — no collected
+    // list, no order-dependent fold. `n`/`vocab` stay the TRUE
+    // pre-clamp totals (pooling preserves the count sum). Width: |q| ≤
+    // 5.31e11 per cell × 65537 cells → |sq| ≤ 3.5e16, DECIMAL(38,0).
+    // The rank window sorts the post-agg CELL table (vocab-sized), not
+    // the corpus.
     "vocab_entropy" -> { (s, dir) =>
-      val words = Tables.documents(s, dir)
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val counts = Tables.documents(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) > 0)
-      val counts = words.groupBy(col("source"), col("w"))
-        .agg(count(lit(1)).as("c"))
-      counts.groupBy(col("source"))
-        .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"),
-          sort_array(collect_list(struct(col("w"), col("c")))).as("wc"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val stats = counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("w"))
+      val cells = counts.withColumn("rn", row_number().over(rankW))
+        .select(col("source"),
+          when(col("rn") <= lit(65536), col("w")).otherwise(lit(" "))
+            .as("w"), col("c"))
+        .groupBy(col("source"), col("w")).agg(sum(col("c")).as("c"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      cells.join(broadcast(stats), "source")
         .select(col("source"), col("n"), col("vocab"),
-          (round((log2(col("n").cast("double")) -
-            aggregate(col("wc"), lit(0.0), (a, x) =>
-              a + x.getField("c").cast("double") *
-                log2(x.getField("c").cast("double"))) /
-              col("n").cast("double")) * 10000, 0) / 10000).as("entropy"))
+          round(p * log2(p) * lit(1.0e12), 0).cast("long").as("q"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n"), max(col("vocab")).as("vocab"),
+          sum(d38(col("q"))).as("sq"))
+        .select(col("source"), col("n"), col("vocab"),
+          (round(-(col("sq").cast("double")) / lit(1.0e12) * 10000, 0)
+            / 10000).as("entropy"))
     },
 
     // tokenizer fertility per source: subword tokens per whitespace
@@ -6595,25 +6618,35 @@ object TrainingQueries extends QueryPack {
          |                THEN e.n_tok ELSE 1 END) AS BIGINT) AS bpe_tokens
          |FROM dw LEFT JOIN enc e ON e.word = dw.word
          |GROUP BY dw.doc_id""".stripMargin,
-    // entropy: same sorted-word count list, same left-fold of
-    // c·log2(c) (list_reduce's seed 0.0 ≡ Spark's aggregate zero), one
-    // subtraction/division, 4dp.
+    // entropy: same top-65536 clamp (rank by count desc, word asc; tail
+    // pools into the single-space residual cell), same 1e-12-grid
+    // p·log2(p) quantization summed as HUGEINT, 4dp.
     "vocab_entropy" ->
       """WITH w AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
         |        FROM documents)
         |  WHERE length(w) > 0 GROUP BY 1, 2),
         |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
-        |    CAST(count(*) AS BIGINT) AS vocab,
-        |    list(c ORDER BY w) AS cs
-        |  FROM w GROUP BY 1)
+        |    CAST(count(*) AS BIGINT) AS vocab
+        |  FROM w GROUP BY 1),
+        |r AS (SELECT source, w, c, row_number() OVER (
+        |    PARTITION BY source ORDER BY c DESC, w) AS rn FROM w),
+        |cells AS (SELECT source,
+        |    CASE WHEN rn <= 65536 THEN w ELSE ' ' END AS w,
+        |    CAST(sum(c) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2),
+        |q AS (SELECT cells.source, a.n, a.vocab,
+        |    CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000000000.0) AS BIGINT) AS q
+        |  FROM cells JOIN a ON a.source = cells.source),
+        |m AS (SELECT source, max(n) AS n, max(vocab) AS vocab,
+        |    CAST(sum(CAST(q AS HUGEINT)) AS HUGEINT) AS sq
+        |  FROM q GROUP BY 1)
         |SELECT source, n, vocab,
-        |  round((log2(CAST(n AS DOUBLE))
-        |    - list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |        [CAST(x AS DOUBLE) * log2(CAST(x AS DOUBLE)) FOR x IN cs]),
-        |        (acc, v) -> acc + v) / CAST(n AS DOUBLE)) * 10000) / 10000
+        |  round(-CAST(sq AS DOUBLE) / 1000000000000.0 * 10000) / 10000
         |    AS entropy
-        |FROM a""".stripMargin,
+        |FROM m""".stripMargin,
     // fertility: the encode replay aggregated per source instead of per
     // doc; the one float is the final tokens-per-word division.
     "vocab_fertility" ->

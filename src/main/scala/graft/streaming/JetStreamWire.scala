@@ -56,18 +56,25 @@ final class JetStreamWire(host: String, port: Int, stream: String,
                           ioTimeoutMs: Int = 5000)
     extends JetStreamConsumer with AutoCloseable {
 
-  private val socket = new Socket(host, port)
-  socket.setSoTimeout(ioTimeoutMs)
-  private val in = new BufferedInputStream(socket.getInputStream)
-  private val out = new BufferedOutputStream(socket.getOutputStream)
+  private var socket: Socket = _
+  private var in: BufferedInputStream = _
+  private var out: BufferedOutputStream = _
+  @volatile private var closed = false
   private val inboxBase = "_INBOX.gw" + java.lang.Long.toHexString(
     java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue)
   private var inboxSeq = 0L
 
   private def send(s: String): Unit = { out.write(s.getBytes(ISO_8859_1)); out.flush() }
 
-  // handshake + inbox subscription (sid 1), flushed by PING/PONG
-  locally {
+  /** (Re)dial + handshake + inbox wildcard subscription (sid 1), flushed
+    * by PING/PONG. Used at construction AND for broker-death recovery:
+    * all durable state (consumer cursor, ack floor) lives server-side,
+    * so a reconnect needs nothing but the same durable name. */
+  private def connect(): Unit = {
+    socket = new Socket(host, port)
+    socket.setSoTimeout(ioTimeoutMs)
+    in = new BufferedInputStream(socket.getInputStream)
+    out = new BufferedOutputStream(socket.getOutputStream)
     val info = NatsWire.readLine(in)
     require(info.startsWith("INFO"), s"expected INFO, got: $info")
     send("CONNECT {\"verbose\":false,\"pedantic\":false," +
@@ -79,6 +86,7 @@ final class JetStreamWire(host: String, port: Int, stream: String,
       line = NatsWire.readLine(in)
     }
   }
+  connect()
 
   /** One delivered inbox frame: (subject, reply-or-null, payload). */
   private def readMsg(): (String, String, Array[Byte]) = {
@@ -94,16 +102,30 @@ final class JetStreamWire(host: String, port: Int, stream: String,
     (p(1), reply, NatsWire.readPayload(in, n))
   }
 
-  /** JSON request-reply on a fresh inbox suffix; returns the reply body. */
+  /** JSON request-reply on a fresh inbox suffix; returns the reply body.
+    * Broker death mid-call redials and replays the request ONCE: every
+    * JS API call here is a read or an idempotent cursor move (an ack
+    * replay past a server restart at worst redelivers — the documented
+    * at-least-once window), and the durable consumer's state survives
+    * on the server, so recovery is just the same request again. */
   private def request(subj: String, body: String): String = synchronized {
     inboxSeq += 1
     val inbox = s"$inboxBase.$inboxSeq"
     val bytes = body.getBytes(UTF_8)
-    send(s"PUB $subj $inbox ${bytes.length}\r\n")
-    out.write(bytes); send("\r\n")
-    val (msgSubj, _, payload) = readMsg()
-    require(msgSubj == inbox, s"out-of-order reply: $msgSubj != $inbox")
-    new String(payload, UTF_8)
+    def once(): String = {
+      send(s"PUB $subj $inbox ${bytes.length}\r\n")
+      out.write(bytes); send("\r\n")
+      val (msgSubj, _, payload) = readMsg()
+      require(msgSubj == inbox, s"out-of-order reply: $msgSubj != $inbox")
+      new String(payload, UTF_8)
+    }
+    try once()
+    catch {
+      case _: java.io.IOException if !closed =>
+        try socket.close() catch { case _: java.io.IOException => () }
+        connect()
+        once()
+    }
   }
 
   /** Anchored flat-field integer extraction ("...\"last_seq\":N..."). */
@@ -160,22 +182,34 @@ final class JetStreamWire(host: String, port: Int, stream: String,
     * (ackSubject, payload) pairs. */
   private def next(consumer: String, batch: Int): Seq[(String, Array[Byte])] =
     synchronized {
-      inboxSeq += 1
-      val inbox = s"$inboxBase.$inboxSeq"
-      val req = s"""{"batch":$batch,"no_wait":true}""".getBytes(UTF_8)
-      send(s"PUB $$JS.API.CONSUMER.MSG.NEXT.$stream.$consumer $inbox ${req.length}\r\n")
-      out.write(req); send("\r\n")
-      val got = Seq.newBuilder[(String, Array[Byte])]
-      var received = 0
-      var open = true
-      while (open && received < batch) {
-        val (msgSubj, reply, payload) = readMsg()
-        require(msgSubj.startsWith(inboxBase),
-          s"unexpected subject mid-pull: $msgSubj")
-        if (reply == null) open = false // status marker: nothing pending
-        else { got += ((reply, payload)); received += 1 }
+      def once(): Seq[(String, Array[Byte])] = {
+        inboxSeq += 1
+        val inbox = s"$inboxBase.$inboxSeq"
+        val req = s"""{"batch":$batch,"no_wait":true}""".getBytes(UTF_8)
+        send(s"PUB $$JS.API.CONSUMER.MSG.NEXT.$stream.$consumer $inbox ${req.length}\r\n")
+        out.write(req); send("\r\n")
+        val got = Seq.newBuilder[(String, Array[Byte])]
+        var received = 0
+        var open = true
+        while (open && received < batch) {
+          val (msgSubj, reply, payload) = readMsg()
+          require(msgSubj.startsWith(inboxBase),
+            s"unexpected subject mid-pull: $msgSubj")
+          if (reply == null) open = false // status marker: nothing pending
+          else { got += ((reply, payload)); received += 1 }
+        }
+        got.result()
       }
-      got.result()
+      // broker death mid-pull: redial and re-pull once — messages whose
+      // acks were lost with the socket simply redeliver (ack_wait), the
+      // at-least-once contract this consumer already documents
+      try once()
+      catch {
+        case _: java.io.IOException if !closed =>
+          try socket.close() catch { case _: java.io.IOException => () }
+          connect()
+          once()
+      }
     }
 
   def fetch(from: Long, until: Long): Seq[(Long, Array[Byte])] = {
@@ -247,5 +281,5 @@ final class JetStreamWire(host: String, port: Int, stream: String,
     }
   }
 
-  def close(): Unit = socket.close()
+  def close(): Unit = { closed = true; socket.close() }
 }

@@ -232,9 +232,18 @@ object KafkaWire {
 
   final class Conn(host: String, port: Int, clientId: String = "graft-wire")
       extends AutoCloseable {
-    private val socket = new Socket(host, port)
-    private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-    private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+    private var socket: Socket = _
+    private var in: DataInputStream = _
+    private var out: DataOutputStream = _
+    @volatile private var closed = false
+
+    private def connect(): Unit = {
+      socket = new Socket(host, port)
+      in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+      out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+    }
+    connect()
+
     private var corr = 0
 
     private def call(apiKey: Int, version: Int)(body: W => Unit): ByteBuffer =
@@ -244,13 +253,28 @@ object KafkaWire {
         w.i16(apiKey).i16(version).i32(corr).nstr(clientId)
         body(w)
         val frame = w.result
-        out.writeInt(frame.length); out.write(frame); out.flush()
-        val size = in.readInt()
-        val resp = new Array[Byte](size); in.readFully(resp)
-        val b = ByteBuffer.wrap(resp)
-        val gotCorr = R.i32(b)
-        require(gotCorr == corr, s"correlation id mismatch: $gotCorr != $corr")
-        b
+        def once(): ByteBuffer = {
+          out.writeInt(frame.length); out.write(frame); out.flush()
+          val size = in.readInt()
+          val resp = new Array[Byte](size); in.readFully(resp)
+          val b = ByteBuffer.wrap(resp)
+          val gotCorr = R.i32(b)
+          require(gotCorr == corr, s"correlation id mismatch: $gotCorr != $corr")
+          b
+        }
+        try once()
+        catch {
+          // Broker death mid-call: redial and replay THIS request once.
+          // Safe for the read APIs (metadata/offsets/fetch are
+          // idempotent); a produce replay can double-append when the
+          // broker died after appending but before the receipt — the
+          // documented at-least-once window of every acks-based client
+          // without idempotent-producer support.
+          case _: java.io.IOException if !closed =>
+            try socket.close() catch { case _: java.io.IOException => () }
+            connect()
+            once()
+        }
       }
 
     /** ApiVersions v0 → api_key → (min, max); the handshake asserts the
@@ -354,7 +378,7 @@ object KafkaWire {
       (hw, recs)
     }
 
-    def close(): Unit = socket.close()
+    def close(): Unit = { closed = true; socket.close() }
   }
 
   /** S3 over the wire client: one topic-partition as a [[GraftSource]].

@@ -191,18 +191,39 @@ object PulsarWire {
     * position (the reference source reads the backlog), half-window FLOW
     * replenishment. */
   final class Consumer(host: String, port: Int, topic: String, subscription: String,
-                       permits: Int = 1000)
+                       permits: Int = 1000, reconnectDelayMs: Long = 50L,
+                       maxReconnects: Int = 100)
       extends Connectors.PulsarConsumer with AutoCloseable {
-    private val socket = new Socket(host, port)
-    private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-    private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
     private val queue = new ConcurrentLinkedQueue[(Long, String, Array[Byte])]()
     private val idMap = new ConcurrentHashMap[Long, (Long, Long)]()
     private val nextId = new AtomicLong(0L)
     private val sinceFlow = new AtomicInteger(0)
     @volatile private var closed = false
+    /** A reader-side decode failure (bad CRC, unsupported compression,
+      * reconnect budget exhausted): surfaced loudly at the next
+      * [[poll]]/[[ackCumulative]] instead of dying silently on the
+      * daemon thread. */
+    @volatile private var readerFailure: Throwable = null
 
-    locally {
+    // The live socket trio. Swapped by [[connect]] on broker-death
+    // recovery; every WRITE goes through [[sendFrame]] (same monitor),
+    // so acks/permits never interleave bytes with a mid-swap socket.
+    // READS stay unsynchronized — only the reader thread touches `in`.
+    private var socket: Socket = _
+    private var in: DataInputStream = _
+    private var out: DataOutputStream = _
+
+    private def sendFrame(bytes: Array[Byte]): Unit =
+      synchronized { Frame.write(out, bytes) }
+
+    /** (Re)connect + handshake + SUBSCRIBE + full FLOW window. On a
+      * RE-subscribe the broker's cursor redelivers everything after the
+      * subscription's mark-delete position — exactly the unacked suffix,
+      * the documented at-least-once window. */
+    private def connect(): Unit = synchronized {
+      socket = new Socket(host, port)
+      in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+      out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
       handshake(in, out, "graft-wire-consumer")
       Frame.write(out, baseCmd(T.Subscribe, new Pb.Writer()
         .str(1, topic).str(2, subscription)
@@ -215,13 +236,24 @@ object PulsarWire {
       require(success.tpe == T.Success && success.cmd.msg(T.Success).long(1) == 1L,
         s"expected SUCCESS(request_id=1), got type ${success.tpe}")
       Frame.write(out, baseCmd(T.Flow, new Pb.Writer().int(1, 1L).int(2, permits.toLong)))
+      sinceFlow.set(0)
     }
+    connect()
 
     private def handle(f: Frame.In): Unit = f.tpe match {
       case T.Message =>
         val mid = f.cmd.msg(T.Message).msg(2)
         val ledger = mid.long(1); val entry = mid.long(2)
         val meta = f.meta.get
+        // compression (MessageMetadata field 8, CompressionType enum:
+        // NONE=0/LZ4/ZLIB/ZSTD/SNAPPY): no codec jar exists in this
+        // build, so a compressed entry MUST fail loudly here — passing
+        // the compressed bytes through as the payload would hand the
+        // engine garbage that only fails (or worse, doesn't) downstream.
+        val compression = meta.longOpt(8, 0L)
+        require(compression == 0L,
+          s"unsupported Pulsar compression type $compression (NONE only: " +
+            "no lz4/zlib/zstd/snappy codec is available in this build)")
         // num_messages_in_batch (MessageMetadata field 11, PulsarApi
         // .proto): present ⇒ the payload packs n sub-messages as
         // repeated [i32 size][SingleMessageMetadata][body] — the shape
@@ -257,20 +289,49 @@ object PulsarWire {
         // (permits are ENTRY-granular, like the protocol's)
         if (sinceFlow.incrementAndGet() >= math.max(permits / 2, 1)) {
           val used = sinceFlow.getAndSet(0)
-          Frame.write(out, baseCmd(T.Flow, new Pb.Writer().int(1, 1L).int(2, used.toLong)))
+          sendFrame(baseCmd(T.Flow, new Pb.Writer().int(1, 1L).int(2, used.toLong)))
         }
-      case T.Ping => Frame.write(out, emptyCmd(T.Pong))
+      case T.Ping => sendFrame(emptyCmd(T.Pong))
       case _ => () // PONG / SUCCESS echoes: nothing at this layer
     }
 
+    /** Reader loop with broker-death recovery: an IOException while the
+      * consumer is still open means the socket died under us — reconnect
+      * (re-handshake + re-SUBSCRIBE) and let the broker's cursor
+      * redeliver the unacked suffix. Non-IO failures (decode/CRC/codec
+      * requires) are terminal and surface at the next [[poll]]. */
     private val reader = new Thread(() => {
-      try while (!closed) handle(Frame.read(in))
-      catch { case _: java.io.IOException => () } // closed socket
+      var attempts = 0
+      while (!closed && readerFailure == null) {
+        try { handle(Frame.read(in)); attempts = 0 }
+        catch {
+          case _: java.io.IOException if closed => () // deliberate close
+          case io: java.io.IOException =>
+            attempts += 1
+            if (attempts > maxReconnects)
+              readerFailure = new java.io.IOException(
+                s"pulsar wire consumer: gave up after $maxReconnects reconnect attempts", io)
+            else {
+              Thread.sleep(reconnectDelayMs)
+              // a failed dial leaves `in` on the dead stream: the next
+              // read throws immediately and we land back here to retry
+              try connect()
+              catch { case _: java.io.IOException => () }
+            }
+          case t: Throwable => readerFailure = t
+        }
+      }
     }, s"pulsar-wire-reader-$subscription")
     reader.setDaemon(true)
     reader.start()
 
+    private def checkAlive(): Unit =
+      if (readerFailure != null)
+        throw new IllegalStateException(
+          "pulsar wire consumer reader died", readerFailure)
+
     def poll(): Seq[(Long, String, Array[Byte])] = {
+      checkAlive()
       val b = Seq.newBuilder[(Long, String, Array[Byte])]
       var m = queue.poll()
       while (m != null) { b += m; m = queue.poll() }
@@ -278,9 +339,10 @@ object PulsarWire {
     }
 
     def ackCumulative(messageId: Long): Unit = {
+      checkAlive()
       val pos = idMap.get(messageId)
       require(pos != null, s"unknown local message id $messageId (already acked?)")
-      Frame.write(out, baseCmd(T.Ack, new Pb.Writer()
+      sendFrame(baseCmd(T.Ack, new Pb.Writer()
         .int(1, 1L)  // consumer_id
         .int(2, 1L)  // AckType Cumulative
         .msg(3, new Pb.Writer().int(1, pos._1).int(2, pos._2))))
@@ -288,7 +350,11 @@ object PulsarWire {
       idMap.keySet.forEach(k => if (k <= messageId) idMap.remove(k))
     }
 
-    def close(): Unit = { closed = true; socket.close() }
+    // Unsynchronized on purpose: taking the monitor here could deadlock
+    // against a reconnect blocked in connect()'s handshake reads. Worst
+    // case the close races a swap and the fresh socket leaks to its
+    // daemon reader — `closed` still stops the loop at the next frame.
+    def close(): Unit = { closed = true; val s = socket; if (s != null) s.close() }
   }
 
   // ---- producer ----

@@ -22,15 +22,34 @@ import graft.streaming.{Connectors, JetStreamWire, NatsWire}
   * (classpath-gated; the jar is absent and unfetchable here). */
 class JetStreamWireSpec extends AnyFunSuite {
 
+  /** Rebind `port` with SO_REUSEADDR + a short retry: the killed
+    * listener's socket can linger briefly and BindException here would
+    * be a test flake, not a finding. */
+  private def rebind(port: Int): ServerSocket = {
+    var last: java.io.IOException = null
+    var i = 0
+    while (i < 50) {
+      try {
+        val s = new ServerSocket()
+        s.setReuseAddress(true)
+        s.bind(new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, port), 16)
+        return s
+      } catch { case e: java.net.BindException => last = e; Thread.sleep(20) }
+      i += 1
+    }
+    throw last
+  }
+
   /** Loopback NATS + single-stream JetStream façade. Token-wildcard
     * subject routing ('*' matches one token — inbox subscriptions are
     * `_INBOX.<id>.*`); one thread per connection; JS state (messages,
     * durables, ack floor) shared across connections. */
   private final class JsStubBroker(stream: String, streamSubject: String)
       extends AutoCloseable {
-    private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    @volatile private var server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     private val subs = new CopyOnWriteArrayList[(String, OutputStream, String)]()
+    private val liveSocks = new CopyOnWriteArrayList[Socket]()
     private val messages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     // consumer name -> next stream seq to deliver
     private val cursors = scala.collection.mutable.Map.empty[String, Long]
@@ -57,13 +76,20 @@ class JetStreamWireSpec extends AnyFunSuite {
     }
 
     private def deliver(subject: String, reply: String, body: Array[Byte]): Unit =
-      subs.forEach { case (pat, o, sid) =>
+      subs.forEach { e =>
+        val (pat, o, sid) = e
         if (tokenMatch(pat, subject)) o.synchronized {
-          val r = if (reply == null) "" else s" $reply"
-          o.write(s"MSG $subject $sid$r ${body.length}\r\n".getBytes(ISO_8859_1))
-          o.write(body)
-          o.write("\r\n".getBytes(ISO_8859_1))
-          o.flush()
+          try {
+            val r = if (reply == null) "" else s" $reply"
+            o.write(s"MSG $subject $sid$r ${body.length}\r\n".getBytes(ISO_8859_1))
+            o.write(body)
+            o.write("\r\n".getBytes(ISO_8859_1))
+            o.flush()
+          } catch {
+            // a killed connection's subscription: drop it so deliveries
+            // to live (post-restart) subscribers are never aborted
+            case _: java.io.IOException => subs.remove(e)
+          }
         }
       }
 
@@ -173,17 +199,37 @@ class JetStreamWireSpec extends AnyFunSuite {
       } catch { case _: java.io.IOException => () }
     }
 
-    private val acceptor = new Thread(() => {
-      try while (!closed) {
-        val sock = server.accept()
-        val t = new Thread(() => serve(sock), "js-stub-conn")
-        t.setDaemon(true); t.start()
-      } catch { case _: java.io.IOException => () }
-    }, "js-stub-acceptor")
-    acceptor.setDaemon(true)
-    acceptor.start()
+    private def startAcceptor(): Unit = {
+      val srv = server
+      val acceptor = new Thread(() => {
+        try while (!closed) {
+          val sock = srv.accept()
+          liveSocks.add(sock)
+          val t = new Thread(() => serve(sock), "js-stub-conn")
+          t.setDaemon(true); t.start()
+        } catch { case _: java.io.IOException => () }
+      }, "js-stub-acceptor")
+      acceptor.setDaemon(true)
+      acceptor.start()
+    }
+    startAcceptor()
 
-    def close(): Unit = { closed = true; server.close() }
+    /** Chaos hook: drop the listener and every live connection; the
+      * JetStream state (stream messages, durables, ack floors, cursors)
+      * survives — the restarted server's recovered store. */
+    def kill(): Unit = {
+      server.close()
+      liveSocks.forEach(s => try s.close() catch { case _: java.io.IOException => () })
+      liveSocks.clear()
+    }
+
+    /** Rebind the SAME port for redialing clients. */
+    def restart(): Unit = {
+      server = rebind(port)
+      startAcceptor()
+    }
+
+    def close(): Unit = { closed = true; kill() }
   }
 
   private def body(i: Int): Array[Byte] = s"payload-$i".getBytes(ISO_8859_1)
@@ -254,6 +300,36 @@ class JetStreamWireSpec extends AnyFunSuite {
         NatsWire.publish("127.0.0.1", broker.port, "logs.app", Seq(body(5)))
         assert(src.pending == 1L)
         assert(new String(src.read(0, 5L, 6L).next().value, ISO_8859_1) == "payload-5")
+      } finally js.close()
+    } finally broker.close()
+  }
+
+  test("chaos: server dies mid-session, restarts, and the SAME client redials — " +
+      "unacked messages redeliver, the durable floor survives") {
+    val broker = new JsStubBroker("ORDERS", "orders.new")
+    try {
+      NatsWire.publish("127.0.0.1", broker.port, "orders.new", (1 to 6).map(body))
+      val js = new JetStreamWire("127.0.0.1", broker.port, "ORDERS",
+        "orders.new", durable = "graft-dx")
+      try {
+        js.ackUpTo(3L) // durable floor at 3; 4..6 delivered-but-NAK'd
+        assert(broker.ackFloor("graft-dx") == 3L)
+        broker.kill()
+        broker.restart()
+        // the SAME instance: first call hits the dead socket, redials,
+        // replays — the durable's server-side state is all it needs
+        assert(js.lastSequence == 6L)
+        assert(js.ackFloor == 3L) // the missed acks stayed missed: floor intact
+        // the unacked suffix redelivers in full (no loss across the crash)
+        val redelivered = js.fetch(4L, 7L)
+        assert(redelivered.map(_._1) == Seq(4L, 5L, 6L))
+        redelivered.foreach { case (seq, b) =>
+          assert(java.util.Arrays.equals(b, body(seq.toInt)))
+        }
+        // and the recovered session can complete the ack it never sent
+        js.ackUpTo(6L)
+        assert(broker.ackFloor("graft-dx") == 6L)
+        assert(js.ackFloor == 6L)
       } finally js.close()
     } finally broker.close()
   }

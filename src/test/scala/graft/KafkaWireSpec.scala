@@ -21,6 +21,24 @@ import graft.streaming.KafkaWire.{Api, Batch, R, W}
   * fields against an independent bit-level CRC32C. */
 class KafkaWireSpec extends AnyFunSuite {
 
+  /** Rebind `port` with SO_REUSEADDR + a short retry: the killed
+    * listener's socket can linger briefly and BindException here would
+    * be a test flake, not a finding. */
+  private def rebind(port: Int): ServerSocket = {
+    var last: java.io.IOException = null
+    var i = 0
+    while (i < 50) {
+      try {
+        val s = new ServerSocket()
+        s.setReuseAddress(true)
+        s.bind(new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, port), 16)
+        return s
+      } catch { case e: java.net.BindException => last = e; Thread.sleep(20) }
+      i += 1
+    }
+    throw last
+  }
+
   private def crc32cRef(bytes: Array[Byte]): Long = {
     var crc = 0xffffffffL
     bytes.foreach { b =>
@@ -37,12 +55,28 @@ class KafkaWireSpec extends AnyFunSuite {
   /** Loopback stub: one in-memory log per (topic, partition); one thread
     * per connection; the shared log synchronized on the broker. */
   private final class KafkaStubBroker extends AutoCloseable {
-    private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    @volatile private var server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     // (topic, partition) -> append log of (timestamp, key, value)
     private val logs = scala.collection.mutable.Map
       .empty[(String, Int), scala.collection.mutable.ArrayBuffer[KafkaWire.Record]]
+    private val liveConns =
+      new java.util.concurrent.CopyOnWriteArrayList[java.net.Socket]()
     @volatile private var closed = false
+
+    /** Chaos hook: drop the listener AND every live connection, keeping
+      * the logs — the disk of a crashed broker. */
+    def kill(): Unit = {
+      server.close()
+      liveConns.forEach(s => try s.close() catch { case _: java.io.IOException => () })
+      liveConns.clear()
+    }
+
+    /** Rebind the SAME port (the restarted broker clients redial). */
+    def restart(): Unit = {
+      server = rebind(port)
+      startAcceptor()
+    }
 
     def logSize(topic: String, p: Int): Int =
       synchronized(logs.get((topic, p)).map(_.length).getOrElse(0))
@@ -128,33 +162,38 @@ class KafkaWireSpec extends AnyFunSuite {
         case other => throw new IllegalStateException(s"stub: api $other")
       }
 
-    private val acceptor = new Thread(() => {
-      try while (!closed) {
-        val s = server.accept()
-        val t = new Thread(() => {
-          val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
-          val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
-          try while (!closed) {
-            val size = in.readInt()
-            val frame = new Array[Byte](size); in.readFully(frame)
-            val b = ByteBuffer.wrap(frame)
-            val apiKey = R.i16(b); val version = R.i16(b)
-            val corr = R.i32(b); R.nstr(b) // client id
-            val resp = new W
-            resp.i32(corr)
-            handle(apiKey, version, b, resp)
-            val rb = resp.result
-            out.writeInt(rb.length); out.write(rb); out.flush()
-          } catch { case _: java.io.IOException => () }
-        }, "kafka-stub-conn")
-        t.setDaemon(true)
-        t.start()
-      } catch { case _: java.io.IOException => () }
-    }, "kafka-stub-acceptor")
-    acceptor.setDaemon(true)
-    acceptor.start()
+    private def startAcceptor(): Unit = {
+      val srv = server
+      val acceptor = new Thread(() => {
+        try while (!closed) {
+          val s = srv.accept()
+          liveConns.add(s)
+          val t = new Thread(() => {
+            val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+            val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+            try while (!closed) {
+              val size = in.readInt()
+              val frame = new Array[Byte](size); in.readFully(frame)
+              val b = ByteBuffer.wrap(frame)
+              val apiKey = R.i16(b); val version = R.i16(b)
+              val corr = R.i32(b); R.nstr(b) // client id
+              val resp = new W
+              resp.i32(corr)
+              handle(apiKey, version, b, resp)
+              val rb = resp.result
+              out.writeInt(rb.length); out.write(rb); out.flush()
+            } catch { case _: java.io.IOException => () }
+          }, "kafka-stub-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: java.io.IOException => () }
+      }, "kafka-stub-acceptor")
+      acceptor.setDaemon(true)
+      acceptor.start()
+    }
+    startAcceptor()
 
-    def close(): Unit = { closed = true; server.close() }
+    def close(): Unit = { closed = true; kill() }
   }
 
   test("record batch v2 layout pins: magic, batchLength, independent CRC32C") {
@@ -280,6 +319,35 @@ class KafkaWireSpec extends AnyFunSuite {
       assert(recs.map(r => new String(r.key, UTF_8)) ===
         (0 until 6).map(i => s"k$i"))
       assert(new String(recs(3).value, UTF_8) === "payload3 " * 4)
+    } finally { conn.close(); broker.close() }
+  }
+
+  test("chaos: broker dies mid-consume, restarts, and the SAME source refetches " +
+      "from the committed offset with no loss") {
+    val broker = new KafkaStubBroker
+    val conn = new KafkaWire.Conn("127.0.0.1", broker.port)
+    try {
+      conn.produce("t.chaos", 0, (0 until 6).map(i =>
+        (s"k$i".getBytes(UTF_8), s"v$i".getBytes(UTF_8))), baseTs = 1L)
+      val src = new KafkaWire.Source(conn, "t.chaos")
+      val first = src.read(0, 0L, 3L).toList
+      assert(first.map(_.offset) === Seq(0L, 1L, 2L))
+      src.ack(0, 3L) // the engine's committed position
+      // kill every socket out from under the live connection, then
+      // bring the broker back on the same port with the log intact
+      broker.kill()
+      broker.restart()
+      // the SAME Conn/Source instance resumes from the committed offset:
+      // the first call inside read() hits the dead socket, redials, and
+      // replays — no records lost, none duplicated past the offset floor
+      val resumed = src.read(0, 3L, 6L).toList
+      assert(resumed.map(_.offset) === Seq(3L, 4L, 5L))
+      assert(resumed.map(r => new String(r.value, UTF_8)) === Seq("v3", "v4", "v5"))
+      assert(src.latestOffset(0) === 6L)
+      // and produce keeps working on the recovered socket
+      conn.produce("t.chaos", 0,
+        Seq(("k6".getBytes(UTF_8), "v6".getBytes(UTF_8))), baseTs = 2L)
+      assert(src.read(0, 6L, 7L).toList.map(_.offset) === Seq(6L))
     } finally { conn.close(); broker.close() }
   }
 }

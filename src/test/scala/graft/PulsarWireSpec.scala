@@ -2,6 +2,7 @@ package graft
 
 import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.CopyOnWriteArrayList
 import java.util.concurrent.atomic.AtomicInteger
 
@@ -28,6 +29,24 @@ import graft.streaming.PulsarWire.{Frame, Pb, T, baseCmd}
   * bit-level implementation of the Castagnoli polynomial. */
 class PulsarWireSpec extends AnyFunSuite {
 
+  /** Rebind `port` with SO_REUSEADDR + a short retry: the killed
+    * listener's socket can linger briefly and BindException here would
+    * be a test flake, not a finding. */
+  private def rebind(port: Int): ServerSocket = {
+    var last: java.io.IOException = null
+    var i = 0
+    while (i < 50) {
+      try {
+        val s = new ServerSocket()
+        s.setReuseAddress(true)
+        s.bind(new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, port), 16)
+        return s
+      } catch { case e: java.net.BindException => last = e; Thread.sleep(20) }
+      i += 1
+    }
+    throw last
+  }
+
   // ---- independent CRC32C (reflected 0x1EDC6F41), bit-by-bit ----
   private def crc32cRef(bytes: Array[Byte]): Long = {
     var crc = 0xffffffffL
@@ -47,7 +66,7 @@ class PulsarWireSpec extends AnyFunSuite {
     * additive FLOW permits, checksum-verified SENDs. One thread per
     * connection; shared state synchronized on the broker. */
   private final class PulsarStubBroker extends AutoCloseable {
-    private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    @volatile private var server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     // topic -> ordered (entryId implied by index, key, payload,
     // num_messages_in_batch: 0 = plain single-message entry)
@@ -62,6 +81,10 @@ class PulsarWireSpec extends AnyFunSuite {
     private val consumers = new CopyOnWriteArrayList[Live]()
     val pongs = new AtomicInteger(0)
     val checksummedSends = new AtomicInteger(0)
+    /** Test knob: stamp this CompressionType on delivered MESSAGE
+      * metadata (field 8) — models a broker whose producers negotiated
+      * a codec this client does not ship. */
+    @volatile var injectCompression: Long = 0L
     @volatile private var closed = false
 
     def markDeleteOf(sub: String): Long = synchronized(markDelete.getOrElse(sub, -1L))
@@ -80,6 +103,7 @@ class PulsarWireSpec extends AnyFunSuite {
         val (key, body, nb) = msgs(c.cursor.toInt)
         val meta = new Pb.Writer().str(1, "stub").int(2, c.cursor).int(3, 1L)
         if (key != null) meta.str(6, key)
+        if (injectCompression > 0) meta.int(8, injectCompression)
         if (nb > 0) meta.int(11, nb)
         Frame.writePayload(c.out,
           baseCmd(T.Message, new Pb.Writer().int(1, 1L)
@@ -156,32 +180,52 @@ class PulsarWireSpec extends AnyFunSuite {
     }
     private val attachments = new java.util.concurrent.ConcurrentHashMap[Socket, Conn]()
 
-    private val acceptor = new Thread(() => {
-      try while (!closed) {
-        val s = server.accept()
-        attachments.put(s, new Conn(s))
-        val t = new Thread(() => {
-          val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
-          val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
-          try while (!closed) {
-            val f = Frame.read(in)
-            // remember the producer's topic for subsequent SENDs
-            if (f.tpe == T.Producer) attachments.get(s).topic = f.cmd.msg(T.Producer).str(1)
-            handle(s, f, out)
-          } catch { case _: java.io.IOException => () }
-          finally {
-            val c = attachments.remove(s)
-            if (c != null && c.live != null) consumers.remove(c.live)
-          }
-        }, "pulsar-stub-conn")
-        t.setDaemon(true)
-        t.start()
-      } catch { case _: java.io.IOException => () }
-    }, "pulsar-stub-acceptor")
-    acceptor.setDaemon(true)
-    acceptor.start()
+    private def startAcceptor(): Unit = {
+      val srv = server
+      val acceptor = new Thread(() => {
+        try while (!closed) {
+          val s = srv.accept()
+          attachments.put(s, new Conn(s))
+          val t = new Thread(() => {
+            val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+            val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+            try while (!closed) {
+              val f = Frame.read(in)
+              // remember the producer's topic for subsequent SENDs
+              if (f.tpe == T.Producer) attachments.get(s).topic = f.cmd.msg(T.Producer).str(1)
+              handle(s, f, out)
+            } catch { case _: java.io.IOException => () }
+            finally {
+              val c = attachments.remove(s)
+              if (c != null && c.live != null) consumers.remove(c.live)
+            }
+          }, "pulsar-stub-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: java.io.IOException => () }
+      }, "pulsar-stub-acceptor")
+      acceptor.setDaemon(true)
+      acceptor.start()
+    }
+    startAcceptor()
 
-    def close(): Unit = { closed = true; server.close() }
+    /** Chaos hook: drop the listener and every live connection; the
+      * bookie state (topics) and the subscription cursors (markDelete)
+      * survive — a crashed broker's persisted state. */
+    def kill(): Unit = {
+      server.close()
+      attachments.keySet.forEach(s =>
+        try s.close() catch { case _: java.io.IOException => () })
+    }
+
+    /** Rebind the SAME port; reconnecting consumers re-SUBSCRIBE and the
+      * cursor resumes from mark-delete + 1 (the redelivery contract). */
+    def restart(): Unit = {
+      server = rebind(port)
+      startAcceptor()
+    }
+
+    def close(): Unit = { closed = true; kill() }
   }
 
   private def eventually[A](what: String, timeoutMs: Long = 5000L)(f: => Option[A]): A = {
@@ -343,5 +387,65 @@ class PulsarWireSpec extends AnyFunSuite {
         }
       } finally consumer.close()
     } finally { producer.close(); broker.close() }
+  }
+
+  test("chaos: broker dies mid-consume, restarts, and the SAME consumer " +
+      "reconnects — cursor redelivers exactly the unacked suffix") {
+    val broker = new PulsarStubBroker
+    try {
+      PulsarWire.produce("127.0.0.1", broker.port, "t/chaos",
+        (0 until 5).map(i => (s"k$i", s"v$i".getBytes(UTF_8))))
+      val c = new PulsarWire.Consumer("127.0.0.1", broker.port, "t/chaos", "schaos")
+      try {
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Array[Byte])]
+        eventually("5 messages") {
+          got ++= c.poll(); if (got.length >= 5) Some(()) else None
+        }
+        c.ackCumulative(got(2)._1) // mark-delete at entry 2
+        eventually("mark-delete at entry 2") {
+          if (broker.markDeleteOf("schaos") == 2L) Some(()) else None
+        }
+        broker.kill()
+        broker.restart()
+        // the reader thread redials + re-SUBSCRIBEs on its own; the
+        // broker cursor redelivers ONLY entries 3..4 (acked prefix gone,
+        // unacked suffix back — duplicates bounded by the unacked window)
+        val redelivered = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Array[Byte])]
+        eventually("2 redelivered after restart") {
+          redelivered ++= c.poll(); if (redelivered.length >= 2) Some(()) else None
+        }
+        assert(redelivered.map(_._2) === Seq("k3", "k4"))
+        assert(redelivered.map(m => new String(m._3, UTF_8)) === Seq("v3", "v4"))
+        // the recovered session is fully live: ack + fresh publishes flow
+        c.ackCumulative(redelivered.last._1)
+        eventually("mark-delete at entry 4") {
+          if (broker.markDeleteOf("schaos") == 4L) Some(()) else None
+        }
+        PulsarWire.produce("127.0.0.1", broker.port, "t/chaos", Seq(("k5", "v5".getBytes(UTF_8))))
+        val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Array[Byte])]
+        eventually("post-restart publish delivered") {
+          fresh ++= c.poll(); if (fresh.nonEmpty) Some(()) else None
+        }
+        assert(fresh.map(_._2) === Seq("k5"))
+      } finally c.close()
+    } finally broker.close()
+  }
+
+  test("an unimplemented compression codec fails LOUDLY at the consumer seam, " +
+      "never passes compressed bytes through as payload") {
+    val broker = new PulsarStubBroker
+    try {
+      broker.injectCompression = 4L // SNAPPY — no codec jar in this build
+      PulsarWire.produce("127.0.0.1", broker.port, "t/zip",
+        Seq(("k0", "not-really-snappy".getBytes(UTF_8))))
+      val c = new PulsarWire.Consumer("127.0.0.1", broker.port, "t/zip", "szip")
+      try {
+        val e = eventually("the reader surfacing the codec failure") {
+          try { c.poll(); None }
+          catch { case e: IllegalStateException => Some(e) }
+        }
+        assert(e.getCause.getMessage.contains("compression type 4"))
+      } finally c.close()
+    } finally broker.close()
   }
 }

@@ -76,4 +76,16 @@ class ScaleCurveSpec extends SparkSpec {
       ev.agg(min("ts"), max("ts")).head)
     scaled.unpersist(); ()
   }
+
+  test("HeavyQueries lists each query once and every entry resolves in the registry") {
+    // a duplicated name times the query twice and emits duplicate rows
+    // into SCALECURVE.json (caught live twice: ts_cointegration r13,
+    // the r14 legacy-sweep additions); an unresolvable name dies at
+    // sweep time instead of review time
+    val dups = ScaleCurve.HeavyQueries.groupBy(identity)
+      .collect { case (q, occ) if occ.size > 1 => q }
+    assert(dups.isEmpty, s"duplicate HeavyQueries entries: ${dups.mkString(", ")}")
+    val missing = ScaleCurve.HeavyQueries.filterNot(Queries.all.contains)
+    assert(missing.isEmpty, s"HeavyQueries not in registry: ${missing.mkString(", ")}")
+  }
 }

@@ -94,7 +94,20 @@ class SqsWireSpec extends AnyFunSuite {
 
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.start()
-    def close(): Unit = server.stop(0)
+
+    /** Chaos hooks: stop serving (in-flight visibility clocks and the
+      * message store survive — the crashed service's durable queue),
+      * then rebind the SAME port. HTTP is connectionless per request,
+      * so the client needs no reconnect logic — the next POST redials. */
+    @volatile private var restarted: HttpServer = null
+    def kill(): Unit = (if (restarted != null) restarted else server).stop(0)
+    def restart(): Unit = {
+      restarted = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 16)
+      restarted.createContext("/", (ex: HttpExchange) => handle(ex))
+      restarted.start()
+    }
+
+    def close(): Unit = kill()
   }
 
   test("send -> receive -> delete over live HTTP; stale receipts rejected") {
@@ -152,6 +165,32 @@ class SqsWireSpec extends AnyFunSuite {
       src.ack(0, 5L)
       assert(q.size == 0)
       assert(src.pending == 0L)
+    } finally q.close()
+  }
+
+  test("chaos: service dies with messages in flight, restarts — visibility " +
+      "expiry redelivers them to the SAME client, nothing lost") {
+    val q = new StubQueue(visibilityMs = 300)
+    try {
+      val c = new graft.streaming.SqsWire(q.url, visibilityTimeoutSec = 0)
+      c.send(Seq("a", "b", "c").map(_.getBytes(UTF_8)))
+      val got = c.receive(10) // all three now in flight
+      assert(got.size == 3)
+      c.delete(Seq(got.head._1)) // only "a" consumed before the crash
+      q.kill()
+      // while the service is down, the client fails loudly (no silent drop)
+      intercept[java.io.IOException](c.receive(10))
+      q.restart()
+      Thread.sleep(600) // in-flight visibility for b/c expires across the restart
+      // the SAME client object resumes: HTTP redials per request. The
+      // undeleted pair redelivers with fresh receipts; receive counts
+      // prove these are the SAME messages on their second delivery
+      val again = c.receive(10)
+      assert(again.map(m => new String(m._3, UTF_8)).sorted == Seq("b", "c"))
+      assert(again.map(_._4("ApproximateReceiveCount")) == Seq("2", "2"))
+      assert(!again.map(_._1).toSet.exists(got.map(_._1).toSet), "fresh receipts")
+      c.delete(again.map(_._1))
+      assert(q.size == 0)
     } finally q.close()
   }
 }
