@@ -15,7 +15,8 @@ object Queries {
     TpchQueries,
     TrainingQueries,
     EventQueries,
-    InferenceQueries
+    InferenceQueries,
+    StyloQueries
   )
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

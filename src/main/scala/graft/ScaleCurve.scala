@@ -312,7 +312,13 @@ object ScaleCurve {
     // vocab_entropy, vocab_oov, text_zipf, vocab_fertility, text_heaps,
     // text_novelty, mix_dsir, text_lm_kn — are already registered in the
     // waves above). TakeOrdered top-100 after the vocab hash-agg.
-    "vocab_top")
+    "vocab_top",
+    // r14 stylo pack: yule (one (source,word) hash-agg — the hapax
+    // shape), mattr (row-local windows, zero shuffle), burrows (vocab
+    // agg + top-30 bounded grid), logrank + meta (value-domain /
+    // day-grid folds over one events hash-agg)
+    "text_yule_k", "text_mattr", "text_burrows_delta",
+    "stat_logrank", "stat_meta")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
