@@ -114,7 +114,10 @@ object StyloQueries extends QueryPack {
         col("vnum"), col("znum").as("za"))
       val b = z.select(col("source").as("source_b"), col("w"),
         col("znum").as("zb"))
-      a.join(b, Seq("w")).where(col("source_a") < col("source_b"))
+      // the pair join runs on the |sources|×30 GRID, bounded by
+      // construction — broadcast by declaration, not by estimate (the
+      // optimizer sees corpus-derived aggregates and would sort-merge)
+      a.join(broadcast(b), Seq("w")).where(col("source_a") < col("source_b"))
         .select(col("source_a"), col("source_b"),
           when(col("vnum") > 0, round(
             abs((col("za") - col("zb")).cast("double")) /

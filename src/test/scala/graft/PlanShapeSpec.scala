@@ -774,4 +774,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(pj.contains("BroadcastHashJoin") && !pj.contains("SortMergeJoin"),
       s"moment join-back must broadcast:\n$pj")
   }
+
+  test("r14 stylo pack plan shapes: mattr shuffle-free, burrows all-broadcast, " +
+      "the rebuilt vocab_entropy never collects") {
+    // MATTR is a pure row-local projection — any exchange means the
+    // window arithmetic leaked out of the scan stage
+    val pm = plan("text_mattr")
+    assert(!pm.contains("Exchange"), s"text_mattr should not shuffle:\n$pm")
+    // Burrows' Delta: the top-30 table and the per-word stats table are
+    // tiny and must broadcast; the corpus side never sort-merges, and
+    // nothing goes cartesian (the dense grid is made by an explicit
+    // bounded crossJoin of |sources| × 30 — broadcast NL is fine there)
+    val pb = plan("text_burrows_delta")
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    assert(!pb.contains("SortMergeJoin"), s"burrows corpus side sort-merged:\n$pb")
+    assert(!pb.contains("CartesianProduct"), pb)
+    // yule/logrank/meta are single hash-agg + bounded-fold shapes
+    for (q <- Seq("text_yule_k", "stat_logrank", "stat_meta")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q sort-merged a bounded table:\n$p")
+    }
+    // the rebuilt vocab_entropy (r13 verdict #1): the corpus-unbounded
+    // per-source collect is GONE — no collect_list objagg anywhere, and
+    // the rank clamp's window runs partitioned by source (never a
+    // single-partition global window)
+    val pv = plan("vocab_entropy")
+    assert(!pv.toLowerCase.contains("collect_list"),
+      s"vocab_entropy must not collect the vocabulary:\n$pv")
+  }
 }
