@@ -246,6 +246,100 @@ object StreamBenchTwins {
           }.grouped(ChunkRows).map(_.toIndexedSeq)
         })))
 
+    // ---- single-message latency: feed-to-commit of ONE row through a
+    // warm pipeline (7 reps, first 2 dropped as JIT warmers, median of
+    // 5). RocksDB per-batch commit dominates here by design — these
+    // twins REQUIRE RocksDB (transformWithState) or deploy on it, so
+    // unlike the base bench's HDFS-store latency slice this measures
+    // the operator as actually run, commit cost included.
+    def latRun[T](mk: () => (MemoryStream[T], StreamingQuery),
+                  warm: IndexedSeq[T], single: Int => T): Seq[Double] = {
+      val (in, q) = mk()
+      var blocksFed = 0L
+      try {
+        in.addData(warm)
+        blocksFed += 1
+        drain(q, blocksFed)
+        (1 to 7).map { i =>
+          val t0 = System.nanoTime()
+          in.addData(IndexedSeq(single(i)))
+          blocksFed += 1
+          drain(q, blocksFed)
+          (System.nanoTime() - t0) / 1e6
+        }.drop(2)
+      } finally q.stop()
+    }
+
+    def latTemporalJoin(): Seq[Double] = {
+      val facts = MemoryStream[E](spark, numPartitions = 8)
+      val dims = MemoryStream[Dim](spark, numPartitions = 2)
+      val out = graft.streaming.TemporalJoin.enrich(
+        facts.toDF(), dims.toDF(), "key", "ts", "value", "dv",
+        delay = "30 seconds")
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      var blocksFed = 0L
+      try {
+        dims.addData(IndexedSeq(Dim("u0", new Timestamp(minTs), "v0")))
+        blocksFed += 1
+        facts.addData(events.take(ChunkRows).toIndexedSeq.map(e =>
+          E(e.user_id.toString, e.ts, e.event_id)))
+        blocksFed += 1
+        drain(q, blocksFed)
+        (1 to 7).map { i =>
+          val t0 = System.nanoTime()
+          facts.addData(IndexedSeq(
+            E("u0", new Timestamp(minTs + spanMs + i * 1000L), i.toLong)))
+          blocksFed += 1
+          drain(q, blocksFed)
+          (System.nanoTime() - t0) / 1e6
+        }.drop(2)
+      } finally q.stop()
+    }
+
+    val latencies: Map[String, () => Seq[Double]] = Map(
+      "ttl_dedup" -> (() => latRun[E](
+        mk = () => {
+          val in = MemoryStream[E](spark, numPartitions = 8)
+          val out = graft.streaming.TtlDedupStream.dedupByKey(
+            in.toDF(), Seq("key"), java.time.Duration.ofMinutes(10))
+          (in, out.writeStream.format("noop").outputMode("append").start())
+        },
+        warm = events.take(ChunkRows).toIndexedSeq.map(e =>
+          E(e.event_id.toString, e.ts, e.event_id)),
+        single = i => E(s"lat-$i", new Timestamp(minTs + i * 1000L), i.toLong))),
+      "accum_sorter" -> (() => latRun[E](
+        mk = () => {
+          val in = MemoryStream[E](spark, numPartitions = 8)
+          val out = graft.streaming.AccumulatorWindow.sortedRows(
+            in.toDF().withWatermark("ts", "30 seconds"), Seq("key"), "ts")
+          (in, out.writeStream.format("noop").outputMode("append").start())
+        },
+        warm = events.take(ChunkRows).toIndexedSeq.map(e =>
+          E(e.user_id.toString, e.ts, e.event_id)),
+        single = i => E("lat", new Timestamp(minTs + spanMs + i * 1000L), i.toLong))),
+      "temporal_join" -> (() => latTemporalJoin()),
+      "feature_snap" -> (() => latRun[Ev](
+        mk = () => {
+          val in = MemoryStream[Ev](spark, numPartitions = 8)
+          val out = graft.streaming.FeatureStream.snapshots(in.toDF())
+          (in, out.writeStream.format("noop").outputMode("append").start())
+        },
+        warm = events.take(ChunkRows).toIndexedSeq,
+        single = i => Ev(nEvents + i, new Timestamp(minTs + i * 1000L),
+          i.toLong % 100, "purchase", 1.0))),
+      "near_dup" -> (() => latRun[Doc](
+        mk = () => {
+          val in = MemoryStream[Doc](spark, numPartitions = 8)
+          val out = graft.streaming.StreamingNearDup.pairs(
+            in.toDF().withWatermark("ts", "30 seconds"),
+            "doc_id", "text", "ts", retentionMs = spanMs)
+          (in, out.writeStream.format("noop").outputMode("append").start())
+        },
+        warm = (0 until ChunkRows).map(i =>
+          Doc(i.toLong, docText(i.toLong), new Timestamp(minTs + i))),
+        single = i => Doc(1000000L + i, docText(i.toLong),
+          new Timestamp(minTs + spanMs + i * 1000L)))))
+
     val lines = twins.map { case (name, f) =>
       val rps = (1 to runs).map { r =>
         val v = f()
@@ -254,11 +348,17 @@ object StreamBenchTwins {
       }
       val sorted = rps.sorted
       val median = sorted(sorted.length / 2)
+      val lats = latencies(name)().sorted
+      val latMedian = lats(lats.length / 2)
+      println(f"  $name latency: median $latMedian%.1f ms " +
+        s"(${lats.map(v => f"$v%.1f").mkString(",")})")
       val line =
         s"""{"metric":"stream_twin","twin":"$name","rows":${nEvents * Passes},""" +
           s""""passes":$Passes,"chunk_rows":$ChunkRows,"state_store":"rocksdb",""" +
           f""""median_rows_per_sec":$median%.0f,""" +
           s""""pooled_rows_per_sec":[${rps.map(v => f"$v%.0f").mkString(",")}],""" +
+          f""""median_latency_ms":$latMedian%.1f,""" +
+          s""""pooled_latency_ms":[${lats.map(v => f"$v%.1f").mkString(",")}],""" +
           s""""sf":"$sfDir"}"""
       println(line)
       line
