@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hilbertIndex)
     ext.injectFunction(GraftExtensions.lcsLength)
     ext.injectFunction(GraftExtensions.tokenEditDistance)
+    ext.injectFunction(GraftExtensions.gopherRepetition)
+    ext.injectFunction(GraftExtensions.poissonDrawWeights)
+    ext.injectFunction(GraftExtensions.squaredDistances)
+    ext.injectFunction(GraftExtensions.kmvDistinct)
     GraftExtensions.composites.foreach(ext.injectFunction)
   }
 }
@@ -127,6 +131,62 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "token_edit_distance takes exactly 2 arguments")
       graft.functions.TokenEditDistance(exprs.head, exprs(1))
+    })
+
+  val gopherRepetition: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("gopher_repetition"),
+    info("gopher_repetition",
+      "_FUNC_(text, dupW) - Gopher within-doc repetition stats struct " +
+        "(top-bigram/trigram fraction, duplicated-dupW-gram coverage; codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "gopher_repetition takes exactly 2 arguments")
+      graft.functions.GopherRepetition(exprs.head, litInt(exprs(1), "dupW"))
+    })
+
+  val poissonDrawWeights: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("poisson_draw_weights"),
+    info("poisson_draw_weights",
+      "_FUNC_(key, b) - deterministic per-key Poisson(1) bootstrap draw counts for b resamples (codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "poisson_draw_weights takes exactly 2 arguments")
+      graft.functions.PoissonDrawWeights(exprs.head, litInt(exprs(1), "b"))
+    })
+
+  val squaredDistances: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("squared_distances"),
+    info("squared_distances",
+      "_FUNC_(vec, centroids) - squared L2 distance to each row of a " +
+        "FOLDABLE array<array<double>> centroid matrix (codegen)"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "squared_distances takes exactly 2 arguments")
+      val cents = exprs(1) match {
+        case c if c.foldable =>
+          val arr = c.eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          require(arr != null, "centroid matrix must not be null")
+          (0 until arr.numElements()).map { i =>
+            arr.getArray(i).toDoubleArray()
+          }.toArray
+        case _ => throw new IllegalArgumentException(
+          "centroids must be a foldable array<array<double>> literal")
+      }
+      graft.functions.SquaredDistances(exprs.head, cents)
+    })
+
+  /** KMV bottom-k distinct-count sketch as a SQL AGGREGATE — the
+    * analyzer wraps a bare AggregateFunction from a registry builder in
+    * its AggregateExpression, so `SELECT kmv_distinct(hash, 1024)`
+    * works. Takes a pre-hashed LONG (the [[graft.functions.KmvDistinct]]
+    * contract — pair with the engine's md5-derived hash, e.g.
+    * `CAST(conv(substring(md5(...), 1, 8), 16, 10) AS BIGINT)`, to
+    * reproduce `KmvDistinct.onMd5` exactly). */
+  val kmvDistinct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_distinct"),
+    info("kmv_distinct",
+      "_FUNC_(hash64, k) - approximate distinct count via the bottom-k (KMV) sketch over a pre-hashed LONG; mergeable, k longs of state per group"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "kmv_distinct takes exactly 2 arguments")
+      graft.functions.KmvDistinct(exprs.head, litInt(exprs(1), "k"))
     })
 
   /** Scalar training-data functions exposed to SQL: each is a composition

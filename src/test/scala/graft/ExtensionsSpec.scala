@@ -82,6 +82,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(6) > 0.0 && row.getDouble(6) < 1.0)
   }
 
+  test("r14 native kernels register for SQL: gopher, poisson draws, " +
+      "squared distances, and the KMV aggregate") {
+    Seq(GraftExtensions.gopherRepetition, GraftExtensions.poissonDrawWeights,
+        GraftExtensions.squaredDistances, GraftExtensions.kmvDistinct).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val row = spark.sql(
+      """SELECT gopher_repetition('a b a b a b', 2) AS g,
+        |  poisson_draw_weights('seed', 4) AS pw,
+        |  squared_distances(array(1.0d, 0.0d),
+        |    array(array(0.0d, 0.0d), array(1.0d, 0.0d))) AS sq"""
+        .stripMargin).collect().head
+    // SQL results ≡ the Column-level kernels the DataFrame queries use
+    import org.apache.spark.sql.graftcompat.ColumnCompat
+    val colRow = spark.range(1).select(ColumnCompat.column(
+        graft.functions.GopherRepetition(ColumnCompat.resolvedExpression(
+          org.apache.spark.sql.functions.lit("a b a b a b")), 2)).as("g"))
+      .collect().head
+    assert(row.getStruct(0).toSeq.nonEmpty)
+    assert(row.getStruct(0).toSeq === colRow.getStruct(0).toSeq)
+    assert(row.getSeq[Int](1).length === 4)
+    assert(row.getSeq[Double](2) === Seq(1.0, 0.0))
+    // the aggregate: exact below k, registered through the analyzer's
+    // AggregateFunction wrapping
+    val est = spark.sql(
+      """SELECT kmv_distinct(CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8),
+        |  16, 10) AS BIGINT), 128) AS d
+        |FROM range(0, 100)""".stripMargin).collect().head.getLong(0)
+    assert(est === 100L)
+    // non-foldable centroid matrix is rejected loudly
+    intercept[Exception] {
+      spark.sql("""SELECT squared_distances(array(1.0d),
+        array(array(CAST(rand() AS DOUBLE))))""").collect()
+    }
+  }
+
   test("streaming even-odd pipeline routes through the foreachBatch router") {
     implicit val ctx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime
