@@ -318,7 +318,10 @@ object ScaleCurve {
     // agg + top-30 bounded grid), logrank + meta (value-domain /
     // day-grid folds over one events hash-agg)
     "text_yule_k", "text_mattr", "text_burrows_delta",
-    "stat_logrank", "stat_meta")
+    "stat_logrank", "stat_meta",
+    // uplift deciles: one user hash-agg then the collapsed score domain;
+    // HT sampling: row-local draw + one source agg
+    "ev_uplift_deciles", "sample_importance")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

@@ -228,6 +228,89 @@ object StyloQueries extends QueryPack {
           r6(when(col("sw") > 0,
             sqrt(lit(1.0e9) / col("sw").cast("double")) / lit(100.0)))
             .as("pooled_se_dollars"))
+    },
+
+    // Uplift decile table + Qini numerator for the even/odd experiment:
+    // users ranked by activity score (event count) into deciles, each
+    // decile's treated-vs-control conversion lift, plus the cumulative
+    // Qini value — the "who does the treatment actually move" readout
+    // behind targeting policies, beside stat_qte's distributional view.
+    // SCALE: decile assignment runs on the collapsed SCORE DOMAIN
+    // (count-of-counts + one desc cumulative on distinct scores — never
+    // an ntile over users, which would be a single-task 62.5M-row sort
+    // at 625×), then broadcasts the |domain|-sized decile map back.
+    // Users sharing a score share a decile (deterministic, documented).
+    // All decisions exact integers: decile = min((10·cumBefore) DIV N,
+    // 9); uplift/Qini are final double chains per 10-row group.
+    "ev_uplift_deciles" -> { (s, dir) =>
+      val users = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("sc"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .select(col("sc"),
+          (((col("user_id") % 2) + 2) % 2 === 0).as("g1"), col("conv"))
+      val dom = users.groupBy(col("sc")).agg(count(lit(1)).as("m"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sc").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val dec = dom
+        .withColumn("cb", coalesce(sum(col("m")).over(wDesc), lit(0L)))
+        .crossJoin(broadcast(dom.agg(sum(col("m")).as("nu"))))
+        .select(col("sc"), least(expr("(10 * cb) DIV nu"), lit(9L)).as("decile"))
+      val byDec = users.join(broadcast(dec), "sc")
+        .groupBy(col("decile"))
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("n_treat"),
+          sum(when(col("g1"), col("conv")).otherwise(0L)).as("conv_treat"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("n_ctrl"),
+          sum(when(!col("g1"), col("conv")).otherwise(0L)).as("conv_ctrl"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      byDec
+        .withColumn("cnt", sum(col("n_treat")).over(wCum))
+        .withColumn("cct", sum(col("conv_treat")).over(wCum))
+        .withColumn("cnc", sum(col("n_ctrl")).over(wCum))
+        .withColumn("ccc", sum(col("conv_ctrl")).over(wCum))
+        .select(col("decile"), col("n_treat"), col("conv_treat"),
+          col("n_ctrl"), col("conv_ctrl"),
+          // + 0.0 normalizes NEGATIVE ZERO: a tiny-negative difference
+          // rounds to −0.0 in DuckDB (IEEE round keeps the sign) but
+          // +0.0 through Spark's BigDecimal HALF_UP — the two hash
+          // differently. −0.0 + 0.0 = +0.0 in both engines; identity
+          // for every other value. Mirrored in the oracle.
+          (r6(when(col("n_treat") > 0 && col("n_ctrl") > 0,
+            col("conv_treat").cast("double") / col("n_treat").cast("double") -
+              col("conv_ctrl").cast("double") / col("n_ctrl").cast("double")))
+            + lit(0.0)).as("uplift"),
+          (r6(when(col("cnc") > 0,
+            col("cct").cast("double") - col("ccc").cast("double") *
+              (col("cnt").cast("double") / col("cnc").cast("double"))))
+            + lit(0.0)).as("qini"))
+    },
+
+    // Length-proportional Poisson sampling with Horvitz–Thompson
+    // correction: each doc enters with probability p = min(1, len/20000)
+    // on a deterministic md5 unit draw, and a selected doc carries
+    // weight 1/p — the estimator card (Σ 1/p over the sample ≈ true doc
+    // count per source) that importance-weighted curation pipelines run
+    // to prove their weights are calibrated. Row-local projection, zero
+    // shuffle before the source agg; 1/p quantizes to the 1e-6 grid
+    // (1/p ≤ 20000 ⇒ q ≤ 2e10, long-safe) and sums exactly.
+    "sample_importance" -> { (s, dir) =>
+      val p = least(lit(1.0), col("w").cast("double") / lit(20000.0))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("w"))
+        .select(col("source"),
+          when(graft.ops.CorpusOps.unitHash(col("doc_id")) < p,
+            round(lit(1.0e6) / p, 0).cast("long")).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), count(col("q")).as("n_sampled"),
+          sum(d38(col("q"))).as("sq"))
+        .select(col("source"), col("n_docs"), col("n_sampled"),
+          r4(col("sq").cast("double") / lit(1.0e6)).as("ht_estimate"),
+          r6((col("sq").cast("double") / lit(1.0e6) -
+            col("n_docs").cast("double")) / col("n_docs").cast("double"))
+            .as("rel_err"))
     }
   )
 
@@ -390,6 +473,65 @@ object StyloQueries extends QueryPack {
         |  round(CASE WHEN sw > 0 THEN
         |      sqrt(1000000000.0 / CAST(sw AS DOUBLE)) / 100.0 END
         |    * 1000000) / 1000000 AS pooled_se_dollars
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "ev_uplift_deciles" ->
+      """WITH users AS (SELECT CAST(count(*) AS BIGINT) AS sc,
+        |    ((user_id % 2) + 2) % 2 = 0 AS g1,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id),
+        |dom AS (SELECT sc, CAST(count(*) AS BIGINT) AS m
+        |  FROM users GROUP BY 1),
+        |tot AS (SELECT CAST(sum(m) AS BIGINT) AS nu FROM dom),
+        |dec AS (SELECT sc,
+        |    least((10 * CAST(coalesce(sum(m) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT)) // nu, 9) AS decile
+        |  FROM dom, tot),
+        |bydec AS (SELECT decile,
+        |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |    CAST(sum(CASE WHEN g1 THEN conv ELSE 0 END) AS BIGINT) AS conv_treat,
+        |    CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n_ctrl,
+        |    CAST(sum(CASE WHEN g1 THEN 0 ELSE conv END) AS BIGINT) AS conv_ctrl
+        |  FROM users JOIN dec USING (sc) GROUP BY 1),
+        |cum AS (SELECT decile, n_treat, conv_treat, n_ctrl, conv_ctrl,
+        |    CAST(sum(n_treat) OVER w AS BIGINT) AS cnt,
+        |    CAST(sum(conv_treat) OVER w AS BIGINT) AS cct,
+        |    CAST(sum(n_ctrl) OVER w AS BIGINT) AS cnc,
+        |    CAST(sum(conv_ctrl) OVER w AS BIGINT) AS ccc
+        |  FROM bydec
+        |  WINDOW w AS (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, n_treat, conv_treat, n_ctrl, conv_ctrl,
+        |  round(CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+        |      CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+        |      - CAST(conv_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE) END
+        |    * 1000000) / 1000000 + 0.0 AS uplift,
+        |  round(CASE WHEN cnc > 0 THEN
+        |      CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE)
+        |        * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) END
+        |    * 1000000) / 1000000 + 0.0 AS qini
+        |FROM cum""".stripMargin,
+
+    "sample_importance" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |q AS (SELECT source,
+        |    CASE WHEN u < least(1.0, CAST(w AS DOUBLE) / 20000.0)
+        |      THEN CAST(round(1000000.0
+        |        / least(1.0, CAST(w AS DOUBLE) / 20000.0)) AS BIGINT)
+        |    END AS q
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(q) AS BIGINT) AS n_sampled,
+        |  round(CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) / 1000000.0
+        |    * 10000) / 10000 AS ht_estimate,
+        |  round((CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) / 1000000.0
+        |      - CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)
+        |    * 1000000) / 1000000 AS rel_err
+        |FROM q GROUP BY source""".stripMargin
   )
 }
