@@ -161,7 +161,16 @@ object GraftExtensions {
       require(exprs.length == 2, "squared_distances takes exactly 2 arguments")
       val cents = exprs(1) match {
         case c if c.foldable =>
-          val arr = c.eval(null)
+          // route through a Cast so the natural SQL spelling
+          // array(array(0.1, 0.2)) — which parses as DECIMAL literals —
+          // reads as doubles instead of dying in toDoubleArray with an
+          // opaque ClassCastException
+          import org.apache.spark.sql.types.{ArrayType, DoubleType}
+          val asDoubles = org.apache.spark.sql.catalyst.expressions.Cast(
+            c, ArrayType(ArrayType(DoubleType)))
+          require(asDoubles.resolved && asDoubles.checkInputDataTypes().isSuccess,
+            s"centroids must be numeric array<array<...>>, got ${c.dataType.sql}")
+          val arr = asDoubles.eval(null)
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           require(arr != null, "centroid matrix must not be null")
           (0 until arr.numElements()).map { i =>

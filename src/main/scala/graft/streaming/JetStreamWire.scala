@@ -56,9 +56,9 @@ final class JetStreamWire(host: String, port: Int, stream: String,
                           ioTimeoutMs: Int = 5000)
     extends JetStreamConsumer with AutoCloseable {
 
-  private var socket: Socket = _
-  private var in: BufferedInputStream = _
-  private var out: BufferedOutputStream = _
+  @volatile private var socket: Socket = _
+  @volatile private var in: BufferedInputStream = _
+  @volatile private var out: BufferedOutputStream = _
   @volatile private var closed = false
   private val inboxBase = "_INBOX.gw" + java.lang.Long.toHexString(
     java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue)
@@ -71,6 +71,8 @@ final class JetStreamWire(host: String, port: Int, stream: String,
     * all durable state (consumer cursor, ack floor) lives server-side,
     * so a reconnect needs nothing but the same durable name. */
   private def connect(): Unit = {
+    // a close() racing a reconnect must not leak a fresh socket
+    if (closed) throw new java.io.IOException("JetStreamWire closed")
     socket = new Socket(host, port)
     socket.setSoTimeout(ioTimeoutMs)
     in = new BufferedInputStream(socket.getInputStream)
@@ -180,7 +182,15 @@ final class JetStreamWire(host: String, port: Int, stream: String,
   /** Pull up to `batch` messages for `consumer` into a fresh inbox;
     * a zero-payload reply-less message marks end-of-available. Returns
     * (ackSubject, payload) pairs. */
-  private def next(consumer: String, batch: Int): Seq[(String, Array[Byte])] =
+  /** One no_wait pull. `retryOnDeath` gates the redial-and-re-pull:
+    * TRUE is only correct for the DURABLE consumer, whose state lives
+    * server-side and whose unacked deliveries redeliver after ack_wait
+    * (at-least-once). For an ack_policy:none TRANSIENT replay consumer
+    * a re-pull would be a silent GAP — messages written into the dying
+    * socket are counted delivered and never come back — so [[fetch]]
+    * passes FALSE and rebuilds the whole consumer at its own cursor. */
+  private def next(consumer: String, batch: Int,
+                   retryOnDeath: Boolean): Seq[(String, Array[Byte])] =
     synchronized {
       def once(): Seq[(String, Array[Byte])] = {
         inboxSeq += 1
@@ -200,12 +210,9 @@ final class JetStreamWire(host: String, port: Int, stream: String,
         }
         got.result()
       }
-      // broker death mid-pull: redial and re-pull once — messages whose
-      // acks were lost with the socket simply redeliver (ack_wait), the
-      // at-least-once contract this consumer already documents
       try once()
       catch {
-        case _: java.io.IOException if !closed =>
+        case _: java.io.IOException if retryOnDeath && !closed =>
           try socket.close() catch { case _: java.io.IOException => () }
           connect()
           once()
@@ -214,36 +221,55 @@ final class JetStreamWire(host: String, port: Int, stream: String,
 
   def fetch(from: Long, until: Long): Seq[(Long, Array[Byte])] = {
     if (until <= from) return Seq.empty
-    // transient replay consumer from `from` — the stream serves the
-    // range, nothing is buffered client-side (ack_policy none: replay
-    // reads must not disturb the durable's ack floor)
-    val r = request(s"$$JS.API.CONSUMER.CREATE.$stream",
-      s"""{"stream_name":"$stream","config":{"ack_policy":"none",
-         |"deliver_policy":"by_start_sequence",
-         |"opt_start_seq":${math.max(from, 1L)},
-         |"filter_subject":"$subject"}}""".stripMargin.replace("\n", ""))
-    require(errCode(r) == 0, s"CONSUMER.CREATE failed: $r")
-    val name = {
-      val i = r.indexOf("\"name\":\"")
-      require(i >= 0, s"no consumer name in: $r")
-      r.substring(i + 8, r.indexOf('"', i + 8))
-    }
     val outB = Seq.newBuilder[(Long, Array[Byte])]
-    var exhausted = false
-    while (!exhausted) {
-      val batch = next(name, 256)
-      if (batch.isEmpty) exhausted = true
-      else batch.foreach { case (ack, payload) =>
-        val seq = ackSseq(ack)
-        if (seq >= until) exhausted = true
-        else if (seq >= from) outB += ((seq, payload))
+    // resume cursor: on broker death the transient consumer (and any
+    // in-flight deliveries) die with the socket — the loop rebuilds a
+    // FRESH consumer from the first sequence not yet received, so the
+    // replay range stays gap-free across restarts (a next()-level
+    // re-pull would silently skip the in-flight suffix, and after a
+    // real server restart the vanished ephemeral's 404 would read as a
+    // clean end-of-batch).
+    var cur = math.max(from, 1L)
+    var done = false
+    while (!done) {
+      // transient replay consumer from `cur` — the stream serves the
+      // range, nothing is buffered client-side (ack_policy none: replay
+      // reads must not disturb the durable's ack floor)
+      try {
+        val r = request(s"$$JS.API.CONSUMER.CREATE.$stream",
+          s"""{"stream_name":"$stream","config":{"ack_policy":"none",
+             |"deliver_policy":"by_start_sequence",
+             |"opt_start_seq":$cur,
+             |"filter_subject":"$subject"}}""".stripMargin.replace("\n", ""))
+        require(errCode(r) == 0, s"CONSUMER.CREATE failed: $r")
+        val name = {
+          val i = r.indexOf("\"name\":\"")
+          require(i >= 0, s"no consumer name in: $r")
+          r.substring(i + 8, r.indexOf('"', i + 8))
+        }
+        var exhausted = false
+        while (!exhausted) {
+          val batch = next(name, 256, retryOnDeath = false)
+          if (batch.isEmpty) exhausted = true
+          else batch.foreach { case (ack, payload) =>
+            val seq = ackSseq(ack)
+            if (seq >= until) exhausted = true
+            else if (seq >= cur) { outB += ((seq, payload)); cur = seq + 1 }
+          }
+        }
+        // delete the transient consumer: servers garbage-collect idle
+        // ephemerals eventually, but a replay-heavy restart loop should
+        // not lean on the inactivity threshold to bound broker state
+        val del = request(s"$$JS.API.CONSUMER.DELETE.$stream.$name", "{}")
+        require(errCode(del) == 0, s"CONSUMER.DELETE failed: $del")
+        done = true
+      } catch {
+        case _: java.io.IOException if !closed =>
+          // redial, then loop: a fresh consumer resumes at `cur`
+          try socket.close() catch { case _: java.io.IOException => () }
+          connect()
       }
     }
-    // delete the transient consumer: servers garbage-collect idle
-    // ephemerals eventually, but a replay-heavy restart loop should not
-    // lean on the inactivity threshold to bound broker state
-    val del = request(s"$$JS.API.CONSUMER.DELETE.$stream.$name", "{}")
-    require(errCode(del) == 0, s"CONSUMER.DELETE failed: $del")
     outB.result()
   }
 
@@ -255,7 +281,7 @@ final class JetStreamWire(host: String, port: Int, stream: String,
     var lastAck: String = null
     var exhausted = false
     while (!exhausted) {
-      val batch = next(durable, 256)
+      val batch = next(durable, 256, retryOnDeath = true)
       if (batch.isEmpty) exhausted = true
       else batch.foreach { case (ack, _) =>
         if (ackSseq(ack) <= seq) lastAck = ack

@@ -232,12 +232,14 @@ object KafkaWire {
 
   final class Conn(host: String, port: Int, clientId: String = "graft-wire")
       extends AutoCloseable {
-    private var socket: Socket = _
-    private var in: DataInputStream = _
-    private var out: DataOutputStream = _
+    @volatile private var socket: Socket = _
+    @volatile private var in: DataInputStream = _
+    @volatile private var out: DataOutputStream = _
     @volatile private var closed = false
 
     private def connect(): Unit = {
+      // a close() racing a reconnect must not leak a fresh socket
+      if (closed) throw new java.io.IOException("Conn closed")
       socket = new Socket(host, port)
       in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
       out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))

@@ -209,9 +209,9 @@ object PulsarWire {
     // recovery; every WRITE goes through [[sendFrame]] (same monitor),
     // so acks/permits never interleave bytes with a mid-swap socket.
     // READS stay unsynchronized — only the reader thread touches `in`.
-    private var socket: Socket = _
-    private var in: DataInputStream = _
-    private var out: DataOutputStream = _
+    @volatile private var socket: Socket = _
+    @volatile private var in: DataInputStream = _
+    @volatile private var out: DataOutputStream = _
 
     private def sendFrame(bytes: Array[Byte]): Unit =
       synchronized { Frame.write(out, bytes) }
@@ -221,6 +221,8 @@ object PulsarWire {
       * subscription's mark-delete position — exactly the unacked suffix,
       * the documented at-least-once window. */
     private def connect(): Unit = synchronized {
+      // a close() racing a reconnect must not leak a fresh socket
+      if (closed) throw new java.io.IOException("consumer closed")
       socket = new Socket(host, port)
       in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
       out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
@@ -312,7 +314,16 @@ object PulsarWire {
               readerFailure = new java.io.IOException(
                 s"pulsar wire consumer: gave up after $maxReconnects reconnect attempts", io)
             else {
-              Thread.sleep(reconnectDelayMs)
+              // EXPONENTIAL backoff capped at 100× the base: a refused
+              // dial fails instantly, so a fixed 50ms delay would burn
+              // the whole budget in ~5s — far less than a routine
+              // broker restart. 50ms doubling to a 5s cap gives the
+              // default budget >8 minutes of downtime tolerance while
+              // still reconnecting within one base delay of a quick
+              // stub restart.
+              Thread.sleep(math.min(
+                reconnectDelayMs << math.min(attempts - 1, 30),
+                reconnectDelayMs * 100))
               // a failed dial leaves `in` on the dead stream: the next
               // read throws immediately and we land back here to retry
               try connect()

@@ -112,6 +112,12 @@ class ExtensionsSpec extends SparkSpec {
         |  16, 10) AS BIGINT), 128) AS d
         |FROM range(0, 100)""".stripMargin).collect().head.getLong(0)
     assert(est === 100L)
+    // the natural SQL spelling parses as DECIMAL literals — the builder
+    // must cast, not die in toDoubleArray with a ClassCastException
+    val dec = spark.sql(
+      "SELECT squared_distances(array(1.0d, 0.0d), array(array(0.5, 0.0)))")
+      .collect().head.getSeq[Double](0)
+    assert(dec === Seq(0.25))
     // non-foldable centroid matrix is rejected loudly
     intercept[Exception] {
       spark.sql("""SELECT squared_distances(array(1.0d),

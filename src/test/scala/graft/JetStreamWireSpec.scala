@@ -22,23 +22,6 @@ import graft.streaming.{Connectors, JetStreamWire, NatsWire}
   * (classpath-gated; the jar is absent and unfetchable here). */
 class JetStreamWireSpec extends AnyFunSuite {
 
-  /** Rebind `port` with SO_REUSEADDR + a short retry: the killed
-    * listener's socket can linger briefly and BindException here would
-    * be a test flake, not a finding. */
-  private def rebind(port: Int): ServerSocket = {
-    var last: java.io.IOException = null
-    var i = 0
-    while (i < 50) {
-      try {
-        val s = new ServerSocket()
-        s.setReuseAddress(true)
-        s.bind(new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, port), 16)
-        return s
-      } catch { case e: java.net.BindException => last = e; Thread.sleep(20) }
-      i += 1
-    }
-    throw last
-  }
 
   /** Loopback NATS + single-stream JetStream façade. Token-wildcard
     * subject routing ('*' matches one token — inbox subscriptions are
@@ -225,7 +208,7 @@ class JetStreamWireSpec extends AnyFunSuite {
 
     /** Rebind the SAME port for redialing clients. */
     def restart(): Unit = {
-      server = rebind(port)
+      server = WireTestUtil.rebind(port)
       startAcceptor()
     }
 

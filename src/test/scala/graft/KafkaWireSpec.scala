@@ -21,23 +21,6 @@ import graft.streaming.KafkaWire.{Api, Batch, R, W}
   * fields against an independent bit-level CRC32C. */
 class KafkaWireSpec extends AnyFunSuite {
 
-  /** Rebind `port` with SO_REUSEADDR + a short retry: the killed
-    * listener's socket can linger briefly and BindException here would
-    * be a test flake, not a finding. */
-  private def rebind(port: Int): ServerSocket = {
-    var last: java.io.IOException = null
-    var i = 0
-    while (i < 50) {
-      try {
-        val s = new ServerSocket()
-        s.setReuseAddress(true)
-        s.bind(new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, port), 16)
-        return s
-      } catch { case e: java.net.BindException => last = e; Thread.sleep(20) }
-      i += 1
-    }
-    throw last
-  }
 
   private def crc32cRef(bytes: Array[Byte]): Long = {
     var crc = 0xffffffffL
@@ -74,7 +57,7 @@ class KafkaWireSpec extends AnyFunSuite {
 
     /** Rebind the SAME port (the restarted broker clients redial). */
     def restart(): Unit = {
-      server = rebind(port)
+      server = WireTestUtil.rebind(port)
       startAcceptor()
     }
 

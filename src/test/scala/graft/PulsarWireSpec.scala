@@ -29,23 +29,6 @@ import graft.streaming.PulsarWire.{Frame, Pb, T, baseCmd}
   * bit-level implementation of the Castagnoli polynomial. */
 class PulsarWireSpec extends AnyFunSuite {
 
-  /** Rebind `port` with SO_REUSEADDR + a short retry: the killed
-    * listener's socket can linger briefly and BindException here would
-    * be a test flake, not a finding. */
-  private def rebind(port: Int): ServerSocket = {
-    var last: java.io.IOException = null
-    var i = 0
-    while (i < 50) {
-      try {
-        val s = new ServerSocket()
-        s.setReuseAddress(true)
-        s.bind(new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, port), 16)
-        return s
-      } catch { case e: java.net.BindException => last = e; Thread.sleep(20) }
-      i += 1
-    }
-    throw last
-  }
 
   // ---- independent CRC32C (reflected 0x1EDC6F41), bit-by-bit ----
   private def crc32cRef(bytes: Array[Byte]): Long = {
@@ -221,7 +204,7 @@ class PulsarWireSpec extends AnyFunSuite {
     /** Rebind the SAME port; reconnecting consumers re-SUBSCRIBE and the
       * cursor resumes from mark-delete + 1 (the redelivery contract). */
     def restart(): Unit = {
-      server = rebind(port)
+      server = WireTestUtil.rebind(port)
       startAcceptor()
     }
 
