@@ -325,7 +325,7 @@ object ScaleCurve {
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
-    val n = base.agg(max("doc_id")).head.getLong(0) + 1
+    val n = base.agg(max("doc_id")).head().getLong(0) + 1
     val replicas = (0 until k).map { r =>
       if (r == 0) base
       else base
@@ -340,8 +340,8 @@ object ScaleCurve {
 
   def scaleEmbeddings(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    val n = base.agg(max("vec_id")).head.getLong(0) + 1
-    val dim = base.select(size(col("embedding"))).head.getInt(0)
+    val n = base.agg(max("vec_id")).head().getLong(0) + 1
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
     val replicas = (0 until k).map { r =>
       val rot = r % dim
       if (r == 0) base
@@ -364,8 +364,8 @@ object ScaleCurve {
     * same product". */
   def scaleEvents(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/events.parquet")
-    val nU = base.agg(max("user_id")).head.getLong(0) + 1
-    val nE = base.agg(max("event_id")).head.getLong(0) + 1
+    val nU = base.agg(max("user_id")).head().getLong(0) + 1
+    val nE = base.agg(max("event_id")).head().getLong(0) + 1
     (0 until k).map { r =>
       if (r == 0) base
       else base

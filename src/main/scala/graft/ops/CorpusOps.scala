@@ -189,7 +189,7 @@ object CorpusOps {
     * shuffle; a column-valued cap would shuffle whole classes. */
   def balancedSample(df: DataFrame, idCol: String, labelCol: String): DataFrame = {
     val k = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
-      .agg(min(col("n"))).head.getLong(0)
+      .agg(min(col("n"))).head().getLong(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(labelCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -277,12 +277,12 @@ object CorpusOps {
     // so the operator drops straight into a streaming DAG.
     val keep = df.columns.filterNot(_ == textCol).map(col)
     pre.withColumn("__n", n).withColumn("__starts", starts)
-      .select(keep ++ Seq(col("__t"), col("__n"),
+      .select(keep.toIndexedSeq ++ Seq(col("__t"), col("__n"),
         explode(transform(col("__starts"), (s, j) => struct(
           j.as("chunk_idx"), s.as("start"),
           (coalesce(get(col("__starts"), j + 1), col("__n") + 1) - 1).as("end"))))
           .as("b")): _*)
-      .select(keep ++ Seq(col("b.chunk_idx").as("chunk_idx"),
+      .select(keep.toIndexedSeq ++ Seq(col("b.chunk_idx").as("chunk_idx"),
         col("b.start").cast("long").as("start_tok"),
         (col("b.end") - col("b.start") + 1).cast("long").as("n_tokens"),
         md5(to_binary(concat_ws(" ",

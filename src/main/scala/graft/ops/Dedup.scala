@@ -161,7 +161,7 @@ object Dedup {
       // re-evaluates the md5 transform just to test emptiness.
       .where(size(split(col(textCol), " ")) >= shingleW)
       .withColumn("__mh_base", base)
-      .select(docs.columns.map(col) ++ (0 until numPerm).map { i =>
+      .select(docs.columns.map(col).toIndexedSeq ++ (0 until numPerm).map { i =>
         array_min(transform(col("__mh_base"), x =>
           pmod(lit(MinhashA(i)) * x + lit(MinhashB(i)), lit(MinhashP)))).as(s"h$i")
       }: _*)
@@ -495,7 +495,7 @@ object Dedup {
     // dup graph is orders of magnitude smaller than the doc count, and
     // isolated docs join back as their own singleton cluster at the end.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = sym.groupBy(col("src"))
       .agg(min(col("dst")).as("nbest"))
       .select(col("src").as("id"), least(col("src"), col("nbest")).as("cluster_id"))

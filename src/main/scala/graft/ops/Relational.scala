@@ -42,7 +42,7 @@ object Relational {
     unioned
       .withColumn(as, last(col("__v"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(col) :+ col(as): _*)
+      .select(leftCols.map(col).toIndexedSeq :+ col(as): _*)
   }
 
   /** FORWARD as-of join: each left row picks the EARLIEST right value at
@@ -70,7 +70,7 @@ object Relational {
     unioned
       .withColumn(as, first(col("__v"), ignoreNulls = true).over(w))
       .where(col("__side") === 0)
-      .select(leftCols.map(col) :+ col(as): _*)
+      .select(leftCols.map(col).toIndexedSeq :+ col(as): _*)
   }
 
   /** STALENESS-BOUNDED backward as-of join: the feature-store contract —
@@ -325,7 +325,7 @@ object Relational {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types
         .StructField(rankCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     df.sparkSession.createDataFrame(rdd, schema)

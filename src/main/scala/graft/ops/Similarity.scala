@@ -193,7 +193,7 @@ object Similarity {
   def srpBucket(vec: Column, nBits: Int, dim: Int): Column = {
     val planes = srpPlanes(nBits, dim)
     val bits = (0 until nBits).map { b =>
-      val plane = array(planes(b).map(lit): _*)
+      val plane = array(planes(b).map(lit).toIndexedSeq: _*)
       val dot = aggregate(zip_with(vec, plane, (x, p) => x * p),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), b)).otherwise(0L)
@@ -261,13 +261,13 @@ object Similarity {
     // centers: no UDF, stays in codegen (sum of squared diffs suffices
     // for ranking cells).
     def cellDist(v: Column, c: Array[Double]): Column =
-      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      aggregate(zip_with(v, array(c.map(lit).toIndexedSeq: _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
     def nearestCells(v: Column, n: Int): Column = {
       val scored = centers.zipWithIndex.map { case (c, i) =>
         struct(cellDist(v, c).as("d"), lit(i).as("cell"))
       }
-      slice(array_sort(array(scored: _*)), 1, n).getField("cell")
+      slice(array_sort(array(scored.toIndexedSeq: _*)), 1, n).getField("cell")
     }
 
     val assigned = feat

@@ -959,7 +959,7 @@ object TrainingQueries extends QueryPack {
         .repartitionByRange(col("shuffle_key"), col("doc_id"))
         .sortWithinPartitions("shuffle_key", "doc_id")
       sorted.rdd.map(r => (r.getLong(0), r.getString(1)))
-        .zipWithIndex.map { case ((id, k), i) => (id, k, i + 1L) }
+        .zipWithIndex().map { case ((id, k), i) => (id, k, i + 1L) }
         .toDF("doc_id", "shuffle_key", "position")
     },
 
@@ -980,7 +980,7 @@ object TrainingQueries extends QueryPack {
         .repartitionByRange(col("shuffle_key"), col("doc_id"))
         .sortWithinPartitions("shuffle_key", "doc_id")
       val ord = sorted.rdd.map(r => (r.getLong(0), r.getString(1)))
-        .zipWithIndex.map { case ((_, src), i) => (src, i + 1L) }
+        .zipWithIndex().map { case ((_, src), i) => (src, i + 1L) }
         .toDF("source", "position")
       val nxt = ord.select(col("source").as("next_source"),
         (col("position") - 1L).as("position"))
@@ -1009,7 +1009,7 @@ object TrainingQueries extends QueryPack {
         .repartitionByRange(col("epoch"), col("shuffle_key"), col("doc_id"))
         .sortWithinPartitions("epoch", "shuffle_key", "doc_id")
       sorted.rdd.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-        .zipWithIndex.map { case ((e, id, k), i) =>
+        .zipWithIndex().map { case ((e, id, k), i) =>
           (e, id, k, i + 1L - e * n) }
         .toDF("epoch", "doc_id", "shuffle_key", "position")
     },

@@ -44,7 +44,7 @@ object JsDivStream {
     val total = docs
       .select(sum(size(filter(split(col(textCol), " "),
         w => length(w) > lit(0)))).cast("long"))
-      .head.getLong(0)
+      .head().getLong(0)
     (counts.toSeq :+ (OovBucket -> (total - topMass))).sortBy(_._1)
   }
 

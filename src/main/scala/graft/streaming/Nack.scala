@@ -100,7 +100,7 @@ object Nack {
           }, opts.delayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         }
         if (exhausted.nonEmpty)
-          dlq(dlqFrame(nack, exhausted.map(keysOf)), id)
+          dlq(dlqFrame(nack, scala.collection.immutable.ArraySeq.unsafeWrapArray(exhausted.map(keysOf))), id)
         deliver(tagged.where(!array_contains(col("tags"), Tags.Nack)), id)
       } finally tagged.unpersist()
     }
