@@ -320,8 +320,10 @@ object ScaleCurve {
     "text_yule_k", "text_mattr", "text_burrows_delta",
     "stat_logrank", "stat_meta",
     // uplift deciles: one user hash-agg then the collapsed score domain;
-    // HT sampling: row-local draw + one source agg
-    "ev_uplift_deciles", "sample_importance")
+    // HT sampling: row-local draw + one source agg; strength: grid-
+    // bounded moments over the decompose components (the ts_decompose
+    // shape plus one hash-agg)
+    "ev_uplift_deciles", "sample_importance", "ts_strength")
 
   def scaleDocuments(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")

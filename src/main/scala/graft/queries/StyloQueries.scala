@@ -288,6 +288,44 @@ object StyloQueries extends QueryPack {
             + lit(0.0)).as("qini"))
     },
 
+    // Seasonal/trend STRENGTH per event type (Hyndman's F-statistics):
+    // F_trend = max(0, 1 − Var(resid)/Var(trend+resid)) over the
+    // deseasonalized series, F_seasonal = max(0, 1 − Var(resid)/
+    // Var(seasonal+resid)) over the detrended one — the one-number
+    // "does this series even HAVE structure" card on top of
+    // ts_decompose's component table (decompose shows the pieces; this
+    // says whether they matter). Portability: the decompose components
+    // are ALREADY 6dp-quantized identically in both engines, so
+    // q = round(component·1e6) recovers the same exact integers on
+    // both sides (a 6dp-multiple double ×1e6 is within ½ of its
+    // integer), and the three variances are exact integer moments from
+    // there — width: |q| ≤ 1e6·max(n) ≈ 1e10, squares ≤ 1e20 × T rows,
+    // DECIMAL(38,0). Interior rows only (the component contract). Two
+    // final double divisions, 6dp.
+    "ts_strength" -> { (s, dir) =>
+      val comp = graft.ops.TimeSeries.decompose(
+          Tables.events(s, dir), "event_type", "ts")
+        .where(col("trend").isNotNull)
+        .select(col("event_type"),
+          round(col("resid") * lit(1.0e6), 0).cast("long").as("qr"),
+          (round(col("trend") * lit(1.0e6), 0).cast("long") +
+            round(col("resid") * lit(1.0e6), 0).cast("long")).as("qd"),
+          (round(col("seasonal") * lit(1.0e6), 0).cast("long") +
+            round(col("resid") * lit(1.0e6), 0).cast("long")).as("qt"))
+      def vnum(c: String) =
+        (d38(count(lit(1))) * sum(d38(col(c)) * d38(col(c))) -
+          sum(d38(col(c))) * sum(d38(col(c)))).as(s"v$c")
+      comp.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_interior"), vnum("qr"), vnum("qd"), vnum("qt"))
+        .select(col("event_type"), col("n_interior"),
+          r6(when(col("vqd") > 0, greatest(lit(0.0),
+            lit(1.0) - col("vqr").cast("double") / col("vqd").cast("double"))))
+            .as("f_trend"),
+          r6(when(col("vqt") > 0, greatest(lit(0.0),
+            lit(1.0) - col("vqr").cast("double") / col("vqt").cast("double"))))
+            .as("f_seasonal"))
+    },
+
     // Length-proportional Poisson sampling with Horvitz–Thompson
     // correction: each doc enters with probability p = min(1, len/20000)
     // on a deterministic md5 unit draw, and a selected doc carries
@@ -513,6 +551,50 @@ object StyloQueries extends QueryPack {
         |        * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) END
         |    * 1000000) / 1000000 + 0.0 AS qini
         |FROM cum""".stripMargin,
+
+    "ts_strength" ->
+      s"""WITH ${EventQueries.hourlyGridCtes},
+         |t AS (SELECT event_type, bucket, n,
+         |    CAST(sum(n) OVER w AS BIGINT) AS s25,
+         |    CAST(count(*) OVER w AS BIGINT) AS c25
+         |  FROM ff
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+         |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |sea AS (SELECT event_type, CAST(hour(bucket) AS INT) AS hod,
+         |    CAST(sum(25 * n - s25) AS BIGINT) AS num,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t WHERE c25 = 25 GROUP BY 1, 2),
+         |q AS (SELECT t.event_type,
+         |    CAST(round(CAST(25 * cnt * n - cnt * s25 - num AS DOUBLE)
+         |      / CAST(25 * cnt AS DOUBLE) * 1000000.0) AS BIGINT) AS qr,
+         |    CAST(round(CAST(s25 AS DOUBLE) / 25.0 * 1000000.0) AS BIGINT)
+         |      AS qt0,
+         |    CAST(round(CAST(num AS DOUBLE) / CAST(25 * cnt AS DOUBLE)
+         |      * 1000000.0) AS BIGINT) AS qs0
+         |  FROM t JOIN sea ON t.event_type = sea.event_type
+         |    AND CAST(hour(bucket) AS INT) = sea.hod
+         |  WHERE c25 = 25),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_interior,
+         |    CAST(count(*) AS HUGEINT) * sum(CAST(qr AS HUGEINT) * qr)
+         |      - CAST(sum(CAST(qr AS HUGEINT)) AS HUGEINT)
+         |        * CAST(sum(CAST(qr AS HUGEINT)) AS HUGEINT) AS vqr,
+         |    CAST(count(*) AS HUGEINT)
+         |        * sum(CAST(qt0 + qr AS HUGEINT) * (qt0 + qr))
+         |      - CAST(sum(CAST(qt0 + qr AS HUGEINT)) AS HUGEINT)
+         |        * CAST(sum(CAST(qt0 + qr AS HUGEINT)) AS HUGEINT) AS vqd,
+         |    CAST(count(*) AS HUGEINT)
+         |        * sum(CAST(qs0 + qr AS HUGEINT) * (qs0 + qr))
+         |      - CAST(sum(CAST(qs0 + qr AS HUGEINT)) AS HUGEINT)
+         |        * CAST(sum(CAST(qs0 + qr AS HUGEINT)) AS HUGEINT) AS vqt
+         |  FROM q GROUP BY 1)
+         |SELECT event_type, n_interior,
+         |  round(CASE WHEN vqd > 0 THEN greatest(0.0,
+         |      1.0 - CAST(vqr AS DOUBLE) / CAST(vqd AS DOUBLE)) END
+         |    * 1000000) / 1000000 AS f_trend,
+         |  round(CASE WHEN vqt > 0 THEN greatest(0.0,
+         |      1.0 - CAST(vqr AS DOUBLE) / CAST(vqt AS DOUBLE)) END
+         |    * 1000000) / 1000000 AS f_seasonal
+         |FROM m""".stripMargin,
 
     "sample_importance" ->
       """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS w,
