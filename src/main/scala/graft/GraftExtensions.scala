@@ -174,7 +174,9 @@ object GraftExtensions {
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           require(arr != null, "centroid matrix must not be null")
           (0 until arr.numElements()).map { i =>
-            arr.getArray(i).toDoubleArray()
+            val row = arr.getArray(i)
+            require(row != null, s"centroid row $i must not be null")
+            row.toDoubleArray()
           }.toArray
         case _ => throw new IllegalArgumentException(
           "centroids must be a foldable array<array<double>> literal")

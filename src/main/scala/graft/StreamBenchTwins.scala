@@ -116,7 +116,8 @@ object StreamBenchTwins {
     /** One timed run: build the query over a fresh stream, feed the
       * warm block, time `Passes` replays, drain, return rows/sec. */
     def run[T](mk: () => (MemoryStream[T], StreamingQuery),
-               warm: IndexedSeq[T], blocks: Int => Iterator[IndexedSeq[T]]): Double = {
+               warm: IndexedSeq[T],
+               blocks: Int => Iterator[IndexedSeq[T]]): (Double, Long) = {
       val (in, q) = mk()
       var blocksFed = 0L
       var rowsFed = 0L
@@ -132,12 +133,12 @@ object StreamBenchTwins {
           pace(q, blocksFed)
         }
         drain(q, blocksFed)
-        rowsFed / ((System.nanoTime() - t0) / 1e9)
+        (rowsFed / ((System.nanoTime() - t0) / 1e9), rowsFed)
       } finally q.stop()
     }
 
     /** temporal_join needs a second (dimension) stream fed alongside. */
-    def runTwoStream(): Double = {
+    def runTwoStream(): (Double, Long) = {
       val facts = MemoryStream[E](spark, numPartitions = 8)
       val dims = MemoryStream[Dim](spark, numPartitions = 2)
       val out = graft.streaming.TemporalJoin.enrich(
@@ -171,7 +172,7 @@ object StreamBenchTwins {
             }
         }
         drain(q, blocksFed)
-        rowsFed / ((System.nanoTime() - t0) / 1e9)
+        (rowsFed / ((System.nanoTime() - t0) / 1e9), rowsFed)
       } finally q.stop()
     }
 
@@ -186,7 +187,7 @@ object StreamBenchTwins {
       }.mkString(" ")
     }
 
-    val twins: Seq[(String, () => Double)] = Seq(
+    val twins: Seq[(String, () => (Double, Long))] = Seq(
       "ttl_dedup" -> (() => run[E](
         mk = () => {
           val in = MemoryStream[E](spark, numPartitions = 8)
@@ -341,11 +342,17 @@ object StreamBenchTwins {
           new Timestamp(minTs + spanMs + i * 1000L)))))
 
     val lines = twins.map { case (name, f) =>
-      val rps = (1 to runs).map { r =>
-        val v = f()
-        println(f"  $name run $r: $v%.0f rows/s")
-        v
+      val results = (1 to runs).map { r =>
+        val (v, fed) = f()
+        println(f"  $name run $r: $v%.0f rows/s ($fed rows)")
+        (v, fed)
       }
+      val rps = results.map(_._1)
+      // the feed is deterministic per twin — every run feeds the same
+      // row count, and (ADVICE r14) for temporal_join that count
+      // includes the per-pass dimension blocks the throughput divisor
+      // already counted, so report what was actually measured over
+      val rowsFed = results.head._2
       val sorted = rps.sorted
       val median = sorted(sorted.length / 2)
       val lats = latencies(name)().sorted
@@ -353,7 +360,7 @@ object StreamBenchTwins {
       println(f"  $name latency: median $latMedian%.1f ms " +
         s"(${lats.map(v => f"$v%.1f").mkString(",")})")
       val line =
-        s"""{"metric":"stream_twin","twin":"$name","rows":${nEvents * Passes},""" +
+        s"""{"metric":"stream_twin","twin":"$name","rows":$rowsFed,""" +
           s""""passes":$Passes,"chunk_rows":$ChunkRows,"state_store":"rocksdb",""" +
           f""""median_rows_per_sec":$median%.0f,""" +
           s""""pooled_rows_per_sec":[${rps.map(v => f"$v%.0f").mkString(",")}],""" +

@@ -116,7 +116,13 @@ object StyloQueries extends QueryPack {
         col("znum").as("zb"))
       // the pair join runs on the |sources|×30 GRID, bounded by
       // construction — broadcast by declaration, not by estimate (the
-      // optimizer sees corpus-derived aggregates and would sort-merge)
+      // optimizer sees corpus-derived aggregates and would sort-merge).
+      // SCALE BOUND ASSUMPTION: output (and join work) grows |sources|²
+      // — fine while `source` is a catalog dimension (tens to low
+      // thousands: 10³ sources → 5×10⁵ pairs × 30 words). If sources
+      // ever become unbounded (e.g. per-domain crawl provenance), cap
+      // the pair grid first: rank sources by volume and delta only the
+      // top-N (the broadcast side then stays N×30 by construction).
       a.join(broadcast(b), Seq("w")).where(col("source_a") < col("source_b"))
         .select(col("source_a"), col("source_b"),
           when(col("vnum") > 0, round(

@@ -2713,21 +2713,31 @@ object TrainingQueries extends QueryPack {
     // whatever its quality score says. H = −Σ p·log2(p) over the
     // per-source word distribution. r13 verdict: the old form collected
     // EVERY (word, count) pair into one per-source array — corpus-
-    // unbounded single-row state, the registry's last executor-OOM shape
-    // at 100 TB. Now the text_entropy discipline end to end: keep each
-    // source's top-65536 words (count desc, word asc — deterministic)
-    // and pool the tail into one residual cell (the single-space marker
-    // " " — impossible as a word since words come from a space split),
-    // so downstream state is ≤65537 cells per source BY CONSTRUCTION
-    // and on any real vocabulary the clamp is the identity. Per-cell
-    // p·log2(p) terms (|term| ≤ 0.531, libm diff ≤ ~1e-15 ≪ half the
-    // grid) quantize to the 1e-12 grid and sum exactly — no collected
-    // list, no order-dependent fold. `n`/`vocab` stay the TRUE
-    // pre-clamp totals (pooling preserves the count sum). Width: |q| ≤
-    // 5.31e11 per cell × 65537 cells → |sq| ≤ 3.5e16, DECIMAL(38,0).
-    // The rank window sorts the post-agg CELL table (vocab-sized), not
-    // the corpus.
+    // unbounded single-row state, the registry's last executor-OOM
+    // shape at 100 TB. r14 verdict: the first rebuild pooled the tail
+    // into a residual CELL via when/otherwise — which kept every row
+    // alive through the rank window, so WindowGroupLimit could not
+    // prune and each source's ENTIRE vocab landed in one task's sort.
+    // Now the prunable form: `filter(rn <= 65536)` lets the optimizer
+    // insert WindowGroupLimit (Partial), which caps every map task's
+    // sort state at top-k per source BEFORE the exchange — the
+    // per-source window task then sorts ≤ (k × shuffle-partitions)
+    // rows, corpus-independent. The residual cell is SYNTHESIZED from
+    // the broadcast `stats` instead: its count is exactly
+    // n − Σ(top-k c), so the pooled term — and the output — is
+    // bit-identical to the r14 form by construction. Per-cell p·log2(p)
+    // terms (|term| ≤ 0.531, libm diff ≤ ~1e-15 ≪ half the grid)
+    // quantize to the 1e-12 grid and sum exactly — no collected list,
+    // no order-dependent fold. `n`/`vocab` stay the TRUE pre-clamp
+    // totals. Width: |q| ≤ 5.31e11 per cell × 65537 cells → |sq| ≤
+    // 3.5e16, DECIMAL(38,0). The rank window ranks the post-agg CELL
+    // table (vocab-sized), not the corpus.
     "vocab_entropy" -> { (s, dir) =>
+      // the optimizer only rewrites rank-filters below this threshold
+      // into WindowGroupLimit (default 1000); raising it is monotone —
+      // it ENABLES map-side top-k pruning for k ≤ 65536, changes no
+      // plan that wasn't already a rank filter
+      s.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", 65536)
       val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val counts = Tables.documents(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -2737,18 +2747,24 @@ object TrainingQueries extends QueryPack {
         .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"))
       val rankW = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("c").desc, col("w"))
-      val cells = counts.withColumn("rn", row_number().over(rankW))
-        .select(col("source"),
-          when(col("rn") <= lit(65536), col("w")).otherwise(lit(" "))
-            .as("w"), col("c"))
-        .groupBy(col("source"), col("w")).agg(sum(col("c")).as("c"))
+      val top = counts.withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= lit(65536))
       val p = col("c").cast("double") / col("n").cast("double")
-      cells.join(broadcast(stats), "source")
-        .select(col("source"), col("n"), col("vocab"),
+      val agg = top.join(broadcast(stats), "source")
+        .select(col("source"), col("n"), col("vocab"), col("c"),
           round(p * log2(p) * lit(1.0e12), 0).cast("long").as("q"))
         .groupBy(col("source"))
         .agg(max(col("n")).as("n"), max(col("vocab")).as("vocab"),
-          sum(d38(col("q"))).as("sq"))
+          sum(d38(col("q"))).as("sq_top"), sum(col("c")).as("c_top"))
+      // residual pooled-tail term, derived instead of carried: same
+      // double chain as a real cell with c = n − c_top (tail counts
+      // sum to exactly that, as longs — no rounding difference)
+      val pr = (col("n") - col("c_top")).cast("double") / col("n").cast("double")
+      val qr = when(col("c_top") < col("n"),
+        round(pr * log2(pr) * lit(1.0e12), 0).cast("long")).otherwise(lit(0L))
+      agg
+        .select(col("source"), col("n"), col("vocab"),
+          (col("sq_top") + d38(qr)).as("sq"))
         .select(col("source"), col("n"), col("vocab"),
           (round(-(col("sq").cast("double")) / lit(1.0e12) * 10000, 0)
             / 10000).as("entropy"))

@@ -53,7 +53,9 @@ import graft.streaming.Connectors.JetStreamConsumer
   * Server PINGs are answered inline between frames. */
 final class JetStreamWire(host: String, port: Int, stream: String,
                           subject: String, durable: String,
-                          ioTimeoutMs: Int = 5000)
+                          ioTimeoutMs: Int = 5000,
+                          reconnectDelayMs: Long = 50L,
+                          maxReconnects: Int = 100)
     extends JetStreamConsumer with AutoCloseable {
 
   @volatile private var socket: Socket = _
@@ -231,6 +233,7 @@ final class JetStreamWire(host: String, port: Int, stream: String,
     // clean end-of-batch).
     var cur = math.max(from, 1L)
     var done = false
+    var attempts = 0
     while (!done) {
       // transient replay consumer from `cur` — the stream serves the
       // range, nothing is buffered client-side (ack_policy none: replay
@@ -242,6 +245,7 @@ final class JetStreamWire(host: String, port: Int, stream: String,
              |"opt_start_seq":$cur,
              |"filter_subject":"$subject"}}""".stripMargin.replace("\n", ""))
         require(errCode(r) == 0, s"CONSUMER.CREATE failed: $r")
+        attempts = 0 // broker answered: the outage (if any) is over
         val name = {
           val i = r.indexOf("\"name\":\"")
           require(i >= 0, s"no consumer name in: $r")
@@ -264,10 +268,27 @@ final class JetStreamWire(host: String, port: Int, stream: String,
         require(errCode(del) == 0, s"CONSUMER.DELETE failed: $del")
         done = true
       } catch {
-        case _: java.io.IOException if !closed =>
-          // redial, then loop: a fresh consumer resumes at `cur`
-          try socket.close() catch { case _: java.io.IOException => () }
-          connect()
+        case io: java.io.IOException if !closed =>
+          // redial, then loop: a fresh consumer resumes at `cur`.
+          // Bounded + exponentially backed off (the PulsarWire budget):
+          // a broker that accepts dials but fails every request must
+          // not spin this loop hot forever. 50ms doubling to a 5s cap
+          // gives the default budget >8 minutes of downtime tolerance.
+          attempts += 1
+          if (attempts > maxReconnects)
+            throw new java.io.IOException(
+              s"jetstream wire: gave up after $maxReconnects reconnect attempts", io)
+          Thread.sleep(math.min(
+            reconnectDelayMs << math.min(attempts - 1, 30),
+            reconnectDelayMs * 100))
+          // the swap runs under the object monitor so a concurrent
+          // request()/ackUpTo caller never sees a half-initialized
+          // socket/in/out trio; a failed dial leaves the dead streams
+          // in place — the next request() throws and we land back here
+          synchronized {
+            try { socket.close(); connect() }
+            catch { case _: java.io.IOException => () }
+          }
       }
     }
     outB.result()

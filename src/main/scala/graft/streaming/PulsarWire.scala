@@ -192,7 +192,7 @@ object PulsarWire {
     * replenishment. */
   final class Consumer(host: String, port: Int, topic: String, subscription: String,
                        permits: Int = 1000, reconnectDelayMs: Long = 50L,
-                       maxReconnects: Int = 100)
+                       maxReconnects: Int = 100, handshakeTimeoutMs: Int = 10000)
       extends Connectors.PulsarConsumer with AutoCloseable {
     private val queue = new ConcurrentLinkedQueue[(Long, String, Array[Byte])]()
     private val idMap = new ConcurrentHashMap[Long, (Long, Long)]()
@@ -224,6 +224,14 @@ object PulsarWire {
       // a close() racing a reconnect must not leak a fresh socket
       if (closed) throw new java.io.IOException("consumer closed")
       socket = new Socket(host, port)
+      // handshake/SUBSCRIBE reads run UNDER the instance monitor: a
+      // broker that wedges mid-handshake during a reader-thread
+      // reconnect would otherwise block ackCumulative/FLOW senders on
+      // the monitor indefinitely. Bound the exchange with a read
+      // timeout (a SocketTimeoutException IS an IOException, so the
+      // reader loop's reconnect budget absorbs it), then clear it —
+      // steady-state reads on an idle topic block legitimately.
+      socket.setSoTimeout(handshakeTimeoutMs)
       in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
       out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
       handshake(in, out, "graft-wire-consumer")
@@ -239,6 +247,7 @@ object PulsarWire {
         s"expected SUCCESS(request_id=1), got type ${success.tpe}")
       Frame.write(out, baseCmd(T.Flow, new Pb.Writer().int(1, 1L).int(2, permits.toLong)))
       sinceFlow.set(0)
+      socket.setSoTimeout(0)
     }
     connect()
 

@@ -802,5 +802,14 @@ class PlanShapeSpec extends SparkSpec {
     val pv = plan("vocab_entropy")
     assert(!pv.toLowerCase.contains("collect_list"),
       s"vocab_entropy must not collect the vocabulary:\n$pv")
+    // r14 verdict #1: the rank clamp must be a WindowGroupLimit-prunable
+    // `filter(rn <= k)` — Partial mode caps every MAP task's sort state
+    // at top-k per source before the exchange, so no task ever sorts a
+    // source's full vocabulary (the keep-all when/otherwise form kept
+    // every row alive through the window and defeated the rewrite)
+    assert(pv.contains("WindowGroupLimit"),
+      s"vocab_entropy rank clamp must be WindowGroupLimit-prunable:\n$pv")
+    assert(pv.contains("Partial"),
+      s"vocab_entropy WindowGroupLimit must have a map-side Partial pass:\n$pv")
   }
 }
