@@ -28,6 +28,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - temporal_join — [[graft.streaming.TemporalJoin.enrich]]
   *  - feature_snap — [[graft.streaming.FeatureStream.snapshots]]
   *  - near_dup     — [[graft.streaming.StreamingNearDup.pairs]]
+  *  - js_drift     — [[graft.streaming.JsDivStream.windowedJsd]]
+  *  - ks_drift     — [[graft.streaming.KsDriftStream.windowedKs]]
+  *
+  * The two drift monitors (r14 verdict #3 follow-up) are a different
+  * state shape from the five transformWithState twins: chained windowed
+  * aggregations against a FROZEN broadcast reference, per-window state
+  * ≤ |reference domain| cells — benched on the same RocksDB + paced-feed
+  * protocol so every custom streaming operator has a throughput and
+  * latency line.
   *
   * Output: one JSON line per twin APPENDED into STREAMBENCH.json (the
   * base windowed-sum line is preserved; stale twin lines are replaced).
@@ -38,6 +47,7 @@ object StreamBenchTwins {
                       event_type: String, value: Double)
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
   final case class Dim(key: String, ts: Timestamp, dv: String)
+  final case class SDoc(source: String, text: String, ts: Timestamp)
 
   private val ChunkRows = 100000
   private val MaxBacklog = 6L
@@ -187,6 +197,17 @@ object StreamBenchTwins {
       }.mkString(" ")
     }
 
+    // frozen references for the two drift monitors, built once on the
+    // batch side (the deployment pattern: a settled corpus/history
+    // snapshot, the stream scored against it). jsRef: top-64 words +
+    // OOV bucket over the same deterministic doc generator the feed
+    // uses; ksRef: dense dollar-bin histogram of the events value
+    // domain (~561 bins at this table's range).
+    val jsRef = graft.streaming.JsDivStream.referenceFrom(
+      (0L until 100000L).map(docText).toDF("text"), "text", k = 64)
+    val ksRef = graft.streaming.KsDriftStream.referenceFrom(
+      graft.ops.Tables.events(spark, sfDir), "value")
+
     val twins: Seq[(String, () => (Double, Long))] = Seq(
       "ttl_dedup" -> (() => run[E](
         mk = () => {
@@ -245,7 +266,40 @@ object StreamBenchTwins {
             Doc(idOff + i, docText(idOff + i),
               new Timestamp(e.ts.getTime + shift))
           }.grouped(ChunkRows).map(_.toIndexedSeq)
-        })))
+        })),
+      "js_drift" -> (() => run[SDoc](
+        mk = () => {
+          val in = MemoryStream[SDoc](spark, numPartitions = 8)
+          val out = graft.streaming.JsDivStream.windowedJsd(
+            in.toDF(), "ts", "source", "text", jsRef,
+            windowDur = "1 hour", delay = "30 seconds")
+          (in, out.writeStream.format("noop").outputMode("append").start())
+        },
+        warm = (0 until ChunkRows).map(i =>
+          SDoc(s"s${i % 8}", docText(i.toLong),
+            new Timestamp(minTs - spanMs + i))),
+        // one doc per event row across 8 sources, timestamps riding the
+        // events clock so windows close and state turns over per pass
+        blocks = p => {
+          val idOff = p * nEvents
+          val shift = p * spanMs
+          events.iterator.zipWithIndex.map { case (e, i) =>
+            SDoc(s"s${e.user_id % 8}", docText(idOff + i),
+              new Timestamp(e.ts.getTime + shift))
+          }.grouped(ChunkRows).map(_.toIndexedSeq)
+        })),
+      "ks_drift" -> (() => run[Ev](
+        mk = () => {
+          val in = MemoryStream[Ev](spark, numPartitions = 8)
+          val out = graft.streaming.KsDriftStream.windowedKs(
+            in.toDF(), "ts", "value", ksRef,
+            windowDur = "1 hour", delay = "30 seconds")
+          (in, out.writeStream.format("noop").outputMode("append").start())
+        },
+        warm = events.take(ChunkRows).toIndexedSeq.map(e =>
+          e.copy(event_id = e.event_id - nEvents,
+            ts = new Timestamp(e.ts.getTime - spanMs))),
+        blocks = p => shifted(p).grouped(ChunkRows).map(_.toIndexedSeq))))
 
     // ---- single-message latency: feed-to-commit of ONE row through a
     // warm pipeline (7 reps, first 2 dropped as JIT warmers, median of
@@ -339,7 +393,30 @@ object StreamBenchTwins {
         warm = (0 until ChunkRows).map(i =>
           Doc(i.toLong, docText(i.toLong), new Timestamp(minTs + i))),
         single = i => Doc(1000000L + i, docText(i.toLong),
-          new Timestamp(minTs + spanMs + i * 1000L)))))
+          new Timestamp(minTs + spanMs + i * 1000L)))),
+      "js_drift" -> (() => latRun[SDoc](
+        mk = () => {
+          val in = MemoryStream[SDoc](spark, numPartitions = 8)
+          val out = graft.streaming.JsDivStream.windowedJsd(
+            in.toDF(), "ts", "source", "text", jsRef,
+            windowDur = "1 hour", delay = "30 seconds")
+          (in, out.writeStream.format("noop").outputMode("append").start())
+        },
+        warm = (0 until ChunkRows).map(i =>
+          SDoc(s"s${i % 8}", docText(i.toLong), new Timestamp(minTs + i))),
+        single = i => SDoc("s0", docText(i.toLong),
+          new Timestamp(minTs + spanMs + i * 1000L)))),
+      "ks_drift" -> (() => latRun[Ev](
+        mk = () => {
+          val in = MemoryStream[Ev](spark, numPartitions = 8)
+          val out = graft.streaming.KsDriftStream.windowedKs(
+            in.toDF(), "ts", "value", ksRef,
+            windowDur = "1 hour", delay = "30 seconds")
+          (in, out.writeStream.format("noop").outputMode("append").start())
+        },
+        warm = events.take(ChunkRows).toIndexedSeq,
+        single = i => Ev(nEvents + i, new Timestamp(minTs + spanMs + i * 1000L),
+          i.toLong % 100, "purchase", 1.0 * i))))
 
     val lines = twins.map { case (name, f) =>
       val results = (1 to runs).map { r =>

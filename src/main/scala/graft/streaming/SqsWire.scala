@@ -17,27 +17,42 @@ import graft.streaming.Connectors.SqsClient
   * timeout redelivery contract against an in-process HTTP stub;
   * `software.amazon.awssdk:sqs` is absent and unfetchable here).
   *
-  * No SigV4: request signing is credential plumbing, not queue
-  * semantics — this client targets SQS-compatible endpoints that accept
-  * unsigned requests (elasticmq, localstack's default mode, the spec's
-  * stub). Against real AWS, use [[SqsSdk]] (the SDK signs).
+  * SigV4 (r14 verdict #5): pass `credentials` (+ `region`) and every
+  * POST carries x-amz-date + an Authorization header computed by
+  * [[SigV4]] over the exact form body and signed headers — the same
+  * public algorithm the official SDK applies, pinned externally by
+  * SigV4Spec's published test vectors. With `credentials = None`
+  * (default) requests go unsigned, for SQS-compatible endpoints that
+  * accept them (elasticmq, localstack's default mode, the spec's stub).
+  * `clock` is injectable so a spec can pin the signing timestamp.
   *
   * Bodies are UTF-8 strings on the wire (the SQS data model); the
   * engine's byte contract round-trips UTF-8, matching [[SqsSdk]]. */
 final class SqsWire(queueUrl: String, visibilityTimeoutSec: Int = 30,
-                    ioTimeoutMs: Int = 5000) extends SqsClient {
+                    ioTimeoutMs: Int = 5000,
+                    credentials: Option[SigV4.Credentials] = None,
+                    region: String = "us-east-1",
+                    clock: () => java.time.Instant =
+                      () => java.time.Instant.now()) extends SqsClient {
+
+  private val ContentType = "application/x-www-form-urlencoded; charset=utf-8"
 
   private def post(params: Seq[(String, String)]): String = {
     val conn = new URI(queueUrl).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(ioTimeoutMs); conn.setReadTimeout(ioTimeoutMs)
     conn.setRequestMethod("POST"); conn.setDoOutput(true)
-    conn.setRequestProperty("Content-Type",
-      "application/x-www-form-urlencoded; charset=utf-8")
+    conn.setRequestProperty("Content-Type", ContentType)
     val body = (params :+ ("Version" -> "2012-11-05"))
       .map { case (k, v) =>
         URLEncoder.encode(k, UTF_8) + "=" + URLEncoder.encode(v, UTF_8) }
       .mkString("&").getBytes(UTF_8)
+    credentials.foreach { creds =>
+      SigV4.signRequest("POST", queueUrl, query = Seq.empty,
+        extraHeaders = Map("content-type" -> ContentType),
+        payload = body, creds, region, service = "sqs", at = clock())
+        .foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    }
     val os = conn.getOutputStream
     try { os.write(body); os.flush() } finally os.close()
     val code = conn.getResponseCode
