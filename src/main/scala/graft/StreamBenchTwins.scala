@@ -92,6 +92,9 @@ object StreamBenchTwins {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "5").toInt
+    // trailing args restrict the sweep to the named twins (builder-local
+    // iteration; the merge below only replaces the lines it re-ran)
+    val only: Set[String] = args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -418,7 +421,7 @@ object StreamBenchTwins {
         single = i => Ev(nEvents + i, new Timestamp(minTs + spanMs + i * 1000L),
           i.toLong % 100, "purchase", 1.0 * i))))
 
-    val lines = twins.map { case (name, f) =>
+    val lines = twins.filter(t => only.isEmpty || only(t._1)).map { case (name, f) =>
       val results = (1 to runs).map { r =>
         val (v, fed) = f()
         println(f"  $name run $r: $v%.0f rows/s ($fed rows)")
@@ -448,12 +451,17 @@ object StreamBenchTwins {
       line
     }
 
-    // merge into STREAMBENCH.json: keep non-twin lines, replace twin lines
+    // merge into STREAMBENCH.json: keep non-twin lines and the twin
+    // lines NOT re-run this invocation, replace the re-run ones
+    val ranNames = twins.collect {
+      case (n, _) if only.isEmpty || only(n) => s""""twin":"$n"""" }
     val path = java.nio.file.Paths.get("STREAMBENCH.json")
     val existing =
       if (java.nio.file.Files.exists(path))
         java.nio.file.Files.readString(path).linesIterator
-          .filterNot(_.contains("\"stream_twin\"")).toSeq
+          .filterNot(l => l.contains("\"stream_twin\"") &&
+            ranNames.exists(l.contains))
+          .toSeq
       else Seq.empty
     java.nio.file.Files.writeString(path, (existing ++ lines).mkString("\n") + "\n")
     spark.stop()

@@ -55,7 +55,8 @@ final class JetStreamWire(host: String, port: Int, stream: String,
                           subject: String, durable: String,
                           ioTimeoutMs: Int = 5000,
                           reconnectDelayMs: Long = 50L,
-                          maxReconnects: Int = 100)
+                          maxReconnects: Int = 100,
+                          auth: Option[NatsWire.Auth] = None)
     extends JetStreamConsumer with AutoCloseable {
 
   @volatile private var socket: Socket = _
@@ -82,7 +83,8 @@ final class JetStreamWire(host: String, port: Int, stream: String,
     val info = NatsWire.readLine(in)
     require(info.startsWith("INFO"), s"expected INFO, got: $info")
     send("CONNECT {\"verbose\":false,\"pedantic\":false," +
-      "\"name\":\"graft-js-wire\"}\r\nSUB " + inboxBase + ".* 1\r\nPING\r\n")
+      "\"name\":\"graft-js-wire\"" + auth.fold("")(_.connectFields) +
+      "}\r\nSUB " + inboxBase + ".* 1\r\nPING\r\n")
     var line = NatsWire.readLine(in)
     while (line != "PONG") {
       require(!line.startsWith("-ERR"), s"broker rejected handshake: $line")

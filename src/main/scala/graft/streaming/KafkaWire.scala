@@ -227,15 +227,62 @@ object KafkaWire {
 
   private[graft] object Api {
     val Produce = 0; val Fetch = 1; val ListOffsets = 2; val Metadata = 3
-    val ApiVersions = 18
+    val SaslHandshake = 17; val ApiVersions = 18; val SaslAuthenticate = 36
   }
 
-  final class Conn(host: String, port: Int, clientId: String = "graft-wire")
+  /** @param saslPlain (username, password) — when set, every
+    *   (re)connection authenticates with SASL/PLAIN (SaslHandshake v1 +
+    *   SaslAuthenticate v0, the framed flow) before any other request,
+    *   exactly the broker-side contract of `sasl.mechanism=PLAIN`. No
+    *   TLS in this client, so as in any PLAIN-over-plaintext deployment
+    *   the credential rides unencrypted — documented in the conformance
+    *   matrix; the reference's Kafka source delegates the same choice to
+    *   its client config. */
+  final class Conn(host: String, port: Int, clientId: String = "graft-wire",
+                   saslPlain: Option[(String, String)] = None)
       extends AutoCloseable {
     @volatile private var socket: Socket = _
     @volatile private var in: DataInputStream = _
     @volatile private var out: DataOutputStream = _
     @volatile private var closed = false
+
+    private var corr = 0
+
+    /** One request/response on the CURRENT socket, no redial — the SASL
+      * exchange must complete on the connection it authenticates. */
+    private def rawCall(apiKey: Int, version: Int)(body: W => Unit): ByteBuffer = {
+      corr += 1
+      val myCorr = corr
+      val w = new W
+      w.i16(apiKey).i16(version).i32(myCorr).nstr(clientId)
+      body(w)
+      val frame = w.result
+      out.writeInt(frame.length); out.write(frame); out.flush()
+      val size = in.readInt()
+      val resp = new Array[Byte](size); in.readFully(resp)
+      val b = ByteBuffer.wrap(resp)
+      val gotCorr = R.i32(b)
+      require(gotCorr == myCorr, s"correlation id mismatch: $gotCorr != $myCorr")
+      b
+    }
+
+    /** SASL/PLAIN: SaslHandshake v1 negotiates the mechanism, then the
+      * single PLAIN token ([authzid=ε] NUL user NUL pass) flows as a
+      * framed SaslAuthenticate — the documented flow for handshake ≥ v1
+      * (v0 sends raw tokens; not spoken here). */
+    private def saslAuthenticate(user: String, pass: String): Unit = {
+      val h = rawCall(Api.SaslHandshake, 1)(w => w.str("PLAIN"))
+      val herr = R.i16(h)
+      val n = R.i32(h)
+      val mechs = (0 until n).map(_ => R.str(h))
+      require(herr == 0,
+        s"SaslHandshake error $herr (broker offers: ${mechs.mkString(",")})")
+      val token = ("\u0000" + user + "\u0000" + pass).getBytes(UTF_8)
+      val a = rawCall(Api.SaslAuthenticate, 0)(w => w.bytesF(token))
+      val aerr = R.i16(a)
+      val msg = R.nstr(a)
+      require(aerr == 0, s"SASL authentication failed ($aerr): $msg")
+    }
 
     private def connect(): Unit = {
       // a close() racing a reconnect must not leak a fresh socket
@@ -243,16 +290,19 @@ object KafkaWire {
       socket = new Socket(host, port)
       in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
       out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+      // authenticate EVERY connection (initial and redial) before any
+      // other request — the broker rejects everything else with
+      // SaslAuthenticationFailed otherwise
+      saslPlain.foreach { case (u, p) => saslAuthenticate(u, p) }
     }
     connect()
-
-    private var corr = 0
 
     private def call(apiKey: Int, version: Int)(body: W => Unit): ByteBuffer =
       synchronized {
         corr += 1
+        val myCorr = corr
         val w = new W
-        w.i16(apiKey).i16(version).i32(corr).nstr(clientId)
+        w.i16(apiKey).i16(version).i32(myCorr).nstr(clientId)
         body(w)
         val frame = w.result
         def once(): ByteBuffer = {
@@ -260,8 +310,10 @@ object KafkaWire {
           val size = in.readInt()
           val resp = new Array[Byte](size); in.readFully(resp)
           val b = ByteBuffer.wrap(resp)
+          // compare against the CAPTURED id: a redial may have spent
+          // further ids on its SASL exchange before this replay
           val gotCorr = R.i32(b)
-          require(gotCorr == corr, s"correlation id mismatch: $gotCorr != $corr")
+          require(gotCorr == myCorr, s"correlation id mismatch: $gotCorr != $myCorr")
           b
         }
         try once()

@@ -33,6 +33,35 @@ import java.util.concurrent.ConcurrentLinkedQueue
   */
 object NatsWire {
 
+  /** Optional CONNECT-time client authentication — the two documented
+    * core-NATS credential modes (user/password and token). The fields
+    * ride INSIDE the CONNECT JSON, so one option serves
+    * [[Subscription]], [[publish]], and [[JetStreamWire]] alike. As
+    * with any password auth over a plaintext socket, pair with TLS in
+    * production (out of scope here — conformance matrix). */
+  sealed trait Auth { private[streaming] def connectFields: String }
+  object Auth {
+    final case class UserPass(user: String, pass: String) extends Auth {
+      private[streaming] def connectFields =
+        s""","user":${jsonStr(user)},"pass":${jsonStr(pass)}"""
+    }
+    final case class Token(token: String) extends Auth {
+      private[streaming] def connectFields = s""","auth_token":${jsonStr(token)}"""
+    }
+  }
+
+  /** Minimal JSON string literal (quote/backslash/control escapes). */
+  private def jsonStr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b ++= "\\\""
+      case '\\' => b ++= "\\\\"
+      case c if c < ' ' => b ++= f"\\u${c.toInt}%04x"
+      case c => b += c
+    }
+    (b += '"').toString
+  }
+
   /** One protocol line: bytes until CRLF, decoded ISO-8859-1 (the
     * protocol line itself is ASCII; payloads never pass through here).
     * Shared with [[JetStreamWire]] — same framing, same broker. */
@@ -60,7 +89,8 @@ object NatsWire {
   /** A live core-NATS subscription over a raw socket. A daemon reader
     * thread parses frames and enqueues payloads; [[drain]] empties the
     * queue without blocking (the [[Connectors.NatsSource]] contract). */
-  final class Subscription(host: String, port: Int, subject: String)
+  final class Subscription(host: String, port: Int, subject: String,
+                           auth: Option[Auth] = None)
       extends Connectors.NatsSubscription with AutoCloseable {
     private val socket = new Socket(host, port)
     private val in = new BufferedInputStream(socket.getInputStream)
@@ -85,9 +115,13 @@ object NatsWire {
       val info = readLine(in)
       require(info.startsWith("INFO"), s"expected INFO, got: $info")
       send("CONNECT {\"verbose\":false,\"pedantic\":false," +
-        "\"name\":\"graft-wire\"}\r\nSUB " + subject + " 1\r\nPING\r\n")
+        "\"name\":\"graft-wire\"" + auth.fold("")(_.connectFields) +
+        "}\r\nSUB " + subject + " 1\r\nPING\r\n")
       var line = readLine(in)
-      while (line != "PONG") { handleFrame(line); line = readLine(in) }
+      while (line != "PONG") {
+        require(!line.startsWith("-ERR"), s"broker rejected handshake: $line")
+        handleFrame(line); line = readLine(in)
+      }
     }
 
     private val reader = new Thread(() => {
@@ -112,14 +146,16 @@ object NatsWire {
     * processed before this returns (the standard flush idiom — NATS has
     * no per-publish ack in core mode). */
   def publish(host: String, port: Int, subject: String,
-              payloads: Seq[Array[Byte]]): Unit = {
+              payloads: Seq[Array[Byte]],
+              auth: Option[Auth] = None): Unit = {
     val socket = new Socket(host, port)
     try {
       val in = new BufferedInputStream(socket.getInputStream)
       val out = new BufferedOutputStream(socket.getOutputStream)
       require(readLine(in).startsWith("INFO"), "expected INFO")
       out.write(("CONNECT {\"verbose\":false,\"pedantic\":false," +
-        "\"name\":\"graft-pub\"}\r\n").getBytes(ISO_8859_1))
+        "\"name\":\"graft-pub\"" + auth.fold("")(_.connectFields) +
+        "}\r\n").getBytes(ISO_8859_1))
       payloads.foreach { p =>
         out.write(s"PUB $subject ${p.length}\r\n".getBytes(ISO_8859_1))
         out.write(p)
@@ -128,7 +164,10 @@ object NatsWire {
       out.write("PING\r\n".getBytes(ISO_8859_1))
       out.flush()
       var line = readLine(in)
-      while (line != "PONG") line = readLine(in)
+      while (line != "PONG") {
+        require(!line.startsWith("-ERR"), s"broker rejected publish: $line")
+        line = readLine(in)
+      }
     } finally socket.close()
   }
 }

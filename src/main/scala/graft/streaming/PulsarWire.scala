@@ -174,9 +174,18 @@ object PulsarWire {
     }
   }
 
-  private def handshake(in: DataInputStream, out: DataOutputStream, name: String): Unit = {
-    Frame.write(out, baseCmd(T.Connect,
-      new Pb.Writer().str(1, name).int(4, 21))) // client_version, protocol_version
+  /** CONNECT/CONNECTED exchange. `authToken` rides the documented
+    * token-auth fields of CommandConnect: auth_method_name (field 5) =
+    * "token", auth_data (field 3) = the raw token bytes — the same wire
+    * shape the official clients produce for JWT/token auth. Plaintext
+    * socket ⇒ pair with TLS in production (conformance matrix). */
+  private def handshake(in: DataInputStream, out: DataOutputStream, name: String,
+                        authToken: Option[String] = None): Unit = {
+    val cmd = new Pb.Writer().str(1, name).int(4, 21) // client_version, protocol_version
+    authToken.foreach { t =>
+      cmd.str(5, "token").bytes(3, t.getBytes(UTF_8))
+    }
+    Frame.write(out, baseCmd(T.Connect, cmd))
     val connected = Frame.read(in)
     require(connected.tpe == T.Connected, s"expected CONNECTED, got type ${connected.tpe}")
   }
@@ -192,7 +201,8 @@ object PulsarWire {
     * replenishment. */
   final class Consumer(host: String, port: Int, topic: String, subscription: String,
                        permits: Int = 1000, reconnectDelayMs: Long = 50L,
-                       maxReconnects: Int = 100, handshakeTimeoutMs: Int = 10000)
+                       maxReconnects: Int = 100, handshakeTimeoutMs: Int = 10000,
+                       authToken: Option[String] = None)
       extends Connectors.PulsarConsumer with AutoCloseable {
     private val queue = new ConcurrentLinkedQueue[(Long, String, Array[Byte])]()
     private val idMap = new ConcurrentHashMap[Long, (Long, Long)]()
@@ -234,7 +244,7 @@ object PulsarWire {
       socket.setSoTimeout(handshakeTimeoutMs)
       in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
       out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
-      handshake(in, out, "graft-wire-consumer")
+      handshake(in, out, "graft-wire-consumer", authToken)
       Frame.write(out, baseCmd(T.Subscribe, new Pb.Writer()
         .str(1, topic).str(2, subscription)
         .int(3, 0L)   // SubType Exclusive
@@ -385,13 +395,14 @@ object PulsarWire {
     * at-least-once half the K4 sink needs). Single socket, synchronous —
     * the reader loop only ever sees receipts and pings. */
   final class Producer(host: String, port: Int, topic: String,
-                       name: String = "graft-wire-producer") extends AutoCloseable {
+                       name: String = "graft-wire-producer",
+                       authToken: Option[String] = None) extends AutoCloseable {
     private val socket = new Socket(host, port)
     private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
     private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
     private var seq = 0L
     val producerName: String = {
-      handshake(in, out, "graft-wire-producer")
+      handshake(in, out, "graft-wire-producer", authToken)
       Frame.write(out, baseCmd(T.Producer,
         new Pb.Writer().str(1, topic).int(2, 1L).int(3, 1L).str(4, name)))
       val ok = awaitType(T.ProducerSuccess)

@@ -36,8 +36,13 @@ class KafkaWireSpec extends AnyFunSuite {
   }
 
   /** Loopback stub: one in-memory log per (topic, partition); one thread
-    * per connection; the shared log synchronized on the broker. */
-  private final class KafkaStubBroker extends AutoCloseable {
+    * per connection; the shared log synchronized on the broker. With
+    * `sasl` set, the stub enforces the broker-side SASL/PLAIN contract:
+    * SaslHandshake v1 → framed SaslAuthenticate, and ANY other request
+    * on an unauthenticated connection closes it (the real broker's
+    * behavior in a SASL listener). */
+  private final class KafkaStubBroker(sasl: Option[(String, String)] = None)
+      extends AutoCloseable {
     @volatile private var server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     // (topic, partition) -> append log of (timestamp, key, value)
@@ -154,6 +159,7 @@ class KafkaWireSpec extends AnyFunSuite {
           val t = new Thread(() => {
             val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
             val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+            var authed = sasl.isEmpty // per-connection, like the broker
             try while (!closed) {
               val size = in.readInt()
               val frame = new Array[Byte](size); in.readFully(frame)
@@ -162,10 +168,35 @@ class KafkaWireSpec extends AnyFunSuite {
               val corr = R.i32(b); R.nstr(b) // client id
               val resp = new W
               resp.i32(corr)
-              handle(apiKey, version, b, resp)
+              apiKey match {
+                case Api.SaslHandshake =>
+                  require(version == 1, s"stub: SaslHandshake v$version")
+                  val mech = R.str(b)
+                  // err 33 = UNSUPPORTED_SASL_MECHANISM; list what we serve
+                  resp.i16(if (mech == "PLAIN") 0 else 33).i32(1).str("PLAIN")
+                case Api.SaslAuthenticate =>
+                  require(version == 0, s"stub: SaslAuthenticate v$version")
+                  val parts = new String(R.bytesF(b), UTF_8).split("\u0000", -1)
+                  require(parts.length == 3, "stub: malformed PLAIN token")
+                  if (sasl.contains((parts(1), parts(2)))) {
+                    authed = true
+                    resp.i16(0).nstr(null).bytesF(Array.empty[Byte])
+                  } else // err 58 = SASL_AUTHENTICATION_FAILED
+                    resp.i16(58).nstr("invalid credentials").bytesF(Array.empty[Byte])
+                case _ =>
+                  // a SASL listener closes unauthenticated connections
+                  require(authed, "stub: request before SASL auth")
+                  handle(apiKey, version, b, resp)
+              }
               val rb = resp.result
               out.writeInt(rb.length); out.write(rb); out.flush()
             } catch { case _: java.io.IOException => () }
+            finally {
+              // covers the auth-violation require too: the broker CUTS
+              // an unauthenticated connection — leaving the socket open
+              // would park the client forever on its response read
+              try s.close() catch { case _: java.io.IOException => () }
+            }
           }, "kafka-stub-conn")
           t.setDaemon(true)
           t.start()
@@ -332,5 +363,38 @@ class KafkaWireSpec extends AnyFunSuite {
         Seq(("k6".getBytes(UTF_8), "v6".getBytes(UTF_8))), baseTs = 2L)
       assert(src.read(0, 6L, 7L).toList.map(_.offset) === Seq(6L))
     } finally { conn.close(); broker.close() }
+  }
+
+  test("SASL/PLAIN: authenticated round-trip; auth survives a broker-death " +
+      "redial; unauthenticated connections are cut") {
+    val broker = new KafkaStubBroker(sasl = Some(("svc-graft", "s3cr3t")))
+    val conn = new KafkaWire.Conn("127.0.0.1", broker.port,
+      saslPlain = Some(("svc-graft", "s3cr3t")))
+    try {
+      val base = conn.produce("t.sasl", 0,
+        Seq(("k".getBytes(UTF_8), "v".getBytes(UTF_8))), baseTs = 1L)
+      assert(base === 0L)
+      // redial path re-authenticates: kill + restart, then the replayed
+      // request must pass SASL again on the fresh socket (and the
+      // correlation check must tolerate the SASL exchange's spent ids)
+      broker.kill(); broker.restart()
+      val (_, recs) = conn.fetch("t.sasl", 0, 0L)
+      assert(recs.map(r => new String(r.value, UTF_8)) === Seq("v"))
+      // a connection that skips SASL is cut by the broker on its first
+      // ordinary request (the SASL-listener contract)
+      val bare = new KafkaWire.Conn("127.0.0.1", broker.port)
+      try intercept[java.io.IOException](bare.apiVersions())
+      finally bare.close()
+    } finally { conn.close(); broker.close() }
+  }
+
+  test("SASL/PLAIN: wrong password fails loudly at connect") {
+    val broker = new KafkaStubBroker(sasl = Some(("svc-graft", "s3cr3t")))
+    try {
+      val e = intercept[IllegalArgumentException](
+        new KafkaWire.Conn("127.0.0.1", broker.port,
+          saslPlain = Some(("svc-graft", "wrong"))))
+      assert(e.getMessage.contains("SASL authentication failed"))
+    } finally broker.close()
   }
 }

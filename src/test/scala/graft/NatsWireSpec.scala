@@ -20,8 +20,13 @@ import graft.streaming.{Connectors, NatsWire}
 class NatsWireSpec extends AnyFunSuite {
 
   /** Minimal loopback NATS broker: exact-subject routing, one thread per
-    * connection. Supports CONNECT (ignored), SUB, PUB, PING. */
-  private final class StubBroker extends AutoCloseable {
+    * connection. Supports CONNECT (ignored), SUB, PUB, PING. With
+    * `requireAuth` set (a list of CONNECT JSON fields that must appear,
+    * e.g. user/pass or auth_token), a CONNECT missing any of them gets
+    * the real broker's `-ERR 'Authorization Violation'` and the
+    * connection is cut. */
+  private final class StubBroker(
+      requireAuth: Seq[(String, String)] = Seq.empty) extends AutoCloseable {
     private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     // (subject, per-connection locked output, sid)
@@ -46,7 +51,16 @@ class NatsWireSpec extends AnyFunSuite {
         val line = readLine(in)
         val parts = line.split(" ")
         parts(0) match {
-          case "CONNECT" => () // verbose:false — no +OK
+          case "CONNECT" => // verbose:false — no +OK on success
+            val ok = requireAuth.forall { case (k, v) =>
+              line.contains(s""""$k":"$v"""") }
+            if (!ok) {
+              out.synchronized {
+                out.write("-ERR 'Authorization Violation'\r\n".getBytes(ISO_8859_1))
+                out.flush()
+              }
+              sock.close()
+            }
           case "PING" =>
             out.synchronized { out.write("PONG\r\n".getBytes(ISO_8859_1)); out.flush() }
           case "SUB" => subs.add((parts(1), out, parts(2)))
@@ -154,6 +168,49 @@ class NatsWireSpec extends AnyFunSuite {
         }
         assert(new String(src.read(0, 5L, upTo2).next().value, ISO_8859_1) == "m6")
       } finally sub.close()
+    } finally broker.close()
+  }
+
+  test("auth: user/pass CONNECT fields satisfy an auth-required broker; " +
+      "a credential-less CONNECT is rejected with -ERR") {
+    val broker = new StubBroker(requireAuth = Seq("user" -> "svc", "pass" -> "pw"))
+    try {
+      val sub = new NatsWire.Subscription("127.0.0.1", broker.port, "authd",
+        auth = Some(NatsWire.Auth.UserPass("svc", "pw")))
+      try {
+        NatsWire.publish("127.0.0.1", broker.port, "authd",
+          Seq("hello".getBytes(ISO_8859_1)),
+          auth = Some(NatsWire.Auth.UserPass("svc", "pw")))
+        eventually() {
+          assert(sub.drain().map(new String(_, ISO_8859_1)) == Seq("hello"))
+        }
+      } finally sub.close()
+      val e = intercept[IllegalArgumentException](
+        new NatsWire.Subscription("127.0.0.1", broker.port, "authd"))
+      assert(e.getMessage.contains("Authorization Violation"))
+    } finally broker.close()
+  }
+
+  test("auth: token mode rides the auth_token CONNECT field (publish path)") {
+    val broker = new StubBroker(requireAuth = Seq("auth_token" -> "tok-123"))
+    try {
+      val sub = new NatsWire.Subscription("127.0.0.1", broker.port, "tokend",
+        auth = Some(NatsWire.Auth.Token("tok-123")))
+      try {
+        NatsWire.publish("127.0.0.1", broker.port, "tokend",
+          Seq("t".getBytes(ISO_8859_1)), auth = Some(NatsWire.Auth.Token("tok-123")))
+        eventually() {
+          assert(sub.drain().map(new String(_, ISO_8859_1)) == Seq("t"))
+        }
+      } finally sub.close()
+      // a wrong token is rejected at publish time: the client reads the
+      // -ERR (IllegalArgumentException) or, if the stub's close wins
+      // the race, the cut socket (IOException) — never a silent PONG
+      val e = intercept[Exception](
+        NatsWire.publish("127.0.0.1", broker.port, "tokend",
+          Seq("x".getBytes(ISO_8859_1)), auth = Some(NatsWire.Auth.Token("bad"))))
+      assert(e.isInstanceOf[java.io.IOException] ||
+        e.getMessage.contains("rejected publish"))
     } finally broker.close()
   }
 }

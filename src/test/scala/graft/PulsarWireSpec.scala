@@ -48,7 +48,12 @@ class PulsarWireSpec extends AnyFunSuite {
     * mark-delete cursors (survive reconnects — the redelivery contract),
     * additive FLOW permits, checksum-verified SENDs. One thread per
     * connection; shared state synchronized on the broker. */
-  private final class PulsarStubBroker extends AutoCloseable {
+  /** With `requireToken` set, CONNECT must carry auth_method_name
+    * "token" (field 5) + matching auth_data (field 3) — otherwise the
+    * stub answers CommandError(AuthenticationError) and cuts the
+    * connection, the real broker's token-listener behavior. */
+  private final class PulsarStubBroker(requireToken: Option[String] = None)
+      extends AutoCloseable {
     @volatile private var server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     // topic -> ordered (entryId implied by index, key, payload,
@@ -101,8 +106,17 @@ class PulsarWireSpec extends AnyFunSuite {
       synchronized {
         f.tpe match {
           case T.Connect =>
-            Frame.write(out, baseCmd(T.Connected,
-              new Pb.Writer().str(1, "pulsar-stub").int(2, 21L)))
+            val c = f.cmd.msg(T.Connect)
+            val ok = requireToken.forall(t =>
+              c.strOpt(5).contains("token") && c.strOpt(3).contains(t))
+            if (ok)
+              Frame.write(out, baseCmd(T.Connected,
+                new Pb.Writer().str(1, "pulsar-stub").int(2, 21L)))
+            else {
+              Frame.write(out, baseCmd(T.Error, new Pb.Writer()
+                .int(1, 0L).int(2, 2L).str(3, "AuthenticationError")))
+              conn.close()
+            }
           case T.Producer =>
             val p = f.cmd.msg(T.Producer)
             Frame.write(out, baseCmd(T.ProducerSuccess,
@@ -429,6 +443,30 @@ class PulsarWireSpec extends AnyFunSuite {
         }
         assert(e.getCause.getMessage.contains("compression type 4"))
       } finally c.close()
+    } finally broker.close()
+  }
+
+  test("token auth: CONNECT carries auth_method_name token + auth_data; " +
+      "produce/consume work; a token-less client is refused") {
+    val broker = new PulsarStubBroker(requireToken = Some("jwt-abc"))
+    try {
+      val consumer = new PulsarWire.Consumer("127.0.0.1", broker.port,
+        "persistent://t/auth", "sub-auth", authToken = Some("jwt-abc"))
+      val producer = new PulsarWire.Producer("127.0.0.1", broker.port,
+        "persistent://t/auth", authToken = Some("jwt-abc"))
+      try {
+        producer.send("k", "authed".getBytes(UTF_8))
+        val got = eventually("the authed message") {
+          val polled = consumer.poll()
+          if (polled.nonEmpty) Some(polled) else None
+        }
+        assert(got.map(m => new String(m._3, UTF_8)) == Seq("authed"))
+      } finally { producer.close(); consumer.close() }
+      // no token → CommandError instead of CONNECTED: the handshake
+      // require fires (never a silent unauthenticated session)
+      val e = intercept[IllegalArgumentException](
+        new PulsarWire.Producer("127.0.0.1", broker.port, "persistent://t/auth"))
+      assert(e.getMessage.contains("expected CONNECTED"))
     } finally broker.close()
   }
 }
