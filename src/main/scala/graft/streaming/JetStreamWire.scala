@@ -56,7 +56,8 @@ final class JetStreamWire(host: String, port: Int, stream: String,
                           ioTimeoutMs: Int = 5000,
                           reconnectDelayMs: Long = 50L,
                           maxReconnects: Int = 100,
-                          auth: Option[NatsWire.Auth] = None)
+                          auth: Option[NatsWire.Auth] = None,
+                          socketFactory: (String, Int) => Socket = Tls.plain)
     extends JetStreamConsumer with AutoCloseable {
 
   @volatile private var socket: Socket = _
@@ -76,7 +77,7 @@ final class JetStreamWire(host: String, port: Int, stream: String,
   private def connect(): Unit = {
     // a close() racing a reconnect must not leak a fresh socket
     if (closed) throw new java.io.IOException("JetStreamWire closed")
-    socket = new Socket(host, port)
+    socket = socketFactory(host, port)
     socket.setSoTimeout(ioTimeoutMs)
     in = new BufferedInputStream(socket.getInputStream)
     out = new BufferedOutputStream(socket.getOutputStream)

@@ -239,7 +239,8 @@ object KafkaWire {
     *   matrix; the reference's Kafka source delegates the same choice to
     *   its client config. */
   final class Conn(host: String, port: Int, clientId: String = "graft-wire",
-                   saslPlain: Option[(String, String)] = None)
+                   saslPlain: Option[(String, String)] = None,
+                   socketFactory: (String, Int) => Socket = Tls.plain)
       extends AutoCloseable {
     @volatile private var socket: Socket = _
     @volatile private var in: DataInputStream = _
@@ -287,7 +288,7 @@ object KafkaWire {
     private def connect(): Unit = {
       // a close() racing a reconnect must not leak a fresh socket
       if (closed) throw new java.io.IOException("Conn closed")
-      socket = new Socket(host, port)
+      socket = socketFactory(host, port)
       in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
       out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
       // authenticate EVERY connection (initial and redial) before any

@@ -90,9 +90,10 @@ object NatsWire {
     * thread parses frames and enqueues payloads; [[drain]] empties the
     * queue without blocking (the [[Connectors.NatsSource]] contract). */
   final class Subscription(host: String, port: Int, subject: String,
-                           auth: Option[Auth] = None)
+                           auth: Option[Auth] = None,
+                           socketFactory: (String, Int) => Socket = Tls.plain)
       extends Connectors.NatsSubscription with AutoCloseable {
-    private val socket = new Socket(host, port)
+    private val socket = socketFactory(host, port)
     private val in = new BufferedInputStream(socket.getInputStream)
     private val out = new BufferedOutputStream(socket.getOutputStream)
     private val queue = new ConcurrentLinkedQueue[Array[Byte]]()
@@ -147,8 +148,9 @@ object NatsWire {
     * no per-publish ack in core mode). */
   def publish(host: String, port: Int, subject: String,
               payloads: Seq[Array[Byte]],
-              auth: Option[Auth] = None): Unit = {
-    val socket = new Socket(host, port)
+              auth: Option[Auth] = None,
+              socketFactory: (String, Int) => Socket = Tls.plain): Unit = {
+    val socket = socketFactory(host, port)
     try {
       val in = new BufferedInputStream(socket.getInputStream)
       val out = new BufferedOutputStream(socket.getOutputStream)

@@ -202,7 +202,8 @@ object PulsarWire {
   final class Consumer(host: String, port: Int, topic: String, subscription: String,
                        permits: Int = 1000, reconnectDelayMs: Long = 50L,
                        maxReconnects: Int = 100, handshakeTimeoutMs: Int = 10000,
-                       authToken: Option[String] = None)
+                       authToken: Option[String] = None,
+                       socketFactory: (String, Int) => Socket = Tls.plain)
       extends Connectors.PulsarConsumer with AutoCloseable {
     private val queue = new ConcurrentLinkedQueue[(Long, String, Array[Byte])]()
     private val idMap = new ConcurrentHashMap[Long, (Long, Long)]()
@@ -233,7 +234,7 @@ object PulsarWire {
     private def connect(): Unit = synchronized {
       // a close() racing a reconnect must not leak a fresh socket
       if (closed) throw new java.io.IOException("consumer closed")
-      socket = new Socket(host, port)
+      socket = socketFactory(host, port)
       // handshake/SUBSCRIBE reads run UNDER the instance monitor: a
       // broker that wedges mid-handshake during a reader-thread
       // reconnect would otherwise block ackCumulative/FLOW senders on
@@ -396,8 +397,10 @@ object PulsarWire {
     * the reader loop only ever sees receipts and pings. */
   final class Producer(host: String, port: Int, topic: String,
                        name: String = "graft-wire-producer",
-                       authToken: Option[String] = None) extends AutoCloseable {
-    private val socket = new Socket(host, port)
+                       authToken: Option[String] = None,
+                       socketFactory: (String, Int) => Socket = Tls.plain)
+      extends AutoCloseable {
+    private val socket = socketFactory(host, port)
     private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
     private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
     private var seq = 0L

@@ -33,13 +33,22 @@ final class SqsWire(queueUrl: String, visibilityTimeoutSec: Int = 30,
                     credentials: Option[SigV4.Credentials] = None,
                     region: String = "us-east-1",
                     clock: () => java.time.Instant =
-                      () => java.time.Instant.now()) extends SqsClient {
+                      () => java.time.Instant.now(),
+                    sslSocketFactory: Option[javax.net.ssl.SSLSocketFactory] =
+                      None) extends SqsClient {
 
   private val ContentType = "application/x-www-form-urlencoded; charset=utf-8"
 
   private def post(params: Seq[(String, String)]): String = {
     val conn = new URI(queueUrl).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
+    // https queue URLs with a self-managed CA (localstack behind TLS,
+    // private SQS-compatible endpoints): inject the trust rather than
+    // mutating the JVM-default factory
+    (conn, sslSocketFactory) match {
+      case (h: javax.net.ssl.HttpsURLConnection, Some(f)) => h.setSSLSocketFactory(f)
+      case _ => ()
+    }
     conn.setConnectTimeout(ioTimeoutMs); conn.setReadTimeout(ioTimeoutMs)
     conn.setRequestMethod("POST"); conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type", ContentType)
