@@ -51,6 +51,12 @@ object MicroBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val artifact = args.headOption.contains("--artifact")
+    // parse the round FIRST: a malformed invocation must fail before
+    // the minutes-long sweep, not after it (losing the measurement)
+    val artifactRound: Option[Int] =
+      if (!artifact) None
+      else Some(args.lift(1).flatMap(_.toIntOption).getOrElse(
+        sys.error("usage: runMain graft.MicroBench --artifact <round>")))
     val reps =
       if (artifact) 5 else sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = if (artifact) Sentinels else args.toSeq
@@ -80,8 +86,7 @@ object MicroBench {
       println(f"MICRO $name min=${ts.min}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
       name -> ts.min
     }
-    if (artifact) {
-      val round = args(1).toInt
+    artifactRound.foreach { round =>
       val body = mins.map { case (n, t) => f""""$n":$t%.3f""" }.mkString(",")
       val json =
         s"""{"metric":"microbench","round":$round,"reps":$reps,""" +

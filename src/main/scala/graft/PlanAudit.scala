@@ -153,13 +153,15 @@ object PlanAudit {
   def newestManifest(): Option[(Int, Map[String, String])] = {
     import scala.jdk.CollectionConverters._
     val re = "PLANS_r(\\d+)\\.json".r
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator()
-      .asScala.flatMap { p =>
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+    val files =
+      try stream.iterator().asScala.flatMap { p =>
         p.getFileName.toString match {
           case re(n) => Some(n.toInt -> p)
           case _ => None
         }
       }.toSeq
+      finally stream.close()
     files.sortBy(-_._1).headOption.map { case (r, p) => r -> loadManifest(p) }
   }
 }

@@ -72,8 +72,15 @@ object ServingLatencyBench {
       val t0 = System.nanoTime()
       val r = post("/v1/process/async", s"payload-$i", id)
       require(r.statusCode() == 200, s"async rep $i: HTTP ${r.statusCode()}")
+      // bounded poll: a dropped request (the endpoint's documented
+      // backstop path) must fail the bench loudly, not hang it
+      val deadline = t0 + 30L * 1000 * 1000 * 1000
       var f = fetch(id)
-      while (f.statusCode() != 200) { Thread.sleep(2); f = fetch(id) }
+      while (f.statusCode() != 200) {
+        require(System.nanoTime() < deadline,
+          s"async rep $i: no result within 30s (last: ${f.statusCode()} ${f.body()})")
+        Thread.sleep(2); f = fetch(id)
+      }
       require(f.body() == s"PAYLOAD-$i!", s"async rep $i: body ${f.body()}")
       (System.nanoTime() - t0) / 1e6
     }

@@ -206,9 +206,11 @@ object StreamBenchTwins {
     // OOV bucket over the same deterministic doc generator the feed
     // uses; ksRef: dense dollar-bin histogram of the events value
     // domain (~561 bins at this table's range).
-    val jsRef = graft.streaming.JsDivStream.referenceFrom(
+    // lazy: a restricted run that excludes the drift twins must not pay
+    // the reference-building Spark jobs at startup
+    lazy val jsRef = graft.streaming.JsDivStream.referenceFrom(
       (0L until 100000L).map(docText).toDF("text"), "text", k = 64)
-    val ksRef = graft.streaming.KsDriftStream.referenceFrom(
+    lazy val ksRef = graft.streaming.KsDriftStream.referenceFrom(
       graft.ops.Tables.events(spark, sfDir), "value")
 
     val twins: Seq[(String, () => (Double, Long))] = Seq(
@@ -421,6 +423,12 @@ object StreamBenchTwins {
         single = i => Ev(nEvents + i, new Timestamp(minTs + spanMs + i * 1000L),
           i.toLong % 100, "purchase", 1.0 * i))))
 
+    // a typo'd twin name must fail fast, not silently bench nothing and
+    // rewrite STREAMBENCH.json unchanged
+    val unknown = only -- twins.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"unknown twin name(s): ${unknown.mkString(", ")} — " +
+        s"valid: ${twins.map(_._1).mkString(", ")}")
     val lines = twins.filter(t => only.isEmpty || only(t._1)).map { case (name, f) =>
       val results = (1 to runs).map { r =>
         val (v, fed) = f()

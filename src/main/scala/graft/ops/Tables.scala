@@ -10,8 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * behind a catalog; the loader is the single seam where that swap happens.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Engine-required session conf, applied at the one seam EVERY query
+    // builder passes through, so no plan depends on which query was
+    // built first: rank filters up to the registry's max top-k (65536)
+    // must rewrite to WindowGroupLimit (map-side top-k pruning; the
+    // Spark default threshold of 1000 would leave vocab_entropy's
+    // per-source clamp as a full window sort). Monotone: it only
+    // ENABLES pruning for k ≤ 65536, never changes a non-rank plan.
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", 65536)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

@@ -2733,11 +2733,9 @@ object TrainingQueries extends QueryPack {
     // 3.5e16, DECIMAL(38,0). The rank window ranks the post-agg CELL
     // table (vocab-sized), not the corpus.
     "vocab_entropy" -> { (s, dir) =>
-      // the optimizer only rewrites rank-filters below this threshold
-      // into WindowGroupLimit (default 1000); raising it is monotone —
-      // it ENABLES map-side top-k pruning for k ≤ 65536, changes no
-      // plan that wasn't already a rank filter
-      s.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", 65536)
+      // windowGroupLimitThreshold ≥ 65536 (set in Tables.table, the
+      // shared loader seam) is what lets the rank filter below rewrite
+      // to a map-side WindowGroupLimit — PlanShapeSpec asserts it
       val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val counts = Tables.documents(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))

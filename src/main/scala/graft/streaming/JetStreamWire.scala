@@ -78,19 +78,27 @@ final class JetStreamWire(host: String, port: Int, stream: String,
     // a close() racing a reconnect must not leak a fresh socket
     if (closed) throw new java.io.IOException("JetStreamWire closed")
     socket = socketFactory(host, port)
-    socket.setSoTimeout(ioTimeoutMs)
-    in = new BufferedInputStream(socket.getInputStream)
-    out = new BufferedOutputStream(socket.getOutputStream)
-    val info = NatsWire.readLine(in)
-    require(info.startsWith("INFO"), s"expected INFO, got: $info")
-    send("CONNECT {\"verbose\":false,\"pedantic\":false," +
-      "\"name\":\"graft-js-wire\"" + auth.fold("")(_.connectFields) +
-      "}\r\nSUB " + inboxBase + ".* 1\r\nPING\r\n")
-    var line = NatsWire.readLine(in)
-    while (line != "PONG") {
-      require(!line.startsWith("-ERR"), s"broker rejected handshake: $line")
-      if (line == "PING") send("PONG\r\n")
-      line = NatsWire.readLine(in)
+    try {
+      socket.setSoTimeout(ioTimeoutMs)
+      in = new BufferedInputStream(socket.getInputStream)
+      out = new BufferedOutputStream(socket.getOutputStream)
+      val info = NatsWire.readLine(in)
+      require(info.startsWith("INFO"), s"expected INFO, got: $info")
+      send("CONNECT {\"verbose\":false,\"pedantic\":false," +
+        "\"name\":\"graft-js-wire\"" + auth.fold("")(_.connectFields) +
+        "}\r\nSUB " + inboxBase + ".* 1\r\nPING\r\n")
+      var line = NatsWire.readLine(in)
+      while (line != "PONG") {
+        require(!line.startsWith("-ERR"), s"broker rejected handshake: $line")
+        if (line == "PING") send("PONG\r\n")
+        line = NatsWire.readLine(in)
+      }
+    } catch {
+      // a rejected handshake at construction throws with no close()
+      // ever coming: don't leak the connected socket
+      case t: Throwable =>
+        try socket.close() catch { case _: java.io.IOException => () }
+        throw t
     }
   }
   connect()
@@ -237,6 +245,7 @@ final class JetStreamWire(host: String, port: Int, stream: String,
     var cur = math.max(from, 1L)
     var done = false
     var attempts = 0
+    var progressMark = cur - 1 // last cursor that reset the budget
     while (!done) {
       // transient replay consumer from `cur` — the stream serves the
       // range, nothing is buffered client-side (ack_policy none: replay
@@ -248,7 +257,6 @@ final class JetStreamWire(host: String, port: Int, stream: String,
              |"opt_start_seq":$cur,
              |"filter_subject":"$subject"}}""".stripMargin.replace("\n", ""))
         require(errCode(r) == 0, s"CONSUMER.CREATE failed: $r")
-        attempts = 0 // broker answered: the outage (if any) is over
         val name = {
           val i = r.indexOf("\"name\":\"")
           require(i >= 0, s"no consumer name in: $r")
@@ -275,8 +283,13 @@ final class JetStreamWire(host: String, port: Int, stream: String,
           // redial, then loop: a fresh consumer resumes at `cur`.
           // Bounded + exponentially backed off (the PulsarWire budget):
           // a broker that accepts dials but fails every request must
-          // not spin this loop hot forever. 50ms doubling to a 5s cap
-          // gives the default budget >8 minutes of downtime tolerance.
+          // not spin this loop hot forever. The budget resets ONLY on
+          // cursor PROGRESS — a broker that answers CONSUMER.CREATE but
+          // fails every pull would otherwise reset it each iteration
+          // and spin past the documented bound (review catch, r15).
+          // 50ms doubling to a 5s cap gives the default budget
+          // >8 minutes of downtime tolerance.
+          if (cur > progressMark) { attempts = 0; progressMark = cur }
           attempts += 1
           if (attempts > maxReconnects)
             throw new java.io.IOException(

@@ -289,12 +289,20 @@ object KafkaWire {
       // a close() racing a reconnect must not leak a fresh socket
       if (closed) throw new java.io.IOException("Conn closed")
       socket = socketFactory(host, port)
-      in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-      out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
-      // authenticate EVERY connection (initial and redial) before any
-      // other request — the broker rejects everything else with
-      // SaslAuthenticationFailed otherwise
-      saslPlain.foreach { case (u, p) => saslAuthenticate(u, p) }
+      try {
+        in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+        out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+        // authenticate EVERY connection (initial and redial) before any
+        // other request — the broker rejects everything else with
+        // SaslAuthenticationFailed otherwise
+        saslPlain.foreach { case (u, p) => saslAuthenticate(u, p) }
+      } catch {
+        // a rejected SASL exchange throws out of the constructor (or the
+        // redial): close rather than leak the connected socket
+        case t: Throwable =>
+          try socket.close() catch { case _: java.io.IOException => () }
+          throw t
+      }
     }
     connect()
 

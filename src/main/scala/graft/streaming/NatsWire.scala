@@ -113,15 +113,23 @@ object NatsWire {
     // and wait for the PONG — once it arrives the broker has processed
     // the SUB, so a publish that follows this constructor is routable
     locally {
-      val info = readLine(in)
-      require(info.startsWith("INFO"), s"expected INFO, got: $info")
-      send("CONNECT {\"verbose\":false,\"pedantic\":false," +
-        "\"name\":\"graft-wire\"" + auth.fold("")(_.connectFields) +
-        "}\r\nSUB " + subject + " 1\r\nPING\r\n")
-      var line = readLine(in)
-      while (line != "PONG") {
-        require(!line.startsWith("-ERR"), s"broker rejected handshake: $line")
-        handleFrame(line); line = readLine(in)
+      try {
+        val info = readLine(in)
+        require(info.startsWith("INFO"), s"expected INFO, got: $info")
+        send("CONNECT {\"verbose\":false,\"pedantic\":false," +
+          "\"name\":\"graft-wire\"" + auth.fold("")(_.connectFields) +
+          "}\r\nSUB " + subject + " 1\r\nPING\r\n")
+        var line = readLine(in)
+        while (line != "PONG") {
+          require(!line.startsWith("-ERR"), s"broker rejected handshake: $line")
+          handleFrame(line); line = readLine(in)
+        }
+      } catch {
+        // a failed handshake must not leak the connected socket: the
+        // constructor throws and no close() will ever be called
+        case t: Throwable =>
+          try socket.close() catch { case _: java.io.IOException => () }
+          throw t
       }
     }
 

@@ -243,22 +243,30 @@ object PulsarWire {
       // reader loop's reconnect budget absorbs it), then clear it —
       // steady-state reads on an idle topic block legitimately.
       socket.setSoTimeout(handshakeTimeoutMs)
-      in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-      out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
-      handshake(in, out, "graft-wire-consumer", authToken)
-      Frame.write(out, baseCmd(T.Subscribe, new Pb.Writer()
-        .str(1, topic).str(2, subscription)
-        .int(3, 0L)   // SubType Exclusive
-        .int(4, 1L)   // consumer_id
-        .int(5, 1L)   // request_id
-        .str(6, s"graft-$subscription")
-        .int(13, 1L))) // initialPosition Earliest
-      val success = Frame.read(in)
-      require(success.tpe == T.Success && success.cmd.msg(T.Success).long(1) == 1L,
-        s"expected SUCCESS(request_id=1), got type ${success.tpe}")
-      Frame.write(out, baseCmd(T.Flow, new Pb.Writer().int(1, 1L).int(2, permits.toLong)))
-      sinceFlow.set(0)
-      socket.setSoTimeout(0)
+      try {
+        in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+        out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+        handshake(in, out, "graft-wire-consumer", authToken)
+        Frame.write(out, baseCmd(T.Subscribe, new Pb.Writer()
+          .str(1, topic).str(2, subscription)
+          .int(3, 0L)   // SubType Exclusive
+          .int(4, 1L)   // consumer_id
+          .int(5, 1L)   // request_id
+          .str(6, s"graft-$subscription")
+          .int(13, 1L))) // initialPosition Earliest
+        val success = Frame.read(in)
+        require(success.tpe == T.Success && success.cmd.msg(T.Success).long(1) == 1L,
+          s"expected SUCCESS(request_id=1), got type ${success.tpe}")
+        Frame.write(out, baseCmd(T.Flow, new Pb.Writer().int(1, 1L).int(2, permits.toLong)))
+        sinceFlow.set(0)
+        socket.setSoTimeout(0)
+      } catch {
+        // refused CONNECT/SUBSCRIBE at construction (or a non-IO decode
+        // failure during a reader reconnect): close, don't leak
+        case t: Throwable =>
+          try socket.close() catch { case _: java.io.IOException => () }
+          throw t
+      }
     }
     connect()
 
@@ -404,13 +412,19 @@ object PulsarWire {
     private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
     private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
     private var seq = 0L
-    val producerName: String = {
+    val producerName: String = try {
       handshake(in, out, "graft-wire-producer", authToken)
       Frame.write(out, baseCmd(T.Producer,
         new Pb.Writer().str(1, topic).int(2, 1L).int(3, 1L).str(4, name)))
       val ok = awaitType(T.ProducerSuccess)
       require(ok.cmd.msg(T.ProducerSuccess).long(1) == 1L, "PRODUCER_SUCCESS request_id mismatch")
       ok.cmd.msg(T.ProducerSuccess).str(2)
+    } catch {
+      // a refused CONNECT (auth) or PRODUCER throws out of the
+      // constructor: close rather than leak the connected socket
+      case t: Throwable =>
+        try socket.close() catch { case _: java.io.IOException => () }
+        throw t
     }
 
     private def awaitType(tpe: Int): Frame.In = {

@@ -47,8 +47,7 @@ object SigV4 {
   }
 
   def sha256Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(bytes).map(b => f"$b%02x").mkString
+    hex(java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
 
   def hmacSha256(key: Array[Byte], data: String): Array[Byte] = {
     val mac = javax.crypto.Mac.getInstance("HmacSHA256")
@@ -67,13 +66,18 @@ object SigV4 {
 
   /** Step 1. `headers` must already contain every header to sign (at
     * minimum host and x-amz-date); `query` is (name, value) pairs,
-    * UNencoded. */
+    * UNencoded; `path` is the DECODED path (URI.getPath). The canonical
+    * URI for non-S3 services is the path segments encoded TWICE (the
+    * documented rule — S3 alone single-encodes); identity on the
+    * unreserved-only paths every SQS queue URL uses, but a path with a
+    * space must canonicalize to %2520, not %20. */
   def canonicalRequest(method: String, path: String,
                        query: Seq[(String, String)],
                        headers: Map[String, String],
                        payloadHash: String): String = {
     val canonPath =
-      if (path.isEmpty) "/" else uriEncode(path, encodeSlash = false)
+      if (path.isEmpty) "/"
+      else uriEncode(uriEncode(path, encodeSlash = false), encodeSlash = false)
     val canonQuery = query
       .map { case (k, v) => uriEncode(k) -> uriEncode(v) }
       .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")

@@ -72,6 +72,19 @@ class SigV4Spec extends AnyFunSuite {
     assert(SigV4.uriEncode("é") == "%C3%A9") // multi-byte UTF-8
   }
 
+  test("canonical URI double-encodes path segments (the non-S3 rule)") {
+    // a path with a space canonicalizes to %2520 (encode twice), and an
+    // unreserved-only path is untouched — the reason the published IAM
+    // vector (path "/") stays valid
+    val canon = SigV4.canonicalRequest("GET", "/a b/q", Seq.empty,
+      Map("host" -> "example.com"), SigV4.sha256Hex(Array.empty[Byte]))
+    assert(canon.linesIterator.toSeq(1) == "/a%2520b/q")
+    val plain = SigV4.canonicalRequest("GET", "/123456789012/graft-q",
+      Seq.empty, Map("host" -> "example.com"),
+      SigV4.sha256Hex(Array.empty[Byte]))
+    assert(plain.linesIterator.toSeq(1) == "/123456789012/graft-q")
+  }
+
   test("session token is signed along and emitted as x-amz-security-token") {
     val headers = SigV4.signRequest(
       method = "POST", url = "https://sqs.us-east-1.amazonaws.com/1/q",
