@@ -40,6 +40,10 @@ class JetStreamWireSpec extends AnyFunSuite {
     private var ackFloors = Map.empty[String, Long]
     private var ephemeralN = 0
     @volatile private var closed = false
+    /** Chaos knob: kill every connection on each MSG.NEXT (listener
+      * comes right back) — a broker that serves everything EXCEPT
+      * pulls. */
+    @volatile var killOnNext = false
 
     def ackFloor(durable: String): Long = synchronized(ackFloors.getOrElse(durable, 0L))
 
@@ -123,6 +127,14 @@ class JetStreamWireSpec extends AnyFunSuite {
             cursors.remove(t.last)
             deliver(reply, null, s"""{"success":true}""".getBytes(UTF_8))
           case s if s.startsWith(s"$$JS.API.CONSUMER.MSG.NEXT.$stream.") =>
+            if (killOnNext) {
+              // the half-alive broker: dials and CONSUMER.CREATE work,
+              // every pull dies — the shape that must EXHAUST fetch()'s
+              // reconnect budget (progress-gated reset) instead of
+              // resetting it on each successful CREATE
+              kill(); restart()
+              return
+            }
             val name = t.last
             val batch = jsonLong(json, "batch", 1L).toInt
             var cur = cursors.getOrElse(name, 1L)
@@ -313,6 +325,27 @@ class JetStreamWireSpec extends AnyFunSuite {
         js.ackUpTo(6L)
         assert(broker.ackFloor("graft-dx") == 6L)
         assert(js.ackFloor == 6L)
+      } finally js.close()
+    } finally broker.close()
+  }
+
+  test("chaos: a broker that serves CONSUMER.CREATE but kills every pull " +
+      "EXHAUSTS fetch()'s reconnect budget (r15 review catch: the reset is " +
+      "progress-gated, not CREATE-gated)") {
+    val broker = new JsStubBroker("S", "s.subj")
+    try {
+      val js = new JetStreamWire("127.0.0.1", broker.port, "S", "s.subj",
+        durable = "graft-bx", reconnectDelayMs = 1L, maxReconnects = 4)
+      try {
+        NatsWire.publish("127.0.0.1", broker.port, "s.subj",
+          (1 to 3).map(body))
+        broker.killOnNext = true
+        val e = intercept[java.io.IOException](js.fetch(1L, 4L))
+        assert(e.getMessage.contains("gave up after 4 reconnect attempts"))
+        // ...and a recovered broker serves the SAME client again: the
+        // budget bounds one outage, it does not poison the instance
+        broker.killOnNext = false
+        assert(js.fetch(1L, 4L).map(_._1) == Seq(1L, 2L, 3L))
       } finally js.close()
     } finally broker.close()
   }
