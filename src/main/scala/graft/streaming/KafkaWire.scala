@@ -237,11 +237,19 @@ object KafkaWire {
     *   TLS in this client, so as in any PLAIN-over-plaintext deployment
     *   the credential rides unencrypted — documented in the conformance
     *   matrix; the reference's Kafka source delegates the same choice to
-    *   its client config. */
+    *   its client config.
+    * @param saslScramSha256 (username, password) — SCRAM-SHA-256
+    *   challenge-response instead (`sasl.mechanism=SCRAM-SHA-256`): the
+    *   password never crosses the wire and the broker proves itself
+    *   back (mutual auth via the v= signature — [[Scram]], RFC-vector
+    *   pinned). Mutually exclusive with saslPlain. */
   final class Conn(host: String, port: Int, clientId: String = "graft-wire",
                    saslPlain: Option[(String, String)] = None,
-                   socketFactory: (String, Int) => Socket = Tls.plain)
+                   socketFactory: (String, Int) => Socket = Tls.plain,
+                   saslScramSha256: Option[(String, String)] = None)
       extends AutoCloseable {
+    require(saslPlain.isEmpty || saslScramSha256.isEmpty,
+      "configure at most one SASL mechanism")
     @volatile private var socket: Socket = _
     @volatile private var in: DataInputStream = _
     @volatile private var out: DataOutputStream = _
@@ -267,22 +275,50 @@ object KafkaWire {
       b
     }
 
-    /** SASL/PLAIN: SaslHandshake v1 negotiates the mechanism, then the
-      * single PLAIN token ([authzid=ε] NUL user NUL pass) flows as a
-      * framed SaslAuthenticate — the documented flow for handshake ≥ v1
-      * (v0 sends raw tokens; not spoken here). */
-    private def saslAuthenticate(user: String, pass: String): Unit = {
-      val h = rawCall(Api.SaslHandshake, 1)(w => w.str("PLAIN"))
+    /** SaslHandshake v1: negotiate `mechanism`; ≥ v1 means subsequent
+      * SASL tokens flow as framed SaslAuthenticate requests (v0 sends
+      * raw tokens; not spoken here). */
+    private def saslHandshake(mechanism: String): Unit = {
+      val h = rawCall(Api.SaslHandshake, 1)(w => w.str(mechanism))
       val herr = R.i16(h)
       val n = R.i32(h)
       val mechs = (0 until n).map(_ => R.str(h))
       require(herr == 0,
         s"SaslHandshake error $herr (broker offers: ${mechs.mkString(",")})")
-      val token = ("\u0000" + user + "\u0000" + pass).getBytes(UTF_8)
+    }
+
+    /** One framed SASL token round-trip → the server's auth_bytes. */
+    private def saslRound(token: Array[Byte], what: String): Array[Byte] = {
       val a = rawCall(Api.SaslAuthenticate, 0)(w => w.bytesF(token))
       val aerr = R.i16(a)
       val msg = R.nstr(a)
-      require(aerr == 0, s"SASL authentication failed ($aerr): $msg")
+      require(aerr == 0, s"$what failed ($aerr): $msg")
+      R.bytesF(a)
+    }
+
+    /** SASL/PLAIN: the single token [authzid=ε] NUL user NUL pass. */
+    private def saslAuthenticate(user: String, pass: String): Unit = {
+      saslHandshake("PLAIN")
+      saslRound(("\u0000" + user + "\u0000" + pass).getBytes(UTF_8),
+        "SASL authentication")
+      ()
+    }
+
+    /** SCRAM-SHA-256: client-first → server-first → client-final →
+      * server-final, each riding a framed SaslAuthenticate; the final
+      * v= is VERIFIED (mutual auth — a broker that cannot produce the
+      * server signature does not know the password — [[Scram]],
+      * RFC-vector pinned). */
+    private def scramAuthenticate(user: String, pass: String): Unit = {
+      saslHandshake("SCRAM-SHA-256")
+      val client = new Scram.Client(user, pass)
+      val serverFirst = new String(
+        saslRound(client.clientFirst.getBytes(UTF_8), "SCRAM server-first"),
+        UTF_8)
+      val (clientFinal, expectedSig) = client.clientFinal(serverFirst)
+      val serverFinal = new String(
+        saslRound(clientFinal.getBytes(UTF_8), "SCRAM authentication"), UTF_8)
+      client.verifyServerFinal(serverFinal, expectedSig)
     }
 
     private def connect(): Unit = {
@@ -296,6 +332,7 @@ object KafkaWire {
         // other request — the broker rejects everything else with
         // SaslAuthenticationFailed otherwise
         saslPlain.foreach { case (u, p) => saslAuthenticate(u, p) }
+        saslScramSha256.foreach { case (u, p) => scramAuthenticate(u, p) }
       } catch {
         // a rejected SASL exchange throws out of the constructor (or the
         // redial): close rather than leak the connected socket

@@ -6,7 +6,7 @@ import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.KafkaWire
+import graft.streaming.{KafkaWire, Scram}
 import graft.streaming.KafkaWire.{Api, Batch, R, W}
 
 /** The Kafka wire-protocol subset, end-to-end over a real loopback TCP
@@ -41,8 +41,14 @@ class KafkaWireSpec extends AnyFunSuite {
     * SaslHandshake v1 → framed SaslAuthenticate, and ANY other request
     * on an unauthenticated connection closes it (the real broker's
     * behavior in a SASL listener). */
-  private final class KafkaStubBroker(sasl: Option[(String, String)] = None)
+  private final class KafkaStubBroker(sasl: Option[(String, String)] = None,
+                                      scram: Option[(String, String)] = None)
       extends AutoCloseable {
+    // fixed server-side SCRAM parameters (a real broker stores these
+    // per-user in ZooKeeper/KRaft; the verification algebra is what
+    // matters here)
+    private val ScramSaltB64 = "c3R1Yi1zYWx0LTEyMzQ1Ng==" // "stub-salt-123456"
+    private val ScramIterations = 4096
     @volatile private var server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     // (topic, partition) -> append log of (timestamp, key, value)
@@ -159,7 +165,14 @@ class KafkaWireSpec extends AnyFunSuite {
           val t = new Thread(() => {
             val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
             val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
-            var authed = sasl.isEmpty // per-connection, like the broker
+            var authed = sasl.isEmpty && scram.isEmpty // per-connection
+            val offered =
+              (if (sasl.isDefined) Seq("PLAIN") else Nil) ++
+                (if (scram.isDefined) Seq("SCRAM-SHA-256") else Nil)
+            var negotiated: String = null
+            // SCRAM per-connection exchange state
+            var scramFirstBare: String = null
+            var scramServerFirst: String = null
             try while (!closed) {
               val size = in.readInt()
               val frame = new Array[Byte](size); in.readFully(frame)
@@ -173,7 +186,51 @@ class KafkaWireSpec extends AnyFunSuite {
                   require(version == 1, s"stub: SaslHandshake v$version")
                   val mech = R.str(b)
                   // err 33 = UNSUPPORTED_SASL_MECHANISM; list what we serve
-                  resp.i16(if (mech == "PLAIN") 0 else 33).i32(1).str("PLAIN")
+                  if (offered.contains(mech)) { negotiated = mech; resp.i16(0) }
+                  else resp.i16(33)
+                  resp.i32(offered.size); offered.foreach(resp.str)
+                case Api.SaslAuthenticate if negotiated == "SCRAM-SHA-256" =>
+                  require(version == 0, s"stub: SaslAuthenticate v$version")
+                  val msg = new String(R.bytesF(b), UTF_8)
+                  val (user, pass) = scram.get
+                  if (scramServerFirst == null) {
+                    // client-first: gs2 "n,," + bare
+                    require(msg.startsWith("n,,"), s"stub: expected n,, gs2: $msg")
+                    scramFirstBare = msg.stripPrefix("n,,")
+                    val attrs = scramFirstBare.split(",").map(kv =>
+                      kv.charAt(0) -> kv.substring(2)).toMap
+                    if (attrs('n') != Scram.saslName(user))
+                      resp.i16(58).nstr("unknown user").bytesF(Array.empty[Byte])
+                    else {
+                      scramServerFirst = s"r=${attrs('r')}stubSrvNonce," +
+                        s"s=$ScramSaltB64,i=$ScramIterations"
+                      resp.i16(0).nstr(null)
+                        .bytesF(scramServerFirst.getBytes(UTF_8))
+                    }
+                  } else {
+                    // client-final: verify the proof with the server-side
+                    // algebra (StoredKey only — the password-equivalent a
+                    // real broker stores), answer with the v= signature
+                    val pIdx = msg.lastIndexOf(",p=")
+                    val withoutProof = msg.substring(0, pIdx)
+                    val proof = java.util.Base64.getDecoder
+                      .decode(msg.substring(pIdx + 3))
+                    val salted = Scram.saltedPassword(pass, ScramSaltB64,
+                      ScramIterations)
+                    val storedKey = Scram.h(Scram.clientKey(salted))
+                    val authMsg = (scramFirstBare + "," + scramServerFirst +
+                      "," + withoutProof).getBytes(UTF_8)
+                    val clientSig = Scram.hmac(storedKey, authMsg)
+                    val recoveredKey = proof.zip(clientSig)
+                      .map { case (x, y) => (x ^ y).toByte }
+                    if (java.util.Arrays.equals(Scram.h(recoveredKey), storedKey)) {
+                      authed = true
+                      val v = java.util.Base64.getEncoder.encodeToString(
+                        Scram.hmac(Scram.serverKey(salted), authMsg))
+                      resp.i16(0).nstr(null).bytesF(s"v=$v".getBytes(UTF_8))
+                    } else
+                      resp.i16(58).nstr("invalid proof").bytesF(Array.empty[Byte])
+                  }
                 case Api.SaslAuthenticate =>
                   require(version == 0, s"stub: SaslAuthenticate v$version")
                   val parts = new String(R.bytesF(b), UTF_8).split("\u0000", -1)
@@ -395,6 +452,33 @@ class KafkaWireSpec extends AnyFunSuite {
         new KafkaWire.Conn("127.0.0.1", broker.port,
           saslPlain = Some(("svc-graft", "wrong"))))
       assert(e.getMessage.contains("SASL authentication failed"))
+    } finally broker.close()
+  }
+
+  test("SCRAM-SHA-256: full challenge-response against a verifying stub — " +
+      "proof checked server-side, v= signature checked client-side, then " +
+      "an authed produce→fetch round-trip; re-auth survives a redial") {
+    val broker = new KafkaStubBroker(scram = Some(("svc-graft", "pencil")))
+    val conn = new KafkaWire.Conn("127.0.0.1", broker.port,
+      saslScramSha256 = Some(("svc-graft", "pencil")))
+    try {
+      val base = conn.produce("t.scram", 0,
+        Seq(("k".getBytes(UTF_8), "v".getBytes(UTF_8))), baseTs = 1L)
+      assert(base === 0L)
+      broker.kill(); broker.restart()
+      // the redial re-runs the whole SCRAM exchange (fresh nonces)
+      val (_, recs) = conn.fetch("t.scram", 0, 0L)
+      assert(recs.map(r => new String(r.value, UTF_8)) === Seq("v"))
+    } finally { conn.close(); broker.close() }
+  }
+
+  test("SCRAM-SHA-256: wrong password fails at the proof, loudly") {
+    val broker = new KafkaStubBroker(scram = Some(("svc-graft", "pencil")))
+    try {
+      val e = intercept[IllegalArgumentException](
+        new KafkaWire.Conn("127.0.0.1", broker.port,
+          saslScramSha256 = Some(("svc-graft", "crayon"))))
+      assert(e.getMessage.contains("SCRAM authentication failed"))
     } finally broker.close()
   }
 }
