@@ -10,6 +10,28 @@ import org.apache.spark.sql.SparkSession
   * the full result the way a real writer would.
   */
 object Bench {
+
+  /** Engine perf confs shared by every timed entry point (Bench,
+    * MicroBench, Profile, PlanDump) AND by Verify — the oracle gate runs
+    * under exactly the bench configuration, so result-identity of these
+    * settings is certified, not assumed. Both are scale-adaptive /
+    * scale-inert (OPTIMIZATION_r15.md §global):
+    *  - scan fan-out (see Tables.maybeFanOut): repartitions a fact table
+    *    only while its files underfill the cluster; identity at scale.
+    *  - AQE coalesce floor: AQE's byte-targeted coalescing treats
+    *    partition BYTES as the whole cost model, so a CPU-heavy stage
+    *    over a small shuffle (posting-list pair expansion, resample
+    *    grids) collapses to ONE task (measured 1.6–1.7 s single-task
+    *    stages at sf0.1). 64 KiB keeps parallelism available for such
+    *    stages; at cluster scale post-shuffle partitions sit far above
+    *    any sane floor, so the setting is inert there. */
+  def applyBenchConf(spark: SparkSession): Unit = {
+    spark.conf.set("spark.graft.scan.fanout",
+      sys.env.getOrElse("SPARK_GRAFT_FANOUT", "true"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,6 +43,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    applyBenchConf(spark)
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()

@@ -68,6 +68,7 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.applyBenchConf(spark)
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()

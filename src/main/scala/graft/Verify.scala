@@ -17,6 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the oracle gate certifies results under the BENCH configuration
+    // (scan fan-out etc.) — see Bench.applyBenchConf
+    Bench.applyBenchConf(spark)
     new java.io.File(outDir).mkdirs()
     // Queries are independent read-only plans writing to disjoint dirs:
     // submit a few concurrently so planning/JSON/small-stage gaps of one
