@@ -44,6 +44,16 @@ object Sketches {
   val HllLnTable: IndexedSeq[Double] =
     (1 to HllBuckets).map(z => HllBuckets * math.log(HllBuckets.toDouble / z))
 
+  /** The table as SQL literals in e-notation. A bare decimal literal like
+    * `15.457410813160315` parses as DECIMAL in DuckDB, and the later
+    * DECIMAL→DOUBLE conversion can land one ulp away from the Scala
+    * double that produced the text (observed: sf0.001 regenerated data
+    * hit table entries where the decimal round-trip differs — FAIL by
+    * 1.8e-15). Exponent notation forces DOUBLE parsing; %.17e
+    * round-trips every double exactly. */
+  val HllLnTableSql: String =
+    HllLnTable.map(v => f"$v%.17e").mkString(", ")
+
   /** HLL register columns for one value expression: (bucket, rank). */
   def hllRegister(value: Column): (Column, Column) = {
     val h = md5(value.cast("string"))

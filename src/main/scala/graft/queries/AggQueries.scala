@@ -43,7 +43,7 @@ object AggQueries extends QueryPack {
 
     // hierarchical rollup (nation would be the real axis; flags stand in).
     "agg_rollup" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
+      Tables.fanned(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(dec("l_extendedprice")).cast("double").as("sum_price"))
     },
@@ -92,7 +92,7 @@ object AggQueries extends QueryPack {
     // — two separate calls would build and serialize that buffer twice
     // (measured ~1.9x slower at sf0.1).
     "agg_percentile" -> { (s, dir) =>
-      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      Tables.fanned(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"))
         .select(col("l_returnflag"),
           round(element_at(col("ps"), 1), 4).as("p50"),
@@ -108,7 +108,7 @@ object AggQueries extends QueryPack {
     "agg_median_exact" -> { (s, dir) =>
       val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long")
-      val grp = Tables.lineitem(s, dir)
+      val grp = Tables.fanned(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), cents.as("x"))
         .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
       val wOrd = org.apache.spark.sql.expressions.Window
@@ -678,7 +678,7 @@ object AggQueries extends QueryPack {
         |FROM m""".stripMargin,
     "agg_hll_rollup" -> {
       val num = graft.ops.Sketches.HllNumerator
-      val tbl = graft.ops.Sketches.HllLnTable.mkString(", ")
+      val tbl = graft.ops.Sketches.HllLnTableSql
       def est(src: String, alias: String) =
         s"""SELECT event_type,
            |  CASE WHEN n_empty > 0 AND $num / CAST(vscaled AS DOUBLE) <= 640.0
@@ -716,7 +716,7 @@ object AggQueries extends QueryPack {
          |  FROM regs GROUP BY event_type)
          |SELECT event_type,
          |  CASE WHEN n_empty > 0 AND ${graft.ops.Sketches.HllNumerator} / CAST(vscaled AS DOUBLE) <= 640.0
-         |       THEN ([${graft.ops.Sketches.HllLnTable.mkString(", ")}])[n_empty]
+         |       THEN ([${graft.ops.Sketches.HllLnTableSql}])[n_empty]
          |       ELSE ${graft.ops.Sketches.HllNumerator} / CAST(vscaled AS DOUBLE) END AS approx_users,
          |  n_empty
          |FROM agg""".stripMargin,

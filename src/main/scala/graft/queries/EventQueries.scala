@@ -171,7 +171,7 @@ object EventQueries extends QueryPack {
     "stat_permutation" -> { (s, dir) =>
       val b = 40
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
-      val base = Tables.events(s, dir).select(col("event_type"),
+      val base = Tables.fanned(s, dir, "events").select(col("event_type"),
         pmod(col("user_id"), lit(2)).as("variant"), cents.as("x"),
         col("event_id"))
       val obs = base.groupBy(col("event_type")).agg(
@@ -1319,7 +1319,7 @@ object EventQueries extends QueryPack {
     // global resample); draws are md5-deterministic per (row key,
     // replicate), so any engine reproduces the band bit for bit.
     "stat_bootstrap" -> { (s, dir) =>
-      graft.ops.Stats.poissonBootstrapCI(Tables.events(s, dir),
+      graft.ops.Stats.poissonBootstrapCI(Tables.fanned(s, dir, "events"),
         "event_type", "value", col("event_id"), b = 40)
     },
 
@@ -4120,10 +4120,14 @@ object EventQueries extends QueryPack {
         |           - r.level) + 0.9 * r.trend
         |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         |SELECT event_type, bucket, n,
-        |  round(level * 10000) / 10000 AS level,
-        |  round(trend * 10000) / 10000 AS trend,
-        |  round((level + trend) * 10000) / 10000 AS forecast_next
+        |  round(level * 10000) / 10000 + 0.0 AS level,
+        |  round(trend * 10000) / 10000 + 0.0 AS trend,
+        |  round((level + trend) * 10000) / 10000 + 0.0 AS forecast_next
         |FROM r""".stripMargin,
+    // (+ 0.0 normalizes DuckDB's round()'s -0.0 to +0.0 — Spark's round
+    // goes through BigDecimal, which has no negative zero, so a tiny
+    // negative state that rounds to zero rendered -0.0 here and 0.0
+    // there; IEEE -0.0 + 0.0 = +0.0 and the identity everywhere else.)
     // same recursion restricted to the pre-period; the projection is
     // the identical closed-form double chain off the 4dp-rounded state.
     "ev_impact" ->
@@ -4209,10 +4213,11 @@ object EventQueries extends QueryPack {
         |       + 0.7 * r.sl[1]])
         |  FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         |SELECT event_type, bucket, n,
-        |  round(level * 10000) / 10000 AS level,
-        |  round(trend * 10000) / 10000 AS trend,
-        |  round(sl[24] * 10000) / 10000 AS seasonal,
-        |  round((level + trend + sl[1]) * 10000) / 10000 AS forecast_next
+        |  round(level * 10000) / 10000 + 0.0 AS level,
+        |  round(trend * 10000) / 10000 + 0.0 AS trend,
+        |  round(sl[24] * 10000) / 10000 + 0.0 AS seasonal,
+        |  round((level + trend + sl[1]) * 10000) / 10000 + 0.0
+        |    AS forecast_next
         |FROM r""".stripMargin,
     // same hourly grid; window/segment indices by floor division off
     // the per-key anchor; above-mean bits via 4*s > total (no division);

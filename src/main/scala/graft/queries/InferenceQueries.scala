@@ -910,7 +910,7 @@ object InferenceQueries extends QueryPack {
     // running volume crosses the threshold, the crossing rank is exact
     // integer arithmetic.
     "text_ngram_coverage" -> { (s, dir) =>
-      val grams = Tables.documents(s, dir)
+      val grams = Tables.fanned(s, dir, "documents")
         .where(size(split(col("text"), " ")) >= 3)
         .select(explode(expr(
           "transform(sequence(1, size(split(text, ' ')) - 2)," +

@@ -20,7 +20,7 @@ object RelationalQueries extends QueryPack {
     // Partial (map-side) aggregation + final hash agg — scales linearly;
     // the groupBy key cardinality is tiny so the shuffle is negligible.
     "q1_agg" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
+      Tables.fanned(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -41,7 +41,7 @@ object RelationalQueries extends QueryPack {
     // data-quality profiling with the portable KMV distinct estimate —
     // engine-exact, so even the approximation hash-matches the oracle.
     "profile_lineitem" -> { (s, dir) =>
-      graft.ops.Relational.profile(Tables.lineitem(s, dir), ProfileCols)
+      graft.ops.Relational.profile(Tables.fanned(s, dir, "lineitem"), ProfileCols)
     },
 
     // the corpus- and event-table siblings of profile_lineitem — the
@@ -172,10 +172,25 @@ object RelationalQueries extends QueryPack {
       val li = Tables.lineitem(s, dir)
       val day = datediff(col("l_shipdate").cast("date"),
         lit("1992-01-01").cast("date")).cast("long")
-      def candidate(name: String, key: org.apache.spark.sql.Column) = {
+      // ONE shared min/max/count pre-pass for all three candidates
+      // (was: one 1-row agg scan PER candidate — r15 optimization, 6
+      // lineitem scans → 4; the per-candidate bucket agg stays separate,
+      // the measured winner over the explode variants above).
+      val keyed = li.select(
+        datediff(col("l_shipdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("k1"),
+        col("l_orderkey").cast("long").as("k2"),
+        col("l_partkey").cast("long").as("k3"))
+      val stats = broadcast(keyed.agg(
+        min(col("k1")).as("mn1"), max(col("k1")).as("mx1"),
+        min(col("k2")).as("mn2"), max(col("k2")).as("mx2"),
+        min(col("k3")).as("mn3"), max(col("k3")).as("mx3"),
+        count(lit(1)).as("n")))
+      def candidate(name: String, key: org.apache.spark.sql.Column,
+                    slot: Int) = {
         val base = li.select(key.cast("long").as("k"), day.as("d"))
-        val b = base.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
-          count(lit(1)).as("n"))
+        val b = stats.select(col(s"mn$slot").as("mn"),
+          col(s"mx$slot").as("mx"), col("n"))
         base.crossJoin(broadcast(b))
           .withColumn("nb", greatest(lit(1L), expr("n DIV 1000")))
           .withColumn("bucket", graft.ops.Stats.fdiv(
@@ -198,9 +213,9 @@ object RelationalQueries extends QueryPack {
               lit(1.0) - col("n_overlap").cast("double") /
                 col("n_buckets").cast("double")).as("prune_frac"))
       }
-      candidate("l_shipdate", day)
-        .unionByName(candidate("l_orderkey", col("l_orderkey")))
-        .unionByName(candidate("l_partkey", col("l_partkey")))
+      candidate("l_shipdate", day, 1)
+        .unionByName(candidate("l_orderkey", col("l_orderkey"), 2))
+        .unionByName(candidate("l_partkey", col("l_partkey"), 3))
     },
 
     // Hilbert clustering value — Z-order's better-locality sibling

@@ -44,7 +44,7 @@ object TrainingQueries extends QueryPack {
   private def cachedSpanEdges(s: org.apache.spark.sql.SparkSession,
                               dir: String): org.apache.spark.sql.DataFrame =
     graft.ops.Sidecar.cached(s, s"spanEdges:$dir") {
-      graft.ops.GraphOps.spanEdges(Tables.documents(s, dir), "doc_id", "text")
+      graft.ops.GraphOps.spanEdges(Tables.fanned(s, dir, "documents"), "doc_id", "text")
     }
 
   /** Near-dup cluster map (doc_id, cluster_id) — the policy layer's
@@ -52,7 +52,7 @@ object TrainingQueries extends QueryPack {
   private def cachedDupClusters(s: org.apache.spark.sql.SparkSession,
                                 dir: String): org.apache.spark.sql.DataFrame =
     graft.ops.Sidecar.cached(s, s"dupClusters:$dir") {
-      Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.dupClusters(Tables.fanned(s, dir, "documents"), "doc_id", "text")
     }
 
   /** Containment digraph pair table at the 0.8 bar (graph_hits). */
@@ -69,7 +69,7 @@ object TrainingQueries extends QueryPack {
   private def cachedVerifiedPairs(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame =
     graft.ops.Sidecar.cached(s, s"verifiedPairs:$dir") {
-      Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.lshVerifiedPairs(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         threshold = 0.1)
     }
 
@@ -161,7 +161,7 @@ object TrainingQueries extends QueryPack {
     // in chars.
     "text_entropy" -> { (s, dir) =>
       val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.fanned(s, dir, "documents")
       // Structural domain clamp (r12 verdict): the charset²-bound is an
       // ASSUMPTION about the input — a source shipping binary garbage
       // has an unbounded gram domain and this was the registry's
@@ -339,7 +339,7 @@ object TrainingQueries extends QueryPack {
     // WITHIN-doc repetition removal (row-local): non-first occurrences
     // of repeated trigrams lose their exclusive token coverage.
     "text_derep" -> { (s, dir) =>
-      TextAnalysis.dedupInline(Tables.documents(s, dir), "doc_id", "text", w = 3)
+      TextAnalysis.dedupInline(Tables.fanned(s, dir, "documents"), "doc_id", "text", w = 3)
     },
 
     // LLM-watermark scan: green-pair fraction z-score per doc — the
@@ -449,7 +449,7 @@ object TrainingQueries extends QueryPack {
       val nTok = TextAnalysis.tokenCount(t)
       val rep = TextAnalysis.repetitionScore(t)
       val z = TextAnalysis.classifierLogit(t)
-      Tables.documents(s, dir).select(
+      Tables.fanned(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.langId(t).as("lang_guess"),
         nTok.as("n_tokens"),
@@ -465,7 +465,7 @@ object TrainingQueries extends QueryPack {
     // winnowing fingerprints (SIGMOD 2003): per-window minimal k-gram
     // hashes, rightmost on ties — substring-granular contamination index.
     "text_winnow" -> { (s, dir) =>
-      TextAnalysis.winnow(Tables.documents(s, dir), "doc_id", "text",
+      TextAnalysis.winnow(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         k = 4, w = 4)
     },
 
@@ -1071,7 +1071,7 @@ object TrainingQueries extends QueryPack {
     },
 
     "dedup_minhash" -> { (s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.minhashLshPairs(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         numPerm = 12, rowsPerBand = 3)
     },
 
@@ -1090,7 +1090,7 @@ object TrainingQueries extends QueryPack {
     // Jaccard per LSH candidate — how far the banding geometry is from
     // truth on THIS corpus, certified in-engine.
     "dedup_minhash_calib" -> { (s, dir) =>
-      Dedup.minhashCalibration(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.minhashCalibration(Tables.fanned(s, dir, "documents"), "doc_id", "text")
     },
 
     // text-side threshold sweep (emb_threshold_sweep's twin): one
@@ -1124,7 +1124,7 @@ object TrainingQueries extends QueryPack {
     // registered builder entry (its consumers read the sidecar; this
     // one never does, so the posting-list build cost stays measured).
     "graph_edges" -> { (s, dir) =>
-      graft.ops.GraphOps.spanEdges(Tables.documents(s, dir),
+      graft.ops.GraphOps.spanEdges(Tables.fanned(s, dir, "documents"),
         "doc_id", "text")
     },
 
@@ -1599,7 +1599,7 @@ object TrainingQueries extends QueryPack {
 
     // the production two-stage shape: LSH candidates → exact verify.
     "dedup_lsh_verified" -> { (s, dir) =>
-      Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.lshVerifiedPairs(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
     },
 
@@ -1607,19 +1607,19 @@ object TrainingQueries extends QueryPack {
     // similarity instead of shingle Jaccard — keeps reordered remixes
     // as distinct documents (see Dedup.lcsVerifiedPairs).
     "dedup_lcs_verified" -> { (s, dir) =>
-      Dedup.lcsVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.lcsVerifiedPairs(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
     },
 
     "dedup_simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.simhashNearDupPairs(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)
     },
 
     // incremental crawl dedup: docs with id < 250 play the settled
     // corpus; the rest arrive as the new batch and collide against it.
     "dedup_incremental" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.fanned(s, dir, "documents")
       Dedup.incrementalDupPairs(
         docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
         "doc_id", "text", numPerm = 12, rowsPerBand = 3)
@@ -1628,7 +1628,7 @@ object TrainingQueries extends QueryPack {
     // transitive closure of the near-dup graph: every doc labeled with
     // the smallest doc id it can reach (singletons label themselves).
     "dedup_clusters" -> { (s, dir) =>
-      Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.dupClusters(Tables.fanned(s, dir, "documents"), "doc_id", "text")
     },
 
     // cluster-size census over the same cluster map: how much of the
@@ -1656,7 +1656,7 @@ object TrainingQueries extends QueryPack {
     // is quadratic (the giant-cluster kill-switch at 100 TB).
     "dedup_star_cc" -> { (s, dir) =>
       Dedup.bandedStarEdges(
-        Dedup.minhashSignatureExpr(Tables.documents(s, dir), "doc_id", "text",
+        Dedup.minhashSignatureExpr(Tables.fanned(s, dir, "documents"), "doc_id", "text",
           numPerm = 12, shingleW = 3),
         "doc_id", numPerm = 12, rowsPerBand = 3)
     },
@@ -1908,7 +1908,7 @@ object TrainingQueries extends QueryPack {
     // tokens (what the training run actually consumes), not whitespace
     // counts — train → encode → prefix-sum shard as one verified chain.
     "shard_bpe" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.fanned(s, dir, "documents")
       val rules = bpeRules(s, dir)
       CorpusOps.shardByBudget(
         Bpe.encodeTokenCounts(docs, "doc_id", "text", rules),
@@ -1928,7 +1928,7 @@ object TrainingQueries extends QueryPack {
     // content-defined chunking: boundaries from local w-gram hashes, so
     // edits only reshift the chunks they touch (the dedup-storage rule).
     "pack_cdc" -> { (s, dir) =>
-      CorpusOps.cdcChunks(Tables.documents(s, dir).select("doc_id", "text"),
+      CorpusOps.cdcChunks(Tables.fanned(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", w = 3, modulus = 32)
     },
 
@@ -1942,7 +1942,7 @@ object TrainingQueries extends QueryPack {
       // two consumers (occurrence agg + the join side): cut the chunk
       // lineage so the md5-explode runs once (3.8 → 2.0 s at sf0.1)
       val chunks = CorpusOps.cdcChunks(
-        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        Tables.fanned(s, dir, "documents").select("doc_id", "source", "text"),
         "doc_id", "text", w = 3, modulus = 32).localCheckpoint()
       val occ = chunks.groupBy(col("chunk_hash"))
         .agg(count(lit(1)).as("nocc"))
@@ -2195,10 +2195,16 @@ object TrainingQueries extends QueryPack {
       val q = emb.where(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
         k = 5).localCheckpoint()
+      // the corpus cell assignment is nProbe-INDEPENDENT: build it once
+      // and probe it four times (was: ivfTopKFrozen per probe width =
+      // four identical k×dim assignment passes; r15 optimization —
+      // ivfTopKFromAssigned is result-identical by contract)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        nLists = 16).localCheckpoint()
       Seq(1, 2, 4, 8).map { np =>
         Similarity.recallAtK(
-          Similarity.ivfTopKFrozen(emb, q, "vec_id", "embedding", k = 5,
-            nLists = 16, nProbe = np),
+          Similarity.ivfTopKFromAssigned(assigned, q, "vec_id", "embedding",
+            k = 5, nLists = 16, nProbe = np),
           exact, k = 5)
           .agg(sum(col("n_hit")).as("n_hit"), count(lit(1)).as("nq"))
           .select(lit(np.toLong).as("nprobe"), col("n_hit"),
@@ -2413,7 +2419,7 @@ object TrainingQueries extends QueryPack {
     // Lloyd's round in exact fixed point (integer assignment, integer
     // floor-division centroid update, integer re-assignment).
     "emb_kmeans" -> { (s, dir) =>
-      Similarity.kmeansFixedPoint(Tables.embeddings(s, dir), "vec_id",
+      Similarity.kmeansFixedPoint(Tables.fanned(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, dim = 64)
     },
 
@@ -2424,7 +2430,7 @@ object TrainingQueries extends QueryPack {
     // usable scale); integer distances, exact half-medians, pure
     // integer flag (no float threshold exists).
     "emb_outliers" -> { (s, dir) =>
-      Similarity.kmeansOutliers(Tables.embeddings(s, dir), "vec_id",
+      Similarity.kmeansOutliers(Tables.fanned(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, dim = 64, nMads = 3)
     },
 
@@ -2455,7 +2461,7 @@ object TrainingQueries extends QueryPack {
     // → corpus cells → nProbe probe → cosine rank, one hash-checked plan
     // (sim_ann_ivf is the same search with training frozen out).
     "sim_ann_ivf_trained" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.fanned(s, dir, "embeddings")
       Similarity.ivfTopKTrained(emb, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", kTop = 5, nLists = 8, nProbe = 2, dim = 64)
     },
@@ -2696,7 +2702,7 @@ object TrainingQueries extends QueryPack {
     // pair asc) and row-local greedy merge application let the oracle
     // replay training round for round with chained string replaces.
     "text_bpe" -> { (s, dir) =>
-      Bpe.train(Tables.documents(s, dir), "text", rounds = 3)
+      Bpe.train(Tables.fanned(s, dir, "documents"), "text", rounds = 3)
     },
 
     // the inference half: per-doc token counts under the 3 learned
@@ -2704,7 +2710,7 @@ object TrainingQueries extends QueryPack {
     // rules come off the bpeRules sidecar (trained once per session);
     // the encode itself is a zero-shuffle projection + one per-doc sum.
     "text_bpe_encode" -> { (s, dir) =>
-      Bpe.encodeTokenCounts(Tables.documents(s, dir), "doc_id", "text",
+      Bpe.encodeTokenCounts(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         bpeRules(s, dir))
     },
 
@@ -2772,7 +2778,7 @@ object TrainingQueries extends QueryPack {
     // word under the 3 learned rules — vocab_oov's cost-side twin (an
     // outlier source pays proportionally more sequence length).
     "vocab_fertility" -> { (s, dir) =>
-      Bpe.fertilityBySource(Tables.documents(s, dir), "source", "text",
+      Bpe.fertilityBySource(Tables.fanned(s, dir, "documents"), "source", "text",
         bpeRules(s, dir))
     }
   )
@@ -2787,7 +2793,7 @@ object TrainingQueries extends QueryPack {
   private def bpeRules(s: org.apache.spark.sql.SparkSession,
                        dir: String): Seq[(String, String)] =
     graft.ops.Sidecar.cached(s, s"bpe_rules:$dir")(
-        Bpe.train(Tables.documents(s, dir), "text", rounds = 3))
+        Bpe.train(Tables.fanned(s, dir, "documents"), "text", rounds = 3))
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
@@ -2795,7 +2801,7 @@ object TrainingQueries extends QueryPack {
     * 'A'-padded; text is ASCII by construction so char == byte). */
   private def bmpMedia(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    Tables.fanned(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.take(48).padTo(48, 'A').map(c => (c & 0xff).toByte).toArray
         (id, Multimodal.bmpFromBytes(payload, 4, 4), "image/bmp", "synthetic",
@@ -4379,10 +4385,12 @@ object TrainingQueries extends QueryPack {
         |SELECT doc_id,
         |  round(sum(c * (ln(CAST(coalesce(nt, 0) + 1 AS DOUBLE) / (tt + v))
         |               - ln(CAST(ng + 1 AS DOUBLE) / (tg + v)))) / sum(c), 4)
-        |    AS log_ratio
+        |    + 0.0 AS log_ratio
         |FROM perdoc JOIN general USING (shingle)
         |  LEFT JOIN target USING (shingle), stats
         |GROUP BY doc_id""".stripMargin,
+    // (+ 0.0: DuckDB's round keeps -0.0, Spark's BigDecimal round does
+    // not — the ts_holt negative-zero normalization, hit at sf0.1.)
     "emb_semdedup" -> {
       // same centroid/distance/argmin recipe as the _ref form, plus the
       // adaptive sub-bucket: q = ceil-div(n_cell, maxCell), subBits =
