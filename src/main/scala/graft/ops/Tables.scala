@@ -61,19 +61,23 @@ object Tables {
       case "events" => events(spark, dir)
       case _ => table(spark, dir, name)
     }
-    if (!spark.conf.getOption("spark.graft.scan.fanout").contains("true")) df
-    else {
-      val key = FanOutKeys(name)
+    if (fanOutActive(spark, dir, name))
+      df.repartition(spark.sparkContext.defaultParallelism, df(FanOutKeys(name)))
+    else df
+  }
+
+  /** True exactly when [[fanned]] would repartition — the same gate for
+    * builders that fan out a DERIVED frame (a narrow projection shared
+    * by several consumers) instead of the raw scan. */
+  def fanOutActive(spark: SparkSession, dir: String, name: String): Boolean =
+    spark.conf.getOption("spark.graft.scan.fanout").contains("true") && {
       val slots = spark.sparkContext.defaultParallelism
       val bytes =
         try java.nio.file.Files.size(
           java.nio.file.Paths.get(dir, s"$name.parquet"))
         catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
-      if (bytes < slots.toLong * 4L * 1024 * 1024)
-        df.repartition(slots, df(key))
-      else df
+      bytes < slots.toLong * 4L * 1024 * 1024
     }
-  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

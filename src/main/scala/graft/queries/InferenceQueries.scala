@@ -835,7 +835,7 @@ object InferenceQueries extends QueryPack {
     // (source, doc, word) agg; the top-20 rank prunes map-side
     // (WindowGroupLimit).
     "text_burstiness" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.fanned(s, dir, "documents")
       val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       val perDoc = docs
         .select(col("source"), col("doc_id"),
@@ -983,7 +983,7 @@ object InferenceQueries extends QueryPack {
       val scc = least(greatest(sc, lit(0.0001)), lit(0.9999))
       val y = (col("lang") === "en")
       val term = -(when(y, log(scc)).otherwise(log(lit(1.0) - scc)))
-      Tables.documents(s, dir)
+      Tables.fanned(s, dir, "documents")
         .select(round(term * lit(1.0e9), 0).cast("long").as("q"))
         .agg(count(lit(1)).as("n_docs"), sum(d38(col("q"))).as("sq"))
         .select(col("n_docs"),

@@ -170,25 +170,32 @@ object RelationalQueries extends QueryPack {
       val predHi = java.time.temporal.ChronoUnit.DAYS.between(
         epoch, java.time.LocalDate.of(1998, 3, 31))
       val li = Tables.lineitem(s, dir)
-      val day = datediff(col("l_shipdate").cast("date"),
-        lit("1992-01-01").cast("date")).cast("long")
-      // ONE shared min/max/count pre-pass for all three candidates
-      // (was: one 1-row agg scan PER candidate — r15 optimization, 6
-      // lineitem scans → 4; the per-candidate bucket agg stays separate,
-      // the measured winner over the explode variants above).
+      // ONE shared narrow (k1, k2, k3) projection feeds the min/max/count
+      // pre-pass AND all three candidate bucket aggs (was: one 1-row agg
+      // scan + one bucket-agg scan PER candidate = 6 lineitem scans; the
+      // r13 audit's one-scan explode variants stay rejected — measured 2×
+      // slower, comment above). In the underfilled-scan regime the shared
+      // frame additionally fans out and localCheckpoints (3 longs/row, so
+      // the materialization is ~the cost of one narrow scan) and every
+      // consumer reads it 32-way in parallel; at scale the conf-off shape
+      // is 4 column-pruned scans, never a lineitem-sized materialization.
       val keyed = li.select(
         datediff(col("l_shipdate").cast("date"),
           lit("1992-01-01").cast("date")).cast("long").as("k1"),
         col("l_orderkey").cast("long").as("k2"),
         col("l_partkey").cast("long").as("k3"))
-      val stats = broadcast(keyed.agg(
+      val shared =
+        if (Tables.fanOutActive(s, dir, "lineitem"))
+          keyed.repartition(s.sparkContext.defaultParallelism, col("k2"))
+            .localCheckpoint()
+        else keyed
+      val stats = broadcast(shared.agg(
         min(col("k1")).as("mn1"), max(col("k1")).as("mx1"),
         min(col("k2")).as("mn2"), max(col("k2")).as("mx2"),
         min(col("k3")).as("mn3"), max(col("k3")).as("mx3"),
         count(lit(1)).as("n")))
-      def candidate(name: String, key: org.apache.spark.sql.Column,
-                    slot: Int) = {
-        val base = li.select(key.cast("long").as("k"), day.as("d"))
+      def candidate(name: String, slot: Int) = {
+        val base = shared.select(col(s"k$slot").as("k"), col("k1").as("d"))
         val b = stats.select(col(s"mn$slot").as("mn"),
           col(s"mx$slot").as("mx"), col("n"))
         base.crossJoin(broadcast(b))
@@ -213,9 +220,9 @@ object RelationalQueries extends QueryPack {
               lit(1.0) - col("n_overlap").cast("double") /
                 col("n_buckets").cast("double")).as("prune_frac"))
       }
-      candidate("l_shipdate", day, 1)
-        .unionByName(candidate("l_orderkey", col("l_orderkey"), 2))
-        .unionByName(candidate("l_partkey", col("l_partkey"), 3))
+      candidate("l_shipdate", 1)
+        .unionByName(candidate("l_orderkey", 2))
+        .unionByName(candidate("l_partkey", 3))
     },
 
     // Hilbert clustering value — Z-order's better-locality sibling

@@ -124,14 +124,14 @@ object TrainingQueries extends QueryPack {
 
     // ---- text analysis -------------------------------------------------
     "text_langid" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      Tables.fanned(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
     },
 
     // language-ID confusion matrix vs the labeled lang column — the
     // quality readout of the identifier itself. One scan, |langs|² agg.
     "eval_langid" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      Tables.fanned(s, dir, "documents")
         .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
         .agg(count(lit(1)).as("n"))
     },
@@ -249,14 +249,14 @@ object TrainingQueries extends QueryPack {
     },
 
     "text_rollhash" -> { (s, dir) =>
-      Tables.documents(s, dir).select(
+      Tables.fanned(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rh"),
         TextAnalysis.repetitionScore(col("text")).as("rep"))
     },
 
     "text_bigram_lm" -> { (s, dir) =>
-      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      TextAnalysis.bigramLogProb(Tables.fanned(s, dir, "documents"), "doc_id", "text")
     },
 
     // interpolated CONDITIONAL bigram LM (KenLM-style backoff shape):
@@ -307,7 +307,7 @@ object TrainingQueries extends QueryPack {
     // top-3 TF-IDF keywords per doc (rounded score ranks identically in
     // any engine; ties break on the word).
     "text_tfidf" -> { (s, dir) =>
-      TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      TextAnalysis.tfIdfTopK(Tables.fanned(s, dir, "documents"), "doc_id", "text", k = 3)
     },
 
     // BM25 relevance of every doc against a fixed query — the retrieval
@@ -319,21 +319,21 @@ object TrainingQueries extends QueryPack {
     // verbatim w-token spans shared across docs — substring-level dup
     // (boilerplate/quotation) detection that document-level scores dilute.
     "dedup_spans" -> { (s, dir) =>
-      Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", w = 15)
+      Dedup.dupSpans(Tables.fanned(s, dir, "documents"), "doc_id", "text", w = 15)
     },
 
     // doc-level duplicate-token fraction over the shared spans — the
     // curation filter built on dedup_spans.
     "dedup_dupfrac" -> { (s, dir) =>
       Dedup.dupFractionOf(cachedSpanCoverage(s, dir),
-        Tables.documents(s, dir), "doc_id", "text")
+        Tables.fanned(s, dir, "documents"), "doc_id", "text")
     },
 
     // the REMOVAL half: excise every token covered by a cross-doc
     // duplicated span, rebuilding the cleaned text.
     "dedup_span_removal" -> { (s, dir) =>
       Dedup.removeSharedSpansOf(cachedSpanCoverage(s, dir),
-        Tables.documents(s, dir), "doc_id", "text")
+        Tables.fanned(s, dir, "documents"), "doc_id", "text")
     },
 
     // WITHIN-doc repetition removal (row-local): non-first occurrences
@@ -347,7 +347,7 @@ object TrainingQueries extends QueryPack {
     // enters training. Natural text sits near z=0; a green-list
     // sampler's output clears the z≥4 flag by construction.
     "text_watermark" -> { (s, dir) =>
-      TextAnalysis.watermarkScore(Tables.documents(s, dir), "doc_id", "text")
+      TextAnalysis.watermarkScore(Tables.fanned(s, dir, "documents"), "doc_id", "text")
     },
 
     // CROSS-doc boilerplate removal (the CCNet line-dedup stage):
@@ -356,7 +356,7 @@ object TrainingQueries extends QueryPack {
     // The frequent set collapses to one broadcast array; the data
     // itself never shuffles.
     "text_boilerplate" -> { (s, dir) =>
-      TextAnalysis.removeFrequentSegments(Tables.documents(s, dir),
+      TextAnalysis.removeFrequentSegments(Tables.fanned(s, dir, "documents"),
         "doc_id", "text", segTokens = 8, minDocs = 2)
     },
 
@@ -392,7 +392,7 @@ object TrainingQueries extends QueryPack {
       // materializing concat'd bigram strings per row
       val bigrams = transform(idxs, i =>
         xxhash64(element_at(t, i + 1), element_at(t, i + 2)))
-      Tables.documents(s, dir)
+      Tables.fanned(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"),
           greatest(nTok - 1, lit(0)).cast("long").as("n_bigrams"),
@@ -436,7 +436,7 @@ object TrainingQueries extends QueryPack {
     // Gopher-style WITHIN-doc repetition (top-bigram/trigram fraction,
     // duplicated-5gram position coverage) — the boilerplate filter family.
     "text_gopher" -> { (s, dir) =>
-      TextAnalysis.gopherRepetition(Tables.documents(s, dir), "doc_id", "text")
+      TextAnalysis.gopherRepetition(Tables.fanned(s, dir, "documents"), "doc_id", "text")
     },
 
     // the composed curation pass: every scan-shaped quality signal
@@ -472,14 +472,14 @@ object TrainingQueries extends QueryPack {
     // fastText-style hashed-logistic quality classifier — one scan-shaped
     // projection (hash, weight lookup, ordered fold all inside codegen).
     "text_classify" -> { (s, dir) =>
-      TextAnalysis.classifierScore(Tables.documents(s, dir), "doc_id", "text")
+      TextAnalysis.classifierScore(Tables.fanned(s, dir, "documents"), "doc_id", "text")
     },
 
     // precision/recall of the quality classifier against the lang='en'
     // reference at five cutoffs — the threshold-calibration table. One
     // scan, |thresholds| confusion rows via map-side partial agg.
     "eval_pr_curve" -> { (s, dir) =>
-      TextAnalysis.prCurve(Tables.documents(s, dir), "doc_id", "text",
+      TextAnalysis.prCurve(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", Seq(0.5, 0.52, 0.54, 0.56, 0.58))
     },
 
@@ -488,7 +488,7 @@ object TrainingQueries extends QueryPack {
     // costs in corpus (pr_curve's partner table for picking the
     // operating point).
     "curate_yield_curve" -> { (s, dir) =>
-      TextAnalysis.yieldCurve(Tables.documents(s, dir), "doc_id", "text",
+      TextAnalysis.yieldCurve(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         Seq(0.5, 0.52, 0.54, 0.56, 0.58))
     },
 
@@ -506,7 +506,7 @@ object TrainingQueries extends QueryPack {
     // the distinct-score table (≤10⁴ rows at 4 decimals), never the
     // corpus.
     "eval_auc" -> { (s, dir) =>
-      TextAnalysis.aucScore(Tables.documents(s, dir), "doc_id", "text",
+      TextAnalysis.aucScore(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en")
     },
 
@@ -660,7 +660,7 @@ object TrainingQueries extends QueryPack {
     // calibration table: per score decile, exact counts and an exact
     // integer-summed mean score vs the empirical positive rate.
     "eval_calibration" -> { (s, dir) =>
-      TextAnalysis.calibration(Tables.documents(s, dir), "doc_id", "text",
+      TextAnalysis.calibration(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", bins = 10)
     },
 
@@ -672,7 +672,7 @@ object TrainingQueries extends QueryPack {
     // engines add the same doubles in the same sequence (the stat_anova
     // discipline), one division by N at the end.
     "eval_ece" -> { (s, dir) =>
-      val cal = TextAnalysis.calibration(Tables.documents(s, dir),
+      val cal = TextAnalysis.calibration(Tables.fanned(s, dir, "documents"),
         "doc_id", "text", col("lang") === "en", bins = 10)
       cal
         .agg(sort_array(collect_list(struct(col("bin"),
@@ -696,7 +696,7 @@ object TrainingQueries extends QueryPack {
     // eval_ece: per-bin terms from the hash-proven rounded table, folded
     // in bin order; the base rate is one exact-count division.
     "eval_brier" -> { (s, dir) =>
-      val cal = TextAnalysis.calibration(Tables.documents(s, dir),
+      val cal = TextAnalysis.calibration(Tables.fanned(s, dir, "documents"),
         "doc_id", "text", col("lang") === "en", bins = 10)
       val r6 = (c: org.apache.spark.sql.Column) => TimeSeries.portableRound6(c)
       val packed = cal.agg(
@@ -779,7 +779,7 @@ object TrainingQueries extends QueryPack {
     // DSIR-style importance weights toward the src0 target domain: mean
     // bigram log-likelihood ratio (target model vs general model).
     "mix_dsir" -> { (s, dir) =>
-      TextAnalysis.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+      TextAnalysis.dsirWeights(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         col("source") === "src0")
     },
 
@@ -790,7 +790,7 @@ object TrainingQueries extends QueryPack {
       val aug = concat(substring(col("text"), 1, 40),
         lit(" contact user"), col("doc_id"), lit("@example.com via https://ex.com/d/"),
         col("doc_id"), lit(" or call +1 555-000-"), col("doc_id"), lit(" now"))
-      Tables.documents(s, dir).select(col("doc_id"),
+      Tables.fanned(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.redactPii(aug).as("clean"),
         TextAnalysis.piiHits(aug).as("n_pii"))
     },
