@@ -28,6 +28,8 @@ object Bench {
   def applyBenchConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.graft.scan.fanout",
       sys.env.getOrElse("SPARK_GRAFT_FANOUT", "true"))
+    spark.conf.set("spark.graft.scan.fanout.taskBytes",
+      sys.env.getOrElse("SPARK_GRAFT_FANOUT_TASK_BYTES", "65536"))
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
       sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
   }

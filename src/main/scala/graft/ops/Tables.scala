@@ -62,22 +62,64 @@ object Tables {
       case _ => table(spark, dir, name)
     }
     if (fanOutActive(spark, dir, name))
-      df.repartition(spark.sparkContext.defaultParallelism, df(FanOutKeys(name)))
+      df.repartition(fanWidth(spark, dir, name), df(FanOutKeys(name)))
     else df
   }
+
+  /** Fan-out is inert above this table size: past it the scan fills the
+    * cluster by itself (≥ 32 scan tasks at the default 4 MiB
+    * openCostInBytes charge). A parallelism-INDEPENDENT constant, so the
+    * oracle gate (Verify, local[4] by default) takes the same per-table
+    * fan-out decision as the timed 32-core bench — r15 ADVICE: the old
+    * `slots × 4 MiB` gate silently disagreed between the two. */
+  private val FanOutMaxBytes = 128L * 1024 * 1024
+
+  /** Bytes per fan-out task (compressed parquet). Derives the fan-out
+    * WIDTH from the data instead of always using every slot: at 32
+    * slots a 0.6 MB table fanned 32 ways is ~19 KB/task and scheduling
+    * overhead beats the parallelism (r15 driver scaling block: 17/44
+    * queries ≥10% FASTER at 8 cores). 64 KiB of parquet ≈ a few
+    * hundred KB raw — enough work per task for the CPU-heavy kernels
+    * fan-out exists for, measured indistinguishable from full-width on
+    * the r15 winner set at 32 cores (OPTIMIZATION_r16.md) while
+    * capping task explosion. Conf-overridable for A/B. */
+  private def fanTaskBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.scan.fanout.taskBytes")
+      .map(_.toLong).getOrElse(64L * 1024)
+
+  /** Data-proportional fan-out width: fills cores proportionally to the
+    * table's bytes, converges to `defaultParallelism` as data grows. */
+  def fanWidth(spark: SparkSession, dir: String, name: String): Int = {
+    val perTask = math.max(1L, fanTaskBytes(spark))
+    val w = (tableBytes(dir, name) + perTask - 1) / perTask
+    math.min(spark.sparkContext.defaultParallelism.toLong,
+      math.max(2L, w)).toInt
+  }
+
+  /** On-disk size of a table: a single parquet file's size, or the sum
+    * of the part files for a standard multi-file parquet directory
+    * (r15 ADVICE: Files.size on a directory returns the directory-entry
+    * size, which would have made fan-out permanently active at scale).
+    * Unreadable path → Long.MaxValue → no fan-out. */
+  private def tableBytes(dir: String, name: String): Long =
+    try {
+      val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+        finally s.close()
+      } else java.nio.file.Files.size(p)
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
 
   /** True exactly when [[fanned]] would repartition — the same gate for
     * builders that fan out a DERIVED frame (a narrow projection shared
     * by several consumers) instead of the raw scan. */
   def fanOutActive(spark: SparkSession, dir: String, name: String): Boolean =
-    spark.conf.getOption("spark.graft.scan.fanout").contains("true") && {
-      val slots = spark.sparkContext.defaultParallelism
-      val bytes =
-        try java.nio.file.Files.size(
-          java.nio.file.Paths.get(dir, s"$name.parquet"))
-        catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
-      bytes < slots.toLong * 4L * 1024 * 1024
-    }
+    spark.conf.getOption("spark.graft.scan.fanout").contains("true") &&
+      tableBytes(dir, name) < FanOutMaxBytes
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

@@ -186,7 +186,7 @@ object RelationalQueries extends QueryPack {
         col("l_partkey").cast("long").as("k3"))
       val shared =
         if (Tables.fanOutActive(s, dir, "lineitem"))
-          keyed.repartition(s.sparkContext.defaultParallelism, col("k2"))
+          keyed.repartition(Tables.fanWidth(s, dir, "lineitem"), col("k2"))
             .localCheckpoint()
         else keyed
       val stats = broadcast(shared.agg(

@@ -2701,8 +2701,12 @@ object TrainingQueries extends QueryPack {
     // standard scale trick). Deterministic argmax tie-break (count desc,
     // pair asc) and row-local greedy merge application let the oracle
     // replay training round for round with chained string replaces.
+    // NOT fanned: train's per-round re-scans each pay the fan-out
+    // exchange, and the word-frequency collapse is its own shuffle
+    // anyway — isolated A/B r16: fanned 1.36 s vs un-fanned 0.92 s
+    // (min-of-5), the one kept-loser site of the r15 batch.
     "text_bpe" -> { (s, dir) =>
-      Bpe.train(Tables.fanned(s, dir, "documents"), "text", rounds = 3)
+      Bpe.train(Tables.documents(s, dir), "text", rounds = 3)
     },
 
     // the inference half: per-doc token counts under the 3 learned
@@ -2793,7 +2797,7 @@ object TrainingQueries extends QueryPack {
   private def bpeRules(s: org.apache.spark.sql.SparkSession,
                        dir: String): Seq[(String, String)] =
     graft.ops.Sidecar.cached(s, s"bpe_rules:$dir")(
-        Bpe.train(Tables.fanned(s, dir, "documents"), "text", rounds = 3))
+        Bpe.train(Tables.documents(s, dir), "text", rounds = 3))
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
