@@ -50,9 +50,14 @@ object Sketches {
     * double that produced the text (observed: sf0.001 regenerated data
     * hit table entries where the decimal round-trip differs — FAIL by
     * 1.8e-15). Exponent notation forces DOUBLE parsing; %.17e
-    * round-trips every double exactly. */
+    * round-trips every double exactly. Locale.ROOT pins the decimal
+    * separator — the f-interpolator uses the JVM default locale, which
+    * would emit `1,5e+01` under a comma-separator locale and break both
+    * engines' parsers. */
   val HllLnTableSql: String =
-    HllLnTable.map(v => f"$v%.17e").mkString(", ")
+    HllLnTable.map(v =>
+      String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
+      .mkString(", ")
 
   /** HLL register columns for one value expression: (bucket, rank). */
   def hllRegister(value: Column): (Column, Column) = {

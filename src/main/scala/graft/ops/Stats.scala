@@ -16,12 +16,17 @@ object Stats {
 
   /** EXACT floor division of non-negative integer columns — the one
     * shared definition (it had grown five local copies). The remainder
-    * is subtracted first so the quotient is integral, and the division
-    * runs in DECIMAL(38,0), never double: a double quotient is exact
-    * only while the numerator stays under 2⁵³, and the waterfilling /
-    * budget products cross that on a 10T-token corpus. */
+    * is subtracted first so the quotient is integral; the division is
+    * SQL `div` (IntegralDivide), which truncates — exact here because
+    * the numerator is a multiple of b by construction, for LONG and
+    * DECIMAL inputs alike. r16: was a DECIMAL(38,0) `/` + cast, which
+    * forced a BigDecimal division per row even for long inputs (a
+    * double quotient would be exact only under 2⁵³, and the
+    * waterfilling / budget products cross that on a 10T-token corpus —
+    * `div` keeps the exactness without the decimal widening; pagerank's
+    * per-iteration fdiv was the hottest caller). */
   def fdiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)).cast(d38) / b.cast(d38)).cast("long")
+    call_function("div", a - pmod(a, b), b)
 
   /** Standard normal quantile Φ⁻¹(p) — Acklam's rational approximation
     * (public-domain algorithm, |rel err| < 1.15e-9), evaluated ONCE at
