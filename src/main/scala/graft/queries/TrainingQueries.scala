@@ -59,7 +59,7 @@ object TrainingQueries extends QueryPack {
   private def cachedContainPairs(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame =
     graft.ops.Sidecar.cached(s, s"containPairs:$dir") {
-      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.containmentPairs(Tables.fanned(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8)
     }
 
@@ -88,7 +88,7 @@ object TrainingQueries extends QueryPack {
   private def cachedGram(s: org.apache.spark.sql.SparkSession,
                          dir: String): org.apache.spark.sql.DataFrame =
     graft.ops.Sidecar.cached(s, s"gram:$dir") {
-      Similarity.gramFixedPoint(Tables.embeddings(s, dir), "embedding",
+      Similarity.gramFixedPoint(Tables.fanned(s, dir, "embeddings"), "embedding",
         dim = 64)
     }
 
@@ -96,7 +96,7 @@ object TrainingQueries extends QueryPack {
   private def cachedLmScores(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame =
     graft.ops.Sidecar.cached(s, s"lmScores:$dir") {
-      TextAnalysis.interpolatedBigramLogProb(Tables.documents(s, dir),
+      TextAnalysis.interpolatedBigramLogProb(Tables.fanned(s, dir, "documents"),
         "doc_id", "text")
     }
 
@@ -262,7 +262,7 @@ object TrainingQueries extends QueryPack {
     // interpolated CONDITIONAL bigram LM (KenLM-style backoff shape):
     // p(w2|w1) backed off to the unigram distribution, fixed λ.
     "text_lm_interp" -> { (s, dir) =>
-      TextAnalysis.interpolatedBigramLogProb(Tables.documents(s, dir),
+      TextAnalysis.interpolatedBigramLogProb(Tables.fanned(s, dir, "documents"),
         "doc_id", "text")
     },
 
@@ -301,7 +301,7 @@ object TrainingQueries extends QueryPack {
 
     // Kneser-Ney smoothing: absolute discount + continuation backoff.
     "text_lm_kn" -> { (s, dir) =>
-      TextAnalysis.knBigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      TextAnalysis.knBigramLogProb(Tables.fanned(s, dir, "documents"), "doc_id", "text")
     },
 
     // top-3 TF-IDF keywords per doc (rounded score ranks identically in
@@ -1748,7 +1748,7 @@ object TrainingQueries extends QueryPack {
     // decontamination policy: per new-crawl doc, the token fraction
     // covered by spans the settled corpus already holds + keep verdict.
     "contam_frac" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.fanned(s, dir, "documents")
       Dedup.contaminationFraction(
         docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
         "doc_id", "text", w = 15, maxFrac = 0.2)
@@ -1876,7 +1876,7 @@ object TrainingQueries extends QueryPack {
     // Every stage is an operator with its own oracle; this query proves
     // they CHAIN (one plan, no materialization between stages).
     "curate_pipeline" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.fanned(s, dir, "documents")
       val nTok = TextAnalysis.tokenCount(col("text"))
       val mtl = (length(col("text")) - (nTok - 1)).cast("double") / nTok.cast("double")
       val norm = docs.select(col("doc_id"), col("text"),
@@ -2191,7 +2191,7 @@ object TrainingQueries extends QueryPack {
     // cells scanned = higher recall; the sweep shows where the curve
     // saturates). One brute-force pass feeds all four comparisons.
     "sim_nprobe_sweep" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.fanned(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
         k = 5).localCheckpoint()
@@ -2289,7 +2289,7 @@ object TrainingQueries extends QueryPack {
     "emb_cka" -> { (s, dir) =>
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val scale = 1048576.0
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.fanned(s, dir, "embeddings")
         .where(size(col("embedding")) === 64)
       val cal = emb.select(posexplode(col("embedding").cast("array<double>")))
         .select(col("pos").as("dim"),
@@ -2445,7 +2445,7 @@ object TrainingQueries extends QueryPack {
     // ... and trained-cell purity: how label-coherent each kmeans cell
     // is (majority label share) — the quantizer-quality metric.
     "emb_cell_purity" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.fanned(s, dir, "embeddings")
       val asg = Similarity.kmeansFixedPoint(emb, "vec_id", "embedding",
         k = 8, dim = 64)
       val cnt = asg.join(emb.select(col("vec_id"), col("label")), "vec_id")
