@@ -154,16 +154,20 @@ object Dedup {
   def withMinhashSignature(docs: DataFrame, textCol: String,
                            numPerm: Int, shingleW: Int): DataFrame = {
     require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
-    val base = transform(shingleArray(col(textCol), shingleW), s =>
-      conv(substring(md5(to_binary(s, lit("utf-8"))), 1, 8), 16, 10).cast("long"))
+    // ONE native compiled pass per row (graft.functions.MinhashSignature)
+    // — the old transform + numPerm × array_min(transform(pmod)) chain
+    // ran 1 + numPerm INTERPRETED array traversals per doc (HOFs are
+    // CodegenFallback); value-identical by construction, asserted
+    // against the grouped aggregate form in WindowPropertiesSpec.
+    val sig = graft.functions.MinhashSignature(
+      shingleArray(col(textCol), shingleW), numPerm)
     docs
       // cheap guard FIRST (token count), so the pushed-down filter never
-      // re-evaluates the md5 transform just to test emptiness.
+      // re-evaluates the md5 pass just to test emptiness.
       .where(size(split(col(textCol), " ")) >= shingleW)
-      .withColumn("__mh_base", base)
+      .withColumn("__mh_sig", sig)
       .select(docs.columns.map(col).toIndexedSeq ++ (0 until numPerm).map { i =>
-        array_min(transform(col("__mh_base"), x =>
-          pmod(lit(MinhashA(i)) * x + lit(MinhashB(i)), lit(MinhashP)))).as(s"h$i")
+        element_at(col("__mh_sig"), i + 1).as(s"h$i")
       }: _*)
   }
 

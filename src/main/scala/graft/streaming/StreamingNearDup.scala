@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.ops.Dedup
@@ -27,9 +27,6 @@ import graft.ops.Dedup
   */
 object StreamingNearDup {
 
-  /** (posting-list entry) id + event-time millis. */
-  private type Entry = (Long, Long)
-
   final case class NearDupPair(a: Long, b: Long, ts: Timestamp)
 
   /** @param docs      streaming frame with (idCol: long, textCol, tsCol);
@@ -50,7 +47,12 @@ object StreamingNearDup {
     // escape hatch for exactly this false positive:
     docs.sparkSession.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    implicit val stateEnc: Encoder[List[Entry]] = Encoders.kryo[List[Entry]]
+    // State = the posting list as a PACKED long array [id0,ts0,id1,ts1,…]
+    // under the expression encoder (UnsafeArrayData): the r15 shape was
+    // Encoders.kryo[List[(Long,Long)]], which boxed and Kryo-serialized
+    // every element on every bucket visit — state ser/de was a measured
+    // drag on the slowest twin (STREAMBENCH near_dup). Same entries,
+    // same probe/evict semantics, cheaper round trip.
 
     val nBands = numPerm / rowsPerBand
     val sig = Dedup.withMinhashSignature(
@@ -67,10 +69,10 @@ object StreamingNearDup {
 
     banded
       .groupByKey(_._3)
-      .flatMapGroupsWithState[List[Entry], NearDupPair](
+      .flatMapGroupsWithState[Array[Long], NearDupPair](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: String, rows: Iterator[(Long, Timestamp, String)],
-         state: GroupState[List[Entry]]) =>
+         state: GroupState[Array[Long]]) =>
           if (state.hasTimedOut) {
             // Dormant-bucket GC: visit-time eviction below only runs when
             // a bucket receives another doc, so a bucket that goes quiet
@@ -93,7 +95,9 @@ object StreamingNearDup {
           // retention would silently never trigger. Group-local event
           // time is monotone per bucket and needs no cross-stage plumbing.
           val clock = batch.map(_._2.getTime).max
-          var posting = state.getOption.getOrElse(Nil)
+          val stored = state.getOption.getOrElse(Array.empty[Long])
+          val posting = scala.collection.mutable.ArrayBuffer[Long]()
+          posting.appendAll(stored)
           val out = List.newBuilder[NearDupPair]
           batch.foreach { case (id, ts, _) =>
             // retention checked PER PAIR against the probing row's own
@@ -104,16 +108,27 @@ object StreamingNearDup {
             // pair with posting entries farther than retention in the
             // FUTURE either, else out-of-order arrival changes which
             // pairs exist.
-            posting.foreach { case (oid, ots) =>
+            var k = 0
+            val m = posting.length
+            while (k < m) {
+              val oid = posting(k); val ots = posting(k + 1)
               if (oid != id && math.abs(ots - ts.getTime) <= retentionMs)
                 out += NearDupPair(math.min(oid, id), math.max(oid, id), ts)
+              k += 2
             }
-            posting = (id, ts.getTime) :: posting
+            posting += id; posting += ts.getTime
           }
           // evict AFTER the batch probes, by the batch-max clock.
-          posting = posting.filter(_._2 >= clock - retentionMs)
-          if (posting.nonEmpty) {
-            state.update(posting)
+          val kept = scala.collection.mutable.ArrayBuffer[Long]()
+          var k = 0
+          while (k < posting.length) {
+            if (posting(k + 1) >= clock - retentionMs) {
+              kept += posting(k); kept += posting(k + 1)
+            }
+            k += 2
+          }
+          if (kept.nonEmpty) {
+            state.update(kept.toArray)
             // re-armed every visit; must exceed the current watermark
             state.setTimeoutTimestamp(
               math.max(clock, state.getCurrentWatermarkMs()) + retentionMs)
