@@ -271,17 +271,28 @@ object Relational {
     * [[graft.functions.KmvDistinct]] on the md5 unit-hash family —
     * engine-exact, so the whole profile is hash-checkable, unlike
     * approx_count_distinct whose HLL is implementation-defined. */
-  def profile(df: DataFrame, cols: Seq[String], k: Int = 128): DataFrame =
-    cols.map { c =>
-      df.agg(
-        count(lit(1)).as("n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-        graft.functions.KmvDistinct.onMd5(col(c), k).as("distinct_est"),
-        min(col(c)).cast("string").as("min_s"),
-        max(col(c)).cast("string").as("max_s"))
-        .select(lit(c).as("col_name"), col("n"), col("n_null"),
-          col("distinct_est"), col("min_s"), col("max_s"))
-    }.reduce(_ unionByName _)
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 128): DataFrame = {
+    // ONE aggregation pass computing every column's five profile stats,
+    // then stack() to the per-column row shape — the per-column
+    // `df.agg(...).union` form re-scanned the table once PER COLUMN
+    // (4 scans + 4 exchanges for lineitem; guide §6 scan elimination).
+    // Same values: each aggregate sees exactly the rows it saw before,
+    // and stack preserves the cols order the union produced.
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(lit(1)).as(s"__n_$i"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$i"),
+      graft.functions.KmvDistinct.onMd5(col(c), k).as(s"__d_$i"),
+      min(col(c)).cast("string").as(s"__mn_$i"),
+      max(col(c)).cast("string").as(s"__mx_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      lit(c), col(s"__n_$i"), col(s"__nn_$i"), col(s"__d_$i"),
+      col(s"__mn_$i"), col(s"__mx_$i"))
+    }
+    one.select(stack((lit(cols.size) +: stacked): _*)
+      .as(Seq("col_name", "n", "n_null", "distinct_est", "min_s", "max_s")))
+  }
 
   /** Type-2 slowly-changing dimension build: collapse a change-event
     * stream into validity intervals. For each key, consecutive rows (in

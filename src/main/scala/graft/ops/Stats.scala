@@ -14,6 +14,13 @@ object Stats {
   def cents(valueCol: Column): Column =
     (valueCol.cast("decimal(18,2)") * 100).cast("long")
 
+  // NOTE (r16, measured no-op): rewriting `sum(dec(a)*dec(b))` money
+  // sums to long cents² products (exact, same values) showed NO
+  // measurable win at sf0.1 (q1_agg 0.60 vs 0.56, join_broadcast 0.87
+  // vs 0.94, min-of-7 back-to-back) — Spark's BigDecimal multiply on
+  // compact (18,2) operands is not the bottleneck of these stages;
+  // reverted to keep the simpler decimal form.
+
   /** EXACT floor division of non-negative integer columns — the one
     * shared definition (it had grown five local copies). The remainder
     * is subtracted first so the quotient is integral; the division is

@@ -532,10 +532,22 @@ object TimeSeries {
           .cast("long").as("h"),
         col("n"))
       .localCheckpoint() // consumed twice (both join sides)
+    // `hp` is ALIASED before the join on purpose: with the raw
+    // `hb === h + lag` condition the multi-join flattener saw
+    // Join(Cross(a, lags), b) as one reorderable chain and paired a
+    // with b on the only directly-applicable predicate — the NON-equi
+    // `ka < kb` — planning a |series|² BroadcastNestedLoopJoin
+    // (13M comparisons, a measured 0.7 s single task at sf0.1) and
+    // leaving the equi key for a second BNLJ against the lag range.
+    // The non-trivial projection stops the flattening, so the lag
+    // attach stays first and the b-join keeps its equi key (hash join,
+    // |series|·(maxLag+1) probes).
     val a = series.select(col("k").as("ka"), col("h"), col("n").as("x"))
       .crossJoin(spark_range_lags(series, maxLag))
+      .select(col("ka"), col("x"), col("lag"),
+        (col("h") + col("lag")).as("hp"))
     val b = series.select(col("k").as("kb"), col("h").as("hb"), col("n").as("y"))
-    a.join(b, col("hb") === col("h") + col("lag") && col("ka") < col("kb"))
+    a.join(b, col("hb") === col("hp") && col("ka") < col("kb"))
       .groupBy(col("ka").as("type_a"), col("kb").as("type_b"), col("lag"))
       .agg(count(lit(1)).as("n_overlap"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

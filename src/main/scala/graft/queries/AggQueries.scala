@@ -304,6 +304,9 @@ object AggQueries extends QueryPack {
     // the day-merged sketch equals the direct sketch's estimates.
     "agg_cms_rollup" -> { (s, dir) =>
       import graft.ops.Sketches
+      // NOT fanned (measured r16: 1.12 -> 1.42 s with fan-out — ev has
+      // two sketch consumers, each paying the exchange, and the md5
+      // partial agg over events is too small to amortize it)
       val ev = Tables.events(s, dir)
         .select(to_date(col("ts")).as("day"), col("user_id"))
       val dailySketch = ev
@@ -358,12 +361,16 @@ object AggQueries extends QueryPack {
     // hitter is pruned, and est ≥ exact on every output row.
     "agg_cms_hh" -> { (s, dir) =>
       import graft.ops.Sketches
-      val toks = Tables.documents(s, dir)
+      // fanned: the md5×4 CMS partial agg over the token explode ran as
+      // ONE task above the unfanned scan (823 ms stage, graft.Profile
+      // r16); total derived from the exact counts (Σ exact == count of
+      // all tokens) instead of a third explode pass over the corpus.
+      val toks = Tables.fanned(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("item"))
       val sketch = Sketches.cmsSketch(toks, col("item"))
       val exact = toks.groupBy("item").agg(count(lit(1)).as("exact"))
       val est = Sketches.cmsEstimate(exact.select("item"), sketch)
-      val tot = toks.agg(count(lit(1)).as("total"))
+      val tot = exact.agg(sum(col("exact")).as("total"))
       est.join(exact, "item").crossJoin(broadcast(tot))
         .filter(col("est") * 500 >= col("total"))
         .select(col("item"), col("est"), col("exact"))
@@ -415,8 +422,10 @@ object AggQueries extends QueryPack {
     // count sits alongside so the one-sided bound is visible.
     "agg_cms_joinsize" -> { (s, dir) =>
       import graft.ops.Sketches
-      val o = Sketches.cmsSketch(Tables.orders(s, dir), col("o_custkey"))
-      val c = Sketches.cmsSketch(Tables.customer(s, dir), col("c_custkey"))
+      // fanned: each md5×4 CMS partial agg otherwise runs single-task
+      // above its underfilled scan (same shape as agg_cms_hh)
+      val o = Sketches.cmsSketch(Tables.fanned(s, dir, "orders"), col("o_custkey"))
+      val c = Sketches.cmsSketch(Tables.fanned(s, dir, "customer"), col("c_custkey"))
       val exact = Tables.orders(s, dir)
         .join(Tables.customer(s, dir),
           col("o_custkey") === col("c_custkey"))
