@@ -605,8 +605,12 @@ object Dedup {
     val settled = shingles(existing, idCol, textCol, w)
       .select(col(idCol).as("old_id"), col("shingle"))
       .persist()
-    val bloom = settled.select(xxhash64(col("shingle")).as("h"))
-      .stat.bloomFilter("h", expectedSpans, fpp)
+    // expectedSpans is the CAP: the bitmap is sized from the settled
+    // side's real span count (Scale.sizedBloom — result-invisible, the
+    // verify join removes false positives either way)
+    val bloom = Scale.sizedBloom(
+      settled.select(xxhash64(col("shingle")).as("h")), "h",
+      cap = expectedSpans, fpp = fpp)
     val bc = existing.sparkSession.sparkContext.broadcast(bloom)
     shingles(incoming, idCol, textCol, w)
       .withColumnRenamed(idCol, "new_id")
@@ -761,8 +765,12 @@ object Dedup {
                             fpp: Double = 0.01): DataFrame = {
     val settled = shingles(existing, idCol, textCol, w)
       .select(col("shingle")).distinct().persist()
-    val bloom = settled.select(xxhash64(col("shingle")).as("h"))
-      .stat.bloomFilter("h", expectedSpans, fpp)
+    // expectedSpans caps the bitmap; the real (distinct) span count
+    // sizes it (Scale.sizedBloom — FPs die in the semi-join, so the
+    // fraction is exact at any bloom size)
+    val bloom = Scale.sizedBloom(
+      settled.select(xxhash64(col("shingle")).as("h")), "h",
+      cap = expectedSpans, fpp = fpp)
     val bc = existing.sparkSession.sparkContext.broadcast(bloom)
     val covered = incoming
       .select(col(idCol), posexplode(shingleArray(col(textCol), w)))
