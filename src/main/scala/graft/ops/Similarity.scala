@@ -365,6 +365,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** One-pass nProbe SWEEP over a prebuilt assignment: row-identical to
+    * running [[ivfTopKFromAssigned]] once per width in `nProbes` and
+    * tagging each union leg with its width — but the postings join and
+    * the cosine scoring run ONCE, at the WIDEST width. Correctness
+    * argument: a cell probed at rank r is probed by every nProbe ≥ r,
+    * so a narrower width's candidate set is exactly the widest set
+    * filtered to prank ≤ nProbe; each neighbor lives in ONE cell, so
+    * the (sim desc, neighbor asc) order restricted to that subset IS
+    * the narrower run's window order, and its row_number is the
+    * running conditional count over the shared sort. One window pass
+    * computes every width's rank (same window spec ⇒ one Window
+    * operator); narrower sweeps reuse the same sorted frame instead of
+    * re-joining and re-scoring the postings per width. */
+  def ivfTopKSweepFromAssigned(assigned: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String, k: Int,
+                               nLists: Int, nProbes: Seq[Int],
+                               dim: Int = 64): DataFrame = {
+    val cents = ivfCentroids(nLists, dim)
+    val maxP = nProbes.max
+    val nListsL = cents.length
+    val probeStructs = transform(sequence(lit(0), lit(nListsL - 1)), ki =>
+      struct(element_at(col("gd"), ki + 1).as("d"), ki.as("cell")))
+    // probeCells with the probe RANK kept (1-based slot in the sorted
+    // cell list) — the per-width membership predicate downstream
+    val probed = broadcast(queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("gd", SquaredDistances(col("qv"), cents))
+      .select(col("query_id"), col("qv"),
+        posexplode(slice(array_sort(probeStructs), 1, maxP).getField("cell")))
+      .select(col("query_id"), col("qv"), col("col").as("cell"),
+        (col("pos") + 1).as("prank")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = assigned.join(probed, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .select(Seq(col("query_id"), col("neighbor_id"), col("sim"),
+        col("prank")) ++
+        nProbes.map(np => sum(when(col("prank") <= np, 1L).otherwise(0L))
+          .over(w).as(s"cum_$np")): _*)
+    ranked
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        explode(array(nProbes.map(np => struct(
+          lit(np.toLong).as("nprobe"),
+          col(s"cum_$np").as("rank"),
+          (col("prank") <= np && col(s"cum_$np") <= k).as("keep"))): _*))
+          .as("s"))
+      .where(col("s.keep"))
+      .select(col("s.nprobe").as("nprobe"), col("query_id"),
+        col("neighbor_id"), col("sim"), col("s.rank").cast("int").as("rank"))
+  }
+
   /** Persist the frozen-IVF index as a BUCKETED table keyed by cell —
     * the "train once, persist the centers, probe forever" production
     * shape made literal, the ANN analog of [[graft.ops.Dedup]]'s bucketed

@@ -2195,23 +2195,28 @@ object TrainingQueries extends QueryPack {
       val q = emb.where(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
         k = 5).localCheckpoint()
-      // the corpus cell assignment is nProbe-INDEPENDENT: build it once
-      // and probe it four times (was: ivfTopKFrozen per probe width =
-      // four identical k×dim assignment passes; r15 optimization —
-      // ivfTopKFromAssigned is result-identical by contract)
-      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
-        nLists = 16).localCheckpoint()
-      Seq(1, 2, 4, 8).map { np =>
-        Similarity.recallAtK(
-          Similarity.ivfTopKFromAssigned(assigned, q, "vec_id", "embedding",
-            k = 5, nLists = 16, nProbe = np),
-          exact, k = 5)
-          .agg(sum(col("n_hit")).as("n_hit"), count(lit(1)).as("nq"))
-          .select(lit(np.toLong).as("nprobe"), col("n_hit"),
-            graft.ops.TimeSeries.portableRound4(
-              col("n_hit").cast("double") /
-                (col("nq") * 5).cast("double")).as("recall"))
-      }.reduce(_ unionByName _)
+      // ONE postings join + scoring pass serves all four probe widths
+      // (ivfTopKSweepFromAssigned — row-identical per width to the
+      // former per-width ivfTopKFromAssigned runs; r16 optimization,
+      // was: 4 joins + 4 windows over the shared assignment)
+      val swept = Similarity.ivfTopKSweepFromAssigned(
+        Similarity.ivfAssign(emb, "vec_id", "embedding", nLists = 16),
+        q, "vec_id", "embedding", k = 5, nLists = 16,
+        nProbes = Seq(1, 2, 4, 8))
+      val hitCnt = swept
+        .join(exact.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+      // every width emits a row even at zero hits (the old per-width agg
+      // always produced one); nq = the exact side's distinct query count
+      val base = exact.agg(countDistinct(col("query_id")).as("nq"))
+        .select(explode(array(Seq(1L, 2L, 4L, 8L).map(lit): _*)).as("nprobe"),
+          col("nq"))
+      base.join(hitCnt, Seq("nprobe"), "left")
+        .select(col("nprobe"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          graft.ops.TimeSeries.portableRound4(
+            coalesce(col("n_hit"), lit(0L)).cast("double") /
+              (col("nq") * 5).cast("double")).as("recall"))
     },
 
     // product-quantization codes (m=8 subspaces, k=16 centroids each):
