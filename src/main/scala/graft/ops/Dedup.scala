@@ -777,9 +777,9 @@ object Dedup {
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "shingle")
       .where(graft.functions.BloomProbe(xxhash64(col("shingle")), bc))
       .join(settled, Seq("shingle"), "leftsemi")
-      .select(col(idCol), explode(sequence(col("p"), col("p") + lit(w - 1))).as("tokpos"))
       .groupBy(col(idCol))
-      .agg(countDistinct(col("tokpos")).as("n_contam_tokens"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(col(idCol), coveredLen(col("ps"), w).as("n_contam_tokens"))
     incoming.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
       .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
@@ -843,9 +843,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Union length of the fixed-width intervals [p, p+w−1] over the
+    * SORTED distinct start positions `ps`: Σ least(nextₚ − p, w) over
+    * consecutive pairs, plus w for the last interval — exactly
+    * |∪ [p, p+w−1]|, i.e. the countDistinct-token-positions value the
+    * span family used to compute by exploding every interval w ways
+    * and distinct-counting the fan (guide §2.3: the fan multiplied the
+    * aggregate's input ×w for a number derivable from the starts). */
+  private def coveredLen(ps: Column, w: Int): Column =
+    (aggregate(
+      zip_with(slice(ps, lit(1), size(ps) - 1), slice(ps, lit(2), size(ps) - 1),
+        (a, b) => least(b - a, lit(w))),
+      lit(0L), (acc, x) => acc + x) + lit(w)).cast("long")
+
   def dupFraction(docs: DataFrame, idCol: String, textCol: String,
-                  w: Int = 15): DataFrame =
-    dupFractionOf(spanCoverage(docs, idCol, textCol, w), docs, idCol, textCol)
+                  w: Int = 15): DataFrame = {
+    // inline span-coverage COUNT: the same shingle-window span universe
+    // as [[spanCoverage]], but the per-doc token count folds over the
+    // sorted match starts (coveredLen) instead of exploding each span's
+    // w positions into a distinct-count (w× less aggregate input; the
+    // (id, p) pairs are unique by construction, so no distinct at all)
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("shingle"))
+    val counts = docs
+      .select(col(idCol), posexplode(shingleArray(col(textCol), w)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "shingle")
+      .withColumn("mn", min(col(idCol)).over(win))
+      .withColumn("mx", max(col(idCol)).over(win))
+      .where(col("mn") =!= col("mx"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(col(idCol), coveredLen(col("ps"), w).as("n_dup_tokens"))
+    docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("dup_frac"))
+  }
 
   /** The scoring layer alone, over a PRE-BUILT coverage table — the
     * sidecar-table shape (see [[graft.ops.Sidecar]]). */

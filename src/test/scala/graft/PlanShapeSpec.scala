@@ -142,13 +142,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dup-fraction explodes the corpus once (window, not agg+self-join)") {
     // the contract lives in the from-scratch operator (the registered
-    // query reads the span-coverage sidecar — asserted below): one
-    // Generate for the span explode + one for the position explode —
-    // an agg+join formulation would run the span explode twice.
+    // query reads the span-coverage sidecar — asserted below): ONE
+    // Generate total — the span posexplode. The per-span position
+    // explode is gone (r16): the covered-token count folds over the
+    // sorted match starts (Dedup.coveredLen), so neither an agg+join
+    // double span explode nor the w-way position fan may reappear.
     val p = graft.ops.Dedup.dupFraction(
         spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(countOf(p, "Generate explode") + countOf(p, "Generate posexplode") == 2, p)
+    assert(countOf(p, "Generate explode") + countOf(p, "Generate posexplode") == 1, p)
   }
 
   test("dup-fraction consumer reads the coverage sidecar, never re-explodes") {
