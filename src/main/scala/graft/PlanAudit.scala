@@ -58,6 +58,12 @@ object PlanAudit {
     plan
       .replaceAll("#\\d+", "#_")
       .replaceAll("plan_id=\\d+", "plan_id=_")
+      // broadcast VARIABLE ids (`Broadcast(680)` in a native-expression
+      // rendering, e.g. BloomProbe) count every broadcast the session
+      // created before the query — pure session history, and the one
+      // id the r16 audit caught flapping a fingerprint between
+      // otherwise-identical runs
+      .replaceAll("Broadcast\\(\\d+\\)", "Broadcast(_)")
       .replaceAll("@[0-9a-f]{4,}", "@_")
       .replaceAll("exprId=\\d+", "exprId=_")
       .replaceAll("cachedrdd-\\d+", "cachedrdd-_")

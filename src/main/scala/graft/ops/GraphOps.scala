@@ -20,6 +20,20 @@ object GraphOps {
       transform(slice(arr, i + lit(2), greatest(size(arr) - i - 1, lit(0))),
         b => struct(a.as("a"), b.as("b")))))
 
+  /** Lineage-cut + width right-sizing for an edge table an iterative
+    * loop re-reads every round: a straight localCheckpoint inherits the
+    * caller's partitioning (the sidecar pair tables arrive 64-wide
+    * whatever their size), so each round's map side pays one task
+    * launch per inherited partition — 6 stages × 64 launches per hits
+    * run at sf0.1 for a 40 KB edge list. Hash-repartitioning on src
+    * first lets AQE coalesce the width to the advisory/floor size
+    * (data-proportional: a couple of tasks on a tiny graph, full width
+    * on a huge one) and co-partitions the table for the per-round src
+    * joins. Pure repartitioning — no values change. */
+  private def cutBySrc(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst")).repartition(col("src"))
+      .localCheckpoint()
+
   /** Undirected dup-graph edges: distinct doc pairs sharing at least one
     * w-token span, both directions. The posting-list expansion (sorted
     * ids per span, map-side pair fan-out) — never a shingle self-join —
@@ -65,7 +79,7 @@ object GraphOps {
     // expansion k+1 times — the PlanAudit catch that motivated this).
     // Local checkpoints here, durable checkpoints on a cluster — the
     // connectedComponents tradeoff, same contract.
-    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
+    val sym = cutBySrc(edges)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val ids = nodes.select(col(idCol).as("id"))
@@ -103,7 +117,7 @@ object GraphOps {
     * [[pageRank]]. */
   def labelPropagation(nodes: DataFrame, edges: DataFrame, idCol: String,
                        iters: Int = 3): DataFrame = {
-    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
+    val sym = cutBySrc(edges)
     val ids = nodes.select(col(idCol).as("id"))
     var lab = ids.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
@@ -405,7 +419,7 @@ object GraphOps {
         (((col(vc) * scale) - ((col(vc) * scale) % col("m"))) / col("m"))
           .cast(dec).as(vc))
     }
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = cutBySrc(edges)
     val ids = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint() // consumed by both vectors every round
@@ -455,7 +469,7 @@ object GraphOps {
     * components contract: local checkpoints here, durable on a
     * cluster). */
   def closeness(edges: DataFrame, radius: Int = 3): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = cutBySrc(edges)
     var reach = e.select(col("src").as("v"), col("dst").as("u"),
       lit(1).as("d")).distinct().localCheckpoint()
     var frontier = reach

@@ -196,9 +196,14 @@ object InferenceQueries extends QueryPack {
         .agg(count(lit(1)).as("o"))
       val rowt = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
       val colt = cells.groupBy("variant").agg(sum(col("o")).as("c"))
-      val tot = cells.agg(sum(col("o")).as("n"),
-        (count_distinct(col("event_type"))).as("nr"),
-        (count_distinct(col("variant"))).as("nc"))
+      // nr/nc as row counts of the marginal tables, NOT two
+      // count_distincts in one aggregate: RewriteDistinctAggregates
+      // expands multi-distinct aggs with a gid whose group order is
+      // session-dependent, which made this plan's fingerprint flap
+      // between PlanAudit runs (values were never affected)
+      val tot = cells.agg(sum(col("o")).as("n"))
+        .crossJoin(broadcast(rowt.agg(count(lit(1)).as("nr"))))
+        .crossJoin(broadcast(colt.agg(count(lit(1)).as("nc"))))
       val m = cells.join(broadcast(rowt), "event_type")
         .join(broadcast(colt), "variant")
         .crossJoin(broadcast(tot))
