@@ -1087,14 +1087,30 @@ object TimeSeries {
     *
     * Scale shape: the slope table is grid²-band-bounded (never
     * corpus-bounded); one window sort per key over it. */
-  def theilSen(events: DataFrame, keyCol: String, tsCol: String,
-               maxLag: Int = 48, valueCol: String = "value"): DataFrame = {
-    val series = resample(events, keyCol, tsCol, valueCol)
+  /** Hourly (k, h, n) grid for the banded pair kernels, lineage-cut and
+    * SPREAD across the session's task slots: the grid is tiny after the
+    * resample aggregate (AQE coalesces it to one partition), but every
+    * grid row fans ×band in the downstream pair join, so the whole
+    * kernel otherwise lands on ONE task (measured: theilSen's slope
+    * stage was a single 780 ms task at sf0.1; spread, the query runs
+    * 1.17 → 0.87 s). Width = defaultParallelism — compute-proportional
+    * (the fan multiplies CPU, not bytes), and it follows the session's
+    * core budget at every scale. */
+  private def bandedGrid(events: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String): DataFrame =
+    resample(events, keyCol, tsCol, valueCol)
       .select(col(keyCol).as("k"),
         (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
           .cast("long").as("h"),
         col("n"))
-      .localCheckpoint() // consumed twice (both join sides)
+      .repartition(events.sparkSession.sparkContext.defaultParallelism,
+        col("k"), col("h"))
+      .localCheckpoint()
+
+  def theilSen(events: DataFrame, keyCol: String, tsCol: String,
+               maxLag: Int = 48, valueCol: String = "value"): DataFrame = {
+    // consumed twice (both join sides)
+    val series = bandedGrid(events, keyCol, tsCol, valueCol)
     val a = series.select(col("k"), col("h"), col("n").as("x"))
       .crossJoin(spark_range_lags(series, maxLag).where(col("lag") >= 1))
     val b = series.select(col("k").as("kb"), col("h").as("hb"),
@@ -1206,12 +1222,8 @@ object TimeSeries {
   def matrixProfile(events: DataFrame, keyCol: String, tsCol: String,
                     subLen: Int = 24, minLag: Int = 12,
                     maxLag: Int = 48): DataFrame = {
-    val series = resample(events, keyCol, tsCol, "value")
-      .select(col(keyCol).as("k"),
-        (unix_timestamp(col("bucket").cast("timestamp")) / 3600L)
-          .cast("long").as("h"),
-        col("n"))
-      .localCheckpoint() // both sides of the lag join
+    // both sides of the lag join; spread for the ×|lags| fan
+    val series = bandedGrid(events, keyCol, tsCol, "value")
     val a = series.crossJoin(
       spark_range_lags(series, maxLag).where(col("lag") >= minLag))
     val b = series.select(col("k").as("kb"), col("h").as("hb"),
