@@ -350,10 +350,19 @@ object Stats {
     // md5/conv/substr expression chain it replaced, which re-evaluated
     // a digest per 4-draw block plus a parse chain per draw through two
     // explode fan-outs; 2.5 → 1.3 s at sf0.1).
-    val reps = df
-      .select(col(groupCol).as("grp"), x.as("x"),
-        graft.functions.PoissonDrawWeights(rowKey.cast("string"), b)
-          .as("ws"))
+    // ONE scan serves the replicate pass and the point estimate: the
+    // two branches used to prune different columns below the (fanned)
+    // exchange, splitting it into two exchanges and re-running the
+    // serial single-file scan twice (822 ms of the query's warm time
+    // at sf0.1 was the duplicate scan+exchange). The checkpoint
+    // materializes the shared projection once; both aggregates read
+    // its blocks at the fan-out's parallel width.
+    val base = df
+      .select(col(groupCol).as("grp"), x.as("x"), rowKey.cast("string").as("rk"))
+      .localCheckpoint()
+    val reps = base
+      .select(col("grp"), col("x"),
+        graft.functions.PoissonDrawWeights(col("rk"), b).as("ws"))
       .select(col("grp"), col("x"),
         posexplode(col("ws")).as(Seq("i", "w")))
       .groupBy(col("grp"), col("i"))
@@ -373,8 +382,8 @@ object Stats {
       .agg(max(when(col("rk") === greatest(col("lo_idx"), lit(1)),
           col("mean_c"))).as("lo_c"),
         max(when(col("rk") === col("hi_idx"), col("mean_c"))).as("hi_c"))
-    val point = df.groupBy(col(groupCol).as("grp"))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"))
+    val point = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     point.join(ranked, "grp")
       .select(col("grp").as(groupCol), col("n"),
         TimeSeries.portableRound6(
