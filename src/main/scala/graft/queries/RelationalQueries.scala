@@ -153,16 +153,11 @@ object RelationalQueries extends QueryPack {
     // sorting by l_shipdate prunes ~97% while l_orderkey/l_partkey
     // prune NOTHING (this generator draws dates independently of keys
     // — unlike classic TPC-H, and exactly the fact an advisor must
-    // measure, not assume). Shape: one scan + one hash-agg PER
-    // CANDIDATE — measured against two one-scan explode variants
-    // (struct-of-decimal explode and a flat posexplode of precomputed
-    // bucket ids): both fan every row into 3 and run 5.2-5.3 s at
-    // sf0.1 where the three narrow fully-codegen'd pipelines run
-    // 2.6 s — the Generate's per-element row handling costs more than
-    // two extra columnar parquet scans. (On an IO-bound cluster the
-    // trade can flip: the explode halves scan bytes at 2× agg CPU —
-    // revisit with real storage numbers, not here.) Bucket ids via
-    // exact DECIMAL floor-div (the fdiv width rule).
+    // measure, not assume). Shape history: the r13 one-scan explode
+    // variants measured 2× worse than three per-candidate pipelines —
+    // but that predated the long-fast-path bucket arithmetic, which
+    // moved the bottleneck off the per-row kernel; re-measured in r16
+    // the explode single pass WINS (see the in-query comment).
     "layout_prune_sim" -> { (s, dir) =>
       val epoch = java.time.LocalDate.of(1992, 1, 1)
       val predLo = java.time.temporal.ChronoUnit.DAYS.between(
@@ -170,71 +165,74 @@ object RelationalQueries extends QueryPack {
       val predHi = java.time.temporal.ChronoUnit.DAYS.between(
         epoch, java.time.LocalDate.of(1998, 3, 31))
       val li = Tables.lineitem(s, dir)
-      // ONE shared narrow (k1, k2, k3) projection feeds the min/max/count
-      // pre-pass AND all three candidate bucket aggs (was: one 1-row agg
-      // scan + one bucket-agg scan PER candidate = 6 lineitem scans; the
-      // r13 audit's one-scan explode variants stay rejected — measured 2×
-      // slower, comment above). In the underfilled-scan regime the shared
-      // frame additionally fans out and localCheckpoints (3 longs/row, so
-      // the materialization is ~the cost of one narrow scan) and every
-      // consumer reads it 32-way in parallel; at scale the conf-off shape
-      // is 4 column-pruned scans, never a lineitem-sized materialization.
+      // SINGLE grouped pass over all three candidates (r16 second half,
+      // the VERDICT-#5 A/B finally run): each row posexplodes into its
+      // three (slot, key) legs and ONE (slot, bucket) hash-agg replaces
+      // the three per-candidate passes. Interleaved 4-way A/B at sf0.1:
+      // the r15/r16 fan+checkpoint branch was itself the regression
+      // (3-pass checkpointed 2.0–2.4 s vs 0.84 s for the same 3 passes
+      // straight off column-pruned scans), and the single pass lands at
+      // 0.93–1.01 s while halving the scan count — 2 narrow scans
+      // (stats + explode) vs 4 — which is the better 100 TB shape on
+      // any scan-bound cluster. The r13 "explode 2× worse" measurement
+      // predated the long-fast-path bucket arithmetic; post-fix the
+      // Generate overhead is far below two extra scans. Bucket ids via
+      // exact DECIMAL floor-div with the row-independent long fast path
+      // (the fdiv width rule, unchanged).
       val keyed = li.select(
         datediff(col("l_shipdate").cast("date"),
           lit("1992-01-01").cast("date")).cast("long").as("k1"),
         col("l_orderkey").cast("long").as("k2"),
         col("l_partkey").cast("long").as("k3"))
-      val shared =
-        if (Tables.fanOutActive(s, dir, "lineitem"))
-          keyed.repartition(Tables.fanWidth(s, dir, "lineitem"), col("k2"))
-            .localCheckpoint()
-        else keyed
-      val stats = broadcast(shared.agg(
+      val stats = broadcast(keyed.agg(
         min(col("k1")).as("mn1"), max(col("k1")).as("mx1"),
         min(col("k2")).as("mn2"), max(col("k2")).as("mx2"),
         min(col("k3")).as("mn3"), max(col("k3")).as("mx3"),
         count(lit(1)).as("n")))
-      def candidate(name: String, slot: Int) = {
-        val base = shared.select(col(s"k$slot").as("k"), col("k1").as("d"))
-        val b = stats.select(col(s"mn$slot").as("mn"),
-          col(s"mx$slot").as("mx"), col("n"))
-        base.crossJoin(broadcast(b))
-          .withColumn("nb", greatest(lit(1L), expr("n DIV 1000")))
-          // (k−mn)·nb needs DECIMAL only when it can exceed a long —
-          // a row-INDEPENDENT condition of the broadcast stats (mx−mn
-          // and nb are per-candidate constants), so the common case is
-          // pure long multiply + integral divide instead of three
-          // BigDecimal ops per row (r16: the decimal kernel was 42 µs/
-          // row and the whole query's bottleneck; values are identical
-          // on both branches wherever the guard admits the long path).
-          .withColumn("bucket", when(
-            col("mx") - col("mn") <=
-              call_function("div", lit(Long.MaxValue), col("nb")),
-            graft.ops.Stats.fdiv((col("k") - col("mn")) * col("nb"),
-              col("mx") - col("mn") + 1))
-            .otherwise(graft.ops.Stats.fdiv(
-              (col("k") - col("mn")).cast("decimal(38,0)") *
-                col("nb").cast("decimal(38,0)"),
-              (col("mx") - col("mn") + 1).cast("decimal(38,0)"))))
-          .groupBy(col("bucket"))
-          .agg(min(col("d")).as("dmn"), max(col("d")).as("dmx"),
-            count(lit(1)).as("cnt_rows"))
-          .agg(count(lit(1)).as("n_buckets"),
-            sum(col("cnt_rows")).as("n_rows"),
-            sum(col("dmx") - col("dmn")).as("span_sum"),
-            sum(when(col("dmn") <= lit(predHi) && col("dmx") >= lit(predLo),
-              1L).otherwise(0L)).as("n_overlap"))
-          .select(lit(name).as("sort_key"), col("n_buckets"), col("n_rows"),
-            graft.ops.TimeSeries.portableRound4(
-              col("span_sum").cast("double") /
-                col("n_buckets").cast("double")).as("avg_span_days"),
-            graft.ops.TimeSeries.portableRound4(
-              lit(1.0) - col("n_overlap").cast("double") /
-                col("n_buckets").cast("double")).as("prune_frac"))
-      }
-      candidate("l_shipdate", 1)
-        .unionByName(candidate("l_orderkey", 2))
-        .unionByName(candidate("l_partkey", 3))
+      val expl = keyed.select(col("k1").as("d"),
+        posexplode(array(col("k1"), col("k2"), col("k3")))
+          .as(Seq("slot", "k")))
+      val perBucket = expl.crossJoin(stats)
+        .withColumn("mn", element_at(
+          array(col("mn1"), col("mn2"), col("mn3")), col("slot") + 1))
+        .withColumn("mx", element_at(
+          array(col("mx1"), col("mx2"), col("mx3")), col("slot") + 1))
+        .withColumn("nb", greatest(lit(1L), expr("n DIV 1000")))
+        // (k−mn)·nb needs DECIMAL only when it can exceed a long — a
+        // row-INDEPENDENT condition of the broadcast stats (mx−mn and
+        // nb are per-candidate constants), so the common case is pure
+        // long multiply + integral divide instead of three BigDecimal
+        // ops per row (r16: the decimal kernel was 42 µs/row and the
+        // whole query's bottleneck; values are identical on both
+        // branches wherever the guard admits the long path).
+        .withColumn("bucket", when(
+          col("mx") - col("mn") <=
+            call_function("div", lit(Long.MaxValue), col("nb")),
+          graft.ops.Stats.fdiv((col("k") - col("mn")) * col("nb"),
+            col("mx") - col("mn") + 1))
+          .otherwise(graft.ops.Stats.fdiv(
+            (col("k") - col("mn")).cast("decimal(38,0)") *
+              col("nb").cast("decimal(38,0)"),
+            (col("mx") - col("mn") + 1).cast("decimal(38,0)"))))
+        .groupBy(col("slot"), col("bucket"))
+        .agg(min(col("d")).as("dmn"), max(col("d")).as("dmx"),
+          count(lit(1)).as("cnt_rows"))
+      perBucket.groupBy(col("slot"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("cnt_rows")).as("n_rows"),
+          sum(col("dmx") - col("dmn")).as("span_sum"),
+          sum(when(col("dmn") <= lit(predHi) && col("dmx") >= lit(predLo),
+            1L).otherwise(0L)).as("n_overlap"))
+        .select(
+          element_at(array(lit("l_shipdate"), lit("l_orderkey"),
+            lit("l_partkey")), col("slot") + 1).as("sort_key"),
+          col("n_buckets"), col("n_rows"),
+          graft.ops.TimeSeries.portableRound4(
+            col("span_sum").cast("double") /
+              col("n_buckets").cast("double")).as("avg_span_days"),
+          graft.ops.TimeSeries.portableRound4(
+            lit(1.0) - col("n_overlap").cast("double") /
+              col("n_buckets").cast("double")).as("prune_frac"))
     },
 
     // Hilbert clustering value — Z-order's better-locality sibling
