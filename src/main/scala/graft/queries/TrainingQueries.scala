@@ -2395,7 +2395,7 @@ object TrainingQueries extends QueryPack {
     // is folding onto one direction; the companion number to
     // corpus_diversity's token-level Simpson index.
     "emb_diversity" -> { (s, dir) =>
-      Similarity.avgPairwiseCosine(Tables.embeddings(s, dir),
+      Similarity.avgPairwiseCosine(Tables.fanned(s, dir, "embeddings"),
         "embedding", dim = 64)
     },
 
@@ -2415,7 +2415,7 @@ object TrainingQueries extends QueryPack {
     // chain — corpus Gram → power iteration → per-vector projection —
     // as one hash-checked plan.
     "emb_abtt" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.fanned(s, dir, "embeddings")
       Similarity.abttResidualDots(emb, "vec_id", "embedding",
         Similarity.topPcFixedPoint(cachedGram(s, dir), dim = 64), dim = 64)
     },
