@@ -169,6 +169,32 @@ object Similarity {
         (col("predicted") === col("label")).as("correct"))
   }
 
+  /** TWO raters' kNN label predictions from ONE neighbor pass — the
+    * agreement-statistics input (kappa/alpha compare a k1-NN and a
+    * k2-NN rater): the ranking is shared, so rank ≤ k2 of the
+    * k1-deep run IS the k2 run's neighbor list (k2 < k1), and the
+    * corpus crossJoin + cosine scoring + top-k window run once instead
+    * of once per rater. The two votes fold over the same ranked frame
+    * (lineage-cut — k1·|Q| rows); per-rater predictions are
+    * row-identical to independent [[knnLabel]] runs joined on
+    * query_id (same vote algebra, same tie order). */
+  def knnLabelPair(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, labelCol: String,
+                   k1: Int, k2: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, idCol, vecCol, math.max(k1, k2))
+    val withL = nn
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nl")), "neighbor_id")
+      .select(col("query_id"), col("rank"), col("nl"))
+      .localCheckpoint() // both raters' votes read it
+    def pred(kk: Int, out: String) = withL.where(col("rank") <= kk)
+      .groupBy(col("query_id"), col("nl")).agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(min(struct((-col("votes")).as("nv"), col("nl").as("l")))
+        .getField("l").as(out))
+    pred(k1, "r1").join(pred(k2, "r2"), "query_id")
+  }
+
   /** Hyperplane component b,i = u(md5("b|i")) - 0.5: md5-derived
     * pseudo-randoms in [-0.5, 0.5] — deterministic and engine-portable.
     * Computed ONCE driver-side (nBits × dim doubles) and embedded as plan

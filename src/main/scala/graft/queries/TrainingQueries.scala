@@ -606,10 +606,10 @@ object TrainingQueries extends QueryPack {
     "eval_kappa" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") < 50)
-      val both = Similarity.knnLabel(emb, q, "vec_id", "embedding", "label", k = 5)
-        .select(col("query_id"), col("predicted").as("r1"))
-        .join(Similarity.knnLabel(emb, q, "vec_id", "embedding", "label", k = 3)
-          .select(col("query_id"), col("predicted").as("r2")), "query_id")
+      // one neighbor pass serves both raters (knnLabelPair — the k=3
+      // list is rank<=3 of the k=5 ranking; r16 optimization)
+      val both = Similarity.knnLabelPair(emb, q, "vec_id", "embedding",
+          "label", k1 = 5, k2 = 3)
         .localCheckpoint() // marginals + agreement both read it
       val cross = both.groupBy(col("r1").as("cls")).agg(count(lit(1)).as("n1"))
         .join(both.groupBy(col("r2").as("cls")).agg(count(lit(1)).as("n2")), "cls")
@@ -634,10 +634,10 @@ object TrainingQueries extends QueryPack {
     "eval_krippendorff" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") < 50)
-      val both = Similarity.knnLabel(emb, q, "vec_id", "embedding", "label", k = 5)
-        .select(col("query_id"), col("predicted").as("r1"))
-        .join(Similarity.knnLabel(emb, q, "vec_id", "embedding", "label", k = 3)
-          .select(col("query_id"), col("predicted").as("r2")), "query_id")
+      // one neighbor pass serves both raters (knnLabelPair, as
+      // eval_kappa)
+      val both = Similarity.knnLabelPair(emb, q, "vec_id", "embedding",
+          "label", k1 = 5, k2 = 3)
         .localCheckpoint() // pooled counts + the disagreement agg
       val pooled = both.select(col("r1").as("c"))
         .unionAll(both.select(col("r2").as("c")))
